@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Testdata access + the deterministic geo derivation shared by Spark
+  * queries and their DuckDB oracles (FIXTURES.md §B): lat/lng are derived
+  * from lineitem keys into the reference's NYC bbox
+  * (`data/transactions.csv`: lat 40.70–40.76, lng −74.02…−73.94). */
+object Tables {
+
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Synthetic transaction points: one row per lineitem, joined to orders
+    * for the user key. Columns: latitude, longitude, amount, user_id.
+    * Every arithmetic step is IEEE-double and reproduced verbatim in
+    * `pointsSql` so cell ids hash-match the oracle. */
+  def points(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = table(spark, sfDir, "lineitem")
+    val o = table(spark, sfDir, "orders")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .select(
+        (lit(40.70) + (col("l_partkey") % 1000) * lit(6e-5)).as("latitude"),
+        (lit(-74.02) + (col("l_suppkey") % 1000) * lit(8e-5)).as("longitude"),
+        col("l_extendedprice").as("amount"),
+        col("o_custkey").cast("string").as("user_id"))
+  }
+
+  /** DuckDB CTE matching `points` bit-for-bit. */
+  val pointsSql: String =
+    """points AS (
+      |  SELECT CAST(40.70 AS DOUBLE) + (l_partkey % 1000) * 6e-5 AS latitude,
+      |         CAST(-74.02 AS DOUBLE) + (l_suppkey % 1000) * 8e-5 AS longitude,
+      |         l_extendedprice AS amount,
+      |         CAST(o_custkey AS VARCHAR) AS user_id
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |)""".stripMargin
+
+  /** DuckDB expression for `GeoFunctions.geoCell(lat, lng, res)` —
+    * same step constant (exact binary double 180/2^(res+8)), same floor. */
+  def cellSql(latExpr: String, lngExpr: String, res: Int): String = {
+    // 180/2^(res+8) is an exact binary double; CAST avoids DuckDB decimal
+    // arithmetic so both engines divide by the identical double.
+    val denom = (1L << (res + 8)).toString
+    s"printf('%X%07X%07X', $res, " +
+      s"CAST(floor(($latExpr + 90.0) / (CAST(180 AS DOUBLE)/$denom)) AS BIGINT), " +
+      s"CAST(floor(($lngExpr + 180.0) / (CAST(180 AS DOUBLE)/$denom)) AS BIGINT))"
+  }
+
+  /** DuckDB expression for `GeoFunctions.haversineMeters`. */
+  def haversineSql(lat1: String, lng1: String, lat2: String, lng2: String): String =
+    s"2.0 * CAST(6371008.8 AS DOUBLE) * asin(least(1.0, sqrt(" +
+      s"sin(radians(($lat2) - ($lat1)) / 2) * sin(radians(($lat2) - ($lat1)) / 2) + " +
+      s"cos(radians($lat1)) * cos(radians($lat2)) * " +
+      s"sin(radians(($lng2) - ($lng1)) / 2) * sin(radians(($lng2) - ($lng1)) / 2))))"
+}
