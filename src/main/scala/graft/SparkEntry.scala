@@ -11,20 +11,16 @@ object SparkEntry {
     * extraction — points anti-joined against the known-tiles table — on
     * sf0.001-derived points. Driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
-    import spark.implicits._
-    val sfDir = "/root/testdata/sf0.001"
-    val pts = Tables.points(spark, sfDir)
-      .withColumn("cell", GeoFunctions.geoCell($"latitude", $"longitude", 10))
-    // known tiles = cells each user visits more than once; anomalies = the rest
-    val tiles = pts.groupBy($"user_id", $"cell").agg(count(lit(1)).as("visits"))
-      .filter($"visits" > 1).select($"user_id", $"cell")
-    pts.join(tiles, Seq("user_id", "cell"), "left_anti")
-      .select($"user_id", $"latitude", $"longitude", $"amount")
+    val tx = Tables.points(spark, "/root/testdata/sf0.001")
+      .withColumnRenamed("user_id", "user")
+    graft.pipeline.GeoFraudPipeline.run(spark, tx,
+      epsilon = 150, minPts = 3, tilePrecision = 10, tileLayers = 1).anomalies
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.queries.CoreQueries.queries
+    graft.queries.CoreQueries.queries ++
+      graft.queries.PipelineQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -1,0 +1,264 @@
+package graft.cluster
+
+import org.apache.spark.ml.{Estimator, Model}
+import org.apache.spark.ml.param._
+import org.apache.spark.ml.util.{MLReadable, MLReader, MLWritable, MLWriter}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType, StructType}
+import org.apache.spark.storage.StorageLevel
+
+import graft.geo.{ConvexHull, GeoCell, GeoJson}
+import graft.functions.GeoFunctions
+
+/** Shared parameter surface of the GEOSCAN estimators — exact API parity
+  * with the reference library wrapper (`01_geofraud_clustering.py:122-132`:
+  * `setLatitudeCol / setLongitudeCol / setPredictionCol / setEpsilon /
+  * setMinPts`; `:270-287` adds `setGroupedCol`). */
+trait GeoscanParams extends Params {
+  final val latitudeCol = new Param[String](this, "latitudeCol", "latitude column name")
+  final val longitudeCol = new Param[String](this, "longitudeCol", "longitude column name")
+  final val predictionCol = new Param[String](this, "predictionCol", "output cluster-label column (NULL = noise)")
+  final val epsilon = new DoubleParam(this, "epsilon", "neighborhood radius in meters", ParamValidators.gt(0))
+  final val minPts = new IntParam(this, "minPts", "minimum epsilon-neighbors for a core point", ParamValidators.gtEq(0))
+  /** The reference's skew-mitigation sampling (`01_geofraud_clustering.py:170-203`:
+    * cap points per ~30 m cell, "dropped our skew by 80%") baked in as a
+    * param; 0 disables. */
+  final val sampleMaxPerCell = new IntParam(this, "sampleMaxPerCell", "cap input points per res-11 cell before clustering (0 = off)", ParamValidators.gtEq(0))
+
+  setDefault(latitudeCol -> "latitude", longitudeCol -> "longitude",
+    predictionCol -> "cluster", epsilon -> 50.0, minPts -> 3, sampleMaxPerCell -> 0)
+
+  def getLatitudeCol: String = $(latitudeCol)
+  def getLongitudeCol: String = $(longitudeCol)
+  def getPredictionCol: String = $(predictionCol)
+  def getEpsilon: Double = $(epsilon)
+  def getMinPts: Int = $(minPts)
+
+  def setLatitudeCol(v: String): this.type = set(latitudeCol, v)
+  def setLongitudeCol(v: String): this.type = set(longitudeCol, v)
+  def setPredictionCol(v: String): this.type = set(predictionCol, v)
+  def setEpsilon(v: Double): this.type = set(epsilon, v)
+  def setMinPts(v: Int): this.type = set(minPts, v)
+  def setSampleMaxPerCell(v: Int): this.type = set(sampleMaxPerCell, v)
+
+  protected def validateInput(schema: StructType): StructType = {
+    require(schema.fieldNames.contains($(latitudeCol)), s"missing ${$(latitudeCol)}")
+    require(schema.fieldNames.contains($(longitudeCol)), s"missing ${$(longitudeCol)}")
+    schema.add($(predictionCol), LongType, nullable = true)
+  }
+}
+
+private[cluster] object GeoscanIO {
+  /** Model persistence layout contract (`02_geofraud_fraud.py:24-30`): state
+    * is plain Parquet under `{path}/data`, readable without the library;
+    * params go to `{path}/params` as a 1-row Parquet. */
+  def saveParams(spark: SparkSession, path: String, params: Map[String, String]): Unit = {
+    import spark.implicits._
+    params.toSeq.toDF("param", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$path/params")
+  }
+  def loadParams(spark: SparkSession, path: String): Map[String, String] = {
+    spark.read.parquet(s"$path/params").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+  }
+}
+
+/** Density-based geospatial clustering, distributed variant — GEOSCAN
+  * steps 1-3 (`01_geofraud_clustering.py:16-32`):
+  *
+  *  1. '''Grouping''' — each point is exploded to the grid cells covering its
+  *     epsilon-disc (resolution chosen so the disc spans ≤1 ring); points
+  *     sharing a cell are candidate pairs; haversine ≤ epsilon keeps true
+  *     edges. The cell equi-join is the only shuffle, hash-partitioned by
+  *     cell id — the "ignore 99.99% of the dataset" trick.
+  *  2. '''Clustering''' — vertices with degree < minPts dropped; clusters =
+  *     distributed connected components over the core subgraph
+  *     ([[ConnectedComponents]]: hook + pointer-jump, O(log n) rounds —
+  *     labels are the min vertex id per component, deterministic).
+  *  3. '''Hulls''' — per-component convex hull (monotone chain) of core
+  *     points; model state = (cluster, hull polygon).
+  *
+  * Scale notes: input is never collected; the candidate-pair join carries a
+  * ~9× cell fanout on the build side only; AQE skew handling + optional
+  * `sampleMaxPerCell` guard dense cells; CC runs O(log n) bounded rounds
+  * over the (much smaller) core-edge set regardless of graph diameter.
+  */
+class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with GeoscanParams {
+  def this() = this(org.apache.spark.ml.util.Identifiable.randomUID("geoscan"))
+
+  override def copy(extra: ParamMap): Geoscan = defaultCopy(extra)
+  override def transformSchema(schema: StructType): StructType = validateInput(schema)
+
+  override def fit(dataset: Dataset[_]): GeoscanModel = {
+    val spark = dataset.sparkSession
+    import spark.implicits._
+    val eps = $(epsilon)
+
+    val raw = dataset.select(
+      col($(latitudeCol)).cast(DoubleType).as("lat"),
+      col($(longitudeCol)).cast(DoubleType).as("lng"))
+
+    // pick the finest resolution whose 1-ring still covers epsilon at the
+    // data's actual max |lat| — a fixed conservative latitude would coarsen
+    // cells ~2× and quadruple candidate pairs (SURVEY §3.1 shuffle note)
+    val maxAbsLat = raw.agg(max(abs($"lat"))).as[Double].head()
+    val res = GeoCell.resolutionForEpsilon(eps, math.min(maxAbsLat, 89.0))
+
+    val sampled =
+      if ($(sampleMaxPerCell) > 0) Geoscan.capPerCell(raw, $(sampleMaxPerCell))
+      else raw
+
+    val pts = sampled.withColumn("pid", monotonically_increasing_id())
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // step 1: epsilon-disc cover explode (build side only) + cell equi-join
+    val probe = pts.select($"pid".as("pid_r"), $"lat".as("lat_r"), $"lng".as("lng_r"),
+      GeoFunctions.geoCell($"lat", $"lng", res).as("cell"))
+    val build = pts.select($"pid".as("pid_l"), $"lat".as("lat_l"), $"lng".as("lng_l"),
+      explode(GeoFunctions.coverDisc($"lat", $"lng", eps, res)).as("cell"))
+    val edges = build.join(probe, "cell")
+      .where($"pid_l" < $"pid_r" &&
+        GeoFunctions.haversineMeters($"lat_l", $"lng_l", $"lat_r", $"lng_r") <= eps)
+      .select($"pid_l", $"pid_r").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // step 2: degree filter (01_geofraud_clustering.py:28) + connected components
+    val degrees = edges.select($"pid_l".as("pid")).unionAll(edges.select($"pid_r".as("pid")))
+      .groupBy($"pid").agg(count(lit(1)).as("deg"))
+    val core = degrees.filter($"deg" >= $(minPts)).select($"pid")
+    val coreEdges = edges
+      .join(core.withColumnRenamed("pid", "pid_l"), "pid_l")
+      .join(core.withColumnRenamed("pid", "pid_r"), "pid_r")
+
+    val connected = ConnectedComponents.run(
+      coreEdges.select($"pid_l".as("src"), $"pid_r".as("dst")))
+      .toDF("pid", "component")
+    // a core point whose neighbors are all non-core keeps no core edge:
+    // it is its own single-point cluster (reference drops only the
+    // low-degree vertices, 01_geofraud_clustering.py:28)
+    val components = connected.unionAll(
+      core.join(connected, Seq("pid"), "left_anti").select($"pid", $"pid".as("component")))
+
+    // step 3: hulls per component over core points
+    val corePts = pts.join(components, "pid")
+    val state = corePts.select($"component", $"lat", $"lng")
+      .as[(Long, Double, Double)]
+      .groupByKey(_._1)
+      .mapGroups { (c, it) => (c, ConvexHull.hull(it.map(t => (t._2, t._3)).toSeq)) }
+      .toDF("cluster", "hull")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    state.count() // materialize before unpersisting inputs
+    pts.unpersist(); edges.unpersist()
+
+    val model = new GeoscanModel(uid, state)
+    copyValues(model).setParent(this)
+  }
+}
+
+object Geoscan {
+  /** Deterministic per-cell cap: rank points inside each ~30 m (res 11) cell
+    * by a stable key and keep the first `max` — the reference's sampling UDF
+    * (`01_geofraud_clustering.py:178-191`) without the nondeterminism. */
+  private[cluster] def capPerCell(df: DataFrame, max: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cell = GeoFunctions.geoCell(col("lat"), col("lng"), 11)
+    val w = Window.partitionBy(cell).orderBy(col("lat"), col("lng"))
+    df.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= max).drop("__rn")
+  }
+}
+
+/** Fitted distributed model — surface parity with the reference `GeoscanModel`
+  * (`01_geofraud_clustering.py:216-222,143,254-260,360-364`): `transform`
+  * adds a nullable cluster label, `toGeoJson` emits RFC 7946,
+  * `getTiles(precision, layers)` emits the cell cover, `save/load` round-trip.
+  *
+  * Inference is the reference's tiling join — no point-in-polygon: clusters
+  * are tiled at `tilePrecision` (+`tileLayers` ring slack) and the input is
+  * equi-joined on the cell id (`01_geofraud_clustering.py:210,360-364`). */
+class GeoscanModel private[cluster] (
+    override val uid: String,
+    private[cluster] val state: DataFrame)
+  extends Model[GeoscanModel] with GeoscanParams with MLWritable {
+
+  final val tilePrecision = new IntParam(this, "tilePrecision", "cell resolution used by transform", ParamValidators.inRange(0, 15))
+  final val tileLayers = new IntParam(this, "tileLayers", "extra cell rings around clusters at transform", ParamValidators.gtEq(0))
+  setDefault(tilePrecision -> 10, tileLayers -> 0)
+  def setTilePrecision(v: Int): this.type = set(tilePrecision, v)
+  def setTileLayers(v: Int): this.type = set(tileLayers, v)
+
+  override def copy(extra: ParamMap): GeoscanModel =
+    copyValues(new GeoscanModel(uid, state), extra).setParent(parent)
+
+  override def transformSchema(schema: StructType): StructType = validateInput(schema)
+
+  /** Cluster cover as (cluster, h3) — `getTiles(precision, layers)`
+    * (`01_geofraud_clustering.py:360-364`). The column keeps the reference's
+    * `h3` name for drop-in parity (ids are this engine's grid cells,
+    * SURVEY §7.3). One label per cell (min cluster id) so downstream joins
+    * never fan out. */
+  def getTiles(precision: Int, layers: Int): DataFrame = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    state.as[(Long, Seq[(Double, Double)])]
+      .flatMap { case (c, hull) => GeoCell.polygonCells(hull, precision, layers).map((c, _)) }
+      .toDF("cluster", "h3")
+      .groupBy("h3").agg(min("cluster").as("cluster"))
+      .select("cluster", "h3")
+  }
+
+  override def transform(dataset: Dataset[_]): DataFrame = {
+    val spark = dataset.sparkSession
+    val prec = $(tilePrecision)
+    val tiles = getTiles(prec, $(tileLayers))
+      .withColumnRenamed("cluster", "__tile_cluster")
+    val nClusters = state.count()
+    // tile tables from few clusters are small → broadcast; otherwise let
+    // AQE decide (tiles can reach millions of rows at scale)
+    val tilesSide = if (nClusters <= 4096) broadcast(tiles) else tiles
+    dataset.toDF()
+      .withColumn("__cell", GeoFunctions.geoCell(
+        col($(latitudeCol)).cast(DoubleType), col($(longitudeCol)).cast(DoubleType), prec))
+      .join(tilesSide, col("__cell") === tilesSide("h3"), "left_outer")
+      .drop("h3", "__cell")
+      .withColumnRenamed("__tile_cluster", $(predictionCol))
+  }
+
+  /** RFC 7946 FeatureCollection of cluster hulls (`01_geofraud_clustering.py:143`). */
+  def toGeoJson(): String = {
+    val spark = state.sparkSession
+    import spark.implicits._
+    val clusters = state.as[(Long, Seq[(Double, Double)])]
+      .collect().sortBy(_._1)
+      .map { case (c, hull) => (c.toString, hull) }
+    GeoJson.featureCollection(clusters.toSeq)
+  }
+
+  override def write: MLWriter = new MLWriter {
+    override protected def saveImpl(path: String): Unit = {
+      val spark = state.sparkSession
+      GeoscanIO.saveParams(spark, path, Map(
+        "class" -> "graft.cluster.GeoscanModel", "uid" -> uid,
+        "latitudeCol" -> $(latitudeCol), "longitudeCol" -> $(longitudeCol),
+        "predictionCol" -> $(predictionCol), "epsilon" -> $(epsilon).toString,
+        "minPts" -> $(minPts).toString, "tilePrecision" -> $(tilePrecision).toString,
+        "tileLayers" -> $(tileLayers).toString))
+      state.write.mode("overwrite").parquet(s"$path/data")
+    }
+  }
+}
+
+object GeoscanModel extends MLReadable[GeoscanModel] {
+  override def read: MLReader[GeoscanModel] = new MLReader[GeoscanModel] {
+    override def load(path: String): GeoscanModel = {
+      val spark = SparkSession.active
+      val p = GeoscanIO.loadParams(spark, path)
+      val state = spark.read.parquet(s"$path/data")
+      val m = new GeoscanModel(p("uid"), state)
+      m.setLatitudeCol(p("latitudeCol")).setLongitudeCol(p("longitudeCol"))
+        .setPredictionCol(p("predictionCol")).setEpsilon(p("epsilon").toDouble)
+        .setMinPts(p("minPts").toInt)
+        .setTilePrecision(p("tilePrecision").toInt).setTileLayers(p("tileLayers").toInt)
+    }
+  }
+}

