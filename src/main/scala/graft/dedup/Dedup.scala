@@ -1,0 +1,136 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.text.TextFunctions
+
+/** Deduplication operators for 100 TB training-data pipelines (BASELINE.json
+  * north-star): exact, MinHash+LSH, SimHash, n-gram Jaccard, and
+  * embedding-cosine near-dup (the latter in [[graft.sim.Similarity]]).
+  *
+  * Design for scale: every variant is shuffle-bounded —
+  *  - exact: one hash aggregate on the fingerprint;
+  *  - MinHash/LSH: signatures are per-row map-side work; the only shuffle is
+  *    the band-bucket self-join (shingle→minhash→band→bucket-join), whose
+  *    fanout is bands×rows, and candidate pairs are verified without ever
+  *    comparing all O(n²) pairs;
+  *  - SimHash: per-row map-side signature; near-dup = bucket join on
+  *    signature (or rotated prefixes);
+  *  - n-gram Jaccard: only within explicit candidate blocks.
+  *
+  * Hashes are md5-derived so every step has an exact DuckDB oracle. */
+object Dedup {
+
+  /** Word n-gram shingles of lowercased text, de-duplicated. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val cnt = size(toks) - (n - 1)
+    // Spark's sequence(1, 0) counts DOWN — guard short docs explicitly
+    when(cnt >= 1,
+      array_distinct(transform(sequence(lit(1), cnt),
+        i => concat_ws(" ", slice(toks, i, lit(n))))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Exact dedup via content fingerprint: one row per distinct content with
+    * the canonical (minimum) id and the duplicate count. */
+  def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    df.groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
+  /** MinHash value for seed `k`: lexicographic min of md5(k|shingle) — a
+    * valid min-wise hash family, string-comparable in any engine. */
+  def minhash(sh: Column, k: Int): Column =
+    array_min(transform(sh, x => md5(concat(lit(k.toString), lit("|"), x).cast("binary"))))
+
+  /** Per-doc MinHash signature columns h0..h{numHashes-1}. */
+  def minhashSignatures(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", numHashes: Int = 8,
+                        shingleN: Int = 3): DataFrame = {
+    val sh = shingles(col(textCol), shingleN)
+    val hashes = (0 until numHashes).map(k => minhash(sh, k).as(s"h$k"))
+    df.select((col(idCol) +: hashes): _*)
+  }
+
+  /** LSH banding: `numHashes/rowsPerBand` bands, band value = md5 of the
+    * concatenated row hashes. Output: (band_idx, band_val, id). */
+  def lshBands(sigs: DataFrame, idCol: String = "doc_id",
+               numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    (0 until numBands).map { b =>
+      val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sigs.select(lit(b).as("band_idx"),
+        md5(concat(cols: _*).cast("binary")).as("band_val"), col(idCol))
+    }.reduce(_ unionAll _)
+  }
+
+  /** Candidate near-dup pairs: ids sharing any LSH band bucket (id_a < id_b,
+    * distinct). The O(n²) pair space never materializes — only per-bucket
+    * blocks join. */
+  def minhashCandidates(df: DataFrame, textCol: String = "text",
+                        idCol: String = "doc_id", numHashes: Int = 8,
+                        rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    val bands = lshBands(
+      minhashSignatures(df, textCol, idCol, numHashes, shingleN),
+      idCol, numHashes, rowsPerBand)
+    val a = bands.toDF("band_idx", "band_val", "id_a")
+    val b = bands.toDF("band_idx", "band_val", "id_b")
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** Exact Jaccard similarity of two shingle-set columns. */
+  def jaccard(shA: Column, shB: Column): Column = {
+    val inter = size(array_intersect(shA, shB)).cast("double")
+    round(inter / (size(shA) + size(shB) - inter).cast("double"), 6)
+  }
+
+  /** N-gram Jaccard near-dup within explicit candidate blocks (`blockCols`),
+    * e.g. same source: only in-block pairs are compared. */
+  def ngramJaccardPairs(df: DataFrame, blockCols: Seq[String],
+                        threshold: Double, textCol: String = "text",
+                        idCol: String = "doc_id", shingleN: Int = 3): DataFrame = {
+    val withSh = df.select((blockCols.map(col) :+ col(idCol) :+
+      shingles(col(textCol), shingleN).as("sh")): _*)
+    val a = withSh.toDF(blockCols ++ Seq("id_a", "sh_a"): _*)
+    val b = withSh.toDF(blockCols ++ Seq("id_b", "sh_b"): _*)
+    a.join(b, blockCols)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", jaccard(col("sh_a"), col("sh_b")))
+      .where(col("jaccard") >= threshold)
+      .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
+  }
+
+  /** 16-bit SimHash from md5-derived token hashes: bit b is set iff the
+    * majority of tokens have bit b set. Small width keeps the oracle SQL
+    * tractable; the pure-Scala [[simhash64]] is the production-width twin. */
+  def simhash16(text: Column): Column = {
+    val toks = TextFunctions.tokens(lower(text))
+    val tokHash = (t: Column) =>
+      conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int")
+    (0 until 16).map { b =>
+      val bitSum = aggregate(toks, lit(0),
+        (acc, t) => acc + when(shiftright(tokHash(t), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))
+      when(bitSum >= 0, lit(1 << b)).otherwise(lit(0))
+    }.reduce(_ + _)
+  }
+
+  /** 64-bit SimHash over token murmur hashes — pure Scala (for UDF use and
+    * unit-level verification; not oracle-mirrored). */
+  def simhash64(tokens: Seq[String]): Long = {
+    val counts = new Array[Int](64)
+    tokens.foreach { t =>
+      val h = scala.util.hashing.MurmurHash3.stringHash(t).toLong << 32 |
+        (scala.util.hashing.MurmurHash3.stringHash(t.reverse).toLong & 0xffffffffL)
+      var b = 0
+      while (b < 64) { counts(b) += (if (((h >>> b) & 1L) == 1L) 1 else -1); b += 1 }
+    }
+    counts.zipWithIndex.foldLeft(0L) { case (acc, (c, b)) =>
+      if (c >= 0) acc | (1L << b) else acc
+    }
+  }
+
+  def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+}

@@ -1,0 +1,250 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.sim.Similarity
+import graft.streaming.TileStore
+import graft.text.TextFunctions
+
+/** LLM-training-data-pipeline operators (BASELINE.json north-star) as
+  * driver-checkable queries over `documents` / `embeddings` / `events`:
+  * text analysis, dedup family, similarity search, multimodal plumbing,
+  * TTL windows. Hashes are md5-based so DuckDB replays them exactly. */
+object ExtensionQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
+
+  // ---- shared DuckDB SQL fragments (mirror the Scala column functions) ----
+
+  /** lowercased whitespace tokens, empties dropped */
+  private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t != '')"
+  private def stopHitsSql(toks: String, words: Seq[String]): String =
+    s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
+  /** distinct word 3-gram shingles over `tk` */
+  private val shinglesSql =
+    "list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 0)), i -> array_to_string(list_slice(tk, i, i+2), ' ')))"
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // token counting (whitespace + BPE-ish estimate)
+    "q30_text_tokens" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tokens"),
+        TextFunctions.subwordCountEstimate($"text").as("n_subwords"),
+        length($"text").cast("long").as("n_chars_m"))
+        .orderBy($"doc_id")
+    }),
+
+    // quality scoring (length/punct/stopword ratios)
+    "q31_text_quality" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        TextFunctions.punctRatio($"text").as("punct_ratio"),
+        TextFunctions.avgWordLen($"text").as("avg_word_len"),
+        TextFunctions.stopwordRatio($"text").as("stop_ratio"),
+        TextFunctions.qualityScore($"text").as("quality"))
+        .orderBy($"doc_id")
+    }),
+
+    // language ID (n-gram/stopword heuristic)
+    "q32_lang_id" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        TextFunctions.langId($"text").as("pred_lang"), $"lang")
+        .orderBy($"doc_id")
+    }),
+
+    // document fingerprinting
+    "q33_fingerprint" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        TextFunctions.fingerprintMd5($"text").as("fp"))
+        .orderBy($"doc_id")
+    }),
+
+    // exact dedup (hash-groupBy)
+    "q34_dedup_exact" -> ((s, dir) => {
+      Dedup.exact(t(s, dir, "documents")).orderBy("fp")
+    }),
+
+    // MinHash + LSH near-dup candidates (shingle→minhash→band→bucket-join)
+    "q35_dedup_minhash" -> ((s, dir) => {
+      Dedup.minhashCandidates(t(s, dir, "documents"),
+        numHashes = 8, rowsPerBand = 2, shingleN = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
+    // n-gram Jaccard within same-source blocks
+    "q36_dedup_jaccard" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.ngramJaccardPairs(
+        t(s, dir, "documents").filter($"source".isin("src0", "src1")),
+        blockCols = Seq("source"), threshold = 0.10)
+        .orderBy("source", "id_a", "id_b")
+    }),
+
+    // 16-bit SimHash signatures
+    "q37_dedup_simhash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id",
+        Dedup.simhash16($"text").as("simhash"))
+        .orderBy($"doc_id")
+    }),
+
+    // embedding-cosine near-dup within label blocks (exact verify)
+    "q38_dedup_embedding" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val a = e.select($"label", $"vec_id".as("id_a"), $"embedding".as("v_a"))
+      val b = e.select($"label", $"vec_id".as("id_b"), $"embedding".as("v_b"))
+      a.join(b, Seq("label"))
+        .where($"id_a" < $"id_b")
+        .withColumn("cos_x1e4", Similarity.cosineKey($"v_a", $"v_b"))
+        .where($"cos_x1e4" >= 3000)
+        .select($"label", $"id_a", $"id_b", $"cos_x1e4")
+        .orderBy($"label", $"id_a", $"id_b")
+    }),
+
+    // brute-force cosine top-k (exact ANN baseline)
+    "q39_knn_brute" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(e.filter($"vec_id" < 5), e, k = 5)
+        .withColumn("rank", $"rank".cast("long"))
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // LSH-bucketed ANN (scale path; recall measured vs brute in tests)
+    "q40_knn_lsh" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      Similarity.lshTopK(e.filter($"vec_id" < 5), e, k = 5, dims = 64)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // multimodal plumbing: pack → partition-local decode → typed metadata
+    "q41_multimodal_meta" -> ((s, dir) => {
+      import s.implicits._
+      Multimodal.decode(Multimodal.pack(t(s, dir, "documents")))
+        .select($"media_id", $"meta.format".as("format"),
+          $"meta.width".as("width"), $"meta.height".as("height"),
+          $"meta.nBytes".as("n_bytes"), $"meta.frames".as("frames"))
+        .orderBy($"media_id")
+    }),
+
+    // sliding TTL validity window (batch twin of the streaming tile store)
+    "q42_ttl_window" -> ((s, dir) => {
+      import s.implicits._
+      // events.parquet carries TIMESTAMP(NANOS); Spark reads it as long
+      // under the legacy conf, then truncates to micros (events are whole
+      // micros, so exact)
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tiles = t(s, dir, "events").select(
+        $"user_id".cast("string").as("user"),
+        concat(lit("T"), ($"event_id" % 50).cast("string")).as("h3"),
+        expr("timestamp_micros(ts DIV 1000)").as("createdAt"))
+      TileStore.currentAsOfMax(tiles, ttlSeconds = 7 * 86400)
+        .orderBy($"user")
+    })
+  )
+
+  private def simhashOracle: String = {
+    val bitTerms = (0 until 16).map { b =>
+      s"""(CASE WHEN coalesce(list_sum(list_transform(tk, t ->
+         |CASE WHEN (CAST(('0x' || substr(md5(t),1,4)) AS INTEGER) >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+         |THEN ${1 << b} ELSE 0 END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents)
+       |SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash FROM toks ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashOracle: String = {
+    val hs = (0 until 8).map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS h$k").mkString(", ")
+    val bands = (0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, md5(h${2 * b} || h${2 * b + 1}) AS band_val FROM sigs")
+      .mkString(" UNION ALL ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |shg AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+       |sigs AS (SELECT doc_id, $hs FROM shg),
+       |bands AS ($bands)
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
+  val oracle: Map[String, String] = Map(
+    "q30_text_tokens" ->
+      s"""SELECT doc_id,
+         |  len($toksSql) AS n_tokens,
+         |  CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t != ''),
+         |       t -> greatest(CAST(ceil(length(t) / 4.0) AS BIGINT), 1))), 0) AS BIGINT) AS n_subwords,
+         |  length(text) AS n_chars_m
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q31_text_quality" ->
+      s"""WITH c AS (SELECT doc_id, text, $toksSql AS tk FROM documents),
+         |q AS (SELECT doc_id,
+         |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |  round(CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t != ''), t -> length(t))), 0) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS avg_word_len,
+         |  round(CAST(${stopHitsSql("tk", TextFunctions.EnStop)} AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS stop_ratio
+         |FROM c)
+         |SELECT doc_id, punct_ratio, avg_word_len, stop_ratio,
+         |  round(CAST(0.4 AS DOUBLE) * stop_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio) + CAST(0.3 AS DOUBLE) * least(avg_word_len / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), 6) AS quality
+         |FROM q ORDER BY doc_id""".stripMargin,
+    "q32_lang_id" ->
+      s"""WITH c AS (SELECT doc_id, lang, $toksSql AS tk FROM documents),
+         |v AS (SELECT doc_id, lang,
+         |  ${stopHitsSql("tk", TextFunctions.EnStop)} AS en, ${stopHitsSql("tk", TextFunctions.DeStop)} AS de,
+         |  ${stopHitsSql("tk", TextFunctions.FrStop)} AS fr, ${stopHitsSql("tk", TextFunctions.EsStop)} AS es
+         |FROM c)
+         |SELECT doc_id,
+         |  CASE WHEN en >= de AND en >= fr AND en >= es THEN 'en'
+         |       WHEN de >= fr AND de >= es THEN 'de'
+         |       WHEN fr >= es THEN 'fr' ELSE 'es' END AS pred_lang, lang
+         |FROM v ORDER BY doc_id""".stripMargin,
+    "q33_fingerprint" ->
+      "SELECT doc_id, md5(lower(text)) AS fp FROM documents ORDER BY doc_id",
+    "q34_dedup_exact" ->
+      "SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
+    "q35_dedup_minhash" -> minhashOracle,
+    "q36_dedup_jaccard" ->
+      s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents WHERE source IN ('src0','src1')),
+         |shg AS (SELECT source, doc_id, $shinglesSql AS sh FROM c),
+         |p AS (SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |        CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+         |FROM shg a JOIN shg b ON a.source = b.source AND a.doc_id < b.doc_id)
+         |SELECT source, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.10
+         |ORDER BY source, id_a, id_b""".stripMargin,
+    "q37_dedup_simhash" -> simhashOracle,
+    "q38_dedup_embedding" ->
+      """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_x1e4
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) >= 3000
+        |ORDER BY a.label, id_a, id_b""".stripMargin,
+    "q39_knn_brute" ->
+      """WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 5),
+        |s AS (SELECT q.query_id, c.vec_id AS corpus_id,
+        |        CAST(round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_x1e4
+        |      FROM q CROSS JOIN embeddings c WHERE c.vec_id != q.query_id),
+        |r AS (SELECT query_id, corpus_id, cos_x1e4,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e4 DESC, corpus_id) AS rank FROM s)
+        |SELECT query_id, corpus_id, cos_x1e4, rank FROM r WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q41_multimodal_meta" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS n FROM documents)
+        |SELECT media_id,
+        |  CASE WHEN n % 3 = 0 THEN 'png' WHEN n % 3 = 1 THEN 'jpg' ELSE 'webp' END AS format,
+        |  CAST(64 + n % 640 AS INTEGER) AS width, CAST(64 + n % 480 AS INTEGER) AS height,
+        |  CAST(n AS BIGINT) AS n_bytes, CAST(1 + n % 7 AS INTEGER) AS frames
+        |FROM m ORDER BY media_id""".stripMargin,
+    "q42_ttl_window" ->
+      """WITH mx AS (SELECT max(ts) AS mt FROM events),
+        |tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3, ts FROM events)
+        |SELECT "user", list_sort(list(DISTINCT h3)) AS tiles FROM tl, mx
+        |WHERE ts > mt - INTERVAL 7 DAY AND ts <= mt GROUP BY 1 ORDER BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,140 @@
+package graft.sim
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (`Array[Float]`) — BASELINE.json
+  * north-star: brute-force cosine top-k as the exactness baseline, and a
+  * random-hyperplane LSH bucketed variant as the 100 TB scale path.
+  *
+  * Scale design: brute force is a partitioned crossJoin (each corpus
+  * partition streams past broadcast queries — no shuffle of the corpus);
+  * LSH replaces the crossJoin with an equi-join on signature buckets, so
+  * cost drops from O(|Q|·|C|) to O(|Q|·bucket). */
+object Similarity {
+
+  /** Cosine similarity of two float-array columns, computed in double,
+    * left-to-right — matches DuckDB's list_cosine_similarity numerics. */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    dot / (sqrt(na) * sqrt(nb))
+  }
+
+  /** Cosine scaled to an integer key (×10^4 by default): float-equality-free
+    * ranking and cross-engine comparison (two engines' `round(double, n)`
+    * can emit different bit patterns for the same printed value). */
+  def cosineKey(a: Column, b: Column, scale: Int = 10000): Column =
+    round(cosine(a, b) * scale).cast("long")
+
+  /** Exact top-k nearest corpus vectors per query by cosine. Ranking key is
+    * (integer-scaled cosine desc, corpus id asc) so results are
+    * deterministic even under floating-point ties. Queries are broadcast
+    * (assumed ≪ corpus). */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_x1e4", cosineKey(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_x1e4").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_x1e4", "rank")
+  }
+
+  /** Deterministic random hyperplane for (seed, bit, dim): uniform in
+    * [-1, 1) from a splitmix64-scrambled index — no RNG state, executors
+    * regenerate identical planes. */
+  private def hyperplane(seed: Long, bit: Int, dims: Int): Array[Double] = {
+    Array.tabulate(dims) { d =>
+      var z = seed + 0x9e3779b97f4a7c15L * (bit.toLong * 1048573L + d + 1L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^= z >>> 31
+      (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
+    }
+  }
+
+  /** Sign-random-projection signature (`numBits`-bit int) for LSH
+    * bucketing: sign pattern of the vector against fixed hyperplanes.
+    * Similar vectors (small angle) agree on most signs. */
+  def srpSignature(vec: Column, dims: Int, numBits: Int = 16, seed: Long = 42L): Column = {
+    val planes = (0 until numBits).map(b => hyperplane(seed, b, dims))
+    val sigUdf = udf { (v: Seq[Float]) =>
+      var sig = 0
+      var b = 0
+      while (b < numBits) {
+        val p = planes(b)
+        var dot = 0.0
+        var d = 0
+        val n = math.min(v.length, dims)
+        while (d < n) { dot += v(d) * p(d); d += 1 }
+        if (dot >= 0) sig |= (1 << b)
+        b += 1
+      }
+      sig
+    }
+    sigUdf(vec)
+  }
+
+  /** LSH-bucketed approximate top-k: candidates share at least one band of
+    * the SRP signature (multi-probe via `numBands` disjoint bit-bands), then
+    * exact cosine ranks within candidates. Recall < 1 by construction;
+    * measured in SimilaritySpec against [[bruteForceTopK]]. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+              numBits: Int = 16, numBands: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bandBits = numBits / numBands
+    val mask = (1 << bandBits) - 1
+    def withBands(df: DataFrame, side: String): DataFrame = {
+      val sig = srpSignature(col(vecCol), dims, numBits, seed)
+      val banded = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"),
+        sig.as("sig"))
+      (0 until numBands).map { b =>
+        banded.select(col(s"${side}_id"), col(s"${side}_v"),
+          lit(b).as("band_idx"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+      }.reduce(_ unionAll _)
+    }
+    val qb = withBands(queries, "query")
+    val cb = withBands(corpus, "corpus")
+    val cands = qb.join(cb, Seq("band_idx", "band_val"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "query_v", "corpus_id", "corpus_v").distinct()
+    val scored = cands.withColumn("cos_x1e4", cosineKey(col("query_v"), col("corpus_v")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_x1e4").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_x1e4", "rank")
+  }
+
+  /** Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b) above
+    * `threshold`, via LSH candidate generation + exact verify. */
+  def cosineNearDups(df: DataFrame, dims: Int, threshold: Double,
+                     idCol: String = "vec_id", vecCol: String = "embedding",
+                     numBits: Int = 16, numBands: Int = 4): DataFrame = {
+    val bandBits = numBits / numBands
+    val mask = (1 << bandBits) - 1
+    val sig = srpSignature(col(vecCol), dims, numBits)
+    val banded = (0 until numBands).map { b =>
+      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        lit(b).as("band_idx"),
+        shiftright(sig, b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+    }.reduce(_ unionAll _)
+    val a = banded.toDF("id_a", "v_a", "band_idx", "band_val")
+    val b = banded.toDF("id_b", "v_b", "band_idx", "band_val")
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "v_a", "id_b", "v_b").distinct()
+      .withColumn("cos_x1e4", cosineKey(col("v_a"), col("v_b")))
+      .where(col("cos_x1e4") >= math.round(threshold * 10000))
+      .select("id_a", "id_b", "cos_x1e4")
+  }
+}

@@ -1,0 +1,101 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north-star): language ID, quality scoring, token counting,
+  * fingerprinting. All built from codegen'd built-ins (no UDFs) and kept
+  * deliberately SQL-mirrorable so every operator has an exact DuckDB oracle.
+  *
+  * The TF-IDF shape reuses the reference's scoring chain verbatim
+  * (`01_geofraud_clustering.py:386-418`) — see `GeoFraudPipeline.tfidfTiles`.
+  */
+object TextFunctions {
+
+  /** Whitespace tokens, empty strings dropped (split on single space —
+    * deterministic across engines, unlike locale-aware \\s classes). */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= lit(""))
+
+  def tokenCount(text: Column): Column = size(tokens(text))
+
+  /** BPE-ish subword count estimate: whitespace tokens + extra units for
+    * long words (a word of n chars ≈ ceil(n/4) subwords) — the cheap
+    * pre-tokenization cost model used when budgeting LLM training data. */
+  def subwordCountEstimate(text: Column): Column =
+    aggregate(tokens(text), lit(0L),
+      (acc, t) => acc + greatest(ceil(length(t).cast("double") / 4.0).cast("long"), lit(1L)))
+
+  /** Fraction of non-alphanumeric, non-space characters. */
+  def punctRatio(text: Column): Column =
+    round(length(regexp_replace(text, "[a-zA-Z0-9 ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double"), 6)
+
+  /** Mean token length in characters. */
+  def avgWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => words.map(w => t === lit(w)).reduce(_ || _)))
+
+  val EnStop = Seq("the", "and", "of", "to", "is")
+  val DeStop = Seq("der", "die", "und", "das", "ist")
+  val FrStop = Seq("le", "et", "les", "des", "une")
+  val EsStop = Seq("el", "y", "los", "que", "una")
+
+  /** Fraction of tokens that are (English) stopwords. */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(lower(text))
+    round(stopwordHits(toks, EnStop).cast("double") /
+      greatest(size(toks), lit(1)).cast("double"), 6)
+  }
+
+  /** N-gram-heuristic language ID over {en,de,fr,es}: most stopword votes
+    * wins, ties broken in that fixed order. (A 'zh'-style CJK check would
+    * key on script range — out of the latin testdata's scope.) */
+  def langId(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val en = stopwordHits(toks, EnStop)
+    val de = stopwordHits(toks, DeStop)
+    val fr = stopwordHits(toks, FrStop)
+    val es = stopwordHits(toks, EsStop)
+    when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+  }
+
+  /** Composite quality score in [0,1]: stopword signal + low punctuation +
+    * reasonable word lengths. Deterministic arithmetic, oracle-mirrorable. */
+  def qualityScore(text: Column): Column =
+    round(lit(0.4) * stopwordRatio(text) +
+      lit(0.3) * (lit(1.0) - punctRatio(text)) +
+      lit(0.3) * least(avgWordLen(text) / lit(8.0), lit(1.0)), 6)
+
+  /** Content fingerprint: md5 of lowercased text (the exact-dedup key). */
+  def fingerprintMd5(text: Column): Column = md5(lower(text).cast("binary"))
+
+  /** Polynomial rolling hash (Rabin-Karp style, mod 2^61-1) — the
+    * streaming-friendly fingerprint; pure Scala, order-sensitive. */
+  def rollingHash(s: String): Long = {
+    val Mod = (1L << 61) - 1
+    val Base = 1000003L
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      // multiply mod 2^61-1 without overflow via Math.multiplyHigh
+      val lo = h * Base
+      val hi = Math.multiplyHigh(h, Base)
+      h = ((lo & Mod) + ((hi << 3) | (lo >>> 61)) + s.charAt(i).toLong) % Mod
+      i += 1
+    }
+    h
+  }
+
+  val rollingHashUdf: org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf((s: String) => rollingHash(if (s == null) "" else s))
+}

@@ -1,0 +1,69 @@
+package graft.dedup
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  private lazy val docs = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    Seq(
+      (1L, base),
+      (2L, base),                                          // exact dup of 1
+      (3L, base.replace("lazy", "sleepy")),                // near dup of 1
+      (4L, "completely different words about spark sql engines and columnar formats"),
+      (5L, "another unrelated text mentioning streaming watermarks and state stores")
+    ).toDF("doc_id", "text")
+  }
+
+  test("exact dedup groups identical content under the min id") {
+    val out = Dedup.exact(docs).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).toSet // (keep_id, n_dups)
+    assert(out.contains((1L, 2L))) // docs 1+2 collapse
+    assert(out.count(_._2 == 1L) == 3)
+  }
+
+  test("minhash LSH finds exact and near dups, not unrelated pairs") {
+    val pairs = Dedup.minhashCandidates(docs, numHashes = 8, rowsPerBand = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)), "exact dup must collide in every band")
+    assert(pairs.contains((1L, 3L)) || pairs.contains((2L, 3L)),
+      "near dup should collide in some band")
+    assert(!pairs.contains((4L, 5L)), "unrelated docs should not collide")
+  }
+
+  test("ngram jaccard ranks near-dup above unrelated") {
+    import spark.implicits._
+    val blocked = docs.withColumn("source", lit("s"))
+    val out = Dedup.ngramJaccardPairs(blocked, Seq("source"), threshold = 0.0)
+      .select($"id_a", $"id_b", $"jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(out((1L, 2L)) == 1.0)
+    assert(out((1L, 3L)) > 0.5)
+    assert(out.getOrElse((4L, 5L), 0.0) < 0.1)
+  }
+
+  test("simhash16: identical content collides, near dup stays close") {
+    import spark.implicits._
+    val sh = docs.select($"doc_id", Dedup.simhash16($"text").as("s"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    def ham(a: Int, b: Int) = Integer.bitCount(a ^ b)
+    assert(ham(sh(1L), sh(2L)) == 0)
+    assert(ham(sh(1L), sh(3L)) <= 4)
+    // 16 bits is the oracle-tractable width; separation power for unrelated
+    // text is weak at this width by construction — covered by simhash64 below
+  }
+
+  test("simhash64 separates near dups from unrelated text") {
+    def toks(s: String) = s.split(" ").toSeq
+    val base = "the quick brown fox jumps over the lazy dog near the river bank today"
+    val near = base.replace("lazy", "sleepy")
+    val far = "completely different words about spark sql engines and columnar formats everywhere"
+    val (a, b, c) = (Dedup.simhash64(toks(base)), Dedup.simhash64(toks(near)),
+      Dedup.simhash64(toks(far)))
+    assert(Dedup.hamming64(a, Dedup.simhash64(toks(base))) == 0)
+    assert(Dedup.hamming64(a, b) < Dedup.hamming64(a, c))
+    assert(Dedup.hamming64(a, c) > 10) // unrelated ≈ 32 expected at 64 bits
+  }
+}

@@ -1,0 +1,50 @@
+package graft.multimodal
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class MultimodalSpec extends SparkSpec {
+
+  private lazy val media = {
+    import spark.implicits._
+    Seq((1L, "x" * 100), (2L, "y" * 641), (3L, "z")).toDF("doc_id", "text")
+  }
+
+  test("pack produces (media_id, binary content)") {
+    val packed = Multimodal.pack(media)
+    assert(packed.schema.fieldNames.toSeq == Seq("media_id", "content"))
+    assert(packed.schema("content").dataType.typeName == "binary")
+    val sizes = packed.select(col("media_id"), length(col("content")))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(sizes == Map(1L -> 100, 2L -> 641, 3L -> 1))
+  }
+
+  test("decode emits typed metadata derived from the bytes (stubbed codec)") {
+    val decoded = Multimodal.decode(Multimodal.pack(media))
+    val metas = decoded.collect().map(r => r.media_id -> r.meta).toMap
+    assert(metas(1L).nBytes == 100 && metas(1L).format == "jpg") // 100 % 3 == 1
+    assert(metas(2L).width == 64 + 641 % 640 && metas(2L).height == 64 + 641 % 480)
+    assert(metas(3L).frames == 1 + 1 % 7)
+  }
+
+  test("resize stub bounds payload size deterministically") {
+    val big = Array.fill[Byte](1000)(7)
+    val small = Multimodal.resizeStub(big, 100)
+    assert(small.length <= 100)
+    assert(Multimodal.resizeStub(small, 100).toSeq == small.toSeq) // idempotent
+    assert(Multimodal.resizeStub(null, 10) == null)
+  }
+
+  test("frame sampling explodes one row per sampled frame") {
+    val frames = Multimodal.sampleFrames(Multimodal.decode(Multimodal.pack(media)), stride = 1)
+    assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
+    val byId = frames.groupBy("media_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // frames count = 1 + nBytes % 7
+    assert(byId(1L) == 1 + 100 % 7)
+    assert(byId(2L) == 1 + 641 % 7)
+    // stride 2 halves (rounded up)
+    val strided = Multimodal.sampleFrames(Multimodal.decode(Multimodal.pack(media)), stride = 2)
+    assert(strided.filter(col("media_id") === 1L).count() == (1 + 100 % 7 + 1) / 2)
+  }
+}

@@ -1,0 +1,76 @@
+package graft.sim
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+class SimilaritySpec extends SparkSpec {
+
+  /** Clustered synthetic vectors: 8 centroids, 30 points each + jitter. */
+  private lazy val vecs = {
+    import spark.implicits._
+    val r = new Random(9)
+    val dims = 16
+    val centroids = Array.fill(8)(Array.fill(dims)(r.nextGaussian()))
+    (0 until 240).map { i =>
+      val c = centroids(i % 8)
+      (i.toLong, c.map(x => (x + r.nextGaussian() * 0.15).toFloat).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("cosine of identical vectors is 1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(1f, 1f), Seq(-1f, -1f))).toDF("a", "b")
+    val cos = df.select(round(Similarity.cosine($"a", $"b"), 6)).collect().map(_.getDouble(0))
+    assert(cos.toSeq == Seq(1.0, 0.0, -1.0))
+  }
+
+  test("brute-force top-k returns same-centroid vectors first") {
+    import spark.implicits._
+    val out = Similarity.bruteForceTopK(vecs.filter($"vec_id" < 3), vecs, k = 5)
+    val byQuery = out.collect().groupBy(_.getLong(0))
+    (0L until 3L).foreach { q =>
+      val neighbors = byQuery(q).map(_.getLong(1))
+      // same centroid ⇔ id ≡ q (mod 8)
+      assert(neighbors.count(n => n % 8 == q % 8) >= 4, s"query $q: ${neighbors.toSeq}")
+    }
+  }
+
+  test("LSH top-k recall ≥ 0.6 vs brute force at 16 bits / 4 bands") {
+    import spark.implicits._
+    val queries = vecs.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(queries, vecs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshTopK(queries, vecs, k = 5, dims = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & lsh).size.toDouble / brute.size.toDouble
+    assert(recall >= 0.6, s"recall $recall")
+  }
+
+  test("LSH candidate volume ≪ brute-force pair volume (the scale point)") {
+    import spark.implicits._
+    val sig = Similarity.srpSignature($"embedding", dims = 16)
+    val banded = (0 until 4).map { b =>
+      vecs.select($"vec_id", lit(b).as("band_idx"),
+        shiftright(sig, b * 4).bitwiseAND(lit(15)).as("band_val"))
+    }.reduce(_ unionAll _)
+    val a = banded.toDF("id_a", "band_idx", "band_val")
+    val b = banded.toDF("id_b", "band_idx", "band_val")
+    val candidates = a.join(b, Seq("band_idx", "band_val"))
+      .where($"id_a" < $"id_b").select("id_a", "id_b").distinct().count()
+    val brutePairs = 240L * 239L / 2L
+    assert(candidates < brutePairs / 2, s"candidates $candidates vs $brutePairs")
+  }
+
+  test("cosine near-dups finds the planted duplicates") {
+    import spark.implicits._
+    val withDup = vecs.unionAll(
+      vecs.filter($"vec_id" === 7L).select(($"vec_id" + 1000L).as("vec_id"), $"embedding"))
+    val pairs = Similarity.cosineNearDups(withDup, dims = 16, threshold = 0.999)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((7L, 1007L)))
+  }
+}

@@ -1,0 +1,78 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.score.Blooms
+import graft.streaming.TileStore.{TileEvent, UserTiles}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+/** Structured-streaming capabilities of SURVEY §2.10: stream scoring against
+  * broadcast blooms, and the sliding 7-day tile validity. */
+class StreamingSpec extends SparkSpec {
+
+  // offset from a realistic epoch: event-time 0 sits exactly on the initial
+  // watermark and is dropped as late data
+  private def ts(minutes: Long): Timestamp = new Timestamp(1700000000000L + minutes * 60000L)
+
+  test("bloom scoring works unchanged on a transaction stream (stateless)") {
+    import spark.implicits._
+    // train on one known location for user a
+    val tiles = Seq(("a", graft.geo.GeoCell.cellId(40.70, -74.00, 10))).toDF("user", "h3")
+    val blooms = Blooms.toMap(Blooms.train(tiles))
+
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, Double, Double)]
+    val scored = Blooms.score(
+      stream.toDF().toDF("user", "latitude", "longitude"), blooms, 10)
+
+    val q = scored.writeStream.format("memory").queryName("scored_tx")
+      .outputMode("append").start()
+    try {
+      stream.addData(("a", 40.70, -74.00), ("a", 40.76, -73.90), ("b", 40.70, -74.00))
+      q.processAllAvailable()
+      val rows = spark.table("scored_tx")
+        .select($"user", $"latitude", $"anomaly").collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSet
+      assert(rows == Set(("a", 40.70, 0), ("a", 40.76, 1), ("b", 40.70, 1)))
+    } finally q.stop()
+  }
+
+  test("sliding tile store expires tiles after the TTL window (7-day capability)") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val ttlSec = 3600L // 1h for the test; 604800 in production
+    val stream = MemoryStream[TileEvent]
+    val out = TileStore.sliding(stream.toDS(), ttlSec, watermarkDelay = "0 seconds")
+
+    val q = out.writeStream.format("memory").queryName("tile_snapshots")
+      .outputMode("append").start()
+    try {
+      stream.addData(TileEvent("u", "CELL1", ts(0)), TileEvent("u", "CELL2", ts(10)))
+      q.processAllAvailable()
+      // advance watermark far past CELL1+CELL2 expiry (>60min after)
+      stream.addData(TileEvent("u", "CELL3", ts(120)))
+      q.processAllAvailable()
+      stream.addData(TileEvent("u", "CELL4", ts(130)))
+      q.processAllAvailable()
+
+      val snaps = spark.table("tile_snapshots").as[UserTiles].collect()
+      // first snapshot: both tiles live
+      assert(snaps.exists(s => s.tiles == Seq("CELL1", "CELL2")))
+      // after watermark passed expiry: old tiles gone, new ones live
+      val last = snaps.maxBy(_.asOfMillis)
+      assert(!last.tiles.contains("CELL1") && !last.tiles.contains("CELL2"))
+      assert(last.tiles.contains("CELL3"))
+    } finally q.stop()
+  }
+
+  test("batch twin: current() applies the same TTL window") {
+    import spark.implicits._
+    val tiles = Seq(
+      ("u", "OLD", ts(0)), ("u", "LIVE1", ts(100)), ("v", "LIVE2", ts(110))
+    ).toDF("user", "h3", "createdAt")
+    val out = TileStore.current(tiles, asOf = ts(120), ttlSeconds = 3600)
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("u") == Seq("LIVE1") && out("v") == Seq("LIVE2"))
+  }
+}
