@@ -44,13 +44,23 @@ object Dedup {
   def minhash(sh: Column, k: Int): Column =
     array_min(transform(sh, x => md5(concat(lit(k.toString), lit("|"), x).cast("binary"))))
 
-  /** Per-doc MinHash signature columns h0..h{numHashes-1}. */
+  /** Per-doc MinHash signature columns h0..h{numHashes-1}.
+    *
+    * Plan shape: explode shingles once, then compute ALL hash minima in a
+    * single partial+final hash aggregate — one pass over the shingle stream.
+    * (The naive spelling — numHashes array-transform columns — re-evaluates
+    * the tokenize→shingle tree per hash: measured 8× slower at sf0.1.)
+    * Docs with no shingles (< n tokens) have NULL/no signature either way
+    * and can never produce candidates. */
   def minhashSignatures(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 8,
                         shingleN: Int = 3): DataFrame = {
-    val sh = shingles(col(textCol), shingleN)
-    val hashes = (0 until numHashes).map(k => minhash(sh, k).as(s"h$k"))
-    df.select((col(idCol) +: hashes): _*)
+    val exploded = df.select(col(idCol),
+      explode(shingles(col(textCol), shingleN)).as("__sh"))
+    val aggs = (0 until numHashes).map { k =>
+      min(md5(concat(lit(s"$k|"), col("__sh")).cast("binary"))).as(s"h$k")
+    }
+    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: `numHashes/rowsPerBand` bands, band value = md5 of the

@@ -31,7 +31,12 @@ object GeoFraudPipeline {
     * (`01_geofraud_clustering.py:386-418`): df = distinct visitors per tile,
     * tf = a user's visits to their own tile, tf_idf = tf·ln(N/df). */
   def tfidfTiles(tiles: DataFrame, pointsH3: DataFrame): DataFrame = {
-    val docFreq = tiles.drop("user").drop("cluster")
+    // distinct BEFORE the join: the reference joins the full multi-row tile
+    // frame (`01_geofraud_clustering.py:389-392`) and distincts after — same
+    // result, but per-cell fanout tiles×points blows up at scale (measured
+    // ~130M intermediate rows on 600k points); one row per cell keeps the
+    // join linear in the points
+    val docFreq = tiles.select(col("h3")).distinct()
       .join(pointsH3, Seq("h3"))
       .select("user", "h3").distinct()
       .groupBy("h3").agg(sum(lit(1)).as("df"))

@@ -152,8 +152,11 @@ object CoreQueries {
       import s.implicits._
       val pointsCells = Tables.points(s, dir)
         .select($"user_id", GeoFunctions.geoCell($"latitude", $"longitude", 9).as("cell"))
+        .persist() // read 3× below (tiles, docFreq, termFreq) + the count action
       val tiles = pointsCells.distinct()
-      val docFreq = tiles.drop("user_id")
+      // distinct cells BEFORE the join — same distinct-ed result, avoids the
+      // tiles×points per-cell fanout (see GeoFraudPipeline.tfidfTiles)
+      val docFreq = tiles.select($"cell").distinct()
         .join(pointsCells, Seq("cell"))
         .select($"user_id", $"cell").distinct()
         .groupBy($"cell").agg(sum(lit(1)).as("df"))
