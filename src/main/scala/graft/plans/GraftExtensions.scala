@@ -1,0 +1,26 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+
+/** Session extensions wiring (SURVEY §4.2): install with
+  * `--conf spark.sql.extensions=graft.plans.GraftExtensions` (or
+  * `.withExtensions(new GraftExtensions)`).
+  *
+  *  - [[AntiJoinRewrite]]: optimizer rule for the reference's
+  *    left_outer + IS NULL anomaly spelling;
+  *  - `geo_cell`: native codegen expression replacing the UDF registration
+  *    for SQL callers. */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectOptimizerRule(_ => AntiJoinRewrite)
+    extensions.injectFunction((
+      new FunctionIdentifier("geo_cell"),
+      new ExpressionInfo(classOf[GeoCellExpression].getName, "geo_cell"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "geo_cell(lat, lng, res)")
+        GeoCellExpression(children(0), children(1), children(2))
+      }))
+  }
+}
