@@ -57,6 +57,17 @@ private[cluster] object GeoscanIO {
     import spark.implicits._
     params.toSeq.toDF("param", "value").coalesce(1)
       .write.mode("overwrite").parquet(s"$path/params")
+    // JSON sidecar for humans/tools (the reference logs params to MLflow,
+    // 01_geofraud_clustering.py:120-149 — M5; out of engine scope, kept as
+    // a plain file)
+    val json = params.toSeq.sortBy(_._1).map { case (k, v) =>
+      s""""${k.replace("\"", "\\\"")}": "${v.replace("\"", "\\\"")}""""
+    }.mkString("{", ", ", "}")
+    val sidecar = new org.apache.hadoop.fs.Path(s"$path/params.json")
+    val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(sidecar, true)
+    try out.write(json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
   }
   def loadParams(spark: SparkSession, path: String): Map[String, String] = {
     spark.read.parquet(s"$path/params").collect()
