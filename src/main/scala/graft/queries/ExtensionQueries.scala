@@ -136,6 +136,36 @@ object ExtensionQueries {
         .orderBy($"media_id")
     }),
 
+    // IVF ANN (k-means inverted lists; recall measured vs brute in tests)
+    "q43_knn_ivf" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      Similarity.ivfTopK(e.filter($"vec_id" < 5), e, k = 5, nlist = 8, nprobe = 3)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // set operations: union / intersect / except (SURVEY §2.6)
+    "q44_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val big = t(s, dir, "orders").filter($"o_totalprice" > 200000.0).select($"o_custkey")
+      val urgent = t(s, dir, "orders").filter($"o_orderpriority" === "1-URGENT").select($"o_custkey")
+      val f = t(s, dir, "orders").filter($"o_orderstatus" === "F").select($"o_custkey")
+      big.intersect(urgent).except(f).union(big.limit(0))
+        .orderBy($"o_custkey")
+    }),
+
+    // window functions: per-group ranking (keep-first shape used by dedup)
+    "q45_window_rank" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"o_custkey").orderBy($"o_totalprice".desc, $"o_orderkey".asc)
+      t(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where($"rnk" <= 2)
+        .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rnk")
+        .orderBy($"o_custkey", $"rnk", $"o_orderkey")
+    }),
+
     // sliding TTL validity window (batch twin of the streaming tile store)
     "q42_ttl_window" -> ((s, dir) => {
       import s.implicits._
@@ -241,6 +271,20 @@ object ExtensionQueries {
         |  CAST(64 + n % 640 AS INTEGER) AS width, CAST(64 + n % 480 AS INTEGER) AS height,
         |  CAST(n AS BIGINT) AS n_bytes, CAST(1 + n % 7 AS INTEGER) AS frames
         |FROM m ORDER BY media_id""".stripMargin,
+    "q44_set_ops" ->
+      """SELECT o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |EXCEPT
+        |SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY o_custkey""".stripMargin,
+    "q45_window_rank" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |  FROM orders)
+        |WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
     "q42_ttl_window" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3, ts FROM events)

@@ -115,6 +115,51 @@ object Similarity {
       .select("query_id", "corpus_id", "cos_x1e4", "rank")
   }
 
+  /** IVF (inverted-file) approximate top-k — the other classic ANN scale
+    * path: a k-means coarse quantizer partitions the corpus into `nlist`
+    * inverted lists; each query probes its `nprobe` nearest centroids and
+    * ranks by exact cosine only within those lists. Cost drops from
+    * O(|Q|·|C|) to ≈ O(|Q|·|C|·nprobe/nlist); centroids are tiny and
+    * broadcast. Uses MLlib KMeans (itself a Spark-native Lloyd's). */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = corpus.sparkSession
+
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val train = corpus.select(toVec(col(vecCol)).as("features"))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10).fit(train)
+    val centroids = km.clusterCenters.map(_.toArray)
+    val bc = spark.sparkContext.broadcast(centroids)
+
+    def dist2(v: Seq[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val assignUdf = udf { (v: Seq[Float]) =>
+      bc.value.indices.minBy(i => dist2(v, bc.value(i)))
+    }
+    val probeUdf = udf { (v: Seq[Float]) =>
+      bc.value.indices.sortBy(i => dist2(v, bc.value(i))).take(nprobe)
+    }
+
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      assignUdf(col(vecCol)).as("list_id"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeUdf(col(vecCol))).as("list_id"))
+    val scored = q.join(c, Seq("list_id"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .withColumn("cos_x1e4", cosineKey(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id").orderBy(col("cos_x1e4").desc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "cos_x1e4", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b) above
     * `threshold`, via LSH candidate generation + exact verify. */
   def cosineNearDups(df: DataFrame, dims: Int, threshold: Double,

@@ -65,6 +65,19 @@ class SimilaritySpec extends SparkSpec {
     assert(candidates < brutePairs / 2, s"candidates $candidates vs $brutePairs")
   }
 
+  test("IVF top-k recall ≥ 0.6 vs brute force at nlist=16/nprobe=4") {
+    import spark.implicits._
+    val queries = vecs.filter($"vec_id" < 20)
+    val brute = Similarity.bruteForceTopK(queries, vecs, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(queries, vecs, k = 5, nlist = 16, nprobe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (brute & ivf).size.toDouble / brute.size.toDouble
+    assert(recall >= 0.6, s"recall $recall")
+    // clustered data: same-centroid neighbors live in the probed lists
+    assert(ivf.nonEmpty && ivf.size <= brute.size)
+  }
+
   test("cosine near-dups finds the planted duplicates") {
     import spark.implicits._
     val withDup = vecs.unionAll(
