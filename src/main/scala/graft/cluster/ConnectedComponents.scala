@@ -57,11 +57,12 @@ object ConnectedComponents {
       val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
       val mL = sym.groupBy($"src").agg(min($"dst").as("mn"))
         .select($"src".as("u"), least($"mn", $"src").as("m"))
+      // not checkpointed: ss below materializes one round of lineage anyway,
+      // and skipping the extra eager job halves per-round scheduler cost
       val ls = normalize(
         sym.where($"dst" > $"src")
           .join(mL, $"src" === $"u")
           .select($"dst".as("src"), $"m".as("dst")))
-        .localCheckpoint(true)
 
       // ---- small-star on directed big→small view: every smaller neighbor
       // (and u itself) attaches to u's smallest neighbor

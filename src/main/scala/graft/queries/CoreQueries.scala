@@ -200,7 +200,9 @@ object CoreQueries {
     // CSV ingestion, 01_geofraud_clustering.py:56-62, without the pandas hop)
     "q20_csv_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      val tmp = java.nio.file.Files.createTempDirectory("graft_csv").toString
+      // fixed path + overwrite (not createTempDirectory): repeated
+      // Verify/Bench runs reuse one scratch dir instead of leaking
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q20_csv").toString
       t(s, dir, "region").write.mode("overwrite").option("header", "true").csv(tmp)
       s.read.schema("r_regionkey INT, r_name STRING").option("header", "true").csv(tmp)
         .orderBy($"r_regionkey")

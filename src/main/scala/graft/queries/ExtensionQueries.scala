@@ -166,6 +166,20 @@ object ExtensionQueries {
         .orderBy($"o_custkey", $"rnk", $"o_orderkey")
     }),
 
+    // JSONL source/sink round-trip with explicit schema (the training-data
+    // interchange format; no schema inference nondeterminism)
+    "q46_jsonl_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      // fixed path + overwrite: repeated runs reuse one directory instead of
+      // leaking a fresh createTempDirectory each invocation (testdata dir is
+      // read-only, so scratch lives under java.io.tmpdir)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q46_jsonl").toString
+      t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
+        .write.mode("overwrite").json(tmp)
+      s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
+        .orderBy($"doc_id")
+    }),
+
     // sliding TTL validity window (batch twin of the streaming tile store)
     "q42_ttl_window" -> ((s, dir) => {
       import s.implicits._
@@ -271,6 +285,8 @@ object ExtensionQueries {
         |  CAST(64 + n % 640 AS INTEGER) AS width, CAST(64 + n % 480 AS INTEGER) AS height,
         |  CAST(n AS BIGINT) AS n_bytes, CAST(1 + n % 7 AS INTEGER) AS frames
         |FROM m ORDER BY media_id""".stripMargin,
+    "q46_jsonl_roundtrip" ->
+      "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "q44_set_ops" ->
       """SELECT o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
