@@ -24,7 +24,7 @@ object PipelineQueries {
     "q21_geoscan_tiles" -> ((s, dir) => {
       val model = new GeoscanPersonalized()
         .setGroupedCol("user").setEpsilon(150).setMinPts(3)
-        .fit(tx(s, dir).limit(20000))
+        .fit(tx(s, dir))
       model.getTiles(10, 1)
     }),
 
@@ -40,13 +40,13 @@ object PipelineQueries {
     "q23_geoscan_geojson" -> ((s, dir) => {
       val model = new GeoscanPersonalized()
         .setGroupedCol("user").setEpsilon(150).setMinPts(3)
-        .fit(tx(s, dir).limit(10000))
+        .fit(tx(s, dir))
       model.toGeoJson()
     }),
 
     // A10/U4: per-user bloom build + O(1) membership scoring
     "q24_bloom_score" -> ((s, dir) => {
-      val points = tx(s, dir).limit(20000)
+      val points = tx(s, dir)
       val model = new GeoscanPersonalized()
         .setGroupedCol("user").setEpsilon(150).setMinPts(3).fit(points)
       val tiles = model.getTiles(10, 1)
@@ -56,7 +56,7 @@ object PipelineQueries {
 
     // §3.3 flagship end-to-end: full 01+02 pipeline, anomaly frame
     "q25_pipeline_anomalies" -> ((s, dir) => {
-      GeoFraudPipeline.run(s, tx(s, dir).limit(20000),
+      GeoFraudPipeline.run(s, tx(s, dir),
         epsilon = 150, minPts = 3, tilePrecision = 10, tileLayers = 1).anomalies
     })
   )
