@@ -77,7 +77,7 @@ object ConnectedComponents {
       // bit_xor (not sum): order-independent and cannot overflow ANSI longs
       val sigRow = ss.agg(count(lit(1)), bit_xor(xxhash64($"src", $"dst"))).head
       val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
-      converged = sig == prevSig || ss.isEmpty
+      converged = sig == prevSig || sig._1 == 0L // count covers the empty case
       prevSig = sig
       e = ss
       iter += 1

@@ -123,7 +123,12 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
     val pts = sampled.withColumn("pid", monotonically_increasing_id())
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // step 1: epsilon-disc cover explode (build side only) + cell equi-join
+    // step 1: epsilon-disc cover explode (build side only) + cell equi-join.
+    // No distinct needed: the probe side carries each point's OWN cell
+    // (exactly one row per point), so a pair (l, r) joins at most once —
+    // via the one build row where l's cover includes r's cell. The cover
+    // guarantee (GeoCoreSpec "epsilon-neighbors share a cell") makes that
+    // row exist whenever haversine ≤ eps. Saves a full edge-set shuffle.
     val probe = pts.select($"pid".as("pid_r"), $"lat".as("lat_r"), $"lng".as("lng_r"),
       GeoFunctions.geoCell($"lat", $"lng", res).as("cell"))
     val build = pts.select($"pid".as("pid_l"), $"lat".as("lat_l"), $"lng".as("lng_l"),
@@ -131,7 +136,7 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
     val edges = build.join(probe, "cell")
       .where($"pid_l" < $"pid_r" &&
         GeoFunctions.haversineMeters($"lat_l", $"lng_l", $"lat_r", $"lng_r") <= eps)
-      .select($"pid_l", $"pid_r").distinct()
+      .select($"pid_l", $"pid_r")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     // step 2: degree filter (01_geofraud_clustering.py:28) + connected components
@@ -151,12 +156,22 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
     val components = connected.unionAll(
       core.join(connected, Seq("pid"), "left_anti").select($"pid", $"pid".as("component")))
 
-    // step 3: hulls per component over core points
+    // step 3: hulls per component over core points — two-level so a giant
+    // component never collects all its points into one task:
+    // hull(A ∪ B) = hull(hull(A) ∪ hull(B)), and a hull of n points has
+    // ~O(log n) vertices, so the final per-component merge sees only
+    // #partitions × O(log n) vertices regardless of component size
     val corePts = pts.join(components, "pid")
-    val state = corePts.select($"component", $"lat", $"lng")
+    val partialHulls = corePts.select($"component", $"lat", $"lng")
       .as[(Long, Double, Double)]
+      .mapPartitions { it =>
+        it.toSeq.groupBy(_._1).iterator.map { case (c, grp) =>
+          (c, ConvexHull.hull(grp.map(t => (t._2, t._3))))
+        }
+      }
+    val state = partialHulls
       .groupByKey(_._1)
-      .mapGroups { (c, it) => (c, ConvexHull.hull(it.map(t => (t._2, t._3)).toSeq)) }
+      .mapGroups { (c, it) => (c, ConvexHull.hull(it.flatMap(_._2).toSeq)) }
       .toDF("cluster", "hull")
       .persist(StorageLevel.MEMORY_AND_DISK)
     state.count() // materialize before unpersisting inputs
