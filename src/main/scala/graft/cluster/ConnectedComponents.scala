@@ -43,10 +43,12 @@ object ConnectedComponents {
         .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
         .distinct()
 
-    var e = normalize(edges.select($"src".cast("long"), $"dst".cast("long")))
-      .localCheckpoint(true)
+    val raw = edges.select($"src".cast("long"), $"dst".cast("long"))
+    var e = normalize(raw).localCheckpoint(true)
 
-    val vertices = e.select($"src".as("id")).unionAll(e.select($"dst".as("id")))
+    // vertices from the RAW edges: a vertex whose only edge is a self-loop
+    // still belongs in the output (own singleton component)
+    val vertices = raw.select($"src".as("id")).unionAll(raw.select($"dst".as("id")))
       .distinct().localCheckpoint(true)
 
     var prevSig: (Long, Long) = (-1L, -1L)
@@ -81,6 +83,13 @@ object ConnectedComponents {
       prevSig = sig
       e = ss
       iter += 1
+    }
+    if (!converged) {
+      // star extraction on a non-fixpoint edge set would silently split
+      // components — fail loudly instead (64 rounds covers any realistic n
+      // under the O(log² n) bound; reaching it means something is wrong)
+      throw new IllegalStateException(
+        s"connected components did not converge within $maxIter rounds")
     }
 
     // at fixpoint components are disjoint stars centered at their min id

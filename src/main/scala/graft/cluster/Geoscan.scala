@@ -112,16 +112,27 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
 
     // pick the finest resolution whose 1-ring still covers epsilon at the
     // data's actual max |lat| — a fixed conservative latitude would coarsen
-    // cells ~2× and quadruple candidate pairs (SURVEY §3.1 shuffle note)
-    val maxAbsLat = raw.agg(max(abs($"lat"))).as[Double].head()
-    val res = GeoCell.resolutionForEpsilon(eps, math.min(maxAbsLat, 89.0))
+    // cells ~2× and quadruple candidate pairs (SURVEY §3.1 shuffle note).
+    // Empty / all-null input → empty model (personalized path parity).
+    val maxAbsLatOpt = raw.agg(max(abs($"lat"))).as[Option[Double]].head()
+    if (maxAbsLatOpt.isEmpty) {
+      val empty = spark.emptyDataset[(Long, Seq[(Double, Double)])]
+        .toDF("cluster", "hull")
+      return copyValues(new GeoscanModel(uid, empty)).setParent(this)
+    }
+    val res = GeoCell.resolutionForEpsilon(eps, math.min(maxAbsLatOpt.get, 89.0))
 
     val sampled =
       if ($(sampleMaxPerCell) > 0) Geoscan.capPerCell(raw, $(sampleMaxPerCell))
       else raw
 
+    // localCheckpoint (not persist): pid assignment must be frozen. A cached
+    // partition lost and recomputed could reshuffle row order and hand
+    // different pids to branches that already consumed the old ones —
+    // silent cross-wiring of edges. Checkpointing materializes the ids;
+    // losing a checkpoint partition fails loudly instead.
     val pts = sampled.withColumn("pid", monotonically_increasing_id())
-      .persist(StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint(true)
 
     // step 1: epsilon-disc cover explode (build side only) + cell equi-join.
     // No distinct needed: the probe side carries each point's OWN cell
@@ -139,10 +150,14 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
       .select($"pid_l", $"pid_r")
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    // step 2: degree filter (01_geofraud_clustering.py:28) + connected components
+    // step 2: degree filter (01_geofraud_clustering.py:28) + connected
+    // components. minPts = 0 means every point is core — including isolated
+    // points that appear in no edge (Dbscan/personalized parity).
     val degrees = edges.select($"pid_l".as("pid")).unionAll(edges.select($"pid_r".as("pid")))
       .groupBy($"pid").agg(count(lit(1)).as("deg"))
-    val core = degrees.filter($"deg" >= $(minPts)).select($"pid")
+    val core =
+      if ($(minPts) == 0) pts.select($"pid")
+      else degrees.filter($"deg" >= $(minPts)).select($"pid")
     val coreEdges = edges
       .join(core.withColumnRenamed("pid", "pid_l"), "pid_l")
       .join(core.withColumnRenamed("pid", "pid_r"), "pid_r")
@@ -233,20 +248,41 @@ class GeoscanModel private[cluster] (
       .select("cluster", "h3")
   }
 
+  // memoized materialized tile cover per (precision, layers): repeated
+  // transform calls (batch loops, per-microbatch scoring) must not rebuild
+  // and reshuffle the tile table every time
+  @transient private var tileCache: Option[(Int, Int, DataFrame, Long)] = None
+
+  private def cachedTiles(prec: Int, layers: Int): (DataFrame, Long) = synchronized {
+    tileCache match {
+      case Some((p, l, df, n)) if p == prec && l == layers => (df, n)
+      case _ =>
+        tileCache.foreach(_._3.unpersist())
+        val df = getTiles(prec, layers).persist(StorageLevel.MEMORY_AND_DISK)
+        val n = df.count()
+        tileCache = Some((prec, layers, df, n))
+        (df, n)
+    }
+  }
+
   override def transform(dataset: Dataset[_]): DataFrame = {
-    val spark = dataset.sparkSession
     val prec = $(tilePrecision)
-    val tiles = getTiles(prec, $(tileLayers))
-      .withColumnRenamed("cluster", "__tile_cluster")
-    val nClusters = state.count()
-    // tile tables from few clusters are small → broadcast; otherwise let
-    // AQE decide (tiles can reach millions of rows at scale)
-    val tilesSide = if (nClusters <= 4096) broadcast(tiles) else tiles
-    dataset.toDF()
+    val (tilesRaw, nTiles) = cachedTiles(prec, $(tileLayers))
+    // unique join-side names: the caller may legitimately own an `h3`
+    // column, and `drop("h3")` would silently eat it
+    val tiles = tilesRaw.select(col("cluster").as("__tile_cluster"), col("h3").as("__tile_h3"))
+    // broadcast by actual tile count (a handful of clusters can still tile
+    // to millions of cells at fine precision); otherwise let AQE decide
+    val tilesSide = if (nTiles <= 1000000L) broadcast(tiles) else tiles
+    val in = dataset.toDF()
+    // the reference's transform (re)defines the prediction column — drop a
+    // pre-existing one instead of producing an ambiguous duplicate
+    val base = if (in.columns.contains($(predictionCol))) in.drop($(predictionCol)) else in
+    base
       .withColumn("__cell", GeoFunctions.geoCell(
         col($(latitudeCol)).cast(DoubleType), col($(longitudeCol)).cast(DoubleType), prec))
-      .join(tilesSide, col("__cell") === tilesSide("h3"), "left_outer")
-      .drop("h3", "__cell")
+      .join(tilesSide, col("__cell") === tilesSide("__tile_h3"), "left_outer")
+      .drop("__tile_h3", "__cell")
       .withColumnRenamed("__tile_cluster", $(predictionCol))
   }
 

@@ -115,19 +115,39 @@ class GeoscanPersonalizedModel private[cluster] (
       .select("user", "cluster", "h3")
   }
 
+  // memoized tile cover (see GeoscanModel.cachedTiles — same rationale)
+  @transient private var tileCache: Option[(Int, Int, DataFrame, Long)] = None
+
+  private def cachedTiles(prec: Int, layers: Int): (DataFrame, Long) = synchronized {
+    tileCache match {
+      case Some((p, l, df, n)) if p == prec && l == layers => (df, n)
+      case _ =>
+        tileCache.foreach(_._3.unpersist())
+        val df = getTiles(prec, layers)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val n = df.count()
+        tileCache = Some((prec, layers, df, n))
+        (df, n)
+    }
+  }
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     val prec = $(tilePrecision)
-    val tiles = getTiles(prec, $(tileLayers))
-      .withColumnRenamed("cluster", "__tile_cluster")
-      .withColumnRenamed("user", "__tile_user")
-    dataset.toDF()
+    val (tilesRaw, nTiles) = cachedTiles(prec, $(tileLayers))
+    // unique join-side names so a caller-owned h3 column survives
+    val tiles = tilesRaw.select(col("user").as("__tile_user"),
+      col("cluster").as("__tile_cluster"), col("h3").as("__tile_h3"))
+    val tilesSide = if (nTiles <= 1000000L) broadcast(tiles) else tiles
+    val in = dataset.toDF()
+    val base = if (in.columns.contains($(predictionCol))) in.drop($(predictionCol)) else in
+    base
       .withColumn("__cell", GeoFunctions.geoCell(
         col($(latitudeCol)).cast(DoubleType), col($(longitudeCol)).cast(DoubleType), prec))
-      .join(tiles,
-        col("__cell") === tiles("h3") &&
-          col($(groupedColM)).cast("string") === tiles("__tile_user"),
+      .join(tilesSide,
+        col("__cell") === tilesSide("__tile_h3") &&
+          col($(groupedColM)).cast("string") === tilesSide("__tile_user"),
         "left_outer")
-      .drop("h3", "__cell", "__tile_user")
+      .drop("__tile_h3", "__cell", "__tile_user")
       .withColumnRenamed("__tile_cluster", $(predictionCol))
   }
 

@@ -27,6 +27,7 @@ object Blooms {
     val spark = tiles.sparkSession
     import spark.implicits._
     tiles.select(col(userCol).cast("string"), col(tileCol).cast("string"))
+      .filter(col(userCol).isNotNull && col(tileCol).isNotNull) // putString NPEs on null
       .as[(String, String)]
       .groupByKey(_._1)
       .mapGroups { (user, it) =>

@@ -55,4 +55,9 @@ class ConnectedComponentsSpec extends SparkSpec {
     import spark.implicits._
     assert(ConnectedComponents.run(Seq.empty[(Long, Long)].toDF("src", "dst")).count() == 0)
   }
+
+  test("self-loop-only vertices keep their own singleton component") {
+    val comp = cc(Seq((7L, 7L), (1L, 2L)))
+    assert(comp == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
 }

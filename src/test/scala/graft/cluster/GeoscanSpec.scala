@@ -120,6 +120,41 @@ class GeoscanSpec extends SparkSpec {
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0)
   }
 
+  test("empty and all-null input fit to an empty model (no NPE)") {
+    import spark.implicits._
+    val empty = Seq.empty[(Double, Double)].toDF("latitude", "longitude")
+    val m1 = new Geoscan().setEpsilon(100).setMinPts(3).fit(empty)
+    assert(m1.toGeoJson() == """{"type":"FeatureCollection","features":[]}""")
+    assert(m1.transform(empty).count() == 0)
+    val nulls = Seq((Option.empty[Double], Option.empty[Double])).toDF("latitude", "longitude")
+    assert(new Geoscan().setEpsilon(100).setMinPts(3).fit(nulls).getTiles(10, 0).count() == 0)
+  }
+
+  test("minPts=0: isolated points are singleton clusters in BOTH paths") {
+    import spark.implicits._
+    // two isolated points, far apart — no edges at all
+    val pts = Seq((40.70, -74.00), (40.75, -73.95)).toDF("latitude", "longitude")
+    val dist = new Geoscan().setEpsilon(50).setMinPts(0).fit(pts)
+    assert(dist.getTiles(11, 0).select("cluster").distinct().count() == 2)
+    val pers = new GeoscanPersonalized().setGroupedCol("user").setEpsilon(50).setMinPts(0)
+      .fit(pts.withColumn("user", lit("u")))
+    assert(pers.getTiles(11, 0).select("cluster").distinct().count() == 2)
+  }
+
+  test("transform preserves a caller-owned h3 column and replaces an existing prediction column") {
+    import spark.implicits._
+    val df = twoBlobs.toDF("latitude", "longitude")
+      .withColumn("h3", lit("CALLER_OWNED"))
+      .withColumn("cluster", lit(-99L))
+    val model = new Geoscan().setEpsilon(150).setMinPts(3).fit(df)
+    val out = model.setTilePrecision(11).setTileLayers(1).transform(df)
+    assert(out.columns.count(_ == "h3") == 1)
+    assert(out.select("h3").distinct().head.getString(0) == "CALLER_OWNED")
+    assert(out.columns.count(_ == "cluster") == 1)
+    // the stale -99 label is gone: labels are NULL or real cluster ids
+    assert(out.filter($"cluster" === -99L).count() == 0)
+  }
+
   test("sampleMaxPerCell caps dense cells deterministically") {
     import spark.implicits._
     // 200 identical points + small jitter in one ~30m cell

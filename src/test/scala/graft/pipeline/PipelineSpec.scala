@@ -73,6 +73,15 @@ class PipelineSpec extends SparkSpec {
     assert(recovery >= 0.90, s"recovery $recovery") // reference: 78/81 at fpp=0.1
   }
 
+  test("bloom training skips null tiles instead of NPE-ing") {
+    import spark.implicits._
+    val tiles = Seq(("u", Some("CELL1")), ("u", None), (null, Some("CELL2")))
+      .toDF("user", "h3")
+    val blooms = Blooms.toMap(Blooms.train(tiles))
+    assert(blooms.keySet == Set("u"))
+    assert(blooms("u").mightContainString("CELL1"))
+  }
+
   test("golden: unknown user is fully anomalous at serve time") {
     import spark.implicits._
     val blooms = Blooms.toMap(Blooms.train(result.tiles))
