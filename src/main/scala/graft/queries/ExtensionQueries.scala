@@ -166,6 +166,47 @@ object ExtensionQueries {
         .orderBy($"o_custkey", $"rnk", $"o_orderkey")
     }),
 
+    // end-to-end corpus cleaning — the composed training-data pipeline:
+    // quality gate + exact-dedup keep-first + language filter + length gate
+    "q47_corpus_clean" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val scored = docs.select($"doc_id", $"lang", $"n_chars",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tokens"),
+        TextFunctions.qualityScore($"text").as("quality"),
+        TextFunctions.fingerprintMd5($"text").as("fp"))
+      val keepers = scored.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+      scored.join(keepers, Seq("fp"))
+        .where($"doc_id" === $"keep_id" &&       // exact-dedup keep-first
+          $"quality" >= 0.3 &&                    // quality gate
+          $"lang".isin("en", "de", "fr", "es") && // latin-script languages
+          $"n_tokens".between(20, 10000))         // length gate
+        .select($"doc_id", $"lang", $"n_tokens", $"quality")
+        .orderBy($"doc_id")
+    }),
+
+    // event sessionization: 30-minute-gap sessions per user (window lag +
+    // running sum), then per-session aggregates
+    "q48_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").select($"user_id", $"event_id", $"value",
+        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      // microsecond integers on both engines (unix_timestamp would truncate
+      // to seconds while DuckDB's epoch keeps fractions)
+      val gapped = ev.withColumn("new_session",
+        when(unix_micros($"ts") - unix_micros(lag($"ts", 1).over(byUser)) > 1800L * 1000000L, 1)
+          .otherwise(0))
+      val sessions = gapped.withColumn("session_idx",
+        sum($"new_session").over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessions.groupBy($"user_id", $"session_idx")
+        .agg(count(lit(1)).as("n_events"),
+          sum($"value".cast("decimal(18,6)")).cast("double").as("session_value"))
+        .orderBy($"user_id", $"session_idx")
+    }),
+
     // JSONL source/sink round-trip with explicit schema (the training-data
     // interchange format; no schema inference nondeterminism)
     "q46_jsonl_roundtrip" -> ((s, dir) => {
@@ -285,6 +326,32 @@ object ExtensionQueries {
         |  CAST(64 + n % 640 AS INTEGER) AS width, CAST(64 + n % 480 AS INTEGER) AS height,
         |  CAST(n AS BIGINT) AS n_bytes, CAST(1 + n % 7 AS INTEGER) AS frames
         |FROM m ORDER BY media_id""".stripMargin,
+    "q47_corpus_clean" ->
+      s"""WITH c AS (SELECT doc_id, lang, n_chars, text, $toksSql AS tk FROM documents),
+         |q AS (SELECT doc_id, lang,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |  round(CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t != ''), t -> length(t))), 0) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS avg_word_len,
+         |  round(CAST(${stopHitsSql("tk", TextFunctions.EnStop)} AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS stop_ratio,
+         |  md5(lower(text)) AS fp
+         |FROM c),
+         |w AS (SELECT doc_id, lang, n_tokens,
+         |  round(CAST(0.4 AS DOUBLE) * stop_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio) + CAST(0.3 AS DOUBLE) * least(avg_word_len / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), 6) AS quality,
+         |  min(doc_id) OVER (PARTITION BY fp) AS keep_id
+         |FROM q)
+         |SELECT doc_id, lang, n_tokens, quality FROM w
+         |WHERE doc_id = keep_id AND quality >= 0.3
+         |  AND lang IN ('en','de','fr','es') AND n_tokens BETWEEN 20 AND 10000
+         |ORDER BY doc_id""".stripMargin,
+    "q48_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, value, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_session
+        |  FROM events),
+        |s AS (SELECT user_id, value,
+        |  sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS session_idx FROM g)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx, count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+        |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q46_jsonl_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
     "q44_set_ops" ->
