@@ -220,13 +220,7 @@ object Geoscan {
 class GeoscanModel private[cluster] (
     override val uid: String,
     private[cluster] val state: DataFrame)
-  extends Model[GeoscanModel] with GeoscanParams with MLWritable {
-
-  final val tilePrecision = new IntParam(this, "tilePrecision", "cell resolution used by transform", ParamValidators.inRange(0, 15))
-  final val tileLayers = new IntParam(this, "tileLayers", "extra cell rings around clusters at transform", ParamValidators.gtEq(0))
-  setDefault(tilePrecision -> 10, tileLayers -> 0)
-  def setTilePrecision(v: Int): this.type = set(tilePrecision, v)
-  def setTileLayers(v: Int): this.type = set(tileLayers, v)
+  extends Model[GeoscanModel] with GeoscanParams with TileParams with MLWritable {
 
   override def copy(extra: ParamMap): GeoscanModel =
     copyValues(new GeoscanModel(uid, state), extra).setParent(parent)
@@ -248,32 +242,15 @@ class GeoscanModel private[cluster] (
       .select("cluster", "h3")
   }
 
-  // memoized materialized tile cover per (precision, layers): repeated
-  // transform calls (batch loops, per-microbatch scoring) must not rebuild
-  // and reshuffle the tile table every time
-  @transient private var tileCache: Option[(Int, Int, DataFrame, Long)] = None
-
-  private def cachedTiles(prec: Int, layers: Int): (DataFrame, Long) = synchronized {
-    tileCache match {
-      case Some((p, l, df, n)) if p == prec && l == layers => (df, n)
-      case _ =>
-        tileCache.foreach(_._3.unpersist())
-        val df = getTiles(prec, layers).persist(StorageLevel.MEMORY_AND_DISK)
-        val n = df.count()
-        tileCache = Some((prec, layers, df, n))
-        (df, n)
-    }
-  }
+  @transient private lazy val tileCache = new TileCache(getTiles)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val prec = $(tilePrecision)
-    val (tilesRaw, nTiles) = cachedTiles(prec, $(tileLayers))
+    val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers))
     // unique join-side names: the caller may legitimately own an `h3`
     // column, and `drop("h3")` would silently eat it
     val tiles = tilesRaw.select(col("cluster").as("__tile_cluster"), col("h3").as("__tile_h3"))
-    // broadcast by actual tile count (a handful of clusters can still tile
-    // to millions of cells at fine precision); otherwise let AQE decide
-    val tilesSide = if (nTiles <= 1000000L) broadcast(tiles) else tiles
+    val tilesSide = if (nTiles <= TileCache.BroadcastMaxRows) broadcast(tiles) else tiles
     val in = dataset.toDF()
     // the reference's transform (re)defines the prediction column — drop a
     // pre-existing one instead of producing an ambiguous duplicate

@@ -83,16 +83,11 @@ class GeoscanPersonalized(override val uid: String)
 class GeoscanPersonalizedModel private[cluster] (
     override val uid: String,
     private[cluster] val state: DataFrame)
-  extends Model[GeoscanPersonalizedModel] with GeoscanParams with MLWritable {
+  extends Model[GeoscanPersonalizedModel] with GeoscanParams with TileParams with MLWritable {
 
   final val groupedColM = new Param[String](this, "groupedCol", "grouping (user) column")
   setDefault(groupedColM -> "user")
-  final val tilePrecision = new IntParam(this, "tilePrecision", "cell resolution used by transform", ParamValidators.inRange(0, 15))
-  final val tileLayers = new IntParam(this, "tileLayers", "extra cell rings around clusters at transform", ParamValidators.gtEq(0))
-  setDefault(tilePrecision -> 10, tileLayers -> 0)
   def setGroupedCol(v: String): this.type = set(groupedColM, v)
-  def setTilePrecision(v: Int): this.type = set(tilePrecision, v)
-  def setTileLayers(v: Int): this.type = set(tileLayers, v)
 
   override def copy(extra: ParamMap): GeoscanPersonalizedModel =
     copyValues(new GeoscanPersonalizedModel(uid, state), extra).setParent(parent)
@@ -115,29 +110,15 @@ class GeoscanPersonalizedModel private[cluster] (
       .select("user", "cluster", "h3")
   }
 
-  // memoized tile cover (see GeoscanModel.cachedTiles — same rationale)
-  @transient private var tileCache: Option[(Int, Int, DataFrame, Long)] = None
-
-  private def cachedTiles(prec: Int, layers: Int): (DataFrame, Long) = synchronized {
-    tileCache match {
-      case Some((p, l, df, n)) if p == prec && l == layers => (df, n)
-      case _ =>
-        tileCache.foreach(_._3.unpersist())
-        val df = getTiles(prec, layers)
-          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val n = df.count()
-        tileCache = Some((prec, layers, df, n))
-        (df, n)
-    }
-  }
+  @transient private lazy val tileCache = new TileCache(getTiles)
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val prec = $(tilePrecision)
-    val (tilesRaw, nTiles) = cachedTiles(prec, $(tileLayers))
+    val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers))
     // unique join-side names so a caller-owned h3 column survives
     val tiles = tilesRaw.select(col("user").as("__tile_user"),
       col("cluster").as("__tile_cluster"), col("h3").as("__tile_h3"))
-    val tilesSide = if (nTiles <= 1000000L) broadcast(tiles) else tiles
+    val tilesSide = if (nTiles <= TileCache.BroadcastMaxRows) broadcast(tiles) else tiles
     val in = dataset.toDF()
     val base = if (in.columns.contains($(predictionCol))) in.drop($(predictionCol)) else in
     base

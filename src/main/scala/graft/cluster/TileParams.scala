@@ -1,0 +1,43 @@
+package graft.cluster
+
+import org.apache.spark.ml.param.{IntParam, Params, ParamValidators}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Tiling knobs shared by both fitted models — the reference's
+  * `getTiles(precision, layers)` surface (`01_geofraud_clustering.py:360-364`). */
+private[cluster] trait TileParams extends Params {
+  final val tilePrecision = new IntParam(this, "tilePrecision",
+    "cell resolution used by transform", ParamValidators.inRange(0, 15))
+  final val tileLayers = new IntParam(this, "tileLayers",
+    "extra cell rings around clusters at transform", ParamValidators.gtEq(0))
+  setDefault(tilePrecision -> 10, tileLayers -> 0)
+  def setTilePrecision(v: Int): this.type = set(tilePrecision, v)
+  def setTileLayers(v: Int): this.type = set(tileLayers, v)
+}
+
+/** Memoized materialized tile cover per (precision, layers): repeated
+  * transform calls (batch loops, per-microbatch scoring) must not rebuild
+  * and reshuffle the tile table every time. Also measures the actual tile
+  * count — the broadcast decision input (cluster count is the wrong proxy:
+  * a handful of clusters can tile to millions of cells at fine precision). */
+private[cluster] final class TileCache(build: (Int, Int) => DataFrame) extends Serializable {
+  @transient private var cached: Option[(Int, Int, DataFrame, Long)] = None
+
+  def apply(prec: Int, layers: Int): (DataFrame, Long) = synchronized {
+    cached match {
+      case Some((p, l, df, n)) if p == prec && l == layers => (df, n)
+      case _ =>
+        cached.foreach(_._3.unpersist())
+        val df = build(prec, layers).persist(StorageLevel.MEMORY_AND_DISK)
+        val n = df.count()
+        cached = Some((prec, layers, df, n))
+        (df, n)
+    }
+  }
+}
+
+private[cluster] object TileCache {
+  /** Tile tables at or below this row count broadcast at transform. */
+  val BroadcastMaxRows: Long = 1000000L
+}
