@@ -59,12 +59,15 @@ object ConnectedComponents {
       val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
       val mL = sym.groupBy($"src").agg(min($"dst").as("mn"))
         .select($"src".as("u"), least($"mn", $"src").as("m"))
-      // not checkpointed: ss below materializes one round of lineage anyway,
-      // and skipping the extra eager job halves per-round scheduler cost
-      val ls = normalize(
-        sym.where($"dst" > $"src")
-          .join(mL, $"src" === $"u")
-          .select($"dst".as("src"), $"m".as("dst")))
+      // not checkpointed and NOT deduped: ss below materializes one round of
+      // lineage anyway, small-star's min aggregate is duplicate-insensitive,
+      // and ss's own normalize dedups the round's output — skipping the
+      // distinct saves a full shuffle per round. ls rows keep src < dst
+      // (m ≤ u < v), matching what normalize would produce.
+      val ls = sym.where($"dst" > $"src")
+        .join(mL, $"src" === $"u")
+        .where($"m" =!= $"dst")
+        .select($"m".as("src"), $"dst")
 
       // ---- small-star on directed big→small view: every smaller neighbor
       // (and u itself) attaches to u's smallest neighbor
