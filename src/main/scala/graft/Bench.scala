@@ -1,7 +1,15 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
 
+/** Benchmark main: runs every SparkEntry query against
+  * `SPARK_GRAFT_SF_DIR` and emits ONE JSON metric line. The line is written
+  * both to stdout (bare — `run / outputStrategy := StdoutOutput` keeps sbt
+  * from prefixing it) and to `SPARK_GRAFT_BENCH_OUT` (default
+  * `bench_out.json` in the working directory) so the driver can always
+  * parse it. A query that throws is recorded as -1 and listed under
+  * `"errors"` instead of being silently timed as a success. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,6 +18,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      .withExtensions(new graft.plans.GraftExtensions) // AntiJoinRewrite + geo_cell live in driver runs
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM/codegen paths so the first measured query isn't charged
@@ -18,13 +27,25 @@ object Bench {
     Tables.table(spark, sfDir, "lineitem").limit(1000).count()
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      (name, if (ok) sec else -1.0, ok)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+      .mkString("[", ",", "]")
+    val total = results.collect { case (_, v, true) => v }.sum
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(out), json + "\n")
+    println(json)
     spark.stop()
   }
 }

@@ -27,5 +27,6 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
+      graft.queries.PipelineQueries.oracle ++
       graft.queries.ExtensionQueries.oracle
 }

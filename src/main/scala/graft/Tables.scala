@@ -38,14 +38,20 @@ object Tables {
       |)""".stripMargin
 
   /** DuckDB expression for `GeoFunctions.geoCell(lat, lng, res)` —
-    * same step constant (exact binary double 180/2^(res+8)), same floor. */
+    * same step constant (exact binary double 180/2^(res+8)), same floor,
+    * and the same latitude clamp / longitude positive-modulo, so the SQL
+    * matches on ALL inputs (lat = ±90, lng outside [-180, 180)), not just
+    * in-bbox derived points. */
   def cellSql(latExpr: String, lngExpr: String, res: Int): String = {
     // 180/2^(res+8) is an exact binary double; CAST avoids DuckDB decimal
     // arithmetic so both engines divide by the identical double.
     val denom = (1L << (res + 8)).toString
-    s"printf('%X%07X%07X', $res, " +
-      s"CAST(floor(($latExpr + 90.0) / (CAST(180 AS DOUBLE)/$denom)) AS BIGINT), " +
-      s"CAST(floor(($lngExpr + 180.0) / (CAST(180 AS DOUBLE)/$denom)) AS BIGINT))"
+    val rows = (1L << (res + 8)).toString
+    val cols = (1L << (res + 9)).toString
+    val step = s"(CAST(180 AS DOUBLE)/$denom)"
+    val i = s"least(greatest(CAST(floor((($latExpr) + 90.0) / $step) AS BIGINT), 0), $rows - 1)"
+    val j = s"(((CAST(floor((($lngExpr) + 180.0) / $step) AS BIGINT) % $cols) + $cols) % $cols)"
+    s"printf('%X%07X%07X', $res, $i, $j)"
   }
 
   /** DuckDB expression for `GeoFunctions.haversineMeters`. */

@@ -26,10 +26,12 @@ import org.apache.spark.sql.functions._
   *     shifts the path — Θ(n) rounds. The large/small alternation is what
   *     halves monotone chains.
   *
-  * Each phase is one aggregate + one join on a shrinking edge set;
-  * `localCheckpoint(eager)` truncates lineage. Convergence = stable
-  * (count, hash) signature of the normalized edge set. Labels are the
-  * component's minimum vertex id — deterministic, matching [[Dbscan]]. */
+  * Each phase is one aggregate + one join on a shrinking edge set. Each
+  * round is ONE Spark job: a lazy `localCheckpoint` materialized by the
+  * convergence-signature aggregate (truncating lineage as a side effect).
+  * Convergence = stable (count, hash) signature of the normalized edge set.
+  * Labels are the component's minimum vertex id — deterministic, matching
+  * [[Dbscan]]. */
 object ConnectedComponents {
 
   /** @param edges two long columns `src`, `dst` (any orientation, dupes ok)
@@ -43,17 +45,24 @@ object ConnectedComponents {
         .select(least($"src", $"dst").as("src"), greatest($"src", $"dst").as("dst"))
         .distinct()
 
+    // materialize the caller's edge lineage ONCE (in Geoscan.fit it is the
+    // epsilon self-join) — both the round-0 edge set and the final vertex
+    // set then read this checkpoint instead of re-deriving the input
     val raw = edges.select($"src".cast("long"), $"dst".cast("long"))
-    var e = normalize(raw).localCheckpoint(true)
+      .localCheckpoint(true)
+    var e = normalize(raw)
 
     // vertices from the RAW edges: a vertex whose only edge is a self-loop
-    // still belongs in the output (own singleton component)
+    // still belongs in the output (own singleton component). Lazy — used
+    // exactly once, in the final join, over the cheap checkpoint.
     val vertices = raw.select($"src".as("id")).unionAll(raw.select($"dst".as("id")))
-      .distinct().localCheckpoint(true)
+      .distinct()
 
     var prevSig: (Long, Long) = (-1L, -1L)
     var iter = 0
-    var converged = e.isEmpty
+    // cheap on the checkpoint; an all-self-loop input merely pays one round
+    // that contracts to empty and converges via the sig count
+    var converged = raw.isEmpty
     while (!converged && iter < maxIter) {
       // ---- large-star: (u,v), v > u  ⇒  (v, min(N(u) ∪ {u}))
       val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
@@ -73,11 +82,16 @@ object ConnectedComponents {
       // (and u itself) attaches to u's smallest neighbor
       val d = ls.select($"dst".as("src"), $"src".as("dst")) // src > dst
       val mS = d.groupBy($"src").agg(min($"dst").as("m"))
+      // LAZY localCheckpoint + the signature aggregate as the materializing
+      // action: ONE job per round computes the contraction, persists the
+      // checkpoint partitions as a side effect, and returns the convergence
+      // signature — instead of an eager-checkpoint job followed by a
+      // separate aggregate job (2× the actions at identical lineage depth)
       val ss = normalize(
         d.join(mS, Seq("src"))
           .select($"dst".as("src"), $"m".as("dst"))
           .unionAll(mS.select($"src", $"m".as("dst"))))
-        .localCheckpoint(true)
+        .localCheckpoint(false)
 
       // bit_xor (not sum): order-independent and cannot overflow ANSI longs
       val sigRow = ss.agg(count(lit(1)), bit_xor(xxhash64($"src", $"dst"))).head

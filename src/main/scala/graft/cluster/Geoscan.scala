@@ -110,18 +110,6 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
       col($(latitudeCol)).cast(DoubleType).as("lat"),
       col($(longitudeCol)).cast(DoubleType).as("lng"))
 
-    // pick the finest resolution whose 1-ring still covers epsilon at the
-    // data's actual max |lat| — a fixed conservative latitude would coarsen
-    // cells ~2× and quadruple candidate pairs (SURVEY §3.1 shuffle note).
-    // Empty / all-null input → empty model (personalized path parity).
-    val maxAbsLatOpt = raw.agg(max(abs($"lat"))).as[Option[Double]].head()
-    if (maxAbsLatOpt.isEmpty) {
-      val empty = spark.emptyDataset[(Long, Seq[(Double, Double)])]
-        .toDF("cluster", "hull")
-      return copyValues(new GeoscanModel(uid, empty)).setParent(this)
-    }
-    val res = GeoCell.resolutionForEpsilon(eps, math.min(maxAbsLatOpt.get, 89.0))
-
     val sampled =
       if ($(sampleMaxPerCell) > 0) Geoscan.capPerCell(raw, $(sampleMaxPerCell))
       else raw
@@ -133,6 +121,20 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
     // losing a checkpoint partition fails loudly instead.
     val pts = sampled.withColumn("pid", monotonically_increasing_id())
       .localCheckpoint(true)
+
+    // pick the finest resolution whose 1-ring still covers epsilon at the
+    // data's actual max |lat| — a fixed conservative latitude would coarsen
+    // cells ~2× and quadruple candidate pairs (SURVEY §3.1 shuffle note).
+    // Computed over the checkpointed points (no second input scan; the
+    // per-cell cap moves max |lat| by < one ~30 m cell, irrelevant to the
+    // resolution pick). Empty / all-null input → empty model.
+    val maxAbsLatOpt = pts.agg(max(abs($"lat"))).as[Option[Double]].head()
+    if (maxAbsLatOpt.isEmpty) {
+      val empty = spark.emptyDataset[(Long, Seq[(Double, Double)])]
+        .toDF("cluster", "hull")
+      return copyValues(new GeoscanModel(uid, empty)).setParent(this)
+    }
+    val res = GeoCell.resolutionForEpsilon(eps, math.min(maxAbsLatOpt.get, 89.0))
 
     // step 1: epsilon-disc cover explode (build side only) + cell equi-join.
     // No distinct needed: the probe side carries each point's OWN cell
@@ -180,9 +182,22 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
     val partialHulls = corePts.select($"component", $"lat", $"lng")
       .as[(Long, Double, Double)]
       .mapPartitions { it =>
-        it.toSeq.groupBy(_._1).iterator.map { case (c, grp) =>
-          (c, ConvexHull.hull(grp.map(t => (t._2, t._3))))
+        // incremental fold, NOT it.toSeq.groupBy: memory is bounded by
+        // #components × (buffer cap + O(hull)), never the partition size.
+        // Collapsing the buffer to its hull is lossless —
+        // hull(A ∪ B) = hull(hull(A) ∪ B).
+        val acc = scala.collection.mutable.HashMap
+          .empty[Long, scala.collection.mutable.ArrayBuffer[(Double, Double)]]
+        it.foreach { case (c, lat, lng) =>
+          val buf = acc.getOrElseUpdate(c, scala.collection.mutable.ArrayBuffer.empty)
+          buf += ((lat, lng))
+          if (buf.length >= 256) {
+            val h = ConvexHull.hull(buf.toSeq)
+            buf.clear()
+            buf ++= h
+          }
         }
+        acc.iterator.map { case (c, buf) => (c, ConvexHull.hull(buf.toSeq)) }
       }
     val state = partialHulls
       .groupByKey(_._1)

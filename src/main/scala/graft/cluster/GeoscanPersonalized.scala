@@ -78,8 +78,10 @@ class GeoscanPersonalized(override val uid: String)
   * (`01_geofraud_clustering.py:305-316,344,364`): `transform` labels per
   * user, `toGeoJson()` returns DataFrame[user, cluster:geojson],
   * `getTiles(precision, layers)` returns DataFrame[user, cluster, h3],
-  * `save/load` with state as plain Parquet under `{path}/data`
-  * (`02_geofraud_fraud.py:24-30`). */
+  * `save/load` with `{path}/data` holding the reference's
+  * readable-without-the-library Parquet of (user, cluster GeoJSON string)
+  * (`02_geofraud_fraud.py:24-30`, FIXTURES A3) and `{path}/hulls` the exact
+  * hull coordinates the library itself reloads. */
 class GeoscanPersonalizedModel private[cluster] (
     override val uid: String,
     private[cluster] val state: DataFrame)
@@ -157,7 +159,12 @@ class GeoscanPersonalizedModel private[cluster] (
         "predictionCol" -> $(predictionCol), "epsilon" -> $(epsilon).toString,
         "minPts" -> $(minPts).toString, "groupedCol" -> $(groupedColM),
         "tilePrecision" -> $(tilePrecision).toString, "tileLayers" -> $(tileLayers).toString))
-      state.write.mode("overwrite").parquet(s"$path/data")
+      // {path}/data is the reference checkpoint contract — readable WITHOUT
+      // the library as (user string, cluster string GeoJSON FeatureCollection)
+      // (`02_geofraud_fraud.py:24-30`; FIXTURES A3). The exact hull
+      // coordinates go to {path}/hulls for the library's own load().
+      toGeoJson().write.mode("overwrite").parquet(s"$path/data")
+      state.write.mode("overwrite").parquet(s"$path/hulls")
     }
   }
 }
@@ -167,7 +174,7 @@ object GeoscanPersonalizedModel extends MLReadable[GeoscanPersonalizedModel] {
     override def load(path: String): GeoscanPersonalizedModel = {
       val spark = SparkSession.active
       val p = GeoscanIO.loadParams(spark, path)
-      val state = spark.read.parquet(s"$path/data")
+      val state = spark.read.parquet(s"$path/hulls")
       val m = new GeoscanPersonalizedModel(p("uid"), state)
       m.setLatitudeCol(p("latitudeCol")).setLongitudeCol(p("longitudeCol"))
         .setPredictionCol(p("predictionCol")).setEpsilon(p("epsilon").toDouble)

@@ -51,12 +51,15 @@ object CoreQueries {
         .orderBy($"l_returnflag")
     }),
 
-    // A4: collect_list grouped array agg (01_geofraud_clustering.py:188)
+    // A4: collect_list grouped array agg (01_geofraud_clustering.py:188).
+    // Emitted as a joined string: the driver's pandas compare cannot sort
+    // array cells, so the hash sees a scalar while collect_list is still
+    // the operator under test.
     "q05_collect_list" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "lineitem").filter($"l_orderkey" < 100)
         .groupBy($"l_orderkey")
-        .agg(sort_array(collect_list($"l_linenumber")).as("lns"))
+        .agg(array_join(sort_array(collect_list($"l_linenumber")).cast("array<string>"), ",").as("lns"))
         .orderBy($"l_orderkey")
     }),
 
@@ -150,9 +153,12 @@ object CoreQueries {
     // (01_geofraud_clustering.py:386-418) on derived points at res 9
     "q16_tfidf" -> ((s, dir) => {
       import s.implicits._
+      // No persist: a cached frame here would be retained across the whole
+      // 44-query Verify/Bench session (nobody can unpersist after the
+      // caller's action). ReuseExchange dedupes the identical subtrees
+      // inside the final plan, so only the separate `n` count pays a repeat.
       val pointsCells = Tables.points(s, dir)
         .select($"user_id", GeoFunctions.geoCell($"latitude", $"longitude", 9).as("cell"))
-        .persist() // read 3× below (tiles, docFreq, termFreq) + the count action
       val tiles = pointsCells.distinct()
       // distinct cells BEFORE the join — same distinct-ed result, avoids the
       // tiles×points per-cell fanout (see GeoFraudPipeline.tfidfTiles)
@@ -219,7 +225,7 @@ object CoreQueries {
     "q04_groupby_max" ->
       "SELECT l_returnflag, max(l_extendedprice) AS max_price FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag",
     "q05_collect_list" ->
-      "SELECT l_orderkey, list_sort(list(l_linenumber)) AS lns FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey",
+      "SELECT l_orderkey, array_to_string(list_sort(list(l_linenumber)), ',') AS lns FROM lineitem WHERE l_orderkey < 100 GROUP BY l_orderkey ORDER BY l_orderkey",
     "q06_distinct" ->
       "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem ORDER BY l_returnflag, l_linestatus",
     "q07_global_count" ->

@@ -221,6 +221,49 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
+    // §2.10 driver-visible Structured Streaming: a REAL readStream over the
+    // events parquet → event-time watermark + tumbling 1h window aggregate →
+    // foreachBatch parquet sink (the reference's "real-time serving"
+    // architecture, 02_geofraud_fraud.py:109-116, as an actual stream).
+    // Oracle = the equivalent batch SQL; complete mode makes them equal.
+    "q49_stream_window" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val schema = s.read.parquet(s"$dir/events.parquet").schema
+      val tmp = System.getProperty("java.io.tmpdir")
+      val out = new java.io.File(tmp, "graft_q49_out").toString
+      val chk = new java.io.File(tmp, "graft_q49_chk").toString
+      val srcDir = new java.io.File(tmp, "graft_q49_src").toString
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      // fresh checkpoint each run (the source changes across sf dirs) and a
+      // staged source DIRECTORY — the file stream source models files
+      // arriving in a directory and rejects a bare file path
+      fs.delete(new org.apache.hadoop.fs.Path(chk), true)
+      fs.delete(new org.apache.hadoop.fs.Path(srcDir), true)
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      org.apache.hadoop.fs.FileUtil.copy(
+        fs, new org.apache.hadoop.fs.Path(s"$dir/events.parquet"),
+        fs, new org.apache.hadoop.fs.Path(s"$srcDir/events.parquet"),
+        false, hconf)
+      val agg = s.readStream.schema(schema).parquet(srcDir)
+        .select($"user_id", expr("timestamp_micros(ts DIV 1000)").as("ts"))
+        .withWatermark("ts", "1 hour")
+        .groupBy($"user_id", window($"ts", "1 hour").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"w.start").as("hour_us"), $"n_events")
+      val writeBatch: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("overwrite").parquet(out)
+      val q = agg.writeStream.outputMode("complete")
+        .option("checkpointLocation", chk)
+        .foreachBatch(writeBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy($"user_id", $"hour_us")
+    }),
+
     // sliding TTL validity window (batch twin of the streaming tile store)
     "q42_ttl_window" -> ((s, dir) => {
       import s.implicits._
@@ -232,7 +275,10 @@ object ExtensionQueries {
         $"user_id".cast("string").as("user"),
         concat(lit("T"), ($"event_id" % 50).cast("string")).as("h3"),
         expr("timestamp_micros(ts DIV 1000)").as("createdAt"))
+      // tiles joined to a scalar string: the driver's pandas compare cannot
+      // sort array cells (collect_set is still the operator under test)
       TileStore.currentAsOfMax(tiles, ttlSeconds = 7 * 86400)
+        .withColumn("tiles", array_join($"tiles", ","))
         .orderBy($"user")
     })
   )
@@ -368,10 +414,13 @@ object ExtensionQueries {
         |         row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
         |  FROM orders)
         |WHERE rnk <= 2 ORDER BY o_custkey, rnk, o_orderkey""".stripMargin,
+    "q49_stream_window" ->
+      """SELECT user_id, CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS hour_us, count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q42_ttl_window" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3, ts FROM events)
-        |SELECT "user", list_sort(list(DISTINCT h3)) AS tiles FROM tl, mx
+        |SELECT "user", array_to_string(list_sort(list(DISTINCT h3)), ',') AS tiles FROM tl, mx
         |WHERE ts > mt - INTERVAL 7 DAY AND ts <= mt GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -10,14 +10,21 @@ import graft.score.Blooms
 
 /** ML-surface operators (SURVEY §2.9, §2.4 A7-A10) as driver queries.
   * Connected components, convex hulls, and Bloom membership are not
-  * SQL-expressible, so these have no oracleSql entry — the driver records
+  * SQL-expressible, so q21-q24 have no oracleSql entry — the driver records
   * the weaker rows-only check; the strong checks live in
   * GeoscanSpec/PipelineSpec (brute-force DBSCAN oracle, FN=0 law, golden
-  * replay of the reference CSV). */
+  * replay of the reference CSV). q25 IS oracle-exact: the fitted tile table
+  * is persisted to parquet inside the query and DuckDB replays the anomaly
+  * anti-join over that same file. */
 object PipelineQueries {
 
   private def tx(s: SparkSession, dir: String): DataFrame =
     Tables.points(s, dir).withColumnRenamed("user_id", "user")
+
+  /** Scratch parquet shared between the q25 Spark run and its DuckDB oracle
+    * (both sides resolve the same absolute path). */
+  private val tilesScratch: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q25_tiles").toString
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M3/M4 + A7-A9: per-user GEOSCAN fit → tile cover
@@ -54,10 +61,28 @@ object PipelineQueries {
       Blooms.score(points, blooms, 10).groupBy("anomaly").count()
     }),
 
-    // §3.3 flagship end-to-end: full 01+02 pipeline, anomaly frame
+    // §3.3 flagship end-to-end: full 01+02 pipeline. The tile table is
+    // persisted to parquet (the reference's Delta tiles table,
+    // 01_geofraud_clustering.py:431) and the anomaly anti-join replayed
+    // from that file — which is exactly what the DuckDB oracle does too,
+    // making the join leg hash-exact (02_geofraud_fraud.py:62-68 is pure
+    // SQL once tiles are materialized).
     "q25_pipeline_anomalies" -> ((s, dir) => {
+      import s.implicits._
       GeoFraudPipeline.run(s, tx(s, dir),
-        epsilon = 150, minPts = 3, tilePrecision = 10, tileLayers = 1).anomalies
+        epsilon = 150, minPts = 3, tilePrecision = 10, tileLayers = 1,
+        tilesOut = Some(tilesScratch))
+      graft.score.Anomalies.extract(tx(s, dir), s.read.parquet(tilesScratch), 10)
+        .select($"user", $"latitude", $"longitude", $"amount")
+        .orderBy($"user", $"latitude", $"longitude", $"amount")
     })
+  )
+
+  val oracle: Map[String, String] = Map(
+    "q25_pipeline_anomalies" ->
+      s"""WITH ${Tables.pointsSql}
+         |SELECT user_id AS "user", latitude, longitude, amount FROM points p
+         |WHERE NOT EXISTS (SELECT 1 FROM read_parquet('$tilesScratch/*.parquet') t
+         |  WHERE t."user" = p.user_id AND t.h3 = ${Tables.cellSql("p.latitude", "p.longitude", 10)})""".stripMargin
   )
 }

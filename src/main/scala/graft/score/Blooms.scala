@@ -48,6 +48,47 @@ object Blooms {
       r.getString(0) -> BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
     }.toMap
 
+  /** Join-based scorer — same contract as [[score]] but the filters stay
+    * distributed: points shuffle-join the trained frame on user (sort-merge
+    * clusters each user's rows next to its one filter row), and a
+    * partition-local pass probes with a single-entry deserialization memo.
+    * Use this at scale — [[toMap]]+[[score]] collects every filter to the
+    * driver, which is an OOM at millions of users × KB-size filters; the
+    * broadcast map stays the fast path for small user counts. Output is
+    * bit-identical to [[score]] on the same trained frame (same bytes, same
+    * probe; BloomsSpec asserts equality). */
+  def scoreByJoin(points: DataFrame, trained: DataFrame, precision: Int = 10,
+                  userCol: String = "user", latCol: String = "latitude",
+                  lngCol: String = "longitude"): DataFrame = {
+    import org.apache.spark.sql.{Encoder, Encoders, Row}
+    import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+    val nPoint = points.schema.length
+    val tr = trained.select(col(userCol).cast("string").as("__bf_user"), col("bloom").as("__bloom"))
+    val joined = points
+      .withColumn("__cell", GeoFunctions.geoCell(
+        col(latCol).cast("double"), col(lngCol).cast("double"), precision))
+      .join(tr, col(userCol).cast("string") === col("__bf_user"), "left_outer")
+    implicit val enc: Encoder[Row] = Encoders.row(
+      StructType(points.schema.fields :+ StructField("anomaly", IntegerType, nullable = false)))
+    joined.mapPartitions { it =>
+      var lastUser: String = null
+      var lastBf: BloomFilter = null
+      it.map { r =>
+        val anomaly =
+          if (r.isNullAt(nPoint + 2)) 1 // no filter for this user (or null user)
+          else {
+            val user = r.getString(nPoint + 1)
+            if (lastBf == null || user != lastUser) {
+              lastBf = BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]](nPoint + 2)))
+              lastUser = user
+            }
+            if (lastBf.mightContainString(r.getString(nPoint))) 0 else 1
+          }
+        Row.fromSeq(r.toSeq.take(nPoint) :+ anomaly)
+      }
+    }
+  }
+
   /** Batch/streaming scorer — the `H3Lookup` pyfunc
     * (`utils/bloom_utils.py:27-42`): df[user, latitude, longitude] →
     * + `anomaly` 0/1. Broadcasts the filter map; the lookup is O(1) per row,

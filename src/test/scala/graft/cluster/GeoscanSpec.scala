@@ -111,9 +111,16 @@ class GeoscanSpec extends SparkSpec {
     // getTiles schema parity (FIXTURES A5)
     assert(model.getTiles(10, 1).columns.toSeq == Seq("user", "cluster", "h3"))
 
-    // save/load
+    // save/load: {path}/data is the reference checkpoint contract —
+    // (user string, cluster string GeoJSON) readable without the library
+    // (02_geofraud_fraud.py:24-30, FIXTURES A3)
     val path = java.nio.file.Files.createTempDirectory("geoscan_pers").toString
     model.write.overwrite().save(path)
+    val data = spark.read.parquet(s"$path/data")
+    assert(data.schema.map(f => (f.name, f.dataType.typeName)) ==
+      Seq(("user", "string"), ("cluster", "string")))
+    assert(data.filter($"user" === "alice").head.getString(1)
+      .startsWith("""{"type":"FeatureCollection""""))
     val loaded = GeoscanPersonalizedModel.load(path)
     val a = model.transform(df).select("user", "latitude", "cluster")
     val b = loaded.transform(df).select("user", "latitude", "cluster")

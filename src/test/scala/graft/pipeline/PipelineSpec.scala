@@ -73,6 +73,26 @@ class PipelineSpec extends SparkSpec {
     assert(recovery >= 0.90, s"recovery $recovery") // reference: 78/81 at fpp=0.1
   }
 
+  test("scoreByJoin ≡ broadcast score — bit-identical anomaly flags, no driver collect") {
+    val trained = Blooms.train(result.tiles, fpp = 0.01)
+    val viaMap = Blooms.score(tx, Blooms.toMap(trained), precision = 10)
+      .select("latitude", "longitude", "amount", "user", "anomaly")
+    val viaJoin = Blooms.scoreByJoin(tx, trained, precision = 10)
+      .select("latitude", "longitude", "amount", "user", "anomaly")
+    assert(viaJoin.schema.fieldNames.toSeq == tx.schema.fieldNames.toSeq :+ "anomaly")
+    // same filters, same probe ⇒ strictly equal output (not just FN=0)
+    assert(viaMap.exceptAll(viaJoin).count() == 0 && viaJoin.exceptAll(viaMap).count() == 0)
+  }
+
+  test("scoreByJoin flags unknown and null users anomalous like the broadcast path") {
+    import spark.implicits._
+    val trained = Blooms.train(result.tiles, fpp = 0.01)
+    val probe = Seq(("stranger", 40.72, -73.98), (null, 40.72, -73.98))
+      .toDF("user", "latitude", "longitude")
+    val out = Blooms.scoreByJoin(probe, trained).select("anomaly").collect()
+    assert(out.forall(_.getInt(0) == 1))
+  }
+
   test("bloom training skips null tiles instead of NPE-ing") {
     import spark.implicits._
     val tiles = Seq(("u", Some("CELL1")), ("u", None), (null, Some("CELL2")))

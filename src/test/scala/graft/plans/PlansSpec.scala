@@ -32,6 +32,17 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("AntiJoinRewrite fires on the exact q12 driver-query shape") {
+    // the spelling Verify/Bench actually run (their sessions now carry
+    // GraftExtensions): left_outer against a distinct subquery + IS NULL
+    withRule {
+      val q = graft.queries.CoreQueries.queries("q12_leftouter_isnull")(
+        spark, "/root/testdata/sf0.001")
+      assert(q.queryExecution.optimizedPlan.toString.contains("LeftAnti"),
+        q.queryExecution.optimizedPlan.toString)
+    }
+  }
+
   test("AntiJoinRewrite does NOT fire when the right attribute is nullable pre-join") {
     import spark.implicits._
     val l = Seq(1, 2).toDF("id")
