@@ -39,26 +39,34 @@ object Dedup {
     df.groupBy(TextFunctions.fingerprintMd5(col(textCol)).as("fp"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
 
-  /** MinHash value for seed `k`: lexicographic min of md5(k|shingle) — a
-    * valid min-wise hash family, string-comparable in any engine. */
+  /** MinHash value for seed `k`: lexicographic min of md5(k|md5(shingle)) —
+    * a valid min-wise hash family, string-comparable in any engine; same
+    * family as [[minhashSignatures]] (shingle digested once, per-seed hash
+    * over the fixed-width base digest). */
   def minhash(sh: Column, k: Int): Column =
-    array_min(transform(sh, x => md5(concat(lit(k.toString), lit("|"), x).cast("binary"))))
+    array_min(transform(sh,
+      x => md5(concat(lit(k.toString), lit("|"), md5(x.cast("binary"))).cast("binary"))))
 
   /** Per-doc MinHash signature columns h0..h{numHashes-1}.
     *
-    * Plan shape: explode shingles once, then compute ALL hash minima in a
-    * single partial+final hash aggregate — one pass over the shingle stream.
-    * (The naive spelling — numHashes array-transform columns — re-evaluates
-    * the tokenize→shingle tree per hash: measured 8× slower at sf0.1.)
-    * Docs with no shingles (< n tokens) have NULL/no signature either way
-    * and can never produce candidates. */
+    * Plan shape: explode shingles once, hash each shingle ONCE
+    * (`base = md5(shingle)`), then compute all per-seed minima
+    * (`h_k = min md5(k|base)`) in a single partial+final hash aggregate —
+    * one pass over the shingle stream, and the variable-length shingle
+    * string is digested once instead of once per seed (the k-derived
+    * hashes run over a fixed 34-byte input).
+    * (The naive spelling — numHashes array-transform columns —
+    * re-evaluates the tokenize→shingle tree per hash: measured 8× slower
+    * at sf0.1.) Docs with no shingles (< n tokens) have NULL/no signature
+    * either way and can never produce candidates. */
   def minhashSignatures(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 8,
                         shingleN: Int = 3): DataFrame = {
     val exploded = df.select(col(idCol),
       explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .select(col(idCol), md5(col("__sh").cast("binary")).as("__bh"))
     val aggs = (0 until numHashes).map { k =>
-      min(md5(concat(lit(s"$k|"), col("__sh")).cast("binary"))).as(s"h$k")
+      min(md5(concat(lit(s"$k|"), col("__bh")).cast("binary"))).as(s"h$k")
     }
     exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }

@@ -294,7 +294,9 @@ object ExtensionQueries {
   }
 
   private def minhashOracle: String = {
-    val hs = (0 until 8).map(k => s"list_min(list_transform(sh, x -> md5('$k|' || x))) AS h$k").mkString(", ")
+    // mirror of Dedup.minhashSignatures: base = md5(shingle) once, then
+    // h_k = min md5(k|base)
+    val hs = (0 until 8).map(k => s"list_min(list_transform(sh, x -> md5('$k|' || md5(x)))) AS h$k").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band_idx, md5(h${2 * b} || h${2 * b + 1}) AS band_val FROM sigs")
       .mkString(" UNION ALL ")
