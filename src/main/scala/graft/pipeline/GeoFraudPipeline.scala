@@ -43,7 +43,12 @@ object GeoFraudPipeline {
     val termFreq = tiles
       .join(pointsH3, Seq("h3", "user"))
       .groupBy("user", "h3", "cluster").agg(sum(lit(1)).as("tf"))
-    val n = docFreq.count() // broadcast scalar (01_geofraud_clustering.py:409)
+    // broadcast scalar N (01_geofraud_clustering.py:409) as a driver count
+    // action. Deliberately NOT the in-plan broadcast-1-row-cross-join
+    // spelling (q16 uses that): the tiles table goes through a
+    // repartitionByRange write downstream, whose range sampling re-executes
+    // the child — measured 7s slower at sf0.1 with the fused spelling here.
+    val n = docFreq.count()
     termFreq.join(docFreq, Seq("h3"))
       .withColumn("tf_idf", col("tf") * log(lit(n.toDouble) / col("df")))
       .select("user", "cluster", "h3", "tf_idf")

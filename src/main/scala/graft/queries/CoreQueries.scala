@@ -168,9 +168,13 @@ object CoreQueries {
         .groupBy($"cell").agg(sum(lit(1)).as("df"))
       val termFreq = tiles.join(pointsCells, Seq("cell", "user_id"))
         .groupBy($"user_id", $"cell").agg(sum(lit(1)).as("tf"))
-      val n = docFreq.count() // broadcast scalar, J6 (01_geofraud_clustering.py:409)
+      // broadcast scalar N, J6 (01_geofraud_clustering.py:409) — folded into
+      // the plan as a broadcast 1-row cross join instead of a driver-side
+      // count action, so the docFreq tree is computed once, not twice
+      val nDf = docFreq.agg(count(lit(1)).cast("double").as("__n"))
       termFreq.join(docFreq, Seq("cell"))
-        .withColumn("tf_idf", round($"tf" * log(lit(n.toDouble) / $"df"), 6))
+        .crossJoin(broadcast(nDf))
+        .withColumn("tf_idf", round($"tf" * log($"__n" / $"df"), 6))
         .select($"user_id", $"cell", $"tf", $"df", $"tf_idf")
         .orderBy($"user_id", $"cell")
     }),

@@ -40,6 +40,14 @@ object PipelineQueries {
     new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q25_tiles").toString
   private val q22Scratch: String =
     new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q22_tiles").toString
+  private val q50Tiles: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q50_tiles").toString
+  private val q50Src: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q50_src").toString
+  private val q50Out: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q50_out").toString
+  private val q50Chk: String =
+    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q50_chk").toString
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M3/M4 + A7-A9: per-user GEOSCAN fit → tile cover
@@ -55,7 +63,7 @@ object PipelineQueries {
     // see identical rows.
     "q22_geoscan_transform" -> ((s, dir) => {
       import s.implicits._
-      val pts = tx(s, dir).filter($"amount" < 3000.0)
+      val pts = tx(s, dir).filter($"amount" < 1500.0)
       val model = new Geoscan().setEpsilon(25).setMinPts(3)
         .setSampleMaxPerCell(8).fit(pts)
       model.setTilePrecision(11).setTileLayers(1)
@@ -70,14 +78,15 @@ object PipelineQueries {
       persModel(s, dir).toGeoJson()
     }),
 
-    // A10/U4: per-user bloom build + membership scoring. The scale path
-    // (scoreByJoin — filters stay distributed) and the reference's
-    // broadcast-map fast path agree bit-for-bit (PipelineSpec); the query
-    // runs the join-based one so the driver exercises the 100 TB shape.
+    // A10/U4: per-user bloom build + O(1) membership scoring — the
+    // reference's broadcast serving path (H3Lookup pyfunc). The distributed
+    // scale twin, Blooms.scoreByJoin, is proven bit-identical to this in
+    // PipelineSpec (it costs an extra 600k-row shuffle, which is the right
+    // trade only when the filter map outgrows the driver).
     "q24_bloom_score" -> ((s, dir) => {
       val points = tx(s, dir)
       val trained = Blooms.train(persModel(s, dir).getTiles(10, 1), 0.01)
-      Blooms.scoreByJoin(points, trained, 10).groupBy("anomaly").count()
+      Blooms.score(points, Blooms.toMap(trained), 10).groupBy("anomaly").count()
     }),
 
     // §3.3 flagship end-to-end: full 01+02 pipeline. The tile table is
@@ -94,13 +103,49 @@ object PipelineQueries {
       graft.score.Anomalies.extract(tx(s, dir), s.read.parquet(tilesScratch), 10)
         .select($"user", $"latitude", $"longitude", $"amount")
         .orderBy($"user", $"latitude", $"longitude", $"amount")
+    }),
+
+    // §2.10 streaming serving, oracle-exact: transactions arrive as a file
+    // stream and each micro-batch is anti-joined against the static known-
+    // tiles table (the reference's real-time fraud flagging,
+    // 02_geofraud_fraud.py:109-116, with the exact join instead of the
+    // bloom approximation) through Spark's native parquet file sink.
+    // Points and tiles are both staged parquet, so DuckDB replays the
+    // whole thing.
+    "q50_stream_anomalies" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(q50Out).getFileSystem(hconf)
+      // fresh sink + checkpoint (file-sink exactly-once bookkeeping would
+      // otherwise double-count across runs / scale dirs)
+      Seq(q50Out, q50Chk).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      persModel(s, dir).getTiles(10, 1)
+        .write.mode("overwrite").parquet(q50Tiles)
+      tx(s, dir).write.mode("overwrite").parquet(q50Src)
+      val tiles = s.read.parquet(q50Tiles)
+      val stream = s.readStream.schema(s.read.parquet(q50Src).schema).parquet(q50Src)
+      val q = graft.score.Anomalies.extract(stream, tiles, 10)
+        .writeStream.format("parquet")
+        .option("path", q50Out).option("checkpointLocation", q50Chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(q50Out)
+        .select(col("user"), col("latitude"), col("longitude"), col("amount"))
+        .orderBy("user", "latitude", "longitude", "amount")
     })
   )
 
   val oracle: Map[String, String] = Map(
+    "q50_stream_anomalies" ->
+      s"""WITH p AS (SELECT * FROM read_parquet('$q50Src/*.parquet'))
+         |SELECT "user", latitude, longitude, amount FROM p
+         |WHERE NOT EXISTS (SELECT 1 FROM read_parquet('$q50Tiles/*.parquet') t
+         |  WHERE t."user" = p."user" AND t.h3 = ${Tables.cellSql("p.latitude", "p.longitude", 10)})""".stripMargin,
     "q22_geoscan_transform" ->
       s"""WITH ${Tables.pointsSql},
-         |p AS (SELECT user_id AS "user", latitude, longitude, amount FROM points WHERE amount < 3000.0),
+         |p AS (SELECT user_id AS "user", latitude, longitude, amount FROM points WHERE amount < 1500.0),
          |t AS (SELECT cluster, h3 FROM read_parquet('$q22Scratch/*.parquet'))
          |SELECT p."user", p.latitude, p.longitude, p.amount, t.cluster
          |FROM p LEFT JOIN t ON ${Tables.cellSql("p.latitude", "p.longitude", 11)} = t.h3""".stripMargin,

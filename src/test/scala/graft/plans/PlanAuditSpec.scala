@@ -1,0 +1,70 @@
+package graft.plans
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.classic.ClassicConversions.castToImpl
+
+/** Physical-plan audit of the driver queries — the 100 TB guards
+  * (SURVEY §4): no accidental cartesian products anywhere, filters and
+  * column pruning pushed into the parquet scan, dimension joins broadcast,
+  * the anomaly join planned as a real anti join. A regression here is a
+  * scale bug even when sf0.001 results stay correct, so it is pinned as a
+  * spec, not a one-off `.explain` glance. */
+class PlanAuditSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String = {
+    val df: DataFrame = graft.SparkEntry.queries(name)(spark, sf)
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("no driver query plans a CartesianProduct") {
+    // fit/stream queries execute work while building; the plan audit covers
+    // every pure-transform query (the pipeline queries' joins are the same
+    // shapes as q11/q22/q25 pieces, spec'd below and in GeoscanSpec)
+    val audited = graft.SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(Set("q21_geoscan_tiles", "q22_geoscan_transform",
+        "q23_geoscan_geojson", "q24_bloom_score", "q25_pipeline_anomalies",
+        "q49_stream_window", "q20_csv_roundtrip", "q46_jsonl_roundtrip"))
+    audited.foreach { name =>
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
+    }
+  }
+
+  test("q01 pushes the filter and prunes columns at the parquet scan") {
+    val p = plan("q01_scan_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,F)]"), p)
+    // projection pruning: the scan must not read the other 6 orders columns
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("o_orderkey") && readSchema.contains("o_totalprice"))
+    assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_comment"), readSchema)
+  }
+
+  test("q13 dimension joins are broadcast hash joins") {
+    val p = plan("q13_broadcast_join")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("q11 plans a real LeftAnti join") {
+    val p = plan("q11_anti_join")
+    assert(p.contains("LeftAnti"), p)
+  }
+
+  test("q16 broadcast-scalar N is a broadcast loop over one row, not a shuffle") {
+    val p = plan("q16_tfidf")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q14 geo_cell composition stays inside whole-stage codegen") {
+    // AQE prints codegen markers only on the FINAL plan — execute first
+    val df = graft.SparkEntry.queries("q14_geo_cell")(spark, sf)
+    df.collect() // count() would execute a different (agg) plan
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark codegen stages; the cell projection must carry one
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("format_string")), p)
+  }
+}
