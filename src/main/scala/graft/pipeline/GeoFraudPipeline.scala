@@ -71,15 +71,25 @@ object GeoFraudPipeline {
     val pointsH3 = transactions.select(col("user"),
       GeoFunctions.geoCell(col("latitude"), col("longitude"), tilePrecision).as("h3"))
 
-    val tiles = tfidfTiles(model.getTiles(tilePrecision, tileLayers), pointsH3)
-
-    tilesOut.foreach { path =>
-      tiles.repartitionByRange(col("user"), col("h3"))
-        .sortWithinPartitions("user", "h3")
-        .write.mode("overwrite").parquet(path)
+    tilesOut match {
+      case Some(path) =>
+        // scoped persist: TF-IDF reads the tile cover three times (docFreq,
+        // termFreq, N) and the Z-order write's range sampling adds a fourth
+        // pass; released as soon as the table is written
+        val rawTiles = model.getTiles(tilePrecision, tileLayers)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val tiles = tfidfTiles(rawTiles, pointsH3)
+        tiles.repartitionByRange(col("user"), col("h3"))
+          .sortWithinPartitions("user", "h3")
+          .write.mode("overwrite").parquet(path)
+        rawTiles.unpersist()
+        // production shape: the anomaly job reads the persisted tiles table
+        // (`02_geofraud_fraud.py:18`), not the fit lineage
+        val tilesBack = spark.read.parquet(path)
+        Result(model, tilesBack, Anomalies.extract(transactions, tilesBack, tilePrecision))
+      case None =>
+        val tiles = tfidfTiles(model.getTiles(tilePrecision, tileLayers), pointsH3)
+        Result(model, tiles, Anomalies.extract(transactions, tiles, tilePrecision))
     }
-
-    val anomalies = Anomalies.extract(transactions, tiles, tilePrecision)
-    Result(model, tiles, anomalies)
   }
 }

@@ -100,7 +100,7 @@ object PipelineQueries {
       GeoFraudPipeline.run(s, tx(s, dir),
         epsilon = 150, minPts = 3, tilePrecision = 10, tileLayers = 1,
         tilesOut = Some(tilesScratch))
-      graft.score.Anomalies.extract(tx(s, dir), s.read.parquet(tilesScratch), 10)
+        .anomalies // already reads the persisted tiles table (run() contract)
         .select($"user", $"latitude", $"longitude", $"amount")
         .orderBy($"user", $"latitude", $"longitude", $"amount")
     }),
