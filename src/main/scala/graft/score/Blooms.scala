@@ -64,10 +64,15 @@ object Blooms {
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val nPoint = points.schema.length
     val tr = trained.select(col(userCol).cast("string").as("__bf_user"), col("bloom").as("__bloom"))
+    // MERGE hint: a small trained side would otherwise broadcast-hash-join,
+    // leaving probe rows in points order — the per-partition deserialization
+    // memo below would thrash on every user switch (measured 4× slower).
+    // Sort-merge clusters and sorts each partition by user, so each filter
+    // deserializes once per partition.
     val joined = points
       .withColumn("__cell", GeoFunctions.geoCell(
         col(latCol).cast("double"), col(lngCol).cast("double"), precision))
-      .join(tr, col(userCol).cast("string") === col("__bf_user"), "left_outer")
+      .join(tr.hint("merge"), col(userCol).cast("string") === col("__bf_user"), "left_outer")
     implicit val enc: Encoder[Row] = Encoders.row(
       StructType(points.schema.fields :+ StructField("anomaly", IntegerType, nullable = false)))
     joined.mapPartitions { it =>
@@ -76,6 +81,7 @@ object Blooms {
       it.map { r =>
         val anomaly =
           if (r.isNullAt(nPoint + 2)) 1 // no filter for this user (or null user)
+          else if (r.isNullAt(nPoint)) 1 // null coords map to no tile
           else {
             val user = r.getString(nPoint + 1)
             if (lastBf == null || user != lastUser) {
@@ -100,7 +106,8 @@ object Blooms {
     val spark = points.sparkSession
     val bc = spark.sparkContext.broadcast(blooms)
     val probe = udf { (user: String, cell: String) =>
-      bc.value.get(user) match {
+      if (cell == null) 1 // null coords map to no tile
+      else bc.value.get(user) match {
         case Some(bf) => if (bf.mightContainString(cell)) 0 else 1
         case None => 1 // unknown user: everything is anomalous
       }

@@ -84,13 +84,19 @@ class PipelineSpec extends SparkSpec {
     assert(viaMap.exceptAll(viaJoin).count() == 0 && viaJoin.exceptAll(viaMap).count() == 0)
   }
 
-  test("scoreByJoin flags unknown and null users anomalous like the broadcast path") {
+  test("scoreByJoin flags unknown/null users and null coords anomalous like the broadcast path") {
     import spark.implicits._
     val trained = Blooms.train(result.tiles, fpp = 0.01)
-    val probe = Seq(("stranger", 40.72, -73.98), (null, 40.72, -73.98))
+    val knownUser = result.tiles.select("user").head.getString(0)
+    val probe = Seq(
+      ("stranger", Some(40.72), Some(-73.98)),
+      (null, Some(40.72), Some(-73.98)),
+      (knownUser, Option.empty[Double], Some(-73.98))) // null coords, known user
       .toDF("user", "latitude", "longitude")
-    val out = Blooms.scoreByJoin(probe, trained).select("anomaly").collect()
-    assert(out.forall(_.getInt(0) == 1))
+    val joinOut = Blooms.scoreByJoin(probe, trained).select("anomaly").collect()
+    assert(joinOut.forall(_.getInt(0) == 1))
+    val mapOut = Blooms.score(probe, Blooms.toMap(trained)).select("anomaly").collect()
+    assert(mapOut.forall(_.getInt(0) == 1))
   }
 
   test("bloom training skips null tiles instead of NPE-ing") {
