@@ -25,6 +25,22 @@ object Bench {
     // for JIT + first-job scheduler setup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.table(spark, sfDir, "lineitem").limit(1000).count()
+    // warm the heavy code paths (per-user DBSCAN, CC contraction, hulls,
+    // shingle hashing) on tiny slices — the fit-dominated queries otherwise
+    // pay tens of percent of JIT on their first measured run
+    try {
+      val tinyPts = Tables.points(spark, sfDir).limit(2000)
+        .withColumnRenamed("user_id", "user")
+      new graft.cluster.GeoscanPersonalized()
+        .setGroupedCol("user").setEpsilon(150).setMinPts(3)
+        .fit(tinyPts).getTiles(10, 0).count()
+      new graft.cluster.Geoscan().setEpsilon(50).setMinPts(3)
+        .fit(tinyPts).getTiles(11, 0).count()
+      graft.dedup.Dedup.minhashCandidates(
+        Tables.table(spark, sfDir, "documents").limit(50)).count()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =

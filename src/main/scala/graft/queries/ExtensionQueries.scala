@@ -221,6 +221,18 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
+    // token-budgeted shard packing — the pretraining write-side operator:
+    // greedy sequential packing into ~5000-token shards, computed with
+    // bucketed parallel windows (never a global single-partition sort)
+    "q51_token_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+      graft.operators.Sharding.byTokenBudget(docs, budget = 5000L)
+        .select($"doc_id", $"n_tokens", $"shard")
+        .orderBy($"doc_id")
+    }),
+
     // §2.10 driver-visible Structured Streaming: a REAL readStream over the
     // events parquet → event-time watermark + tumbling 1h window aggregate →
     // foreachBatch parquet sink (the reference's "real-time serving"
@@ -419,6 +431,11 @@ object ExtensionQueries {
     "q49_stream_window" ->
       """SELECT user_id, CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS hour_us, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q51_token_shards" ->
+      s"""WITH c AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
+         |SELECT doc_id, n_tokens,
+         |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000 AS BIGINT) AS shard
+         |FROM c ORDER BY doc_id""".stripMargin,
     "q42_ttl_window" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3, ts FROM events)
