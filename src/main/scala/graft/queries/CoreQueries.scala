@@ -206,6 +206,27 @@ object CoreQueries {
         .orderBy($"l_orderkey", $"l_linenumber")
     }),
 
+    // S3/S4/S9: DDL + saveAsTable + catalog table scan round-trip (the
+    // reference's database setup and Delta tiles table,
+    // config/configure_notebook.py:18-27, 01_geofraud_clustering.py:431).
+    // Contents are a deterministic orders subset, so the oracle replays the
+    // subset from the source table — no warehouse path coupling.
+    "q26_table_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
+      s.sql("DROP TABLE IF EXISTS graft_bench.t_orders_p")
+      // a previous JVM's managed-table files outlive its ephemeral
+      // metastore; clear the leftover location or saveAsTable refuses
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + "/graft_bench.db/t_orders_p")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      t(s, dir, "orders").filter($"o_orderstatus" === "P")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable("graft_bench.t_orders_p")
+      s.table("graft_bench.t_orders_p").orderBy($"o_orderkey")
+    }),
+
     // S1/S5: CSV sink + scan round-trip with explicit schema (the reference's
     // CSV ingestion, 01_geofraud_clustering.py:56-62, without the pandas hop)
     "q20_csv_roundtrip" -> ((s, dir) => {
@@ -282,6 +303,8 @@ object CoreQueries {
     "q19_sample_hash" ->
       "SELECT l_orderkey, l_linenumber FROM lineitem WHERE (l_orderkey * 131 + l_linenumber) % 97 < 10 ORDER BY l_orderkey, l_linenumber",
     "q20_csv_roundtrip" ->
-      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "q26_table_roundtrip" ->
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P' ORDER BY o_orderkey"
   )
 }
