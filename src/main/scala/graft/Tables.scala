@@ -12,6 +12,13 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Filesystem-safe tag for a scale dir — keys per-sf scratch paths so
+    * runs over different sf dirs never clobber each other's artifacts.
+    * Oracle SQL embeds the literal `__SFTAG__` token in scratch paths;
+    * Verify substitutes this tag when dumping oracle_sql.json. */
+  def sfTag(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+  val SfTagToken = "__SFTAG__"
+
   /** Synthetic transaction points: one row per lineitem, joined to orders
     * for the user key. Columns: latitude, longitude, amount, user_id.
     * Every arithmetic step is IEEE-double and reproduced verbatim in

@@ -35,8 +35,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
+    // scratch-path oracles embed Tables.SfTagToken — resolve to this run's
+    // sf dir so the DuckDB replay reads the artifacts THIS run wrote
     val json = SparkEntry.oracleSql
-      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+      .map { case (k, v) =>
+        s"${q(k)}: ${q(v.replace(Tables.SfTagToken, Tables.sfTag(sfDir)))}"
+      }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
   }

@@ -259,6 +259,13 @@ class GeoscanModel private[cluster] (
 
   @transient private lazy val tileCache = new TileCache(getTiles)
 
+  /** Memoized, persisted tile cover — the frame [[transform]] joins against.
+    * Use this instead of [[getTiles]] when the cover is also needed outside
+    * transform (e.g. persisted to a table): the tiling pipeline then runs
+    * once, not once per consumer. */
+  def cachedTiles(precision: Int, layers: Int): DataFrame =
+    tileCache(precision, layers)._1
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     val prec = $(tilePrecision)
     val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers))

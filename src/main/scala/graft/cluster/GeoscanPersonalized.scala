@@ -114,6 +114,16 @@ class GeoscanPersonalizedModel private[cluster] (
 
   @transient private lazy val tileCache = new TileCache(getTiles)
 
+  /** Memoized, persisted tile cover — the frame [[transform]] joins against;
+    * see [[GeoscanModel.cachedTiles]]. */
+  def cachedTiles(precision: Int, layers: Int): DataFrame =
+    tileCache(precision, layers)._1
+
+  /** True when the session this model's state belongs to has been stopped —
+    * the model (persisted state and all) is then unusable and must be refit. */
+  private[graft] def sessionStopped: Boolean =
+    state.sparkSession.sparkContext.isStopped
+
   override def transform(dataset: Dataset[_]): DataFrame = {
     val prec = $(tilePrecision)
     val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers))
@@ -174,7 +184,19 @@ object GeoscanPersonalizedModel extends MLReadable[GeoscanPersonalizedModel] {
     override def load(path: String): GeoscanPersonalizedModel = {
       val spark = SparkSession.active
       val p = GeoscanIO.loadParams(spark, path)
-      val state = spark.read.parquet(s"$path/hulls")
+      // current layout: exact hulls under {path}/hulls. Models saved by the
+      // previous layout kept them at {path}/data — fall back when the hulls
+      // dir is absent and the data frame carries hull coordinates.
+      val hullsPath = new org.apache.hadoop.fs.Path(s"$path/hulls")
+      val fs = hullsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val state =
+        if (fs.exists(hullsPath)) spark.read.parquet(s"$path/hulls")
+        else {
+          val legacy = spark.read.parquet(s"$path/data")
+          require(legacy.schema.fieldNames.contains("hull"),
+            s"$path has neither /hulls nor hull-bearing /data — not a personalized model checkpoint")
+          legacy
+        }
       val m = new GeoscanPersonalizedModel(p("uid"), state)
       m.setLatitudeCol(p("latitudeCol")).setLongitudeCol(p("longitudeCol"))
         .setPredictionCol(p("predictionCol")).setEpsilon(p("epsilon").toDouble)

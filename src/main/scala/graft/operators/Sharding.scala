@@ -29,8 +29,11 @@ object Sharding {
     val spark = df.sparkSession
     import spark.implicits._
 
-    val bounds = df.agg(min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).head()
-    if (bounds.isNullAt(0)) return df.withColumn("shard", lit(0L)) // empty input
+    // materialize the (usually expensive — tokenize etc.) input lineage
+    // once: three passes follow (bounds, bucket sums, the output itself)
+    val in = df.localCheckpoint(true)
+    val bounds = in.agg(min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).head()
+    if (bounds.isNullAt(0)) return in.withColumn("shard", lit(0L)) // empty input
     val mn = bounds.getLong(0)
     val mx = bounds.getLong(1)
     // fixed-width buckets over the key range — deterministic, no sampling
@@ -38,13 +41,17 @@ object Sharding {
     val tok = coalesce(col(tokenCol).cast("long"), lit(0L))
     // DIV, not `/`: Spark's `/` on longs yields double (precision loss past
     // 2^53); both operands are non-negative here so DIV == floor division
-    val withBucket = df.withColumn("__bucket",
+    val withBucket = in.withColumn("__bucket",
       expr(s"(CAST($orderCol AS BIGINT) - ${mn}L) DIV ${width}L"))
 
     // per-bucket totals → exclusive prefix offsets (numBuckets rows: tiny)
     val sums = withBucket.groupBy($"__bucket").agg(sum(tok).as("__btok"))
       .orderBy($"__bucket").collect()
-      .map(r => (r.getLong(0), r.getLong(1)))
+      .map { r =>
+        require(!r.isNullAt(0),
+          s"order column '$orderCol' has null or non-numeric values — rows have no packing position")
+        (r.getLong(0), r.getLong(1))
+      }
     val offsets = sums.map(_._1).zip(sums.map(_._2).scanLeft(0L)(_ + _))
     val offsetDf = spark.createDataFrame(offsets.toSeq).toDF("__bucket", "__offset")
 

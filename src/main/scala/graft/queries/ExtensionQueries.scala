@@ -244,9 +244,10 @@ object ExtensionQueries {
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val schema = s.read.parquet(s"$dir/events.parquet").schema
       val tmp = System.getProperty("java.io.tmpdir")
-      val out = new java.io.File(tmp, "graft_q49_out").toString
-      val chk = new java.io.File(tmp, "graft_q49_chk").toString
-      val srcDir = new java.io.File(tmp, "graft_q49_src").toString
+      val tag = Tables.sfTag(dir) // per-sf scratch: runs never clobber each other
+      val out = new java.io.File(tmp, s"graft_q49_out_$tag").toString
+      val chk = new java.io.File(tmp, s"graft_q49_chk_$tag").toString
+      val srcDir = new java.io.File(tmp, s"graft_q49_src_$tag").toString
       val hconf = s.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
       // fresh checkpoint each run (the source changes across sf dirs) and a
@@ -434,7 +435,7 @@ object ExtensionQueries {
     "q51_token_shards" ->
       s"""WITH c AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
          |SELECT doc_id, n_tokens,
-         |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000 AS BIGINT) AS shard
+         |  CAST((sum(coalesce(n_tokens, 0)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - coalesce(n_tokens, 0)) // 5000 AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
     "q42_ttl_window" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),

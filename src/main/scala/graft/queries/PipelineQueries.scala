@@ -25,29 +25,36 @@ object PipelineQueries {
     * the queries exercise different MODEL surfaces (getTiles / toGeoJson /
     * bloom serving) over the same fitted model, exactly as a user would
     * call them; re-fitting identical params on identical input per query
-    * only re-measures the estimator (which q25's full pipeline still does). */
+    * only re-measures the estimator (which q25's full pipeline still does).
+    * A cached model whose SparkContext has since stopped is refit — the
+    * persisted state dies with its session. */
   private val persCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.cluster.GeoscanPersonalizedModel]
-  private def persModel(s: SparkSession, dir: String): graft.cluster.GeoscanPersonalizedModel =
-    persCache.getOrElseUpdate(dir,
-      new GeoscanPersonalized()
-        .setGroupedCol("user").setEpsilon(150).setMinPts(3)
-        .fit(tx(s, dir)))
+  private def persModel(s: SparkSession, dir: String): graft.cluster.GeoscanPersonalizedModel = {
+    def fresh() = new GeoscanPersonalized()
+      .setGroupedCol("user").setEpsilon(150).setMinPts(3)
+      .fit(tx(s, dir))
+    val m = persCache.getOrElseUpdate(dir, fresh())
+    if (m.sessionStopped) {
+      val m2 = fresh(); persCache.put(dir, m2); m2
+    } else m
+  }
 
-  /** Scratch parquet shared between the q25/q22 Spark runs and their DuckDB
-    * oracles (both sides resolve the same absolute path). */
-  private val tilesScratch: String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q25_tiles").toString
-  private val q22Scratch: String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q22_tiles").toString
-  private val q50Tiles: String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q50_tiles").toString
-  private val q50Src: String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q50_src").toString
-  private val q50Out: String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q50_out").toString
-  private val q50Chk: String =
-    new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q50_chk").toString
+  /** Scratch parquet shared between the q25/q22/q50 Spark runs and their
+    * DuckDB oracles — keyed by the sf dir so runs over different scale
+    * factors never clobber each other's artifacts. The oracle SQL embeds
+    * `Tables.SfTagToken`; Verify substitutes the tag when dumping. */
+  private def scratch(pattern: String, dir: String): String =
+    pattern.replace(Tables.SfTagToken, Tables.sfTag(dir))
+  private def pat(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${Tables.SfTagToken}").toString
+  private val tilesScratchPat = pat("q25_tiles")
+  private val q22ScratchPat = pat("q22_tiles")
+  private val q50TilesPat = pat("q50_tiles")
+  private val q50SrcPat = pat("q50_src")
+  private val q50OutPat = pat("q50_out")
+  private val q50ChkPat = pat("q50_chk")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M3/M4 + A7-A9: per-user GEOSCAN fit → tile cover
@@ -67,7 +74,9 @@ object PipelineQueries {
       val model = new Geoscan().setEpsilon(25).setMinPts(3)
         .setSampleMaxPerCell(8).fit(pts)
       model.setTilePrecision(11).setTileLayers(1)
-      model.getTiles(11, 1).write.mode("overwrite").parquet(q22Scratch)
+      // cachedTiles: the SAME memoized frame transform joins against —
+      // tiling runs once, not once for the write and once inside transform
+      model.cachedTiles(11, 1).write.mode("overwrite").parquet(scratch(q22ScratchPat, dir))
       model.transform(pts)
         .select($"user", $"latitude", $"longitude", $"amount", $"cluster")
         .orderBy($"user", $"latitude", $"longitude", $"amount", $"cluster")
@@ -99,7 +108,7 @@ object PipelineQueries {
       import s.implicits._
       GeoFraudPipeline.run(s, tx(s, dir),
         epsilon = 150, minPts = 3, tilePrecision = 10, tileLayers = 1,
-        tilesOut = Some(tilesScratch))
+        tilesOut = Some(scratch(tilesScratchPat, dir)))
         .anomalies // already reads the persisted tiles table (run() contract)
         .select($"user", $"latitude", $"longitude", $"amount")
         .orderBy($"user", $"latitude", $"longitude", $"amount")
@@ -114,10 +123,12 @@ object PipelineQueries {
     // whole thing.
     "q50_stream_anomalies" -> ((s, dir) => {
       import org.apache.spark.sql.streaming.Trigger
+      val (q50Tiles, q50Src, q50Out, q50Chk) = (scratch(q50TilesPat, dir),
+        scratch(q50SrcPat, dir), scratch(q50OutPat, dir), scratch(q50ChkPat, dir))
       val hconf = s.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(q50Out).getFileSystem(hconf)
       // fresh sink + checkpoint (file-sink exactly-once bookkeeping would
-      // otherwise double-count across runs / scale dirs)
+      // otherwise double-count across runs)
       Seq(q50Out, q50Chk).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
       persModel(s, dir).getTiles(10, 1)
         .write.mode("overwrite").parquet(q50Tiles)
@@ -137,22 +148,24 @@ object PipelineQueries {
     })
   )
 
+  // scratch paths carry the SfTagToken; Verify substitutes the actual sf
+  // tag when dumping oracle_sql.json (Verify.scala)
   val oracle: Map[String, String] = Map(
     "q50_stream_anomalies" ->
-      s"""WITH p AS (SELECT * FROM read_parquet('$q50Src/*.parquet'))
+      s"""WITH p AS (SELECT * FROM read_parquet('$q50SrcPat/*.parquet'))
          |SELECT "user", latitude, longitude, amount FROM p
-         |WHERE NOT EXISTS (SELECT 1 FROM read_parquet('$q50Tiles/*.parquet') t
+         |WHERE NOT EXISTS (SELECT 1 FROM read_parquet('$q50TilesPat/*.parquet') t
          |  WHERE t."user" = p."user" AND t.h3 = ${Tables.cellSql("p.latitude", "p.longitude", 10)})""".stripMargin,
     "q22_geoscan_transform" ->
       s"""WITH ${Tables.pointsSql},
          |p AS (SELECT user_id AS "user", latitude, longitude, amount FROM points WHERE amount < 1500.0),
-         |t AS (SELECT cluster, h3 FROM read_parquet('$q22Scratch/*.parquet'))
+         |t AS (SELECT cluster, h3 FROM read_parquet('$q22ScratchPat/*.parquet'))
          |SELECT p."user", p.latitude, p.longitude, p.amount, t.cluster
          |FROM p LEFT JOIN t ON ${Tables.cellSql("p.latitude", "p.longitude", 11)} = t.h3""".stripMargin,
     "q25_pipeline_anomalies" ->
       s"""WITH ${Tables.pointsSql}
          |SELECT user_id AS "user", latitude, longitude, amount FROM points p
-         |WHERE NOT EXISTS (SELECT 1 FROM read_parquet('$tilesScratch/*.parquet') t
+         |WHERE NOT EXISTS (SELECT 1 FROM read_parquet('$tilesScratchPat/*.parquet') t
          |  WHERE t."user" = p.user_id AND t.h3 = ${Tables.cellSql("p.latitude", "p.longitude", 10)})""".stripMargin
   )
 }

@@ -26,7 +26,8 @@ class PlanAuditSpec extends SparkSpec {
     val audited = graft.SparkEntry.queries.keys.toSeq.sorted
       .filterNot(Set("q21_geoscan_tiles", "q22_geoscan_transform",
         "q23_geoscan_geojson", "q24_bloom_score", "q25_pipeline_anomalies",
-        "q49_stream_window", "q20_csv_roundtrip", "q46_jsonl_roundtrip"))
+        "q49_stream_window", "q50_stream_anomalies",
+        "q20_csv_roundtrip", "q26_table_roundtrip", "q46_jsonl_roundtrip"))
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")
