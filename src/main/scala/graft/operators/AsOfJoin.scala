@@ -1,0 +1,50 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** As-of join — for each left row, the single latest right row whose
+  * timestamp is at or before the left row's, per key ("the value in effect
+  * at time t"). Spark has no native ASOF JOIN; the naive spelling is a
+  * non-equi join that plans as a broadcast-nested-loop / cartesian.
+  *
+  * This is the scale formulation: tag both sides, union, and run ONE
+  * per-key partitioned window that carries the latest right-row payload
+  * forward — cost is a single shuffle on the key plus an in-partition
+  * sort, no pair blowup, every key processed in parallel.
+  *
+  * Right-row payloads travel as one struct, so `last(_, ignoreNulls)`
+  * picks the latest right ROW atomically — legitimate nulls inside a
+  * payload column do not fall back to an older row, matching ASOF
+  * semantics. Right rows at exactly the left timestamp are visible
+  * (inclusive `<=`), ordered before left rows at the same instant. */
+object AsOfJoin {
+
+  def leftAsOf(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+               leftTsCol: String, rightTsCol: String): DataFrame = {
+    val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTsCol).toSeq
+    val leftRest = left.columns.filterNot(c => keyCols.contains(c) || c == leftTsCol).toSeq
+    require(payload.intersect(leftRest).isEmpty,
+      s"left and right share non-key columns: ${payload.intersect(leftRest).mkString(", ")}")
+    val payloadType = StructType(payload.map(c => right.schema(right.schema.fieldIndex(c))))
+
+    val l = left.select(
+      keyCols.map(col) ++ Seq(col(leftTsCol).as("__ts"), lit(1).as("__tag"),
+        lit(null).cast(payloadType).as("__p")) ++ leftRest.map(col): _*)
+    val r = right.select(
+      keyCols.map(col) ++ Seq(col(rightTsCol).as("__ts"), lit(0).as("__tag"),
+        struct(payload.map(col): _*).as("__p")) ++
+        leftRest.map(c => lit(null).cast(left.schema(left.schema.fieldIndex(c)).dataType).as(c)): _*)
+
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col("__ts").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionAll(r)
+      .withColumn("__m", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(keyCols.map(col) ++ Seq(col("__ts").as(leftTsCol)) ++ leftRest.map(col) ++
+        payload.map(c => col(s"__m.$c").as(c)): _*)
+  }
+}

@@ -221,6 +221,54 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
+    // as-of join: for every event, the user's latest purchase value at or
+    // before it — tagged-union + per-key window (no non-equi join / BNLJ);
+    // DuckDB replays it with its native ASOF JOIN
+    "q27_asof_join" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+      val base = ev.select($"user_id", $"event_id",
+        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .select($"user_id", expr("timestamp_micros(ts DIV 1000)").as("pts"),
+          $"value".as("last_purchase"))
+      graft.operators.AsOfJoin.leftAsOf(base, purchases,
+          keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "pts")
+        .select($"user_id", $"event_id", $"last_purchase")
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // range join: events falling in the hour after each purchase —
+    // interval bucketization + equi-join (never a cartesian); the oracle is
+    // the plain BETWEEN join
+    "q28_range_join" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val hourUs = 3600L * 1000000L
+      val ev = t(s, dir, "events")
+      val pts = ev.select($"user_id", $"event_id", expr("ts DIV 1000").as("us"))
+      val ivals = ev.filter($"event_type" === "purchase")
+        .select($"user_id", $"event_id".as("p_id"), expr("ts DIV 1000").as("start_us"))
+        .withColumn("end_us", $"start_us" + hourUs)
+      graft.operators.RangeJoin.pointInInterval(pts, ivals,
+          keyCols = Seq("user_id"), pointCol = "us",
+          startCol = "start_us", endCol = "end_us", bucketWidth = hourUs)
+        .groupBy($"p_id").agg(count(lit(1)).as("n_in_window"))
+        .orderBy($"p_id")
+    }),
+
+    // rollup (grouping sets): subtotal rows per status, priority, and grand
+    // total — SURVEY §2.4 notes the reference has none; the engine surface
+    // still carries it
+    "q29_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .rollup($"o_orderstatus", $"o_orderpriority")
+        .agg(count(lit(1)).as("cnt"), max($"o_totalprice").as("max_price"))
+        .orderBy($"o_orderstatus".asc_nulls_first, $"o_orderpriority".asc_nulls_first)
+    }),
+
     // token-budgeted shard packing — the pretraining write-side operator:
     // greedy sequential packing into ~5000-token shards, computed with
     // bucketed parallel windows (never a global single-partition sort)
@@ -432,6 +480,22 @@ object ExtensionQueries {
     "q49_stream_window" ->
       """SELECT user_id, CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS hour_us, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q27_asof_join" ->
+      """WITH b AS (SELECT user_id, event_id, ts FROM events),
+        |p AS (SELECT user_id, ts AS pts, value AS last_purchase FROM events WHERE event_type = 'purchase')
+        |SELECT b.user_id, b.event_id, p.last_purchase
+        |FROM b ASOF LEFT JOIN p ON b.user_id = p.user_id AND b.ts >= p.pts
+        |ORDER BY b.user_id, b.event_id""".stripMargin,
+    "q28_range_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+        |SELECT p_id, count(*) AS n_in_window
+        |FROM p JOIN e ON p.user_id = e.user_id AND e.us BETWEEN p.p_us AND p.p_us + 3600000000
+        |GROUP BY p_id ORDER BY p_id""".stripMargin,
+    "q29_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS cnt, max(o_totalprice) AS max_price
+        |FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin,
     "q51_token_shards" ->
       s"""WITH c AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents)
          |SELECT doc_id, n_tokens,
