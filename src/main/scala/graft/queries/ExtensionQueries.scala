@@ -281,6 +281,34 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
+    // vocabulary building: corpus-wide token frequencies, top 100 — the
+    // tokenizer/BPE prep step (deterministic tie-break on the token)
+    "q52_vocab" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(lower($"text"))).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token".asc)
+        .limit(100)
+    }),
+
+    // context-window packing: documents packed into their token-budget
+    // shard (q51's assignment), concatenated in doc order — the step that
+    // turns a cleaned corpus into fixed-budget training sequences. The
+    // packed text is fingerprinted so the compare stays scalar.
+    "q53_pack_shards" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id", $"text",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+      graft.operators.Sharding.byTokenBudget(docs, budget = 5000L)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("shard_tokens"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct($"doc_id", $"text"))), x => x("text")),
+            "\n\n").cast("binary")).as("packed_md5"))
+        .orderBy($"shard")
+    }),
+
     // §2.10 driver-visible Structured Streaming: a REAL readStream over the
     // events parquet → event-time watermark + tumbling 1h window aggregate →
     // foreachBatch parquet sink (the reference's "real-time serving"
@@ -480,6 +508,18 @@ object ExtensionQueries {
     "q49_stream_window" ->
       """SELECT user_id, CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS hour_us, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q52_vocab" ->
+      s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents)
+         |SELECT token, count(*) AS cnt FROM tk GROUP BY token
+         |ORDER BY cnt DESC, token ASC LIMIT 100""".stripMargin,
+    "q53_pack_shards" ->
+      s"""WITH c AS (SELECT doc_id, text, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |sh AS (SELECT doc_id, text, n_tokens,
+         |  CAST((sum(coalesce(n_tokens, 0)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - coalesce(n_tokens, 0)) // 5000 AS BIGINT) AS shard
+         |FROM c)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  md5(string_agg(text, e'\\n\\n' ORDER BY doc_id)) AS packed_md5
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "q27_asof_join" ->
       """WITH b AS (SELECT user_id, event_id, ts FROM events),
         |p AS (SELECT user_id, ts AS pts, value AS last_purchase FROM events WHERE event_type = 'purchase')
