@@ -28,12 +28,19 @@ object AsOfJoin {
     val leftRest = left.columns.filterNot(c => keyCols.contains(c) || c == leftTsCol).toSeq
     require(payload.intersect(leftRest).isEmpty,
       s"left and right share non-key columns: ${payload.intersect(leftRest).mkString(", ")}")
+    val reserved = Seq(leftTsCol, "__ts", "__tag", "__p", "__m")
+    val clashes = (payload ++ leftRest).intersect(reserved)
+    require(clashes.isEmpty,
+      s"column names collide with the left timestamp or internals: ${clashes.mkString(", ")}")
     val payloadType = StructType(payload.map(c => right.schema(right.schema.fieldIndex(c))))
 
     val l = left.select(
       keyCols.map(col) ++ Seq(col(leftTsCol).as("__ts"), lit(1).as("__tag"),
         lit(null).cast(payloadType).as("__p")) ++ leftRest.map(col): _*)
-    val r = right.select(
+    // a NULL right timestamp has no position on the timeline — ASOF
+    // semantics (ts >= NULL is never true) say it can never be a match;
+    // unfiltered it would sort first and become everyone's fallback match
+    val r = right.where(col(rightTsCol).isNotNull).select(
       keyCols.map(col) ++ Seq(col(rightTsCol).as("__ts"), lit(0).as("__tag"),
         struct(payload.map(col): _*).as("__p")) ++
         leftRest.map(c => lit(null).cast(left.schema(left.schema.fieldIndex(c)).dataType).as(c)): _*)

@@ -230,9 +230,12 @@ object ExtensionQueries {
       val ev = t(s, dir, "events")
       val base = ev.select($"user_id", $"event_id",
         expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      // dedup to one purchase per (user, µs): both engines truncate to
+      // microseconds here, and a µs tie between two purchases would
+      // otherwise resolve nondeterministically on each side
       val purchases = ev.filter($"event_type" === "purchase")
-        .select($"user_id", expr("timestamp_micros(ts DIV 1000)").as("pts"),
-          $"value".as("last_purchase"))
+        .groupBy($"user_id", expr("timestamp_micros(ts DIV 1000)").as("pts"))
+        .agg(max($"value").as("last_purchase"))
       graft.operators.AsOfJoin.leftAsOf(base, purchases,
           keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "pts")
         .select($"user_id", $"event_id", $"last_purchase")
@@ -521,10 +524,11 @@ object ExtensionQueries {
          |  md5(string_agg(text, e'\\n\\n' ORDER BY doc_id)) AS packed_md5
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
     "q27_asof_join" ->
-      """WITH b AS (SELECT user_id, event_id, ts FROM events),
-        |p AS (SELECT user_id, ts AS pts, value AS last_purchase FROM events WHERE event_type = 'purchase')
+      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, epoch_us(ts) AS pus, max(value) AS last_purchase
+        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
         |SELECT b.user_id, b.event_id, p.last_purchase
-        |FROM b ASOF LEFT JOIN p ON b.user_id = p.user_id AND b.ts >= p.pts
+        |FROM b ASOF LEFT JOIN p ON b.user_id = p.user_id AND b.us >= p.pus
         |ORDER BY b.user_id, b.event_id""".stripMargin,
     "q28_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),

@@ -38,6 +38,24 @@ class JoinOpsSpec extends SparkSpec {
     assert(out(2L) == ((Some(9.9), "old")))
   }
 
+  test("leftAsOf ignores right rows with null timestamps (no position, no match)") {
+    import spark.implicits._
+    val left = Seq(("k", 5L, 1L)).toDF("k", "ts", "row_id")
+    val right = Seq(("k", Option.empty[Long], 42.0)).toDF("k", "ts2", "v")
+    val out = AsOfJoin.leftAsOf(left, right, Seq("k"), "ts", "ts2")
+      .select($"row_id", $"v").head
+    assert(out.isNullAt(1), "null-ts right row must never be an as-of match")
+  }
+
+  test("leftAsOf rejects reserved/colliding column names loudly") {
+    import spark.implicits._
+    val left = Seq(("k", 5L, 1L)).toDF("k", "ts", "row_id")
+    val right = Seq(("k", 1L, 2.0)).toDF("k", "ts2", "ts") // payload named like leftTsCol
+    intercept[IllegalArgumentException] {
+      AsOfJoin.leftAsOf(left, right, Seq("k"), "ts", "ts2")
+    }
+  }
+
   test("pointInInterval matches the brute-force BETWEEN join (intervals spanning buckets)") {
     import spark.implicits._
     val r = new Random(47)
