@@ -284,6 +284,34 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
+    // deterministic stratified sampling: first 20 docs per source by a
+    // content-independent hash rank — reproducible downsampling per stratum
+    // (a seeded sampleBy can't be replayed cross-engine; the hash rank can)
+    "q54_stratified_sample" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy(md5(concat(lit("s|"),
+        $"doc_id".cast("string")).cast("binary")).asc, $"doc_id".asc)
+      t(s, dir, "documents")
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .where($"rnk" <= 20)
+        .select($"source", $"doc_id", $"rnk")
+        .orderBy($"source", $"rnk")
+    }),
+
+    // deterministic train/validation/test split: stable hash of the doc id
+    // buckets 80/10/10 — membership reproducible across runs and engines
+    "q55_hash_split" -> ((s, dir) => {
+      import s.implicits._
+      val bucket = conv(substring(md5(concat(lit("split|"),
+        $"doc_id".cast("string")).cast("binary")), 1, 4), 16, 10).cast("long") % 100
+      t(s, dir, "documents")
+        .withColumn("split", when(bucket < 80, "train")
+          .when(bucket < 90, "validation").otherwise("test"))
+        .groupBy($"split").agg(count(lit(1)).as("n"), min($"doc_id").as("min_id"))
+        .orderBy($"split")
+    }),
+
     // vocabulary building: corpus-wide token frequencies, top 100 — the
     // tokenizer/BPE prep step (deterministic tie-break on the token)
     "q52_vocab" -> ((s, dir) => {
@@ -511,6 +539,18 @@ object ExtensionQueries {
     "q49_stream_window" ->
       """SELECT user_id, CAST(epoch_us(ts) // 3600000000 * 3600000000 AS BIGINT) AS hour_us, count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q54_stratified_sample" ->
+      """WITH r AS (SELECT source, doc_id,
+        |  CAST(row_number() OVER (PARTITION BY source ORDER BY md5('s|' || CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT) AS rnk
+        |FROM documents)
+        |SELECT source, doc_id, rnk FROM r WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin,
+    "q55_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bk
+        |FROM documents)
+        |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'validation' ELSE 'test' END AS split,
+        |  count(*) AS n, min(doc_id) AS min_id
+        |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,
     "q52_vocab" ->
       s"""WITH tk AS (SELECT unnest($toksSql) AS token FROM documents)
          |SELECT token, count(*) AS cnt FROM tk GROUP BY token
