@@ -126,8 +126,7 @@ object Dedup {
     * tractable; the pure-Scala [[simhash64]] is the production-width twin. */
   def simhash16(text: Column): Column = {
     val toks = TextFunctions.tokens(lower(text))
-    val tokHash = (t: Column) =>
-      conv(substring(md5(t.cast("binary")), 1, 4), 16, 10).cast("int")
+    val tokHash = (t: Column) => TextFunctions.md5Bucket16(t).cast("int")
     (0 until 16).map { b =>
       val bitSum = aggregate(toks, lit(0),
         (acc, t) => acc + when(shiftright(tokHash(t), b).bitwiseAND(lit(1)) === 1, 1).otherwise(-1))

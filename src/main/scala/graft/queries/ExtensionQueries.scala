@@ -303,8 +303,7 @@ object ExtensionQueries {
     // buckets 80/10/10 — membership reproducible across runs and engines
     "q55_hash_split" -> ((s, dir) => {
       import s.implicits._
-      val bucket = conv(substring(md5(concat(lit("split|"),
-        $"doc_id".cast("string")).cast("binary")), 1, 4), 16, 10).cast("long") % 100
+      val bucket = TextFunctions.md5Bucket16($"doc_id".cast("string"), "split|") % 100
       t(s, dir, "documents")
         .withColumn("split", when(bucket < 80, "train")
           .when(bucket < 90, "validation").otherwise("test"))
@@ -406,7 +405,7 @@ object ExtensionQueries {
   private def simhashOracle: String = {
     val bitTerms = (0 until 16).map { b =>
       s"""(CASE WHEN coalesce(list_sum(list_transform(tk, t ->
-         |CASE WHEN (CAST(('0x' || substr(md5(t),1,4)) AS INTEGER) >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+         |CASE WHEN (${TextFunctions.md5Bucket16Sql("t")} >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
          |THEN ${1 << b} ELSE 0 END)""".stripMargin.replace("\n", " ")
     }.mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents)
@@ -545,9 +544,9 @@ object ExtensionQueries {
         |FROM documents)
         |SELECT source, doc_id, rnk FROM r WHERE rnk <= 20 ORDER BY source, rnk""".stripMargin,
     "q55_hash_split" ->
-      """WITH b AS (SELECT doc_id,
-        |  CAST(('0x' || substr(md5('split|' || CAST(doc_id AS VARCHAR)), 1, 4)) AS INTEGER) % 100 AS bk
-        |FROM documents)
+      s"""WITH b AS (SELECT doc_id,
+         |  ${TextFunctions.md5Bucket16Sql("CAST(doc_id AS VARCHAR)", "split|")} % 100 AS bk
+         |FROM documents)
         |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'validation' ELSE 'test' END AS split,
         |  count(*) AS n, min(doc_id) AS min_id
         |FROM b GROUP BY 1 ORDER BY 1""".stripMargin,

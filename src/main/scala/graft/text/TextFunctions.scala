@@ -79,6 +79,18 @@ object TextFunctions {
   /** Content fingerprint: md5 of lowercased text (the exact-dedup key). */
   def fingerprintMd5(text: Column): Column = md5(lower(text).cast("binary"))
 
+  /** First 16 bits of md5(salt||s) as a long — the cross-engine stable
+    * bucket hash behind hash-splitting and SimHash bit extraction. Keep in
+    * lockstep with [[md5Bucket16Sql]]: the two must stay bit-identical or
+    * every oracle built on them diverges. */
+  def md5Bucket16(c: Column, salt: String = ""): Column =
+    conv(substring(md5(concat(lit(salt), c).cast("binary")), 1, 4), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Bucket16]] over SQL expression `e`. */
+  def md5Bucket16Sql(e: String, salt: String = ""): String =
+    if (salt.isEmpty) s"CAST(('0x' || substr(md5($e), 1, 4)) AS INTEGER)"
+    else s"CAST(('0x' || substr(md5('$salt' || $e), 1, 4)) AS INTEGER)"
+
   /** Polynomial rolling hash (Rabin-Karp style, mod 2^61-1) — the
     * streaming-friendly fingerprint; pure Scala, order-sensitive. */
   def rollingHash(s: String): Long = {
