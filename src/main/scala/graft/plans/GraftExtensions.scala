@@ -11,7 +11,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - [[AntiJoinRewrite]]: optimizer rule for the reference's
   *    left_outer + IS NULL anomaly spelling;
   *  - `geo_cell`: native codegen expression replacing the UDF registration
-  *    for SQL callers. */
+  *    for SQL callers;
+  *  - `vec_dot`: native codegen embedding dot product (cosine hot path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
@@ -21,6 +22,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 3, "geo_cell(lat, lng, res)")
         GeoCellExpression(children(0), children(1), children(2))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VecDotExpression].getName, "vec_dot"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "vec_dot(a, b)")
+        VecDotExpression(children(0), children(1))
       }))
   }
 }

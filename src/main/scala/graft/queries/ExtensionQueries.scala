@@ -99,11 +99,16 @@ object ExtensionQueries {
     "q38_dedup_embedding" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-      val a = e.select($"label", $"vec_id".as("id_a"), $"embedding".as("v_a"))
-      val b = e.select($"label", $"vec_id".as("id_b"), $"embedding".as("v_b"))
+      // norms are per-ROW (computed once before the join); only the dot
+      // product — a native codegen expression — runs per pair
+      val a = e.select($"label", $"vec_id".as("id_a"), $"embedding".as("v_a"),
+        Similarity.vecNorm($"embedding").as("n_a"))
+      val b = e.select($"label", $"vec_id".as("id_b"), $"embedding".as("v_b"),
+        Similarity.vecNorm($"embedding").as("n_b"))
       a.join(b, Seq("label"))
         .where($"id_a" < $"id_b")
-        .withColumn("cos_x1e4", Similarity.cosineKey($"v_a", $"v_b"))
+        .withColumn("cos_x1e4",
+          Similarity.cosineKeyWithNorms($"v_a", $"v_b", $"n_a", $"n_b"))
         .where($"cos_x1e4" >= 3000)
         .select($"label", $"id_a", $"id_b", $"cos_x1e4")
         .orderBy($"label", $"id_a", $"id_b")

@@ -14,17 +14,25 @@ import org.apache.spark.sql.functions._
   * cost drops from O(|Q|·|C|) to O(|Q|·bucket). */
 object Similarity {
 
+  /** Embedding dot product in double, left-to-right — a native codegen
+    * expression ([[graft.plans.VecDotExpression]]); the composed
+    * `aggregate(zip_with(...))` HOF spelling is interpreted per row and was
+    * ~10× slower on the all-pairs joins at sf0.1. */
+  def vecDot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.VecDotExpression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
+  /** Euclidean norm ‖a‖ = sqrt(a·a). Precompute this per ROW before a
+    * pairwise join: the norm is a function of one vector, so computing it
+    * inside the pair predicate wastes 2/3 of the per-pair work. */
+  def vecNorm(a: Column): Column = sqrt(vecDot(a, a))
+
   /** Cosine similarity of two float-array columns, computed in double,
     * left-to-right — matches DuckDB's list_cosine_similarity numerics. */
-  def cosine(a: Column, b: Column): Column = {
-    val dot = aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val na = aggregate(transform(a, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    val nb = aggregate(transform(b, x => x.cast("double") * x.cast("double")),
-      lit(0.0), (acc, v) => acc + v)
-    dot / (sqrt(na) * sqrt(nb))
-  }
+  def cosine(a: Column, b: Column): Column =
+    vecDot(a, b) / (vecNorm(a) * vecNorm(b))
 
   /** Cosine scaled to an integer key (×10^4 by default): float-equality-free
     * ranking and cross-engine comparison (two engines' `round(double, n)`
@@ -32,17 +40,27 @@ object Similarity {
   def cosineKey(a: Column, b: Column, scale: Int = 10000): Column =
     round(cosine(a, b) * scale).cast("long")
 
+  /** [[cosineKey]] with the per-side norms already materialized (same
+    * bits: `sqrt(a·a) * sqrt(b·b)` is computed from the same doubles either
+    * way — only the place it's computed moves off the per-pair hot path). */
+  def cosineKeyWithNorms(a: Column, b: Column, na: Column, nb: Column,
+                         scale: Int = 10000): Column =
+    round(vecDot(a, b) / (na * nb) * scale).cast("long")
+
   /** Exact top-k nearest corpus vectors per query by cosine. Ranking key is
     * (integer-scaled cosine desc, corpus id asc) so results are
     * deterministic even under floating-point ties. Queries are broadcast
     * (assumed ≪ corpus). */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      vecNorm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      vecNorm(col(vecCol)).as("cn"))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos_x1e4", cosineKey(col("qv"), col("cv")))
+      .withColumn("cos_x1e4",
+        cosineKeyWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_x1e4").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -96,9 +114,9 @@ object Similarity {
     def withBands(df: DataFrame, side: String): DataFrame = {
       val sig = srpSignature(col(vecCol), dims, numBits, seed)
       val banded = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"),
-        sig.as("sig"))
+        vecNorm(col(vecCol)).as(s"${side}_n"), sig.as("sig"))
       (0 until numBands).map { b =>
-        banded.select(col(s"${side}_id"), col(s"${side}_v"),
+        banded.select(col(s"${side}_id"), col(s"${side}_v"), col(s"${side}_n"),
           lit(b).as("band_idx"),
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
       }.reduce(_ unionAll _)
@@ -107,8 +125,10 @@ object Similarity {
     val cb = withBands(corpus, "corpus")
     val cands = qb.join(cb, Seq("band_idx", "band_val"))
       .where(col("query_id") =!= col("corpus_id"))
-      .select("query_id", "query_v", "corpus_id", "corpus_v").distinct()
-    val scored = cands.withColumn("cos_x1e4", cosineKey(col("query_v"), col("corpus_v")))
+      .select("query_id", "query_v", "query_n", "corpus_id", "corpus_v", "corpus_n")
+      .distinct()
+    val scored = cands.withColumn("cos_x1e4",
+      cosineKeyWithNorms(col("query_v"), col("corpus_v"), col("query_n"), col("corpus_n")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_x1e4").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -148,12 +168,13 @@ object Similarity {
     }
 
     val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      assignUdf(col(vecCol)).as("list_id"))
+      vecNorm(col(vecCol)).as("cn"), assignUdf(col(vecCol)).as("list_id"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      explode(probeUdf(col(vecCol))).as("list_id"))
+      vecNorm(col(vecCol)).as("qn"), explode(probeUdf(col(vecCol))).as("list_id"))
     val scored = q.join(c, Seq("list_id"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos_x1e4", cosineKey(col("qv"), col("cv")))
+      .withColumn("cos_x1e4",
+        cosineKeyWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_x1e4").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
@@ -169,16 +190,17 @@ object Similarity {
     val mask = (1 << bandBits) - 1
     val sig = srpSignature(col(vecCol), dims, numBits)
     val banded = (0 until numBands).map { b =>
-      df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      df.select(col(idCol).as("id"), col(vecCol).as("v"), vecNorm(col(vecCol)).as("nrm"),
         lit(b).as("band_idx"),
         shiftright(sig, b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
     }.reduce(_ unionAll _)
-    val a = banded.toDF("id_a", "v_a", "band_idx", "band_val")
-    val b = banded.toDF("id_b", "v_b", "band_idx", "band_val")
+    val a = banded.toDF("id_a", "v_a", "n_a", "band_idx", "band_val")
+    val b = banded.toDF("id_b", "v_b", "n_b", "band_idx", "band_val")
     a.join(b, Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "v_a", "id_b", "v_b").distinct()
-      .withColumn("cos_x1e4", cosineKey(col("v_a"), col("v_b")))
+      .select("id_a", "v_a", "n_a", "id_b", "v_b", "n_b").distinct()
+      .withColumn("cos_x1e4",
+        cosineKeyWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .where(col("cos_x1e4") >= math.round(threshold * 10000))
       .select("id_a", "id_b", "cos_x1e4")
   }

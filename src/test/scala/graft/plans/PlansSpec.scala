@@ -104,4 +104,48 @@ class PlansSpec extends SparkSpec {
       assert(r.getString(0) == graft.geo.GeoCell.cellId(r.getDouble(1), r.getDouble(2), 10))
     }
   }
+
+  test("vec_dot matches the HOF spelling bit-for-bit (incl. null semantics)") {
+    import spark.implicits._
+    import graft.sim.Similarity
+    val rows = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),        // plain
+      (Array(0.1f, -0.2f, 0.3f), Array(-0.4f, 0.5f, -0.6f)),     // signs
+      (Array.empty[Float], Array.empty[Float]),                   // empty → 0.0
+      (Array(1e30f, 1e30f, -1e30f), Array(1e30f, -1e30f, 1e30f))) // magnitude
+    val df = rows.toDF("a", "b")
+    val hofDot = aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val got = df.select(Similarity.vecDot($"a", $"b").as("native"), hofDot.as("hof")).collect()
+    got.foreach { r =>
+      // bit equality, not approx: same left-to-right double accumulation
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(0)) ==
+        java.lang.Double.doubleToLongBits(r.getDouble(1)), r.toString)
+    }
+    // length mismatch and null elements → null, as with zip_with/aggregate
+    val weird = Seq(
+      (Array[java.lang.Float](1.0f, 2.0f), Array[java.lang.Float](1.0f)),
+      (Array[java.lang.Float](1.0f, null), Array[java.lang.Float](1.0f, 2.0f)))
+      .toDF("a", "b")
+    val w = weird.select(Similarity.vecDot($"a", $"b")).collect()
+    assert(w.forall(_.isNullAt(0)), w.mkString(","))
+    // null input arrays → null
+    val nin = Seq((null.asInstanceOf[Array[Float]], Array(1.0f)))
+      .toDF("a", "b").select(Similarity.vecDot($"a", $"b")).collect()
+    assert(nin.head.isNullAt(0))
+  }
+
+  test("vec_dot participates in whole-stage codegen and works on double arrays") {
+    import spark.implicits._
+    import graft.sim.Similarity
+    val df = spark.range(1000)
+      .selectExpr("array(CAST(id AS DOUBLE), CAST(id+1 AS DOUBLE)) AS a")
+      .select(Similarity.vecDot($"a", $"a").as("d"), $"a")
+    val physical = df.queryExecution.executedPlan.toString
+    assert(physical.contains("*(1) Project [vec_dot("), physical)
+    df.collect().foreach { r =>
+      val a = r.getSeq[Double](1)
+      assert(r.getDouble(0) == a.map(x => x * x).sum)
+    }
+  }
 }
