@@ -18,6 +18,18 @@ object ExtensionQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
 
+  /** Scratch parquet shared between a Spark run and its DuckDB oracle,
+    * keyed by the sf dir (same pattern as PipelineQueries): the oracle SQL
+    * embeds `Tables.SfTagToken` and Verify substitutes the tag at dump
+    * time. */
+  private def scratch(pattern: String, dir: String): String =
+    pattern.replace(Tables.SfTagToken, Tables.sfTag(dir))
+  private def pat(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_${Tables.SfTagToken}").toString
+  private val q40CandPat = pat("q40_cands")
+  private val q43CandPat = pat("q43_cands")
+
   // ---- shared DuckDB SQL fragments (mirror the Scala column functions) ----
 
   /** lowercased whitespace tokens, empties dropped */
@@ -123,11 +135,18 @@ object ExtensionQueries {
         .orderBy($"query_id", $"rank")
     }),
 
-    // LSH-bucketed ANN (scale path; recall measured vs brute in tests)
+    // LSH-bucketed ANN (scale path; recall measured vs brute in tests).
+    // Oracle-exact via the q25 pattern: the Spark-computed candidate set is
+    // persisted to parquet inside the query and DuckDB re-ranks the SAME
+    // candidates (exact cosine + deterministic tie-break are pure SQL).
     "q40_knn_lsh" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-      Similarity.lshTopK(e.filter($"vec_id" < 5), e, k = 5, dims = 64)
+      val q = e.filter($"vec_id" < 5)
+      Similarity.lshCandidates(q, e, dims = 64)
+        .write.mode("overwrite").parquet(scratch(q40CandPat, dir))
+      Similarity.rankCandidates(s.read.parquet(scratch(q40CandPat, dir)), q, e, k = 5)
+        .withColumn("rank", $"rank".cast("long"))
         .orderBy($"query_id", $"rank")
     }),
 
@@ -141,11 +160,17 @@ object ExtensionQueries {
         .orderBy($"media_id")
     }),
 
-    // IVF ANN (k-means inverted lists; recall measured vs brute in tests)
+    // IVF ANN (k-means inverted lists; recall measured vs brute in tests).
+    // Oracle-exact like q40: candidates (the non-SQL KMeans leg) persist to
+    // parquet, DuckDB replays the exact-cosine ranking over them.
     "q43_knn_ivf" -> ((s, dir) => {
       import s.implicits._
       val e = t(s, dir, "embeddings")
-      Similarity.ivfTopK(e.filter($"vec_id" < 5), e, k = 5, nlist = 8, nprobe = 3)
+      val q = e.filter($"vec_id" < 5)
+      Similarity.ivfCandidates(q, e, nlist = 8, nprobe = 3)
+        .write.mode("overwrite").parquet(scratch(q43CandPat, dir))
+      Similarity.rankCandidates(s.read.parquet(scratch(q43CandPat, dir)), q, e, k = 5)
+        .withColumn("rank", $"rank".cast("long"))
         .orderBy($"query_id", $"rank")
     }),
 
@@ -433,7 +458,21 @@ object ExtensionQueries {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+  /** ANN replay oracle: re-rank a persisted (query_id, corpus_id) candidate
+    * parquet with exact cosine — shared by q40 (LSH) and q43 (IVF). */
+  private def knnReplayOracle(candPat: String, k: Int): String =
+    s"""WITH cand AS (SELECT query_id, corpus_id FROM read_parquet('$candPat/*.parquet')),
+       |s AS (SELECT cand.query_id, cand.corpus_id,
+       |        CAST(round(list_cosine_similarity(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_x1e4
+       |      FROM cand JOIN embeddings q ON q.vec_id = cand.query_id
+       |                JOIN embeddings c ON c.vec_id = cand.corpus_id),
+       |r AS (SELECT query_id, corpus_id, cos_x1e4,
+       |        row_number() OVER (PARTITION BY query_id ORDER BY cos_x1e4 DESC, corpus_id) AS rank FROM s)
+       |SELECT query_id, corpus_id, cos_x1e4, rank FROM r WHERE rank <= $k ORDER BY query_id, rank""".stripMargin
+
   val oracle: Map[String, String] = Map(
+    "q40_knn_lsh" -> knnReplayOracle(q40CandPat, 5),
+    "q43_knn_ivf" -> knnReplayOracle(q43CandPat, 5),
     "q30_text_tokens" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,

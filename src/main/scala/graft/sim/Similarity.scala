@@ -102,38 +102,62 @@ object Similarity {
     sigUdf(vec)
   }
 
-  /** LSH-bucketed approximate top-k: candidates share at least one band of
-    * the SRP signature (multi-probe via `numBands` disjoint bit-bands), then
-    * exact cosine ranks within candidates. Recall < 1 by construction;
-    * measured in SimilaritySpec against [[bruteForceTopK]]. */
-  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
-              numBits: Int = 16, numBands: Int = 4, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val bandBits = numBits / numBands
-    val mask = (1 << bandBits) - 1
-    def withBands(df: DataFrame, side: String): DataFrame = {
-      val sig = srpSignature(col(vecCol), dims, numBits, seed)
-      val banded = df.select(col(idCol).as(s"${side}_id"), col(vecCol).as(s"${side}_v"),
-        vecNorm(col(vecCol)).as(s"${side}_n"), sig.as("sig"))
-      (0 until numBands).map { b =>
-        banded.select(col(s"${side}_id"), col(s"${side}_v"), col(s"${side}_n"),
-          lit(b).as("band_idx"),
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
-      }.reduce(_ unionAll _)
-    }
-    val qb = withBands(queries, "query")
-    val cb = withBands(corpus, "corpus")
-    val cands = qb.join(cb, Seq("band_idx", "band_val"))
-      .where(col("query_id") =!= col("corpus_id"))
-      .select("query_id", "query_v", "query_n", "corpus_id", "corpus_v", "corpus_n")
-      .distinct()
-    val scored = cands.withColumn("cos_x1e4",
-      cosineKeyWithNorms(col("query_v"), col("corpus_v"), col("query_n"), col("corpus_n")))
+  /** Exact cosine ranking of an explicit candidate-pair set
+    * (query_id, corpus_id): top-k per query with a deterministic tie-break
+    * (cosine key desc, corpus id asc). Shared scoring tail of
+    * [[lshTopK]]/[[ivfTopK]], and the replay path for a PERSISTED candidate
+    * set (the driver oracle re-ranks the same parquet in DuckDB).
+    *
+    * Scale: the candidate table is 2 narrow id columns — queries broadcast,
+    * and the corpus's wide embedding column is shuffled once, against the
+    * candidate ids, instead of `numBands`× through the band-bucket
+    * exchange. */
+  def rankCandidates(cands: DataFrame, queries: DataFrame, corpus: DataFrame,
+                     k: Int, idCol: String = "vec_id",
+                     vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      vecNorm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
+      vecNorm(col(vecCol)).as("cn"))
+    val scored = cands.join(broadcast(q), "query_id").join(c, "corpus_id")
+      .withColumn("cos_x1e4",
+        cosineKeyWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
     val w = Window.partitionBy("query_id").orderBy(col("cos_x1e4").desc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "corpus_id", "cos_x1e4", "rank")
   }
+
+  /** LSH candidate pairs: (query_id, corpus_id) sharing at least one band
+    * of the SRP signature (multi-probe via `numBands` disjoint bit-bands).
+    * Ids only — the band-bucket exchange never carries the embedding. */
+  def lshCandidates(queries: DataFrame, corpus: DataFrame, dims: Int,
+                    numBits: Int = 16, numBands: Int = 4, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val bandBits = numBits / numBands
+    val mask = (1 << bandBits) - 1
+    def bands(df: DataFrame, side: String): DataFrame = {
+      val base = df.select(col(idCol).as(side),
+        srpSignature(col(vecCol), dims, numBits, seed).as("sig"))
+      (0 until numBands).map { b =>
+        base.select(col(side), lit(b).as("band_idx"),
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
+      }.reduce(_ unionAll _)
+    }
+    bands(queries, "query_id").join(bands(corpus, "corpus_id"), Seq("band_idx", "band_val"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .select("query_id", "corpus_id").distinct()
+  }
+
+  /** LSH-bucketed approximate top-k: [[lshCandidates]] then exact cosine
+    * ranking within candidates ([[rankCandidates]]). Recall < 1 by
+    * construction; measured in SimilaritySpec against [[bruteForceTopK]]. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int, dims: Int,
+              numBits: Int = 16, numBands: Int = 4, seed: Long = 42L,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankCandidates(
+      lshCandidates(queries, corpus, dims, numBits, numBands, seed, idCol, vecCol),
+      queries, corpus, k, idCol, vecCol)
 
   /** IVF (inverted-file) approximate top-k — the other classic ANN scale
     * path: a k-means coarse quantizer partitions the corpus into `nlist`
@@ -143,7 +167,18 @@ object Similarity {
     * broadcast. Uses MLlib KMeans (itself a Spark-native Lloyd's). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
-              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame =
+    rankCandidates(
+      ivfCandidates(queries, corpus, nlist, nprobe, seed, idCol, vecCol),
+      queries, corpus, k, idCol, vecCol)
+
+  /** IVF candidate pairs: the corpus vector's inverted list is among the
+    * query's `nprobe` probed lists. Ids only; lists are disjoint (each
+    * corpus vector sits in exactly one), so the pairs are distinct by
+    * construction — no dedup shuffle needed. */
+  def ivfCandidates(queries: DataFrame, corpus: DataFrame,
+                    nlist: Int = 16, nprobe: Int = 4, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.linalg.Vectors
     val spark = corpus.sparkSession
@@ -167,18 +202,12 @@ object Similarity {
       bc.value.indices.sortBy(i => dist2(v, bc.value(i))).take(nprobe)
     }
 
-    val c = corpus.select(col(idCol).as("corpus_id"), col(vecCol).as("cv"),
-      vecNorm(col(vecCol)).as("cn"), assignUdf(col(vecCol)).as("list_id"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      vecNorm(col(vecCol)).as("qn"), explode(probeUdf(col(vecCol))).as("list_id"))
-    val scored = q.join(c, Seq("list_id"))
+    val c = corpus.select(col(idCol).as("corpus_id"), assignUdf(col(vecCol)).as("list_id"))
+    val q = queries.select(col(idCol).as("query_id"),
+      explode(probeUdf(col(vecCol))).as("list_id"))
+    q.join(c, Seq("list_id"))
       .where(col("query_id") =!= col("corpus_id"))
-      .withColumn("cos_x1e4",
-        cosineKeyWithNorms(col("qv"), col("cv"), col("qn"), col("cn")))
-    val w = Window.partitionBy("query_id").orderBy(col("cos_x1e4").desc, col("corpus_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "corpus_id", "cos_x1e4", "rank")
+      .select("query_id", "corpus_id")
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b) above
