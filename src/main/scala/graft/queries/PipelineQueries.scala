@@ -50,6 +50,7 @@ object PipelineQueries {
     new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_${name}_${Tables.SfTagToken}").toString
   private val tilesScratchPat = pat("q25_tiles")
+  private val q23ModelPat = pat("q23_model")
   private val q22ScratchPat = pat("q22_tiles")
   private val q50TilesPat = pat("q50_tiles")
   private val q50SrcPat = pat("q50_src")
@@ -82,9 +83,31 @@ object PipelineQueries {
         .orderBy($"user", $"latitude", $"longitude", $"amount", $"cluster")
     }),
 
-    // S7: GeoJSON export surface
+    // S7: GeoJSON export surface — oracle-exact round-trip: the model is
+    // SAVED (S6; {path}/hulls carries the exact hull state), the REAL
+    // toGeoJson() string is parsed back with from_json, and each feature's
+    // ring is emitted as integer-keyed (µdeg) positions. DuckDB rebuilds
+    // the identical ring from the saved hulls parquet — including the
+    // GeoJson.polygon closing vertex and the degenerate (<3-point) square
+    // buffer — so any corruption in the GeoJSON writer breaks the hash.
     "q23_geoscan_geojson" -> ((s, dir) => {
-      persModel(s, dir).toGeoJson()
+      import s.implicits._
+      val m = persModel(s, dir)
+      m.write.overwrite().save(scratch(q23ModelPat, dir))
+      val fcSchema = "STRUCT<type: STRING, features: ARRAY<STRUCT<" +
+        "properties: STRUCT<cluster: STRING>, " +
+        "geometry: STRUCT<type: STRING, coordinates: ARRAY<ARRAY<ARRAY<DOUBLE>>>>>>>"
+      m.toGeoJson()
+        .select($"user", from_json($"cluster", fcSchema, Map.empty[String, String]).as("fc"))
+        .select($"user", explode($"fc.features").as("f"))
+        .select($"user",
+          $"f.properties.cluster".cast("long").as("cluster"),
+          $"f.geometry.type".as("geom_type"),
+          size($"f.geometry.coordinates"(0)).cast("long").as("n_ring"),
+          array_join(transform($"f.geometry.coordinates"(0),
+            p => concat(round(p(0) * 1e6).cast("long").cast("string"), lit(":"),
+              round(p(1) * 1e6).cast("long").cast("string"))), ",").as("ring"))
+        .orderBy($"user", $"cluster")
     }),
 
     // A10/U4: per-user bloom build + O(1) membership scoring — the
@@ -151,6 +174,31 @@ object PipelineQueries {
   // scratch paths carry the SfTagToken; Verify substitutes the actual sf
   // tag when dumping oracle_sql.json (Verify.scala)
   val oracle: Map[String, String] = Map(
+    // rebuild each feature's Polygon ring from the saved hull state,
+    // mirroring GeoJson.polygon: closing vertex for real hulls, the
+    // eps-buffered square for degenerate (<3-vertex) ones. Positions are
+    // [lng, lat]; keys are µdeg integers (proven round() parity).
+    "q23_geoscan_geojson" ->
+      s"""WITH h AS (SELECT "user", cluster, hull FROM read_parquet('$q23ModelPat/hulls/*.parquet')),
+         |d AS (SELECT "user", cluster, hull,
+         |        hull[1]."_1" AS la1, hull[1]."_2" AS lo1,
+         |        CASE WHEN len(hull) = 2 THEN hull[2]."_1" ELSE hull[1]."_1" END AS la2,
+         |        CASE WHEN len(hull) = 2 THEN hull[2]."_2" ELSE hull[1]."_2" END AS lo2 FROM h),
+         |e AS (SELECT "user", cluster, hull,
+         |        least(la1, la2) - CAST(1e-7 AS DOUBLE) AS blo,
+         |        greatest(la1, la2) + CAST(1e-7 AS DOUBLE) AS bhi,
+         |        least(lo1, lo2) - CAST(1e-7 AS DOUBLE) AS blo2,
+         |        greatest(lo1, lo2) + CAST(1e-7 AS DOUBLE) AS bhi2 FROM d),
+         |r AS (SELECT "user", cluster,
+         |        CASE WHEN len(hull) >= 3 THEN list_append(hull, hull[1])
+         |             ELSE [{'_1': blo, '_2': blo2}, {'_1': blo, '_2': bhi2}, {'_1': bhi, '_2': bhi2},
+         |                   {'_1': bhi, '_2': blo2}, {'_1': blo, '_2': blo2}]
+         |        END AS ring FROM e)
+         |SELECT "user", cluster, 'Polygon' AS geom_type, CAST(len(ring) AS BIGINT) AS n_ring,
+         |  array_to_string(list_transform(ring, p ->
+         |    CAST(CAST(round(p."_2" * 1000000) AS BIGINT) AS VARCHAR) || ':' ||
+         |    CAST(CAST(round(p."_1" * 1000000) AS BIGINT) AS VARCHAR)), ',') AS ring
+         |FROM r ORDER BY "user", cluster""".stripMargin,
     "q50_stream_anomalies" ->
       s"""WITH p AS (SELECT * FROM read_parquet('$q50SrcPat/*.parquet'))
          |SELECT "user", latitude, longitude, amount FROM p
