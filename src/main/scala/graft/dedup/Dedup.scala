@@ -99,6 +99,27 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
+  /** Near-duplicate GROUPS: connected components over the MinHash+LSH
+    * candidate graph ([[minhashCandidates]]), one row per group with its
+    * size and canonical keep id (min doc id — deterministic). Documents in
+    * no candidate pair are their own singleton group.
+    *
+    * Scale: candidates are the banded bucket join (never all pairs); the
+    * component contraction is [[graft.cluster.ConnectedComponents]] —
+    * O(log² n) rounds independent of chain length, so a 10M-doc near-dup
+    * chain doesn't degrade to 10M rounds the way label propagation would. */
+  def dedupGroups(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                  numHashes: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
+    val pairs = minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand, shingleN)
+    val cc = graft.cluster.ConnectedComponents.run(
+      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+    df.select(col(idCol))
+      .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
+      .select(col(idCol), coalesce(col("component"), col(idCol)).as("group_id"))
+      .groupBy(col("group_id"))
+      .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
+  }
+
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(shA: Column, shB: Column): Column = {
     val inter = size(array_intersect(shA, shB)).cast("double")

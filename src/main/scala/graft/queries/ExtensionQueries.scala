@@ -36,9 +36,11 @@ object ExtensionQueries {
   private val toksSql = "list_filter(string_split(lower(text), ' '), t -> t != '')"
   private def stopHitsSql(toks: String, words: Seq[String]): String =
     s"len(list_filter($toks, t -> t IN (${words.map(w => s"'$w'").mkString(",")})))"
-  /** distinct word 3-gram shingles over `tk` */
-  private val shinglesSql =
-    "list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 0)), i -> array_to_string(list_slice(tk, i, i+2), ' ')))"
+  /** distinct word n-gram shingles over `tk` */
+  private def shinglesSqlN(n: Int): String =
+    s"list_distinct(list_transform(generate_series(1, greatest(len(tk)-${n - 1}, 0)), " +
+      s"i -> array_to_string(list_slice(tk, i, i+${n - 1}), ' ')))"
+  private val shinglesSql = shinglesSqlN(3)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // token counting (whitespace + BPE-ish estimate)
@@ -97,6 +99,54 @@ object ExtensionQueries {
         t(s, dir, "documents").filter($"source".isin("src0", "src1")),
         blockCols = Seq("source"), threshold = 0.10)
         .orderBy("source", "id_a", "id_b")
+    }),
+
+    // train/test contamination check: test-split docs sharing any word
+    // 5-gram with a train-split doc (the benchmark-decontamination pass a
+    // pretraining pipeline runs before eval). Split = the q55 hash split;
+    // same explode→equi-join shape as dedup, so it scales the same way.
+    "q56_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val tagged = t(s, dir, "documents").withColumn("bk",
+        TextFunctions.md5Bucket16($"doc_id".cast("string"), "split|") % 100)
+      val train = tagged.where($"bk" < 80)
+        .select($"doc_id".as("train_id"), explode(Dedup.shingles($"text", 5)).as("ng"))
+      val test = tagged.where($"bk" >= 90)
+        .select($"doc_id".as("test_id"), explode(Dedup.shingles($"text", 5)).as("ng"))
+      test.join(train, Seq("ng"))
+        .groupBy($"test_id")
+        .agg(countDistinct($"train_id").as("n_train_docs"), count(lit(1)).as("n_hits"))
+        .orderBy($"test_id")
+    }),
+
+    // near-dup GROUP extraction: connected components over the minhash
+    // candidate graph → canonical keep-doc per group (the step after
+    // pairwise candidates in a real dedup pipeline)
+    "q57_dedup_groups" -> ((s, dir) => {
+      Dedup.dedupGroups(t(s, dir, "documents")).orderBy("group_id")
+    }),
+
+    // per-label embedding centroids (exact decimal sums — plan-order
+    // independent, so replayable cross-engine)
+    "q58_embed_centroid" -> ((s, dir) => {
+      Similarity.centroids(t(s, dir, "embeddings")).orderBy("label", "dim")
+    }),
+
+    // repetition quality signal: top-bigram share per doc (Gopher-style
+    // repetitive-text filter)
+    "q59_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val per = docs.select($"doc_id", explode(TextFunctions.bigrams($"text")).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      val agg = per.groupBy($"doc_id")
+        .agg(max($"c").as("top_cnt"), sum($"c").as("n_bigrams"))
+      docs.select($"doc_id").join(agg, Seq("doc_id"), "left_outer")
+        .select($"doc_id", coalesce($"top_cnt", lit(0L)).as("top_cnt"),
+          coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+          round(coalesce($"top_cnt".cast("double") / $"n_bigrams".cast("double"), lit(0.0)), 6)
+            .as("rep_ratio"))
+        .orderBy($"doc_id")
     }),
 
     // 16-bit SimHash signatures
@@ -442,21 +492,41 @@ object ExtensionQueries {
        |SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash FROM toks ORDER BY doc_id""".stripMargin
   }
 
-  private def minhashOracle: String = {
-    // mirror of Dedup.minhashSignatures: base = md5(shingle) once, then
-    // h_k = min md5(k|base)
+  /** CTE chain ending in `cand` = the MinHash+LSH candidate pairs — the
+    * mirror of Dedup.minhashSignatures (base = md5(shingle) once, then
+    * h_k = min md5(k|base)) + lshBands. Shared by the q35 oracle and q57's
+    * recursive-closure oracle. */
+  private def minhashCandCtes: String = {
     val hs = (0 until 8).map(k => s"list_min(list_transform(sh, x -> md5('$k|' || md5(x)))) AS h$k").mkString(", ")
     val bands = (0 until 4).map(b =>
       s"SELECT doc_id, $b AS band_idx, md5(h${2 * b} || h${2 * b + 1}) AS band_val FROM sigs")
       .mkString(" UNION ALL ")
-    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+    s"""toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |shg AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
        |sigs AS (SELECT doc_id, $hs FROM shg),
-       |bands AS ($bands)
-       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-       |FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
-       |ORDER BY id_a, id_b""".stripMargin
+       |bands AS ($bands),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)""".stripMargin
   }
+
+  private def minhashOracle: String =
+    s"WITH $minhashCandCtes\nSELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
+
+  /** Connected components of the candidate graph as a transitive-closure
+    * recursive CTE (min reachable id = the component label — the same
+    * definition ConnectedComponents.run converges to), then per-group
+    * aggregation over ALL documents (absent docs are singletons). */
+  private def dedupGroupsOracle: String =
+    s"""WITH RECURSIVE $minhashCandCtes,
+       |edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+       |reach(id, r) AS (
+       |  SELECT DISTINCT a, a FROM edges
+       |  UNION
+       |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |SELECT coalesce(c.component, d.doc_id) AS group_id, count(*) AS n_docs, min(d.doc_id) AS keep_id
+       |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+       |GROUP BY 1 ORDER BY 1""".stripMargin
 
   /** ANN replay oracle: re-rank a persisted (query_id, corpus_id) candidate
     * parquet with exact cosine — shared by q40 (LSH) and q43 (IVF). */
@@ -506,6 +576,30 @@ object ExtensionQueries {
     "q34_dedup_exact" ->
       "SELECT md5(lower(text)) AS fp, min(doc_id) AS keep_id, count(*) AS n_dups FROM documents GROUP BY 1 ORDER BY 1",
     "q35_dedup_minhash" -> minhashOracle,
+    "q56_contamination" ->
+      s"""WITH b AS (SELECT doc_id, text,
+         |  ${TextFunctions.md5Bucket16Sql("CAST(doc_id AS VARCHAR)", "split|")} % 100 AS bk FROM documents),
+         |c AS (SELECT doc_id, bk, $toksSql AS tk FROM b),
+         |sh AS (SELECT doc_id, bk, ${shinglesSqlN(5)} AS sh FROM c),
+         |tr AS (SELECT doc_id AS train_id, unnest(sh) AS ng FROM sh WHERE bk < 80),
+         |te AS (SELECT doc_id AS test_id, unnest(sh) AS ng FROM sh WHERE bk >= 90)
+         |SELECT test_id, count(DISTINCT train_id) AS n_train_docs, count(*) AS n_hits
+         |FROM te JOIN tr USING (ng) GROUP BY test_id ORDER BY test_id""".stripMargin,
+    "q57_dedup_groups" -> dedupGroupsOracle,
+    "q58_embed_centroid" ->
+      """WITH x AS (SELECT label, unnest(range(len(embedding))) AS dim, unnest(embedding) AS v FROM embeddings)
+        |SELECT label, dim, count(*) AS n,
+        |  CAST(round(CAST(sum(CAST(CAST(v AS DOUBLE) AS DECIMAL(27,9))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS centroid_key
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q59_repetition" ->
+      s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+         |         i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bg FROM c),
+         |per AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         |agg AS (SELECT doc_id, max(cnt) AS top_cnt, CAST(sum(cnt) AS BIGINT) AS n_bigrams FROM per GROUP BY 1)
+         |SELECT d.doc_id, coalesce(top_cnt, 0) AS top_cnt, coalesce(n_bigrams, 0) AS n_bigrams,
+         |  round(coalesce(CAST(top_cnt AS DOUBLE) / CAST(n_bigrams AS DOUBLE), CAST(0.0 AS DOUBLE)), 6) AS rep_ratio
+         |FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id ORDER BY d.doc_id""".stripMargin,
     "q36_dedup_jaccard" ->
       s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents WHERE source IN ('src0','src1')),
          |shg AS (SELECT source, doc_id, $shinglesSql AS sh FROM c),

@@ -210,6 +210,23 @@ object Similarity {
       .select("query_id", "corpus_id")
   }
 
+  /** Per-label embedding centroid, one row per (label, dim):
+    * `centroid_key` = the mean×10^6 as an integer (cross-engine-comparable).
+    *
+    * The per-dimension sum runs in DECIMAL — exact and associative, so the
+    * result is independent of partition/merge order (a double sum's value
+    * would drift with the physical plan) and replayable in any engine.
+    * Scale: posexplode fans rows ×dims, but partial (map-side) aggregation
+    * bounds the shuffle at |labels|×dims rows. */
+  def centroids(df: DataFrame, labelCol: String = "label",
+                vecCol: String = "embedding"): DataFrame =
+    df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("v").cast("double").cast("decimal(27,9)")).as("s"))
+      .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
+        round(col("s").cast("double") / col("n") * 1e6).cast("long").as("centroid_key"))
+
   /** Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b) above
     * `threshold`, via LSH candidate generation + exact verify. */
   def cosineNearDups(df: DataFrame, dims: Int, threshold: Double,

@@ -20,6 +20,17 @@ object TextFunctions {
 
   def tokenCount(text: Column): Column = size(tokens(text))
 
+  /** Word bigrams of the lowercased text, NON-distinct (unlike
+    * [[graft.dedup.Dedup.shingles]]) — repetition scoring needs the
+    * multiplicity of each bigram, not the set. */
+  def bigrams(text: Column): Column = {
+    val toks = tokens(lower(text))
+    val cnt = size(toks) - 1
+    when(cnt >= 1,
+      transform(sequence(lit(1), cnt), i => concat_ws(" ", slice(toks, i, lit(2)))))
+      .otherwise(array().cast("array<string>"))
+  }
+
   /** BPE-ish subword count estimate: whitespace tokens + extra units for
     * long words (a word of n chars ≈ ceil(n/4) subwords) — the cheap
     * pre-tokenization cost model used when budgeting LLM training data. */

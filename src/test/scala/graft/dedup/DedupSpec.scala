@@ -33,6 +33,16 @@ class DedupSpec extends SparkSpec {
     assert(!pairs.contains((4L, 5L)), "unrelated docs should not collide")
   }
 
+  test("dedupGroups: transitive near-dup group under min id, singletons kept") {
+    val out = Dedup.dedupGroups(docs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1+2 (exact) and likely 3 (near) share group 1; 4 and 5 are singletons
+    assert(out(1L)._1 >= 2, s"group 1 should hold the dup pair: $out")
+    assert(out(1L)._2 == 1L, "keep id is the min doc id")
+    assert(out(4L) == (1L, 4L) && out(5L) == (1L, 5L), "unrelated docs stay singletons")
+    assert(out.values.map(_._1).sum == 5, "groups partition the corpus")
+  }
+
   test("ngram jaccard ranks near-dup above unrelated") {
     import spark.implicits._
     val blocked = docs.withColumn("source", lit("s"))

@@ -18,6 +18,19 @@ class SimilaritySpec extends SparkSpec {
     }.toDF("vec_id", "embedding")
   }
 
+  test("centroids: exact per-label per-dim means with integer keys") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Seq(1f, 2f)), ("a", Seq(3f, 4f)),
+      ("b", Seq(-1f, 0.5f))).toDF("label", "embedding")
+    val out = Similarity.centroids(df).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3))).toMap
+    assert(out(("a", 0L)) == (2L, 2000000L)) // mean(1,3)=2
+    assert(out(("a", 1L)) == (2L, 3000000L)) // mean(2,4)=3
+    assert(out(("b", 0L)) == (1L, -1000000L))
+    assert(out(("b", 1L)) == (1L, 500000L))
+  }
+
   test("cosine of identical vectors is 1, orthogonal is 0") {
     import spark.implicits._
     val df = Seq(

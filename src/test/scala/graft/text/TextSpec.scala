@@ -17,6 +17,15 @@ class TextSpec extends SparkSpec {
     assert(out(3L) == ((2, 6)))         // ceil(20/4)=5 + 1
   }
 
+  test("bigrams: ordered, non-distinct, lowercased; short docs empty") {
+    import spark.implicits._
+    val df = Seq(("Go go Go go", 1L), ("one", 2L), ("", 3L)).toDF("text", "id")
+    val out = df.select($"id", TextFunctions.bigrams($"text").as("bg"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(out(1L) == Seq("go go", "go go", "go go")) // multiplicity kept
+    assert(out(2L).isEmpty && out(3L).isEmpty)
+  }
+
   test("quality signals: punctuation and stopwords") {
     import spark.implicits._
     val clean = "the cat and the dog of the house"
