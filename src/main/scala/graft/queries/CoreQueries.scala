@@ -159,15 +159,13 @@ object CoreQueries {
       // inside the final plan, so only the separate `n` count pays a repeat.
       val pointsCells = Tables.points(s, dir)
         .select($"user_id", GeoFunctions.geoCell($"latitude", $"longitude", 9).as("cell"))
-      val tiles = pointsCells.distinct()
-      // distinct cells BEFORE the join — same distinct-ed result, avoids the
-      // tiles×points per-cell fanout (see GeoFraudPipeline.tfidfTiles)
-      val docFreq = tiles.select($"cell").distinct()
-        .join(pointsCells, Seq("cell"))
-        .select($"user_id", $"cell").distinct()
-        .groupBy($"cell").agg(sum(lit(1)).as("df"))
-      val termFreq = tiles.join(pointsCells, Seq("cell", "user_id"))
-        .groupBy($"user_id", $"cell").agg(sum(lit(1)).as("tf"))
+      // here (unlike GeoFraudPipeline.tfidfTiles, whose tile set carries
+      // layer cells beyond the points' own cells) the "document" set IS the
+      // points' (user, cell) pairs — so tf and df both derive from ONE
+      // grouped scan: tf = points per (user, cell), df = distinct users per
+      // cell = a count over the tf aggregate. No join, no distinct passes.
+      val termFreq = pointsCells.groupBy($"user_id", $"cell").agg(sum(lit(1)).as("tf"))
+      val docFreq = termFreq.groupBy($"cell").agg(sum(lit(1)).as("df"))
       // broadcast scalar N, J6 (01_geofraud_clustering.py:409) — folded into
       // the plan as a broadcast 1-row cross join instead of a driver-side
       // count action, so the docFreq tree is computed once, not twice
