@@ -225,6 +225,34 @@ object CoreQueries {
       s.table("graft_bench.t_orders_p").orderBy($"o_orderkey")
     }),
 
+    // S3/S4 + J1 at 100 TB: BUCKETED co-located join — both sides written
+    // bucketBy(8) on the join key, so the big-table join plans with ZERO
+    // shuffle exchanges (asserted in PlanAuditSpec): pay the layout once at
+    // write time, every later join of these tables is exchange-free. The
+    // plain-parquet analog of the reference's Delta OPTIMIZE ZORDER
+    // layout-for-access pattern (01_geofraud_clustering.py:440).
+    "q60_bucketed_join" -> ((s, dir) => {
+      import s.implicits._
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
+      Seq("t_orders_b", "t_customer_b").foreach { tbl =>
+        s.sql(s"DROP TABLE IF EXISTS graft_bench.$tbl")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir") + s"/graft_bench.db/$tbl")
+        loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      }
+      t(s, dir, "orders").select($"o_orderkey", $"o_custkey", $"o_totalprice")
+        .write.format("parquet").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_bench.t_orders_b")
+      t(s, dir, "customer").select($"c_custkey", $"c_acctbal")
+        .write.format("parquet").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_bench.t_customer_b")
+      s.table("graft_bench.t_orders_b")
+        .join(s.table("graft_bench.t_customer_b"), $"o_custkey" === $"c_custkey")
+        .groupBy($"c_custkey")
+        .agg(count(lit(1)).as("n_orders"), max($"o_totalprice").as("max_price"))
+        .orderBy($"c_custkey")
+    }),
+
     // S1/S5: CSV sink + scan round-trip with explicit schema (the reference's
     // CSV ingestion, 01_geofraud_clustering.py:56-62, without the pandas hop)
     "q20_csv_roundtrip" -> ((s, dir) => {
@@ -303,6 +331,10 @@ object CoreQueries {
     "q20_csv_roundtrip" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "q26_table_roundtrip" ->
-      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P' ORDER BY o_orderkey"
+      "SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderstatus = 'P' ORDER BY o_orderkey",
+    "q60_bucketed_join" ->
+      """SELECT c_custkey, count(*) AS n_orders, max(o_totalprice) AS max_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -54,6 +54,25 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q60 bucketed join + aggregate reuse the bucket layout: zero shuffles before the orderBy") {
+    // force the SMJ path (at sf0.001 the dimension side would broadcast,
+    // which hides the property under test: bucket co-location)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val df = graft.SparkEntry.queries("q60_bucketed_join")(spark, sf)
+      df.collect() // realize the AQE plan
+      // AQE's toString repeats the plan under "== Initial Plan =="; audit
+      // only the final executed section
+      val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+      assert(p.contains("SortMergeJoin"), p)
+      assert(p.contains("Bucketed: true"), p)
+      // join on the bucket key and groupBy on that key add NO exchange; the
+      // only shuffle in the whole plan is the final orderBy's range partition
+      assert("Exchange".r.findAllIn(p).size == 1, p)
+      assert(p.contains("rangepartitioning"), p)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+  }
+
   test("q16 broadcast-scalar N is a broadcast loop over one row, not a shuffle") {
     val p = plan("q16_tfidf")
     assert(p.contains("BroadcastNestedLoopJoin"), p)
