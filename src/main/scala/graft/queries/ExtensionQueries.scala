@@ -463,6 +463,46 @@ object ExtensionQueries {
       s.read.parquet(out).orderBy($"user_id", $"hour_us")
     }),
 
+    // §2.10 custom streaming STATE, driver-visible: a real readStream
+    // through TileStore.sliding — flatMapGroupsWithState with per-user
+    // tile→lastSeen state and EventTimeTimeout — emitting one snapshot per
+    // user. The TTL exceeds the data's span so the single AvailableNow
+    // batch (watermark 0 during batch 1) is deterministic and equals the
+    // per-user distinct tile set; the TTL-pruning/timeout law itself is
+    // StreamingSpec territory (multi-batch watermark timing isn't
+    // replayable in SQL).
+    "q61_stream_state" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = Tables.sfTag(dir)
+      val out = new java.io.File(tmp, s"graft_q61_out_$tag").toString
+      val chk = new java.io.File(tmp, s"graft_q61_chk_$tag").toString
+      val srcDir = new java.io.File(tmp, s"graft_q61_src_$tag").toString
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      Seq(out, chk, srcDir).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      t(s, dir, "events").select(
+          $"user_id".cast("string").as("user"),
+          concat(lit("T"), ($"event_id" % 50).cast("string")).as("h3"),
+          expr("timestamp_micros(ts DIV 1000)").as("createdAt"))
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val stream = s.readStream.schema(schema).parquet(srcDir)
+        .as[TileStore.TileEvent]
+      val q = TileStore.sliding(stream, ttlSeconds = 3650L * 86400L)
+        .select($"user", array_join($"tiles", ",").as("tiles"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy($"user")
+    }),
+
     // sliding TTL validity window (batch twin of the streaming tile store)
     "q42_ttl_window" -> ((s, dir) => {
       import s.implicits._
@@ -722,6 +762,10 @@ object ExtensionQueries {
          |SELECT doc_id, n_tokens,
          |  CAST((sum(coalesce(n_tokens, 0)) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - coalesce(n_tokens, 0)) // 5000 AS BIGINT) AS shard
          |FROM c ORDER BY doc_id""".stripMargin,
+    "q61_stream_state" ->
+      """WITH tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3 FROM events)
+        |SELECT "user", array_to_string(list_sort(list(DISTINCT h3)), ',') AS tiles
+        |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_ttl_window" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3, ts FROM events)
