@@ -19,6 +19,17 @@ object Tables {
   def sfTag(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
   val SfTagToken = "__SFTAG__"
 
+  /** Scratch parquet shared between a Spark query run and its DuckDB
+    * oracle, keyed by the sf dir so runs over different scale factors never
+    * clobber each other. Oracle SQL embeds the [[SfTagToken]] pattern
+    * ([[scratchPat]]); the query substitutes the concrete tag at run time
+    * ([[scratch]]) and Verify does the same when dumping oracle_sql.json. */
+  def scratchPat(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_${name}_$SfTagToken").toString
+  def scratch(pattern: String, sfDir: String): String =
+    pattern.replace(SfTagToken, sfTag(sfDir))
+
   /** Synthetic transaction points: one row per lineitem, joined to orders
     * for the user key. Columns: latitude, longitude, amount, user_id.
     * Every arithmetic step is IEEE-double and reproduced verbatim in

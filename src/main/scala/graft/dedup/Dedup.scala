@@ -136,8 +136,10 @@ object Dedup {
     * every document's whole shingle set through the shuffle O(block) times
     * and runs an O(|A|+|B|) set intersection per pair; at 100 TB the block
     * join's fanout makes that the dominant cost (measured 20× slower on the
-    * driver's sf0.1 bench). Pairs with an empty intersection (Jaccard 0) are
-    * never emitted. */
+    * driver's sf0.1 bench). CONTRACT CHANGE vs the array-intersect
+    * spelling: pairs with an empty intersection (Jaccard 0) are never
+    * emitted — even at `threshold <= 0` the output holds only pairs sharing
+    * ≥1 shingle (DedupSpec pins this: absent pair ⇒ Jaccard 0). */
   def ngramJaccardPairs(df: DataFrame, blockCols: Seq[String],
                         threshold: Double, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 3): DataFrame = {

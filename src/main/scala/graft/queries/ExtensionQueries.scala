@@ -18,17 +18,9 @@ object ExtensionQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
 
-  /** Scratch parquet shared between a Spark run and its DuckDB oracle,
-    * keyed by the sf dir (same pattern as PipelineQueries): the oracle SQL
-    * embeds `Tables.SfTagToken` and Verify substitutes the tag at dump
-    * time. */
-  private def scratch(pattern: String, dir: String): String =
-    pattern.replace(Tables.SfTagToken, Tables.sfTag(dir))
-  private def pat(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_${Tables.SfTagToken}").toString
-  private val q40CandPat = pat("q40_cands")
-  private val q43CandPat = pat("q43_cands")
+  import Tables.{scratch, scratchPat}
+  private val q40CandPat = scratchPat("q40_cands")
+  private val q43CandPat = scratchPat("q43_cands")
 
   // ---- shared DuckDB SQL fragments (mirror the Scala column functions) ----
 

@@ -40,22 +40,14 @@ object PipelineQueries {
     } else m
   }
 
-  /** Scratch parquet shared between the q25/q22/q50 Spark runs and their
-    * DuckDB oracles — keyed by the sf dir so runs over different scale
-    * factors never clobber each other's artifacts. The oracle SQL embeds
-    * `Tables.SfTagToken`; Verify substitutes the tag when dumping. */
-  private def scratch(pattern: String, dir: String): String =
-    pattern.replace(Tables.SfTagToken, Tables.sfTag(dir))
-  private def pat(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_${name}_${Tables.SfTagToken}").toString
-  private val tilesScratchPat = pat("q25_tiles")
-  private val q23ModelPat = pat("q23_model")
-  private val q22ScratchPat = pat("q22_tiles")
-  private val q50TilesPat = pat("q50_tiles")
-  private val q50SrcPat = pat("q50_src")
-  private val q50OutPat = pat("q50_out")
-  private val q50ChkPat = pat("q50_chk")
+  import Tables.{scratch, scratchPat}
+  private val tilesScratchPat = scratchPat("q25_tiles")
+  private val q23ModelPat = scratchPat("q23_model")
+  private val q22ScratchPat = scratchPat("q22_tiles")
+  private val q50TilesPat = scratchPat("q50_tiles")
+  private val q50SrcPat = scratchPat("q50_src")
+  private val q50OutPat = scratchPat("q50_out")
+  private val q50ChkPat = scratchPat("q50_chk")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // M3/M4 + A7-A9: per-user GEOSCAN fit → tile cover

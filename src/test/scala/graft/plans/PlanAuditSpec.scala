@@ -57,6 +57,7 @@ class PlanAuditSpec extends SparkSpec {
   test("q60 bucketed join + aggregate reuse the bucket layout: zero shuffles before the orderBy") {
     // force the SMJ path (at sf0.001 the dimension side would broadcast,
     // which hides the property under test: bucket co-location)
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
     try {
       val df = graft.SparkEntry.queries("q60_bucketed_join")(spark, sf)
@@ -70,7 +71,7 @@ class PlanAuditSpec extends SparkSpec {
       // only shuffle in the whole plan is the final orderBy's range partition
       assert("Exchange".r.findAllIn(p).size == 1, p)
       assert(p.contains("rangepartitioning"), p)
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
   }
 
   test("q16 broadcast-scalar N is a broadcast loop over one row, not a shuffle") {
