@@ -105,6 +105,22 @@ class PlansSpec extends SparkSpec {
     }
   }
 
+  test("vec_dot is SQL-callable via the function registry with type checking") {
+    spark.sessionState.functionRegistry.registerFunction(
+      new org.apache.spark.sql.catalyst.FunctionIdentifier("vec_dot_native"),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(
+        classOf[VecDotExpression].getName, "vec_dot_native"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VecDotExpression(children(0), children(1)))
+    assert(spark.sql("SELECT vec_dot_native(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head.getDouble(0) == 11.0)
+    assert(spark.sql("SELECT vec_dot_native(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D))")
+      .head.isNullAt(0))
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot_native(array('a'), array(1.0D))").collect()
+    }
+  }
+
   test("vec_dot matches the HOF spelling bit-for-bit (incl. null semantics)") {
     import spark.implicits._
     import graft.sim.Similarity
