@@ -253,6 +253,22 @@ object CoreQueries {
         .orderBy($"c_custkey")
     }),
 
+    // pivot (wide reshaping): order counts per priority × status. Explicit
+    // pivot values keep the plan a single pass (no distinct-values job) —
+    // the form that scales; absent combos are 0 not null on both engines.
+    "q62_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy($"o_orderpriority")
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .select($"o_orderpriority",
+          coalesce($"F", lit(0L)).as("f_cnt"),
+          coalesce($"O", lit(0L)).as("o_cnt"),
+          coalesce($"P", lit(0L)).as("p_cnt"))
+        .orderBy($"o_orderpriority")
+    }),
+
     // S1/S5: CSV sink + scan round-trip with explicit schema (the reference's
     // CSV ingestion, 01_geofraud_clustering.py:56-62, without the pandas hop)
     "q20_csv_roundtrip" -> ((s, dir) => {
@@ -335,6 +351,12 @@ object CoreQueries {
     "q60_bucketed_join" ->
       """SELECT c_custkey, count(*) AS n_orders, max(o_totalprice) AS max_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q62_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_cnt,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_cnt
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }
