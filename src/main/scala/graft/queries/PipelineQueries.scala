@@ -43,6 +43,7 @@ object PipelineQueries {
   import Tables.{scratch, scratchPat}
   private val tilesScratchPat = scratchPat("q25_tiles")
   private val q23ModelPat = scratchPat("q23_model")
+  private val q21ModelPat = scratchPat("q21_model")
   private val q22ScratchPat = scratchPat("q22_tiles")
   private val q50TilesPat = scratchPat("q50_tiles")
   private val q50SrcPat = scratchPat("q50_src")
@@ -50,9 +51,16 @@ object PipelineQueries {
   private val q50ChkPat = scratchPat("q50_chk")
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // M3/M4 + A7-A9: per-user GEOSCAN fit → tile cover
+    // M3/M4 + A7-A9: per-user GEOSCAN fit → tile cover. Oracle-exact: the
+    // model is saved and DuckDB re-derives the ENTIRE tiling from the hull
+    // state — bbox indices, ray-cast center-in-polygon test, vertex cells,
+    // 1-ring expansion with lat clip + lng wrap, min-cluster dedup — each
+    // arithmetic step mirrored bit-for-bit (GeoCell.polygonCells).
     "q21_geoscan_tiles" -> ((s, dir) => {
-      persModel(s, dir).getTiles(10, 1)
+      import s.implicits._
+      val m = persModel(s, dir)
+      m.write.overwrite().save(scratch(q21ModelPat, dir))
+      m.getTiles(10, 1).orderBy($"user", $"h3")
     }),
 
     // M1/M2: distributed GEOSCAN fit → transform (nullable cluster label).
@@ -165,7 +173,49 @@ object PipelineQueries {
 
   // scratch paths carry the SfTagToken; Verify substitutes the actual sf
   // tag when dumping oracle_sql.json (Verify.scala)
+  /** GeoCell.polygonCells replayed in SQL over the saved hull state: every
+    * float op (step constant, floor indices with clamp/pmod, cell centers,
+    * the ray-cast crossing test) mirrors the Scala bit-for-bit. The PIP
+    * division can hit x/0 where Scala's && short-circuits — the IEEE inf/nan
+    * result then fails the same comparison the false guard would have
+    * skipped, so the conjunction agrees. */
+  private def q21Oracle: String = {
+    val res = 10
+    val rows = 1L << (res + 8)
+    val cols = 1L << (res + 9)
+    val step = s"(CAST(180 AS DOUBLE)/$rows)"
+    def latIdx(e: String) =
+      s"least(greatest(CAST(floor((($e) + 90.0) / $step) AS BIGINT), 0), $rows - 1)"
+    def lngIdx(e: String) =
+      s"(((CAST(floor((($e) + 180.0) / $step) AS BIGINT) % $cols) + $cols) % $cols)"
+    val prev = """hull[CASE WHEN m = 0 THEN len(hull) ELSE m END]"""
+    val cur = "hull[m+1]"
+    val pip = (s"""len(hull) >= 3 AND (list_sum(list_transform(range(len(hull)), m ->
+      |  CASE WHEN (($cur."_1" > cla) <> ($prev."_1" > cla))
+      |        AND (clo < ($prev."_2" - $cur."_2") * (cla - $cur."_1") / ($prev."_1" - $cur."_1") + $cur."_2")
+      |  THEN 1 ELSE 0 END)) % 2) = 1""").stripMargin.replace("\n", " ")
+    s"""WITH h AS (SELECT "user", cluster, hull FROM read_parquet('$q21ModelPat/hulls/*.parquet')),
+       |b AS (SELECT "user", cluster, hull,
+       |  ${latIdx("list_min(list_transform(hull, p -> p.\"_1\"))")} AS i0,
+       |  ${latIdx("list_max(list_transform(hull, p -> p.\"_1\"))")} AS i1,
+       |  ${lngIdx("list_min(list_transform(hull, p -> p.\"_2\"))")} AS j0,
+       |  ${lngIdx("list_max(list_transform(hull, p -> p.\"_2\"))")} AS j1 FROM h),
+       |g AS (SELECT "user", cluster, i, j
+       |  FROM (SELECT *, (i + 0.5) * $step - 90.0 AS cla, (j + 0.5) * $step - 180.0 AS clo
+       |        FROM b, unnest(range(i0, i1 + 1)) AS ri(i), unnest(range(j0, j1 + 1)) AS rj(j)) t
+       |  WHERE $pip),
+       |vl AS (SELECT "user", cluster, unnest(hull) AS p FROM h),
+       |v AS (SELECT "user", cluster, ${latIdx("p.\"_1\"")} AS i, ${lngIdx("p.\"_2\"")} AS j FROM vl),
+       |base AS (SELECT DISTINCT "user", cluster, i, j FROM (SELECT * FROM g UNION ALL SELECT * FROM v) x),
+       |r AS (SELECT DISTINCT "user", cluster, i + di AS ii, (((j + dj) % $cols) + $cols) % $cols AS jj
+       |  FROM base, unnest([-1, 0, 1]) AS d1(di), unnest([-1, 0, 1]) AS d2(dj)
+       |  WHERE i + di >= 0 AND i + di < $rows)
+       |SELECT "user", min(cluster) AS cluster, printf('%X%07X%07X', $res, ii, jj) AS h3
+       |FROM r GROUP BY "user", ii, jj ORDER BY "user", h3""".stripMargin
+  }
+
   val oracle: Map[String, String] = Map(
+    "q21_geoscan_tiles" -> q21Oracle,
     // rebuild each feature's Polygon ring from the saved hull state,
     // mirroring GeoJson.polygon: closing vertex for real hulls, the
     // eps-buffered square for degenerate (<3-vertex) ones. Positions are
