@@ -44,6 +44,8 @@ object PipelineQueries {
   private val tilesScratchPat = scratchPat("q25_tiles")
   private val q23ModelPat = scratchPat("q23_model")
   private val q21ModelPat = scratchPat("q21_model")
+  private val q24TilesPat = scratchPat("q24_tiles")
+  private val q24FpPat = scratchPat("q24_fp")
   private val q22ScratchPat = scratchPat("q22_tiles")
   private val q50TilesPat = scratchPat("q50_tiles")
   private val q50SrcPat = scratchPat("q50_src")
@@ -115,10 +117,27 @@ object PipelineQueries {
     // scale twin, Blooms.scoreByJoin, is proven bit-identical to this in
     // PipelineSpec (it costs an extra 600k-row shuffle, which is the right
     // trade only when the filter map outgrows the driver).
+    // Oracle-exact via the persisted-leg pattern: the tile table and the
+    // bloom's FALSE-POSITIVE pair set (the only non-SQL information in the
+    // verdict) persist to parquet; DuckDB recomputes the counts as
+    // exact-membership ∪ FP. That equality simultaneously ENFORCES the
+    // FN=0 law on real data — a filter that dropped an inserted tile would
+    // break the count match.
     "q24_bloom_score" -> ((s, dir) => {
+      import s.implicits._
       val points = tx(s, dir)
-      val trained = Blooms.train(persModel(s, dir).getTiles(10, 1), 0.01)
-      Blooms.score(points, Blooms.toMap(trained), 10).groupBy("anomaly").count()
+      val tiles = persModel(s, dir).getTiles(10, 1)
+      tiles.write.mode("overwrite").parquet(scratch(q24TilesPat, dir))
+      val trained = Blooms.train(tiles, 0.01)
+      val scored = Blooms.score(points, Blooms.toMap(trained), 10)
+      val tilesBack = s.read.parquet(scratch(q24TilesPat, dir))
+      scored.where($"anomaly" === 0)
+        .select($"user",
+          graft.functions.GeoFunctions.geoCell($"latitude", $"longitude", 10).as("h3"))
+        .distinct()
+        .join(tilesBack.select($"user", $"h3"), Seq("user", "h3"), "left_anti")
+        .write.mode("overwrite").parquet(scratch(q24FpPat, dir))
+      scored.groupBy("anomaly").count().orderBy("anomaly")
     }),
 
     // §3.3 flagship end-to-end: full 01+02 pipeline. The tile table is
@@ -216,6 +235,16 @@ object PipelineQueries {
 
   val oracle: Map[String, String] = Map(
     "q21_geoscan_tiles" -> q21Oracle,
+    "q24_bloom_score" ->
+      s"""WITH ${Tables.pointsSql},
+         |t AS (SELECT "user", h3 FROM read_parquet('$q24TilesPat/*.parquet')),
+         |f AS (SELECT "user", h3 FROM read_parquet('$q24FpPat/*.parquet')),
+         |sc AS (SELECT CASE WHEN EXISTS (SELECT 1 FROM t
+         |          WHERE t."user" = p.user_id AND t.h3 = ${Tables.cellSql("p.latitude", "p.longitude", 10)})
+         |        OR EXISTS (SELECT 1 FROM f
+         |          WHERE f."user" = p.user_id AND f.h3 = ${Tables.cellSql("p.latitude", "p.longitude", 10)})
+         |       THEN 0 ELSE 1 END AS anomaly FROM points p)
+         |SELECT anomaly, count(*) AS count FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
     // rebuild each feature's Polygon ring from the saved hull state,
     // mirroring GeoJson.polygon: closing vertex for real hulls, the
     // eps-buffered square for degenerate (<3-vertex) ones. Positions are
