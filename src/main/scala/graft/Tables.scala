@@ -60,17 +60,22 @@ object Tables {
     * and the same latitude clamp / longitude positive-modulo, so the SQL
     * matches on ALL inputs (lat = ±90, lng outside [-180, 180)), not just
     * in-bbox derived points. */
-  def cellSql(latExpr: String, lngExpr: String, res: Int): String = {
-    // 180/2^(res+8) is an exact binary double; CAST avoids DuckDB decimal
-    // arithmetic so both engines divide by the identical double.
-    val denom = (1L << (res + 8)).toString
+  // 180/2^(res+8) is an exact binary double; CAST avoids DuckDB decimal
+  // arithmetic so both engines divide by the identical double. These three
+  // are the single DuckDB spelling of GeoCell.stepDegrees/latIndex/lngIndex —
+  // cellSql and the q21 tiling-replay oracle both build on them.
+  def stepSql(res: Int): String = s"(CAST(180 AS DOUBLE)/${1L << (res + 8)})"
+  def latIdxSql(latExpr: String, res: Int): String = {
     val rows = (1L << (res + 8)).toString
-    val cols = (1L << (res + 9)).toString
-    val step = s"(CAST(180 AS DOUBLE)/$denom)"
-    val i = s"least(greatest(CAST(floor((($latExpr) + 90.0) / $step) AS BIGINT), 0), $rows - 1)"
-    val j = s"(((CAST(floor((($lngExpr) + 180.0) / $step) AS BIGINT) % $cols) + $cols) % $cols)"
-    s"printf('%X%07X%07X', $res, $i, $j)"
+    s"least(greatest(CAST(floor((($latExpr) + 90.0) / ${stepSql(res)}) AS BIGINT), 0), $rows - 1)"
   }
+  def lngIdxSql(lngExpr: String, res: Int): String = {
+    val cols = (1L << (res + 9)).toString
+    s"(((CAST(floor((($lngExpr) + 180.0) / ${stepSql(res)}) AS BIGINT) % $cols) + $cols) % $cols)"
+  }
+
+  def cellSql(latExpr: String, lngExpr: String, res: Int): String =
+    s"printf('%X%07X%07X', $res, ${latIdxSql(latExpr, res)}, ${lngIdxSql(lngExpr, res)})"
 
   /** DuckDB expression for `GeoFunctions.haversineMeters`. */
   def haversineSql(lat1: String, lng1: String, lat2: String, lng2: String): String =

@@ -119,6 +119,12 @@ class GeoscanPersonalizedModel private[cluster] (
   def cachedTiles(precision: Int, layers: Int): DataFrame =
     tileCache(precision, layers)._1
 
+  /** The fitted hull state (user, cluster, hull) — the model's cluster
+    * geometries as a DataFrame (what `save` persists under {path}/hulls).
+    * Public surface: consumers export/tile/audit the geometry without going
+    * through GeoJSON strings. */
+  def hullTable: DataFrame = state.select("user", "cluster", "hull")
+
   /** True when the session this model's state belongs to has been stopped —
     * the model (persisted state and all) is then unusable and must be refit. */
   private[graft] def sessionStopped: Boolean =

@@ -8,14 +8,15 @@ import graft.cluster.{Geoscan, GeoscanPersonalized}
 import graft.pipeline.GeoFraudPipeline
 import graft.score.Blooms
 
-/** ML-surface operators (SURVEY §2.9, §2.4 A7-A10) as driver queries.
-  * Connected components, convex hulls, and Bloom membership are not
-  * SQL-expressible, so q21-q24 have no oracleSql entry — the driver records
-  * the weaker rows-only check; the strong checks live in
-  * GeoscanSpec/PipelineSpec (brute-force DBSCAN oracle, FN=0 law, golden
-  * replay of the reference CSV). q25 IS oracle-exact: the fitted tile table
-  * is persisted to parquet inside the query and DuckDB replays the anomaly
-  * anti-join over that same file. */
+/** ML-surface operators (SURVEY §2.9, §2.4 A7-A10) as driver queries —
+  * every one oracle-exact via the persisted-leg pattern: the non-SQL
+  * intermediate (tile table, hull state, bloom false-positive pairs) is
+  * written to sf-tagged scratch parquet inside the query, and DuckDB
+  * replays the SQL-expressible remainder over the same files (q21 even
+  * re-derives the full ray-cast tiling from the hulls). The algorithmic
+  * laws behind those intermediates live in GeoscanSpec/PipelineSpec
+  * (brute-force DBSCAN oracle, FN=0 law, golden replay of the reference
+  * CSV). */
 object PipelineQueries {
 
   private def tx(s: SparkSession, dir: String): DataFrame =
@@ -61,7 +62,9 @@ object PipelineQueries {
     "q21_geoscan_tiles" -> ((s, dir) => {
       import s.implicits._
       val m = persModel(s, dir)
-      m.write.overwrite().save(scratch(q21ModelPat, dir))
+      // hull state only — the oracle reads {path}/hulls; the full save
+      // surface (params + GeoJSON leg) is exercised by q23
+      m.hullTable.write.mode("overwrite").parquet(s"${scratch(q21ModelPat, dir)}/hulls")
       m.getTiles(10, 1).orderBy($"user", $"h3")
     }),
 
@@ -126,18 +129,23 @@ object PipelineQueries {
     "q24_bloom_score" -> ((s, dir) => {
       import s.implicits._
       val points = tx(s, dir)
-      val tiles = persModel(s, dir).getTiles(10, 1)
-      tiles.write.mode("overwrite").parquet(scratch(q24TilesPat, dir))
-      val trained = Blooms.train(tiles, 0.01)
-      val scored = Blooms.score(points, Blooms.toMap(trained), 10)
+      persModel(s, dir).getTiles(10, 1)
+        .write.mode("overwrite").parquet(scratch(q24TilesPat, dir))
+      // train from the persisted snapshot (the same bytes the oracle reads),
+      // not a recomputation of the lazy tiling lineage
       val tilesBack = s.read.parquet(scratch(q24TilesPat, dir))
-      scored.where($"anomaly" === 0)
-        .select($"user",
-          graft.functions.GeoFunctions.geoCell($"latitude", $"longitude", 10).as("h3"))
-        .distinct()
+      val bmap = Blooms.toMap(Blooms.train(tilesBack, 0.01))
+      // probe once per DISTINCT (user, cell) pair, then join verdicts back —
+      // |pairs| ≪ |points|, so both downstream passes stay cheap
+      val pairs = points.select($"user",
+        graft.functions.GeoFunctions.geoCell($"latitude", $"longitude", 10).as("h3"))
+      val verdicts = Blooms.scoreCells(pairs.distinct(), bmap)
+      verdicts.where($"anomaly" === 0)
         .join(tilesBack.select($"user", $"h3"), Seq("user", "h3"), "left_anti")
+        .select($"user", $"h3")
         .write.mode("overwrite").parquet(scratch(q24FpPat, dir))
-      scored.groupBy("anomaly").count().orderBy("anomaly")
+      pairs.join(verdicts, Seq("user", "h3"))
+        .groupBy("anomaly").count().orderBy("anomaly")
     }),
 
     // §3.3 flagship end-to-end: full 01+02 pipeline. The tile table is
@@ -195,18 +203,19 @@ object PipelineQueries {
   /** GeoCell.polygonCells replayed in SQL over the saved hull state: every
     * float op (step constant, floor indices with clamp/pmod, cell centers,
     * the ray-cast crossing test) mirrors the Scala bit-for-bit. The PIP
-    * division can hit x/0 where Scala's && short-circuits — the IEEE inf/nan
-    * result then fails the same comparison the false guard would have
-    * skipped, so the conjunction agrees. */
+    * division can hit x/0 (NaN/inf) where Scala's && short-circuits; the
+    * engines still agree ONLY because that division requires the first
+    * conjunct to be false (equal lat signs), which already decides the AND —
+    * note DuckDB evaluates `clo < NaN` as TRUE (NaN sorts high there,
+    * unlike Java), so do NOT reorder the conjuncts or reuse the comparison
+    * standalone. */
   private def q21Oracle: String = {
     val res = 10
     val rows = 1L << (res + 8)
     val cols = 1L << (res + 9)
-    val step = s"(CAST(180 AS DOUBLE)/$rows)"
-    def latIdx(e: String) =
-      s"least(greatest(CAST(floor((($e) + 90.0) / $step) AS BIGINT), 0), $rows - 1)"
-    def lngIdx(e: String) =
-      s"(((CAST(floor((($e) + 180.0) / $step) AS BIGINT) % $cols) + $cols) % $cols)"
+    val step = Tables.stepSql(res)
+    def latIdx(e: String) = Tables.latIdxSql(e, res)
+    def lngIdx(e: String) = Tables.lngIdxSql(e, res)
     val prev = """hull[CASE WHEN m = 0 THEN len(hull) ELSE m END]"""
     val cur = "hull[m+1]"
     val pip = (s"""len(hull) >= 3 AND (list_sum(list_transform(range(len(hull)), m ->

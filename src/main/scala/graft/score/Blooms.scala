@@ -95,6 +95,23 @@ object Blooms {
     }
   }
 
+  /** Cell-granularity scorer: (user, h3) pairs → + `anomaly` 0/1, one probe
+    * per pair. Feed it DISTINCT pairs and join the verdicts back to points —
+    * at 100 TB that probes |user×cell| combinations instead of every
+    * transaction row (the same broadcast-map probe as [[score]]). */
+  def scoreCells(pairs: DataFrame, blooms: Map[String, BloomFilter],
+                 userCol: String = "user", cellCol: String = "h3"): DataFrame = {
+    val bc = pairs.sparkSession.sparkContext.broadcast(blooms)
+    val probe = udf { (user: String, cell: String) =>
+      if (cell == null) 1
+      else bc.value.get(user) match {
+        case Some(bf) => if (bf.mightContainString(cell)) 0 else 1
+        case None => 1
+      }
+    }
+    pairs.withColumn("anomaly", probe(col(userCol).cast("string"), col(cellCol)))
+  }
+
   /** Batch/streaming scorer — the `H3Lookup` pyfunc
     * (`utils/bloom_utils.py:27-42`): df[user, latitude, longitude] →
     * + `anomaly` 0/1. Broadcasts the filter map; the lookup is O(1) per row,
