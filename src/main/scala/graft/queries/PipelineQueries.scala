@@ -65,7 +65,9 @@ object PipelineQueries {
       // hull state only — the oracle reads {path}/hulls; the full save
       // surface (params + GeoJSON leg) is exercised by q23
       m.hullTable.write.mode("overwrite").parquet(s"${scratch(q21ModelPat, dir)}/hulls")
-      m.getTiles(10, 1).orderBy($"user", $"h3")
+      // cachedTiles: the memoized persisted cover — q21/q24/q50 all read
+      // the same (10, 1) tiling, which therefore computes once per session
+      m.cachedTiles(10, 1).orderBy($"user", $"h3")
     }),
 
     // M1/M2: distributed GEOSCAN fit → transform (nullable cluster label).
@@ -129,7 +131,7 @@ object PipelineQueries {
     "q24_bloom_score" -> ((s, dir) => {
       import s.implicits._
       val points = tx(s, dir)
-      persModel(s, dir).getTiles(10, 1)
+      persModel(s, dir).cachedTiles(10, 1)
         .write.mode("overwrite").parquet(scratch(q24TilesPat, dir))
       // train from the persisted snapshot (the same bytes the oracle reads),
       // not a recomputation of the lazy tiling lineage
@@ -180,7 +182,7 @@ object PipelineQueries {
       // fresh sink + checkpoint (file-sink exactly-once bookkeeping would
       // otherwise double-count across runs)
       Seq(q50Out, q50Chk).foreach(p => fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      persModel(s, dir).getTiles(10, 1)
+      persModel(s, dir).cachedTiles(10, 1)
         .write.mode("overwrite").parquet(q50Tiles)
       tx(s, dir).write.mode("overwrite").parquet(q50Src)
       val tiles = s.read.parquet(q50Tiles)
