@@ -495,6 +495,86 @@ object ExtensionQueries {
       s.read.parquet(out).orderBy($"user")
     }),
 
+    // §2.10 streaming DEDUP: dropDuplicatesWithinWatermark on a real file
+    // stream — the in-flight dedup a training-data ingest runs before
+    // anything else touches the events. Output is projected to the dedup
+    // KEY columns, so which physical row survives is irrelevant and the
+    // single AvailableNow batch equals batch DISTINCT exactly (state-expiry
+    // re-emission needs multi-batch watermark movement — spec territory).
+    "q63_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = Tables.sfTag(dir)
+      val out = new java.io.File(tmp, s"graft_q63_out_$tag").toString
+      val chk = new java.io.File(tmp, s"graft_q63_chk_$tag").toString
+      val srcDir = new java.io.File(tmp, s"graft_q63_src_$tag").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, chk, srcDir).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      t(s, dir, "events")
+        .select($"user_id", ($"event_id" % 97).as("bucket"),
+          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val q = s.readStream.schema(schema).parquet(srcDir)
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark("user_id", "bucket")
+        .select($"user_id", $"bucket")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy($"user_id", $"bucket")
+    }),
+
+    // §2.10 STREAM-STREAM interval join: events joined to the purchase
+    // stream on user within [purchase, purchase + 1h] — both sides real
+    // file streams with watermarks (the flagship Structured Streaming
+    // capability q28 covers in batch). Inner joins emit eagerly on match,
+    // so the result set is content-defined and equals the batch BETWEEN
+    // join regardless of batching.
+    "q64_stream_join" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tmp = System.getProperty("java.io.tmpdir")
+      val tag = Tables.sfTag(dir)
+      val out = new java.io.File(tmp, s"graft_q64_out_$tag").toString
+      val chk = new java.io.File(tmp, s"graft_q64_chk_$tag").toString
+      val srcDir = new java.io.File(tmp, s"graft_q64_src_$tag").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(out, chk, srcDir).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      t(s, dir, "events")
+        .select($"user_id", $"event_id", $"event_type",
+          expr("timestamp_micros(ts DIV 1000)").as("ts"))
+        .write.mode("overwrite").parquet(srcDir)
+      val schema = s.read.parquet(srcDir).schema
+      val ev = s.readStream.schema(schema).parquet(srcDir)
+        .select($"user_id", $"event_id", $"ts")
+        .withWatermark("ts", "10 seconds")
+      val pur = s.readStream.schema(schema).parquet(srcDir)
+        .where($"event_type" === "purchase")
+        .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("pts"))
+        .withWatermark("pts", "10 seconds")
+      val q = ev.join(pur, expr(
+          "user_id = p_user AND ts >= pts AND ts <= pts + interval 1 hour"))
+        .select($"p_id", $"event_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", chk)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).orderBy($"p_id", $"event_id")
+    }),
+
     // sliding TTL validity window (batch twin of the streaming tile store)
     "q42_ttl_window" -> ((s, dir) => {
       import s.implicits._
@@ -758,6 +838,14 @@ object ExtensionQueries {
       """WITH tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3 FROM events)
         |SELECT "user", array_to_string(list_sort(list(DISTINCT h3)), ',') AS tiles
         |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q63_stream_dedup" ->
+      """SELECT DISTINCT user_id, event_id % 97 AS bucket FROM events ORDER BY 1, 2""",
+    "q64_stream_join" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
+        |SELECT p_id, e.event_id AS event_id
+        |FROM p JOIN e ON p.user_id = e.user_id AND e.us >= p.p_us AND e.us <= p.p_us + 3600000000
+        |ORDER BY p_id, event_id""".stripMargin,
     "q42_ttl_window" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3, ts FROM events)
