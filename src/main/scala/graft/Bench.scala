@@ -38,6 +38,31 @@ object Bench {
         .fit(tinyPts).getTiles(11, 0).count()
       graft.dedup.Dedup.minhashCandidates(
         Tables.table(spark, sfDir, "documents").limit(50)).count()
+      // KMeans (IVF coarse quantizer) JIT
+      graft.sim.Similarity.ivfCandidates(
+        Tables.table(spark, sfDir, "embeddings").limit(5),
+        Tables.table(spark, sfDir, "embeddings").limit(64), nlist = 2, nprobe = 1).count()
+      // streaming engine (micro-batch planner, state store, parquet file
+      // source/sink) — the first stream query otherwise pays this JIT
+      val tmp = System.getProperty("java.io.tmpdir")
+      val wSrc = new java.io.File(tmp, "graft_warm_src").toString
+      val wOut = new java.io.File(tmp, "graft_warm_out").toString
+      val wChk = new java.io.File(tmp, "graft_warm_chk").toString
+      val fs = new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      Seq(wSrc, wOut, wChk).foreach(p =>
+        fs.delete(new org.apache.hadoop.fs.Path(p), true))
+      spark.range(100).selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
+        .write.mode("overwrite").parquet(wSrc)
+      val wq = spark.readStream.schema("id LONG, ts TIMESTAMP").parquet(wSrc)
+        .withWatermark("ts", "10 seconds")
+        .dropDuplicatesWithinWatermark("id")
+        .writeStream.format("parquet")
+        .option("path", wOut).option("checkpointLocation", wChk)
+        .outputMode("append")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      wq.awaitTermination()
     } catch { case e: Throwable =>
       System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
     }
