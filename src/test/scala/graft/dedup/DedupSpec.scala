@@ -51,7 +51,9 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(out((1L, 2L)) == 1.0)
     assert(out((1L, 3L)) > 0.5)
-    assert(out.getOrElse((4L, 5L), 0.0) < 0.1)
+    // contract since the explode-join rewrite: a zero-intersection pair is
+    // ABSENT (Jaccard 0 pairs are never emitted, even at threshold <= 0)
+    assert(!out.contains((4L, 5L)))
   }
 
   test("simhash16: identical content collides, near dup stays close") {
