@@ -253,6 +253,16 @@ object CoreQueries {
         .orderBy($"c_custkey")
     }),
 
+    // the SQL ENTRY surface end-to-end: temp view + spark.sql text + the
+    // extension-injected native geo_cell function (GraftExtensions) — a
+    // SQL-only consumer's path through the library, same result as q14's
+    // DataFrame spelling
+    "q65_sql_surface" -> ((s, dir) => {
+      Tables.points(s, dir).createOrReplaceTempView("graft_points")
+      s.sql("""SELECT geo_cell(latitude, longitude, 9) AS cell, count(1) AS cnt
+              |FROM graft_points GROUP BY cell ORDER BY cell""".stripMargin)
+    }),
+
     // pivot (wide reshaping): order counts per priority × status. Explicit
     // pivot values keep the plan a single pass (no distinct-values job) —
     // the form that scales; absent combos are 0 not null on both engines.
@@ -352,6 +362,10 @@ object CoreQueries {
       """SELECT c_custkey, count(*) AS n_orders, max(o_totalprice) AS max_price
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q65_sql_surface" ->
+      s"""WITH ${Tables.pointsSql}
+         |SELECT ${Tables.cellSql("latitude", "longitude", 9)} AS cell, count(*) AS cnt
+         |FROM points GROUP BY 1 ORDER BY 1""".stripMargin,
     "q62_pivot" ->
       """SELECT o_orderpriority,
         |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_cnt,

@@ -13,6 +13,9 @@ trait SparkSpec extends AnyFunSuite {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
+      // same extensions as the driver's Verify/Bench sessions — specs that
+      // sweep SparkEntry.queries need the injected SQL functions (geo_cell)
+      .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
