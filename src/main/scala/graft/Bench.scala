@@ -26,45 +26,42 @@ object Bench {
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.table(spark, sfDir, "lineitem").limit(1000).count()
     // warm the heavy code paths (per-user DBSCAN, CC contraction, hulls,
-    // shingle hashing) on tiny slices — the fit-dominated queries otherwise
-    // pay tens of percent of JIT on their first measured run
-    try {
-      val tinyPts = Tables.points(spark, sfDir).limit(2000)
-        .withColumnRenamed("user_id", "user")
+    // shingle hashing, KMeans, the streaming engine) on tiny slices — the
+    // heavy queries otherwise pay tens of percent of JIT on their first
+    // measured run. Each step individually guarded: one failing warm must
+    // not skip the rest.
+    def warm(what: String)(body: => Unit): Unit =
+      try body catch { case e: Throwable =>
+        System.err.println(s"[bench] $what warmup failed (continuing): ${e.getMessage}")
+      }
+    val tinyPts = Tables.points(spark, sfDir).limit(2000)
+      .withColumnRenamed("user_id", "user")
+    warm("personalized-fit") {
       new graft.cluster.GeoscanPersonalized()
         .setGroupedCol("user").setEpsilon(150).setMinPts(3)
         .fit(tinyPts).getTiles(10, 0).count()
+    }
+    warm("distributed-fit") {
       new graft.cluster.Geoscan().setEpsilon(50).setMinPts(3)
         .fit(tinyPts).getTiles(11, 0).count()
+    }
+    warm("minhash") {
       graft.dedup.Dedup.minhashCandidates(
         Tables.table(spark, sfDir, "documents").limit(50)).count()
-      // KMeans (IVF coarse quantizer) JIT
+    }
+    warm("kmeans-ivf") {
       graft.sim.Similarity.ivfCandidates(
         Tables.table(spark, sfDir, "embeddings").limit(5),
         Tables.table(spark, sfDir, "embeddings").limit(64), nlist = 2, nprobe = 1).count()
-      // streaming engine (micro-batch planner, state store, parquet file
-      // source/sink) — the first stream query otherwise pays this JIT
-      val tmp = System.getProperty("java.io.tmpdir")
-      val wSrc = new java.io.File(tmp, "graft_warm_src").toString
-      val wOut = new java.io.File(tmp, "graft_warm_out").toString
-      val wChk = new java.io.File(tmp, "graft_warm_chk").toString
-      val fs = new org.apache.hadoop.fs.Path(tmp)
-        .getFileSystem(spark.sparkContext.hadoopConfiguration)
-      Seq(wSrc, wOut, wChk).foreach(p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      spark.range(100).selectExpr("id", "timestamp_micros(id * 1000000) AS ts")
-        .write.mode("overwrite").parquet(wSrc)
-      val wq = spark.readStream.schema("id LONG, ts TIMESTAMP").parquet(wSrc)
-        .withWatermark("ts", "10 seconds")
-        .dropDuplicatesWithinWatermark("id")
-        .writeStream.format("parquet")
-        .option("path", wOut).option("checkpointLocation", wChk)
-        .outputMode("append")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      wq.awaitTermination()
-    } catch { case e: Throwable =>
-      System.err.println(s"[bench] warmup failed (continuing): ${e.getMessage}")
+    }
+    warm("streaming-engine") {
+      // micro-batch planner, state store, parquet file source/sink — the
+      // first stream query otherwise pays this JIT. sf-tagged scratch so
+      // concurrent benches over different sf dirs never share a checkpoint.
+      graft.queries.StreamScaffold.runFileStream(spark, "warm", sfDir,
+        spark.range(100).selectExpr("id", "timestamp_micros(id * 1000000) AS ts")) { mk =>
+        mk().withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark("id")
+      }.count()
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

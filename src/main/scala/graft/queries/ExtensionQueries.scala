@@ -465,34 +465,15 @@ object ExtensionQueries {
     // replayable in SQL).
     "q61_stream_state" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.Trigger
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val tag = Tables.sfTag(dir)
-      val out = new java.io.File(tmp, s"graft_q61_out_$tag").toString
-      val chk = new java.io.File(tmp, s"graft_q61_chk_$tag").toString
-      val srcDir = new java.io.File(tmp, s"graft_q61_src_$tag").toString
-      val hconf = s.sparkContext.hadoopConfiguration
-      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
-      Seq(out, chk, srcDir).foreach(p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      t(s, dir, "events").select(
-          $"user_id".cast("string").as("user"),
-          concat(lit("T"), ($"event_id" % 50).cast("string")).as("h3"),
-          expr("timestamp_micros(ts DIV 1000)").as("createdAt"))
-        .write.mode("overwrite").parquet(srcDir)
-      val schema = s.read.parquet(srcDir).schema
-      val stream = s.readStream.schema(schema).parquet(srcDir)
-        .as[TileStore.TileEvent]
-      val q = TileStore.sliding(stream, ttlSeconds = 3650L * 86400L)
-        .select($"user", array_join($"tiles", ",").as("tiles"))
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", chk)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).orderBy($"user")
+      val src = t(s, dir, "events").select(
+        $"user_id".cast("string").as("user"),
+        concat(lit("T"), ($"event_id" % 50).cast("string")).as("h3"),
+        expr("timestamp_micros(ts DIV 1000)").as("createdAt"))
+      StreamScaffold.runFileStream(s, "q61", dir, src) { mk =>
+        TileStore.sliding(mk().as[TileStore.TileEvent], ttlSeconds = 3650L * 86400L)
+          .select($"user", array_join($"tiles", ",").as("tiles"))
+      }.orderBy($"user")
     }),
 
     // §2.10 streaming DEDUP: dropDuplicatesWithinWatermark on a real file
@@ -503,33 +484,15 @@ object ExtensionQueries {
     // re-emission needs multi-batch watermark movement — spec territory).
     "q63_stream_dedup" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.Trigger
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val tag = Tables.sfTag(dir)
-      val out = new java.io.File(tmp, s"graft_q63_out_$tag").toString
-      val chk = new java.io.File(tmp, s"graft_q63_chk_$tag").toString
-      val srcDir = new java.io.File(tmp, s"graft_q63_src_$tag").toString
-      val fs = new org.apache.hadoop.fs.Path(tmp)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(out, chk, srcDir).foreach(p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      t(s, dir, "events")
+      val src = t(s, dir, "events")
         .select($"user_id", ($"event_id" % 97).as("bucket"),
           expr("timestamp_micros(ts DIV 1000)").as("ts"))
-        .write.mode("overwrite").parquet(srcDir)
-      val schema = s.read.parquet(srcDir).schema
-      val q = s.readStream.schema(schema).parquet(srcDir)
-        .withWatermark("ts", "10 seconds")
-        .dropDuplicatesWithinWatermark("user_id", "bucket")
-        .select($"user_id", $"bucket")
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", chk)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).orderBy($"user_id", $"bucket")
+      StreamScaffold.runFileStream(s, "q63", dir, src) { mk =>
+        mk().withWatermark("ts", "10 seconds")
+          .dropDuplicatesWithinWatermark("user_id", "bucket")
+          .select($"user_id", $"bucket")
+      }.orderBy($"user_id", $"bucket")
     }),
 
     // §2.10 STREAM-STREAM interval join: events joined to the purchase
@@ -540,39 +503,20 @@ object ExtensionQueries {
     // join regardless of batching.
     "q64_stream_join" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.streaming.Trigger
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val tmp = System.getProperty("java.io.tmpdir")
-      val tag = Tables.sfTag(dir)
-      val out = new java.io.File(tmp, s"graft_q64_out_$tag").toString
-      val chk = new java.io.File(tmp, s"graft_q64_chk_$tag").toString
-      val srcDir = new java.io.File(tmp, s"graft_q64_src_$tag").toString
-      val fs = new org.apache.hadoop.fs.Path(tmp)
-        .getFileSystem(s.sparkContext.hadoopConfiguration)
-      Seq(out, chk, srcDir).foreach(p =>
-        fs.delete(new org.apache.hadoop.fs.Path(p), true))
-      t(s, dir, "events")
+      val src = t(s, dir, "events")
         .select($"user_id", $"event_id", $"event_type",
           expr("timestamp_micros(ts DIV 1000)").as("ts"))
-        .write.mode("overwrite").parquet(srcDir)
-      val schema = s.read.parquet(srcDir).schema
-      val ev = s.readStream.schema(schema).parquet(srcDir)
-        .select($"user_id", $"event_id", $"ts")
-        .withWatermark("ts", "10 seconds")
-      val pur = s.readStream.schema(schema).parquet(srcDir)
-        .where($"event_type" === "purchase")
-        .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("pts"))
-        .withWatermark("pts", "10 seconds")
-      val q = ev.join(pur, expr(
-          "user_id = p_user AND ts >= pts AND ts <= pts + interval 1 hour"))
-        .select($"p_id", $"event_id")
-        .writeStream.format("parquet")
-        .option("path", out).option("checkpointLocation", chk)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).orderBy($"p_id", $"event_id")
+      StreamScaffold.runFileStream(s, "q64", dir, src) { mk =>
+        val ev = mk().select($"user_id", $"event_id", $"ts")
+          .withWatermark("ts", "10 seconds")
+        val pur = mk().where($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("pts"))
+          .withWatermark("pts", "10 seconds")
+        ev.join(pur, expr(
+            "user_id = p_user AND ts >= pts AND ts <= pts + interval 1 hour"))
+          .select($"p_id", $"event_id")
+      }.orderBy($"p_id", $"event_id")
     }),
 
     // sliding TTL validity window (batch twin of the streaming tile store)

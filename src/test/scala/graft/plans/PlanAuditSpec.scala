@@ -27,7 +27,9 @@ class PlanAuditSpec extends SparkSpec {
       .filterNot(Set("q21_geoscan_tiles", "q22_geoscan_transform",
         "q23_geoscan_geojson", "q24_bloom_score", "q25_pipeline_anomalies",
         "q49_stream_window", "q50_stream_anomalies",
-        "q20_csv_roundtrip", "q26_table_roundtrip", "q46_jsonl_roundtrip"))
+        "q61_stream_state", "q63_stream_dedup", "q64_stream_join",
+        "q20_csv_roundtrip", "q26_table_roundtrip", "q46_jsonl_roundtrip",
+        "q60_bucketed_join"))
     audited.foreach { name =>
       val p = plan(name)
       assert(!p.contains("CartesianProduct"), s"$name plans a cartesian:\n$p")

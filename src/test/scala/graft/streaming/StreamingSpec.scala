@@ -66,6 +66,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup: suppresses in-window duplicates, re-emits after state expiry") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(String, Timestamp)]
+    val out = stream.toDF().toDF("key", "ts")
+      .withWatermark("ts", "5 minutes")
+      .dropDuplicatesWithinWatermark("key")
+    val q = out.writeStream.format("memory").queryName("dedup_keys")
+      .outputMode("append").start()
+    try {
+      stream.addData(("a", ts(1)), ("a", ts(2)), ("b", ts(1)))
+      q.processAllAvailable()
+      // duplicate of a within the watermark window → suppressed
+      stream.addData(("a", ts(3)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_keys").where($"key" === "a").count() == 1)
+      // advance the watermark far past a's state expiry, then replay a:
+      // dropDuplicatesWithinWatermark only guarantees dedup WITHIN the
+      // window — the expired key re-emits (why q63's oracle equality
+      // needs the single-AvailableNow-batch run where watermark stays 0)
+      stream.addData(("c", ts(120)))
+      q.processAllAvailable()
+      stream.addData(("a", ts(119)))
+      q.processAllAvailable()
+      assert(spark.table("dedup_keys").where($"key" === "a").count() == 2)
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join emits exactly the batch join's pairs") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val left = MemoryStream[(Long, String, Timestamp)]
+    val right = MemoryStream[(Long, String, Timestamp)]
+    val ev = left.toDF().toDF("id", "user", "ts").withWatermark("ts", "1 minute")
+    val pur = right.toDF().toDF("p_id", "p_user", "pts").withWatermark("pts", "1 minute")
+    val joined = ev.join(pur, expr(
+      "user = p_user AND ts >= pts AND ts <= pts + interval 1 hour"))
+      .select($"p_id", $"id")
+    val q = joined.writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    try {
+      right.addData((100L, "u", ts(0)))
+      left.addData((1L, "u", ts(10)), (2L, "u", ts(70)), (3L, "v", ts(10)))
+      q.processAllAvailable()
+      val got = spark.table("ss_join").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      // only u's event inside [purchase, +1h] joins: not the one at +70min,
+      // not the other user's
+      assert(got == Set((100L, 1L)))
+    } finally q.stop()
+  }
+
   test("batch twin: current() applies the same TTL window") {
     import spark.implicits._
     val tiles = Seq(
