@@ -34,7 +34,9 @@ object Bench {
       try body catch { case e: Throwable =>
         System.err.println(s"[bench] $what warmup failed (continuing): ${e.getMessage}")
       }
-    val tinyPts = Tables.points(spark, sfDir).limit(2000)
+    // lazy: parquet schema resolution is eager, so building this outside the
+    // warm() guards would abort the whole bench on a missing points source
+    lazy val tinyPts = Tables.points(spark, sfDir).limit(2000)
       .withColumnRenamed("user_id", "user")
     warm("personalized-fit") {
       new graft.cluster.GeoscanPersonalized()
@@ -84,6 +86,10 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
+    // compact total-only line LAST: the full per-query line outgrew the
+    // driver's tail buffer at 65 queries (BENCH_r03 "parsed": null), so a
+    // short parsable metric line must always be the final stdout line
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

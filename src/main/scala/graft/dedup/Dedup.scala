@@ -136,10 +136,14 @@ object Dedup {
     * every document's whole shingle set through the shuffle O(block) times
     * and runs an O(|A|+|B|) set intersection per pair; at 100 TB the block
     * join's fanout makes that the dominant cost (measured 20× slower on the
-    * driver's sf0.1 bench). CONTRACT CHANGE vs the array-intersect
-    * spelling: pairs with an empty intersection (Jaccard 0) are never
+    * driver's sf0.1 bench). CONTRACT CHANGES vs the array-intersect
+    * spelling: (1) pairs with an empty intersection (Jaccard 0) are never
     * emitted — even at `threshold <= 0` the output holds only pairs sharing
-    * ≥1 shingle (DedupSpec pins this: absent pair ⇒ Jaccard 0). */
+    * ≥1 shingle (DedupSpec pins this: absent pair ⇒ Jaccard 0); (2) the
+    * threshold applies to the ROUNDED (6 dp) jaccard — a pair whose true
+    * jaccard sits within 5e-7 below the threshold rounds up and is kept
+    * (keeps the emitted value and the cut consistent with each other and
+    * with the oracle, at the price of the old exact-boundary behavior). */
   def ngramJaccardPairs(df: DataFrame, blockCols: Seq[String],
                         threshold: Double, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 3): DataFrame = {

@@ -149,22 +149,12 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
-    // embedding-cosine near-dup within label blocks (exact verify)
+    // embedding-cosine near-dup within label blocks — the EXACT variant,
+    // guarded against all-pairs blowup (blocks past the cap must go through
+    // Similarity.cosineNearDups, the LSH scale path)
     "q38_dedup_embedding" -> ((s, dir) => {
       import s.implicits._
-      val e = t(s, dir, "embeddings")
-      // norms are per-ROW (computed once before the join); only the dot
-      // product — a native codegen expression — runs per pair
-      val a = e.select($"label", $"vec_id".as("id_a"), $"embedding".as("v_a"),
-        Similarity.vecNorm($"embedding").as("n_a"))
-      val b = e.select($"label", $"vec_id".as("id_b"), $"embedding".as("v_b"),
-        Similarity.vecNorm($"embedding").as("n_b"))
-      a.join(b, Seq("label"))
-        .where($"id_a" < $"id_b")
-        .withColumn("cos_x1e4",
-          Similarity.cosineKeyWithNorms($"v_a", $"v_b", $"n_a", $"n_b"))
-        .where($"cos_x1e4" >= 3000)
-        .select($"label", $"id_a", $"id_b", $"cos_x1e4")
+      Similarity.exactCosinePairs(t(s, dir, "embeddings"), "label", minCosX1e4 = 3000L)
         .orderBy($"label", $"id_a", $"id_b")
     }),
 
@@ -451,7 +441,8 @@ object ExtensionQueries {
         .foreachBatch(writeBatch)
         .trigger(Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      if (!q.awaitTermination(StreamScaffold.AwaitTimeoutMs))
+        { q.stop(); sys.error("q49 stream did not terminate in time") }
       s.read.parquet(out).orderBy($"user_id", $"hour_us")
     }),
 
@@ -466,12 +457,16 @@ object ExtensionQueries {
     "q61_stream_state" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = t(s, dir, "events").select(
-        $"user_id".cast("string").as("user"),
-        concat(lit("T"), ($"event_id" % 50).cast("string")).as("h3"),
-        expr("timestamp_micros(ts DIV 1000)").as("createdAt"))
-      StreamScaffold.runFileStream(s, "q61", dir, src) { mk =>
-        TileStore.sliding(mk().as[TileStore.TileEvent], ttlSeconds = 3650L * 86400L)
+      // raw staged events (one file copy, shared with q63/q64); the tile
+      // projection runs on the STREAM — at scale that's the shape anyway
+      // (project before the stateful exchange, not a pre-staged copy)
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runStagedStream(s, "q61", dir, src) { mk =>
+        val tiles = mk().select(
+          $"user_id".cast("string").as("user"),
+          concat(lit("T"), ($"event_id" % 50).cast("string")).as("h3"),
+          expr("timestamp_micros(ts DIV 1000)").as("createdAt"))
+        TileStore.sliding(tiles.as[TileStore.TileEvent], ttlSeconds = 3650L * 86400L)
           .select($"user", array_join($"tiles", ",").as("tiles"))
       }.orderBy($"user")
     }),
@@ -485,11 +480,11 @@ object ExtensionQueries {
     "q63_stream_dedup" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = t(s, dir, "events")
-        .select($"user_id", ($"event_id" % 97).as("bucket"),
-          expr("timestamp_micros(ts DIV 1000)").as("ts"))
-      StreamScaffold.runFileStream(s, "q63", dir, src) { mk =>
-        mk().withWatermark("ts", "10 seconds")
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runStagedStream(s, "q63", dir, src) { mk =>
+        mk().select($"user_id", ($"event_id" % 97).as("bucket"),
+            expr("timestamp_micros(ts DIV 1000)").as("ts"))
+          .withWatermark("ts", "10 seconds")
           .dropDuplicatesWithinWatermark("user_id", "bucket")
           .select($"user_id", $"bucket")
       }.orderBy($"user_id", $"bucket")
@@ -504,14 +499,14 @@ object ExtensionQueries {
     "q64_stream_join" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val src = t(s, dir, "events")
-        .select($"user_id", $"event_id", $"event_type",
-          expr("timestamp_micros(ts DIV 1000)").as("ts"))
-      StreamScaffold.runFileStream(s, "q64", dir, src) { mk =>
-        val ev = mk().select($"user_id", $"event_id", $"ts")
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runStagedStream(s, "q64", dir, src) { mk =>
+        val ev = mk().select($"user_id", $"event_id",
+            expr("timestamp_micros(ts DIV 1000)").as("ts"))
           .withWatermark("ts", "10 seconds")
         val pur = mk().where($"event_type" === "purchase")
-          .select($"user_id".as("p_user"), $"event_id".as("p_id"), $"ts".as("pts"))
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+            expr("timestamp_micros(ts DIV 1000)").as("pts"))
           .withWatermark("pts", "10 seconds")
         ev.join(pur, expr(
             "user_id = p_user AND ts >= pts AND ts <= pts + interval 1 hour"))

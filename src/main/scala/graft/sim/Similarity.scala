@@ -227,6 +227,33 @@ object Similarity {
       .select(col("label"), col("dim").cast("long").as("dim"), col("n"),
         round(col("s").cast("double") / col("n") * 1e6).cast("long").as("centroid_key"))
 
+  /** EXACT within-block cosine near-dup pairs — the verification twin of
+    * [[cosineNearDups]]. O(block²) BY CONSTRUCTION: the block equi-join
+    * materializes every in-block pair, so one hot block dominates the whole
+    * job at scale. GUARDED: refuses to run when any block exceeds
+    * `maxBlockRows` (the extra guard pass is one count-per-block agg) —
+    * corpora past the cap go through [[cosineNearDups]], whose band-bucket
+    * join never goes all-pairs. */
+  def exactCosinePairs(df: DataFrame, blockCol: String, minCosX1e4: Long,
+                       maxBlockRows: Long = 10000L,
+                       idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val worst = df.groupBy(col(blockCol)).count()
+      .agg(coalesce(max("count"), lit(0L)).as("m")).head.getLong(0)
+    require(worst <= maxBlockRows,
+      s"exactCosinePairs: largest '$blockCol' block has $worst rows (cap $maxBlockRows); " +
+        "the exact all-pairs spelling is O(block²) — use Similarity.cosineNearDups (LSH) at this scale")
+    val a = df.select(col(blockCol), col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      vecNorm(col(vecCol)).as("n_a"))
+    val b = df.select(col(blockCol), col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      vecNorm(col(vecCol)).as("n_b"))
+    a.join(b, Seq(blockCol))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos_x1e4",
+        cosineKeyWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
+      .where(col("cos_x1e4") >= minCosX1e4)
+      .select(col(blockCol), col("id_a"), col("id_b"), col("cos_x1e4"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b) above
     * `threshold`, via LSH candidate generation + exact verify. */
   def cosineNearDups(df: DataFrame, dims: Int, threshold: Double,

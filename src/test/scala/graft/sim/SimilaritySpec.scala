@@ -91,6 +91,29 @@ class SimilaritySpec extends SparkSpec {
     assert(ivf.nonEmpty && ivf.size <= brute.size)
   }
 
+  test("exactCosinePairs matches the unguarded all-pairs spelling") {
+    import spark.implicits._
+    val labeled = vecs.withColumn("label", ($"vec_id" % 4).cast("string"))
+    val guarded = Similarity.exactCosinePairs(labeled, "label", minCosX1e4 = 9000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val a = labeled.select($"label", $"vec_id".as("id_a"), $"embedding".as("v_a"))
+    val b = labeled.select($"label", $"vec_id".as("id_b"), $"embedding".as("v_b"))
+    val naive = a.join(b, Seq("label")).where($"id_a" < $"id_b")
+      .withColumn("k", Similarity.cosineKey($"v_a", $"v_b"))
+      .where($"k" >= 9000L)
+      .select($"label", $"id_a", $"id_b", $"k")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(guarded == naive && guarded.nonEmpty)
+  }
+
+  test("exactCosinePairs refuses blocks above the O(block²) cap") {
+    val oneBlock = vecs.withColumn("label", lit("hot"))
+    val e = intercept[IllegalArgumentException] {
+      Similarity.exactCosinePairs(oneBlock, "label", minCosX1e4 = 0L, maxBlockRows = 100L)
+    }
+    assert(e.getMessage.contains("cosineNearDups"))
+  }
+
   test("cosine near-dups finds the planted duplicates") {
     import spark.implicits._
     val withDup = vecs.unionAll(
