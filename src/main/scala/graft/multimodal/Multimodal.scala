@@ -1,5 +1,7 @@
 package graft.multimodal
 
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
@@ -8,13 +10,14 @@ import org.apache.spark.sql.functions._
   * metadata struct; decode / feature-extract / resize / frame-sample run as
   * partition-local transforms over the bytes.
   *
-  * ==== STUB BOUNDARY ====
-  * No image/audio codecs exist in this environment, so the byte-level
-  * decode below is a DETERMINISTIC FAKE (metadata derived arithmetically
-  * from the byte stream). Everything around it — schema, batch shape,
-  * partition-local execution, pruning-friendly metadata columns — is the
-  * real Spark plumbing a codec would drop into: replace `decodeStub`'s
-  * body with the actual library call and nothing else changes. */
+  * ==== CODEC BOUNDARY ====
+  * Image headers decode through the REAL JDK codec ([[decodeMedia]] sniffs
+  * the magic bytes and reads dimensions via `javax.imageio` without
+  * decoding pixels). Payloads with no known magic — and media types whose
+  * codecs don't ship in the JDK (audio/video) — fall back to
+  * [[decodeStub]], a DETERMINISTIC FAKE (metadata derived arithmetically
+  * from the byte stream) that keeps the plumbing oracle-verifiable: swap
+  * the fallback for the real library call and nothing else changes. */
 object Multimodal {
 
   case class MediaMeta(format: String, width: Int, height: Int, nBytes: Long, frames: Int)
@@ -39,9 +42,60 @@ object Multimodal {
     MediaMeta(format, (64 + n % 640).toInt, (64 + n % 480).toInt, n, (1 + n % 7).toInt)
   }
 
+  /** Magic-byte container sniff — the cheap dispatch a decode pipeline
+    * runs before handing bytes to a codec. */
+  def sniffFormat(b: Array[Byte]): Option[String] =
+    if (b == null) None
+    else if (b.length >= 8 && (b(0) & 0xff) == 0x89 && b(1) == 'P' && b(2) == 'N' && b(3) == 'G')
+      Some("png")
+    else if (b.length >= 3 && (b(0) & 0xff) == 0xff && (b(1) & 0xff) == 0xd8 && (b(2) & 0xff) == 0xff)
+      Some("jpg")
+    else if (b.length >= 6 && b(0) == 'G' && b(1) == 'I' && b(2) == 'F')
+      Some("gif")
+    else None
+
+  /** REAL header decode for image payloads: dimensions come from the JDK's
+    * `javax.imageio` reader — header parse only, pixels are never decoded
+    * (`ImageReader.getWidth` reads IHDR/SOF, not the image data). Unknown
+    * magics fall back to [[decodeStub]]. */
+  def decodeMedia(bytes: Array[Byte]): MediaMeta = sniffFormat(bytes) match {
+    case Some(fmt) =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new ByteArrayInputStream(bytes))
+      try {
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) decodeStub(bytes)
+        else {
+          val r = readers.next()
+          try {
+            r.setInput(iis, false, true)
+            val frames = try math.max(r.getNumImages(true), 1) catch { case _: Exception => 1 }
+            MediaMeta(fmt, r.getWidth(0), r.getHeight(0), bytes.length.toLong, frames)
+          } finally r.dispose()
+        }
+      } finally iis.close()
+    case None => decodeStub(bytes)
+  }
+
+  /** Deterministic real-PNG fixture: a `width`×`height` single-color image
+    * encoded by the JDK PNG writer — real bytes for exercising the codec
+    * path end-to-end without external media files. */
+  def pngBytes(width: Int, height: Int, rgb: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try { g.setColor(new java.awt.Color(rgb & 0xffffff)); g.fillRect(0, 0, width, height) }
+    finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** Decode a packed frame: partition-local (mapPartitions — the Scala
     * analogue of mapInPandas batch decoding: one iterator per partition,
-    * codecs initialized once per partition, not per row). */
+    * codecs initialized once per partition, not per row). Dispatches
+    * through [[decodeMedia]]: real codec for image magics, deterministic
+    * fake for opaque payloads. */
   def decode(packed: DataFrame): Dataset[MediaRecord] = {
     val spark = packed.sparkSession
     import spark.implicits._
@@ -49,7 +103,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here
-        it.map { case (id, bytes) => MediaRecord(id, bytes, decodeStub(bytes)) }
+        it.map { case (id, bytes) => MediaRecord(id, bytes, decodeMedia(bytes)) }
       }
   }
 

@@ -192,6 +192,28 @@ object ExtensionQueries {
         .orderBy($"media_id")
     }),
 
+    // multimodal REAL-codec decode: deterministic real PNG fixtures are
+    // encoded partition-locally by the JDK writer, then decoded back
+    // through the javax.imageio header-parse path (pixels never decoded).
+    // The oracle replays the dimension arithmetic, so a broken encoder OR
+    // a broken header reader breaks the hash — this is the codec-backed
+    // twin of q41's stub-plumbing check.
+    "q67_multimodal_decode" -> ((s, dir) => {
+      import s.implicits._
+      val media = t(s, dir, "documents").select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            (id, Multimodal.pngBytes((16 + id % 32).toInt, (16 + id % 24).toInt,
+              (id * 0x9E3779B9L).toInt))
+          }
+        }.toDF("media_id", "content")
+      Multimodal.decode(media)
+        .select($"media_id", $"meta.format".as("format"),
+          $"meta.width".as("width"), $"meta.height".as("height"),
+          $"meta.frames".as("frames"))
+        .orderBy($"media_id")
+    }),
+
     // IVF ANN (k-means inverted lists; recall measured vs brute in tests).
     // Oracle-exact like q40: candidates (the non-SQL KMeans leg) persist to
     // parquet, DuckDB replays the exact-cosine ranking over them.
@@ -682,6 +704,12 @@ object ExtensionQueries {
         |  CAST(64 + n % 640 AS INTEGER) AS width, CAST(64 + n % 480 AS INTEGER) AS height,
         |  CAST(n AS BIGINT) AS n_bytes, CAST(1 + n % 7 AS INTEGER) AS frames
         |FROM m ORDER BY media_id""".stripMargin,
+    "q67_multimodal_decode" ->
+      """SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(16 + doc_id % 32 AS INTEGER) AS width,
+        |  CAST(16 + doc_id % 24 AS INTEGER) AS height,
+        |  CAST(1 AS INTEGER) AS frames
+        |FROM documents ORDER BY media_id""".stripMargin,
     "q47_corpus_clean" ->
       s"""WITH c AS (SELECT doc_id, lang, n_chars, text, $toksSql AS tk FROM documents),
          |q AS (SELECT doc_id, lang,

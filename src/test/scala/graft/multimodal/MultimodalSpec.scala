@@ -27,6 +27,25 @@ class MultimodalSpec extends SparkSpec {
     assert(metas(3L).frames == 1 + 1 % 7)
   }
 
+  test("decodeMedia reads real PNG dimensions through the JDK codec") {
+    val bytes = Multimodal.pngBytes(37, 21, 0xabcdef)
+    assert(Multimodal.sniffFormat(bytes).contains("png"))
+    val meta = Multimodal.decodeMedia(bytes)
+    assert(meta == Multimodal.MediaMeta("png", 37, 21, bytes.length.toLong, 1))
+    // and through the Spark decode path (mapPartitions dispatch)
+    import spark.implicits._
+    val df = Seq((9L, bytes)).toDF("media_id", "content")
+    val rec = Multimodal.decode(df).collect().head
+    assert(rec.meta.width == 37 && rec.meta.height == 21 && rec.meta.format == "png")
+  }
+
+  test("decodeMedia falls back to the deterministic stub on unknown magic") {
+    val opaque = "not an image".getBytes("UTF-8")
+    assert(Multimodal.sniffFormat(opaque).isEmpty)
+    assert(Multimodal.decodeMedia(opaque) == Multimodal.decodeStub(opaque))
+    assert(Multimodal.decodeMedia(null) == Multimodal.decodeStub(null))
+  }
+
   test("resize stub bounds payload size deterministically") {
     val big = Array.fill[Byte](1000)(7)
     val small = Multimodal.resizeStub(big, 100)
