@@ -178,6 +178,61 @@ object Dedup {
     }.reduce(_ + _)
   }
 
+  /** 60-bit SimHash signatures over distinct n-gram shingles — the
+    * production-width signature behind [[simhashNearDups]]. 60 bits = 15
+    * hex chars of md5, the widest slice that stays inside a signed 64-bit
+    * integer in every engine (no unsigned-cast divergence). Width matters:
+    * the 16-bit [[simhash16]] collapses template-similar corpora (at sf0.1
+    * it puts 1.7M doc pairs within hamming 3; this width: 135).
+    *
+    * Plan shape: explode shingles once, hash each shingle ONCE, fold all
+    * 60 per-bit sums in a single partial+final hash aggregate — one pass,
+    * map-side combined (60 HOF traversals per doc would re-hash every
+    * shingle 60×). Docs with < n tokens have no shingles and take the
+    * empty-input signature (every majority vote ties ≥ 0 → all bits set). */
+  def simhashSigs60(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", shingleN: Int = 3): DataFrame = {
+    val ex = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__s"))
+      .withColumn("__h",
+        conv(substring(md5(col("__s").cast("binary")), 1, 15), 16, 10).cast("long"))
+    val bitSums = (0 until 60).map { b =>
+      sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$b")
+    }
+    val sums = ex.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    df.select(col(idCol)).join(sums, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        (0 until 60).map(b =>
+          when(coalesce(col(s"__b$b"), lit(0L)) >= 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs within `maxHamming` bit flips — the
+    * pairing step the signature computation feeds. The 60-bit signature
+    * splits into 4×15-bit bands; by pigeonhole, ≤ 3 differing bits leave at
+    * least one band intact, so the band equi-join finds EVERY qualifying
+    * pair (exact, not approximate) and `bit_count` verifies candidates.
+    * Scale: the bucket exchange carries (id, sig) only — two longs — and
+    * never goes all-pairs; band-bucket skew is data skew (identical
+    * signatures), which is exactly the near-dup mass being sought. */
+  def simhashNearDups(df: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id",
+                      textCol: String = "text"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"the 4-band split is exact only for hamming <= 3, got $maxHamming")
+    val sigs = simhashSigs60(df, idCol, textCol)
+    val banded = (0 until 4).map { b =>
+      sigs.select(col(idCol), col("simhash"), lit(b).as("band_idx"),
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)).as("band_val"))
+    }.reduce(_ unionAll _)
+    val a = banded.toDF("id_a", "sig_a", "band_idx", "band_val")
+    val bb = banded.toDF("id_b", "sig_b", "band_idx", "band_val")
+    a.join(bb, Seq("band_idx", "band_val"))
+      .where(col("id_a") < col("id_b"))
+      .select("id_a", "id_b", "sig_a", "sig_b").distinct()
+      .withColumn("hamming", bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long"))
+      .where(col("hamming") <= maxHamming)
+      .select("id_a", "id_b", "hamming")
+  }
+
   /** 64-bit SimHash over token murmur hashes — pure Scala (for UDF use and
     * unit-level verification; not oracle-mirrored). */
   def simhash64(tokens: Seq[String]): Long = {

@@ -141,6 +141,15 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
+    // SimHash near-dup PAIRS at production width: 60-bit shingle simhash,
+    // 4×15-bit pigeonhole bands (exact for hamming ≤ 3), bit_count verify
+    // on candidates only — completes the SimHash dedup path beyond q37's
+    // signature computation
+    "q68_simhash_neardups" -> ((s, dir) => {
+      Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // 16-bit SimHash signatures
     "q37_dedup_simhash" -> ((s, dir) => {
       import s.implicits._
@@ -565,6 +574,27 @@ object ExtensionQueries {
        |SELECT doc_id, CAST($bitTerms AS INTEGER) AS simhash FROM toks ORDER BY doc_id""".stripMargin
   }
 
+  /** Mirror of Dedup.simhashSigs60 + simhashNearDups: 60 majority-vote bit
+    * terms over the shingle list (empty list → all bits set, matching the
+    * coalesce(…, 0) >= 0 tie), 4×15-bit bands, bit_count verify. */
+  private def simhashNearDupsOracle: String = {
+    val hash = (e: String) => s"(CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT))"
+    val bitTerms = (0 until 60).map { b =>
+      s"""(CASE WHEN coalesce(list_sum(list_transform(u, t ->
+         |CASE WHEN (${hash("t")} >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+         |THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin.replace("\n", " ")
+    }.mkString(" + ")
+    s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+       |sh AS (SELECT doc_id, $shinglesSql AS u FROM toks),
+       |s AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM sh),
+       |bands AS (SELECT doc_id, simhash, band_idx, (simhash >> (band_idx*15)) & 32767 AS band_val
+       |          FROM s, unnest([0,1,2,3]) AS t(band_idx)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb
+       |         FROM bands a JOIN bands b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |SELECT id_a, id_b, CAST(bit_count(xor(sa, sb)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sa, sb)) <= 3 ORDER BY id_a, id_b""".stripMargin
+  }
+
   /** CTE chain ending in `cand` = the MinHash+LSH candidate pairs — the
     * mirror of Dedup.minhashSignatures (base = md5(shingle) once, then
     * h_k = min md5(k|base)) + lshBands. Shared by the q35 oracle and q57's
@@ -683,6 +713,7 @@ object ExtensionQueries {
          |SELECT source, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.10
          |ORDER BY source, id_a, id_b""".stripMargin,
     "q37_dedup_simhash" -> simhashOracle,
+    "q68_simhash_neardups" -> simhashNearDupsOracle,
     "q38_dedup_embedding" ->
       """SELECT a.label, a.vec_id AS id_a, b.vec_id AS id_b,
         |  CAST(round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_x1e4

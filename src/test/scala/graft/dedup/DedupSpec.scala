@@ -67,6 +67,26 @@ class DedupSpec extends SparkSpec {
     // text is weak at this width by construction — covered by simhash64 below
   }
 
+  test("simhashNearDups: exact dup paired at hamming 0, unrelated absent") {
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pairs((1L, 2L)) == 0L, s"exact dup must pair at hamming 0: $pairs")
+    assert(!pairs.contains((4L, 5L)), "unrelated docs must not pair")
+    // every emitted pair respects the cap, and the band join found it
+    assert(pairs.values.forall(_ <= 3L))
+  }
+
+  test("simhashSigs60: empty-shingle doc takes the all-ones signature; cap enforced") {
+    import spark.implicits._
+    val tiny = Seq((1L, "only two")).toDF("doc_id", "text") // < 3 tokens → no shingles
+    val sig = Dedup.simhashSigs60(tiny).collect().head.getLong(1)
+    assert(sig == (1L << 60) - 1L)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.simhashNearDups(docs, maxHamming = 4)
+    }
+    assert(e.getMessage.contains("hamming"))
+  }
+
   test("simhash64 separates near dups from unrelated text") {
     def toks(s: String) = s.split(" ").toSeq
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"
