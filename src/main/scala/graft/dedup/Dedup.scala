@@ -193,8 +193,7 @@ object Dedup {
   def simhashSigs60(df: DataFrame, idCol: String = "doc_id",
                     textCol: String = "text", shingleN: Int = 3): DataFrame = {
     val ex = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__s"))
-      .withColumn("__h",
-        conv(substring(md5(col("__s").cast("binary")), 1, 15), 16, 10).cast("long"))
+      .withColumn("__h", TextFunctions.md5Bucket60(col("__s")))
     val bitSums = (0 until 60).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$b")
     }
@@ -211,14 +210,19 @@ object Dedup {
     * splits into 4×15-bit bands; by pigeonhole, ≤ 3 differing bits leave at
     * least one band intact, so the band equi-join finds EVERY qualifying
     * pair (exact, not approximate) and `bit_count` verifies candidates.
+    * Docs with NO shingles (< shingleN tokens) are EXCLUDED from pairing:
+    * they all share the empty-input signature, so a corpus with k short
+    * docs would otherwise emit all C(k,2) of them as hamming-0 "dups" and
+    * pile into one band bucket quadratically.
     * Scale: the bucket exchange carries (id, sig) only — two longs — and
     * never goes all-pairs; band-bucket skew is data skew (identical
     * signatures), which is exactly the near-dup mass being sought. */
   def simhashNearDups(df: DataFrame, maxHamming: Int = 3, idCol: String = "doc_id",
-                      textCol: String = "text"): DataFrame = {
+                      textCol: String = "text", shingleN: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"the 4-band split is exact only for hamming <= 3, got $maxHamming")
-    val sigs = simhashSigs60(df, idCol, textCol)
+    val sigs = simhashSigs60(
+      df.where(size(shingles(col(textCol), shingleN)) > 0), idCol, textCol, shingleN)
     val banded = (0 until 4).map { b =>
       sigs.select(col(idCol), col("simhash"), lit(b).as("band_idx"),
         shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)).as("band_val"))

@@ -57,23 +57,27 @@ object Multimodal {
   /** REAL header decode for image payloads: dimensions come from the JDK's
     * `javax.imageio` reader — header parse only, pixels are never decoded
     * (`ImageReader.getWidth` reads IHDR/SOF, not the image data). Unknown
-    * magics fall back to [[decodeStub]]. */
+    * magics AND undecodable payloads (matching magic, corrupt/truncated
+    * header) fall back to [[decodeStub]] — a bad upload must degrade to
+    * fake metadata, not kill the partition's task. */
   def decodeMedia(bytes: Array[Byte]): MediaMeta = sniffFormat(bytes) match {
     case Some(fmt) =>
-      val iis = javax.imageio.ImageIO.createImageInputStream(
-        new ByteArrayInputStream(bytes))
       try {
-        val readers = javax.imageio.ImageIO.getImageReaders(iis)
-        if (!readers.hasNext) decodeStub(bytes)
-        else {
-          val r = readers.next()
-          try {
-            r.setInput(iis, false, true)
-            val frames = try math.max(r.getNumImages(true), 1) catch { case _: Exception => 1 }
-            MediaMeta(fmt, r.getWidth(0), r.getHeight(0), bytes.length.toLong, frames)
-          } finally r.dispose()
-        }
-      } finally iis.close()
+        val iis = javax.imageio.ImageIO.createImageInputStream(
+          new ByteArrayInputStream(bytes))
+        try {
+          val readers = javax.imageio.ImageIO.getImageReaders(iis)
+          if (!readers.hasNext) decodeStub(bytes)
+          else {
+            val r = readers.next()
+            try {
+              r.setInput(iis, false, true)
+              val frames = try math.max(r.getNumImages(true), 1) catch { case _: Exception => 1 }
+              MediaMeta(fmt, r.getWidth(0), r.getHeight(0), bytes.length.toLong, frames)
+            } finally r.dispose()
+          }
+        } finally iis.close()
+      } catch { case _: Exception => decodeStub(bytes) }
     case None => decodeStub(bytes)
   }
 
@@ -94,18 +98,24 @@ object Multimodal {
   /** Decode a packed frame: partition-local (mapPartitions — the Scala
     * analogue of mapInPandas batch decoding: one iterator per partition,
     * codecs initialized once per partition, not per row). Dispatches
-    * through [[decodeMedia]]: real codec for image magics, deterministic
-    * fake for opaque payloads. */
-  def decode(packed: DataFrame): Dataset[MediaRecord] = {
+    * through [[decodeMedia]] by default: real codec for image magics,
+    * deterministic fake for opaque payloads. Pass an explicit `decoder`
+    * to pin one path — e.g. [[decodeStub]] when the payloads are KNOWN to
+    * be non-media bytes (arbitrary text can start with an ASCII image
+    * magic like "GIF89a" and must not be content-sniffed). */
+  def decode(packed: DataFrame,
+             decoder: Array[Byte] => MediaMeta): Dataset[MediaRecord] = {
     val spark = packed.sparkSession
     import spark.implicits._
     packed.select(col("media_id"), col("content"))
       .as[(Long, Array[Byte])]
       .mapPartitions { it =>
         // per-partition codec init would go here
-        it.map { case (id, bytes) => MediaRecord(id, bytes, decodeMedia(bytes)) }
+        it.map { case (id, bytes) => MediaRecord(id, bytes, decoder(bytes)) }
       }
   }
+
+  def decode(packed: DataFrame): Dataset[MediaRecord] = decode(packed, decodeMedia)
 
   /** Resize stub: deterministic byte subsampling to ≤ maxBytes (stands in
     * for a pixel resize; keeps every k-th byte). */

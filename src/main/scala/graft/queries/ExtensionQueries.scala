@@ -191,10 +191,14 @@ object ExtensionQueries {
         .orderBy($"query_id", $"rank")
     }),
 
-    // multimodal plumbing: pack → partition-local decode → typed metadata
+    // multimodal plumbing: pack → partition-local decode → typed metadata.
+    // The decoder is PINNED to the stub: payloads here are document text,
+    // and the oracle replays the stub's byte-length arithmetic — a text
+    // that happens to start with an ASCII image magic ("GIF89a…") must not
+    // be claimed by the codec sniff (q67 covers the real-codec path).
     "q41_multimodal_meta" -> ((s, dir) => {
       import s.implicits._
-      Multimodal.decode(Multimodal.pack(t(s, dir, "documents")))
+      Multimodal.decode(Multimodal.pack(t(s, dir, "documents")), Multimodal.decodeStub)
         .select($"media_id", $"meta.format".as("format"),
           $"meta.width".as("width"), $"meta.height".as("height"),
           $"meta.nBytes".as("n_bytes"), $"meta.frames".as("frames"))
@@ -575,18 +579,17 @@ object ExtensionQueries {
   }
 
   /** Mirror of Dedup.simhashSigs60 + simhashNearDups: 60 majority-vote bit
-    * terms over the shingle list (empty list → all bits set, matching the
-    * coalesce(…, 0) >= 0 tie), 4×15-bit bands, bit_count verify. */
+    * terms over the shingle list, zero-shingle docs excluded from pairing,
+    * 4×15-bit bands, bit_count verify. */
   private def simhashNearDupsOracle: String = {
-    val hash = (e: String) => s"(CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT))"
     val bitTerms = (0 until 60).map { b =>
       s"""(CASE WHEN coalesce(list_sum(list_transform(u, t ->
-         |CASE WHEN (${hash("t")} >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
+         |CASE WHEN (${TextFunctions.md5Bucket60Sql("t")} >> $b) & 1 = 1 THEN 1 ELSE -1 END)), 0) >= 0
          |THEN CAST(${1L << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)""".stripMargin.replace("\n", " ")
     }.mkString(" + ")
     s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
        |sh AS (SELECT doc_id, $shinglesSql AS u FROM toks),
-       |s AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM sh),
+       |s AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM sh WHERE len(u) > 0),
        |bands AS (SELECT doc_id, simhash, band_idx, (simhash >> (band_idx*15)) & 32767 AS band_val
        |          FROM s, unnest([0,1,2,3]) AS t(band_idx)),
        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.simhash AS sa, b.simhash AS sb

@@ -33,9 +33,10 @@ object PipelineQueries {
       df.count()
       df
     }
-    val cached = txCache.getOrElseUpdate(dir, fresh())
+    val key = cacheKey(s, dir)
+    val cached = txCache.getOrElseUpdate(key, fresh())
     if (cached.sparkSession.sparkContext.isStopped) {
-      val df = fresh(); txCache.put(dir, df); df
+      val df = fresh(); txCache.put(key, df); df
     } else cached
   }
 
@@ -46,15 +47,23 @@ object PipelineQueries {
     * only re-measures the estimator (which q25's full pipeline still does).
     * A cached model whose SparkContext has since stopped is refit — the
     * persisted state dies with its session. */
+  // cache keys carry the session identity: two LIVE sessions over the same
+  // dir must not share plans (different conf/extensions), and a replaced
+  // session's entries die with it — the isStopped check handles only the
+  // restart-in-place case
+  private def cacheKey(s: SparkSession, dir: String): String =
+    System.identityHashCode(s).toHexString + "|" + dir
+
   private val persCache =
     scala.collection.concurrent.TrieMap.empty[String, graft.cluster.GeoscanPersonalizedModel]
   private def persModel(s: SparkSession, dir: String): graft.cluster.GeoscanPersonalizedModel = {
     def fresh() = new GeoscanPersonalized()
       .setGroupedCol("user").setEpsilon(150).setMinPts(3)
       .fit(tx(s, dir))
-    val m = persCache.getOrElseUpdate(dir, fresh())
+    val key = cacheKey(s, dir)
+    val m = persCache.getOrElseUpdate(key, fresh())
     if (m.sessionStopped) {
-      val m2 = fresh(); persCache.put(dir, m2); m2
+      val m2 = fresh(); persCache.put(key, m2); m2
     } else m
   }
 

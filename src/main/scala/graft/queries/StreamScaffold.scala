@@ -45,22 +45,37 @@ private[graft] object StreamScaffold {
     new java.io.File(System.getProperty("java.io.tmpdir"), name).toString
 
   /** Stage a testdata table as a stream-source directory via a raw file
-    * copy (no Spark write job). Testdata is immutable, so an already-staged
-    * directory is reused — q61/q63/q64 share one staged `events` copy. */
+    * copy (no Spark write job). A marker records the source's
+    * length+mtime signature: an unchanged table is staged once and shared
+    * (q61/q63/q64 reuse one `events` copy), while a REGENERATED table at
+    * the same path re-stages — scratch in java.io.tmpdir can outlive a
+    * testdata refresh, and a stale copy would diverge from the oracle's
+    * view of the fresh parquet with no error. */
   def stageTable(s: SparkSession, sfDir: String, table: String): String = {
     val dir = tmpPath(s"graft_src_${table}_${Tables.sfTag(sfDir)}")
     val hconf = s.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(hconf)
+    val src = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
+    val st = src.getFileSystem(hconf).getFileStatus(src)
+    val sig = s"${st.getLen}:${st.getModificationTime}"
     val done = new org.apache.hadoop.fs.Path(dir, "_staged")
-    if (!fs.exists(done)) {
+    val fresh = fs.exists(done) && {
+      val buf = new Array[Byte](fs.getFileStatus(done).getLen.toInt)
+      val in = fs.open(done)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8) == sig
+    }
+    if (!fresh) {
       fs.delete(dst, true)
       fs.mkdirs(dst)
       org.apache.hadoop.fs.FileUtil.copy(
-        fs, new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet"),
+        src.getFileSystem(hconf), src,
         fs, new org.apache.hadoop.fs.Path(s"$dir/$table.parquet"),
         false, hconf)
-      fs.create(done, true).close()
+      val out = fs.create(done, true)
+      try out.write(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     dir
   }

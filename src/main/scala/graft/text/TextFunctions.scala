@@ -102,6 +102,17 @@ object TextFunctions {
     if (salt.isEmpty) s"CAST(('0x' || substr(md5($e), 1, 4)) AS INTEGER)"
     else s"CAST(('0x' || substr(md5('$salt' || $e), 1, 4)) AS INTEGER)"
 
+  /** [[md5Bucket16]] at signature width: first 60 bits (15 hex chars) of
+    * md5 — the widest md5 slice that stays inside a SIGNED 64-bit integer
+    * in every engine (no unsigned-cast divergence). Lockstep with
+    * [[md5Bucket60Sql]]. */
+  def md5Bucket60(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB twin of [[md5Bucket60]] over SQL expression `e`. */
+  def md5Bucket60Sql(e: String): String =
+    s"(CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT))"
+
   /** Polynomial rolling hash (Rabin-Karp style, mod 2^61-1) — the
     * streaming-friendly fingerprint; pure Scala, order-sensitive. */
   def rollingHash(s: String): Long = {

@@ -87,6 +87,18 @@ class DedupSpec extends SparkSpec {
     assert(e.getMessage.contains("hamming"))
   }
 
+  test("simhashNearDups excludes zero-shingle docs from pairing") {
+    import spark.implicits._
+    // two short docs would share the empty-input signature — pairing them
+    // (and every other short doc, quadratically) would be semantic garbage
+    val withTiny = docs.unionAll(
+      Seq((6L, "too short"), (7L, "also short")).toDF("doc_id", "text"))
+    val pairs = Dedup.simhashNearDups(withTiny)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!pairs.exists(p => p._1 >= 6L || p._2 >= 6L), s"short docs paired: $pairs")
+    assert(pairs.contains((1L, 2L)), "real dups still found")
+  }
+
   test("simhash64 separates near dups from unrelated text") {
     def toks(s: String) = s.split(" ").toSeq
     val base = "the quick brown fox jumps over the lazy dog near the river bank today"

@@ -46,6 +46,23 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.decodeMedia(null) == Multimodal.decodeStub(null))
   }
 
+  test("decodeMedia degrades to the stub on corrupt headers instead of throwing") {
+    // valid PNG magic, truncated before IHDR — the reader claims it, then
+    // hits EOF; a bad upload must not kill the partition's task
+    val truncated = Multimodal.pngBytes(8, 8, 1).take(12)
+    assert(Multimodal.decodeMedia(truncated) == Multimodal.decodeStub(truncated))
+  }
+
+  test("decode with a pinned decoder never content-sniffs text payloads") {
+    import spark.implicits._
+    // ASCII text starting with a GIF magic: the sniffing path would hand it
+    // to the JDK GIF reader; the pinned-stub path must use byte arithmetic
+    val trap = Seq((1L, "GIF89a is a fun image format")).toDF("doc_id", "text")
+    val rec = Multimodal.decode(Multimodal.pack(trap), Multimodal.decodeStub)
+      .collect().head
+    assert(rec.meta == Multimodal.decodeStub(rec.content))
+  }
+
   test("resize stub bounds payload size deterministically") {
     val big = Array.fill[Byte](1000)(7)
     val small = Multimodal.resizeStub(big, 100)
