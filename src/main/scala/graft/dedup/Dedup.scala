@@ -223,10 +223,13 @@ object Dedup {
       s"the 4-band split is exact only for hamming <= 3, got $maxHamming")
     val sigs = simhashSigs60(
       df.where(size(shingles(col(textCol), shingleN)) > 0), idCol, textCol, shingleN)
-    val banded = (0 until 4).map { b =>
-      sigs.select(col(idCol), col("simhash"), lit(b).as("band_idx"),
-        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL)).as("band_val"))
-    }.reduce(_ unionAll _)
+    // all 4 band keys from the computed signature in ONE pass (posexplode
+    // of the band array) — a per-band union would re-run the whole
+    // explode+aggregate signature job once per band per join side
+    val banded = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * 15).bitwiseAND(lit(0x7fffL))): _*))
+        .as(Seq("band_idx", "band_val")))
     val a = banded.toDF("id_a", "sig_a", "band_idx", "band_val")
     val bb = banded.toDF("id_b", "sig_b", "band_idx", "band_val")
     a.join(bb, Seq("band_idx", "band_val"))
