@@ -72,15 +72,19 @@ object Dedup {
   }
 
   /** LSH banding: `numHashes/rowsPerBand` bands, band value = md5 of the
-    * concatenated row hashes. Output: (band_idx, band_val, id). */
+    * concatenated row hashes. Output: (band_idx, band_val, id). All bands
+    * come from ONE evaluation of `sigs` (posexplode of the band array) —
+    * a per-band union would re-run the signature explode+aggregate job
+    * once per band per consumer. */
   def lshBands(sigs: DataFrame, idCol: String = "doc_id",
                numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
     val numBands = numHashes / rowsPerBand
-    (0 until numBands).map { b =>
+    val bandVals = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sigs.select(lit(b).as("band_idx"),
-        md5(concat(cols: _*).cast("binary")).as("band_val"), col(idCol))
-    }.reduce(_ unionAll _)
+      md5(concat(cols: _*).cast("binary"))
+    }
+    sigs.select(col(idCol), posexplode(array(bandVals: _*)).as(Seq("band_idx", "band_val")))
+      .select(col("band_idx"), col("band_val"), col(idCol))
   }
 
   /** Candidate near-dup pairs: ids sharing any LSH band bucket (id_a < id_b,
@@ -190,20 +194,31 @@ object Dedup {
     * map-side combined (60 HOF traversals per doc would re-hash every
     * shingle 60×). Docs with < n tokens have no shingles and take the
     * empty-input signature (every majority vote ties ≥ 0 → all bits set). */
-  def simhashSigs60(df: DataFrame, idCol: String = "doc_id",
-                    textCol: String = "text", shingleN: Int = 3): DataFrame = {
+  /** Signatures for the docs that HAVE shingles — the aggregation output
+    * itself (docs with < shingleN tokens never enter the exploded stream,
+    * so their absence needs no filter pass). [[simhashSigs60]] adds the
+    * empty-input default back; [[simhashNearDups]] wants exactly this
+    * frame. */
+  private def simhashSigsPresent(df: DataFrame, idCol: String,
+                                 textCol: String, shingleN: Int): DataFrame = {
     val ex = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__s"))
       .withColumn("__h", TextFunctions.md5Bucket60(col("__s")))
     val bitSums = (0 until 60).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$b")
     }
-    val sums = ex.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
-    df.select(col(idCol)).join(sums, Seq(idCol), "left_outer")
+    ex.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
         (0 until 60).map(b =>
-          when(coalesce(col(s"__b$b"), lit(0L)) >= 0, lit(1L << b)).otherwise(lit(0L)))
+          when(col(s"__b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _).as("simhash"))
   }
+
+  def simhashSigs60(df: DataFrame, idCol: String = "doc_id",
+                    textCol: String = "text", shingleN: Int = 3): DataFrame =
+    df.select(col(idCol))
+      .join(simhashSigsPresent(df, idCol, textCol, shingleN), Seq(idCol), "left_outer")
+      // empty shingle list: every majority vote ties ≥ 0 → all bits set
+      .select(col(idCol), coalesce(col("simhash"), lit((1L << 60) - 1L)).as("simhash"))
 
   /** SimHash near-duplicate pairs within `maxHamming` bit flips — the
     * pairing step the signature computation feeds. The 60-bit signature
@@ -221,8 +236,9 @@ object Dedup {
                       textCol: String = "text", shingleN: Int = 3): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 3,
       s"the 4-band split is exact only for hamming <= 3, got $maxHamming")
-    val sigs = simhashSigs60(
-      df.where(size(shingles(col(textCol), shingleN)) > 0), idCol, textCol, shingleN)
+    // present-only signatures: zero-shingle docs are excluded by
+    // construction (no filter pass, no default-signature join)
+    val sigs = simhashSigsPresent(df, idCol, textCol, shingleN)
     // all 4 band keys from the computed signature in ONE pass (posexplode
     // of the band array) — a per-band union would re-run the whole
     // explode+aggregate signature job once per band per join side

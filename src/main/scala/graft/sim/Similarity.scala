@@ -136,14 +136,14 @@ object Similarity {
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val bandBits = numBits / numBands
     val mask = (1 << bandBits) - 1
-    def bands(df: DataFrame, side: String): DataFrame = {
-      val base = df.select(col(idCol).as(side),
-        srpSignature(col(vecCol), dims, numBits, seed).as("sig"))
-      (0 until numBands).map { b =>
-        base.select(col(side), lit(b).as("band_idx"),
-          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
-      }.reduce(_ unionAll _)
-    }
+    // all band keys from ONE signature evaluation per side (posexplode) —
+    // a per-band union re-runs the scan + signature UDF once per band
+    def bands(df: DataFrame, side: String): DataFrame =
+      df.select(col(idCol).as(side),
+          srpSignature(col(vecCol), dims, numBits, seed).as("sig"))
+        .select(col(side), posexplode(array((0 until numBands).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band_idx", "band_val")))
     bands(queries, "query_id").join(bands(corpus, "corpus_id"), Seq("band_idx", "band_val"))
       .where(col("query_id") =!= col("corpus_id"))
       .select("query_id", "corpus_id").distinct()
@@ -261,12 +261,14 @@ object Similarity {
                      numBits: Int = 16, numBands: Int = 4): DataFrame = {
     val bandBits = numBits / numBands
     val mask = (1 << bandBits) - 1
-    val sig = srpSignature(col(vecCol), dims, numBits)
-    val banded = (0 until numBands).map { b =>
-      df.select(col(idCol).as("id"), col(vecCol).as("v"), vecNorm(col(vecCol)).as("nrm"),
-        lit(b).as("band_idx"),
-        shiftright(sig, b * bandBits).bitwiseAND(lit(mask)).as("band_val"))
-    }.reduce(_ unionAll _)
+    // one scan + one signature/norm evaluation, band keys posexploded
+    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+        vecNorm(col(vecCol)).as("nrm"),
+        srpSignature(col(vecCol), dims, numBits).as("sig"))
+      .select(col("id"), col("v"), col("nrm"),
+        posexplode(array((0 until numBands).map(b =>
+          shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band_idx", "band_val")))
     val a = banded.toDF("id_a", "v_a", "n_a", "band_idx", "band_val")
     val b = banded.toDF("id_b", "v_b", "n_b", "band_idx", "band_val")
     a.join(b, Seq("band_idx", "band_val"))
