@@ -227,6 +227,21 @@ object ExtensionQueries {
         .orderBy($"media_id")
     }),
 
+    // multimodal frame-sampling plumbing: decode → one row per sampled
+    // frame (the explode shape a video frame extractor produces), stride 2.
+    // Stub chunk arithmetic is deterministic, so the oracle replays it:
+    // frames = 1 + n%7, chunk = max(n/frames, 1), frame f covers
+    // [f·chunk, min(f·chunk + chunk, n)).
+    "q69_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      val decoded = Multimodal.decode(
+        Multimodal.pack(t(s, dir, "documents")), Multimodal.decodeStub)
+      Multimodal.sampleFrames(decoded, stride = 2)
+        .select($"media_id", $"frame_idx".cast("long").as("frame_idx"),
+          length($"frame_bytes").cast("long").as("frame_len"))
+        .orderBy($"media_id", $"frame_idx")
+    }),
+
     // IVF ANN (k-means inverted lists; recall measured vs brute in tests).
     // Oracle-exact like q40: candidates (the non-SQL KMeans leg) persist to
     // parquet, DuckDB replays the exact-cosine ranking over them.
@@ -308,10 +323,12 @@ object ExtensionQueries {
     // interchange format; no schema inference nondeterminism)
     "q46_jsonl_roundtrip" -> ((s, dir) => {
       import s.implicits._
-      // fixed path + overwrite: repeated runs reuse one directory instead of
-      // leaking a fresh createTempDirectory each invocation (testdata dir is
-      // read-only, so scratch lives under java.io.tmpdir)
-      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"), "graft_q46_jsonl").toString
+      // fixed sf-tagged path + overwrite: repeated runs reuse one directory
+      // instead of leaking a fresh createTempDirectory each invocation, and
+      // concurrent runs over different sf dirs never clobber each other
+      // (testdata dir is read-only, so scratch lives under java.io.tmpdir)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q46_jsonl_${Tables.sfTag(dir)}").toString
       t(s, dir, "documents").select($"doc_id", $"lang", $"n_chars")
         .write.mode("overwrite").json(tmp)
       s.read.schema("doc_id LONG, lang STRING, n_chars LONG").json(tmp)
@@ -744,6 +761,13 @@ object ExtensionQueries {
         |  CAST(16 + doc_id % 24 AS INTEGER) AS height,
         |  CAST(1 AS INTEGER) AS frames
         |FROM documents ORDER BY media_id""".stripMargin,
+    "q69_multimodal_frames" ->
+      """WITH m AS (SELECT doc_id AS media_id, octet_length(encode(text)) AS L FROM documents),
+        |f AS (SELECT media_id, L, greatest(L // (1 + L % 7), 1) AS chunk, 1 + L % 7 AS n FROM m),
+        |fr AS (SELECT media_id, L, chunk, unnest(range(0, n, 2)) AS frame_idx FROM f)
+        |SELECT media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(greatest(least(frame_idx * chunk + chunk, L) - frame_idx * chunk, 0) AS BIGINT) AS frame_len
+        |FROM fr ORDER BY media_id, frame_idx""".stripMargin,
     "q47_corpus_clean" ->
       s"""WITH c AS (SELECT doc_id, lang, n_chars, text, $toksSql AS tk FROM documents),
          |q AS (SELECT doc_id, lang,
