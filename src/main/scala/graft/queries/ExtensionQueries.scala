@@ -118,6 +118,16 @@ object ExtensionQueries {
       Dedup.dedupGroups(t(s, dir, "documents")).orderBy("group_id")
     }),
 
+    // int8 max-abs embedding quantization — the storage-compression step;
+    // map-side only. Codes stringified: the driver's pandas compare can't
+    // sort array cells (q42 precedent).
+    "q70_embed_quantize" -> ((s, dir) => {
+      import s.implicits._
+      Similarity.quantizeInt8(t(s, dir, "embeddings"))
+        .withColumn("codes", array_join(transform($"codes", c => c.cast("string")), ","))
+        .orderBy($"vec_id")
+    }),
+
     // per-label embedding centroids (exact decimal sums — plan-order
     // independent, so replayable cross-engine)
     "q58_embed_centroid" -> ((s, dir) => {
@@ -709,6 +719,12 @@ object ExtensionQueries {
          |SELECT test_id, count(DISTINCT train_id) AS n_train_docs, count(*) AS n_hits
          |FROM te JOIN tr USING (ng) GROUP BY test_id ORDER BY test_id""".stripMargin,
     "q57_dedup_groups" -> dedupGroupsOracle,
+    "q70_embed_quantize" ->
+      """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |m AS (SELECT vec_id, e, greatest(list_max(list_transform(e, v -> abs(v))), 1e-12) AS mx FROM x)
+        |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
+        |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
+        |FROM m ORDER BY vec_id""".stripMargin,
     "q58_embed_centroid" ->
       """WITH x AS (SELECT label, unnest(range(len(embedding))) AS dim, unnest(embedding) AS v FROM embeddings)
         |SELECT label, dim, count(*) AS n,

@@ -210,6 +210,21 @@ object Similarity {
       .select("query_id", "corpus_id")
   }
 
+  /** Int8 max-abs quantization of an embedding column — the storage
+    * compression step of an embedding pipeline (4× smaller than float32,
+    * reconstruction error ≤ scale/2 per dimension): per-vector
+    * scale = max|v|/127, code = round(v / max|v| · 127) ∈ [−127, 127].
+    * Map-side only — a pure projection, no shuffle at any scale. Both
+    * engines round half-away-from-zero, so codes replay exactly;
+    * `scale_key` is the µ-scaled integer spelling of max|v|. */
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val mx = greatest(array_max(transform(col(vecCol), v => abs(v.cast("double")))), lit(1e-12))
+    df.select(col(idCol),
+      round(mx * 1e6).cast("long").as("scale_key"),
+      transform(col(vecCol), v => round(v.cast("double") / mx * 127).cast("int")).as("codes"))
+  }
+
   /** Per-label embedding centroid, one row per (label, dim):
     * `centroid_key` = the mean×10^6 as an integer (cross-engine-comparable).
     *

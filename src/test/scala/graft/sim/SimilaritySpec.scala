@@ -114,6 +114,22 @@ class SimilaritySpec extends SparkSpec {
     assert(e.getMessage.contains("cosineNearDups"))
   }
 
+  test("quantizeInt8: codes bounded, reconstruction error within scale/2") {
+    import spark.implicits._
+    val out = Similarity.quantizeInt8(vecs).as[(Long, Long, Seq[Int])].collect()
+    val orig = vecs.as[(Long, Seq[Float])].collect().toMap
+    assert(out.nonEmpty)
+    out.foreach { case (id, scaleKey, codes) =>
+      val mx = scaleKey.toDouble / 1e6
+      val scale = mx / 127.0
+      assert(codes.forall(c => c >= -127 && c <= 127), s"vec $id codes out of range")
+      codes.zip(orig(id)).foreach { case (c, v) =>
+        assert(math.abs(c * scale - v) <= scale / 2 + 1e-6,
+          s"vec $id: code $c reconstructs ${c * scale}, original $v, scale $scale")
+      }
+    }
+  }
+
   test("cosine near-dups finds the planted duplicates") {
     import spark.implicits._
     val withDup = vecs.unionAll(
