@@ -276,6 +276,22 @@ object ExtensionQueries {
         .orderBy($"o_custkey")
     }),
 
+    // skew-salted equi-join made driver-visible: saltedJoin must equal the
+    // plain join row-for-row (the oracle IS the plain join), so the salting
+    // shuffle-spread is pure mechanics. factor=8 spreads each suppkey over
+    // 8 reducers; quantities are integral doubles, so sums replay exactly.
+    "q71_salted_join" -> ((s, dir) => {
+      import s.implicits._
+      val fact = t(s, dir, "lineitem")
+        .select($"l_suppkey".as("suppkey"), $"l_quantity")
+      val dim = t(s, dir, "supplier")
+        .select($"s_suppkey".as("suppkey"), $"s_nationkey")
+      graft.operators.SkewTools.saltedJoin(fact, dim, Seq("suppkey"), factor = 8)
+        .groupBy($"s_nationkey")
+        .agg(count(lit(1)).as("n_items"), sum($"l_quantity").as("sum_qty"))
+        .orderBy($"s_nationkey")
+    }),
+
     // window functions: per-group ranking (keep-first shape used by dedup)
     "q45_window_rank" -> ((s, dir) => {
       import s.implicits._
@@ -812,6 +828,10 @@ object ExtensionQueries {
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q46_jsonl_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "q71_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
     "q44_set_ops" ->
       """SELECT o_custkey FROM (
         |  SELECT o_custkey FROM orders WHERE o_totalprice > 200000.0
