@@ -592,6 +592,22 @@ object ExtensionQueries {
       }.orderBy($"p_id", $"event_id")
     }),
 
+    // stream-static enrichment join — the canonical serving-side pattern
+    // (stream joined to a broadcast dimension; at scale the dim re-broadcasts
+    // per micro-batch, no stream-side state at all, so it is watermark-free)
+    "q72_stream_static" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      val dim = t(s, dir, "customer")
+        .select($"c_custkey".as("user_id"), $"c_mktsegment")
+      StreamScaffold.runStagedStream(s, "q72", dir, src) { mk =>
+        mk().where($"event_type" === "purchase")
+          .select($"user_id", $"event_id")
+          .join(broadcast(dim), Seq("user_id"))
+      }.orderBy($"event_id")
+    }),
+
     // sliding TTL validity window (batch twin of the streaming tile store)
     "q42_ttl_window" -> ((s, dir) => {
       import s.implicits._
@@ -907,6 +923,11 @@ object ExtensionQueries {
         |SELECT p_id, e.event_id AS event_id
         |FROM p JOIN e ON p.user_id = e.user_id AND e.us >= p.p_us AND e.us <= p.p_us + 3600000000
         |ORDER BY p_id, event_id""".stripMargin,
+    "q72_stream_static" ->
+      """SELECT e.user_id, e.event_id, c.c_mktsegment
+        |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+        |WHERE e.event_type = 'purchase'
+        |ORDER BY e.event_id""".stripMargin,
     "q42_ttl_window" ->
       """WITH mx AS (SELECT max(ts) AS mt FROM events),
         |tl AS (SELECT CAST(user_id AS VARCHAR) AS "user", 'T' || CAST(event_id % 50 AS VARCHAR) AS h3, ts FROM events)
