@@ -33,6 +33,35 @@ object Dedup {
       .otherwise(array().cast("array<string>"))
   }
 
+  /** Exact substring-span duplication stats — the positional-window member
+    * of the dedup family (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better", ACL 2022, §3.1 ExactSubstr): every window of
+    * `w` consecutive tokens is hashed at its position (NON-distinct, unlike
+    * [[shingles]] — coverage needs multiplicity), and a window counts as
+    * duplicated when its hash occurs in ≥ 2 distinct docs. Returns one row
+    * per doc with ≥ 1 window: (id, n_windows, n_dup_windows); the
+    * trim/drop policy over the coverage ratio is the caller's.
+    *
+    * Scale shape: one explode (len−w+1 rows per doc), one hash aggregate
+    * over window hashes, one equi-join back — the same shuffle pattern as
+    * the shingle family, never all-pairs, never a suffix array. */
+  def spanDupStats(df: DataFrame, w: Int = 10, idCol: String = "doc_id",
+                   textCol: String = "text"): DataFrame = {
+    val toks = TextFunctions.tokens(lower(col(textCol)))
+    val cnt = size(toks) - (w - 1)
+    val wins = df.select(col(idCol),
+        explode(when(cnt >= 1, transform(sequence(lit(1), cnt),
+            i => md5(concat_ws(" ", slice(toks, i, lit(w))).cast("binary"))))
+          .otherwise(array().cast("array<string>"))).as("h"))
+    val dup = wins.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .where(col("nd") >= 2).select(col("h"), lit(1L).as("isdup"))
+    wins.join(dup, Seq("h"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("isdup"), lit(0L))).as("n_dup_windows"))
+  }
+
   /** Exact dedup via content fingerprint: one row per distinct content with
     * the canonical (minimum) id and the duplicate count. */
   def exact(df: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =

@@ -93,6 +93,12 @@ object ExtensionQueries {
         .orderBy("source", "id_a", "id_b")
     }),
 
+    // exact substring-span duplication (ExactSubstr family): per-doc count
+    // of positional 10-token windows whose hash recurs in another doc
+    "q73_span_dup" -> ((s, dir) => {
+      Dedup.spanDupStats(t(s, dir, "documents"), w = 10).orderBy("doc_id")
+    }),
+
     // train/test contamination check: test-split docs sharing any word
     // 5-gram with a train-split doc (the benchmark-decontamination pass a
     // pretraining pipeline runs before eval). Split = the q55 hash split;
@@ -751,6 +757,15 @@ object ExtensionQueries {
          |SELECT test_id, count(DISTINCT train_id) AS n_train_docs, count(*) AS n_hits
          |FROM te JOIN tr USING (ng) GROUP BY test_id ORDER BY test_id""".stripMargin,
     "q57_dedup_groups" -> dedupGroupsOracle,
+    "q73_span_dup" ->
+      s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-9, 0)),
+         |        i -> md5(array_to_string(list_slice(tk, i, i+9), ' ')))) AS h FROM c),
+         |d AS (SELECT h, 1 AS isdup FROM w GROUP BY h HAVING count(DISTINCT doc_id) >= 2)
+         |SELECT doc_id, count(*) AS n_windows,
+         |  CAST(sum(CASE WHEN isdup IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_windows
+         |FROM w LEFT JOIN d USING (h)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q70_embed_quantize" ->
       """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
         |m AS (SELECT vec_id, e, greatest(list_max(list_transform(e, v -> abs(v))), 1e-12) AS mx FROM x)

@@ -24,6 +24,19 @@ class DedupSpec extends SparkSpec {
     assert(out.count(_._2 == 1L) == 3)
   }
 
+  test("spanDupStats: identical docs fully covered; near-dup, distinct and short docs not") {
+    val out = Dedup.spanDupStats(docs, w = 10).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // docs 1+2 are identical 14-token texts: 5 windows, all shared
+    assert(out(1L) == (5L, 5L) && out(2L) == (5L, 5L))
+    // doc 3 differs at token 8, which every 10-token window covers
+    assert(out(3L) == (5L, 0L))
+    // doc 4 has exactly 10 tokens -> one window, unshared
+    assert(out(4L) == (1L, 0L))
+    // doc 5 has 9 tokens -> no window -> no row
+    assert(!out.contains(5L))
+  }
+
   test("minhash LSH finds exact and near dups, not unrelated pairs") {
     val pairs = Dedup.minhashCandidates(docs, numHashes = 8, rowsPerBand = 2)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
