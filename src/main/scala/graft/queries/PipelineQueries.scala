@@ -78,6 +78,7 @@ object PipelineQueries {
   private val q66FpPat = scratchPat("q66_fp")
   private val q66ScoredPat = scratchPat("q66_scored")
   private val q22ScratchPat = scratchPat("q22_tiles")
+  private val q74ExpPat = scratchPat("q74_exp")
   private val q50TilesPat = scratchPat("q50_tiles")
   private val q50SrcPat = scratchPat("q50_src")
   private val q50OutPat = scratchPat("q50_out")
@@ -212,6 +213,32 @@ object PipelineQueries {
         .join(tilesBack.select($"user", $"h3"), Seq("user", "h3"), "left_anti")
         .write.mode("overwrite").parquet(scratch(q66FpPat, dir))
       scored.groupBy("anomaly").count().orderBy("anomaly")
+    }),
+
+    // M5: MLflow-style experiment tracking (01_geofraud_clustering.py:
+    // 120-149) — two runs of the personalized experiment logged to the
+    // parquet run store with params + integer-valued metrics from the real
+    // fitted model, then read back through the search_runs pivot. The
+    // oracle replays the pivot over the same store parquet, so the
+    // log→store→search surface is hash-verified end to end.
+    "q74_experiment_runs" -> ((s, dir) => {
+      import s.implicits._
+      val store = new graft.tracking.ExperimentStore(s, scratch(q74ExpPat, dir))
+      store.reset()
+      val m = persModel(s, dir)
+      val nClusters = m.hullTable.count().toDouble
+      Seq(1 -> "run_layers1", 0 -> "run_layers0").foreach { case (layers, name) =>
+        store.logRun("geoscan_pers", name,
+          params = Map("epsilon" -> "150", "min_pts" -> "3",
+            "precision" -> "10", "layers" -> layers.toString),
+          metrics = Map("n_tiles" -> m.cachedTiles(10, layers).count().toDouble,
+            "n_clusters" -> nClusters))
+      }
+      store.searchRuns("geoscan_pers", Seq("epsilon", "layers"),
+          Seq("n_tiles", "n_clusters"))
+        .withColumn("n_tiles", $"n_tiles".cast("long"))
+        .withColumn("n_clusters", $"n_clusters".cast("long"))
+        .orderBy($"run_name")
     }),
 
     // §3.3 flagship end-to-end: full 01+02 pipeline. The tile table is
@@ -370,6 +397,15 @@ object PipelineQueries {
          |t AS (SELECT cluster, h3 FROM read_parquet('$q22ScratchPat/*.parquet'))
          |SELECT p."user", p.latitude, p.longitude, p.amount, t.cluster
          |FROM p LEFT JOIN t ON ${Tables.cellSql("p.latitude", "p.longitude", 11)} = t.h3""".stripMargin,
+    "q74_experiment_runs" ->
+      s"""SELECT run_name,
+         |  max(CASE WHEN kind = 'param' AND "key" = 'epsilon' THEN value_str END) AS epsilon,
+         |  max(CASE WHEN kind = 'param' AND "key" = 'layers' THEN value_str END) AS layers,
+         |  CAST(max(CASE WHEN kind = 'metric' AND "key" = 'n_tiles' THEN value_num END) AS BIGINT) AS n_tiles,
+         |  CAST(max(CASE WHEN kind = 'metric' AND "key" = 'n_clusters' THEN value_num END) AS BIGINT) AS n_clusters
+         |FROM read_parquet('$q74ExpPat/runs/*.parquet')
+         |WHERE experiment = 'geoscan_pers'
+         |GROUP BY run_name ORDER BY run_name""".stripMargin,
     "q25_pipeline_anomalies" ->
       s"""WITH ${Tables.pointsSql}
          |SELECT user_id AS "user", latitude, longitude, amount FROM points p
