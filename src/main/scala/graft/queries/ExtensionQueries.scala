@@ -298,6 +298,25 @@ object ExtensionQueries {
         .orderBy($"s_nationkey")
     }),
 
+    // MERGE / upsert semantics (Delta-MERGE stand-in): BUILDING customers
+    // updated in place, 25 nation-derived rows inserted at fresh keys,
+    // everyone else passes through — one anti-join + union, then verified
+    // row-for-row against the SQL MERGE expansion
+    "q75_merge_upsert" -> ((s, dir) => {
+      import s.implicits._
+      val target = t(s, dir, "customer")
+        .select($"c_custkey", $"c_name", $"c_mktsegment")
+      val upd = target.where($"c_mktsegment" === "BUILDING")
+        .select($"c_custkey", concat($"c_name", lit("*")).as("c_name"), $"c_mktsegment")
+      val ins = t(s, dir, "nation").select(
+        ($"n_nationkey" + 1000000L).as("c_custkey"),
+        $"n_name".as("c_name"), lit("NEW").as("c_mktsegment"))
+      graft.operators.Merge.upsert(target,
+          graft.operators.Merge.requireUniqueKeys(upd.unionByName(ins), Seq("c_custkey")),
+          Seq("c_custkey"))
+        .orderBy($"c_custkey")
+    }),
+
     // window functions: per-group ranking (keep-first shape used by dedup)
     "q45_window_rank" -> ((s, dir) => {
       import s.implicits._
@@ -859,6 +878,17 @@ object ExtensionQueries {
         |FROM s GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q46_jsonl_roundtrip" ->
       "SELECT doc_id, lang, n_chars FROM documents ORDER BY doc_id",
+    "q75_merge_upsert" ->
+      """WITH u AS (
+        |  SELECT c_custkey, c_name || '*' AS c_name, c_mktsegment
+        |  FROM customer WHERE c_mktsegment = 'BUILDING'
+        |  UNION ALL
+        |  SELECT 1000000 + n_nationkey, n_name, 'NEW' FROM nation)
+        |SELECT * FROM u
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_mktsegment FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM u WHERE u.c_custkey = c.c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
     "q71_salted_join" ->
       """SELECT s_nationkey, count(*) AS n_items, sum(l_quantity) AS sum_qty
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
