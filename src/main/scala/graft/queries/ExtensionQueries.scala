@@ -134,6 +134,80 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // term → capped posting-list index: df + first-k postings from ONE
+    // window exchange; per-term agg state bounded at the cap
+    "q77_inverted_index" -> ((s, dir) => {
+      graft.text.InvertedIndex.build(t(s, dir, "documents"), postingCap = 20)
+        .orderBy("term")
+    }),
+
+    // per-entity rolling features (lag / moving avg / running sum) — the
+    // feature-engineering window pass; decimal accumulation keeps the
+    // float results plan-order independent
+    "q78_rolling_features" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      // events.ts is ns-precision parquet; the long view orders identically
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ord = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      val m3 = ord.rowsBetween(-2, 0)
+      val cum = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      t(s, dir, "events").select($"user_id", $"event_id", $"ts", $"value")
+        .select($"user_id", $"event_id",
+          row_number().over(ord).cast("long").as("seq"),
+          lag($"value", 1).over(ord).as("prev_value"),
+          round(sum($"value".cast("decimal(18,6)")).over(m3).cast("double") /
+            count(lit(1)).over(m3), 6).as("mavg3"),
+          sum($"value".cast("decimal(18,6)")).over(cum).cast("double").as("cumsum"))
+        .orderBy($"user_id", $"seq")
+    }),
+
+    // PII scrub before training: email + long-digit-run redaction with
+    // deterministic injected PII (the synthetic corpus has none of its own,
+    // so the pass provably fires on every row)
+    "q79_pii_redact" -> ((s, dir) => {
+      import s.implicits._
+      val withPii = t(s, dir, "documents").select($"doc_id",
+        concat($"text", lit(" contact user"), $"doc_id".cast("string"),
+          lit("@example.com ref "),
+          lpad(($"doc_id" * 37 % 10000000).cast("string"), 8, "9")).as("text"))
+      withPii.select($"doc_id",
+          TextFunctions.redactPii($"text").as("clean"),
+          TextFunctions.countEmails($"text").cast("long").as("n_emails"))
+        .orderBy($"doc_id")
+    }),
+
+    // Bloom-pruned fact-dim join: the filter (not the data) broadcasts,
+    // fact rows that cannot match are dropped before the shuffle, and the
+    // exact join removes the Bloom false positives — ≡ the plain join
+    "q80_bloom_prune_join" -> ((s, dir) => {
+      import s.implicits._
+      val dim = t(s, dir, "part").where($"p_size" === 1)
+        .select($"p_partkey", $"p_brand")
+      val fact = t(s, dir, "lineitem")
+        .select($"l_partkey", $"l_quantity")
+      graft.operators.BloomPrune.prunedJoin(fact, dim, "l_partkey", "p_partkey")
+        .groupBy($"p_brand")
+        .agg(count(lit(1)).as("n_lines"),
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"))
+        .orderBy($"p_brand")
+    }),
+
+    // KMV (bottom-k) distinct-count sketch: auditable approximate
+    // count-distinct per group — bounded two-level agg, mergeable state,
+    // DuckDB replays the estimate bit-for-bit (md5-derived hashes). Exact
+    // distinct joined alongside so the estimate quality is visible.
+    "q76_kmv_distinct" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val st = graft.sketch.Kmv.sketchState(ev, "event_type", "user_id", k = 64)
+      val exact = ev.where($"user_id".isNotNull)
+        .groupBy($"event_type").agg(countDistinct($"user_id").as("exact_distinct"))
+      st.withColumn("est_distinct", graft.sketch.Kmv.estimate($"n_kept", $"kth_hash", 64))
+        .join(exact, Seq("event_type"))
+        .orderBy($"event_type")
+    }),
+
     // per-label embedding centroids (exact decimal sums — plan-order
     // independent, so replayable cross-engine)
     "q58_embed_centroid" -> ((s, dir) => {
@@ -791,6 +865,48 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q77_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM documents),
+         |ex AS (SELECT doc_id, unnest(tk) AS term FROM toks),
+         |w AS (SELECT term, doc_id,
+         |        row_number() OVER (PARTITION BY term ORDER BY doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY term) AS df
+         |      FROM ex)
+         |SELECT term, CAST(max(df) AS BIGINT) AS df,
+         |  array_to_string(list(doc_id ORDER BY doc_id), ',') AS postings
+         |FROM w WHERE rn <= 20 GROUP BY term ORDER BY term""".stripMargin,
+    "q78_rolling_features" ->
+      """SELECT user_id, event_id,
+        |  CAST(row_number() OVER ord AS BIGINT) AS seq,
+        |  lag(value) OVER ord AS prev_value,
+        |  round(CAST(sum(CAST(value AS DECIMAL(18,6))) OVER m3 AS DOUBLE) / count(*) OVER m3, 6) AS mavg3,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER cum AS DOUBLE) AS cumsum
+        |FROM events
+        |WINDOW ord AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |  m3 AS (PARTITION BY user_id ORDER BY ts, event_id ROWS BETWEEN 2 PRECEDING AND CURRENT ROW),
+        |  cum AS (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)
+        |ORDER BY user_id, seq""".stripMargin,
+    "q79_pii_redact" ->
+      s"""WITH p AS (SELECT doc_id,
+         |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com ref ' ||
+         |    lpad(CAST(doc_id * 37 % 10000000 AS VARCHAR), 8, '9') AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  regexp_replace(regexp_replace(text, '${TextFunctions.EmailPattern}', '<EMAIL>', 'g'),
+         |    '${TextFunctions.LongNumberPattern}', '<NUM>', 'g') AS clean,
+         |  CAST(len(regexp_extract_all(text, '${TextFunctions.EmailPattern}')) AS BIGINT) AS n_emails
+         |FROM p ORDER BY doc_id""".stripMargin,
+    "q80_bloom_prune_join" ->
+      """SELECT p_brand, count(*) AS n_lines,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_kmv_distinct" ->
+      s"""${graft.sketch.Kmv.sketchSql("events", "event_type", "user_id", 64)},
+         |ex AS (SELECT event_type AS key, CAST(count(DISTINCT user_id) AS BIGINT) AS exact_distinct
+         |       FROM events WHERE user_id IS NOT NULL GROUP BY 1)
+         |SELECT kk.key AS event_type, n_kept, kth_hash, ${graft.sketch.Kmv.estimateSql(64)} AS est_distinct, exact_distinct
+         |FROM kk JOIN ex USING (key) ORDER BY 1""".stripMargin,
     "q58_embed_centroid" ->
       """WITH x AS (SELECT label, unnest(range(len(embedding))) AS dim, unnest(embedding) AS v FROM embeddings)
         |SELECT label, dim, count(*) AS n,

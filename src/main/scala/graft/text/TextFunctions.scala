@@ -113,6 +113,24 @@ object TextFunctions {
   def md5Bucket60Sql(e: String): String =
     s"(CAST(('0x' || substr(md5($e), 1, 15)) AS BIGINT))"
 
+  /** PII patterns, spelled with explicit character classes only (no \d, \w,
+    * or anchors) so the Java-regex and RE2 (DuckDB) engines match the exact
+    * same spans — keep in lockstep with the SQL twins in the q79 oracle. */
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+"
+  val LongNumberPattern = "[0-9]{7,}" // phone/account/SSN-shaped digit runs
+
+  /** Scrub emails then long digit runs — the pre-training PII pass. Order
+    * matters: the email pass removes '@'-adjacent digits first so a digits
+    * run inside an address is redacted as part of the email, not as a
+    * number. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, EmailPattern, "<EMAIL>"),
+      LongNumberPattern, "<NUM>")
+
+  def countEmails(text: Column): Column =
+    size(regexp_extract_all(text, lit(EmailPattern), lit(0)))
+
   /** Polynomial rolling hash (Rabin-Karp style, mod 2^61-1) — the
     * streaming-friendly fingerprint; pure Scala, order-sensitive. */
   def rollingHash(s: String): Long = {

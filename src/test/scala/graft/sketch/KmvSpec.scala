@@ -1,0 +1,54 @@
+package graft.sketch
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class KmvSpec extends SparkSpec {
+
+  test("below capacity the sketch is exact") {
+    import spark.implicits._
+    val df = (1 to 40).map(i => ("g", s"v$i")).toDF("k", "v")
+      .union(Seq(("g", "v1"), ("g", "v2")).toDF("k", "v")) // dups collapse
+    val st = Kmv.sketchState(df, "k", "v", k = 64)
+      .withColumn("est", Kmv.estimate(col("n_kept"), col("kth_hash"), 64))
+      .collect().head
+    assert(st.getAs[Long]("n_kept") == 40L)
+    assert(st.getAs[Double]("est") == 40.0)
+  }
+
+  test("above capacity the estimate lands near the truth") {
+    import spark.implicits._
+    val n = 2000
+    val df = (1 to n).map(i => ("g", s"value-$i")).toDF("k", "v")
+    val st = Kmv.sketchState(df, "k", "v", k = 64)
+      .withColumn("est", Kmv.estimate(col("n_kept"), col("kth_hash"), 64))
+      .collect().head
+    assert(st.getAs[Long]("n_kept") == 64L)
+    val est = st.getAs[Double]("est")
+    // stderr ~ 1/sqrt(k-2) ~ 12.7%; allow 4 sigma on this fixed dataset
+    assert(math.abs(est - n) / n < 0.5, s"estimate $est too far from $n")
+  }
+
+  test("nulls are dropped like count(DISTINCT) and groups stay separate") {
+    import spark.implicits._
+    val df = Seq(("a", "x"), ("a", "y"), ("a", null), ("b", "x")).toDF("k", "v")
+    val out = Kmv.sketchState(df, "k", "v", k = 8).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out == Map("a" -> 2L, "b" -> 1L))
+  }
+
+  test("merge of bottom-k partials equals bottom-k of the union") {
+    val k = 5
+    val a = Array(10L, 20L, 30L, 40L, 50L)
+    val b = Array(5L, 15L, 20L, 60L, 70L)
+    val set = new java.util.TreeSet[java.lang.Long]()
+    Kmv.mergeKept(set, a, k)
+    Kmv.mergeKept(set, b, k)
+    val merged = {
+      import scala.jdk.CollectionConverters._
+      set.iterator.asScala.map(_.longValue).toSeq
+    }
+    val expect = (a ++ b).distinct.sorted.take(k).toSeq
+    assert(merged == expect)
+  }
+}

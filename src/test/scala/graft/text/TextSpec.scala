@@ -51,6 +51,17 @@ class TextSpec extends SparkSpec {
     got.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
 
+  test("pii redaction scrubs emails before digit runs") {
+    import spark.implicits._
+    val df = Seq("mail me at jane.doe99@corp.example or call 12345678 x9")
+      .toDF("text")
+      .select(TextFunctions.redactPii($"text").as("clean"),
+        TextFunctions.countEmails($"text").as("n"))
+    val r = df.collect().head
+    assert(r.getString(0) == "mail me at <EMAIL> or call <NUM> x9")
+    assert(r.getInt(1) == 1)
+  }
+
   test("rolling hash: deterministic, order-sensitive, spreads") {
     val a = TextFunctions.rollingHash("hello world")
     assert(a == TextFunctions.rollingHash("hello world"))
