@@ -65,7 +65,15 @@ object Bench {
         mk().withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark("id")
       }.count()
     }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev aid: SPARK_GRAFT_BENCH_ONLY=q47_corpus_clean,q16_tfidf times a
+    // subset; unset (driver runs) = everything
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case None => SparkEntry.queries
+    }
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }

@@ -9,8 +9,14 @@ import org.apache.spark.sql.functions._
   * (`data/transactions.csv`: lat 40.70–40.76, lng −74.02…−73.94). */
 object Tables {
 
-  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads under
+    // the legacy long view; set it HERE so no events consumer depends on a
+    // conf-setting query having run before it in the session
+    if (name == "events")
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.read.parquet(s"$sfDir/$name.parquet")
+  }
 
   /** Filesystem-safe tag for a scale dir — keys per-sf scratch paths so
     * runs over different sf dirs never clobber each other's artifacts.

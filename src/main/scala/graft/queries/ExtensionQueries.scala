@@ -134,6 +134,60 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // column-level data profiling: one Expand pass → long-format stats
+    "q81_profile" -> ((s, dir) => {
+      graft.operators.Profile.profile(t(s, dir, "events"),
+        Seq("user_id", "event_type", "value", "props"))
+        .orderBy("col_name")
+    }),
+
+    // built-in session windows (the session_window twin of q48's manual
+    // islands): merge at gap <= 30 min, end = last event + gap —
+    // SessionWindowSpec pins the boundary contract the oracle replays
+    "q82_session_window" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events").select($"user_id",
+        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      ev.groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id", unix_micros($"w.start").as("session_start_us"),
+          unix_micros($"w.end").as("session_end_us"), $"n_events")
+        .orderBy($"user_id", $"session_start_us")
+    }),
+
+    // exact per-group percentiles (p50/p95 with linear interpolation)
+    "q83_group_percentiles" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").groupBy($"event_type")
+        .agg(round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.95)"), 6).as("p95"),
+          count(lit(1)).as("n"))
+        .orderBy($"event_type")
+    }),
+
+    // bucketed snapshot reconciliation: lineitem vs a deterministically
+    // drifted replica — only the buckets holding drifted rows surface
+    "q84_table_diff" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem")
+      val drifted = li.withColumn("l_quantity",
+        when($"l_orderkey" % 9973 === 0, $"l_quantity" + 1.0).otherwise($"l_quantity"))
+      def repr(d: org.apache.spark.sql.DataFrame) = concat_ws("|",
+        d("l_orderkey").cast("string"), d("l_linenumber").cast("string"),
+        round(d("l_quantity") * 100).cast("long").cast("string"))
+      graft.operators.TableDiff.diff(li, drifted, repr(li), repr(drifted), nBuckets = 64)
+        .orderBy($"bucket")
+    }),
+
+    // CUBE over (lang, source) — all four grouping sets in one pass
+    "q85_cube" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").cube($"lang", $"source")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+    }),
+
     // term → capped posting-list index: df + first-k postings from ONE
     // window exchange; per-term agg state bounded at the cap
     "q77_inverted_index" -> ((s, dir) => {
@@ -865,6 +919,52 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q81_profile" -> {
+      val cols = Seq("user_id", "event_type", "value", "props")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(CASE WHEN $c IS NULL THEN 1 END) AS n_null,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct FROM events""".stripMargin
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+    "q82_session_window" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+        |  max(epoch_us(ts)) + 1800000000 AS session_end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q83_group_percentiles" ->
+      """SELECT event_type, round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q84_table_diff" -> {
+      def side(drift: Boolean) = {
+        val qty = if (drift)
+          "CASE WHEN l_orderkey % 9973 = 0 THEN l_quantity + 1.0 ELSE l_quantity END"
+        else "l_quantity"
+        val repr = s"concat_ws('|', CAST(l_orderkey AS VARCHAR), CAST(l_linenumber AS VARCHAR), " +
+          s"CAST(CAST(round(($qty) * 100) AS BIGINT) AS VARCHAR))"
+        val h = TextFunctions.md5Bucket60Sql(repr)
+        s"""SELECT $h % 64 AS bucket, count(*) AS n_rows, bit_xor($h) AS checksum,
+           |  CAST(sum($h) AS DECIMAL(38,0)) AS hash_sum FROM lineitem GROUP BY 1""".stripMargin
+      }
+      s"""WITH a AS (${side(false)}), b AS (${side(true)})
+         |SELECT coalesce(a.bucket, b.bucket) AS bucket,
+         |  a.n_rows AS n_rows_a, a.checksum AS checksum_a, a.hash_sum AS hash_sum_a,
+         |  b.n_rows AS n_rows_b, b.checksum AS checksum_b, b.hash_sum AS hash_sum_b
+         |FROM a FULL OUTER JOIN b ON a.bucket = b.bucket
+         |WHERE NOT (a.n_rows IS NOT DISTINCT FROM b.n_rows
+         |  AND a.checksum IS NOT DISTINCT FROM b.checksum
+         |  AND a.hash_sum IS NOT DISTINCT FROM b.hash_sum)
+         |ORDER BY bucket""".stripMargin
+    },
+    "q85_cube" ->
+      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents GROUP BY CUBE (lang, source)
+        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q77_inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM documents),
          |ex AS (SELECT doc_id, unnest(tk) AS term FROM toks),
