@@ -134,6 +134,96 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // streaming session windows: the q82 aggregate through a REAL stream
+    // (complete mode + foreachBatch snapshot, the q49 pattern); the
+    // AvailableNow single-batch run's final state is the batch answer
+    "q86_stream_session" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runCompleteStream(s, "q86", dir, srcDir) { src =>
+        src.select($"user_id", expr("timestamp_micros(ts DIV 1000)").as("ts"))
+          .withWatermark("ts", "1 hour")
+          .groupBy($"user_id", session_window($"ts", "30 minutes").as("w"))
+          .agg(count(lit(1)).as("n_events"))
+          .select($"user_id", unix_micros($"w.start").as("session_start_us"),
+            unix_micros($"w.end").as("session_end_us"), $"n_events")
+      }.orderBy($"user_id", $"session_start_us")
+    }),
+
+    // streaming CDC apply: per-batch keep-latest compaction MERGEd into a
+    // seeded target table via foreachBatch — the stream-to-warehouse
+    // upsert pattern (Delta's MERGE sink spelled over parquet)
+    "q87_stream_upsert" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val srcDir = StreamScaffold.stageTable(s, dir, "events")
+      val tag = Tables.sfTag(dir)
+      val target = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q87_tgt_$tag").toString
+      // seeded rows no update touches — they must survive every merge
+      s.range(5).select(($"id" + 1000000L).as("user_id"), lit(-1L).as("event_id"),
+          lit(0L).as("ts_us"), lit(0.0).as("value"))
+        .write.mode("overwrite").parquet(target)
+      val schema = s.read.parquet(srcDir).schema
+      val chk = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q87_chk_$tag").toString
+      val fs = new org.apache.hadoop.fs.Path(chk)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(chk), true)
+      val applyBatch: (DataFrame, Long) => Unit = (batch, _) => {
+        val byKey = Window.partitionBy(col("user_id"))
+          .orderBy(col("ts_us").desc, col("event_id").desc)
+        val latest = batch
+          .select(col("user_id"), col("event_id"),
+            expr("ts DIV 1000").as("ts_us"), col("value"))
+          .withColumn("__rn", row_number().over(byKey))
+          .where(col("__rn") === 1).drop("__rn")
+        val merged = graft.operators.Merge
+          .upsert(batch.sparkSession.read.parquet(target), latest, Seq("user_id"))
+          .localCheckpoint(true) // sever lineage before overwriting the input
+        merged.write.mode("overwrite").parquet(target)
+      }
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir)
+        .writeStream.option("checkpointLocation", chk)
+        .foreachBatch(applyBatch)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(StreamScaffold.AwaitTimeoutMs))
+        { q.stop(); sys.error("q87 stream did not terminate in time") }
+      s.read.parquet(target).orderBy($"user_id")
+    }),
+
+    // equi-depth (ntile) histogram per group — the auditable-exact
+    // replacement for an approx-quantile sketch: deterministic given the
+    // (value, event_id) total order, identical ntile semantics cross-engine
+    "q89_equidepth_hist" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      t(s, dir, "events").select($"event_type", $"value", $"event_id")
+        .withColumn("bucket", ntile(10).over(w).cast("long"))
+        .groupBy($"event_type", $"bucket")
+        .agg(count(lit(1)).as("n"), min($"value").as("lo"), max($"value").as("hi"))
+        .orderBy($"event_type", $"bucket")
+    }),
+
+    // RANGE-frame window: trailing 1-hour per-user sums over the event-time
+    // axis (peers at equal timestamps share the frame — time semantics, not
+    // row counting); decimal accumulation keeps floats replayable
+    "q90_range_frame" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select($"user_id", $"event_id",
+        expr("ts DIV 1000").as("ts_us"), $"value")
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us")
+        .rangeBetween(-3600L * 1000000L, 0L)
+      ev.withColumn("trail_1h_sum",
+          sum($"value".cast("decimal(18,6)")).over(w).cast("double"))
+        .withColumn("trail_1h_n", count(lit(1)).over(w))
+        .orderBy($"user_id", $"ts_us", $"event_id")
+    }),
+
     // column-level data profiling: one Expand pass → long-format stats
     "q81_profile" -> ((s, dir) => {
       graft.operators.Profile.profile(t(s, dir, "events"),
@@ -919,6 +1009,40 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q86_stream_session" ->
+      """WITH g AS (SELECT user_id, ts,
+        |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS ns
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |  sum(ns) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+        |SELECT user_id, min(epoch_us(ts)) AS session_start_us,
+        |  max(epoch_us(ts)) + 1800000000 AS session_end_us, count(*) AS n_events
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q87_stream_upsert" ->
+      """WITH latest AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id, ts_us, value FROM latest WHERE rn = 1
+        |UNION ALL
+        |SELECT 1000000 + i AS user_id, CAST(-1 AS BIGINT) AS event_id,
+        |  CAST(0 AS BIGINT) AS ts_us, CAST(0.0 AS DOUBLE) AS value
+        |FROM generate_series(0, 4) t(i)
+        |ORDER BY user_id""".stripMargin,
+    "q89_equidepth_hist" ->
+      """WITH w AS (SELECT event_type, value,
+        |  CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS bucket
+        |  FROM events)
+        |SELECT event_type, bucket, count(*) AS n, min(value) AS lo, max(value) AS hi
+        |FROM w GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q90_range_frame" ->
+      """SELECT user_id, event_id, epoch_us(ts) AS ts_us, value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trail_1h_sum,
+        |  count(*) OVER
+        |    (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |     RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS trail_1h_n
+        |FROM events ORDER BY user_id, ts_us, event_id""".stripMargin,
     "q81_profile" -> {
       val cols = Seq("user_id", "event_type", "value", "props")
       cols.map { c =>

@@ -52,6 +52,10 @@ private[graft] object StreamScaffold {
     * testdata refresh, and a stale copy would diverge from the oracle's
     * view of the fresh parquet with no error. */
   def stageTable(s: SparkSession, sfDir: String, table: String): String = {
+    // same ns-timestamp contract as Tables.table: staged-copy readers must
+    // not depend on another query having set the conf first
+    if (table == "events")
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val dir = tmpPath(s"graft_src_${table}_${Tables.sfTag(sfDir)}")
     val hconf = s.sparkContext.hadoopConfiguration
     val dst = new org.apache.hadoop.fs.Path(dir)
@@ -112,6 +116,40 @@ private[graft] object StreamScaffold {
     } finally {
       s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
       s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+    s.read.parquet(out)
+  }
+
+  /** Run a COMPLETE-mode streaming aggregate over a staged source and
+    * return the final state: the q49 pattern — `foreachBatch` overwrites
+    * one parquet snapshot per batch, so after the AvailableNow run the
+    * sink holds exactly the last batch's full aggregate state (append
+    * mode would withhold windows until a later watermark advance that a
+    * single-batch run never performs). */
+  def runCompleteStream(s: SparkSession, name: String, sfDir: String,
+                        srcDir: String)(build: DataFrame => DataFrame): DataFrame = {
+    val tag = Tables.sfTag(sfDir)
+    val (out, chk) = (tmpPath(s"graft_${name}_out_$tag"), tmpPath(s"graft_${name}_chk_$tag"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(out, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
+    val schema = s.read.parquet(srcDir).schema
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
+    try {
+      val writeBatch: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("overwrite").parquet(out)
+      val q = build(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir))
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", chk)
+        .foreachBatch(writeBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(AwaitTimeoutMs))
+        { q.stop(); sys.error(s"stream $name did not terminate within ${AwaitTimeoutMs} ms") }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     s.read.parquet(out)
   }
