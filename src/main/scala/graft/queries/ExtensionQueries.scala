@@ -194,6 +194,26 @@ object ExtensionQueries {
       s.read.parquet(target).orderBy($"user_id")
     }),
 
+    // URL/domain extraction and per-domain reference counts — the link
+    // analysis pass of a web-corpus pipeline; URLs injected
+    // deterministically (q79 PII pattern) so the extractor provably fires
+    "q88_url_extract" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"doc_id",
+        concat($"text", lit(" see https://site"), ($"doc_id" % 7).cast("string"),
+          lit(".example.org/p/"), $"doc_id".cast("string"),
+          lit(" and http://mirror"), ($"doc_id" % 3).cast("string"),
+          lit(".example.net")).as("text"))
+      docs.select($"doc_id",
+          explode(regexp_extract_all($"text",
+            lit("https?://[A-Za-z0-9.-]+"), lit(0))).as("url"))
+        .withColumn("domain", regexp_replace($"url", "^https?://", ""))
+        .groupBy($"domain")
+        .agg(count(lit(1)).as("n_refs"),
+          countDistinct($"doc_id").as("n_docs"))
+        .orderBy($"domain")
+    }),
+
     // equi-depth (ntile) histogram per group — the auditable-exact
     // replacement for an approx-quantile sketch: deterministic given the
     // (value, event_id) total order, identical ntile semantics cross-engine
@@ -1028,6 +1048,15 @@ object ExtensionQueries {
         |  CAST(0 AS BIGINT) AS ts_us, CAST(0.0 AS DOUBLE) AS value
         |FROM generate_series(0, 4) t(i)
         |ORDER BY user_id""".stripMargin,
+    "q88_url_extract" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' see https://site' || CAST(doc_id % 7 AS VARCHAR) || '.example.org/p/' ||
+        |  CAST(doc_id AS VARCHAR) || ' and http://mirror' || CAST(doc_id % 3 AS VARCHAR) ||
+        |  '.example.net' AS text FROM documents),
+        |u AS (SELECT doc_id, unnest(regexp_extract_all(text, 'https?://[A-Za-z0-9.-]+')) AS url FROM p)
+        |SELECT regexp_replace(url, '^https?://', '') AS domain,
+        |  count(*) AS n_refs, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin,
     "q89_equidepth_hist" ->
       """WITH w AS (SELECT event_type, value,
         |  CAST(ntile(10) OVER (PARTITION BY event_type ORDER BY value, event_id) AS BIGINT) AS bucket

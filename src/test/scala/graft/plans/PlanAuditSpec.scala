@@ -82,6 +82,32 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q81 profile: n columns cost ONE scan (single Expand aggregate)") {
+    val p = plan("q81_profile")
+    // one Expand feeding the multi-distinct aggregate, one parquet scan —
+    // profiling must never rescan per column
+    assert("FileScan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("Expand"), p)
+  }
+
+  test("q77 inverted index: the window partitioning is reused by the aggregate") {
+    val df = graft.SparkEntry.queries("q77_inverted_index")(spark, sf)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    // groupBy(term) rides the window's hashpartitioning(term) exchange; the
+    // only other shuffle is the presentation orderBy
+    assert("Exchange".r.findAllIn(p).size <= 2, p)
+  }
+
+  test("q80 bloom-prune filters the fact side BELOW the join") {
+    val df = graft.SparkEntry.queries("q80_bloom_prune_join")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    val joinAt = p.indexOf("Join")
+    // the probe-filter must sit on the streamed (fact) side, under the join
+    val filterAt = p.indexOf("Filter", joinAt)
+    assert(joinAt >= 0 && filterAt > joinAt, p)
+  }
+
   test("q14 geo_cell composition stays inside whole-stage codegen") {
     // AQE prints codegen markers only on the FINAL plan — execute first
     val df = graft.SparkEntry.queries("q14_geo_cell")(spark, sf)
