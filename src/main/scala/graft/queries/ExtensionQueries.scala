@@ -134,6 +134,65 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // per-group top-k via bounded heaps — the map-side-combine answer the
+    // window row_number spelling can't give at scale (it sorts every row);
+    // contract-equal to the window, which the oracle replays
+    "q91_topk_agg" -> ((s, dir) => {
+      import s.implicits._
+      graft.operators.TopK.topK(t(s, dir, "events"),
+          keyCol = "event_type", valueCol = "value", idCol = "event_id", k = 3)
+        .orderBy($"event_type", $"rank")
+    }),
+
+    // left-semi join (the IN-subquery physical shape)
+    "q92_semi_join" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer")
+      val big = t(s, dir, "orders").where($"o_totalprice" > 200000)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+        .select($"c_custkey", $"c_name")
+        .orderBy($"c_custkey")
+    }),
+
+    // correlated EXISTS + scalar subquery through the SQL surface (the
+    // threshold is max*0.5 — exact double arithmetic, engine-identical)
+    "q93_sql_subqueries" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT c_mktsegment, count(*) AS n_cust,
+              |  CAST(sum(CASE WHEN EXISTS (
+              |    SELECT 1 FROM graft_orders o
+              |    WHERE o.o_custkey = c.c_custkey
+              |      AND o.o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM graft_orders)
+              |  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+              |FROM graft_customer c GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // null-safe equality join (<=> / IS NOT DISTINCT FROM): NULL keys
+    // match each other exactly once per NULL dim row
+    "q94_nullsafe_join" -> ((s, dir) => {
+      import s.implicits._
+      val a = t(s, dir, "orders").select(
+        when($"o_orderkey" % 100 === 0, lit(null).cast("long"))
+          .otherwise($"o_orderkey" % 50).as("k"))
+      val b = s.range(50).select($"id".as("k"))
+        .unionByName(s.range(1).select(lit(null).cast("long").as("k")))
+      a.join(b, a("k") <=> b("k"))
+        .select(coalesce(a("k"), lit(-1L)).as("k_group"))
+        .groupBy($"k_group").agg(count(lit(1)).as("n"))
+        .orderBy($"k_group")
+    }),
+
+    // calendar rollup: month truncation + decimal revenue
+    "q95_monthly_rollup" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders")
+        .groupBy(date_trunc("month", $"o_orderdate").cast("date").as("month"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("revenue"))
+        .orderBy($"month")
+    }),
+
     // streaming session windows: the q82 aggregate through a REAL stream
     // (complete mode + foreachBatch snapshot, the q49 pattern); the
     // AvailableNow single-batch run's final state is the batch answer
@@ -1029,6 +1088,37 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q91_topk_agg" ->
+      """WITH r AS (SELECT event_type, event_id, value,
+        |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT event_type, event_id, value, CAST(rank AS BIGINT) AS rank
+        |FROM r WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin,
+    "q92_semi_join" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_totalprice > 200000)
+        |ORDER BY 1""".stripMargin,
+    "q93_sql_subqueries" ->
+      """SELECT c_mktsegment, count(*) AS n_cust,
+        |  CAST(sum(CASE WHEN EXISTS (
+        |    SELECT 1 FROM orders o
+        |    WHERE o.o_custkey = c.c_custkey
+        |      AND o.o_totalprice > (SELECT max(o_totalprice) * 0.5 FROM orders)
+        |  ) THEN 1 ELSE 0 END) AS BIGINT) AS n_big
+        |FROM customer c GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q94_nullsafe_join" ->
+      """WITH a AS (SELECT CASE WHEN o_orderkey % 100 = 0 THEN NULL
+        |                       ELSE o_orderkey % 50 END AS k FROM orders),
+        |b AS (SELECT CAST(i AS BIGINT) AS k FROM generate_series(0, 49) t(i)
+        |      UNION ALL SELECT NULL)
+        |SELECT coalesce(a.k, -1) AS k_group, count(*) AS n
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q95_monthly_rollup" ->
+      """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+        |  count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q86_stream_session" ->
       """WITH g AS (SELECT user_id, ts,
         |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS ns

@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+class TopKSpec extends SparkSpec {
+
+  test("bounded-heap top-k equals the window row_number spelling") {
+    import spark.implicits._
+    // adversarial: heavy ties, negative values, uneven group sizes
+    val df = (1L to 3000L).map { i =>
+      (s"g${i % 7}", ((i * 37) % 23).toDouble - 11.0, i)
+    }.toDF("k", "v", "id").repartition(13)
+    val got = TopK.topK(df, "k", "v", "id", k = 5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    val w = Window.partitionBy($"k").orderBy($"v".desc, $"id")
+    val want = df.withColumn("rank", row_number().over(w).cast("long"))
+      .where($"rank" <= 5)
+      .select($"k", $"id", $"v", $"rank")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet
+    assert(got == want)
+  }
+
+  test("groups smaller than k emit all their rows, ranked") {
+    import spark.implicits._
+    val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("k", "v", "id")
+    val got = TopK.topK(df, "k", "v", "id", k = 10)
+      .orderBy("rank").collect().map(r => (r.getLong(1), r.getLong(3)))
+    assert(got.toSeq == Seq((2L, 1L), (1L, 2L))) // v desc
+  }
+
+  test("ties rank by id ascending") {
+    import spark.implicits._
+    val df = Seq(("a", 5.0, 30L), ("a", 5.0, 10L), ("a", 5.0, 20L)).toDF("k", "v", "id")
+    val got = TopK.topK(df, "k", "v", "id", k = 2)
+      .orderBy("rank").collect().map(_.getLong(1))
+    assert(got.toSeq == Seq(10L, 20L))
+  }
+}
