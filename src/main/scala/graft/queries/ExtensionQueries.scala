@@ -134,6 +134,81 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // LOCF imputation (last observation carried forward): gap-fill nulls
+    // from the most recent non-null per entity — the time-series feature
+    // repair pass; nulls injected deterministically so the fill provably
+    // fires
+    "q96_locf_impute" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val ev = t(s, dir, "events").select($"user_id", $"event_id", $"ts",
+        when($"event_id" % 13 === 0, lit(null).cast("double"))
+          .otherwise($"value").as("v"))
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.select($"user_id", $"event_id", $"v",
+          last($"v", ignoreNulls = true).over(w).as("v_filled"))
+        .orderBy($"user_id", $"event_id")
+    }),
+
+    // event-type transition counts (first-order Markov edges) per the
+    // session order — the behavioral-sequence feature
+    "q97_event_transitions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+      t(s, dir, "events").select($"user_id", $"ts", $"event_id", $"event_type")
+        .withColumn("prev", lag($"event_type", 1).over(w))
+        .where($"prev".isNotNull)
+        .groupBy($"prev", $"event_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy($"prev", $"event_type")
+    }),
+
+    // cohort retention: users bucketed by first-activity month, distinct
+    // actives per (cohort, months-since) — integer month arithmetic so
+    // both engines agree exactly
+    "q98_cohort_retention" -> ((s, dir) => {
+      import s.implicits._
+      val act = t(s, dir, "events").select($"user_id",
+          date_trunc("month", expr("timestamp_micros(ts DIV 1000)"))
+            .cast("date").as("m")).distinct()
+      val cohort = act.groupBy($"user_id").agg(min($"m").as("c"))
+      act.join(cohort, Seq("user_id"))
+        .select($"c".as("cohort"),
+          (year($"m") * 12 + month($"m") - year($"c") * 12 - month($"c"))
+            .cast("long").as("months_since"), $"user_id")
+        .groupBy($"cohort", $"months_since")
+        .agg(countDistinct($"user_id").as("n_users"))
+        .orderBy($"cohort", $"months_since")
+    }),
+
+    // ordered funnel: view → click → purchase with strictly increasing
+    // first-touch times, counted in one aggregate pass
+    "q99_funnel" -> ((s, dir) => {
+      import s.implicits._
+      val f = t(s, dir, "events").groupBy($"user_id").agg(
+        min(when($"event_type" === "view", $"ts")).as("t_view"),
+        min(when($"event_type" === "click", $"ts")).as("t_click"),
+        min(when($"event_type" === "purchase", $"ts")).as("t_buy"))
+      f.agg(
+        count(when($"t_view".isNotNull, 1)).as("n_view"),
+        count(when($"t_view" < $"t_click", 1)).as("n_view_click"),
+        count(when($"t_view" < $"t_click" && $"t_click" < $"t_buy", 1))
+          .as("n_full_funnel"))
+    }),
+
+    // key-skew report: hottest keys with share-of-total — the diagnostic
+    // a pipeline runs before choosing a salting strategy
+    "q100_skew_report" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      t(s, dir, "events").groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .withColumn("pct",
+          round($"n" * 100.0 / sum($"n").over(Window.partitionBy()), 6))
+        .orderBy($"n".desc, $"user_id").limit(10)
+    }),
+
     // per-group top-k via bounded heaps — the map-side-combine answer the
     // window row_number spelling can't give at scale (it sorts every row);
     // contract-equal to the window, which the oracle replays
@@ -1088,6 +1163,41 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q96_locf_impute" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v FROM events)
+        |SELECT user_id, event_id, v,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS v_filled
+        |FROM e ORDER BY user_id, event_id""".stripMargin,
+    "q97_event_transitions" ->
+      """WITH g AS (SELECT user_id, event_type,
+        |  lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT prev, event_type, count(*) AS n FROM g
+        |WHERE prev IS NOT NULL GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q98_cohort_retention" ->
+      """WITH act AS (SELECT DISTINCT user_id, CAST(date_trunc('month', ts) AS DATE) AS m FROM events),
+        |cohort AS (SELECT user_id, min(m) AS c FROM act GROUP BY 1)
+        |SELECT c AS cohort,
+        |  CAST(year(m) * 12 + month(m) - year(c) * 12 - month(c) AS BIGINT) AS months_since,
+        |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+        |FROM act JOIN cohort USING (user_id)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q99_funnel" ->
+      """WITH f AS (SELECT user_id,
+        |  min(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+        |  min(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+        |  min(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+        |  FROM events GROUP BY 1)
+        |SELECT count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS n_view,
+        |  count(CASE WHEN t_view < t_click THEN 1 END) AS n_view_click,
+        |  count(CASE WHEN t_view < t_click AND t_click < t_buy THEN 1 END) AS n_full_funnel
+        |FROM f""".stripMargin,
+    "q100_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+        |p AS (SELECT user_id, n, round(n * 100.0 / sum(n) OVER (), 6) AS pct FROM c)
+        |SELECT user_id, n, pct FROM p ORDER BY n DESC, user_id LIMIT 10""".stripMargin,
     "q91_topk_agg" ->
       """WITH r AS (SELECT event_type, event_id, value,
         |  row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rank
