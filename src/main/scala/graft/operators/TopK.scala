@@ -32,7 +32,10 @@ object TopK {
 
   /** `(key, id, value, rank)` — the top `k` rows per key.
     * Key is compared as string, value as double, id as long (the caller
-    * casts richer types down to this contract). */
+    * casts richer types down to this contract). NaN values are outside
+    * the contract: JVM ordering treats every NaN comparison as false
+    * while Spark's window sort orders NaN greatest — pre-filter NaNs if
+    * the value column can carry them. */
   def topK(df: DataFrame, keyCol: String, valueCol: String, idCol: String,
            k: Int): DataFrame = {
     require(k >= 1, s"topK needs k >= 1, got $k")

@@ -22,6 +22,26 @@ class TopKSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("equality with the window holds across random data and partitionings (property)") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { round =>
+      val n = 500 + rng.nextInt(1500)
+      val rows = (1 to n).map { i =>
+        (s"g${rng.nextInt(5)}", rng.nextInt(40).toDouble - 20.0, i.toLong)
+      }
+      val df = rows.toDF("k", "v", "id").repartition(1 + rng.nextInt(20))
+      val k = 1 + rng.nextInt(7)
+      val got = TopK.topK(df, "k", "v", "id", k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3))).toSet
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (key, grp) =>
+        grp.sortBy { case (_, v, id) => (-v, id) }.take(k)
+          .zipWithIndex.map { case ((_, _, id), i) => (key, id, i + 1L) }
+      }.toSet
+      assert(got == want, s"round $round (k=$k, n=$n)")
+    }
+  }
+
   test("groups smaller than k emit all their rows, ranked") {
     import spark.implicits._
     val df = Seq(("a", 1.0, 1L), ("a", 2.0, 2L)).toDF("k", "v", "id")

@@ -37,6 +37,25 @@ class KmvSpec extends SparkSpec {
     assert(out == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("merge is order- and split-independent on random partials (property)") {
+    val rng = new scala.util.Random(42)
+    import scala.jdk.CollectionConverters._
+    (1 to 100).foreach { _ =>
+      val k = 1 + rng.nextInt(16)
+      val all = Array.fill(5 + rng.nextInt(200))(rng.nextLong(1L << 60))
+      val expect = all.distinct.sorted.take(k).toSeq
+      // random split into partials, each pre-trimmed like a map task would
+      val partials = all.grouped(1 + rng.nextInt(all.length)).map { chunk =>
+        val s = new java.util.TreeSet[java.lang.Long]()
+        Kmv.mergeKept(s, chunk, k)
+        s.iterator.asScala.map(_.longValue).toArray
+      }.toSeq
+      val merged = new java.util.TreeSet[java.lang.Long]()
+      rng.shuffle(partials).foreach(Kmv.mergeKept(merged, _, k))
+      assert(merged.iterator.asScala.map(_.longValue).toSeq == expect)
+    }
+  }
+
   test("merge of bottom-k partials equals bottom-k of the union") {
     val k = 5
     val a = Array(10L, 20L, 30L, 40L, 50L)
