@@ -134,6 +134,76 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // triangle counting over the co-purchase graph (parts sharing ≥ 2
+    // orders — the single-co-occurrence noise floor a co-purchase analysis
+    // applies anyway): compact-forward wedge join with DEGREE-ORDERED
+    // orientation — every edge points from its lower-(degree, id) endpoint
+    // to the higher, so each triangle materializes exactly once at its
+    // lowest-degree corner and the hottest vertex's wedge fanout is
+    // O(m^1.5) total instead of O(maxdeg²) (a hub vertex never fans out)
+    "q101_triangles" -> ((s, dir) => {
+      import s.implicits._
+      val po = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val raw = po.as("x").join(po.as("y"), "o")
+        .where($"x.p" < $"y.p")
+        .groupBy($"x.p".as("u"), $"y.p".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+        .select($"u", $"v")
+      val deg = raw.select($"u".as("n")).unionAll(raw.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      val withDeg = raw
+        .join(deg.withColumnsRenamed(Map("n" -> "u", "d" -> "du")), "u")
+        .join(deg.withColumnsRenamed(Map("n" -> "v", "d" -> "dv")), "v")
+      val edges = withDeg.select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("a"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("b"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv").otherwise($"du").as("db"))
+      val wedges = edges.as("ab").join(edges.as("ac"), col("ab.a") === col("ac.a"))
+        .where(col("ab.db") < col("ac.db") ||
+          (col("ab.db") === col("ac.db") && col("ab.b") < col("ac.b")))
+      val tri = wedges.join(edges.as("bc"),
+        col("bc.a") === col("ab.b") && col("bc.b") === col("ac.b"))
+      edges.agg(count(lit(1)).as("n_edges"),
+          countDistinct($"a").as("n_left_nodes"))
+        .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+    }),
+
+    // SCD Type-2 history build: compress per-user event-type runs into
+    // validity intervals (valid_from, valid_to; open interval = current)
+    "q102_scd2" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"user_id").orderBy($"ts_us", $"event_id")
+      val base = t(s, dir, "events").select($"user_id",
+        $"event_type".as("state"), expr("ts DIV 1000").as("ts_us"), $"event_id")
+      val changes = base
+        .withColumn("prev_state", lag($"state", 1).over(w))
+        .where($"prev_state".isNull || $"prev_state" =!= $"state")
+      changes
+        .withColumn("valid_to", lead($"ts_us", 1).over(w))
+        .select($"user_id", $"state", $"ts_us".as("valid_from"), $"valid_to")
+        .orderBy($"user_id", $"valid_from")
+    }),
+
+    // per-group z-score normalization from EXACT decimal moments (sum,
+    // sum-of-squares) — the float division spelled operand-for-operand
+    // like the oracle so both engines produce the same IEEE doubles
+    "q103_zscore" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events")
+      val dec = $"value".cast("decimal(18,6)")
+      val stats = ev.groupBy($"event_type").agg(
+        count(lit(1)).as("n"),
+        sum(dec).cast("double").as("s"),
+        sum(dec * dec).cast("double").as("ss"))
+      ev.join(broadcast(stats), Seq("event_type"))
+        .select($"event_id", $"event_type",
+          round(($"value" - $"s" / $"n") /
+            sqrt(($"ss" - $"s" * $"s" / $"n") / $"n"), 6).as("z"))
+        .orderBy($"event_id")
+    }),
+
     // LOCF imputation (last observation carried forward): gap-fill nulls
     // from the most recent non-null per entity — the time-series feature
     // repair pass; nulls injected deterministically so the fill provably
@@ -1163,6 +1233,38 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q101_triangles" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |raw AS (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM raw UNION ALL SELECT v FROM raw) GROUP BY 1),
+        |ed AS (SELECT
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS db
+        |  FROM raw JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        |tri AS (SELECT count(*) AS n_triangles
+        |  FROM ed ab JOIN ed ac ON ab.a = ac.a AND (ab.db < ac.db OR (ab.db = ac.db AND ab.b < ac.b))
+        |             JOIN ed bc ON bc.a = ab.b AND bc.b = ac.b),
+        |es AS (SELECT count(*) AS n_edges, CAST(count(DISTINCT a) AS BIGINT) AS n_left_nodes FROM ed)
+        |SELECT n_edges, n_left_nodes, n_triangles FROM es, tri""".stripMargin,
+    "q102_scd2" ->
+      """WITH base AS (SELECT user_id, event_type AS state, epoch_us(ts) AS ts_us, event_id FROM events),
+        |changes AS (SELECT user_id, state, ts_us, event_id,
+        |  lag(state) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_state
+        |  FROM base)
+        |SELECT user_id, state, ts_us AS valid_from,
+        |  lead(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS valid_to
+        |FROM changes WHERE prev_state IS NULL OR prev_state != state
+        |ORDER BY user_id, valid_from""".stripMargin,
+    "q103_zscore" ->
+      """WITH st AS (SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6)) * CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS ss
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - st.s / st.n) / sqrt((st.ss - st.s * st.s / st.n) / st.n), 6) AS z
+        |FROM events e JOIN st USING (event_type) ORDER BY e.event_id""".stripMargin,
     "q96_locf_impute" ->
       """WITH e AS (SELECT user_id, event_id, ts,
         |  CASE WHEN event_id % 13 = 0 THEN NULL ELSE value END AS v FROM events)
