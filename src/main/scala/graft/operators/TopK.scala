@@ -3,14 +3,19 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-/** Per-group top-k WITHOUT sorting the data — the bounded-state answer to
-  * "best k rows per key" that a window `row_number() <= k` cannot give at
-  * 100 TB: the window spelling sort-shuffles EVERY row on (key, value),
-  * while this operator folds each partition into per-key k-element heaps
-  * (map-side combine — memory is #keys × k, independent of partition
-  * size) and shuffles only the k-row partials. Same contract as the
-  * window: rank by value DESC with id ASC tie-break, exactly k rows per
-  * key (fewer when the key has fewer rows).
+/** Per-group top-k WITHOUT sorting the data: fold each partition into
+  * per-key k-element heaps (map-side combine — memory is #keys × k,
+  * independent of partition size) and shuffle only the k-row partials.
+  * Same contract as the window spelling: rank by value DESC with id ASC
+  * tie-break, exactly k rows per key (fewer when the key has fewer rows).
+  *
+  * Relation to `row_number() <= k`: Spark 4 already prunes that spelling
+  * with partial WindowGroupLimit (audit-pinned on q45), so each map task
+  * keeps k rows per key — but it still sort-shuffles those survivors and
+  * re-sorts per partition. This operator replaces the sort exchange with
+  * a hash exchange of k-row arrays: the win at 100 TB is when key
+  * cardinality is high (the sort's survivors are #keys × k rows either
+  * way, but heaps skip the O(n log n) per-partition sorts entirely).
   *
   * Same two-level shape as [[graft.sketch.Kmv]] — bottom-k of a hash
   * there, top-k of a value here. */

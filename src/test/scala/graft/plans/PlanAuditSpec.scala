@@ -108,6 +108,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(joinAt >= 0 && filterAt > joinAt, p)
   }
 
+  test("q45 rank filter gets WindowGroupLimit pushdown (partial before the shuffle)") {
+    val p = plan("q45_window_rank")
+    // Spark 4 prunes each map partition to the top-k BEFORE the window's
+    // sort shuffle — the property that keeps the window spelling viable at
+    // scale (TopK.topK is the agg-shaped alternative)
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.contains("Partial"), p)
+  }
+
   test("q14 geo_cell composition stays inside whole-stage codegen") {
     // AQE prints codegen markers only on the FINAL plan — execute first
     val df = graft.SparkEntry.queries("q14_geo_cell")(spark, sf)
