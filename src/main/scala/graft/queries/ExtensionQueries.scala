@@ -134,6 +134,36 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // Spark 4's transformWithState (the arbitrary-state successor to
+    // flatMapGroupsWithState): running per-user totals in a ValueState
+    // under the RocksDB store, snapshot per key per batch; values arrive
+    // as integer micros so the state fold is exact and order-independent
+    "q104_transform_with_state" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+      val srcDir = StreamScaffold.stageTable(s, dir, "events")
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        StreamScaffold.runStagedStream(s, "q104", dir, srcDir) { mk =>
+          mk().select($"user_id",
+              expr("CAST(round(value * 1000000) AS BIGINT)").as("v_micros"))
+            .as[(Long, Long)]
+            .groupByKey(_._1)
+            .transformWithState(new graft.streaming.UserTotalsProcessor,
+              TimeMode.None(), OutputMode.Append())
+            .toDF("user_id", "n_events", "sum_micros")
+        }.orderBy($"user_id")
+      } finally {
+        prev match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+    }),
+
     // triangle counting over the co-purchase graph (parts sharing ≥ 2
     // orders — the single-co-occurrence noise floor a co-purchase analysis
     // applies anyway): compact-forward wedge join with DEGREE-ORDERED
@@ -1233,6 +1263,10 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q104_transform_with_state" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_micros
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q101_triangles" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |raw AS (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
