@@ -38,6 +38,66 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("complete-mode snapshot converges to the batch answer across MANY batches") {
+    // the q49/q86 pattern: foreachBatch overwrites one parquet snapshot per
+    // batch, so the LAST batch's full state must equal the batch aggregate
+    // even when the source arrives in several micro-batches (the gate runs
+    // single-batch; production does not)
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val out = new java.io.File(System.getProperty("java.io.tmpdir"),
+      "graft_spec_complete_out").toString
+    val agg = stream.toDF().toDF("k", "v")
+      .groupBy($"k").agg(count(lit(1)).as("n"), sum($"v").as("s"))
+    val q = agg.writeStream.outputMode("complete")
+      .foreachBatch((b: org.apache.spark.sql.DataFrame, _: Long) =>
+        b.write.mode("overwrite").parquet(out))
+      .start()
+    try {
+      stream.addData((1L, 10L), (2L, 20L)); q.processAllAvailable()
+      stream.addData((1L, 5L)); q.processAllAvailable()
+      stream.addData((3L, 7L), (2L, 1L)); q.processAllAvailable()
+      val got = spark.read.parquet(out).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == Set((1L, 2L, 15L), (2L, 2L, 21L), (3L, 1L, 7L)))
+    } finally q.stop()
+  }
+
+  test("transformWithState keeps per-key state across batches") {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    implicit val sc = spark.sqlContext
+    val stream = MemoryStream[(Long, Long)]
+    val counted = stream.toDS()
+      .groupByKey(_._1)
+      .transformWithState(new UserTotalsProcessor, TimeMode.None(), OutputMode.Append())
+    val q = counted.toDF("user_id", "n", "s")
+      .writeStream.format("memory").queryName("tws_totals")
+      .outputMode("append").start()
+    try {
+      stream.addData((1L, 100L), (1L, 50L)); q.processAllAvailable()
+      stream.addData((1L, 25L), (2L, 9L)); q.processAllAvailable()
+      // append sink keeps every per-batch snapshot; the LAST row per key
+      // carries the accumulated state
+      val last = spark.table("tws_totals").groupBy($"user_id")
+        .agg(max(struct($"n", $"s")).as("f"))
+        .select($"user_id", $"f.n", $"f.s").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(last == Set((1L, 3L, 175L), (2L, 1L, 9L)))
+    } finally {
+      q.stop()
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
   test("sliding tile store expires tiles after the TTL window (7-day capability)") {
     import spark.implicits._
     implicit val sc = spark.sqlContext
