@@ -134,6 +134,27 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // deterministic domain mixing — the pretraining data-mix step: each
+    // source keeps a hash-Bernoulli fraction (replayable: same doc set on
+    // every run/engine); per-source counts plus an xor checksum of the
+    // kept ids pin the exact membership, not just the rate
+    "q105_domain_mix" -> ((s, dir) => {
+      import s.implicits._
+      val thr = when($"source" === "src0", 10000)
+        .when($"source" === "src1", 5000)
+        .when($"source" === "src2", 2500)
+        .otherwise(1000)
+      t(s, dir, "documents")
+        .withColumn("keep",
+          (TextFunctions.md5Bucket16($"doc_id".cast("string"), "mix|") % 10000 < thr)
+            .cast("int"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_total"),
+          sum($"keep").cast("long").as("n_kept"),
+          expr("bit_xor(CASE WHEN keep = 1 THEN doc_id END)").as("kept_xor"))
+        .orderBy($"source")
+    }),
+
     // Spark 4's transformWithState (the arbitrary-state successor to
     // flatMapGroupsWithState): running per-user totals in a ValueState
     // under the RocksDB store, snapshot per key per batch; values arrive
@@ -1263,6 +1284,16 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q105_domain_mix" ->
+      s"""WITH k AS (SELECT source, doc_id,
+         |  CASE WHEN ${TextFunctions.md5Bucket16Sql("CAST(doc_id AS VARCHAR)", "mix|")} % 10000 <
+         |    (CASE WHEN source = 'src0' THEN 10000 WHEN source = 'src1' THEN 5000
+         |          WHEN source = 'src2' THEN 2500 ELSE 1000 END)
+         |  THEN 1 ELSE 0 END AS keep FROM documents)
+         |SELECT source, count(*) AS n_total,
+         |  CAST(sum(keep) AS BIGINT) AS n_kept,
+         |  bit_xor(CASE WHEN keep = 1 THEN doc_id END) AS kept_xor
+         |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q104_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
         |  sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_micros
