@@ -134,6 +134,29 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // semi-structured column processing: JSON field extraction + typed
+    // aggregation over the events props payload
+    "q106_json_extract" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events")
+        .select($"event_type",
+          get_json_object($"props", "$.k").cast("long").as("k"))
+        .groupBy($"event_type")
+        .agg(count($"k").as("n"), min($"k").as("min_k"),
+          max($"k").as("max_k"), sum($"k").as("sum_k"))
+        .orderBy($"event_type")
+    }),
+
+    // ordered string aggregation (sorted-distinct concat per group)
+    "q107_string_agg" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "orders").groupBy($"o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          array_join(array_sort(collect_set($"o_orderpriority")), "|")
+            .as("priorities"))
+        .orderBy($"o_orderstatus")
+    }),
+
     // deterministic domain mixing — the pretraining data-mix step: each
     // source keeps a hash-Bernoulli fraction (replayable: same doc set on
     // every run/engine); per-source counts plus an xor checksum of the
@@ -1284,6 +1307,15 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q106_json_extract" ->
+      """WITH j AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q107_string_agg" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  array_to_string(list_sort(list(DISTINCT o_orderpriority)), '|') AS priorities
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
     "q105_domain_mix" ->
       s"""WITH k AS (SELECT source, doc_id,
          |  CASE WHEN ${TextFunctions.md5Bucket16Sql("CAST(doc_id AS VARCHAR)", "mix|")} % 10000 <
