@@ -134,6 +134,24 @@ object ExtensionQueries {
         .orderBy($"vec_id")
     }),
 
+    // k-ring neighborhood density (spatial smoothing / hotspot pre-pass):
+    // per-cell counts, then each occupied cell's (2k+1)² Chebyshev block
+    // total via ring-explode + equi-join on cell id — never a spatial
+    // cross join; the oracle replays the ring arithmetic (lat clips,
+    // lng wraps) from the cell indices
+    "q108_ring_density" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.points(s, dir)
+        .select(graft.functions.GeoFunctions
+          .geoCell($"latitude", $"longitude", 9).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("n"))
+      val ring = counts.select($"cell", $"n",
+        explode(graft.functions.GeoFunctions.cellRing($"cell", 1)).as("nb"))
+      ring.join(counts.select($"cell".as("nb"), $"n".as("nb_n")), Seq("nb"))
+        .groupBy($"cell", $"n").agg(sum($"nb_n").as("ring_n"))
+        .orderBy($"cell")
+    }),
+
     // semi-structured column processing: JSON field extraction + typed
     // aggregation over the events props payload
     "q106_json_extract" -> ((s, dir) => {
@@ -1307,6 +1325,23 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q108_ring_density" -> {
+      val res = 9
+      val rows = 1L << (res + 8)
+      val cols = 1L << (res + 9)
+      s"""WITH ${Tables.pointsSql},
+         |c AS (SELECT ${Tables.cellSql("latitude", "longitude", res)} AS cell,
+         |        ${Tables.latIdxSql("latitude", res)} AS i,
+         |        ${Tables.lngIdxSql("longitude", res)} AS j,
+         |        count(*) AS n
+         |      FROM points GROUP BY 1, 2, 3),
+         |nb AS (SELECT a.cell, a.n, b.n AS nb_n
+         |       FROM c a, unnest([-1, 0, 1]) AS tdi(di), unnest([-1, 0, 1]) AS tdj(dj)
+         |       JOIN c b ON b.i = a.i + tdi.di
+         |                AND b.j = (((a.j + tdj.dj) % $cols) + $cols) % $cols
+         |       WHERE a.i + tdi.di BETWEEN 0 AND ${rows - 1})
+         |SELECT cell, n, sum(nb_n) AS ring_n FROM nb GROUP BY 1, 2 ORDER BY 1""".stripMargin
+    },
     "q106_json_extract" ->
       """WITH j AS (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
