@@ -152,6 +152,59 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // hotspot detection (Getis-Ord-flavored): ring densities z-scored
+    // against the global ring-density distribution — exact integer moments,
+    // float division spelled like the oracle (q103 pattern)
+    "q109_hotspots" -> ((s, dir) => {
+      import s.implicits._
+      val counts = Tables.points(s, dir)
+        .select(graft.functions.GeoFunctions
+          .geoCell($"latitude", $"longitude", 9).as("cell"))
+        .groupBy($"cell").agg(count(lit(1)).as("n"))
+      val ring = counts.select($"cell",
+        explode(graft.functions.GeoFunctions.cellRing($"cell", 1)).as("nb"))
+      val dens = ring
+        .join(counts.select($"cell".as("nb"), $"n".as("nb_n")), Seq("nb"))
+        .groupBy($"cell").agg(sum($"nb_n").as("ring_n"))
+      val stats = dens.agg(count(lit(1)).as("cnt"),
+        sum($"ring_n").cast("double").as("s"),
+        sum($"ring_n" * $"ring_n").cast("double").as("ss"))
+      dens.join(broadcast(stats))
+        .select($"cell", $"ring_n",
+          round(($"ring_n" - $"s" / $"cnt") /
+            sqrt(($"ss" - $"s" * $"s" / $"cnt") / $"cnt"), 6).as("z"))
+        .where($"z" >= 2.0)
+        .orderBy($"cell")
+    }),
+
+    // per-entity trajectory length: haversine between consecutive points
+    // in event order, step-rounded then decimal-summed so the float total
+    // is plan-order independent
+    "q110_trajectory" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders")
+      val pts = li.join(o, li("l_orderkey") === o("o_orderkey")).select(
+        o("o_custkey").as("u"),
+        (lit(40.70) + (li("l_partkey") % 1000) * lit(6e-5)).as("lat"),
+        (lit(-74.02) + (li("l_suppkey") % 1000) * lit(8e-5)).as("lng"),
+        o("o_orderdate").as("d"), li("l_orderkey").as("ok"), li("l_linenumber").as("ln"))
+      // (d, ok, ln) is NOT total in this data (duplicate line numbers);
+      // lat/lng complete the order — rows still tied are identical points,
+      // so any pairing yields the same step distances
+      val w = Window.partitionBy($"u").orderBy($"d", $"ok", $"ln", $"lat", $"lng")
+      val steps = pts
+        .withColumn("plat", lag($"lat", 1).over(w))
+        .withColumn("plng", lag($"lng", 1).over(w))
+      steps.groupBy($"u")
+        .agg(count($"plat").as("n_steps"),
+          coalesce(sum(round(graft.functions.GeoFunctions
+              .haversineMeters($"plat", $"plng", $"lat", $"lng"), 3)
+            .cast("decimal(18,3)")).cast("double"), lit(0.0)).as("total_m"))
+        .orderBy($"u")
+    }),
+
     // semi-structured column processing: JSON field extraction + typed
     // aggregation over the events props payload
     "q106_json_extract" -> ((s, dir) => {
@@ -1325,6 +1378,45 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q109_hotspots" -> {
+      val res = 9
+      val rows = 1L << (res + 8)
+      val cols = 1L << (res + 9)
+      s"""WITH ${Tables.pointsSql},
+         |c AS (SELECT ${Tables.cellSql("latitude", "longitude", res)} AS cell,
+         |        ${Tables.latIdxSql("latitude", res)} AS i,
+         |        ${Tables.lngIdxSql("longitude", res)} AS j,
+         |        count(*) AS n
+         |      FROM points GROUP BY 1, 2, 3),
+         |nb AS (SELECT a.cell, b.n AS nb_n
+         |       FROM c a, unnest([-1, 0, 1]) AS tdi(di), unnest([-1, 0, 1]) AS tdj(dj)
+         |       JOIN c b ON b.i = a.i + tdi.di
+         |                AND b.j = (((a.j + tdj.dj) % $cols) + $cols) % $cols
+         |       WHERE a.i + tdi.di BETWEEN 0 AND ${rows - 1}),
+         |dens AS (SELECT cell, sum(nb_n) AS ring_n FROM nb GROUP BY 1),
+         |st AS (SELECT count(*) AS cnt, CAST(sum(ring_n) AS DOUBLE) AS s,
+         |         CAST(sum(ring_n * ring_n) AS DOUBLE) AS ss FROM dens)
+         |SELECT cell, ring_n,
+         |  round((ring_n - st.s / st.cnt) / sqrt((st.ss - st.s * st.s / st.cnt) / st.cnt), 6) AS z
+         |FROM dens, st
+         |WHERE round((ring_n - st.s / st.cnt) / sqrt((st.ss - st.s * st.s / st.cnt) / st.cnt), 6) >= 2.0
+         |ORDER BY cell""".stripMargin
+    },
+    "q110_trajectory" -> {
+      val hav = Tables.haversineSql("plat", "plng", "lat", "lng")
+      s"""WITH p AS (SELECT o_custkey AS u,
+         |  CAST(40.70 AS DOUBLE) + (l_partkey % 1000) * 6e-5 AS lat,
+         |  CAST(-74.02 AS DOUBLE) + (l_suppkey % 1000) * 8e-5 AS lng,
+         |  o_orderdate AS d, l_orderkey AS ok, l_linenumber AS ln
+         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+         |l AS (SELECT u, lat, lng,
+         |  lag(lat) OVER (PARTITION BY u ORDER BY d, ok, ln, lat, lng) AS plat,
+         |  lag(lng) OVER (PARTITION BY u ORDER BY d, ok, ln, lat, lng) AS plng
+         |  FROM p)
+         |SELECT u, count(plat) AS n_steps,
+         |  coalesce(CAST(sum(CAST(round($hav, 3) AS DECIMAL(18,3))) AS DOUBLE), 0.0) AS total_m
+         |FROM l GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q108_ring_density" -> {
       val res = 9
       val rows = 1L << (res + 8)
