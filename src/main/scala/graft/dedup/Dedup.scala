@@ -142,8 +142,15 @@ object Dedup {
     * O(log² n) rounds independent of chain length, so a 10M-doc near-dup
     * chain doesn't degrade to 10M rounds the way label propagation would. */
   def dedupGroups(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
-                  numHashes: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame = {
-    val pairs = minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand, shingleN)
+                  numHashes: Int = 8, rowsPerBand: Int = 2, shingleN: Int = 3): DataFrame =
+    dedupGroupsFromPairs(df,
+      minhashCandidates(df, textCol, idCol, numHashes, rowsPerBand, shingleN), idCol)
+
+  /** [[dedupGroups]] over an already-computed candidate-pair frame —
+    * callers that have the q35 candidates in hand (or persisted) skip the
+    * shingle/minhash pass entirely. */
+  def dedupGroupsFromPairs(df: DataFrame, pairs: DataFrame,
+                           idCol: String = "doc_id"): DataFrame = {
     val cc = graft.cluster.ConnectedComponents.run(
       pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
     df.select(col(idCol))
