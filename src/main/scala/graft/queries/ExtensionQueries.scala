@@ -21,6 +21,7 @@ object ExtensionQueries {
   import Tables.{scratch, scratchPat}
   private val q40CandPat = scratchPat("q40_cands")
   private val q43CandPat = scratchPat("q43_cands")
+  private val q111OrcPat = scratchPat("q111_orc")
 
   /** MinHash candidate pairs at the default (8 hashes, 2-row bands,
     * 3-shingles) parameters, persisted once per (session, sf dir) — q35
@@ -170,6 +171,50 @@ object ExtensionQueries {
       ring.join(counts.select($"cell".as("nb"), $"n".as("nb_n")), Seq("nb"))
         .groupBy($"cell", $"n").agg(sum($"nb_n").as("ring_n"))
         .orderBy($"cell")
+    }),
+
+    // ORC source/sink round-trip (completes the format matrix with q20
+    // CSV and q46 JSONL): engine-side format fidelity — the oracle reads
+    // the same rows from the parquet original
+    "q111_orc_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratch(q111OrcPat, dir)
+      t(s, dir, "orders").where($"o_orderstatus" === "F")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+        .write.mode("overwrite").orc(path)
+      s.read.orc(path)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // sentence segmentation stats (regex split, empties dropped on both
+    // engines explicitly — trailing-empty semantics differ by default)
+    "q112_sentence_stats" -> ((s, dir) => {
+      import s.implicits._
+      val sent = filter(split($"text", "[.!?] "), x => x =!= lit(""))
+      t(s, dir, "documents").select($"doc_id",
+          size(sent).cast("long").as("n_sentences"),
+          round(coalesce(
+            aggregate(sent, lit(0L), (acc, x) => acc + length(x)).cast("double") /
+              nullif(size(sent), lit(0)).cast("double"), lit(0.0)), 6)
+            .as("avg_sentence_chars"))
+        .orderBy($"doc_id")
+    }),
+
+    // ranking-function matrix: dense_rank / percent_rank / cume_dist over
+    // a total per-group order (all deterministic integer-ratio arithmetic)
+    "q113_rank_functions" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"event_type").orderBy($"value", $"event_id")
+      t(s, dir, "events").select($"event_type", $"event_id", $"value")
+        .select($"event_type", $"event_id",
+          dense_rank().over(w).cast("long").as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"))
+        .orderBy($"event_type", $"event_id")
     }),
 
     // hotspot detection (Getis-Ord-flavored): ring densities z-scored
@@ -1398,6 +1443,27 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q111_orc_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'F'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q112_sentence_stats" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_filter(string_split_regex(text, '[.!?] '), x -> x != '') AS sent
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(sent) AS BIGINT) AS n_sentences,
+        |  round(coalesce(CAST(list_sum(list_transform(sent, x -> length(x))) AS DOUBLE) /
+        |    CAST(nullif(len(sent), 0) AS DOUBLE), 0.0), 6) AS avg_sentence_chars
+        |FROM c ORDER BY doc_id""".stripMargin,
+    "q113_rank_functions" ->
+      """SELECT event_type, event_id,
+        |  CAST(dense_rank() OVER w AS BIGINT) AS drank,
+        |  round(percent_rank() OVER w, 6) AS prank,
+        |  round(cume_dist() OVER w, 6) AS cdist
+        |FROM events
+        |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+        |ORDER BY event_type, event_id""".stripMargin,
     "q109_hotspots" -> {
       val res = 9
       val rows = 1L << (res + 8)
