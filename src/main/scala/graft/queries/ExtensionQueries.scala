@@ -173,6 +173,25 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // fuzzy string matching (entity resolution): probes with an injected
+    // typo rejoined to the master list — length-equality as the blocking
+    // key (an equi-join, never all-pairs; a real pipeline adds q-gram
+    // blocking), edit distance ≤ 1 as the verify
+    "q114_fuzzy_match" -> ((s, dir) => {
+      import s.implicits._
+      val cust = t(s, dir, "customer").select($"c_custkey", $"c_name")
+      val probes = cust.where($"c_custkey" % 97 === 0)
+        .select($"c_custkey".as("probe_id"),
+          concat(substring($"c_name", 1, 5), lit("X"),
+            substring($"c_name", 7, 10000)).as("probe_name"))
+      probes.join(cust,
+          length($"probe_name") === length($"c_name") &&
+            levenshtein($"probe_name", $"c_name") <= 1)
+        .select($"probe_id", $"c_custkey",
+          levenshtein($"probe_name", $"c_name").cast("long").as("dist"))
+        .orderBy($"probe_id", $"c_custkey")
+    }),
+
     // ORC source/sink round-trip (completes the format matrix with q20
     // CSV and q46 JSONL): engine-side format fidelity — the oracle reads
     // the same rows from the parquet original
@@ -1443,6 +1462,14 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q114_fuzzy_match" ->
+      """WITH p AS (SELECT c_custkey AS probe_id,
+        |  substr(c_name, 1, 5) || 'X' || substr(c_name, 7) AS probe_name
+        |  FROM customer WHERE c_custkey % 97 = 0)
+        |SELECT probe_id, c_custkey, CAST(levenshtein(probe_name, c_name) AS BIGINT) AS dist
+        |FROM p JOIN customer ON length(probe_name) = length(c_name)
+        |  AND levenshtein(probe_name, c_name) <= 1
+        |ORDER BY 1, 2""".stripMargin,
     "q111_orc_roundtrip" ->
       """SELECT o_orderpriority, count(*) AS n,
         |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
