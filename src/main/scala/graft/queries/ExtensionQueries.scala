@@ -173,6 +173,18 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // explicit GROUPING SETS with grouping markers (the general form
+    // behind q29's ROLLUP and q85's CUBE)
+    "q115_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "documents").createOrReplaceTempView("graft_documents")
+      s.sql("""SELECT lang, source, grouping(lang) AS g_lang,
+              |  grouping(source) AS g_source,
+              |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+              |FROM graft_documents
+              |GROUP BY GROUPING SETS ((lang), (source), ())
+              |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin)
+    }),
+
     // fuzzy string matching (entity resolution): probes with an injected
     // typo rejoined to the master list — length-equality as the blocking
     // key (an equi-join, never all-pairs; a real pipeline adds q-gram
@@ -1462,6 +1474,13 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q115_grouping_sets" ->
+      """SELECT lang, source, CAST(grouping(lang) AS TINYINT) AS g_lang,
+        |  CAST(grouping(source) AS TINYINT) AS g_source,
+        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |FROM documents
+        |GROUP BY GROUPING SETS ((lang), (source), ())
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q114_fuzzy_match" ->
       """WITH p AS (SELECT c_custkey AS probe_id,
         |  substr(c_name, 1, 5) || 'X' || substr(c_name, 7) AS probe_name
