@@ -173,6 +173,20 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // recursive CTE through the SQL surface (new in Spark 4): ancestor
+    // walk over a deterministic binary hierarchy on part keys — the same
+    // recursion DuckDB runs for q57's closure oracle, now engine-side
+    "q116_recursive_cte" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("graft_part")
+      s.sql("""WITH RECURSIVE anc(p, a, depth) AS (
+              |  SELECT p_partkey, p_partkey, 0 FROM graft_part WHERE p_partkey < 128
+              |  UNION ALL
+              |  SELECT p, a DIV 2, depth + 1 FROM anc WHERE a > 1
+              |)
+              |SELECT p AS part_id, CAST(max(depth) AS BIGINT) AS depth_to_root
+              |FROM anc GROUP BY p ORDER BY p""".stripMargin)
+    }),
+
     // explicit GROUPING SETS with grouping markers (the general form
     // behind q29's ROLLUP and q85's CUBE)
     "q115_grouping_sets" -> ((s, dir) => {
@@ -1474,6 +1488,14 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q116_recursive_cte" ->
+      """WITH RECURSIVE anc(p, a, depth) AS (
+        |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 128
+        |  UNION ALL
+        |  SELECT p, a // 2, depth + 1 FROM anc WHERE a > 1
+        |)
+        |SELECT p AS part_id, CAST(max(depth) AS BIGINT) AS depth_to_root
+        |FROM anc GROUP BY p ORDER BY p""".stripMargin,
     "q115_grouping_sets" ->
       """SELECT lang, source, CAST(grouping(lang) AS TINYINT) AS g_lang,
         |  CAST(grouping(source) AS TINYINT) AS g_source,
