@@ -173,6 +173,31 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // VARIANT semi-structured type (new in Spark 4): parse once, typed
+    // extraction downstream — the open-schema path next to q106's
+    // string-at-a-time get_json_object
+    "q117_variant" -> ((s, dir) => {
+      t(s, dir, "events").createOrReplaceTempView("graft_events")
+      s.sql("""WITH v AS (SELECT event_type,
+              |  variant_get(parse_json(props), '$.k', 'long') AS k FROM graft_events)
+              |SELECT event_type, count(k) AS n,
+              |  sum(CASE WHEN k % 2 = 0 THEN k END) AS sum_even_k, max(k) AS max_k
+              |FROM v GROUP BY 1 ORDER BY 1""".stripMargin)
+    }),
+
+    // correlated LATERAL subquery (top-1-per-row without a window): each
+    // customer's latest order
+    "q118_lateral" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+              |FROM graft_customer c,
+              |LATERAL (SELECT o_orderkey, o_totalprice FROM graft_orders o
+              |         WHERE o.o_custkey = c.c_custkey
+              |         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS l
+              |ORDER BY c.c_custkey""".stripMargin)
+    }),
+
     // recursive CTE through the SQL surface (new in Spark 4): ancestor
     // walk over a deterministic binary hierarchy on part keys — the same
     // recursion DuckDB runs for q57's closure oracle, now engine-side
@@ -1488,6 +1513,19 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q117_variant" ->
+      """WITH v AS (SELECT event_type,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
+        |SELECT event_type, count(k) AS n,
+        |  sum(CASE WHEN k % 2 = 0 THEN k END) AS sum_even_k, max(k) AS max_k
+        |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q118_lateral" ->
+      """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
+        |FROM customer c,
+        |LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+        |         WHERE o.o_custkey = c.c_custkey
+        |         ORDER BY o_orderdate DESC, o_orderkey DESC LIMIT 1) AS l
+        |ORDER BY c.c_custkey""".stripMargin,
     "q116_recursive_cte" ->
       """WITH RECURSIVE anc(p, a, depth) AS (
         |  SELECT p_partkey, p_partkey, 0 FROM part WHERE p_partkey < 128
