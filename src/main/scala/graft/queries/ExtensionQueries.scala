@@ -173,6 +173,50 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // multiset set operations (INTERSECT ALL / EXCEPT ALL — min/diff of
+    // multiplicities, the semantics q44's distinct variants don't cover)
+    "q119_set_ops_all" -> ((s, dir) => {
+      import s.implicits._
+      val orders = t(s, dir, "orders")
+      val a = orders.filter($"o_totalprice" > 150000.0).select($"o_custkey")
+      val b = orders.filter($"o_orderpriority".isin("1-URGENT", "2-HIGH"))
+        .select($"o_custkey")
+      val i = a.intersectAll(b).select(lit("intersect_all").as("op"), $"o_custkey")
+      val e = a.exceptAll(b).select(lit("except_all").as("op"), $"o_custkey")
+      i.unionAll(e).groupBy($"op", $"o_custkey").agg(count(lit(1)).as("n"))
+        .orderBy($"op", $"o_custkey")
+    }),
+
+    // UNPIVOT (wide → long, the inverse of q62's pivot) through the SQL
+    // surface
+    "q120_unpivot" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql("""SELECT o_orderpriority, status, cnt FROM (
+              |  SELECT o_orderpriority,
+              |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f,
+              |    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o,
+              |    count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p
+              |  FROM graft_orders GROUP BY 1)
+              |UNPIVOT (cnt FOR status IN (f, o, p))
+              |ORDER BY o_orderpriority, status""".stripMargin)
+    }),
+
+    // ANSI null semantics pinned: NOT IN against a set containing NULL is
+    // empty; NOT EXISTS is the null-safe spelling — the classic silent-
+    // wrong-answer trap, asserted identical across engines
+    "q121_not_in_nulls" -> ((s, dir) => {
+      t(s, dir, "customer").createOrReplaceTempView("graft_customer")
+      t(s, dir, "orders").createOrReplaceTempView("graft_orders")
+      s.sql("""WITH probe AS (SELECT o_custkey FROM graft_orders WHERE o_orderstatus = 'P'
+              |               UNION ALL SELECT CAST(NULL AS BIGINT))
+              |SELECT
+              |  (SELECT count(*) FROM graft_customer
+              |   WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)) AS n_not_in,
+              |  (SELECT count(*) FROM graft_customer c
+              |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+              |                     WHERE p.o_custkey = c.c_custkey)) AS n_not_exists""".stripMargin)
+    }),
+
     // VARIANT semi-structured type (new in Spark 4): parse once, typed
     // extraction downstream — the open-schema path next to q106's
     // string-at-a-time get_json_object
@@ -1513,6 +1557,32 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q119_set_ops_all" ->
+      """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+        |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
+        |i AS (SELECT 'intersect_all' AS op, o_custkey FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)),
+        |e AS (SELECT 'except_all' AS op, o_custkey FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b))
+        |SELECT op, o_custkey, count(*) AS n
+        |FROM (SELECT * FROM i UNION ALL SELECT * FROM e)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q120_unpivot" ->
+      """SELECT o_orderpriority, status, cnt FROM (
+        |  SELECT o_orderpriority,
+        |    count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS f,
+        |    count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS o,
+        |    count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS p
+        |  FROM orders GROUP BY 1)
+        |UNPIVOT (cnt FOR status IN (f, o, p))
+        |ORDER BY o_orderpriority, status""".stripMargin,
+    "q121_not_in_nulls" ->
+      """WITH probe AS (SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'
+        |               UNION ALL SELECT CAST(NULL AS BIGINT))
+        |SELECT
+        |  (SELECT count(*) FROM customer
+        |   WHERE c_custkey NOT IN (SELECT o_custkey FROM probe)) AS n_not_in,
+        |  (SELECT count(*) FROM customer c
+        |   WHERE NOT EXISTS (SELECT 1 FROM probe p
+        |                     WHERE p.o_custkey = c.c_custkey)) AS n_not_exists""".stripMargin,
     "q117_variant" ->
       """WITH v AS (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
