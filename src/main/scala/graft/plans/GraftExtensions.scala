@@ -10,12 +10,16 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *
   *  - [[AntiJoinRewrite]]: optimizer rule for the reference's
   *    left_outer + IS NULL anomaly spelling;
+  *  - [[CellRangePushdown]]: optimizer rule deriving pushable lat/lng
+  *    range predicates from `geo_cell(...) = '<cell>'` equality filters
+  *    (row-group pruning for cell lookups);
   *  - `geo_cell`: native codegen expression replacing the UDF registration
   *    for SQL callers;
   *  - `vec_dot`: native codegen embedding dot product (cosine hot path). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
+    extensions.injectOptimizerRule(_ => CellRangePushdown)
     extensions.injectFunction((
       new FunctionIdentifier("geo_cell"),
       new ExpressionInfo(classOf[GeoCellExpression].getName, "geo_cell"),

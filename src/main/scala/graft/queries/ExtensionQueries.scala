@@ -22,6 +22,11 @@ object ExtensionQueries {
   private val q40CandPat = scratchPat("q40_cands")
   private val q43CandPat = scratchPat("q43_cands")
   private val q111OrcPat = scratchPat("q111_orc")
+  private val q122PtsPat = scratchPat("q122_pts")
+
+  /** The q122 lookup cell: a fixed in-bbox point's cell at res 10 —
+    * deterministic, shared by the query and its oracle literal. */
+  private val Q122Cell: String = graft.geo.GeoCell.cellId(40.73, -73.99, 10)
 
   /** MinHash candidate pairs at the default (8 hashes, 2-row bands,
     * 3-shingles) parameters, persisted once per (session, sf dir) — q35
@@ -171,6 +176,21 @@ object ExtensionQueries {
       ring.join(counts.select($"cell".as("nb"), $"n".as("nb_n")), Seq("nb"))
         .groupBy($"cell", $"n").agg(sum($"nb_n").as("ring_n"))
         .orderBy($"cell")
+    }),
+
+    // cell-equality point lookup over a REAL parquet table: the
+    // CellRangePushdown rule turns the opaque geo_cell equality into
+    // lat/lng ranges that reach PushedFilters — row-group pruning for a
+    // 100 TB lookup (plan audit pins the pushed ranges)
+    "q122_cell_lookup" -> ((s, dir) => {
+      import s.implicits._
+      val p = scratch(q122PtsPat, dir)
+      Tables.points(s, dir).write.mode("overwrite").parquet(p)
+      s.read.parquet(p).createOrReplaceTempView("graft_points_t")
+      s.sql(s"""SELECT count(*) AS n,
+               |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+               |FROM graft_points_t
+               |WHERE geo_cell(latitude, longitude, 10) = '${Q122Cell}'""".stripMargin)
     }),
 
     // multiset set operations (INTERSECT ALL / EXCEPT ALL — min/diff of
@@ -1557,6 +1577,11 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q122_cell_lookup" ->
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM read_parquet('$q122PtsPat/*.parquet')
+         |WHERE ${Tables.cellSql("latitude", "longitude", 10)} = '${Q122Cell}'""".stripMargin,
     "q119_set_ops_all" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
         |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),
