@@ -178,6 +178,25 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // rolling 7-day distinct actives (DAU/WAU): the distinct-day intervals
+    // go through the bucketized RangeJoin — never a nested-loop BETWEEN —
+    // and day arithmetic stays integer (epoch days) on both engines
+    "q123_rolling_dau" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id",
+        expr("ts DIV 1000 DIV 86400000000").as("d"))
+      val daily = ev.groupBy($"d").agg(countDistinct($"user_id").as("dau"))
+      val ivals = ev.select($"d").distinct()
+        .select($"d".as("day"), ($"d" - 6).as("w_start"), $"d".as("w_end"))
+      graft.operators.RangeJoin.pointInInterval(
+          ev.select($"user_id", $"d"), ivals, keyCols = Seq.empty,
+          pointCol = "d", startCol = "w_start", endCol = "w_end", bucketWidth = 7L)
+        .groupBy($"day").agg(countDistinct($"user_id").as("wau"))
+        .join(daily, $"day" === daily("d")).drop("d")
+        .select($"day", $"dau", $"wau")
+        .orderBy($"day")
+    }),
+
     // cell-equality point lookup over a REAL parquet table: the
     // CellRangePushdown rule turns the opaque geo_cell equality into
     // lat/lng ranges that reach PushedFilters — row-group pruning for a
@@ -1577,6 +1596,14 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q123_rolling_dau" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |daily AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM e GROUP BY 1),
+        |days AS (SELECT DISTINCT d FROM e),
+        |wau AS (SELECT days.d AS day, CAST(count(DISTINCT e.user_id) AS BIGINT) AS wau
+        |        FROM days JOIN e ON e.d BETWEEN days.d - 6 AND days.d GROUP BY 1)
+        |SELECT day, dau, wau FROM wau JOIN daily ON daily.d = day
+        |ORDER BY day""".stripMargin,
     "q122_cell_lookup" ->
       s"""SELECT count(*) AS n,
          |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
