@@ -178,6 +178,21 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // Count-Min sketch: frequency estimation in d×w bounded space (the
+    // complement of q76's KMV distinct sketch) — estimates for the 10
+    // hottest users joined against their exact counts; est >= exact
+    // always, collisions only inflate
+    "q124_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id")
+      val cms = graft.sketch.CountMin.build(ev, "user_id", w = 64, d = 4)
+      val exact = ev.groupBy($"user_id").agg(count(lit(1)).as("exact_n"))
+      val top = exact.orderBy($"exact_n".desc, $"user_id").limit(10)
+      graft.sketch.CountMin.estimate(cms, top, "user_id", w = 64, d = 4)
+        .join(top, Seq("user_id"))
+        .orderBy($"user_id")
+    }),
+
     // rolling 7-day distinct actives (DAU/WAU): the distinct-day intervals
     // go through the bucketized RangeJoin — never a nested-loop BETWEEN —
     // and day arithmetic stays integer (epoch days) on both engines
@@ -1596,6 +1611,26 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q124_countmin" -> {
+      import graft.sketch.CountMin.bucketSql
+      val cells = (0 until 4).map(i =>
+        s"SELECT $i AS row_i, ${bucketSql("user_id", i, 64)} AS bucket FROM e")
+        .mkString(" UNION ALL ")
+      val probes = (0 until 4).map(i =>
+        s"SELECT user_id, $i AS row_i, ${bucketSql("user_id", i, 64)} AS bucket FROM top")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |cells AS ($cells),
+         |cms AS (SELECT row_i, bucket, count(*) AS cnt FROM cells GROUP BY 1, 2),
+         |exact AS (SELECT user_id, count(*) AS exact_n FROM e GROUP BY 1),
+         |top AS (SELECT user_id, exact_n FROM exact ORDER BY exact_n DESC, user_id LIMIT 10),
+         |probes AS ($probes),
+         |est AS (SELECT p.user_id, min(coalesce(c.cnt, 0)) AS est
+         |        FROM probes p LEFT JOIN cms c ON c.row_i = p.row_i AND c.bucket = p.bucket
+         |        GROUP BY 1)
+         |SELECT est.user_id, est, exact_n FROM est JOIN top USING (user_id)
+         |ORDER BY user_id""".stripMargin
+    },
     "q123_rolling_dau" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
         |daily AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau FROM e GROUP BY 1),
