@@ -178,6 +178,44 @@ object ExtensionQueries {
         .orderBy($"cell")
     }),
 
+    // feature hashing (the hashing trick): categorical (event_type, k)
+    // pairs land in a fixed 32-bucket feature space, collisions summed —
+    // bounded-width featurization with no vocabulary pass
+    "q125_feature_hash" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id",
+        concat($"event_type", lit(":"),
+          get_json_object($"props", "$.k").cast("long") % 10).as("feat"),
+        $"value")
+      ev.select($"user_id",
+          (TextFunctions.md5Bucket16($"feat", "fh|") % 32).as("feature_idx"),
+          $"value")
+        .groupBy($"user_id", $"feature_idx")
+        .agg(sum($"value".cast("decimal(18,6)")).cast("double").as("feature_val"))
+        .orderBy($"user_id", $"feature_idx")
+    }),
+
+    // bigram language-model estimation: conditional probabilities from
+    // integer counts (the n-gram LM the repetition/contamination family
+    // builds toward); top continuation per head word via window
+    "q126_bigram_lm" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val bg = t(s, dir, "documents")
+        .select(explode(TextFunctions.bigrams($"text")).as("bg"))
+        .select(split($"bg", " ").getItem(0).as("w1"),
+          split($"bg", " ").getItem(1).as("w2"))
+      val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
+      val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      val ranked = c12.join(c1, "w1")
+        .withColumn("p", round($"c12".cast("double") / $"c1".cast("double"), 6))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"w1").orderBy($"c12".desc, $"w2")))
+      ranked.where($"rn" === 1)
+        .select($"w1", $"w2".as("top_w2"), $"c1", $"c12", $"p")
+        .orderBy($"w1")
+    }),
+
     // Count-Min sketch: frequency estimation in d×w bounded space (the
     // complement of q76's KMV distinct sketch) — estimates for the 10
     // hottest users joined against their exact counts; est >= exact
@@ -1611,6 +1649,26 @@ object ExtensionQueries {
         |SELECT vec_id, CAST(round(mx * 1000000) AS BIGINT) AS scale_key,
         |  array_to_string(list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS VARCHAR)), ',') AS codes
         |FROM m ORDER BY vec_id""".stripMargin,
+    "q125_feature_hash" ->
+      s"""WITH f AS (SELECT user_id,
+         |  event_type || ':' || CAST(CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS VARCHAR) AS feat,
+         |  value FROM events)
+         |SELECT user_id,
+         |  ${TextFunctions.md5Bucket16Sql("feat", "fh|")} % 32 AS feature_idx,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS feature_val
+         |FROM f GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q126_bigram_lm" ->
+      s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg AS (SELECT unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+         |         i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bg FROM c),
+         |w AS (SELECT string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM bg),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM w GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM w GROUP BY 1),
+         |r AS (SELECT c12.w1, c12.w2, c1.c1, c12.c12,
+         |        round(CAST(c12.c12 AS DOUBLE) / CAST(c1.c1 AS DOUBLE), 6) AS p,
+         |        row_number() OVER (PARTITION BY c12.w1 ORDER BY c12.c12 DESC, c12.w2) AS rn
+         |      FROM c12 JOIN c1 USING (w1))
+         |SELECT w1, w2 AS top_w2, c1, c12, p FROM r WHERE rn = 1 ORDER BY w1""".stripMargin,
     "q124_countmin" -> {
       import graft.sketch.CountMin.bucketSql
       val cells = (0 until 4).map(i =>
