@@ -361,19 +361,30 @@ object ExtensionQueries {
     }),
 
     // fuzzy string matching (entity resolution): probes with an injected
-    // typo rejoined to the master list — length-equality as the blocking
-    // key (an equi-join, never all-pairs; a real pipeline adds q-gram
-    // blocking), edit distance ≤ 1 as the verify
+    // typo rejoined to the master list. EXACT pigeonhole blocking: with
+    // equal lengths, levenshtein ≤ 1 means ≤ 1 substitution, so one of
+    // the two string halves matches exactly — candidates come from two
+    // (length, half) equi-joins instead of length-block × levenshtein
+    // over every pair (7.9 s → sub-second at sf0.1; no false negatives)
     "q114_fuzzy_match" -> ((s, dir) => {
       import s.implicits._
-      val cust = t(s, dir, "customer").select($"c_custkey", $"c_name")
-      val probes = cust.where($"c_custkey" % 97 === 0)
-        .select($"c_custkey".as("probe_id"),
-          concat(substring($"c_name", 1, 5), lit("X"),
-            substring($"c_name", 7, 10000)).as("probe_name"))
-      probes.join(cust,
-          length($"probe_name") === length($"c_name") &&
-            levenshtein($"probe_name", $"c_name") <= 1)
+      def keyed(d: org.apache.spark.sql.DataFrame, nameCol: String) = d
+        .withColumn("__len", length(col(nameCol)))
+        .withColumn("__h1", substring(col(nameCol), 1, 9))
+        .withColumn("__h2", expr(s"substring($nameCol, 10)"))
+      val cust = keyed(t(s, dir, "customer").select($"c_custkey", $"c_name"), "c_name")
+      val probes = keyed(
+        t(s, dir, "customer").where($"c_custkey" % 97 === 0)
+          .select($"c_custkey".as("probe_id"),
+            concat(substring($"c_name", 1, 5), lit("X"),
+              substring($"c_name", 7, 10000)).as("probe_name")),
+        "probe_name")
+      val p = probes.select($"probe_id", $"probe_name",
+        $"__len".as("pl"), $"__h1".as("p1"), $"__h2".as("p2"))
+      val cands = p.join(cust, $"pl" === $"__len" && $"p1" === $"__h1")
+        .unionByName(p.join(cust, $"pl" === $"__len" && $"p2" === $"__h2"))
+        .select($"probe_id", $"probe_name", $"c_custkey", $"c_name").distinct()
+      cands.where(levenshtein($"probe_name", $"c_name") <= 1)
         .select($"probe_id", $"c_custkey",
           levenshtein($"probe_name", $"c_name").cast("long").as("dist"))
         .orderBy($"probe_id", $"c_custkey")
