@@ -568,6 +568,38 @@ object ExtensionQueries {
     // to the higher, so each triangle materializes exactly once at its
     // lowest-degree corner and the hottest vertex's wedge fanout is
     // O(m^1.5) total instead of O(maxdeg²) (a hub vertex never fans out)
+    // global clustering coefficient: 3·triangles / wedges over the same
+    // weight-filtered co-purchase graph as q101 — wedges counted from the
+    // degree table (deg·(deg−1)/2 per vertex), never enumerated
+    "q127_clustering_coeff" -> ((s, dir) => {
+      import s.implicits._
+      val po = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val raw = po.as("x").join(po.as("y"), "o")
+        .where($"x.p" < $"y.p")
+        .groupBy($"x.p".as("u"), $"y.p".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+        .select($"u", $"v")
+      val deg = raw.select($"u".as("n")).unionAll(raw.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+      val withDeg = raw
+        .join(deg.withColumnsRenamed(Map("n" -> "u", "d" -> "du")), "u")
+        .join(deg.withColumnsRenamed(Map("n" -> "v", "d" -> "dv")), "v")
+      val edges = withDeg.select(
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"u").otherwise($"v").as("a"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"v").otherwise($"u").as("b"),
+        when($"du" < $"dv" || ($"du" === $"dv" && $"u" < $"v"), $"dv").otherwise($"du").as("db"))
+      val wedgePairs = edges.as("ab").join(edges.as("ac"), col("ab.a") === col("ac.a"))
+        .where(col("ab.db") < col("ac.db") ||
+          (col("ab.db") === col("ac.db") && col("ab.b") < col("ac.b")))
+      val tri = wedgePairs.join(edges.as("bc"),
+        col("bc.a") === col("ab.b") && col("bc.b") === col("ac.b"))
+      val wedges = deg.agg(sum(expr("d * (d - 1) DIV 2")).as("n_wedges"))
+      wedges.crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+        .select($"n_wedges", $"n_triangles",
+          round($"n_triangles" * 3.0 / $"n_wedges", 6).as("clustering_coeff"))
+    }),
+
     "q101_triangles" -> ((s, dir) => {
       import s.implicits._
       val po = t(s, dir, "lineitem")
@@ -1875,6 +1907,23 @@ object ExtensionQueries {
       """SELECT user_id, count(*) AS n_events,
         |  sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_micros
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q127_clustering_coeff" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |raw AS (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM raw UNION ALL SELECT v FROM raw) GROUP BY 1),
+        |ed AS (SELECT
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN u ELSE v END AS a,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN v ELSE u END AS b,
+        |  CASE WHEN du.d < dv.d OR (du.d = dv.d AND u < v) THEN dv.d ELSE du.d END AS db
+        |  FROM raw JOIN deg du ON du.n = u JOIN deg dv ON dv.n = v),
+        |tri AS (SELECT count(*) AS n_triangles
+        |  FROM ed ab JOIN ed ac ON ab.a = ac.a AND (ab.db < ac.db OR (ab.db = ac.db AND ab.b < ac.b))
+        |             JOIN ed bc ON bc.a = ab.b AND bc.b = ac.b),
+        |wg AS (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) AS n_wedges FROM deg)
+        |SELECT n_wedges, n_triangles,
+        |  round(n_triangles * 3.0 / n_wedges, 6) AS clustering_coeff
+        |FROM wg, tri""".stripMargin,
     "q101_triangles" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |raw AS (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
