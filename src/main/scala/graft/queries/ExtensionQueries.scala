@@ -568,6 +568,23 @@ object ExtensionQueries {
     // to the higher, so each triangle materializes exactly once at its
     // lowest-degree corner and the hottest vertex's wedge fanout is
     // O(m^1.5) total instead of O(maxdeg²) (a hub vertex never fans out)
+    // degree distribution of the co-purchase graph (the skew diagnostic
+    // read before choosing the q101 orientation strategy)
+    "q128_degree_hist" -> ((s, dir) => {
+      import s.implicits._
+      val po = t(s, dir, "lineitem")
+        .select($"l_orderkey".as("o"), $"l_partkey".as("p")).distinct()
+      val raw = po.as("x").join(po.as("y"), "o")
+        .where($"x.p" < $"y.p")
+        .groupBy($"x.p".as("u"), $"y.p".as("v"))
+        .agg(count(lit(1)).as("w")).where($"w" >= 2)
+        .select($"u", $"v")
+      raw.select($"u".as("n")).unionAll(raw.select($"v".as("n")))
+        .groupBy($"n").agg(count(lit(1)).as("d"))
+        .groupBy($"d").agg(count(lit(1)).as("n_vertices"))
+        .orderBy($"d")
+    }),
+
     // global clustering coefficient: 3·triangles / wedges over the same
     // weight-filtered co-purchase graph as q101 — wedges counted from the
     // degree table (deg·(deg−1)/2 per vertex), never enumerated
@@ -1907,6 +1924,12 @@ object ExtensionQueries {
       """SELECT user_id, count(*) AS n_events,
         |  sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_micros
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q128_degree_hist" ->
+      """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |raw AS (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
+        |        GROUP BY 1, 2 HAVING count(*) >= 2),
+        |deg AS (SELECT n, count(*) AS d FROM (SELECT u AS n FROM raw UNION ALL SELECT v FROM raw) GROUP BY 1)
+        |SELECT d, count(*) AS n_vertices FROM deg GROUP BY 1 ORDER BY 1""".stripMargin,
     "q127_clustering_coeff" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
         |raw AS (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
