@@ -1,0 +1,24 @@
+package graft.tracking
+
+import graft.SparkSpec
+
+class MetricsListenerSpec extends SparkSpec {
+
+  test("listener records duration, rows, and scan count for completed actions") {
+    import spark.implicits._
+    val ml = new MetricsListener
+    spark.listenerManager.register(ml)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("mls").toString
+      (1 to 100).toDF("x").write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).filter($"x" > 50).collect()
+      // listener callbacks are async — poll until delivered
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (ml.snapshot().isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val recs = ml.snapshot()
+      assert(recs.nonEmpty)
+      assert(recs.forall(r => r.durationNs > 0 || r.funcName.endsWith("!failed")))
+      assert(recs.exists(_.nFileScans >= 1), recs.mkString("; "))
+    } finally spark.listenerManager.unregister(ml)
+  }
+}
