@@ -70,7 +70,12 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only match {
-      case Some(names) => SparkEntry.queries.filter(kv => names(kv._1))
+      case Some(names) =>
+        val sel = SparkEntry.queries.filter(kv => names(kv._1))
+        val unknown = names -- sel.keySet
+        if (unknown.nonEmpty) System.err.println(
+          s"[bench] SPARK_GRAFT_BENCH_ONLY names not found (typo?): ${unknown.toSeq.sorted.mkString(", ")}")
+        sel
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
