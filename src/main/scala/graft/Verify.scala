@@ -16,7 +16,14 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Optional subset for local iteration (the driver sets no filter and
+    // dumps everything): comma-separated names, unknown names warned.
+    val only = sys.env.get("SPARK_GRAFT_VERIFY_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    only.foreach(_.diff(SparkEntry.queries.keySet).foreach(n =>
+      System.err.println(s"[verify] unknown name in SPARK_GRAFT_VERIFY_ONLY: $n")))
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

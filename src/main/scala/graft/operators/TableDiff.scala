@@ -29,7 +29,10 @@ object TableDiff {
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         expr("bit_xor(h)").as("checksum"),
-        sum(col("h").cast("decimal(38,0)")).as("hash_sum"))
+        // decimal(38,0) sum is overflow-free for 60-bit hashes; rendered
+        // as a string so the summary survives engines/formats whose widest
+        // integer is 64-bit (the value itself can exceed 2^63)
+        sum(col("h").cast("decimal(38,0)")).cast("string").as("hash_sum"))
   }
 
   /** Buckets where the two snapshots disagree, with both sides' summaries

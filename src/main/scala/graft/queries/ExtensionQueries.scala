@@ -970,12 +970,16 @@ object ExtensionQueries {
         .orderBy($"bucket")
     }),
 
-    // CUBE over (lang, source) — all four grouping sets in one pass
+    // CUBE over (lang, source) — all four grouping sets in one pass.
+    // Grouping markers participate in the sort so subtotal rows stay
+    // distinguishable from genuine-NULL key rows if the fixture ever
+    // gains NULL lang/source values.
     "q85_cube" -> ((s, dir) => {
       import s.implicits._
       t(s, dir, "documents").cube($"lang", $"source")
-        .agg(count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
-        .orderBy($"lang".asc_nulls_first, $"source".asc_nulls_first)
+        .agg(grouping($"lang").as("g_lang"), grouping($"source").as("g_source"),
+          count(lit(1)).as("n_docs"), sum($"n_chars").as("sum_chars"))
+        .orderBy($"g_lang", $"g_source", $"lang".asc_nulls_first, $"source".asc_nulls_first)
     }),
 
     // term → capped posting-list index: df + first-k postings from ONE
@@ -1792,7 +1796,7 @@ object ExtensionQueries {
       """WITH v AS (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
         |SELECT event_type, count(k) AS n,
-        |  sum(CASE WHEN k % 2 = 0 THEN k END) AS sum_even_k, max(k) AS max_k
+        |  CAST(sum(CASE WHEN k % 2 = 0 THEN k END) AS BIGINT) AS sum_even_k, max(k) AS max_k
         |FROM v GROUP BY 1 ORDER BY 1""".stripMargin,
     "q118_lateral" ->
       """SELECT c.c_custkey, l.o_orderkey, l.o_totalprice
@@ -1812,7 +1816,7 @@ object ExtensionQueries {
     "q115_grouping_sets" ->
       """SELECT lang, source, CAST(grouping(lang) AS TINYINT) AS g_lang,
         |  CAST(grouping(source) AS TINYINT) AS g_source,
-        |  count(*) AS n_docs, sum(n_chars) AS sum_chars
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents
         |GROUP BY GROUPING SETS ((lang), (source), ())
         |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
@@ -1860,7 +1864,7 @@ object ExtensionQueries {
          |       JOIN c b ON b.i = a.i + tdi.di
          |                AND b.j = (((a.j + tdj.dj) % $cols) + $cols) % $cols
          |       WHERE a.i + tdi.di BETWEEN 0 AND ${rows - 1}),
-         |dens AS (SELECT cell, sum(nb_n) AS ring_n FROM nb GROUP BY 1),
+         |dens AS (SELECT cell, CAST(sum(nb_n) AS BIGINT) AS ring_n FROM nb GROUP BY 1),
          |st AS (SELECT count(*) AS cnt, CAST(sum(ring_n) AS DOUBLE) AS s,
          |         CAST(sum(ring_n * ring_n) AS DOUBLE) AS ss FROM dens)
          |SELECT cell, ring_n,
@@ -1899,12 +1903,13 @@ object ExtensionQueries {
          |       JOIN c b ON b.i = a.i + tdi.di
          |                AND b.j = (((a.j + tdj.dj) % $cols) + $cols) % $cols
          |       WHERE a.i + tdi.di BETWEEN 0 AND ${rows - 1})
-         |SELECT cell, n, sum(nb_n) AS ring_n FROM nb GROUP BY 1, 2 ORDER BY 1""".stripMargin
+         |SELECT cell, n, CAST(sum(nb_n) AS BIGINT) AS ring_n FROM nb GROUP BY 1, 2 ORDER BY 1""".stripMargin
     },
     "q106_json_extract" ->
       """WITH j AS (SELECT event_type,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k, sum(k) AS sum_k
+        |SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+        |  CAST(sum(k) AS BIGINT) AS sum_k
         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
     "q107_string_agg" ->
       """SELECT o_orderstatus, count(*) AS n,
@@ -1922,7 +1927,7 @@ object ExtensionQueries {
          |FROM k GROUP BY 1 ORDER BY 1""".stripMargin,
     "q104_transform_with_state" ->
       """SELECT user_id, count(*) AS n_events,
-        |  sum(CAST(round(value * 1000000) AS BIGINT)) AS sum_micros
+        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS sum_micros
         |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
     "q128_degree_hist" ->
       """WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -2118,7 +2123,7 @@ object ExtensionQueries {
           s"CAST(CAST(round(($qty) * 100) AS BIGINT) AS VARCHAR))"
         val h = TextFunctions.md5Bucket60Sql(repr)
         s"""SELECT $h % 64 AS bucket, count(*) AS n_rows, bit_xor($h) AS checksum,
-           |  CAST(sum($h) AS DECIMAL(38,0)) AS hash_sum FROM lineitem GROUP BY 1""".stripMargin
+           |  CAST(CAST(sum($h) AS DECIMAL(38,0)) AS VARCHAR) AS hash_sum FROM lineitem GROUP BY 1""".stripMargin
       }
       s"""WITH a AS (${side(false)}), b AS (${side(true)})
          |SELECT coalesce(a.bucket, b.bucket) AS bucket,
@@ -2131,9 +2136,11 @@ object ExtensionQueries {
          |ORDER BY bucket""".stripMargin
     },
     "q85_cube" ->
-      """SELECT lang, source, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      """SELECT lang, source, CAST(grouping(lang) AS TINYINT) AS g_lang,
+        |  CAST(grouping(source) AS TINYINT) AS g_source,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)
-        |ORDER BY lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+        |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
     "q77_inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM documents),
          |ex AS (SELECT doc_id, unnest(tk) AS term FROM toks),

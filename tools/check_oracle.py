@@ -3,12 +3,16 @@
 
 Usage: check_oracle.py <verify_out_dir> <sf_dir>
 
-Loads each <name>/ parquet written by `graft.Verify`, runs the matching SQL
-from oracle_sql.json in DuckDB over the same sfDir tables, and compares:
-row count, column names (sorted), and exact values after sorting columns by
-name and rows by all columns. Exits non-zero if anything mismatches.
+Loads each <name>/ parquet written by `graft.Verify` (via pandas, like the
+driver — NOT via DuckDB, whose parquet reader would mask dtype drift), runs
+the matching SQL from oracle_sql.json in DuckDB over the same sfDir tables,
+and compares: row count, column names (sorted), and STRING-RENDERED values
+after sorting columns by name and rows by all columns — the driver's gate
+hash-compares string forms, so `99111` (Spark BIGINT) vs `99111.0` (DuckDB
+HUGEINT→float64) must FAIL here exactly as it fails there. Exits non-zero
+if anything mismatches.
 """
-import sys, os, json, glob
+import sys, os, json, glob, datetime
 import duckdb
 import pandas as pd
 import numpy as np
@@ -28,13 +32,19 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def eq(a, b):
     if isinstance(a, tuple) and isinstance(b, tuple):
         return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
-    if isinstance(a, float) or isinstance(b, float):
+    try:
         if pd.isna(a) and pd.isna(b):
             return True
-        return a == b
-    if pd.isna(a) and pd.isna(b):
-        return True
-    return a == b
+    except (TypeError, ValueError):
+        pass
+    # string forms, like the driver's hash: int64 99111 != float64 99111.0.
+    # Date-likes are normalized first (driver r04 accepted Spark DATE vs
+    # DuckDB midnight TIMESTAMP for q95/q98, so don't be stricter there).
+    def norm(v):
+        if isinstance(v, (datetime.date, datetime.datetime, np.datetime64)):
+            return str(pd.Timestamp(v))
+        return str(v)
+    return norm(a) == norm(b)
 
 def main(outdir, sfdir):
     con = duckdb.connect()
@@ -50,8 +60,8 @@ def main(outdir, sfdir):
         if not files:
             print(f"FAIL {name}: no spark output"); n_fail += 1; continue
         try:
-            spark_df = canon(con.execute(
-                f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").fetchdf())
+            spark_df = canon(pd.concat(
+                [pd.read_parquet(f) for f in sorted(files)], ignore_index=True))
             duck_df = canon(con.execute(sql).fetchdf())
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_fail += 1; continue
