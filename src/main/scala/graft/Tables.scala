@@ -36,6 +36,42 @@ object Tables {
   def scratch(pattern: String, sfDir: String): String =
     pattern.replace(SfTagToken, sfTag(sfDir))
 
+  /** length:mtime signature of source parquet files — the staleness key
+    * shared by session-cached derived artifacts (StreamScaffold.stageTable's
+    * marker pattern): a refreshed testdata dir changes the signature and
+    * forces re-materialization instead of silently serving stale data. */
+  def sourceSig(spark: SparkSession, sfDir: String, tables: String*): String = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    tables.map { t =>
+      val p = new org.apache.hadoop.fs.Path(s"$sfDir/$t.parquet")
+      val st = p.getFileSystem(hconf).getFileStatus(p)
+      s"$t=${st.getLen}:${st.getModificationTime}"
+    }.mkString(";")
+  }
+
+  /** Write-once scratch materialization: runs `write` only when `path`
+    * lacks a `_staged` marker recording `sig`. Queries that need a real
+    * parquet table for their oracle replay (q122) stage it here once per
+    * (sf dir, source state) instead of rewriting it every invocation. */
+  def stageOnce(spark: SparkSession, path: String, sig: String)(write: => Unit): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(dst, "_staged")
+    val fresh = fs.exists(marker) && {
+      val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+      val in = fs.open(marker)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8) == sig
+    }
+    if (!fresh) {
+      write
+      val out = fs.create(marker, true)
+      try out.write(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
   /** Synthetic transaction points: one row per lineitem, joined to orders
     * for the user key. Columns: latitude, longitude, amount, user_id.
     * Every arithmetic step is IEEE-double and reproduced verbatim in

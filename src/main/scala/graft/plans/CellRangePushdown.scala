@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThanOrEqual, LessThan, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, Attribute, EqualTo, Expression, GreaterThanOrEqual, IsNaN, LessThan, Literal, Or}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{DoubleType, IntegerType, StringType}
@@ -31,7 +31,14 @@ import scala.util.Try
   *    `(x+offset)/step` rounds across the floor boundary (the expression's
   *    own arithmetic decides membership) is never excluded;
   *  - nulls: a null lat/lng nulls the equality AND the ranges — both
-  *    filter the row, unchanged.
+  *    filter the row, unchanged;
+  *  - NaN: `geo_cell(NaN, …)` lands in the i=0 / j=0 edge cells
+  *    (floor(NaN).toLong == 0 after clamping). Under Spark's NaN-greatest
+  *    ordering `x >= v` passes NaN — so the longitude side is already
+  *    covered by the wrap escape — but `lat < hi` would drop NaN rows the
+  *    retained equality keeps, so the i=0 cell's upper-lat bound carries an
+  *    `isnan` escape disjunct (that one bound stays a post-scan filter;
+  *    every other cell's bounds remain plain pushable ranges).
   *
   * Fires only when lat/lng are bare [[Attribute]]s (scan pruning is the
   * point) and the added conjunct is not already present (fixpoint-safe).
@@ -68,7 +75,13 @@ object CellRangePushdown extends Rule[LogicalPlan] {
           val latHi = if (i == rows - 1) None else Some((i + 1) * step - 90.0 + eps)
           val latPreds: Seq[Expression] =
             latLo.map(v => GreaterThanOrEqual(lat, Literal(v, DoubleType))).toSeq ++
-              latHi.map(v => LessThan(lat, Literal(v, DoubleType))).toSeq
+              latHi.map { v =>
+                val lt: Expression = LessThan(lat, Literal(v, DoubleType))
+                // NaN latitudes live in the i=0 cell and fail `lat < hi`
+                // under NaN-greatest ordering; everywhere else the equality
+                // rejects them too, so only this cell needs the escape
+                if (i == 0) Or(IsNaN(lat), lt) else lt
+              }.toSeq
           // in [-180, 180) the modulo is the identity; outside it the cell
           // can be reached by wrapping, so those rows pass through
           val lngInRange = And(

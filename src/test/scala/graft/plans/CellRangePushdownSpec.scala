@@ -34,6 +34,23 @@ class CellRangePushdownSpec extends SparkSpec {
     assert(lookupRows(rows, poleCell, res) == poleExpect)
   }
 
+  test("NaN coordinates survive the rewrite for the edge cell they map into") {
+    import spark.implicits._
+    val res = 10
+    // floor(NaN).toLong == 0 after clamping → NaN lands in the i=0/j=0 cell
+    val nanCell = GeoCell.cellId(Double.NaN, Double.NaN, res)
+    val rows = Seq((Double.NaN, Double.NaN), (Double.NaN, 0.7), (40.73, Double.NaN),
+      (-89.9999, -179.9999), (40.73, -73.99))
+    // count-based compare: NaN breaks Set equality on tuples
+    rows.toDF("latitude", "longitude").createOrReplaceTempView("crp_nan")
+    val n = spark.sql(s"SELECT count(*) AS n FROM crp_nan " +
+        s"WHERE geo_cell(latitude, longitude, $res) = '$nanCell'")
+      .collect().head.getLong(0)
+    val expect = rows.count { case (la, ln) => GeoCell.cellId(la, ln, res) == nanCell }
+    assert(expect >= 2, s"fixture should hit the edge cell: $expect") // NaN row + real corner row
+    assert(n == expect)
+  }
+
   test("the rule injects pushable lat ranges under the filter") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("crp").toString
