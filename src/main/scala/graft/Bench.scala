@@ -21,6 +21,10 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions) // AntiJoinRewrite + geo_cell live in driver runs
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // engine observability: per-query action/scan/row counts from the
+    // QueryExecutionListener, emitted under "metrics" in the full JSON line
+    val ml = new graft.tracking.MetricsListener
+    spark.listenerManager.register(ml)
     // warm the JVM/codegen paths so the first measured query isn't charged
     // for JIT + first-job scheduler setup
     spark.range(1000000L).selectExpr("sum(id)").collect()
@@ -85,6 +89,7 @@ object Bench {
       case None => SparkEntry.queries
     }
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val n0 = ml.snapshot().size
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -93,15 +98,26 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      (name, if (ok) sec else -1.0, ok)
+      // listener events post asynchronously — give this query's records a
+      // short window to land so they aren't attributed to the next query.
+      // The timing above is already captured; this costs bench wall only.
+      val deadline = System.currentTimeMillis() + 200
+      while (ml.snapshot().size == n0 && System.currentTimeMillis() < deadline)
+        Thread.sleep(5)
+      val recs = ml.snapshot().drop(n0)
+      (name, if (ok) sec else -1.0, ok,
+        (recs.size, recs.map(_.nFileScans).sum, recs.flatMap(_.outputRows).sum))
     }
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false) => "\"" + k + "\"" }
+    val metrics = results.map { case (k, _, _, (acts, scans, rows)) =>
+      s"\"$k\":{\"actions\":$acts,\"scans\":$scans,\"rows\":$rows}"
+    }.mkString("{", ",", "}")
+    val errors = results.collect { case (k, _, false, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true) => v }.sum
+    val total = results.collect { case (_, v, true, _) => v }.sum
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"errors":$errors,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)

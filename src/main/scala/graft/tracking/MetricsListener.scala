@@ -1,6 +1,8 @@
 package graft.tracking
 
-import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.execution.{QueryExecution, SparkPlan}
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
 import org.apache.spark.sql.util.QueryExecutionListener
 
 import java.util.concurrent.ConcurrentLinkedQueue
@@ -24,12 +26,41 @@ class MetricsListener extends QueryExecutionListener {
 
   private val records = new ConcurrentLinkedQueue[Record]()
 
+  // AQE hides scans behind LEAF wrapper nodes: AdaptiveSparkPlanExec wraps
+  // the whole adaptive plan and each materialized stage is a QueryStageExec
+  // leaf wrapping its stage plan — a plain collectLeaves() reports zero
+  // file scans for every plan with an exchange. Recurse through them.
+  private def unwrap(p: SparkPlan): SparkPlan = p match {
+    case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
+    case other => other
+  }
+
+  private def countFileScans(p: SparkPlan): Int = p match {
+    case a: AdaptiveSparkPlanExec => countFileScans(a.executedPlan)
+    case q: QueryStageExec => countFileScans(q.plan)
+    case r: ReusedExchangeExec => countFileScans(r.child)
+    case l if l.children.isEmpty =>
+      if (l.getClass.getSimpleName.startsWith("FileSourceScan")) 1 else 0
+    case other => other.children.map(countFileScans).sum
+  }
+
+  // the metric-bearing node sits under metric-less single-child wrappers
+  // (WholeStageCodegenExec has only pipelineTime; AQE/stage wrappers have
+  // none) — descend to the first node that actually carries numOutputRows
+  private def rootRows(p: SparkPlan): Option[Long] = {
+    val m = p.metrics.get("numOutputRows").map(_.value).filter(_ > 0)
+    if (m.isDefined) m
+    else p match {
+      case a: AdaptiveSparkPlanExec => rootRows(a.executedPlan)
+      case q: QueryStageExec => rootRows(q.plan)
+      case n if n.children.size == 1 => rootRows(n.children.head)
+      case _ => None
+    }
+  }
+
   override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    val plan = qe.executedPlan
-    val outRows = plan.metrics.get("numOutputRows").map(_.value).filter(_ > 0)
-    val scans = plan.collectLeaves().count(
-      _.getClass.getSimpleName.startsWith("FileSourceScan"))
-    records.add(Record(funcName, durationNs, outRows, scans))
+    val plan = unwrap(qe.executedPlan)
+    records.add(Record(funcName, durationNs, rootRows(plan), countFileScans(plan)))
   }
 
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
