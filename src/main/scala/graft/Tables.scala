@@ -119,6 +119,20 @@ object Tables {
   def cellSql(latExpr: String, lngExpr: String, res: Int): String =
     s"printf('%X%07X%07X', $res, ${latIdxSql(latExpr, res)}, ${lngIdxSql(lngExpr, res)})"
 
+  /** DuckDB expression for `Morton.interleave(i, j)` — same magic-mask
+    * spread, 64-bit integer throughout. Pass simple column references: each
+    * spread stage references its input twice, so the expansion is 32 copies
+    * of the input expression. */
+  def mortonSql(iExpr: String, jExpr: String): String = {
+    def spread(e: String): String = {
+      val masked = s"(($e) & 2147483647)"
+      Seq((16, 281470681808895L), (8, 71777214294589695L), (4, 1085102592571150095L),
+        (2, 3689348814741910323L), (1, 6148914691236517205L))
+        .foldLeft(masked) { case (acc, (sh, mask)) => s"(($acc | ($acc << $sh)) & $mask)" }
+    }
+    s"(${spread(iExpr)} | (${spread(jExpr)} << 1))"
+  }
+
   /** DuckDB expression for `GeoFunctions.haversineMeters`. */
   def haversineSql(lat1: String, lng1: String, lat2: String, lng2: String): String =
     s"2.0 * CAST(6371008.8 AS DOUBLE) * asin(least(1.0, sqrt(" +

@@ -26,6 +26,22 @@ object GeoFunctions {
     format_string("%X%07X%07X", lit(res), i.cast("long"), j)
   }
 
+  /** Clamped latitude row index at `res` — built-ins only, spelled
+    * operand-for-operand like `Tables.latIdxSql` (cast-to-long before the
+    * clamp) so index values hash-match the oracle. */
+  def latIndexCol(lat: Column, res: Int): Column = {
+    val step = GeoCell.stepDegrees(res)
+    val rows = 1L << (res + 8)
+    least(greatest(floor((lat + lit(90.0)) / lit(step)).cast("long"), lit(0L)), lit(rows - 1))
+  }
+
+  /** Wrapped longitude column index at `res` — `Tables.lngIdxSql` twin. */
+  def lngIndexCol(lng: Column, res: Int): Column = {
+    val step = GeoCell.stepDegrees(res)
+    val cols = 1L << (res + 9)
+    pmod(floor((lng + lit(180.0)) / lit(step)).cast("long"), lit(cols))
+  }
+
   /** Great-circle meters between two points — built-ins only, bit-identical
     * to `Haversine.meters` (same operation order). */
   def haversineMeters(lat1: Column, lng1: Column, lat2: Column, lng2: Column): Column = {

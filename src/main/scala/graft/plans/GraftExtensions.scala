@@ -15,7 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    (row-group pruning for cell lookups);
   *  - `geo_cell`: native codegen expression replacing the UDF registration
   *    for SQL callers;
-  *  - `vec_dot`: native codegen embedding dot product (cosine hot path). */
+  *  - `vec_dot`: native codegen embedding dot product (cosine hot path);
+  *  - `z_order`: native codegen Morton interleave (ZORDER write key). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
@@ -33,6 +34,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "vec_dot(a, b)")
         VecDotExpression(children(0), children(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("z_order"),
+      new ExpressionInfo(classOf[ZOrderExpression].getName, "z_order"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "z_order(i, j)")
+        ZOrderExpression(children(0), children(1))
       }))
   }
 }

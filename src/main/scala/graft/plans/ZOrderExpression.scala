@@ -1,0 +1,37 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Native codegen expression for `z_order(i, j)` — the Morton interleave
+  * ([[graft.geo.Morton]]) as a first-class scalar so a ZORDER write
+  * (`df.repartitionByRange(col).sortWithinPartitions(col)` on the z-value)
+  * keeps its key computation inside WholeStageCodegen over the full table.
+  * Mirrors the reference's reliance on Delta `OPTIMIZE ZORDER`
+  * (`01_geofraud_clustering.py:440`) with an engine-native key. */
+case class ZOrderExpression(left: Expression, right: Expression)
+  extends BinaryExpression {
+
+  override def prettyName: String = "z_order"
+  override def dataType: DataType = LongType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (left.dataType == LongType && right.dataType == LongType)
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"z_order expects (bigint, bigint), got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override protected def nullSafeEval(i: Any, j: Any): Any =
+    graft.geo.Morton.interleave(i.asInstanceOf[Long], j.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (i, j) =>
+      s"${ev.value} = graft.geo.Morton.interleave($i, $j);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -143,6 +143,120 @@ object ExtensionQueries {
   private val shinglesSql = shinglesSqlN(3)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Z-order clustering key (the mechanism behind Delta OPTIMIZE ZORDER,
+    // approximated in S10): grid cells → native codegen z_order(i, j)
+    // Morton interleave → coarse z-range buckets. A table range-partitioned
+    // and sorted by this key co-locates 2-D-near rows into the same row
+    // groups, so box lookups prune in both dimensions at 100 TB.
+    "q129_zorder_cluster" -> ((s, dir) => {
+      import s.implicits._
+      val res = 9
+      val cells = Tables.points(s, dir).select(
+          graft.functions.GeoFunctions.latIndexCol($"latitude", res).as("i"),
+          graft.functions.GeoFunctions.lngIndexCol($"longitude", res).as("j"))
+        .groupBy($"i", $"j").agg(count(lit(1)).as("n"))
+      cells.selectExpr("z_order(i, j) AS z", "n")
+        .groupBy(shiftright($"z", 14).as("bucket"))
+        .agg(count(lit(1)).as("n_cells"), sum($"n").as("n_points"),
+          min($"z").as("z_min"), max($"z").as("z_max"))
+        .orderBy($"bucket")
+    }),
+
+    // deterministic weighted sampling (A-Res-flavored): priority =
+    // uniform-hash / weight, smallest-k wins — heavier docs are
+    // proportionally likelier to make the sample, and the draw is exactly
+    // replayable (no RNG state): one top-k, no shuffle beyond it
+    "q130_weighted_sample" -> ((s, dir) => {
+      import s.implicits._
+      // u = (h+1)/2^60 ∈ (0,1]: the 2^60 divisor is a power of two (exact
+      // exponent shift) and the /weight division is IEEE-exact-rounded, so
+      // priority is bit-identical across engines — emitted RAW (round(,6)
+      // at this magnitude diverges: DuckDB's multiply-based round loses
+      // low bits that Spark's BigDecimal path keeps)
+      t(s, dir, "documents")
+        .withColumn("h0",
+          TextFunctions.md5Bucket60(concat(lit("ws|"), $"doc_id".cast("string"))))
+        .withColumn("priority",
+          ($"h0" + lit(1L)).cast("double") / lit(1152921504606846976.0) /
+            greatest($"n_chars", lit(1L)).cast("double"))
+        .select($"doc_id", $"n_chars", $"priority")
+        .orderBy($"priority".asc, $"doc_id")
+        .limit(20)
+    }),
+
+    // out-of-vocabulary rate per source against the corpus top-500
+    // vocabulary — the tokenizer-coverage diagnostic run before committing
+    // a vocab; the 500-token vocab broadcasts, so the scan side never
+    // shuffles for the join
+    "q131_oov_rate" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents").select($"source", $"doc_id",
+        explode(TextFunctions.tokens(lower($"text"))).as("token"))
+      val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"token".asc).limit(500)
+        .select($"token", lit(1).as("iv"))
+      val perDoc = toks.join(broadcast(vocab), Seq("token"), "left_outer")
+        .groupBy($"source", $"doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          sum(when($"iv".isNull, 1L).otherwise(0L)).as("n_oov"))
+      perDoc.groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(round($"n_oov".cast("double") / $"n_toks".cast("double"), 6)
+              .cast("decimal(18,6)")).cast("double") / count(lit(1)).cast("double"), 6)
+            .as("avg_oov_rate"))
+        .orderBy($"source")
+    }),
+
+    // per-document LM plausibility score: mean conditional bigram
+    // probability under the corpus bigram LM (q126's model applied back to
+    // each document) in micro-units — ALL-integer arithmetic (floor
+    // divisions), so an iterative float-flavored score gets a hash-exact
+    // oracle with no rounding-boundary hazard at all
+    "q132_lm_score" -> ((s, dir) => {
+      import s.implicits._
+      val bg = t(s, dir, "documents")
+        .select($"doc_id", explode(TextFunctions.bigrams($"text")).as("bg"))
+        .select($"doc_id", split($"bg", " ").getItem(0).as("w1"),
+          split($"bg", " ").getItem(1).as("w2"))
+      // collapse to per-doc bigram counts FIRST: the LM tables then derive
+      // from this compact frame (c1 from c12, not from a second pass over
+      // the explode) and the join fans out over distinct doc-bigrams, not
+      // every occurrence — one explode shuffle instead of three
+      val dbg = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
+      val c12 = dbg.groupBy($"w1", $"w2").agg(sum($"k").as("c12"))
+      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+      dbg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .selectExpr("doc_id", "k", "(1000000 * c12) DIV c1 AS p_micro")
+        .groupBy($"doc_id")
+        .agg(sum($"k").as("n_bigrams"), sum($"k" * $"p_micro").as("sum_p"))
+        .selectExpr("doc_id", "n_bigrams", "sum_p DIV n_bigrams AS lm_score_micro")
+        .orderBy($"doc_id")
+    }),
+
+    // PageRank (3 iterations, damping 0.85) over the shared co-purchase
+    // graph in EXACT micro-unit integer arithmetic — floor divisions and
+    // integer sums replay bit-for-bit in SQL, so an iterative float
+    // algorithm gets a hash-exact oracle; each iteration is one equi-join
+    // shuffle on the edge list (the scalable shape)
+    "q133_pagerank" -> ((s, dir) => {
+      import s.implicits._
+      val raw = copurchaseEdges(s, dir)
+      val adj = raw.select($"u".as("a"), $"v".as("b"))
+        .unionAll(raw.select($"v".as("a"), $"u".as("b")))
+      val deg = adj.groupBy($"a").agg(count(lit(1)).as("d"))
+      var pr = deg.select($"a", lit(1000000L).as("pr"))
+      for (_ <- 1 to 3) {
+        val contrib = adj.join(pr, "a").join(deg, "a")
+          .selectExpr("b", "pr DIV d AS c")
+        val sums = contrib.groupBy($"b").agg(sum($"c").as("s"))
+        pr = deg.select($"a")
+          .join(sums.withColumnRenamed("b", "a"), Seq("a"), "left_outer")
+          .selectExpr("a", "150000 + (85 * coalesce(s, CAST(0 AS BIGINT))) DIV 100 AS pr")
+      }
+      pr.orderBy($"pr".desc, $"a").limit(20)
+        .select($"a".as("node"), $"pr".as("pagerank_micro"))
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -1689,6 +1803,62 @@ object ExtensionQueries {
   val oracle: Map[String, String] = Map(
     "q40_knn_lsh" -> knnReplayOracle(q40CandPat, 5),
     "q43_knn_ivf" -> knnReplayOracle(q43CandPat, 5),
+    "q129_zorder_cluster" ->
+      s"""WITH ${Tables.pointsSql},
+         |cells AS (SELECT ${Tables.latIdxSql("latitude", 9)} AS i,
+         |            ${Tables.lngIdxSql("longitude", 9)} AS j, count(*) AS n
+         |          FROM points GROUP BY 1, 2),
+         |z AS (SELECT ${Tables.mortonSql("i", "j")} AS z, n FROM cells)
+         |SELECT z >> 14 AS bucket, count(*) AS n_cells,
+         |  CAST(sum(n) AS BIGINT) AS n_points, min(z) AS z_min, max(z) AS z_max
+         |FROM z GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q130_weighted_sample" ->
+      s"""WITH k AS (SELECT doc_id, n_chars,
+         |  CAST(${TextFunctions.md5Bucket60Sql("concat('ws|', CAST(doc_id AS VARCHAR))")} + 1 AS DOUBLE)
+         |    / 1152921504606846976.0
+         |    / CAST(greatest(n_chars, 1) AS DOUBLE) AS priority FROM documents)
+         |SELECT doc_id, n_chars, priority
+         |FROM k ORDER BY priority, doc_id LIMIT 20""".stripMargin,
+    "q131_oov_rate" ->
+      s"""WITH tk AS (SELECT source, doc_id, unnest($toksSql) AS token FROM documents),
+         |vc AS (SELECT token, count(*) AS cnt FROM tk GROUP BY 1
+         |       ORDER BY cnt DESC, token LIMIT 500),
+         |pd AS (SELECT t.source, t.doc_id, count(*) AS n_toks,
+         |         CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+         |       FROM tk t LEFT JOIN vc v USING (token) GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_docs,
+         |  round(CAST(sum(CAST(round(CAST(n_oov AS DOUBLE) / CAST(n_toks AS DOUBLE), 6)
+         |    AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS avg_oov_rate
+         |FROM pd GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q132_lm_score" ->
+      s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+         |          i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bg FROM c),
+         |w AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM bg0),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM w GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM w GROUP BY 1),
+         |j AS (SELECT w.doc_id, (1000000 * c12.c12) // c1.c1 AS p_micro
+         |      FROM w JOIN c12 USING (w1, w2) JOIN c1 USING (w1))
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(p_micro) AS BIGINT) // count(*) AS lm_score_micro
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q133_pagerank" -> {
+      val iters = (1 to 3).map { k =>
+        val prev = if (k == 1) "pr0" else s"pr${k - 1}"
+        s"""s$k AS (SELECT adj.b AS a, CAST(sum($prev.pr // deg.d) AS BIGINT) AS s
+           |       FROM adj JOIN $prev ON adj.a = $prev.a JOIN deg ON adj.a = deg.a GROUP BY 1),
+           |pr$k AS (SELECT deg.a, CAST(150000 + (85 * coalesce(s$k.s, 0)) // 100 AS BIGINT) AS pr
+           |        FROM deg LEFT JOIN s$k ON deg.a = s$k.a)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |raw AS (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
+         |        GROUP BY 1, 2 HAVING count(*) >= 2),
+         |adj AS (SELECT u AS a, v AS b FROM raw UNION ALL SELECT v, u FROM raw),
+         |deg AS (SELECT a, count(*) AS d FROM adj GROUP BY 1),
+         |pr0 AS (SELECT a, CAST(1000000 AS BIGINT) AS pr FROM deg),
+         |$iters
+         |SELECT a AS node, pr AS pagerank_micro FROM pr3 ORDER BY pr DESC, a LIMIT 20""".stripMargin
+    },
     "q30_text_tokens" ->
       s"""SELECT doc_id,
          |  len($toksSql) AS n_tokens,
