@@ -61,10 +61,11 @@ object Bench {
         Tables.table(spark, sfDir, "embeddings").limit(64), nlist = 2, nprobe = 1).count()
     }
     warm("q122-points-stage") {
-      // harness plumbing, not query work: q122's oracle replays over a real
-      // parquet table, staged write-once — pre-stage it so the timed run
-      // measures the pushdown lookup, not the one-off staging write
+      // harness plumbing, not query work: q122/q134's oracles replay over
+      // real parquet tables, staged write-once — pre-stage them so the
+      // timed runs measure the pushdown lookups, not one-off staging writes
       graft.queries.ExtensionQueries.stagePointsLookup(spark, sfDir)
+      graft.queries.ExtensionQueries.stageZOrderedPoints(spark, sfDir)
     }
     warm("streaming-engine") {
       // micro-batch planner, state store, parquet file source/sink — the

@@ -23,6 +23,7 @@ object ExtensionQueries {
   private val q43CandPat = scratchPat("q43_cands")
   private val q111OrcPat = scratchPat("q111_orc")
   private val q122PtsPat = scratchPat("q122_pts")
+  private val q134ZPat = scratchPat("q134_zpts")
 
   /** The q122 lookup cell: a fixed in-bbox point's cell at res 10 —
     * deterministic, shared by the query and its oracle literal. */
@@ -126,6 +127,27 @@ object ExtensionQueries {
     val p = scratch(q122PtsPat, dir)
     Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "lineitem", "orders")) {
       Tables.points(s, dir).write.mode("overwrite").parquet(p)
+    }
+    p
+  }
+
+  /** The ZORDER write pattern S10 approximates, end-to-end: points range-
+    * partitioned + sorted by the native `z_order` Morton key at res 12, so
+    * every file covers one contiguous z run and a 2-D box predicate prunes
+    * whole files/row groups via min/max stats in BOTH dimensions (the Delta
+    * `OPTIMIZE ZORDER` effect, `01_geofraud_clustering.py:440`, without
+    * Delta). Staged write-once like q122. */
+  private[graft] def stageZOrderedPoints(s: SparkSession, dir: String): String = {
+    val p = scratch(q134ZPat, dir)
+    Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "lineitem", "orders")) {
+      import s.implicits._
+      Tables.points(s, dir)
+        .withColumn("i", graft.functions.GeoFunctions.latIndexCol($"latitude", 12))
+        .withColumn("j", graft.functions.GeoFunctions.lngIndexCol($"longitude", 12))
+        .selectExpr("latitude", "longitude", "amount", "user_id", "z_order(i, j) AS z")
+        .repartitionByRange(8, $"z")
+        .sortWithinPartitions($"z")
+        .write.mode("overwrite").parquet(p)
     }
     p
   }
@@ -255,6 +277,20 @@ object ExtensionQueries {
       }
       pr.orderBy($"pr".desc, $"a").limit(20)
         .select($"a".as("node"), $"pr".as("pagerank_micro"))
+    }),
+
+    // bbox scan over the z-ordered staged table (write pattern in
+    // stageZOrderedPoints): both lat and lng predicates reach PushedFilters
+    // and the z-clustered layout makes the min/max stats selective in both
+    // dimensions — the read half of the ZORDER story
+    "q134_zorder_scan" -> ((s, dir) => {
+      import s.implicits._
+      val p = stageZOrderedPoints(s, dir)
+      s.read.parquet(p)
+        .where($"latitude" >= 40.72 && $"latitude" < 40.73 &&
+          $"longitude" >= -74.0 && $"longitude" < -73.99)
+        .agg(count(lit(1)).as("n"),
+          sum($"amount".cast("decimal(18,2)")).cast("double").as("total"))
     }),
 
     // token counting (whitespace + BPE-ish estimate)
@@ -1970,6 +2006,12 @@ object ExtensionQueries {
          |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
          |FROM read_parquet('$q122PtsPat/*.parquet')
          |WHERE ${Tables.cellSql("latitude", "longitude", 10)} = '${Q122Cell}'""".stripMargin,
+    "q134_zorder_scan" ->
+      s"""SELECT count(*) AS n,
+         |  CAST(sum(CAST(amount AS DECIMAL(18,2))) AS DOUBLE) AS total
+         |FROM read_parquet('$q134ZPat/*.parquet')
+         |WHERE latitude >= 40.72 AND latitude < 40.73
+         |  AND longitude >= -74.0 AND longitude < -73.99""".stripMargin,
     "q119_set_ops_all" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
         |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),

@@ -45,6 +45,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(!readSchema.contains("o_orderdate") && !readSchema.contains("o_comment"), readSchema)
   }
 
+  test("q134 z-ordered scan pushes BOTH box dimensions to the parquet scan") {
+    // read the scan node's metadata — the plan's toString elides long
+    // PushedFilters lists, so string-matching the rendered plan is flaky
+    val df = graft.SparkEntry.queries("q134_zorder_scan")(spark, sf)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThanOrEqual(latitude,40.72)"), pushed)
+    assert(pushed.contains("LessThan(latitude,40.73)"), pushed)
+    assert(pushed.contains("GreaterThanOrEqual(longitude,-74.0)"), pushed)
+    assert(pushed.contains("LessThan(longitude,-73.99)"), pushed)
+  }
+
   test("q13 dimension joins are broadcast hash joins") {
     val p = plan("q13_broadcast_join")
     assert("BroadcastHashJoin".r.findAllIn(p).size >= 2, p)
