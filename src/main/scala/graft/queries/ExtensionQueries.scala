@@ -99,6 +99,20 @@ object ExtensionQueries {
         .select($"u", $"v")
     }
 
+  /** Per-doc bigram counts — (doc_id, w1, w2, k) — shared by q126 (the
+    * corpus bigram LM derives from it by summing out doc_id) and q132 (the
+    * per-doc LM scoring): the documents explode + split + first groupBy is
+    * the dominant cost of both. */
+  private def docBigramCounts(s: SparkSession, dir: String): DataFrame =
+    cachedFrame("doc_bigram_counts", s, dir, Seq("documents")) {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", explode(TextFunctions.bigrams($"text")).as("bg"))
+        .select($"doc_id", split($"bg", " ").getItem(0).as("w1"),
+          split($"bg", " ").getItem(1).as("w2"))
+        .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
+    }
+
   /** Degree-ordered orientation of [[copurchaseEdges]] — (a, b, db) with
     * every edge pointing from its lower-(degree, id) endpoint — shared by
     * q101 (triangles) and q127 (clustering coefficient): both wedge-join
@@ -236,15 +250,11 @@ object ExtensionQueries {
     // oracle with no rounding-boundary hazard at all
     "q132_lm_score" -> ((s, dir) => {
       import s.implicits._
-      val bg = t(s, dir, "documents")
-        .select($"doc_id", explode(TextFunctions.bigrams($"text")).as("bg"))
-        .select($"doc_id", split($"bg", " ").getItem(0).as("w1"),
-          split($"bg", " ").getItem(1).as("w2"))
-      // collapse to per-doc bigram counts FIRST: the LM tables then derive
+      // per-doc bigram counts (shared with q126): the LM tables derive
       // from this compact frame (c1 from c12, not from a second pass over
       // the explode) and the join fans out over distinct doc-bigrams, not
       // every occurrence — one explode shuffle instead of three
-      val dbg = bg.groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
+      val dbg = docBigramCounts(s, dir)
       val c12 = dbg.groupBy($"w1", $"w2").agg(sum($"k").as("c12"))
       val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
       dbg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -424,12 +434,11 @@ object ExtensionQueries {
     "q126_bigram_lm" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val bg = t(s, dir, "documents")
-        .select(explode(TextFunctions.bigrams($"text")).as("bg"))
-        .select(split($"bg", " ").getItem(0).as("w1"),
-          split($"bg", " ").getItem(1).as("w2"))
-      val c12 = bg.groupBy($"w1", $"w2").agg(count(lit(1)).as("c12"))
-      val c1 = bg.groupBy($"w1").agg(count(lit(1)).as("c1"))
+      // corpus LM off the shared per-doc counts: sum out doc_id for c12,
+      // sum out w2 for c1 — no second pass over the documents explode
+      val c12 = docBigramCounts(s, dir)
+        .groupBy($"w1", $"w2").agg(sum($"k").as("c12"))
+      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
       val ranked = c12.join(c1, "w1")
         .withColumn("p", round($"c12".cast("double") / $"c1".cast("double"), 6))
         .withColumn("rn", row_number().over(
