@@ -24,6 +24,7 @@ object ExtensionQueries {
   private val q111OrcPat = scratchPat("q111_orc")
   private val q122PtsPat = scratchPat("q122_pts")
   private val q134ZPat = scratchPat("q134_zpts")
+  private val q135AsgPat = scratchPat("q135_asg")
 
   /** The q122 lookup cell: a fixed in-bbox point's cell at res 10 —
     * deterministic, shared by the query and its oracle literal. */
@@ -301,6 +302,25 @@ object ExtensionQueries {
           $"longitude" >= -74.0 && $"longitude" < -73.99)
         .agg(count(lit(1)).as("n"),
           sum($"amount".cast("decimal(18,2)")).cast("double").as("total"))
+    }),
+
+    // SemDeDup-style semantic dedup: k-means partitions the embedding
+    // space (persisted leg — the oracle replays over the exact
+    // assignments), exact cosine pairs within each cluster (guarded
+    // all-pairs; the LSH twin covers corpora past the cap), connected
+    // components pick one canonical vector per near-dup group. Scale
+    // shape: centroids broadcast, pairs come from cluster-local joins —
+    // never a global all-pairs.
+    "q135_semantic_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      Similarity.kmeansAssign(e, nlist = 8)
+        .write.mode("overwrite").parquet(scratch(q135AsgPat, dir))
+      val clustered = e.join(s.read.parquet(scratch(q135AsgPat, dir)), "vec_id")
+      val pairs = Similarity.exactCosinePairs(clustered, "cluster", minCosX1e4 = 3000L)
+      Dedup.dedupGroupsFromPairs(e, pairs, idCol = "vec_id")
+        .withColumnsRenamed(Map("n_docs" -> "n_vecs"))
+        .orderBy($"group_id")
     }),
 
     // token counting (whitespace + BPE-ish estimate)
@@ -2021,6 +2041,23 @@ object ExtensionQueries {
          |FROM read_parquet('$q134ZPat/*.parquet')
          |WHERE latitude >= 40.72 AND latitude < 40.73
          |  AND longitude >= -74.0 AND longitude < -73.99""".stripMargin,
+    "q135_semantic_dedup" ->
+      s"""WITH RECURSIVE asg AS (SELECT * FROM read_parquet('$q135AsgPat/*.parquet')),
+         |ce AS (SELECT emb.vec_id, asg.cluster, CAST(emb.embedding AS DOUBLE[]) AS v
+         |       FROM embeddings emb JOIN asg ON emb.vec_id = asg.vec_id),
+         |cand AS (SELECT x.vec_id AS id_a, y.vec_id AS id_b
+         |         FROM ce x JOIN ce y ON x.cluster = y.cluster AND x.vec_id < y.vec_id
+         |         WHERE CAST(round(list_cosine_similarity(x.v, y.v) * 10000) AS BIGINT) >= 3000),
+         |edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
+         |reach(id, r) AS (
+         |  SELECT DISTINCT a, a FROM edges
+         |  UNION
+         |  SELECT e2.a, r.r FROM edges e2 JOIN reach r ON e2.b = r.id),
+         |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+         |SELECT coalesce(c.component, emb.vec_id) AS group_id, count(*) AS n_vecs,
+         |  min(emb.vec_id) AS keep_id
+         |FROM embeddings emb LEFT JOIN comp c ON emb.vec_id = c.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q119_set_ops_all" ->
       """WITH a AS (SELECT o_custkey FROM orders WHERE o_totalprice > 150000.0),
         |b AS (SELECT o_custkey FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')),

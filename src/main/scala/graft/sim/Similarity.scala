@@ -233,6 +233,32 @@ object Similarity {
     * would drift with the physical plan) and replayable in any engine.
     * Scale: posexplode fans rows ×dims, but partial (map-side) aggregation
     * bounds the shuffle at |labels|×dims rows. */
+  /** K-means cluster assignment of every vector — the SemDeDup partition
+    * step: fit `nlist` centroids (seeded, ML KMeans), assign each embedding
+    * to its nearest. Returns (idCol, cluster). The fit samples nothing here
+    * (corpus-sized train); at real scale fit on a sample and only the
+    * assignment pass touches every row (one broadcast of nlist centroids). */
+  def kmeansAssign(df: DataFrame, nlist: Int = 16, seed: Long = 42L,
+                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.linalg.Vectors
+    val spark = df.sparkSession
+    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
+    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
+      .fit(df.select(toVec(col(vecCol)).as("features")))
+    val bc = spark.sparkContext.broadcast(km.clusterCenters.map(_.toArray))
+    def dist2(v: Seq[Float], c: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(v.length, c.length)
+      while (i < n) { val d = v(i) - c(i); s += d * d; i += 1 }
+      s
+    }
+    val assignUdf = udf { (v: Seq[Float]) =>
+      bc.value.indices.minBy(i => dist2(v, bc.value(i)))
+    }
+    df.select(col(idCol), assignUdf(col(vecCol)).as("cluster"))
+  }
+
   def centroids(df: DataFrame, labelCol: String = "label",
                 vecCol: String = "embedding"): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))
