@@ -99,12 +99,19 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
-      // listener events post asynchronously — give this query's records a
-      // short window to land so they aren't attributed to the next query.
+      // listener events post asynchronously — wait for QUIESCENCE (size
+      // stable across a poll gap), not merely for the first record: multi-
+      // action queries (staged writes, cache builds, then the count) would
+      // otherwise leak their later records into the next query's metrics.
       // The timing above is already captured; this costs bench wall only.
-      val deadline = System.currentTimeMillis() + 200
-      while (ml.snapshot().size == n0 && System.currentTimeMillis() < deadline)
-        Thread.sleep(5)
+      val deadline = System.currentTimeMillis() + 400
+      var last = -1
+      var cur = ml.snapshot().size
+      while ((cur != last || cur == n0) && System.currentTimeMillis() < deadline) {
+        last = cur
+        Thread.sleep(30)
+        cur = ml.snapshot().size
+      }
       val recs = ml.snapshot().drop(n0)
       (name, if (ok) sec else -1.0, ok,
         (recs.size, recs.map(_.nFileScans).sum, recs.flatMap(_.outputRows).sum))

@@ -44,22 +44,26 @@ object ExtensionQueries {
   private val frameCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
   private def cachedFrame(name: String, s: SparkSession, dir: String,
-                          sources: Seq[String])(build: => DataFrame): DataFrame = {
-    val key = name + "|" + System.identityHashCode(s).toHexString + "|" + dir
-    val sig = Tables.sourceSig(s, dir, sources: _*)
-    frameCache.get(key) match {
-      case Some((oldSig, df))
-          if oldSig == sig && !df.sparkSession.sparkContext.isStopped => df
-      case evicted =>
-        evicted.foreach { case (_, df) =>
-          if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
-        }
-        val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        df.count()
-        frameCache.put(key, (sig, df))
-        df
+                          sources: Seq[String])(build: => DataFrame): DataFrame =
+    // coarse lock: suites run concurrently against the shared session, and
+    // an unsynchronized get-then-put would double-build and orphan one
+    // persisted frame (builds are rare; serializing them is the cheap side)
+    frameCache.synchronized {
+      val key = name + "|" + System.identityHashCode(s).toHexString + "|" + dir
+      val sig = Tables.sourceSig(s, dir, sources: _*)
+      frameCache.get(key) match {
+        case Some((oldSig, df))
+            if oldSig == sig && !df.sparkSession.sparkContext.isStopped => df
+        case evicted =>
+          evicted.foreach { case (_, df) =>
+            if (!df.sparkSession.sparkContext.isStopped) df.unpersist(false)
+          }
+          val df = build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          df.count()
+          frameCache.put(key, (sig, df))
+          df
+      }
     }
-  }
 
   private def minhashCands(s: SparkSession, dir: String): DataFrame =
     cachedFrame("minhash_cands", s, dir, Seq("documents")) {

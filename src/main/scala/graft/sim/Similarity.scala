@@ -217,22 +217,6 @@ object Similarity {
     * Map-side only — a pure projection, no shuffle at any scale. Both
     * engines round half-away-from-zero, so codes replay exactly;
     * `scale_key` is the µ-scaled integer spelling of max|v|. */
-  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
-                   vecCol: String = "embedding"): DataFrame = {
-    val mx = greatest(array_max(transform(col(vecCol), v => abs(v.cast("double")))), lit(1e-12))
-    df.select(col(idCol),
-      round(mx * 1e6).cast("long").as("scale_key"),
-      transform(col(vecCol), v => round(v.cast("double") / mx * 127).cast("int")).as("codes"))
-  }
-
-  /** Per-label embedding centroid, one row per (label, dim):
-    * `centroid_key` = the mean×10^6 as an integer (cross-engine-comparable).
-    *
-    * The per-dimension sum runs in DECIMAL — exact and associative, so the
-    * result is independent of partition/merge order (a double sum's value
-    * would drift with the physical plan) and replayable in any engine.
-    * Scale: posexplode fans rows ×dims, but partial (map-side) aggregation
-    * bounds the shuffle at |labels|×dims rows. */
   /** K-means cluster assignment of every vector — the SemDeDup partition
     * step: fit `nlist` centroids (seeded, ML KMeans), assign each embedding
     * to its nearest. Returns (idCol, cluster). The fit samples nothing here
@@ -259,6 +243,22 @@ object Similarity {
     df.select(col(idCol), assignUdf(col(vecCol)).as("cluster"))
   }
 
+  def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
+                   vecCol: String = "embedding"): DataFrame = {
+    val mx = greatest(array_max(transform(col(vecCol), v => abs(v.cast("double")))), lit(1e-12))
+    df.select(col(idCol),
+      round(mx * 1e6).cast("long").as("scale_key"),
+      transform(col(vecCol), v => round(v.cast("double") / mx * 127).cast("int")).as("codes"))
+  }
+
+  /** Per-label embedding centroid, one row per (label, dim):
+    * `centroid_key` = the mean×10^6 as an integer (cross-engine-comparable).
+    *
+    * The per-dimension sum runs in DECIMAL — exact and associative, so the
+    * result is independent of partition/merge order (a double sum's value
+    * would drift with the physical plan) and replayable in any engine.
+    * Scale: posexplode fans rows ×dims, but partial (map-side) aggregation
+    * bounds the shuffle at |labels|×dims rows. */
   def centroids(df: DataFrame, labelCol: String = "label",
                 vecCol: String = "embedding"): DataFrame =
     df.select(col(labelCol).as("label"), posexplode(col(vecCol)).as(Seq("dim", "v")))

@@ -30,11 +30,6 @@ class MetricsListener extends QueryExecutionListener {
   // the whole adaptive plan and each materialized stage is a QueryStageExec
   // leaf wrapping its stage plan — a plain collectLeaves() reports zero
   // file scans for every plan with an exchange. Recurse through them.
-  private def unwrap(p: SparkPlan): SparkPlan = p match {
-    case a: AdaptiveSparkPlanExec => unwrap(a.executedPlan)
-    case other => other
-  }
-
   private def countFileScans(p: SparkPlan): Int = p match {
     case a: AdaptiveSparkPlanExec => countFileScans(a.executedPlan)
     case q: QueryStageExec => countFileScans(q.plan)
@@ -46,22 +41,20 @@ class MetricsListener extends QueryExecutionListener {
 
   // the metric-bearing node sits under metric-less single-child wrappers
   // (WholeStageCodegenExec has only pipelineTime; AQE/stage wrappers have
-  // none) — descend to the first node that actually carries numOutputRows
-  private def rootRows(p: SparkPlan): Option[Long] = {
-    val m = p.metrics.get("numOutputRows").map(_.value).filter(_ > 0)
-    if (m.isDefined) m
-    else p match {
+  // none) — descend to the first node that actually CARRIES numOutputRows
+  // and report its value even when 0: a legitimately empty result must not
+  // fall through to an upstream operator's nonzero count
+  private def rootRows(p: SparkPlan): Option[Long] =
+    p.metrics.get("numOutputRows").map(_.value).orElse(p match {
       case a: AdaptiveSparkPlanExec => rootRows(a.executedPlan)
       case q: QueryStageExec => rootRows(q.plan)
       case n if n.children.size == 1 => rootRows(n.children.head)
       case _ => None
-    }
-  }
+    })
 
-  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit = {
-    val plan = unwrap(qe.executedPlan)
-    records.add(Record(funcName, durationNs, rootRows(plan), countFileScans(plan)))
-  }
+  override def onSuccess(funcName: String, qe: QueryExecution, durationNs: Long): Unit =
+    records.add(Record(funcName, durationNs,
+      rootRows(qe.executedPlan), countFileScans(qe.executedPlan)))
 
   override def onFailure(funcName: String, qe: QueryExecution, exception: Exception): Unit =
     records.add(Record(s"$funcName!failed", -1L, None, 0))

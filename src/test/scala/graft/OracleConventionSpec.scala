@@ -18,11 +18,13 @@ import org.scalatest.funsuite.AnyFunSuite
   * saying why the sum's argument is not an integer. */
 class OracleConventionSpec extends AnyFunSuite {
 
-  /** Query names whose uncast sums are over DOUBLE columns (DuckDB
-    * sum(DOUBLE) stays DOUBLE — both engines render float, no drift). */
-  private val doubleSumAllowlist: Map[String, String] = Map(
-    "q09_join_inner_agg" -> "sum(l_quantity) — l_quantity is DOUBLE",
-    "q71_salted_join" -> "sum(l_quantity) — l_quantity is DOUBLE"
+  /** (query, exact sum argument) pairs allowed uncast because the argument
+    * is a DOUBLE column (DuckDB sum(DOUBLE) stays DOUBLE — both engines
+    * render float, no drift). Keyed per-argument so a future INTEGER sum
+    * added to an allowlisted query is still caught. */
+  private val doubleSumAllowlist: Set[(String, String)] = Set(
+    ("q09_join_inner_agg", "l_quantity"),
+    ("q71_salted_join", "l_quantity")
   )
 
   private val sumRe = "(?i)(?<![a-z0-9_])sum\\s*\\(".r
@@ -54,7 +56,8 @@ class OracleConventionSpec extends AnyFunSuite {
         val close = matchingClose(sql, open)
         val isWindow = close >= 0 &&
           sql.substring(close + 1).stripLeading().toLowerCase.startsWith("over")
-        if (castWrapped || isWindow || doubleSumAllowlist.contains(name)) None
+        val arg = if (close > open) sql.substring(open + 1, close).trim else ""
+        if (castWrapped || isWindow || doubleSumAllowlist((name, arg))) None
         else Some(s"$name at offset ${m.start}: ...${sql.substring(m.start, math.min(sql.length, close + 1))}...")
       }
     }
