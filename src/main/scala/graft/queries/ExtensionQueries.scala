@@ -327,6 +327,34 @@ object ExtensionQueries {
         .orderBy($"group_id")
     }),
 
+    // incremental-ingestion dedup: a NEW batch (20% of docs by id modulus)
+    // probed against the EXISTING corpus' minhash band buckets — band join
+    // only between batch and corpus sides (never corpus×corpus, the whole
+    // point at 100 TB: the stored corpus bands are an index, the probe
+    // shuffle is batch-sized), candidates confirmed by exact shingle
+    // Jaccard
+    "q136_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val corpus = docs.where($"doc_id" % 5 =!= 0)
+      val batch = docs.where($"doc_id" % 5 === 0)
+      val cb = Dedup.lshBands(Dedup.minhashSignatures(corpus))
+        .toDF("band_idx", "band_val", "corpus_id")
+      val bb = Dedup.lshBands(Dedup.minhashSignatures(batch))
+        .toDF("band_idx", "band_val", "batch_id")
+      val cands = bb.join(cb, Seq("band_idx", "band_val"))
+        .select($"batch_id", $"corpus_id").distinct()
+      val sa = docs.select($"doc_id".as("batch_id"), Dedup.shingles($"text").as("sh_a"))
+      val sb = docs.select($"doc_id".as("corpus_id"), Dedup.shingles($"text").as("sh_b"))
+      cands.join(sa, "batch_id").join(sb, "corpus_id")
+        .withColumn("jac", Dedup.jaccard($"sh_a", $"sh_b"))
+        .groupBy($"batch_id")
+        .agg(count(lit(1)).as("n_candidates"),
+          sum(when($"jac" >= 0.5, 1L).otherwise(0L)).as("n_dups"),
+          min(when($"jac" >= 0.5, $"corpus_id")).as("first_dup_id"))
+        .orderBy($"batch_id")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2045,6 +2073,30 @@ object ExtensionQueries {
          |FROM read_parquet('$q134ZPat/*.parquet')
          |WHERE latitude >= 40.72 AND latitude < 40.73
          |  AND longitude >= -74.0 AND longitude < -73.99""".stripMargin,
+    "q136_incremental_dedup" -> {
+      val hs = (0 until 8).map(k =>
+        s"list_min(list_transform(sh, x -> md5('$k|' || md5(x)))) AS h$k").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_idx, md5(h${2 * b} || h${2 * b + 1}) AS band_val FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |shg AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |sigs AS (SELECT doc_id, $hs FROM shg),
+         |bands AS ($bands),
+         |cands AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM bands b JOIN bands c
+         |    ON b.band_idx = c.band_idx AND b.band_val = c.band_val
+         |  WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0),
+         |j AS (SELECT cands.batch_id, cands.corpus_id,
+         |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          (len(a.sh) + len(b.sh) - CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)), 6) AS jac
+         |      FROM cands JOIN shg a ON a.doc_id = cands.batch_id
+         |                 JOIN shg b ON b.doc_id = cands.corpus_id)
+         |SELECT batch_id, count(*) AS n_candidates,
+         |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
+         |  min(CASE WHEN jac >= 0.5 THEN corpus_id END) AS first_dup_id
+         |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
     "q135_semantic_dedup" ->
       s"""WITH RECURSIVE asg AS (SELECT * FROM read_parquet('$q135AsgPat/*.parquet')),
          |ce AS (SELECT emb.vec_id, asg.cluster, CAST(emb.embedding AS DOUBLE[]) AS v
