@@ -355,6 +355,18 @@ object ExtensionQueries {
         .orderBy($"batch_id")
     }),
 
+    // Count-Min sketch maintained AS STREAMING STATE: the cells (row_i,
+    // bucket, cnt) are a bounded d×w streaming aggregation — the sketch
+    // shape that lets a 100 TB stream keep frequency state in constant
+    // space; complete-mode snapshot equals the batch-built sketch exactly
+    "q137_stream_countmin" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runCompleteStream(s, "q137", dir, srcDir) { src =>
+        graft.sketch.CountMin.build(src.select($"user_id"), "user_id", w = 64, d = 4)
+      }.orderBy($"row_i", $"bucket")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2073,6 +2085,16 @@ object ExtensionQueries {
          |FROM read_parquet('$q134ZPat/*.parquet')
          |WHERE latitude >= 40.72 AND latitude < 40.73
          |  AND longitude >= -74.0 AND longitude < -73.99""".stripMargin,
+    "q137_stream_countmin" -> {
+      import graft.sketch.CountMin.bucketSql
+      val cells = (0 until 4).map(i =>
+        s"SELECT $i AS row_i, ${bucketSql("user_id", i, 64)} AS bucket FROM e")
+        .mkString(" UNION ALL ")
+      s"""WITH e AS (SELECT user_id FROM events WHERE user_id IS NOT NULL),
+         |cells AS ($cells)
+         |SELECT row_i, bucket, count(*) AS cnt FROM cells
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    },
     "q136_incremental_dedup" -> {
       val hs = (0 until 8).map(k =>
         s"list_min(list_transform(sh, x -> md5('$k|' || md5(x)))) AS h$k").mkString(", ")
