@@ -367,6 +367,29 @@ object ExtensionQueries {
       }.orderBy($"row_i", $"bucket")
     }),
 
+    // context-window chunking: overlapping 64-token windows at stride 48
+    // (the pre-packing step before Sharding's token-budget packing), each
+    // chunk carrying an md5 fingerprint of its exact token span — chunk
+    // identity survives recomputation anywhere; pure per-row explode, no
+    // shuffle at all until the output sort
+    "q138_chunking" -> ((s, dir) => {
+      import s.implicits._
+      val W = 64
+      val S = 48
+      t(s, dir, "documents")
+        .select($"doc_id", TextFunctions.tokens(lower($"text")).as("tk"))
+        .withColumn("n", size($"tk"))
+        .where($"n" > 0)
+        .select($"doc_id", $"tk", $"n",
+          explode(sequence(lit(0L), expr(s"(n - 1) DIV $S"))).as("chunk_idx"))
+        .select($"doc_id", $"chunk_idx",
+          ($"chunk_idx" * S).as("start_tok"),
+          least(lit(W), $"n" - $"chunk_idx" * S).cast("long").as("n_chunk_toks"),
+          md5(concat_ws(" ", slice($"tk", ($"chunk_idx" * S + 1).cast("int"), lit(W)))
+            .cast("binary")).as("chunk_md5"))
+        .orderBy($"doc_id", $"chunk_idx")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2085,6 +2108,15 @@ object ExtensionQueries {
          |FROM read_parquet('$q134ZPat/*.parquet')
          |WHERE latitude >= 40.72 AND latitude < 40.73
          |  AND longitude >= -74.0 AND longitude < -73.99""".stripMargin,
+    "q138_chunking" ->
+      s"""WITH tk0 AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |c AS (SELECT doc_id, tk, len(tk) AS n FROM tk0 WHERE len(tk) > 0),
+         |idx AS (SELECT doc_id, tk, n,
+         |          unnest(generate_series(0, (n - 1) // 48)) AS chunk_idx FROM c)
+         |SELECT doc_id, chunk_idx, chunk_idx * 48 AS start_tok,
+         |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
+         |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
+         |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
     "q137_stream_countmin" -> {
       import graft.sketch.CountMin.bucketSql
       val cells = (0 until 4).map(i =>
