@@ -111,10 +111,15 @@ object ExtensionQueries {
   private def docBigramCounts(s: SparkSession, dir: String): DataFrame =
     cachedFrame("doc_bigram_counts", s, dir, Seq("documents")) {
       import s.implicits._
+      // direct (w1, w2) struct pairs — same values as TextFunctions.bigrams
+      // (tokens can't contain the split character) without the per-bigram
+      // concat + re-split string round-trip
       t(s, dir, "documents")
-        .select($"doc_id", explode(TextFunctions.bigrams($"text")).as("bg"))
-        .select($"doc_id", split($"bg", " ").getItem(0).as("w1"),
-          split($"bg", " ").getItem(1).as("w2"))
+        .select($"doc_id", TextFunctions.tokens(lower($"text")).as("tk"))
+        .where(size($"tk") >= 2)
+        .select($"doc_id", explode(expr(
+          "transform(sequence(1, size(tk) - 1), i -> struct(tk[i - 1] AS w1, tk[i] AS w2))")).as("bg"))
+        .select($"doc_id", $"bg.w1".as("w1"), $"bg.w2".as("w2"))
         .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
     }
 
@@ -1347,8 +1352,10 @@ object ExtensionQueries {
     "q59_repetition" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val per = docs.select($"doc_id", explode(TextFunctions.bigrams($"text")).as("bg"))
-        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      // per-doc bigram multiplicities = the shared docBigramCounts frame
+      // (a (w1, w2) group is exactly a bigram group)
+      val per = docBigramCounts(s, dir)
+        .select($"doc_id", $"k".as("c"))
       val agg = per.groupBy($"doc_id")
         .agg(max($"c").as("top_cnt"), sum($"c").as("n_bigrams"))
       docs.select($"doc_id").join(agg, Seq("doc_id"), "left_outer")
