@@ -95,6 +95,87 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** md5-derived 64-bit cell mask for [[pngPattern]] — which of the 8×8
+    * grid cells render bright. Salted so the mask is independent of any
+    * other md5 use of the seed. */
+  def patternBits(seed: Long): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(("ph|" + seed).getBytes("UTF-8"))
+    d.take(8).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL))
+  }
+
+  /** Deterministic real-PNG pattern fixture: the image is an 8×8 grid of
+    * dark(32)/bright(224) gray cells, bright iff the cell's bit is set in
+    * [[patternBits]](seed). Width/height must be multiples of 8 so every
+    * pixel lies strictly inside one grid cell — then [[aHash]] recovers
+    * exactly the bright mask at ANY encoded size, which is the
+    * scale-invariance the perceptual-dedup query relies on. */
+  def pngPattern(width: Int, height: Int, seed: Long): Array[Byte] = {
+    require(width % 8 == 0 && height % 8 == 0 && width > 0 && height > 0,
+      s"pngPattern: dimensions must be positive multiples of 8, got ${width}x$height")
+    val bits = patternBits(seed)
+    val img = new java.awt.image.BufferedImage(
+      width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = img.createGraphics()
+    try {
+      val cw = width / 8
+      val ch = height / 8
+      for (cy <- 0 until 8; cx <- 0 until 8) {
+        val v = if ((bits >>> (cy * 8 + cx) & 1L) == 1L) 224 else 32
+        g.setColor(new java.awt.Color(v, v, v))
+        g.fillRect(cx * cw, cy * ch, cw, ch)
+      }
+    } finally g.dispose()
+    val bos = new ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** 64-bit average-hash over REAL decoded pixels (the perceptual-dedup
+    * primitive): full `ImageIO` decode → 8×8 area-average grayscale → bit i
+    * set iff cell i's mean exceeds the global mean. All-integer arithmetic
+    * (the mean comparison cross-multiplies instead of dividing), so the
+    * hash is bit-stable across partitions/JVMs — scaled or re-encoded
+    * copies of the same image collide, which is the point. `None` for
+    * undecodable payloads; callers choose the degrade policy. */
+  def aHash(bytes: Array[Byte]): Option[Long] = {
+    val img =
+      try javax.imageio.ImageIO.read(new ByteArrayInputStream(bytes))
+      catch { case _: Exception => null }
+    if (img == null) None
+    else {
+      val w = img.getWidth
+      val h = img.getHeight
+      val sums = new Array[Long](64)
+      val cnts = new Array[Long](64)
+      var y = 0
+      while (y < h) {
+        val cy = y * 8 / h
+        var x = 0
+        while (x < w) {
+          val rgb = img.getRGB(x, y)
+          val gray = ((rgb >> 16 & 0xff) + (rgb >> 8 & 0xff) + (rgb & 0xff)) / 3
+          val i = cy * 8 + x * 8 / w
+          sums(i) += gray
+          cnts(i) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val total = sums.sum
+      val n = w.toLong * h
+      var hash = 0L
+      var i = 0
+      // cell_mean > global_mean  ⇔  sums(i)·n > total·cnts(i): exact in
+      // Long for any image up to ~100 megapixels (255·(wh)²/64 < 2^63)
+      while (i < 64) {
+        if (cnts(i) > 0 && sums(i) * n > total * cnts(i)) hash |= 1L << i
+        i += 1
+      }
+      Some(hash)
+    }
+  }
+
   /** Decode a packed frame: partition-local (mapPartitions — the Scala
     * analogue of mapInPandas batch decoding: one iterator per partition,
     * codecs initialized once per partition, not per row). Dispatches

@@ -25,6 +25,7 @@ object ExtensionQueries {
   private val q122PtsPat = scratchPat("q122_pts")
   private val q134ZPat = scratchPat("q134_zpts")
   private val q135AsgPat = scratchPat("q135_asg")
+  private val q140HashPat = scratchPat("q140_ahash")
 
   /** The q122 lookup cell: a fixed in-bbox point's cell at res 10 —
     * deterministic, shared by the query and its oracle literal. */
@@ -393,6 +394,113 @@ object ExtensionQueries {
           md5(concat_ws(" ", slice($"tk", ($"chunk_idx" * S + 1).cast("int"), lit(W)))
             .cast("binary")).as("chunk_md5"))
         .orderBy($"doc_id", $"chunk_idx")
+    }),
+
+    // boilerplate-span detection (the CCNet-style pre-training cleanup):
+    // 3-shingles appearing in ≥ 5 distinct docs are boilerplate; per-source
+    // contamination = boilerplate shingle share in micro-units (all-integer
+    // DIV — no rounding boundary). Scale shape: the common-shingle set is
+    // the df-filtered tail of one hash agg (small by construction relative
+    // to the corpus), the probe side re-joins on the shingle hash — AQE
+    // picks broadcast when the set fits, and nothing is ever all-pairs.
+    "q139_boilerplate" -> ((s, dir) => {
+      import s.implicits._
+      val sh = t(s, dir, "documents")
+        .select($"source", $"doc_id", explode(Dedup.shingles($"text")).as("sh"))
+      // shingles are per-doc distinct, so count(*) per shingle = doc freq
+      val common = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+        .where($"df" >= 5).select($"sh", lit(1).as("bp"))
+      sh.join(common, Seq("sh"), "left_outer")
+        .groupBy($"source", $"doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(when($"bp".isNotNull, 1L).otherwise(0L)).as("n_bp"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"n_sh").as("n_shingles"), sum($"n_bp").as("n_boiler"))
+        .selectExpr("source", "n_docs", "n_shingles", "n_boiler",
+          "(1000000 * n_boiler) DIV n_shingles AS boiler_ratio_micro")
+        .orderBy($"source")
+    }),
+
+    // perceptual-hash image dedup over REAL decoded pixels: deterministic
+    // pattern PNGs (12 distinct 8×8 masks at varying sizes) → full ImageIO
+    // decode → 64-bit average-hash → exact groupBy on the hash. The aHash
+    // leg is codec work (not SQL-expressible), so it persists to scratch
+    // parquet and the oracle replays the grouping — the q40/q135 pattern;
+    // scale-invariance and mask-recovery laws live in MultimodalSpec.
+    // Scale shape: decode is partition-local, the dedup is ONE hash agg.
+    "q140_image_ahash" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents").select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val png = Multimodal.pngPattern(
+              (8 * (1 + id % 6)).toInt, (8 * (1 + id % 4)).toInt, id % 12)
+            (id, Multimodal.aHash(png).getOrElse(-1L))
+          }
+        }.toDF("media_id", "ahash")
+        .write.mode("overwrite").parquet(scratch(q140HashPat, dir))
+      s.read.parquet(scratch(q140HashPat, dir))
+        .groupBy($"ahash")
+        .agg(count(lit(1)).as("n_images"), min($"media_id").as("canonical_id"))
+        .orderBy($"ahash")
+    }),
+
+    // BPE-style merge discovery: the top-20 adjacent character pairs by
+    // corpus frequency — the first iteration of byte-pair-encoding vocab
+    // induction. One explode + one hash agg + a bounded top-k; pair counts
+    // partial-aggregate map-side, so the shuffle carries |alphabet|²-ish
+    // rows, not the corpus.
+    "q141_bpe_merges" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(lower($"text"))).as("tok"))
+        .where(length($"tok") >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1), i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy($"pair").agg(count(lit(1)).as("n"))
+        .orderBy($"n".desc, $"pair")
+        .limit(20)
+    }),
+
+    // int8-quantization retrieval quality: recall@10 of the quantized
+    // index against full-precision brute-force ground truth, per query —
+    // the eval run before committing a compressed ANN index. Both
+    // rankings are integer-keyed (cos ×10⁴, corpus-id tiebreak), so the
+    // overlap count is hash-exact; queries broadcast against the corpus.
+    "q142_quant_recall" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(e.where($"vec_id" < 5), e, k = 10)
+        .select($"query_id", $"corpus_id")
+      val codes = Similarity.quantizeInt8(e)
+        .select($"vec_id", transform($"codes", c => c.cast("double")).as("embedding"))
+      val quant = Similarity.bruteForceTopK(
+          codes.where($"vec_id" < 5), codes, k = 10)
+        .select($"query_id", $"corpus_id")
+      val overlap = exact.join(quant, Seq("query_id", "corpus_id"))
+        .groupBy($"query_id").agg(count(lit(1)).as("recall10"))
+      e.where($"vec_id" < 5).select($"vec_id".as("query_id"))
+        .join(overlap, Seq("query_id"), "left_outer")
+        .select($"query_id", coalesce($"recall10", lit(0L)).as("recall10"))
+        .orderBy($"query_id")
+    }),
+
+    // per-group deterministic sample: bottom-5 by salted md5 priority
+    // within each source — the replayable uniform per-stratum draw (q54's
+    // stratified RATE sample keeps a fraction; this keeps a fixed COUNT
+    // per group). One window over the group partitioning, no global sort.
+    "q143_group_sample" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy($"source").orderBy($"pri", $"doc_id")
+      t(s, dir, "documents")
+        .withColumn("pri",
+          TextFunctions.md5Bucket60(concat(lit("gs|"), $"doc_id".cast("string"))))
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 5)
+        .select($"source", $"rk".cast("long").as("rk"), $"doc_id", $"n_chars")
+        .orderBy($"source", $"rk")
     }),
 
     // token counting (whitespace + BPE-ish estimate)
@@ -2124,6 +2232,68 @@ object ExtensionQueries {
          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q143_group_sample" ->
+      s"""WITH p AS (SELECT source, doc_id, n_chars,
+         |  ${TextFunctions.md5Bucket60Sql("'gs|' || CAST(doc_id AS VARCHAR)")} AS pri
+         |  FROM documents),
+         |r AS (SELECT source, doc_id, n_chars,
+         |        row_number() OVER (PARTITION BY source ORDER BY pri, doc_id) AS rk
+         |      FROM p)
+         |SELECT source, CAST(rk AS BIGINT) AS rk, doc_id, n_chars
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+    "q142_quant_recall" ->
+      """WITH x AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |q AS (SELECT vec_id AS query_id, e AS qv FROM x WHERE vec_id < 5),
+        |ex AS (SELECT q.query_id, c.vec_id AS corpus_id,
+        |         row_number() OVER (PARTITION BY q.query_id ORDER BY
+        |           CAST(round(list_cosine_similarity(q.qv, c.e) * 10000) AS BIGINT) DESC,
+        |           c.vec_id) AS rank
+        |       FROM q CROSS JOIN x c WHERE c.vec_id != q.query_id),
+        |m AS (SELECT vec_id, e, greatest(list_max(list_transform(e, v -> abs(v))), 1e-12) AS mx FROM x),
+        |cod AS (SELECT vec_id,
+        |          list_transform(e, v -> CAST(CAST(round(v / mx * 127) AS INTEGER) AS DOUBLE)) AS cv
+        |        FROM m),
+        |qz AS (SELECT vec_id AS query_id, cv AS qv FROM cod WHERE vec_id < 5),
+        |qx AS (SELECT qz.query_id, c.vec_id AS corpus_id,
+        |         row_number() OVER (PARTITION BY qz.query_id ORDER BY
+        |           CAST(round(list_cosine_similarity(qz.qv, c.cv) * 10000) AS BIGINT) DESC,
+        |           c.vec_id) AS rank
+        |       FROM qz CROSS JOIN cod c WHERE c.vec_id != qz.query_id),
+        |ov AS (SELECT e.query_id, count(*) AS n
+        |       FROM (SELECT query_id, corpus_id FROM ex WHERE rank <= 10) e
+        |       JOIN (SELECT query_id, corpus_id FROM qx WHERE rank <= 10) z
+        |         USING (query_id, corpus_id)
+        |       GROUP BY 1)
+        |SELECT q.query_id, coalesce(ov.n, 0) AS recall10
+        |FROM (SELECT DISTINCT query_id FROM q) q LEFT JOIN ov USING (query_id)
+        |ORDER BY query_id""".stripMargin,
+    "q141_bpe_merges" ->
+      s"""WITH tk AS (SELECT $toksSql AS tk FROM documents),
+         |tok AS (SELECT unnest(tk) AS tok FROM tk),
+         |pairs AS (SELECT unnest(list_transform(generate_series(1, length(tok) - 1),
+         |            i -> substr(tok, i, 2))) AS pair
+         |          FROM tok WHERE length(tok) >= 2)
+         |SELECT pair, count(*) AS n FROM pairs
+         |GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin,
+    "q140_image_ahash" ->
+      s"""SELECT ahash, count(*) AS n_images, min(media_id) AS canonical_id
+         |FROM read_parquet('$q140HashPat/*.parquet')
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q139_boilerplate" ->
+      s"""WITH tk AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |sh AS (SELECT source, doc_id, unnest($shinglesSql) AS sh FROM tk),
+         |common AS (SELECT sh FROM (SELECT sh, count(*) AS df FROM sh GROUP BY 1)
+         |           WHERE df >= 5),
+         |per AS (SELECT source, doc_id, count(*) AS n_sh,
+         |          CAST(sum(CASE WHEN sh IN (SELECT sh FROM common) THEN 1 ELSE 0 END) AS BIGINT) AS n_bp
+         |        FROM sh GROUP BY 1, 2),
+         |agg AS (SELECT source, count(*) AS n_docs,
+         |          CAST(sum(n_sh) AS BIGINT) AS n_shingles,
+         |          CAST(sum(n_bp) AS BIGINT) AS n_boiler
+         |        FROM per GROUP BY 1)
+         |SELECT source, n_docs, n_shingles, n_boiler,
+         |  (1000000 * n_boiler) // n_shingles AS boiler_ratio_micro
+         |FROM agg ORDER BY source""".stripMargin,
     "q137_stream_countmin" -> {
       import graft.sketch.CountMin.bucketSql
       val cells = (0 until 4).map(i =>

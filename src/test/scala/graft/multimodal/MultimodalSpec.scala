@@ -71,6 +71,30 @@ class MultimodalSpec extends SparkSpec {
     assert(Multimodal.resizeStub(null, 10) == null)
   }
 
+  test("aHash recovers the pattern mask and is invariant to image scale") {
+    // the 8×8 grid pattern's aHash must equal the bright-cell mask at any
+    // multiple-of-8 size — unless the mask is near-degenerate (≤1 bright
+    // or ≤1 dark cell, where mean-thresholding can't separate), which the
+    // md5-derived masks for these seeds are not
+    for (seed <- 0L until 12L) {
+      val bits = Multimodal.patternBits(seed)
+      val pop = java.lang.Long.bitCount(bits)
+      assert(pop > 1 && pop < 63, s"seed $seed mask degenerate")
+      val small = Multimodal.aHash(Multimodal.pngPattern(16, 16, seed))
+      val big = Multimodal.aHash(Multimodal.pngPattern(48, 24, seed))
+      assert(small.contains(bits), s"seed $seed: hash != mask at 16x16")
+      assert(small == big, s"seed $seed: hash not scale-invariant")
+    }
+    // 12 seeds → 12 distinct hashes (md5 masks don't collide here)
+    val hashes = (0L until 12L).map(s => Multimodal.aHash(Multimodal.pngPattern(8, 8, s)))
+    assert(hashes.distinct.size == 12)
+  }
+
+  test("aHash degrades to None on undecodable bytes") {
+    assert(Multimodal.aHash("not an image".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.aHash(Array.emptyByteArray).isEmpty)
+  }
+
   test("frame sampling explodes one row per sampled frame") {
     val frames = Multimodal.sampleFrames(Multimodal.decode(Multimodal.pack(media)), stride = 1)
     assert(frames.schema.fieldNames.toSeq == Seq("media_id", "frame_idx", "frame_bytes"))
