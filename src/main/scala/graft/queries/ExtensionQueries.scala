@@ -503,6 +503,97 @@ object ExtensionQueries {
         .orderBy($"source", $"rk")
     }),
 
+    // per-user inactivity gaps (the engagement / data-freshness audit):
+    // distinct active days per user, then the longest day gap via one lag
+    // window — no calendar explode, so the shuffle carries active days
+    // only, not the full span
+    "q144_gap_detect" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val days = t(s, dir, "events")
+        .select($"user_id", expr("ts DIV 1000 DIV 86400000000").as("d")).distinct()
+      val w = Window.partitionBy($"user_id").orderBy($"d")
+      days.withColumn("gap", $"d" - lag($"d", 1).over(w) - 1)
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n_active_days"),
+          (max($"d") - min($"d") + 1).as("span_days"),
+          coalesce(max($"gap"), lit(0L)).as("max_gap_days"))
+        .orderBy($"user_id")
+    }),
+
+    // MinHash estimator calibration: for every q35/q57 LSH candidate pair,
+    // the 8-hash matching-fraction estimate vs the exact shingle Jaccard,
+    // both in micro-units (all-integer — hash-exact across engines). The
+    // eval that tells you whether the signature width is adequate before
+    // trusting the dedup at corpus scale; candidates come from the shared
+    // session-cached band join, never all pairs.
+    "q145_minhash_est" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sigs = Dedup.minhashSignatures(docs)
+      val sa = sigs.toDF("id_a" +: (0 until 8).map(k => s"a$k"): _*)
+      val sb = sigs.toDF("id_b" +: (0 until 8).map(k => s"b$k"): _*)
+      val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      minhashCands(s, dir)
+        .join(sa, "id_a").join(sb, "id_b")
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+        .withColumn("matches",
+          (0 until 8).map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
+            .reduce(_ + _))
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        .withColumn("uni", (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
+        .selectExpr("id_a", "id_b",
+          "(1000000 * matches) DIV 8 AS est_micro",
+          "(1000000 * inter) DIV uni AS jac_micro")
+        .withColumn("abs_err_micro", abs($"est_micro" - $"jac_micro"))
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // incremental view maintenance: the per-user aggregate is kept as
+    // base ⊕ delta (events split at the temporal midpoint, partials merged
+    // by a full-outer coalesce-add) — and must equal the full recompute,
+    // which IS the oracle. The cut day is a broadcast scalar (J6 pattern);
+    // at 100 TB only the delta is re-aggregated, the base partial is a
+    // stored table.
+    "q146_view_maintain" -> ((s, dir) => {
+      import s.implicits._
+      val ev = t(s, dir, "events").select($"user_id",
+        expr("ts DIV 1000 DIV 86400000000").as("d"),
+        expr("CAST(round(value * 1000000) AS BIGINT)").as("micros"))
+      val cut = ev.agg((min($"d") + max($"d")).as("mm"))
+        .selectExpr("mm DIV 2 AS cut")
+      val withCut = ev.crossJoin(broadcast(cut))
+      def part(p: DataFrame) = p.groupBy($"user_id")
+        .agg(count(lit(1)).as("n"), sum($"micros").as("sm"))
+      val base = part(withCut.where($"d" < $"cut"))
+      val delta = part(withCut.where($"d" >= $"cut"))
+      base.as("b").join(delta.as("dl"), Seq("user_id"), "full_outer")
+        .select($"user_id",
+          (coalesce($"b.n", lit(0L)) + coalesce($"dl.n", lit(0L))).as("n_events"),
+          (coalesce($"b.sm", lit(0L)) + coalesce($"dl.sm", lit(0L))).as("sum_micros"))
+        .orderBy($"user_id")
+    }),
+
+    // per-document keyword extraction: top-3 terms by (tf desc, rarity
+    // asc, term) — integer-exact ranking (no float idf, so no rounding
+    // boundary); the document-frequency side is a tiny agg the optimizer
+    // broadcasts
+    "q147_keywords" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val tf = t(s, dir, "documents")
+        .select($"doc_id", explode(TextFunctions.tokens(lower($"text"))).as("term"))
+        .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
+      tf.join(dfreq, "term")
+        .withColumn("rk", row_number().over(w))
+        .where($"rk" <= 3)
+        .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"tf", $"df")
+        .orderBy($"doc_id", $"rk")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2232,6 +2323,56 @@ object ExtensionQueries {
          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q147_keywords" ->
+      s"""WITH tf AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
+         |tfx AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
+         |dfx AS (SELECT term, count(*) AS df FROM tfx GROUP BY 1),
+         |r AS (SELECT doc_id, term, tf, df,
+         |        row_number() OVER (PARTITION BY doc_id ORDER BY tf DESC, df ASC, term) AS rk
+         |      FROM tfx JOIN dfx USING (term))
+         |SELECT doc_id, CAST(rk AS BIGINT) AS rk, term, tf, df
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+    "q146_view_maintain" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) // 86400000000 AS d,
+        |  CAST(round(value * 1000000) AS BIGINT) AS micros FROM events),
+        |cut AS (SELECT (min(d) + max(d)) // 2 AS cut FROM e),
+        |base AS (SELECT user_id, count(*) AS n, CAST(sum(micros) AS BIGINT) AS sm
+        |         FROM e, cut WHERE d < cut GROUP BY 1),
+        |delta AS (SELECT user_id, count(*) AS n, CAST(sum(micros) AS BIGINT) AS sm
+        |          FROM e, cut WHERE d >= cut GROUP BY 1)
+        |SELECT coalesce(b.user_id, dl.user_id) AS user_id,
+        |  coalesce(b.n, 0) + coalesce(dl.n, 0) AS n_events,
+        |  coalesce(b.sm, 0) + coalesce(dl.sm, 0) AS sum_micros
+        |FROM base b FULL OUTER JOIN delta dl ON b.user_id = dl.user_id
+        |ORDER BY user_id""".stripMargin,
+    "q145_minhash_est" -> {
+      val matchSum = (0 until 8)
+        .map(k => s"CASE WHEN x.h$k = y.h$k THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH $minhashCandCtes,
+         |j AS (SELECT c.id_a, c.id_b,
+         |        ($matchSum) AS matches,
+         |        len(list_intersect(sa.sh, sb.sh)) AS inter,
+         |        len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)) AS uni
+         |      FROM cand c
+         |      JOIN sigs x ON x.doc_id = c.id_a
+         |      JOIN sigs y ON y.doc_id = c.id_b
+         |      JOIN shg sa ON sa.doc_id = c.id_a
+         |      JOIN shg sb ON sb.doc_id = c.id_b)
+         |SELECT id_a, id_b,
+         |  (1000000 * matches) // 8 AS est_micro,
+         |  (1000000 * inter) // uni AS jac_micro,
+         |  abs((1000000 * matches) // 8 - (1000000 * inter) // uni) AS abs_err_micro
+         |FROM j ORDER BY id_a, id_b""".stripMargin
+    },
+    "q144_gap_detect" ->
+      """WITH e AS (SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS d FROM events),
+        |g AS (SELECT user_id, d,
+        |        d - lag(d) OVER (PARTITION BY user_id ORDER BY d) - 1 AS gap
+        |      FROM e)
+        |SELECT user_id, count(*) AS n_active_days,
+        |  max(d) - min(d) + 1 AS span_days,
+        |  coalesce(max(gap), 0) AS max_gap_days
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q143_group_sample" ->
       s"""WITH p AS (SELECT source, doc_id, n_chars,
          |  ${TextFunctions.md5Bucket60Sql("'gs|' || CAST(doc_id AS VARCHAR)")} AS pri
