@@ -26,6 +26,8 @@ object ExtensionQueries {
   private val q134ZPat = scratchPat("q134_zpts")
   private val q135AsgPat = scratchPat("q135_asg")
   private val q140HashPat = scratchPat("q140_ahash")
+  private val q148V1Pat = scratchPat("q148_v1")
+  private val q148V2Pat = scratchPat("q148_v2")
 
   /** The q122 lookup cell: a fixed in-bbox point's cell at res 10 —
     * deterministic, shared by the query and its oracle literal. */
@@ -592,6 +594,49 @@ object ExtensionQueries {
         .where($"rk" <= 3)
         .select($"doc_id", $"rk".cast("long").as("rk"), $"term", $"tf", $"df")
         .orderBy($"doc_id", $"rk")
+    }),
+
+    // schema evolution at ingest: a v1 batch (doc_id, n_chars) and a v2
+    // batch with an added `quality` column land in separate parquet drops;
+    // a mergeSchema read unions them (v1 rows surface quality as NULL) —
+    // the long-lived-dataset shape where batch schemas drift across months.
+    // Per-batch null accounting proves which rows came through which
+    // schema.
+    "q148_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      docs.where($"doc_id" % 2 === 0).select($"doc_id", $"n_chars")
+        .write.mode("overwrite").parquet(scratch(q148V1Pat, dir))
+      docs.where($"doc_id" % 2 === 1)
+        .select($"doc_id", $"n_chars", ($"n_chars" * 7 % 100).as("quality"))
+        .write.mode("overwrite").parquet(scratch(q148V2Pat, dir))
+      s.read.option("mergeSchema", "true")
+        .parquet(scratch(q148V1Pat, dir), scratch(q148V2Pat, dir))
+        .groupBy(($"doc_id" % 2).as("batch"))
+        .agg(count(lit(1)).as("n_rows"),
+          count($"quality").as("n_with_quality"),
+          sum($"n_chars").as("sum_chars"),
+          coalesce(sum($"quality"), lit(0L)).as("sum_quality"))
+        .orderBy($"batch")
+    }),
+
+    // dataset distribution drift (the pre-release data-quality monitor):
+    // md5-hash the corpus into two halves, compare per-language composition
+    // in micro-units, report each language's share delta — all-integer
+    // (share = 1e6·n DIV total), so the drift metric replays hash-exact
+    "q149_drift" -> ((s, dir) => {
+      import s.implicits._
+      val side = t(s, dir, "documents").withColumn("side",
+        TextFunctions.md5Bucket16(concat(lit("ab|"), $"doc_id".cast("string"))) % 2)
+      val tot = side.groupBy($"side").agg(count(lit(1)).as("tot"))
+      side.groupBy($"lang", $"side").agg(count(lit(1)).as("n"))
+        .join(tot, "side")
+        .selectExpr("lang", "side", "(1000000 * n) DIV tot AS share_micro")
+        .groupBy($"lang")
+        .agg(sum(when($"side" === 0, $"share_micro").otherwise(0L)).as("share_a"),
+          sum(when($"side" === 1, $"share_micro").otherwise(0L)).as("share_b"))
+        .withColumn("drift_micro", abs($"share_a" - $"share_b"))
+        .orderBy($"lang")
     }),
 
     // token counting (whitespace + BPE-ish estimate)
@@ -2323,6 +2368,27 @@ object ExtensionQueries {
          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q149_drift" ->
+      s"""WITH s AS (SELECT lang,
+         |  ${TextFunctions.md5Bucket16Sql("CAST(doc_id AS VARCHAR)", "ab|")} % 2 AS side
+         |  FROM documents),
+         |tot AS (SELECT side, count(*) AS tot FROM s GROUP BY 1),
+         |shr AS (SELECT lang, s.side, (1000000 * count(*)) // min(tot) AS share_micro
+         |        FROM s JOIN tot ON tot.side = s.side GROUP BY 1, 2),
+         |p AS (SELECT lang,
+         |        CAST(sum(CASE WHEN side = 0 THEN share_micro ELSE 0 END) AS BIGINT) AS share_a,
+         |        CAST(sum(CASE WHEN side = 1 THEN share_micro ELSE 0 END) AS BIGINT) AS share_b
+         |      FROM shr GROUP BY 1)
+         |SELECT lang, share_a, share_b, abs(share_a - share_b) AS drift_micro
+         |FROM p ORDER BY lang""".stripMargin,
+    "q148_schema_evolution" ->
+      s"""SELECT doc_id % 2 AS batch, count(*) AS n_rows,
+         |  count(quality) AS n_with_quality,
+         |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+         |  CAST(coalesce(sum(quality), 0) AS BIGINT) AS sum_quality
+         |FROM read_parquet(['$q148V1Pat/*.parquet', '$q148V2Pat/*.parquet'],
+         |                  union_by_name=true)
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q147_keywords" ->
       s"""WITH tf AS (SELECT doc_id, unnest($toksSql) AS term FROM documents),
          |tfx AS (SELECT doc_id, term, count(*) AS tf FROM tf GROUP BY 1, 2),
