@@ -491,7 +491,11 @@ object ExtensionQueries {
     // per-group deterministic sample: bottom-5 by salted md5 priority
     // within each source — the replayable uniform per-stratum draw (q54's
     // stratified RATE sample keeps a fraction; this keeps a fixed COUNT
-    // per group). One window over the group partitioning, no global sort.
+    // per group). One window over the group partitioning, no global sort;
+    // scale-safe because Spark 4's partial WindowGroupLimit prunes
+    // rank<=k map-side (each task ships ≤5 rows per source — the same
+    // pruning PlanAuditSpec pins on q45), so a billion-row source never
+    // funnels through one window task.
     "q143_group_sample" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
@@ -2385,7 +2389,7 @@ object ExtensionQueries {
       s"""SELECT doc_id % 2 AS batch, count(*) AS n_rows,
          |  count(quality) AS n_with_quality,
          |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
-         |  CAST(coalesce(sum(quality), 0) AS BIGINT) AS sum_quality
+         |  coalesce(CAST(sum(quality) AS BIGINT), 0) AS sum_quality
          |FROM read_parquet(['$q148V1Pat/*.parquet', '$q148V2Pat/*.parquet'],
          |                  union_by_name=true)
          |GROUP BY 1 ORDER BY 1""".stripMargin,
