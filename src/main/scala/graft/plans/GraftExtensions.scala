@@ -16,7 +16,9 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - `geo_cell`: native codegen expression replacing the UDF registration
   *    for SQL callers;
   *  - `vec_dot`: native codegen embedding dot product (cosine hot path);
-  *  - `z_order`: native codegen Morton interleave (ZORDER write key). */
+  *  - `z_order`: native codegen Morton interleave (ZORDER write key);
+  *  - `nfc_normalize`: native codegen Unicode NFC composition (the text
+  *    normalization pass before tokenize/dedup). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
@@ -41,6 +43,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
         require(children.length == 2, "z_order(i, j)")
         ZOrderExpression(children(0), children(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc_normalize"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 1, "nfc_normalize(text)")
+        NfcNormalizeExpression(children(0))
       }))
   }
 }

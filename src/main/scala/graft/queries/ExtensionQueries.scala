@@ -643,6 +643,24 @@ object ExtensionQueries {
         .orderBy($"lang")
     }),
 
+    // Unicode NFC normalization (the canonicalization pass before
+    // tokenize/dedup — "e"+combining-acute must hash like "é"):
+    // deterministic decomposed suffixes are appended, then normalized
+    // through the native codegen `nfc_normalize` via the SQL surface; the
+    // md5 of the normalized text pins content equality cross-engine, the
+    // length drop pins that composition actually happened
+    "q150_unicode_normalize" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .select($"doc_id", concat($"text", lit(" cafe\u0301"),
+          when($"doc_id" % 3 === 0, lit(" a\u030A")).otherwise(lit(""))).as("raw"))
+        .createOrReplaceTempView("graft_nfc_t")
+      s.sql("""SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+              |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+              |  md5(CAST(nfc_normalize(raw) AS BINARY)) AS nfc_md5
+              |FROM graft_nfc_t ORDER BY doc_id""".stripMargin)
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2372,6 +2390,15 @@ object ExtensionQueries {
          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q150_unicode_normalize" ->
+      """WITH r AS (SELECT doc_id,
+        |  text || ' cafe' || chr(769) ||
+        |    (CASE WHEN doc_id % 3 = 0 THEN ' a' || chr(778) ELSE '' END) AS raw
+        |  FROM documents)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS len_raw,
+        |  CAST(length(nfc_normalize(raw)) AS BIGINT) AS len_nfc,
+        |  md5(nfc_normalize(raw)) AS nfc_md5
+        |FROM r ORDER BY doc_id""".stripMargin,
     "q149_drift" ->
       s"""WITH s AS (SELECT lang,
          |  ${TextFunctions.md5Bucket16Sql("CAST(doc_id AS VARCHAR)", "ab|")} % 2 AS side
