@@ -68,10 +68,26 @@ object ExtensionQueries {
       }
     }
 
+  /** The 8-hash MinHash signature frame, cached separately from the
+    * candidates so the estimator-calibration query (q145) reuses the same
+    * signature pass the candidate join consumed — recomputing it measured
+    * ~4 s of pure repeat work at sf0.1. `cachedFrame`'s monitor is
+    * reentrant, so the nested build below is safe. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame =
+    cachedFrame("minhash_sigs", s, dir, Seq("documents")) {
+      Dedup.minhashSignatures(t(s, dir, "documents"),
+        numHashes = 8, shingleN = 3)
+    }
+
   private def minhashCands(s: SparkSession, dir: String): DataFrame =
     cachedFrame("minhash_cands", s, dir, Seq("documents")) {
-      Dedup.minhashCandidates(t(s, dir, "documents"),
-        numHashes = 8, rowsPerBand = 2, shingleN = 3)
+      // same composition as Dedup.minhashCandidates, off the shared sigs
+      val bands = Dedup.lshBands(minhashSigs(s, dir), numHashes = 8, rowsPerBand = 2)
+      val a = bands.toDF("band_idx", "band_val", "id_a")
+      val b = bands.toDF("band_idx", "band_val", "id_b")
+      a.join(b, Seq("band_idx", "band_val"))
+        .where(col("id_a") < col("id_b"))
+        .select("id_a", "id_b").distinct()
     }
 
   /** Per-cell ring densities at res 9 — (cell, n, ring_n) — shared by q108
@@ -536,7 +552,7 @@ object ExtensionQueries {
     "q145_minhash_est" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val sigs = Dedup.minhashSignatures(docs)
+      val sigs = minhashSigs(s, dir)
       val sa = sigs.toDF("id_a" +: (0 until 8).map(k => s"a$k"): _*)
       val sb = sigs.toDF("id_b" +: (0 until 8).map(k => s"b$k"): _*)
       val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
