@@ -90,14 +90,27 @@ object Dedup {
     * either way and can never produce candidates. */
   def minhashSignatures(df: DataFrame, textCol: String = "text",
                         idCol: String = "doc_id", numHashes: Int = 8,
-                        shingleN: Int = 3): DataFrame = {
-    val exploded = df.select(col(idCol),
-      explode(shingles(col(textCol), shingleN)).as("__sh"))
-      .select(col(idCol), md5(col("__sh").cast("binary")).as("__bh"))
+                        shingleN: Int = 3): DataFrame =
+    minhashSignaturesFromHashes(
+      shingleMd5Frame(df, textCol, idCol, shingleN), idCol, numHashes)
+
+  /** The exploded per-doc shingle hash frame — `(id, bh)` with one row per
+    * distinct doc shingle, `bh` = md5 hex of the shingle. This is the ONE
+    * tokenize→shingle→md5 pass that minhash signatures, the 60-bit SimHash
+    * and the estimator calibration all derive from; callers that run more
+    * than one of them should compute (and cache) it once. */
+  def shingleMd5Frame(df: DataFrame, textCol: String = "text",
+                      idCol: String = "doc_id", shingleN: Int = 3): DataFrame =
+    df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__sh"))
+      .select(col(idCol), md5(col("__sh").cast("binary")).as("bh"))
+
+  /** [[minhashSignatures]] over a precomputed [[shingleMd5Frame]]. */
+  def minhashSignaturesFromHashes(ex: DataFrame, idCol: String = "doc_id",
+                                  numHashes: Int = 8): DataFrame = {
     val aggs = (0 until numHashes).map { k =>
-      min(md5(concat(lit(s"$k|"), col("__bh")).cast("binary"))).as(s"h$k")
+      min(md5(concat(lit(s"$k|"), col("bh")).cast("binary"))).as(s"h$k")
     }
-    exploded.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
+    ex.groupBy(col(idCol)).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH banding: `numHashes/rowsPerBand` bands, band value = md5 of the
@@ -236,13 +249,20 @@ object Dedup {
     * empty-input default back; [[simhashNearDups]] wants exactly this
     * frame. */
   private def simhashSigsPresent(df: DataFrame, idCol: String,
-                                 textCol: String, shingleN: Int): DataFrame = {
-    val ex = df.select(col(idCol), explode(shingles(col(textCol), shingleN)).as("__s"))
-      .withColumn("__h", TextFunctions.md5Bucket60(col("__s")))
+                                 textCol: String, shingleN: Int): DataFrame =
+    simhashSigs60FromHashes(shingleMd5Frame(df, textCol, idCol, shingleN), idCol)
+
+  /** 60-bit SimHash signatures over a precomputed [[shingleMd5Frame]] —
+    * `md5Bucket60(shingle)` is exactly the first 15 hex chars of `bh`, so
+    * the shared hash pass feeds this too. Present-only: docs absent from
+    * `ex` (no shingles) have no row. */
+  def simhashSigs60FromHashes(ex: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val hashed = ex.withColumn("__h",
+      conv(substring(col("bh"), 1, 15), 16, 10).cast("long"))
     val bitSums = (0 until 60).map { b =>
       sum(when(shiftright(col("__h"), b).bitwiseAND(lit(1L)) === 1L, 1).otherwise(-1)).as(s"__b$b")
     }
-    ex.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
+    hashed.groupBy(col(idCol)).agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol),
         (0 until 60).map(b =>
           when(col(s"__b$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
@@ -274,7 +294,17 @@ object Dedup {
       s"the 4-band split is exact only for hamming <= 3, got $maxHamming")
     // present-only signatures: zero-shingle docs are excluded by
     // construction (no filter pass, no default-signature join)
-    val sigs = simhashSigsPresent(df, idCol, textCol, shingleN)
+    simhashNearDupsFromSigs(
+      simhashSigsPresent(df, idCol, textCol, shingleN), maxHamming, idCol)
+  }
+
+  /** [[simhashNearDups]] over precomputed present-only `(id, simhash)`
+    * signatures — callers holding the shared hash frame skip the
+    * signature pass entirely. */
+  def simhashNearDupsFromSigs(sigs: DataFrame, maxHamming: Int = 3,
+                              idCol: String = "doc_id"): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"the 4-band split is exact only for hamming <= 3, got $maxHamming")
     // all 4 band keys from the computed signature in ONE pass (posexplode
     // of the band array) — a per-band union would re-run the whole
     // explode+aggregate signature job once per band per join side

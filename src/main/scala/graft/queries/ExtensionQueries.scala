@@ -68,15 +68,23 @@ object ExtensionQueries {
       }
     }
 
+  /** The ONE tokenize→shingle→md5 pass — `(doc_id, bh)` — that minhash
+    * signatures (q35/q57/q145), the 60-bit SimHash (q68) and the band
+    * candidates all derive from; each was re-running the same explode+md5
+    * over the corpus (~3 s apiece at sf0.1). `cachedFrame`'s monitor is
+    * reentrant, so the nested builds below are safe. */
+  private def shingleMd5(s: SparkSession, dir: String): DataFrame =
+    cachedFrame("shingle_md5", s, dir, Seq("documents")) {
+      Dedup.shingleMd5Frame(t(s, dir, "documents"))
+    }
+
   /** The 8-hash MinHash signature frame, cached separately from the
     * candidates so the estimator-calibration query (q145) reuses the same
     * signature pass the candidate join consumed — recomputing it measured
-    * ~4 s of pure repeat work at sf0.1. `cachedFrame`'s monitor is
-    * reentrant, so the nested build below is safe. */
+    * ~4 s of pure repeat work at sf0.1. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame =
     cachedFrame("minhash_sigs", s, dir, Seq("documents")) {
-      Dedup.minhashSignatures(t(s, dir, "documents"),
-        numHashes = 8, shingleN = 3)
+      Dedup.minhashSignaturesFromHashes(shingleMd5(s, dir), numHashes = 8)
     }
 
   private def minhashCands(s: SparkSession, dir: String): DataFrame =
@@ -1653,7 +1661,10 @@ object ExtensionQueries {
     // on candidates only — completes the SimHash dedup path beyond q37's
     // signature computation
     "q68_simhash_neardups" -> ((s, dir) => {
-      Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 3)
+      // signatures off the shared shingle-hash frame — md5Bucket60 of a
+      // shingle is exactly the first 15 hex chars of its cached md5
+      Dedup.simhashNearDupsFromSigs(
+          Dedup.simhashSigs60FromHashes(shingleMd5(s, dir)), maxHamming = 3)
         .orderBy("id_a", "id_b")
     }),
 
