@@ -309,10 +309,20 @@ object ExtensionQueries {
     // shuffle on the edge list (the scalable shape)
     "q133_pagerank" -> ((s, dir) => {
       import s.implicits._
-      val raw = copurchaseEdges(s, dir)
-      val adj = raw.select($"u".as("a"), $"v".as("b"))
-        .unionAll(raw.select($"v".as("a"), $"u".as("b")))
-      val deg = adj.groupBy($"a").agg(count(lit(1)).as("d"))
+      // symmetric adjacency cached PRE-PARTITIONED on the join key: the
+      // cached scan reports hashpartitioning(a), so each iteration's join
+      // shuffles only the (small) rank frame, never the edge list; degrees
+      // cache too — lazily re-deriving them inside three chained iteration
+      // plans re-ran the groupBy shuffle per iteration
+      val adj = cachedFrame("copurchase_adj", s, dir, Seq("lineitem")) {
+        val raw = copurchaseEdges(s, dir)
+        raw.select($"u".as("a"), $"v".as("b"))
+          .unionAll(raw.select($"v".as("a"), $"u".as("b")))
+          .repartition($"a")
+      }
+      val deg = cachedFrame("copurchase_deg", s, dir, Seq("lineitem")) {
+        adj.groupBy($"a").agg(count(lit(1)).as("d"))
+      }
       var pr = deg.select($"a", lit(1000000L).as("pr"))
       for (_ <- 1 to 3) {
         val contrib = adj.join(pr, "a").join(deg, "a")
@@ -368,11 +378,15 @@ object ExtensionQueries {
     "q136_incremental_dedup" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val corpus = docs.where($"doc_id" % 5 =!= 0)
-      val batch = docs.where($"doc_id" % 5 === 0)
-      val cb = Dedup.lshBands(Dedup.minhashSignatures(corpus))
+      // per-doc signatures are subset-invariant (each doc's signature is a
+      // function of its own shingles), so both sides derive from the ONE
+      // shared shingle-hash frame instead of re-tokenizing the corpus twice
+      val ex = shingleMd5(s, dir)
+      val cb = Dedup.lshBands(
+          Dedup.minhashSignaturesFromHashes(ex.where($"doc_id" % 5 =!= 0)))
         .toDF("band_idx", "band_val", "corpus_id")
-      val bb = Dedup.lshBands(Dedup.minhashSignatures(batch))
+      val bb = Dedup.lshBands(
+          Dedup.minhashSignaturesFromHashes(ex.where($"doc_id" % 5 === 0)))
         .toDF("band_idx", "band_val", "batch_id")
       val cands = bb.join(cb, Seq("band_idx", "band_val"))
         .select($"batch_id", $"corpus_id").distinct()
