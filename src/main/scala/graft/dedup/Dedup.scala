@@ -163,15 +163,21 @@ object Dedup {
     * callers that have the q35 candidates in hand (or persisted) skip the
     * shingle/minhash pass entirely. */
   def dedupGroupsFromPairs(df: DataFrame, pairs: DataFrame,
-                           idCol: String = "doc_id"): DataFrame = {
-    val cc = graft.cluster.ConnectedComponents.run(
-      pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+                           idCol: String = "doc_id"): DataFrame =
+    dedupGroupsFromComponents(df,
+      graft.cluster.ConnectedComponents.run(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst"))), idCol)
+
+  /** [[dedupGroupsFromPairs]] with a caller-supplied `(id, component)`
+    * frame — both CC implementations (star-contraction and the GraphX
+    * twin) drive the same per-group aggregation. */
+  def dedupGroupsFromComponents(df: DataFrame, cc: DataFrame,
+                                idCol: String = "doc_id"): DataFrame =
     df.select(col(idCol))
       .join(cc.withColumnRenamed("id", idCol), Seq(idCol), "left_outer")
       .select(col(idCol), coalesce(col("component"), col(idCol)).as("group_id"))
       .groupBy(col("group_id"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
-  }
 
   /** Exact Jaccard similarity of two shingle-set columns. */
   def jaccard(shA: Column, shB: Column): Column = {

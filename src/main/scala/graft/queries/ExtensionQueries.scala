@@ -787,6 +787,19 @@ object ExtensionQueries {
         .orderBy("group_id")
     }),
 
+    // the LITERAL GraphX connectedComponents() API over the same shared
+    // candidate graph — q57's star-contraction twin (GraphX is O(diameter)
+    // Pregel: right for this small short-chain graph, wrong for the
+    // epsilon graph — see ConnectedComponentsGraphX scaladoc); identical
+    // output, identical oracle, independent cross-check of the CC operator
+    "q151_dedup_groups_graphx" -> ((s, dir) => {
+      import s.implicits._
+      val cc = graft.cluster.ConnectedComponentsGraphX.run(
+        minhashCands(s, dir).select($"id_a".as("src"), $"id_b".as("dst")))
+      Dedup.dedupGroupsFromComponents(t(s, dir, "documents"), cc)
+        .orderBy("group_id")
+    }),
+
     // int8 max-abs embedding quantization — the storage-compression step;
     // map-side only. Codes stringified: the driver's pandas compare can't
     // sort array cells (q42 precedent).
@@ -2348,6 +2361,8 @@ object ExtensionQueries {
          |SELECT test_id, count(DISTINCT train_id) AS n_train_docs, count(*) AS n_hits
          |FROM te JOIN tr USING (ng) GROUP BY test_id ORDER BY test_id""".stripMargin,
     "q57_dedup_groups" -> dedupGroupsOracle,
+    // the GraphX twin computes the same groups from the same candidates
+    "q151_dedup_groups_graphx" -> dedupGroupsOracle,
     "q73_span_dup" ->
       s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |w AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-9, 0)),

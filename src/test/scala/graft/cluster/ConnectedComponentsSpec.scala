@@ -60,4 +60,20 @@ class ConnectedComponentsSpec extends SparkSpec {
     val comp = cc(Seq((7L, 7L), (1L, 2L)))
     assert(comp == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
+
+  test("GraphX twin computes identical components (random graphs)") {
+    import spark.implicits._
+    val r = new Random(17)
+    (1 to 3).foreach { _ =>
+      val n = 120
+      val edges = Seq.fill(90)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      val df = edges.toDF("src", "dst")
+      val star = ConnectedComponents.run(df)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      val gx = ConnectedComponentsGraphX.run(df)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(gx == star)
+    }
+  }
 }
