@@ -699,6 +699,22 @@ object ExtensionQueries {
               |FROM graft_nfc_t ORDER BY doc_id""".stripMargin)
     }),
 
+    // custom DataSource V2 read (the source-extension surface beyond file
+    // formats): the graft-grid TableProvider absorbs the box predicate
+    // into its generation bounds (pushFilters), prunes i-band partitions
+    // before scheduling, and emits only projected columns — behaviors
+    // spec-pinned in GridSourceSpec; here the whole path is driver-visible
+    // with an exact generate_series oracle
+    "q152_custom_source" -> ((s, dir) => {
+      import s.implicits._
+      s.read.format("graft-grid")
+        .option("rows", 512).option("cols", 512).load()
+        .where($"i" >= 100 && $"i" < 164 && $"j" >= 200 && $"j" < 264)
+        .groupBy(($"i" % 8).as("ib"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+        .orderBy($"ib")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2446,6 +2462,11 @@ object ExtensionQueries {
          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q152_custom_source" ->
+      """WITH g AS (SELECT ii.i AS i, jj.j AS j, (31 * ii.i + 17 * jj.j) % 100 AS v
+        |  FROM generate_series(100, 163) AS ii(i), generate_series(200, 263) AS jj(j))
+        |SELECT i % 8 AS ib, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q150_unicode_normalize" ->
       """WITH r AS (SELECT doc_id,
         |  text || ' cafe' || chr(769) ||

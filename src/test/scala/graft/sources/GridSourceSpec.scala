@@ -1,0 +1,55 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+class GridSourceSpec extends SparkSpec {
+
+  private def grid(rows: Long = 64, cols: Long = 64): DataFrame =
+    spark.read.format("graft-grid")
+      .option("rows", rows).option("cols", cols).load()
+
+  test("full scan materializes the whole grid with the exact payload") {
+    val df = grid(32, 16)
+    assert(df.count() == 32 * 16)
+    val row = df.where(col("i") === 3 && col("j") === 5).collect()
+    assert(row.length == 1 && row.head.getLong(2) == (31L * 3 + 17L * 5) % 100)
+  }
+
+  test("i-bound filters prune partitions BEFORE scheduling") {
+    val df = grid(256, 8) // 16 bands of 16 i-values each
+    assert(df.count() == 256 * 8)
+    assert(GridSource.lastPlannedPartitions.get() == 16)
+    // a one-band i-range must plan exactly one partition
+    assert(df.where(col("i") >= 32 && col("i") < 48).count() == 16 * 8)
+    assert(GridSource.lastPlannedPartitions.get() == 1)
+    // an empty range plans zero partitions
+    assert(df.where(col("i") >= 1000).count() == 0)
+    assert(GridSource.lastPlannedPartitions.get() == 0)
+  }
+
+  test("bound filters are absorbed, not residual — and stay correct") {
+    val df = grid(64, 64)
+    val filtered = df.where(col("i") >= 10 && col("i") <= 12 &&
+      col("j") === 7)
+    assert(filtered.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((10L, 7L), (11L, 7L), (12L, 7L)))
+    // the pushed ranges surface in the scan description
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("graft-grid i=[10,13) j=[7,8)"), plan)
+  }
+
+  test("column pruning reaches the reader") {
+    val df = grid(16, 16).select(col("v"))
+    assert(df.queryExecution.executedPlan.toString.contains("cols=[v]"))
+    assert(df.agg(sum(col("v"))).head.getLong(0) ==
+      (for (i <- 0L until 16; j <- 0L until 16) yield (31 * i + 17 * j) % 100).sum)
+  }
+
+  test("non-bound predicates stay residual and still filter correctly") {
+    val df = grid(32, 32).where(col("v") % 10 === 3 && col("i") < 4)
+    assert(GridSource.lastPlannedPartitions.get() >= 1)
+    assert(df.collect().forall(r => r.getLong(2) % 10 == 3 && r.getLong(0) < 4))
+  }
+}
