@@ -715,6 +715,31 @@ object ExtensionQueries {
         .orderBy($"ib")
     }),
 
+    // tokenizer encoding (text → id arrays, the step that feeds training):
+    // vocab = top-500 corpus tokens ranked (id 1..500, 0 = UNK), every doc
+    // re-encoded as its id sequence with position order preserved through
+    // the join (sort_array over (pos, id) structs — collect_list alone has
+    // no order guarantee after a shuffle). The sequence md5 pins the exact
+    // ids cross-engine; the vocab side broadcasts.
+    "q153_vocab_encode" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val toks = t(s, dir, "documents").select($"doc_id",
+        posexplode(TextFunctions.tokens(lower($"text"))).as(Seq("pos", "tok")))
+      val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .withColumn("id",
+          row_number().over(Window.orderBy($"cnt".desc, $"tok")).cast("long"))
+        .where($"id" <= 500).select($"tok", $"id")
+      toks.join(broadcast(vocab), Seq("tok"), "left_outer")
+        .withColumn("id", coalesce($"id", lit(0L)))
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"id" === 0L, 1L).otherwise(0L)).as("n_unk"),
+          md5(array_join(expr("transform(sort_array(collect_list(struct(pos, id))), x -> x.id)"), ",")
+            .cast("binary")).as("ids_md5"))
+        .orderBy($"doc_id")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2462,6 +2487,21 @@ object ExtensionQueries {
          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q153_vocab_encode" ->
+      s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |tokp AS (SELECT doc_id, unnest(generate_series(1, len(tk))) - 1 AS pos,
+         |                unnest(tk) AS tok
+         |         FROM c),
+         |vc AS (SELECT tok, count(*) AS cnt FROM tokp GROUP BY 1),
+         |vocab AS (SELECT tok, id FROM (
+         |    SELECT tok, CAST(row_number() OVER (ORDER BY cnt DESC, tok) AS BIGINT) AS id
+         |    FROM vc) WHERE id <= 500),
+         |enc AS (SELECT t.doc_id, t.pos, coalesce(v.id, 0) AS id
+         |        FROM tokp t LEFT JOIN vocab v USING (tok))
+         |SELECT doc_id, count(*) AS n_tokens,
+         |  CAST(sum(CASE WHEN id = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_unk,
+         |  md5(array_to_string(list(id ORDER BY pos), ',')) AS ids_md5
+         |FROM enc GROUP BY 1 ORDER BY 1""".stripMargin,
     "q152_custom_source" ->
       """WITH g AS (SELECT ii.i AS i, jj.j AS j, (31 * ii.i + 17 * jj.j) % 100 AS v
         |  FROM generate_series(100, 163) AS ii(i), generate_series(200, 263) AS jj(j))
