@@ -740,6 +740,23 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
+    // CUSTOM STREAMING SOURCE: the graft-grid MicroBatchStream drains the
+    // (pushdown-bounded) grid across ~4 offset-chunked micro-batches under
+    // AvailableNow; the complete-mode aggregate's final snapshot must
+    // equal the batch answer — chunking changes how rows are sliced, never
+    // what is emitted. Exercises the Offset protocol +
+    // SupportsTriggerAvailableNow end-to-end.
+    "q154_stream_custom_source" -> ((s, dir) => {
+      import s.implicits._
+      val agg = s.readStream.format("graft-grid")
+        .option("rows", 256).option("cols", 8).load()
+        .where($"i" < 192)
+        .groupBy(($"i" % 4).as("ib"))
+        .agg(count(lit(1)).as("n"), sum($"v").as("sum_v"))
+      StreamScaffold.runCompleteStreamOn(s, "q154", dir, agg)
+        .orderBy($"ib")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2487,6 +2504,11 @@ object ExtensionQueries {
          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q154_stream_custom_source" ->
+      """WITH g AS (SELECT ii.i AS i, jj.j AS j, (31 * ii.i + 17 * jj.j) % 100 AS v
+        |  FROM generate_series(0, 191) AS ii(i), generate_series(0, 7) AS jj(j))
+        |SELECT i % 4 AS ib, count(*) AS n, CAST(sum(v) AS BIGINT) AS sum_v
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
     "q153_vocab_encode" ->
       s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |tokp AS (SELECT doc_id, unnest(generate_series(1, len(tk))) - 1 AS pos,

@@ -154,6 +154,37 @@ private[graft] object StreamScaffold {
     s.read.parquet(out)
   }
 
+  /** [[runCompleteStream]] over a caller-built streaming aggregate — for
+    * CUSTOM streaming sources (e.g. the graft-grid MicroBatchStream),
+    * which have no staged file dir to read a schema from. Same contract:
+    * AvailableNow drain, complete-mode foreachBatch snapshot, the final
+    * batch's full state is returned. */
+  def runCompleteStreamOn(s: SparkSession, name: String, sfDir: String,
+                          aggregated: DataFrame): DataFrame = {
+    val tag = Tables.sfTag(sfDir)
+    val (out, chk) = (tmpPath(s"graft_${name}_out_$tag"), tmpPath(s"graft_${name}_chk_$tag"))
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    Seq(out, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
+    try {
+      val writeBatch: (DataFrame, Long) => Unit =
+        (b, _) => b.write.mode("overwrite").parquet(out)
+      val q = aggregated
+        .writeStream.outputMode("complete")
+        .option("checkpointLocation", chk)
+        .foreachBatch(writeBatch)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(AwaitTimeoutMs))
+        { q.stop(); sys.error(s"stream $name did not terminate within ${AwaitTimeoutMs} ms") }
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    }
+    s.read.parquet(out)
+  }
+
   /** Stage a batch frame as the stream source (Spark write), then run —
     * for sources that aren't a plain testdata table (Bench warmup). */
   def runFileStream(s: SparkSession, name: String, sfDir: String,

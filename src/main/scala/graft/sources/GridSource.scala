@@ -61,7 +61,7 @@ private[sources] class GridTable(rows: Long, cols: Long, bands: Int)
   override def name(): String = s"graft_grid(${rows}x$cols)"
   override def schema(): StructType = GridSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new GridScanBuilder(rows, cols, bands)
 }
@@ -166,6 +166,60 @@ private[sources] class GridScan(iLo: Long, iHi: Long, jLo: Long, jHi: Long,
 
   override def createReaderFactory(): PartitionReaderFactory =
     new GridReaderFactory(required)
+
+  /** MICRO_BATCH_READ path: the same (filter-tightened, column-pruned)
+    * grid emitted as a stream of i-row chunks — a CUSTOM streaming source
+    * with a real `Offset` protocol (offset = next unemitted i). Implements
+    * `SupportsTriggerAvailableNow`, so an AvailableNow run drains
+    * [iLo, iHi) across ⌈range/chunk⌉ micro-batches and stops — the
+    * multi-batch shape is deterministic because chunking never changes
+    * WHAT is emitted, only how it is sliced. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GridStream(iLo, iHi, jLo, jHi, math.max(1L, (iHi - iLo) / 4), required)
+}
+
+private[sources] case class GridOffset(i: Long)
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = i.toString
+}
+
+private[sources] class GridStream(iLo: Long, iHi: Long, jLo: Long, jHi: Long,
+                                  chunk: Long, required: StructType)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+  with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  // all data is "available" up front; AvailableNow drains to this bound
+  private val endBound = math.max(iLo, iHi)
+
+  override def initialOffset(): Offset = GridOffset(iLo)
+  override def deserializeOffset(json: String): Offset = GridOffset(json.toLong)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = GridOffset(endBound)
+
+  /** Admission control: each planning round admits one chunk past `start`
+    * — a genuine stateless multi-batch drain, not a single catch-all
+    * batch. */
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    GridOffset(math.min(endBound, start.asInstanceOf[GridOffset].i + chunk))
+
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: latestOffset(start, limit) is the entry point")
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[GridOffset].i
+    val hi = end.asInstanceOf[GridOffset].i
+    if (lo < hi && jLo < jHi) Array(GridPartition(lo, hi, jLo, jHi))
+    else Array.empty
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GridReaderFactory(required)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 private[sources] case class GridPartition(iLo: Long, iHi: Long,

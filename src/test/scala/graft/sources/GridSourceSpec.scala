@@ -47,6 +47,20 @@ class GridSourceSpec extends SparkSpec {
       (for (i <- 0L until 16; j <- 0L until 16) yield (31 * i + 17 * j) % 100).sum)
   }
 
+  test("micro-batch stream drains in chunked batches and totals exactly") {
+    import org.apache.spark.sql.streaming.Trigger
+    val agg = spark.readStream.format("graft-grid")
+      .option("rows", 64).option("cols", 4).load()
+      .groupBy().count()
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName("grid_stream_t").trigger(Trigger.AvailableNow()).start()
+    assert(q.awaitTermination(120000))
+    // chunk = rows/4: the AvailableNow drain must take several real
+    // batches (the Offset protocol advancing), not one catch-all
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2)
+    assert(spark.table("grid_stream_t").head().getLong(0) == 64L * 4)
+  }
+
   test("non-bound predicates stay residual and still filter correctly") {
     val df = grid(32, 32).where(col("v") % 10 === 3 && col("i") < 4)
     assert(GridSource.lastPlannedPartitions.get() >= 1)
