@@ -757,6 +757,23 @@ object ExtensionQueries {
         .orderBy($"ib")
     }),
 
+    // CUSTOM SINK (DSv2 write + two-phase commit): documents' ids write
+    // through the graft-audit connector — per-task partials become
+    // WriterCommitMessages, the driver-side commit aggregates them into
+    // ONE atomically-published (count, xor) audit record — and the oracle
+    // recomputes the same reconciliation pair straight off the table. The
+    // xor is order/partitioning-independent, so the check is insensitive
+    // to how tasks sliced the write.
+    "q155_custom_sink" -> ((s, dir) => {
+      import s.implicits._
+      val tag = s"q155_${Tables.sfTag(dir)}"
+      t(s, dir, "documents").select($"doc_id")
+        .write.format("graft-audit").option("tag", tag).mode("append").save()
+      val (nRows, xorIds) = graft.sources.AuditSink.committed(tag)
+        .getOrElse(sys.error(s"graft-audit never committed tag $tag"))
+      Seq((nRows, xorIds)).toDF("n_rows", "xor_ids")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2504,6 +2521,8 @@ object ExtensionQueries {
          |  CAST(least(64, n - chunk_idx * 48) AS BIGINT) AS n_chunk_toks,
          |  md5(array_to_string(list_slice(tk, chunk_idx * 48 + 1, chunk_idx * 48 + 64), ' ')) AS chunk_md5
          |FROM idx ORDER BY doc_id, chunk_idx""".stripMargin,
+    "q155_custom_sink" ->
+      """SELECT count(*) AS n_rows, bit_xor(doc_id) AS xor_ids FROM documents""",
     "q154_stream_custom_source" ->
       """WITH g AS (SELECT ii.i AS i, jj.j AS j, (31 * ii.i + 17 * jj.j) % 100 AS v
         |  FROM generate_series(0, 191) AS ii(i), generate_series(0, 7) AS jj(j))
