@@ -54,4 +54,43 @@ object AsOfJoin {
       .select(keyCols.map(col) ++ Seq(col("__ts").as(leftTsCol)) ++ leftRest.map(col) ++
         payload.map(c => col(s"__m.$c").as(c)): _*)
   }
+
+  /** [[leftAsOf]] through the NATIVE whole-operator path
+    * ([[graft.plans.AsOfJoinNode]] → `AsOfJoinStrategy` →
+    * `AsOfJoinExec`): one co-partitioned sort-merge pass instead of the
+    * union + carry-forward window — no union row blowup, no window state.
+    * Same contract and output column order; requires the
+    * [[graft.plans.GraftExtensions]] strategy to be installed. Output
+    * column order differs from input order only in that right payload
+    * columns follow all left columns (identical to [[leftAsOf]]'s
+    * key/ts/rest/payload order when the left frame is keys ++ ts ++ rest). */
+  def leftAsOfNative(left: DataFrame, right: DataFrame, keyCols: Seq[String],
+                     leftTsCol: String, rightTsCol: String): DataFrame = {
+    import org.apache.spark.sql.graft.ColumnBridge
+    require(keyCols.nonEmpty, "leftAsOfNative needs at least one key column")
+    val payload = right.columns.filterNot(c => keyCols.contains(c) || c == rightTsCol).toSeq
+    val leftRest = left.columns.filterNot(c => keyCols.contains(c) || c == leftTsCol).toSeq
+    require(payload.intersect(leftRest).isEmpty,
+      s"left and right share non-key columns: ${payload.intersect(leftRest).mkString(", ")}")
+    // NULL right timestamps have no timeline position — never a match.
+    // Re-alias every right column: when both sides derive from the same
+    // scan they share exprIds, and the re-analysis DeduplicateRelations
+    // pass would renumber the right subtree out from under the attribute
+    // references captured below — fresh top-level alias ids survive it.
+    val lp = ColumnBridge.analyzed(left)
+    val rp = ColumnBridge.analyzed(right.where(col(rightTsCol).isNotNull)
+      .select(right.columns.toSeq.map(c => col(c).as(c)): _*))
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+             name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        sys.error(s"column $name not found in ${plan.output.map(_.name).mkString(",")}"))
+    val node = graft.plans.AsOfJoinNode(lp, rp,
+      keyCols.map(attr(lp, _)), keyCols.map(attr(rp, _)),
+      attr(lp, leftTsCol), attr(rp, rightTsCol),
+      payload.map(attr(rp, _)))
+    // same output shape as leftAsOf: keys, ts, left rest, then payload
+    ColumnBridge.dataFrame(left.sparkSession, node)
+      .select(keyCols.map(col) ++ Seq(col(leftTsCol)) ++ leftRest.map(col) ++
+        payload.map(col): _*)
+  }
 }

@@ -23,6 +23,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
     extensions.injectOptimizerRule(_ => CellRangePushdown)
+    extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
     extensions.injectFunction((
       new FunctionIdentifier("geo_cell"),
       new ExpressionInfo(classOf[GeoCellExpression].getName, "geo_cell"),

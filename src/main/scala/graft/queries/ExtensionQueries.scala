@@ -774,6 +774,27 @@ object ExtensionQueries {
       Seq((nRows, xorIds)).toDF("n_rows", "xor_ids")
     }),
 
+    // NATIVE whole-operator as-of join: q27's exact query through the
+    // custom LogicalPlan → SparkStrategy → SparkPlan path (AsOfJoinExec:
+    // one co-partitioned sort-merge pass — EnsureRequirements inserts the
+    // exchanges from the operator's declared distribution/ordering, no
+    // union blowup, no window state). Same oracle as q27; operator
+    // equality with the composed spelling is spec-pinned on random data.
+    "q156_asof_native" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = t(s, dir, "events")
+      val base = ev.select($"user_id", $"event_id",
+        expr("timestamp_micros(ts DIV 1000)").as("ts"))
+      val purchases = ev.filter($"event_type" === "purchase")
+        .groupBy($"user_id", expr("timestamp_micros(ts DIV 1000)").as("pts"))
+        .agg(max($"value").as("last_purchase"))
+      graft.operators.AsOfJoin.leftAsOfNative(base, purchases,
+          keyCols = Seq("user_id"), leftTsCol = "ts", rightTsCol = "pts")
+        .select($"user_id", $"event_id", $"last_purchase")
+        .orderBy($"user_id", $"event_id")
+    }),
+
     // token counting (whitespace + BPE-ish estimate)
     "q30_text_tokens" -> ((s, dir) => {
       import s.implicits._
@@ -2306,6 +2327,16 @@ object ExtensionQueries {
   private def minhashOracle: String =
     s"WITH $minhashCandCtes\nSELECT id_a, id_b FROM cand ORDER BY id_a, id_b"
 
+  /** DuckDB's native ASOF LEFT JOIN — shared by q27 (composed operator)
+    * and q156 (the custom-LogicalPlan native operator). */
+  private def asofOracle: String =
+    """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+      |p AS (SELECT user_id, epoch_us(ts) AS pus, max(value) AS last_purchase
+      |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+      |SELECT b.user_id, b.event_id, p.last_purchase
+      |FROM b ASOF LEFT JOIN p ON b.user_id = p.user_id AND b.us >= p.pus
+      |ORDER BY b.user_id, b.event_id""".stripMargin
+
   /** Connected components of the candidate graph as a transitive-closure
     * recursive CTE (min reachable id = the component label — the same
     * definition ConnectedComponents.run converges to), then per-group
@@ -3301,13 +3332,9 @@ object ExtensionQueries {
          |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
          |  md5(string_agg(text, e'\\n\\n' ORDER BY doc_id)) AS packed_md5
          |FROM sh GROUP BY shard ORDER BY shard""".stripMargin,
-    "q27_asof_join" ->
-      """WITH b AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
-        |p AS (SELECT user_id, epoch_us(ts) AS pus, max(value) AS last_purchase
-        |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-        |SELECT b.user_id, b.event_id, p.last_purchase
-        |FROM b ASOF LEFT JOIN p ON b.user_id = p.user_id AND b.us >= p.pus
-        |ORDER BY b.user_id, b.event_id""".stripMargin,
+    "q27_asof_join" -> asofOracle,
+    // the native-operator path computes the identical result
+    "q156_asof_native" -> asofOracle,
     "q28_range_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')

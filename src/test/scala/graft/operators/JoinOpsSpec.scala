@@ -23,6 +23,30 @@ class JoinOpsSpec extends SparkSpec {
     assert(out == expected)
   }
 
+  test("native as-of join (custom LogicalPlan/Strategy/Exec) equals the composed operator") {
+    import spark.implicits._
+    val r = new Random(47)
+    val left = Seq.tabulate(300)(i => (s"k${r.nextInt(7)}", r.nextInt(500).toLong, i.toLong))
+    val right = Seq.tabulate(80)(i => (s"k${r.nextInt(8)}", r.nextInt(500).toLong, i * 2.5))
+      .groupBy(t => (t._1, t._2)).map(_._2.head).toSeq // unique (key, ts)
+    val ldf = left.toDF("k", "ts", "row_id")
+    val rdf = right.toDF("k", "ts2", "v")
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("k", "ts", "row_id").collect().map(_.toSeq).toSeq
+    val composed = AsOfJoin.leftAsOf(ldf, rdf, Seq("k"), "ts", "ts2")
+    val native = AsOfJoin.leftAsOfNative(ldf, rdf, Seq("k"), "ts", "ts2")
+    assert(native.columns.toSeq == composed.columns.toSeq)
+    assert(collect(native) == collect(composed))
+    // the custom operator really planned: AsOfJoinExec in the physical plan
+    assert(native.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      native.queryExecution.executedPlan.toString)
+    // null right timestamps: no position, no match — same as composed
+    val rNull = (Seq(("k0", Option.empty[Long], 99.0)) ++
+      right.map(t => (t._1, Option(t._2), t._3))).toDF("k", "ts2", "v")
+    assert(collect(AsOfJoin.leftAsOfNative(ldf, rNull, Seq("k"), "ts", "ts2")) ==
+      collect(AsOfJoin.leftAsOf(ldf, rNull, Seq("k"), "ts", "ts2")))
+  }
+
   test("leftAsOf is inclusive at equal timestamps and atomic across payload columns") {
     import spark.implicits._
     val left = Seq(("k", 10L, 1L), ("k", 5L, 2L)).toDF("k", "ts", "row_id")
