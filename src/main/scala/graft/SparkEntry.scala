@@ -21,12 +21,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.queries.CoreQueries.queries ++
       graft.queries.PipelineQueries.queries ++
-      graft.queries.ExtensionQueries.queries
+      graft.queries.ExtensionQueries.queries ++
+      graft.queries.IndexQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     graft.queries.CoreQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
-      graft.queries.ExtensionQueries.oracle
+      graft.queries.ExtensionQueries.oracle ++
+      graft.queries.IndexQueries.oracle
 }

@@ -1,0 +1,142 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.DataSkipping
+import graft.sim.Similarity
+import graft.text.QualityClassifier
+
+/** Round-5 wave: the indexing / model-filter operators a 100 TB corpus
+  * needs around the core engine — product-quantized ANN (the compressed-
+  * domain scale path), file-level min/max data skipping (the Delta-stats
+  * planning step over plain parquet), and model-based quality filtering
+  * (the fasttext-classifier pretraining stage). */
+object IndexQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
+
+  import Tables.{scratch, scratchPat}
+  private val q157CodesPat = scratchPat("q157_pq_codes")
+  private val q157LutPat = scratchPat("q157_pq_lut")
+  private val q159WeightsPat = scratchPat("q159_weights")
+
+  /** q158's lookup box — a sub-range of the derived points bbox
+    * (lat ∈ [40.70, 40.76), lng ∈ [-74.02, -73.94)), shared between the
+    * Spark predicate and the oracle literal. Chosen non-empty at EVERY sf:
+    * longitude spread scales with supplier count (sf0.001 has ~10
+    * suppliers → lng only reaches −74.0192), so the box hugs the low end
+    * of both axes and stays ~12% selective at sf0.1. */
+  private val Q158Box = ((40.701, 40.72), (-74.02, -73.99))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Product quantization + ADC: the compressed-domain ANN path. Codebooks
+    // fit driver-side on a bounded md5-priority sample (the faiss pattern);
+    // ENCODE is a map-side projection to m one-byte codes (~32× smaller
+    // than float32); the ADC scan joins the broadcast per-query lookup
+    // table on (sub, code) and sums m integer partials per pair — the
+    // corpus's float embeddings are never touched at query time. Both the
+    // codes and the LUT persist to scratch; Spark and DuckDB rank the SAME
+    // frames, so the KMeans leg never crosses the engine boundary.
+    "q157_pq_adc" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 5)
+      val books = Similarity.pqCodebooks(e, m = 8, k = 16, dims = 64)
+      Similarity.pqEncode(e, books)
+        .write.mode("overwrite").parquet(scratch(q157CodesPat, dir))
+      Similarity.pqLut(q, books)
+        .write.mode("overwrite").parquet(scratch(q157LutPat, dir))
+      Similarity.pqTopK(s.read.parquet(scratch(q157CodesPat, dir)),
+          s.read.parquet(scratch(q157LutPat, dir)), k = 10)
+        .orderBy($"query_id", $"rank")
+    }),
+
+    // File-level min/max data skipping over the z-ordered staged points
+    // (q134's layout): build the per-file stats manifest with one pruned
+    // scan, consult it DRIVER-SIDE to plan only the bbox-overlapping files
+    // (the Delta data-skipping planning step), then aggregate the residual
+    // filter over just those files. Correctness gate: the oracle runs the
+    // same filter over ALL files — any row lost to over-pruning breaks the
+    // hash. DataSkippingSpec pins that files are actually skipped.
+    "q158_file_skipping" -> ((s, dir) => {
+      import s.implicits._
+      val ((latLo, latHi), (lngLo, lngHi)) = Q158Box
+      val staged = ExtensionQueries.stageZOrderedPoints(s, dir)
+      val man = DataSkipping.manifest(s, staged, Seq("latitude", "longitude"))
+      val files = DataSkipping.prune(man,
+        Map("latitude" -> (latLo, latHi), "longitude" -> (lngLo, lngHi)))
+      DataSkipping.readFiles(s, staged, files)
+        .where($"latitude".between(latLo, latHi) &&
+          $"longitude".between(lngLo, lngHi))
+        .groupBy($"user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"amount" * 100).cast("long")).as("amount_cents"))
+        .orderBy($"user_id")
+    }),
+
+    // Model-based quality filter: fit a tiny logistic model on weak labels
+    // (lang = 'en') over four closed-form count features, persist the
+    // weights, then score every document with an explicit left-to-right
+    // multiply-add replayed identically by DuckDB from the same weights
+    // row. The µ-scaled logit key and the keep decision are both integer —
+    // no sigmoid/exp crosses the engine boundary.
+    "q159_quality_filter" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      QualityClassifier.fitWeights(docs, ($"lang" === "en").cast("int"))
+        .write.mode("overwrite").parquet(scratch(q159WeightsPat, dir))
+      val w = s.read.parquet(scratch(q159WeightsPat, dir))
+      val fcols = QualityClassifier.features($"text", $"n_chars")
+      val scored = docs.select($"doc_id" +: fcols.map { case (n, c) => c.as(n) }: _*)
+        .crossJoin(broadcast(w))
+        .withColumn("logit_key",
+          round(QualityClassifier.logit($"intercept",
+            Seq($"w_chars", $"w_toks", $"w_stop", $"w_digit"),
+            QualityClassifier.FeatureNames.map(col)) * 1e6).cast("long"))
+      scored.select($"doc_id", $"logit_key",
+          when($"logit_key" > 0, 1L).otherwise(0L).as("keep"))
+        .orderBy($"doc_id")
+    }))
+
+  val oracle: Map[String, String] = Map(
+    "q157_pq_adc" ->
+      s"""WITH ex AS (SELECT vec_id AS corpus_id,
+         |              generate_subscripts(codes, 1) - 1 AS sub, unnest(codes) AS code
+         |            FROM read_parquet('$q157CodesPat/*.parquet')),
+         |j AS (SELECT l.query_id, ex.corpus_id, l.dist_key
+         |      FROM ex JOIN read_parquet('$q157LutPat/*.parquet') l USING (sub, code)
+         |      WHERE l.query_id <> ex.corpus_id),
+         |s AS (SELECT query_id, corpus_id, CAST(sum(dist_key) AS BIGINT) AS adc_key
+         |      FROM j GROUP BY 1, 2),
+         |r AS (SELECT query_id, corpus_id, adc_key,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY adc_key, corpus_id) AS rank
+         |      FROM s)
+         |SELECT query_id, corpus_id, adc_key, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin,
+    "q158_file_skipping" -> {
+      val ((latLo, latHi), (lngLo, lngHi)) = Q158Box
+      s"""SELECT user_id, count(*) AS n,
+         |  CAST(sum(CAST(round(amount * 100) AS BIGINT)) AS BIGINT) AS amount_cents
+         |FROM read_parquet('${scratchPat("q134_zpts")}/*.parquet')
+         |WHERE latitude BETWEEN $latLo AND $latHi
+         |  AND longitude BETWEEN $lngLo AND $lngHi
+         |GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q159_quality_filter" -> {
+      val feats = QualityClassifier.featuresSql
+        .map { case (n, sql) => s"        $sql AS $n" }.mkString(",\n")
+      s"""WITH w AS (SELECT * FROM read_parquet('$q159WeightsPat/*.parquet')),
+         |f AS (SELECT doc_id,
+         |$feats
+         |      FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(round((w.intercept + w.w_chars * f_chars + w.w_toks * f_toks
+         |          + w.w_stop * f_stop + w.w_digit * f_digit) * 1e6) AS BIGINT) AS logit_key
+         |      FROM f, w)
+         |SELECT doc_id, logit_key,
+         |  CAST(CASE WHEN logit_key > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
+}

@@ -295,6 +295,150 @@ object Similarity {
       .select(col(blockCol), col("id_a"), col("id_b"), col("cos_x1e4"))
   }
 
+  // ---- Product quantization (PQ) + asymmetric distance computation ----
+  //
+  // The third classic ANN scale path (after SRP-LSH and IVF): compress each
+  // vector to `m` one-byte codes (one per contiguous subspace) against per-
+  // subspace codebooks, then answer queries by table lookup — the query
+  // builds an m×k lookup table of exact subspace distances ONCE, and every
+  // corpus vector's approximate distance is just m additions. At 100 TB the
+  // wins compound: the corpus shrinks ~32× (64 float dims → 8 bytes), the
+  // scan never touches a float, and the LUT join broadcasts (|Q|·m·k rows).
+
+  /** Deterministic driver-side Lloyd iterations: seeded scrambled init,
+    * ties break to the lowest centroid index, empty clusters keep their
+    * previous centroid — same inputs, same codebook, every run. */
+  private[graft] def lloyd(pts: Array[Array[Double]], k: Int, iters: Int,
+                           seed: Long): Array[Array[Double]] = {
+    require(pts.nonEmpty, "lloyd: empty training sample")
+    val dims = pts(0).length
+    def d2(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < dims) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // init: first k distinct points in splitmix64-scrambled index order
+    val order = pts.indices.sortBy { i =>
+      var z = seed + 0x9e3779b97f4a7c15L * (i + 1L)
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val init = scala.collection.mutable.ArrayBuffer.empty[Array[Double]]
+    val seen = scala.collection.mutable.HashSet.empty[Seq[Double]]
+    order.iterator.map(pts).foreach { p =>
+      if (init.size < k && seen.add(p.toSeq)) init += p
+    }
+    while (init.size < k) init += init(init.size % math.max(init.size, 1)) // degenerate corpora: duplicate
+    var cents = init.toArray.map(_.clone())
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Long](k)
+      pts.foreach { p =>
+        var best = 0; var bestD = d2(p, cents(0)); var c = 1
+        while (c < k) {
+          val d = d2(p, cents(c))
+          if (d < bestD) { bestD = d; best = c } // strict: ties keep lowest
+          c += 1
+        }
+        counts(best) += 1
+        var i = 0
+        while (i < dims) { sums(best)(i) += p(i); i += 1 }
+      }
+      cents = Array.tabulate(k) { c =>
+        if (counts(c) == 0) cents(c)
+        else Array.tabulate(dims)(i => sums(c)(i) / counts(c))
+      }
+      it += 1
+    }
+    cents
+  }
+
+  /** Per-subspace PQ codebooks — `books(sub)(code)(dim)` — fit driver-side
+    * on a bounded md5-priority sample (replayable; the faiss pattern:
+    * codebook training reads a sample, only encode/ADC touch every row). */
+  def pqCodebooks(corpus: DataFrame, m: Int, k: Int, dims: Int,
+                  seed: Long = 42L, sampleCap: Int = 2048,
+                  idCol: String = "vec_id", vecCol: String = "embedding"): Array[Array[Array[Double]]] = {
+    require(dims % m == 0, s"pqCodebooks: dims=$dims not divisible by m=$m")
+    val sub = dims / m
+    val sample = corpus
+      .withColumn("pri", graft.text.TextFunctions.md5Bucket60(
+        concat(lit("pq|"), col(idCol).cast("string"))))
+      .orderBy(col("pri"), col(idCol)).limit(sampleCap)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).toArray)
+    Array.tabulate(m) { mi =>
+      val slice = sample.map(v => Array.tabulate(sub)(d => v(mi * sub + d).toDouble))
+      lloyd(slice, k, iters = 10, seed = seed + mi)
+    }
+  }
+
+  /** PQ encode: `(idCol, codes ARRAY<INT>)` — per subspace, the index of
+    * the nearest codebook centroid (ties to the lowest code). A pure
+    * projection against broadcast codebooks: map-side, no shuffle. */
+  def pqEncode(df: DataFrame, books: Array[Array[Array[Double]]],
+               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = df.sparkSession
+    val bc = spark.sparkContext.broadcast(books)
+    val m = books.length
+    val sub = books(0)(0).length
+    val encodeUdf = udf { (v: Seq[Float]) =>
+      Array.tabulate(m) { mi =>
+        val cents = bc.value(mi)
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < cents.length) {
+          var s = 0.0; var d = 0
+          while (d < sub) { val x = v(mi * sub + d) - cents(c)(d); s += x * x; d += 1 }
+          if (s < bestD) { bestD = s; best = c }
+          c += 1
+        }
+        best
+      }
+    }
+    df.select(col(idCol), encodeUdf(col(vecCol)).as("codes"))
+  }
+
+  /** Per-query ADC lookup table: `(query_id, sub, code, dist_key)` — the
+    * EXACT squared distance from the query's subvector to every codebook
+    * centroid, as a µ-scaled integer (deterministic, associative sums).
+    * |Q|·m·k rows — tiny, broadcast into the ADC join. */
+  def pqLut(queries: DataFrame, books: Array[Array[Array[Double]]],
+            idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val spark = queries.sparkSession
+    val bc = spark.sparkContext.broadcast(books)
+    val m = books.length
+    val sub = books(0)(0).length
+    val lutUdf = udf { (v: Seq[Float]) =>
+      for { mi <- 0 until m; c <- bc.value(mi).indices } yield {
+        var s = 0.0; var d = 0
+        while (d < sub) { val x = v(mi * sub + d) - bc.value(mi)(c)(d); s += x * x; d += 1 }
+        (mi, c, math.round(s * 1e6))
+      }
+    }
+    queries.select(col(idCol).as("query_id"), explode(lutUdf(col(vecCol))).as("e"))
+      .select(col("query_id"), col("e._1").as("sub"), col("e._2").as("code"),
+        col("e._3").as("dist_key"))
+  }
+
+  /** ADC top-k: explode codes positionally, equi-join the broadcast LUT on
+    * (sub, code), sum the m integer partials per (query, corpus) pair, rank
+    * ascending. The corpus side ships only ids + byte codes; Spark 4's
+    * WindowGroupLimit prunes rank ≤ k map-side. */
+  def pqTopK(codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
+    val ex = codes.select(col("vec_id").as("corpus_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = ex.join(broadcast(lut), Seq("sub", "code"))
+      .where(col("query_id") =!= col("corpus_id"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("dist_key")).as("adc_key"))
+    val w = Window.partitionBy("query_id").orderBy(col("adc_key").asc, col("corpus_id").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select("query_id", "corpus_id", "adc_key", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b) above
     * `threshold`, via LSH candidate generation + exact verify. */
   def cosineNearDups(df: DataFrame, dims: Int, threshold: Double,

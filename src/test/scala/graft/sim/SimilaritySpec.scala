@@ -138,4 +138,80 @@ class SimilaritySpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(pairs.contains((7L, 1007L)))
   }
+
+  test("lloyd: deterministic, k centroids, ties and empty clusters stable") {
+    val pts = Array.tabulate(50)(i => Array((i % 5).toDouble, (i / 5).toDouble))
+    val a = Similarity.lloyd(pts, k = 4, iters = 10, seed = 7L)
+    val b = Similarity.lloyd(pts, k = 4, iters = 10, seed = 7L)
+    assert(a.length == 4)
+    assert(a.map(_.toSeq).toSeq == b.map(_.toSeq).toSeq) // bit-identical rerun
+    // degenerate corpus (fewer distinct points than k) still yields k
+    val dup = Array.fill(10)(Array(1.0, 2.0))
+    assert(Similarity.lloyd(dup, k = 3, iters = 5, seed = 1L).length == 3)
+  }
+
+  test("pqEncode: m codes per vector, all within [0, k)") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(vecs, m = 4, k = 8, dims = 16, seed = 5L)
+    assert(books.length == 4 && books.forall(_.length == 8))
+    val codes = Similarity.pqEncode(vecs, books).as[(Long, Seq[Int])].collect()
+    assert(codes.length == 240)
+    codes.foreach { case (_, cs) =>
+      assert(cs.length == 4 && cs.forall(c => c >= 0 && c < 8))
+    }
+  }
+
+  test("pqTopK ADC sums match a direct per-subspace computation") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(vecs, m = 4, k = 8, dims = 16, seed = 5L)
+    val queries = vecs.filter($"vec_id" < 3)
+    val codes = Similarity.pqEncode(vecs, books)
+    val got = Similarity.pqTopK(codes, Similarity.pqLut(queries, books), k = 240)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // recompute one query's ADC keys by hand from the same books
+    val qv = vecs.filter($"vec_id" === 1L).as[(Long, Seq[Float])].head()._2
+    val lut = Array.tabulate(4, 8) { (mi, c) =>
+      var s = 0.0
+      (0 until 4).foreach { d =>
+        val x = qv(mi * 4 + d) - books(mi)(c)(d); s += x * x
+      }
+      math.round(s * 1e6)
+    }
+    codes.as[(Long, Seq[Int])].collect().filter(_._1 != 1L).foreach { case (cid, cs) =>
+      val expected = cs.zipWithIndex.map { case (c, mi) => lut(mi)(c) }.sum
+      assert(got((1L, cid)) == expected, s"ADC mismatch for corpus $cid")
+    }
+  }
+
+  test("PQ ADC self-distance is the per-query minimum; clustered recall holds") {
+    import spark.implicits._
+    val books = Similarity.pqCodebooks(vecs, m = 4, k = 8, dims = 16, seed = 5L)
+    val queries = vecs.filter($"vec_id" < 8)
+    val codes = Similarity.pqEncode(vecs, books)
+    val lut = Similarity.pqLut(queries, books)
+    // encode picks the per-subspace argmin centroid, so a query's ADC
+    // distance to its OWN codes is the smallest achievable sum
+    val all = Similarity.pqTopK(codes.where($"vec_id" =!= -1L), lut, k = 240)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val selfKey = Similarity.pqLut(queries, books)
+      .join(codes.select($"vec_id".as("query_id"),
+        posexplode($"codes").as(Seq("sub", "code"))), Seq("query_id", "sub", "code"))
+      .groupBy($"query_id").agg(sum($"dist_key").as("self_key"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    all.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.map(_._3).min >= selfKey(q), s"query $q: some ADC key beats self")
+    }
+    // Quantization collapses same-cluster vectors to (near-)identical
+    // codes, so WITHIN-cluster fine ordering is unrecoverable by design —
+    // the right retrieval property for a coarse quantizer is CLUSTER
+    // membership: nearly all of each query's PQ top-10 must be its own
+    // cluster's members (id ≡ q mod 8). Exact re-ranking of ADC survivors
+    // (the standard PQ follow-up) is rankCandidates, already spec-covered.
+    val pq10 = Similarity.pqTopK(codes, lut, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    pq10.groupBy(_._1).foreach { case (q, rows) =>
+      val sameCluster = rows.count { case (_, cid) => cid % 8 == q % 8 }
+      assert(sameCluster >= 8, s"query $q: only $sameCluster/10 same-cluster")
+    }
+  }
 }
