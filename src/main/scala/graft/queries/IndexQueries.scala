@@ -21,6 +21,7 @@ object IndexQueries {
   private val q157CodesPat = scratchPat("q157_pq_codes")
   private val q157LutPat = scratchPat("q157_pq_lut")
   private val q159WeightsPat = scratchPat("q159_weights")
+  private val q160WavPat = scratchPat("q160_wav")
 
   /** q158's lookup box — a sub-range of the derived points bbox
     * (lat ∈ [40.70, 40.76), lng ∈ [-74.02, -73.94)), shared between the
@@ -98,6 +99,37 @@ object IndexQueries {
       scored.select($"doc_id", $"logit_key",
           when($"logit_key" > 0, 1L).otherwise(0L).as("keep"))
         .orderBy($"doc_id")
+    }),
+
+    // REAL audio codec path (the WAV twin of q67's PNG): deterministic
+    // 16-bit PCM fixtures are ENCODED to genuine RIFF bytes and parsed
+    // back through the chunk walker, partition-locally. The decoded
+    // samples persist to scratch; framing + energy is then declarative
+    // integer work — posexplode, DIV-bucketed frames, Σ v² — that DuckDB
+    // replays over the same parquet. At scale only the binary payloads
+    // move; the analysis never leaves whole-stage codegen.
+    "q160_audio_frames" -> ((s, dir) => {
+      import s.implicits._
+      val parsed = t(s, dir, "documents").where($"doc_id" < 40)
+        .select($"doc_id").as[Long]
+        .mapPartitions { it =>
+          it.map { id =>
+            val rate = 8000 + (id % 3).toInt * 4000
+            val n = 2000 + (id % 5).toInt * 400
+            val wav = graft.multimodal.Audio.wavBytes(
+              graft.multimodal.Audio.triangleSamples(id, n), rate)
+            val m = graft.multimodal.Audio.parseWav(wav)
+            (id, m.sampleRate, m.samples.map(_.toInt))
+          }
+        }.toDF("doc_id", "sample_rate", "samples")
+      parsed.write.mode("overwrite").parquet(scratch(q160WavPat, dir))
+      s.read.parquet(scratch(q160WavPat, dir))
+        .select($"doc_id", $"sample_rate",
+          posexplode($"samples").as(Seq("idx", "v")))
+        .groupBy($"doc_id", $"sample_rate",
+          expr("CAST(idx AS BIGINT) DIV 400").as("frame"))
+        .agg(count(lit(1)).as("n"), sum($"v" * $"v").as("energy"))
+        .orderBy($"doc_id", $"frame")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -138,5 +170,14 @@ object IndexQueries {
          |SELECT doc_id, logit_key,
          |  CAST(CASE WHEN logit_key > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
-    })
+    },
+    "q160_audio_frames" ->
+      s"""WITH w AS (SELECT doc_id, sample_rate, samples
+         |           FROM read_parquet('$q160WavPat/*.parquet')),
+         |ex AS (SELECT doc_id, sample_rate,
+         |         generate_subscripts(samples, 1) - 1 AS idx, unnest(samples) AS v
+         |       FROM w)
+         |SELECT doc_id, sample_rate, idx // 400 AS frame, count(*) AS n,
+         |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
+         |FROM ex GROUP BY 1, 2, 3 ORDER BY doc_id, frame""".stripMargin)
 }
