@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.DataSkipping
+import graft.operators.{Compaction, DataSkipping}
 import graft.sim.Similarity
 import graft.text.QualityClassifier
 
@@ -22,6 +22,9 @@ object IndexQueries {
   private val q157LutPat = scratchPat("q157_pq_lut")
   private val q159WeightsPat = scratchPat("q159_weights")
   private val q160WavPat = scratchPat("q160_wav")
+  private val q161PairsPat = scratchPat("q161_mllib_pairs")
+  private val q162FragPat = scratchPat("q162_frag")
+  private val q162CompactPat = scratchPat("q162_compact")
 
   /** q158's lookup box — a sub-range of the derived points bbox
     * (lat ∈ [40.70, 40.76), lng ∈ [-74.02, -73.94)), shared between the
@@ -130,6 +133,68 @@ object IndexQueries {
           expr("CAST(idx AS BIGINT) DIV 400").as("frame"))
         .agg(count(lit(1)).as("n"), sum($"v" * $"v").as("energy"))
         .orderBy($"doc_id", $"frame")
+    }),
+
+    // MLlib MinHashLSH twin — the library-API cross-check of the dedup
+    // family (the q151 GraphX precedent): shingle sets become sparse
+    // binary vectors, `MinHashLSH.approxSimilarityJoin` generates the
+    // candidate pairs, and the emitted rows are the EXACT string-set
+    // Jaccard rescoring of those candidates — the same rescore the oracle
+    // replays over the persisted pair list. MinHashLSHTwinSpec pins that
+    // this independent implementation and Dedup.minhashCandidates both
+    // recover planted near-duplicates.
+    "q161_minhashlsh_mllib" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.ml.feature.MinHashLSH
+      import org.apache.spark.ml.linalg.Vectors
+      val space = 1 << 20
+      val sh = t(s, dir, "documents")
+        .select($"doc_id", graft.dedup.Dedup.shingles($"text").as("sh"))
+        .where(size($"sh") > 0)
+      val toSparse = udf { (shingles: Seq[String]) =>
+        // String.hashCode is spec-pinned (JLS), so the index space is
+        // stable across JVMs/executors
+        val idx = shingles.map(x => math.floorMod(x.hashCode, space))
+          .distinct.sorted.toArray
+        Vectors.sparse(space, idx, Array.fill(idx.length)(1.0))
+      }
+      val feat = sh.select($"doc_id", toSparse($"sh").as("features"))
+      val model = new MinHashLSH().setNumHashTables(8).setSeed(42L)
+        .setInputCol("features").setOutputCol("hashes").fit(feat)
+      model.approxSimilarityJoin(feat, feat, 0.9, "dist")
+        .select(col("datasetA.doc_id").as("id_a"), col("datasetB.doc_id").as("id_b"))
+        .where($"id_a" < $"id_b").distinct()
+        .write.mode("overwrite").parquet(scratch(q161PairsPat, dir))
+      val cands = s.read.parquet(scratch(q161PairsPat, dir))
+      val a = sh.select($"doc_id".as("id_a"), $"sh".as("sh_a"))
+      val b = sh.select($"doc_id".as("id_b"), $"sh".as("sh_b"))
+      cands.join(a, "id_a").join(b, "id_b")
+        .withColumn("jaccard", graft.dedup.Dedup.jaccard($"sh_a", $"sh_b"))
+        .where($"jaccard" >= 0.10)
+        .select($"id_a", $"id_b", $"jaccard")
+        .orderBy($"id_a", $"id_b")
+    }),
+
+    // Small-file compaction (the non-ZORDER half of OPTIMIZE): fragment
+    // the events table into 64 tiny files, then compact with ONE
+    // round-robin repartition job sized from the driver-side file listing.
+    // Output is the table-integrity triple over the COMPACTED directory —
+    // row count, distinct row-bearing files, id checksum — which the
+    // oracle recomputes from the same files (filename=true); any lost or
+    // duplicated row, or a wrong bin count, breaks the hash.
+    "q162_compaction" -> ((s, dir) => {
+      import s.implicits._
+      val frag = scratch(q162FragPat, dir)
+      Tables.stageOnce(s, frag, Tables.sourceSig(s, dir, "events")) {
+        t(s, dir, "events").select($"event_id", $"user_id", $"value")
+          .repartition(64).write.mode("overwrite").parquet(frag)
+      }
+      val target = math.max(Compaction.plan(s, frag, 1L).totalBytes / 8, 1L)
+      Compaction.compact(s, frag, scratch(q162CompactPat, dir), target)
+      s.read.parquet(scratch(q162CompactPat, dir))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("_metadata.file_path")).as("n_files"),
+          sum($"event_id").as("id_checksum"))
     }))
 
   val oracle: Map[String, String] = Map(
@@ -179,5 +244,25 @@ object IndexQueries {
          |       FROM w)
          |SELECT doc_id, sample_rate, idx // 400 AS frame, count(*) AS n,
          |  CAST(sum(CAST(v AS BIGINT) * v) AS BIGINT) AS energy
-         |FROM ex GROUP BY 1, 2, 3 ORDER BY doc_id, frame""".stripMargin)
+         |FROM ex GROUP BY 1, 2, 3 ORDER BY doc_id, frame""".stripMargin,
+    "q161_minhashlsh_mllib" ->
+      s"""WITH cand AS (SELECT id_a, id_b FROM read_parquet('$q161PairsPat/*.parquet')),
+         |c AS (SELECT doc_id,
+         |        list_filter(string_split(lower(text), ' '), t -> t != '') AS tk
+         |      FROM documents),
+         |shg AS (SELECT doc_id,
+         |          list_distinct(list_transform(generate_series(1, greatest(len(tk)-2, 0)),
+         |            i -> array_to_string(list_slice(tk, i, i+2), ' '))) AS sh
+         |        FROM c WHERE len(tk) >= 3),
+         |p AS (SELECT cand.id_a, cand.id_b,
+         |        round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+         |          CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)) AS DOUBLE), 6) AS jaccard
+         |      FROM cand JOIN shg a ON a.doc_id = cand.id_a
+         |                JOIN shg b ON b.doc_id = cand.id_b)
+         |SELECT id_a, id_b, jaccard FROM p WHERE jaccard >= 0.10
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q162_compaction" ->
+      s"""SELECT count(*) AS n_rows, count(DISTINCT filename) AS n_files,
+         |  CAST(sum(event_id) AS BIGINT) AS id_checksum
+         |FROM read_parquet('$q162CompactPat/*.parquet', filename=true)""".stripMargin)
 }
