@@ -195,6 +195,42 @@ object IndexQueries {
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("_metadata.file_path")).as("n_files"),
           sum($"event_id").as("id_checksum"))
+    }),
+
+    // Stream-stream LEFT OUTER interval join — the semantics q64's inner
+    // join cannot express: a purchase with NO click inside its 1-hour
+    // window must still emit (null-matched) once the watermark proves no
+    // match can arrive. The null rows are produced by state EVICTION in
+    // the trailing no-data batch (noDataBatches = true); the oracle
+    // replays the eviction cutoff exactly — an unmatched purchase appears
+    // iff p_ts + 1h < watermark, where the global watermark is the MIN of
+    // the two sides' (filtered) max event times − 10 s, exactly Spark's
+    // multi-watermark policy. Unmatched ids surface as −1 (nullable BIGINTs read back
+    // as float in both engines' pandas paths; −1 keeps the column exact).
+    "q163_stream_left_join" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runStagedStream(s, "q163", dir, src, noDataBatches = true) { mk =>
+        // each watermark observes ITS side's filtered rows (Catalyst pushes
+        // a pre-watermark filter below the node anyway, so this explicit
+        // order is also the honest one): the global watermark is
+        // min(max click ts, max purchase ts) − 10 s — mirrored by the
+        // oracle's least() cutoff
+        val pur = mk().select($"event_id".as("p_id"), $"user_id".as("p_user"),
+            expr("timestamp_micros(ts DIV 1000)").as("pts"))
+          .where($"p_id" % 10 === 0) // sparse left side: most stay unmatched
+          .withWatermark("pts", "10 seconds")
+        val clk = mk().select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            $"event_type", expr("timestamp_micros(ts DIV 1000)").as("cts"))
+          .where($"event_type" === "click")
+          .withWatermark("cts", "10 seconds")
+        pur.join(clk, expr(
+            "p_user = c_user AND cts >= pts AND cts <= pts + interval 1 hour"),
+            "left_outer")
+          .select($"p_id", $"c_id")
+      }.select($"p_id", coalesce($"c_id", lit(-1L)).as("c_id"))
+        .orderBy($"p_id", $"c_id")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -264,5 +300,19 @@ object IndexQueries {
     "q162_compaction" ->
       s"""SELECT count(*) AS n_rows, count(DISTINCT filename) AS n_files,
          |  CAST(sum(event_id) AS BIGINT) AS id_checksum
-         |FROM read_parquet('$q162CompactPat/*.parquet', filename=true)""".stripMargin)
+         |FROM read_parquet('$q162CompactPat/*.parquet', filename=true)""".stripMargin,
+    "q163_stream_left_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, us AS p_us FROM e WHERE event_id % 10 = 0),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, us AS c_us FROM e WHERE event_type = 'click'),
+        |m AS (SELECT p.p_id, c.c_id FROM p JOIN c
+        |      ON p_user = c_user AND c_us >= p_us AND c_us <= p_us + 3600000000),
+        |wm AS (SELECT least((SELECT max(c_us) FROM c), (SELECT max(p_us) FROM p))
+        |         - 10000000 AS w)
+        |SELECT p_id, c_id FROM m
+        |UNION ALL
+        |SELECT p.p_id, CAST(-1 AS BIGINT) AS c_id FROM p, wm
+        |WHERE p.p_us + 3600000000 < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+        |ORDER BY p_id, c_id""".stripMargin)
 }

@@ -84,9 +84,18 @@ private[graft] object StreamScaffold {
     dir
   }
 
-  /** Run `build` over an already-staged source directory. */
+  /** Run `build` over an already-staged source directory.
+    *
+    * `noDataBatches = true` re-enables the trailing empty micro-batch —
+    * REQUIRED by semantics that emit on watermark-driven state eviction
+    * (outer-join null rows, append-mode window finalization): the data
+    * batch only advances the watermark, and the eviction that produces
+    * those rows happens in the empty batch that follows (q163). Inner
+    * joins / dedup / TTL snapshots emit in the data batch, so the default
+    * keeps the cheaper no-trailing-batch profile. */
   def runStagedStream(s: SparkSession, name: String, sfDir: String,
-                      srcDir: String)(build: (() => DataFrame) => DataFrame): DataFrame = {
+                      srcDir: String, noDataBatches: Boolean = false)
+                     (build: (() => DataFrame) => DataFrame): DataFrame = {
     val tag = Tables.sfTag(sfDir)
     val (out, chk) = (tmpPath(s"graft_${name}_out_$tag"), tmpPath(s"graft_${name}_chk_$tag"))
     val fs = new org.apache.hadoop.fs.Path(out)
@@ -98,7 +107,7 @@ private[graft] object StreamScaffold {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
-    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", "false")
+    s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     try {
       val q = build(() => s.readStream.schema(schema)
           .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir))
