@@ -1,0 +1,82 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Encoders, SaveMode, SparkSession}
+
+/** Minimal snapshot log — the table-format mechanism (Delta/Iceberg) over
+  * plain parquet: every commit writes NEW immutable data files plus a
+  * versioned MANIFEST listing the table's complete active file set, and a
+  * read pins one manifest. Appends list old ∪ new; overwrites list only
+  * new — old files stay on disk, so every historical version remains
+  * readable (time travel) until a retention job vacuums them.
+  *
+  * Scale + isolation design:
+  *  - data files are immutable and commit-scoped (`data/c{N}/`) — writers
+  *    never mutate files a concurrent reader may hold open;
+  *  - the manifest is itself parquet, O(#files) rows, written to a temp
+  *    dir and atomically RENAMED to `_log/v{N}` — readers see either the
+  *    old latest version or the new one, never a torn manifest (rename is
+  *    the same atomicity primitive Delta's `_delta_log` JSON commit uses);
+  *  - version discovery is one `_log` listing, O(#versions), driver-side —
+  *    exactly the planning metadata pass of a real table format. */
+object SnapshotLog {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  /** Committed versions, ascending (empty for a fresh path). */
+  def versions(spark: SparkSession, path: String): Seq[Int] = {
+    val log = new Path(path, "_log")
+    val f = fs(spark, log)
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") => n.drop(1).toInt }
+      .sorted.toSeq
+  }
+
+  def latestVersion(spark: SparkSession, path: String): Int =
+    versions(spark, path).lastOption.getOrElse(0)
+
+  /** Commit `df` as the next version. `overwrite = false` appends (the new
+    * manifest lists the previous active set plus this commit's files);
+    * `overwrite = true` replaces (new files only). Returns the version. */
+  def commit(spark: SparkSession, path: String, df: DataFrame,
+             overwrite: Boolean): Int = {
+    val v = latestVersion(spark, path) + 1
+    val dataDir = s"$path/data/c$v"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    val newFiles = fs(spark, new Path(dataDir)).listStatus(new Path(dataDir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+    val active =
+      if (overwrite || v == 1) newFiles
+      else manifestFiles(spark, path, v - 1) ++ newFiles
+    import spark.implicits._
+    val tmp = new Path(path, s"_log/.tmp_v$v")
+    val dst = new Path(path, s"_log/v$v")
+    active.toDF("file").coalesce(1).write.parquet(tmp.toString)
+    val f = fs(spark, dst)
+    require(f.rename(tmp, dst), s"concurrent commit detected publishing v$v")
+    v
+  }
+
+  private def manifestFiles(spark: SparkSession, path: String, v: Int): Seq[String] = {
+    val dst = new Path(path, s"_log/v$v")
+    require(fs(spark, dst).exists(dst), s"version $v does not exist at $path")
+    spark.read.parquet(dst.toString)
+      .select("file").as[String](Encoders.STRING).collect().toSeq
+  }
+
+  /** Read the table AS OF `v` — old versions stay readable across later
+    * appends AND overwrites, because files are immutable and manifests
+    * pin the exact set. */
+  def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
+    val files = manifestFiles(spark, path, v)
+    require(files.nonEmpty, s"version $v has an empty manifest")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Read the latest version. */
+  def read(spark: SparkSession, path: String): DataFrame =
+    readVersion(spark, path, latestVersion(spark, path))
+}

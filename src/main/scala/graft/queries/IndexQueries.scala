@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Compaction, DataSkipping}
+import graft.operators.{Compaction, DataSkipping, SnapshotLog}
 import graft.sim.Similarity
 import graft.text.QualityClassifier
 
@@ -25,6 +25,7 @@ object IndexQueries {
   private val q161PairsPat = scratchPat("q161_mllib_pairs")
   private val q162FragPat = scratchPat("q162_frag")
   private val q162CompactPat = scratchPat("q162_compact")
+  private val q164TablePat = scratchPat("q164_table")
 
   /** q158's lookup box — a sub-range of the derived points bbox
     * (lat ∈ [40.70, 40.76), lng ∈ [-74.02, -73.94)), shared between the
@@ -231,6 +232,29 @@ object IndexQueries {
           .select($"p_id", $"c_id")
       }.select($"p_id", coalesce($"c_id", lit(-1L)).as("c_id"))
         .orderBy($"p_id", $"c_id")
+    }),
+
+    // Snapshot-log time travel (the Delta/Iceberg commit mechanism over
+    // plain parquet): three commits — purchase rows, click append, then a
+    // value-filter OVERWRITE — and every version read back THROUGH its
+    // pinned manifest. Reading v1/v2 correctly after v3's overwrite is the
+    // point: files are immutable, manifests pin exact sets, the overwrite
+    // deleted nothing. The oracle recomputes each version's integrity pair
+    // from the declarative definition of its contents.
+    "q164_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q164TablePat, dir)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type", $"value")
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "purchase"), overwrite = false)
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "click"), overwrite = false)
+      SnapshotLog.commit(s, base, ev.where($"value" > 100.0), overwrite = true)
+      (1 to 3).map { v =>
+        SnapshotLog.readVersion(s, base, v)
+          .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
+          .select(lit(v).as("version"), $"n_rows", $"id_checksum")
+      }.reduce(_ unionAll _).orderBy($"version")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -314,5 +338,15 @@ object IndexQueries {
         |SELECT p.p_id, CAST(-1 AS BIGINT) AS c_id FROM p, wm
         |WHERE p.p_us + 3600000000 < wm.w
         |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
-        |ORDER BY p_id, c_id""".stripMargin)
+        |ORDER BY p_id, c_id""".stripMargin,
+    "q164_time_travel" ->
+      """SELECT 1 AS version, count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_checksum
+        |FROM events WHERE event_type = 'purchase'
+        |UNION ALL
+        |SELECT 2, count(*), CAST(sum(event_id) AS BIGINT)
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |UNION ALL
+        |SELECT 3, count(*), CAST(sum(event_id) AS BIGINT)
+        |FROM events WHERE value > 100.0
+        |ORDER BY version""".stripMargin)
 }

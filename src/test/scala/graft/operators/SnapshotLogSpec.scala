@@ -1,0 +1,59 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class SnapshotLogSpec extends SparkSpec {
+
+  private def freshTable(): String =
+    java.nio.file.Files.createTempDirectory("snap").toString + "/tbl"
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] = {
+    import spark.implicits._
+    df.select($"id").as[Long].collect().toSet
+  }
+
+  test("append accumulates, overwrite replaces, every version stays readable") {
+    import spark.implicits._
+    val tbl = freshTable()
+    val a = (0L until 10L).toDF("id")
+    val b = (10L until 25L).toDF("id")
+    val c = (100L until 103L).toDF("id")
+    assert(SnapshotLog.commit(spark, tbl, a, overwrite = false) == 1)
+    assert(SnapshotLog.commit(spark, tbl, b, overwrite = false) == 2)
+    assert(SnapshotLog.commit(spark, tbl, c, overwrite = true) == 3)
+    assert(SnapshotLog.versions(spark, tbl) == Seq(1, 2, 3))
+    // time travel across the overwrite: old manifests pin the old files
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 1)) == (0L until 10L).toSet)
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 2)) == (0L until 25L).toSet)
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 3)) == (100L until 103L).toSet)
+    assert(ids(SnapshotLog.read(spark, tbl)) == (100L until 103L).toSet)
+  }
+
+  test("fresh path starts at v1; missing version rejects") {
+    import spark.implicits._
+    val tbl = freshTable()
+    assert(SnapshotLog.latestVersion(spark, tbl) == 0)
+    SnapshotLog.commit(spark, tbl, Seq(1L).toDF("id"), overwrite = false)
+    assert(SnapshotLog.latestVersion(spark, tbl) == 1)
+    assert(intercept[IllegalArgumentException](
+      SnapshotLog.readVersion(spark, tbl, 9)).getMessage.contains("does not exist"))
+  }
+
+  test("a published version's file set is immutable under later commits") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl, (0L until 5L).toDF("id"), overwrite = false)
+    val before = spark.read.parquet(s"$tbl/_log/v1")
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    SnapshotLog.commit(spark, tbl, (5L until 9L).toDF("id"), overwrite = false)
+    SnapshotLog.commit(spark, tbl, (9L until 12L).toDF("id"), overwrite = true)
+    val after = spark.read.parquet(s"$tbl/_log/v1")
+      .select(col("file")).collect().map(_.getString(0)).toSeq
+    assert(before == after)
+    // and the physical files behind v1 are all still present
+    val fs = new org.apache.hadoop.fs.Path(tbl)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(before.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))))
+  }
+}
