@@ -79,4 +79,26 @@ object SnapshotLog {
   /** Read the latest version. */
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, latestVersion(spark, path))
+
+  /** VACUUM: delete data files referenced by NO manifest among the latest
+    * `retainVersions` — the retention pass that reclaims storage from
+    * overwritten/compacted-away versions. Returns (liveFiles, deleted).
+    * Manifests themselves are kept (history metadata stays queryable);
+    * versions older than the horizon become unreadable BY DESIGN.
+    * Driver-side set arithmetic over manifest listings — O(#files), the
+    * same metadata pass as commit planning; the deletes are the only FS
+    * mutation and removing an unreferenced file can never affect a reader
+    * inside the retention horizon. */
+  def vacuum(spark: SparkSession, path: String, retainVersions: Int = 1): (Int, Int) = {
+    require(retainVersions >= 1, "must retain at least the latest version")
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"nothing committed at $path")
+    val retained = vs.takeRight(retainVersions)
+    val live = retained.flatMap(manifestFiles(spark, path, _)).toSet
+    val referenced = vs.flatMap(manifestFiles(spark, path, _)).toSet
+    val f = fs(spark, new Path(path))
+    val dead = (referenced -- live).toSeq.sorted
+    dead.foreach(d => f.delete(new Path(d), false))
+    (live.size, dead.size)
+  }
 }

@@ -26,6 +26,7 @@ object IndexQueries {
   private val q162FragPat = scratchPat("q162_frag")
   private val q162CompactPat = scratchPat("q162_compact")
   private val q164TablePat = scratchPat("q164_table")
+  private val q165TablePat = scratchPat("q165_table")
 
   /** q158's lookup box — a sub-range of the derived points bbox
     * (lat ∈ [40.70, 40.76), lng ∈ [-74.02, -73.94)), shared between the
@@ -255,6 +256,48 @@ object IndexQueries {
           .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
           .select(lit(v).as("version"), $"n_rows", $"id_checksum")
       }.reduce(_ unionAll _).orderBy($"version")
+    }),
+
+    // VACUUM / retention over the snapshot log: after an overwrite, the
+    // files only v1/v2 reference are dead weight — vacuum deletes exactly
+    // those and nothing the retained manifest lists. Output: live/vacuumed
+    // counts (the oracle recomputes both from the manifests — parquet, so
+    // read_parquet sees the same planning metadata) plus the integrity
+    // pair of the still-readable latest version.
+    "q165_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q165TablePat, dir)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type", $"value")
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "purchase"), overwrite = false)
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "click"), overwrite = false)
+      SnapshotLog.commit(s, base, ev.where($"value" > 100.0), overwrite = true)
+      val (live, vacuumed) = SnapshotLog.vacuum(s, base, retainVersions = 1)
+      SnapshotLog.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
+        .select(lit(live.toLong).as("n_live_files"), lit(vacuumed.toLong).as("n_vacuumed"),
+          $"n_rows", $"id_checksum")
+    }),
+
+    // APPEND-mode streaming windowed aggregation — the semantics q49 had
+    // to route through complete mode ("append would withhold windows until
+    // a later watermark advance"): with the trailing no-data batch enabled
+    // the watermark DOES advance after the data batch, and exactly the
+    // FINALIZED windows (end ≤ max ts − 10 s) emit — open windows are
+    // withheld. The oracle replays the same cutoff; a wrong finalization
+    // boundary changes the row set, not just values.
+    "q166_stream_append_windows" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runStagedStream(s, "q166", dir, src, noDataBatches = true) { mk =>
+        mk().select($"event_type", expr("timestamp_micros(ts DIV 1000)").as("ts"))
+          .withWatermark("ts", "10 seconds")
+          .groupBy(window($"ts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("ws_us"), $"event_type", $"n")
+      }.orderBy($"ws_us", $"event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -348,5 +391,21 @@ object IndexQueries {
         |UNION ALL
         |SELECT 3, count(*), CAST(sum(event_id) AS BIGINT)
         |FROM events WHERE value > 100.0
-        |ORDER BY version""".stripMargin)
+        |ORDER BY version""".stripMargin,
+    "q165_vacuum" ->
+      s"""WITH live AS (SELECT file FROM read_parquet('$q165TablePat/_log/v3/*.parquet')),
+         |refd AS (SELECT file FROM read_parquet('$q165TablePat/_log/v1/*.parquet')
+         |         UNION SELECT file FROM read_parquet('$q165TablePat/_log/v2/*.parquet')
+         |         UNION SELECT file FROM read_parquet('$q165TablePat/_log/v3/*.parquet'))
+         |SELECT (SELECT count(*) FROM live) AS n_live_files,
+         |  (SELECT count(*) FROM refd) - (SELECT count(*) FROM live) AS n_vacuumed,
+         |  (SELECT count(*) FROM events WHERE value > 100.0) AS n_rows,
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events WHERE value > 100.0) AS id_checksum""".stripMargin,
+    "q166_stream_append_windows" ->
+      """WITH e AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+        |wm AS (SELECT max(us) - 10000000 AS w FROM e),
+        |b AS (SELECT event_type, us - (us % 3600000000) AS ws_us FROM e)
+        |SELECT ws_us, event_type, count(*) AS n FROM b, wm
+        |WHERE ws_us + 3600000000 <= wm.w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
 }
