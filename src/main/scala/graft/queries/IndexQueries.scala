@@ -27,6 +27,9 @@ object IndexQueries {
   private val q162CompactPat = scratchPat("q162_compact")
   private val q164TablePat = scratchPat("q164_table")
   private val q165TablePat = scratchPat("q165_table")
+  private val q167CandPat = scratchPat("q167_cands")
+  private val q167CodesPat = scratchPat("q167_pq_codes")
+  private val q167LutPat = scratchPat("q167_pq_lut")
 
   /** q158's lookup box — a sub-range of the derived points bbox
     * (lat ∈ [40.70, 40.76), lng ∈ [-74.02, -73.94)), shared between the
@@ -298,6 +301,28 @@ object IndexQueries {
           .agg(count(lit(1)).as("n"))
           .select(unix_micros(col("window.start")).as("ws_us"), $"event_type", $"n")
       }.orderBy($"ws_us", $"event_type")
+    }),
+
+    // IVFPQ — the two quantizers composed exactly as faiss composes them:
+    // the coarse (IVF) quantizer probes nprobe of nlist inverted lists to
+    // produce candidates, and the product quantizer's ADC ranks ONLY those
+    // candidates. All three legs (candidates, codes, LUT) persist, so the
+    // oracle replays the candidate-restricted ADC ranking bit-for-bit.
+    "q167_ivf_pq" -> ((s, dir) => {
+      import s.implicits._
+      val e = t(s, dir, "embeddings")
+      val q = e.filter($"vec_id" < 5)
+      Similarity.ivfCandidates(q, e, nlist = 16, nprobe = 4)
+        .write.mode("overwrite").parquet(scratch(q167CandPat, dir))
+      val books = Similarity.pqCodebooks(e, m = 8, k = 16, dims = 64)
+      Similarity.pqEncode(e, books)
+        .write.mode("overwrite").parquet(scratch(q167CodesPat, dir))
+      Similarity.pqLut(q, books)
+        .write.mode("overwrite").parquet(scratch(q167LutPat, dir))
+      Similarity.pqTopKWithin(s.read.parquet(scratch(q167CandPat, dir)),
+          s.read.parquet(scratch(q167CodesPat, dir)),
+          s.read.parquet(scratch(q167LutPat, dir)), k = 10)
+        .orderBy($"query_id", $"rank")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -407,5 +432,21 @@ object IndexQueries {
         |b AS (SELECT event_type, us - (us % 3600000000) AS ws_us FROM e)
         |SELECT ws_us, event_type, count(*) AS n FROM b, wm
         |WHERE ws_us + 3600000000 <= wm.w
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q167_ivf_pq" ->
+      s"""WITH cand AS (SELECT query_id, corpus_id FROM read_parquet('$q167CandPat/*.parquet')),
+         |ex AS (SELECT vec_id AS corpus_id,
+         |         generate_subscripts(codes, 1) - 1 AS sub, unnest(codes) AS code
+         |       FROM read_parquet('$q167CodesPat/*.parquet')),
+         |j AS (SELECT cand.query_id, cand.corpus_id, l.dist_key
+         |      FROM cand JOIN ex ON ex.corpus_id = cand.corpus_id
+         |      JOIN read_parquet('$q167LutPat/*.parquet') l
+         |        ON l.query_id = cand.query_id AND l.sub = ex.sub AND l.code = ex.code),
+         |s AS (SELECT query_id, corpus_id, CAST(sum(dist_key) AS BIGINT) AS adc_key
+         |      FROM j GROUP BY 1, 2),
+         |r AS (SELECT query_id, corpus_id, adc_key,
+         |        row_number() OVER (PARTITION BY query_id ORDER BY adc_key, corpus_id) AS rank
+         |      FROM s)
+         |SELECT query_id, corpus_id, adc_key, rank FROM r WHERE rank <= 10
+         |ORDER BY query_id, rank""".stripMargin)
 }

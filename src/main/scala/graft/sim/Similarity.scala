@@ -433,6 +433,26 @@ object Similarity {
       .where(col("query_id") =!= col("corpus_id"))
       .groupBy(col("query_id"), col("corpus_id"))
       .agg(sum(col("dist_key")).as("adc_key"))
+    rankAdc(scored, k)
+  }
+
+  /** ADC top-k restricted to an explicit candidate-pair set — the IVFPQ
+    * composition (coarse quantizer supplies `cands`, PQ codes supply the
+    * distance): only candidate corpus rows' codes are exploded and joined,
+    * so the scan cost is O(|cands|·m) instead of O(|C|·m·|Q|). At 100 TB
+    * this is THE ANN shape: nprobe/nlist of the corpus touched, nothing
+    * but ids, codes, and integer partials in the shuffle. */
+  def pqTopKWithin(cands: DataFrame, codes: DataFrame, lut: DataFrame, k: Int): DataFrame = {
+    val ex = codes.select(col("vec_id").as("corpus_id"),
+      posexplode(col("codes")).as(Seq("sub", "code")))
+    val scored = cands.join(ex, Seq("corpus_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(sum(col("dist_key")).as("adc_key"))
+    rankAdc(scored, k)
+  }
+
+  private def rankAdc(scored: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("query_id").orderBy(col("adc_key").asc, col("corpus_id").asc)
     scored.withColumn("rank", row_number().over(w).cast("long"))
       .where(col("rank") <= k)

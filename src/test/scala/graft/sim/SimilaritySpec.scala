@@ -201,6 +201,16 @@ class SimilaritySpec extends SparkSpec {
     all.groupBy(_._1).foreach { case (q, rows) =>
       assert(rows.map(_._3).min >= selfKey(q), s"query $q: some ADC key beats self")
     }
+    // candidate-restricted ADC over ALL pairs must equal the full scan
+    val allPairs = vecs.select($"vec_id".as("query_id"))
+      .filter($"query_id" < 8)
+      .crossJoin(vecs.select($"vec_id".as("corpus_id")))
+      .where($"query_id" =!= $"corpus_id")
+    val within = Similarity.pqTopKWithin(allPairs, codes, lut, k = 240)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val full = Similarity.pqTopK(codes, lut, k = 240)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(within == full)
     // Quantization collapses same-cluster vectors to (near-)identical
     // codes, so WITHIN-cluster fine ordering is unrecoverable by design —
     // the right retrieval property for a coarse quantizer is CLUSTER
