@@ -46,7 +46,7 @@ object ExtensionQueries {
     * MEMORY_AND_DISK blocks. */
   private val frameCache =
     scala.collection.concurrent.TrieMap.empty[String, (String, DataFrame)]
-  private def cachedFrame(name: String, s: SparkSession, dir: String,
+  private[queries] def cachedFrame(name: String, s: SparkSession, dir: String,
                           sources: Seq[String])(build: => DataFrame): DataFrame =
     // coarse lock: suites run concurrently against the shared session, and
     // an unsynchronized get-then-put would double-build and orphan one

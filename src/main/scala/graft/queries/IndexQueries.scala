@@ -148,14 +148,33 @@ object IndexQueries {
     // replays over the persisted pair list. MinHashLSHTwinSpec pins that
     // this independent implementation and Dedup.minhashCandidates both
     // recover planted near-duplicates.
+    //
+    // BOUNDED to a fixed id prefix by design. Two structural reasons the
+    // MLlib twin cannot be the scale path: (1) approxSimilarityJoin ships
+    // the full sparse vectors through the candidate join to compute its
+    // keyDistance — q35's band join carries ids only; (2) MinHashLSH is
+    // OR-amplified single-hash tables with no AND-amplification, so
+    // common shingles ("of the …" in natural text) pile thousands of docs
+    // into one bucket and the exact-distance pass goes quadratic
+    // (unbounded: 23 s at sf0.1 vs q35's 6 s over the whole corpus, and a
+    // 20% probe side didn't help — the mega-buckets dominate). The twin
+    // is an API cross-check over a fixed window that still covers the
+    // whole corpus at the gate SFs; q35's 2-row bands are the scale path.
     "q161_minhashlsh_mllib" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.ml.feature.MinHashLSH
       import org.apache.spark.ml.linalg.Vectors
       val space = 1 << 20
-      val sh = t(s, dir, "documents")
-        .select($"doc_id", graft.dedup.Dedup.shingles($"text").as("sh"))
-        .where(size($"sh") > 0)
+      // session-cached (the q35/q57 pattern): the shingle frame feeds the
+      // fit, BOTH approxSimilarityJoin sides, and both rescore legs —
+      // uncached, those five traversals re-ran scan+shingle each time and
+      // were ~80% of the query's 9 s at sf0.1
+      val sh = ExtensionQueries.cachedFrame("q161_shingles", s, dir, Seq("documents")) {
+        t(s, dir, "documents")
+          .where($"doc_id" < 1000)
+          .select($"doc_id", graft.dedup.Dedup.shingles($"text").as("sh"))
+          .where(size($"sh") > 0)
+      }
       val toSparse = udf { (shingles: Seq[String]) =>
         // String.hashCode is spec-pinned (JLS), so the index space is
         // stable across JVMs/executors
