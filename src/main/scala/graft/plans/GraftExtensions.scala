@@ -18,7 +18,10 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *  - `vec_dot`: native codegen embedding dot product (cosine hot path);
   *  - `z_order`: native codegen Morton interleave (ZORDER write key);
   *  - `nfc_normalize`: native codegen Unicode NFC composition (the text
-  *    normalization pass before tokenize/dedup). */
+  *    normalization pass before tokenize/dedup);
+  *  - `kmv_sketch`: native TypedImperativeAggregate KMV distinct sketch
+  *    (bounded partial/merge state — the auditable approx-distinct for
+  *    SQL callers, lockstep with `graft.sketch.Kmv`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
@@ -52,5 +55,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.length == 1, "nfc_normalize(text)")
         NfcNormalizeExpression(children(0))
       }))
+    extensions.injectFunction((
+      new FunctionIdentifier("kmv_sketch"),
+      new ExpressionInfo(classOf[KmvSketchAggregate].getName, "kmv_sketch"),
+      KmvSketchAggregate.build))
   }
 }

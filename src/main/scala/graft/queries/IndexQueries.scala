@@ -342,6 +342,23 @@ object IndexQueries {
           s.read.parquet(scratch(q167CodesPat, dir)),
           s.read.parquet(scratch(q167LutPat, dir)), k = 10)
         .orderBy($"query_id", $"rank")
+    }),
+
+    // NATIVE Catalyst aggregate (TypedImperativeAggregate): the KMV
+    // distinct sketch as a registered SQL function — plain SQL callers
+    // get the same auditable bounded-state sketch the DataFrame spelling
+    // (q76) hand-builds; Spark's partial aggregation supplies the
+    // map-side combine and the exchange carries ≤ k longs per group.
+    // KmvNativeSpec pins bit-equality with Kmv.sketchState; the oracle is
+    // the same bottom-k SQL replay as q76's.
+    "q168_kmv_native" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").createOrReplaceTempView("q168_events")
+      s.sql("""SELECT event_type, kmv_sketch(CAST(user_id AS STRING), 64) AS sk
+               FROM q168_events WHERE user_id IS NOT NULL GROUP BY event_type""")
+        .select($"event_type", $"sk.n_kept".as("n_kept"), $"sk.kth_hash".as("kth_hash"))
+        .withColumn("est_distinct", graft.sketch.Kmv.estimate($"n_kept", $"kth_hash", 64))
+        .orderBy($"event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -467,5 +484,10 @@ object IndexQueries {
          |        row_number() OVER (PARTITION BY query_id ORDER BY adc_key, corpus_id) AS rank
          |      FROM s)
          |SELECT query_id, corpus_id, adc_key, rank FROM r WHERE rank <= 10
-         |ORDER BY query_id, rank""".stripMargin)
+         |ORDER BY query_id, rank""".stripMargin,
+    "q168_kmv_native" ->
+      s"""${graft.sketch.Kmv.sketchSql("events", "event_type", "user_id", 64)}
+         |SELECT key AS event_type, n_kept, kth_hash,
+         |  ${graft.sketch.Kmv.estimateSql(64)} AS est_distinct
+         |FROM kk ORDER BY 1""".stripMargin)
 }
