@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Compaction, DataSkipping, SnapshotLog}
+import graft.operators.{Compaction, DataSkipping, Expectations, SnapshotLog}
 import graft.sim.Similarity
 import graft.text.QualityClassifier
 
@@ -31,6 +31,19 @@ object IndexQueries {
   private val q167CodesPat = scratchPat("q167_pq_codes")
   private val q167LutPat = scratchPat("q167_pq_lut")
 
+  /** PQ codebooks for the embeddings corpus, fit once per (session, sf
+    * dir, source signature) — q157 and q167 share one sampled Lloyd fit.
+    * Entries are ~8 KB of doubles; a refreshed corpus changes the
+    * signature and fits fresh books (stale leftovers are harmless). */
+  private val bookCache =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Double]]]]
+  private def pqBooks(s: SparkSession, dir: String): Array[Array[Array[Double]]] = {
+    val key = System.identityHashCode(s).toHexString + "|" + dir + "|" +
+      Tables.sourceSig(s, dir, "embeddings")
+    bookCache.getOrElseUpdate(key,
+      Similarity.pqCodebooks(t(s, dir, "embeddings"), m = 8, k = 16, dims = 64))
+  }
+
   /** q158's lookup box — a sub-range of the derived points bbox
     * (lat ∈ [40.70, 40.76), lng ∈ [-74.02, -73.94)), shared between the
     * Spark predicate and the oracle literal. Chosen non-empty at EVERY sf:
@@ -52,7 +65,7 @@ object IndexQueries {
       import s.implicits._
       val e = t(s, dir, "embeddings")
       val q = e.filter($"vec_id" < 5)
-      val books = Similarity.pqCodebooks(e, m = 8, k = 16, dims = 64)
+      val books = pqBooks(s, dir)
       Similarity.pqEncode(e, books)
         .write.mode("overwrite").parquet(scratch(q157CodesPat, dir))
       Similarity.pqLut(q, books)
@@ -333,7 +346,7 @@ object IndexQueries {
       val q = e.filter($"vec_id" < 5)
       Similarity.ivfCandidates(q, e, nlist = 16, nprobe = 4)
         .write.mode("overwrite").parquet(scratch(q167CandPat, dir))
-      val books = Similarity.pqCodebooks(e, m = 8, k = 16, dims = 64)
+      val books = pqBooks(s, dir)
       Similarity.pqEncode(e, books)
         .write.mode("overwrite").parquet(scratch(q167CodesPat, dir))
       Similarity.pqLut(q, books)
@@ -359,6 +372,25 @@ object IndexQueries {
         .select($"event_type", $"sk.n_kept".as("n_kept"), $"sk.kth_hash".as("kth_hash"))
         .withColumn("est_distinct", graft.sketch.Kmv.estimate($"n_kept", $"kth_hash", 64))
         .orderBy($"event_type")
+    }),
+
+    // Data-quality expectations (the DLT EXPECT / Delta CHECK pattern):
+    // declarative predicates annotate rows with their violation list
+    // map-side (NULL = violation, ternary CHECK semantics), split into
+    // valid/quarantine, and the dashboard row set is one stack() unpivot
+    // off a single aggregate pass. The 'known_type' rule deliberately
+    // excludes 'signup' so the quarantine path is exercised on real rows.
+    "q169_expectations" -> ((s, dir) => {
+      import s.implicits._
+      val rules = Seq(
+        Expectations.Rule("value_non_negative", $"value" >= 0.0),
+        Expectations.Rule("user_present", $"user_id".isNotNull),
+        Expectations.Rule("known_type",
+          $"event_type".isin("click", "view", "purchase")))
+      Expectations.stats(
+          t(s, dir, "events").select($"event_id", $"user_id", $"event_type", $"value"),
+          rules)
+        .orderBy($"metric")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -489,5 +521,19 @@ object IndexQueries {
       s"""${graft.sketch.Kmv.sketchSql("events", "event_type", "user_id", 64)}
          |SELECT key AS event_type, n_kept, kth_hash,
          |  ${graft.sketch.Kmv.estimateSql(64)} AS est_distinct
-         |FROM kk ORDER BY 1""".stripMargin)
+         |FROM kk ORDER BY 1""".stripMargin,
+    "q169_expectations" ->
+      """WITH v AS (SELECT
+        |  CASE WHEN NOT coalesce(value >= 0.0, false) THEN 1 ELSE 0 END AS v_val,
+        |  CASE WHEN NOT coalesce(user_id IS NOT NULL, false) THEN 1 ELSE 0 END AS v_user,
+        |  CASE WHEN NOT coalesce(event_type IN ('click', 'view', 'purchase'), false) THEN 1 ELSE 0 END AS v_type
+        |  FROM events)
+        |SELECT 'quarantined_rows' AS metric,
+        |  CAST(sum(CASE WHEN v_val + v_user + v_type > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n FROM v
+        |UNION ALL SELECT 'valid_rows',
+        |  CAST(sum(CASE WHEN v_val + v_user + v_type = 0 THEN 1 ELSE 0 END) AS BIGINT) FROM v
+        |UNION ALL SELECT 'viol_known_type', CAST(sum(v_type) AS BIGINT) FROM v
+        |UNION ALL SELECT 'viol_user_present', CAST(sum(v_user) AS BIGINT) FROM v
+        |UNION ALL SELECT 'viol_value_non_negative', CAST(sum(v_val) AS BIGINT) FROM v
+        |ORDER BY metric""".stripMargin)
 }

@@ -139,4 +139,20 @@ class PlanAuditSpec extends SparkSpec {
     // '*(n)' prefixes mark codegen stages; the cell projection must carry one
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("format_string")), p)
   }
+
+  test("q168 native kmv aggregate: two-level ObjectHashAggregate (map-side partial)") {
+    val p = plan("q168_kmv_native")
+    assert(p.contains("ObjectHashAggregate"), p)
+    assert(p.contains("kmv_sketch"), p)
+    // partial (pre-shuffle) mode present — the bounded map-side combine
+    assert(p.contains("partial_kmv_sketch"), p)
+  }
+
+  test("q158 residual bbox filter is pushed to the planned files' scan") {
+    // assert on the Filter node's full predicate text — the PushedFilters
+    // list in the scan line is elided ("...") past ~100 chars
+    val p = plan("q158_file_skipping")
+    assert(p.contains(">= 40.701)") && p.contains("<= -73.99)"), p)
+    assert(p.contains("PushedFilters: [IsNotNull(latitude)"), p)
+  }
 }
