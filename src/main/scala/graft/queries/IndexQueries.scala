@@ -30,6 +30,8 @@ object IndexQueries {
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
   private val q167LutPat = scratchPat("q167_pq_lut")
+  private val q170PartPat = scratchPat("q170_part")
+  private val q171PartPat = scratchPat("q171_part")
 
   /** PQ codebooks for the embeddings corpus, fit once per (session, sf
     * dir, source signature) — q157 and q167 share one sampled Lloyd fit.
@@ -391,6 +393,59 @@ object IndexQueries {
           t(s, dir, "events").select($"event_id", $"user_id", $"event_type", $"value"),
           rules)
         .orderBy($"metric")
+    }),
+
+    // Hive-style partitioned layout + PARTITION pruning — the third
+    // pruning tier alongside file-level stats (q158) and row-group
+    // PushedFilters: `partitionBy(event_type)` encodes the predicate
+    // column into directories, and the filter eliminates whole partitions
+    // at PLANNING time (PartitionFilters in the scan — audit-pinned), so
+    // non-matching data costs zero I/O at any scale. Oracle replays from
+    // the source table: a partition wrongly pruned loses rows.
+    "q170_partitioned_scan" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val p = scratch(q170PartPat, dir)
+      Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "events")) {
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", $"value",
+            expr("ts DIV 1000 DIV 86400000000").as("day"), $"event_type")
+          .write.partitionBy("event_type").mode("overwrite").parquet(p)
+      }
+      s.read.parquet(p).where($"event_type" === "purchase")
+        .groupBy($"day")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 1e6).cast("long")).as("value_micros"))
+        .orderBy($"day")
+    }),
+
+    // Dynamic partition overwrite — INSERT OVERWRITE of ONLY the
+    // partitions present in the incoming frame (partitionOverwriteMode =
+    // dynamic): the 'purchase' partition is replaced by its value-filtered
+    // rewrite while every other partition's files are untouched. The
+    // oracle recomputes the per-type expectation from the source table;
+    // a static-mode regression (whole-table truncate) would zero the
+    // untouched partitions and break the hash. Idempotent by
+    // construction, so re-runs against the staged table are safe.
+    "q171_dynamic_overwrite" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val p = scratch(q171PartPat, dir)
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value", $"event_type")
+      Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "events")) {
+        ev.write.partitionBy("event_type").mode("overwrite").parquet(p)
+      }
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try {
+        ev.where($"event_type" === "purchase" && $"value" > 50.0)
+          .write.partitionBy("event_type").mode("overwrite").parquet(p)
+      } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(p).groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 1e6).cast("long")).as("value_micros"))
+        .orderBy($"event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -535,5 +590,19 @@ object IndexQueries {
         |UNION ALL SELECT 'viol_known_type', CAST(sum(v_type) AS BIGINT) FROM v
         |UNION ALL SELECT 'viol_user_present', CAST(sum(v_user) AS BIGINT) FROM v
         |UNION ALL SELECT 'viol_value_non_negative', CAST(sum(v_val) AS BIGINT) FROM v
-        |ORDER BY metric""".stripMargin)
+        |ORDER BY metric""".stripMargin,
+    "q170_partitioned_scan" ->
+      """WITH e AS (SELECT epoch_us(ts) // 86400000000 AS day, value
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT day, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
+        |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q171_dynamic_overwrite" ->
+      """WITH x AS (SELECT event_type, value FROM events WHERE event_type <> 'purchase'
+        |           UNION ALL
+        |           SELECT event_type, value FROM events
+        |           WHERE event_type = 'purchase' AND value > 50.0)
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)
 }

@@ -155,4 +155,11 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains(">= 40.701)") && p.contains("<= -73.99)"), p)
     assert(p.contains("PushedFilters: [IsNotNull(latitude)"), p)
   }
+
+  test("q170 partitioned layout prunes whole partitions at planning time") {
+    val p = plan("q170_partitioned_scan")
+    assert(p.contains("PartitionFilters") && p.contains("event_type"), p)
+    // pruned to the one matching partition directory — data filters empty
+    assert(p.contains("(event_type") && p.contains("= purchase)"), p)
+  }
 }
