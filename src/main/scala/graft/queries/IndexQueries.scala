@@ -446,6 +446,25 @@ object IndexQueries {
         .agg(count(lit(1)).as("n"),
           sum(round($"value" * 1e6).cast("long")).as("value_micros"))
         .orderBy($"event_type")
+    }),
+
+    // Join-strategy surface: the same equi-join executed under all three
+    // physical strategies (BROADCAST / MERGE / SHUFFLE_HASH hints) must
+    // produce identical aggregates — the optimizer's strategy choice is
+    // an execution detail, never a semantics change. The audit pins that
+    // all three operators actually appear in the one union plan, so a
+    // silently ignored hint fails the spec, not just the eye.
+    "q172_join_hints" -> ((s, dir) => {
+      import s.implicits._
+      val li = t(s, dir, "lineitem").select($"l_orderkey", $"l_quantity")
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+      def leg(hint: String) =
+        li.join(o.hint(hint), li("l_orderkey") === o("o_orderkey"))
+          .agg(count(lit(1)).as("n"),
+            sum($"l_quantity".cast("long")).as("qty_sum"))
+          .select(lit(hint).as("strategy"), $"n", $"qty_sum")
+      Seq("broadcast", "merge", "shuffle_hash").map(leg).reduce(_ unionAll _)
+        .orderBy($"strategy")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -604,5 +623,13 @@ object IndexQueries {
         |           WHERE event_type = 'purchase' AND value > 50.0)
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
-        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin)
+        |FROM x GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q172_join_hints" ->
+      """WITH a AS (SELECT count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty_sum
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey)
+        |SELECT 'broadcast' AS strategy, n, qty_sum FROM a
+        |UNION ALL SELECT 'merge', n, qty_sum FROM a
+        |UNION ALL SELECT 'shuffle_hash', n, qty_sum FROM a
+        |ORDER BY strategy""".stripMargin)
 }

@@ -162,4 +162,11 @@ class PlanAuditSpec extends SparkSpec {
     // pruned to the one matching partition directory — data filters empty
     assert(p.contains("(event_type") && p.contains("= purchase)"), p)
   }
+
+  test("q172 all three hinted join strategies appear in the union plan") {
+    val p = plan("q172_join_hints")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("SortMergeJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+  }
 }
