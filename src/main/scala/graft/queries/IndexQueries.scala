@@ -8,11 +8,25 @@ import graft.operators.{Compaction, DataSkipping, Expectations, SnapshotLog}
 import graft.sim.Similarity
 import graft.text.QualityClassifier
 
-/** Round-5 wave: the indexing / model-filter operators a 100 TB corpus
-  * needs around the core engine — product-quantized ANN (the compressed-
-  * domain scale path), file-level min/max data skipping (the Delta-stats
-  * planning step over plain parquet), and model-based quality filtering
-  * (the fasttext-classifier pretraining stage). */
+/** Round-5 wave (q157–q172): the storage/index layer a 100 TB corpus
+  * sits on, plus the remaining modality and semantics gaps —
+  *
+  *  - compressed-domain ANN: product quantization with integer ADC
+  *    (q157) and the faiss IVFPQ composition (q167);
+  *  - the three pruning tiers over plain parquet: file-level min/max
+  *    stats manifests (q158), Hive-partition planning-time elimination
+  *    (q170), row-group PushedFilters (pinned throughout);
+  *  - table mechanics: OPTIMIZE-style compaction (q162), snapshot-log
+  *    time travel (q164) + VACUUM (q165), dynamic partition overwrite
+  *    (q171), DLT-style expectations (q169);
+  *  - models and modalities: logistic quality filter with bit-exact
+  *    weight replay (q159), REAL WAV codec + frame energy (q160), the
+  *    MLlib MinHashLSH cross-check twin (q161);
+  *  - watermark-eviction streaming semantics unlocked by the trailing
+  *    no-data batch: stream-stream LEFT OUTER interval join (q163) and
+  *    append-mode window finalization (q166);
+  *  - Catalyst surface: the native `kmv_sketch` TypedImperativeAggregate
+  *    (q168) and the three-way join-strategy-hint agreement check (q172). */
 object IndexQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
