@@ -29,6 +29,12 @@ object Compaction {
     val parts = fs.listStatus(p).filter { st =>
       st.isFile && st.getPath.getName.endsWith(".parquet")
     }
+    // flat-table contract: a partitioned layout nests its files in
+    // subdirectories and would silently plan zero bytes here — refuse
+    // rather than emit a one-bin rewrite of a table we didn't measure
+    require(parts.nonEmpty,
+      s"Compaction.plan: no part files directly under $path " +
+        "(empty table, or a partitioned layout — compact partitions individually)")
     val total = parts.map(_.getLen).sum
     Plan(parts.length, total,
       math.max(1L, (total + targetBytes - 1) / targetBytes).toInt)
