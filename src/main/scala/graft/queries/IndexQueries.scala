@@ -46,6 +46,7 @@ object IndexQueries {
   private val q167LutPat = scratchPat("q167_pq_lut")
   private val q170PartPat = scratchPat("q170_part")
   private val q171PartPat = scratchPat("q171_part")
+  private val q173XmlPat = scratchPat("q173_xml")
 
   /** PQ codebooks for the embeddings corpus, fit once per (session, sf
     * dir, source signature) — q157 and q167 share one sampled Lloyd fit.
@@ -479,6 +480,42 @@ object IndexQueries {
           .select(lit(hint).as("strategy"), $"n", $"qty_sum")
       Seq("broadcast", "merge", "shuffle_hash").map(leg).reduce(_ unionAll _)
         .orderBy($"strategy")
+    }),
+
+    // XML source round-trip (Spark 4 built-in `xml` format — the q111 ORC
+    // pattern for the remaining first-class file format): write a filtered
+    // projection as XML rows, read it back through the XML parser, and
+    // aggregate — the oracle recomputes from the source table, so any
+    // value corrupted by the serialize→parse cycle breaks the hash.
+    "q173_xml_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val path = scratch(q173XmlPat, dir)
+      t(s, dir, "orders").where($"o_orderstatus" === "O")
+        .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
+        .write.mode("overwrite").format("xml").option("rowTag", "order").save(path)
+      s.read.format("xml").option("rowTag", "order").load(path)
+        .groupBy($"o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total"))
+        .orderBy($"o_orderpriority")
+    }),
+
+    // Runtime metrics WITHOUT a second scan — `Dataset.observe`: the
+    // aggregates ride along the main query's single pass (an accumulator
+    // surface, the engine-native answer to "count the rows you filtered
+    // while you filter them"). The observed map becomes the result frame,
+    // so the oracle directly checks the accumulator math.
+    "q174_observe" -> ((s, dir) => {
+      import s.implicits._
+      val obs = new org.apache.spark.sql.Observation()
+      val filtered = t(s, dir, "events")
+        .observe(obs, count(lit(1)).as("n_in"),
+          sum(when($"event_type" === "purchase", 1L).otherwise(0L)).as("n_purchase"))
+        .where($"event_type" =!= "signup")
+      val nOut = filtered.count() // materializes the pass; obs.get blocks until then
+      val m = obs.get
+      Seq((m("n_in").asInstanceOf[Long], m("n_purchase").asInstanceOf[Long], nOut))
+        .toDF("n_in", "n_purchase", "n_out")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -645,5 +682,15 @@ object IndexQueries {
         |SELECT 'broadcast' AS strategy, n, qty_sum FROM a
         |UNION ALL SELECT 'merge', n, qty_sum FROM a
         |UNION ALL SELECT 'shuffle_hash', n, qty_sum FROM a
-        |ORDER BY strategy""".stripMargin)
+        |ORDER BY strategy""".stripMargin,
+    "q173_xml_roundtrip" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderstatus = 'O'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q174_observe" ->
+      """SELECT count(*) AS n_in,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+        |  CAST(sum(CASE WHEN event_type <> 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+        |FROM events""".stripMargin)
 }
