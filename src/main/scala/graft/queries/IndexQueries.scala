@@ -516,6 +516,58 @@ object IndexQueries {
       val m = obs.get
       Seq((m("n_in").asInstanceOf[Long], m("n_purchase").asInstanceOf[Long], nOut))
         .toDF("n_in", "n_purchase", "n_out")
+    }),
+
+    // Higher-order array functions (transform / filter / aggregate /
+    // exists — the lambda surface, all codegen-free but vectorized):
+    // per-doc token-length analytics without a single explode. DuckDB's
+    // list lambdas mirror each step; empty-token docs pin the
+    // fold-initial-value vs NULL-sum divergence (coalesce on the SQL
+    // side, zero seed on the Spark side).
+    "q175_hof_sweep" -> ((s, dir) => {
+      import s.implicits._
+      val tk = graft.text.TextFunctions.tokens(lower($"text"))
+      t(s, dir, "documents")
+        .select($"doc_id", tk.as("tk"))
+        .withColumn("lens", transform($"tk", x => length(x).cast("long")))
+        .select($"doc_id",
+          size($"tk").cast("long").as("n_toks"),
+          size(filter($"lens", l => l >= 5L)).cast("long").as("n_long"),
+          aggregate($"lens", lit(0L), (acc, l) => acc + l).as("total_chars"),
+          // sequence(1, 0) counts DOWN (the Dedup.shingles guard) — an
+          // empty token list must short-circuit to the fold's zero
+          when(size($"tk") === 0, 0L).otherwise(
+            aggregate(zip_with($"lens",
+                sequence(lit(1L), size($"tk").cast("long")), (l, i) => l * i),
+              lit(0L), (acc, x) => acc + x)).as("weighted_key"),
+          when(array_contains($"tk", "the"), 1L).otherwise(0L).as("has_the"))
+        .orderBy($"doc_id")
+    }),
+
+    // Datetime arithmetic sweep (trunc / add_months / last_day /
+    // weekday), all reduced to EPOCH-DAY INTEGER keys so no date/
+    // timestamp rendering ever crosses the engine boundary: per-month
+    // activity envelope over events.
+    "q176_datetime_sweep" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // timestamp→date crosses the session timezone; pin UTC so the key
+      // matches DuckDB's tz-naive CAST(ts AS DATE)
+      s.conf.set("spark.sql.session.timeZone", "UTC")
+      val epoch = lit("1970-01-01")
+      val d = to_date(expr("timestamp_micros(ts DIV 1000)"))
+      t(s, dir, "events")
+        .select(datediff(trunc(d, "MM"), epoch).cast("long").as("month_key"),
+          datediff(d, epoch).cast("long").as("day_key"),
+          datediff(last_day(d), epoch).cast("long").as("last_day_key"),
+          datediff(add_months(trunc(d, "MM"), 1), epoch).cast("long").as("next_month_key"),
+          weekday(d).cast("long").as("wd")) // Monday = 0
+        .groupBy($"month_key", $"last_day_key", $"next_month_key")
+        .agg(count(lit(1)).as("n"),
+          min($"day_key").as("first_day"), max($"day_key").as("last_seen"),
+          countDistinct($"day_key").as("n_days"),
+          sum(when($"wd" === 0L, 1L).otherwise(0L)).as("n_monday_events"))
+        .orderBy($"month_key")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -692,5 +744,31 @@ object IndexQueries {
       """SELECT count(*) AS n_in,
         |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
         |  CAST(sum(CASE WHEN event_type <> 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_out
-        |FROM events""".stripMargin)
+        |FROM events""".stripMargin,
+    "q175_hof_sweep" ->
+      """WITH c AS (SELECT doc_id,
+        |  list_filter(string_split(lower(text), ' '), t -> t != '') AS tk FROM documents),
+        |l AS (SELECT doc_id, tk, list_transform(tk, x -> CAST(length(x) AS BIGINT)) AS lens FROM c)
+        |SELECT doc_id,
+        |  CAST(len(tk) AS BIGINT) AS n_toks,
+        |  CAST(len(list_filter(lens, x -> x >= 5)) AS BIGINT) AS n_long,
+        |  CAST(coalesce(list_sum(lens), 0) AS BIGINT) AS total_chars,
+        |  CAST(coalesce(list_sum(list_transform(generate_series(1, len(tk)),
+        |    i -> lens[i] * i)), 0) AS BIGINT) AS weighted_key,
+        |  CAST(CASE WHEN list_contains(tk, 'the') THEN 1 ELSE 0 END AS BIGINT) AS has_the
+        |FROM l ORDER BY doc_id""".stripMargin,
+    "q176_datetime_sweep" ->
+      """WITH e AS (SELECT CAST(ts AS DATE) AS d FROM events),
+        |k AS (SELECT
+        |  date_trunc('month', d) - DATE '1970-01-01' AS month_key,
+        |  d - DATE '1970-01-01' AS day_key,
+        |  last_day(d) - DATE '1970-01-01' AS last_day_key,
+        |  (date_trunc('month', d) + INTERVAL 1 MONTH)::DATE - DATE '1970-01-01' AS next_month_key,
+        |  isodow(d) - 1 AS wd
+        |FROM e)
+        |SELECT month_key, last_day_key, next_month_key, count(*) AS n,
+        |  min(day_key) AS first_day, max(day_key) AS last_seen,
+        |  CAST(count(DISTINCT day_key) AS BIGINT) AS n_days,
+        |  CAST(sum(CASE WHEN wd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_monday_events
+        |FROM k GROUP BY 1, 2, 3 ORDER BY month_key""".stripMargin)
 }
