@@ -568,6 +568,27 @@ object IndexQueries {
           countDistinct($"day_key").as("n_days"),
           sum(when($"wd" === 0L, 1L).otherwise(0L)).as("n_monday_events"))
         .orderBy($"month_key")
+    }),
+
+    // MapType surface — the one column family the engine hadn't exercised:
+    // per-type daily counts built INTO a map (map_from_entries over a
+    // sorted entry list), thinned with a map_filter lambda, sized via
+    // map_keys, and exploded back to rows. The map is the intermediate;
+    // the oracle checks the end-to-end relational semantics, so a wrong
+    // entry, lost key, or bad filter shows up as a row diff.
+    "q177_map_type" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val daily = t(s, dir, "events")
+        .groupBy($"event_type", expr("ts DIV 1000 DIV 86400000000").as("day"))
+        .agg(count(lit(1)).as("cnt"))
+      daily.groupBy($"event_type")
+        .agg(map_from_entries(sort_array(collect_list(struct($"day", $"cnt")))).as("m"))
+        .select($"event_type",
+          size(map_keys($"m")).cast("long").as("n_days_total"),
+          explode(map_filter($"m", (_, v) => v >= 2L)).as(Seq("day", "cnt")))
+        .select($"event_type", $"day", $"cnt", $"n_days_total")
+        .orderBy($"event_type", $"day")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -770,5 +791,13 @@ object IndexQueries {
         |  min(day_key) AS first_day, max(day_key) AS last_seen,
         |  CAST(count(DISTINCT day_key) AS BIGINT) AS n_days,
         |  CAST(sum(CASE WHEN wd = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_monday_events
-        |FROM k GROUP BY 1, 2, 3 ORDER BY month_key""".stripMargin)
+        |FROM k GROUP BY 1, 2, 3 ORDER BY month_key""".stripMargin,
+    "q177_map_type" ->
+      """WITH daily AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day, count(*) AS cnt
+        |               FROM events GROUP BY 1, 2),
+        |tot AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_days_total
+        |        FROM daily GROUP BY 1)
+        |SELECT d.event_type, d.day, d.cnt, t.n_days_total
+        |FROM daily d JOIN tot t USING (event_type)
+        |WHERE d.cnt >= 2 ORDER BY 1, 2""".stripMargin)
 }
