@@ -589,6 +589,33 @@ object IndexQueries {
           explode(map_filter($"m", (_, v) => v >= 2L)).as(Seq("day", "cnt")))
         .select($"event_type", $"day", $"cnt", $"n_days_total")
         .orderBy($"event_type", $"day")
+    }),
+
+    // ANALYZE TABLE + catalog statistics — the CBO's input surface: save a
+    // managed table (q26's leftover-location hygiene), compute table and
+    // column statistics, and read row count and NDV back from the CATALOG
+    // (not the data). The oracle recomputes both relationally; Spark's
+    // NDV estimator is HLL++-based but exact at this cardinality (3
+    // statuses), so the catalog must agree with the exact count.
+    "q178_analyze_stats" -> ((s, dir) => {
+      import s.implicits._
+      val tbl = s"t_orders_stats_${Tables.sfTag(dir)}"
+      s.sql("CREATE DATABASE IF NOT EXISTS graft_bench")
+      s.sql(s"DROP TABLE IF EXISTS graft_bench.$tbl")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir") + s"/graft_bench.db/$tbl")
+      loc.getFileSystem(s.sparkContext.hadoopConfiguration).delete(loc, true)
+      t(s, dir, "orders").select($"o_orderkey", $"o_orderstatus")
+        .write.mode("overwrite").format("parquet")
+        .saveAsTable(s"graft_bench.$tbl")
+      s.sql(s"ANALYZE TABLE graft_bench.$tbl COMPUTE STATISTICS FOR COLUMNS o_orderstatus")
+      val meta = s.sessionState.catalog.getTableMetadata(
+        org.apache.spark.sql.catalyst.TableIdentifier(tbl, Some("graft_bench")))
+      val st = meta.stats.getOrElse(sys.error("ANALYZE left no catalog stats"))
+      val rowCount = st.rowCount.map(_.toLong).getOrElse(-1L)
+      val ndv = st.colStats.get("o_orderstatus")
+        .flatMap(_.distinctCount).map(_.toLong).getOrElse(-1L)
+      Seq((rowCount, ndv)).toDF("row_count", "status_ndv")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -799,5 +826,9 @@ object IndexQueries {
         |        FROM daily GROUP BY 1)
         |SELECT d.event_type, d.day, d.cnt, t.n_days_total
         |FROM daily d JOIN tot t USING (event_type)
-        |WHERE d.cnt >= 2 ORDER BY 1, 2""".stripMargin)
+        |WHERE d.cnt >= 2 ORDER BY 1, 2""".stripMargin,
+    "q178_analyze_stats" ->
+      """SELECT count(*) AS row_count,
+        |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_ndv
+        |FROM orders""".stripMargin)
 }
