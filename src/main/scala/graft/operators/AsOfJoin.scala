@@ -84,9 +84,24 @@ object AsOfJoin {
              name: String) =
       plan.output.find(_.name == name).getOrElse(
         sys.error(s"column $name not found in ${plan.output.map(_.name).mkString(",")}"))
+    val lKeys = keyCols.map(attr(lp, _))
+    val rKeys = keyCols.map(attr(rp, _))
+    val lTs = attr(lp, leftTsCol)
+    val rTs = attr(rp, rightTsCol)
+    // the merge pass matches keys by UnsafeRow BYTE equality and orders by
+    // the LEFT side's timestamp type — an int-vs-bigint key or mismatched
+    // timestamp type would silently produce all-unmatched/mis-ordered
+    // output instead of failing; no implicit coercion on the native path
+    require(lKeys.map(_.dataType) == rKeys.map(_.dataType),
+      s"as-of key types differ: left=${lKeys.map(_.dataType.simpleString).mkString(",")} " +
+        s"right=${rKeys.map(_.dataType.simpleString).mkString(",")} — cast both sides to " +
+        "identical types first")
+    require(lTs.dataType == rTs.dataType,
+      s"as-of timestamp types differ: left $leftTsCol=${lTs.dataType.simpleString} " +
+        s"right $rightTsCol=${rTs.dataType.simpleString} — cast both sides to identical " +
+        "types first")
     val node = graft.plans.AsOfJoinNode(lp, rp,
-      keyCols.map(attr(lp, _)), keyCols.map(attr(rp, _)),
-      attr(lp, leftTsCol), attr(rp, rightTsCol),
+      lKeys, rKeys, lTs, rTs,
       payload.map(attr(rp, _)))
     // same output shape as leftAsOf: keys, ts, left rest, then payload
     ColumnBridge.dataFrame(left.sparkSession, node)

@@ -24,6 +24,8 @@ object Expectations {
     * the failed expectations (empty array = clean row). */
   def annotate(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     require(rules.nonEmpty, "at least one expectation")
+    require(!df.columns.contains("violations"),
+      "input already has a 'violations' column — annotate would silently clobber it")
     val viols = rules.map(r =>
       when(!coalesce(r.predicate, lit(false)), lit(r.name)))
     df.withColumn("violations",
@@ -42,16 +44,23 @@ object Expectations {
     * the DLT expectations dashboard row set: `(metric, n)`. */
   def stats(df: DataFrame, rules: Seq[Rule]): DataFrame = {
     val annotated = annotate(df, rules)
-    val aggs =
-      sum(when(size(col("violations")) === 0, 1L).otherwise(0L)).as("valid_rows") +:
-      sum(when(size(col("violations")) > 0, 1L).otherwise(0L)).as("quarantined_rows") +:
+    // metric names and aggregate columns travel POSITIONALLY (synthetic
+    // c<i> aliases, metric name only ever a string literal) — a rule
+    // named with quotes, spaces, or dots can never be parsed as SQL or
+    // mis-resolve a column reference
+    val metrics: Seq[(String, Column)] =
+      ("valid_rows", sum(when(size(col("violations")) === 0, 1L).otherwise(0L))) +:
+      ("quarantined_rows", sum(when(size(col("violations")) > 0, 1L).otherwise(0L))) +:
       rules.map(r =>
-        sum(when(array_contains(col("violations"), r.name), 1L).otherwise(0L))
-          .as(s"viol_${r.name}"))
+        (s"viol_${r.name}",
+          sum(when(array_contains(col("violations"), r.name), 1L).otherwise(0L))))
+    val aggs = metrics.zipWithIndex.map { case ((_, c), i) => c.as(s"c$i") }
     val aggd = annotated.agg(aggs.head, aggs.tail: _*)
     // unpivot to (metric, n) so the row set grows with the rule list
-    val cols = Seq("valid_rows", "quarantined_rows") ++ rules.map(r => s"viol_${r.name}")
-    aggd.selectExpr(s"stack(${cols.length}, " +
-      cols.map(c => s"'$c', $c").mkString(", ") + ") AS (metric, n)")
+    val entries = metrics.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("metric"), col(s"c$i").as("n"))
+    }
+    aggd.select(explode(array(entries: _*)).as("e"))
+      .select(col("e.metric").as("metric"), col("e.n").as("n"))
   }
 }

@@ -56,6 +56,15 @@ object SnapshotLog {
     val dst = new Path(path, s"_log/v$v")
     active.toDF("file").coalesce(1).write.parquet(tmp.toString)
     val f = fs(spark, dst)
+    // schema sidecar INSIDE the manifest dir (underscore-prefixed, so the
+    // parquet reader ignores it; the atomic rename below publishes both
+    // together): an empty commit/overwrite writes zero data part files,
+    // and without the recorded schema its version could never be read
+    // back — with it, readVersion returns an empty typed frame
+    val schemaFile = new Path(tmp, "_schema.json")
+    val out = f.create(schemaFile, true)
+    try out.write(df.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     require(f.rename(tmp, dst), s"concurrent commit detected publishing v$v")
     v
   }
@@ -72,8 +81,22 @@ object SnapshotLog {
     * pin the exact set. */
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
     val files = manifestFiles(spark, path, v)
-    require(files.nonEmpty, s"version $v has an empty manifest")
-    spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else {
+      // empty commit (e.g. an overwrite that deleted every row): the
+      // manifest lists no files, so the schema comes from the sidecar
+      val sf = new Path(path, s"_log/v$v/_schema.json")
+      val f = fs(spark, sf)
+      require(f.exists(sf),
+        s"version $v has an empty manifest and no schema sidecar (pre-sidecar commit?)")
+      val buf = new Array[Byte](f.getFileStatus(sf).getLen.toInt)
+      val in = f.open(sf)
+      try in.readFully(buf) finally in.close()
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
   /** Read the latest version. */

@@ -49,4 +49,21 @@ class ExpectationsSpec extends SparkSpec {
     assert(st("viol_non_negative") == 3L)
     assert(st("viol_known_type") == 2L)
   }
+
+  test("rule names with quotes/spaces/dots are data, never parsed as SQL") {
+    val hostile = Seq(
+      Expectations.Rule("has ' quote — and.dots", col("value") >= 0.0),
+      Expectations.Rule("select * from x; --", col("event_type").isNotNull))
+    val st = Expectations.stats(rows, hostile)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(st("viol_has ' quote — and.dots") == 3L)
+    assert(st("viol_select * from x; --") == 1L)
+    assert(st("valid_rows") == 1L)
+  }
+
+  test("annotate rejects an input that already has a violations column") {
+    val pre = Expectations.annotate(rows, rules)
+    val e = intercept[IllegalArgumentException](Expectations.annotate(pre, rules))
+    assert(e.getMessage.contains("violations"))
+  }
 }

@@ -47,6 +47,19 @@ class JoinOpsSpec extends SparkSpec {
       collect(AsOfJoin.leftAsOf(ldf, rNull, Seq("k"), "ts", "ts2")))
   }
 
+  test("native as-of rejects mismatched key/timestamp types instead of silently unmatching") {
+    import spark.implicits._
+    val ldf = Seq((1, 10L, "a")).toDF("k", "ts", "x")      // k: int
+    val rdfKey = Seq((1L, 5L, 1.0)).toDF("k", "ts2", "v")  // k: bigint
+    val eKey = intercept[IllegalArgumentException](
+      AsOfJoin.leftAsOfNative(ldf, rdfKey, Seq("k"), "ts", "ts2"))
+    assert(eKey.getMessage.contains("key types differ"))
+    val rdfTs = Seq((1, 5, 1.0)).toDF("k", "ts2", "v")     // ts2: int vs left bigint
+    val eTs = intercept[IllegalArgumentException](
+      AsOfJoin.leftAsOfNative(ldf, rdfTs, Seq("k"), "ts", "ts2"))
+    assert(eTs.getMessage.contains("timestamp types differ"))
+  }
+
   test("leftAsOf is inclusive at equal timestamps and atomic across payload columns") {
     import spark.implicits._
     val left = Seq(("k", 10L, 1L), ("k", 5L, 2L)).toDF("k", "ts", "row_id")

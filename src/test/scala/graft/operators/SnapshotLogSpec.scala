@@ -40,6 +40,24 @@ class SnapshotLogSpec extends SparkSpec {
       SnapshotLog.readVersion(spark, tbl, 9)).getMessage.contains("does not exist"))
   }
 
+  test("an empty overwrite publishes a readable zero-row version with the schema") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl, (0L until 10L).toDF("id"), overwrite = false)
+    // DELETE-everything as an overwrite: zero data part files, schema
+    // carried by the manifest sidecar
+    val empty = (0L until 10L).toDF("id").where(lit(false))
+    assert(SnapshotLog.commit(spark, tbl, empty, overwrite = true) == 2)
+    val v2 = SnapshotLog.read(spark, tbl)
+    assert(v2.count() == 0)
+    assert(v2.schema.fieldNames.toSeq == Seq("id"))
+    // history before the empty overwrite still time-travels
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 1)) == (0L until 10L).toSet)
+    // and appending after it works
+    SnapshotLog.commit(spark, tbl, Seq(7L).toDF("id"), overwrite = false)
+    assert(ids(SnapshotLog.read(spark, tbl)) == Set(7L))
+  }
+
   test("a published version's file set is immutable under later commits") {
     import spark.implicits._
     val tbl = freshTable()

@@ -70,6 +70,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
   }
 
+  test("q12 left_outer + IS NULL is rewritten to a LeftAnti join end-to-end") {
+    // the AntiJoinRewrite rule exists FOR this spelling
+    // (02_geofraud_fraud.py:62-68) — pin the whole-query plan, not just the
+    // rule's unit shape, so a planner miss can't hide behind green results
+    val p = plan("q12_leftouter_isnull")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("LeftOuter"), p)
+  }
+
   test("q60 bucketed join + aggregate reuse the bucket layout: zero shuffles before the orderBy") {
     // force the SMJ path (at sf0.001 the dimension side would broadcast,
     // which hides the property under test: bucket co-location)
