@@ -21,7 +21,11 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    normalization pass before tokenize/dedup);
   *  - `kmv_sketch`: native TypedImperativeAggregate KMV distinct sketch
   *    (bounded partial/merge state — the auditable approx-distinct for
-  *    SQL callers, lockstep with `graft.sketch.Kmv`). */
+  *    SQL callers, lockstep with `graft.sketch.Kmv`);
+  *  - `hll_sketch`: native TypedImperativeAggregate HyperLogLog sketch
+  *    (fixed 2^p-register state, elementwise-max merge — the
+  *    deterministic, oracle-replayable alternative to
+  *    `approx_count_distinct`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
@@ -59,5 +63,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("kmv_sketch"),
       new ExpressionInfo(classOf[KmvSketchAggregate].getName, "kmv_sketch"),
       KmvSketchAggregate.build))
+    extensions.injectFunction((
+      new FunctionIdentifier("hll_sketch"),
+      new ExpressionInfo(classOf[HllSketchAggregate].getName, "hll_sketch"),
+      HllSketchAggregate.build))
   }
 }

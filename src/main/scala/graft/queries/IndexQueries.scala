@@ -694,6 +694,25 @@ object IndexQueries {
       val ndv = st.colStats.get("o_orderstatus")
         .flatMap(_.distinctCount).map(_.toLong).getOrElse(-1L)
       Seq((rowCount, ndv)).toDF("row_count", "status_ndv")
+    }),
+
+    // NATIVE Catalyst aggregate #2 (TypedImperativeAggregate): the
+    // HyperLogLog distinct sketch as a registered SQL function — the
+    // deterministic, oracle-replayable alternative to
+    // approx_count_distinct (whose xxHash64/HLL++ internals no external
+    // engine can re-derive). p=6 → a fixed 64-int register array per
+    // group: partial aggregation folds rows map-side and the exchange
+    // carries 64 ints per group no matter how many rows fed it. The
+    // estimate rides as integer micro-units; registers are the full
+    // sketch state, so the oracle replays BOTH from raw rows.
+    "q179_hll_native" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "events").createOrReplaceTempView("q179_events")
+      s.sql("""SELECT event_type, hll_sketch(CAST(user_id AS STRING), 6) AS sk
+               FROM q179_events WHERE user_id IS NOT NULL GROUP BY event_type""")
+        .select($"event_type", $"sk.registers".as("registers"),
+          round($"sk.estimate" * lit(1e6)).cast("long").as("est_micros"))
+        .orderBy($"event_type")
     }))
 
   val oracle: Map[String, String] = Map(
@@ -908,5 +927,37 @@ object IndexQueries {
     "q178_analyze_stats" ->
       """SELECT count(*) AS row_count,
         |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS status_ndv
-        |FROM orders""".stripMargin)
+        |FROM orders""".stripMargin,
+    // HLL replay: bucket = top 6 of the 60-bit md5 slice, rho = leading
+    // zeros within the 54-bit suffix + 1 (all-zero suffix → 55); the
+    // estimator rebuilds the EXACT integer harmonic key sum(2^(55-rho))
+    // and applies the same two pinned IEEE roundings as the native
+    // aggregate's eval (alpha_64 = 0.709; small-range branch at
+    // raw <= 2.5*m with zero registers present).
+    "q179_hll_native" ->
+      s"""WITH h AS (SELECT event_type,
+         |  ${graft.text.TextFunctions.md5Bucket60Sql("CAST(user_id AS VARCHAR)")} AS hv
+         |  FROM events WHERE user_id IS NOT NULL),
+         |b AS (SELECT event_type, CAST(hv >> 54 AS INT) AS bucket,
+         |        hv & ((CAST(1 AS BIGINT) << 54) - 1) AS suffix FROM h),
+         |r AS (SELECT event_type, bucket,
+         |        max(CASE WHEN suffix = 0 THEN 55
+         |                 ELSE 54 - length(bin(suffix)) + 1 END) AS rho
+         |      FROM b GROUP BY 1, 2),
+         |g AS (SELECT DISTINCT event_type FROM events WHERE user_id IS NOT NULL),
+         |f AS (SELECT g.event_type, gs.bucket, coalesce(r.rho, 0) AS rho
+         |      FROM g CROSS JOIN generate_series(0, 63) AS gs(bucket)
+         |      LEFT JOIN r ON r.event_type = g.event_type AND r.bucket = gs.bucket),
+         |a AS (SELECT event_type,
+         |        string_agg(CAST(rho AS VARCHAR), ',' ORDER BY bucket) AS registers,
+         |        CAST(sum(CAST(1 AS BIGINT) << (55 - rho)) AS BIGINT) AS harm_key,
+         |        CAST(sum(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS zeros
+         |      FROM f GROUP BY 1),
+         |e AS (SELECT event_type, registers, zeros,
+         |        0.709 * (64.0 * 64.0) * power(2.0, 55) / CAST(harm_key AS DOUBLE) AS raw
+         |      FROM a)
+         |SELECT event_type, registers,
+         |  CAST(round((CASE WHEN raw <= 160.0 AND zeros > 0
+         |    THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE raw END) * 1e6) AS BIGINT) AS est_micros
+         |FROM e ORDER BY event_type""".stripMargin)
 }
