@@ -86,6 +86,7 @@ object Bench {
       // one-off index construction (the q122 staged-lookup precedent)
       graft.queries.IndexQueries.stageIndexLegs(spark, sfDir)
       graft.queries.ExtensionQueries.stageQ67Png(spark, sfDir)
+      graft.queries.ExtensionQueries.stageQ140Hashes(spark, sfDir)
     }
     warm("streaming-engine") {
       // micro-batch planner, state store, parquet file source/sink — the

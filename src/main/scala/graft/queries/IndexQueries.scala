@@ -4,9 +4,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
-import graft.operators.{Compaction, DataSkipping, Expectations, SnapshotLog}
-import graft.sim.Similarity
-import graft.text.QualityClassifier
+import graft.operators.{BloomFileIndex, Compaction, DataSkipping, Expectations, SnapshotLog}
+import graft.sim.{AnnIndexStore, Similarity}
+import graft.text.{Bm25, QualityClassifier, TextFunctions}
 
 /** Round-5 wave (q157–q172): the storage/index layer a 100 TB corpus
   * sits on, plus the remaining modality and semantics gaps —
@@ -26,7 +26,12 @@ import graft.text.QualityClassifier
   *    no-data batch: stream-stream LEFT OUTER interval join (q163) and
   *    append-mode window finalization (q166);
   *  - Catalyst surface: the native `kmv_sketch` TypedImperativeAggregate
-  *    (q168) and the three-way join-strategy-hint agreement check (q172). */
+  *    (q168) and the three-way join-strategy-hint agreement check (q172).
+  *
+  * Round-6 wave (q179–q184): the native `hll_sketch` aggregate (q179),
+  * the file-level Bloom-index pruning tier (q180), BM25 retrieval
+  * (q181), token-entropy quality (q182), the stream-stream FULL OUTER
+  * interval join (q183), and the persisted-IVF index lifecycle (q184). */
 object IndexQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
@@ -47,6 +52,9 @@ object IndexQueries {
   private val q170PartPat = scratchPat("q170_part")
   private val q171PartPat = scratchPat("q171_part")
   private val q173XmlPat = scratchPat("q173_xml")
+  private val q180EventsPat = scratchPat("q180_events")
+  private val q184IndexPat = scratchPat("q184_ivf_index")
+  private val q184CandPat = scratchPat("q184_cands")
 
   /** PQ codebooks for the embeddings corpus, fit once per (session, sf
     * dir, source signature) — q157 and q167 share one sampled Lloyd fit.
@@ -85,6 +93,38 @@ object IndexQueries {
     stageQ157Legs(s, dir)
     stageQ161Pairs(s, dir)
     stageQ167Legs(s, dir)
+    stageQ180Events(s, dir)
+    stageQ184Legs(s, dir)
+  }
+
+  /** q180's events copy, staged write-once into a multi-file hash layout
+    * (8 files, event_id-hashed) — the unclustered high-cardinality layout
+    * a file-level Bloom index exists for. Same rows as the source table,
+    * so the oracle replays from `events` directly. */
+  private def stageQ180Events(s: SparkSession, dir: String): String = {
+    val p = scratch(q180EventsPat, dir)
+    Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "events")) {
+      t(s, dir, "events").repartition(8, col("event_id"))
+        .write.mode("overwrite").parquet(p)
+    }
+    p
+  }
+
+  /** q184's persisted-index legs: the IVF index directory (centroids +
+    * assignments + params sidecar) and the candidate pairs probed from the
+    * LOADED index — both deterministic given the embeddings table. */
+  private def stageQ184Legs(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val sig = Tables.sourceSig(s, dir, "embeddings")
+    val base = scratch(q184IndexPat, dir)
+    Tables.stageOnce(s, base, sig) {
+      AnnIndexStore.save(s, base, t(s, dir, "embeddings"), nlist = 8)
+    }
+    Tables.stageOnce(s, scratch(q184CandPat, dir), sig) {
+      AnnIndexStore.probe(s, base, t(s, dir, "embeddings").filter($"vec_id" < 5),
+          nprobe = 3)
+        .write.mode("overwrite").parquet(scratch(q184CandPat, dir))
+    }
   }
 
   /** q157's two scratch legs: PQ codes for the corpus, integer LUT for the
@@ -713,7 +753,114 @@ object IndexQueries {
         .select($"event_type", $"sk.registers".as("registers"),
           round($"sk.estimate" * lit(1e6)).cast("long").as("est_micros"))
         .orderBy($"event_type")
+    }),
+
+    // File-level Bloom-filter index — the membership pruning tier beside
+    // min/max skipping (q158) and partition elimination (q170): point
+    // lookups on a high-cardinality column consult per-file Blooms at
+    // planning time, reading only the files that might contain the keys.
+    // Correctness gate: the oracle runs the same IN filter over the FULL
+    // source table — a false drop (the one failure a Bloom cannot have)
+    // loses rows and breaks the hash. BloomFileIndexSpec pins that files
+    // ARE pruned; here only soundness is on trial.
+    "q180_bloom_file_index" -> ((s, dir) => {
+      import s.implicits._
+      val staged = stageQ180Events(s, dir)
+      val man = BloomFileIndex.manifest(s, staged, "event_id",
+        expectedPerFile = 16384L, fpp = 0.01)
+      val files = BloomFileIndex.prune(man, Q180Ids.map(_.toString))
+      DataSkipping.readFiles(s, staged, files)
+        .where($"event_id".isin(Q180Ids: _*))
+        .select($"event_id", $"user_id", $"event_type",
+          round($"value" * lit(1e6)).cast("long").as("value_micros"))
+        .orderBy($"event_id")
+    }),
+
+    // BM25 ranked retrieval over the corpus — the scoring complement of
+    // the inverted index (q77): Okapi BM25 (k1=1.2, b=0.75, Lucene
+    // always-positive idf) for a fixed term set, top-15. Per-term scores
+    // round to integer micro-units and the per-doc total is an INTEGER
+    // sum, so aggregation order cannot diverge between engines; top-k
+    // plans as TakeOrderedAndProject (per-partition heaps, no global
+    // sort) before the bounded rank window.
+    "q181_bm25" -> ((s, dir) =>
+      Bm25.topK(t(s, dir, "documents"), Q181Terms, k = 15)),
+
+    // Token-entropy quality signal (the Gopher/C4 repetition class):
+    // Shannon entropy of each doc's token distribution from one
+    // (doc, token) count aggregate — H = ln(n) − (Σ c·ln c)/n. The
+    // Σ c·ln c sum rides as per-token integer micro-units (order-
+    // independent), so the only cross-engine doubles are ln calls on
+    // identical integers with pinned op order. Low entropy = repetitive
+    // boilerplate; the signal feeds the quality-filter family (q31/q159).
+    "q182_token_entropy" -> ((s, dir) => {
+      import s.implicits._
+      val counts = t(s, dir, "documents")
+        .select($"doc_id", explode(TextFunctions.tokens(lower($"text"))).as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      counts.groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          count(lit(1)).as("n_unique"),
+          sum(round($"c".cast("double") * log($"c".cast("double")) * lit(1e6))
+            .cast("long")).as("clnc_key"))
+        .withColumn("entropy_micros",
+          round((log($"n_tokens".cast("double"))
+            - ($"clnc_key".cast("double") / lit(1e6)) / $"n_tokens".cast("double"))
+            * lit(1e6)).cast("long"))
+        .select($"doc_id", $"n_tokens", $"n_unique", $"clnc_key", $"entropy_micros")
+        .orderBy($"doc_id")
+    }),
+
+    // Stream-stream FULL OUTER interval join — the last outer variant
+    // beside q163's left outer: matched pairs emit as inner results;
+    // each side's never-matched rows emit null-extended when the global
+    // watermark passes their side's state bound (left: pts + 1h < wm —
+    // the join window has closed; right: cts < wm — no future left can
+    // reach back). The oracle replays both eviction cutoffs from the
+    // batch data; unmatched ids surface as −1 (q163's convention).
+    "q183_stream_full_outer" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runStagedStream(s, "q183", dir, src, noDataBatches = true) { mk =>
+        val pur = mk().select($"event_id".as("p_id"), $"user_id".as("p_user"),
+            expr("timestamp_micros(ts DIV 1000)").as("pts"))
+          .where($"p_id" % 10 === 0) // sparse left side: most stay unmatched
+          .withWatermark("pts", "10 seconds")
+        val clk = mk().select($"event_id".as("c_id"), $"user_id".as("c_user"),
+            $"event_type", expr("timestamp_micros(ts DIV 1000)").as("cts"))
+          .where($"event_type" === "click")
+          .withWatermark("cts", "10 seconds")
+        pur.join(clk, expr(
+            "p_user = c_user AND cts >= pts AND cts <= pts + interval 1 hour"),
+            "full_outer")
+          .select($"p_id", $"c_id")
+      }.select(coalesce($"p_id", lit(-1L)).as("p_id"),
+          coalesce($"c_id", lit(-1L)).as("c_id"))
+        .orderBy($"p_id", $"c_id")
+    }),
+
+    // Persisted-IVF index lifecycle (faiss write_index/read_index): the
+    // index directory — centroids, assignments, params sidecar — is built
+    // and SAVED once, and the search path probes the LOADED index (no
+    // refit). Candidates persist so the oracle replays the exact-cosine
+    // ranking over them; AnnIndexStoreSpec pins save→load→search equals
+    // the fresh-fit search.
+    "q184_ann_index_persist" -> ((s, dir) => {
+      import s.implicits._
+      stageQ184Legs(s, dir)
+      Similarity.rankCandidates(s.read.parquet(scratch(q184CandPat, dir)),
+          t(s, dir, "embeddings").filter($"vec_id" < 5),
+          t(s, dir, "embeddings"), k = 5)
+        .withColumn("rank", $"rank".cast("long"))
+        .orderBy($"query_id", $"rank")
     }))
+
+  /** q180's probe keys — exist at every sf (event_id 0..999 at sf0.001). */
+  private val Q180Ids = Seq(3L, 41L, 107L, 499L, 877L)
+
+  /** q181's query terms — mid-frequency tokens of the synthetic corpus. */
+  private val Q181Terms = Seq("spark", "vector", "scan")
 
   val oracle: Map[String, String] = Map(
     "q157_pq_adc" ->
@@ -959,5 +1106,49 @@ object IndexQueries {
          |SELECT event_type, registers,
          |  CAST(round((CASE WHEN raw <= 160.0 AND zeros > 0
          |    THEN 64.0 * ln(64.0 / CAST(zeros AS DOUBLE)) ELSE raw END) * 1e6) AS BIGINT) AS est_micros
-         |FROM e ORDER BY event_type""".stripMargin)
+         |FROM e ORDER BY event_type""".stripMargin,
+    // soundness gate: the pruned read must equal the same filter over the
+    // FULL table (a Bloom can over-read, never drop)
+    "q180_bloom_file_index" ->
+      s"""SELECT event_id, user_id, event_type,
+         |  CAST(round(value * 1e6) AS BIGINT) AS value_micros
+         |FROM events WHERE event_id IN (${Q180Ids.mkString(", ")})
+         |ORDER BY event_id""".stripMargin,
+    "q181_bm25" -> Bm25.scoreSql("documents", Q181Terms, 15),
+    "q182_token_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split(lower(text), ' '), t -> t != '')) AS tok
+        |  FROM documents),
+        |c AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1, 2),
+        |a AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |    CAST(count(*) AS BIGINT) AS n_unique,
+        |    CAST(sum(CAST(round(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)) * 1e6) AS BIGINT)) AS BIGINT) AS clnc_key
+        |  FROM c GROUP BY 1)
+        |SELECT doc_id, n_tokens, n_unique, clnc_key,
+        |  CAST(round((ln(CAST(n_tokens AS DOUBLE))
+        |    - (CAST(clnc_key AS DOUBLE) / 1e6) / CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS entropy_micros
+        |FROM a ORDER BY doc_id""".stripMargin,
+    // both watermark-eviction cutoffs replayed from the batch data: a
+    // left (purchase) row null-extends when its 1h join window closed
+    // before the final watermark; a right (click) row when its event time
+    // itself passed the watermark (no future left can reach back)
+    "q183_stream_full_outer" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us, event_type FROM events),
+        |p AS (SELECT event_id AS p_id, user_id AS p_user, us AS p_us FROM e WHERE event_id % 10 = 0),
+        |c AS (SELECT event_id AS c_id, user_id AS c_user, us AS c_us FROM e WHERE event_type = 'click'),
+        |m AS (SELECT p.p_id, c.c_id FROM p JOIN c
+        |      ON p_user = c_user AND c_us >= p_us AND c_us <= p_us + 3600000000),
+        |wm AS (SELECT least((SELECT max(c_us) FROM c), (SELECT max(p_us) FROM p))
+        |         - 10000000 AS w)
+        |SELECT p_id, c_id FROM m
+        |UNION ALL
+        |SELECT p.p_id, CAST(-1 AS BIGINT) AS c_id FROM p, wm
+        |WHERE p.p_us + 3600000000 < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.p_id = p.p_id)
+        |UNION ALL
+        |SELECT CAST(-1 AS BIGINT) AS p_id, c.c_id FROM c, wm
+        |WHERE c.c_us < wm.w
+        |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
+        |ORDER BY p_id, c_id""".stripMargin,
+    "q184_ann_index_persist" -> ExtensionQueries.knnReplayOracle(q184CandPat, 5))
 }
