@@ -10,12 +10,52 @@ import org.apache.spark.sql.functions._
 object Tables {
 
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame = {
-    // events.ts is TIMESTAMP(NANOS) parquet, which Spark only reads under
-    // the legacy long view; set it HERE so no events consumer depends on a
-    // conf-setting query having run before it in the session
+    // events.ts is timestamp parquet; the legacy conf covers the
+    // TIMESTAMP(NANOS) encoding (reads as long), set HERE so no events
+    // consumer depends on a conf-setting query having run before it
     if (name == "events")
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    if (name == "events") {
+      val norm = normalizeEventsTs(df)
+      requireEventsContract(norm)
+      norm
+    } else df
+  }
+
+  /** Repo-wide events contract: `ts` is BIGINT nanoseconds since epoch
+    * (downstream does `ts DIV 1000` → the µs the oracle's `epoch_us(ts)`
+    * computes). Testdata has shipped `ts` under three parquet encodings —
+    * TIMESTAMP(NANOS) (long under the legacy conf), TIMESTAMP_MICROS
+    * without timezone (TIMESTAMP_NTZ), and could ship tz-adjusted micros
+    * (TIMESTAMP). This accepts all three and always yields long nanos with
+    * NO session-timezone dependence: the NTZ leg is wall-clock arithmetic
+    * against an NTZ epoch literal (`timestampdiff` on two NTZ operands
+    * never consults a timezone), and `unix_micros` on TIMESTAMP reads the
+    * internal UTC micros directly. */
+  def normalizeEventsTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts", expr(
+          "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) * 1000"))
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * lit(1000L))
+      case _ => df
+    }
+  }
+
+  /** Loud single-point schema gate for the events table: a testdata
+    * regeneration that drifts outside the encodings [[normalizeEventsTs]]
+    * handles fails HERE with one message, not as 24 scattered analysis
+    * errors in downstream `ts` arithmetic. */
+  def requireEventsContract(df: DataFrame): Unit = {
+    val got = df.schema.fields.map(f => f.name -> f.dataType.simpleString).toSeq
+    val want = Seq("event_id" -> "bigint", "ts" -> "bigint", "user_id" -> "bigint",
+      "event_type" -> "string", "value" -> "double", "props" -> "string")
+    require(got == want,
+      s"events contract violated: expected $want but the normalized read has $got — " +
+        "the testdata's events encoding drifted; extend Tables.normalizeEventsTs")
   }
 
   /** Filesystem-safe tag for a scale dir — keys per-sf scratch paths so

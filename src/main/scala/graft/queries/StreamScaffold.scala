@@ -109,8 +109,11 @@ private[graft] object StreamScaffold {
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     try {
-      val q = build(() => s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir))
+      // staged copies are raw file copies, so their ts encoding is whatever
+      // the testdata shipped — restore the long-nanos contract on the stream
+      // exactly like Tables.table does for batch reads
+      val q = build(() => Tables.normalizeEventsTs(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir)))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .outputMode("append")
@@ -148,8 +151,8 @@ private[graft] object StreamScaffold {
     try {
       val writeBatch: (DataFrame, Long) => Unit =
         (b, _) => b.write.mode("overwrite").parquet(out)
-      val q = build(s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir))
+      val q = build(Tables.normalizeEventsTs(s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir)))
         .writeStream.outputMode("complete")
         .option("checkpointLocation", chk)
         .foreachBatch(writeBatch)

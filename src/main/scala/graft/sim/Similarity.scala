@@ -218,19 +218,25 @@ object Similarity {
     * engines round half-away-from-zero, so codes replay exactly;
     * `scale_key` is the µ-scaled integer spelling of max|v|. */
   /** K-means cluster assignment of every vector — the SemDeDup partition
-    * step: fit `nlist` centroids (seeded, ML KMeans), assign each embedding
-    * to its nearest. Returns (idCol, cluster). The fit samples nothing here
-    * (corpus-sized train); at real scale fit on a sample and only the
-    * assignment pass touches every row (one broadcast of nlist centroids). */
+    * step: fit `nlist` centroids on a BOUNDED md5-priority sample
+    * (driver-side deterministic Lloyd, the [[pqCodebooks]] pattern — the
+    * partitioning is a blocking heuristic, its quality doesn't need a
+    * full-corpus fit), then assign each embedding to its nearest via one
+    * broadcast. Only the assignment pass touches every row — one map-side
+    * projection, no iterative full-corpus jobs, the shape that holds at
+    * 100 TB. Returns (idCol, cluster). */
   def kmeansAssign(df: DataFrame, nlist: Int = 16, seed: Long = 42L,
-                   idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.linalg.Vectors
+                   idCol: String = "vec_id", vecCol: String = "embedding",
+                   sampleCap: Int = 2048): DataFrame = {
     val spark = df.sparkSession
-    val toVec = udf((a: Seq[Float]) => Vectors.dense(a.map(_.toDouble).toArray))
-    val km = new KMeans().setK(nlist).setSeed(seed).setMaxIter(10)
-      .fit(df.select(toVec(col(vecCol)).as("features")))
-    val bc = spark.sparkContext.broadcast(km.clusterCenters.map(_.toArray))
+    val sample = df
+      .withColumn("pri", graft.text.TextFunctions.md5Bucket60(
+        concat(lit("km|"), col(idCol).cast("string"))))
+      .orderBy(col("pri"), col(idCol)).limit(sampleCap)
+      .select(col(vecCol)).collect()
+      .map(_.getSeq[Float](0).map(_.toDouble).toArray)
+    val bc = spark.sparkContext.broadcast(
+      lloyd(sample, nlist, iters = 10, seed = seed))
     def dist2(v: Seq[Float], c: Array[Double]): Double = {
       var s = 0.0; var i = 0
       val n = math.min(v.length, c.length)
