@@ -87,6 +87,7 @@ object Bench {
       graft.queries.IndexQueries.stageIndexLegs(spark, sfDir)
       graft.queries.ExtensionQueries.stageQ67Png(spark, sfDir)
       graft.queries.ExtensionQueries.stageQ140Hashes(spark, sfDir)
+      graft.queries.ExtensionQueries.stageQ135Assignments(spark, sfDir)
     }
     warm("streaming-engine") {
       // micro-batch planner, state store, parquet file source/sink — the

@@ -153,10 +153,6 @@ object CoreQueries {
     // (01_geofraud_clustering.py:386-418) on derived points at res 9
     "q16_tfidf" -> ((s, dir) => {
       import s.implicits._
-      // No persist: a cached frame here would be retained across the whole
-      // 44-query Verify/Bench session (nobody can unpersist after the
-      // caller's action). ReuseExchange dedupes the identical subtrees
-      // inside the final plan, so only the separate `n` count pays a repeat.
       val pointsCells = Tables.points(s, dir)
         .select($"user_id", GeoFunctions.geoCell($"latitude", $"longitude", 9).as("cell"))
       // here (unlike GeoFraudPipeline.tfidfTiles, whose tile set carries
@@ -164,7 +160,13 @@ object CoreQueries {
       // points' (user, cell) pairs — so tf and df both derive from ONE
       // grouped scan: tf = points per (user, cell), df = distinct users per
       // cell = a count over the tf aggregate. No join, no distinct passes.
+      // The eager localCheckpoint pins that: tf/df/N all read the
+      // materialized (user, cell) aggregate — bounded, far smaller than
+      // points — so the lineitem⋈orders subtree runs ONCE (betting on
+      // ReuseExchange left it evaluated in three branches, r6 plan dump);
+      // blocks free with the frame, unlike a session-lifetime persist.
       val termFreq = pointsCells.groupBy($"user_id", $"cell").agg(sum(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val docFreq = termFreq.groupBy($"cell").agg(sum(lit(1)).as("df"))
       // broadcast scalar N, J6 (01_geofraud_clustering.py:409) — folded into
       // the plan as a broadcast 1-row cross join instead of a driver-side
