@@ -31,7 +31,11 @@ import graft.text.{Bm25, QualityClassifier, TextFunctions}
   * Round-6 wave (q179–q184): the native `hll_sketch` aggregate (q179),
   * the file-level Bloom-index pruning tier (q180), BM25 retrieval
   * (q181), token-entropy quality (q182), the stream-stream FULL OUTER
-  * interval join (q183), and the persisted-IVF index lifecycle (q184). */
+  * interval join (q183), and the persisted-IVF index lifecycle (q184).
+  *
+  * Round 7 (q185): the versioned model REGISTRY + model-as-function
+  * serving path ([[graft.tracking.ModelRegistry]]) — the MLflow-registry
+  * twin that closes the M5 pyfunc gap. */
 object IndexQueries {
 
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
@@ -55,6 +59,7 @@ object IndexQueries {
   private val q180EventsPat = scratchPat("q180_events")
   private val q184IndexPat = scratchPat("q184_ivf_index")
   private val q184CandPat = scratchPat("q184_cands")
+  private val q185RegPat = scratchPat("q185_registry")
 
   /** PQ codebooks for the embeddings corpus, fit once per (session, sf
     * dir, source signature) — q157 and q167 share one sampled Lloyd fit.
@@ -854,7 +859,50 @@ object IndexQueries {
           t(s, dir, "embeddings"), k = 5)
         .withColumn("rank", $"rank".cast("long"))
         .orderBy($"query_id", $"rank")
+    }),
+
+    // Model-REGISTRY serving (closes the M5 pyfunc gap): two immutable
+    // versions of a linear quality model are REGISTERED under one name —
+    // v1 fit on the full corpus' weak labels, v2 REFIT on the long-doc
+    // slice — and the serving path loads the LATEST by name and applies
+    // it as a function (kind-dispatched broadcast multiply-add). The
+    // oracle replays the scoring bit-exactly from the v2 weights parquet
+    // the registry published, so a wrong version resolution, a corrupted
+    // sidecar featmap, or a drifted weight row all break the hash.
+    "q185_model_registry" -> ((s, dir) => {
+      import s.implicits._
+      stageQ185Registry(s, dir)
+      val fcols = QualityClassifier.features($"text", $"n_chars")
+      val feats = t(s, dir, "documents")
+        .select($"doc_id" +: fcols.map { case (n, c) => c.as(n) }: _*)
+      graft.tracking.ModelRegistry.applyModel(s, scratch(q185RegPat, dir),
+          "quality", feats, idCol = "doc_id")
+        .orderBy($"doc_id")
     }))
+
+  /** q185's registry, staged write-once per documents state: reset the
+    * model dir (a refreshed corpus must republish v1/v2, never append
+    * v3/v4) and register both fits — deterministic given the table, so
+    * the oracle reads `.../quality/v2/data` directly. */
+  private def stageQ185Registry(s: SparkSession, dir: String): Unit = {
+    import s.implicits._
+    val root = scratch(q185RegPat, dir)
+    Tables.stageOnce(s, root, Tables.sourceSig(s, dir, "documents")) {
+      val m = new org.apache.hadoop.fs.Path(root, "quality")
+      m.getFileSystem(s.sparkContext.hadoopConfiguration).delete(m, true)
+      val docs = t(s, dir, "documents")
+      val featmap = graft.tracking.ModelRegistry.qualityFeatmap
+      graft.tracking.ModelRegistry.register(s, root, "quality",
+        graft.tracking.ModelRegistry.KindLinearLogit,
+        QualityClassifier.fitWeights(docs, ($"lang" === "en").cast("int")),
+        Map("featmap" -> featmap, "labels" -> "lang_en"))
+      graft.tracking.ModelRegistry.register(s, root, "quality",
+        graft.tracking.ModelRegistry.KindLinearLogit,
+        QualityClassifier.fitWeights(docs.where($"n_chars" >= 100),
+          ($"lang" === "en").cast("int")),
+        Map("featmap" -> featmap, "labels" -> "lang_en_long"))
+    }
+  }
 
   /** q180's probe keys — exist at every sf (event_id 0..999 at sf0.001). */
   private val Q180Ids = Seq(3L, 41L, 107L, 499L, 877L)
@@ -1150,5 +1198,20 @@ object IndexQueries {
         |WHERE c.c_us < wm.w
         |  AND NOT EXISTS (SELECT 1 FROM m WHERE m.c_id = c.c_id)
         |ORDER BY p_id, c_id""".stripMargin,
-    "q184_ann_index_persist" -> ExtensionQueries.knnReplayOracle(q184CandPat, 5))
+    "q184_ann_index_persist" -> ExtensionQueries.knnReplayOracle(q184CandPat, 5),
+    "q185_model_registry" -> {
+      val feats = QualityClassifier.featuresSql
+        .map { case (n, sql) => s"        $sql AS $n" }.mkString(",\n")
+      s"""WITH w AS (SELECT * FROM read_parquet('$q185RegPat/quality/v2/data/*.parquet')),
+         |f AS (SELECT doc_id,
+         |$feats
+         |      FROM documents),
+         |s AS (SELECT doc_id,
+         |        CAST(round((w.intercept + w.w_chars * f_chars + w.w_toks * f_toks
+         |          + w.w_stop * f_stop + w.w_digit * f_digit) * 1e6) AS BIGINT) AS logit_key
+         |      FROM f, w)
+         |SELECT doc_id, CAST(2 AS BIGINT) AS model_version, logit_key,
+         |  CAST(CASE WHEN logit_key > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
+         |FROM s ORDER BY doc_id""".stripMargin
+    })
 }
