@@ -124,4 +124,23 @@ object SnapshotLog {
     dead.foreach(d => f.delete(new Path(d), false))
     (live.size, dead.size)
   }
+
+  /** EXPIRE history (Iceberg's `expire_snapshots`): [[vacuum]] data files
+    * outside the retention horizon, then delete the expired manifests
+    * themselves. [[vacuum]] alone bounds STORAGE but lets `_log` grow
+    * forever — and every metadata pass that walks history (the `versions`
+    * listing, vacuum's referenced-set scan) is O(#versions): on a busy
+    * 100 TB table committing thousands of times a day, the unbounded log
+    * is the next scale-killer after dead data files. Expired versions
+    * become unlistable as well as unreadable BY DESIGN. Returns
+    * (expiredManifests, deletedDataFiles). */
+  def expireSnapshots(spark: SparkSession, path: String,
+                      retainVersions: Int = 1): (Int, Int) = {
+    val (_, deleted) = vacuum(spark, path, retainVersions)
+    val expired = versions(spark, path).dropRight(retainVersions)
+    val f = fs(spark, new Path(path))
+    expired.foreach(v => require(f.delete(new Path(path, s"_log/v$v"), true),
+      s"failed to delete expired manifest v$v"))
+    (expired.size, deleted)
+  }
 }

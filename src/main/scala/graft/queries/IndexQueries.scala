@@ -60,6 +60,7 @@ object IndexQueries {
   private val q184IndexPat = scratchPat("q184_ivf_index")
   private val q184CandPat = scratchPat("q184_cands")
   private val q185RegPat = scratchPat("q185_registry")
+  private val q187TablePat = scratchPat("q187_table")
 
   /** PQ codebooks for the embeddings corpus, fit once per (session, sf
     * dir, source signature) — q157 and q167 share one sampled Lloyd fit.
@@ -878,6 +879,65 @@ object IndexQueries {
       graft.tracking.ModelRegistry.applyModel(s, scratch(q185RegPat, dir),
           "quality", feats, idCol = "doc_id")
         .orderBy($"doc_id")
+    }),
+
+    // HYBRID retrieval with reciprocal-rank fusion — the standard
+    // two-tower serving pattern of a RAG/training-data search stack: the
+    // lexical leg (BM25 over the query terms) and the semantic leg (exact
+    // cosine kNN of the query embedding) rank independently, and RRF
+    // fuses by rank alone: score = Σ round(1e6 / (60 + rank)) in integer
+    // micro-units (rank-only fusion needs no cross-leg score calibration
+    // — the classic TREC result). Scale shape: each leg top-k's BEFORE
+    // fusion (TakeOrderedAndProject / windowed top-k), so the full-outer
+    // fusion join merges two ≤k-row frames regardless of corpus size.
+    "q186_hybrid_rrf" -> ((s, dir) => {
+      import s.implicits._
+      val lex = Bm25.topK(t(s, dir, "documents"), Q181Terms, k = 20)
+        .select($"doc_id", $"rank".as("lex_rank"))
+      val e = t(s, dir, "embeddings")
+      val sem = Similarity.bruteForceTopK(e.where($"vec_id" === 0L), e, k = 20)
+        .select($"corpus_id".as("doc_id"), $"rank".cast("long").as("sem_rank"))
+      def leg(rank: org.apache.spark.sql.Column) = coalesce(
+        round(lit(1e6) / (lit(60.0) + rank.cast("double"))).cast("long"), lit(0L))
+      lex.join(sem, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_micros", leg($"lex_rank") + leg($"sem_rank"))
+        .select($"doc_id", coalesce($"lex_rank", lit(-1L)).as("lex_rank"),
+          coalesce($"sem_rank", lit(-1L)).as("sem_rank"), $"rrf_micros")
+        .orderBy($"rrf_micros".desc, $"doc_id").limit(10)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy($"rrf_micros".desc, $"doc_id")).cast("long"))
+        .orderBy($"rank")
+    }),
+
+    // EXPIRE history (Iceberg expire_snapshots; completes the storage-tier
+    // lifecycle after q164 time travel + q165 VACUUM): four single-file
+    // commits, then expire to the last two — the expired manifests are
+    // DELETED (not just their data vacuumed), so the log listing itself
+    // stays bounded. Every count is pinned: coalesce(1) makes each commit
+    // exactly one data file, so live/deleted/expired are closed-form, and
+    // the surviving v4 read must equal overwrite(value>100) ⊎ append(view)
+    // recomputed from the source table. The oracle ALSO checks the
+    // on-disk aftermath — v4's manifest lists exactly 2 files.
+    "q187_expire_history" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q187TablePat, dir)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type", $"value")
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "purchase").coalesce(1), overwrite = false)
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "click").coalesce(1), overwrite = false)
+      SnapshotLog.commit(s, base, ev.where($"value" > 100.0).coalesce(1), overwrite = true)
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "view").coalesce(1), overwrite = false)
+      val (expired, deleted) = SnapshotLog.expireSnapshots(s, base, retainVersions = 2)
+      val vs = SnapshotLog.versions(s, base)
+      val nLive = s.read.parquet(s"$base/_log/v${vs.last}").count()
+      SnapshotLog.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
+        .select(lit(vs.length.toLong).as("n_versions"),
+          lit(vs.head.toLong).as("oldest_version"),
+          lit(expired.toLong).as("n_expired"), lit(deleted.toLong).as("n_deleted"),
+          $"n_rows", $"id_checksum", lit(nLive).as("n_live_files"))
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1213,5 +1273,39 @@ object IndexQueries {
          |SELECT doc_id, CAST(2 AS BIGINT) AS model_version, logit_key,
          |  CAST(CASE WHEN logit_key > 0 THEN 1 ELSE 0 END AS BIGINT) AS keep
          |FROM s ORDER BY doc_id""".stripMargin
-    })
+    },
+    "q186_hybrid_rrf" ->
+      s"""WITH lex AS (SELECT doc_id, rank AS lex_rank
+         |  FROM (${Bm25.scoreSql("documents", Q181Terms, 20)}) t),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |sc AS (SELECT c.vec_id AS doc_id,
+         |    CAST(round(list_cosine_similarity(q.qv, CAST(c.embedding AS DOUBLE[])) * 10000) AS BIGINT) AS cos_x1e4
+         |  FROM q CROSS JOIN embeddings c WHERE c.vec_id != 0),
+         |sem AS (SELECT doc_id, sem_rank FROM (
+         |    SELECT doc_id, row_number() OVER (ORDER BY cos_x1e4 DESC, doc_id) AS sem_rank
+         |    FROM sc) t WHERE sem_rank <= 20),
+         |fused AS (SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+         |    coalesce(lex.lex_rank, -1) AS lex_rank,
+         |    coalesce(sem.sem_rank, -1) AS sem_rank,
+         |    coalesce(CAST(round(1e6 / (60.0 + lex.lex_rank)) AS BIGINT), 0)
+         |      + coalesce(CAST(round(1e6 / (60.0 + sem.sem_rank)) AS BIGINT), 0) AS rrf_micros
+         |  FROM lex FULL OUTER JOIN sem ON lex.doc_id = sem.doc_id),
+         |top AS (SELECT * FROM fused ORDER BY rrf_micros DESC, doc_id LIMIT 10)
+         |SELECT doc_id, lex_rank, sem_rank, rrf_micros,
+         |  row_number() OVER (ORDER BY rrf_micros DESC, doc_id) AS rank
+         |FROM top ORDER BY rank""".stripMargin,
+    "q187_expire_history" ->
+      s"""WITH latest AS (SELECT * FROM events WHERE value > 100.0
+         |               UNION ALL SELECT * FROM events WHERE event_type = 'view')
+         |SELECT CAST(2 AS BIGINT) AS n_versions,
+         |  CAST(3 AS BIGINT) AS oldest_version,
+         |  CAST(2 AS BIGINT) AS n_expired,
+         |  -- v1/v2's single-file commits are referenced by no retained
+         |  -- manifest; v3's file lives on inside v4's active set
+         |  CAST(2 AS BIGINT) AS n_deleted,
+         |  (SELECT count(*) FROM latest) AS n_rows,
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM latest) AS id_checksum,
+         |  -- the on-disk aftermath: the surviving head manifest lists
+         |  -- exactly the overwrite file + the v4 append file
+         |  (SELECT count(*) FROM read_parquet('$q187TablePat/_log/v4/*.parquet')) AS n_live_files""".stripMargin)
 }

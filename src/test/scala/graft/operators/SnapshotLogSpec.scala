@@ -58,6 +58,26 @@ class SnapshotLogSpec extends SparkSpec {
     assert(ids(SnapshotLog.read(spark, tbl)) == Set(7L))
   }
 
+  test("expireSnapshots bounds the log: old manifests and their dead data go away") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl, (0L until 10L).toDF("id").coalesce(1), overwrite = false)
+    SnapshotLog.commit(spark, tbl, (10L until 20L).toDF("id").coalesce(1), overwrite = false)
+    SnapshotLog.commit(spark, tbl, (50L until 53L).toDF("id").coalesce(1), overwrite = true)
+    val (expired, deleted) = SnapshotLog.expireSnapshots(spark, tbl, retainVersions = 1)
+    // v1+v2 manifests expired; their two single-file commits are dead
+    // (v3's overwrite file is the only live one)
+    assert(expired == 2 && deleted == 2)
+    assert(SnapshotLog.versions(spark, tbl) == Seq(3))
+    assert(ids(SnapshotLog.read(spark, tbl)) == (50L until 53L).toSet)
+    // expired versions are unlistable AND unreadable by design
+    assert(intercept[IllegalArgumentException](
+      SnapshotLog.readVersion(spark, tbl, 1)).getMessage.contains("does not exist"))
+    // the log keeps working: the next commit takes the next version number
+    assert(SnapshotLog.commit(spark, tbl, Seq(99L).toDF("id"), overwrite = false) == 4)
+    assert(ids(SnapshotLog.read(spark, tbl)) == Set(50L, 51L, 52L, 99L))
+  }
+
   test("a published version's file set is immutable under later commits") {
     import spark.implicits._
     val tbl = freshTable()
