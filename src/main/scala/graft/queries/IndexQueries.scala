@@ -938,6 +938,32 @@ object IndexQueries {
           lit(vs.head.toLong).as("oldest_version"),
           lit(expired.toLong).as("n_expired"), lit(deleted.toLong).as("n_deleted"),
           $"n_rows", $"id_checksum", lit(nLive).as("n_live_files"))
+    }),
+
+    // Intra-document REPETITION quality signal (the Gopher repetition
+    // rules: fraction of a doc's n-grams that are repeats of an earlier
+    // occurrence — the filter that catches boilerplate-padded and
+    // looping-generation text). Scale shape: pure map-side — the trigram
+    // list, its distinct count and the µ-scaled fraction are all
+    // higher-order array ops WITHIN the row, no explode, no shuffle; the
+    // only exchange is the final order for the gate. At 100 TB this is
+    // the cheapest quality pass in the stack. The size(tk) >= 3 guard
+    // matters: Spark's sequence(0, -1) would generate a DESCENDING range,
+    // not an empty one.
+    "q188_repetition" -> ((s, dir) => {
+      import s.implicits._
+      val tk = TextFunctions.tokens(lower($"text"))
+      t(s, dir, "documents")
+        .select($"doc_id", tk.as("tk"))
+        .withColumn("tri", when(size($"tk") >= 3, expr(
+            "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
+          .otherwise(array().cast("array<string>")))
+        .where(size($"tri") > 0)
+        .select($"doc_id", size($"tri").cast("long").as("n_trigrams"),
+          (size($"tri") - size(array_distinct($"tri"))).cast("long").as("n_repeats"))
+        .withColumn("rep_micros",
+          round(lit(1e6) * $"n_repeats".cast("double") / $"n_trigrams".cast("double")).cast("long"))
+        .orderBy($"doc_id")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1307,5 +1333,20 @@ object IndexQueries {
          |  (SELECT CAST(sum(event_id) AS BIGINT) FROM latest) AS id_checksum,
          |  -- the on-disk aftermath: the surviving head manifest lists
          |  -- exactly the overwrite file + the v4 append file
-         |  (SELECT count(*) FROM read_parquet('$q187TablePat/_log/v4/*.parquet')) AS n_live_files""".stripMargin)
+         |  (SELECT count(*) FROM read_parquet('$q187TablePat/_log/v4/*.parquet')) AS n_live_files""".stripMargin,
+    "q188_repetition" ->
+      """WITH tk AS (SELECT doc_id,
+        |    list_filter(string_split(lower(text), ' '), t -> t != '') AS tk
+        |  FROM documents),
+        |tri AS (SELECT doc_id,
+        |    CASE WHEN len(tk) >= 3
+        |      THEN list_transform(generate_series(1, len(tk) - 2),
+        |             i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))
+        |      ELSE [] END AS tri
+        |  FROM tk)
+        |SELECT doc_id, CAST(len(tri) AS BIGINT) AS n_trigrams,
+        |  CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS n_repeats,
+        |  CAST(round(1e6 * CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
+        |    / CAST(len(tri) AS DOUBLE)) AS BIGINT) AS rep_micros
+        |FROM tri WHERE len(tri) > 0 ORDER BY doc_id""".stripMargin)
 }
