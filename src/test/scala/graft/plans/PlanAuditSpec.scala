@@ -149,6 +149,23 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("format_string")), p)
   }
 
+  test("q188 repetition stays map-side: no explode, no aggregation shuffle") {
+    val p = plan("q188_repetition")
+    // the trigram list, distinct count and fraction are higher-order array
+    // ops WITHIN the row — an explode (Generate) or a hash-partitioned
+    // exchange here means the cheapest quality pass grew a shuffle
+    assert(!p.contains("Generate"), p)
+    assert(!p.contains("Exchange hashpartitioning"), p)
+  }
+
+  test("q186 hybrid RRF top-k's each leg before the fusion join") {
+    val p = plan("q186_hybrid_rrf")
+    // orderBy+limit legs must plan as TakeOrderedAndProject (per-partition
+    // heaps) — a global Sort+Limit would ship every scored row
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("q168 native kmv aggregate: two-level ObjectHashAggregate (map-side partial)") {
     val p = plan("q168_kmv_native")
     assert(p.contains("ObjectHashAggregate"), p)
