@@ -946,21 +946,38 @@ object IndexQueries {
     // looping-generation text). Scale shape: pure map-side — the trigram
     // list, its distinct count and the µ-scaled fraction are all
     // higher-order array ops WITHIN the row, no explode, no shuffle; the
-    // only exchange is the final order for the gate. At 100 TB this is
-    // the cheapest quality pass in the stack. The size(tk) >= 3 guard
-    // matters: Spark's sequence(0, -1) would generate a DESCENDING range,
-    // not an empty one.
+    // only exchange is the final order for the gate.
+    //
+    // Expression-evaluation discipline (measured, sf0.1): the naive
+    // `transform(sequence(...), i -> concat(tk[i], ...))` spelling cost
+    // 5.3 s — a lambda body's reference to an OUTER column re-evaluates
+    // that column's whole (collapse-inlined) expression tree per ELEMENT,
+    // so the regex tokenization ran ~3× per trigram. Two fixes compound
+    // here: trigrams come from zip_with over three shifted slices
+    // (zip_with lambdas touch only their own arguments), and each
+    // intermediate (token list, trigram list) is BOUND ONCE as a
+    // single-element `transform(array(e), x -> ...)` lambda variable —
+    // variable lookups are free, so tokenize and trigram-build run once
+    // per row no matter how many times the body references them.
     "q188_repetition" -> ((s, dir) => {
       import s.implicits._
       val tk = TextFunctions.tokens(lower($"text"))
       t(s, dir, "documents")
         .select($"doc_id", tk.as("tk"))
-        .withColumn("tri", when(size($"tk") >= 3, expr(
-            "transform(sequence(0, size(tk) - 3), i -> concat_ws(' ', tk[i], tk[i+1], tk[i+2]))"))
-          .otherwise(array().cast("array<string>")))
-        .where(size($"tri") > 0)
-        .select($"doc_id", size($"tri").cast("long").as("n_trigrams"),
-          (size($"tri") - size(array_distinct($"tri"))).cast("long").as("n_repeats"))
+        .select($"doc_id", expr(
+          """element_at(transform(array(tk), t ->
+            |  element_at(transform(array(CASE WHEN size(t) >= 3
+            |      THEN zip_with(slice(t, 1, size(t) - 2),
+            |                    zip_with(slice(t, 2, size(t) - 2), slice(t, 3, size(t) - 2),
+            |                             (y, z) -> concat(y, ' ', z)),
+            |                    (x, yz) -> concat(x, ' ', yz))
+            |      ELSE CAST(array() AS ARRAY<STRING>) END), a ->
+            |    named_struct('n', CAST(size(a) AS BIGINT),
+            |                 'd', CAST(size(array_distinct(a)) AS BIGINT))), 1)), 1)""".stripMargin)
+          .as("st"))
+        .where($"st.n" > 0)
+        .select($"doc_id", $"st.n".as("n_trigrams"),
+          ($"st.n" - $"st.d").as("n_repeats"))
         .withColumn("rep_micros",
           round(lit(1e6) * $"n_repeats".cast("double") / $"n_trigrams".cast("double")).cast("long"))
         .orderBy($"doc_id")
