@@ -56,6 +56,19 @@ class EventsContractSpec extends SparkSpec {
     }
   }
 
+  test("the staged STREAM source honors the same long-nanos contract") {
+    // StreamScaffold stages a RAW file copy, so its readStream schema is
+    // whatever the testdata shipped — the scaffold must normalize exactly
+    // like Tables.table or every ts-arithmetic stream dies (the r6 break)
+    val dir = sfDirs.head
+    val src = graft.queries.StreamScaffold.stageTable(spark, dir, "events")
+    val schema = spark.read.parquet(src).schema
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(src))
+    assert(stream.isStreaming)
+    assert(stream.schema("ts").dataType == LongType, stream.schema.simpleString)
+  }
+
   test("a drifted encoding fails loudly at the single contract gate") {
     val bad = spark.range(3).select(
       $"id".as("event_id"), $"id".cast("string").as("ts"), $"id".as("user_id"),
