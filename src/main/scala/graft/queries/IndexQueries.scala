@@ -981,6 +981,57 @@ object IndexQueries {
         .withColumn("rep_micros",
           round(lit(1e6) * $"n_repeats".cast("double") / $"n_trigrams".cast("double")).cast("long"))
         .orderBy($"doc_id")
+    }),
+
+    // INCREMENTAL ingestion with checkpoint resume — the exactly-once
+    // contract that makes Structured Streaming the 100 TB ingest layer:
+    // the source receives two file deliveries drained by two SEPARATE
+    // AvailableNow runs over the SAME checkpoint. The second run must
+    // process ONLY the new file (the checkpoint's file log already holds
+    // the first), and the accumulated sink must equal the one-shot batch
+    // aggregate: a reprocessed file doubles the checksums, a missed file
+    // halves them — either breaks the hash. Fresh checkpoint per
+    // invocation; the reuse under test is BETWEEN the two increments.
+    "q189_stream_incremental" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = Tables.sfTag(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      def p(n: String) = new java.io.File(tmp, s"graft_q189_${n}_$tag").toString
+      val (srcDir, out, chk, half1, half2) = (p("src"), p("out"), p("chk"), p("h1"), p("h2"))
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      Seq(srcDir, out, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
+      val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      ev.where($"event_id" % 2 === 0).coalesce(1).write.mode("overwrite").parquet(half1)
+      ev.where($"event_id" % 2 =!= 0).coalesce(1).write.mode("overwrite").parquet(half2)
+      val schema = s.read.parquet(half1).schema
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      def deliver(from: String, prefix: String): Unit = {
+        val src = new org.apache.hadoop.fs.Path(from)
+        val f = src.getFileSystem(hconf)
+        f.listStatus(src).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (st, i) =>
+            org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, fs,
+              new org.apache.hadoop.fs.Path(srcDir, s"$prefix$i.parquet"), false, hconf)
+          }
+      }
+      def drain(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir)
+          .where($"event_type" === "purchase")
+          .writeStream.format("parquet")
+          .option("path", out).option("checkpointLocation", chk)
+          .outputMode("append").trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(StreamScaffold.AwaitTimeoutMs))
+          { q.stop(); sys.error("q189 increment did not terminate in time") }
+      }
+      deliver(half1, "a"); drain()
+      deliver(half2, "b"); drain() // same checkpoint: only the new file
+      s.read.parquet(out)
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1365,5 +1416,10 @@ object IndexQueries {
         |  CAST(len(tri) - len(list_distinct(tri)) AS BIGINT) AS n_repeats,
         |  CAST(round(1e6 * CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
         |    / CAST(len(tri) AS DOUBLE)) AS BIGINT) AS rep_micros
-        |FROM tri WHERE len(tri) > 0 ORDER BY doc_id""".stripMargin)
+        |FROM tri WHERE len(tri) > 0 ORDER BY doc_id""".stripMargin,
+    "q189_stream_incremental" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events WHERE event_type = 'purchase'""".stripMargin)
 }
