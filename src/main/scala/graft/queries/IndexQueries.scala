@@ -61,6 +61,8 @@ object IndexQueries {
   private val q184CandPat = scratchPat("q184_cands")
   private val q185RegPat = scratchPat("q185_registry")
   private val q187TablePat = scratchPat("q187_table")
+  private val q190EvoPat = scratchPat("q190_evo")
+  private val q191NestPat = scratchPat("q191_nest")
 
   /** PQ codebooks for the embeddings corpus, fit once per (session, sf
     * dir, source signature) — q157 and q167 share one sampled Lloyd fit.
@@ -1032,6 +1034,56 @@ object IndexQueries {
       s.read.parquet(out)
         .agg(count(lit(1)).as("n"), sum($"event_id").as("id_checksum"),
           sum($"value_micros").as("value_checksum"))
+    }),
+
+    // SCHEMA EVOLUTION across a table's file generations: an old file
+    // generation lacks a column a later generation added; a mergeSchema
+    // read unions by name (old rows surface NULL for the new column) —
+    // the capability every long-lived 100 TB table needs, since columns
+    // arrive without rewriting history. The oracle recomputes from the
+    // source table with the generation rule inlined, so a dropped
+    // generation, a misaligned union, or default-filled (non-NULL)
+    // old rows all break the hash.
+    "q190_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q190EvoPat, dir)
+      Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+        val ev = t(s, dir, "events")
+          .select($"event_id", $"event_type", round($"value" * 1e6).cast("long").as("value_micros"))
+        // generation 1: written BEFORE event_type existed
+        ev.where($"event_id" % 2 === 0).select($"event_id", $"value_micros")
+          .write.mode("overwrite").parquet(s"$base/gen1")
+        ev.where($"event_id" % 2 =!= 0)
+          .write.mode("overwrite").parquet(s"$base/gen2")
+      }
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$base/gen1", s"$base/gen2")
+        .groupBy(coalesce($"event_type", lit("pre_schema")).as("event_type"))
+        .agg(count(lit(1)).as("n"), sum($"value_micros").as("value_checksum"))
+        .orderBy($"event_type")
+    }),
+
+    // NESTED column pruning: payload packed as a struct (the shape every
+    // log/telemetry table ships), query touches ONE leaf — the scan must
+    // read only `payload.user_id`, not the sibling leaves
+    // (spark.sql.optimizer.nestedSchemaPruning, on by default; the
+    // PlanAuditSpec pin reads the scan's ReadSchema). At 100 TB the
+    // difference is reading one narrow column chunk vs decoding the whole
+    // struct per row.
+    "q191_nested_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q191NestPat, dir)
+      Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+        t(s, dir, "events")
+          .select($"event_id", struct($"user_id", $"event_type",
+            round($"value" * 1e6).cast("long").as("value_micros")).as("payload"))
+          .write.mode("overwrite").parquet(base)
+      }
+      s.read.parquet(base)
+        .groupBy($"payload.user_id".as("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .where($"n" >= 2)
+        .orderBy($"user_id")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1421,5 +1473,13 @@ object IndexQueries {
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
-        |FROM events WHERE event_type = 'purchase'""".stripMargin)
+        |FROM events WHERE event_type = 'purchase'""".stripMargin,
+    "q190_schema_evolution" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'pre_schema' ELSE event_type END AS event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q191_nested_pruning" ->
+      """SELECT user_id, count(*) AS n FROM events
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY user_id""".stripMargin)
 }

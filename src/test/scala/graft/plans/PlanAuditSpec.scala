@@ -166,6 +166,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("q191 nested-struct scan prunes to the one touched leaf") {
+    val df = graft.SparkEntry.queries("q191_nested_pruning")(spark, sf)
+    val scan = df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    val rs = scan.metadata("ReadSchema")
+    // the payload struct must shrink to user_id — decoding the sibling
+    // leaves per row is the 100 TB cost this pin guards against
+    assert(rs.contains("user_id"), rs)
+    assert(!rs.contains("event_type") && !rs.contains("value_micros"), rs)
+  }
+
   test("q168 native kmv aggregate: two-level ObjectHashAggregate (map-side partial)") {
     val p = plan("q168_kmv_native")
     assert(p.contains("ObjectHashAggregate"), p)
