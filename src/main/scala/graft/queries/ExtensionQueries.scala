@@ -1754,6 +1754,26 @@ object ExtensionQueries {
         .orderBy($"g_lang", $"g_source", $"lang".asc_nulls_first, $"source".asc_nulls_first)
     }),
 
+    // PIVOT — long→wide reshape (q85's cube sibling; the last uncovered
+    // relational surface): per-language doc counts pivoted across an
+    // EXPLICIT source-value list. The explicit list matters at scale: it
+    // skips the extra distinct-values collection job an unlisted pivot
+    // runs, and pins the output schema so a new source value cannot
+    // silently widen the frame. Plans as one regular two-level aggregate —
+    // pivot_first partials combine map-side like any agg.
+    "q192_pivot" -> ((s, dir) => {
+      import s.implicits._
+      t(s, dir, "documents")
+        .groupBy($"lang")
+        .pivot("source", Seq("src0", "src1", "src2", "src3"))
+        .agg(count(lit(1)))
+        .select($"lang", coalesce($"src0", lit(0L)).as("src0"),
+          coalesce($"src1", lit(0L)).as("src1"),
+          coalesce($"src2", lit(0L)).as("src2"),
+          coalesce($"src3", lit(0L)).as("src3"))
+        .orderBy($"lang")
+    }),
+
     // term → capped posting-list index: df + first-k postings from ONE
     // window exchange; per-term agg state bounded at the cap
     "q77_inverted_index" -> ((s, dir) => {
@@ -3220,6 +3240,13 @@ object ExtensionQueries {
         |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
         |FROM documents GROUP BY CUBE (lang, source)
         |ORDER BY g_lang, g_source, lang NULLS FIRST, source NULLS FIRST""".stripMargin,
+    "q192_pivot" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+        |  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+        |  CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+        |  CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3
+        |FROM documents GROUP BY 1 ORDER BY lang""".stripMargin,
     "q77_inverted_index" ->
       s"""WITH toks AS (SELECT doc_id, list_distinct($toksSql) AS tk FROM documents),
          |ex AS (SELECT doc_id, unnest(tk) AS term FROM toks),
