@@ -26,17 +26,34 @@ import org.apache.spark.sql.functions._
   *     shifts the path — Θ(n) rounds. The large/small alternation is what
   *     halves monotone chains.
   *
-  * Each phase is one aggregate + one join on a shrinking edge set. Each
-  * round is ONE Spark job: a lazy `localCheckpoint` materialized by the
-  * convergence-signature aggregate (truncating lineage as a side effect).
+  * '''Hybrid finish''' (the shape the MapReduce-CC papers prescribe): the
+  * distributed loop exists to SHRINK a graph that doesn't fit anywhere;
+  * once the contracted edge set is below a bounded cap it is union-found on
+  * the driver in one pass — milliseconds, versus a fleet of near-empty
+  * contraction jobs whose per-round scheduling cost dwarfs the data.
+  * The cap is checked against the exact count the convergence-signature
+  * aggregate already returns, so the check is free, and the collect is
+  * bounded by construction (≤ `localFinishEdges` rows of two longs). At
+  * 100 TB the edge set contracts geometrically, so the distributed phase
+  * runs O(log(n/cap)) rounds and the tail always finishes locally.
+  *
+  * Distributed rounds are BATCHED two contractions per materialized job
+  * (lazy `localCheckpoint` + the signature aggregate as the single action):
+  * per-action driver cost (plan analysis, job scheduling, the `.head`
+  * round-trip) dominated the loop at small per-round sizes.
   * Convergence = stable (count, hash) signature of the normalized edge set.
   * Labels are the component's minimum vertex id — deterministic, matching
-  * [[Dbscan]]. */
+  * [[Dbscan]], identical between the local and distributed paths
+  * (both reduce every vertex to its component's minimum). */
 object ConnectedComponents {
 
   /** @param edges two long columns `src`, `dst` (any orientation, dupes ok)
+    * @param localFinishEdges edge-count cap under which the contracted
+    *   graph is finished by driver union-find (set 0 to force the fully
+    *   distributed path, e.g. in specs)
     * @return (id, component) for every vertex appearing in an edge */
-  def run(edges: DataFrame, maxIter: Int = 64): DataFrame = {
+  def run(edges: DataFrame, maxIter: Int = 64,
+          localFinishEdges: Long = 2000000L): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
 
@@ -50,7 +67,6 @@ object ConnectedComponents {
     // set then read this checkpoint instead of re-deriving the input
     val raw = edges.select($"src".cast("long"), $"dst".cast("long"))
       .localCheckpoint(true)
-    var e = normalize(raw)
 
     // vertices from the RAW edges: a vertex whose only edge is a self-loop
     // still belongs in the output (own singleton component). Lazy — used
@@ -58,50 +74,113 @@ object ConnectedComponents {
     val vertices = raw.select($"src".as("id")).unionAll(raw.select($"dst".as("id")))
       .distinct()
 
-    var prevSig: (Long, Long) = (-1L, -1L)
-    var iter = 0
-    // cheap on the checkpoint; an all-self-loop input merely pays one round
-    // that contracts to empty and converges via the sig count
-    var converged = raw.isEmpty
-    while (!converged && iter < maxIter) {
-      // ---- large-star: (u,v), v > u  ⇒  (v, min(N(u) ∪ {u}))
-      val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+    // ---- one large-star + small-star contraction round, LAZY (no action,
+    // no checkpoint): the loop batches rounds per materialization.
+    def round(in: DataFrame): DataFrame = {
+      val sym = in.unionAll(in.select($"dst".as("src"), $"src".as("dst")))
       val mL = sym.groupBy($"src").agg(min($"dst").as("mn"))
         .select($"src".as("u"), least($"mn", $"src").as("m"))
-      // not checkpointed and NOT deduped: ss below materializes one round of
-      // lineage anyway, small-star's min aggregate is duplicate-insensitive,
-      // and ss's own normalize dedups the round's output — skipping the
-      // distinct saves a full shuffle per round. ls rows keep src < dst
-      // (m ≤ u < v), matching what normalize would produce.
+      // ls not checkpointed and NOT deduped: the small-star phase
+      // materializes the round's lineage anyway, its min aggregate is
+      // duplicate-insensitive, and the round's own normalize dedups the
+      // output — skipping the distinct saves a full shuffle per round.
+      // ls rows keep src < dst (m ≤ u < v), matching normalize's shape.
       val ls = sym.where($"dst" > $"src")
         .join(mL, $"src" === $"u")
         .where($"m" =!= $"dst")
         .select($"m".as("src"), $"dst")
-
-      // ---- small-star on directed big→small view: every smaller neighbor
-      // (and u itself) attaches to u's smallest neighbor
       val d = ls.select($"dst".as("src"), $"src".as("dst")) // src > dst
       val mS = d.groupBy($"src").agg(min($"dst").as("m"))
-      // LAZY localCheckpoint + the signature aggregate as the materializing
-      // action: ONE job per round computes the contraction, persists the
-      // checkpoint partitions as a side effect, and returns the convergence
-      // signature — instead of an eager-checkpoint job followed by a
-      // separate aggregate job (2× the actions at identical lineage depth)
-      val ss = normalize(
+      normalize(
         d.join(mS, Seq("src"))
           .select($"dst".as("src"), $"m".as("dst"))
           .unionAll(mS.select($"src", $"m".as("dst"))))
-        .localCheckpoint(false)
-
-      // bit_xor (not sum): order-independent and cannot overflow ANSI longs
-      val sigRow = ss.agg(count(lit(1)), bit_xor(xxhash64($"src", $"dst"))).head
-      val sig = (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1))
-      converged = sig == prevSig || sig._1 == 0L // count covers the empty case
-      prevSig = sig
-      e = ss
-      iter += 1
     }
-    if (!converged) {
+
+    // LAZY localCheckpoint + the signature aggregate as the materializing
+    // action: ONE job computes the contraction(s), persists the checkpoint
+    // partitions as a side effect, and returns the convergence signature —
+    // instead of an eager-checkpoint job followed by a separate aggregate
+    // job (2× the actions at identical lineage depth).
+    // bit_xor (not sum): order-independent and cannot overflow ANSI longs.
+    def materialize(in: DataFrame): (DataFrame, (Long, Long)) = {
+      val ck = in.localCheckpoint(false)
+      val sigRow = ck.agg(count(lit(1)), bit_xor(xxhash64($"src", $"dst"))).head
+      (ck, (sigRow.getLong(0), if (sigRow.isNullAt(1)) 0L else sigRow.getLong(1)))
+    }
+
+    // ---- driver union-find over a BOUNDED contracted edge set: path-halving
+    // find, union-by-min so the representative is the component minimum —
+    // the same label the star extraction produces. One bounded collect
+    // (≤ localFinishEdges rows × 16 bytes), then a local labels relation
+    // the final vertex join broadcasts.
+    def localFinish(ed: DataFrame): DataFrame = {
+      val pairs = ed.select($"src", $"dst").as[(Long, Long)].collect()
+      val parent = scala.collection.mutable.LongMap.empty[Long]
+      def findRoot(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrElse(x, { parent.update(x, x); x })
+        while (p != x) {
+          val g = parent(p)
+          parent.update(x, g) // path halving
+          x = g
+          p = parent(x)
+        }
+        x
+      }
+      var i = 0
+      while (i < pairs.length) {
+        val ra = findRoot(pairs(i)._1)
+        val rb = findRoot(pairs(i)._2)
+        if (ra != rb) { if (ra < rb) parent.update(rb, ra) else parent.update(ra, rb) }
+        i += 1
+      }
+      parent.keys.toSeq.map(k => (k, findRoot(k))).toDF("id", "component")
+    }
+
+    // ---- contract until the graph is local-finishable, converged, or over
+    // budget. The signature job's count doubles as the cap check — no extra
+    // action. Round 0 materializes the normalized input (also what bounds
+    // localFinish: the cap compares against the DISTINCT normalized count).
+    var prevSig: (Long, Long) = (-1L, -1L)
+    var (e, sig) = materialize(normalize(raw))
+    var iter = 0
+    var labels: Option[DataFrame] = None
+    var converged = sig._1 == 0L
+    while (labels.isEmpty && !converged && iter < maxIter) {
+      if (sig._1 <= localFinishEdges) {
+        labels = Some(localFinish(e))
+      } else {
+        val n = materialize(round(round(e)))
+        e = n._1
+        // sig equality across a 2-round gap is a valid fixpoint signal:
+        // contraction is monotone (Kiveris et al. §3 — a round never
+        // increases the potential), so an unchanged signature means
+        // neither half moved; the single-round confirmation below still
+        // guards the star-extraction precondition explicitly.
+        converged = n._2 == sig || n._2._1 == 0L
+        sig = n._2
+        iter += 2
+      }
+    }
+    if (labels.isEmpty && converged && sig._1 != 0L) {
+      // star extraction requires a SINGLE-round fixpoint; the batched loop
+      // established stability over a 2-round composition. Confirm with one
+      // extra round (cheap: reads the final checkpoint) and, in the
+      // impossible-by-monotonicity case it still moves, resume contracting.
+      prevSig = sig
+      var (e1, sig1) = materialize(round(e))
+      while (sig1 != prevSig && iter < maxIter) {
+        prevSig = sig1
+        e = e1
+        val n = materialize(round(e))
+        e1 = n._1; sig1 = n._2
+        iter += 1
+      }
+      converged = sig1 == prevSig || sig1._1 == 0L
+      if (converged) e = e1
+    }
+    if (labels.isEmpty && !converged) {
       // star extraction on a non-fixpoint edge set would silently split
       // components — fail loudly instead (64 rounds covers any realistic n
       // under the O(log² n) bound; reaching it means something is wrong)
@@ -110,9 +189,11 @@ object ConnectedComponents {
     }
 
     // at fixpoint components are disjoint stars centered at their min id
-    val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
-    val centers = sym.groupBy($"src").agg(min($"dst").as("mn"))
-      .select($"src".as("id"), least($"mn", $"src").as("component"))
+    val centers = labels.getOrElse {
+      val sym = e.unionAll(e.select($"dst".as("src"), $"src".as("dst")))
+      sym.groupBy($"src").agg(min($"dst").as("mn"))
+        .select($"src".as("id"), least($"mn", $"src").as("component"))
+    }
     vertices.join(centers, Seq("id"), "left_outer")
       .select($"id", coalesce($"component", $"id").as("component"))
   }

@@ -5,9 +5,9 @@ import scala.util.Random
 
 class ConnectedComponentsSpec extends SparkSpec {
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  private def cc(edges: Seq[(Long, Long)], localFinishEdges: Long = 2000000L): Map[Long, Long] = {
     import spark.implicits._
-    ConnectedComponents.run(edges.toDF("src", "dst"))
+    ConnectedComponents.run(edges.toDF("src", "dst"), localFinishEdges = localFinishEdges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -59,6 +59,25 @@ class ConnectedComponentsSpec extends SparkSpec {
   test("self-loop-only vertices keep their own singleton component") {
     val comp = cc(Seq((7L, 7L), (1L, 2L)))
     assert(comp == Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
+  }
+
+  test("distributed path (cap 0) matches the local union-find finish") {
+    val r = new Random(29)
+    (1 to 3).foreach { _ =>
+      val n = 300
+      val edges = Seq.fill(220)((r.nextInt(n).toLong, r.nextInt(n).toLong))
+        .filter(e => e._1 != e._2)
+      assert(cc(edges, localFinishEdges = 0L) == cc(edges))
+    }
+    // high-diameter input through the pure distributed (batched) loop:
+    // exercises the 2-rounds-per-job batching and the single-round
+    // fixpoint confirmation tail
+    val path = (0L until 499L).map(i => (i, i + 1))
+    val comp = cc(path, localFinishEdges = 0L)
+    assert(comp.values.toSet == Set(0L) && comp.size == 500)
+    // self-loop-only vertex survives both paths
+    assert(cc(Seq((7L, 7L), (1L, 2L)), localFinishEdges = 0L) ==
+      Map(7L -> 7L, 1L -> 1L, 2L -> 1L))
   }
 
   test("GraphX twin computes identical components (random graphs)") {
