@@ -334,15 +334,24 @@ object ExtensionQueries {
     // shuffles for the join
     "q131_oov_rate" -> ((s, dir) => {
       import s.implicits._
-      val toks = t(s, dir, "documents").select($"source", $"doc_id",
-        explode(TextFunctions.tokens(lower($"text"))).as("token"))
-      val vocab = toks.groupBy($"token").agg(count(lit(1)).as("cnt"))
+      // ONE tokenize pass: a compact (source, doc_id, token, cnt)
+      // aggregate feeds both the vocab and the per-doc OOV legs (the q16
+      // checkpointed-termFreq pattern). Two un-materialized consumers of
+      // the explode subtree re-ran scan+split+explode twice — 8.8 s at
+      // sf0.1, the #2 bench query. The checkpoint is the distinct
+      // doc-token frame, far smaller than the exploded occurrences.
+      val tokCnt = t(s, dir, "documents").select($"source", $"doc_id",
+          explode(TextFunctions.tokens(lower($"text"))).as("token"))
+        .groupBy($"source", $"doc_id", $"token")
+        .agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val vocab = tokCnt.groupBy($"token").agg(sum($"cnt").as("cnt"))
         .orderBy($"cnt".desc, $"token".asc).limit(500)
         .select($"token", lit(1).as("iv"))
-      val perDoc = toks.join(broadcast(vocab), Seq("token"), "left_outer")
+      val perDoc = tokCnt.join(broadcast(vocab), Seq("token"), "left_outer")
         .groupBy($"source", $"doc_id")
-        .agg(count(lit(1)).as("n_toks"),
-          sum(when($"iv".isNull, 1L).otherwise(0L)).as("n_oov"))
+        .agg(sum($"cnt").as("n_toks"),
+          sum(when($"iv".isNull, $"cnt").otherwise(0L)).as("n_oov"))
       perDoc.groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           round(sum(round($"n_oov".cast("double") / $"n_toks".cast("double"), 6)
