@@ -19,6 +19,7 @@ object Tables {
     if (name == "events") {
       val norm = normalizeEventsTs(df)
       requireEventsContract(norm)
+      requireEventsTsUnit(norm, s"$sfDir/events.parquet")
       norm
     } else df
   }
@@ -56,6 +57,33 @@ object Tables {
     require(got == want,
       s"events contract violated: expected $want but the normalized read has $got — " +
         "the testdata's events encoding drifted; extend Tables.normalizeEventsTs")
+  }
+
+  /** VALUE half of the events gate: the schema check cannot tell long-nanos
+    * from another long unit (a regeneration shipping plain INT64
+    * epoch-millis or -micros has the same bigint type, and scaled millis
+    * even keep `ts % 1000 == 0`), so every downstream `ts DIV 1000` would
+    * silently compute wrong microseconds and only the oracle hash would
+    * catch it later. Sample one non-null ts and require it inside the
+    * plausible nanosecond epoch range: ≥1e17 ns ≈ 1973 — any µs (or ms)
+    * value stays below 1e17 until year ~5138, so unit drift fails HERE
+    * with one message. Memoized per (session, path) so the probe action
+    * runs once, not per read. */
+  private val eventsTsUnitChecked =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+  def requireEventsTsUnit(df: DataFrame, path: String): Unit = {
+    val key = System.identityHashCode(df.sparkSession).toHexString + "|" + path
+    eventsTsUnitChecked.getOrElseUpdate(key, {
+      df.select(col("ts")).where(col("ts").isNotNull).limit(1)
+        .collect().headOption.foreach { r =>
+          val ts = r.getLong(0)
+          require(ts >= 100000000000000000L && ts <= 9000000000000000000L,
+            s"events contract violated: sampled ts=$ts from $path is outside the " +
+              "plausible nanosecond epoch range [1e17, 9e18] — the testdata's ts " +
+              "unit drifted (epoch millis/micros shipped as bigint?); fix " +
+              "Tables.normalizeEventsTs, do NOT patch downstream DIV 1000 sites")
+        }
+    })
   }
 
   /** Filesystem-safe tag for a scale dir — keys per-sf scratch paths so

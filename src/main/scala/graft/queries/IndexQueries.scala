@@ -1003,7 +1003,11 @@ object IndexQueries {
       val (srcDir, out, chk, half1, half2) = (p("src"), p("out"), p("chk"), p("h1"), p("h2"))
       val hconf = s.sparkContext.hadoopConfiguration
       val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
-      Seq(srcDir, out, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
+      // half1/half2 in the delete list too: mode("overwrite") keeps them
+      // correct across invocations but never reclaims them — they'd
+      // accumulate one orphan pair per sf tag in java.io.tmpdir
+      Seq(srcDir, out, chk, half1, half2)
+        .foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
       val ev = t(s, dir, "events").select($"event_id", $"user_id", $"event_type",
         round($"value" * 1e6).cast("long").as("value_micros"))
       ev.where($"event_id" % 2 === 0).coalesce(1).write.mode("overwrite").parquet(half1)

@@ -93,8 +93,16 @@ object ModelRegistry {
       .split("\n").filter(_.nonEmpty)
       .map { line =>
         val i = line.indexOf('=')
+        // a '='-less line would otherwise parse silently as key=rest-of-line
+        // (indexOf = -1); fail in the registry's loud style instead
+        require(i >= 0,
+          s"model '$name' v$v: malformed MLmodel sidecar line '$line' at $mf " +
+            "(expected key=value)")
         line.take(i) -> line.drop(i + 1)
       }.toMap
+    require(kv.contains("kind"),
+      s"model '$name' v$v: MLmodel sidecar at $mf lacks the required 'kind' " +
+        s"line (found keys: ${kv.keys.toSeq.sorted.mkString(", ")})")
     val weights = spark.read.parquet(new Path(base, "data").toString)
     (v, kv("kind"), kv - "kind", weights)
   }

@@ -78,4 +78,29 @@ class EventsContractSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("events contract violated"))
   }
+
+  test("a ts UNIT drift (millis/micros as bigint) fails at the value gate") {
+    // schema-identical to the contract — only the unit is wrong, the case
+    // the name/type check cannot see (ADVICE r7): epoch millis scaled into
+    // bigint even keep ts % 1000 == 0 for whole-second stamps
+    def withTs(ts: Long, tag: String) = {
+      val df = spark.range(3).select(
+        $"id".as("event_id"), lit(ts).as("ts"), $"id".as("user_id"),
+        lit("x").as("event_type"), lit(1.0).as("value"), lit("{}").as("props"))
+      Tables.requireEventsContract(df) // passes: unit invisible to schema
+      (df, s"/nonexistent/unit-spec-$tag-$ts")
+    }
+    Seq(1700000000000L -> "millis", 1700000000000000L -> "micros").foreach {
+      case (ts, tag) =>
+        val (df, path) = withTs(ts, tag)
+        val e = intercept[IllegalArgumentException] {
+          Tables.requireEventsTsUnit(df, path)
+        }
+        assert(e.getMessage.contains("nanosecond epoch range"), tag)
+    }
+    // genuine nanos pass, and the probe memoizes per (session, path)
+    val (good, path) = withTs(1700000000000000000L, "nanos")
+    Tables.requireEventsTsUnit(good, path)
+    Tables.requireEventsTsUnit(good, path)
+  }
 }

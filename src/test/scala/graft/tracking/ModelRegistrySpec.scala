@@ -81,4 +81,30 @@ class ModelRegistrySpec extends SparkSpec {
         w(0.0, 0.0), Map("a" -> "line1\nline2"))
     }
   }
+
+  test("a corrupted MLmodel sidecar fails loudly, not with a bare NoSuchElement") {
+    // hand-edited/truncated sidecars (ADVICE r7): a missing 'kind' line and
+    // a '='-less line must both raise the registry's IllegalArgumentException
+    // naming the model/version — not NoSuchElementException or a silent
+    // key=rest-of-line parse
+    def corrupt(content: String): String = {
+      val root = freshRoot()
+      ModelRegistry.register(spark, root, "m", ModelRegistry.KindLinearLogit,
+        w(1.0, 2.0), Map("featmap" -> "x=w_x"))
+      val mf = java.nio.file.Paths.get(root, "m", "v1", "MLmodel")
+      java.nio.file.Files.writeString(mf, content)
+      // hand-editing invalidates Hadoop LocalFileSystem's sidecar checksum;
+      // drop it so the read reaches the parse (the scenario under test)
+      java.nio.file.Files.deleteIfExists(mf.resolveSibling(".MLmodel.crc"))
+      root
+    }
+    val noKind = intercept[IllegalArgumentException] {
+      ModelRegistry.load(spark, corrupt("featmap=x=w_x\n"), "m")
+    }
+    assert(noKind.getMessage.contains("kind") && noKind.getMessage.contains("'m' v1"))
+    val noEq = intercept[IllegalArgumentException] {
+      ModelRegistry.load(spark, corrupt("kind=linear_logit\ngarbageline\n"), "m")
+    }
+    assert(noEq.getMessage.contains("malformed") && noEq.getMessage.contains("garbageline"))
+  }
 }
