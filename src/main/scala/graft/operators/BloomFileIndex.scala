@@ -70,9 +70,13 @@ object BloomFileIndex {
     * `values` — sound by the Bloom contract (false positives read extra
     * files; false negatives are impossible). Driver-side by design: this
     * IS the planning step, O(#files) like [[DataSkipping.prune]]. */
-  def prune(man: DataFrame, values: Seq[String]): Seq[String] = {
+  def prune(man: DataFrame, values: Seq[String],
+            maxFiles: Int = 100000): Seq[String] = {
     require(values.nonEmpty, "prune: at least one probe value")
-    man.select(col("file"), col("bloom")).collect().iterator.flatMap { r =>
+    // lower default cap than the path-only manifests: each row carries the
+    // file's serialized Bloom filter (KBs per row, not a path string)
+    ManifestGuard.collectCapped(man.select(col("file"), col("bloom")),
+      "BloomFileIndex.prune", cap = maxFiles).iterator.flatMap { r =>
       val bf = BloomFilter.readFrom(
         new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
       if (values.exists(bf.mightContainString)) Some(r.getString(0)) else None

@@ -43,13 +43,15 @@ object DataSkipping {
     * is ALL null) makes the keep predicate NULL and drops the file — sound,
     * because no all-null row can satisfy a closed range on that column.
     * Driver-side by design: this IS the planning step, O(#files). */
-  def prune(man: DataFrame, ranges: Map[String, (Double, Double)]): Seq[String] = {
+  def prune(man: DataFrame, ranges: Map[String, (Double, Double)],
+            maxFiles: Int = ManifestGuard.MaxPlannedFiles): Seq[String] = {
     require(ranges.nonEmpty, "prune: at least one range predicate")
     val keep = ranges.map { case (c, (lo, hi)) =>
       !(col(s"${c}_max") < lit(lo) || col(s"${c}_min") > lit(hi))
     }.reduce(_ && _)
-    man.where(keep).select(col("file")).as[String](Encoders.STRING)
-      .collect().toSeq.sorted
+    ManifestGuard.collectCapped(man.where(keep).select(col("file")),
+        "DataSkipping.prune", cap = maxFiles)
+      .map(_.getString(0)).toSeq.sorted
   }
 
   /** Read only the planned files (empty plan → empty frame with the full

@@ -69,11 +69,14 @@ object SnapshotLog {
     v
   }
 
-  private def manifestFiles(spark: SparkSession, path: String, v: Int): Seq[String] = {
+  private[operators] def manifestFiles(spark: SparkSession, path: String, v: Int,
+      maxFiles: Int = ManifestGuard.MaxPlannedFiles): Seq[String] = {
     val dst = new Path(path, s"_log/v$v")
     require(fs(spark, dst).exists(dst), s"version $v does not exist at $path")
-    spark.read.parquet(dst.toString)
-      .select("file").as[String](Encoders.STRING).collect().toSeq
+    ManifestGuard.collectCapped(
+        spark.read.parquet(dst.toString).select("file"),
+        s"SnapshotLog v$v at $path", cap = maxFiles)
+      .map(_.getString(0)).toSeq
   }
 
   /** Read the table AS OF `v` — old versions stay readable across later

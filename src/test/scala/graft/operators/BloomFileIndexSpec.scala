@@ -38,6 +38,17 @@ class BloomFileIndexSpec extends SparkSpec {
     assert(pruned.size == probes.size)
   }
 
+  test("prune refuses a bloom manifest past the planning cap, loudly") {
+    val path = java.nio.file.Files.createTempDirectory("bloomcap").toString + "/t"
+    stage(path)
+    val man = BloomFileIndex.manifest(spark, path, "id")
+    val e = intercept[IllegalArgumentException] {
+      BloomFileIndex.prune(man, Seq("1"), maxFiles = 3)
+    }
+    assert(e.getMessage.contains("BloomFileIndex.prune") &&
+      e.getMessage.contains("more than 3 files"))
+  }
+
   test("per-partition partial filters merge per file (split-file scan)") {
     val path = java.nio.file.Files.createTempDirectory("bloomidx2").toString
     stage(path)

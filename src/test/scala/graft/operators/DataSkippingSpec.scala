@@ -47,6 +47,19 @@ class DataSkippingSpec extends SparkSpec {
     assert(pruned == full && full.size == 101)
   }
 
+  test("prune refuses a manifest past the planning cap, loudly") {
+    val path = stage(tmpDir("skipcap"))
+    val man = DataSkipping.manifest(spark, path, Seq("x"))
+    // 4 files match an all-covering range; cap 2 must refuse with the
+    // manifest-guard message, and the default cap must pass untouched
+    val e = intercept[IllegalArgumentException] {
+      DataSkipping.prune(man, Map("x" -> (0.0, 4000.0)), maxFiles = 2)
+    }
+    assert(e.getMessage.contains("DataSkipping.prune") &&
+      e.getMessage.contains("more than 2 files"))
+    assert(DataSkipping.prune(man, Map("x" -> (0.0, 4000.0))).length == 4)
+  }
+
   test("multi-column ranges intersect; disjoint range plans zero files") {
     val path = stage(tmpDir("skip3"))
     val man = DataSkipping.manifest(spark, path, Seq("x", "y"))

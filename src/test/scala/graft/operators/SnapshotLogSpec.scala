@@ -78,6 +78,21 @@ class SnapshotLogSpec extends SparkSpec {
     assert(ids(SnapshotLog.read(spark, tbl)) == Set(50L, 51L, 52L, 99L))
   }
 
+  test("a manifest past the planning cap refuses the driver collect, loudly") {
+    import spark.implicits._
+    val tbl = freshTable()
+    // 5 range-partitioned files in one commit — over a cap of 3, under the
+    // default (repartitionByRange guarantees 5 non-empty writers here)
+    SnapshotLog.commit(spark, tbl,
+      (0L until 50L).toDF("id").repartitionByRange(5, col("id")), overwrite = false)
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.manifestFiles(spark, tbl, 1, maxFiles = 3)
+    }
+    assert(e.getMessage.contains("SnapshotLog v1") &&
+      e.getMessage.contains("more than 3 files"))
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 1)) == (0L until 50L).toSet)
+  }
+
   test("a published version's file set is immutable under later commits") {
     import spark.implicits._
     val tbl = freshTable()
