@@ -54,6 +54,22 @@ object GeoFraudPipeline {
       .select("user", "cluster", "h3", "tf_idf")
   }
 
+  /** Serving leg of notebook 02 (`02_geofraud_fraud.py:109-196`): train one
+    * Bloom filter per user over the known tile cover, then score `points`
+    * (adds `anomaly` 0/1). Path selection is AUTOMATIC: the broadcast-map
+    * probe (the reference's pyfunc shape — zero shuffle) when the trained
+    * filters fit the broadcast budget, the distributed sort-merge
+    * [[Blooms.scoreByJoin]] when they don't — at millions of users the
+    * unconditional driver collect is the OOM a caller shouldn't have to
+    * know about. Both paths score bit-identically. */
+  def scoreTransactions(points: DataFrame, tiles: DataFrame,
+                        precision: Int = 10, fpp: Double = 0.01,
+                        broadcastBudgetBytes: Long = Blooms.DefaultBroadcastBudgetBytes): DataFrame = {
+    val trained = Blooms.train(tiles.select(col("user"), col("h3")), fpp)
+    Blooms.scoreAuto(points, trained, precision,
+      broadcastBudgetBytes = broadcastBudgetBytes)
+  }
+
   /** Full 01+02 run. `zorderWrite` approximates the reference's
     * `OPTIMIZE ZORDER BY (user, h3)` (`01_geofraud_clustering.py:440`) with
     * range-partition + in-partition sort so parquet row-group min/max stats

@@ -48,6 +48,37 @@ object Blooms {
       r.getString(0) -> BloomFilter.readFrom(new ByteArrayInputStream(r.getAs[Array[Byte]](1)))
     }.toMap
 
+  /** Default broadcast budget for [[scoreAuto]] — matches Spark's own
+    * `autoBroadcastJoinThreshold` default (10 MB): the filter map rides the
+    * same executor-memory path a broadcast join does. */
+  val DefaultBroadcastBudgetBytes: Long = 10L * 1024 * 1024
+
+  /** True when the trained frame's total serialized size fits the
+    * broadcast budget. One metadata-light aggregate over the trained frame
+    * (sum of filter byte lengths — the exact payload [[toMap]] would
+    * collect), not a guess from user counts. */
+  def fitsBroadcast(trained: DataFrame,
+                    budgetBytes: Long = DefaultBroadcastBudgetBytes): Boolean = {
+    val sz = trained.agg(coalesce(sum(length(col("bloom"))), lit(0L)))
+      .head.getLong(0)
+    sz <= budgetBytes
+  }
+
+  /** Path-picking scorer — the serving entry point: broadcast-map probe
+    * ([[toMap]]+[[score]], zero shuffle) when the filters fit the broadcast
+    * budget, distributed [[scoreByJoin]] when they don't. The unconditional
+    * [[toMap]] collect is an OOM at millions of users × KB filters; the
+    * cutover makes the scale path automatic instead of a caller burden.
+    * Both paths are bit-identical on the same trained frame (BloomsSpec). */
+  def scoreAuto(points: DataFrame, trained: DataFrame, precision: Int = 10,
+                userCol: String = "user", latCol: String = "latitude",
+                lngCol: String = "longitude",
+                broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame =
+    if (fitsBroadcast(trained, broadcastBudgetBytes))
+      score(points, toMap(trained, userCol), precision, userCol, latCol, lngCol)
+    else
+      scoreByJoin(points, trained, precision, userCol, latCol, lngCol)
+
   /** Join-based scorer — same contract as [[score]] but the filters stay
     * distributed: points shuffle-join the trained frame on user (sort-merge
     * clusters each user's rows next to its one filter row), and a

@@ -99,6 +99,28 @@ class PipelineSpec extends SparkSpec {
     assert(mapOut.forall(_.getInt(0) == 1))
   }
 
+  test("scoreAuto cuts over from broadcast to join at the budget, both paths equal") {
+    val trained = Blooms.train(result.tiles, fpp = 0.01)
+    val totalBytes = trained
+      .agg(sum(length(col("bloom")))).head.getLong(0)
+    assert(totalBytes > 0)
+    // selection: fits a budget just above its size, not one just below
+    assert(Blooms.fitsBroadcast(trained, budgetBytes = totalBytes))
+    assert(!Blooms.fitsBroadcast(trained, budgetBytes = totalBytes - 1))
+    // both forced paths score bit-identically through the auto entry point
+    val cols = Seq("latitude", "longitude", "amount", "user", "anomaly").map(col)
+    val viaBroadcast = Blooms.scoreAuto(tx, trained,
+      broadcastBudgetBytes = totalBytes).select(cols: _*)
+    val viaJoin = Blooms.scoreAuto(tx, trained,
+      broadcastBudgetBytes = totalBytes - 1).select(cols: _*)
+    assert(viaBroadcast.exceptAll(viaJoin).count() == 0 &&
+      viaJoin.exceptAll(viaBroadcast).count() == 0)
+    // and the pipeline serving leg runs end-to-end on the auto path
+    val served = GeoFraudPipeline.scoreTransactions(tx, result.tiles)
+    assert(served.columns.toSeq == tx.columns.toSeq :+ "anomaly")
+    assert(served.filter(col("anomaly") === 1).count() > 0)
+  }
+
   test("bloom training skips null tiles instead of NPE-ing") {
     import spark.implicits._
     val tiles = Seq(("u", Some("CELL1")), ("u", None), (null, Some("CELL2")))
