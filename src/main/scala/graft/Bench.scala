@@ -98,6 +98,23 @@ object Bench {
         mk().withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark("id")
       }.count()
     }
+    // ---- truthful attribution: everything the warm/staging phase did —
+    // JIT warms, staged index writes, shared-cache builds — lands in a
+    // dedicated `_staging` metrics key, NOT in whichever query's delta the
+    // async listener events happened to drain into (r7 finding: staging
+    // work inflated the triggering query's runMs). Drain to quiescence
+    // first so the first measured query starts from a clean baseline.
+    val stagingDeadline = System.currentTimeMillis() + 3000
+    var stLast = -1
+    var stCur = ml.snapshot().size
+    while (stLast != stCur && System.currentTimeMillis() < stagingDeadline) {
+      stLast = stCur
+      Thread.sleep(100)
+      stCur = ml.snapshot().size
+    }
+    val stagingRecs = ml.snapshot()
+    val stagingRes = rl.totals()
+
     // dev aid: SPARK_GRAFT_BENCH_ONLY=q47_corpus_clean,q16_tfidf times a
     // subset; unset (driver runs) = everything
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -144,10 +161,22 @@ object Bench {
     }
     val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val metrics = results.map { case (k, _, _, (acts, scans, rows), (runMs, cpuMs, gcMs)) =>
+    // `_staging` first: the warm phase's own footprint, kept out of every
+    // query's numbers. NOTE on reading runMs: it is TASK time summed across
+    // all executor threads (local[32]), so a parallelism-heavy query's
+    // runMs legitimately exceeds its wall seconds by up to the thread
+    // count — compare runMs against cpuMs for contention, against the
+    // queries map for wall.
+    val stagingJson =
+      s"\"_staging\":{\"actions\":${stagingRecs.size}," +
+        s"\"scans\":${stagingRecs.map(_.nFileScans).sum}," +
+        s"\"rows\":${stagingRecs.flatMap(_.outputRows).sum}," +
+        s"\"runMs\":${stagingRes.runTimeMs},\"cpuMs\":${stagingRes.cpuTimeMs}," +
+        s"\"gcMs\":${stagingRes.gcTimeMs}}"
+    val metrics = (stagingJson +: results.map { case (k, _, _, (acts, scans, rows), (runMs, cpuMs, gcMs)) =>
       s"\"$k\":{\"actions\":$acts,\"scans\":$scans,\"rows\":$rows," +
         s"\"runMs\":$runMs,\"cpuMs\":$cpuMs,\"gcMs\":$gcMs}"
-    }.mkString("{", ",", "}")
+    }).mkString("{", ",", "}")
     val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
