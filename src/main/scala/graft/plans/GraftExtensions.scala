@@ -30,6 +30,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
     extensions.injectOptimizerRule(_ => CellRangePushdown)
+    extensions.injectOptimizerRule(_ => LateralTopKRewrite)
     extensions.injectPlannerStrategy(_ => AsOfJoinStrategy)
     extensions.injectFunction((
       new FunctionIdentifier("geo_cell"),

@@ -140,6 +140,16 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("Partial"), p)
   }
 
+  test("q118 LATERAL top-1 plans without the decorrelation's global sort") {
+    // LateralTopKRewrite folds the subquery's ORDER BY into the window's
+    // orderSpec: no global range sort+exchange of orders, and the explicit
+    // orderSpec unlocks InferWindowGroupLimit's map-side top-1 pruning
+    val p = plan("q118_lateral")
+    assert(!p.contains("rangepartitioning(o_orderdate"),
+      s"decorrelated global sort survived:\n$p")
+    assert(p.contains("WindowGroupLimit"), p)
+  }
+
   test("q14 geo_cell composition stays inside whole-stage codegen") {
     // AQE prints codegen markers only on the FINAL plan — execute first
     val df = graft.SparkEntry.queries("q14_geo_cell")(spark, sf)
