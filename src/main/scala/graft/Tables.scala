@@ -86,6 +86,14 @@ object Tables {
     })
   }
 
+  /** A table someone else wrote with REAL Delta Lake: interpret its public
+    * `_delta_log` (add/remove JSON commits + `_last_checkpoint`) read-only
+    * — the storage-format interop leg; the repo's own write path stays
+    * [[graft.operators.SnapshotLog]]. `asOf` pins a log version. */
+  def deltaTable(spark: SparkSession, path: String,
+                 asOf: Option[Long] = None): DataFrame =
+    graft.sources.DeltaLogReader.read(spark, path, asOf)
+
   /** Filesystem-safe tag for a scale dir — keys per-sf scratch paths so
     * runs over different sf dirs never clobber each other's artifacts.
     * Oracle SQL embeds the literal `__SFTAG__` token in scratch paths;

@@ -50,6 +50,7 @@ object IndexQueries {
   private val q162CompactPat = scratchPat("q162_compact")
   private val q164TablePat = scratchPat("q164_table")
   private val q165TablePat = scratchPat("q165_table")
+  private val q193TablePat = scratchPat("q193_delta")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
   private val q167LutPat = scratchPat("q167_pq_lut")
@@ -103,6 +104,81 @@ object IndexQueries {
     stageQ167Legs(s, dir)
     stageQ180Events(s, dir)
     stageQ184Legs(s, dir)
+    stageQ193DeltaTable(s, dir)
+  }
+
+  /** q193's fixture: a minimal but REAL `_delta_log` table hand-assembled
+    * from deterministic slices of `events` — the public protocol exactly as
+    * delta-io writes it (versioned JSON commits of add/remove, a single-part
+    * checkpoint parquet, `_last_checkpoint`), so [[graft.sources.DeltaLogReader]]
+    * is exercised against the format, not against this repo's own
+    * SnapshotLog. Commit history:
+    *   v0: add even-id purchases (f1) + odd-id purchases (f2)
+    *   v1: add clicks (f3), REMOVE f1      ← checkpointed (+ _last_checkpoint)
+    *   v2: add views with value > 100 (f4)
+    * Active set = f2 ∪ f3 ∪ f4 — each slice declarative, so the DuckDB
+    * oracle recomputes the exact rows from `events` with no scratch reads. */
+  private[graft] def stageQ193DeltaTable(s: SparkSession, dir: String): Unit = {
+    val base = scratch(q193TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val hconf = s.sparkContext.hadoopConfiguration
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(hconf)
+      fs.delete(bp, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      // one parquet FILE per logical slice, canonical name at table root
+      def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(bp, s".tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .head.getPath
+        require(fs.rename(part, new org.apache.hadoop.fs.Path(bp, name)),
+          s"q193 staging: rename to $name failed")
+        fs.delete(tmp, true)
+      }
+      writeFile(ev.where($"event_type" === "purchase" && $"event_id" % 2 === 0), "f1.parquet")
+      writeFile(ev.where($"event_type" === "purchase" && $"event_id" % 2 =!= 0), "f2.parquet")
+      writeFile(ev.where($"event_type" === "click"), "f3.parquet")
+      writeFile(ev.where($"event_type" === "view" && $"value_micros" > 100000000L), "f4.parquet")
+      def writeText(p: org.apache.hadoop.fs.Path, content: String): Unit = {
+        val out = fs.create(p, true)
+        try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      val log = new org.apache.hadoop.fs.Path(bp, "_delta_log")
+      fs.mkdirs(log)
+      def add(f: String) =
+        s"""{"add":{"path":"$f","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      def remove(f: String) =
+        s"""{"remove":{"path":"$f","deletionTimestamp":0,"dataChange":true}}"""
+      val meta =
+        """{"metaData":{"id":"q193","format":{"provider":"parquet","options":{}},"schemaString":"{}","partitionColumns":[],"configuration":{}}}"""
+      val proto = """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}"""
+      writeText(new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"),
+        Seq(proto, meta, add("f1.parquet"), add("f2.parquet")).mkString("", "\n", "\n"))
+      writeText(new org.apache.hadoop.fs.Path(log, f"${1L}%020d.json"),
+        Seq(add("f3.parquet"), remove("f1.parquet")).mkString("", "\n", "\n"))
+      // single-part checkpoint of the v1 state + the _last_checkpoint pointer
+      val ckTmp = new org.apache.hadoop.fs.Path(log, ".tmp_ckpt")
+      Seq("f2.parquet", "f3.parquet").toDF("p")
+        .selectExpr("named_struct('path', p) AS add",
+          "CAST(NULL AS STRUCT<path: STRING>) AS remove")
+        .coalesce(1).write.parquet(ckTmp.toString)
+      val ckPart = fs.listStatus(ckTmp)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .head.getPath
+      require(fs.rename(ckPart,
+        new org.apache.hadoop.fs.Path(log, f"${1L}%020d.checkpoint.parquet")),
+        "q193 staging: checkpoint rename failed")
+      fs.delete(ckTmp, true)
+      writeText(new org.apache.hadoop.fs.Path(log, "_last_checkpoint"),
+        """{"version":1,"size":2}""")
+      writeText(new org.apache.hadoop.fs.Path(log, f"${2L}%020d.json"),
+        add("f4.parquet") + "\n")
+    }
   }
 
   /** q180's events copy, staged write-once into a multi-file hash layout
@@ -1088,6 +1164,25 @@ object IndexQueries {
         .agg(count(lit(1)).as("n"))
         .where($"n" >= 2)
         .orderBy($"user_id")
+    }),
+
+    // STORAGE-FORMAT INTEROP: read a table someone else wrote with real
+    // Delta Lake — the hand-assembled fixture follows the public
+    // `_delta_log` protocol verbatim (add/remove JSON commits, a
+    // single-part checkpoint, `_last_checkpoint`), and the read must
+    // resolve adds minus removes across the checkpoint boundary. Every
+    // slice is declarative over `events`, so the oracle recomputes the
+    // exact active rows with no scratch reads: a missed remove (f1
+    // leaking) doubles even-purchase checksums; a dropped post-checkpoint
+    // commit (f4) loses the view rows — either breaks the hash.
+    "q193_delta_log_read" -> ((s, dir) => {
+      import s.implicits._
+      stageQ193DeltaTable(s, dir)
+      Tables.deltaTable(s, scratch(q193TablePat, dir))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .orderBy($"event_type")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1485,5 +1580,16 @@ object IndexQueries {
         |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
     "q191_nested_pruning" ->
       """SELECT user_id, count(*) AS n FROM events
-        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY user_id""".stripMargin)
+        |GROUP BY 1 HAVING count(*) >= 2 ORDER BY user_id""".stripMargin,
+    "q193_delta_log_read" ->
+      """WITH active AS (
+        |  SELECT event_id, event_type, CAST(round(value * 1e6) AS BIGINT) AS value_micros
+        |  FROM events
+        |  WHERE (event_type = 'purchase' AND event_id % 2 <> 0)
+        |     OR event_type = 'click'
+        |     OR (event_type = 'view' AND CAST(round(value * 1e6) AS BIGINT) > 100000000))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(value_micros) AS BIGINT) AS value_checksum
+        |FROM active GROUP BY 1 ORDER BY event_type""".stripMargin)
 }

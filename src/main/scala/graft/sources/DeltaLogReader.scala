@@ -1,0 +1,143 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+
+/** Read-only interpreter for the PUBLIC Delta Lake transaction-log format
+  * (the open `_delta_log` protocol: versioned JSON commits of add/remove
+  * actions over immutable parquet parts, plus optional parquet checkpoints
+  * advertised by `_last_checkpoint`).
+  *
+  * This closes the one storage-format gap a real user of the reference
+  * could hand us: the reference persists its tiles as a Delta table and
+  * `OPTIMIZE ZORDER`s it (`01_geofraud_clustering.py:431,440`); the repo's
+  * own write path is [[graft.operators.SnapshotLog]] (capability twin —
+  * Delta jars are not on this classpath), and THIS reader lets queries
+  * consume a table someone else wrote with real Delta. Read-only by
+  * design: interpreting commits is a spec-stable driver pass; writing the
+  * protocol correctly (protocol versions, atomic JSON commits, invariants)
+  * is Delta's job, not a reimplementation target.
+  *
+  * Protocol subset honored (all public, delta-io PROTOCOL.md):
+  *  - `_delta_log/%020d.json`: one action per line; `add.path` activates a
+  *    file, `remove.path` deactivates it; `metaData`/`protocol`/
+  *    `commitInfo` lines are skipped (schema comes from the parquet
+  *    footers, like every other reader in this repo);
+  *  - `_delta_log/%020d.checkpoint.parquet` (single-part) holding the
+  *    compacted state as `add`/`remove` structs;
+  *  - `_delta_log/_last_checkpoint`: `{"version":N,...}` pointer — commits
+  *    ≤ N may be truncated away, replay resumes from the checkpoint.
+  *
+  * Scale: the log replay is O(#actions) driver work on KB-size JSON — the
+  * same planning-metadata pass every Delta reader performs — and the
+  * resulting file list is bounded by [[graft.operators.ManifestGuard]]
+  * before the scan is planned. */
+object DeltaLogReader {
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def logDir(path: String) = new Path(path, "_delta_log")
+
+  /** Commit versions present as JSON files, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val log = logDir(path)
+    val f = fs(spark, log)
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).map(_.getPath.getName)
+      .collect { case n if n.endsWith(".json") && n.length == 25 =>
+        n.stripSuffix(".json").toLong }
+      .sorted.toSeq
+  }
+
+  private def readSmallFile(spark: SparkSession, p: Path): String = {
+    val f = fs(spark, p)
+    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(buf) finally in.close()
+    new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  /** `_last_checkpoint` pointer, if present and usable (≤ `asOf` when a
+    * version is pinned — time travel to v must replay from scratch if the
+    * only checkpoint is newer). */
+  private def lastCheckpoint(spark: SparkSession, path: String,
+                             asOf: Option[Long]): Option[Long] = {
+    val p = new Path(logDir(path), "_last_checkpoint")
+    if (!fs(spark, p).exists(p)) None
+    else {
+      val v = mapper.readTree(readSmallFile(spark, p)).get("version").asLong()
+      if (asOf.forall(v <= _)) Some(v) else None
+    }
+  }
+
+  /** Delta `path` fields are relative percent-encoded URIs. */
+  private def decodePath(tableRoot: String, rel: String): String = {
+    val dec = java.net.URLDecoder.decode(rel, "UTF-8")
+    if (dec.startsWith("/") || dec.contains("://")) dec
+    else s"$tableRoot/$dec"
+  }
+
+  /** The table's active file set as of `asOf` (default: latest commit):
+    * checkpoint base (when one applies) + ordered JSON replay. */
+  def activeFiles(spark: SparkSession, path: String,
+                  asOf: Option[Long] = None): Seq[String] = {
+    val vs = versions(spark, path)
+    val ckpt = lastCheckpoint(spark, path, asOf)
+    require(vs.nonEmpty || ckpt.nonEmpty,
+      s"no Delta log found at $path/_delta_log (no commit JSONs, no checkpoint)")
+    val latest = (vs.lastOption.toSeq ++ ckpt.toSeq).max
+    val target = asOf.getOrElse(latest)
+    require(asOf.forall(v => vs.contains(v) || ckpt.contains(v)),
+      s"version $target does not exist at $path (commits: $vs, checkpoint: $ckpt)")
+
+    val active = mutable.LinkedHashSet.empty[String]
+    ckpt.foreach { cv =>
+      // single-part checkpoint: the compacted add/remove state at cv
+      val cp = new Path(logDir(path), f"$cv%020d.checkpoint.parquet")
+      require(fs(spark, cp).exists(cp),
+        s"_last_checkpoint points at v$cv but ${cp.getName} is missing at $path")
+      val rows = graft.operators.ManifestGuard.collectCapped(
+        spark.read.parquet(cp.toString).selectExpr("add.path AS a", "remove.path AS r"),
+        s"Delta checkpoint v$cv at $path")
+      rows.foreach { row =>
+        if (!row.isNullAt(0)) active += decodePath(path, row.getString(0))
+        else if (!row.isNullAt(1)) active -= decodePath(path, row.getString(1))
+      }
+    }
+    // replay JSON commits after the checkpoint (or all of them without one)
+    vs.filter(v => ckpt.forall(_ < v) && v <= target).foreach { v =>
+      val commit = new Path(logDir(path), f"$v%020d.json")
+      readSmallFile(spark, commit).split("\n").filter(_.nonEmpty).foreach { line =>
+        val node: JsonNode = mapper.readTree(line)
+        if (node.has("add"))
+          active += decodePath(path, node.get("add").get("path").asText())
+        else if (node.has("remove"))
+          active -= decodePath(path, node.get("remove").get("path").asText())
+        // metaData / protocol / commitInfo / txn: planning metadata this
+        // minimal reader doesn't need (schema comes from parquet footers)
+      }
+    }
+    val out = active.toSeq
+    require(out.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+      s"Delta table at $path resolves to ${out.size} active files — past the " +
+        "planning cap; compact or partition-prune first")
+    out
+  }
+
+  /** Read the table (optionally AS OF a pinned log version). Empty active
+    * set → empty frame; schema then comes from any logged file's footer if
+    * one exists, else this fails loudly (a table that never had data files
+    * has no schema source without metaData interpretation). */
+  def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
+    val files = activeFiles(spark, path, asOf)
+    require(files.nonEmpty,
+      s"Delta table at $path has no active files as of ${asOf.getOrElse("latest")}")
+    spark.read.option("basePath", path).parquet(files: _*)
+  }
+}

@@ -1,0 +1,113 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.operators.SnapshotLog
+import org.apache.spark.sql.functions._
+
+/** The read-only `_delta_log` interpreter against hand-assembled tables
+  * following the public protocol: add/remove replay, checkpoint resume
+  * after log truncation, version pinning, and content equality with the
+  * repo's own SnapshotLog over the same commit history. */
+class DeltaLogReaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("delta").toString
+
+  /** Write `df` as ONE parquet file named `name` at the table root. */
+  private def dataFile(base: String, name: String,
+                       df: org.apache.spark.sql.DataFrame): Unit = {
+    val tmp = new java.io.File(base, s".tmp_$name").toString
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(base, name)))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+  }
+
+  private def writeCommit(base: String, v: Long, lines: Seq[String]): Unit = {
+    val log = new java.io.File(base, "_delta_log")
+    log.mkdirs()
+    java.nio.file.Files.writeString(
+      new java.io.File(log, f"$v%020d.json").toPath, lines.mkString("", "\n", "\n"))
+  }
+
+  private def add(f: String) =
+    s"""{"add":{"path":"$f","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+  private def remove(f: String) =
+    s"""{"remove":{"path":"$f","deletionTimestamp":0,"dataChange":true}}"""
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("add/remove replay resolves the active set; asOf pins a version") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L, 2L).toDF("id"))
+    dataFile(base, "b.parquet", Seq(3L, 4L).toDF("id"))
+    dataFile(base, "c.parquet", Seq(5L).toDF("id"))
+    writeCommit(base, 0L, Seq(add("a.parquet"), add("b.parquet")))
+    writeCommit(base, 1L, Seq(add("c.parquet"), remove("a.parquet")))
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(3L, 4L, 5L))
+    assert(idsOf(graft.Tables.deltaTable(spark, base, asOf = Some(0L))) ==
+      Set(1L, 2L, 3L, 4L))
+    intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base, asOf = Some(7L))
+    }
+  }
+
+  test("checkpoint resume: pre-checkpoint commits may be truncated away") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L).toDF("id"))
+    dataFile(base, "b.parquet", Seq(2L).toDF("id"))
+    dataFile(base, "c.parquet", Seq(3L).toDF("id"))
+    writeCommit(base, 0L, Seq(add("a.parquet"), add("b.parquet")))
+    writeCommit(base, 1L, Seq(remove("a.parquet")))
+    // single-part checkpoint of v1's compacted state + the pointer
+    val log = new java.io.File(base, "_delta_log")
+    val ckTmp = new java.io.File(log, ".tmp_ck").toString
+    Seq("b.parquet").toDF("p")
+      .selectExpr("named_struct('path', p) AS add",
+        "CAST(NULL AS STRUCT<path: STRING>) AS remove")
+      .coalesce(1).write.parquet(ckTmp)
+    val part = new java.io.File(ckTmp).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(log, f"${1L}%020d.checkpoint.parquet")))
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "_last_checkpoint").toPath, """{"version":1,"size":1}""")
+    writeCommit(base, 2L, Seq(add("c.parquet")))
+    // the real-world shape: the retention job deleted the old JSON commits
+    assert(new java.io.File(log, f"${0L}%020d.json").delete())
+    assert(new java.io.File(log, f"${1L}%020d.json").delete())
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(2L, 3L))
+  }
+
+  test("cross-check: DeltaLogReader content equals SnapshotLog over the same history") {
+    // the same commit sequence written both ways must read back identically
+    val ev = (0L until 40L).map(i => (i, if (i % 2 == 0) "x" else "y"))
+      .toDF("id", "k")
+    val snap = freshDir() + "/t"
+    SnapshotLog.commit(spark, snap, ev.where($"k" === "x"), overwrite = false)
+    SnapshotLog.commit(spark, snap, ev.where($"k" === "y"), overwrite = false)
+    val delta = freshDir()
+    dataFile(delta, "x.parquet", ev.where($"k" === "x"))
+    dataFile(delta, "y.parquet", ev.where($"k" === "y"))
+    writeCommit(delta, 0L, Seq(add("x.parquet")))
+    writeCommit(delta, 1L, Seq(add("y.parquet")))
+    // latest vs latest, and each pinned version vs its snapshot twin
+    val viaDelta = graft.Tables.deltaTable(spark, delta)
+    val viaSnap = SnapshotLog.read(spark, snap)
+    assert(viaDelta.exceptAll(viaSnap).count() == 0 &&
+      viaSnap.exceptAll(viaDelta).count() == 0)
+    val v1Delta = graft.Tables.deltaTable(spark, delta, asOf = Some(0L))
+    val v1Snap = SnapshotLog.readVersion(spark, snap, 1)
+    assert(v1Delta.exceptAll(v1Snap).count() == 0 &&
+      v1Snap.exceptAll(v1Delta).count() == 0)
+  }
+
+  test("a path with no _delta_log refuses loudly") {
+    val e = intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, freshDir())
+    }
+    assert(e.getMessage.contains("_delta_log"))
+  }
+}
