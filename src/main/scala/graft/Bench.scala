@@ -93,9 +93,15 @@ object Bench {
       // micro-batch planner, state store, parquet file source/sink — the
       // first stream query otherwise pays this JIT. sf-tagged scratch so
       // concurrent benches over different sf dirs never share a checkpoint.
+      // ts rides the repo-wide long-nanos contract (runStagedStream
+      // normalizes a staged 'ts' column exactly like Tables.table), so the
+      // warm converts nanos → timestamp the same way every real stream
+      // query does — the r7 spelling watermarked the raw column and the
+      // warm silently failed at every dir (EVENT_TIME_IS_NOT_ON_TIMESTAMP)
       graft.queries.StreamScaffold.runFileStream(spark, "warm", sfDir,
-        spark.range(100).selectExpr("id", "timestamp_micros(id * 1000000) AS ts")) { mk =>
-        mk().withWatermark("ts", "10 seconds").dropDuplicatesWithinWatermark("id")
+        spark.range(100).selectExpr("id", "id * 1000000000 AS ts")) { mk =>
+        mk().selectExpr("id", "timestamp_micros(ts DIV 1000) AS ets")
+          .withWatermark("ets", "10 seconds").dropDuplicatesWithinWatermark("id")
       }.count()
     }
     // ---- truthful attribution: everything the warm/staging phase did —
