@@ -1183,6 +1183,25 @@ object IndexQueries {
         .agg(count(lit(1)).as("n"), sum($"event_id").as("id_checksum"),
           sum($"value_micros").as("value_checksum"))
         .orderBy($"event_type")
+    }),
+
+    // Delta TIME TRAVEL through the same log: pin each commit version and
+    // prove the reader reconstructs every historical active set — v0 is
+    // BEFORE the checkpoint (replayed from JSON alone, the checkpoint must
+    // NOT apply to an older pin), v1 exercises remove-resolution at the
+    // checkpoint boundary, v2 is latest. A reader that always trusts
+    // _last_checkpoint regardless of the pinned version breaks v0's row
+    // set (f1's removed rows would be missing); one that drops the
+    // post-checkpoint commit breaks v2.
+    "q194_delta_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      stageQ193DeltaTable(s, dir)
+      val base = scratch(q193TablePat, dir)
+      (0L to 2L).map { v =>
+        Tables.deltaTable(s, base, asOf = Some(v))
+          .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
+          .select(lit(v).as("version"), $"n_rows", $"id_checksum")
+      }.reduce(_ unionAll _).orderBy($"version")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1591,5 +1610,21 @@ object IndexQueries {
         |SELECT event_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
         |  CAST(sum(value_micros) AS BIGINT) AS value_checksum
-        |FROM active GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |FROM active GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q194_delta_time_travel" ->
+      """WITH v0 AS (SELECT event_id FROM events WHERE event_type = 'purchase'),
+        |v1 AS (SELECT event_id FROM events
+        |       WHERE (event_type = 'purchase' AND event_id % 2 <> 0)
+        |          OR event_type = 'click'),
+        |v2 AS (SELECT event_id FROM v1
+        |       UNION ALL
+        |       SELECT event_id FROM events
+        |       WHERE event_type = 'view' AND CAST(round(value * 1e6) AS BIGINT) > 100000000)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum FROM v0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM v1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin)
 }
