@@ -98,12 +98,21 @@ object DeltaLogReader {
 
     val active = mutable.LinkedHashSet.empty[String]
     ckpt.foreach { cv =>
-      // single-part checkpoint: the compacted add/remove state at cv
-      val cp = new Path(logDir(path), f"$cv%020d.checkpoint.parquet")
-      require(fs(spark, cp).exists(cp),
-        s"_last_checkpoint points at v$cv but ${cp.getName} is missing at $path")
+      // checkpoint at cv: single-part (%020d.checkpoint.parquet) or
+      // multi-part (%020d.checkpoint.%010d.%010d.parquet) — the protocol's
+      // two spellings; multi-part parts union into one compacted state
+      val single = new Path(logDir(path), f"$cv%020d.checkpoint.parquet")
+      val f = fs(spark, single)
+      val parts: Seq[Path] =
+        if (f.exists(single)) Seq(single)
+        else f.globStatus(new Path(logDir(path),
+            f"$cv%020d.checkpoint.??????????.??????????.parquet"))
+          .map(_.getPath).sortBy(_.getName).toSeq
+      require(parts.nonEmpty,
+        s"_last_checkpoint points at v$cv but no checkpoint parquet exists at $path")
       val rows = graft.operators.ManifestGuard.collectCapped(
-        spark.read.parquet(cp.toString).selectExpr("add.path AS a", "remove.path AS r"),
+        spark.read.parquet(parts.map(_.toString): _*)
+          .selectExpr("add.path AS a", "remove.path AS r"),
         s"Delta checkpoint v$cv at $path")
       rows.foreach { row =>
         if (!row.isNullAt(0)) active += decodePath(path, row.getString(0))

@@ -104,6 +104,49 @@ class DeltaLogReaderSpec extends SparkSpec {
       v1Snap.exceptAll(v1Delta).count() == 0)
   }
 
+  test("multi-part checkpoint parts union into one compacted state") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L).toDF("id"))
+    dataFile(base, "b.parquet", Seq(2L).toDF("id"))
+    writeCommit(base, 0L, Seq(add("a.parquet"), add("b.parquet")))
+    val log = new java.io.File(base, "_delta_log")
+    // two parts, one add each — the %020d.checkpoint.%010d.%010d spelling
+    Seq(("a.parquet", 1), ("b.parquet", 2)).foreach { case (file, part) =>
+      val tmp = new java.io.File(log, s".tmp_ck$part").toString
+      Seq(file).toDF("p")
+        .selectExpr("named_struct('path', p) AS add",
+          "CAST(NULL AS STRUCT<path: STRING>) AS remove")
+        .coalesce(1).write.parquet(tmp)
+      val pf = new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      assert(pf.renameTo(new java.io.File(log,
+        f"${0L}%020d.checkpoint.$part%010d.${2}%010d.parquet")))
+    }
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "_last_checkpoint").toPath,
+      """{"version":0,"size":2,"parts":2}""")
+    assert(new java.io.File(log, f"${0L}%020d.json").delete())
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(1L, 2L))
+  }
+
+  test("hive-partitioned data paths read with partition columns intact") {
+    // Delta add.path entries for a partitioned table point under k=.../;
+    // basePath-rooted reads must surface the partition column
+    val base = freshDir()
+    new java.io.File(base, "k=x").mkdirs()
+    new java.io.File(base, "k=y").mkdirs()
+    dataFile(s"$base/k=x", "p1.parquet", Seq(1L, 2L).toDF("id"))
+    dataFile(s"$base/k=y", "p2.parquet", Seq(3L).toDF("id"))
+    writeCommit(base, 0L, Seq(add("k=x/p1.parquet"), add("k=y/p2.parquet")))
+    writeCommit(base, 1L, Seq(remove("k=x/p1.parquet")))
+    val latest = graft.Tables.deltaTable(spark, base)
+    assert(latest.columns.toSet == Set("id", "k"))
+    assert(latest.select("id", "k").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+      == Set((3L, "y")))
+    val v0 = graft.Tables.deltaTable(spark, base, asOf = Some(0L))
+    assert(idsOf(v0) == Set(1L, 2L, 3L))
+  }
+
   test("a path with no _delta_log refuses loudly") {
     val e = intercept[IllegalArgumentException] {
       graft.Tables.deltaTable(spark, freshDir())
