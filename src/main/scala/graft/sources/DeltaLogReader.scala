@@ -120,7 +120,17 @@ object DeltaLogReader {
       }
     }
     // replay JSON commits after the checkpoint (or all of them without one)
-    vs.filter(v => ckpt.forall(_ < v) && v <= target).foreach { v =>
+    // — and require the sequence CONTIGUOUS: a missing middle commit would
+    // otherwise silently skip its adds/removes and serve a wrong row set
+    val replay = vs.filter(v => ckpt.forall(_ < v) && v <= target)
+    replay.headOption.foreach { first =>
+      val expectedFirst = ckpt.map(_ + 1).getOrElse(first)
+      val expected = expectedFirst to replay.last
+      require(replay == expected,
+        s"Delta log at $path has version gaps: need commits $expected after " +
+          s"checkpoint $ckpt but found $replay — refusing a wrong-row-set read")
+    }
+    replay.foreach { v =>
       val commit = new Path(logDir(path), f"$v%020d.json")
       readSmallFile(spark, commit).split("\n").filter(_.nonEmpty).foreach { line =>
         val node: JsonNode = mapper.readTree(line)

@@ -147,6 +147,18 @@ class DeltaLogReaderSpec extends SparkSpec {
     assert(idsOf(v0) == Set(1L, 2L, 3L))
   }
 
+  test("a version gap in the commit sequence refuses the read") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L).toDF("id"))
+    dataFile(base, "c.parquet", Seq(3L).toDF("id"))
+    writeCommit(base, 0L, Seq(add("a.parquet")))
+    writeCommit(base, 2L, Seq(add("c.parquet"))) // 1.json missing
+    val e = intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base)
+    }
+    assert(e.getMessage.contains("version gaps"))
+  }
+
   test("a path with no _delta_log refuses loudly") {
     val e = intercept[IllegalArgumentException] {
       graft.Tables.deltaTable(spark, freshDir())
