@@ -129,6 +129,38 @@ object Dedup {
       .select(col("band_idx"), col("band_val"), col(idCol))
   }
 
+  /** Per-ROW minhash band derivation — the STREAMING-friendly spelling of
+    * [[minhashSignatures]] + [[lshBands]]: the k-th signature value is an
+    * `array_min` over the row's own (distinct) shingle hashes, which is
+    * the same number the groupBy-min computes (both minimize the same
+    * per-doc set), so it needs NO aggregation and runs on a streaming
+    * DataFrame — the ingest-time dedup probe. Emits
+    * (idCol, band_idx, band_val) rows exactly like [[lshBands]]; docs
+    * with zero shingles emit no rows (matching the exploded batch path).
+    *
+    * Evaluation discipline (the PLANS.md q188 rule): the shingle-hash
+    * array is bound ONCE as a lambda variable — 8 signature mins + 4 band
+    * md5s all read the bound array, so tokenize→shingle→md5 runs once per
+    * row, not once per hash. */
+  def bandsPerRow(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
+                  numHashes: Int = 8, rowsPerBand: Int = 2,
+                  shingleN: Int = 3): DataFrame = {
+    val numBands = numHashes / rowsPerBand
+    val bhArr = transform(shingles(col(textCol), shingleN), x => md5(x.cast("binary")))
+    val bandArr = element_at(transform(array(bhArr), { a =>
+      val hs = (0 until numHashes).map { k =>
+        array_min(transform(a, bh => md5(concat(lit(s"$k|"), bh).cast("binary"))))
+      }
+      array((0 until numBands).map { b =>
+        val cols = (0 until rowsPerBand).map(r => hs(b * rowsPerBand + r))
+        md5(concat(cols: _*).cast("binary"))
+      }: _*)
+    }), 1)
+    df.select(col(idCol), posexplode(bandArr).as(Seq("band_idx", "band_val")))
+      .where(col("band_val").isNotNull)
+      .select(col("band_idx"), col("band_val"), col(idCol))
+  }
+
   /** Candidate near-dup pairs: ids sharing any LSH band bucket (id_a < id_b,
     * distinct). The O(n²) pair space never materializes — only per-bucket
     * blocks join. */

@@ -501,6 +501,35 @@ object ExtensionQueries {
       }.orderBy($"row_i", $"bucket")
     }),
 
+    // STREAMING incremental-ingestion dedup — q136's batch×corpus band
+    // probe run THROUGH the engine's ingest path: new documents arrive as
+    // a file stream, each micro-batch derives its minhash bands PER ROW
+    // (Dedup.bandsPerRow — the aggregation-free spelling, so the probe is
+    // a stateless map+explode on the stream) and stream-static joins the
+    // stored corpus band index; a complete-mode aggregate counts candidate
+    // partners per new doc. At 100 TB the corpus index is the big static
+    // side (pre-bucketed, never rebuilt per batch) and the stream shuffles
+    // only batch-sized band rows — the ingest-time shape of q136's
+    // contract, with the same band math (oracle replays it exactly).
+    "q195_stream_incremental_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = StreamScaffold.stageTable(s, dir, "documents")
+      // corpus side from the session-cached signature frame: signatures
+      // are per-doc, so filtering after the cache equals q136's
+      // filter-before-aggregate derivation
+      val cb = Dedup.lshBands(minhashSigs(s, dir).where($"doc_id" % 5 =!= 0))
+        .toDF("band_idx", "band_val", "corpus_id")
+      StreamScaffold.runCompleteStream(s, "q195", dir, srcDir) { src =>
+        Dedup.bandsPerRow(src.where($"doc_id" % 5 === 0))
+          .withColumnRenamed("doc_id", "batch_id")
+          .join(cb, Seq("band_idx", "band_val"))
+          .groupBy($"batch_id")
+          .agg(collect_set($"corpus_id").as("cs"))
+          .select($"batch_id", size($"cs").cast("long").as("n_cand_docs"),
+            array_min($"cs").as("first_cand_id"))
+      }.orderBy($"batch_id")
+    }),
+
     // context-window chunking: overlapping 64-token windows at stride 48
     // (the pre-packing step before Sharding's token-budget packing), each
     // chunk carrying an md5 fingerprint of its exact token span — chunk
@@ -2856,6 +2885,24 @@ object ExtensionQueries {
          |  CAST(sum(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dups,
          |  min(CASE WHEN jac >= 0.5 THEN corpus_id END) AS first_dup_id
          |FROM j GROUP BY 1 ORDER BY 1""".stripMargin
+    },
+    "q195_stream_incremental_dedup" -> {
+      val hs = (0 until 8).map(k =>
+        s"list_min(list_transform(sh, x -> md5('$k|' || md5(x)))) AS h$k").mkString(", ")
+      val bands = (0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_idx, md5(h${2 * b} || h${2 * b + 1}) AS band_val FROM sigs")
+        .mkString(" UNION ALL ")
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |shg AS (SELECT doc_id, $shinglesSql AS sh FROM toks),
+         |sigs AS (SELECT doc_id, $hs FROM shg),
+         |bands AS ($bands),
+         |cands AS (SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+         |  FROM bands b JOIN bands c
+         |    ON b.band_idx = c.band_idx AND b.band_val = c.band_val
+         |  WHERE b.doc_id % 5 = 0 AND c.doc_id % 5 != 0)
+         |SELECT batch_id, CAST(count(DISTINCT corpus_id) AS BIGINT) AS n_cand_docs,
+         |  min(corpus_id) AS first_cand_id
+         |FROM cands GROUP BY 1 ORDER BY 1""".stripMargin
     },
     "q135_semantic_dedup" ->
       s"""WITH RECURSIVE asg AS (SELECT * FROM read_parquet('$q135AsgPat/*.parquet')),

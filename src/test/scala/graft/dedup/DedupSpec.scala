@@ -56,6 +56,24 @@ class DedupSpec extends SparkSpec {
     assert(out.values.map(_._1).sum == 5, "groups partition the corpus")
   }
 
+  test("bandsPerRow (streaming spelling) equals the batch signature+band path") {
+    import spark.implicits._
+    // include a zero-shingle doc: both paths must emit no bands for it
+    val in = docs.unionAll(Seq((6L, "ab")).toDF("doc_id", "text"))
+    val batch = Dedup.lshBands(Dedup.minhashSignatures(in))
+      .select($"band_idx", $"band_val", $"doc_id")
+    val perRow = Dedup.bandsPerRow(in)
+    assert(batch.exceptAll(perRow).count() == 0 &&
+      perRow.exceptAll(batch).count() == 0)
+    assert(perRow.where($"doc_id" === 6L).isEmpty)
+    // and it runs on an actual STREAMING frame (the property the per-row
+    // spelling exists for — no aggregation before the probe join)
+    val streamed = Dedup.bandsPerRow(
+      spark.readStream.schema(in.schema)
+        .parquet(java.nio.file.Files.createTempDirectory("bpr").toString))
+    assert(streamed.isStreaming)
+  }
+
   test("ngram jaccard ranks near-dup above unrelated") {
     import spark.implicits._
     val blocked = docs.withColumn("source", lit("s"))
