@@ -106,6 +106,33 @@ object SnapshotLog {
   def read(spark: SparkSession, path: String): DataFrame =
     readVersion(spark, path, latestVersion(spark, path))
 
+  /** OPTIMIZE — Delta's compaction semantics ON the log: rewrite the
+    * LATEST version's (possibly fragmented) active file set into
+    * ~`targetBytes` files and publish the result as a NEW overwrite
+    * version with identical rows. History is preserved: the pre-optimize
+    * version stays readable (files are immutable; [[vacuum]]/
+    * [[expireSnapshots]] reclaim it later), which is what separates a
+    * table-format OPTIMIZE from [[Compaction]]'s in-place directory
+    * rewrite. Planning is O(#files) driver metadata (manifest + sizes);
+    * the rewrite is one round-robin shuffle job.
+    * Returns (newVersion, filesBefore, filesAfter). */
+  def optimize(spark: SparkSession, path: String,
+               targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val v = latestVersion(spark, path)
+    require(v > 0, s"no committed version to optimize at $path")
+    val files = manifestFiles(spark, path, v)
+    require(files.nonEmpty, s"version $v at $path is empty — nothing to optimize")
+    val hconf = spark.sessionState.newHadoopConf()
+    val total = files.map { f =>
+      val p = new Path(f); p.getFileSystem(hconf).getFileStatus(p).getLen
+    }.sum
+    val bins = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val nv = commit(spark, path,
+      readVersion(spark, path, v).repartition(bins), overwrite = true)
+    (nv, files.length, manifestFiles(spark, path, nv).length)
+  }
+
   /** VACUUM: delete data files referenced by NO manifest among the latest
     * `retainVersions` — the retention pass that reclaims storage from
     * overwritten/compacted-away versions. Returns (liveFiles, deleted).

@@ -51,6 +51,7 @@ object IndexQueries {
   private val q164TablePat = scratchPat("q164_table")
   private val q165TablePat = scratchPat("q165_table")
   private val q193TablePat = scratchPat("q193_delta")
+  private val q196TablePat = scratchPat("q196_table")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
   private val q167LutPat = scratchPat("q167_pq_lut")
@@ -1166,6 +1167,37 @@ object IndexQueries {
         .orderBy($"user_id")
     }),
 
+    // OPTIMIZE on the snapshot log — the table-format compaction
+    // semantics (vs q162's directory-level Compaction): two fragmented
+    // appends (6 files each), then optimize rewrites the 12-file active
+    // set into one ~target-sized file and publishes it as a NEW overwrite
+    // version with IDENTICAL rows — and the pre-optimize version stays
+    // readable (checked in the same output row: pre_rows/pre_checksum
+    // must equal the post-optimize pair). The oracle recomputes the rows
+    // declaratively and reads both versions' manifests for the file
+    // counts — a compaction that dropped or duplicated a row, or broke
+    // history, breaks the hash.
+    "q196_snapshot_optimize" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q196TablePat, dir)
+      val p = new org.apache.hadoop.fs.Path(base)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type")
+      SnapshotLog.commit(s, base,
+        ev.where($"event_type" === "purchase").repartition(6), overwrite = false)
+      SnapshotLog.commit(s, base,
+        ev.where($"event_type" === "click").repartition(6), overwrite = false)
+      val (nv, before, after) = SnapshotLog.optimize(s, base)
+      val pre = SnapshotLog.readVersion(s, base, nv - 1)
+        .agg(count(lit(1)).as("pre_rows"), sum($"event_id").as("pre_checksum"))
+      SnapshotLog.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
+        .crossJoin(pre)
+        .select(lit(before.toLong).as("files_before"),
+          lit(after.toLong).as("files_after"),
+          $"n_rows", $"id_checksum", $"pre_rows", $"pre_checksum")
+    }),
+
     // STORAGE-FORMAT INTEROP: read a table someone else wrote with real
     // Delta Lake — the hand-assembled fixture follows the public
     // `_delta_log` protocol verbatim (add/remove JSON commits, a
@@ -1611,6 +1643,16 @@ object IndexQueries {
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
         |  CAST(sum(value_micros) AS BIGINT) AS value_checksum
         |FROM active GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q196_snapshot_optimize" ->
+      s"""WITH act AS (SELECT event_id FROM events
+         |            WHERE event_type IN ('purchase', 'click'))
+         |SELECT
+         |  (SELECT count(*) FROM read_parquet('$q196TablePat/_log/v2/*.parquet')) AS files_before,
+         |  (SELECT count(*) FROM read_parquet('$q196TablePat/_log/v3/*.parquet')) AS files_after,
+         |  (SELECT count(*) FROM act) AS n_rows,
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM act) AS id_checksum,
+         |  (SELECT count(*) FROM act) AS pre_rows,
+         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM act) AS pre_checksum""".stripMargin,
     "q194_delta_time_travel" ->
       """WITH v0 AS (SELECT event_id FROM events WHERE event_type = 'purchase'),
         |v1 AS (SELECT event_id FROM events

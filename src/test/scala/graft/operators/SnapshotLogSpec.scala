@@ -93,6 +93,26 @@ class SnapshotLogSpec extends SparkSpec {
     assert(ids(SnapshotLog.readVersion(spark, tbl, 1)) == (0L until 50L).toSet)
   }
 
+  test("optimize compacts the active set as a NEW version; history intact") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl,
+      (0L until 30L).toDF("id").repartitionByRange(5, col("id")), overwrite = false)
+    SnapshotLog.commit(spark, tbl,
+      (30L until 50L).toDF("id").repartitionByRange(4, col("id")), overwrite = false)
+    val (nv, before, after) = SnapshotLog.optimize(spark, tbl)
+    assert(nv == 3 && before == 9 && after == 1, s"($nv, $before, $after)")
+    // identical rows in the optimized version…
+    assert(ids(SnapshotLog.read(spark, tbl)) == (0L until 50L).toSet)
+    // …and every pre-optimize version still reads (files immutable)
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 2)) == (0L until 50L).toSet)
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 1)) == (0L until 30L).toSet)
+    // vacuum after optimize reclaims the fragmented files
+    val (live, deleted) = SnapshotLog.vacuum(spark, tbl, retainVersions = 1)
+    assert(live == 1 && deleted == 9)
+    assert(ids(SnapshotLog.read(spark, tbl)) == (0L until 50L).toSet)
+  }
+
   test("a published version's file set is immutable under later commits") {
     import spark.implicits._
     val tbl = freshTable()
