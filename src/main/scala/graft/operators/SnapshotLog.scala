@@ -114,10 +114,17 @@ object SnapshotLog {
     * [[expireSnapshots]] reclaim it later), which is what separates a
     * table-format OPTIMIZE from [[Compaction]]'s in-place directory
     * rewrite. Planning is O(#files) driver metadata (manifest + sizes);
-    * the rewrite is one round-robin shuffle job.
+    * the rewrite is one round-robin shuffle job — or, with `clusterBy`,
+    * a range-partition + in-partition sort on the given key expressions:
+    * `OPTIMIZE ... ZORDER BY` (`01_geofraud_clustering.py:440`) when the
+    * caller passes the Morton key (`z_order(i, j)` — q129/q134's write
+    * pattern), plain clustering for single-column locality. Clustered
+    * output files carry tight min/max stats on the key, so file-level
+    * skipping and row-group pruning both engage on later reads.
     * Returns (newVersion, filesBefore, filesAfter). */
   def optimize(spark: SparkSession, path: String,
-               targetBytes: Long = 128L * 1024 * 1024): (Int, Int, Int) = {
+               targetBytes: Long = 128L * 1024 * 1024,
+               clusterBy: Seq[org.apache.spark.sql.Column] = Nil): (Int, Int, Int) = {
     require(targetBytes > 0, "targetBytes must be positive")
     val v = latestVersion(spark, path)
     require(v > 0, s"no committed version to optimize at $path")
@@ -128,8 +135,12 @@ object SnapshotLog {
       val p = new Path(f); p.getFileSystem(hconf).getFileStatus(p).getLen
     }.sum
     val bins = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
-    val nv = commit(spark, path,
-      readVersion(spark, path, v).repartition(bins), overwrite = true)
+    val src = readVersion(spark, path, v)
+    val reshaped =
+      if (clusterBy.isEmpty) src.repartition(bins)
+      else src.repartitionByRange(bins, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
+    val nv = commit(spark, path, reshaped, overwrite = true)
     (nv, files.length, manifestFiles(spark, path, nv).length)
   }
 
