@@ -51,6 +51,7 @@ object IndexQueries {
   private val q164TablePat = scratchPat("q164_table")
   private val q165TablePat = scratchPat("q165_table")
   private val q193TablePat = scratchPat("q193_delta")
+  private val q198TablePat = scratchPat("q198_delta_w")
   private val q196TablePat = scratchPat("q196_table")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
@@ -1234,6 +1235,57 @@ object IndexQueries {
           .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
           .select(lit(v).as("version"), $"n_rows", $"id_checksum")
       }.reduce(_ unionAll _).orderBy($"version")
+    }),
+
+    // DATA-MIXTURE sampling — the corpus-composition step: per-source
+    // mixture weights (here derived from the source name so the oracle
+    // needs no side table) split a global token budget, and each source
+    // fills its budget in deterministic md5-priority order
+    // (MixtureSampling: two-level bucketed windows, never one partition
+    // per source). The oracle replays the ranking, the exclusive prefix
+    // sum and the integer budget split — a wrong tie-break, an inclusive
+    // prefix, or float budget arithmetic all break the hash.
+    "q197_mixture_sample" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"source", $"doc_id",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+      val w = docs.select($"source").distinct()
+        .withColumn("wt", (substring($"source", 4, 10).cast("int") % 4 + 1).cast("long"))
+      graft.operators.MixtureSampling.byWeights(docs, w, totalBudget = 100000L)
+        .groupBy($"source", $"wt", $"budget_toks")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("sel_tokens"),
+          sum($"doc_id").as("id_checksum"))
+        .orderBy($"source")
+    }),
+
+    // Delta WRITE roundtrip — the writer half of the interop story, timed
+    // end-to-end like q173's XML sink (the write IS the semantics): create
+    // (protocol + metaData + adds), OVERWRITE (removes + adds), checkpoint
+    // at v1, append at v2, then pin every version back through the READER.
+    // v0 predates the checkpoint (must replay from JSON alone), v1 reads
+    // through the compacted state, v2 layers a post-checkpoint commit on
+    // it. The oracle recomputes each version's rows from `orders` — a
+    // leaked overwrite (v0 files surviving into v1), a checkpoint that
+    // baked in too much, or a dropped append all break the hash.
+    "q198_delta_write" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.SaveMode
+      val base = scratch(q198TablePat, dir)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val o = t(s, dir, "orders").select($"o_orderkey", $"o_custkey",
+        round($"o_totalprice" * 100).cast("long").as("price_cents"))
+      def slice(k: Int) = o.where($"o_orderkey" % 7 === k)
+      graft.sources.DeltaLogWriter.write(slice(0), base, SaveMode.Overwrite)
+      graft.sources.DeltaLogWriter.write(slice(1), base, SaveMode.Overwrite)
+      graft.sources.DeltaLogWriter.checkpoint(s, base)
+      graft.sources.DeltaLogWriter.write(slice(2), base, SaveMode.Append)
+      (0L to 2L).map { v =>
+        Tables.deltaTable(s, base, asOf = Some(v))
+          .agg(count(lit(1)).as("n_rows"), sum($"o_orderkey").as("id_checksum"),
+            sum($"price_cents").as("price_checksum"))
+          .select(lit(v).as("version"), $"n_rows", $"id_checksum", $"price_checksum")
+      }.reduce(_ unionAll _).orderBy($"version")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1668,5 +1720,40 @@ object IndexQueries {
         |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM v1
         |UNION ALL
         |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM v2
+        |ORDER BY version""".stripMargin,
+    "q197_mixture_sample" ->
+      """WITH d AS (SELECT source, doc_id,
+        |  CAST(len(list_filter(string_split(lower(text), ' '), t -> t != '')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |w AS (SELECT DISTINCT source,
+        |  CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS wt FROM documents),
+        |b AS (SELECT source, wt,
+        |  CAST(100000 * wt // (SELECT sum(wt) FROM w) AS BIGINT) AS budget_toks FROM w),
+        |r AS (SELECT source, doc_id, n_tokens,
+        |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+        |    ORDER BY md5('mx|' || CAST(doc_id AS VARCHAR)), doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+        |FROM d)
+        |SELECT r.source, wt, budget_toks, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sel_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_checksum
+        |FROM r JOIN b ON r.source = b.source
+        |WHERE tok_before < budget_toks
+        |GROUP BY 1, 2, 3 ORDER BY r.source""".stripMargin,
+    "q198_delta_write" ->
+      """WITH o AS (SELECT o_orderkey, CAST(round(o_totalprice * 100) AS BIGINT) AS price_cents
+        |           FROM orders)
+        |SELECT CAST(0 AS BIGINT) AS version, count(*) AS n_rows,
+        |  CAST(sum(o_orderkey) AS BIGINT) AS id_checksum,
+        |  CAST(sum(price_cents) AS BIGINT) AS price_checksum
+        |FROM o WHERE o_orderkey % 7 = 0
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(price_cents) AS BIGINT)
+        |FROM o WHERE o_orderkey % 7 = 1
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT),
+        |  CAST(sum(price_cents) AS BIGINT)
+        |FROM o WHERE o_orderkey % 7 IN (1, 2)
         |ORDER BY version""".stripMargin)
 }

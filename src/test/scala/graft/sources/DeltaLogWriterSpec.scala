@@ -1,0 +1,106 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+
+/** The Delta-log WRITER against its own reader (roundtrip + time travel),
+  * against the protocol's file shapes (commit names, action lines,
+  * checkpoint + pointer), and against clobber/concurrency edges. */
+class DeltaLogWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("deltaw").toString
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("create + append + overwrite roundtrip through the reader, every version pinned") {
+    val base = freshDir()
+    assert(DeltaLogWriter.write(Seq(1L, 2L).toDF("id"), base, SaveMode.Overwrite) == 0L)
+    assert(DeltaLogWriter.write(Seq(3L).toDF("id"), base, SaveMode.Append) == 1L)
+    assert(DeltaLogWriter.write(Seq(9L, 10L).toDF("id"), base, SaveMode.Overwrite) == 2L)
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(9L, 10L))
+    assert(idsOf(graft.Tables.deltaTable(spark, base, asOf = Some(0L))) == Set(1L, 2L))
+    assert(idsOf(graft.Tables.deltaTable(spark, base, asOf = Some(1L))) == Set(1L, 2L, 3L))
+  }
+
+  test("commit 0 carries protocol + metaData with the table schema; actions are one-per-line JSON") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("id", "name"), base, SaveMode.Overwrite)
+    val lines = java.nio.file.Files.readString(
+      java.nio.file.Path.of(base, "_delta_log", "0" * 20 + ".json"))
+      .split("\n").filter(_.nonEmpty)
+    assert(lines.head.contains(""""protocol""""))
+    assert(lines.head.contains(""""minReaderVersion":1"""))
+    assert(lines(1).contains(""""metaData""""))
+    assert(lines(1).contains("schemaString"))
+    assert(lines(1).contains("\\\"name\\\"")) // escaped Spark schema JSON inside
+    assert(lines.drop(2).forall(_.contains(""""add"""")))
+    // every add names a real root-level parquet part with its true size
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    lines.drop(2).foreach { l =>
+      val a = mapper.readTree(l).get("add")
+      val f = new java.io.File(base, a.get("path").asText())
+      assert(f.isFile && f.length() == a.get("size").asLong())
+    }
+  }
+
+  test("checkpoint compacts state; reader resumes from it even with early commits truncated") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq(1L, 2L).toDF("id"), base, SaveMode.Overwrite)
+    DeltaLogWriter.write(Seq(3L).toDF("id"), base, SaveMode.Overwrite)
+    assert(DeltaLogWriter.checkpoint(spark, base) == 1L)
+    DeltaLogWriter.write(Seq(4L).toDF("id"), base, SaveMode.Append)
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(3L, 4L))
+    // protocol guarantee the checkpoint exists to provide: commits ≤ the
+    // checkpoint version may be deleted and the table must still read
+    (0L to 1L).foreach { v =>
+      java.nio.file.Files.delete(
+        java.nio.file.Path.of(base, "_delta_log", f"$v%020d.json"))
+    }
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(3L, 4L))
+  }
+
+  test("overwrite removes exactly the previously-active files, not historical ones") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq(1L).toDF("id"), base, SaveMode.Overwrite)
+    DeltaLogWriter.write(Seq(2L).toDF("id"), base, SaveMode.Overwrite)
+    DeltaLogWriter.write(Seq(3L).toDF("id"), base, SaveMode.Overwrite)
+    // v2's removes must target v1's files only — v0's were already gone;
+    // a reader replaying the whole log lands on exactly {3}
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(3L))
+    val v2 = java.nio.file.Files.readString(
+      java.nio.file.Path.of(base, "_delta_log", f"${2L}%020d.json"))
+    val nRemoves = v2.split("\n").count(_.contains(""""remove""""))
+    assert(nRemoves == 1, s"expected 1 remove (v1's single part), got $nRemoves")
+  }
+
+  test("an externally-landed commit is never clobbered: the next write sequences after it") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq(1L).toDF("id"), base, SaveMode.Overwrite)
+    // another writer lands v1 between our commits — our write must observe
+    // it and take v2, leaving v1's bytes untouched (the in-flight race
+    // inside one call is covered by the pre-rename existence require)
+    val v1 = java.nio.file.Path.of(base, "_delta_log", f"${1L}%020d.json")
+    val external =
+      s"""{"add":{"path":"theirs.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}\n"""
+    java.nio.file.Files.writeString(v1, external)
+    assert(DeltaLogWriter.write(Seq(2L).toDF("id"), base, SaveMode.Append) == 2L)
+    assert(java.nio.file.Files.readString(v1) == external)
+  }
+
+  test("writer output cross-checks against SnapshotLog over the same history") {
+    val base = freshDir()
+    val snap = freshDir()
+    val a = Seq(1L, 2L, 3L).toDF("id")
+    val b = Seq(4L, 5L).toDF("id")
+    DeltaLogWriter.write(a, base, SaveMode.Overwrite)
+    DeltaLogWriter.write(b, base, SaveMode.Append)
+    graft.operators.SnapshotLog.commit(spark, snap, a, overwrite = true)
+    graft.operators.SnapshotLog.commit(spark, snap, b, overwrite = false)
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) ==
+      idsOf(graft.operators.SnapshotLog.read(spark, snap)))
+  }
+}
