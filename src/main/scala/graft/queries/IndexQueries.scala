@@ -52,6 +52,7 @@ object IndexQueries {
   private val q165TablePat = scratchPat("q165_table")
   private val q193TablePat = scratchPat("q193_delta")
   private val q198TablePat = scratchPat("q198_delta_w")
+  private val q199AvroPat = scratchPat("q199_avro")
   private val q196TablePat = scratchPat("q196_table")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
@@ -1286,6 +1287,32 @@ object IndexQueries {
             sum($"price_cents").as("price_checksum"))
           .select(lit(v).as("version"), $"n_rows", $"id_checksum", $"price_checksum")
       }.reduce(_ unionAll _).orderBy($"version")
+    }),
+
+    // AVRO container roundtrip — the third interchange format a pipeline
+    // gets handed (Kafka archives, Hive exports), written and read back
+    // inside the timed window like q173's XML (the codec IS the
+    // semantics; no spark-avro module on this classpath — sources.Avro
+    // drives the public avro-mapred Hadoop formats distributed, one file
+    // per partition, splittable on read). Nullable column included so the
+    // ["null", T] union spelling is exercised; the oracle recomputes from
+    // `events`, so a dropped row, a null mangled to 0, or a lossy double
+    // all break the hash.
+    "q199_avro_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q199AvroPat, dir)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"),
+        when($"event_id" % 5 === 0, $"user_id").as("sampled_user"))
+      graft.sources.Avro.write(ev, base)
+      graft.sources.Avro.read(s, base, ev.schema)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"value_micros").as("value_checksum"),
+          count($"sampled_user").as("n_sampled"),
+          sum($"sampled_user").as("user_checksum"))
+        .orderBy($"event_type")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1755,5 +1782,11 @@ object IndexQueries {
         |SELECT CAST(2 AS BIGINT), count(*), CAST(sum(o_orderkey) AS BIGINT),
         |  CAST(sum(price_cents) AS BIGINT)
         |FROM o WHERE o_orderkey % 7 IN (1, 2)
-        |ORDER BY version""".stripMargin)
+        |ORDER BY version""".stripMargin,
+    "q199_avro_roundtrip" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum,
+        |  count(CASE WHEN event_id % 5 = 0 THEN user_id END) AS n_sampled,
+        |  CAST(sum(CASE WHEN event_id % 5 = 0 THEN user_id END) AS BIGINT) AS user_checksum
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
 }
