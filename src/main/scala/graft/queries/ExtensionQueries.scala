@@ -2104,6 +2104,43 @@ object ExtensionQueries {
         .orderBy($"doc_id")
     }),
 
+    // the FULL corpus-preparation chain, composed end-to-end (the LLM
+    // analog of q25's fraud pipeline): q47's clean/dedup/quality gates →
+    // mixture selection to per-source token budgets (MixtureSampling's
+    // bucketed windows) → token-budget shard packing (Sharding's two-level
+    // prefix sums) → per-shard summary. Every stage is the library
+    // operator, not a re-spelling — the query pins that the operators
+    // COMPOSE (schemas line up, determinism survives chaining). The
+    // oracle replays all three stages declaratively; a drift in any one
+    // (dedup keep-rule, budget split, pack boundary) breaks the hash.
+    "q200_corpus_pipeline" -> ((s, dir) => {
+      import s.implicits._
+      // the tokenize+quality+md5 pass feeds two consumers (the keep-first
+      // aggregate and the join back) — materialize the compact frame once
+      // (the q16/q131 rule; 6 narrow columns, never the text)
+      val scored = t(s, dir, "documents").select($"source", $"doc_id", $"lang",
+        TextFunctions.tokenCount($"text").cast("long").as("n_tokens"),
+        TextFunctions.qualityScore($"text").as("quality"),
+        TextFunctions.fingerprintMd5($"text").as("fp"))
+        .localCheckpoint(true)
+      val keepers = scored.groupBy($"fp").agg(min($"doc_id").as("keep_id"))
+      val cleaned = scored.join(keepers, Seq("fp"))
+        .where($"doc_id" === $"keep_id" && $"quality" >= 0.3 &&
+          $"lang".isin("en", "de", "fr", "es") && $"n_tokens".between(20, 10000))
+        .select($"source", $"doc_id", $"n_tokens")
+      val w = cleaned.select($"source").distinct()
+        .withColumn("wt", (substring($"source", 4, 10).cast("int") % 4 + 1).cast("long"))
+      val selected = graft.operators.MixtureSampling
+        .byWeights(cleaned, w, totalBudget = 60000L)
+        .select($"source", $"doc_id", $"n_tokens")
+      graft.operators.Sharding.byTokenBudget(selected, budget = 5000L)
+        .groupBy($"shard")
+        .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("shard_tokens"),
+          sum($"doc_id").as("id_checksum"),
+          countDistinct($"source").as("n_sources"))
+        .orderBy($"shard")
+    }),
+
     // event sessionization: 30-minute-gap sessions per user (window lag +
     // running sum), then per-session aggregates
     "q48_sessionize" -> ((s, dir) => {
@@ -3421,6 +3458,40 @@ object ExtensionQueries {
          |WHERE doc_id = keep_id AND quality >= 0.3
          |  AND lang IN ('en','de','fr','es') AND n_tokens BETWEEN 20 AND 10000
          |ORDER BY doc_id""".stripMargin,
+    "q200_corpus_pipeline" ->
+      s"""WITH c AS (SELECT source, doc_id, lang, text, $toksSql AS tk FROM documents),
+         |q AS (SELECT source, doc_id, lang,
+         |  CAST(len(tk) AS BIGINT) AS n_tokens,
+         |  round(CAST(length(regexp_replace(text, '[a-zA-Z0-9 ]', '', 'g')) AS DOUBLE) / CAST(greatest(length(text), 1) AS DOUBLE), 6) AS punct_ratio,
+         |  round(CAST(coalesce(list_sum(list_transform(list_filter(string_split(text, ' '), t -> t != ''), t -> length(t))), 0) AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS avg_word_len,
+         |  round(CAST(${stopHitsSql("tk", TextFunctions.EnStop)} AS DOUBLE) / CAST(greatest(len(tk), 1) AS DOUBLE), 6) AS stop_ratio,
+         |  md5(lower(text)) AS fp
+         |FROM c),
+         |g AS (SELECT source, doc_id, lang, n_tokens,
+         |  round(CAST(0.4 AS DOUBLE) * stop_ratio + CAST(0.3 AS DOUBLE) * (CAST(1.0 AS DOUBLE) - punct_ratio) + CAST(0.3 AS DOUBLE) * least(avg_word_len / CAST(8.0 AS DOUBLE), CAST(1.0 AS DOUBLE)), 6) AS quality,
+         |  min(doc_id) OVER (PARTITION BY fp) AS keep_id
+         |FROM q),
+         |cl AS (SELECT source, doc_id, n_tokens FROM g
+         |  WHERE doc_id = keep_id AND quality >= 0.3
+         |    AND lang IN ('en','de','fr','es') AND n_tokens BETWEEN 20 AND 10000),
+         |wt AS (SELECT DISTINCT source,
+         |  CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS wt FROM cl),
+         |b AS (SELECT source, wt,
+         |  CAST(60000 * wt // (SELECT sum(wt) FROM wt) AS BIGINT) AS budget_toks FROM wt),
+         |r AS (SELECT source, doc_id, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY md5('mx|' || CAST(doc_id AS VARCHAR)), doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_before
+         |FROM cl),
+         |sel AS (SELECT r.source, doc_id, n_tokens FROM r JOIN b ON r.source = b.source
+         |        WHERE tok_before < budget_toks),
+         |p AS (SELECT source, doc_id, n_tokens,
+         |  CAST((sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) // 5000 AS BIGINT) AS shard
+         |FROM sel)
+         |SELECT shard, count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS shard_tokens,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+         |FROM p GROUP BY 1 ORDER BY shard""".stripMargin,
     "q48_sessionize" ->
       """WITH g AS (SELECT user_id, event_id, value, ts,
         |  CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000000 THEN 1 ELSE 0 END AS new_session
