@@ -217,4 +217,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("SortMergeJoin"), p)
     assert(p.contains("ShuffledHashJoin"), p)
   }
+
+  test("q197 mixture windows stay bucket-parallel: no single-partition funnel, dims broadcast") {
+    // MixtureSampling's running sums must plan as windows PARTITIONED by
+    // (source, bucket) — a SinglePartition exchange anywhere means the
+    // corpus funnels through one task at 100 TB (the final scalar-free
+    // aggregate groups by source, so none is expected at all)
+    val p = plan("q197_mixture_sample")
+    assert(!p.contains("SinglePartition"), p)
+    // the budgets dim and the per-bucket offsets frame both broadcast
+    assert(p.contains("BroadcastExchange"), p)
+  }
 }
