@@ -3477,7 +3477,7 @@ object ExtensionQueries {
          |wt AS (SELECT DISTINCT source,
          |  CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS wt FROM cl),
          |b AS (SELECT source, wt,
-         |  CAST(60000 * wt // (SELECT sum(wt) FROM wt) AS BIGINT) AS budget_toks FROM wt),
+         |  CAST(60000 * wt // (SELECT CAST(sum(wt) AS BIGINT) FROM wt) AS BIGINT) AS budget_toks FROM wt),
          |r AS (SELECT source, doc_id, n_tokens,
          |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
          |    ORDER BY md5('mx|' || CAST(doc_id AS VARCHAR)), doc_id

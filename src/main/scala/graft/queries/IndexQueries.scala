@@ -1755,7 +1755,7 @@ object IndexQueries {
         |w AS (SELECT DISTINCT source,
         |  CAST(CAST(substr(source, 4) AS INT) % 4 + 1 AS BIGINT) AS wt FROM documents),
         |b AS (SELECT source, wt,
-        |  CAST(100000 * wt // (SELECT sum(wt) FROM w) AS BIGINT) AS budget_toks FROM w),
+        |  CAST(100000 * wt // (SELECT CAST(sum(wt) AS BIGINT) FROM w) AS BIGINT) AS budget_toks FROM w),
         |r AS (SELECT source, doc_id, n_tokens,
         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
         |    ORDER BY md5('mx|' || CAST(doc_id AS VARCHAR)), doc_id
