@@ -43,14 +43,27 @@ object SnapshotLog {
   def commit(spark: SparkSession, path: String, df: DataFrame,
              overwrite: Boolean): Int = {
     val v = latestVersion(spark, path) + 1
-    val dataDir = s"$path/data/c$v"
-    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
-    val newFiles = fs(spark, new Path(dataDir)).listStatus(new Path(dataDir))
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath.toString).sorted.toSeq
+    val newFiles = writeDataFiles(spark, path, v, df)
     val active =
       if (overwrite || v == 1) newFiles
       else manifestFiles(spark, path, v - 1) ++ newFiles
+    publishManifest(spark, path, v, active, df.schema.json)
+    v
+  }
+
+  /** Write `df` into the commit-scoped data dir and return its part files. */
+  private def writeDataFiles(spark: SparkSession, path: String, v: Int,
+                             df: DataFrame): Seq[String] = {
+    val dataDir = s"$path/data/c$v"
+    df.write.mode(SaveMode.ErrorIfExists).parquet(dataDir)
+    fs(spark, new Path(dataDir)).listStatus(new Path(dataDir))
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath.toString).sorted.toSeq
+  }
+
+  /** Atomically publish version `v`'s manifest (+ schema sidecar). */
+  private def publishManifest(spark: SparkSession, path: String, v: Int,
+                              active: Seq[String], schemaJson: String): Unit = {
     import spark.implicits._
     val tmp = new Path(path, s"_log/.tmp_v$v")
     val dst = new Path(path, s"_log/v$v")
@@ -63,10 +76,9 @@ object SnapshotLog {
     // back — with it, readVersion returns an empty typed frame
     val schemaFile = new Path(tmp, "_schema.json")
     val out = f.create(schemaFile, true)
-    try out.write(df.schema.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(schemaJson.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     require(f.rename(tmp, dst), s"concurrent commit detected publishing v$v")
-    v
   }
 
   private[operators] def manifestFiles(spark: SparkSession, path: String, v: Int,
@@ -142,6 +154,56 @@ object SnapshotLog {
         .sortWithinPartitions(clusterBy: _*)
     val nv = commit(spark, path, reshaped, overwrite = true)
     (nv, files.length, manifestFiles(spark, path, nv).length)
+  }
+
+  /** Row-level DELETE — the copy-on-write table-format semantics (Delta's
+    * `DELETE FROM`): rewrite ONLY the files that contain matching rows
+    * (minus those rows) and publish a new version whose manifest keeps
+    * every untouched file as-is. History stays readable (the pre-delete
+    * version pins the original files; [[vacuum]] reclaims them later).
+    *
+    * Two jobs, both bounded: (1) find touched files + the matched count in
+    * ONE pass (`input_file_name` groupBy over the predicate's matches —
+    * result is O(#touched files) rows, `ManifestGuard`-capped); (2) rewrite
+    * the touched files' survivors. At 100 TB the win IS the touched-only
+    * rewrite: a delete hitting 1% of files rewrites 1% of the table, and
+    * untouched files move as manifest entries, zero data bytes.
+    *
+    * A no-match delete publishes NO new version (Delta's no-op semantics).
+    * Returns (version, rowsDeleted, filesRewritten, filesKept) — version
+    * is the pre-delete latest when nothing matched. */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): (Int, Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit}
+    val v = latestVersion(spark, path)
+    require(v > 0, s"no committed version to delete from at $path")
+    val files = manifestFiles(spark, path, v)
+    if (files.isEmpty) return (v, 0L, 0, 0)
+    val src = spark.read.parquet(files: _*)
+    val touchedRows = ManifestGuard.collectCapped(
+      src.where(predicate).groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n")),
+      s"DELETE touched-file scan at $path")
+    if (touchedRows.isEmpty) return (v, 0L, 0, 0)
+    // input_file_name returns URIs; manifests may store plain paths —
+    // compare canonically both ways
+    def canon(s: String) = new Path(s).toUri.getPath
+    val touched = touchedRows.map(r => canon(r.getString(0))).toSet
+    val deleted = touchedRows.map(_.getLong(1)).sum
+    val (rewrite, keep) = files.partition(f => touched(canon(f)))
+    require(rewrite.size == touched.size,
+      s"DELETE planning at $path: ${touched.size} touched files but " +
+        s"${rewrite.size} matched the manifest — path canonicalization drift")
+    val nv = v + 1
+    // survivors = rows where the predicate is NOT TRUE (false OR null —
+    // SQL DELETE semantics: a null predicate row is not deleted; a bare
+    // `!predicate` would silently drop it from the rewrite)
+    val survivors = spark.read.parquet(rewrite: _*)
+      .where(!org.apache.spark.sql.functions.coalesce(
+        predicate, org.apache.spark.sql.functions.lit(false)))
+    val newFiles = writeDataFiles(spark, path, nv, survivors)
+    publishManifest(spark, path, nv, keep ++ newFiles, src.schema.json)
+    (nv, deleted, rewrite.size, keep.size)
   }
 
   /** VACUUM: delete data files referenced by NO manifest among the latest

@@ -53,6 +53,7 @@ object IndexQueries {
   private val q193TablePat = scratchPat("q193_delta")
   private val q198TablePat = scratchPat("q198_delta_w")
   private val q199AvroPat = scratchPat("q199_avro")
+  private val q201TablePat = scratchPat("q201_table")
   private val q196TablePat = scratchPat("q196_table")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
@@ -1313,6 +1314,34 @@ object IndexQueries {
           count($"sampled_user").as("n_sampled"),
           sum($"sampled_user").as("user_checksum"))
         .orderBy($"event_type")
+    }),
+
+    // Row-level DELETE on the snapshot log — the copy-on-write table verb
+    // (Delta's DELETE FROM): commit events hash-clustered by type into 4
+    // files, delete one type, and pin BOTH sides of the contract in one
+    // row — the post-delete state (matched rows gone, survivors intact)
+    // and the pre-delete version still fully readable (history is
+    // immutable; the rewrite touched only files containing matches —
+    // file-level invariants are spec'd in SnapshotLogSpec, row-level
+    // semantics are oracle-checked here). A leaked survivor, a deleted
+    // null-predicate row, or broken time travel all break the hash.
+    "q201_snapshot_delete" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q201TablePat, dir)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      SnapshotLog.commit(s, base, ev.repartition(4, $"event_type"), overwrite = false)
+      val (nv, del, _, _) =
+        SnapshotLog.deleteWhere(s, base, $"event_type" === "click")
+      val after = SnapshotLog.read(s, base)
+        .agg(count(lit(1)).as("n_after"), sum($"event_id").as("id_checksum_after"))
+      val v1 = SnapshotLog.readVersion(s, base, 1)
+        .agg(count(lit(1)).as("n_v1"), sum($"event_id").as("id_checksum_v1"))
+      after.crossJoin(v1).select(lit(nv.toLong).as("version"),
+        lit(del).as("n_deleted"), $"n_after", $"id_checksum_after",
+        $"n_v1", $"id_checksum_v1")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1788,5 +1817,12 @@ object IndexQueries {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum,
         |  count(CASE WHEN event_id % 5 = 0 THEN user_id END) AS n_sampled,
         |  CAST(sum(CASE WHEN event_id % 5 = 0 THEN user_id END) AS BIGINT) AS user_checksum
-        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin)
+        |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q201_snapshot_delete" ->
+      """SELECT CAST(2 AS BIGINT) AS version,
+        |  (SELECT count(*) FROM events WHERE event_type = 'click') AS n_deleted,
+        |  (SELECT count(*) FROM events WHERE event_type <> 'click') AS n_after,
+        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events WHERE event_type <> 'click') AS id_checksum_after,
+        |  (SELECT count(*) FROM events) AS n_v1,
+        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events) AS id_checksum_v1""".stripMargin)
 }

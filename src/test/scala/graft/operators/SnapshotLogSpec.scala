@@ -152,4 +152,42 @@ class SnapshotLogSpec extends SparkSpec {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(before.forall(f => fs.exists(new org.apache.hadoop.fs.Path(f))))
   }
+
+  test("deleteWhere rewrites ONLY touched files; untouched files move by reference") {
+    import spark.implicits._
+    val tbl = freshTable()
+    // 4 files, ids partitioned by range so the predicate touches exactly 2
+    SnapshotLog.commit(spark, tbl,
+      (0L until 40L).toDF("id").repartitionByRange(4, $"id"), overwrite = false)
+    val v1Files = spark.read.parquet(s"$tbl/_log/v1")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    assert(v1Files.size == 4)
+    val (nv, deleted, rewritten, kept) =
+      SnapshotLog.deleteWhere(spark, tbl, $"id" >= 20L && $"id" < 25L)
+    assert(nv == 2 && deleted == 5L)
+    assert(rewritten >= 1 && rewritten <= 2 && kept == 4 - rewritten)
+    assert(ids(SnapshotLog.read(spark, tbl)) ==
+      (0L until 40L).toSet -- (20L until 25L))
+    // untouched files appear in BOTH manifests verbatim (zero data copied)
+    val v2Files = spark.read.parquet(s"$tbl/_log/v2")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    assert((v1Files intersect v2Files).size == kept)
+    // history intact: the pre-delete version still has every row
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 1)) == (0L until 40L).toSet)
+  }
+
+  test("deleteWhere with no matches publishes no new version; null predicate rows survive") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl,
+      Seq((1L, Some(1)), (2L, None), (3L, Some(9))).toDF("id", "flag"),
+      overwrite = false)
+    val (v0, d0, r0, _) = SnapshotLog.deleteWhere(spark, tbl, $"id" > 100L)
+    assert(v0 == 1 && d0 == 0L && r0 == 0)
+    assert(SnapshotLog.versions(spark, tbl) == Seq(1))
+    // flag > 5 is NULL for id=2 — SQL DELETE must keep that row
+    val (v1, d1, _, _) = SnapshotLog.deleteWhere(spark, tbl, $"flag" > 5)
+    assert(v1 == 2 && d1 == 1L)
+    assert(ids(SnapshotLog.read(spark, tbl)) == Set(1L, 2L))
+  }
 }
