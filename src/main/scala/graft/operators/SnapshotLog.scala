@@ -206,6 +206,54 @@ object SnapshotLog {
     (nv, deleted, rewrite.size, keep.size)
   }
 
+  /** Row-level UPDATE — the copy-on-write companion of [[deleteWhere]]
+    * (Delta's `UPDATE ... SET`): rewrite only the files containing rows
+    * matching `predicate`, with `set`'s expressions applied to the matched
+    * rows (non-matching rows in a touched file are rewritten verbatim),
+    * and publish a new version keeping untouched files by reference.
+    * SQL semantics: a null predicate row is NOT updated. Set expressions
+    * are cast back to the column's original type, so the table schema
+    * never drifts under an update. Returns
+    * (version, rowsUpdated, filesRewritten, filesKept) — the pre-update
+    * latest version and zero counts when nothing matched. */
+  def updateWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column,
+                  set: Map[String, org.apache.spark.sql.Column]): (Int, Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{coalesce, col, count, input_file_name, lit, when}
+    val v = latestVersion(spark, path)
+    require(v > 0, s"no committed version to update at $path")
+    val files = manifestFiles(spark, path, v)
+    if (files.isEmpty) return (v, 0L, 0, 0)
+    val src = spark.read.parquet(files: _*)
+    val bad = set.keySet -- src.columns.toSet
+    require(bad.isEmpty, s"UPDATE at $path sets unknown column(s): ${bad.mkString(", ")}")
+    val touchedRows = ManifestGuard.collectCapped(
+      src.where(predicate).groupBy(input_file_name().as("file"))
+        .agg(count(lit(1)).as("n")),
+      s"UPDATE touched-file scan at $path")
+    if (touchedRows.isEmpty) return (v, 0L, 0, 0)
+    def canon(s: String) = new Path(s).toUri.getPath
+    val touched = touchedRows.map(r => canon(r.getString(0))).toSet
+    val updated = touchedRows.map(_.getLong(1)).sum
+    val (rewrite, keep) = files.partition(f => touched(canon(f)))
+    require(rewrite.size == touched.size,
+      s"UPDATE planning at $path: ${touched.size} touched files but " +
+        s"${rewrite.size} matched the manifest — path canonicalization drift")
+    val nv = v + 1
+    val hit = coalesce(predicate, lit(false))
+    val rewritten = spark.read.parquet(rewrite: _*).select(
+      src.schema.fields.toIndexedSeq.map { f =>
+        set.get(f.name) match {
+          case Some(expr) =>
+            when(hit, expr.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+          case None => col(f.name)
+        }
+      }: _*)
+    val newFiles = writeDataFiles(spark, path, nv, rewritten)
+    publishManifest(spark, path, nv, keep ++ newFiles, src.schema.json)
+    (nv, updated, rewrite.size, keep.size)
+  }
+
   /** VACUUM: delete data files referenced by NO manifest among the latest
     * `retainVersions` — the retention pass that reclaims storage from
     * overwritten/compacted-away versions. Returns (liveFiles, deleted).

@@ -54,6 +54,7 @@ object IndexQueries {
   private val q198TablePat = scratchPat("q198_delta_w")
   private val q199AvroPat = scratchPat("q199_avro")
   private val q201TablePat = scratchPat("q201_table")
+  private val q202TablePat = scratchPat("q202_table")
   private val q196TablePat = scratchPat("q196_table")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
@@ -1342,6 +1343,33 @@ object IndexQueries {
       after.crossJoin(v1).select(lit(nv.toLong).as("version"),
         lit(del).as("n_deleted"), $"n_after", $"id_checksum_after",
         $"n_v1", $"id_checksum_v1")
+    }),
+
+    // Row-level UPDATE on the snapshot log — q201's copy-on-write
+    // companion (Delta's UPDATE ... SET): bump the matched rows' value in
+    // place, leave every other row — including the non-matching rows
+    // inside rewritten files — byte-identical, keep the pre-update
+    // version readable. The oracle recomputes both versions' checksums
+    // from `events`; an update leaking onto unmatched rows, a dropped
+    // survivor, or mutated history all break the hash.
+    "q202_snapshot_update" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q202TablePat, dir)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      SnapshotLog.commit(s, base, ev.repartition(4, $"event_type"), overwrite = false)
+      val (nv, upd, _, _) = SnapshotLog.updateWhere(s, base,
+        $"event_type" === "click",
+        Map("value_micros" -> ($"value_micros" + lit(1000000L))))
+      val after = SnapshotLog.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"value_micros").as("value_checksum_after"))
+      val v1 = SnapshotLog.readVersion(s, base, 1)
+        .agg(sum($"value_micros").as("value_checksum_v1"))
+      after.crossJoin(v1).select(lit(nv.toLong).as("version"),
+        lit(upd).as("n_updated"), $"n_rows", $"value_checksum_after",
+        $"value_checksum_v1")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1824,5 +1852,12 @@ object IndexQueries {
         |  (SELECT count(*) FROM events WHERE event_type <> 'click') AS n_after,
         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events WHERE event_type <> 'click') AS id_checksum_after,
         |  (SELECT count(*) FROM events) AS n_v1,
-        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events) AS id_checksum_v1""".stripMargin)
+        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM events) AS id_checksum_v1""".stripMargin,
+    "q202_snapshot_update" ->
+      """WITH m AS (SELECT event_type, CAST(round(value * 1e6) AS BIGINT) AS vm FROM events)
+        |SELECT CAST(2 AS BIGINT) AS version,
+        |  (SELECT count(*) FROM m WHERE event_type = 'click') AS n_updated,
+        |  (SELECT count(*) FROM m) AS n_rows,
+        |  (SELECT CAST(sum(vm + CASE WHEN event_type = 'click' THEN 1000000 ELSE 0 END) AS BIGINT) FROM m) AS value_checksum_after,
+        |  (SELECT CAST(sum(vm) AS BIGINT) FROM m) AS value_checksum_v1""".stripMargin)
 }

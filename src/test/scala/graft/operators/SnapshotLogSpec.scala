@@ -190,4 +190,32 @@ class SnapshotLogSpec extends SparkSpec {
     assert(v1 == 2 && d1 == 1L)
     assert(ids(SnapshotLog.read(spark, tbl)) == Set(1L, 2L))
   }
+
+  test("updateWhere rewrites matched rows in touched files only; schema and history stay put") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl,
+      (0L until 40L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartitionByRange(4, $"id"), overwrite = false)
+    val (nv, updated, rewritten, kept) = SnapshotLog.updateWhere(spark, tbl,
+      $"id" >= 20L && $"id" < 25L, Map("v" -> lit(-1)))
+    assert(nv == 2 && updated == 5L)
+    assert(rewritten >= 1 && rewritten <= 2 && kept == 4 - rewritten)
+    val cur = SnapshotLog.read(spark, tbl)
+    // set expr was an INT literal; the column must stay LONG (cast-back)
+    assert(cur.schema("v").dataType == org.apache.spark.sql.types.LongType)
+    val m = cur.select($"id", $"v").as[(Long, Long)].collect().toMap
+    (0L until 40L).foreach { i =>
+      assert(m(i) == (if (i >= 20 && i < 25) -1L else i * 10), s"id $i")
+    }
+    // pre-update version unchanged; unknown set column refuses
+    assert(SnapshotLog.readVersion(spark, tbl, 1)
+      .where($"v" === -1).count() == 0)
+    assert(intercept[IllegalArgumentException](
+      SnapshotLog.updateWhere(spark, tbl, $"id" === 0L, Map("nope" -> lit(1))))
+      .getMessage.contains("unknown column"))
+    // no-match update publishes no version
+    val (v2, u2, _, _) = SnapshotLog.updateWhere(spark, tbl, $"id" > 99L, Map("v" -> lit(0)))
+    assert(v2 == 2 && u2 == 0L)
+  }
 }
