@@ -254,6 +254,71 @@ object SnapshotLog {
     (nv, updated, rewrite.size, keep.size)
   }
 
+  /** MERGE INTO — the CDC-apply verb (Delta's `MERGE`): apply a change
+    * batch to the table with upsert semantics — WHEN MATCHED (by `keys`)
+    * the table row is replaced by the source row, WHEN NOT MATCHED the
+    * source row is inserted. Copy-on-write like [[deleteWhere]]/
+    * [[updateWhere]]: only files containing matched keys are rewritten
+    * (matched rows dropped — their replacements arrive with the inserted
+    * batch), untouched files move by manifest reference, and the whole
+    * source lands as this commit's new data files. At 100 TB this is THE
+    * merge shape: a change batch touching 1% of files moves 1% of the
+    * table plus the batch itself.
+    *
+    * The source must be key-unique (an ambiguous merge refuses loudly,
+    * Delta's own rule) and schema-compatible (same column names). Multiple
+    * table rows sharing a matched key collapse to the single source row —
+    * merge normalizes the table toward key-uniqueness, the upsert
+    * contract. Returns (version, rowsReplaced, rowsInserted,
+    * filesRewritten, filesKept). */
+  def mergeInto(spark: SparkSession, path: String, source: DataFrame,
+                keys: Seq[String]): (Int, Long, Long, Int, Int) = {
+    import org.apache.spark.sql.functions.{count, input_file_name, lit, max}
+    require(keys.nonEmpty, "merge needs at least one key column")
+    val v = latestVersion(spark, path)
+    require(v > 0, s"no committed version to merge into at $path")
+    val files = manifestFiles(spark, path, v)
+    require(files.nonEmpty, s"version $v at $path is empty — commit, don't merge")
+    val src = spark.read.parquet(files: _*)
+    require(src.columns.sorted.sameElements(source.columns.sorted),
+      s"merge source columns ${source.columns.sorted.mkString(",")} != " +
+        s"table columns ${src.columns.sorted.mkString(",")}")
+    val batch = source.localCheckpoint(true) // consumed by 3 jobs below
+    val worstDup = batch.groupBy(keys.map(org.apache.spark.sql.functions.col): _*)
+      .agg(count(lit(1)).as("n")).agg(max("n")).head.getLong(0)
+    require(worstDup <= 1,
+      s"merge source has duplicate keys (${keys.mkString(",")}) — ambiguous merge refused")
+
+    val keyFrame = batch.select(keys.map(org.apache.spark.sql.functions.col): _*)
+    val matched = src.join(keyFrame, keys, "left_semi")
+    val touchedRows = ManifestGuard.collectCapped(
+      matched.groupBy(input_file_name().as("file")).agg(count(lit(1)).as("n")),
+      s"MERGE touched-file scan at $path")
+    def canon(s: String) = new Path(s).toUri.getPath
+    val touched = touchedRows.map(r => canon(r.getString(0))).toSet
+    val replaced = touchedRows.map(_.getLong(1)).sum
+    val (rewrite, keep) = files.partition(f => touched(canon(f)))
+    require(rewrite.size == touched.size,
+      s"MERGE planning at $path: ${touched.size} touched files but " +
+        s"${rewrite.size} matched the manifest — path canonicalization drift")
+    val inserted = batch.count() -
+      keyFrame.join(src.select(keys.map(org.apache.spark.sql.functions.col): _*)
+        .distinct(), keys, "left_semi").count()
+
+    val nv = v + 1
+    // survivors of rewritten files (matched rows dropped) ++ the batch
+    // itself (replacements + inserts) — aligned to the table column order
+    val aligned = batch.select(src.columns.toIndexedSeq
+      .map(org.apache.spark.sql.functions.col): _*)
+    val newData =
+      if (rewrite.isEmpty) aligned
+      else spark.read.parquet(rewrite: _*).join(keyFrame, keys, "left_anti")
+        .unionByName(aligned)
+    val newFiles = writeDataFiles(spark, path, nv, newData)
+    publishManifest(spark, path, nv, keep ++ newFiles, src.schema.json)
+    (nv, replaced, inserted, rewrite.size, keep.size)
+  }
+
   /** VACUUM: delete data files referenced by NO manifest among the latest
     * `retainVersions` — the retention pass that reclaims storage from
     * overwritten/compacted-away versions. Returns (liveFiles, deleted).

@@ -55,6 +55,7 @@ object IndexQueries {
   private val q199AvroPat = scratchPat("q199_avro")
   private val q201TablePat = scratchPat("q201_table")
   private val q202TablePat = scratchPat("q202_table")
+  private val q203TablePat = scratchPat("q203_table")
   private val q196TablePat = scratchPat("q196_table")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
@@ -1370,6 +1371,40 @@ object IndexQueries {
       after.crossJoin(v1).select(lit(nv.toLong).as("version"),
         lit(upd).as("n_updated"), $"n_rows", $"value_checksum_after",
         $"value_checksum_v1")
+    }),
+
+    // MERGE INTO on the snapshot log — the CDC-apply verb completing the
+    // DML trio (q201 DELETE, q202 UPDATE): the table starts without the
+    // id%5==0 slice, the change batch carries updates (id%10==3, value
+    // bumped) AND the missing slice as inserts, and one merge applies
+    // both. Copy-on-write: only matched-key files rewrite, the batch
+    // lands as this commit's files, v1 stays readable. The oracle
+    // recomputes the post-merge state declaratively — a lost insert, a
+    // double-applied update, or a survivor dropped from a rewritten file
+    // all break the hash.
+    "q203_snapshot_merge" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q203TablePat, dir)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      SnapshotLog.commit(s, base,
+        ev.where($"event_id" % 5 =!= 0).repartition(4, $"event_type"),
+        overwrite = false)
+      val batch = ev.where($"event_id" % 5 =!= 0 && $"event_id" % 10 === 3)
+        .withColumn("value_micros", $"value_micros" + lit(5000000L))
+        .unionByName(ev.where($"event_id" % 5 === 0))
+      val (nv, replaced, inserted, _, _) =
+        SnapshotLog.mergeInto(s, base, batch, Seq("event_id"))
+      val after = SnapshotLog.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"value_micros").as("value_checksum"),
+          sum($"event_id").as("id_checksum"))
+      val v1 = SnapshotLog.readVersion(s, base, 1)
+        .agg(count(lit(1)).as("n_v1"))
+      after.crossJoin(v1).select(lit(nv.toLong).as("version"),
+        lit(replaced).as("n_replaced"), lit(inserted).as("n_inserted"),
+        $"n_rows", $"value_checksum", $"id_checksum", $"n_v1")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1859,5 +1894,17 @@ object IndexQueries {
         |  (SELECT count(*) FROM m WHERE event_type = 'click') AS n_updated,
         |  (SELECT count(*) FROM m) AS n_rows,
         |  (SELECT CAST(sum(vm + CASE WHEN event_type = 'click' THEN 1000000 ELSE 0 END) AS BIGINT) FROM m) AS value_checksum_after,
-        |  (SELECT CAST(sum(vm) AS BIGINT) FROM m) AS value_checksum_v1""".stripMargin)
+        |  (SELECT CAST(sum(vm) AS BIGINT) FROM m) AS value_checksum_v1""".stripMargin,
+    "q203_snapshot_merge" ->
+      """WITH m AS (SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm FROM events),
+        |fin AS (SELECT event_id,
+        |  vm + CASE WHEN event_id % 5 <> 0 AND event_id % 10 = 3 THEN 5000000 ELSE 0 END AS vm
+        |FROM m)
+        |SELECT CAST(2 AS BIGINT) AS version,
+        |  (SELECT count(*) FROM m WHERE event_id % 5 <> 0 AND event_id % 10 = 3) AS n_replaced,
+        |  (SELECT count(*) FROM m WHERE event_id % 5 = 0) AS n_inserted,
+        |  (SELECT count(*) FROM fin) AS n_rows,
+        |  (SELECT CAST(sum(vm) AS BIGINT) FROM fin) AS value_checksum,
+        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM fin) AS id_checksum,
+        |  (SELECT count(*) FROM m WHERE event_id % 5 <> 0) AS n_v1""".stripMargin)
 }

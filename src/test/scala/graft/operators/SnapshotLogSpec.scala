@@ -218,4 +218,35 @@ class SnapshotLogSpec extends SparkSpec {
     val (v2, u2, _, _) = SnapshotLog.updateWhere(spark, tbl, $"id" > 99L, Map("v" -> lit(0)))
     assert(v2 == 2 && u2 == 0L)
   }
+
+  test("mergeInto upserts a change batch: matched replaced, unmatched inserted, untouched files kept") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl,
+      (0L until 40L).map(i => (i, i * 10)).toDF("id", "v")
+        .repartitionByRange(4, $"id"), overwrite = false)
+    // batch: updates ids 20..24 (in one-two files), inserts 100..102
+    val batch = ((20L until 25L).map(i => (i, -i)) ++
+      (100L until 103L).map(i => (i, i))).toDF("id", "v")
+    val (nv, replaced, inserted, rewritten, kept) =
+      SnapshotLog.mergeInto(spark, tbl, batch, Seq("id"))
+    assert(nv == 2 && replaced == 5L && inserted == 3L)
+    assert(rewritten >= 1 && rewritten <= 2 && kept == 4 - rewritten)
+    val m = SnapshotLog.read(spark, tbl)
+      .select($"id", $"v").as[(Long, Long)].collect().toMap
+    assert(m.size == 43)
+    (0L until 40L).foreach(i => assert(m(i) == (if (i >= 20 && i < 25) -i else i * 10)))
+    (100L until 103L).foreach(i => assert(m(i) == i))
+    // history intact
+    assert(SnapshotLog.readVersion(spark, tbl, 1).count() == 40)
+    // ambiguous (dup-key) batch refuses
+    assert(intercept[IllegalArgumentException](
+      SnapshotLog.mergeInto(spark, tbl,
+        Seq((1L, 1L), (1L, 2L)).toDF("id", "v"), Seq("id")))
+      .getMessage.contains("duplicate keys"))
+    // schema-mismatched batch refuses
+    assert(intercept[IllegalArgumentException](
+      SnapshotLog.mergeInto(spark, tbl, Seq(1L).toDF("id"), Seq("id")))
+      .getMessage.contains("columns"))
+  }
 }
