@@ -1405,6 +1405,68 @@ object IndexQueries {
       after.crossJoin(v1).select(lit(nv.toLong).as("version"),
         lit(replaced).as("n_replaced"), lit(inserted).as("n_inserted"),
         $"n_rows", $"value_checksum", $"id_checksum", $"n_v1")
+    }),
+
+    // STREAMING CDC-apply: micro-batches merged into the snapshot log via
+    // foreachBatch (the streaming-upsert sink every CDC pipeline ends in
+    // — Delta's streaming MERGE pattern). Two deliveries drained by
+    // separate AvailableNow runs over ONE checkpoint (the q189
+    // exactly-once contract): batch 1 updates the id%6==0 slice, batch 2
+    // inserts the id%3==1 slice; each micro-batch is one log version.
+    // The oracle recomputes the final upserted state — a re-applied
+    // batch (double bump), a lost merge, or survivors dropped in the
+    // copy-on-write rewrite all break the hash.
+    "q204_stream_merge" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.streaming.Trigger
+      val tag = Tables.sfTag(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      def p(n: String) = new java.io.File(tmp, s"graft_q204_${n}_$tag").toString
+      val (srcDir, chk, updDir, insDir, tbl) =
+        (p("src"), p("chk"), p("upd"), p("ins"), p("tbl"))
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      Seq(srcDir, chk, updDir, insDir, tbl)
+        .foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      SnapshotLog.commit(s, tbl,
+        ev.where($"event_id" % 3 === 0).repartition(4, $"event_type"),
+        overwrite = false)
+      ev.where($"event_id" % 6 === 0)
+        .withColumn("value_micros", $"value_micros" + lit(7000000L))
+        .coalesce(1).write.parquet(updDir)
+      ev.where($"event_id" % 3 === 1).coalesce(1).write.parquet(insDir)
+      val schema = s.read.parquet(updDir).schema
+      fs.mkdirs(new org.apache.hadoop.fs.Path(srcDir))
+      def deliver(from: String, prefix: String): Unit = {
+        val src = new org.apache.hadoop.fs.Path(from)
+        val f = src.getFileSystem(hconf)
+        f.listStatus(src).filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .zipWithIndex.foreach { case (st, i) =>
+            org.apache.hadoop.fs.FileUtil.copy(f, st.getPath, fs,
+              new org.apache.hadoop.fs.Path(srcDir, s"$prefix$i.parquet"), false, hconf)
+          }
+      }
+      def drain(): Unit = {
+        val q = s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir)
+          .writeStream
+          .foreachBatch { (b: DataFrame, _: Long) =>
+            if (!b.isEmpty) SnapshotLog.mergeInto(s, tbl, b, Seq("event_id")); ()
+          }
+          .option("checkpointLocation", chk)
+          .trigger(Trigger.AvailableNow()).start()
+        if (!q.awaitTermination(StreamScaffold.AwaitTimeoutMs))
+          { q.stop(); sys.error("q204 merge stream did not terminate in time") }
+      }
+      deliver(updDir, "a"); drain()
+      deliver(insDir, "b"); drain() // same checkpoint: only the new file
+      SnapshotLog.read(s, tbl)
+        .agg(count(lit(1)).as("n_rows"), sum($"value_micros").as("value_checksum"),
+          sum($"event_id").as("id_checksum"))
+        .select(lit(SnapshotLog.latestVersion(s, tbl).toLong).as("version"),
+          $"n_rows", $"value_checksum", $"id_checksum")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1906,5 +1968,17 @@ object IndexQueries {
         |  (SELECT count(*) FROM fin) AS n_rows,
         |  (SELECT CAST(sum(vm) AS BIGINT) FROM fin) AS value_checksum,
         |  (SELECT CAST(sum(event_id) AS BIGINT) FROM fin) AS id_checksum,
-        |  (SELECT count(*) FROM m WHERE event_id % 5 <> 0) AS n_v1""".stripMargin)
+        |  (SELECT count(*) FROM m WHERE event_id % 5 <> 0) AS n_v1""".stripMargin,
+    "q204_stream_merge" ->
+      """WITH m AS (SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm FROM events),
+        |fin AS (
+        |  SELECT event_id,
+        |    vm + CASE WHEN event_id % 6 = 0 THEN 7000000 ELSE 0 END AS vm
+        |  FROM m WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT event_id, vm FROM m WHERE event_id % 3 = 1)
+        |SELECT CAST(3 AS BIGINT) AS version,
+        |  (SELECT count(*) FROM fin) AS n_rows,
+        |  (SELECT CAST(sum(vm) AS BIGINT) FROM fin) AS value_checksum,
+        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM fin) AS id_checksum""".stripMargin)
 }
