@@ -319,6 +319,36 @@ object SnapshotLog {
     (nv, replaced, inserted, rewrite.size, keep.size)
   }
 
+  /** CHANGE DATA FEED — row-level changes between two versions (Delta's
+    * `table_changes`): `_change_type` = 'insert' for rows present in
+    * `v2` but not `v1`, 'delete' for the reverse; an update surfaces as
+    * its delete + insert pair (this log records no update provenance —
+    * the row-image diff is the contract).
+    *
+    * Computed from the MANIFEST diff, not a full-table diff: only files
+    * added or removed between the versions are read, and `exceptAll`
+    * (multiset, duplicate-correct) cancels the rows copy-on-write
+    * rewrites carried over unchanged — so a DELETE touching 1% of files
+    * feeds 1% of the table through the diff, and an append's CDF reads
+    * just the appended files. Unchanged files never enter the plan. */
+  def changesBetween(spark: SparkSession, path: String,
+                     fromV: Int, toV: Int): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    require(fromV < toV, s"changesBetween needs fromV < toV, got $fromV..$toV")
+    val before = manifestFiles(spark, path, fromV).toSet
+    val after = manifestFiles(spark, path, toV).toSet
+    val removed = (before -- after).toSeq.sorted
+    val added = (after -- before).toSeq.sorted
+    def rows(fs: Seq[String]) =
+      if (fs.nonEmpty) spark.read.parquet(fs: _*)
+      else readVersion(spark, path, toV).limit(0)
+    val ins = rows(added).exceptAll(rows(removed))
+      .withColumn("_change_type", lit("insert"))
+    val del = rows(removed).exceptAll(rows(added))
+      .withColumn("_change_type", lit("delete"))
+    ins.unionByName(del)
+  }
+
   /** VACUUM: delete data files referenced by NO manifest among the latest
     * `retainVersions` — the retention pass that reclaims storage from
     * overwritten/compacted-away versions. Returns (liveFiles, deleted).

@@ -56,6 +56,7 @@ object IndexQueries {
   private val q201TablePat = scratchPat("q201_table")
   private val q202TablePat = scratchPat("q202_table")
   private val q203TablePat = scratchPat("q203_table")
+  private val q205TablePat = scratchPat("q205_table")
   private val q196TablePat = scratchPat("q196_table")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
@@ -1467,6 +1468,34 @@ object IndexQueries {
           sum($"event_id").as("id_checksum"))
         .select(lit(SnapshotLog.latestVersion(s, tbl).toLong).as("version"),
           $"n_rows", $"value_checksum", $"id_checksum")
+    }),
+
+    // CHANGE DATA FEED across a version range (Delta's table_changes):
+    // v1 commits the id%4!=0 slice, v2 copy-on-write-deletes the clicks,
+    // v3 appends the id%4==0 slice — the CDF over v1..v3 must surface
+    // EXACTLY the deleted clicks and the appended rows, with the
+    // survivors the delete's rewrite carried into new files cancelled by
+    // the manifest-diff + exceptAll shape (only changed files are read).
+    // A leaked carried row, a missed delete, or reading unchanged files
+    // as inserts all break the hash.
+    "q205_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q205TablePat, dir)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      bp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(bp, true)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      SnapshotLog.commit(s, base,
+        ev.where($"event_id" % 4 =!= 0).repartition(4, $"event_type"),
+        overwrite = false)
+      SnapshotLog.deleteWhere(s, base, $"event_type" === "click")
+      SnapshotLog.commit(s, base, ev.where($"event_id" % 4 === 0),
+        overwrite = false)
+      SnapshotLog.changesBetween(s, base, 1, 3)
+        .groupBy($"_change_type")
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .orderBy($"_change_type")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -1980,5 +2009,16 @@ object IndexQueries {
         |SELECT CAST(3 AS BIGINT) AS version,
         |  (SELECT count(*) FROM fin) AS n_rows,
         |  (SELECT CAST(sum(vm) AS BIGINT) FROM fin) AS value_checksum,
-        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM fin) AS id_checksum""".stripMargin)
+        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM fin) AS id_checksum""".stripMargin,
+    "q205_change_feed" ->
+      """WITH m AS (SELECT event_id, event_type, CAST(round(value * 1e6) AS BIGINT) AS vm FROM events),
+        |ch AS (
+        |  SELECT 'delete' AS _change_type, event_id, vm FROM m
+        |  WHERE event_id % 4 <> 0 AND event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'insert', event_id, vm FROM m WHERE event_id % 4 = 0)
+        |SELECT _change_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(vm) AS BIGINT) AS value_checksum
+        |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin)
 }

@@ -249,4 +249,27 @@ class SnapshotLogSpec extends SparkSpec {
       SnapshotLog.mergeInto(spark, tbl, Seq(1L).toDF("id"), Seq("id")))
       .getMessage.contains("columns"))
   }
+
+  test("changesBetween yields exactly the row-image diff; rewrite-carried rows cancel") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl,
+      (0L until 40L).toDF("id").repartitionByRange(4, $"id"), overwrite = false)
+    SnapshotLog.deleteWhere(spark, tbl, $"id" >= 20L && $"id" < 25L)   // v2
+    SnapshotLog.commit(spark, tbl, (100L until 103L).toDF("id"), overwrite = false) // v3
+    def ch(a: Int, b: Int): Map[String, Set[Long]] =
+      SnapshotLog.changesBetween(spark, tbl, a, b)
+        .select($"_change_type", $"id").as[(String, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // v1→v2: a copy-on-write delete — survivors carried into rewritten
+    // files must cancel, leaving ONLY the 5 deleted rows
+    assert(ch(1, 2) == Map("delete" -> (20L until 25L).toSet))
+    // v2→v3: a pure append — inserts only
+    assert(ch(2, 3) == Map("insert" -> (100L until 103L).toSet))
+    // v1→v3: composition
+    assert(ch(1, 3) == Map("delete" -> (20L until 25L).toSet,
+      "insert" -> (100L until 103L).toSet))
+    assert(intercept[IllegalArgumentException](
+      SnapshotLog.changesBetween(spark, tbl, 3, 1)).getMessage.contains("fromV < toV"))
+  }
 }
