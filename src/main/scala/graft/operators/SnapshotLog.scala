@@ -349,6 +349,53 @@ object SnapshotLog {
     ins.unionByName(del)
   }
 
+  /** RESTORE — roll the table back to an earlier version's content
+    * (Delta's `RESTORE TABLE ... TO VERSION AS OF`): publish a NEW
+    * version whose manifest is a verbatim copy of version `v`'s. Pure
+    * metadata — zero data bytes move, the rolled-back-over versions stay
+    * readable (history is append-only even for a rollback; [[vacuum]]
+    * reclaims them later). Returns the new version. */
+  def restore(spark: SparkSession, path: String, v: Int): Int = {
+    val latest = latestVersion(spark, path)
+    require(v >= 1 && v <= latest, s"cannot restore $path to v$v (latest is v$latest)")
+    val files = manifestFiles(spark, path, v)
+    val nv = latest + 1
+    publishManifest(spark, path, nv, files, schemaJsonOf(spark, path, v))
+    nv
+  }
+
+  /** SHALLOW CLONE — a new table at `destPath` whose v1 manifest points at
+    * the SOURCE table's current data files (Delta's `CREATE TABLE ...
+    * SHALLOW CLONE`): zero-copy, instant, and safe as long as the source
+    * is not vacuumed past the clone's pin (the same caveat real shallow
+    * clones carry — documented contract, not enforced across tables).
+    * Subsequent commits to the clone write their own files; the clone's
+    * copy-on-write DML rewrites source files INTO clone-owned files, so
+    * the source is never mutated through the clone. Returns the clone's
+    * version (always 1). */
+  def shallowClone(spark: SparkSession, srcPath: String, destPath: String): Int = {
+    val v = latestVersion(spark, srcPath)
+    require(v > 0, s"nothing committed at $srcPath to clone")
+    require(versions(spark, destPath).isEmpty,
+      s"clone destination $destPath already has a log — refusing to overwrite")
+    publishManifest(spark, destPath, 1, manifestFiles(spark, srcPath, v),
+      schemaJsonOf(spark, srcPath, v))
+    1
+  }
+
+  /** The schema recorded with version `v` (sidecar if present, else the
+    * parquet footers of its active files). */
+  private def schemaJsonOf(spark: SparkSession, path: String, v: Int): String = {
+    val sf = new Path(path, s"_log/v$v/_schema.json")
+    val f = fs(spark, sf)
+    if (f.exists(sf)) {
+      val buf = new Array[Byte](f.getFileStatus(sf).getLen.toInt)
+      val in = f.open(sf)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
+    } else readVersion(spark, path, v).schema.json
+  }
+
   /** VACUUM: delete data files referenced by NO manifest among the latest
     * `retainVersions` — the retention pass that reclaims storage from
     * overwritten/compacted-away versions. Returns (liveFiles, deleted).

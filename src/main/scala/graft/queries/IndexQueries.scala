@@ -57,6 +57,8 @@ object IndexQueries {
   private val q202TablePat = scratchPat("q202_table")
   private val q203TablePat = scratchPat("q203_table")
   private val q205TablePat = scratchPat("q205_table")
+  private val q206TablePat = scratchPat("q206_table")
+  private val q206ClonePat = scratchPat("q206_clone")
   private val q196TablePat = scratchPat("q196_table")
   private val q167CandPat = scratchPat("q167_cands")
   private val q167CodesPat = scratchPat("q167_pq_codes")
@@ -1496,6 +1498,39 @@ object IndexQueries {
         .agg(count(lit(1)).as("n"), sum($"event_id").as("id_checksum"),
           sum($"value_micros").as("value_checksum"))
         .orderBy($"_change_type")
+    }),
+
+    // RESTORE + SHALLOW CLONE — the two zero-copy metadata verbs: an
+    // overwrite buries the purchase slice, RESTORE rolls it back as pure
+    // manifest metadata (v3 = v1's files, nothing copied), and a shallow
+    // clone pins the restored state at a second path where a
+    // copy-on-write delete rewrites into CLONE-owned files — the source
+    // must come through untouched. One row pins all four states; a
+    // restore that re-copied or mutated data, or a clone delete leaking
+    // into the source, breaks the hash.
+    "q206_restore_clone" -> ((s, dir) => {
+      import s.implicits._
+      val base = scratch(q206TablePat, dir)
+      val clone = scratch(q206ClonePat, dir)
+      val hfs = new org.apache.hadoop.fs.Path(base)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      Seq(base, clone).foreach(x =>
+        hfs.delete(new org.apache.hadoop.fs.Path(x), true))
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "purchase"),
+        overwrite = false)
+      SnapshotLog.commit(s, base, ev.where($"event_type" === "view"),
+        overwrite = true)
+      val rv = SnapshotLog.restore(s, base, 1)
+      SnapshotLog.shallowClone(s, base, clone)
+      SnapshotLog.deleteWhere(s, clone, $"event_id" % 2 === 0)
+      val restored = SnapshotLog.read(s, base)
+        .agg(count(lit(1)).as("n_restored"), sum($"event_id").as("restored_checksum"))
+      val cloned = SnapshotLog.read(s, clone)
+        .agg(count(lit(1)).as("n_clone"), sum($"event_id").as("clone_checksum"))
+      restored.crossJoin(cloned).select(lit(rv.toLong).as("restored_version"),
+        $"n_restored", $"restored_checksum", $"n_clone", $"clone_checksum")
     }))
 
   /** q185's registry, staged write-once per documents state: reset the
@@ -2020,5 +2055,12 @@ object IndexQueries {
         |SELECT _change_type, count(*) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
         |  CAST(sum(vm) AS BIGINT) AS value_checksum
-        |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin)
+        |FROM ch GROUP BY 1 ORDER BY _change_type""".stripMargin,
+    "q206_restore_clone" ->
+      """WITH p AS (SELECT event_id FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(3 AS BIGINT) AS restored_version,
+        |  (SELECT count(*) FROM p) AS n_restored,
+        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM p) AS restored_checksum,
+        |  (SELECT count(*) FROM p WHERE event_id % 2 <> 0) AS n_clone,
+        |  (SELECT CAST(sum(event_id) AS BIGINT) FROM p WHERE event_id % 2 <> 0) AS clone_checksum""".stripMargin)
 }

@@ -272,4 +272,37 @@ class SnapshotLogSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       SnapshotLog.changesBetween(spark, tbl, 3, 1)).getMessage.contains("fromV < toV"))
   }
+
+  test("restore publishes an old version's content as new metadata; history append-only") {
+    import spark.implicits._
+    val tbl = freshTable()
+    SnapshotLog.commit(spark, tbl, (0L until 10L).toDF("id"), overwrite = false)
+    SnapshotLog.commit(spark, tbl, (100L until 105L).toDF("id"), overwrite = true)
+    assert(SnapshotLog.restore(spark, tbl, 1) == 3)
+    assert(ids(SnapshotLog.read(spark, tbl)) == (0L until 10L).toSet)
+    // the rolled-back-over overwrite is still pinned
+    assert(ids(SnapshotLog.readVersion(spark, tbl, 2)) == (100L until 105L).toSet)
+    // zero data copied: v3's manifest lists exactly v1's files
+    val mf = (v: Int) => spark.read.parquet(s"$tbl/_log/v$v")
+      .select(col("file")).collect().map(_.getString(0)).toSet
+    assert(mf(3) == mf(1))
+    assert(intercept[IllegalArgumentException](
+      SnapshotLog.restore(spark, tbl, 9)).getMessage.contains("cannot restore"))
+  }
+
+  test("shallowClone pins the source's files zero-copy; clone DML never mutates the source") {
+    import spark.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    SnapshotLog.commit(spark, src, (0L until 20L).toDF("id"), overwrite = false)
+    assert(SnapshotLog.shallowClone(spark, src, dst) == 1)
+    assert(ids(SnapshotLog.read(spark, dst)) == (0L until 20L).toSet)
+    // copy-on-write delete on the CLONE rewrites into clone-owned files
+    SnapshotLog.deleteWhere(spark, dst, $"id" < 5L)
+    assert(ids(SnapshotLog.read(spark, dst)) == (5L until 20L).toSet)
+    assert(ids(SnapshotLog.read(spark, src)) == (0L until 20L).toSet)
+    // an existing destination refuses
+    assert(intercept[IllegalArgumentException](
+      SnapshotLog.shallowClone(spark, src, dst)).getMessage.contains("already has a log"))
+  }
 }
