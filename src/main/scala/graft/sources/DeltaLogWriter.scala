@@ -57,7 +57,8 @@ object DeltaLogWriter {
     * and activates the new ones; `Append` only adds. Creating a new table
     * (no `_delta_log` yet) emits the `protocol` + `metaData` lines first.
     * @return the committed log version */
-  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Append): Long = {
+  def write(df: DataFrame, path: String, mode: SaveMode = SaveMode.Append,
+            partitionBy: Seq[String] = Nil): Long = {
     require(mode == SaveMode.Append || mode == SaveMode.Overwrite,
       s"DeltaLogWriter supports Append and Overwrite, not $mode")
     val spark = df.sparkSession
@@ -72,19 +73,33 @@ object DeltaLogWriter {
 
     // data files: an ordinary distributed parquet append — Spark's UUID
     // part names never collide with prior commits, so the before/after
-    // listing diff identifies exactly this write's files
-    def dataFiles(): Set[String] =
-      if (!f.exists(root)) Set.empty
-      else f.listStatus(root)
-        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .map(_.getPath.getName).toSet
+    // (recursive, for hive-partitioned layouts) listing diff identifies
+    // exactly this write's files. Paths are RELATIVE to the table root,
+    // the protocol's spelling.
+    def dataFiles(): Set[String] = {
+      if (!f.exists(root)) return Set.empty
+      val rootUri = root.toUri.getPath.stripSuffix("/")
+      val out = scala.collection.mutable.Set.empty[String]
+      def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
+        val n = st.getPath.getName
+        // skip the log plus hidden/temp dirs (_delta_log, _temporary, .tmp*)
+        if (st.isDirectory) { if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath) }
+        else if (n.endsWith(".parquet"))
+          out += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      }
+      walk(root)
+      out.toSet
+    }
     val before = dataFiles()
-    df.write.mode(SaveMode.Append).parquet(path)
+    val writer = df.write.mode(SaveMode.Append)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(path)
     val newFiles = (dataFiles() -- before).toSeq.sorted
     require(newFiles.nonEmpty || df.isEmpty,
       s"Delta write at $path produced no new parquet parts")
 
     val now = System.currentTimeMillis()
+    val partCols = partitionBy.map(jsonStr).mkString("[", ",", "]")
     val header: Seq[String] =
       if (!creating) Seq.empty
       else Seq(
@@ -93,14 +108,26 @@ object DeltaLogWriter {
             path.getBytes("UTF-8")).toString)},""" +
           s""""format":{"provider":"parquet","options":{}},""" +
           s""""schemaString":${jsonStr(df.schema.json)},""" +
-          s""""partitionColumns":[],"configuration":{},"createdTime":$now}}""")
+          s""""partitionColumns":$partCols,"configuration":{},"createdTime":$now}}""")
+    // remove paths: re-relativize whatever the reader resolved (it returns
+    // absolute paths; the protocol stores root-relative ones)
+    val rootUri = root.toUri.getPath.stripSuffix("/")
     val removes = prevActive.map { abs =>
-      val rel = new Path(abs).getName // this writer only produces root-level files
+      val rel = new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    val adds = newFiles.map { name =>
-      val st = f.getFileStatus(new Path(root, name))
-      s"""{"add":{"path":${jsonStr(name)},"partitionValues":{},""" +
+    // partitionValues parsed back from the hive path segments (k=v dirs),
+    // percent-decoded like every Delta writer records them
+    val adds = newFiles.map { rel =>
+      val st = f.getFileStatus(new Path(root, rel))
+      val pv = rel.split("/").dropRight(1).filter(_.contains("="))
+        .map { seg =>
+          val i = seg.indexOf('=')
+          val k = java.net.URLDecoder.decode(seg.substring(0, i), "UTF-8")
+          val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
+          s"${jsonStr(k)}:${jsonStr(v)}"
+        }.mkString("{", ",", "}")
+      s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pv,""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":true}}"""
     }

@@ -91,6 +91,37 @@ class DeltaLogWriterSpec extends SparkSpec {
     assert(java.nio.file.Files.readString(v1) == external)
   }
 
+  test("partitionBy writes a hive layout with partitionValues; reader resolves it") {
+    val base = freshDir()
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "k")
+    DeltaLogWriter.write(df, base, SaveMode.Overwrite, partitionBy = Seq("k"))
+    DeltaLogWriter.write(Seq((4L, "c")).toDF("id", "k"), base, SaveMode.Append,
+      partitionBy = Seq("k"))
+    val back = graft.Tables.deltaTable(spark, base)
+    assert(back.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
+    // the log's add actions carry RELATIVE hive paths + partitionValues
+    val lines = java.nio.file.Files.readString(
+        java.nio.file.Path.of(base, "_delta_log", "0" * 20 + ".json"))
+      .split("\n").filter(_.contains(""""add""""))
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    assert(lines.nonEmpty)
+    lines.foreach { l =>
+      val a = mapper.readTree(l).get("add")
+      val rel = a.get("path").asText()
+      assert(rel.startsWith("k=") && !rel.startsWith("/"), rel)
+      assert(a.get("partitionValues").get("k").asText() == rel.split("/")(0).drop(2))
+    }
+    // metaData records the partition columns
+    val meta = java.nio.file.Files.readString(
+      java.nio.file.Path.of(base, "_delta_log", "0" * 20 + ".json"))
+    assert(meta.contains(""""partitionColumns":["k"]"""))
+    // overwrite removes the partitioned files by their relative paths
+    DeltaLogWriter.write(Seq((9L, "z")).toDF("id", "k"), base, SaveMode.Overwrite,
+      partitionBy = Seq("k"))
+    assert(graft.Tables.deltaTable(spark, base)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(9L))
+  }
+
   test("writer output cross-checks against SnapshotLog over the same history") {
     val base = freshDir()
     val snap = freshDir()
