@@ -83,6 +83,15 @@ object DeltaLogReader {
     else s"$tableRoot/$dec"
   }
 
+  /** Latest log version — JSON commits OR the checkpoint pointer,
+    * whichever is newer (after checkpoint-based log truncation the
+    * commits alone under-report). None for a path with no log. */
+  def latestVersion(spark: SparkSession, path: String): Option[Long] = {
+    val vs = versions(spark, path)
+    (vs.lastOption.toSeq ++ lastCheckpoint(spark, path, None).toSeq)
+      .maxOption
+  }
+
   /** The table's active file set as of `asOf` (default: latest commit):
     * checkpoint base (when one applies) + ordered JSON replay. */
   def activeFiles(spark: SparkSession, path: String,

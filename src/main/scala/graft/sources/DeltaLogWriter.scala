@@ -64,9 +64,13 @@ object DeltaLogWriter {
     val spark = df.sparkSession
     val root = new Path(path)
     val f = fs(spark, root)
-    val versions = DeltaLogReader.versions(spark, path)
-    val creating = versions.isEmpty
-    val version = versions.lastOption.map(_ + 1).getOrElse(0L)
+    // next version from commits OR the checkpoint pointer — after
+    // checkpoint-based truncation the JSON listing alone under-reports,
+    // and re-using a pre-checkpoint version number would be silently
+    // ignored by every reader
+    val latest = DeltaLogReader.latestVersion(spark, path)
+    val creating = latest.isEmpty
+    val version = latest.map(_ + 1).getOrElse(0L)
     val prevActive: Seq[String] =
       if (creating || mode == SaveMode.Append) Seq.empty
       else DeltaLogReader.activeFiles(spark, path)
@@ -145,9 +149,9 @@ object DeltaLogWriter {
     * history (and older commits become prunable). */
   def checkpoint(spark: SparkSession, path: String): Long = {
     import spark.implicits._
-    val versions = DeltaLogReader.versions(spark, path)
-    require(versions.nonEmpty, s"no Delta log at $path to checkpoint")
-    val v = versions.last
+    val latest = DeltaLogReader.latestVersion(spark, path)
+    require(latest.nonEmpty, s"no Delta log at $path to checkpoint")
+    val v = latest.get
     val active = DeltaLogReader.activeFiles(spark, path)
     val log = new Path(path, "_delta_log")
     val f = fs(spark, log)
@@ -155,7 +159,11 @@ object DeltaLogWriter {
     // compacted-state schema subset the reader honors)
     val tmp = new Path(log, ".tmp_checkpoint")
     f.delete(tmp, true)
-    active.map(abs => new Path(abs).getName).toDF("p")
+    // re-relativize against the table root (NOT getName — a partitioned
+    // file's hive segments are part of its protocol path)
+    val rootUri = new Path(path).toUri.getPath.stripSuffix("/")
+    active.map(abs => new Path(abs).toUri.getPath
+        .stripPrefix(rootUri).stripPrefix("/")).toDF("p")
       .selectExpr("named_struct('path', p) AS add",
         "CAST(NULL AS STRUCT<path: STRING>) AS remove")
       .coalesce(1).write.parquet(tmp.toString)

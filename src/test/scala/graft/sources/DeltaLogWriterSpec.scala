@@ -115,6 +115,15 @@ class DeltaLogWriterSpec extends SparkSpec {
     val meta = java.nio.file.Files.readString(
       java.nio.file.Path.of(base, "_delta_log", "0" * 20 + ".json"))
     assert(meta.contains(""""partitionColumns":["k"]"""))
+    // a checkpoint of the partitioned state keeps the hive segments in
+    // its paths — reader resolves through it even with commits truncated
+    DeltaLogWriter.checkpoint(spark, base)
+    (0L to 1L).foreach { v =>
+      java.nio.file.Files.delete(
+        java.nio.file.Path.of(base, "_delta_log", f"$v%020d.json"))
+    }
+    assert(graft.Tables.deltaTable(spark, base)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L, 4L))
     // overwrite removes the partitioned files by their relative paths
     DeltaLogWriter.write(Seq((9L, "z")).toDF("id", "k"), base, SaveMode.Overwrite,
       partitionBy = Seq("k"))
