@@ -92,6 +92,9 @@ object DeltaLogWriter {
           out += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       }
       walk(root)
+      require(out.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+        s"Delta write planning at $path listed ${out.size} data files — past " +
+          "the planning cap; compact the table before writing through this writer")
       out.toSet
     }
     val before = dataFiles()
