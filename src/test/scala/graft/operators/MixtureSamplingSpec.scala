@@ -74,6 +74,21 @@ class MixtureSamplingSpec extends SparkSpec {
     assert(e.getMessage.contains("weights"))
   }
 
+  test("selection is monotone in the total budget (a bigger budget only adds docs)") {
+    val rows = mkRows(300, 47)
+    val w = Seq(("src0", 3L), ("src1", 1L), ("src2", 2L), ("src3", 1L), ("src4", 1L))
+      .toDF("source", "wt")
+    val df = rows.toDF("source", "doc_id", "n_tokens")
+    val picks = Seq(4000L, 8000L, 16000L, 32000L).map { b =>
+      MixtureSampling.byWeights(df, w, totalBudget = b)
+        .select($"doc_id").collect().map(_.getLong(0)).toSet
+    }
+    picks.sliding(2).foreach { case Seq(small, big) =>
+      assert(small.subsetOf(big),
+        s"budget increase dropped docs: ${small -- big}")
+    }
+  }
+
   test("each selected source overshoots its budget by at most one document") {
     val rows = mkRows(400, 31)
     val weights = Seq(("src0", 2L), ("src1", 1L), ("src2", 1L), ("src3", 3L), ("src4", 1L))
