@@ -530,6 +530,88 @@ object ExtensionQueries {
       }.orderBy($"batch_id")
     }),
 
+    // DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    // Language Models via Importance Resampling", public): hashed n-gram
+    // features, per-doc importance weight = token-weighted mean of
+    // per-feature target/source probability ratios — spelled ALL-INTEGER
+    // (micro-unit probabilities, floor divisions) so the float-flavored
+    // method gets a hash-exact oracle. Target domain = source 'src0'.
+    // Scale shape: the feature table is ≤ 1024 rows however big the
+    // corpus (hashing is the whole point of DSIR — the model size is
+    // fixed), so it BROADCASTS; the corpus sees one tokenize pass
+    // (checkpointed, the q131 pattern) and one per-doc hash aggregate.
+    "q207_importance_weights" -> ((s, dir) => {
+      import s.implicits._
+      // hashed feature id per token occurrence: md5-bucket the token into
+      // 1024 bins (collisions are part of the method's contract)
+      val toks = t(s, dir, "documents")
+        .select($"source", $"doc_id",
+          explode(TextFunctions.tokens(lower($"text"))).as("token"))
+        .select($"source", $"doc_id",
+          pmod(TextFunctions.md5Bucket60($"token"), lit(1024L)).as("f"))
+        .groupBy($"source", $"doc_id", $"f").agg(count(lit(1)).as("k"))
+        .localCheckpoint(true) // feeds the feature model AND the scoring
+      val isTgt = $"source" === "src0"
+      val feat = toks.groupBy($"f")
+        .agg(sum(when(isTgt, $"k").otherwise(0L)).as("ct"),
+          sum(when(isTgt, 0L).otherwise($"k")).as("cs"))
+      val tot = feat.agg(sum($"ct").as("tt"), sum($"cs").as("ss"))
+      // add-1 smoothed probabilities in micro-units; the ratio guard
+      // (greatest 1) keeps a huge source corpus from flooring p_s to 0
+      val w = feat.crossJoin(broadcast(tot))
+        .selectExpr("f",
+          "((ct + 1) * 1000000) DIV (tt + 1024) AS pt_micro",
+          "greatest(((cs + 1) * 1000000) DIV (ss + 1024), 1) AS ps_micro")
+        .selectExpr("f", "(pt_micro * 1000000) DIV ps_micro AS r_micro")
+      toks.join(broadcast(w), "f")
+        .groupBy($"source", $"doc_id")
+        .agg(sum($"k").as("n_toks"), sum($"k" * $"r_micro").as("sum_r"))
+        .selectExpr("source", "doc_id", "n_toks",
+          "sum_r DIV n_toks AS iw_micro")
+        .orderBy($"iw_micro".desc, $"doc_id").limit(50)
+    }),
+
+    // streaming ANN serving: query vectors arrive as a stream and probe
+    // the STATIC IVF partition of the corpus (the staged q135 k-means
+    // assignments reused as inverted lists). Each micro-batch looks up
+    // its own list (stream-static equi-join on vec_id), pulls only that
+    // list's corpus vectors (stream-static equi-join on cluster — never
+    // a crossJoin), scores exact cosine, and keeps per-query top-1 via
+    // an order-preserving integer key (streaming aggregates allow no
+    // window functions; max of (cos+20000)·10^10 − id ranks by cosine
+    // desc then id asc exactly). At 100 TB the corpus index is the big
+    // static side, partitioned by list and built once — a batch shuffles
+    // only its own rows.
+    "q208_stream_ann" -> ((s, dir) => {
+      import s.implicits._
+      stageQ135Assignments(s, dir)
+      val asg = s.read.parquet(scratch(q135AsgPat, dir))
+      val e = t(s, dir, "embeddings")
+      val corpus = e.join(asg, "vec_id").where($"vec_id" % 50 =!= 0)
+        .select($"cluster", $"vec_id".as("corpus_id"), $"embedding".as("cv"),
+          Similarity.vecNorm($"embedding").as("cn"))
+        .localCheckpoint(true)
+      val srcDir = StreamScaffold.stageTable(s, dir, "embeddings")
+      StreamScaffold.runCompleteStream(s, "q208", dir, srcDir) { src =>
+        src.where($"vec_id" % 50 === 0)
+          .select($"vec_id".as("query_id"), $"embedding".as("qv"),
+            Similarity.vecNorm($"embedding").as("qn"))
+          .join(asg.withColumnRenamed("vec_id", "query_id"), "query_id")
+          .join(corpus, "cluster")
+          .where($"query_id" =!= $"corpus_id")
+          .withColumn("cos_x1e4",
+            Similarity.cosineKeyWithNorms($"qv", $"cv", $"qn", $"cn"))
+          .groupBy($"query_id")
+          .agg(count(lit(1)).as("n_cand"),
+            max(($"cos_x1e4" + 20000L) * 10000000000L - $"corpus_id").as("bk"))
+      } // decode the key: bk = (cos+20000)·10^10 − id with 1 ≤ id < 10^10,
+        // so floor(bk/10^10) = cos+19999 and the id falls back out exactly
+        .selectExpr("query_id", "n_cand",
+          "bk DIV 10000000000 - 19999 AS best_cos_x1e4",
+          "(bk DIV 10000000000 + 1) * 10000000000 - bk AS best_corpus_id")
+        .orderBy($"query_id")
+    }),
+
     // context-window chunking: overlapping 64-token windows at stride 48
     // (the pre-packing step before Sharding's token-budget packing), each
     // chunk carrying an md5 fingerprint of its exact token span — chunk
@@ -2941,6 +3023,41 @@ object ExtensionQueries {
          |  min(corpus_id) AS first_cand_id
          |FROM cands GROUP BY 1 ORDER BY 1""".stripMargin
     },
+    "q207_importance_weights" ->
+      s"""WITH tk0 AS (SELECT source, doc_id, unnest($toksSql) AS token FROM documents),
+         |tk AS (SELECT source, doc_id,
+         |         ${TextFunctions.md5Bucket60Sql("token")} % 1024 AS f, count(*) AS k
+         |       FROM tk0 GROUP BY 1, 2, 3),
+         |feat AS (SELECT f,
+         |           CAST(sum(CASE WHEN source = 'src0' THEN k ELSE 0 END) AS BIGINT) AS ct,
+         |           CAST(sum(CASE WHEN source = 'src0' THEN 0 ELSE k END) AS BIGINT) AS cs
+         |         FROM tk GROUP BY 1),
+         |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS tt, CAST(sum(cs) AS BIGINT) AS ss FROM feat),
+         |w AS (SELECT f, ((ct + 1) * 1000000) // (tt + 1024) AS pt_micro,
+         |        greatest(((cs + 1) * 1000000) // (ss + 1024), 1) AS ps_micro
+         |      FROM feat, tot),
+         |r AS (SELECT f, (pt_micro * 1000000) // ps_micro AS r_micro FROM w),
+         |d AS (SELECT source, doc_id, CAST(sum(k) AS BIGINT) AS n_toks,
+         |        CAST(sum(k * r_micro) AS BIGINT) AS sum_r
+         |      FROM tk JOIN r USING (f) GROUP BY 1, 2)
+         |SELECT source, doc_id, n_toks, sum_r // n_toks AS iw_micro
+         |FROM d ORDER BY iw_micro DESC, doc_id LIMIT 50""".stripMargin,
+    "q208_stream_ann" ->
+      s"""WITH asg AS (SELECT * FROM read_parquet('$q135AsgPat/*.parquet')),
+         |c AS (SELECT a.cluster, e.vec_id AS corpus_id, CAST(e.embedding AS DOUBLE[]) AS cv
+         |      FROM embeddings e JOIN asg a USING (vec_id) WHERE e.vec_id % 50 != 0),
+         |q AS (SELECT a.cluster, e.vec_id AS query_id, CAST(e.embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings e JOIN asg a USING (vec_id) WHERE e.vec_id % 50 = 0),
+         |sc AS (SELECT q.query_id, c.corpus_id,
+         |         CAST(round(list_cosine_similarity(q.qv, c.cv) * 10000) AS BIGINT) AS cos
+         |       FROM q JOIN c USING (cluster) WHERE q.query_id != c.corpus_id),
+         |ag AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_cand,
+         |         CAST(max((cos + 20000) * 10000000000 - corpus_id) AS BIGINT) AS bk
+         |       FROM sc GROUP BY 1)
+         |SELECT query_id, n_cand,
+         |  bk // 10000000000 - 19999 AS best_cos_x1e4,
+         |  (bk // 10000000000 + 1) * 10000000000 - bk AS best_corpus_id
+         |FROM ag ORDER BY query_id""".stripMargin,
     "q135_semantic_dedup" ->
       s"""WITH RECURSIVE asg AS (SELECT * FROM read_parquet('$q135AsgPat/*.parquet')),
          |ce AS (SELECT emb.vec_id, asg.cluster, CAST(emb.embedding AS DOUBLE[]) AS v

@@ -23,9 +23,13 @@ import scala.collection.mutable
   *
   * Protocol subset honored (all public, delta-io PROTOCOL.md):
   *  - `_delta_log/%020d.json`: one action per line; `add.path` activates a
-  *    file, `remove.path` deactivates it; `metaData`/`protocol`/
-  *    `commitInfo` lines are skipped (schema comes from the parquet
-  *    footers, like every other reader in this repo);
+  *    file, `remove.path` deactivates it; `commitInfo`/`txn` lines are
+  *    skipped; `protocol` and `metaData` lines are INSPECTED to refuse
+  *    tables whose correct interpretation needs features this reader does
+  *    not implement (deletion vectors, column mapping, v2 checkpoints):
+  *    silently ignoring them would serve deleted rows or physical column
+  *    names — wrong answers, not missing features. Schema still comes from
+  *    the parquet footers, like every other reader in this repo;
   *  - `_delta_log/%020d.checkpoint.parquet` (single-part) holding the
   *    compacted state as `add`/`remove` structs;
   *  - `_delta_log/_last_checkpoint`: `{"version":N,...}` pointer — commits
@@ -76,6 +80,52 @@ object DeltaLogReader {
     }
   }
 
+  /** Reader features whose PRESENCE in the protocol is harmless because
+    * their actual use is gated where it appears (columnMapping via the
+    * metaData mode, deletionVectors per add action) or because they have
+    * no read-path semantics beyond what parquet footers already carry
+    * (timestampNtz) / none at all (vacuumProtocolCheck). Anything else —
+    * v2Checkpoint, typeWidening, future features — changes how the log or
+    * the data must be interpreted, so an unknown name is refused. */
+  private val BenignReaderFeatures = Set(
+    "columnMapping", "deletionVectors", "timestampNtz", "vacuumProtocolCheck")
+
+  /** Refuse protocol versions/features this interpreter cannot read
+    * CORRECTLY. Silently proceeding would not be "partial support" — a
+    * v2Checkpoint table's `_last_checkpoint` points at a differently-named
+    * artifact, and an unknown reader feature may redefine what an `add`
+    * means; both produce wrong rows, not errors, downstream. */
+  private def checkProtocol(node: JsonNode, where: String): Unit = {
+    val mrv = Option(node.get("minReaderVersion")).map(_.asInt()).getOrElse(1)
+    if (mrv >= 3) {
+      val feats = Option(node.get("readerFeatures")).toSeq
+        .flatMap(n => (0 until n.size()).map(i => n.get(i).asText()))
+      val unsupported = feats.filterNot(BenignReaderFeatures)
+      require(unsupported.isEmpty,
+        s"Delta table ($where) requires reader features ${unsupported.mkString(", ")} " +
+          "this interpreter does not implement — refusing a wrong-row-set read")
+    } else require(mrv <= 2,
+      s"Delta table ($where) requires minReaderVersion $mrv — unsupported")
+  }
+
+  /** Refuse metaData states whose correct reading this interpreter cannot
+    * honor: an active column-mapping mode means the parquet footers hold
+    * PHYSICAL column names (col-<uuid>) the logical schema maps over —
+    * footer-schema reads would surface gibberish names; a non-parquet
+    * format provider means the data files are not parquet at all. */
+  private def checkMetaData(node: JsonNode, where: String): Unit = {
+    val mode = Option(node.get("configuration"))
+      .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+      .map(_.asText()).getOrElse("none")
+    require(mode == "none",
+      s"Delta table ($where) uses column mapping mode '$mode' — the parquet " +
+        "footers hold physical names this interpreter cannot map back; refusing")
+    val provider = Option(node.get("format"))
+      .flatMap(f => Option(f.get("provider"))).map(_.asText())
+    require(provider.forall(_.equalsIgnoreCase("parquet")),
+      s"Delta table ($where) stores data as '${provider.get}', not parquet")
+  }
+
   /** Delta `path` fields are relative percent-encoded URIs. */
   private def decodePath(tableRoot: String, rel: String): String = {
     val dec = java.net.URLDecoder.decode(rel, "UTF-8")
@@ -105,6 +155,13 @@ object DeltaLogReader {
     require(asOf.forall(v => vs.contains(v) || ckpt.contains(v)),
       s"version $target does not exist at $path (commits: $vs, checkpoint: $ckpt)")
 
+    // a log whose earliest commit is not 0 and that has no checkpoint has
+    // lost history — replaying what remains would silently drop the
+    // truncated commits' adds/removes
+    require(ckpt.nonEmpty || vs.headOption.contains(0L),
+      s"Delta log at $path starts at commit ${vs.head} with no usable " +
+        "checkpoint — the truncated history cannot be replayed; refusing")
+
     val active = mutable.LinkedHashSet.empty[String]
     ckpt.foreach { cv =>
       // checkpoint at cv: single-part (%020d.checkpoint.parquet) or
@@ -119,13 +176,38 @@ object DeltaLogReader {
           .map(_.getPath).sortBy(_.getName).toSeq
       require(parts.nonEmpty,
         s"_last_checkpoint points at v$cv but no checkpoint parquet exists at $path")
+      val ckDf = spark.read.parquet(parts.map(_.toString): _*)
+      val where = s"checkpoint v$cv at $path"
+      // protocol/metaData are compacted INTO a checkpoint (the commits
+      // that carried them may be truncated away) — gate them here exactly
+      // like their JSON spellings
+      val top = ckDf.schema.fieldNames.toSet
+      if (top.contains("protocol"))
+        ckDf.where(org.apache.spark.sql.functions.col("protocol").isNotNull)
+          .select(org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.col("protocol"))).collect()
+          .foreach(r => checkProtocol(mapper.readTree(r.getString(0)), where))
+      if (top.contains("metaData"))
+        ckDf.where(org.apache.spark.sql.functions.col("metaData").isNotNull)
+          .select(org.apache.spark.sql.functions.to_json(
+            org.apache.spark.sql.functions.col("metaData"))).collect()
+          .foreach(r => checkMetaData(mapper.readTree(r.getString(0)), where))
+      val addHasDv = top.contains("add") &&
+        ckDf.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
+          .fieldNames.contains("deletionVector")
+      val dvExpr = if (addHasDv) "add.deletionVector IS NOT NULL" else "false"
+      val removeExpr = if (top.contains("remove")) "remove.path" else "CAST(NULL AS STRING)"
       val rows = graft.operators.ManifestGuard.collectCapped(
-        spark.read.parquet(parts.map(_.toString): _*)
-          .selectExpr("add.path AS a", "remove.path AS r"),
-        s"Delta checkpoint v$cv at $path")
+        ckDf.selectExpr("add.path AS a", s"$removeExpr AS r", s"$dvExpr AS dv"),
+        s"Delta $where")
       rows.foreach { row =>
-        if (!row.isNullAt(0)) active += decodePath(path, row.getString(0))
-        else if (!row.isNullAt(1)) active -= decodePath(path, row.getString(1))
+        if (!row.isNullAt(0)) {
+          require(!row.getBoolean(2),
+            s"Delta $where: file ${row.getString(0)} carries a deletion " +
+              "vector — reading the parquet part whole would resurrect " +
+              "deleted rows; this interpreter refuses DV tables")
+          active += decodePath(path, row.getString(0))
+        } else if (!row.isNullAt(1)) active -= decodePath(path, row.getString(1))
       }
     }
     // replay JSON commits after the checkpoint (or all of them without one)
@@ -143,12 +225,20 @@ object DeltaLogReader {
       val commit = new Path(logDir(path), f"$v%020d.json")
       readSmallFile(spark, commit).split("\n").filter(_.nonEmpty).foreach { line =>
         val node: JsonNode = mapper.readTree(line)
-        if (node.has("add"))
-          active += decodePath(path, node.get("add").get("path").asText())
-        else if (node.has("remove"))
+        if (node.has("add")) {
+          val add = node.get("add")
+          require(!add.has("deletionVector") || add.get("deletionVector").isNull,
+            s"Delta commit v$v at $path: file ${add.get("path").asText()} " +
+              "carries a deletion vector — reading the parquet part whole " +
+              "would resurrect deleted rows; this interpreter refuses DV tables")
+          active += decodePath(path, add.get("path").asText())
+        } else if (node.has("remove"))
           active -= decodePath(path, node.get("remove").get("path").asText())
-        // metaData / protocol / commitInfo / txn: planning metadata this
-        // minimal reader doesn't need (schema comes from parquet footers)
+        else if (node.has("protocol"))
+          checkProtocol(node.get("protocol"), s"commit v$v at $path")
+        else if (node.has("metaData"))
+          checkMetaData(node.get("metaData"), s"commit v$v at $path")
+        // commitInfo / txn: audit metadata with no read-path semantics
       }
     }
     val out = active.toSeq

@@ -165,4 +165,102 @@ class DeltaLogReaderSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("_delta_log"))
   }
+
+  // ---- feature gating: a minimal interpreter must refuse, loudly, any
+  // table whose CORRECT reading needs protocol machinery it lacks —
+  // proceeding would mean wrong rows (resurrected deletes, physical
+  // column names), not an error somewhere downstream.
+
+  test("an add carrying a deletion vector refuses the read") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L, 2L).toDF("id"))
+    writeCommit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
+      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,""" +
+        """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
+    val e = intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base)
+    }
+    assert(e.getMessage.contains("deletion vector"))
+  }
+
+  test("deletionVectors ENABLED but unused reads fine; benign features pass") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L, 2L).toDF("id"))
+    writeCommit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,""" +
+        """"readerFeatures":["deletionVectors","timestampNtz","vacuumProtocolCheck","columnMapping"]}}""",
+      """{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        """"schemaString":"{}","partitionColumns":[],""" +
+        """"configuration":{"delta.columnMapping.mode":"none"},"createdTime":0}}""",
+      add("a.parquet")))
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(1L, 2L))
+  }
+
+  test("an unknown reader feature refuses the read") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L).toDF("id"))
+    writeCommit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["v2Checkpoint"]}}""",
+      add("a.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base)
+    }
+    assert(e.getMessage.contains("v2Checkpoint"))
+  }
+
+  test("an active column-mapping mode refuses the read") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L).toDF("id"))
+    writeCommit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      """{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+        """"schemaString":"{}","partitionColumns":[],""" +
+        """"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+      add("a.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base)
+    }
+    assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("protocol/metaData compacted into a checkpoint are gated too") {
+    // log truncated to just a checkpoint that carries columnMapping=name:
+    // no JSON line ever mentions the feature — only the checkpoint can
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L).toDF("id"))
+    val log = new java.io.File(base, "_delta_log")
+    log.mkdirs()
+    val ckTmp = new java.io.File(log, ".tmp_ck").toString
+    Seq("a.parquet").toDF("p")
+      .selectExpr("named_struct('path', p) AS add",
+        "CAST(NULL AS STRUCT<path: STRING>) AS remove",
+        "CAST(NULL AS STRUCT<minReaderVersion: INT, minWriterVersion: INT>) AS protocol",
+        """CAST(NULL AS STRUCT<configuration: MAP<STRING, STRING>>) AS metaData""")
+      .unionAll(Seq(1).toDF("x").selectExpr(
+        "CAST(NULL AS STRUCT<path: STRING>) AS add",
+        "CAST(NULL AS STRUCT<path: STRING>) AS remove",
+        "named_struct('minReaderVersion', 2, 'minWriterVersion', 5) AS protocol",
+        "named_struct('configuration', map('delta.columnMapping.mode', 'id')) AS metaData"))
+      .coalesce(1).write.parquet(ckTmp)
+    val part = new java.io.File(ckTmp).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(log, f"${0L}%020d.checkpoint.parquet")))
+    java.nio.file.Files.writeString(
+      new java.io.File(log, "_last_checkpoint").toPath, """{"version":0,"size":1}""")
+    val e = intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base)
+    }
+    assert(e.getMessage.contains("column mapping"))
+  }
+
+  test("a truncated log with no checkpoint refuses the read") {
+    val base = freshDir()
+    dataFile(base, "b.parquet", Seq(2L).toDF("id"))
+    writeCommit(base, 3L, Seq(add("b.parquet"))) // history 0..2 lost
+    val e = intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base)
+    }
+    assert(e.getMessage.contains("truncated"))
+  }
 }
