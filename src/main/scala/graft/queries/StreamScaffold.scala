@@ -61,8 +61,23 @@ private[graft] object StreamScaffold {
     val dst = new org.apache.hadoop.fs.Path(dir)
     val fs = dst.getFileSystem(hconf)
     val src = new org.apache.hadoop.fs.Path(s"$sfDir/$table.parquet")
-    val st = src.getFileSystem(hconf).getFileStatus(src)
-    val sig = s"${st.getLen}:${st.getModificationTime}"
+    val sfs = src.getFileSystem(hconf)
+    val st = sfs.getFileStatus(src)
+    // a table is EITHER a single parquet file (the shipped testdata shape)
+    // OR a directory of part files (anything Spark itself wrote — e.g. a
+    // scaled-up copy): the file-source reader lists dst non-recursively,
+    // so directory tables must stage their parts FLAT, not as a nested dir
+    val parts: Seq[org.apache.hadoop.fs.Path] =
+      if (st.isDirectory)
+        sfs.listStatus(src).toSeq
+          .filter(p => p.isFile && p.getPath.getName.endsWith(".parquet"))
+          .map(_.getPath).sortBy(_.getName)
+      else Seq(src)
+    require(parts.nonEmpty, s"stageTable: no parquet parts under $src")
+    val sig = parts.map { p =>
+      val ps = sfs.getFileStatus(p)
+      s"${p.getName}=${ps.getLen}:${ps.getModificationTime}"
+    }.mkString(";")
     val done = new org.apache.hadoop.fs.Path(dir, "_staged")
     val fresh = fs.exists(done) && {
       val buf = new Array[Byte](fs.getFileStatus(done).getLen.toInt)
@@ -73,10 +88,12 @@ private[graft] object StreamScaffold {
     if (!fresh) {
       fs.delete(dst, true)
       fs.mkdirs(dst)
-      org.apache.hadoop.fs.FileUtil.copy(
-        src.getFileSystem(hconf), src,
-        fs, new org.apache.hadoop.fs.Path(s"$dir/$table.parquet"),
-        false, hconf)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        org.apache.hadoop.fs.FileUtil.copy(
+          sfs, p, fs,
+          new org.apache.hadoop.fs.Path(f"$dir/part_$i%05d.parquet"),
+          false, hconf)
+      }
       val out = fs.create(done, true)
       try out.write(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
