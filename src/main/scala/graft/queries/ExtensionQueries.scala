@@ -612,6 +612,32 @@ object ExtensionQueries {
         .orderBy($"query_id")
     }),
 
+    // Johnson–Lindenstrauss random projection (Achlioptas ±1 signs,
+    // public): 64-dim embeddings down to 16 via a DETERMINISTIC
+    // md5-derived sign matrix — the dim-reduction step before ANN or
+    // clustering at 100 TB (4× fewer bytes per vector, pairwise
+    // distances preserved within (1±ε) whp). The 1024-entry sign matrix
+    // BROADCASTS however big the corpus; the corpus pass is posexplode +
+    // equi-join + exact DECIMAL re-aggregation (associative, so the
+    // result is partition-order-proof — a double sum would drift with
+    // the physical plan), emitted in micro-units (the q58 centroid
+    // pattern).
+    "q209_random_projection" -> ((s, dir) => {
+      import s.implicits._
+      val signs = s.range(64).toDF("dim").crossJoin(s.range(16).toDF("j"))
+        .withColumn("sgn", when(pmod(TextFunctions.md5Bucket60(
+            concat(lit("rp|"), $"dim".cast("string"), lit("|"), $"j".cast("string"))),
+          lit(2L)) === 0, 1L).otherwise(-1L))
+      t(s, dir, "embeddings")
+        .select($"vec_id", posexplode($"embedding").as(Seq("dim", "v")))
+        .join(broadcast(signs), "dim")
+        .groupBy($"vec_id", $"j")
+        .agg(sum(($"v".cast("double") * $"sgn").cast("decimal(27,9)")).as("acc"))
+        .select($"vec_id", $"j",
+          round($"acc".cast("double") * 1e6).cast("long").as("proj_micro"))
+        .orderBy($"vec_id", $"j")
+    }),
+
     // context-window chunking: overlapping 64-token windows at stride 48
     // (the pre-packing step before Sharding's token-budget packing), each
     // chunk carrying an md5 fingerprint of its exact token span — chunk
@@ -3058,6 +3084,20 @@ object ExtensionQueries {
          |  bk // 10000000000 - 19999 AS best_cos_x1e4,
          |  (bk // 10000000000 + 1) * 10000000000 - bk AS best_corpus_id
          |FROM ag ORDER BY query_id""".stripMargin,
+    "q209_random_projection" ->
+      s"""WITH signs AS (
+         |  SELECT d.dim, jj.j,
+         |    CASE WHEN ${TextFunctions.md5Bucket60Sql(
+             "'rp|' || CAST(d.dim AS VARCHAR) || '|' || CAST(jj.j AS VARCHAR)")} % 2 = 0
+         |      THEN 1 ELSE -1 END AS sgn
+         |  FROM (SELECT unnest(range(64)) AS dim) d, (SELECT unnest(range(16)) AS j) jj),
+         |x AS (SELECT vec_id, unnest(range(len(embedding))) AS dim, unnest(embedding) AS v
+         |      FROM embeddings)
+         |SELECT x.vec_id, s.j,
+         |  CAST(round(CAST(sum(CAST(CAST(x.v AS DOUBLE) * s.sgn AS DECIMAL(27,9))) AS DOUBLE)
+         |    * 1000000) AS BIGINT) AS proj_micro
+         |FROM x JOIN signs s USING (dim)
+         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q135_semantic_dedup" ->
       s"""WITH RECURSIVE asg AS (SELECT * FROM read_parquet('$q135AsgPat/*.parquet')),
          |ce AS (SELECT emb.vec_id, asg.cluster, CAST(emb.embedding AS DOUBLE[]) AS v
