@@ -25,6 +25,20 @@ object Sharding {
   def byTokenBudget(df: DataFrame, budget: Long, tokenCol: String = "n_tokens",
                     orderCol: String = "doc_id", numBuckets: Int = 256): DataFrame = {
     require(budget > 0, "budget must be positive")
+    withTokenOffsets(df, tokenCol, orderCol, numBuckets)
+      .withColumn("shard", expr(s"tok_start DIV ${budget}L"))
+      .drop("tok_start")
+  }
+
+  /** The running-offset half of [[byTokenBudget]], exposed: every row gains
+    * `tok_start` = the exclusive running token sum of all earlier rows in
+    * `orderCol` order — the document's global position in the concatenated
+    * token stream. Shard assignment, fixed-block sequence packing, and
+    * split-point planning are all projections over this one column. Same
+    * scale design as byTokenBudget (bucketed parallel prefix-sum, no global
+    * window). */
+  def withTokenOffsets(df: DataFrame, tokenCol: String = "n_tokens",
+                       orderCol: String = "doc_id", numBuckets: Int = 256): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")
     val spark = df.sparkSession
     import spark.implicits._
@@ -33,7 +47,7 @@ object Sharding {
     // once: three passes follow (bounds, bucket sums, the output itself)
     val in = df.localCheckpoint(true)
     val bounds = in.agg(min(col(orderCol)).cast("long"), max(col(orderCol)).cast("long")).head()
-    if (bounds.isNullAt(0)) return in.withColumn("shard", lit(0L)) // empty input
+    if (bounds.isNullAt(0)) return in.withColumn("tok_start", lit(0L)) // empty input
     val mn = bounds.getLong(0)
     val mx = bounds.getLong(1)
     // fixed-width buckets over the key range — deterministic, no sampling
@@ -59,8 +73,7 @@ object Sharding {
       .orderBy(col(orderCol)).rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withBucket
       .join(broadcast(offsetDf), Seq("__bucket"))
-      .withColumn("__cum", $"__offset" + sum(tok).over(inBucket) - tok)
-      .withColumn("shard", expr(s"__cum DIV ${budget}L"))
-      .drop("__bucket", "__offset", "__cum")
+      .withColumn("tok_start", $"__offset" + sum(tok).over(inBucket) - tok)
+      .drop("__bucket", "__offset")
   }
 }

@@ -68,5 +68,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("hll_sketch"),
       new ExpressionInfo(classOf[HllSketchAggregate].getName, "hll_sketch"),
       HllSketchAggregate.build))
+    extensions.injectFunction((
+      new FunctionIdentifier("mg_topk"),
+      new ExpressionInfo(classOf[MisraGriesAggregate].getName, "mg_topk"),
+      MisraGriesAggregate.build))
   }
 }

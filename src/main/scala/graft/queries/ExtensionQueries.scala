@@ -638,6 +638,89 @@ object ExtensionQueries {
         .orderBy($"vec_id", $"j")
     }),
 
+    // frequent-token extraction via the NATIVE Misra–Gries aggregate
+    // (`mg_topk`, plans/MisraGriesAggregate — the third native
+    // TypedImperativeAggregate after kmv/hll): pass 1 folds the corpus
+    // into one ≤128-counter summary (plus the total, same job — the 1-row
+    // result is checkpointed so its two consumers don't re-run the scan);
+    // pass 2 exactly re-counts ONLY the ≤128 candidates (broadcast semi
+    // join) and keeps those at ≥ 1/64 of all occurrences. Deterministic
+    // despite MG's merge-order-dependent counters: the mergeable-summaries
+    // bound guarantees every token above n/129 survives ANY merge order,
+    // and the output is the exact re-count thresholded strictly above
+    // that. At 100 TB this never shuffles the full token-frequency table —
+    // the exchange carries ≤128 counters map-side and ≤128 keys back.
+    "q212_heavy_hitters" -> ((s, dir) => {
+      import s.implicits._
+      val toks = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(lower($"text"))).as("token"))
+      val sk = toks.agg(expr("mg_topk(token, 128)").as("cand"),
+        count(lit(1)).as("n")).localCheckpoint(true)
+      val cand = sk.select(explode($"cand").as("token"))
+      toks.join(broadcast(cand), "token")
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(sk.select($"n")))
+        .where($"cnt" * 64L >= $"n")
+        .selectExpr("token", "cnt", "n AS total_tokens",
+          "(1000000 * cnt) DIV n AS freq_micro")
+        .orderBy($"cnt".desc, $"token")
+    }),
+
+    // cross-source duplication leakage matrix: the MinHash candidate
+    // pairs bucketed by (source, source) — the governance diagnostic run
+    // before mixing corpora ("how much of src2 is already in src0?").
+    // Reuses the session-cached q35 candidate pairs (banded bucket join,
+    // never all-pairs); the two doc_id→source lookups are plain equi-joins
+    // and both aggregates run over the (tiny) candidate-pair frame. The
+    // distinct-doc leg re-aggregates instead of collect_set-ing pair ids
+    // into one row — no per-group unbounded buffer at scale.
+    "q211_crossdup_matrix" -> ((s, dir) => {
+      import s.implicits._
+      val src = t(s, dir, "documents").select($"doc_id", $"source")
+      val sp = minhashCands(s, dir)
+        .join(src.toDF("id_a", "sa"), "id_a")
+        .join(src.toDF("id_b", "sb"), "id_b")
+        .select(least($"sa", $"sb").as("source_a"),
+          greatest($"sa", $"sb").as("source_b"), $"id_a", $"id_b")
+      val np = sp.groupBy($"source_a", $"source_b")
+        .agg(count(lit(1)).as("n_pairs"))
+      val nd = sp.select($"source_a", $"source_b",
+          explode(array($"id_a", $"id_b")).as("d"))
+        .groupBy($"source_a", $"source_b")
+        .agg(countDistinct($"d").as("n_docs"))
+      np.join(nd, Seq("source_a", "source_b"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
+    // fixed-block sequence packing report: the trainer-side packing step
+    // (concatenate the corpus in doc_id order, cut every 2048 tokens)
+    // analyzed per context window — how many documents each block touches
+    // (attention-mask fragmentation), how many start in it, and the token
+    // fill. Built on Sharding.withTokenOffsets (bucketed parallel
+    // prefix-sum — no global window), then ONE block-range explode whose
+    // fan-out per doc is ceil(n_tokens/B)+1 ≤ 2 for any doc shorter than a
+    // block: the explode is O(corpus tokens / B + n_docs) rows however big
+    // the corpus, and the per-block aggregate is an equi-key hash agg.
+    "q210_sequence_pack" -> ((s, dir) => {
+      import s.implicits._
+      val B = 2048L
+      val docs = t(s, dir, "documents").select($"doc_id",
+          TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+        .where($"n_tokens" > 0)
+      graft.operators.Sharding.withTokenOffsets(docs)
+        .selectExpr("doc_id", "n_tokens", "tok_start",
+          s"tok_start DIV $B AS first_block",
+          s"(tok_start + n_tokens - 1) DIV $B AS last_block")
+        .select($"doc_id", $"n_tokens", $"tok_start", $"first_block",
+          explode(sequence($"first_block", $"last_block")).as("block"))
+        .groupBy($"block")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"first_block" === $"block", 1L).otherwise(0L)).as("n_starts"),
+          sum(least(($"block" + 1L) * B, $"tok_start" + $"n_tokens") -
+            greatest($"block" * B, $"tok_start")).as("block_tokens"))
+        .orderBy($"block")
+    }),
+
     // context-window chunking: overlapping 64-token windows at stride 48
     // (the pre-packing step before Sharding's token-budget packing), each
     // chunk carrying an md5 fingerprint of its exact token span — chunk
@@ -3098,6 +3181,39 @@ object ExtensionQueries {
          |    * 1000000) AS BIGINT) AS proj_micro
          |FROM x JOIN signs s USING (dim)
          |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q210_sequence_pack" ->
+      s"""WITH d AS (SELECT doc_id, CAST(len($toksSql) AS BIGINT) AS n_tokens FROM documents),
+         |p AS (SELECT doc_id, n_tokens,
+         |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tok_start
+         |      FROM d WHERE n_tokens > 0),
+         |b AS (SELECT doc_id, n_tokens, tok_start, tok_start // 2048 AS first_block,
+         |        (tok_start + n_tokens - 1) // 2048 AS last_block FROM p),
+         |e AS (SELECT doc_id, n_tokens, tok_start, first_block,
+         |        unnest(generate_series(first_block, last_block)) AS block FROM b)
+         |SELECT block, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN first_block = block THEN 1 ELSE 0 END) AS BIGINT) AS n_starts,
+         |  CAST(sum(least((block + 1) * 2048, tok_start + n_tokens)
+         |    - greatest(block * 2048, tok_start)) AS BIGINT) AS block_tokens
+         |FROM e GROUP BY block ORDER BY block""".stripMargin,
+    "q211_crossdup_matrix" ->
+      s"""WITH $minhashCandCtes,
+         |sp AS (SELECT least(da.source, db.source) AS source_a,
+         |         greatest(da.source, db.source) AS source_b, c.id_a, c.id_b
+         |       FROM cand c JOIN documents da ON da.doc_id = c.id_a
+         |                   JOIN documents db ON db.doc_id = c.id_b),
+         |np AS (SELECT source_a, source_b, count(*) AS n_pairs FROM sp GROUP BY 1, 2),
+         |nd AS (SELECT source_a, source_b, count(DISTINCT d) AS n_docs
+         |       FROM (SELECT source_a, source_b, unnest([id_a, id_b]) AS d FROM sp)
+         |       GROUP BY 1, 2)
+         |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
+         |FROM np JOIN nd USING (source_a, source_b) ORDER BY 1, 2""".stripMargin,
+    "q212_heavy_hitters" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+         |tot AS (SELECT count(*) AS n FROM toks),
+         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1)
+         |SELECT token, cnt, n AS total_tokens, (1000000 * cnt) // n AS freq_micro
+         |FROM c, tot WHERE cnt * 64 >= n ORDER BY cnt DESC, token""".stripMargin,
     "q135_semantic_dedup" ->
       s"""WITH RECURSIVE asg AS (SELECT * FROM read_parquet('$q135AsgPat/*.parquet')),
          |ce AS (SELECT emb.vec_id, asg.cluster, CAST(emb.embedding AS DOUBLE[]) AS v

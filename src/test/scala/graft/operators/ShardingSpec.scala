@@ -38,6 +38,20 @@ class ShardingSpec extends SparkSpec {
     assert(outs.distinct.size == 1)
   }
 
+  test("withTokenOffsets is the exact exclusive running sum in order-key order") {
+    import spark.implicits._
+    val r = new Random(21)
+    val rows = Seq.tabulate(400)(i => (i.toLong * 5 + 2, (r.nextInt(200) + 1).toLong))
+    val expected = {
+      var cum = 0L
+      rows.sortBy(_._1).map { case (id, tok) => val s = cum; cum += tok; id -> s }.toMap
+    }
+    val out = Sharding.withTokenOffsets(rows.toDF("doc_id", "n_tokens"), numBuckets = 17)
+      .select($"doc_id", $"tok_start").collect()
+      .map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(out == expected)
+  }
+
   test("null token counts pack as zero tokens; empty input gains a shard column") {
     import spark.implicits._
     val df = Seq((1L, Some(10L)), (2L, Option.empty[Long]), (3L, Some(10L)))
