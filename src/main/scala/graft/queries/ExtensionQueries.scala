@@ -638,6 +638,56 @@ object ExtensionQueries {
         .orderBy($"vec_id", $"j")
     }),
 
+    // vocabulary coverage curve: what fraction of corpus token
+    // OCCURRENCES a K-entry vocab covers, at K ∈ {5, 10, 20} — the
+    // truncation diagnostic run before fixing a tokenizer's vocab size.
+    // Scale shape: the corpus collapses to per-token counts in ONE hash
+    // agg (checkpointed — the total and the top-K legs would otherwise
+    // each re-run the corpus explode); the top-K cut is
+    // TakeOrderedAndProject (distributed top-k, never a global sort) and
+    // the rank/cumsum window runs over that ≤20-row frame only.
+    "q213_vocab_coverage" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val counts = t(s, dir, "documents")
+        .select(explode(TextFunctions.tokens(lower($"text"))).as("token"))
+        .groupBy($"token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint(true)
+      val tot = counts.agg(sum($"cnt").as("n"))
+      val w = Window.orderBy($"cnt".desc, $"token".asc)
+      counts.orderBy($"cnt".desc, $"token".asc).limit(20)
+        .withColumn("rank", row_number().over(w))
+        .withColumn("covered", sum($"cnt").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .where($"rank".isin(5, 10, 20))
+        .crossJoin(broadcast(tot))
+        .selectExpr("rank AS vocab_size", "covered", "n AS total_tokens",
+          "(1000000 * covered) DIV n AS coverage_micro")
+        .orderBy($"vocab_size")
+    }),
+
+    // dedup survivorship by source: per-source retention rate after
+    // near-dup group dedup (keep = the group's min doc_id — q57's
+    // convention, and the CC label IS the component minimum, so "kept"
+    // is the one equality doc_id = group_id; no second aggregation over
+    // groups needed). The governance number a corpus report leads with:
+    // "how much of each source survives dedup".
+    "q214_dedup_survivorship" -> ((s, dir) => {
+      import s.implicits._
+      val cc = graft.cluster.ConnectedComponents.run(
+        minhashCands(s, dir).select($"id_a".as("src"), $"id_b".as("dst")))
+      t(s, dir, "documents").select($"doc_id", $"source")
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+        .select($"source", $"doc_id",
+          coalesce($"component", $"doc_id").as("group_id"))
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"doc_id" === $"group_id", 1L).otherwise(0L)).as("n_kept"))
+        .selectExpr("source", "n_docs", "n_kept",
+          "(1000000 * n_kept) DIV n_docs AS retention_micro")
+        .orderBy($"source")
+    }),
+
     // frequent-token extraction via the NATIVE Misra–Gries aggregate
     // (`mg_topk`, plans/MisraGriesAggregate — the third native
     // TypedImperativeAggregate after kmv/hll): pass 1 folds the corpus
@@ -2700,14 +2750,20 @@ object ExtensionQueries {
     * recursive CTE (min reachable id = the component label — the same
     * definition ConnectedComponents.run converges to), then per-group
     * aggregation over ALL documents (absent docs are singletons). */
-  private def dedupGroupsOracle: String =
-    s"""WITH RECURSIVE $minhashCandCtes,
+  /** CTE chain ending in `comp` = (id, component-min-label) over the
+    * MinHash candidate graph — shared by the q57/q151 group oracles and
+    * q214's survivorship oracle. */
+  private def componentsCtes: String =
+    s"""$minhashCandCtes,
        |edges AS (SELECT id_a AS a, id_b AS b FROM cand UNION ALL SELECT id_b, id_a FROM cand),
        |reach(id, r) AS (
        |  SELECT DISTINCT a, a FROM edges
        |  UNION
        |  SELECT e.a, r.r FROM edges e JOIN reach r ON e.b = r.id),
-       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+       |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)""".stripMargin
+
+  private def dedupGroupsOracle: String =
+    s"""WITH RECURSIVE $componentsCtes
        |SELECT coalesce(c.component, d.doc_id) AS group_id, count(*) AS n_docs, min(d.doc_id) AS keep_id
        |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
        |GROUP BY 1 ORDER BY 1""".stripMargin
@@ -3208,6 +3264,24 @@ object ExtensionQueries {
          |       GROUP BY 1, 2)
          |SELECT np.source_a, np.source_b, np.n_pairs, nd.n_docs
          |FROM np JOIN nd USING (source_a, source_b) ORDER BY 1, 2""".stripMargin,
+    "q213_vocab_coverage" ->
+      s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
+         |c AS (SELECT token, count(*) AS cnt FROM toks GROUP BY 1),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+         |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt DESC, token) AS rank,
+         |        CAST(sum(cnt) OVER (ORDER BY cnt DESC, token
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS covered
+         |      FROM c QUALIFY rank <= 20)
+         |SELECT rank AS vocab_size, covered, n AS total_tokens,
+         |  (1000000 * covered) // n AS coverage_micro
+         |FROM r, tot WHERE rank IN (5, 10, 20) ORDER BY vocab_size""".stripMargin,
+    "q214_dedup_survivorship" ->
+      s"""WITH RECURSIVE $componentsCtes
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  (1000000 * CAST(sum(CASE WHEN coalesce(c.component, d.doc_id) = d.doc_id THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS retention_micro
+         |FROM documents d LEFT JOIN comp c ON d.doc_id = c.id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q212_heavy_hitters" ->
       s"""WITH toks AS (SELECT unnest($toksSql) AS token FROM documents),
          |tot AS (SELECT count(*) AS n FROM toks),
