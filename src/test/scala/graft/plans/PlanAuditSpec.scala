@@ -228,4 +228,25 @@ class PlanAuditSpec extends SparkSpec {
     // the budgets dim and the per-bucket offsets frame both broadcast
     assert(p.contains("BroadcastExchange"), p)
   }
+
+  test("q210 packing offsets stay bucket-parallel; block agg has map-side partials") {
+    val p = plan("q210_sequence_pack")
+    // the running-offset window is PARTITIONED by the prefix-sum bucket —
+    // a bare global window here would funnel the corpus into one task
+    assert(p.contains("windowspecdefinition(__bucket"), p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q212 mg_topk recount broadcasts the candidate set; scan prunes to text") {
+    val p = plan("q212_heavy_hitters")
+    // the exact re-count must be an equi-join against the ≤k broadcast
+    // candidates (never a full token-frequency shuffle gate at the scan)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ReadSchema: struct<text:string>"), p)
+  }
+
+  test("q213 vocab top-K cut is TakeOrderedAndProject, not a global sort") {
+    val p = plan("q213_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
