@@ -41,6 +41,23 @@ object IndexQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame = Tables.table(s, dir, n)
 
   import Tables.{scratch, scratchPat}
+
+  /** The events table staged Hive-partitioned by event_type — shared by
+    * q170 (static partition pruning) and q215 (dynamic partition
+    * pruning); staged once per events-table state. */
+  private def stageQ170Part(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = scratch(q170PartPat, dir)
+    Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "events")) {
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", $"value",
+          expr("ts DIV 1000 DIV 86400000000").as("day"), $"event_type")
+        .write.partitionBy("event_type").mode("overwrite").parquet(p)
+    }
+    p
+  }
+
   private val q157CodesPat = scratchPat("q157_pq_codes")
   private val q157LutPat = scratchPat("q157_pq_lut")
   private val q159WeightsPat = scratchPat("q159_weights")
@@ -626,14 +643,7 @@ object IndexQueries {
     // the source table: a partition wrongly pruned loses rows.
     "q170_partitioned_scan" -> ((s, dir) => {
       import s.implicits._
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val p = scratch(q170PartPat, dir)
-      Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "events")) {
-        t(s, dir, "events")
-          .select($"event_id", $"user_id", $"value",
-            expr("ts DIV 1000 DIV 86400000000").as("day"), $"event_type")
-          .write.partitionBy("event_type").mode("overwrite").parquet(p)
-      }
+      val p = stageQ170Part(s, dir)
       s.read.parquet(p).where($"event_type" === "purchase")
         .groupBy($"day")
         .agg(count(lit(1)).as("n"),
@@ -665,6 +675,30 @@ object IndexQueries {
           .write.partitionBy("event_type").mode("overwrite").parquet(p)
       } finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
       s.read.parquet(p).groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 1e6).cast("long")).as("value_micros"))
+        .orderBy($"event_type")
+    }),
+
+    // DYNAMIC partition pruning — the pruning tier where the predicate is
+    // unknowable at plan time: the dim side is itself a query (event
+    // types whose mean value exceeds 50, in exact integer micro
+    // arithmetic so both engines agree), so Catalyst injects a
+    // DynamicPruningExpression subquery into the partitioned fact scan's
+    // PartitionFilters and the run reads ONLY the partitions the filtered
+    // dim actually contains, discovered from the reused broadcast. At
+    // 100 TB this is the partition-pruning win q170 gets statically, kept
+    // when the filter moves into a join (audit-pinned in PlanAuditSpec).
+    "q215_dynamic_pruning" -> ((s, dir) => {
+      import s.implicits._
+      val p = stageQ170Part(s, dir)
+      val dim = t(s, dir, "events").groupBy($"event_type")
+        .agg(sum(round($"value" * 1e6).cast("long")).as("sv"),
+          count(lit(1)).as("c"))
+        .where(expr("sv DIV c > 50000000"))
+        .select($"event_type")
+      s.read.parquet(p).join(broadcast(dim), "event_type")
+        .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           sum(round($"value" * 1e6).cast("long")).as("value_micros"))
         .orderBy($"event_type")
@@ -1712,6 +1746,13 @@ object IndexQueries {
         |SELECT day, count(*) AS n,
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
         |FROM e GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q215_dynamic_pruning" ->
+      """WITH d AS (SELECT event_type FROM events GROUP BY 1
+        |           HAVING (CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) // count(*)) > 50000000)
+        |SELECT e.event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(e.value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
+        |FROM events e JOIN d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q171_dynamic_overwrite" ->
       """WITH x AS (SELECT event_type, value FROM events WHERE event_type <> 'purchase'
         |           UNION ALL

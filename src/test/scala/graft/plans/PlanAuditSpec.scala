@@ -249,4 +249,12 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q213_vocab_coverage")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("q215 partitioned fact scan carries a DynamicPruningExpression") {
+    // the dim filter is a query (not a static predicate), so only DPP can
+    // prune the fact partitions — losing this regresses the scan to
+    // reading every partition at any scale
+    val p = plan("q215_dynamic_pruning")
+    assert(p.contains("dynamicpruning"), p)
+  }
 }
