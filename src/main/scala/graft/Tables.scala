@@ -94,6 +94,30 @@ object Tables {
                  asOf: Option[Long] = None): DataFrame =
     graft.sources.DeltaLogReader.read(spark, path, asOf)
 
+  /** Nanoseconds per day — the day(ts) partition transform's modulus. */
+  val NanosPerDay: Long = 86400L * 1000000000L
+
+  /** Time-range scan over a `day(ts)`-partitioned table — Iceberg's
+    * HIDDEN-partitioning contract: the caller names only the `ts` range
+    * (long nanos, half-open `[fromNs, untilNs)`); this helper owns the
+    * ts→day transform and derives the partition predicate from it, so the
+    * scan prunes whole day directories at PLANNING time and still pushes
+    * the residual ts range into row groups. Without the derived predicate
+    * a time-range query reads every partition however narrow the range —
+    * the user should never have to (and here cannot forget to) spell the
+    * partition column. Expects the layout written by partitionBy("day")
+    * with `day = ts DIV $NanosPerDay` (equivalently
+    * `ts DIV 1000 DIV 86400000000`). */
+  def timeRangeScan(spark: SparkSession, path: String,
+                    fromNs: Long, untilNs: Long): DataFrame = {
+    require(fromNs < untilNs, s"empty time range [$fromNs, $untilNs)")
+    import org.apache.spark.sql.functions.col
+    spark.read.parquet(path)
+      .where(col("ts") >= fromNs && col("ts") < untilNs &&
+        col("day") >= fromNs / NanosPerDay &&
+        col("day") <= (untilNs - 1) / NanosPerDay)
+  }
+
   /** Filesystem-safe tag for a scale dir — keys per-sf scratch paths so
     * runs over different sf dirs never clobber each other's artifacts.
     * Oracle SQL embeds the literal `__SFTAG__` token in scratch paths;

@@ -58,6 +58,7 @@ object IndexQueries {
     p
   }
 
+  private val q216PartPat = scratchPat("q216_day_part")
   private val q157CodesPat = scratchPat("q157_pq_codes")
   private val q157LutPat = scratchPat("q157_pq_lut")
   private val q159WeightsPat = scratchPat("q159_weights")
@@ -698,6 +699,32 @@ object IndexQueries {
         .where(expr("sv DIV c > 50000000"))
         .select($"event_type")
       s.read.parquet(p).join(broadcast(dim), "event_type")
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"),
+          sum(round($"value" * 1e6).cast("long")).as("value_micros"))
+        .orderBy($"event_type")
+    }),
+
+    // HIDDEN partitioning (Iceberg partition-transform semantics): the
+    // table is partitioned by a DERIVED day(ts) the query author never
+    // mentions — `Tables.timeRangeScan` owns the ts→day transform, so a
+    // plain ts range prunes whole day directories at planning time
+    // (PartitionFilters on day, audit-pinned) AND pushes the residual ts
+    // range into row groups. The failure mode this guards against at
+    // 100 TB: a time-range query that forgets the partition column and
+    // reads all 3650 day directories for a one-week window.
+    "q216_hidden_partitioning" -> ((s, dir) => {
+      import s.implicits._
+      val p = scratch(q216PartPat, dir)
+      Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "events")) {
+        t(s, dir, "events")
+          .select($"event_id", $"user_id", $"event_type", $"value", $"ts",
+            expr("ts DIV 1000 DIV 86400000000").as("day"))
+          .write.partitionBy("day").mode("overwrite").parquet(p)
+      }
+      val fromNs = 19727L * Tables.NanosPerDay  // 2024-01-05T00:00Z
+      val untilNs = 19734L * Tables.NanosPerDay // 2024-01-12T00:00Z
+      Tables.timeRangeScan(s, p, fromNs, untilNs)
         .groupBy($"event_type")
         .agg(count(lit(1)).as("n"),
           sum(round($"value" * 1e6).cast("long")).as("value_micros"))
@@ -1752,6 +1779,12 @@ object IndexQueries {
         |SELECT e.event_type, count(*) AS n,
         |  CAST(sum(CAST(round(e.value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
         |FROM events e JOIN d USING (event_type)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q216_hidden_partitioning" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_micros
+        |FROM events
+        |WHERE epoch_us(ts) >= 1704412800000000 AND epoch_us(ts) < 1705017600000000
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q171_dynamic_overwrite" ->
       """WITH x AS (SELECT event_type, value FROM events WHERE event_type <> 'purchase'

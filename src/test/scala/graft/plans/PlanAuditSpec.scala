@@ -250,6 +250,15 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("q216 hidden partitioning: derived day bounds reach PartitionFilters, ts range is pushed") {
+    val p = plan("q216_hidden_partitioning")
+    // the caller named only the ts range; the day predicate must appear in
+    // the scan anyway (the transform helper derived it), else every day
+    // directory is read
+    assert(p.contains("(day#") && p.contains(">= 19727"), p)
+    assert(p.contains("GreaterThanOrEqual(ts,1704412800000000000)"), p)
+  }
+
   test("q215 partitioned fact scan carries a DynamicPruningExpression") {
     // the dim filter is a query (not a static predicate), so only DPP can
     // prune the fact partitions — losing this regresses the scan to
