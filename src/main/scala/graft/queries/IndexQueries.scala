@@ -132,6 +132,24 @@ object IndexQueries {
     stageQ180Events(s, dir)
     stageQ184Legs(s, dir)
     stageQ193DeltaTable(s, dir)
+    stageQ170Part(s, dir)
+    stageQ216Part(s, dir)
+  }
+
+  /** q216's day(ts)-partitioned staging — shared so Bench's warm phase
+    * absorbs the one-time partitioned write into `_staging` and the timed
+    * query measures the pruned read. */
+  private def stageQ216Part(s: SparkSession, dir: String): String = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val p = scratch(q216PartPat, dir)
+    Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "events")) {
+      t(s, dir, "events")
+        .select($"event_id", $"user_id", $"event_type", $"value", $"ts",
+          expr("ts DIV 1000 DIV 86400000000").as("day"))
+        .write.partitionBy("day").mode("overwrite").parquet(p)
+    }
+    p
   }
 
   /** q193's fixture: a minimal but REAL `_delta_log` table hand-assembled
@@ -715,13 +733,7 @@ object IndexQueries {
     // reads all 3650 day directories for a one-week window.
     "q216_hidden_partitioning" -> ((s, dir) => {
       import s.implicits._
-      val p = scratch(q216PartPat, dir)
-      Tables.stageOnce(s, p, Tables.sourceSig(s, dir, "events")) {
-        t(s, dir, "events")
-          .select($"event_id", $"user_id", $"event_type", $"value", $"ts",
-            expr("ts DIV 1000 DIV 86400000000").as("day"))
-          .write.partitionBy("day").mode("overwrite").parquet(p)
-      }
+      val p = stageQ216Part(s, dir)
       val fromNs = 19727L * Tables.NanosPerDay  // 2024-01-05T00:00Z
       val untilNs = 19734L * Tables.NanosPerDay // 2024-01-12T00:00Z
       Tables.timeRangeScan(s, p, fromNs, untilNs)
