@@ -111,6 +111,10 @@ object Tables {
   def timeRangeScan(spark: SparkSession, path: String,
                     fromNs: Long, untilNs: Long): DataFrame = {
     require(fromNs < untilNs, s"empty time range [$fromNs, $untilNs)")
+    // pre-epoch bounds would need floor (not truncating) division to keep
+    // the derived day bounds sound; the events contract pins ts ≥ 1e17 ns,
+    // so refuse instead of silently widening
+    require(fromNs >= 0, s"timeRangeScan expects non-negative ns, got $fromNs")
     import org.apache.spark.sql.functions.col
     spark.read.parquet(path)
       .where(col("ts") >= fromNs && col("ts") < untilNs &&
