@@ -436,4 +436,57 @@ object SnapshotLog {
       s"failed to delete expired manifest v$v"))
     (expired.size, deleted)
   }
+
+  /** STREAM the log — Delta's streaming-source contract on version
+    * offsets (`readStream.format("delta")`): every committed version not
+    * yet processed becomes one micro-batch holding the version's INSERT
+    * delta (manifest diff vs the previous version, row-cancelled through
+    * `exceptAll` exactly like [[changesBetween]]'s insert leg — an
+    * overwrite streams its net-new rows, a copy-on-write rewrite streams
+    * only genuinely new/changed rows, never the carried survivors twice),
+    * delivered in version order. The checkpoint is a committed-offset
+    * sidecar published by atomic rename AFTER the batch returns — so a
+    * restart re-delivers at most the in-flight batch (at-least-once;
+    * exactly-once composes with an idempotent per-batch sink, the
+    * overwrite-by-batch-id convention). At 100 TB the per-batch planning
+    * is the same O(#files) manifest arithmetic as commit planning, and
+    * each batch reads only the version's own added files. Returns the
+    * versions processed this call. */
+  def streamVersions(spark: SparkSession, path: String, checkpointDir: String)
+                    (batch: (DataFrame, Int) => Unit): Seq[Int] = {
+    val off = new Path(checkpointDir, "offset")
+    val f = fs(spark, off)
+    val last: Int =
+      if (!f.exists(off)) 0
+      else {
+        val in = f.open(off)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
+        finally in.close()
+      }
+    val todo = versions(spark, path).filter(_ > last)
+    todo.foreach { v =>
+      val delta =
+        if (v == 1 || !f.exists(new Path(path, s"_log/v${v - 1}")))
+          readVersion(spark, path, v) // first (or earliest surviving) version
+        else {
+          val before = manifestFiles(spark, path, v - 1).toSet
+          val after = manifestFiles(spark, path, v).toSet
+          val added = (after -- before).toSeq.sorted
+          val removed = (before -- after).toSeq.sorted
+          def rows(fs0: Seq[String]) =
+            if (fs0.nonEmpty) spark.read.parquet(fs0: _*)
+            else readVersion(spark, path, v).limit(0)
+          rows(added).exceptAll(rows(removed))
+        }
+      batch(delta, v)
+      val tmp = new Path(checkpointDir, s".tmp_offset_$v")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      if (f.exists(off)) f.delete(off, false)
+      require(f.rename(tmp, off), s"failed to commit stream offset v$v")
+    }
+    todo
+  }
 }

@@ -1152,6 +1152,49 @@ object IndexQueries {
     // aggregate: a reprocessed file doubles the checksums, a missed file
     // halves them — either breaks the hash. Fresh checkpoint per
     // invocation; the reuse under test is BETWEEN the two increments.
+    // STREAMING reads FROM the transactional log — the streaming-source
+    // leg that completes the snapshot-log story (batch read + time travel
+    // q164, OPTIMIZE q196, DML q201–q203, streaming-IN q204, CDF q205,
+    // RESTORE q206): SnapshotLog.streamVersions delivers each committed
+    // version's INSERT delta as one micro-batch on version offsets with a
+    // checkpointed committed offset. The table is REBUILT each run
+    // (upfront delete — the q189 idempotence pattern): drain 1 processes
+    // v1 (purchases) + v2 (append clicks) + v3 (overwrite to views; the
+    // delta is the net-new rows, not the whole table), then v4 (signups)
+    // commits and drain 2 must deliver ONLY v4 through the SAME
+    // checkpoint. Slices are declarative event_type cuts, so the oracle
+    // recomputes every batch exactly.
+    "q217_stream_log_source" -> ((s, dir) => {
+      import s.implicits._
+      import graft.operators.SnapshotLog
+      val tag = Tables.sfTag(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      def p(n: String) = new java.io.File(tmp, s"graft_q217_${n}_$tag").toString
+      val (tbl, chk) = (p("table"), p("chk"))
+      val hconf = s.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(tmp).getFileSystem(hconf)
+      Seq(tbl, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      def slice(et: String) = ev.where($"event_type" === et).drop("event_type")
+      SnapshotLog.commit(s, tbl, slice("purchase"), overwrite = false) // v1
+      SnapshotLog.commit(s, tbl, slice("click"), overwrite = false)    // v2
+      SnapshotLog.commit(s, tbl, slice("view"), overwrite = true)      // v3
+      val got = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long, Long)]
+      def drain(run: Long): Unit =
+        SnapshotLog.streamVersions(s, tbl, chk) { (delta, v) =>
+          val r = delta.agg(count(lit(1)), sum($"event_id"), sum($"value_micros")).head
+          got += ((v.toLong, run, r.getLong(0),
+            if (r.isNullAt(1)) 0L else r.getLong(1),
+            if (r.isNullAt(2)) 0L else r.getLong(2)))
+        }
+      drain(1L)
+      SnapshotLog.commit(s, tbl, slice("signup"), overwrite = false)   // v4
+      drain(2L)
+      got.toSeq.toDF("version", "run", "n", "id_checksum", "value_checksum")
+        .orderBy($"version")
+    }),
+
     "q189_stream_incremental" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.streaming.Trigger
@@ -2002,6 +2045,18 @@ object IndexQueries {
         |  CAST(round(1e6 * CAST(len(tri) - len(list_distinct(tri)) AS DOUBLE)
         |    / CAST(len(tri) AS DOUBLE)) AS BIGINT) AS rep_micros
         |FROM tri WHERE len(tri) > 0 ORDER BY doc_id""".stripMargin,
+    "q217_stream_log_source" -> {
+      def leg(v: Int, run: Int, et: String) =
+        s"""SELECT CAST($v AS BIGINT) AS version, CAST($run AS BIGINT) AS run,
+           |  CAST(count(*) AS BIGINT) AS n, CAST(sum(event_id) AS BIGINT) AS id_checksum,
+           |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+           |FROM events WHERE event_type = '$et'""".stripMargin
+      s"""SELECT * FROM (${leg(1, 1, "purchase")}
+         |UNION ALL ${leg(2, 1, "click")}
+         |UNION ALL ${leg(3, 1, "view")}
+         |UNION ALL ${leg(4, 2, "signup")})
+         |ORDER BY version""".stripMargin
+    },
     "q189_stream_incremental" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,

@@ -305,4 +305,31 @@ class SnapshotLogSpec extends SparkSpec {
     assert(intercept[IllegalArgumentException](
       SnapshotLog.shallowClone(spark, src, dst)).getMessage.contains("already has a log"))
   }
+
+  test("streamVersions: version-offset batches, insert deltas, checkpoint resume") {
+    import spark.implicits._
+    val tbl = freshTable()
+    val chk = java.nio.file.Files.createTempDirectory("snapchk").toString
+    SnapshotLog.commit(spark, tbl, (0L until 10L).toDF("id"), overwrite = false)  // v1
+    SnapshotLog.commit(spark, tbl, (10L until 15L).toDF("id"), overwrite = false) // v2
+    SnapshotLog.deleteWhere(spark, tbl, col("id") >= 12)                               // v3 (CoW)
+    var got = Map.empty[Int, Set[Long]]
+    def drain(): Seq[Int] = SnapshotLog.streamVersions(spark, tbl, chk) {
+      (delta, v) => got += v -> ids(delta)
+    }
+    assert(drain() == Seq(1, 2, 3))
+    assert(got(1) == (0L until 10L).toSet)
+    assert(got(2) == (10L until 15L).toSet)
+    // the CoW rewrite's carried survivors cancel through exceptAll: a
+    // delete inserts NOTHING (survivors 10,11 were already delivered in v2)
+    assert(got(3) == Set.empty[Long])
+    // resume: nothing new → no batches; a new commit → exactly that delta
+    got = Map.empty
+    assert(drain().isEmpty && got.isEmpty)
+    SnapshotLog.commit(spark, tbl, (100L until 103L).toDF("id"), overwrite = true) // v4
+    assert(drain() == Seq(4))
+    // the overwrite streams only its net-new rows (old rows all removed,
+    // none re-delivered)
+    assert(got(4) == (100L until 103L).toSet)
+  }
 }
