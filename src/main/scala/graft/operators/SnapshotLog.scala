@@ -477,7 +477,10 @@ object SnapshotLog {
           def rows(fs0: Seq[String]) =
             if (fs0.nonEmpty) spark.read.parquet(fs0: _*)
             else readVersion(spark, path, v).limit(0)
-          rows(added).exceptAll(rows(removed))
+          // pure append — the overwhelmingly common streaming commit — has
+          // nothing to cancel: skip the exceptAll aggregation shuffle
+          if (removed.isEmpty) rows(added)
+          else rows(added).exceptAll(rows(removed))
         }
       batch(delta, v)
       val tmp = new Path(checkpointDir, s".tmp_offset_$v")

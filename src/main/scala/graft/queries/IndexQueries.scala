@@ -1176,7 +1176,12 @@ object IndexQueries {
       Seq(tbl, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
       val ev = t(s, dir, "events").select($"event_id", $"event_type",
         round($"value" * 1e6).cast("long").as("value_micros"))
-      def slice(et: String) = ev.where($"event_type" === et).drop("event_type")
+      // one file per commit: a 20k-row slice across 32 shuffle partitions
+      // would publish 32 near-empty files per version (the small-file
+      // problem OPTIMIZE exists to undo) and widen the manifest-diff and
+      // read planning each drain pays
+      def slice(et: String) =
+        ev.where($"event_type" === et).drop("event_type").coalesce(1)
       SnapshotLog.commit(s, tbl, slice("purchase"), overwrite = false) // v1
       SnapshotLog.commit(s, tbl, slice("click"), overwrite = false)    // v2
       SnapshotLog.commit(s, tbl, slice("view"), overwrite = true)      // v3
