@@ -256,6 +256,35 @@ object Dedup {
       .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("jaccard")): _*)
   }
 
+  /** Asymmetric CONTAINMENT `|A∩B| / min(|A|,|B|)` per candidate pair —
+    * the inclusion detector symmetric Jaccard misses: a short document
+    * quoted wholesale inside a long one has Jaccard ≈ |A|/|B| (tiny) but
+    * containment ≈ 1. Same blocked shingle-equi-join shape as
+    * [[ngramJaccardPairs]] (only pairs sharing ≥1 shingle ever
+    * materialize — never all-pairs); µ-scaled integer output so the
+    * oracle replays hash-exact. */
+  def containmentPairs(df: DataFrame, blockCols: Seq[String],
+                       thresholdMicro: Long, textCol: String = "text",
+                       idCol: String = "doc_id", shingleN: Int = 3): DataFrame = {
+    val sized = df.select((blockCols.map(col) :+ col(idCol) :+
+      shingles(col(textCol), shingleN).as("__sh")): _*)
+      .withColumn("__sz", size(col("__sh")))
+    val ex = sized.select((blockCols.map(col) :+ col(idCol) :+ col("__sz") :+
+      explode(col("__sh")).as("__s")): _*)
+    val a = ex.toDF(blockCols ++ Seq("id_a", "sz_a", "__s"): _*)
+    val b = ex.toDF(blockCols ++ Seq("id_b", "sz_b", "__s"): _*)
+    a.join(b, blockCols :+ "__s")
+      .where(col("id_a") < col("id_b"))
+      .groupBy((blockCols.map(col) :+ col("id_a") :+ col("sz_a") :+
+        col("id_b") :+ col("sz_b")): _*)
+      .agg(count(lit(1)).as("__inter"))
+      .withColumn("containment_micro",
+        expr("(1000000 * __inter) DIV least(sz_a, sz_b)"))
+      .where(col("containment_micro") >= thresholdMicro)
+      .select((blockCols.map(col) :+ col("id_a") :+ col("id_b") :+
+        col("containment_micro")): _*)
+  }
+
   /** 16-bit SimHash from md5-derived token hashes: bit b is set iff the
     * majority of tokens have bit b set. Small width keeps the oracle SQL
     * tractable; the pure-Scala [[simhash64]] is the production-width twin. */

@@ -36,7 +36,8 @@ object Sharding {
     * token stream. Shard assignment, fixed-block sequence packing, and
     * split-point planning are all projections over this one column. Same
     * scale design as byTokenBudget (bucketed parallel prefix-sum, no global
-    * window). */
+    * window). `orderCol` must be UNIQUE per row (a doc id): ties would
+    * make per-row offsets depend on the physical tie order. */
   def withTokenOffsets(df: DataFrame, tokenCol: String = "n_tokens",
                        orderCol: String = "doc_id", numBuckets: Int = 256): DataFrame = {
     require(numBuckets > 0, "numBuckets must be positive")

@@ -1228,6 +1228,18 @@ object ExtensionQueries {
         .orderBy($"test_id")
     }),
 
+    // sub-document CONTAINMENT (asymmetric Jaccard |A∩B|/min(|A|,|B|)):
+    // the inclusion detector symmetric q36 misses — a short doc quoted
+    // inside a long one scores ≈1 here with tiny Jaccard. Same blocked
+    // shingle equi-join; integer micro output
+    "q218_containment" -> ((s, dir) => {
+      import s.implicits._
+      Dedup.containmentPairs(
+        t(s, dir, "documents").filter($"source".isin("src0", "src1")),
+        blockCols = Seq("source"), thresholdMicro = 50000L)
+        .orderBy("source", "id_a", "id_b")
+    }),
+
     // near-dup GROUP extraction: connected components over the minhash
     // candidate graph → canonical keep-doc per group (the step after
     // pairwise candidates in a real dedup pipeline)
@@ -3752,6 +3764,16 @@ object ExtensionQueries {
          |FROM shg a JOIN shg b ON a.source = b.source AND a.doc_id < b.doc_id)
          |SELECT source, id_a, id_b, jaccard FROM p WHERE jaccard >= 0.10
          |ORDER BY source, id_a, id_b""".stripMargin,
+    "q218_containment" ->
+      s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents WHERE source IN ('src0','src1')),
+         |shg AS (SELECT source, doc_id, $shinglesSql AS sh FROM c),
+         |p AS (SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+         |  (1000000 * CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT))
+         |    // CAST(least(len(a.sh), len(b.sh)) AS BIGINT) AS containment_micro
+         |FROM shg a JOIN shg b ON a.source = b.source AND a.doc_id < b.doc_id
+         |WHERE len(list_intersect(a.sh, b.sh)) > 0 AND len(a.sh) > 0 AND len(b.sh) > 0)
+         |SELECT source, id_a, id_b, containment_micro FROM p
+         |WHERE containment_micro >= 50000 ORDER BY source, id_a, id_b""".stripMargin,
     "q37_dedup_simhash" -> simhashOracle,
     "q68_simhash_neardups" -> simhashNearDupsOracle,
     "q38_dedup_embedding" ->
