@@ -87,6 +87,29 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((4L, 5L)))
   }
 
+  test("containment: a doc quoted inside a longer one scores 1.0 where jaccard stays low") {
+    import spark.implicits._
+    val short = "alpha beta gamma delta epsilon zeta"
+    val long = short + " plus many extra tokens about spark shuffles joins " +
+      "aggregates windows state stores watermarks checkpoints manifests files"
+    val blocked = Seq((1L, short), (2L, long),
+      (3L, "entirely unrelated content about parquet row groups and footers"))
+      .toDF("doc_id", "text").withColumn("source", lit("s"))
+    val cm = Dedup.containmentPairs(blocked, Seq("source"), thresholdMicro = 0L)
+      .select($"id_a", $"id_b", $"containment_micro").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // every shingle of the short doc appears in the long one → exactly 1.0
+    assert(cm((1L, 2L)) == 1000000L)
+    // …where symmetric Jaccard sees only |A|/|B|
+    val j = Dedup.ngramJaccardPairs(blocked, Seq("source"), threshold = 0.0)
+      .where($"id_a" === 1L && $"id_b" === 2L).select($"jaccard").head.getDouble(0)
+    assert(j < 0.3, s"jaccard $j")
+    // zero-intersection pairs are absent (explode-join contract, like q36)
+    assert(!cm.contains((1L, 3L)) && !cm.contains((2L, 3L)))
+    // law: containment >= jaccard for every emitted pair (min-denominator)
+    assert(cm((1L, 2L)) >= math.round(j * 1000000))
+  }
+
   test("simhash16: identical content collides, near dup stays close") {
     import spark.implicits._
     val sh = docs.select($"doc_id", Dedup.simhash16($"text").as("s"))
