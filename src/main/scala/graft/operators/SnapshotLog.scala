@@ -444,32 +444,45 @@ object SnapshotLog {
     * `exceptAll` exactly like [[changesBetween]]'s insert leg — an
     * overwrite streams its net-new rows, a copy-on-write rewrite streams
     * only genuinely new/changed rows, never the carried survivors twice),
-    * delivered in version order. The checkpoint is a committed-offset
-    * sidecar published by atomic rename AFTER the batch returns — so a
-    * restart re-delivers at most the in-flight batch (at-least-once;
-    * exactly-once composes with an idempotent per-batch sink, the
-    * overwrite-by-batch-id convention). At 100 TB the per-batch planning
-    * is the same O(#files) manifest arithmetic as commit planning, and
-    * each batch reads only the version's own added files. Returns the
-    * versions processed this call. */
+    * delivered in version order. The checkpoint is a VERSION-NAMED
+    * committed-offset file (`offset_v<N>`, written tmp + atomic rename to
+    * a fresh name, older ones best-effort deleted after) published AFTER
+    * the batch returns — any crash leaves the highest surviving name as
+    * the truth, so a restart re-delivers at most the in-flight batch
+    * (at-least-once; exactly-once composes with an idempotent per-batch
+    * sink, the overwrite-by-batch-id convention). A checkpoint pointing
+    * into EXPIRED history (the previous version's manifest is gone, so no
+    * incremental delta is computable) refuses loudly instead of silently
+    * re-delivering the full snapshot as a "delta" — the DeltaLogReader
+    * truncated-history rule. At 100 TB the per-batch planning is the same
+    * O(#files) manifest arithmetic as commit planning, and each batch
+    * reads only the version's own added files. Returns the versions
+    * processed this call. */
   def streamVersions(spark: SparkSession, path: String, checkpointDir: String)
                     (batch: (DataFrame, Int) => Unit): Seq[Int] = {
-    val off = new Path(checkpointDir, "offset")
-    val f = fs(spark, off)
+    val chk = new Path(checkpointDir)
+    val f = fs(spark, chk)
+    val OffName = "offset_v(\\d+)".r
     val last: Int =
-      if (!f.exists(off)) 0
-      else {
-        val in = f.open(off)
-        try new String(in.readAllBytes(),
-          java.nio.charset.StandardCharsets.UTF_8).trim.toInt
-        finally in.close()
-      }
+      if (!f.exists(chk)) 0
+      else f.listStatus(chk).map(_.getPath.getName)
+        .collect { case OffName(n) => n.toInt }
+        .maxOption.getOrElse(0)
     val todo = versions(spark, path).filter(_ > last)
     todo.foreach { v =>
+      val prevManifest = new Path(path, s"_log/v${v - 1}")
       val delta =
-        if (v == 1 || !f.exists(new Path(path, s"_log/v${v - 1}")))
-          readVersion(spark, path, v) // first (or earliest surviving) version
-        else {
+        if (v == 1 || !f.exists(prevManifest)) {
+          // no previous manifest: legitimate only as this checkpoint's
+          // INITIAL snapshot — with consumed history behind it, the gap
+          // means expired versions and an incomputable delta
+          require(last == 0,
+            s"stream checkpoint at $checkpointDir has consumed through v$last " +
+              s"but version ${v - 1}'s manifest at $path is expired — the " +
+              "incremental delta for v" + v + " is not computable. Restart " +
+              "with a fresh checkpoint to take a new initial snapshot.")
+          readVersion(spark, path, v)
+        } else {
           val before = manifestFiles(spark, path, v - 1).toSet
           val after = manifestFiles(spark, path, v).toSet
           val added = (after -- before).toSeq.sorted
@@ -483,12 +496,24 @@ object SnapshotLog {
           else rows(added).exceptAll(rows(removed))
         }
       batch(delta, v)
+      // commit the offset as a NEW name (rename to a non-existent path is
+      // the atomic primitive); a crash anywhere leaves the highest
+      // surviving offset_v* as the truth — no delete-then-rename window
       val tmp = new Path(checkpointDir, s".tmp_offset_$v")
       val out = f.create(tmp, true)
       try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      if (f.exists(off)) f.delete(off, false)
-      require(f.rename(tmp, off), s"failed to commit stream offset v$v")
+      val dst = new Path(checkpointDir, s"offset_v$v")
+      require(f.rename(tmp, dst), s"failed to commit stream offset v$v")
+      // best-effort cleanup of superseded offsets (crash-safe: max wins)
+      f.listStatus(chk).map(_.getPath)
+        .filter { p =>
+          p.getName match {
+            case OffName(n) => n.toInt < v
+            case _ => false
+          }
+        }
+        .foreach(p => f.delete(p, false))
     }
     todo
   }

@@ -131,7 +131,13 @@ case class MisraGriesAggregate(
     val it = buffer.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed UTF-8, not writeUTF: modified-UTF-8 caps one
+      // string at 64 KiB and a general SQL caller can aggregate arbitrary
+      // strings (an unbroken base64 blob as a "token" must not kill the
+      // shuffle)
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -143,7 +149,12 @@ case class MisraGriesAggregate(
     val n = in.readInt()
     val m = new java.util.HashMap[String, Long](n * 2)
     var i = 0
-    while (i < n) { m.put(in.readUTF(), in.readLong()); i += 1 }
+    while (i < n) {
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      m.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8), in.readLong())
+      i += 1
+    }
     m
   }
 

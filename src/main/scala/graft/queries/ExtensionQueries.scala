@@ -727,11 +727,14 @@ object ExtensionQueries {
     "q211_crossdup_matrix" -> ((s, dir) => {
       import s.implicits._
       val src = t(s, dir, "documents").select($"doc_id", $"source")
+      // checkpointed: np and nd both consume sp — un-materialized, the two
+      // doc_id→source joins (and the documents scan under them) run twice
       val sp = minhashCands(s, dir)
         .join(src.toDF("id_a", "sa"), "id_a")
         .join(src.toDF("id_b", "sb"), "id_b")
         .select(least($"sa", $"sb").as("source_a"),
           greatest($"sa", $"sb").as("source_b"), $"id_a", $"id_b")
+        .localCheckpoint(true)
       val np = sp.groupBy($"source_a", $"source_b")
         .agg(count(lit(1)).as("n_pairs"))
       val nd = sp.select($"source_a", $"source_b",

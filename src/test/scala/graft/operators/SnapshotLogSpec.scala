@@ -332,4 +332,28 @@ class SnapshotLogSpec extends SparkSpec {
     // none re-delivered)
     assert(got(4) == (100L until 103L).toSet)
   }
+
+  test("streamVersions refuses a checkpoint that points into expired history") {
+    import spark.implicits._
+    val tbl = freshTable()
+    val chk = java.nio.file.Files.createTempDirectory("snapchk").toString
+    SnapshotLog.commit(spark, tbl, (0L until 5L).toDF("id"), overwrite = false)  // v1
+    SnapshotLog.commit(spark, tbl, (5L until 9L).toDF("id"), overwrite = false)  // v2
+    SnapshotLog.streamVersions(spark, tbl, chk) { (_, _) => () } // consume v1..v2
+    SnapshotLog.commit(spark, tbl, (9L until 12L).toDF("id"), overwrite = false) // v3
+    SnapshotLog.expireSnapshots(spark, tbl, retainVersions = 1)  // v1+v2 manifests gone
+    // v2's manifest is expired → v3's delta is incomputable; a silent full
+    // re-delivery would duplicate v1+v2's rows at the sink — refuse instead
+    val e = intercept[IllegalArgumentException] {
+      SnapshotLog.streamVersions(spark, tbl, chk) { (_, _) => () }
+    }
+    assert(e.getMessage.contains("expired"))
+    // a FRESH checkpoint takes the surviving version as its initial snapshot
+    val chk2 = java.nio.file.Files.createTempDirectory("snapchk").toString
+    var snap = Set.empty[Long]
+    assert(SnapshotLog.streamVersions(spark, tbl, chk2) {
+      (d, _) => snap = ids(d)
+    } == Seq(3))
+    assert(snap == (0L until 12L).toSet)
+  }
 }
