@@ -94,21 +94,30 @@ object SnapshotLog {
   /** Read the table AS OF `v` — old versions stay readable across later
     * appends AND overwrites, because files are immutable and manifests
     * pin the exact set. */
+  /** The version's `_schema.json` sidecar content, if present (commits
+    * since the sidecar was introduced always write one). */
+  private def sidecarSchemaJson(spark: SparkSession, path: String,
+                                v: Int): Option[String] = {
+    val sf = new Path(path, s"_log/v$v/_schema.json")
+    val f = fs(spark, sf)
+    if (!f.exists(sf)) None
+    else {
+      val buf = new Array[Byte](f.getFileStatus(sf).getLen.toInt)
+      val in = f.open(sf)
+      try in.readFully(buf) finally in.close()
+      Some(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    }
+  }
+
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
     val files = manifestFiles(spark, path, v)
     if (files.nonEmpty) spark.read.parquet(files: _*)
     else {
       // empty commit (e.g. an overwrite that deleted every row): the
       // manifest lists no files, so the schema comes from the sidecar
-      val sf = new Path(path, s"_log/v$v/_schema.json")
-      val f = fs(spark, sf)
-      require(f.exists(sf),
-        s"version $v has an empty manifest and no schema sidecar (pre-sidecar commit?)")
-      val buf = new Array[Byte](f.getFileStatus(sf).getLen.toInt)
-      val in = f.open(sf)
-      try in.readFully(buf) finally in.close()
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+      val json = sidecarSchemaJson(spark, path, v).getOrElse(sys.error(
+        s"version $v has an empty manifest and no schema sidecar (pre-sidecar commit?)"))
+      val schema = org.apache.spark.sql.types.DataType.fromJson(json)
         .asInstanceOf[org.apache.spark.sql.types.StructType]
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
@@ -385,16 +394,9 @@ object SnapshotLog {
 
   /** The schema recorded with version `v` (sidecar if present, else the
     * parquet footers of its active files). */
-  private def schemaJsonOf(spark: SparkSession, path: String, v: Int): String = {
-    val sf = new Path(path, s"_log/v$v/_schema.json")
-    val f = fs(spark, sf)
-    if (f.exists(sf)) {
-      val buf = new Array[Byte](f.getFileStatus(sf).getLen.toInt)
-      val in = f.open(sf)
-      try in.readFully(buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8)
-    } else readVersion(spark, path, v).schema.json
-  }
+  private def schemaJsonOf(spark: SparkSession, path: String, v: Int): String =
+    sidecarSchemaJson(spark, path, v)
+      .getOrElse(readVersion(spark, path, v).schema.json)
 
   /** VACUUM: delete data files referenced by NO manifest among the latest
     * `retainVersions` — the retention pass that reclaims storage from
@@ -404,7 +406,15 @@ object SnapshotLog {
     * Driver-side set arithmetic over manifest listings — O(#files), the
     * same metadata pass as commit planning; the deletes are the only FS
     * mutation and removing an unreferenced file can never affect a reader
-    * inside the retention horizon. */
+    * inside the retention horizon.
+    *
+    * Deletes NEVER reach outside the table root (the Delta VACUUM rule):
+    * a [[shallowClone]]'s manifests pin files living under the SOURCE
+    * table, and once a clone-side DML drops some of those entries a naive
+    * dead-set delete would physically destroy source files the source's
+    * own manifests still reference. Such outside-root files are simply
+    * dropped from the clone's manifests; reclaiming them is the source
+    * table's own vacuum's job. */
   def vacuum(spark: SparkSession, path: String, retainVersions: Int = 1): (Int, Int) = {
     require(retainVersions >= 1, "must retain at least the latest version")
     val vs = versions(spark, path)
@@ -413,7 +423,9 @@ object SnapshotLog {
     val live = retained.flatMap(manifestFiles(spark, path, _)).toSet
     val referenced = vs.flatMap(manifestFiles(spark, path, _)).toSet
     val f = fs(spark, new Path(path))
+    val rootPrefix = new Path(path).toUri.getPath.stripSuffix("/") + "/"
     val dead = (referenced -- live).toSeq.sorted
+      .filter(d => new Path(d).toUri.getPath.startsWith(rootPrefix))
     dead.foreach(d => f.delete(new Path(d), false))
     (live.size, dead.size)
   }

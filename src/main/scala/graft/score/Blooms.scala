@@ -73,11 +73,17 @@ object Blooms {
   def scoreAuto(points: DataFrame, trained: DataFrame, precision: Int = 10,
                 userCol: String = "user", latCol: String = "latitude",
                 lngCol: String = "longitude",
-                broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame =
-    if (fitsBroadcast(trained, broadcastBudgetBytes))
-      score(points, toMap(trained, userCol), precision, userCol, latCol, lngCol)
+                broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
+    // materialize the trained aggregation ONCE: the budget probe and the
+    // chosen path each consume it, and un-checkpointed the whole train
+    // lineage (tiles explode + groupBy + per-user bloom build) would run
+    // twice per scoring call
+    val t = trained.localCheckpoint(true)
+    if (fitsBroadcast(t, broadcastBudgetBytes))
+      score(points, toMap(t, userCol), precision, userCol, latCol, lngCol)
     else
-      scoreByJoin(points, trained, precision, userCol, latCol, lngCol)
+      scoreByJoin(points, t, precision, userCol, latCol, lngCol)
+  }
 
   /** Join-based scorer — same contract as [[score]] but the filters stay
     * distributed: points shuffle-join the trained frame on user (sort-merge

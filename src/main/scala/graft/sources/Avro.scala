@@ -87,8 +87,23 @@ object Avro {
         classOf[AvroKey[GenericRecord]], classOf[NullWritable])
       .mapPartitions { it =>
         val fields = schema.fields
+        var checked = false
         it.map { case (k, _) =>
           val rec = k.datum()
+          if (!checked) {
+            // GenericRecord.get(name) returns null (not an error) for an
+            // unknown field, so a misspelled/renamed column would read as
+            // an all-null column — silent wrong aggregates downstream.
+            // One check against the first record's writer schema per
+            // partition fails fast instead.
+            fields.foreach { f =>
+              require(rec.getSchema.getField(f.name) != null,
+                s"Avro read: requested field '${f.name}' does not exist in the " +
+                  s"file's writer schema (${rec.getSchema.getName}) — it would " +
+                  "read as all NULL; fix the schema or the field name")
+            }
+            checked = true
+          }
           Row.fromSeq(fields.toIndexedSeq.map { f =>
             rec.get(f.name) match {
               case null => null

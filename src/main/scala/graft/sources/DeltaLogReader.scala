@@ -126,9 +126,16 @@ object DeltaLogReader {
       s"Delta table ($where) stores data as '${provider.get}', not parquet")
   }
 
+  /** Percent-decode a URI path component. NOT `URLDecoder.decode` alone:
+    * that does form-decoding where '+' means space, but in a
+    * percent-encoded URI path '+' is a literal plus — a real table whose
+    * file names contain '+' would resolve to nonexistent paths. */
+  private[sources] def percentDecode(s: String): String =
+    java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
+
   /** Delta `path` fields are relative percent-encoded URIs. */
   private def decodePath(tableRoot: String, rel: String): String = {
-    val dec = java.net.URLDecoder.decode(rel, "UTF-8")
+    val dec = percentDecode(rel)
     if (dec.startsWith("/") || dec.contains("://")) dec
     else s"$tableRoot/$dec"
   }

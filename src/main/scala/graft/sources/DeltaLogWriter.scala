@@ -39,17 +39,31 @@ object DeltaLogWriter {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def writeAtomic(spark: SparkSession, target: Path, content: String): Unit = {
+  private def writeAtomic(spark: SparkSession, target: Path, content: String,
+                          overwrite: Boolean = false): Unit = {
     val f = fs(spark, target)
     val tmp = new Path(target.getParent, s".${target.getName}.tmp")
     val out = f.create(tmp, true)
     try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    // rename-to-existing fails on no-overwrite filesystems (HDFS): for a
+    // COMMIT that failure is the concurrency backstop and must stand; for
+    // the _last_checkpoint pointer (republished per checkpoint) the old
+    // target is deleted first — losing it in the crash window is benign
+    // (readers fall back to full JSON replay)
+    if (overwrite && f.exists(target)) f.delete(target, false)
     require(f.rename(tmp, target),
       s"Delta commit rename failed (concurrent writer?): $target")
   }
 
   private def jsonStr(s: String): String = mapper.writeValueAsString(s)
+
+  /** Percent-encode a root-relative path for a `path` field (the
+    * protocol's spelling). The URI constructor quotes everything a path
+    * component may not carry raw — including '%', so decode∘encode is the
+    * identity on any input path. */
+  private def encodePath(rel: String): String =
+    new java.net.URI(null, null, rel, null).getRawPath
 
   /** Write `df` into the Delta table at `path` and commit.
     *
@@ -75,33 +89,38 @@ object DeltaLogWriter {
       if (creating || mode == SaveMode.Append) Seq.empty
       else DeltaLogReader.activeFiles(spark, path)
 
-    // data files: an ordinary distributed parquet append — Spark's UUID
-    // part names never collide with prior commits, so the before/after
-    // (recursive, for hive-partitioned layouts) listing diff identifies
-    // exactly this write's files. Paths are RELATIVE to the table root,
-    // the protocol's spelling.
-    def dataFiles(): Set[String] = {
-      if (!f.exists(root)) return Set.empty
-      val rootUri = root.toUri.getPath.stripSuffix("/")
-      val out = scala.collection.mutable.Set.empty[String]
-      def walk(p: Path): Unit = f.listStatus(p).foreach { st =>
-        val n = st.getPath.getName
-        // skip the log plus hidden/temp dirs (_delta_log, _temporary, .tmp*)
-        if (st.isDirectory) { if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath) }
-        else if (n.endsWith(".parquet"))
-          out += st.getPath.toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      }
-      walk(root)
-      require(out.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
-        s"Delta write planning at $path listed ${out.size} data files — past " +
-          "the planning cap; compact the table before writing through this writer")
-      out.toSet
-    }
-    val before = dataFiles()
-    val writer = df.write.mode(SaveMode.Append)
+    // data files: the parquet job writes into a hidden per-commit STAGING
+    // dir (readers skip dot-dirs), whose listing is O(#files written);
+    // each part then moves (driver rename, metadata-only) to its final
+    // root-relative place, hive k=v segments preserved. The old spelling
+    // — list the whole table before and after and diff — was two
+    // O(#table-files) walks per commit; Delta itself never lists the
+    // table to commit. Paths are RELATIVE to the table root.
+    val staging = new Path(root, s".staging_v$version")
+    f.delete(staging, true)
+    val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(path)
-    val newFiles = (dataFiles() -- before).toSeq.sorted
+      .parquet(staging.toString)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path, rel: String): Unit = f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val childRel = if (rel.isEmpty) n else s"$rel/$n"
+      if (st.isDirectory) { if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath, childRel) }
+      else if (n.endsWith(".parquet")) staged += childRel
+    }
+    walk(staging, "")
+    require(staged.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+      s"Delta write at $path produced ${staged.size} parts in one commit — " +
+        "past the planning cap; repartition coarser before writing")
+    val newFiles = staged.sorted.map { rel =>
+      val dst = new Path(root, rel)
+      f.mkdirs(dst.getParent)
+      // UUID part names never collide with prior commits' files
+      require(f.rename(new Path(staging, rel), dst),
+        s"failed to publish staged part $rel at $path")
+      rel
+    }.toSeq
+    f.delete(staging, true)
     require(newFiles.nonEmpty || df.isEmpty,
       s"Delta write at $path produced no new parquet parts")
 
@@ -117,24 +136,20 @@ object DeltaLogWriter {
           s""""schemaString":${jsonStr(df.schema.json)},""" +
           s""""partitionColumns":$partCols,"configuration":{},"createdTime":$now}}""")
     // remove paths: re-relativize whatever the reader resolved (it returns
-    // absolute paths; the protocol stores root-relative ones)
+    // absolute paths; the protocol stores root-relative percent-encoded
+    // ones — encodePath, so a '%' or '+' in a file name round-trips)
     val rootUri = root.toUri.getPath.stripSuffix("/")
     val removes = prevActive.map { abs =>
       val rel = new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      s"""{"remove":{"path":${jsonStr(rel)},"deletionTimestamp":$now,"dataChange":true}}"""
+      s"""{"remove":{"path":${jsonStr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":true}}"""
     }
     // partitionValues parsed back from the hive path segments (k=v dirs),
-    // percent-decoded like every Delta writer records them
+    // percent-decoded like every Delta writer records them (URI decoding,
+    // not form decoding — '+' in a value is a literal plus)
     val adds = newFiles.map { rel =>
       val st = f.getFileStatus(new Path(root, rel))
-      val pv = rel.split("/").dropRight(1).filter(_.contains("="))
-        .map { seg =>
-          val i = seg.indexOf('=')
-          val k = java.net.URLDecoder.decode(seg.substring(0, i), "UTF-8")
-          val v = java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8")
-          s"${jsonStr(k)}:${jsonStr(v)}"
-        }.mkString("{", ",", "}")
-      s"""{"add":{"path":${jsonStr(rel)},"partitionValues":$pv,""" +
+      val pv = partitionValuesJson(rel)
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":$pv,""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":true}}"""
     }
@@ -146,10 +161,41 @@ object DeltaLogWriter {
     version
   }
 
+  /** Root-relative file path → `partitionValues` JSON object, parsed back
+    * from the hive `k=v` segments (percent-decoded like every Delta
+    * writer records them). */
+  private def partitionValuesJson(rel: String): String =
+    rel.split("/").dropRight(1).filter(_.contains("="))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        val k = DeltaLogReader.percentDecode(seg.substring(0, i))
+        val v = DeltaLogReader.percentDecode(seg.substring(i + 1))
+        s"${jsonStr(k)}:${jsonStr(v)}"
+      }.mkString("{", ",", "}")
+
+  /** The protocol's checkpoint-row schema subset this writer emits:
+    * spec-complete `add` (path, partitionValues MAP, size,
+    * modificationTime, dataChange=false) plus ONE `protocol` and ONE
+    * `metaData` row — PROTOCOL.md requires both in every checkpoint,
+    * because readers reconstruct state from the checkpoint plus only the
+    * commits AFTER it (the carrying commits may be truncated away). */
+  private val CheckpointSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, " +
+      "size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN>, " +
+      "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>, " +
+      "metaData STRUCT<id: STRING, format: STRUCT<provider: STRING, " +
+      "options: MAP<STRING, STRING>>, schemaString: STRING, " +
+      "partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>, " +
+      "createdTime: BIGINT>")
+
   /** Compact the CURRENT active-file state into a single-part
     * `%020d.checkpoint.parquet` + the `_last_checkpoint` pointer, so
     * readers replay from the checkpoint instead of the full commit
-    * history (and older commits become prunable). */
+    * history (and older commits become prunable). The checkpoint carries
+    * the table's latest `protocol` and `metaData` actions (replayed from
+    * the commit JSONs) alongside the spec-complete `add` rows — without
+    * them a real Delta reader's state reconstruction fails the moment the
+    * pre-checkpoint commits are pruned. */
   def checkpoint(spark: SparkSession, path: String): Long = {
     import spark.implicits._
     val latest = DeltaLogReader.latestVersion(spark, path)
@@ -158,17 +204,40 @@ object DeltaLogWriter {
     val active = DeltaLogReader.activeFiles(spark, path)
     val log = new Path(path, "_delta_log")
     val f = fs(spark, log)
-    // single-part checkpoint: rows of add structs (the protocol's
-    // compacted-state schema subset the reader honors)
+    // latest protocol/metaData lines from the surviving commit JSONs (this
+    // writer never prunes commits before checkpointing, and commit 0 wrote
+    // both on create)
+    var protoLine: Option[String] = None
+    var metaLine: Option[String] = None
+    DeltaLogReader.versions(spark, path).foreach { cv =>
+      val commit = new Path(log, f"$cv%020d.json")
+      val in = f.open(commit)
+      val content = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      content.split("\n").filter(_.nonEmpty).foreach { line =>
+        val node = mapper.readTree(line)
+        if (node.has("protocol")) protoLine = Some(line)
+        else if (node.has("metaData")) metaLine = Some(line)
+      }
+    }
+    require(protoLine.nonEmpty && metaLine.nonEmpty,
+      s"Delta log at $path has no surviving protocol/metaData action — " +
+        "cannot write a spec-complete checkpoint")
     val tmp = new Path(log, ".tmp_checkpoint")
     f.delete(tmp, true)
     // re-relativize against the table root (NOT getName — a partitioned
     // file's hive segments are part of its protocol path)
     val rootUri = new Path(path).toUri.getPath.stripSuffix("/")
-    active.map(abs => new Path(abs).toUri.getPath
-        .stripPrefix(rootUri).stripPrefix("/")).toDF("p")
-      .selectExpr("named_struct('path', p) AS add",
-        "CAST(NULL AS STRUCT<path: STRING>) AS remove")
+    val root = new Path(path)
+    val addLines = active.map { abs =>
+      val rel = new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val st = fs(spark, root).getFileStatus(new Path(root, rel))
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},""" +
+        s""""partitionValues":${partitionValuesJson(rel)},"size":${st.getLen},""" +
+        s""""modificationTime":${st.getModificationTime},"dataChange":false}}"""
+    }
+    spark.read.schema(CheckpointSchema)
+      .json((protoLine.toSeq ++ metaLine.toSeq ++ addLines).toDS())
       .coalesce(1).write.parquet(tmp.toString)
     val part = f.listStatus(tmp)
       .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
@@ -178,7 +247,7 @@ object DeltaLogWriter {
     require(f.rename(part, target), s"checkpoint rename failed: $target")
     f.delete(tmp, true)
     writeAtomic(spark, new Path(log, "_last_checkpoint"),
-      s"""{"version":$v,"size":${active.size}}""" + "\n")
+      s"""{"version":$v,"size":${active.size + 2}}""" + "\n", overwrite = true)
     v
   }
 }

@@ -333,6 +333,25 @@ class SnapshotLogSpec extends SparkSpec {
     assert(got(4) == (100L until 103L).toSet)
   }
 
+  test("vacuuming a shallow clone never deletes the source table's files") {
+    import spark.implicits._
+    val src = freshTable()
+    val dst = freshTable()
+    SnapshotLog.commit(spark, src, (0L until 10L).toDF("id").coalesce(1), overwrite = false)
+    SnapshotLog.shallowClone(spark, src, dst)
+    // clone-side DML drops some source-pinned entries from the clone's
+    // manifests; a naive dead-set vacuum would then physically delete the
+    // SOURCE file those dropped entries point at — corrupting the source
+    SnapshotLog.deleteWhere(spark, dst, col("id") >= 0) // rewrite away everything
+    val (_, deleted) = SnapshotLog.vacuum(spark, dst, retainVersions = 1)
+    assert(deleted == 0, "clone vacuum must not reach outside its table root")
+    assert(ids(SnapshotLog.read(spark, src)) == (0L until 10L).toSet)
+    // the source's own vacuum still reclaims its own dead files later
+    SnapshotLog.commit(spark, src, (50L until 52L).toDF("id").coalesce(1), overwrite = true)
+    val (_, srcDeleted) = SnapshotLog.vacuum(spark, src, retainVersions = 1)
+    assert(srcDeleted == 1)
+  }
+
   test("streamVersions refuses a checkpoint that points into expired history") {
     import spark.implicits._
     val tbl = freshTable()

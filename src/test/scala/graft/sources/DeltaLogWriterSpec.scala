@@ -131,6 +131,47 @@ class DeltaLogWriterSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet == Set(9L))
   }
 
+  test("partition values with '%' and '+' round-trip (URI encoding, not form encoding)") {
+    val base = freshDir()
+    // Spark hive-escapes '%' in the dir name; '+' stays literal — the old
+    // URLDecoder form-decoding read it back as a space and resolved to a
+    // nonexistent path
+    val df = Seq((1L, "100%"), (2L, "a+b"), (3L, "plain")).toDF("id", "k")
+    DeltaLogWriter.write(df, base, SaveMode.Overwrite, partitionBy = Seq("k"))
+    val back = graft.Tables.deltaTable(spark, base)
+    assert(back.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 2L, 3L))
+    assert(back.select("k").collect().map(_.getString(0)).toSet ==
+      Set("100%", "a+b", "plain"))
+    // and the recorded partitionValues decode to the original values
+    val v0 = java.nio.file.Files.readString(
+      java.nio.file.Path.of(base, "_delta_log", "0" * 20 + ".json"))
+    assert(v0.contains(""""k":"100%""""), v0)
+    assert(v0.contains(""""k":"a+b""""), v0)
+  }
+
+  test("checkpoint carries protocol + metaData rows and spec-complete add fields") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k"), base,
+      SaveMode.Overwrite, partitionBy = Seq("k"))
+    val v = DeltaLogWriter.checkpoint(spark, base)
+    val ck = spark.read.parquet(
+      java.nio.file.Path.of(base, "_delta_log", f"$v%020d.checkpoint.parquet").toString)
+    // PROTOCOL.md: every checkpoint holds exactly one protocol and one
+    // metaData action — real readers reconstruct state from the checkpoint
+    // plus only LATER commits, so without them a pruned table is unreadable
+    assert(ck.where(col("protocol").isNotNull).count() == 1)
+    assert(ck.where(col("metaData").isNotNull).count() == 1)
+    val meta = ck.where(col("metaData").isNotNull).select("metaData.*").head
+    assert(meta.getAs[String]("schemaString").contains("\"id\""))
+    assert(meta.getSeq[String](meta.fieldIndex("partitionColumns")) == Seq("k"))
+    // add rows carry the spec's required fields, dataChange=false
+    val adds = ck.where(col("add").isNotNull).select("add.*")
+    assert(adds.count() == 2)
+    assert(adds.where(col("size") > 0 && !col("dataChange")).count() == 2)
+    assert(adds.selectExpr("partitionValues['k']").collect()
+      .map(_.getString(0)).toSet == Set("a", "b"))
+  }
+
   test("writer output cross-checks against SnapshotLog over the same history") {
     val base = freshDir()
     val snap = freshDir()
