@@ -91,9 +91,6 @@ object SnapshotLog {
       .map(_.getString(0)).toSeq
   }
 
-  /** Read the table AS OF `v` — old versions stay readable across later
-    * appends AND overwrites, because files are immutable and manifests
-    * pin the exact set. */
   /** The version's `_schema.json` sidecar content, if present (commits
     * since the sidecar was introduced always write one). */
   private def sidecarSchemaJson(spark: SparkSession, path: String,
@@ -109,6 +106,9 @@ object SnapshotLog {
     }
   }
 
+  /** Read the table AS OF `v` — old versions stay readable across later
+    * appends AND overwrites, because files are immutable and manifests
+    * pin the exact set. */
   def readVersion(spark: SparkSession, path: String, v: Int): DataFrame = {
     val files = manifestFiles(spark, path, v)
     if (files.nonEmpty) spark.read.parquet(files: _*)
@@ -423,9 +423,12 @@ object SnapshotLog {
     val live = retained.flatMap(manifestFiles(spark, path, _)).toSet
     val referenced = vs.flatMap(manifestFiles(spark, path, _)).toSet
     val f = fs(spark, new Path(path))
-    val rootPrefix = new Path(path).toUri.getPath.stripSuffix("/") + "/"
+    // fully-qualified comparison (scheme + authority + absolute path): a
+    // relative `path` or a clone on another filesystem with the same
+    // layout must not defeat the outside-root guard
+    val rootPrefix = f.makeQualified(new Path(path)).toString.stripSuffix("/") + "/"
     val dead = (referenced -- live).toSeq.sorted
-      .filter(d => new Path(d).toUri.getPath.startsWith(rootPrefix))
+      .filter(d => f.makeQualified(new Path(d)).toString.startsWith(rootPrefix))
     dead.foreach(d => f.delete(new Path(d), false))
     (live.size, dead.size)
   }

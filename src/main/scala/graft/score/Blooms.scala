@@ -74,15 +74,21 @@ object Blooms {
                 userCol: String = "user", latCol: String = "latitude",
                 lngCol: String = "longitude",
                 broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
-    // materialize the trained aggregation ONCE: the budget probe and the
-    // chosen path each consume it, and un-checkpointed the whole train
-    // lineage (tiles explode + groupBy + per-user bloom build) would run
-    // twice per scoring call
-    val t = trained.localCheckpoint(true)
-    if (fitsBroadcast(t, broadcastBudgetBytes))
-      score(points, toMap(t, userCol), precision, userCol, latCol, lngCol)
-    else
-      scoreByJoin(points, t, precision, userCol, latCol, lngCol)
+    // cache the trained aggregation across the two EAGER consumers (the
+    // budget probe and the broadcast path's collect) — un-cached, the
+    // whole train lineage (tiles explode + groupBy + per-user bloom
+    // build) ran twice per scoring call. persist, NOT localCheckpoint:
+    // the join path returns a LAZY frame to the caller, and checkpoint
+    // blocks escaping the call would fail (not recompute) after an
+    // executor loss — so the lazy path is built on the original
+    // recompute-safe lineage and the cache is dropped before returning.
+    val t = trained.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      if (fitsBroadcast(t, broadcastBudgetBytes))
+        score(points, toMap(t, userCol), precision, userCol, latCol, lngCol)
+      else
+        scoreByJoin(points, trained, precision, userCol, latCol, lngCol)
+    } finally t.unpersist(false)
   }
 
   /** Join-based scorer — same contract as [[score]] but the filters stay

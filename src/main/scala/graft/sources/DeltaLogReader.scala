@@ -59,7 +59,7 @@ object DeltaLogReader {
       .sorted.toSeq
   }
 
-  private def readSmallFile(spark: SparkSession, p: Path): String = {
+  private[sources] def readSmallFile(spark: SparkSession, p: Path): String = {
     val f = fs(spark, p)
     val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
     val in = f.open(p)
@@ -67,17 +67,40 @@ object DeltaLogReader {
     new String(buf, java.nio.charset.StandardCharsets.UTF_8)
   }
 
-  /** `_last_checkpoint` pointer, if present and usable (≤ `asOf` when a
-    * version is pinned — time travel to v must replay from scratch if the
-    * only checkpoint is newer). */
+  /** Checkpoint versions present as parquet artifacts (single- or
+    * multi-part spelling), ascending. */
+  private def checkpointVersions(spark: SparkSession, path: String): Seq[Long] = {
+    val log = logDir(path)
+    val f = fs(spark, log)
+    if (!f.exists(log)) Seq.empty
+    else f.listStatus(log).map(_.getPath.getName)
+      .collect {
+        case n if n.length >= 20 && n.contains(".checkpoint.") &&
+          n.endsWith(".parquet") && n.take(20).forall(_.isDigit) =>
+          n.take(20).toLong
+      }
+      .distinct.sorted.toSeq
+  }
+
+  /** The newest usable checkpoint version (≤ `asOf` when a version is
+    * pinned — time travel to v must replay from scratch if the only
+    * checkpoint is newer). The `_last_checkpoint` pointer is consulted
+    * first; a MISSING pointer falls back to listing the checkpoint
+    * parquet files themselves (real readers do the same — the pointer's
+    * republish is not atomic on every filesystem, and a table whose
+    * early commits were pruned is unreadable without its checkpoint). */
   private def lastCheckpoint(spark: SparkSession, path: String,
                              asOf: Option[Long]): Option[Long] = {
     val p = new Path(logDir(path), "_last_checkpoint")
-    if (!fs(spark, p).exists(p)) None
-    else {
-      val v = mapper.readTree(readSmallFile(spark, p)).get("version").asLong()
-      if (asOf.forall(v <= _)) Some(v) else None
-    }
+    val pointed =
+      if (!fs(spark, p).exists(p)) None
+      else Some(mapper.readTree(readSmallFile(spark, p)).get("version").asLong())
+    pointed.orElse(checkpointVersions(spark, path).lastOption)
+      .filter(v => asOf.forall(v <= _))
+      // a pointed-at version past asOf may still have an older usable
+      // checkpoint on disk
+      .orElse(checkpointVersions(spark, path).filter(v => asOf.forall(v <= _))
+        .lastOption)
   }
 
   /** Reader features whose PRESENCE in the protocol is harmless because

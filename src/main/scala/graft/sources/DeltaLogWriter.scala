@@ -89,14 +89,26 @@ object DeltaLogWriter {
       if (creating || mode == SaveMode.Append) Seq.empty
       else DeltaLogReader.activeFiles(spark, path)
 
+    // fail-fast on the obvious race before any data moves; the atomic
+    // commit rename below remains the real backstop
+    val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
+    require(!f.exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+
     // data files: the parquet job writes into a hidden per-commit STAGING
     // dir (readers skip dot-dirs), whose listing is O(#files written);
     // each part then moves (driver rename, metadata-only) to its final
     // root-relative place, hive k=v segments preserved. The old spelling
     // — list the whole table before and after and diff — was two
     // O(#table-files) walks per commit; Delta itself never lists the
-    // table to commit. Paths are RELATIVE to the table root.
-    val staging = new Path(root, s".staging_v$version")
+    // table to commit. Paths are RELATIVE to the table root. The staging
+    // name carries a unique attempt id: two writers racing on the same
+    // next version must not share (or recursively delete) each other's
+    // in-flight staging — the loser's published-but-never-referenced
+    // parts are harmless orphans, exactly Delta's own failed-commit
+    // debris, reclaimed by table maintenance.
+    val staging = new Path(root,
+      s".staging_v${version}_${java.util.UUID.randomUUID().toString.take(8)}")
     f.delete(staging, true)
     val writer = df.write.mode(SaveMode.Overwrite)
     (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
@@ -153,7 +165,9 @@ object DeltaLogWriter {
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":true}}"""
     }
-    val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
+    // re-check right before publishing (local-FS rename overwrites, so the
+    // existence require carries the no-clobber guarantee there; on HDFS
+    // the rename itself is the backstop)
     require(!f.exists(commit),
       s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
     f.mkdirs(commit.getParent)
@@ -204,34 +218,59 @@ object DeltaLogWriter {
     val active = DeltaLogReader.activeFiles(spark, path)
     val log = new Path(path, "_delta_log")
     val f = fs(spark, log)
-    // latest protocol/metaData lines from the surviving commit JSONs (this
-    // writer never prunes commits before checkpointing, and commit 0 wrote
-    // both on create)
+    // latest protocol/metaData: scan the surviving commit JSONs NEWEST
+    // first and stop at the first commit carrying both (in practice
+    // commit 0 — but a metaData update in a later commit must win, hence
+    // newest-first); when the carrying commits were already pruned, fall
+    // back to the PREVIOUS checkpoint parquet, which (by this writer's
+    // own contract) carries both actions forward
     var protoLine: Option[String] = None
     var metaLine: Option[String] = None
-    DeltaLogReader.versions(spark, path).foreach { cv =>
-      val commit = new Path(log, f"$cv%020d.json")
-      val in = f.open(commit)
-      val content = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      content.split("\n").filter(_.nonEmpty).foreach { line =>
-        val node = mapper.readTree(line)
-        if (node.has("protocol")) protoLine = Some(line)
-        else if (node.has("metaData")) metaLine = Some(line)
+    DeltaLogReader.versions(spark, path).reverse.iterator
+      .takeWhile(_ => protoLine.isEmpty || metaLine.isEmpty) // lazy: stops scanning once both found
+      .foreach { cv =>
+        DeltaLogReader.readSmallFile(spark, new Path(log, f"$cv%020d.json"))
+          .split("\n").filter(_.nonEmpty).foreach { line =>
+            val node = mapper.readTree(line)
+            if (node.has("protocol") && protoLine.isEmpty) protoLine = Some(line)
+            else if (node.has("metaData") && metaLine.isEmpty) metaLine = Some(line)
+          }
+      }
+    if (protoLine.isEmpty || metaLine.isEmpty) {
+      // pruned history: replay the actions forward from the prior
+      // checkpoint (single-part spelling — this writer's own output)
+      val prior = f.listStatus(log).map(_.getPath.getName)
+        .collect { case n if n.endsWith(".checkpoint.parquet") &&
+          n.take(20).forall(_.isDigit) => n.take(20).toLong }
+        .sorted.lastOption
+      prior.foreach { pv =>
+        val ck = spark.read.parquet(
+          new Path(log, f"$pv%020d.checkpoint.parquet").toString)
+        def jsonOf(colName: String): Option[String] = {
+          if (!ck.schema.fieldNames.contains(colName)) None
+          else ck.where(org.apache.spark.sql.functions.col(colName).isNotNull)
+            .select(org.apache.spark.sql.functions.to_json(
+              org.apache.spark.sql.functions.col(colName)))
+            .collect().headOption
+            .map(r => s"""{"$colName":${r.getString(0)}}""")
+        }
+        if (protoLine.isEmpty) protoLine = jsonOf("protocol")
+        if (metaLine.isEmpty) metaLine = jsonOf("metaData")
       }
     }
     require(protoLine.nonEmpty && metaLine.nonEmpty,
-      s"Delta log at $path has no surviving protocol/metaData action — " +
-        "cannot write a spec-complete checkpoint")
+      s"Delta log at $path has no surviving protocol/metaData action in its " +
+        "commits or prior checkpoint — cannot write a spec-complete checkpoint")
     val tmp = new Path(log, ".tmp_checkpoint")
     f.delete(tmp, true)
     // re-relativize against the table root (NOT getName — a partitioned
     // file's hive segments are part of its protocol path)
     val rootUri = new Path(path).toUri.getPath.stripSuffix("/")
     val root = new Path(path)
+    val rootFs = fs(spark, root) // hoisted: one Configuration + FS lookup, not O(#files)
     val addLines = active.map { abs =>
       val rel = new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
-      val st = fs(spark, root).getFileStatus(new Path(root, rel))
+      val st = rootFs.getFileStatus(new Path(root, rel))
       s"""{"add":{"path":${jsonStr(encodePath(rel))},""" +
         s""""partitionValues":${partitionValuesJson(rel)},"size":${st.getLen},""" +
         s""""modificationTime":${st.getModificationTime},"dataChange":false}}"""

@@ -172,6 +172,41 @@ class DeltaLogWriterSpec extends SparkSpec {
       .map(_.getString(0)).toSet == Set("a", "b"))
   }
 
+  test("re-checkpoint succeeds after pruning: protocol/metaData replay from the prior checkpoint") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq(1L, 2L).toDF("id"), base, SaveMode.Overwrite)
+    val v0 = DeltaLogWriter.checkpoint(spark, base)
+    // prune everything the first checkpoint covers — the documented use
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(base, "_delta_log", f"$v0%020d.json"))
+    DeltaLogWriter.write(Seq(3L).toDF("id"), base, SaveMode.Append)
+    // the carrying commits are gone; the new checkpoint must pull
+    // protocol/metaData forward from the PRIOR checkpoint parquet
+    val v1 = DeltaLogWriter.checkpoint(spark, base)
+    val ck = spark.read.parquet(
+      java.nio.file.Path.of(base, "_delta_log", f"$v1%020d.checkpoint.parquet").toString)
+    assert(ck.where(col("protocol").isNotNull).count() == 1)
+    assert(ck.where(col("metaData").isNotNull).count() == 1)
+    // and with the post-checkpoint prune the table still reads
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(base, "_delta_log", f"$v1%020d.json"))
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(1L, 2L, 3L))
+  }
+
+  test("a missing _last_checkpoint pointer falls back to the checkpoint files on disk") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq(1L).toDF("id"), base, SaveMode.Overwrite)
+    val v = DeltaLogWriter.checkpoint(spark, base)
+    // prune the covered commit AND lose the pointer (the non-atomic
+    // republish crash window) — the reader must list the checkpoint
+    // parquet itself instead of refusing the whole table
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(base, "_delta_log", f"$v%020d.json"))
+    java.nio.file.Files.delete(
+      java.nio.file.Path.of(base, "_delta_log", "_last_checkpoint"))
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) == Set(1L))
+  }
+
   test("writer output cross-checks against SnapshotLog over the same history") {
     val base = freshDir()
     val snap = freshDir()
