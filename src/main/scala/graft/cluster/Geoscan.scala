@@ -45,7 +45,10 @@ trait GeoscanParams extends Params {
   protected def validateInput(schema: StructType): StructType = {
     require(schema.fieldNames.contains($(latitudeCol)), s"missing ${$(latitudeCol)}")
     require(schema.fieldNames.contains($(longitudeCol)), s"missing ${$(longitudeCol)}")
-    schema.add($(predictionCol), LongType, nullable = true)
+    // transform (re)defines the prediction column, dropping a pre-existing
+    // one — the reported schema must match that, not a duplicate field
+    StructType(schema.fields.filterNot(_.name == $(predictionCol)))
+      .add($(predictionCol), LongType, nullable = true)
   }
 }
 
@@ -60,8 +63,11 @@ private[cluster] object GeoscanIO {
     // JSON sidecar for humans/tools (the reference logs params to MLflow,
     // 01_geofraud_clustering.py:120-149 — M5; out of engine scope, kept as
     // a plain file)
+    // backslash FIRST, then quote: escaping quotes alone turns a value
+    // containing '\' into invalid (or silently re-interpreted) JSON
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val json = params.toSeq.sortBy(_._1).map { case (k, v) =>
-      s""""${k.replace("\"", "\\\"")}": "${v.replace("\"", "\\\"")}""""
+      s""""${esc(k)}": "${esc(v)}""""
     }.mkString("{", ", ", "}")
     val sidecar = new org.apache.hadoop.fs.Path(s"$path/params.json")
     val fs = sidecar.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -130,6 +136,7 @@ class Geoscan(override val uid: String) extends Estimator[GeoscanModel] with Geo
     // resolution pick). Empty / all-null input → empty model.
     val maxAbsLatOpt = pts.agg(max(abs($"lat"))).as[Option[Double]].head()
     if (maxAbsLatOpt.isEmpty) {
+      pts.unpersist() // the eager checkpoint is already pinned on this path
       val empty = spark.emptyDataset[(Long, Seq[(Double, Double)])]
         .toDF("cluster", "hull")
       return copyValues(new GeoscanModel(uid, empty)).setParent(this)
@@ -269,20 +276,25 @@ class GeoscanModel private[cluster] (
   override def transform(dataset: Dataset[_]): DataFrame = {
     val prec = $(tilePrecision)
     val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers))
-    // unique join-side names: the caller may legitimately own an `h3`
-    // column, and `drop("h3")` would silently eat it
-    val tiles = tilesRaw.select(col("cluster").as("__tile_cluster"), col("h3").as("__tile_h3"))
-    val tilesSide = if (nTiles <= TileCache.BroadcastMaxRows) broadcast(tiles) else tiles
     val in = dataset.toDF()
+    // UNIQUE helper names (uid-suffixed): the caller may legitimately own
+    // an `h3` — or a `__cell`/`__tile_cluster` — column, and a fixed
+    // helper name would silently destroy it through the drop below (the
+    // same collision class the h3 rename has always guarded)
+    val cellCol = s"__cell_$uid"
+    val tileClusterCol = s"__tile_cluster_$uid"
+    val tileH3Col = s"__tile_h3_$uid"
+    val tiles = tilesRaw.select(col("cluster").as(tileClusterCol), col("h3").as(tileH3Col))
+    val tilesSide = if (nTiles <= TileCache.BroadcastMaxRows) broadcast(tiles) else tiles
     // the reference's transform (re)defines the prediction column — drop a
     // pre-existing one instead of producing an ambiguous duplicate
     val base = if (in.columns.contains($(predictionCol))) in.drop($(predictionCol)) else in
     base
-      .withColumn("__cell", GeoFunctions.geoCell(
+      .withColumn(cellCol, GeoFunctions.geoCell(
         col($(latitudeCol)).cast(DoubleType), col($(longitudeCol)).cast(DoubleType), prec))
-      .join(tilesSide, col("__cell") === tilesSide("__tile_h3"), "left_outer")
-      .drop("__tile_h3", "__cell")
-      .withColumnRenamed("__tile_cluster", $(predictionCol))
+      .join(tilesSide, col(cellCol) === tilesSide(tileH3Col), "left_outer")
+      .drop(tileH3Col, cellCol)
+      .withColumnRenamed(tileClusterCol, $(predictionCol))
   }
 
   /** RFC 7946 FeatureCollection of cluster hulls (`01_geofraud_clustering.py:143`). */

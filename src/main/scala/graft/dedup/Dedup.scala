@@ -49,10 +49,15 @@ object Dedup {
                    textCol: String = "text"): DataFrame = {
     val toks = TextFunctions.tokens(lower(col(textCol)))
     val cnt = size(toks) - (w - 1)
+    // checkpointed: the dup aggregate AND the join side both consume wins
+    // — un-materialized, the tokenize+slice+md5 explode over the whole
+    // corpus ran twice (the shingleMd5Frame share-the-scan convention,
+    // applied within the function). Narrow frame: (id, 32-char hash).
     val wins = df.select(col(idCol),
         explode(when(cnt >= 1, transform(sequence(lit(1), cnt),
             i => md5(concat_ws(" ", slice(toks, i, lit(w))).cast("binary"))))
           .otherwise(array().cast("array<string>"))).as("h"))
+      .localCheckpoint(true)
     val dup = wins.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .where(col("nd") >= 2).select(col("h"), lit(1L).as("isdup"))
@@ -120,6 +125,9 @@ object Dedup {
     * once per band per consumer. */
   def lshBands(sigs: DataFrame, idCol: String = "doc_id",
                numHashes: Int = 8, rowsPerBand: Int = 2): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide evenly into rowsPerBand " +
+        s"($rowsPerBand) — a remainder would silently ignore the last hashes")
     val numBands = numHashes / rowsPerBand
     val bandVals = (0 until numBands).map { b =>
       val cols = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
@@ -145,6 +153,9 @@ object Dedup {
   def bandsPerRow(df: DataFrame, textCol: String = "text", idCol: String = "doc_id",
                   numHashes: Int = 8, rowsPerBand: Int = 2,
                   shingleN: Int = 3): DataFrame = {
+    require(rowsPerBand >= 1 && numHashes % rowsPerBand == 0,
+      s"numHashes ($numHashes) must divide evenly into rowsPerBand " +
+        s"($rowsPerBand) — a remainder would silently ignore the last hashes")
     val numBands = numHashes / rowsPerBand
     val bhArr = transform(shingles(col(textCol), shingleN), x => md5(x.cast("binary")))
     val bandArr = element_at(transform(array(bhArr), { a =>

@@ -50,7 +50,14 @@ object Similarity {
   /** Exact top-k nearest corpus vectors per query by cosine. Ranking key is
     * (integer-scaled cosine desc, corpus id asc) so results are
     * deterministic even under floating-point ties. Queries are broadcast
-    * (assumed ≪ corpus). */
+    * (assumed ≪ corpus).
+    *
+    * ID-SPACE CONTRACT (every ANN entry point here: brute/LSH/IVF/PQ):
+    * queries and corpus draw ids from ONE namespace, and `query_id ==
+    * corpus_id` means "the same vector" — self-pairs are excluded so a
+    * query searched against a corpus containing it doesn't return itself.
+    * Two unrelated tables with coincidentally overlapping ids would have
+    * true neighbors silently excluded: re-key one side first. */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
@@ -134,6 +141,13 @@ object Similarity {
   def lshCandidates(queries: DataFrame, corpus: DataFrame, dims: Int,
                     numBits: Int = 16, numBands: Int = 4, seed: Long = 42L,
                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    // a non-divisible split would silently never consult the high
+    // numBits % numBands bits (recall quietly differs from the configured
+    // signature); ≥ 31 bits would overflow the int signature's sign bit
+    require(numBits >= 1 && numBits <= 30, s"numBits must be in [1, 30], got $numBits")
+    require(numBands >= 1 && numBits % numBands == 0,
+      s"numBits ($numBits) must divide evenly into numBands ($numBands) — " +
+        "a remainder would silently drop the high signature bits")
     val bandBits = numBits / numBands
     val mask = (1 << bandBits) - 1
     // all band keys from ONE signature evaluation per side (posexplode) —
@@ -210,13 +224,6 @@ object Similarity {
       .select("query_id", "corpus_id")
   }
 
-  /** Int8 max-abs quantization of an embedding column — the storage
-    * compression step of an embedding pipeline (4× smaller than float32,
-    * reconstruction error ≤ scale/2 per dimension): per-vector
-    * scale = max|v|/127, code = round(v / max|v| · 127) ∈ [−127, 127].
-    * Map-side only — a pure projection, no shuffle at any scale. Both
-    * engines round half-away-from-zero, so codes replay exactly;
-    * `scale_key` is the µ-scaled integer spelling of max|v|. */
   /** K-means cluster assignment of every vector — the SemDeDup partition
     * step: fit `nlist` centroids on a BOUNDED md5-priority sample
     * (driver-side deterministic Lloyd, the [[pqCodebooks]] pattern — the
@@ -249,6 +256,13 @@ object Similarity {
     df.select(col(idCol), assignUdf(col(vecCol)).as("cluster"))
   }
 
+  /** Int8 max-abs quantization of an embedding column — the storage
+    * compression step of an embedding pipeline (4× smaller than float32,
+    * reconstruction error ≤ scale/2 per dimension): per-vector
+    * scale = max|v|/127, code = round(v / max|v| · 127) ∈ [−127, 127].
+    * Map-side only — a pure projection, no shuffle at any scale. Both
+    * engines round half-away-from-zero, so codes replay exactly;
+    * `scale_key` is the µ-scaled integer spelling of max|v|. */
   def quantizeInt8(df: DataFrame, idCol: String = "vec_id",
                    vecCol: String = "embedding"): DataFrame = {
     val mx = greatest(array_max(transform(col(vecCol), v => abs(v.cast("double")))), lit(1e-12))
@@ -391,12 +405,16 @@ object Similarity {
     val m = books.length
     val sub = books(0)(0).length
     val encodeUdf = udf { (v: Seq[Float]) =>
+      // short-vector guard (schema drift / truncated ingest): missing
+      // dims read as 0 — the same tolerance srpSignature and kmeansAssign
+      // apply — instead of an IndexOutOfBounds that aborts the job
+      def at(i: Int): Double = if (i < v.length) v(i).toDouble else 0.0
       Array.tabulate(m) { mi =>
         val cents = bc.value(mi)
         var best = 0; var bestD = Double.MaxValue; var c = 0
         while (c < cents.length) {
           var s = 0.0; var d = 0
-          while (d < sub) { val x = v(mi * sub + d) - cents(c)(d); s += x * x; d += 1 }
+          while (d < sub) { val x = at(mi * sub + d) - cents(c)(d); s += x * x; d += 1 }
           if (s < bestD) { bestD = s; best = c }
           c += 1
         }
@@ -417,9 +435,11 @@ object Similarity {
     val m = books.length
     val sub = books(0)(0).length
     val lutUdf = udf { (v: Seq[Float]) =>
+      // same short-vector tolerance as pqEncode: missing dims read as 0
+      def at(i: Int): Double = if (i < v.length) v(i).toDouble else 0.0
       for { mi <- 0 until m; c <- bc.value(mi).indices } yield {
         var s = 0.0; var d = 0
-        while (d < sub) { val x = v(mi * sub + d) - bc.value(mi)(c)(d); s += x * x; d += 1 }
+        while (d < sub) { val x = at(mi * sub + d) - bc.value(mi)(c)(d); s += x * x; d += 1 }
         (mi, c, math.round(s * 1e6))
       }
     }
@@ -466,25 +486,35 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_id_a < vec_id_b) above
-    * `threshold`, via LSH candidate generation + exact verify. */
+    * `threshold`, via LSH candidate generation + exact verify.
+    *
+    * Shuffle shape (the [[lshCandidates]] design): the band-bucket
+    * exchange and the candidate distinct carry IDS ONLY — the wide
+    * embedding column joins back once against the distinct pairs. The
+    * earlier spelling hauled both full vectors through the ×numBands band
+    * fan-out AND keyed the distinct on the arrays themselves (~KBs per
+    * row at 100 TB vs two longs). */
   def cosineNearDups(df: DataFrame, dims: Int, threshold: Double,
                      idCol: String = "vec_id", vecCol: String = "embedding",
                      numBits: Int = 16, numBands: Int = 4): DataFrame = {
     val bandBits = numBits / numBands
     val mask = (1 << bandBits) - 1
-    // one scan + one signature/norm evaluation, band keys posexploded
-    val banded = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-        vecNorm(col(vecCol)).as("nrm"),
+    // one scan + one signature evaluation, band keys posexploded, ids only
+    val banded = df.select(col(idCol).as("id"),
         srpSignature(col(vecCol), dims, numBits).as("sig"))
-      .select(col("id"), col("v"), col("nrm"),
+      .select(col("id"),
         posexplode(array((0 until numBands).map(b =>
           shiftright(col("sig"), b * bandBits).bitwiseAND(lit(mask))): _*))
           .as(Seq("band_idx", "band_val")))
-    val a = banded.toDF("id_a", "v_a", "n_a", "band_idx", "band_val")
-    val b = banded.toDF("id_b", "v_b", "n_b", "band_idx", "band_val")
-    a.join(b, Seq("band_idx", "band_val"))
+    val cands = banded.toDF("id_a", "band_idx", "band_val")
+      .join(banded.toDF("id_b", "band_idx", "band_val"), Seq("band_idx", "band_val"))
       .where(col("id_a") < col("id_b"))
-      .select("id_a", "v_a", "n_a", "id_b", "v_b", "n_b").distinct()
+      .select("id_a", "id_b").distinct()
+    val sides = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      vecNorm(col(vecCol)).as("nrm"))
+    cands
+      .join(sides.toDF("id_a", "v_a", "n_a"), "id_a")
+      .join(sides.toDF("id_b", "v_b", "n_b"), "id_b")
       .withColumn("cos_x1e4",
         cosineKeyWithNorms(col("v_a"), col("v_b"), col("n_a"), col("n_b")))
       .where(col("cos_x1e4") >= math.round(threshold * 10000))
