@@ -45,17 +45,33 @@ object MixtureSampling {
     val spark = df.sparkSession
     import spark.implicits._
 
-    // Σw from the weights dim — bounded by construction (one row per source)
-    val sumW = weights.agg(coalesce(sum($"wt"), lit(0L)).cast("long")).head.getLong(0)
+    // Σw from the weights dim, with the one-row-per-source assumption
+    // ENFORCED in the same job: a duplicate source row would silently fan
+    // every doc of that source out through the broadcast join
+    val wRow = weights.agg(coalesce(sum($"wt"), lit(0L)).cast("long"),
+      count(lit(1)), countDistinct(col(sourceCol))).head
+    val sumW = wRow.getLong(0)
     require(sumW > 0, "mixture weights must sum to a positive value")
+    require(wRow.getLong(1) == wRow.getLong(2),
+      s"weights must carry ONE row per source — got ${wRow.getLong(1)} rows " +
+        s"over ${wRow.getLong(2)} distinct sources")
+    // budget split in DECIMAL: totalBudget × wt in long arithmetic wraps
+    // negative at pretraining scale (2e14 tokens × 1e5 weight > 2^63) and
+    // would silently zero the heaviest source's budget
     val budgets = weights.select(col(sourceCol), $"wt".cast("long").as("wt"),
-      expr(s"${totalBudget}L * CAST(wt AS BIGINT) DIV ${sumW}L").as("budget_toks"))
+      expr(s"CAST(floor(CAST(${totalBudget} AS DECIMAL(38,0)) * CAST(wt AS DECIMAL(38,0)) " +
+        s"/ CAST(${sumW} AS DECIMAL(38,0))) AS BIGINT)").as("budget_toks"))
 
     // deterministic priority + its leading byte as the parallelism bucket:
     // bucketing by a PREFIX of the sort key keeps bucket order == sort order
     val pri = md5(concat(lit("mx|"), col(idCol).cast("string")).cast("binary"))
     val tok = coalesce(col(tokenCol).cast("long"), lit(0L))
-    val withPri = df.join(broadcast(budgets), sourceCol)
+    // null ids have no stable priority (md5 of null is null → null bucket):
+    // they would both inflate every real bucket's offset (the null bucket
+    // sorts first in the prefix sum) AND drop out of the final join —
+    // exclude them up front, with the rule stated here
+    val withPri = df.where(col(idCol).isNotNull)
+      .join(broadcast(budgets), sourceCol)
       .withColumn("__pri", pri)
       // RANGE map (DIV, not modulo): bucket order must equal priority-prefix
       // order, so the 0–255 byte space maps onto contiguous bucket ranges

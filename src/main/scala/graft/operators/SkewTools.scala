@@ -23,6 +23,11 @@ object SkewTools {
   def saltedJoin(fact: DataFrame, dim: DataFrame, keys: Seq[String],
                  factor: Int): DataFrame = {
     require(factor >= 1, s"salt factor $factor")
+    // reserved helper name (the AsOfJoin convention): silently overwriting
+    // and then dropping a caller's __salt column would break the
+    // row-for-row contract with no error
+    require(!fact.columns.contains("__salt") && !dim.columns.contains("__salt"),
+      "saltedJoin reserves the column name __salt — rename or drop the input's")
     // deterministic per-row salt: spread rows of the same key via a hash of
     // the whole row (falls back to uniform spreading of hot keys)
     val factCols = fact.columns.map(col)

@@ -87,9 +87,17 @@ object CellRangePushdown extends Rule[LogicalPlan] {
           val lngInRange = And(
             GreaterThanOrEqual(lng, Literal(j * step - 180.0 - eps, DoubleType)),
             LessThan(lng, Literal((j + 1) * step - 180.0 + eps, DoubleType)))
+          // the wrap escape's lower edge carries eps slack for the j=0
+          // cell: a longitude JUST below 180 can FP-round (lng+180)/step
+          // up to exactly `cols`, which the expression wraps to j=0 — so
+          // the j=0 box is reachable from the 180⁻ neighborhood and a
+          // bare `lng >= 180` escape would drop those rows (strict-
+          // superset violation). Other cells are unreachable by rounding
+          // across the wrap, so they keep the exact bound.
+          val wrapLo = if (j == 0) 180.0 - eps else 180.0
           val lngPred = Or(
             Or(LessThan(lng, Literal(-180.0, DoubleType)),
-              GreaterThanOrEqual(lng, Literal(180.0, DoubleType))),
+              GreaterThanOrEqual(lng, Literal(wrapLo, DoubleType))),
             lngInRange)
           latPreds :+ lngPred
         }

@@ -1,7 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, DoubleType, IntegerType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,20 +17,18 @@ import graft.geo.GeoCell
   * Exactly equivalent to [[graft.functions.GeoFunctions.geoCell]] (same
   * `GeoCell.cellId` math); kept as the SQL-facing registration. */
 case class GeoCellExpression(first: Expression, second: Expression, third: Expression)
-  extends TernaryExpression {
+  extends TernaryExpression with ImplicitCastInputTypes {
 
   override def prettyName: String = "geo_cell"
   override def dataType: DataType = StringType
   override def nullable: Boolean = first.nullable || second.nullable || third.nullable
 
-  override def checkInputDataTypes(): TypeCheckResult = {
-    val ok = first.dataType == DoubleType && second.dataType == DoubleType &&
-      third.dataType == IntegerType
-    if (ok) TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"geo_cell expects (double, double, int), got " +
-        s"(${first.dataType.simpleString}, ${second.dataType.simpleString}, ${third.dataType.simpleString})")
-  }
+  /** ImplicitCastInputTypes (not a bare type check): SQL callers write
+    * `geo_cell(40.7, -74.0, 9)` — decimal literals, float columns — and
+    * the analyzer coerces them like it does for built-ins instead of
+    * demanding manual CASTs. */
+  override def inputTypes: Seq[DataType] = // covariant override (AbstractDataType is private[sql])
+    Seq(DoubleType, DoubleType, IntegerType)
 
   override protected def nullSafeEval(lat: Any, lng: Any, res: Any): Any =
     UTF8String.fromString(GeoCell.cellId(

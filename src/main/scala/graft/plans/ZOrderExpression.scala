@@ -1,7 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -12,17 +11,14 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Mirrors the reference's reliance on Delta `OPTIMIZE ZORDER`
   * (`01_geofraud_clustering.py:440`) with an engine-native key. */
 case class ZOrderExpression(left: Expression, right: Expression)
-  extends BinaryExpression {
+  extends BinaryExpression with ImplicitCastInputTypes {
 
   override def prettyName: String = "z_order"
   override def dataType: DataType = LongType
 
-  override def checkInputDataTypes(): TypeCheckResult =
-    if (left.dataType == LongType && right.dataType == LongType)
-      TypeCheckResult.TypeCheckSuccess
-    else TypeCheckResult.TypeCheckFailure(
-      s"z_order expects (bigint, bigint), got " +
-        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  /** ImplicitCastInputTypes: INT grid indices (the natural SQL spelling)
+    * coerce to BIGINT like they do for built-ins. */
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType) // covariant override
 
   override protected def nullSafeEval(i: Any, j: Any): Any =
     graft.geo.Morton.interleave(i.asInstanceOf[Long], j.asInstanceOf[Long])

@@ -157,30 +157,15 @@ private[graft] object StreamScaffold {
     * single-batch run never performs). */
   def runCompleteStream(s: SparkSession, name: String, sfDir: String,
                         srcDir: String)(build: DataFrame => DataFrame): DataFrame = {
-    val tag = Tables.sfTag(sfDir)
-    val (out, chk) = (tmpPath(s"graft_${name}_out_$tag"), tmpPath(s"graft_${name}_chk_$tag"))
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq(out, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
     val schema = s.read.parquet(srcDir).schema
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
-    try {
-      val writeBatch: (DataFrame, Long) => Unit =
-        (b, _) => b.write.mode("overwrite").parquet(out)
-      val q = build(Tables.normalizeEventsTs(s.readStream.schema(schema)
-          .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir)))
-        .writeStream.outputMode("complete")
-        .option("checkpointLocation", chk)
-        .foreachBatch(writeBatch)
-        .trigger(Trigger.AvailableNow())
-        .start()
-      if (!q.awaitTermination(AwaitTimeoutMs))
-        { q.stop(); sys.error(s"stream $name did not terminate within ${AwaitTimeoutMs} ms") }
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    }
-    s.read.parquet(out)
+    // ts-normalization contract (applies to runStagedStream too): ANY
+    // staged source carrying a timestamp-typed column literally named
+    // `ts` is normalized to long nanos — the repo-wide events encoding.
+    // A staged non-events table using `ts` for something else must rename
+    // the column; every other schema passes through untouched.
+    runCompleteStreamOn(s, name, sfDir,
+      build(Tables.normalizeEventsTs(s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir))))
   }
 
   /** [[runCompleteStream]] over a caller-built streaming aggregate — for

@@ -20,7 +20,8 @@ class CellRangePushdownSpec extends SparkSpec {
       (40.73, -73.99), (40.73, -73.99 + 360.0), (40.73, -73.99 - 360.0), // wrap hits
       (91.0, -73.99), (-95.0, 12.0),                                     // pole clamps
       (-90.0, -180.0), (89.999999, 179.999999),                          // corners
-      (40.73, 180.0), (40.73, -180.0)                                    // seam
+      (40.73, 180.0), (40.73, -180.0),                                   // seam
+      (40.73, Math.nextDown(180.0))  // FP-rounds across the wrap into j=0
     )
     val random = Seq.fill(300)((rng.nextDouble() * 200 - 100, rng.nextDouble() * 800 - 400))
     val rows = adversarial ++ random
@@ -32,6 +33,13 @@ class CellRangePushdownSpec extends SparkSpec {
     val poleCell = GeoCell.cellId(90.0, 0.0, res)
     val poleExpect = rows.filter { case (la, ln) => GeoCell.cellId(la, ln, res) == poleCell }.toSet
     assert(lookupRows(rows, poleCell, res) == poleExpect)
+    // the j=0 column cell: reachable from the 180⁻ FP-rounding
+    // neighborhood (nextDown(180) wraps into it — verified, it shares
+    // -180's cell id), so the wrap escape must carry eps slack there
+    val seamCell = GeoCell.cellId(40.73, -180.0, res)
+    val seamExpect = rows.filter { case (la, ln) => GeoCell.cellId(la, ln, res) == seamCell }.toSet
+    assert(seamExpect.exists(_._2 > 179.9), "the FP-wrap row must match this cell")
+    assert(lookupRows(rows, seamCell, res) == seamExpect)
   }
 
   test("NaN coordinates survive the rewrite for the edge cell they map into") {

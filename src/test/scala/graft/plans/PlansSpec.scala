@@ -76,10 +76,19 @@ class PlansSpec extends SparkSpec {
       assert(r.getString(0) == r.getString(1))
       assert(r.getString(0) == graft.geo.GeoCell.cellId(r.getDouble(2), r.getDouble(3), 10))
     }
-    // null-safety + type check
+    // null-safety + type coercion (ImplicitCastInputTypes: built-in rules)
     assert(spark.sql("SELECT geo_cell_native(CAST(NULL AS DOUBLE), -74.0D, 10)").head.isNullAt(0))
-    intercept[org.apache.spark.sql.AnalysisException] {
+    // a plain decimal literal coerces — the natural SQL spelling works
+    assert(spark.sql("SELECT geo_cell_native(40.7, -74.0, 10)").head.getString(0) ==
+      graft.geo.GeoCell.cellId(40.7, -74.0, 10))
+    // a non-numeric string coerces at analysis and fails AT RUNTIME under
+    // ANSI (exactly how built-ins treat sqrt('a')); an uncastable TYPE
+    // still fails analysis
+    intercept[Exception] {
       spark.sql("SELECT geo_cell_native('a', 1.0D, 10)").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT geo_cell_native(array(1), 1.0D, 10)").collect()
     }
   }
 
