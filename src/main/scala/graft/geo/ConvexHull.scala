@@ -32,11 +32,34 @@ object ConvexHull {
     if (h.length >= 3) h else pts
   }
 
-  /** True if (lat, lng) is inside or on the hull (planar test). */
+  /** Cross product of (a→b) × (a→p) in the (x=lng, y=lat) plane — zero
+    * iff p is collinear with a–b (same formula as hull's local cross). */
+  private def cross3(a: (Double, Double), b: (Double, Double),
+                     p: (Double, Double)): Double =
+    (b._2 - a._2) * (p._1 - a._1) - (b._1 - a._1) * (p._2 - a._2)
+
+  /** True if p lies ON the closed segment a–b (exact planar test:
+    * collinear AND within the bounding box). */
+  private def onSegment(a: (Double, Double), b: (Double, Double),
+                        lat: Double, lng: Double): Boolean =
+    cross3(a, b, (lat, lng)) == 0.0 &&
+      lat >= math.min(a._1, b._1) && lat <= math.max(a._1, b._1) &&
+      lng >= math.min(a._2, b._2) && lng <= math.max(a._2, b._2)
+
+  /** True if (lat, lng) is inside or on the hull (planar test). Degenerate
+    * hulls (2 points, or ≥3 collinear points — `hull` returns the sorted
+    * point set then) are SEGMENTS: "on the hull" means on any consecutive
+    * segment, not only at a vertex. */
   def contains(hullPts: Seq[(Double, Double)], lat: Double, lng: Double): Boolean = {
-    if (hullPts.length < 3)
-      return hullPts.exists { case (la, ln) => la == lat && ln == lng }
-    GeoCell.pointInPolygon(lat, lng, hullPts) ||
-      hullPts.exists { case (la, ln) => la == lat && ln == lng }
+    if (hullPts.isEmpty) return false
+    if (hullPts.length == 1)
+      return hullPts.head == ((lat, lng))
+    val closed = hullPts :+ hullPts.head
+    val onBoundary = closed.sliding(2).exists {
+      case Seq(a, b) => onSegment(a, b, lat, lng)
+      case _ => false
+    }
+    onBoundary ||
+      (hullPts.length >= 3 && GeoCell.pointInPolygon(lat, lng, hullPts))
   }
 }

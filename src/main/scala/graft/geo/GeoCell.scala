@@ -102,7 +102,13 @@ object GeoCell {
     * GEOSCAN grouping guarantee (`01_geofraud_clustering.py:20`). */
   def coverDisc(lat: Double, lng: Double, epsilonMeters: Double, res: Int): Seq[String] = {
     val latMeters = stepMetersLat(res)
-    val lngMeters = latMeters * math.max(math.cos(math.toRadians(lat)), 0.01)
+    // TRUE cos up to |lat| = 89.9° (the old 0.01 floor silently broke the
+    // coverage guarantee above ~89.43°: cells narrower than assumed, two
+    // points epsilon apart missing each other's ring). The 89.9° clamp
+    // bounds the ring count at the pole itself — beyond it coverage
+    // degrades BY DESIGN (documented), not silently at 89.5°.
+    val lngMeters = latMeters *
+      math.cos(math.toRadians(math.min(math.abs(lat), 89.9)))
     val k = math.max(
       math.ceil(epsilonMeters / latMeters),
       math.ceil(epsilonMeters / lngMeters)).toInt
@@ -133,8 +139,15 @@ object GeoCell {
     val lngs = vertices.map(_._2)
     val i0 = latIndex(lats.min, res)
     val i1 = latIndex(lats.max, res)
-    val j0 = lngIndex(lngs.min, res)
-    val j1 = lngIndex(lngs.max, res)
+    // UNWRAPPED bbox column range: lngIndex wraps +180 to column 0, which
+    // would make j1 < j0 for a polygon touching the antimeridian vertex
+    // and silently empty the interior loop — clamp instead (crossing
+    // polygons remain out of scope, a single lng=180 vertex is legal)
+    val cols = 1L << (res + 9)
+    def jRaw(lng: Double): Long =
+      math.min(math.max(((lng + 180.0) / s).toLong, 0L), cols - 1)
+    val j0 = jRaw(lngs.min)
+    val j1 = jRaw(lngs.max)
     val inside = for {
       i <- i0 to i1
       j <- j0 to j1 // no antimeridian-crossing polygons in scope (NYC data)

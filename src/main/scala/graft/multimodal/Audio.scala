@@ -71,7 +71,12 @@ object Audio {
     require(tag() == "WAVE", "RIFF payload is not WAVE")
     var fmt: Option[(Int, Int, Int)] = None // (channels, rate, bits)
     var data: Option[Array[Byte]] = None
-    while (bb.remaining() >= 8) {
+    // the walk is bounded by the RIFF payload, NOT the byte array: files
+    // carry trailers after the container (ID3 etc.) whose bytes must not
+    // parse as chunks — garbage there would spuriously reject a valid
+    // file, and a trailing 'data' spelling would REPLACE the real samples
+    val riffEnd = 8L + riffLen
+    while (bb.position() + 8 <= riffEnd && bb.remaining() >= 8) {
       val id = tag()
       val len = bb.getInt
       require(len >= 0 && len <= bb.remaining(), s"chunk '$id' overruns: $len")

@@ -213,6 +213,10 @@ object Multimodal {
     * Output: one row per sampled frame — the explode shape a real frame
     * extractor produces. */
   def sampleFrames(decoded: Dataset[MediaRecord], stride: Int): DataFrame = {
+    // driver-side: stride = 0 would throw inside an executor task
+    // ("step cannot be 0"), a negative stride would silently return zero
+    // frames for every record
+    require(stride > 0, s"frame-sampling stride must be positive, got $stride")
     val spark = decoded.sparkSession
     import spark.implicits._
     decoded.flatMap { rec =>

@@ -47,7 +47,12 @@ object Kmv {
   /** Per-group KMV sketch state: `(key, n_kept, kth_hash)` where `kth_hash`
     * is the largest kept hash (the k-th minimum when the sketch is full).
     * Null values are dropped (they hash to no value, matching
-    * `count(DISTINCT ...)` semantics). */
+    * `count(DISTINCT ...)` semantics).
+    *
+    * CONTRACT: the returned `key` column is the STRING form of `keyCol`
+    * (the grouping is defined on string keys so the sketch replays in any
+    * engine) — joining it back to a non-string source key needs an
+    * explicit cast on the caller's side. */
   def sketchState(df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val s = df.sparkSession

@@ -33,7 +33,11 @@ object Bm25 {
     import spark.implicits._
     val toks = docs.select(col(idCol).as("doc_id"),
       TextFunctions.tokens(lower(col(textCol))).as("tk"))
+    // checkpointed: the corpus-stats aggregate AND the tf explode both
+    // consume dl — un-materialized, the scan + tokenize regex ran twice
+    // per query (the q16/q131 share-the-scan rule)
     val dl = toks.select($"doc_id", size($"tk").as("dl"), $"tk")
+      .localCheckpoint(true)
     val corpus = dl.agg(count(lit(1)).as("n_docs"), sum($"dl").as("sum_dl"))
       .select($"n_docs",
         ($"sum_dl".cast("double") / $"n_docs".cast("double")).as("avgdl"))
@@ -73,7 +77,9 @@ object Bm25 {
   /** DuckDB twin of [[topK]] over `table` — same tokenization
     * (whitespace split, empties dropped), same pinned arithmetic. */
   def scoreSql(table: String, terms: Seq[String], k: Int = 15): String = {
-    val termList = terms.map(t => s"'$t'").mkString(", ")
+    // SQL string literals: double any single quote — a term like "don't"
+    // must not break (or inject into) the oracle query
+    val termList = terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     s"""WITH tk AS (SELECT doc_id,
        |    list_filter(string_split(lower(text), ' '), t -> t != '') AS tk
        |  FROM $table),

@@ -49,6 +49,8 @@ final class ExperimentStore(spark: SparkSession, root: String) {
     * pivoted to columns (the `mlflow.search_runs` shape). */
   def searchRuns(experiment: String, paramKeys: Seq[String],
                  metricKeys: Seq[String]): DataFrame = {
+    require(paramKeys.nonEmpty || metricKeys.nonEmpty,
+      "searchRuns needs at least one param or metric key to pivot")
     val aggs =
       paramKeys.map(k => max(when(col("kind") === "param" && col("key") === k,
         col("value_str"))).as(k)) ++

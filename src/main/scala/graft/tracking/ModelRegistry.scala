@@ -60,7 +60,12 @@ object ModelRegistry {
       params.values.forall(!_.contains("\n")),
       "params must be newline-free and keys '='-free (k=v sidecar lines)")
     val v = versions(spark, root, name).lastOption.getOrElse(0) + 1
-    val tmp = new Path(modelDir(root, name), s".tmp_v$v")
+    // unique attempt id: two racing register() calls must not SHARE a
+    // staging dir (one's delete/writes would interleave with the other's,
+    // and the rename winner could publish mixed data + sidecar); with
+    // distinct staging the loser's rename fails loudly instead
+    val tmp = new Path(modelDir(root, name),
+      s".tmp_v${v}_${java.util.UUID.randomUUID().toString.take(8)}")
     val dst = new Path(modelDir(root, name), s"v$v")
     val f = fs(spark, dst)
     f.delete(tmp, true)

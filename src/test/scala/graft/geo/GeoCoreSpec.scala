@@ -107,6 +107,39 @@ class GeoCoreSpec extends AnyFunSuite {
     assert(h.toSet == Set((0.0, 0.0), (0.0, 1.0), (1.0, 0.0), (1.0, 1.0)))
   }
 
+  test("degenerate hulls are segments: contains holds on the span, not only at vertices") {
+    // 2-point hull
+    assert(ConvexHull.contains(Seq((0.0, 0.0), (0.0, 2.0)), 0.0, 1.0))
+    assert(!ConvexHull.contains(Seq((0.0, 0.0), (0.0, 2.0)), 0.1, 1.0))
+    // >=3 collinear points (hull() returns the sorted set)
+    val h = ConvexHull.hull(Seq((0.0, 0.0), (0.0, 1.0), (0.0, 2.0)))
+    assert(ConvexHull.contains(h, 0.0, 0.5))
+    assert(ConvexHull.contains(h, 0.0, 1.5))
+    assert(!ConvexHull.contains(h, 0.0, 2.5)) // beyond the span
+    assert(!ConvexHull.contains(h, 0.5, 1.0)) // off the line
+  }
+
+  test("coverDisc guarantee survives high latitudes (the old cos floor broke >89.43°)") {
+    val res = 11
+    val eps = 150.0
+    val lat = 89.6 // cos ≈ 0.0070 < the old 0.01 floor
+    val lng = 10.0
+    // an epsilon-east neighbor must share a covered cell
+    val dLng = eps / (GeoCell.MetersPerDegreeLat * math.cos(math.toRadians(lat)))
+    val cover = GeoCell.coverDisc(lat, lng, eps, res).toSet
+    assert(cover.contains(GeoCell.cellId(lat, lng + dLng * 0.99, res)),
+      "east-west epsilon neighbor above 89.43° fell outside the disc cover")
+  }
+
+  test("polygonCells with a +180 vertex keeps the interior (no wrapped-empty bbox)") {
+    val res = 6
+    val tri = Seq((10.0, 179.0), (11.0, 179.0), (10.5, 180.0))
+    val cells = GeoCell.polygonCells(tri, res, 0)
+    // an interior point's cell must be present — the wrapped j-range
+    // produced ONLY the 3 vertex cells before the fix
+    assert(cells.contains(GeoCell.cellId(10.5, 179.5, res)))
+  }
+
   test("hull contains all input points (property)") {
     val r = rng
     (1 to 100).foreach { _ =>

@@ -40,6 +40,22 @@ class AudioSpec extends AnyFunSuite {
     assert(m.samples.toSeq == s.toSeq && m.sampleRate == 8000)
   }
 
+  test("bytes after the RIFF payload (trailers) are ignored, not parsed as chunks") {
+    val s = Audio.triangleSamples(5L, 48)
+    val plain = Audio.wavBytes(s, 8000)
+    // append garbage that would fail chunk parsing — and worse, a fake
+    // 'data' chunk that would have REPLACED the real samples when the
+    // walker ran past the RIFF end
+    val fakeBody = Array.fill[Byte](4)(0x7f.toByte)
+    val bb = ByteBuffer.allocate(plain.length + 8 + fakeBody.length)
+      .order(ByteOrder.LITTLE_ENDIAN)
+    bb.put(plain)
+    bb.put("data".getBytes("US-ASCII")).putInt(fakeBody.length).put(fakeBody)
+    // RIFF size deliberately NOT patched: the trailer is outside the payload
+    val m = Audio.parseWav(bb.array())
+    assert(m.samples.toSeq == s.toSeq && m.sampleRate == 8000)
+  }
+
   test("malformed input is rejected, not garbage-decoded") {
     val good = Audio.wavBytes(Audio.triangleSamples(1L, 32), 8000)
     assert(intercept[IllegalArgumentException](
