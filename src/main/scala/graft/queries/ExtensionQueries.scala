@@ -144,6 +144,19 @@ object ExtensionQueries {
         .select($"u", $"v")
     }
 
+  /** Symmetric co-purchase adjacency cached PRE-PARTITIONED on the join
+    * key `a`, shared by q133 (pagerank) and q221 (label propagation): the
+    * cached scan reports hashpartitioning(a), so each iteration's join
+    * shuffles only the (small) per-node frame, never the edge list. */
+  private def copurchaseAdj(s: SparkSession, dir: String): DataFrame =
+    cachedFrame("copurchase_adj", s, dir, Seq("lineitem")) {
+      import s.implicits._
+      val raw = copurchaseEdges(s, dir)
+      raw.select($"u".as("a"), $"v".as("b"))
+        .unionAll(raw.select($"v".as("a"), $"u".as("b")))
+        .repartition($"a")
+    }
+
   /** Per-doc bigram counts — (doc_id, w1, w2, k) — shared by q126 (the
     * corpus bigram LM derives from it by summing out doc_id) and q132 (the
     * per-doc LM scoring): the documents explode + split + first groupBy is
@@ -389,17 +402,7 @@ object ExtensionQueries {
     // shuffle on the edge list (the scalable shape)
     "q133_pagerank" -> ((s, dir) => {
       import s.implicits._
-      // symmetric adjacency cached PRE-PARTITIONED on the join key: the
-      // cached scan reports hashpartitioning(a), so each iteration's join
-      // shuffles only the (small) rank frame, never the edge list; degrees
-      // cache too — lazily re-deriving them inside three chained iteration
-      // plans re-ran the groupBy shuffle per iteration
-      val adj = cachedFrame("copurchase_adj", s, dir, Seq("lineitem")) {
-        val raw = copurchaseEdges(s, dir)
-        raw.select($"u".as("a"), $"v".as("b"))
-          .unionAll(raw.select($"v".as("a"), $"u".as("b")))
-          .repartition($"a")
-      }
+      val adj = copurchaseAdj(s, dir)
       val deg = cachedFrame("copurchase_deg", s, dir, Seq("lineitem")) {
         adj.groupBy($"a").agg(count(lit(1)).as("d"))
       }
@@ -1241,6 +1244,144 @@ object ExtensionQueries {
         t(s, dir, "documents").filter($"source".isin("src0", "src1")),
         blockCols = Seq("source"), thresholdMicro = 50000L)
         .orderBy("source", "id_a", "id_b")
+    }),
+
+    // KMV sketch SET ALGEBRA — cross-source corpus overlap (the
+    // theta-sketch pattern): ONE bounded bottom-k pass over the corpus
+    // builds a ≤k-long sketch per source, then union / intersection /
+    // Jaccard between every source pair is computed purely on the
+    // sketches (≤2k rows per pair, independent of corpus size). Jaccard
+    // estimator: merge the two sketches, keep the union's bottom-k U,
+    // J ≈ |{h ∈ U : h ∈ A ∧ h ∈ B}| / |U|; intersection ≈ J × est(|A∪B|).
+    // md5-hashed, so DuckDB replays every estimate bit-for-bit.
+    "q219_kmv_set_ops" -> ((s, dir) => {
+      import s.implicits._
+      val k = 256
+      // distinct 3-shingles per source: enough value diversity for a real
+      // estimate (distinct TOKENS in the synthetic corpus ≈ the vocab)
+      val sh = t(s, dir, "documents")
+        .select($"source", explode(Dedup.shingles($"text")).as("sh"))
+      val hs = graft.sketch.Kmv.sketchKept(sh, "source", "sh", k)
+        .select($"source", explode($"kept").as("hv"))
+      val srcs = t(s, dir, "documents").select($"source").distinct()
+      val pairs = srcs.as("x").join(srcs.as("y"), $"x.source" < $"y.source")
+        .select($"x.source".as("a"), $"y.source".as("b"))
+      // per-pair union of two bounded sketches (broadcast the tiny pair
+      // list; the OR-join fans each sketch row to its pairs only)
+      val u0 = hs.join(broadcast(pairs),
+          $"source" === $"a" || $"source" === $"b")
+        .groupBy($"a", $"b", $"hv")
+        .agg(max(when($"source" === $"a", 1).otherwise(0)).as("ina"),
+          max(when($"source" === $"b", 1).otherwise(0)).as("inb"))
+      // bottom-k of the union — the window sorts ≤2k rows per pair, a
+      // sketch-bounded frame, never corpus-scale data
+      import org.apache.spark.sql.expressions.Window
+      val uk = u0.withColumn("rn", row_number().over(
+          Window.partitionBy($"a", $"b").orderBy($"hv")))
+        .where($"rn" <= k)
+      val agg = uk.groupBy($"a", $"b").agg(
+        count(lit(1)).as("n_union_kept"),
+        max($"hv").as("theta"),
+        sum($"ina" * $"inb").as("n_common"),
+        sum($"ina" * (lit(1) - $"inb")).as("n_only_a"),
+        sum((lit(1) - $"ina") * $"inb").as("n_only_b"))
+      val unionRaw = graft.sketch.Kmv.estimateRaw($"n_union_kept", $"theta", k)
+      agg.select($"a".as("source_a"), $"b".as("source_b"),
+          $"n_union_kept", $"n_common", $"n_only_a", $"n_only_b",
+          round(unionRaw, 6).as("union_est"),
+          expr("(1000000 * n_common) DIV n_union_kept").as("jaccard_micro"),
+          round(unionRaw * $"n_common".cast("double")
+            / $"n_union_kept".cast("double"), 6).as("inter_est"))
+        .orderBy($"source_a", $"source_b")
+    }),
+
+    // corpus-wide LINE-level dedup (the CCNet paragraph-dedup pass): docs
+    // split into consecutive 10-token pseudo-lines, every occurrence of a
+    // line after its global first (min (doc_id, idx)) is dropped — exact
+    // keep-first dedup at sub-document granularity. Scale shape: one
+    // tokenize+explode pass, one hash agg on the line hash (min-struct is
+    // map-side combinable), one equi-join back — never all-pairs, no
+    // window over the occurrence stream.
+    "q220_line_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val L = 10
+      // the house HOF rule (PLANS.md q188): bind the token array ONCE as a
+      // lambda variable — referencing an outer column inside a lambda can
+      // re-run its whole expression tree per element
+      val occ = t(s, dir, "documents")
+        .select($"source", $"doc_id",
+          TextFunctions.tokens(lower($"text")).as("tk"))
+        .select($"source", $"doc_id", explode(expr(
+          s"""transform(array(tk), tkv ->
+             |  CASE WHEN size(tkv) = 0 THEN
+             |    CAST(array() AS ARRAY<STRUCT<idx: INT, line: STRING, n_tok: INT>>)
+             |  ELSE
+             |    transform(sequence(1, CAST(ceil(size(tkv) / ${L}.0) AS INT)), i ->
+             |      struct(i AS idx,
+             |        concat_ws(' ', slice(tkv, (i - 1) * $L + 1, $L)) AS line,
+             |        size(slice(tkv, (i - 1) * $L + 1, $L)) AS n_tok))
+             |  END)[0]""".stripMargin)).as("ln"))
+        .select($"source", $"doc_id", $"ln.idx".as("idx"),
+          TextFunctions.md5Bucket60($"ln.line").as("hv"), $"ln.n_tok".as("n_tok"))
+      val first = occ.groupBy($"hv")
+        .agg(min(struct($"doc_id", $"idx")).as("f"))
+      occ.join(first, "hv")
+        .withColumn("kept",
+          ($"doc_id" === $"f.doc_id" && $"idx" === $"f.idx").cast("int"))
+        .groupBy($"source").agg(
+          countDistinct($"doc_id").as("n_docs"),
+          count(lit(1)).as("n_lines"),
+          sum($"kept").as("n_kept"),
+          sum($"n_tok").as("n_tokens"),
+          sum((lit(1) - $"kept") * $"n_tok").as("tokens_removed"))
+        .selectExpr("source", "n_docs", "n_lines", "n_kept",
+          "n_lines - n_kept AS n_removed", "n_tokens", "tokens_removed",
+          "(1000000 * tokens_removed) DIV n_tokens AS removed_ratio_micro")
+        .orderBy($"source")
+    }),
+
+    // community detection: deterministic synchronous label propagation
+    // (3 rounds, plurality-of-neighbors vote, min-label ties) over the
+    // shared co-purchase graph — splits q133's connectivity into dense
+    // communities; every iteration joins the label frame against the
+    // cached hashpartitioning(a) adjacency, so only labels shuffle
+    "q221_label_propagation" -> ((s, dir) => {
+      import s.implicits._
+      graft.cluster.LabelPropagation.run(copurchaseAdj(s, dir), iters = 3)
+        .groupBy($"lab".as("community"))
+        .agg(count(lit(1)).as("n_members"), min($"node").as("rep_node"))
+        .orderBy($"n_members".desc, $"community")
+        .limit(20)
+    }),
+
+    // CCNet-style perplexity bucketing: per-source LM-score terciles
+    // (head = most in-distribution third, tail = least) — the quality
+    // stratification step a pre-training mixture samples from. Scores are
+    // q132's integer micro-unit bigram-LM chain off the shared per-doc
+    // bigram counts; the ntile window orders a per-source SCORE frame
+    // (one row per doc), not the corpus explode.
+    "q222_perplexity_buckets" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val dbg = docBigramCounts(s, dir)
+      val c12 = dbg.groupBy($"w1", $"w2").agg(sum($"k").as("c12"))
+      val c1 = c12.groupBy($"w1").agg(sum($"c12").as("c1"))
+      val score = dbg.join(c12, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .selectExpr("doc_id", "k", "(1000000 * c12) DIV c1 AS p_micro")
+        .groupBy($"doc_id")
+        .agg(sum($"k").as("n_bigrams"), sum($"k" * $"p_micro").as("sum_p"))
+        .selectExpr("doc_id", "sum_p DIV n_bigrams AS lm_score_micro")
+      val bucketed = score
+        .join(t(s, dir, "documents").select($"doc_id", $"source"), "doc_id")
+        .withColumn("ppl_bucket", ntile(3).over(
+          Window.partitionBy($"source")
+            .orderBy($"lm_score_micro".desc, $"doc_id")).cast("long"))
+      bucketed.groupBy($"source", $"ppl_bucket").agg(
+          count(lit(1)).as("n_docs"),
+          expr("sum(lm_score_micro) DIV count(1)").as("avg_score_micro"),
+          min($"lm_score_micro").as("min_score_micro"),
+          max($"lm_score_micro").as("max_score_micro"))
+        .orderBy($"source", $"ppl_bucket")
     }),
 
     // near-dup GROUP extraction: connected components over the minhash
@@ -3777,6 +3918,91 @@ object ExtensionQueries {
          |WHERE len(list_intersect(a.sh, b.sh)) > 0 AND len(a.sh) > 0 AND len(b.sh) > 0)
          |SELECT source, id_a, id_b, containment_micro FROM p
          |WHERE containment_micro >= 50000 ORDER BY source, id_a, id_b""".stripMargin,
+    "q219_kmv_set_ops" -> {
+      val estRaw = graft.sketch.Kmv.estimateRawSql(256, "n_union_kept", "theta")
+      s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |sh0 AS (SELECT source, unnest($shinglesSql) AS sh FROM c),
+         |h0 AS (SELECT DISTINCT source, ${TextFunctions.md5Bucket60Sql("sh")} AS hv FROM sh0),
+         |r AS (SELECT source, hv, row_number() OVER (PARTITION BY source ORDER BY hv) AS rn FROM h0),
+         |ks AS (SELECT source, hv FROM r WHERE rn <= 256),
+         |s0 AS (SELECT DISTINCT source FROM documents),
+         |pr AS (SELECT x.source AS a, y.source AS b FROM s0 x JOIN s0 y ON x.source < y.source),
+         |u0 AS (SELECT pr.a, pr.b, ks.hv,
+         |         max(CASE WHEN ks.source = pr.a THEN 1 ELSE 0 END) AS ina,
+         |         max(CASE WHEN ks.source = pr.b THEN 1 ELSE 0 END) AS inb
+         |       FROM pr JOIN ks ON ks.source = pr.a OR ks.source = pr.b
+         |       GROUP BY 1, 2, 3),
+         |ru AS (SELECT a, b, hv, ina, inb,
+         |         row_number() OVER (PARTITION BY a, b ORDER BY hv) AS rn FROM u0),
+         |uk AS (SELECT a, b, hv, ina, inb FROM ru WHERE rn <= 256),
+         |ag AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_union_kept, max(hv) AS theta,
+         |         CAST(sum(ina * inb) AS BIGINT) AS n_common,
+         |         CAST(sum(ina * (1 - inb)) AS BIGINT) AS n_only_a,
+         |         CAST(sum((1 - ina) * inb) AS BIGINT) AS n_only_b
+         |       FROM uk GROUP BY 1, 2)
+         |SELECT a AS source_a, b AS source_b, n_union_kept, n_common, n_only_a, n_only_b,
+         |  round($estRaw, 6) AS union_est,
+         |  (1000000 * n_common) // n_union_kept AS jaccard_micro,
+         |  round(($estRaw) * CAST(n_common AS DOUBLE) / CAST(n_union_kept AS DOUBLE), 6) AS inter_est
+         |FROM ag ORDER BY source_a, source_b""".stripMargin
+    },
+    "q220_line_dedup" ->
+      s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |l0 AS (SELECT source, doc_id,
+         |        unnest(list_transform(generate_series(1, CAST(ceil(len(tk) / 10.0) AS BIGINT)),
+         |          i -> struct_pack(idx := i,
+         |                 line := array_to_string(list_slice(tk, (i - 1) * 10 + 1, i * 10), ' '),
+         |                 n_tok := len(list_slice(tk, (i - 1) * 10 + 1, i * 10))))) AS ln
+         |       FROM c),
+         |l AS (SELECT source, doc_id, ln.idx AS idx,
+         |        ${TextFunctions.md5Bucket60Sql("ln.line")} AS hv, ln.n_tok AS n_tok FROM l0),
+         |r AS (SELECT source, doc_id, n_tok,
+         |        row_number() OVER (PARTITION BY hv ORDER BY doc_id, idx) AS rn FROM l)
+         |SELECT source, count(DISTINCT doc_id) AS n_docs, count(*) AS n_lines,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  count(*) - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+         |  CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE n_tok END) AS BIGINT) AS tokens_removed,
+         |  (1000000 * CAST(sum(CASE WHEN rn = 1 THEN 0 ELSE n_tok END) AS BIGINT))
+         |    // CAST(sum(n_tok) AS BIGINT) AS removed_ratio_micro
+         |FROM r GROUP BY source ORDER BY source""".stripMargin,
+    "q221_label_propagation" -> {
+      val iters = (1 to 3).map { k =>
+        val prev = if (k == 1) "lab0" else s"lab${k - 1}"
+        s"""v$k AS (SELECT adj.b AS node, $prev.lab AS lab FROM adj JOIN $prev ON adj.a = $prev.node),
+           |c$k AS (SELECT node, lab, count(*) AS cnt FROM v$k GROUP BY 1, 2),
+           |lab$k AS (SELECT node, lab FROM (SELECT node, lab,
+           |          row_number() OVER (PARTITION BY node ORDER BY cnt DESC, lab) AS rn FROM c$k)
+           |        WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH po AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |raw AS (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
+         |        GROUP BY 1, 2 HAVING count(*) >= 2),
+         |adj AS (SELECT u AS a, v AS b FROM raw UNION ALL SELECT v, u FROM raw),
+         |lab0 AS (SELECT DISTINCT a AS node, a AS lab FROM adj),
+         |$iters
+         |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members, min(node) AS rep_node
+         |FROM lab3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+    },
+    "q222_perplexity_buckets" ->
+      s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
+         |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
+         |          i -> array_to_string(list_slice(tk, i, i+1), ' '))) AS bg FROM c),
+         |w AS (SELECT doc_id, string_split(bg, ' ')[1] AS w1, string_split(bg, ' ')[2] AS w2 FROM bg0),
+         |c12 AS (SELECT w1, w2, count(*) AS c12 FROM w GROUP BY 1, 2),
+         |c1 AS (SELECT w1, count(*) AS c1 FROM w GROUP BY 1),
+         |j AS (SELECT w.doc_id, (1000000 * c12.c12) // c1.c1 AS p_micro
+         |      FROM w JOIN c12 USING (w1, w2) JOIN c1 USING (w1)),
+         |sc AS (SELECT doc_id, CAST(sum(p_micro) AS BIGINT) // count(*) AS lm_score_micro
+         |       FROM j GROUP BY 1),
+         |b AS (SELECT d.source, sc.doc_id, sc.lm_score_micro,
+         |        CAST(ntile(3) OVER (PARTITION BY d.source
+         |          ORDER BY sc.lm_score_micro DESC, sc.doc_id) AS BIGINT) AS ppl_bucket
+         |      FROM sc JOIN documents d USING (doc_id))
+         |SELECT source, ppl_bucket, count(*) AS n_docs,
+         |  CAST(sum(lm_score_micro) AS BIGINT) // count(*) AS avg_score_micro,
+         |  min(lm_score_micro) AS min_score_micro, max(lm_score_micro) AS max_score_micro
+         |FROM b GROUP BY 1, 2 ORDER BY source, ppl_bucket""".stripMargin,
     "q37_dedup_simhash" -> simhashOracle,
     "q68_simhash_neardups" -> simhashNearDupsOracle,
     "q38_dedup_embedding" ->

@@ -85,13 +85,55 @@ object Kmv {
       .toDF(keyCol, "n_kept", "kth_hash")
   }
 
+  /** Full bottom-k sketch per group — `(key, kept)` with `kept` the
+    * ascending array of the k smallest distinct 60-bit hashes. Same
+    * bounded two-level aggregation as [[sketchState]], but the whole
+    * sketch survives, so SET ALGEBRA over groups (union / intersection /
+    * Jaccard between sketches) runs on ≤ k longs per group — the
+    * theta-sketch trick: after this one corpus-scale pass, cross-group
+    * overlap math is independent of the data volume. */
+  def sketchKept(df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    val s = df.sparkSession
+    import s.implicits._
+    df.filter(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"),
+        TextFunctions.md5Bucket60(col(valueCol).cast("string")).as("hv"))
+      .as[(String, Long)]
+      .mapPartitions { it =>
+        val acc = scala.collection.mutable.HashMap
+          .empty[String, java.util.TreeSet[java.lang.Long]]
+        it.foreach { case (key, hv) =>
+          val set = acc.getOrElseUpdate(key, new java.util.TreeSet[java.lang.Long]())
+          set.add(hv)
+          if (set.size > k) set.pollLast()
+        }
+        acc.iterator.map { case (key, set) =>
+          (key, set.iterator.asScala.map(_.longValue).toArray)
+        }
+      }
+      .groupByKey(_._1)
+      .mapGroups { (key, it) =>
+        val set = new java.util.TreeSet[java.lang.Long]()
+        it.foreach(p => mergeKept(set, p._2, k))
+        (key, set.iterator.asScala.map(_.longValue).toArray)
+      }
+      .toDF(keyCol, "kept")
+  }
+
   /** The estimate column for a sketch-state frame: exact `n_kept` below
     * capacity, else (k-1)·2^60 / kth_hash. The arithmetic is spelled
     * operand-for-operand like its DuckDB twin ([[estimateSql]]) so both
     * engines produce the same IEEE double. */
   def estimate(nKept: Column, kthHash: Column, k: Int): Column =
-    round(when(nKept < k, nKept.cast("double"))
-      .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / kthHash.cast("double")), 6)
+    round(estimateRaw(nKept, kthHash, k), 6)
+
+  /** [[estimate]] WITHOUT the display rounding — for derived quantities
+    * (e.g. intersection = union_est × jaccard) that must round once, at
+    * the end, identically in both engines. */
+  def estimateRaw(nKept: Column, kthHash: Column, k: Int): Column =
+    when(nKept < k, nKept.cast("double"))
+      .otherwise(lit((k - 1).toDouble) * lit(HashSpace) / kthHash.cast("double"))
 
   /** DuckDB twin of the full sketch over `valueSql` grouped by `keySql` —
     * distinct hashes ranked per key, bottom-k aggregated, same estimate
@@ -106,6 +148,11 @@ object Kmv {
 
   /** DuckDB twin of [[estimate]]. */
   def estimateSql(k: Int): String =
-    s"round(CASE WHEN n_kept < $k THEN CAST(n_kept AS DOUBLE) " +
-      s"ELSE CAST(${(k - 1).toDouble} AS DOUBLE) * CAST($HashSpace AS DOUBLE) / CAST(kth_hash AS DOUBLE) END, 6)"
+    s"round(${estimateRawSql(k)}, 6)"
+
+  /** DuckDB twin of [[estimateRaw]] (expects `n_kept` / `kth_hash`
+    * columns in scope; override the names via the parameters). */
+  def estimateRawSql(k: Int, nKept: String = "n_kept", kthHash: String = "kth_hash"): String =
+    s"CASE WHEN $nKept < $k THEN CAST($nKept AS DOUBLE) " +
+      s"ELSE CAST(${(k - 1).toDouble} AS DOUBLE) * CAST($HashSpace AS DOUBLE) / CAST($kthHash AS DOUBLE) END"
 }

@@ -70,4 +70,31 @@ class KmvSpec extends SparkSpec {
     val expect = (a ++ b).distinct.sorted.take(k).toSeq
     assert(merged == expect)
   }
+
+  test("sketchKept: ascending, bounded by k, consistent with sketchState") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (s"g${i % 3}", s"value-$i")).toDF("k", "v")
+    val kept = Kmv.sketchKept(df, "k", "v", k = 32).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val state = Kmv.sketchState(df, "k", "v", k = 32).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    assert(kept.keySet == state.keySet && kept.size == 3)
+    kept.foreach { case (g, arr) =>
+      assert(arr.length <= 32 && arr == arr.sorted, s"$g not ascending-bounded")
+      assert(arr.length.toLong == state(g)._1, s"$g n_kept drift")
+      assert(arr.last == state(g)._2, s"$g kth_hash drift")
+    }
+  }
+
+  test("sketchKept of identical value sets is identical (set-op ground truth)") {
+    import spark.implicits._
+    // two keys over the SAME value set → byte-identical sketches, so the
+    // q219 pair algebra would report full overlap (n_common == |union-k|)
+    val vals = (1 to 500).map(i => s"shingle-$i")
+    val df = (vals.map(("a", _)) ++ vals.map(("b", _))).toDF("k", "v")
+    val kept = Kmv.sketchKept(df, "k", "v", k = 64).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+    assert(kept("a") == kept("b"))
+    assert(kept("a").length == 64)
+  }
 }
