@@ -208,6 +208,7 @@ object ExtensionQueries {
     minhashCands(s, dir)
     ringDensity(s, dir)
     copurchaseEdges(s, dir)
+    copurchaseAdj(s, dir)
     copurchaseOriented(s, dir)
     docBigramCounts(s, dir)
     IndexQueries.q161Shingles(s, dir)
@@ -1382,6 +1383,67 @@ object ExtensionQueries {
           min($"lm_score_micro").as("min_score_micro"),
           max($"lm_score_micro").as("max_score_micro"))
         .orderBy($"source", $"ppl_bucket")
+    }),
+
+    // LEAKAGE-SAFE train/val/test split: the split key is the near-dup
+    // GROUP id (CC component min over the shared minhash candidate graph),
+    // not the doc id — so two near-duplicate documents can never land in
+    // different splits (the eval-contamination failure mode of naive
+    // per-doc hashing). 80/10/10 by salted md5 of the group id; one CC
+    // pass + one hash agg, all shared frames cached.
+    "q223_group_split" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val cc = graft.cluster.ConnectedComponents.run(
+        minhashCands(s, dir).select($"id_a".as("src"), $"id_b".as("dst")))
+      val g = docs.select($"doc_id", $"source",
+          TextFunctions.tokenCount($"text").cast("long").as("n_tokens"))
+        .join(cc.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left_outer")
+        .select($"doc_id", $"source", $"n_tokens",
+          coalesce($"component", $"doc_id").as("group_id"))
+      val bk = TextFunctions.md5Bucket16($"group_id".cast("string"), "split223|") % 100
+      g.withColumn("split",
+          when(bk < 80, "train").when(bk < 90, "val").otherwise("test"))
+        .groupBy($"split", $"source").agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct($"group_id").as("n_groups"),
+          sum($"n_tokens").as("n_tokens"))
+        .orderBy($"split", $"source")
+    }),
+
+    // contrastive training-pair mining: (anchor, positive) from the minhash
+    // candidate graph rescored by exact Jaccard (≥ 0.2), negative drawn
+    // deterministically per anchor — salted md5 of the anchor picks a
+    // global doc RANK, ranks come from the bucketed prefix-sum
+    // (Sharding.withTokenOffsets with weight 1), NOT a single-partition
+    // row_number window; self/positive collisions are dropped. Everything
+    // is md5-derived, so the oracle replays the sampling exactly.
+    "q224_contrastive_pairs" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents")
+      val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
+      val pos = minhashCands(s, dir)
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        .withColumn("uni", (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
+        .selectExpr("id_a AS anchor", "id_b AS positive",
+          "(1000000 * inter) DIV uni AS pos_jaccard_micro")
+        .where($"pos_jaccard_micro" >= 200000L)
+      // global doc ranks WITHOUT a global window: exclusive running count
+      // of earlier doc_ids via the bucketed parallel prefix-sum
+      val ranks = graft.operators.Sharding.withTokenOffsets(
+          docs.select($"doc_id").withColumn("one", lit(1L)), "one", "doc_id")
+        .select($"doc_id".as("negative"), ($"tok_start" + 1L).as("neg_rk"))
+      val n = broadcast(docs.agg(count(lit(1)).as("n")))
+      pos.crossJoin(n)
+        .withColumn("neg_rk",
+          (TextFunctions.md5Bucket60(
+            concat(lit("neg|"), $"anchor".cast("string"))) % $"n") + 1L)
+        .join(ranks, "neg_rk")
+        .where($"negative" =!= $"anchor" && $"negative" =!= $"positive")
+        .select($"anchor", $"positive", $"negative", $"pos_jaccard_micro")
+        .orderBy($"anchor", $"positive")
     }),
 
     // near-dup GROUP extraction: connected components over the minhash
@@ -3984,6 +4046,36 @@ object ExtensionQueries {
          |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members, min(node) AS rep_node
          |FROM lab3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20""".stripMargin
     },
+    "q223_group_split" ->
+      s"""WITH RECURSIVE $componentsCtes,
+         |g AS (SELECT d.doc_id, d.source, len($toksSql) AS n_tokens,
+         |        coalesce(c.component, d.doc_id) AS group_id
+         |      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id),
+         |b AS (SELECT source, group_id, n_tokens,
+         |        ${TextFunctions.md5Bucket16Sql("CAST(group_id AS VARCHAR)", "split223|")} % 100 AS bk
+         |      FROM g)
+         |SELECT CASE WHEN bk < 80 THEN 'train' WHEN bk < 90 THEN 'val' ELSE 'test' END AS split,
+         |  source, count(*) AS n_docs, count(DISTINCT group_id) AS n_groups,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM b GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+    "q224_contrastive_pairs" ->
+      s"""WITH $minhashCandCtes,
+         |pos AS (SELECT c.id_a AS anchor, c.id_b AS positive,
+         |          (1000000 * len(list_intersect(sa.sh, sb.sh)))
+         |            // (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS pos_jaccard_micro
+         |        FROM cand c
+         |        JOIN shg sa ON sa.doc_id = c.id_a
+         |        JOIN shg sb ON sb.doc_id = c.id_b),
+         |posf AS (SELECT * FROM pos WHERE pos_jaccard_micro >= 200000),
+         |r AS (SELECT doc_id AS negative, row_number() OVER (ORDER BY doc_id) AS neg_rk FROM documents),
+         |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |w AS (SELECT posf.anchor, posf.positive, posf.pos_jaccard_micro,
+         |        (${TextFunctions.md5Bucket60Sql("'neg|' || CAST(posf.anchor AS VARCHAR)")} % n.n) + 1 AS neg_rk
+         |      FROM posf, n)
+         |SELECT w.anchor, w.positive, r.negative, w.pos_jaccard_micro
+         |FROM w JOIN r USING (neg_rk)
+         |WHERE r.negative != w.anchor AND r.negative != w.positive
+         |ORDER BY anchor, positive""".stripMargin,
     "q222_perplexity_buckets" ->
       s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),

@@ -58,6 +58,34 @@ class Round9QueriesSpec extends SparkSpec {
     }
   }
 
+  test("q223: split cells partition the corpus; groups never out-count docs") {
+    val rows = run("q223_group_split").collect()
+    assert(rows.nonEmpty)
+    val splits = rows.map(_.getAs[String]("split")).toSet
+    assert(splits.subsetOf(Set("train", "val", "test")), s"bad splits: $splits")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_groups") <= r.getAs[Long]("n_docs"), s"groups>docs: $r")
+    }
+    val totalDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    val expect = spark.read.parquet(s"$sf/documents.parquet").count()
+    assert(totalDocs == expect, s"split cells lose docs: $totalDocs != $expect")
+  }
+
+  test("q224: negatives are deterministic per anchor and never collide") {
+    val rows = run("q224_contrastive_pairs").collect()
+    rows.foreach { r =>
+      val (a, p, n) = (r.getAs[Long]("anchor"), r.getAs[Long]("positive"),
+        r.getAs[Long]("negative"))
+      assert(n != a && n != p, s"negative collides: $r")
+      assert(r.getAs[Long]("pos_jaccard_micro") >= 200000L, s"weak positive: $r")
+    }
+    // the negative is a function of the anchor alone
+    rows.groupBy(_.getAs[Long]("anchor")).foreach { case (a, rs) =>
+      assert(rs.map(_.getAs[Long]("negative")).distinct.length == 1,
+        s"anchor $a has multiple negatives")
+    }
+  }
+
   test("q222: per-source terciles are balanced and score-ordered") {
     val rows = run("q222_perplexity_buckets").collect()
     assert(rows.nonEmpty)
