@@ -416,4 +416,40 @@ object Dedup {
   }
 
   def hamming64(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    * local-fingerprinting scheme): hash every k-token gram, slide a window
+    * of `w` consecutive gram hashes, select each window's minimum, emit
+    * the distinct selected hashes as the document's fingerprint set.
+    *
+    * THE guarantee (what plain "sample every w-th shingle" lacks): any
+    * shared token run of length ≥ k + w − 1 between two documents yields
+    * at least one SHARED fingerprint — detection is position-independent
+    * and deterministic, with expected density ~2/(w+1) of the grams.
+    *
+    * Scale shape: fingerprint extraction is a pure map-side HOF pass (the
+    * token/gram-hash arrays are bound ONCE as lambda variables — the
+    * PLANS.md q188 rule), so the corpus scan emits ~2/(w+1) of its grams;
+    * overlap detection downstream is an equi-join on the fingerprint
+    * hash, never all-pairs.
+    *
+    * Output: input columns minus `textCol`, plus one `fp` long per
+    * distinct selected hash (docs shorter than k+w−1 tokens emit none). */
+  def winnowingFingerprints(df: DataFrame, textCol: String = "text",
+                            k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1, s"winnowing needs k,w >= 1, got k=$k w=$w")
+    val minTok = k + w - 1
+    // md5Bucket60 spelled as SQL so it lives inside the lambda: the same
+    // 60-bit hash every oracle replays
+    val fpArr = expr(
+      s"""transform(array(filter(split(lower(`$textCol`), ' '), t -> t != '')), tkv ->
+         |  CASE WHEN size(tkv) < $minTok THEN CAST(array() AS ARRAY<BIGINT>)
+         |  ELSE array_distinct(
+         |    transform(array(transform(sequence(1, size(tkv) - ${k - 1}), i ->
+         |        CAST(conv(substring(md5(CAST(concat_ws(' ', slice(tkv, i, $k)) AS BINARY)), 1, 15), 16, 10) AS BIGINT))), hsv ->
+         |      transform(sequence(1, size(hsv) - ${w - 1}), j -> array_min(slice(hsv, j, $w))))[0])
+         |  END)[0]""".stripMargin)
+    df.withColumn("__fps", fpArr).drop(textCol)
+      .withColumn("fp", explode(col("__fps"))).drop("__fps")
+  }
 }

@@ -1446,6 +1446,26 @@ object ExtensionQueries {
         .orderBy($"anchor", $"positive")
     }),
 
+    // WINNOWING overlap detection (the MOSS fingerprinting scheme):
+    // window-min selection over k-gram hashes guarantees any shared run of
+    // ≥ k+w-1 tokens yields a shared fingerprint, at ~2/(w+1) the density
+    // of full shingling. Pairing is a source-blocked equi-join on the
+    // fingerprint hash (the q36/q218 blocking pattern) — never all-pairs.
+    "q225_winnowing" -> ((s, dir) => {
+      import s.implicits._
+      // k=3 matches the house 3-shingle grain; w=5 → guarantee on runs ≥ 7
+      val fps = Dedup.winnowingFingerprints(
+        t(s, dir, "documents").select($"source", $"doc_id", $"text"),
+        k = 3, w = 5)
+      val a = fps.toDF("source", "id_a", "fp")
+      val b = fps.toDF("source", "id_b", "fp")
+      a.join(b, Seq("source", "fp")).where($"id_a" < $"id_b")
+        .groupBy($"source", $"id_a", $"id_b")
+        // fp is distinct per doc, so count(*) = #shared distinct fingerprints
+        .agg(count(lit(1)).as("n_shared_fp"))
+        .orderBy($"source", $"id_a", $"id_b")
+    }),
+
     // near-dup GROUP extraction: connected components over the minhash
     // candidate graph → canonical keep-doc per group (the step after
     // pairwise candidates in a real dedup pipeline)
@@ -4076,6 +4096,21 @@ object ExtensionQueries {
          |FROM w JOIN r USING (neg_rk)
          |WHERE r.negative != w.anchor AND r.negative != w.positive
          |ORDER BY anchor, positive""".stripMargin,
+    "q225_winnowing" ->
+      s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |hs AS (SELECT source, doc_id,
+         |        list_transform(generate_series(1, greatest(len(tk) - 2, 0)),
+         |          i -> ${TextFunctions.md5Bucket60Sql("array_to_string(list_slice(tk, i, i + 2), ' ')")}) AS hsv
+         |       FROM c),
+         |fp0 AS (SELECT source, doc_id,
+         |         CASE WHEN len(hsv) < 5 THEN CAST([] AS BIGINT[]) ELSE list_distinct(
+         |           list_transform(generate_series(1, len(hsv) - 4),
+         |             j -> list_min(list_slice(hsv, j, j + 4)))) END AS fps
+         |        FROM hs),
+         |f AS (SELECT source, doc_id, unnest(fps) AS fp FROM fp0)
+         |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fp
+         |FROM f a JOIN f b ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id
+         |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "q222_perplexity_buckets" ->
       s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
