@@ -144,6 +144,25 @@ object ExtensionQueries {
         .select($"u", $"v")
     }
 
+  /** Exact-Jaccard rescore of the shared minhash candidate pairs —
+    * (id_a, id_b, inter, uni, jac_micro) — shared by q145 (estimator
+    * calibration: joins the signatures back on) and q224 (contrastive
+    * positives: filters jac_micro): the per-doc shingle-array build and
+    * the double candidate join were the dominant repeat work of both. */
+  private def candJaccard(s: SparkSession, dir: String): DataFrame =
+    cachedFrame("cand_jaccard", s, dir, Seq("documents")) {
+      import s.implicits._
+      val sh = t(s, dir, "documents")
+        .select($"doc_id", Dedup.shingles($"text").as("sh"))
+      minhashCands(s, dir)
+        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
+        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
+        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
+        .withColumn("uni", (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
+        .selectExpr("id_a", "id_b", "inter", "uni",
+          "(1000000 * inter) DIV uni AS jac_micro")
+    }
+
   /** Symmetric co-purchase adjacency cached PRE-PARTITIONED on the join
     * key `a`, shared by q133 (pagerank) and q221 (label propagation): the
     * cached scan reports hashpartitioning(a), so each iteration's join
@@ -206,6 +225,7 @@ object ExtensionQueries {
     shingleMd5(s, dir)
     minhashSigs(s, dir)
     minhashCands(s, dir)
+    candJaccard(s, dir)
     ringDensity(s, dir)
     copurchaseEdges(s, dir)
     copurchaseAdj(s, dir)
@@ -933,23 +953,17 @@ object ExtensionQueries {
     // session-cached band join, never all pairs.
     "q145_minhash_est" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
       val sigs = minhashSigs(s, dir)
       val sa = sigs.toDF("id_a" +: (0 until 8).map(k => s"a$k"): _*)
       val sb = sigs.toDF("id_b" +: (0 until 8).map(k => s"b$k"): _*)
-      val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
-      minhashCands(s, dir)
+      // exact-Jaccard leg comes from the shared rescored-candidate cache
+      candJaccard(s, dir)
         .join(sa, "id_a").join(sb, "id_b")
-        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
-        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
         .withColumn("matches",
           (0 until 8).map(k => when(col(s"a$k") === col(s"b$k"), 1L).otherwise(0L))
             .reduce(_ + _))
-        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
-        .withColumn("uni", (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
         .selectExpr("id_a", "id_b",
-          "(1000000 * matches) DIV 8 AS est_micro",
-          "(1000000 * inter) DIV uni AS jac_micro")
+          "(1000000 * matches) DIV 8 AS est_micro", "jac_micro")
         .withColumn("abs_err_micro", abs($"est_micro" - $"jac_micro"))
         .orderBy($"id_a", $"id_b")
     }),
@@ -1421,14 +1435,10 @@ object ExtensionQueries {
     "q224_contrastive_pairs" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
-      val sh = docs.select($"doc_id", Dedup.shingles($"text").as("sh"))
-      val pos = minhashCands(s, dir)
-        .join(sh.select($"doc_id".as("id_a"), $"sh".as("sh_a")), "id_a")
-        .join(sh.select($"doc_id".as("id_b"), $"sh".as("sh_b")), "id_b")
-        .withColumn("inter", size(array_intersect($"sh_a", $"sh_b")).cast("long"))
-        .withColumn("uni", (size($"sh_a") + size($"sh_b")).cast("long") - $"inter")
+      // positives off the shared rescored-candidate cache (the q145 frame)
+      val pos = candJaccard(s, dir)
         .selectExpr("id_a AS anchor", "id_b AS positive",
-          "(1000000 * inter) DIV uni AS pos_jaccard_micro")
+          "jac_micro AS pos_jaccard_micro")
         .where($"pos_jaccard_micro" >= 200000L)
       // global doc ranks WITHOUT a global window: exclusive running count
       // of earlier doc_ids via the bucketed parallel prefix-sum
