@@ -1272,11 +1272,17 @@ object ExtensionQueries {
     "q219_kmv_set_ops" -> ((s, dir) => {
       import s.implicits._
       val k = 256
-      // distinct 3-shingles per source: enough value diversity for a real
-      // estimate (distinct TOKENS in the synthetic corpus ≈ the vocab)
-      val sh = t(s, dir, "documents")
-        .select($"source", explode(Dedup.shingles($"text")).as("sh"))
-      val hs = graft.sketch.Kmv.sketchKept(sh, "source", "sh", k)
+      // distinct 3-shingles per source (enough value diversity for a real
+      // estimate — distinct TOKENS in the synthetic corpus ≈ the vocab),
+      // hashed off the SHARED md5-shingle cache: the stored hex IS the md5
+      // that md5Bucket60 slices, so the sketch input needs no re-tokenize
+      // and no re-hash — just conv(substring(bh, 1, 15)) plus a broadcast
+      // doc_id→source map join
+      val hashed = shingleMd5(s, dir)
+        .join(broadcast(t(s, dir, "documents").select($"doc_id", $"source")), "doc_id")
+        .select($"source",
+          expr("CAST(conv(substring(bh, 1, 15), 16, 10) AS BIGINT)").as("hv"))
+      val hs = graft.sketch.Kmv.sketchKeptHashed(hashed, "source", "hv", k)
         .select($"source", explode($"kept").as("hv"))
       val srcs = t(s, dir, "documents").select($"source").distinct()
       val pairs = srcs.as("x").join(srcs.as("y"), $"x.source" < $"y.source")

@@ -92,13 +92,22 @@ object Kmv {
     * Jaccard between sketches) runs on ≤ k longs per group — the
     * theta-sketch trick: after this one corpus-scale pass, cross-group
     * overlap math is independent of the data volume. */
-  def sketchKept(df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame = {
+  def sketchKept(df: DataFrame, keyCol: String, valueCol: String, k: Int): DataFrame =
+    sketchKeptHashed(
+      df.filter(col(valueCol).isNotNull)
+        .select(col(keyCol),
+          TextFunctions.md5Bucket60(col(valueCol).cast("string")).as("__hv")),
+      keyCol, "__hv", k)
+
+  /** [[sketchKept]] over PRE-HASHED values — for callers that already
+    * carry the 60-bit hash (e.g. a cached md5-shingle frame, where the
+    * hash is `conv(substring(bh, 1, 15), 16, 10)` of the stored hex):
+    * skips the re-tokenize + re-md5 pass entirely. */
+  def sketchKeptHashed(df: DataFrame, keyCol: String, hvCol: String, k: Int): DataFrame = {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val s = df.sparkSession
     import s.implicits._
-    df.filter(col(valueCol).isNotNull)
-      .select(col(keyCol).cast("string").as("key"),
-        TextFunctions.md5Bucket60(col(valueCol).cast("string")).as("hv"))
+    df.select(col(keyCol).cast("string").as("key"), col(hvCol).cast("long").as("hv"))
       .as[(String, Long)]
       .mapPartitions { it =>
         val acc = scala.collection.mutable.HashMap
