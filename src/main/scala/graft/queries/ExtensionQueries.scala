@@ -2887,6 +2887,31 @@ object ExtensionQueries {
     // capability q28 covers in batch). Inner joins emit eagerly on match,
     // so the result set is content-defined and equals the batch BETWEEN
     // join regardless of batching.
+    // CHAINED stateful operators in ONE streaming query (the Spark 3.4+
+    // multi-stateful-operator capability): the q64 stream-stream interval
+    // join feeds a windowed aggregation downstream — two state stores,
+    // one watermark chain, append output flushed by no-data batches. The
+    // batch twin replays join + epoch-hour floor.
+    "q226_stream_multi_stateful" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      StreamScaffold.runStagedStream(s, "q226", dir, src, noDataBatches = true) { mk =>
+        val ev = mk().select($"user_id", $"event_id", $"event_type",
+            expr("timestamp_micros(ts DIV 1000)").as("ts"))
+          .withWatermark("ts", "10 seconds")
+        val pur = mk().where($"event_type" === "purchase")
+          .select($"user_id".as("p_user"), $"event_id".as("p_id"),
+            expr("timestamp_micros(ts DIV 1000)").as("pts"))
+          .withWatermark("pts", "10 seconds")
+        ev.join(pur, expr(
+            "user_id = p_user AND ts >= pts AND ts <= pts + interval 1 hour"))
+          .groupBy(window($"pts", "1 hour"), $"event_type")
+          .agg(count(lit(1)).as("n"))
+          .select(unix_micros(col("window.start")).as("ws_us"), $"event_type", $"n")
+      }.orderBy($"ws_us", $"event_type")
+    }),
+
     "q64_stream_join" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4324,6 +4349,21 @@ object ExtensionQueries {
         |FROM tl GROUP BY 1 ORDER BY 1""".stripMargin,
     "q63_stream_dedup" ->
       """SELECT DISTINCT user_id, event_id % 97 AS bucket FROM events ORDER BY 1, 2""",
+    // the window filter replays Spark's PER-OPERATOR watermark propagation
+    // (the 3.4+ multi-stateful rule): the aggregate sits downstream of a
+    // time-interval join whose condition admits matches up to 1 h behind
+    // the global watermark, so its effective watermark is
+    // (max ts − 10 s delay) − 1 h interval bound — windows ending after
+    // that stay in state (verified row-exact against the engine)
+    "q226_stream_multi_stateful" ->
+      """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
+        |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'),
+        |wm AS (SELECT max(us) - 10000000 - 3600000000 AS w FROM e),
+        |j AS (SELECT e.event_type, p.p_us
+        |      FROM p JOIN e ON p.user_id = e.user_id AND e.us >= p.p_us AND e.us <= p.p_us + 3600000000)
+        |SELECT (p_us // 3600000000) * 3600000000 AS ws_us, event_type, CAST(count(*) AS BIGINT) AS n
+        |FROM j, wm WHERE (p_us // 3600000000) * 3600000000 + 3600000000 <= wm.w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q64_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
         |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase')
