@@ -169,10 +169,12 @@ object Bench {
       .mkString("{", ",", "}")
     // `_staging` first: the warm phase's own footprint, kept out of every
     // query's numbers. NOTE on reading runMs: it is TASK time summed across
-    // all executor threads (local[32]), so a parallelism-heavy query's
-    // runMs legitimately exceeds its wall seconds by up to the thread
-    // count — compare runMs against cpuMs for contention, against the
-    // queries map for wall.
+    // all executor threads (local[$SPARK_GRAFT_CPUS], 32 in driver runs),
+    // so a parallelism-heavy query's runMs legitimately exceeds its wall
+    // seconds by up to THAT CONFIGURED thread count — on a default
+    // local[4] run an 8×+ ratio signals contention, not parallelism.
+    // Compare runMs against cpuMs for contention, against the queries map
+    // for wall.
     val stagingJson =
       s"\"_staging\":{\"actions\":${stagingRecs.size}," +
         s"\"scans\":${stagingRecs.map(_.nFileScans).sum}," +

@@ -67,12 +67,24 @@ object Tables {
     * catch it later. Sample one non-null ts and require it inside the
     * plausible nanosecond epoch range: ≥1e17 ns ≈ 1973 — any µs (or ms)
     * value stays below 1e17 until year ~5138, so unit drift fails HERE
-    * with one message. Memoized per (session, path) so the probe action
-    * runs once, not per read. */
+    * with one message. Memoized per (path, len:mtime signature) so the
+    * probe action runs once per SOURCE STATE — a testdata regeneration at
+    * the same path changes the signature and re-arms the gate (a
+    * session-keyed memo would skip it in exactly the drift scenario the
+    * gate exists to catch). */
   private val eventsTsUnitChecked =
     scala.collection.concurrent.TrieMap.empty[String, Unit]
   def requireEventsTsUnit(df: DataFrame, path: String): Unit = {
-    val key = System.identityHashCode(df.sparkSession).toHexString + "|" + path
+    val key = try {
+      val p = new org.apache.hadoop.fs.Path(path)
+      val st = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+        .getFileStatus(p)
+      s"$path|${st.getLen}:${st.getModificationTime}"
+    } catch {
+      // a synthetic frame with no backing file (spec fixtures) has no
+      // staleness to track — memoize on the bare path
+      case _: java.io.FileNotFoundException => path
+    }
     eventsTsUnitChecked.getOrElseUpdate(key, {
       df.select(col("ts")).where(col("ts").isNotNull).limit(1)
         .collect().headOption.foreach { r =>
@@ -126,7 +138,17 @@ object Tables {
     * runs over different sf dirs never clobber each other's artifacts.
     * Oracle SQL embeds the literal `__SFTAG__` token in scratch paths;
     * Verify substitutes this tag when dumping oracle_sql.json. */
-  def sfTag(sfDir: String): String = sfDir.replaceAll("[^A-Za-z0-9]+", "_")
+  /** Injective path→identifier encoding: ASCII alphanumerics pass through,
+    * every other char becomes a fixed-width `_XXXX` hex escape — two
+    * distinct sf dirs can NEVER alias to one scratch/checkpoint namespace
+    * (the old collapse-runs-to-_ mapping sent e.g. `sf0.1` and `sf0_1` to
+    * the same tag, silently sharing exactly-once sink logs and staged
+    * markers between scales). Output stays a valid SQL identifier tail. */
+  def sfTag(sfDir: String): String = sfDir.flatMap {
+    case c if (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') ||
+      (c >= '0' && c <= '9') => c.toString
+    case c => f"_${c.toInt}%04x"
+  }
   val SfTagToken = "__SFTAG__"
 
   /** Scratch parquet shared between a Spark query run and its DuckDB
@@ -167,6 +189,16 @@ object Tables {
       val in = fs.open(marker)
       try in.readFully(buf) finally in.close()
       new String(buf, java.nio.charset.StandardCharsets.UTF_8) == sig
+    } && {
+      // the marker alone is not proof the data survived: scratch lives in
+      // java.io.tmpdir, and an age-based sweeper can reap the part files
+      // while the recently-rewritten marker stays — require at least one
+      // non-underscore data entry (file, or directory for partitioned
+      // stagings) next to the marker before trusting it
+      fs.listStatus(dst).exists { f =>
+        !f.getPath.getName.startsWith("_") &&
+          (f.isDirectory || f.getLen > 0)
+      }
     }
     if (!fresh) {
       write

@@ -78,14 +78,9 @@ private[graft] object StreamScaffold {
       val ps = sfs.getFileStatus(p)
       s"${p.getName}=${ps.getLen}:${ps.getModificationTime}"
     }.mkString(";")
-    val done = new org.apache.hadoop.fs.Path(dir, "_staged")
-    val fresh = fs.exists(done) && {
-      val buf = new Array[Byte](fs.getFileStatus(done).getLen.toInt)
-      val in = fs.open(done)
-      try in.readFully(buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8) == sig
-    }
-    if (!fresh) {
+    // marker protocol (sig compare + swept-parts presence check) lives in
+    // ONE place — Tables.stageOnce — not a second hand-rolled copy here
+    Tables.stageOnce(s, dir, sig) {
       fs.delete(dst, true)
       fs.mkdirs(dst)
       parts.zipWithIndex.foreach { case (p, i) =>
@@ -94,9 +89,6 @@ private[graft] object StreamScaffold {
           new org.apache.hadoop.fs.Path(f"$dir/part_$i%05d.parquet"),
           false, hconf)
       }
-      val out = fs.create(done, true)
-      try out.write(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
     }
     dir
   }
@@ -110,42 +102,61 @@ private[graft] object StreamScaffold {
     * those rows happens in the empty batch that follows (q163). Inner
     * joins / dedup / TTL snapshots emit in the data batch, so the default
     * keeps the cheaper no-trailing-batch profile. */
-  def runStagedStream(s: SparkSession, name: String, sfDir: String,
-                      srcDir: String, noDataBatches: Boolean = false)
-                     (build: (() => DataFrame) => DataFrame): DataFrame = {
+  /** The ONE stream-run harness both run modes go through: sink +
+    * checkpoint hygiene (fresh dirs — the file sink's exactly-once
+    * bookkeeping would otherwise double-count across runs), gate-scale
+    * conf pins (shuffle/state partitions, no-data micro-batches) with
+    * restore, and the bounded await. A tuning applied here can never
+    * silently miss one of the two modes (they had already drifted once:
+    * only the append path pinned the no-data-batch conf). */
+  private def runHarness(s: SparkSession, name: String, sfDir: String,
+                         noDataBatches: Boolean)
+                        (start: (String, String) => org.apache.spark.sql.streaming.StreamingQuery)
+      : (String, org.apache.spark.sql.streaming.StreamingQuery) = {
     val tag = Tables.sfTag(sfDir)
     val (out, chk) = (tmpPath(s"graft_${name}_out_$tag"), tmpPath(s"graft_${name}_chk_$tag"))
     val fs = new org.apache.hadoop.fs.Path(out)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    // fresh sink + checkpoint: the file sink's exactly-once bookkeeping
-    // would otherwise double-count across runs
     Seq(out, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
-    val schema = s.read.parquet(srcDir).schema
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val prevNoData = s.conf.get("spark.sql.streaming.noDataMicroBatches.enabled", "true")
     s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
     s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", noDataBatches.toString)
     try {
+      val q = start(out, chk)
+      if (!q.awaitTermination(AwaitTimeoutMs))
+        { q.stop(); sys.error(s"stream $name did not terminate within ${AwaitTimeoutMs} ms") }
+      (out, q)
+    } finally {
+      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
+    }
+  }
+
+  def runStagedStream(s: SparkSession, name: String, sfDir: String,
+                      srcDir: String, noDataBatches: Boolean = false)
+                     (build: (() => DataFrame) => DataFrame): DataFrame = {
+    val schema = s.read.parquet(srcDir).schema
+    val (out, q) = runHarness(s, name, sfDir, noDataBatches) { (out, chk) =>
       // staged copies are raw file copies, so their ts encoding is whatever
       // the testdata shipped — restore the long-nanos contract on the stream
       // exactly like Tables.table does for batch reads
-      val q = build(() => Tables.normalizeEventsTs(s.readStream.schema(schema)
+      build(() => Tables.normalizeEventsTs(s.readStream.schema(schema)
           .option("maxFilesPerTrigger", Int.MaxValue.toString).parquet(srcDir)))
         .writeStream.format("parquet")
         .option("path", out).option("checkpointLocation", chk)
         .outputMode("append")
         .trigger(Trigger.AvailableNow())
         .start()
-      if (!q.awaitTermination(AwaitTimeoutMs))
-        { q.stop(); sys.error(s"stream $name did not terminate within ${AwaitTimeoutMs} ms") }
-      val dataBatches = q.recentProgress.count(_.numInputRows > 0)
-      require(dataBatches <= 1,
-        s"stream $name processed the staged source in $dataBatches data batches — " +
-          "the single-batch oracle contract is broken (rate limit set on the file source?)")
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-      s.conf.set("spark.sql.streaming.noDataMicroBatches.enabled", prevNoData)
     }
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    // EXACTLY one: >1 means a rate limit split the source; 0 means the
+    // staged dir was empty or swept — both silently break the oracle
+    // contract downstream, so both fail loudly here
+    require(dataBatches == 1,
+      s"stream $name processed the staged source in $dataBatches data batches — " +
+        "the single-batch oracle contract is broken (rate limit set on the " +
+        "file source? staged source empty or swept?)")
     s.read.parquet(out)
   }
 
@@ -175,26 +186,17 @@ private[graft] object StreamScaffold {
     * batch's full state is returned. */
   def runCompleteStreamOn(s: SparkSession, name: String, sfDir: String,
                           aggregated: DataFrame): DataFrame = {
-    val tag = Tables.sfTag(sfDir)
-    val (out, chk) = (tmpPath(s"graft_${name}_out_$tag"), tmpPath(s"graft_${name}_chk_$tag"))
-    val fs = new org.apache.hadoop.fs.Path(out)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    Seq(out, chk).foreach(x => fs.delete(new org.apache.hadoop.fs.Path(x), true))
-    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
-    s.conf.set("spark.sql.shuffle.partitions", StreamPartitions.toString)
-    try {
+    // complete mode never evicts output, so the trailing empty batch would
+    // only rewrite the identical snapshot — pin no-data batches OFF
+    val (out, _) = runHarness(s, name, sfDir, noDataBatches = false) { (out, chk) =>
       val writeBatch: (DataFrame, Long) => Unit =
         (b, _) => b.write.mode("overwrite").parquet(out)
-      val q = aggregated
+      aggregated
         .writeStream.outputMode("complete")
         .option("checkpointLocation", chk)
         .foreachBatch(writeBatch)
         .trigger(Trigger.AvailableNow())
         .start()
-      if (!q.awaitTermination(AwaitTimeoutMs))
-        { q.stop(); sys.error(s"stream $name did not terminate within ${AwaitTimeoutMs} ms") }
-    } finally {
-      s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     }
     s.read.parquet(out)
   }
