@@ -266,4 +266,35 @@ class PlanAuditSpec extends SparkSpec {
     val p = plan("q215_dynamic_pruning")
     assert(p.contains("dynamicpruning"), p)
   }
+
+  test("q224 negative ranks stay bucket-partitioned (no global row_number)") {
+    // the per-anchor negative lookup must ride Sharding.withTokenOffsets'
+    // bucketed prefix-sum: every window in the plan must partition by the
+    // prefix-sum bucket — an UNPARTITIONED window is the global
+    // row_number funnel the design forbids. (A SinglePartition exchange
+    // does appear: the 1-row scalar doc count, the q16 broadcast-scalar
+    // shape — bounded, not corpus-scale.)
+    val p = plan("q224_contrastive_pairs")
+    val specs = "windowspecdefinition\\(".r.findAllMatchIn(p).map(_.end).toSeq
+    assert(specs.nonEmpty, p)
+    specs.foreach { at =>
+      assert(p.startsWith("__bucket", at), s"unbucketed window at offset $at:\n$p")
+    }
+  }
+
+  test("q222 ntile window is partitioned by source, not global") {
+    val p = plan("q222_perplexity_buckets")
+    assert(p.contains("windowspecdefinition(source"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q219 pair algebra broadcasts the source-pair frame") {
+    // after the bounded sketch pass, the union/intersection math runs on
+    // ≤2k rows per pair — the pair list must broadcast into the OR-join,
+    // and the per-pair window partitions by (a, b), never globally
+    val p = plan("q219_kmv_set_ops")
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("windowspecdefinition(a"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
 }
