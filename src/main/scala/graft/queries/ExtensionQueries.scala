@@ -2912,6 +2912,39 @@ object ExtensionQueries {
       }.orderBy($"ws_us", $"event_type")
     }),
 
+    // the SAME append-window semantics on the RocksDB state store — the
+    // state backend that actually scales (the default HDFS-backed provider
+    // keeps every key in executor heap; RocksDB spills to local SSD with
+    // changelog/snapshot uploads, the 100 TB posture). Results must be
+    // byte-identical to the default provider's; StreamingRocksDbSpec pins
+    // that RocksDB artifacts (not .delta files) landed in the checkpoint.
+    "q227_stream_rocksdb" -> ((s, dir) => {
+      import s.implicits._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val src = StreamScaffold.stageTable(s, dir, "events")
+      val key = "spark.sql.streaming.stateStore.providerClass"
+      val prev = s.conf.getOption(key)
+      s.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        StreamScaffold.runStagedStream(s, "q227", dir, src, noDataBatches = true) { mk =>
+          mk().select($"event_type", $"value",
+              expr("timestamp_micros(ts DIV 1000)").as("ts"))
+            .withWatermark("ts", "10 seconds")
+            .groupBy(window($"ts", "1 hour"), $"event_type")
+            .agg(count(lit(1)).as("n"),
+              sum(expr("CAST(round(value * 1000000) AS BIGINT)")).as("value_micro"))
+            .select(unix_micros(col("window.start")).as("ws_us"),
+              $"event_type", $"n", $"value_micro")
+        }.orderBy($"ws_us", $"event_type")
+      } finally {
+        prev match {
+          case Some(v) => s.conf.set(key, v)
+          case None => s.conf.unset(key)
+        }
+      }
+    }),
+
     "q64_stream_join" -> ((s, dir) => {
       import s.implicits._
       s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -4363,6 +4396,14 @@ object ExtensionQueries {
         |      FROM p JOIN e ON p.user_id = e.user_id AND e.us >= p.p_us AND e.us <= p.p_us + 3600000000)
         |SELECT (p_us // 3600000000) * 3600000000 AS ws_us, event_type, CAST(count(*) AS BIGINT) AS n
         |FROM j, wm WHERE (p_us // 3600000000) * 3600000000 + 3600000000 <= wm.w
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q227_stream_rocksdb" ->
+      """WITH e AS (SELECT event_type, value, epoch_us(ts) AS us FROM events),
+        |wm AS (SELECT max(us) - 10000000 AS w FROM e),
+        |b AS (SELECT event_type, value, us - (us % 3600000000) AS ws_us FROM e)
+        |SELECT ws_us, event_type, count(*) AS n,
+        |  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS value_micro
+        |FROM b, wm WHERE ws_us + 3600000000 <= wm.w
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q64_stream_join" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
