@@ -134,7 +134,16 @@ object Bench {
         sel
       case None => SparkEntry.queries
     }
+    // box-conditions sampling: OS load average around each query. The
+    // committed artifact then carries its OWN contention evidence (the
+    // r9 finding: a 195 s contended line vs a 185 s idle gate needed
+    // PLANS.md prose to reconcile) — loadAvg ≫ our thread count means
+    // other processes were competing for the cores during THIS run.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    var loadSamples = List.empty[Double]
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val la = osBean.getSystemLoadAverage
+      if (la >= 0) loadSamples ::= la
       val n0 = ml.snapshot().size
       val r0 = rl.totals()
       val t0 = System.nanoTime()
@@ -188,15 +197,34 @@ object Bench {
     val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
+    // contention indicator, carried in BOTH output lines: how to read it —
+    //   runCpuRatio  task runtime / task cpu time across all measured
+    //                queries; ~1.0–1.3 idle, climbing means tasks sat on
+    //                runnable queues or blocked on IO behind other work
+    //   gcPct        GC share of task runtime (memory-pressure axis)
+    //   loadAvgMean/Max  OS 1-min load sampled once per query; compare
+    //                against `cpus` — mean ≫ cpus says the BOX was busy
+    //                beyond this bench regardless of what Spark measured
+    val benchRes = rl.totals()
+    val mRunMs = benchRes.runTimeMs - stagingRes.runTimeMs
+    val mCpuMs = benchRes.cpuTimeMs - stagingRes.cpuTimeMs
+    val mGcMs = benchRes.gcTimeMs - stagingRes.gcTimeMs
+    def r3(x: Double) = math.round(x * 1000.0) / 1000.0
+    val contention =
+      s"""{"runCpuRatio":${r3(if (mCpuMs > 0) mRunMs.toDouble / mCpuMs else -1)},""" +
+        s""""gcPct":${r3(if (mRunMs > 0) 100.0 * mGcMs / mRunMs else 0)},""" +
+        s""""loadAvgMean":${r3(if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1)},""" +
+        s""""loadAvgMax":${r3(if (loadSamples.nonEmpty) loadSamples.max else -1)},""" +
+        s""""cpus":$cpus}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"errors":$errors,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"errors":$errors,"contention":$contention,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
     // compact total-only line LAST: the full per-query line outgrew the
     // driver's tail buffer at 65 queries (BENCH_r03 "parsed": null), so a
     // short parsable metric line must always be the final stdout line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},"contention":$contention,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

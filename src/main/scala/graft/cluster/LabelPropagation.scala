@@ -38,10 +38,30 @@ object LabelPropagation {
   /** @param adj   symmetric adjacency with two long columns `a`, `b`
     *              ((a,b) present iff (b,a) present; no self-loops needed)
     * @param iters fixed synchronous rounds (≥ 1)
+    * @param checkSymmetry verify the symmetric-adjacency contract up front
+    *              (one anti-join of the mirrored edges against `adj`,
+    *              short-circuited at the first violation). The contract is
+    *              LOAD-BEARING — nodes are read from column `a` and votes
+    *              flow a→b only, so a directed edge list would silently
+    *              produce plausible-but-wrong communities and drop b-only
+    *              nodes. Default on; pass false only when the adjacency
+    *              comes from a symmetrizing constructor in the same
+    *              pipeline (e.g. the cached co-purchase frame) and the
+    *              extra pass per call is not worth re-proving it.
     * @return      one row per node that has at least one edge:
     *              `(node, lab)` — `lab` is the community label */
-  def run(adj: DataFrame, iters: Int): DataFrame = {
+  def run(adj: DataFrame, iters: Int, checkSymmetry: Boolean = true): DataFrame = {
     require(iters >= 1, s"label propagation needs iters >= 1, got $iters")
+    if (checkSymmetry) {
+      val missing = adj.select(col("b").as("a"), col("a").as("b"))
+        .join(adj, Seq("a", "b"), "left_anti").limit(1).count()
+      require(missing == 0L,
+        "LabelPropagation.run requires a SYMMETRIC adjacency ((a,b) " +
+          "present iff (b,a) present) — found a directed edge with no " +
+          "mirror. Symmetrize first (union the swapped frame and " +
+          "distinct), or pass checkSymmetry = false only for input a " +
+          "symmetrizing constructor already guarantees.")
+    }
     val nodes = adj.select(col("a")).distinct()
     var lab = nodes.select(col("a").as("node"), col("a").as("lab"))
     for (_ <- 1 to iters) {

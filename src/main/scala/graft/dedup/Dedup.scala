@@ -452,4 +452,42 @@ object Dedup {
     df.withColumn("__fps", fpArr).drop(textCol)
       .withColumn("fp", explode(col("__fps"))).drop("__fps")
   }
+
+  /** Drop hot fingerprints — those shared by more than `maxDf` documents
+    * within a blocking key — BEFORE any fingerprint self-join.
+    *
+    * Why: a boilerplate fingerprint shared by k documents materializes
+    * C(k,2) pair rows in the pairing equi-join — quadratic in family
+    * size. Capping document frequency bounds the per-fingerprint fan-out
+    * at C(maxDf,2) regardless of corpus size (the q139 boilerplate-df /
+    * q77 posting-cap precedent). A fingerprint that common carries no
+    * near-dup signal anyway: it IS boilerplate by definition.
+    *
+    * Scale shape: the hot set is the df-filtered TAIL of one hash agg —
+    * small by construction (only keys above the cap survive the filter) —
+    * so the anti-join's build side stays broadcast-sized and the corpus
+    * frame is never shuffled twice. The hot frame is eagerly
+    * checkpointed, so the drop count logged below costs no extra pass.
+    *
+    * `keyCols` must name the pairing join's full blocking key (e.g.
+    * Seq("source", "fp") when pairs are blocked per source): df counted
+    * on a coarser key than the join would over-drop.
+    */
+  def capHotFingerprints(fps: DataFrame, maxDf: Int,
+                         keyCols: Seq[String] = Seq("fp")): DataFrame = {
+    require(maxDf >= 1, s"capHotFingerprints needs maxDf >= 1, got $maxDf")
+    require(keyCols.nonEmpty, "capHotFingerprints needs at least one key column")
+    val keys = keyCols.map(col)
+    val hot = fps.groupBy(keys: _*).agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf).select(keys: _*)
+      .localCheckpoint(true)
+    val nHot = hot.count()
+    if (nHot > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"capHotFingerprints: dropping $nHot hot fingerprint keys " +
+          s"(df > $maxDf) over (${keyCols.mkString(", ")}) before pairing")
+    // using-column joins move the keys to the front; restore the caller's
+    // column order so positional consumers (toDF renames) stay correct
+    fps.join(hot, keyCols, "left_anti").select(fps.columns.map(col): _*)
+  }
 }

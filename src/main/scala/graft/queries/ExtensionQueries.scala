@@ -1095,15 +1095,22 @@ object ExtensionQueries {
     // the join (sort_array over (pos, id) structs — collect_list alone has
     // no order guarantee after a shuffle). The sequence md5 pins the exact
     // ids cross-engine; the vocab side broadcasts.
+    // Scale shape (the q213 pattern): the top-500 cut is orderBy+limit —
+    // TakeOrderedAndProject, a distributed per-partition top-k with a
+    // bounded driver merge — and the id-assigning window runs over that
+    // ≤500-row frame only. Ranking the FULL distinct-token frame through
+    // an unpartitioned window would funnel the whole corpus vocabulary
+    // (10⁸–10⁹ rows at web scale) through one partition.
     "q153_vocab_encode" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
       val toks = t(s, dir, "documents").select($"doc_id",
         posexplode(TextFunctions.tokens(lower($"text"))).as(Seq("pos", "tok")))
       val vocab = toks.groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"tok").limit(500)
         .withColumn("id",
           row_number().over(Window.orderBy($"cnt".desc, $"tok")).cast("long"))
-        .where($"id" <= 500).select($"tok", $"id")
+        .select($"tok", $"id")
       toks.join(broadcast(vocab), Seq("tok"), "left_outer")
         .withColumn("id", coalesce($"id", lit(0L)))
         .groupBy($"doc_id")
@@ -1282,18 +1289,42 @@ object ExtensionQueries {
         .join(broadcast(t(s, dir, "documents").select($"doc_id", $"source")), "doc_id")
         .select($"source",
           expr("CAST(conv(substring(bh, 1, 15), 16, 10) AS BIGINT)").as("hv"))
+      // checkpointed: the union-of-two-equi-joins below references hs
+      // TWICE — without materialization each branch would re-run the whole
+      // corpus-scale sketch pass. The frame is ≤ k rows per source.
       val hs = graft.sketch.Kmv.sketchKeptHashed(hashed, "source", "hv", k)
         .select($"source", explode($"kept").as("hv"))
+        .localCheckpoint(true)
       val srcs = t(s, dir, "documents").select($"source").distinct()
+        .localCheckpoint(true)
+      // pairwise algebra materializes C(S,2) pairs × ≤2k sketch rows —
+      // fine at tens/hundreds of sources, wrong past that; fail loudly
+      // with the scalable alternative named (the exactCosinePairs
+      // convention) instead of silently exploding
+      val nSrc = srcs.count()
+      require(nSrc <= 512,
+        s"q219 pairwise KMV set algebra fans each sketch row to O(S) pairs " +
+          s"(C(S,2) pair rows total); got S=$nSrc sources (cap 512) — " +
+          "bucket sources into coarser groups and sketch per group first")
+      // the pair-list build is the one inequality join (S×S on the tiny
+      // checkpointed source list); materialized so neither union branch
+      // re-plans it and the executed plan carries no nested-loop join
       val pairs = srcs.as("x").join(srcs.as("y"), $"x.source" < $"y.source")
         .select($"x.source".as("a"), $"y.source".as("b"))
-      // per-pair union of two bounded sketches (broadcast the tiny pair
-      // list; the OR-join fans each sketch row to its pairs only)
-      val u0 = hs.join(broadcast(pairs),
-          $"source" === $"a" || $"source" === $"b")
+        .localCheckpoint(true)
+      // per-pair union of two bounded sketches. Each sketch row meets the
+      // pair list TWICE through equi-joins (source = a ∪ source = b) so
+      // the physical shape stays BroadcastHASHJoin — the single OR-join
+      // spelling (source === a || source === b) is semantically identical
+      // but degrades to BroadcastNestedLoopJoin: O(S²) predicate evals
+      // per sketch row instead of two O(1) hash probes. Plan-pinned in
+      // PlanAuditSpec.
+      val u0 = hs.join(broadcast(pairs), $"source" === $"a")
+        .select($"a", $"b", $"hv", lit(1).as("ma"), lit(0).as("mb"))
+        .unionByName(hs.join(broadcast(pairs), $"source" === $"b")
+          .select($"a", $"b", $"hv", lit(0).as("ma"), lit(1).as("mb")))
         .groupBy($"a", $"b", $"hv")
-        .agg(max(when($"source" === $"a", 1).otherwise(0)).as("ina"),
-          max(when($"source" === $"b", 1).otherwise(0)).as("inb"))
+        .agg(max($"ma").as("ina"), max($"mb").as("inb"))
       // bottom-k of the union — the window sorts ≤2k rows per pair, a
       // sketch-bounded frame, never corpus-scale data
       import org.apache.spark.sql.expressions.Window
@@ -1368,7 +1399,11 @@ object ExtensionQueries {
     // cached hashpartitioning(a) adjacency, so only labels shuffle
     "q221_label_propagation" -> ((s, dir) => {
       import s.implicits._
-      graft.cluster.LabelPropagation.run(copurchaseAdj(s, dir), iters = 3)
+      // checkSymmetry off: copurchaseAdj symmetrizes by construction
+      // (union of both orientations), so the per-call anti-join guard
+      // would just re-prove the constructor's own invariant
+      graft.cluster.LabelPropagation.run(copurchaseAdj(s, dir), iters = 3,
+          checkSymmetry = false)
         .groupBy($"lab".as("community"))
         .agg(count(lit(1)).as("n_members"), min($"node").as("rep_node"))
         .orderBy($"n_members".desc, $"community")
@@ -1466,13 +1501,21 @@ object ExtensionQueries {
     // window-min selection over k-gram hashes guarantees any shared run of
     // ≥ k+w-1 tokens yields a shared fingerprint, at ~2/(w+1) the density
     // of full shingling. Pairing is a source-blocked equi-join on the
-    // fingerprint hash (the q36/q218 blocking pattern) — never all-pairs.
+    // fingerprint hash (the q36/q218 blocking pattern) — never all-pairs —
+    // with hot fingerprints (df > 32 within the (source, fp) blocking key)
+    // dropped first: a boilerplate fingerprint shared by k docs would
+    // otherwise fan out C(k,2) pair rows, quadratic in family size. The
+    // cap sits far above this corpus's max per-source df (6 at sf0.1), so
+    // the output is byte-identical to the uncapped spelling here while the
+    // per-fingerprint fan-out is bounded at C(32,2) at ANY scale.
     "q225_winnowing" -> ((s, dir) => {
       import s.implicits._
       // k=3 matches the house 3-shingle grain; w=5 → guarantee on runs ≥ 7
-      val fps = Dedup.winnowingFingerprints(
-        t(s, dir, "documents").select($"source", $"doc_id", $"text"),
-        k = 3, w = 5)
+      val fps = Dedup.capHotFingerprints(
+        Dedup.winnowingFingerprints(
+          t(s, dir, "documents").select($"source", $"doc_id", $"text"),
+          k = 3, w = 5),
+        maxDf = 32, keyCols = Seq("source", "fp"))
       val a = fps.toDF("source", "id_a", "fp")
       val b = fps.toDF("source", "id_b", "fp")
       a.join(b, Seq("source", "fp")).where($"id_a" < $"id_b")
@@ -2050,13 +2093,20 @@ object ExtensionQueries {
     }),
 
     // key-skew report: hottest keys with share-of-total — the diagnostic
-    // a pipeline runs before choosing a salting strategy
+    // a pipeline runs before choosing a salting strategy. The total is a
+    // broadcast scalar (agg + crossJoin(broadcast)), NOT a
+    // Window.partitionBy() global window: the per-user frame is O(#users)
+    // and funnelling it through one partition just to divide by the total
+    // is the exact single-partition collapse this query diagnoses.
     "q100_skew_report" -> ((s, dir) => {
       import s.implicits._
-      import org.apache.spark.sql.expressions.Window
-      t(s, dir, "events").groupBy($"user_id").agg(count(lit(1)).as("n"))
-        .withColumn("pct",
-          round($"n" * 100.0 / sum($"n").over(Window.partitionBy()), 6))
+      val counts = t(s, dir, "events")
+        .groupBy($"user_id").agg(count(lit(1)).as("n"))
+        .localCheckpoint(true)
+      val tot = counts.agg(sum($"n").as("tot"))
+      counts.crossJoin(broadcast(tot))
+        .withColumn("pct", round($"n" * 100.0 / $"tot", 6))
+        .drop("tot")
         .orderBy($"n".desc, $"user_id").limit(10)
     }),
 
@@ -4386,12 +4436,18 @@ object ExtensionQueries {
     // (the 3.4+ multi-stateful rule): the aggregate sits downstream of a
     // time-interval join whose condition admits matches up to 1 h behind
     // the global watermark, so its effective watermark is
-    // (max ts − 10 s delay) − 1 h interval bound — windows ending after
-    // that stay in state (verified row-exact against the engine)
+    // (global wm) − 1 h interval bound — windows ending after that stay
+    // in state (verified row-exact against the engine). The GLOBAL
+    // watermark under the default multipleWatermarkPolicy=min is the MIN
+    // over both input streams of (max event-time − 10 s delay) — i.e.
+    // driven by the purchase side, since purchases ⊆ events means
+    // max(p_us) ≤ max(us). Spelling it least(max(us), max(p_us)) rather
+    // than max(us) keeps the oracle honest for ANY dataset whose last
+    // event is a non-purchase, not just ones where the two maxima agree.
     "q226_stream_multi_stateful" ->
       """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS us FROM events),
         |p AS (SELECT user_id, event_id AS p_id, epoch_us(ts) AS p_us FROM events WHERE event_type = 'purchase'),
-        |wm AS (SELECT max(us) - 10000000 - 3600000000 AS w FROM e),
+        |wm AS (SELECT least(max(us), (SELECT max(p_us) FROM p)) - 10000000 - 3600000000 AS w FROM e),
         |j AS (SELECT e.event_type, p.p_us
         |      FROM p JOIN e ON p.user_id = e.user_id AND e.us >= p.p_us AND e.us <= p.p_us + 3600000000)
         |SELECT (p_us // 3600000000) * 3600000000 AS ws_us, event_type, CAST(count(*) AS BIGINT) AS n

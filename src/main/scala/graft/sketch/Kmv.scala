@@ -107,7 +107,11 @@ object Kmv {
     require(k >= 2, s"KMV needs k >= 2, got $k")
     val s = df.sparkSession
     import s.implicits._
-    df.select(col(keyCol).cast("string").as("key"), col(hvCol).cast("long").as("hv"))
+    // null hashes are dropped, matching sketchState/sketchKept's
+    // count-DISTINCT-of-values semantics — without this a null hvCol row
+    // hits the primitive-Long encoder and dies with an opaque NPE
+    df.filter(col(hvCol).isNotNull)
+      .select(col(keyCol).cast("string").as("key"), col(hvCol).cast("long").as("hv"))
       .as[(String, Long)]
       .mapPartitions { it =>
         val acc = scala.collection.mutable.HashMap

@@ -51,4 +51,18 @@ class LabelPropagationSpec extends SparkSpec {
   test("iters must be positive") {
     intercept[IllegalArgumentException](LabelPropagation.run(sym(Seq((1L, 2L))), 0))
   }
+
+  test("directed (asymmetric) input is rejected by the symmetry guard") {
+    import spark.implicits._
+    // the contract is load-bearing: votes flow a→b only, so a directed
+    // edge list would yield plausible-but-wrong communities and silently
+    // drop nodes appearing only in column b — it must fail loudly instead
+    val directed = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val e = intercept[IllegalArgumentException](LabelPropagation.run(directed, 1))
+    assert(e.getMessage.contains("SYMMETRIC"), e.getMessage)
+    // the same edges symmetrized pass the (default-on) guard
+    assert(labels(sym(Seq((1L, 2L), (2L, 3L))), 1).keySet == Set(1L, 2L, 3L))
+    // and checkSymmetry = false skips the guard (caller-vouched input)
+    LabelPropagation.run(directed, 1, checkSymmetry = false).collect()
+  }
 }

@@ -48,4 +48,32 @@ class WinnowingSpec extends SparkSpec {
     val text = (1 to 100).map(i => s"w${(i * 7) % 31}").mkString(" ")
     assert(fps(Seq((1L, text))) == fps(Seq((1L, text))))
   }
+
+  test("capHotFingerprints drops exactly the above-cap keys, within the blocking key") {
+    import spark.implicits._
+    // fp 100 shared by 5 docs in s0 (hot at cap 3); fp 200 by 2 (kept);
+    // fp 100 in s1 by 1 — df is counted per (source, fp), so s1's copy
+    // survives even though the fp value is globally common
+    val df = ((1L to 5L).map(d => ("s0", d, 100L)) ++
+      Seq(("s0", 1L, 200L), ("s0", 2L, 200L), ("s1", 9L, 100L)))
+      .toDF("source", "doc_id", "fp")
+    val capped = Dedup.capHotFingerprints(df, maxDf = 3, Seq("source", "fp"))
+    val kept = capped.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(kept == Set(("s0", 1L, 200L), ("s0", 2L, 200L), ("s1", 9L, 100L)), kept)
+    // the law the cap exists for: post-cap df ≤ maxDf everywhere, so a
+    // pairing self-join fans out at most C(maxDf, 2) rows per key
+    val maxLeft = capped.groupBy("source", "fp").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0)
+    assert(maxLeft <= 3, s"post-cap df $maxLeft exceeds the cap")
+  }
+
+  test("capHotFingerprints above the corpus max df is the identity") {
+    import spark.implicits._
+    val df = ((1L to 5L).map(d => ("s0", d, 100L)) :+ ("s1", 9L, 300L))
+      .toDF("source", "doc_id", "fp")
+    assert(Dedup.capHotFingerprints(df, maxDf = 5, Seq("source", "fp")).count() == 6L)
+    intercept[IllegalArgumentException](Dedup.capHotFingerprints(df, 0, Seq("fp")))
+    intercept[IllegalArgumentException](Dedup.capHotFingerprints(df, 3, Nil))
+  }
 }

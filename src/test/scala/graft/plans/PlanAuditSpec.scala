@@ -288,13 +288,53 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SinglePartition"), p)
   }
 
-  test("q219 pair algebra broadcasts the source-pair frame") {
+  test("q219 pair algebra meets the pair frame through HASH joins") {
     // after the bounded sketch pass, the union/intersection math runs on
-    // ≤2k rows per pair — the pair list must broadcast into the OR-join,
-    // and the per-pair window partitions by (a, b), never globally
+    // ≤2k rows per pair. The sketch frame must meet the broadcast pair
+    // list through equi-joins (source = a ∪ source = b) — BroadcastHASH,
+    // two O(1) probes per sketch row. The single OR-join spelling
+    // degrades to BroadcastNestedLoopJoin: O(S²) predicate evals per
+    // row. (The pair-list build itself is an inequality self-join, but
+    // it runs once at build time on the checkpointed tiny source list —
+    // the executed plan of the query carries no nested-loop join.)
     val p = plan("q219_kmv_set_ops")
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("windowspecdefinition(a"), p)
     assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q153 vocab rank runs over the top-500 cut, not the whole vocabulary") {
+    // the top-500 cut must be TakeOrderedAndProject (distributed
+    // per-partition top-k) and the id-assigning window must sit ON that
+    // ≤500-row frame — ranking the full distinct-token frame through an
+    // unpartitioned window moves the corpus vocabulary to one partition.
+    // No SinglePartition exchange anywhere: the window's input is already
+    // single-partition BECAUSE it is the bounded top-k result.
+    val p = plan("q153_vocab_encode")
+    assert(p.contains("TakeOrderedAndProject(limit=500"), p)
+    assert(!p.contains("SinglePartition"), p)
+  }
+
+  test("q100 share-of-total divides by a broadcast scalar, not a global window") {
+    // the per-user frame is O(#users); a sum().over(Window.partitionBy())
+    // would funnel ALL of it through one partition just to divide by the
+    // total. The broadcast-agg spelling keeps the only SinglePartition
+    // exchange on the 1-row scalar leg (32 partial sums → 1 row, the q16
+    // broadcast-scalar shape) and the top-10 cut is TakeOrderedAndProject.
+    val p = plan("q100_skew_report")
+    assert(!p.contains("windowspecdefinition"), p)
+    assert(p.contains("TakeOrderedAndProject(limit=10"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
+  test("q225 winnowing pairing caps hot fingerprints before the self-join") {
+    // the anti-join against the hot-fingerprint tail must be IN the plan
+    // (dropping it silently restores the quadratic C(k,2) fan-out on
+    // boilerplate fingerprints), and the pairing itself stays an
+    // equi-join — no cartesian/nested-loop anywhere
+    val p = plan("q225_winnowing")
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
 }

@@ -37,6 +37,18 @@ class KmvSpec extends SparkSpec {
     assert(out == Map("a" -> 2L, "b" -> 1L))
   }
 
+  test("sketchKeptHashed drops null hashes instead of dying in the encoder") {
+    import spark.implicits._
+    // a null hv row used to hit the primitive-Long Dataset encoder and
+    // fail with an opaque NPE; the contract is sketchState's
+    // count-DISTINCT-of-values semantics — nulls are simply not values
+    val df = Seq(("a", Some(5L)), ("a", None), ("b", Some(9L)))
+      .toDF("k", "hv")
+    val out = Kmv.sketchKeptHashed(df, "k", "hv", k = 8).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out == Map("a" -> List(5L), "b" -> List(9L)))
+  }
+
   test("merge is order- and split-independent on random partials (property)") {
     val rng = new scala.util.Random(42)
     import scala.jdk.CollectionConverters._

@@ -22,9 +22,15 @@ class StreamingRocksDbSpec extends SparkSpec {
     // under <chk>/state/...; the default provider writes .delta files
     val chk = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_q227_chk_${graft.Tables.sfTag(sf)}")
+    // listFiles() returns null on races/permission oddities, not just
+    // non-directories — guard so a missing dir fails on the assert below
+    // with the descriptive message, not an NPE mid-walk
     def walk(f: java.io.File): Seq[java.io.File] =
-      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
-    val state = walk(new java.io.File(chk, "state")).map(_.getName)
+      if (f.isDirectory) Option(f.listFiles()).toSeq.flatten.flatMap(walk)
+      else Seq(f)
+    val stateDir = new java.io.File(chk, "state")
+    assert(stateDir.isDirectory, s"checkpoint state dir missing: $stateDir")
+    val state = walk(stateDir).map(_.getName)
     assert(state.exists(n => n.endsWith(".zip") || n.endsWith(".changelog")),
       s"no RocksDB artifacts under $chk/state: ${state.take(20)}")
     assert(!state.exists(_.endsWith(".delta")),
