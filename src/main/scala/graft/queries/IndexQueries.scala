@@ -69,6 +69,7 @@ object IndexQueries {
   private val q164TablePat = scratchPat("q164_table")
   private val q165TablePat = scratchPat("q165_table")
   private val q193TablePat = scratchPat("q193_delta")
+  private val q228TablePat = scratchPat("q228_iceberg")
   private val q198TablePat = scratchPat("q198_delta_w")
   private val q199AvroPat = scratchPat("q199_avro")
   private val q201TablePat = scratchPat("q201_table")
@@ -132,6 +133,7 @@ object IndexQueries {
     stageQ180Events(s, dir)
     stageQ184Legs(s, dir)
     stageQ193DeltaTable(s, dir)
+    stageQ228IcebergTable(s, dir)
     stageQ170Part(s, dir)
     stageQ216Part(s, dir)
   }
@@ -223,6 +225,59 @@ object IndexQueries {
         """{"version":1,"size":2}""")
       writeText(new org.apache.hadoop.fs.Path(log, f"${2L}%020d.json"),
         add("f4.parquet") + "\n")
+    }
+  }
+
+  /** q228/q229's fixture: a minimal but REAL Apache Iceberg table
+    * hand-assembled from the same deterministic `events` slices as q193's
+    * Delta twin — `metadata/vN.metadata.json` + `version-hint.text`,
+    * per-snapshot manifest-list Avro, manifest Avro entries with
+    * ADDED/EXISTING/DELETED statuses — so [[graft.sources.Iceberg]] is
+    * exercised against the public format's own layout. Snapshot history:
+    *   1001: manifest m1 [f1 ADDED, f2 ADDED]            (all purchases)
+    *   1002: manifest m2 [f1 DELETED, f2 EXISTING, f3 ADDED]
+    *   1003: manifest list [m2, m3], m3 [f4 ADDED]  ← multi-manifest union
+    *         PLUS carried DELETED/EXISTING resolution through m2
+    * Active set = f2 ∪ f3 ∪ f4, the exact slices q193's oracle replays. */
+  private[graft] def stageQ228IcebergTable(s: SparkSession, dir: String): Unit = {
+    val base = scratch(q228TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val hconf = s.sparkContext.hadoopConfiguration
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(hconf)
+      fs.delete(bp, true)
+      val dataDir = new org.apache.hadoop.fs.Path(bp, "data")
+      fs.mkdirs(dataDir)
+      val ev = t(s, dir, "events").select($"event_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      def writeFile(df: DataFrame, name: String): String = {
+        val tmp = new org.apache.hadoop.fs.Path(bp, s".tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .head.getPath
+        val dst = new org.apache.hadoop.fs.Path(dataDir, name)
+        require(fs.rename(part, dst), s"q228 staging: rename to $name failed")
+        fs.delete(tmp, true)
+        dst.toString
+      }
+      val f1 = writeFile(ev.where($"event_type" === "purchase" && $"event_id" % 2 === 0), "f1.parquet")
+      val f2 = writeFile(ev.where($"event_type" === "purchase" && $"event_id" % 2 =!= 0), "f2.parquet")
+      val f3 = writeFile(ev.where($"event_type" === "click"), "f3.parquet")
+      val f4 = writeFile(ev.where($"event_type" === "view" && $"value_micros" > 100000000L), "f4.parquet")
+      val m1 = Iceberg.writeManifest(s, base, "m1.avro", 1001L,
+        Seq(Iceberg.Entry(f1, 1), Iceberg.Entry(f2, 1)))
+      val m2 = Iceberg.writeManifest(s, base, "m2.avro", 1002L,
+        Seq(Iceberg.Entry(f1, 2), Iceberg.Entry(f2, 0), Iceberg.Entry(f3, 1)))
+      val m3 = Iceberg.writeManifest(s, base, "m3.avro", 1003L,
+        Seq(Iceberg.Entry(f4, 1)))
+      val ml1 = Iceberg.writeManifestList(s, base, "snap-1001.avro", 1001L, Seq(m1))
+      val ml2 = Iceberg.writeManifestList(s, base, "snap-1002.avro", 1002L, Seq(m2))
+      val ml3 = Iceberg.writeManifestList(s, base, "snap-1003.avro", 1003L, Seq(m2, m3))
+      Iceberg.writeMetadata(s, base, version = 3,
+        Seq((1001L, 1000L, ml1), (1002L, 2000L, ml2), (1003L, 3000L, ml3)))
     }
   }
 
@@ -1365,6 +1420,40 @@ object IndexQueries {
       }.reduce(_ unionAll _).orderBy($"version")
     }),
 
+    // STORAGE-FORMAT INTEROP #2: read a table someone else wrote with
+    // Apache Iceberg — metadata.json → manifest-list Avro → manifest
+    // entries, with ADDED/EXISTING live and DELETED dead. The current
+    // snapshot's manifest list spans TWO manifests (m2 carrying a DELETED
+    // f1 + EXISTING f2 + ADDED f3, m3 adding f4), so a reader that skips
+    // carried manifests loses f2/f3, one that ignores entry status serves
+    // f1's deleted rows — either breaks the checksums. Slices are
+    // declarative over `events`: the oracle recomputes them directly.
+    "q228_iceberg_read" -> ((s, dir) => {
+      import s.implicits._
+      stageQ228IcebergTable(s, dir)
+      graft.sources.Iceberg.read(s, scratch(q228TablePat, dir))
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .orderBy($"event_type")
+    }),
+
+    // Iceberg TIME TRAVEL: pin every snapshot id from the metadata's own
+    // snapshot log and prove the reader reconstructs each historical
+    // active set — 1001 pre-delete (f1 must be BACK), 1002 exercises
+    // DELETED-resolution, 1003 is current. A reader that always serves
+    // the current snapshot breaks 1001's row set.
+    "q229_iceberg_time_travel" -> ((s, dir) => {
+      import s.implicits._
+      stageQ228IcebergTable(s, dir)
+      val base = scratch(q228TablePat, dir)
+      graft.sources.Iceberg.snapshots(s, base).map { case (id, _) =>
+        graft.sources.Iceberg.readSnapshot(s, base, id)
+          .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
+          .select(lit(id).as("snapshot_id"), $"n_rows", $"id_checksum")
+      }.reduce(_ unionAll _).orderBy($"snapshot_id")
+    }),
+
     // DATA-MIXTURE sampling — the corpus-composition step: per-source
     // mixture weights (here derived from the source name so the oracle
     // needs no side table) split a global token budget, and each source
@@ -2086,6 +2175,33 @@ object IndexQueries {
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
         |  CAST(sum(value_micros) AS BIGINT) AS value_checksum
         |FROM active GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q228_iceberg_read" ->
+      """WITH active AS (
+        |  SELECT event_id, event_type, CAST(round(value * 1e6) AS BIGINT) AS value_micros
+        |  FROM events
+        |  WHERE (event_type = 'purchase' AND event_id % 2 <> 0)
+        |     OR event_type = 'click'
+        |     OR (event_type = 'view' AND CAST(round(value * 1e6) AS BIGINT) > 100000000))
+        |SELECT event_type, count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(value_micros) AS BIGINT) AS value_checksum
+        |FROM active GROUP BY 1 ORDER BY event_type""".stripMargin,
+    "q229_iceberg_time_travel" ->
+      """WITH s1 AS (SELECT event_id FROM events WHERE event_type = 'purchase'),
+        |s2 AS (SELECT event_id FROM events
+        |       WHERE (event_type = 'purchase' AND event_id % 2 <> 0)
+        |          OR event_type = 'click'),
+        |s3 AS (SELECT event_id FROM s2
+        |       UNION ALL
+        |       SELECT event_id FROM events
+        |       WHERE event_type = 'view' AND CAST(round(value * 1e6) AS BIGINT) > 100000000)
+        |SELECT CAST(1001 AS BIGINT) AS snapshot_id, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum FROM s1
+        |UNION ALL
+        |SELECT CAST(1002 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT CAST(1003 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM s3
+        |ORDER BY snapshot_id""".stripMargin,
     "q196_snapshot_optimize" ->
       s"""WITH act AS (SELECT event_id FROM events
          |            WHERE event_type IN ('purchase', 'click'))

@@ -1,0 +1,329 @@
+package graft.sources
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import org.apache.avro.{Schema, SchemaBuilder}
+import org.apache.avro.file.{DataFileStream, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+/** Read-only interpreter for the PUBLIC Apache Iceberg table format
+  * (the open spec at iceberg.apache.org/spec: versioned
+  * `metadata/vN.metadata.json` documents, snapshot manifest-list Avro
+  * files, manifest Avro files of data-file entries over immutable
+  * parquet parts).
+  *
+  * Why it exists: after Delta (`sources/DeltaLogReader.scala`, q193/q194)
+  * this is the second real table format a user could hand the engine —
+  * the VERDICT r9 "optional breadth" item. Same design stance as the
+  * Delta reader: READ-only (interpreting committed metadata is a
+  * spec-stable planning pass; writing the format correctly — commit
+  * atomicity, sequence numbers, spec evolution — is Iceberg's job), and
+  * the same loud feature gating: a table whose correct interpretation
+  * needs features this reader does not implement (row-level deletes,
+  * format v3+) is REFUSED, never silently misread — skipping a delete
+  * manifest would serve deleted rows.
+  *
+  * Format subset honored (all public, spec v1/v2):
+  *  - `metadata/version-hint.text` → `metadata/vN.metadata.json` (the
+  *    HadoopCatalog convention), falling back to the highest-numbered
+  *    `v*.metadata.json` present;
+  *  - metadata.json: `format-version` (1 or 2 only), `snapshots[]` with
+  *    `snapshot-id` / `timestamp-ms` / `manifest-list`,
+  *    `current-snapshot-id`;
+  *  - manifest list (Avro): `manifest_path` per row; rows whose v2
+  *    `content` field marks a DELETE manifest (1) are refused;
+  *  - manifest (Avro): `status` (1 ADDED / 0 EXISTING live, 2 DELETED
+  *    dead) + `data_file.{file_path, file_format}`; only PARQUET data
+  *    files, and v2 `data_file.content != 0` (delete files) is refused.
+  *  Fields are looked up by NAME, so real Iceberg manifests — which
+  *  carry many more fields (partition structs, column stats, field ids)
+  *  — read fine; the extras are planning hints this reader does not
+  *  need. Schema of the DATA comes from the parquet footers, like every
+  *  other reader in this repo (column-mapping via field-ids is not
+  *  interpreted — tables relying on renames would need it, and there is
+  *  no signal for that in the file, so this reader is for tables whose
+  *  parquet column names are current, the overwhelmingly common case).
+  *
+  * Scale: metadata resolution is O(#manifests + #files) driver work on
+  * KB–MB Avro/JSON planning artifacts — the pass every Iceberg reader
+  * performs — with the file list capped by the
+  * [[graft.operators.ManifestGuard]] limit before a scan is planned;
+  * the data read itself is an ordinary distributed parquet scan. */
+object Iceberg {
+
+  private val mapper = new ObjectMapper()
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sessionState.newHadoopConf())
+
+  private def readSmall(spark: SparkSession, p: Path): Array[Byte] = {
+    val f = fs(spark, p)
+    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(buf) finally in.close()
+    buf
+  }
+
+  /** Resolve the current metadata document: version-hint.text if present
+    * (the HadoopCatalog pointer), else the highest `v*.metadata.json`. */
+  private[sources] def currentMetadataPath(spark: SparkSession, table: String): Path = {
+    val md = new Path(table, "metadata")
+    val f = fs(spark, md)
+    require(f.exists(md), s"not an Iceberg table: no metadata/ directory under $table")
+    val hint = new Path(md, "version-hint.text")
+    if (f.exists(hint)) {
+      val v = new String(readSmall(spark, hint),
+        java.nio.charset.StandardCharsets.UTF_8).trim
+      new Path(md, s"v$v.metadata.json")
+    } else {
+      val vs = f.listStatus(md).map(_.getPath.getName)
+        .collect { case n if n.startsWith("v") && n.endsWith(".metadata.json") &&
+          n.stripPrefix("v").stripSuffix(".metadata.json").forall(_.isDigit) =>
+          n.stripPrefix("v").stripSuffix(".metadata.json").toLong }
+      require(vs.nonEmpty, s"no v*.metadata.json under $md")
+      new Path(md, s"v${vs.max}.metadata.json")
+    }
+  }
+
+  private def metadata(spark: SparkSession, table: String): JsonNode = {
+    val doc = mapper.readTree(readSmall(spark, currentMetadataPath(spark, table)))
+    val fv = doc.path("format-version").asInt(-1)
+    require(fv == 1 || fv == 2,
+      s"Iceberg reader supports format-version 1/2; table declares $fv — " +
+        "refusing (v3+ adds semantics — row lineage, new types — this " +
+        "reader does not interpret; reading anyway could be wrong, not " +
+        "just incomplete)")
+    doc
+  }
+
+  /** `(snapshotId, timestampMs)` of every snapshot, commit order. */
+  def snapshots(spark: SparkSession, table: String): Seq[(Long, Long)] =
+    metadata(spark, table).path("snapshots").elements().asScala
+      .map(s => (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong()))
+      .toSeq
+
+  /** Read the CURRENT snapshot as a DataFrame. */
+  def read(spark: SparkSession, table: String): DataFrame = {
+    val doc = metadata(spark, table)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    readSnapshotDoc(spark, table, doc, cur)
+  }
+
+  /** Time travel: read the table AS OF `snapshotId`. */
+  def readSnapshot(spark: SparkSession, table: String, snapshotId: Long): DataFrame =
+    readSnapshotDoc(spark, table, metadata(spark, table), snapshotId)
+
+  private def readSnapshotDoc(spark: SparkSession, table: String,
+                              doc: JsonNode, snapshotId: Long): DataFrame = {
+    val snap = doc.path("snapshots").elements().asScala
+      .find(_.path("snapshot-id").asLong() == snapshotId)
+      .getOrElse(throw new IllegalArgumentException(
+        s"snapshot $snapshotId not found in $table — known: " +
+          snapshots(spark, table).map(_._1).mkString(", ")))
+    val mlPath = snap.path("manifest-list").asText("")
+    require(mlPath.nonEmpty,
+      s"snapshot $snapshotId carries no manifest-list (the v1 inline " +
+        "'manifests' spelling is not interpreted — rewrite the snapshot " +
+        "with a manifest list, the format's primary path)")
+    val files = listDataFiles(spark, table, mlPath, snapshotId)
+    require(files.nonEmpty, s"snapshot $snapshotId of $table has no live data files")
+    spark.read.parquet(files: _*)
+  }
+
+  /** Replay one snapshot's manifest list → live data-file paths. */
+  private def listDataFiles(spark: SparkSession, table: String,
+                            mlPath: String, snapshotId: Long): Seq[String] = {
+    val live = mutable.ArrayBuffer.empty[String]
+    readAvro(spark, resolve(table, mlPath)).foreach { m =>
+      val content = intField(m, "content").getOrElse(0)
+      require(content == 0,
+        s"snapshot $snapshotId references a DELETE manifest " +
+          s"(${m.get("manifest_path")}): this reader does not apply " +
+          "row-level deletes — reading the data manifests anyway would " +
+          "serve deleted rows. Compact/rewrite the table (e.g. " +
+          "rewrite_data_files) to fold deletes in, then retry")
+      val path = Option(m.get("manifest_path"))
+        .map(_.toString)
+        .getOrElse(throw new IllegalArgumentException(
+          "manifest-list row lacks manifest_path"))
+      readAvro(spark, resolve(table, path)).foreach { e =>
+        val status = intField(e, "status").getOrElse(
+          throw new IllegalArgumentException(s"manifest $path: entry lacks status"))
+        require(status >= 0 && status <= 2,
+          s"manifest $path: unknown entry status $status")
+        val df = e.get("data_file").asInstanceOf[GenericRecord]
+        require(df != null, s"manifest $path: entry lacks data_file")
+        require(intField(df, "content").getOrElse(0) == 0,
+          s"manifest $path holds a delete file " +
+            s"(${df.get("file_path")}) — row-level deletes are not " +
+            "interpreted; rewrite the table to fold them in first")
+        val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase).getOrElse("")
+        require(fmt == "PARQUET",
+          s"data file ${df.get("file_path")} is $fmt; only PARQUET data is read")
+        if (status != 2) { // 2 = DELETED in this snapshot
+          live += resolve(table, df.get("file_path").toString).toString
+          require(live.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+            s"snapshot $snapshotId lists more than " +
+              s"${graft.operators.ManifestGuard.MaxPlannedFiles} data files — " +
+              "refusing the driver-side planning collect; prune by " +
+              "partition or compact to coarser files first")
+        }
+      }
+    }
+    live.toSeq
+  }
+
+  /** Iceberg metadata stores absolute URIs; tolerate table-relative paths
+    * (this repo's fixtures, some rewritten tables). */
+  private def resolve(table: String, p: String): Path =
+    if (p.contains(":/") || p.startsWith("/")) new Path(p)
+    else new Path(table, p)
+
+  /** Avro ints may surface as Integer or Long depending on writer schema;
+    * missing fields (older spec versions) read as None. */
+  private def intField(r: GenericRecord, name: String): Option[Int] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long => l.intValue
+      case other => other.toString.toInt
+    }
+
+  /** Driver-side Avro container read — manifests are KB–MB planning
+    * metadata, the same altitude as the Delta log's JSON replay. */
+  private def readAvro(spark: SparkSession, p: Path): Seq[GenericRecord] = {
+    val in = fs(spark, p).open(p)
+    val out = mutable.ArrayBuffer.empty[GenericRecord]
+    try {
+      val reader = new DataFileStream[GenericRecord](in,
+        new GenericDatumReader[GenericRecord]())
+      try { while (reader.hasNext) out += reader.next() }
+      finally reader.close()
+    } finally in.close()
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------------
+  // Fixture authoring — hand-assembles the PUBLIC format so the reader
+  // is exercised against Iceberg's layout, not a private twin (the q193
+  // `_delta_log` staging pattern). Test/staging use; NOT a table writer.
+  // ------------------------------------------------------------------
+
+  /** One data file inside a snapshot: (absolute parquet path, status)
+    * with status 1 ADDED / 0 EXISTING / 2 DELETED-in-this-snapshot.
+    * `content`/`format` default to a v1 data file; non-defaults exist so
+    * specs can author the refusal cases (delete files, non-parquet). */
+  case class Entry(path: String, status: Int,
+                   content: Int = 0, format: String = "PARQUET")
+
+  private val entrySchema: Schema = {
+    val dataFile = SchemaBuilder.record("r2").fields()
+      .name("content").`type`().intType().intDefault(0)
+      .requiredString("file_path")
+      .requiredString("file_format")
+      .requiredLong("record_count")
+      .requiredLong("file_size_in_bytes")
+      .endRecord()
+    SchemaBuilder.record("manifest_entry").fields()
+      .requiredInt("status")
+      .requiredLong("snapshot_id")
+      .name("data_file").`type`(dataFile).noDefault()
+      .endRecord()
+  }
+
+  private val manifestFileSchema: Schema =
+    SchemaBuilder.record("manifest_file").fields()
+      .requiredString("manifest_path")
+      .requiredLong("manifest_length")
+      .name("partition_spec_id").`type`().intType().intDefault(0)
+      .name("content").`type`().intType().intDefault(0)
+      .requiredLong("added_snapshot_id")
+      .endRecord()
+
+  private def writeAvro(spark: SparkSession, p: Path, schema: Schema,
+                        rows: Seq[GenericRecord]): Long = {
+    val f = fs(spark, p)
+    val out = f.create(p, true)
+    try {
+      val w = new DataFileWriter[GenericRecord](
+        new GenericDatumWriter[GenericRecord](schema))
+      w.create(schema, out)
+      try { rows.foreach(w.append); w.flush() } finally w.close()
+    } finally ()
+    f.getFileStatus(p).getLen
+  }
+
+  /** Author a snapshot's manifest Avro at `metadata/m-<id>.avro`. */
+  def writeManifest(spark: SparkSession, table: String, name: String,
+                    snapshotId: Long, entries: Seq[Entry]): (String, Long) = {
+    val p = new Path(new Path(table, "metadata"), name)
+    val rows = entries.map { e =>
+      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      df.put("content", e.content)
+      df.put("file_path", e.path)
+      df.put("file_format", e.format)
+      df.put("record_count", 0L)
+      df.put("file_size_in_bytes", 0L)
+      val r = new GenericData.Record(entrySchema)
+      r.put("status", e.status)
+      r.put("snapshot_id", snapshotId)
+      r.put("data_file", df)
+      r
+    }
+    (p.toString, writeAvro(spark, p, entrySchema, rows))
+  }
+
+  /** Author a snapshot's manifest-list Avro pointing at `manifests`
+    * ((path, length) pairs). */
+  def writeManifestList(spark: SparkSession, table: String, name: String,
+                        snapshotId: Long, manifests: Seq[(String, Long)],
+                        content: Int = 0): String = {
+    val p = new Path(new Path(table, "metadata"), name)
+    val rows = manifests.map { case (mp, len) =>
+      val r = new GenericData.Record(manifestFileSchema)
+      r.put("manifest_path", mp)
+      r.put("manifest_length", len)
+      r.put("partition_spec_id", 0)
+      r.put("content", content)
+      r.put("added_snapshot_id", snapshotId)
+      r
+    }
+    writeAvro(spark, p, manifestFileSchema, rows)
+    p.toString
+  }
+
+  /** Author `metadata/vN.metadata.json` + `version-hint.text` for
+    * `snaps` = (snapshotId, timestampMs, manifestListPath), current =
+    * last. Minimal v1 document: exactly the fields the spec requires a
+    * reader to honor for scan planning. */
+  def writeMetadata(spark: SparkSession, table: String, version: Int,
+                    snaps: Seq[(Long, Long, String)],
+                    formatVersion: Int = 1): Unit = {
+    val md = new Path(table, "metadata")
+    val f = fs(spark, md)
+    f.mkdirs(md)
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val snapJson = snaps.map { case (id, ts, ml) =>
+      s"""{"snapshot-id":$id,"timestamp-ms":$ts,"manifest-list":"${esc(ml)}"}"""
+    }.mkString("[", ",", "]")
+    val doc =
+      s"""{"format-version":$formatVersion,"table-uuid":"00000000-0000-0000-0000-000000000000",
+         |"location":"${esc(table)}","last-updated-ms":${snaps.lastOption.map(_._2).getOrElse(0L)},
+         |"last-column-id":0,"schema":{"type":"struct","fields":[]},
+         |"partition-spec":[],"properties":{},
+         |"current-snapshot-id":${snaps.lastOption.map(_._1).getOrElse(-1L)},
+         |"snapshots":$snapJson}""".stripMargin
+    def writeText(p: Path, content: String): Unit = {
+      val out = f.create(p, true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    writeText(new Path(md, s"v$version.metadata.json"), doc)
+    writeText(new Path(md, "version-hint.text"), version.toString)
+  }
+}

@@ -1,0 +1,146 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The read-only Iceberg metadata interpreter against hand-assembled
+  * tables in the public format: manifest replay (ADDED/EXISTING live,
+  * DELETED dead) across multi-manifest snapshots, time travel,
+  * version-hint fallback, and the feature gates — delete manifests,
+  * delete data files, non-parquet data, format v3+ — which must REFUSE
+  * loudly, never silently misread. */
+class IcebergSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("iceberg").toString
+
+  /** Write ids as ONE parquet file, returning its absolute path. */
+  private def dataFile(base: String, name: String, ids: Seq[Long]): String = {
+    val tmp = new java.io.File(base, s".tmp_$name").toString
+    ids.toDF("id").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(new java.io.File(base, "data"), name)
+    dst.getParentFile.mkdirs()
+    assert(part.renameTo(dst))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    dst.toString
+  }
+
+  private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  /** Three-snapshot fixture: 1001 adds f1+f2; 1002 deletes f1, carries
+    * f2, adds f3; 1003 = [manifest(1002), manifest adding f4]. */
+  private def threeSnapshotTable(): String = {
+    val base = freshDir()
+    val f1 = dataFile(base, "f1.parquet", Seq(1L, 2L))
+    val f2 = dataFile(base, "f2.parquet", Seq(3L, 4L))
+    val f3 = dataFile(base, "f3.parquet", Seq(5L))
+    val f4 = dataFile(base, "f4.parquet", Seq(6L, 7L))
+    val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1001L,
+      Seq(Iceberg.Entry(f1, 1), Iceberg.Entry(f2, 1)))
+    val m2 = Iceberg.writeManifest(spark, base, "m2.avro", 1002L,
+      Seq(Iceberg.Entry(f1, 2), Iceberg.Entry(f2, 0), Iceberg.Entry(f3, 1)))
+    val m3 = Iceberg.writeManifest(spark, base, "m3.avro", 1003L,
+      Seq(Iceberg.Entry(f4, 1)))
+    val ml1 = Iceberg.writeManifestList(spark, base, "snap-1001.avro", 1001L, Seq(m1))
+    val ml2 = Iceberg.writeManifestList(spark, base, "snap-1002.avro", 1002L, Seq(m2))
+    val ml3 = Iceberg.writeManifestList(spark, base, "snap-1003.avro", 1003L, Seq(m2, m3))
+    Iceberg.writeMetadata(spark, base, version = 3,
+      Seq((1001L, 1000L, ml1), (1002L, 2000L, ml2), (1003L, 3000L, ml3)))
+    base
+  }
+
+  test("current read resolves multi-manifest union and DELETED exclusion") {
+    val base = threeSnapshotTable()
+    // live = f2 (EXISTING through m2) + f3 (ADDED in m2) + f4 (m3) — a
+    // reader skipping carried manifests loses 3/4/5, one ignoring the
+    // DELETED status serves 1/2
+    assert(idsOf(Iceberg.read(spark, base)) == Set(3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("time travel reconstructs every historical snapshot") {
+    val base = threeSnapshotTable()
+    assert(idsOf(Iceberg.readSnapshot(spark, base, 1001L)) == Set(1L, 2L, 3L, 4L))
+    assert(idsOf(Iceberg.readSnapshot(spark, base, 1002L)) == Set(3L, 4L, 5L))
+    assert(idsOf(Iceberg.readSnapshot(spark, base, 1003L)) == Set(3L, 4L, 5L, 6L, 7L))
+    assert(Iceberg.snapshots(spark, base) ==
+      Seq((1001L, 1000L), (1002L, 2000L), (1003L, 3000L)))
+    val e = intercept[IllegalArgumentException](
+      Iceberg.readSnapshot(spark, base, 9999L))
+    assert(e.getMessage.contains("9999") && e.getMessage.contains("1001"), e.getMessage)
+  }
+
+  test("without version-hint.text the highest metadata version wins") {
+    val base = threeSnapshotTable()
+    // stale lower version + deleted hint: the reader must pick v3
+    val md = new java.io.File(base, "metadata")
+    val f = dataFile(base, "only.parquet", Seq(9L))
+    val m = Iceberg.writeManifest(spark, base, "mS.avro", 500L, Seq(Iceberg.Entry(f, 1)))
+    val ml = Iceberg.writeManifestList(spark, base, "snap-500.avro", 500L, Seq(m))
+    // hand-author v2 pointing at the stale snapshot, then remove the hint
+    Iceberg.writeMetadata(spark, base, version = 2, Seq((500L, 1L, ml)))
+    Iceberg.writeMetadata(spark, base, version = 3, {
+      // re-write v3 (writeMetadata also rewrote the hint to 2 above)
+      val ml3 = new java.io.File(md, "snap-1003.avro").toString
+      val ml1 = new java.io.File(md, "snap-1001.avro").toString
+      val ml2 = new java.io.File(md, "snap-1002.avro").toString
+      Seq((1001L, 1000L, ml1), (1002L, 2000L, ml2), (1003L, 3000L, ml3))
+    })
+    assert(new java.io.File(md, "version-hint.text").delete())
+    assert(idsOf(Iceberg.read(spark, base)) == Set(3L, 4L, 5L, 6L, 7L))
+  }
+
+  test("format v3+ is refused loudly") {
+    val base = freshDir()
+    val f = dataFile(base, "f.parquet", Seq(1L))
+    val m = Iceberg.writeManifest(spark, base, "m.avro", 1L, Seq(Iceberg.Entry(f, 1)))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)), formatVersion = 3)
+    val e = intercept[IllegalArgumentException](Iceberg.read(spark, base))
+    assert(e.getMessage.contains("format-version"), e.getMessage)
+  }
+
+  test("delete manifests and delete data files are refused, not skipped") {
+    val base = freshDir()
+    val f = dataFile(base, "f.parquet", Seq(1L))
+    val m = Iceberg.writeManifest(spark, base, "m.avro", 1L, Seq(Iceberg.Entry(f, 1)))
+    // a v2 DELETE manifest in the list: skipping it would serve deleted rows
+    val dm = Iceberg.writeManifest(spark, base, "dm.avro", 1L,
+      Seq(Iceberg.Entry(f, 1, content = 1)))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
+    val mlDel = Iceberg.writeManifestList(spark, base, "snapD.avro", 2L, Seq(dm), content = 1)
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml), (2L, 2L, mlDel)))
+    val e1 = intercept[IllegalArgumentException](Iceberg.read(spark, base))
+    assert(e1.getMessage.contains("DELETE manifest"), e1.getMessage)
+    // the pre-delete snapshot still reads
+    assert(idsOf(Iceberg.readSnapshot(spark, base, 1L)) == Set(1L))
+    // a delete DATA file inside a data manifest is refused too
+    val base2 = freshDir()
+    val g = dataFile(base2, "g.parquet", Seq(1L))
+    val m2 = Iceberg.writeManifest(spark, base2, "m.avro", 1L,
+      Seq(Iceberg.Entry(g, 1, content = 1)))
+    val ml2 = Iceberg.writeManifestList(spark, base2, "snap.avro", 1L, Seq(m2))
+    Iceberg.writeMetadata(spark, base2, 1, Seq((1L, 1L, ml2)))
+    val e2 = intercept[IllegalArgumentException](Iceberg.read(spark, base2))
+    assert(e2.getMessage.contains("delete file"), e2.getMessage)
+  }
+
+  test("non-parquet data files are refused") {
+    val base = freshDir()
+    val f = dataFile(base, "f.parquet", Seq(1L))
+    val m = Iceberg.writeManifest(spark, base, "m.avro", 1L,
+      Seq(Iceberg.Entry(f, 1, format = "ORC")))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)))
+    val e = intercept[IllegalArgumentException](Iceberg.read(spark, base))
+    assert(e.getMessage.contains("ORC"), e.getMessage)
+  }
+
+  test("a non-table directory is refused with a clear message") {
+    val e = intercept[IllegalArgumentException](
+      Iceberg.read(spark, freshDir()))
+    assert(e.getMessage.contains("metadata"), e.getMessage)
+  }
+}
