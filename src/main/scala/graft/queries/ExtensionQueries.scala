@@ -1510,11 +1510,16 @@ object ExtensionQueries {
     // per-fingerprint fan-out is bounded at C(32,2) at ANY scale.
     "q225_winnowing" -> ((s, dir) => {
       import s.implicits._
-      // k=3 matches the house 3-shingle grain; w=5 → guarantee on runs ≥ 7
-      val fps = Dedup.capHotFingerprints(
-        Dedup.winnowingFingerprints(
+      // k=3 matches the house 3-shingle grain; w=5 → guarantee on runs ≥ 7.
+      // The extraction pass is materialized ONCE (the shingleMd5-cache
+      // pattern): the df-cap agg, the anti-join, and both self-join sides
+      // all read the checkpointed ~2/(w+1)-density fingerprint frame —
+      // without this the HOF extraction re-runs once per consumer (3×).
+      val raw = Dedup.winnowingFingerprints(
           t(s, dir, "documents").select($"source", $"doc_id", $"text"),
-          k = 3, w = 5),
+          k = 3, w = 5)
+        .localCheckpoint(true)
+      val fps = Dedup.capHotFingerprints(raw,
         maxDf = 32, keyCols = Seq("source", "fp"))
       val a = fps.toDF("source", "id_a", "fp")
       val b = fps.toDF("source", "id_b", "fp")
