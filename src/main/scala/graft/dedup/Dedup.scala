@@ -472,6 +472,12 @@ object Dedup {
     * `keyCols` must name the pairing join's full blocking key (e.g.
     * Seq("source", "fp") when pairs are blocked per source): df counted
     * on a coarser key than the join would over-drop.
+    *
+    * PRECONDITION: `fps` carries at most ONE row per (document, key) —
+    * df is the ROW count per key, which equals document frequency only
+    * under that contract. [[winnowingFingerprints]] honors it
+    * (array_distinct per doc); a caller with repeated (doc, key) rows
+    * must dropDuplicates first or the repeats inflate df and over-drop.
     */
   def capHotFingerprints(fps: DataFrame, maxDf: Int,
                          keyCols: Seq[String] = Seq("fp")): DataFrame = {

@@ -4236,7 +4236,9 @@ object ExtensionQueries {
          |           list_transform(generate_series(1, len(hsv) - 4),
          |             j -> list_min(list_slice(hsv, j, j + 4)))) END AS fps
          |        FROM hs),
-         |f AS (SELECT source, doc_id, unnest(fps) AS fp FROM fp0)
+         |fAll AS (SELECT source, doc_id, unnest(fps) AS fp FROM fp0),
+         |f AS (SELECT source, doc_id, fp FROM fAll
+         |      QUALIFY count(*) OVER (PARTITION BY source, fp) <= 32)
          |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fp
          |FROM f a JOIN f b ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,

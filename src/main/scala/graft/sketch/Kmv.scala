@@ -109,8 +109,10 @@ object Kmv {
     import s.implicits._
     // null hashes are dropped, matching sketchState/sketchKept's
     // count-DISTINCT-of-values semantics — without this a null hvCol row
-    // hits the primitive-Long encoder and dies with an opaque NPE
-    df.filter(col(hvCol).isNotNull)
+    // hits the primitive-Long encoder and dies with an opaque NPE. The
+    // filter runs on the CAST value: a non-numeric string hv would pass a
+    // plain isNotNull and still cast to null downstream
+    df.filter(col(hvCol).cast("long").isNotNull)
       .select(col(keyCol).cast("string").as("key"), col(hvCol).cast("long").as("hv"))
       .as[(String, Long)]
       .mapPartitions { it =>

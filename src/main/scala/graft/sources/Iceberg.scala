@@ -39,6 +39,9 @@ import scala.jdk.CollectionConverters._
   *  - manifest (Avro): `status` (1 ADDED / 0 EXISTING live, 2 DELETED
   *    dead) + `data_file.{file_path, file_format}`; only PARQUET data
   *    files, and v2 `data_file.content != 0` (delete files) is refused.
+  *  A snapshot whose manifests net to ZERO live files (a fully-deleted
+  *  table, legal in Iceberg) is also refused with the limitation named:
+  *  the schema comes from parquet footers and an empty frame has none.
   *  Fields are looked up by NAME, so real Iceberg manifests — which
   *  carry many more fields (partition structs, column stats, field ids)
   *  — read fine; the extras are planning hints this reader does not
@@ -69,17 +72,25 @@ object Iceberg {
   }
 
   /** Resolve the current metadata document: version-hint.text if present
-    * (the HadoopCatalog pointer), else the highest `v*.metadata.json`. */
+    * AND its target exists (the HadoopCatalog pointer), else the highest
+    * `v*.metadata.json`. The hint write is non-atomic in Iceberg itself
+    * and metadata cleanup can expire the version it names — Iceberg's own
+    * HadoopTableOperations tolerates a stale hint by listing, so a hint
+    * pointing at a deleted file falls back rather than surfacing a raw
+    * FileNotFoundException from deep inside the reader. */
   private[sources] def currentMetadataPath(spark: SparkSession, table: String): Path = {
     val md = new Path(table, "metadata")
     val f = fs(spark, md)
     require(f.exists(md), s"not an Iceberg table: no metadata/ directory under $table")
     val hint = new Path(md, "version-hint.text")
-    if (f.exists(hint)) {
-      val v = new String(readSmall(spark, hint),
-        java.nio.charset.StandardCharsets.UTF_8).trim
-      new Path(md, s"v$v.metadata.json")
-    } else {
+    val hinted =
+      if (!f.exists(hint)) None
+      else {
+        val v = new String(readSmall(spark, hint),
+          java.nio.charset.StandardCharsets.UTF_8).trim
+        Some(new Path(md, s"v$v.metadata.json")).filter(f.exists)
+      }
+    hinted.getOrElse {
       val vs = f.listStatus(md).map(_.getPath.getName)
         .collect { case n if n.startsWith("v") && n.endsWith(".metadata.json") &&
           n.stripPrefix("v").stripSuffix(".metadata.json").forall(_.isDigit) =>
@@ -131,7 +142,16 @@ object Iceberg {
         "'manifests' spelling is not interpreted — rewrite the snapshot " +
         "with a manifest list, the format's primary path)")
     val files = listDataFiles(spark, table, mlPath, snapshotId)
-    require(files.nonEmpty, s"snapshot $snapshotId of $table has no live data files")
+    // a zero-live-file snapshot (all rows deleted copy-on-write) is a
+    // LEGAL Iceberg state this reader cannot serve: the schema comes from
+    // parquet footers (the repo-wide convention) and there is no footer
+    // to type an empty frame from — refuse with the limitation named
+    // rather than a corruption-shaped error
+    require(files.nonEmpty,
+      s"snapshot $snapshotId of $table has zero live data files — a valid " +
+        "(fully-deleted) table state this reader cannot type, because it " +
+        "derives the schema from parquet footers; read an earlier snapshot " +
+        "or construct the empty frame from a known schema instead")
     spark.read.parquet(files: _*)
   }
 
@@ -253,8 +273,13 @@ object Iceberg {
       val w = new DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](schema))
       w.create(schema, out)
-      try { rows.foreach(w.append); w.flush() } finally w.close()
-    } finally ()
+      try { rows.foreach(w.append); w.flush() } finally w.close() // closes out
+    } finally {
+      // if DataFileWriter construction or create() threw, the inner
+      // finally never ran and the stream would leak; double-close after
+      // the normal path is a harmless no-op
+      try out.close() catch { case _: java.io.IOException => () }
+    }
     f.getFileStatus(p).getLen
   }
 

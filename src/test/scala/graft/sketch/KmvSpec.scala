@@ -47,6 +47,18 @@ class KmvSpec extends SparkSpec {
     val out = Kmv.sketchKeptHashed(df, "k", "hv", k = 8).collect()
       .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
     assert(out == Map("a" -> List(5L), "b" -> List(9L)))
+    // numeric strings cast cleanly; a NON-numeric string hv fails with
+    // ANSI's own descriptive cast error (junk input is a caller bug, not
+    // a null to silently drop) — never the opaque encoder NPE
+    val strDf = Seq(("a", "5"), ("b", "9")).toDF("k", "hv")
+    val out2 = Kmv.sketchKeptHashed(strDf, "k", "hv", k = 8).collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1).toList).toMap
+    assert(out2 == Map("a" -> List(5L), "b" -> List(9L)))
+    val junk = Seq(("a", "5"), ("a", "not-a-number")).toDF("k", "hv")
+    val e = intercept[Exception](
+      Kmv.sketchKeptHashed(junk, "k", "hv", k = 8).collect())
+    assert(e.getMessage.contains("CAST") || e.getMessage.contains("cast"),
+      s"expected a descriptive cast error, got: ${e.getMessage}")
   }
 
   test("merge is order- and split-independent on random partials (property)") {

@@ -72,6 +72,21 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("9999") && e.getMessage.contains("1001"), e.getMessage)
   }
 
+  test("a stale version-hint.text falls back to the listing") {
+    // Iceberg's own hint writes are non-atomic and metadata cleanup can
+    // expire the hinted version; HadoopTableOperations tolerates this by
+    // listing — a raw FileNotFoundException here would read as corruption
+    val base = threeSnapshotTable()
+    // overwrite through the Hadoop FS (a raw java.nio write leaves the
+    // LocalFileSystem's .crc sidecar stale → ChecksumException on read)
+    val hfs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    val out = hfs.create(new org.apache.hadoop.fs.Path(
+      s"$base/metadata/version-hint.text"), true)
+    try out.write("99".getBytes) finally out.close()
+    assert(idsOf(Iceberg.read(spark, base)) == Set(3L, 4L, 5L, 6L, 7L))
+  }
+
   test("without version-hint.text the highest metadata version wins") {
     val base = threeSnapshotTable()
     // stale lower version + deleted hint: the reader must pick v3
