@@ -1530,6 +1530,33 @@ object ExtensionQueries {
         .orderBy($"source", $"id_a", $"id_b")
     }),
 
+    // BENCHMARK-CONTAMINATION report (the GPT-3/PaLM-style n-gram-overlap
+    // decontamination pass): deterministic eval split (doc_id % 41 = 0),
+    // per-train-doc count of distinct n-grams shared with ANY eval doc,
+    // rolled up per source. n=4 because the synthetic corpus's longest
+    // cross-doc shared runs are 4 tokens (measured: 10 contaminated docs
+    // at sf0.01, 0 at n >= 5) — production runs use n=8..13, the same
+    // plan shape. Scale shape: the eval gram-hash set broadcasts (eval
+    // benchmarks are small by contract); the corpus side is ONE map-side
+    // HOF extraction + broadcast left join + hash agg — the corpus gram
+    // stream never shuffles to the eval side.
+    "q230_contamination" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"source", $"doc_id", $"text")
+      val evalSet = docs.where($"doc_id" % 41 === 0)
+      val train = docs.where($"doc_id" % 41 =!= 0)
+      graft.text.Decontamination.contamination(train, evalSet.select($"text"), n = 4)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when($"n_contaminated" > 0L, 1L).otherwise(0L)).as("n_contaminated_docs"),
+          sum($"n_grams").as("n_grams"),
+          sum($"n_contaminated").as("n_contaminated_grams"))
+        .selectExpr("source", "n_docs", "n_contaminated_docs", "n_grams",
+          "n_contaminated_grams",
+          "(1000000 * n_contaminated_grams) DIV n_grams AS contam_micro")
+        .orderBy($"source")
+    }),
+
     // near-dup GROUP extraction: connected components over the minhash
     // candidate graph → canonical keep-doc per group (the step after
     // pairwise candidates in a real dedup pipeline)
@@ -4242,6 +4269,25 @@ object ExtensionQueries {
          |SELECT a.source AS source, a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_shared_fp
          |FROM f a JOIN f b ON a.source = b.source AND a.fp = b.fp AND a.doc_id < b.doc_id
          |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q230_contamination" ->
+      s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |g0 AS (SELECT source, doc_id,
+         |        CASE WHEN len(tk) < 4 THEN CAST([] AS BIGINT[]) ELSE list_distinct(
+         |          list_transform(generate_series(1, len(tk) - 3),
+         |            i -> ${TextFunctions.md5Bucket60Sql("array_to_string(list_slice(tk, i, i + 3), ' ')")})) END AS ghs
+         |       FROM c),
+         |g AS (SELECT source, doc_id, unnest(ghs) AS gh FROM g0),
+         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 41 = 0),
+         |d AS (SELECT tr.source, tr.doc_id, count(*) AS n_grams,
+         |        sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_contam
+         |      FROM (SELECT * FROM g WHERE doc_id % 41 <> 0) tr
+         |      LEFT JOIN ev ON tr.gh = ev.gh GROUP BY 1, 2)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN n_contam > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_docs,
+         |  CAST(sum(n_grams) AS BIGINT) AS n_grams,
+         |  CAST(sum(n_contam) AS BIGINT) AS n_contaminated_grams,
+         |  (1000000 * CAST(sum(n_contam) AS BIGINT)) // CAST(sum(n_grams) AS BIGINT) AS contam_micro
+         |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
     "q222_perplexity_buckets" ->
       s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),
