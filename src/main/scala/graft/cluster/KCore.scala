@@ -55,19 +55,33 @@ object KCore {
           "Symmetrize first, or pass checkSymmetry = false only for " +
           "input a symmetrizing constructor already guarantees.")
     }
+    // Per-round shape (the LPA vote pattern, made possible by symmetry):
+    // deg_S(v) = #edges (u, v) with u ∈ S, so ONE a-side join against the
+    // cached hashpartitioning(a) adjacency (only the survivor frame
+    // shuffles) + a map-side-combinable groupBy(b) gives every node's
+    // degree-from-survivors; v's own membership is then a NODE-frame
+    // join, never a second edge-frame shuffle on b.
+    //
+    // Every round references the previous survivor frame TWICE (degree
+    // source + membership filter), so each round's LOGICAL plan must be
+    // truncated: left unmaterialized, the tree doubles per round —
+    // 2^rounds plan nodes, heap death at ANALYSIS time before a single
+    // task runs (measured; persist() does not help, it only substitutes
+    // at physical planning under the full logical tree). The CC batching
+    // answer: a LAZY localCheckpoint per round replaces the plan with a
+    // LogicalRDD leaf while deferring compute — RDD DAG nodes are shared
+    // by identity, so the final single action computes each round once.
     var cur = adj.select(col("a")).distinct()
-    for (r <- 1 to rounds) {
-      cur = adj.join(cur, "a")
+    def liveDeg(s: DataFrame, out: String): DataFrame =
+      adj.join(s, "a").groupBy(col("b")).agg(count(lit(1)).as(out))
+    for (_ <- 1 to rounds) {
+      cur = liveDeg(cur, "__d")
         .join(cur.withColumnRenamed("a", "b"), "b")
-        .groupBy(col("a")).agg(count(lit(1)).as("__d"))
-        .where(col("__d") >= k).select(col("a"))
-      // cut lineage before it compounds across rounds (the CC batching
-      // rule); the survivor frame only shrinks, so this stays cheap
-      if (r % 3 == 0 && r < rounds) cur = cur.localCheckpoint(true)
+        .where(col("__d") >= k).select(col("b").as("a"))
+        .localCheckpoint(false)
     }
-    adj.join(cur, "a")
+    liveDeg(cur, "core_degree")
       .join(cur.withColumnRenamed("a", "b"), "b")
-      .groupBy(col("a")).agg(count(lit(1)).as("core_degree"))
-      .select(col("a").as("node"), col("core_degree"))
+      .select(col("b").as("node"), col("core_degree"))
   }
 }

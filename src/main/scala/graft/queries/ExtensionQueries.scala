@@ -1412,16 +1412,18 @@ object ExtensionQueries {
 
     // k-CORE decomposition (graph-density quality filter — spam rings and
     // boilerplate hosts live OUTSIDE the dense core of a web/link graph):
-    // 12 synchronous peel rounds at k=2 over the shared co-purchase
+    // 8 synchronous peel rounds at k=2 over the shared co-purchase
     // adjacency — the fixed horizon reaches the peel fixpoint at every
     // shipped sf (measured ≤ 6 rounds), so the output IS the exact 2-core
     // with per-node in-core degree. Every round shuffles only the
     // shrinking survivor frame against the cached adjacency (the
-    // q133/q221 iteration pattern); the oracle replays the same 12 rounds
-    // as chained joins.
+    // q133/q221 iteration pattern); the oracle replays the same 8 rounds
+    // as chained joins — engine and oracle share the horizon, so they
+    // agree by construction at ANY scale; exactness-as-true-k-core is the
+    // measured-convergence claim.
     "q231_kcore" -> ((s, dir) => {
       import s.implicits._
-      graft.cluster.KCore.run(copurchaseAdj(s, dir), k = 2, rounds = 12,
+      graft.cluster.KCore.run(copurchaseAdj(s, dir), k = 2, rounds = 8,
           checkSymmetry = false)
         .orderBy($"node")
     }),
@@ -4241,8 +4243,8 @@ object ExtensionQueries {
     "q231_kcore" -> {
       // every c_r is referenced TWICE by round r+1 (and adj twice per
       // round): DuckDB inlines plain CTEs, so without AS MATERIALIZED the
-      // plan blows up 2^12 scans of lineitem and dies on file handles
-      val rounds = (1 to 12).map { r =>
+      // plan blows up 2^8 scans of lineitem and dies on file handles
+      val rounds = (1 to 8).map { r =>
         val prev = if (r == 1) "c0" else s"c${r - 1}"
         s"""c$r AS MATERIALIZED (SELECT a FROM (
            |  SELECT adj.a, count(*) AS d FROM adj
@@ -4256,7 +4258,7 @@ object ExtensionQueries {
          |c0 AS MATERIALIZED (SELECT DISTINCT a FROM adj),
          |$rounds
          |SELECT adj.a AS node, count(*) AS core_degree
-         |FROM adj JOIN c12 xa ON adj.a = xa.a JOIN c12 xb ON adj.b = xb.a
+         |FROM adj JOIN c8 xa ON adj.a = xa.a JOIN c8 xb ON adj.b = xb.a
          |GROUP BY 1 ORDER BY node""".stripMargin
     },
     "q223_group_split" ->
