@@ -4318,7 +4318,7 @@ object ExtensionQueries {
          |g AS (SELECT source, doc_id, unnest(ghs) AS gh FROM g0),
          |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 41 = 0),
          |d AS (SELECT tr.source, tr.doc_id, count(*) AS n_grams,
-         |        sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS n_contam
+         |        CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam
          |      FROM (SELECT * FROM g WHERE doc_id % 41 <> 0) tr
          |      LEFT JOIN ev ON tr.gh = ev.gh GROUP BY 1, 2)
          |SELECT source, count(*) AS n_docs,
