@@ -23,11 +23,12 @@ import org.apache.spark.sql.functions._
   *     horizon reaches the fixpoint the result IS the exact k-core
   *     (spec-pinned against a sequential-peel oracle).
   *
-  * Scale shape: each round joins the SHRINKING survivor frame twice
-  * against the cached pre-partitioned adjacency and hash-aggregates
-  * degrees — only the node frame shuffles, never the edge list (the
-  * q133/q221 pattern); survivor frames are eagerly checkpointed every
-  * few rounds so the 12-round lineage never compounds. */
+  * Scale shape: each round joins the SHRINKING survivor frame once
+  * against the cached pre-partitioned adjacency (only the node frame
+  * shuffles, never the edge list — the q133/q221 pattern), counts
+  * degree-from-survivors with a map-combinable aggregate, and filters
+  * membership with a node-frame join; EVERY round is cut with a LAZY
+  * localCheckpoint, which is load-bearing — see the in-body comment. */
 object KCore {
 
   /** @param adj    symmetric adjacency with two long columns `a`, `b`

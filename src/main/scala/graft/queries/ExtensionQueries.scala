@@ -4315,7 +4315,7 @@ object ExtensionQueries {
          |          list_transform(generate_series(1, len(tk) - 3),
          |            i -> ${TextFunctions.md5Bucket60Sql("array_to_string(list_slice(tk, i, i + 3), ' ')")})) END AS ghs
          |       FROM c),
-         |g AS (SELECT source, doc_id, unnest(ghs) AS gh FROM g0),
+         |g AS MATERIALIZED (SELECT source, doc_id, unnest(ghs) AS gh FROM g0),
          |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 41 = 0),
          |d AS (SELECT tr.source, tr.doc_id, count(*) AS n_grams,
          |        CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contam

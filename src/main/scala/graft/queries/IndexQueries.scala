@@ -154,6 +154,25 @@ object IndexQueries {
     p
   }
 
+  /** Write `df` as ONE canonically-named parquet file (coalesce(1) into a
+    * tmp dir, pick the part file, atomic rename into `destDir`) — the
+    * single-file slice step both interop fixtures (q193 Delta, q228
+    * Iceberg) stage their data files with. Returns the destination. */
+  private def stageSingleFile(fs: org.apache.hadoop.fs.FileSystem,
+                              base: org.apache.hadoop.fs.Path,
+                              df: DataFrame, name: String,
+                              destDir: org.apache.hadoop.fs.Path): String = {
+    val tmp = new org.apache.hadoop.fs.Path(base, s".tmp_$name")
+    df.coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .head.getPath
+    val dst = new org.apache.hadoop.fs.Path(destDir, name)
+    require(fs.rename(part, dst), s"staging: rename to $name failed")
+    fs.delete(tmp, true)
+    dst.toString
+  }
+
   /** q193's fixture: a minimal but REAL `_delta_log` table hand-assembled
     * from deterministic slices of `events` — the public protocol exactly as
     * delta-io writes it (versioned JSON commits of add/remove, a single-part
@@ -176,16 +195,8 @@ object IndexQueries {
       val ev = t(s, dir, "events").select($"event_id", $"event_type",
         round($"value" * 1e6).cast("long").as("value_micros"))
       // one parquet FILE per logical slice, canonical name at table root
-      def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
-        val tmp = new org.apache.hadoop.fs.Path(bp, s".tmp_$name")
-        df.coalesce(1).write.parquet(tmp.toString)
-        val part = fs.listStatus(tmp)
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .head.getPath
-        require(fs.rename(part, new org.apache.hadoop.fs.Path(bp, name)),
-          s"q193 staging: rename to $name failed")
-        fs.delete(tmp, true)
-      }
+      def writeFile(df: org.apache.spark.sql.DataFrame, name: String): Unit =
+        stageSingleFile(fs, bp, df, name, bp)
       writeFile(ev.where($"event_type" === "purchase" && $"event_id" % 2 === 0), "f1.parquet")
       writeFile(ev.where($"event_type" === "purchase" && $"event_id" % 2 =!= 0), "f2.parquet")
       writeFile(ev.where($"event_type" === "click"), "f3.parquet")
@@ -252,17 +263,8 @@ object IndexQueries {
       fs.mkdirs(dataDir)
       val ev = t(s, dir, "events").select($"event_id", $"event_type",
         round($"value" * 1e6).cast("long").as("value_micros"))
-      def writeFile(df: DataFrame, name: String): String = {
-        val tmp = new org.apache.hadoop.fs.Path(bp, s".tmp_$name")
-        df.coalesce(1).write.parquet(tmp.toString)
-        val part = fs.listStatus(tmp)
-          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-          .head.getPath
-        val dst = new org.apache.hadoop.fs.Path(dataDir, name)
-        require(fs.rename(part, dst), s"q228 staging: rename to $name failed")
-        fs.delete(tmp, true)
-        dst.toString
-      }
+      def writeFile(df: DataFrame, name: String): String =
+        stageSingleFile(fs, bp, df, name, dataDir)
       val f1 = writeFile(ev.where($"event_type" === "purchase" && $"event_id" % 2 === 0), "f1.parquet")
       val f2 = writeFile(ev.where($"event_type" === "purchase" && $"event_id" % 2 =!= 0), "f2.parquet")
       val f3 = writeFile(ev.where($"event_type" === "click"), "f3.parquet")
