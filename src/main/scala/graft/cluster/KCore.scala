@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   *     practice it sheds whole layers — the co-purchase graph converges
   *     in ≤ 6 rounds at every shipped sf (measured) — and when the
   *     horizon reaches the fixpoint the result IS the exact k-core
-  *     (spec-pinned against a sequential-peel oracle).
+  *     (spec-pinned against a sequential-peel oracle). A horizon that
+  *     does NOT reach the fixpoint is REFUSED by default (one cheap
+  *     post-loop probe, `checkConverged`) instead of silently returning
+  *     a superset — the VERDICT r10 watch item.
   *
   * Scale shape: each round joins the SHRINKING survivor frame once
   * against the cached pre-partitioned adjacency (only the node frame
@@ -41,10 +44,20 @@ object KCore {
     *               from column `a` only, so a directed list silently
     *               under-counts); disable only for constructor-guaranteed
     *               input
+    * @param checkConverged run ONE extra degree round after the horizon
+    *               and REFUSE loudly if any survivor would still peel —
+    *               without it a high-diameter graph (a long pendant
+    *               chain) silently returns a strict SUPERSET of the true
+    *               k-core at a too-short horizon, the worst failure mode
+    *               at 100× scale. Costs one survivor-frame join + a
+    *               `limit(1).count()` probe on the already-checkpointed
+    *               final round; disable only when the fixed-horizon
+    *               superset is the documented intent
     * @return one row per surviving node: `(node, core_degree)` with
     *         `core_degree` the node's degree within the surviving set */
   def run(adj: DataFrame, k: Int, rounds: Int = 12,
-          checkSymmetry: Boolean = true): DataFrame = {
+          checkSymmetry: Boolean = true,
+          checkConverged: Boolean = true): DataFrame = {
     require(k >= 1, s"k-core needs k >= 1, got $k")
     require(rounds >= 1, s"k-core needs rounds >= 1, got $rounds")
     if (checkSymmetry) {
@@ -80,6 +93,23 @@ object KCore {
         .join(cur.withColumnRenamed("a", "b"), "b")
         .where(col("__d") >= k).select(col("b").as("a"))
         .localCheckpoint(false)
+    }
+    if (checkConverged) {
+      // would round `rounds + 1` still peel anyone? A survivor drops when
+      // its degree-from-survivors is < k — INCLUDING degree 0, which the
+      // inner liveDeg join would silently omit, hence the left_outer +
+      // coalesce. limit(1) short-circuits: one witness is enough.
+      val stillPeeling = cur.withColumnRenamed("a", "b")
+        .join(liveDeg(cur, "__d"), Seq("b"), "left_outer")
+        .where(coalesce(col("__d"), lit(0L)) < k)
+        .limit(1).count()
+      require(stillPeeling == 0L,
+        s"KCore.run: $rounds synchronous rounds did not reach the peel " +
+          s"fixpoint — at least one survivor would still drop in round " +
+          s"${rounds + 1}, so the result would be a strict SUPERSET of the " +
+          "true k-core. Increase `rounds` (a pendant chain of length L " +
+          "needs ~L/2 rounds), or pass checkConverged = false if the " +
+          "fixed-horizon superset is intended.")
     }
     liveDeg(cur, "core_degree")
       .join(cur.withColumnRenamed("a", "b"), "b")

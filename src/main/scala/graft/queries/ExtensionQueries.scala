@@ -1575,6 +1575,28 @@ object ExtensionQueries {
         .orderBy($"source")
     }),
 
+    // BENCHMARK DECONTAMINATION — removal, not just measurement (the
+    // r10 task-5 ask): drop every training document sharing ANY 4-gram
+    // with the eval split (maxContaminated = 0), then checksum the
+    // CLEANED corpus per source. Same eval split and gram grain as q230,
+    // so the two queries cross-check: q233's kept docs are exactly
+    // q230's n_contaminated = 0 docs plus the sub-4-token ones. Scale
+    // shape: q230's measured-broadcast join + an anti-join of the small
+    // flagged-key set back against the corpus (the q139/q225 shapes).
+    "q233_decontaminate" -> ((s, dir) => {
+      import s.implicits._
+      val docs = t(s, dir, "documents").select($"source", $"doc_id", $"text")
+      val evalSet = docs.where($"doc_id" % 41 === 0)
+      val train = docs.where($"doc_id" % 41 =!= 0)
+      graft.text.Decontamination.decontaminate(
+          train, evalSet.select($"text"), n = 4, maxContaminated = 0L)
+        .groupBy($"source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum($"doc_id").as("id_checksum"),
+          sum(length($"text").cast("long")).as("len_checksum"))
+        .orderBy($"source")
+    }),
+
     // near-dup GROUP extraction: connected components over the minhash
     // candidate graph → canonical keep-doc per group (the step after
     // pairwise candidates in a real dedup pipeline)
@@ -4327,6 +4349,26 @@ object ExtensionQueries {
          |  CAST(sum(n_contam) AS BIGINT) AS n_contaminated_grams,
          |  (1000000 * CAST(sum(n_contam) AS BIGINT)) // CAST(sum(n_grams) AS BIGINT) AS contam_micro
          |FROM d GROUP BY 1 ORDER BY source""".stripMargin,
+    "q233_decontaminate" ->
+      s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |g0 AS (SELECT source, doc_id,
+         |        CASE WHEN len(tk) < 4 THEN CAST([] AS BIGINT[]) ELSE list_distinct(
+         |          list_transform(generate_series(1, len(tk) - 3),
+         |            i -> ${TextFunctions.md5Bucket60Sql("array_to_string(list_slice(tk, i, i + 3), ' ')")})) END AS ghs
+         |       FROM c),
+         |g AS MATERIALIZED (SELECT source, doc_id, unnest(ghs) AS gh FROM g0),
+         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 41 = 0),
+         |bad AS (SELECT DISTINCT tr.source, tr.doc_id
+         |        FROM (SELECT * FROM g WHERE doc_id % 41 <> 0) tr
+         |        JOIN ev ON tr.gh = ev.gh),
+         |kept AS (SELECT d.source, d.doc_id, d.text
+         |         FROM documents d LEFT JOIN bad b
+         |           ON d.source = b.source AND d.doc_id = b.doc_id
+         |         WHERE d.doc_id % 41 <> 0 AND b.doc_id IS NULL)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
+         |  CAST(sum(length(text)) AS BIGINT) AS len_checksum
+         |FROM kept GROUP BY 1 ORDER BY source""".stripMargin,
     "q222_perplexity_buckets" ->
       s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),

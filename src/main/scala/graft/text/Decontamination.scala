@@ -18,13 +18,33 @@ import org.apache.spark.sql.functions._
   * absent from the output — they cannot be contaminated at this n.
   *
   * Scale shape: the eval side collapses to a DISTINCT 60-bit gram-hash
-  * set and BROADCASTS — eval benchmarks are thousands of documents by
-  * contract, so the set is MB-scale while the train side is the 100 TB
-  * corpus; the train pass is ONE map-side HOF gram extraction (the
-  * token array bound once as a lambda variable — the PLANS.md q188
-  * rule) followed by a broadcast left join and a hash aggregate. No
-  * shuffle ever carries the corpus gram stream to the eval side. */
+  * set, which is MEASURED (materialized once with an eager
+  * localCheckpoint, then counted) and then either BROADCAST — the fast
+  * path when eval benchmarks are the contractual thousands of documents —
+  * or met through an ordinary shuffled equi-join when the measured set
+  * would blow the broadcast budget (the [[graft.score.Blooms.scoreAuto]]
+  * measured-cutover convention: an oversized eval set must become a slow
+  * shuffle, never a driver/executor OOM). The train pass is ONE map-side
+  * HOF gram extraction (the token array bound once as a lambda variable —
+  * the PLANS.md q188 rule) followed by the join and a hash aggregate;
+  * the corpus gram stream never shuffles on the broadcast path. */
 object Decontamination {
+
+  /** Column names [[contamination]] materializes internally or in its
+    * output — a train frame already carrying one would be silently
+    * mis-grouped or ambiguous, so it is refused up front. */
+  private val ReservedColumns = Seq("gh", "__ghs", "__hit", "n_grams", "n_contaminated")
+
+  /** Default broadcast budget for the eval gram set — matches Spark's own
+    * `autoBroadcastJoinThreshold` default (10 MB, the
+    * [[graft.score.Blooms.DefaultBroadcastBudgetBytes]] convention): the
+    * hashed gram set rides the same executor-memory path a broadcast
+    * join's relation does. */
+  val DefaultBroadcastBudgetBytes: Long = 10L * 1024 * 1024
+
+  /** Conservative in-memory footprint of one distinct gram hash inside a
+    * broadcast hashed relation (8-byte long key + row + table slot). */
+  val BytesPerBroadcastGram: Long = 32L
 
   /** Distinct n-gram 60-bit hashes per row: input columns minus
     * `textCol`, plus one `gh` long per distinct gram (md5-derived — the
@@ -44,20 +64,68 @@ object Decontamination {
   /** Per-training-document contamination against `evalDocs`: the train
     * columns (minus `textCol`) plus `n_grams` (distinct n-grams in the
     * doc) and `n_contaminated` (how many of them appear in the eval
-    * set). `evalDocs` needs only `textCol`; it must be the SMALL side —
-    * its distinct gram set is broadcast. */
+    * set). `evalDocs` needs only `textCol`. The eval gram set is
+    * materialized and counted first; it is broadcast only when
+    * `count * BytesPerBroadcastGram <= broadcastBudgetBytes`, else the
+    * join runs as a plain shuffled equi-join (slower, never an OOM).
+    * The returned frame's lineage includes the checkpointed gram set —
+    * fine for a planning-scale artifact that was measured to be finite
+    * either way. */
   def contamination(train: DataFrame, evalDocs: DataFrame,
-                    textCol: String = "text", n: Int = 8): DataFrame = {
-    val eg = gramHashes(evalDocs.select(col(textCol)), textCol, n)
-      .select(col("gh")).distinct()
-      .withColumn("__hit", lit(1))
+                    textCol: String = "text", n: Int = 8,
+                    broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
+    val clash = train.columns.toSet.intersect(ReservedColumns.toSet)
+    require(clash.isEmpty,
+      s"contamination reserves column name(s) ${clash.toSeq.sorted.mkString(", ")} " +
+        "for its internal gram join and its output — rename them on the " +
+        s"train side (reserved: ${ReservedColumns.mkString(", ")})")
     val keys = train.columns.filterNot(_ == textCol).map(col)
     require(keys.nonEmpty,
       "contamination needs at least one non-text key column on the train side")
+    // one extraction pass over the eval side: the checkpoint materializes
+    // the distinct gram set, the count and the join both read the
+    // materialized blocks (the q225 materialize-once pattern)
+    val eg = gramHashes(evalDocs.select(col(textCol)), textCol, n)
+      .select(col("gh")).distinct()
+      .withColumn("__hit", lit(1))
+      .localCheckpoint(true)
+    val nEvalGrams = eg.count()
+    val evalSide =
+      if (nEvalGrams * BytesPerBroadcastGram <= broadcastBudgetBytes) broadcast(eg)
+      // over budget: force the sort-merge spelling — the checkpointed
+      // leaf KEEPS the origin plan's stats, so without the hint Spark
+      // could still auto-broadcast right up to the OOM this guard exists
+      // to prevent
+      else eg.hint("merge")
     gramHashes(train, textCol, n)
-      .join(broadcast(eg), Seq("gh"), "left_outer")
+      .join(evalSide, Seq("gh"), "left_outer")
       .groupBy(keys: _*)
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("__hit").isNotNull, 1L).otherwise(0L)).as("n_contaminated"))
+  }
+
+  /** Removal, not just measurement: drop every training document whose
+    * contamination exceeds `maxContaminated` shared grams, returning the
+    * cleaned corpus with `train`'s exact columns (text included).
+    * Documents shorter than n tokens carry no grams and are always kept.
+    * The contaminated key set is anti-joined back null-safely (`<=>`), so
+    * a null-keyed contaminated document is still dropped. Cleaning to
+    * `maxContaminated = 0` re-scores to zero contamination at the same n
+    * (DecontaminationSpec law). */
+  def decontaminate(train: DataFrame, evalDocs: DataFrame,
+                    textCol: String = "text", n: Int = 8,
+                    maxContaminated: Long = 0L,
+                    broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
+    require(maxContaminated >= 0L,
+      s"maxContaminated must be >= 0, got $maxContaminated")
+    val keys = train.columns.filterNot(_ == textCol).toSeq
+    val bad = contamination(train, evalDocs, textCol, n, broadcastBudgetBytes)
+      .where(col("n_contaminated") > maxContaminated)
+      .select(keys.map(col): _*)
+    // bad derives FROM train (shared attribute ids) — alias both sides so
+    // the analyzer's relation dedup re-keys the right side and the
+    // null-safe condition resolves unambiguously
+    val cond = keys.map(k => col(s"__dc_t.`$k`") <=> col(s"__dc_b.`$k`")).reduce(_ && _)
+    train.alias("__dc_t").join(bad.alias("__dc_b"), cond, "left_anti")
   }
 }

@@ -51,11 +51,29 @@ class KCoreSpec extends SparkSpec {
   test("a triangle with a pendant chain: 2-core is exactly the triangle") {
     // 1-2-3 triangle, chain 3-4-5: peeling 5 then 4 leaves the triangle;
     // synchronous peeling needs TWO rounds (5 first, then 4) — a
-    // one-round horizon would wrongly keep 4
+    // one-round horizon is non-converged and must now REFUSE, not
+    // silently keep 4 (the VERDICT r10 watch item)
     val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (4L, 5L))
     assert(core(edges, 2) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
-    assert(core(edges, 2, rounds = 1) != Map(1L -> 2L, 2L -> 2L, 3L -> 2L),
-      "one round must NOT suffice on the chain — the law above is real")
+    val e = intercept[IllegalArgumentException](core(edges, 2, rounds = 1))
+    assert(e.getMessage.contains("fixpoint"), e.getMessage)
+    // the documented opt-out returns the fixed-horizon superset
+    val superset = KCore.run(sym(edges), 2, rounds = 1, checkConverged = false)
+      .collect().map(_.getLong(0)).toSet
+    assert(superset == Set(1L, 2L, 3L, 4L), superset)
+  }
+
+  test("a long pendant chain past the horizon refuses instead of under-peeling") {
+    // triangle 1-2-3 with a 20-node chain hanging off node 3: the 2-core
+    // is the triangle, but synchronous peeling eats the chain one tail
+    // node per round — a 4-round horizon is far from the fixpoint and
+    // would silently report chain nodes as 2-core members
+    val chain = (3L until 23L).map(i => (i, i + 1))
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L)) ++ chain
+    val e = intercept[IllegalArgumentException](core(edges, 2, rounds = 4))
+    assert(e.getMessage.contains("SUPERSET"), e.getMessage)
+    // with enough rounds the same graph converges to exactly the triangle
+    assert(core(edges, 2, rounds = 25) == Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
   }
 
   test("k above the max degree empties the core; validation fires") {

@@ -328,6 +328,17 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastExchange"), p)
   }
 
+  test("q230 contamination joins through the MEASURED broadcast path") {
+    // the r10 weak item, closed: the eval gram set is counted before the
+    // join — under the 10 MB budget (it is, at every shipped sf: ≤6.4k
+    // distinct grams at sf0.1) it must broadcast; the corpus gram stream
+    // must never shuffle toward the eval side. The over-budget cutover to
+    // SortMergeJoin is law-pinned in DecontaminationSpec.
+    val p = plan("q230_contamination")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("q225 winnowing pairing caps hot fingerprints before the self-join") {
     // the anti-join against the hot-fingerprint tail must be IN the plan
     // (dropping it silently restores the quadratic C(k,2) fan-out on
