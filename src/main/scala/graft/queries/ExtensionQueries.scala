@@ -195,6 +195,21 @@ object ExtensionQueries {
         .groupBy($"doc_id", $"w1", $"w2").agg(count(lit(1)).as("k"))
     }
 
+  /** The q230/q233 benchmark 4-gram hash set — distinct `gh` over the
+    * deterministic eval split (doc_id % 41 = 0) — shared by q230
+    * (contamination measurement) and q233 (removal): both score the SAME
+    * benchmark, and the eval-side extract+distinct was the one staging
+    * pass q233 re-ran seconds after q230 built it (r11 plan audit). The
+    * persisted frame doubles as the materialization the measured
+    * broadcast-cutover in `contaminationFromGrams` counts against. */
+  private def decontamEvalGrams(s: SparkSession, dir: String): DataFrame =
+    cachedFrame("decontam_eval_grams", s, dir, Seq("documents")) {
+      import s.implicits._
+      graft.text.Decontamination.evalGrams(
+        t(s, dir, "documents").where($"doc_id" % 41 === 0).select($"text"),
+        textCol = "text", n = 4)
+    }
+
   /** Degree-ordered orientation of [[copurchaseEdges]] — (a, b, db) with
     * every edge pointing from its lower-(degree, id) endpoint — shared by
     * q101 (triangles) and q127 (clustering coefficient): both wedge-join
@@ -231,6 +246,7 @@ object ExtensionQueries {
     copurchaseAdj(s, dir)
     copurchaseOriented(s, dir)
     docBigramCounts(s, dir)
+    decontamEvalGrams(s, dir)
     IndexQueries.q161Shingles(s, dir)
   }
 
@@ -1418,9 +1434,12 @@ object ExtensionQueries {
     // with per-node in-core degree. Every round shuffles only the
     // shrinking survivor frame against the cached adjacency (the
     // q133/q221 iteration pattern); the oracle replays the same 8 rounds
-    // as chained joins — engine and oracle share the horizon, so they
-    // agree by construction at ANY scale; exactness-as-true-k-core is the
-    // measured-convergence claim.
+    // as chained joins. KCore.run's default convergence probe stays ON:
+    // at any sf where 8 rounds did NOT reach the fixpoint the engine
+    // REFUSES loudly (r11's checkConverged) rather than serving the
+    // 8-round superset the oracle would compute — a refusal surfaces as
+    // a driver `err`, never as a silent engine/oracle agreement on a
+    // non-core answer.
     "q231_kcore" -> ((s, dir) => {
       import s.implicits._
       graft.cluster.KCore.run(copurchaseAdj(s, dir), k = 2, rounds = 8,
@@ -1561,9 +1580,12 @@ object ExtensionQueries {
     "q230_contamination" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"source", $"doc_id", $"text")
-      val evalSet = docs.where($"doc_id" % 41 === 0)
       val train = docs.where($"doc_id" % 41 =!= 0)
-      graft.text.Decontamination.contamination(train, evalSet.select($"text"), n = 4)
+      // eval gram set off the shared session cache (built once, persisted)
+      // — q233 removes against the SAME benchmark, so the eval-side
+      // extract+distinct is one pass, not one per query (r11 advice 6)
+      graft.text.Decontamination.contaminationFromGrams(
+          train, decontamEvalGrams(s, dir), n = 4)
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum(when($"n_contaminated" > 0L, 1L).otherwise(0L)).as("n_contaminated_docs"),
@@ -1586,10 +1608,9 @@ object ExtensionQueries {
     "q233_decontaminate" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents").select($"source", $"doc_id", $"text")
-      val evalSet = docs.where($"doc_id" % 41 === 0)
       val train = docs.where($"doc_id" % 41 =!= 0)
-      graft.text.Decontamination.decontaminate(
-          train, evalSet.select($"text"), n = 4, maxContaminated = 0L)
+      graft.text.Decontamination.decontaminateFromGrams(
+          train, decontamEvalGrams(s, dir), n = 4, maxContaminated = 0L)
         .groupBy($"source")
         .agg(count(lit(1)).as("n_docs"),
           sum($"doc_id").as("id_checksum"),
@@ -4362,9 +4383,11 @@ object ExtensionQueries {
          |        FROM (SELECT * FROM g WHERE doc_id % 41 <> 0) tr
          |        JOIN ev ON tr.gh = ev.gh),
          |kept AS (SELECT d.source, d.doc_id, d.text
-         |         FROM documents d LEFT JOIN bad b
-         |           ON d.source = b.source AND d.doc_id = b.doc_id
-         |         WHERE d.doc_id % 41 <> 0 AND b.doc_id IS NULL)
+         |         FROM documents d
+         |         WHERE d.doc_id % 41 <> 0 AND NOT EXISTS (
+         |           SELECT 1 FROM bad b
+         |           WHERE d.source IS NOT DISTINCT FROM b.source
+         |             AND d.doc_id IS NOT DISTINCT FROM b.doc_id))
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
          |  CAST(sum(length(text)) AS BIGINT) AS len_checksum

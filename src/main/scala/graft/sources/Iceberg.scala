@@ -63,9 +63,26 @@ object Iceberg {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def readSmall(spark: SparkSession, p: Path): Array[Byte] = {
+  /** Ceiling for any driver-side metadata read: real Iceberg planning
+    * artifacts (metadata.json, manifest lists, manifests) are KB–MB; a
+    * file beyond this is either not metadata or a table this single-JVM
+    * planning pass should not buffer. Also keeps the `Int` allocation
+    * below sound — an unguarded `getLen.toInt` on a >2 GiB file wraps
+    * negative and throws `NegativeArraySizeException` instead of a
+    * contractual named refusal (ADVICE r11 item 3). */
+  val MaxMetadataFileBytes: Long = 256L * 1024 * 1024
+
+  private[sources] def readSmall(spark: SparkSession, p: Path,
+                                 maxBytes: Long = MaxMetadataFileBytes): Array[Byte] = {
     val f = fs(spark, p)
-    val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)
+    val len = f.getFileStatus(p).getLen
+    require(len <= maxBytes,
+      s"Iceberg metadata file $p is $len bytes — larger than the " +
+        s"$maxBytes-byte driver-side metadata budget; this reader buffers " +
+        "planning artifacts (metadata.json, manifest lists, manifests) " +
+        "whole on the driver and refuses anything metadata-shaped only in " +
+        "name")
+    val buf = new Array[Byte](len.toInt)
     val in = f.open(p)
     try in.readFully(buf) finally in.close()
     buf

@@ -61,7 +61,22 @@ object Decontamination {
       .withColumn("gh", explode(col("__ghs"))).drop("__ghs")
   }
 
-  /** Per-training-document contamination against `evalDocs`: the train
+  /** The distinct n-gram hash set of `evalDocs` — one `gh` column — NOT
+    * yet materialized: callers that score several corpora against the
+    * same benchmark (q230 measurement + q233 removal) persist this frame
+    * once (the session-cache convention) and pass it to the `FromGrams`
+    * variants; [[contamination]] checkpoints it per call. */
+  def evalGrams(evalDocs: DataFrame, textCol: String = "text", n: Int = 8): DataFrame =
+    gramHashes(evalDocs.select(col(textCol)), textCol, n)
+      .select(col("gh")).distinct()
+
+  /** EAGER: runs Spark jobs at construction time (the eval side is
+    * materialized with a localCheckpoint and counted before the returned
+    * frame exists) — the price of the measured broadcast-vs-shuffle
+    * cutover; callers wiring plans speculatively should build the pieces
+    * themselves from [[evalGrams]] + [[contaminationFromGrams]].
+    *
+    * Per-training-document contamination against `evalDocs`: the train
     * columns (minus `textCol`) plus `n_grams` (distinct n-grams in the
     * doc) and `n_contaminated` (how many of them appear in the eval
     * set). `evalDocs` needs only `textCol`. The eval gram set is
@@ -73,8 +88,26 @@ object Decontamination {
     * either way. */
   def contamination(train: DataFrame, evalDocs: DataFrame,
                     textCol: String = "text", n: Int = 8,
-                    broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
-    val clash = train.columns.toSet.intersect(ReservedColumns.toSet)
+                    broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame =
+    // the checkpoint materializes the distinct gram set once, so the
+    // count and the join both read the materialized blocks (the q225
+    // materialize-once pattern)
+    contaminationFromGrams(train,
+      evalGrams(evalDocs, textCol, n).localCheckpoint(true),
+      textCol, n, broadcastBudgetBytes)
+
+  /** [[contamination]] against a caller-MATERIALIZED eval gram frame
+    * (one `gh` column, distinct, persisted or checkpointed — the count
+    * below re-reads it, so an unmaterialized frame pays its build twice).
+    * This is the shared-benchmark path: one eval set, many corpora. */
+  def contaminationFromGrams(train: DataFrame, evalGramSet: DataFrame,
+                             textCol: String = "text", n: Int = 8,
+                             broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
+    // the text column is DROPPED before any reserved name is introduced,
+    // so only the surviving key columns can clash (ADVICE r11: a train
+    // frame whose text column is itself named e.g. `gh` is legal)
+    val clash = train.columns.filterNot(_ == textCol)
+      .toSet.intersect(ReservedColumns.toSet)
     require(clash.isEmpty,
       s"contamination reserves column name(s) ${clash.toSeq.sorted.mkString(", ")} " +
         "for its internal gram join and its output — rename them on the " +
@@ -82,13 +115,7 @@ object Decontamination {
     val keys = train.columns.filterNot(_ == textCol).map(col)
     require(keys.nonEmpty,
       "contamination needs at least one non-text key column on the train side")
-    // one extraction pass over the eval side: the checkpoint materializes
-    // the distinct gram set, the count and the join both read the
-    // materialized blocks (the q225 materialize-once pattern)
-    val eg = gramHashes(evalDocs.select(col(textCol)), textCol, n)
-      .select(col("gh")).distinct()
-      .withColumn("__hit", lit(1))
-      .localCheckpoint(true)
+    val eg = evalGramSet.select(col("gh")).withColumn("__hit", lit(1))
     val nEvalGrams = eg.count()
     val evalSide =
       if (nEvalGrams * BytesPerBroadcastGram <= broadcastBudgetBytes) broadcast(eg)
@@ -115,11 +142,22 @@ object Decontamination {
   def decontaminate(train: DataFrame, evalDocs: DataFrame,
                     textCol: String = "text", n: Int = 8,
                     maxContaminated: Long = 0L,
-                    broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
+                    broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame =
+    decontaminateFromGrams(train,
+      evalGrams(evalDocs, textCol, n).localCheckpoint(true),
+      textCol, n, maxContaminated, broadcastBudgetBytes)
+
+  /** [[decontaminate]] against a caller-MATERIALIZED eval gram frame —
+    * the [[contaminationFromGrams]] contract; lets the measurement query
+    * and the removal query share one staged benchmark gram set. */
+  def decontaminateFromGrams(train: DataFrame, evalGramSet: DataFrame,
+                             textCol: String = "text", n: Int = 8,
+                             maxContaminated: Long = 0L,
+                             broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
     require(maxContaminated >= 0L,
       s"maxContaminated must be >= 0, got $maxContaminated")
     val keys = train.columns.filterNot(_ == textCol).toSeq
-    val bad = contamination(train, evalDocs, textCol, n, broadcastBudgetBytes)
+    val bad = contaminationFromGrams(train, evalGramSet, textCol, n, broadcastBudgetBytes)
       .where(col("n_contaminated") > maxContaminated)
       .select(keys.map(col): _*)
     // bad derives FROM train (shared attribute ids) — alias both sides so

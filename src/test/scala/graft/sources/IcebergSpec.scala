@@ -153,6 +153,18 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("ORC"), e.getMessage)
   }
 
+  test("an oversized metadata file is refused by name, not by array overflow") {
+    // ADVICE r11: an unguarded getLen.toInt on a >2 GiB file wraps
+    // negative → NegativeArraySizeException; the guard must refuse with
+    // the budget named BEFORE allocating (pinned here with a tiny budget
+    // override rather than a multi-GiB fixture)
+    val base = threeSnapshotTable()
+    val hint = new org.apache.hadoop.fs.Path(s"$base/metadata/version-hint.text")
+    val e = intercept[IllegalArgumentException](
+      Iceberg.readSmall(spark, hint, maxBytes = 0L))
+    assert(e.getMessage.contains("metadata budget"), e.getMessage)
+  }
+
   test("a non-table directory is refused with a clear message") {
     val e = intercept[IllegalArgumentException](
       Iceberg.read(spark, freshDir()))

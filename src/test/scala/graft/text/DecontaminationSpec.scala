@@ -90,6 +90,34 @@ class DecontaminationSpec extends SparkSpec {
         Seq("a b").toDF("text"), n = 2))
   }
 
+  test("a text column itself named like a reserved column is NOT refused") {
+    // ADVICE r11: the text column is dropped before `gh` is introduced,
+    // so only the SURVIVING key columns can clash — a train frame whose
+    // text column happens to be named `gh` is a legitimate call
+    val m = Decontamination.contamination(
+        Seq((1L, "a b c d e")).toDF("doc_id", "gh"),
+        Seq("a b c d").toDF("gh"), textCol = "gh", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m(1L) == (2L, 1L), m)
+  }
+
+  test("the FromGrams variants equal the direct spellings off a shared gram set") {
+    // the shared-benchmark path (q230 measurement + q233 removal reuse one
+    // session-cached eval gram frame): same results as the per-call builds
+    val train = Seq((1L, "a b c d e"), (2L, "p q r s t"), (3L, "x y")).toDF("doc_id", "text")
+    val ev = Seq("a b c d", "q r s t").toDF("text")
+    val grams = Decontamination.evalGrams(ev, n = 4).localCheckpoint(true)
+    def asMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(asMap(Decontamination.contaminationFromGrams(train, grams, n = 4)) ==
+      asMap(Decontamination.contamination(train, ev, n = 4)))
+    def kept(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept(Decontamination.decontaminateFromGrams(train, grams, n = 4)) ==
+      kept(Decontamination.decontaminate(train, ev, n = 4)))
+    assert(kept(Decontamination.decontaminateFromGrams(train, grams, n = 4)) == Set(3L))
+  }
+
   test("decontaminate drops exactly the over-threshold documents, keeps short ones") {
     val run = "e1 e2 e3 e4"
     val train = Seq(
