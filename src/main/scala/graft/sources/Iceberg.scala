@@ -6,6 +6,7 @@ import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
 
 import scala.collection.mutable
 import scala.jdk.CollectionConverters._
@@ -42,14 +43,26 @@ import scala.jdk.CollectionConverters._
   *  A snapshot whose manifests net to ZERO live files (a fully-deleted
   *  table, legal in Iceberg) is also refused with the limitation named:
   *  the schema comes from parquet footers and an empty frame has none.
-  *  Fields are looked up by NAME, so real Iceberg manifests — which
-  *  carry many more fields (partition structs, column stats, field ids)
-  *  — read fine; the extras are planning hints this reader does not
-  *  need. Schema of the DATA comes from the parquet footers, like every
-  *  other reader in this repo (column-mapping via field-ids is not
-  *  interpreted — tables relying on renames would need it, and there is
-  *  no signal for that in the file, so this reader is for tables whose
-  *  parquet column names are current, the overwhelmingly common case).
+  *  Avro fields are looked up by NAME, so real Iceberg manifests — which
+  *  carry many more fields than this reader consumes — read fine; the
+  *  consumed planning hints are entry `status`, `data_file.{file_path,
+  *  file_format,content}`, and (when pruning, see [[readPruned]]) the
+  *  `partition` struct, `lower_bounds`/`upper_bounds` stats, and the
+  *  manifest-list `partitions` summaries.
+  *
+  * Schema: when metadata.json carries a non-empty current schema (the
+  * `schemas[]`/`current-schema-id` v2 spelling or the v1 `schema`), the
+  * DATA is read under the metadata's CURRENT column names, resolved
+  * against the parquet files by Iceberg FIELD ID (Spark's own
+  * `spark.sql.parquet.fieldId.read.enabled` + `parquet.field.id`
+  * StructField metadata — the public column-mapping mechanism), so a
+  * renamed column is served under its current name, not the stale one
+  * baked into old files. Files WITHOUT parquet field ids fall back to
+  * by-name resolution only when every current name exists in the
+  * footer; a rename over id-less files is REFUSED loudly (serving the
+  * stale name was r11's one silent gap). Nested/unsupported metadata
+  * types are refused by name. A metadata document with an EMPTY/absent
+  * schema (this repo's minimal fixtures) keeps the footer-schema path.
   *
   * Scale: metadata resolution is O(#manifests + #files) driver work on
   * KB–MB Avro/JSON planning artifacts — the pass every Iceberg reader
@@ -128,6 +141,125 @@ object Iceberg {
     doc
   }
 
+  // ------------------------------------------------------------------
+  // Metadata schema (field ids, current names, primitive types)
+  // ------------------------------------------------------------------
+
+  /** One top-level field of the table's current metadata schema. `typ` is
+    * the spec's primitive type string (`long`, `string`, `timestamptz`,
+    * `decimal(p, s)`, …). */
+  private[sources] case class IceField(id: Int, name: String, typ: String)
+
+  /** The current schema's fields, or None when metadata carries no usable
+    * schema (absent / empty `fields` — this repo's minimal fixtures):
+    * `schemas[]` + `current-schema-id` (the v2 spelling, preferred; v1
+    * writers since Iceberg 0.12 emit it too) falling back to the single
+    * v1 `schema`. A nested field type (struct/list/map — a JSON object,
+    * not a string) is refused by name: silently flattening or skipping it
+    * could serve wrong columns. */
+  private[sources] def currentSchemaFields(doc: JsonNode): Option[Seq[IceField]] = {
+    val schemasNode = doc.path("schemas")
+    val node: Option[JsonNode] =
+      if (schemasNode.isArray && schemasNode.size() > 0) {
+        val cur = doc.path("current-schema-id").asInt(-1)
+        val hit = schemasNode.elements().asScala
+          .find(_.path("schema-id").asInt(-2) == cur)
+        require(hit.isDefined,
+          s"metadata declares current-schema-id $cur but carries no schema " +
+            "with that id — refusing a guess among " +
+            schemasNode.elements().asScala.map(_.path("schema-id").asInt(-2)).mkString(", "))
+        hit
+      } else Option(doc.path("schema")).filter(s => s.isObject && !s.isMissingNode)
+    node.map(_.path("fields")).filter(f => f.isArray && f.size() > 0).map { fields =>
+      fields.elements().asScala.map { f =>
+        val name = f.path("name").asText("")
+        val tn = f.path("type")
+        require(tn.isTextual,
+          s"schema field '$name' has a nested/non-primitive type " +
+            s"(${tn.toString.take(80)}) — this reader serves flat analytic " +
+            "schemas only and refuses rather than flattening silently")
+        require(f.path("id").isInt || f.path("id").isLong,
+          s"schema field '$name' lacks a field id — not a valid Iceberg schema")
+        IceField(f.path("id").asInt(), name, tn.asText())
+      }.toSeq
+    }
+  }
+
+  /** Spec primitive → Spark type. `timestamp` (no zone) maps to
+    * TimestampNTZ, `timestamptz` (UTC-adjusted) to Timestamp — the same
+    * split Spark itself makes. Unsupported primitives (uuid, fixed,
+    * time) are refused by name. */
+  private[sources] def sparkType(t: String): DataType = t match {
+    case "boolean" => BooleanType
+    case "int" => IntegerType
+    case "long" => LongType
+    case "float" => FloatType
+    case "double" => DoubleType
+    case "date" => DateType
+    case "string" => StringType
+    case "binary" => BinaryType
+    case "timestamptz" => TimestampType
+    case "timestamp" => TimestampNTZType
+    case dec if dec.startsWith("decimal(") && dec.endsWith(")") =>
+      val Array(p, s) = dec.stripPrefix("decimal(").stripSuffix(")")
+        .split(",").map(_.trim.toInt)
+      DecimalType(p, s)
+    case other => throw new IllegalArgumentException(
+      s"Iceberg type '$other' is not interpreted by this reader " +
+        "(supported: boolean/int/long/float/double/date/string/binary/" +
+        "timestamp/timestamptz/decimal) — refusing rather than guessing a " +
+        "Spark type")
+  }
+
+  /** Top-level parquet footer fields of ONE data file: (name, field id if
+    * the writer recorded one). Iceberg writers always stamp ids; plain
+    * parquet writers usually don't — that difference picks the
+    * resolution mode. Driver-side footer read, planning altitude. */
+  private def footerFields(spark: SparkSession, file: String): Seq[(String, Option[Int])] = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getFooter.getFileMetaData.getSchema.getFields.asScala.toSeq
+      .map(t => (t.getName, Option(t.getId).map(_.intValue)))
+    finally r.close()
+  }
+
+  /** Read `files` under the metadata schema: by FIELD ID when the files
+    * carry parquet field ids (renames resolve to the current names), by
+    * NAME when they don't and every current name is present; a rename
+    * over id-less files has no sound resolution and is refused. The
+    * footer probe reads ONE file (lexicographic min for determinism) —
+    * files of one snapshot share a writer lineage; a mixed table where
+    * OTHER files lack ids fails loudly downstream
+    * (`fieldId.read.ignoreMissing` stays false). */
+  private def readWithMetadataSchema(spark: SparkSession, fields: Seq[IceField],
+                                     files: Seq[String]): DataFrame = {
+    val probe = footerFields(spark, files.min)
+    val idsPresent = probe.nonEmpty && probe.forall(_._2.isDefined)
+    if (idsPresent) {
+      // session-scoped switch: it only changes resolution for read
+      // schemas that CARRY parquet.field.id metadata, which in this repo
+      // is exactly the schemas built here
+      spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      val st = StructType(fields.map(f =>
+        StructField(f.name, sparkType(f.typ), nullable = true,
+          new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build())))
+      spark.read.schema(st).parquet(files: _*)
+    } else {
+      val footerNames = probe.map(_._1).toSet
+      val missing = fields.map(_.name).filterNot(footerNames)
+      require(missing.isEmpty,
+        s"metadata schema names column(s) ${missing.mkString(", ")} that the " +
+          s"parquet footer of ${files.min} does not carry, and the file has " +
+          "no parquet field ids to resolve a rename through — refusing to " +
+          "serve stale column names; rewrite the data files (Iceberg " +
+          "writers stamp field ids) or query an un-renamed snapshot")
+      val st = StructType(fields.map(f =>
+        StructField(f.name, sparkType(f.typ), nullable = true)))
+      spark.read.schema(st).parquet(files: _*)
+    }
+  }
+
   /** `(snapshotId, timestampMs)` of every snapshot, commit order. */
   def snapshots(spark: SparkSession, table: String): Seq[(Long, Long)] =
     metadata(spark, table).path("snapshots").elements().asScala
@@ -169,7 +301,10 @@ object Iceberg {
         "(fully-deleted) table state this reader cannot type, because it " +
         "derives the schema from parquet footers; read an earlier snapshot " +
         "or construct the empty frame from a known schema instead")
-    spark.read.parquet(files: _*)
+    currentSchemaFields(doc) match {
+      case Some(fields) => readWithMetadataSchema(spark, fields, files)
+      case None => spark.read.parquet(files: _*)
+    }
   }
 
   /** Replay one snapshot's manifest list → live data-file paths. */
@@ -339,13 +474,31 @@ object Iceberg {
     p.toString
   }
 
+  /** One primitive schema field for [[writeMetadata]]'s
+    * `schemaFieldsJson` (the spec's field spelling). */
+  def fieldJson(id: Int, name: String, typ: String, required: Boolean = false): String =
+    s"""{"id":$id,"name":"$name","required":$required,"type":"$typ"}"""
+
+  /** One identity partition field for [[writeMetadata]]'s
+    * `partitionSpecJson`: partition-field ids live in the 1000+ range by
+    * spec convention. */
+  def identityPartitionJson(sourceId: Int, name: String, fieldId: Int = 1000): String =
+    s"""{"name":"$name","transform":"identity","source-id":$sourceId,"field-id":$fieldId}"""
+
   /** Author `metadata/vN.metadata.json` + `version-hint.text` for
     * `snaps` = (snapshotId, timestampMs, manifestListPath), current =
     * last. Minimal v1 document: exactly the fields the spec requires a
-    * reader to honor for scan planning. */
+    * reader to honor for scan planning. `schemaFieldsJson` (a JSON array
+    * of [[fieldJson]] entries) is emitted BOTH as the v1 `schema` and the
+    * v2 `schemas[0]`/`current-schema-id` spelling — real v1 writers since
+    * Iceberg 0.12 emit both too; `[]` keeps the schema-less minimal
+    * document the schema-path fixtures predate. `partitionSpecJson`
+    * likewise fills `partition-spec` + `partition-specs`/`default-spec-id`. */
   def writeMetadata(spark: SparkSession, table: String, version: Int,
                     snaps: Seq[(Long, Long, String)],
-                    formatVersion: Int = 1): Unit = {
+                    formatVersion: Int = 1,
+                    schemaFieldsJson: String = "[]",
+                    partitionSpecJson: String = "[]"): Unit = {
     val md = new Path(table, "metadata")
     val f = fs(spark, md)
     f.mkdirs(md)
@@ -356,8 +509,12 @@ object Iceberg {
     val doc =
       s"""{"format-version":$formatVersion,"table-uuid":"00000000-0000-0000-0000-000000000000",
          |"location":"${esc(table)}","last-updated-ms":${snaps.lastOption.map(_._2).getOrElse(0L)},
-         |"last-column-id":0,"schema":{"type":"struct","fields":[]},
-         |"partition-spec":[],"properties":{},
+         |"last-column-id":0,"schema":{"type":"struct","schema-id":0,"fields":$schemaFieldsJson},
+         |"schemas":[{"type":"struct","schema-id":0,"fields":$schemaFieldsJson}],
+         |"current-schema-id":0,
+         |"partition-spec":$partitionSpecJson,
+         |"partition-specs":[{"spec-id":0,"fields":$partitionSpecJson}],
+         |"default-spec-id":0,"properties":{},
          |"current-snapshot-id":${snaps.lastOption.map(_._1).getOrElse(-1L)},
          |"snapshots":$snapJson}""".stripMargin
     def writeText(p: Path, content: String): Unit = {

@@ -153,6 +153,94 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("ORC"), e.getMessage)
   }
 
+  /** Write (a, b) rows as ONE parquet file whose footer carries Iceberg
+    * field ids 1/2 (Spark's own `parquet.field.id` mechanism — what a
+    * real Iceberg writer stamps), under the STALE column names. */
+  private def dataFileWithIds(base: String, name: String,
+                              rows: Seq[(Long, Long)]): String = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val st = StructType(Seq(
+      StructField("old_a", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("old_b", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1), st)
+    val tmp = new java.io.File(base, s".tmp_$name").toString
+    df.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(new java.io.File(base, "data"), name)
+    dst.getParentFile.mkdirs()
+    assert(part.renameTo(dst))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    dst.toString
+  }
+
+  /** One-snapshot table over `file` with the given metadata schema. */
+  private def oneSnapTable(base: String, file: String, schemaFieldsJson: String): Unit = {
+    val m = Iceberg.writeManifest(spark, base, "m.avro", 1L, Seq(Iceberg.Entry(file, 1)))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)),
+      schemaFieldsJson = schemaFieldsJson)
+  }
+
+  test("a renamed column resolves by FIELD ID when files carry parquet ids") {
+    // the files were written under old_a/old_b; the current metadata
+    // schema SWAPS the names across the two field ids — by-name
+    // resolution would serve each column's values under the wrong name,
+    // so correct values under the current names prove id resolution
+    val base = freshDir()
+    val f = dataFileWithIds(base, "f.parquet", Seq((1L, 10L), (2L, 20L)))
+    oneSnapTable(base, f, "[" +
+      Iceberg.fieldJson(1, "old_b", "long") + "," +
+      Iceberg.fieldJson(2, "old_a", "long") + "]")
+    val df = Iceberg.read(spark, base)
+    assert(df.columns.toSeq == Seq("old_b", "old_a"))
+    val got = df.orderBy("old_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // field id 1 (values 1, 2) is now named old_b; field id 2 (10, 20) old_a
+    assert(got == Seq((1L, 10L), (2L, 20L)), got.mkString(", "))
+  }
+
+  test("a rename over id-less files is refused, never served stale") {
+    // plain parquet (no field ids) + a metadata schema whose current name
+    // does not exist in the footer: there is no sound resolution — the
+    // r11 verdict's one silent gap, now a loud named refusal
+    val base = freshDir()
+    val f = dataFile(base, "f.parquet", Seq(1L, 2L))  // column `id`, no ids
+    oneSnapTable(base, f, "[" + Iceberg.fieldJson(1, "renamed_id", "long") + "]")
+    val e = intercept[IllegalArgumentException](Iceberg.read(spark, base))
+    assert(e.getMessage.contains("renamed_id") &&
+      e.getMessage.contains("field ids"), e.getMessage)
+  }
+
+  test("id-less files whose names match the metadata schema read by name") {
+    val base = freshDir()
+    val f = dataFile(base, "f.parquet", Seq(3L, 4L))
+    oneSnapTable(base, f, "[" + Iceberg.fieldJson(1, "id", "long") + "]")
+    val df = Iceberg.read(spark, base)
+    assert(df.columns.toSeq == Seq("id"))
+    assert(idsOf(df) == Set(3L, 4L))
+  }
+
+  test("nested and unsupported metadata types are refused by name") {
+    val base = freshDir()
+    val f = dataFile(base, "f.parquet", Seq(1L))
+    oneSnapTable(base, f,
+      """[{"id":1,"name":"id","required":false,
+        |"type":{"type":"struct","fields":[]}}]""".stripMargin.replace("\n", ""))
+    val e = intercept[IllegalArgumentException](Iceberg.read(spark, base))
+    assert(e.getMessage.contains("nested"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](Iceberg.sparkType("uuid"))
+    assert(e2.getMessage.contains("uuid"), e2.getMessage)
+    // decimal and the timestamp split ARE interpreted
+    assert(Iceberg.sparkType("decimal(10, 2)") ==
+      org.apache.spark.sql.types.DecimalType(10, 2))
+    assert(Iceberg.sparkType("timestamptz") == org.apache.spark.sql.types.TimestampType)
+    assert(Iceberg.sparkType("timestamp") == org.apache.spark.sql.types.TimestampNTZType)
+  }
+
   test("an oversized metadata file is refused by name, not by array overflow") {
     // ADVICE r11: an unguarded getLen.toInt on a >2 GiB file wraps
     // negative → NegativeArraySizeException; the guard must refuse with
