@@ -70,6 +70,7 @@ object IndexQueries {
   private val q165TablePat = scratchPat("q165_table")
   private val q193TablePat = scratchPat("q193_delta")
   private val q228TablePat = scratchPat("q228_iceberg")
+  private val q232TablePat = scratchPat("q232_iceberg_part")
   private val q198TablePat = scratchPat("q198_delta_w")
   private val q199AvroPat = scratchPat("q199_avro")
   private val q201TablePat = scratchPat("q201_table")
@@ -134,6 +135,7 @@ object IndexQueries {
     stageQ184Legs(s, dir)
     stageQ193DeltaTable(s, dir)
     stageQ228IcebergTable(s, dir)
+    stageQ232IcebergTable(s, dir)
     stageQ170Part(s, dir)
     stageQ216Part(s, dir)
   }
@@ -281,6 +283,94 @@ object IndexQueries {
       Iceberg.writeMetadata(s, base, version = 3,
         Seq((1001L, 1000L, ml1), (1002L, 2000L, ml2), (1003L, 3000L, ml3)))
     }
+  }
+
+  /** q232/q234's fixture: a PARTITIONED Iceberg table with REAL planning
+    * stats — the manifest fields the q228 minimal fixture omits. Layout
+    * (snapshot 2001 at ts 1000 lists the first three types' manifests;
+    * 2002 at ts 5000, the current snapshot, lists all five — two
+    * genuinely different active sets for the AS-OF-timestamp query):
+    *  - identity partition on `event_type` → one manifest per type (5),
+    *    each named in the manifest-list `partitions` summary, so a
+    *    type-selective query prunes four manifests WITHOUT opening them;
+    *  - two files per type split at value_micros 50_000_000, each entry
+    *    carrying exact `lower_bounds`/`upper_bounds` for event_id (1) and
+    *    value_micros (3) plus its identity `partition` value, so a value
+    *    range prunes the other half;
+    *  - metadata carries the schema (field ids 1–3) and the identity
+    *    partition spec; data files are parquet-field-id-stamped like a
+    *    real Iceberg writer's, so the field-id read path serves them.
+    * 10 files total; q232's point-ish query must plan exactly 1
+    * (Round12QueriesSpec pins the counts). */
+  private[graft] def stageQ232IcebergTable(s: SparkSession, dir: String): String = {
+    val base = scratch(q232TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      import graft.sources.Iceberg
+      import org.apache.spark.sql.types._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val dataDir = new org.apache.hadoop.fs.Path(bp, "data")
+      fs.mkdirs(dataDir)
+      def idMeta(id: Long) =
+        new MetadataBuilder().putLong("parquet.field.id", id).build()
+      val st = StructType(Seq(
+        StructField("event_id", LongType, nullable = true, idMeta(1)),
+        StructField("event_type", StringType, nullable = true, idMeta(2)),
+        StructField("value_micros", LongType, nullable = true, idMeta(3))))
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val ev = s.createDataFrame(
+        t(s, dir, "events").select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).rdd, st)
+        .persist()
+      val Split = 50000000L
+      // exact per-(type, half) stats in ONE aggregation — the truthful
+      // bounds a real writer records while writing each file
+      val stats = ev.groupBy($"event_type",
+          ($"value_micros" >= Split).as("hi"))
+        .agg(min($"event_id").as("lo_id"), max($"event_id").as("hi_id"),
+          min($"value_micros").as("lo_v"), max($"value_micros").as("hi_v"))
+        .collect()
+        .map(r => (r.getString(0), r.getBoolean(1)) ->
+          (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+      val types = stats.keySet.map(_._1).toSeq.sorted
+      val manifests = types.map { et =>
+        val entries = Seq(false, true).flatMap { hi =>
+          stats.get((et, hi)).map { case (loId, hiId, loV, hiV) =>
+            val slice = ev.where($"event_type" === et &&
+              (if (hi) $"value_micros" >= Split else $"value_micros" < Split))
+            val f = stageSingleFile(fs, bp, slice,
+              s"${et}_${if (hi) "hi" else "lo"}.parquet", dataDir)
+            Iceberg.Entry(f, 1,
+              partition = Seq("event_type" -> et),
+              lowerBounds = Seq(1 -> Iceberg.encodeLong(loId),
+                3 -> Iceberg.encodeLong(loV)),
+              upperBounds = Seq(1 -> Iceberg.encodeLong(hiId),
+                3 -> Iceberg.encodeLong(hiV)))
+          }
+        }
+        (Iceberg.writeManifest(s, base, s"m_$et.avro", 2001L, entries),
+          Seq(Iceberg.Summary(Some(Iceberg.encodeString(et)),
+            Some(Iceberg.encodeString(et)))))
+      }
+      ev.unpersist()
+      val schemaJson = "[" + Iceberg.fieldJson(1, "event_id", "long") + "," +
+        Iceberg.fieldJson(2, "event_type", "string") + "," +
+        Iceberg.fieldJson(3, "value_micros", "long") + "]"
+      val specJson = "[" + Iceberg.identityPartitionJson(2, "event_type") + "]"
+      // snapshot 2001 lists only the first three types' manifests;
+      // 2002 (current) lists all five — so the AS-OF-timestamp query
+      // (q234) reads two genuinely different active sets
+      val ml1 = Iceberg.writeManifestList(s, base, "snap-2001.avro", 2001L,
+        manifests.take(3).map(_._1), summaries = manifests.take(3).map(_._2))
+      val ml2 = Iceberg.writeManifestList(s, base, "snap-2002.avro", 2002L,
+        manifests.map(_._1), summaries = manifests.map(_._2))
+      Iceberg.writeMetadata(s, base, version = 2,
+        Seq((2001L, 1000L, ml1), (2002L, 5000L, ml2)),
+        schemaFieldsJson = schemaJson, partitionSpecJson = specJson)
+    }
+    base
   }
 
   /** q180's events copy, staged write-once into a multi-file hash layout
@@ -1456,6 +1546,46 @@ object IndexQueries {
       }.reduce(_ unionAll _).orderBy($"snapshot_id")
     }),
 
+    // Iceberg MANIFEST-LEVEL PRUNING — the r11 task-1 reserved slot: a
+    // partitioned table (one manifest per event_type, manifest-list
+    // partition summaries, exact per-file event_id/value_micros bounds)
+    // where a type+value point-ish query plans exactly ONE of the 10
+    // files — partition summaries drop four manifests UNOPENED, the
+    // value bound drops the purchase_hi file — all BEFORE the
+    // ManifestGuard cap (Round12QueriesSpec pins the planned-file
+    // counts). The DuckDB oracle scans ALL events rows with the same
+    // predicate (the q158 pattern): any over-pruning breaks the
+    // checksums; the residual filter re-applied after the pruned read
+    // keeps the superset contract honest.
+    "q232_iceberg_pruned_scan" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ232IcebergTable(s, dir)
+      val hi = 49999999L
+      Iceberg.readPruned(s, base, Seq(
+          Iceberg.ColRange("event_type", "purchase", "purchase"),
+          Iceberg.ColRange("value_micros", 0L, hi)))
+        .where($"event_type" === "purchase" && $"value_micros".between(0L, hi))
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+    }),
+
+    // Iceberg time travel BY TIMESTAMP (the Delta q194 twin): the
+    // snapshot-selection rule is latest timestamp-ms <= ts. ts probes
+    // straddle the fixture's two commits (1000: three types; 5000: all
+    // five) — at-commit, between-commits and after-last each resolve to
+    // a different-or-same snapshot whose checksums the oracle replays
+    // from the declarative slices.
+    "q234_iceberg_as_of" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ232IcebergTable(s, dir)
+      Seq(1000L, 4999L, 5000L, 999999L).map { ts =>
+        graft.sources.Iceberg.readAsOf(s, base, ts)
+          .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
+          .select(lit(ts).as("as_of_ms"), $"n_rows", $"id_checksum")
+      }.reduce(_ unionAll _).orderBy($"as_of_ms")
+    }),
+
     // DATA-MIXTURE sampling — the corpus-composition step: per-source
     // mixture weights (here derived from the source name so the oracle
     // needs no side table) split a global token budget, and each source
@@ -2204,6 +2334,26 @@ object IndexQueries {
         |UNION ALL
         |SELECT CAST(1003 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM s3
         |ORDER BY snapshot_id""".stripMargin,
+    "q232_iceberg_pruned_scan" ->
+      """SELECT count(*) AS n,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events
+        |WHERE event_type = 'purchase'
+        |  AND CAST(round(value * 1e6) AS BIGINT) BETWEEN 0 AND 49999999""".stripMargin,
+    "q234_iceberg_as_of" ->
+      """WITH s1 AS (SELECT event_id FROM events
+        |            WHERE event_type IN ('click', 'error', 'purchase')),
+        |s2 AS (SELECT event_id FROM events)
+        |SELECT CAST(1000 AS BIGINT) AS as_of_ms, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum FROM s1
+        |UNION ALL
+        |SELECT CAST(4999 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM s1
+        |UNION ALL
+        |SELECT CAST(5000 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM s2
+        |UNION ALL
+        |SELECT CAST(999999 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM s2
+        |ORDER BY as_of_ms""".stripMargin,
     "q196_snapshot_optimize" ->
       s"""WITH act AS (SELECT event_id FROM events
          |            WHERE event_type IN ('purchase', 'click'))

@@ -260,6 +260,222 @@ object Iceberg {
     }
   }
 
+  // ------------------------------------------------------------------
+  // Planning-time pruning (partition summaries + column stats)
+  // ------------------------------------------------------------------
+
+  /** Closed-range planning predicate on a top-level column (equality =
+    * `lo == hi`). Pruning is SOUND, not exact: a manifest/file is dropped
+    * only when its recorded envelope is provably disjoint from the range,
+    * so [[readPruned]] returns a SUPERSET of the matching rows and the
+    * caller re-applies the predicate as a residual filter — exactly the
+    * planning/execution split of the q158 DataSkipping tier. Endpoint
+    * Scala types must match the column's metadata type: Int/Long for
+    * int/long/date/timestamp columns, Double for float/double, String
+    * for string. */
+  case class ColRange(column: String, lo: Any, hi: Any)
+
+  /** One partition-spec field: `transform(sourceId) AS name`. Only
+    * `identity` fields participate in pruning — a bucket/truncate/day
+    * transform changes the value domain, and comparing raw-range
+    * endpoints against transformed bounds would prune wrong. */
+  private[sources] case class SpecField(name: String, transform: String, sourceId: Int)
+
+  /** specId → ordered spec fields: `partition-specs`/`default-spec-id`
+    * (v2) falling back to the single v1 `partition-spec` as spec 0. */
+  private[sources] def partitionSpecs(doc: JsonNode): Map[Int, Seq[SpecField]] = {
+    def parse(fields: JsonNode): Seq[SpecField] =
+      fields.elements().asScala.map(f => SpecField(
+        f.path("name").asText(""), f.path("transform").asText(""),
+        f.path("source-id").asInt(-1))).toSeq
+    val v2 = doc.path("partition-specs")
+    if (v2.isArray && v2.size() > 0)
+      v2.elements().asScala
+        .map(s => s.path("spec-id").asInt(0) -> parse(s.path("fields"))).toMap
+    else {
+      val v1 = doc.path("partition-spec")
+      Map(0 -> (if (v1.isArray) parse(v1) else Nil))
+    }
+  }
+
+  /** A [[ColRange]] resolved against the metadata schema: the field id
+    * the bounds maps are keyed by, the type that decodes them, and the
+    * endpoints normalized to the comparison domain (Long / Double /
+    * String). */
+  private case class ResolvedRange(column: String, fieldId: Int, typ: String,
+                                   lo: Any, hi: Any)
+
+  private case class PruneCtx(ranges: Seq[ResolvedRange],
+                              specs: Map[Int, Seq[SpecField]])
+
+  /** Normalize a predicate endpoint into the type's comparison domain;
+    * a mistyped endpoint is refused (silently comparing e.g. a String
+    * against long bounds would prune garbage). */
+  private def toComparable(typ: String, v: Any, column: String): Any = (typ, v) match {
+    case ("int" | "long" | "date" | "timestamp" | "timestamptz", n: Number) => n.longValue
+    case ("float" | "double", n: Number) => n.doubleValue
+    case ("string", s: String) => s
+    case _ => throw new IllegalArgumentException(
+      s"range endpoint for column '$column' (iceberg type $typ) has " +
+        s"unusable class ${v.getClass.getName} — pass Int/Long for integer " +
+        "and temporal columns, Double for floating, String for string")
+  }
+
+  /** Decode one stats bound (the spec's single-value little-endian
+    * serialization) into the comparison domain. Integer-family bounds
+    * accept 4 or 8 bytes (writers serialize int as 4, long as 8).
+    * Unsupported types never reach here — [[toComparable]] refused the
+    * predicate first. */
+  private[sources] def decodeBound(typ: String, bytes: Array[Byte]): Any = {
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    typ match {
+      case "int" | "long" | "date" | "timestamp" | "timestamptz" =>
+        require(bytes.length == 4 || bytes.length == 8,
+          s"$typ bound must be 4 or 8 bytes, got ${bytes.length}")
+        if (bytes.length == 4) bb.getInt.toLong else bb.getLong
+      case "float" =>
+        require(bytes.length == 4, s"float bound must be 4 bytes, got ${bytes.length}")
+        bb.getFloat.toDouble
+      case "double" =>
+        require(bytes.length == 8, s"double bound must be 8 bytes, got ${bytes.length}")
+        bb.getDouble
+      case "string" => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
+      case other => throw new IllegalArgumentException(
+        s"no bound decoding for iceberg type $other")
+    }
+  }
+
+  /** a < b within one comparison domain. String bounds may be TRUNCATED
+    * by the writer (lower: a prefix ≤ the true min; upper: truncated and
+    * incremented ≥ the true max) — both remain valid envelope endpoints,
+    * so the disjointness test below stays sound with them. */
+  private def lt(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: java.lang.Long, y: java.lang.Long) => x < y
+    case (x: java.lang.Double, y: java.lang.Double) => x < y
+    case (x: String, y: String) => x < y
+    case _ => throw new IllegalStateException(s"incomparable bound classes: $a vs $b")
+  }
+
+  /** Disjointness of a recorded [lower, upper] envelope (either side may
+    * be unknown → cannot prune) against the predicate range. */
+  private def disjoint(lower: Option[Any], upper: Option[Any],
+                       r: ResolvedRange): Boolean =
+    upper.exists(u => lt(u, r.lo)) || lower.exists(l => lt(r.hi, l))
+
+  private def resolvePruning(doc: JsonNode, ranges: Seq[ColRange]): Option[PruneCtx] =
+    if (ranges.isEmpty) None
+    else {
+      val fields = currentSchemaFields(doc).getOrElse(
+        throw new IllegalArgumentException(
+          "pruning needs the table's metadata schema: manifest stats are " +
+            "keyed by FIELD ID, and this table's metadata.json carries no " +
+            "schema to resolve column names through — read unpruned instead"))
+      val resolved = ranges.map { r =>
+        val f = fields.find(_.name == r.column).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot prune on '${r.column}': not a column of the current " +
+              s"metadata schema (${fields.map(_.name).mkString(", ")})"))
+        ResolvedRange(r.column, f.id, f.typ,
+          toComparable(f.typ, r.lo, r.column), toComparable(f.typ, r.hi, r.column))
+      }
+      Some(PruneCtx(resolved, partitionSpecs(doc)))
+    }
+
+  /** Avro `bytes` values surface as ByteBuffer (sometimes byte[]). */
+  private def avroBytes(v: AnyRef): Option[Array[Byte]] = v match {
+    case null => None
+    case bb: java.nio.ByteBuffer =>
+      val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); Some(a)
+    case a: Array[Byte] => Some(a)
+    case other => throw new IllegalArgumentException(
+      s"expected Avro bytes, got ${other.getClass.getName}")
+  }
+
+  /** Manifest-LIST-level test: can `m`'s whole manifest be skipped on its
+    * per-partition-field summaries? The `partitions` array is ordered by
+    * the manifest's spec fields; only identity-transform fields whose
+    * source column a predicate names participate. Missing summaries (the
+    * field is optional) → keep. A skipped manifest's Avro is NEVER OPENED
+    * — on a 100 TB table this is what turns a point query from "replay
+    * every manifest" into O(matching partitions) driver work. */
+  private def manifestPruned(m: GenericRecord, ctx: PruneCtx): Boolean = {
+    if (m.getSchema.getField("partitions") == null) return false
+    val summaries = m.get("partitions") match {
+      case null => return false
+      case a: java.util.Collection[_] =>
+        a.asScala.toSeq.map(_.asInstanceOf[GenericRecord])
+      case other => throw new IllegalArgumentException(
+        s"manifest-list partitions field has unexpected class ${other.getClass.getName}")
+    }
+    val specId = intField(m, "partition_spec_id").getOrElse(0)
+    val spec = ctx.specs.getOrElse(specId, Nil)
+    ctx.ranges.exists { r =>
+      spec.zipWithIndex.exists { case (sf, i) =>
+        sf.transform == "identity" && sf.sourceId == r.fieldId &&
+          i < summaries.size && {
+            val s = summaries(i)
+            disjoint(
+              avroBytes(s.get("lower_bound")).map(decodeBound(r.typ, _)),
+              avroBytes(s.get("upper_bound")).map(decodeBound(r.typ, _)), r)
+          }
+      }
+    }
+  }
+
+  /** Entry-level test: can this data file be skipped on its per-column
+    * `lower_bounds`/`upper_bounds` stats (keyed by field id) or its
+    * identity-partition values? Missing stats → keep (sound). */
+  private def filePruned(df: GenericRecord, specId: Int, ctx: PruneCtx): Boolean = {
+    def boundsMap(field: String): Map[Int, Array[Byte]] =
+      if (df.getSchema.getField(field) == null) Map.empty
+      else df.get(field) match {
+        case null => Map.empty
+        case a: java.util.Collection[_] => a.asScala.map { e =>
+          val r = e.asInstanceOf[GenericRecord]
+          val k = intField(r, "key").getOrElse(throw new IllegalArgumentException(
+            s"$field entry lacks key"))
+          k -> avroBytes(r.get("value")).getOrElse(Array.emptyByteArray)
+        }.toMap
+        case m: java.util.Map[_, _] => m.asScala.map { case (k, v) =>
+          k.toString.toInt -> avroBytes(v.asInstanceOf[AnyRef]).getOrElse(Array.emptyByteArray)
+        }.toMap
+        case other => throw new IllegalArgumentException(
+          s"$field has unexpected class ${other.getClass.getName}")
+      }
+    val lo = boundsMap("lower_bounds")
+    val hi = boundsMap("upper_bounds")
+    val statsPruned = ctx.ranges.exists { r =>
+      disjoint(lo.get(r.fieldId).filter(_.nonEmpty).map(decodeBound(r.typ, _)),
+        hi.get(r.fieldId).filter(_.nonEmpty).map(decodeBound(r.typ, _)), r)
+    }
+    if (statsPruned) return true
+    // identity partition values: the partition struct's field names are
+    // the spec field names; values are typed Avro scalars, not bytes
+    if (df.getSchema.getField("partition") == null) return false
+    df.get("partition") match {
+      case p: GenericRecord =>
+        val spec = ctx.specs.getOrElse(specId, Nil)
+        ctx.ranges.exists { r =>
+          spec.exists { sf =>
+            sf.transform == "identity" && sf.sourceId == r.fieldId &&
+              p.getSchema.getField(sf.name) != null && {
+                val v = p.get(sf.name) match {
+                  case null => None
+                  case i: java.lang.Integer => Some(i.longValue: Any)
+                  case l: java.lang.Long => Some(l.longValue: Any)
+                  case f: java.lang.Float => Some(f.doubleValue: Any)
+                  case d: java.lang.Double => Some(d.doubleValue: Any)
+                  case s: CharSequence => Some(s.toString: Any)
+                  case _ => None // unknown spelling: keep, stay sound
+                }
+                v.exists(x => lt(x, r.lo) || lt(r.hi, x))
+              }
+          }
+        }
+      case _ => false
+    }
+  }
+
   /** `(snapshotId, timestampMs)` of every snapshot, commit order. */
   def snapshots(spark: SparkSession, table: String): Seq[(Long, Long)] =
     metadata(spark, table).path("snapshots").elements().asScala
@@ -274,23 +490,87 @@ object Iceberg {
     readSnapshotDoc(spark, table, doc, cur)
   }
 
+  /** Read the CURRENT snapshot planning only the files whose manifest
+    * stats can match EVERY range: manifest-list partition summaries drop
+    * whole manifests (their Avro is never opened), then per-entry
+    * `lower_bounds`/`upper_bounds` + identity partition values drop
+    * files — all BEFORE the ManifestGuard cap, so a selective query on a
+    * huge table plans O(matching files) instead of refusing. Returns a
+    * SUPERSET of matching rows (stats may be absent or coarse); callers
+    * re-apply the predicate as a residual filter. An all-pruned plan
+    * returns the typed EMPTY frame (pruning implies a metadata schema,
+    * so the frame can be typed without a footer). */
+  def readPruned(spark: SparkSession, table: String, ranges: Seq[ColRange]): DataFrame = {
+    val doc = metadata(spark, table)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    readSnapshotDoc(spark, table, doc, cur, ranges)
+  }
+
+  /** The pruned live-file plan of the current snapshot — the planning
+    * half of [[readPruned]], exposed so specs and capacity checks can
+    * pin HOW MANY files a predicate plans without reading any data. */
+  def planFiles(spark: SparkSession, table: String,
+                ranges: Seq[ColRange] = Nil): Seq[String] = {
+    val doc = metadata(spark, table)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    listDataFiles(spark, table, manifestListOf(doc, table, cur), cur,
+      resolvePruning(doc, ranges))
+  }
+
   /** Time travel: read the table AS OF `snapshotId`. */
   def readSnapshot(spark: SparkSession, table: String, snapshotId: Long): DataFrame =
     readSnapshotDoc(spark, table, metadata(spark, table), snapshotId)
 
-  private def readSnapshotDoc(spark: SparkSession, table: String,
-                              doc: JsonNode, snapshotId: Long): DataFrame = {
+  /** Time travel by TIMESTAMP: read the latest snapshot whose
+    * `timestamp-ms` is <= `tsMillis` — Iceberg's own `FOR SYSTEM_TIME AS
+    * OF` selection rule, the twin of the Delta reader's AS-OF (q194). A
+    * timestamp before the first snapshot has no defined table state and
+    * is refused with the valid range named. */
+  def readAsOf(spark: SparkSession, table: String, tsMillis: Long): DataFrame = {
+    val doc = metadata(spark, table)
+    val snaps = doc.path("snapshots").elements().asScala
+      .map(s => (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong()))
+      .toSeq
+    require(snaps.nonEmpty, s"Iceberg table $table has no snapshots")
+    val eligible = snaps.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no snapshot of $table at or before timestamp $tsMillis — the " +
+        s"earliest is ${snaps.minBy(_._2)._2}; a timestamp before the " +
+        "first commit has no defined table state")
+    readSnapshotDoc(spark, table, doc, eligible.maxBy(_._2)._1)
+  }
+
+  private def manifestListOf(doc: JsonNode, table: String, snapshotId: Long): String = {
     val snap = doc.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong() == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
         s"snapshot $snapshotId not found in $table — known: " +
-          snapshots(spark, table).map(_._1).mkString(", ")))
+          doc.path("snapshots").elements().asScala
+            .map(_.path("snapshot-id").asLong()).mkString(", ")))
     val mlPath = snap.path("manifest-list").asText("")
     require(mlPath.nonEmpty,
       s"snapshot $snapshotId carries no manifest-list (the v1 inline " +
         "'manifests' spelling is not interpreted — rewrite the snapshot " +
         "with a manifest list, the format's primary path)")
-    val files = listDataFiles(spark, table, mlPath, snapshotId)
+    mlPath
+  }
+
+  private def readSnapshotDoc(spark: SparkSession, table: String,
+                              doc: JsonNode, snapshotId: Long,
+                              ranges: Seq[ColRange] = Nil): DataFrame = {
+    val mlPath = manifestListOf(doc, table, snapshotId)
+    val pruning = resolvePruning(doc, ranges)
+    val files = listDataFiles(spark, table, mlPath, snapshotId, pruning)
+    val schemaFields = currentSchemaFields(doc)
+    if (files.isEmpty && pruning.isDefined)
+      // a predicate can legally prune EVERYTHING; pruning required a
+      // metadata schema, so the empty frame is typed without a footer
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schemaFields.get.map(f =>
+          StructField(f.name, sparkType(f.typ), nullable = true))))
     // a zero-live-file snapshot (all rows deleted copy-on-write) is a
     // LEGAL Iceberg state this reader cannot serve: the schema comes from
     // parquet footers (the repo-wide convention) and there is no footer
@@ -301,15 +581,18 @@ object Iceberg {
         "(fully-deleted) table state this reader cannot type, because it " +
         "derives the schema from parquet footers; read an earlier snapshot " +
         "or construct the empty frame from a known schema instead")
-    currentSchemaFields(doc) match {
+    schemaFields match {
       case Some(fields) => readWithMetadataSchema(spark, fields, files)
       case None => spark.read.parquet(files: _*)
     }
   }
 
-  /** Replay one snapshot's manifest list → live data-file paths. */
+  /** Replay one snapshot's manifest list → live data-file paths, with
+    * optional planning-time pruning (summaries first, then per-entry
+    * stats). The ManifestGuard cap counts PRUNED survivors only. */
   private def listDataFiles(spark: SparkSession, table: String,
-                            mlPath: String, snapshotId: Long): Seq[String] = {
+                            mlPath: String, snapshotId: Long,
+                            pruning: Option[PruneCtx] = None): Seq[String] = {
     val live = mutable.ArrayBuffer.empty[String]
     readAvro(spark, resolve(table, mlPath)).foreach { m =>
       val content = intField(m, "content").getOrElse(0)
@@ -323,27 +606,32 @@ object Iceberg {
         .map(_.toString)
         .getOrElse(throw new IllegalArgumentException(
           "manifest-list row lacks manifest_path"))
-      readAvro(spark, resolve(table, path)).foreach { e =>
-        val status = intField(e, "status").getOrElse(
-          throw new IllegalArgumentException(s"manifest $path: entry lacks status"))
-        require(status >= 0 && status <= 2,
-          s"manifest $path: unknown entry status $status")
-        val df = e.get("data_file").asInstanceOf[GenericRecord]
-        require(df != null, s"manifest $path: entry lacks data_file")
-        require(intField(df, "content").getOrElse(0) == 0,
-          s"manifest $path holds a delete file " +
-            s"(${df.get("file_path")}) — row-level deletes are not " +
-            "interpreted; rewrite the table to fold them in first")
-        val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase).getOrElse("")
-        require(fmt == "PARQUET",
-          s"data file ${df.get("file_path")} is $fmt; only PARQUET data is read")
-        if (status != 2) { // 2 = DELETED in this snapshot
-          live += resolve(table, df.get("file_path").toString).toString
-          require(live.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
-            s"snapshot $snapshotId lists more than " +
-              s"${graft.operators.ManifestGuard.MaxPlannedFiles} data files — " +
-              "refusing the driver-side planning collect; prune by " +
-              "partition or compact to coarser files first")
+      val specId = intField(m, "partition_spec_id").getOrElse(0)
+      // manifest-list-level prune: a disjoint partition summary skips the
+      // manifest WITHOUT opening its Avro
+      if (!pruning.exists(manifestPruned(m, _))) {
+        readAvro(spark, resolve(table, path)).foreach { e =>
+          val status = intField(e, "status").getOrElse(
+            throw new IllegalArgumentException(s"manifest $path: entry lacks status"))
+          require(status >= 0 && status <= 2,
+            s"manifest $path: unknown entry status $status")
+          val df = e.get("data_file").asInstanceOf[GenericRecord]
+          require(df != null, s"manifest $path: entry lacks data_file")
+          require(intField(df, "content").getOrElse(0) == 0,
+            s"manifest $path holds a delete file " +
+              s"(${df.get("file_path")}) — row-level deletes are not " +
+              "interpreted; rewrite the table to fold them in first")
+          val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase).getOrElse("")
+          require(fmt == "PARQUET",
+            s"data file ${df.get("file_path")} is $fmt; only PARQUET data is read")
+          if (status != 2 && !pruning.exists(filePruned(df, specId, _))) {
+            live += resolve(table, df.get("file_path").toString).toString
+            require(live.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+              s"snapshot $snapshotId lists more than " +
+                s"${graft.operators.ManifestGuard.MaxPlannedFiles} data files — " +
+                "refusing the driver-side planning collect; prune by " +
+                "partition or compact to coarser files first")
+          }
         }
       }
     }
@@ -389,33 +677,118 @@ object Iceberg {
   /** One data file inside a snapshot: (absolute parquet path, status)
     * with status 1 ADDED / 0 EXISTING / 2 DELETED-in-this-snapshot.
     * `content`/`format` default to a v1 data file; non-defaults exist so
-    * specs can author the refusal cases (delete files, non-parquet). */
+    * specs can author the refusal cases (delete files, non-parquet).
+    * `partition` holds identity partition values (String or Long — the
+    * fixture scope), `lowerBounds`/`upperBounds` the per-field-id column
+    * stats in the spec's single-value serialization ([[encodeLong]] /
+    * [[encodeString]] / [[encodeDouble]]). */
   case class Entry(path: String, status: Int,
-                   content: Int = 0, format: String = "PARQUET")
+                   content: Int = 0, format: String = "PARQUET",
+                   partition: Seq[(String, Any)] = Nil,
+                   lowerBounds: Seq[(Int, Array[Byte])] = Nil,
+                   upperBounds: Seq[(Int, Array[Byte])] = Nil)
 
-  private val entrySchema: Schema = {
-    val dataFile = SchemaBuilder.record("r2").fields()
+  /** Single-value serialization of the spec: little-endian fixed-width
+    * numerics, raw UTF-8 strings — what real manifests store in
+    * `lower_bounds`/`upper_bounds` values. */
+  def encodeLong(v: Long): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putLong(v).array()
+  def encodeInt(v: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(v).array()
+  def encodeDouble(v: Double): Array[Byte] =
+    java.nio.ByteBuffer.allocate(8).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putDouble(v).array()
+  def encodeString(s: String): Array[Byte] =
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+
+  private def nullableBytes = Schema.createUnion(
+    Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.BYTES))
+
+  /** array<{key:int, value:bytes}> — the spec's k/v spelling of the
+    * bounds maps (Avro maps key by string; Iceberg keys by field id). */
+  private def boundsArraySchema(recName: String): Schema =
+    Schema.createArray(SchemaBuilder.record(recName).fields()
+      .requiredInt("key").requiredBytes("value").endRecord())
+
+  /** The fixture entry schema, extended with a `partition` struct and
+    * bounds arrays only when the entries carry them — so the minimal
+    * fixtures keep authoring the minimal records. Partition field types
+    * derive from the first value seen per name (string/long, fixture
+    * scope). */
+  private def entrySchemaFor(entries: Seq[Entry]): Schema = {
+    val partFields: Seq[(String, Schema.Type)] = {
+      val seen = mutable.LinkedHashMap.empty[String, Schema.Type]
+      entries.flatMap(_.partition).foreach { case (n, v) =>
+        val t = v match {
+          case _: String => Schema.Type.STRING
+          case _: Long | _: Int => Schema.Type.LONG
+          case other => throw new IllegalArgumentException(
+            s"fixture partition value for '$n' must be String or Long, " +
+              s"got ${other.getClass.getName}")
+        }
+        seen.get(n).foreach(p => require(p == t,
+          s"fixture partition field '$n' used with two types"))
+        seen.getOrElseUpdate(n, t)
+      }
+      seen.toSeq
+    }
+    val hasBounds = entries.exists(e => e.lowerBounds.nonEmpty || e.upperBounds.nonEmpty)
+    var df = SchemaBuilder.record("r2").fields()
       .name("content").`type`().intType().intDefault(0)
       .requiredString("file_path")
       .requiredString("file_format")
-      .requiredLong("record_count")
-      .requiredLong("file_size_in_bytes")
-      .endRecord()
+    if (partFields.nonEmpty) {
+      val p = SchemaBuilder.record("r102").fields()
+      val pb = partFields.foldLeft(p) { case (b, (n, t)) =>
+        b.name(n).`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL), Schema.create(t))).withDefault(null)
+      }
+      df = df.name("partition").`type`(pb.endRecord()).noDefault()
+    }
+    df = df.requiredLong("record_count").requiredLong("file_size_in_bytes")
+    if (hasBounds) {
+      df = df.name("lower_bounds").`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL), boundsArraySchema("k126_v127")))
+        .withDefault(null)
+      df = df.name("upper_bounds").`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL), boundsArraySchema("k129_v130")))
+        .withDefault(null)
+    }
     SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
       .requiredLong("snapshot_id")
-      .name("data_file").`type`(dataFile).noDefault()
+      .name("data_file").`type`(df.endRecord()).noDefault()
       .endRecord()
   }
 
-  private val manifestFileSchema: Schema =
-    SchemaBuilder.record("manifest_file").fields()
+  /** Per-partition-field summary on a manifest-list row: (lower, upper)
+    * in the same single-value serialization as entry bounds; None =
+    * unknown (the reader must keep the manifest). */
+  case class Summary(lower: Option[Array[Byte]], upper: Option[Array[Byte]],
+                     containsNull: Boolean = false)
+
+  private val summarySchema: Schema =
+    SchemaBuilder.record("r508").fields()
+      .requiredBoolean("contains_null")
+      .name("lower_bound").`type`(nullableBytes).withDefault(null)
+      .name("upper_bound").`type`(nullableBytes).withDefault(null)
+      .endRecord()
+
+  private def manifestFileSchemaFor(withSummaries: Boolean): Schema = {
+    var b = SchemaBuilder.record("manifest_file").fields()
       .requiredString("manifest_path")
       .requiredLong("manifest_length")
       .name("partition_spec_id").`type`().intType().intDefault(0)
       .name("content").`type`().intType().intDefault(0)
       .requiredLong("added_snapshot_id")
-      .endRecord()
+    if (withSummaries)
+      b = b.name("partitions").`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL), Schema.createArray(summarySchema)))
+        .withDefault(null)
+    b.endRecord()
+  }
 
   private def writeAvro(spark: SparkSession, p: Path, schema: Schema,
                         rows: Seq[GenericRecord]): Long = {
@@ -439,13 +812,38 @@ object Iceberg {
   def writeManifest(spark: SparkSession, table: String, name: String,
                     snapshotId: Long, entries: Seq[Entry]): (String, Long) = {
     val p = new Path(new Path(table, "metadata"), name)
+    val entrySchema = entrySchemaFor(entries)
+    val dfSchema = entrySchema.getField("data_file").schema()
     val rows = entries.map { e =>
-      val df = new GenericData.Record(entrySchema.getField("data_file").schema())
+      val df = new GenericData.Record(dfSchema)
       df.put("content", e.content)
       df.put("file_path", e.path)
       df.put("file_format", e.format)
       df.put("record_count", 0L)
       df.put("file_size_in_bytes", 0L)
+      if (e.partition.nonEmpty) {
+        val ps = dfSchema.getField("partition").schema()
+        val pr = new GenericData.Record(ps)
+        e.partition.foreach { case (n, v) =>
+          pr.put(n, v match { case i: Int => i.toLong; case other => other })
+        }
+        df.put("partition", pr)
+      }
+      def boundsArr(arrField: String, bs: Seq[(Int, Array[Byte])]): Unit =
+        if (bs.nonEmpty) {
+          val arrSchema = dfSchema.getField(arrField).schema()
+            .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+          val arr = new GenericData.Array[GenericRecord](bs.size, arrSchema)
+          bs.foreach { case (k, v) =>
+            val kv = new GenericData.Record(arrSchema.getElementType)
+            kv.put("key", k)
+            kv.put("value", java.nio.ByteBuffer.wrap(v))
+            arr.add(kv)
+          }
+          df.put(arrField, arr)
+        }
+      boundsArr("lower_bounds", e.lowerBounds)
+      boundsArr("upper_bounds", e.upperBounds)
       val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", snapshotId)
@@ -456,21 +854,41 @@ object Iceberg {
   }
 
   /** Author a snapshot's manifest-list Avro pointing at `manifests`
-    * ((path, length) pairs). */
+    * ((path, length) pairs). `summaries`, when non-empty, runs parallel
+    * to `manifests`: per-manifest partition-field [[Summary]] rows in
+    * spec-field order (the `partitions` field real manifest lists carry —
+    * what [[readPruned]] prunes whole manifests on). */
   def writeManifestList(spark: SparkSession, table: String, name: String,
                         snapshotId: Long, manifests: Seq[(String, Long)],
-                        content: Int = 0): String = {
+                        content: Int = 0,
+                        summaries: Seq[Seq[Summary]] = Nil): String = {
+    require(summaries.isEmpty || summaries.size == manifests.size,
+      s"summaries (${summaries.size}) must run parallel to manifests (${manifests.size})")
     val p = new Path(new Path(table, "metadata"), name)
-    val rows = manifests.map { case (mp, len) =>
-      val r = new GenericData.Record(manifestFileSchema)
+    val schema = manifestFileSchemaFor(summaries.nonEmpty)
+    val rows = manifests.zipWithIndex.map { case ((mp, len), i) =>
+      val r = new GenericData.Record(schema)
       r.put("manifest_path", mp)
       r.put("manifest_length", len)
       r.put("partition_spec_id", 0)
       r.put("content", content)
       r.put("added_snapshot_id", snapshotId)
+      if (summaries.nonEmpty) {
+        val arrSchema = schema.getField("partitions").schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        val arr = new GenericData.Array[GenericRecord](summaries(i).size, arrSchema)
+        summaries(i).foreach { s =>
+          val sr = new GenericData.Record(summarySchema)
+          sr.put("contains_null", s.containsNull)
+          sr.put("lower_bound", s.lower.map(java.nio.ByteBuffer.wrap).orNull)
+          sr.put("upper_bound", s.upper.map(java.nio.ByteBuffer.wrap).orNull)
+          arr.add(sr)
+        }
+        r.put("partitions", arr)
+      }
       r
     }
-    writeAvro(spark, p, manifestFileSchema, rows)
+    writeAvro(spark, p, schema, rows)
     p.toString
   }
 

@@ -253,6 +253,138 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("metadata budget"), e.getMessage)
   }
 
+  /** Two-manifest, four-file partitioned table for the pruning laws:
+    * partitioned by identity(cat) (cat ∈ {a, b}, one manifest each,
+    * summaries on the manifest list), files carrying long `v` stats
+    * bounds for field id 2: a→[0,9],[10,19]; b→[100,109],[110,119].
+    * Data files are id-stamped so the metadata schema resolves. */
+  private def prunedTable(): (String, Map[String, String]) = {
+    val base = freshDir()
+    def f(name: String, lo: Long) =
+      dataFileWithIds(base, name, (lo to lo + 9L).map(v => (v, v)))
+    // dataFileWithIds writes (old_a, old_b) under ids 1/2; metadata names
+    // them (id, v) — the rename path rides along for free
+    val files = Map(
+      "a_lo" -> f("a_lo.parquet", 0L), "a_hi" -> f("a_hi.parquet", 10L),
+      "b_lo" -> f("b_lo.parquet", 100L), "b_hi" -> f("b_hi.parquet", 110L))
+    def entry(k: String, cat: String, lo: Long) = Iceberg.Entry(files(k), 1,
+      partition = Seq("cat" -> cat),
+      lowerBounds = Seq(1 -> Iceberg.encodeLong(lo), 2 -> Iceberg.encodeLong(lo)),
+      upperBounds = Seq(1 -> Iceberg.encodeLong(lo + 9L), 2 -> Iceberg.encodeLong(lo + 9L)))
+    val ma = Iceberg.writeManifest(spark, base, "ma.avro", 1L,
+      Seq(entry("a_lo", "a", 0L), entry("a_hi", "a", 10L)))
+    val mb = Iceberg.writeManifest(spark, base, "mb.avro", 1L,
+      Seq(entry("b_lo", "b", 100L), entry("b_hi", "b", 110L)))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(ma, mb),
+      summaries = Seq(
+        Seq(Iceberg.Summary(Some(Iceberg.encodeString("a")), Some(Iceberg.encodeString("a")))),
+        Seq(Iceberg.Summary(Some(Iceberg.encodeString("b")), Some(Iceberg.encodeString("b"))))))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "," +
+        Iceberg.fieldJson(3, "cat", "string") + "]",
+      partitionSpecJson = "[" + Iceberg.identityPartitionJson(3, "cat") + "]")
+    (base, files)
+  }
+
+  test("entry stats bounds prune files; the pruned read is the filtered read") {
+    val (base, files) = prunedTable()
+    assert(Iceberg.planFiles(spark, base).size == 4)
+    // v in [12, 15] overlaps only a_hi's [10, 19]
+    val preds = Seq(Iceberg.ColRange("v", 12L, 15L))
+    assert(Iceberg.planFiles(spark, base, preds) == Seq(files("a_hi")))
+    // contract: readPruned is a SUPERSET; residual filter equalizes
+    import org.apache.spark.sql.functions.col
+    val pruned = Iceberg.readPruned(spark, base, preds)
+      .where(col("v").between(12L, 15L)).collect().map(_.getLong(1)).toSet
+    val full = Iceberg.read(spark, base)
+      .where(col("v").between(12L, 15L)).collect().map(_.getLong(1)).toSet
+    assert(pruned == full && full == Set(12L, 13L, 14L, 15L))
+    // a range spanning both b-files plans exactly those two
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("v", 105L, 115L))).toSet ==
+      Set(files("b_lo"), files("b_hi")))
+  }
+
+  test("partition summaries prune whole manifests WITHOUT opening their Avro") {
+    val (base, files) = prunedTable()
+    // summary pruning on cat alone plans only manifest b's files
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "b", "b"))).toSet ==
+      Set(files("b_lo"), files("b_hi")))
+    // the behavioral pin: a manifest-list row whose summary is disjoint
+    // points at a DELETED manifest file — pruning must succeed without
+    // ever opening it; an unpruned plan must fail trying
+    assert(new java.io.File(base, "metadata/ma.avro").delete())
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "b", "b"))).toSet ==
+      Set(files("b_lo"), files("b_hi")))
+    intercept[Exception](Iceberg.planFiles(spark, base))
+  }
+
+  test("identity partition values prune at entry level; everything-pruned is a typed empty frame") {
+    val (base, files) = prunedTable()
+    // cat = 'a' keeps manifest a via its summary, and inside a manifest
+    // with NO summaries the per-entry partition struct would do the same
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "a", "a"))).toSet ==
+      Set(files("a_lo"), files("a_hi")))
+    // v in [50, 60] overlaps nothing: empty plan, typed empty frame
+    val preds = Seq(Iceberg.ColRange("v", 50L, 60L))
+    assert(Iceberg.planFiles(spark, base, preds).isEmpty)
+    val empty = Iceberg.readPruned(spark, base, preds)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("id", "v", "cat"))
+    // ISOLATED entry-level partition pruning: one manifest, NO summaries,
+    // no bounds — only the per-entry partition struct can prune
+    val base2 = freshDir()
+    val fa = dataFileWithIds(base2, "fa.parquet", Seq((1L, 1L)))
+    val fb = dataFileWithIds(base2, "fb.parquet", Seq((2L, 2L)))
+    val m = Iceberg.writeManifest(spark, base2, "m.avro", 1L, Seq(
+      Iceberg.Entry(fa, 1, partition = Seq("cat" -> "a")),
+      Iceberg.Entry(fb, 1, partition = Seq("cat" -> "b"))))
+    val ml = Iceberg.writeManifestList(spark, base2, "snap.avro", 1L, Seq(m))
+    Iceberg.writeMetadata(spark, base2, 1, Seq((1L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "," +
+        Iceberg.fieldJson(3, "cat", "string") + "]",
+      partitionSpecJson = "[" + Iceberg.identityPartitionJson(3, "cat") + "]")
+    assert(Iceberg.planFiles(spark, base2,
+      Seq(Iceberg.ColRange("cat", "b", "b"))) == Seq(fb))
+  }
+
+  test("missing stats and non-identity transforms keep files (soundness)") {
+    val base = freshDir()
+    val f1 = dataFileWithIds(base, "f1.parquet", Seq((1L, 1L)))
+    // no bounds, no partition: nothing to prune on → must be planned
+    val m = Iceberg.writeManifest(spark, base, "m.avro", 1L,
+      Seq(Iceberg.Entry(f1, 1, partition = Seq("id_bucket" -> 0L))))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]",
+      // bucket transform: partition value 0 is a BUCKET NUMBER — pruning
+      // raw ranges against it would be unsound, so it must not prune
+      partitionSpecJson =
+        """[{"name":"id_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]""")
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("id", 5L, 9L))).size == 1)
+  }
+
+  test("pruning misuse is refused: no schema, unknown column, mistyped endpoint") {
+    val base = threeSnapshotTable() // empty metadata schema
+    val e1 = intercept[IllegalArgumentException](
+      Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("id", 1L, 2L))))
+    assert(e1.getMessage.contains("metadata schema"), e1.getMessage)
+    val (base2, _) = prunedTable()
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.planFiles(spark, base2, Seq(Iceberg.ColRange("nope", 1L, 2L))))
+    assert(e2.getMessage.contains("nope"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Iceberg.planFiles(spark, base2, Seq(Iceberg.ColRange("v", "1", "2"))))
+    assert(e3.getMessage.contains("endpoint"), e3.getMessage)
+  }
+
   test("a non-table directory is refused with a clear message") {
     val e = intercept[IllegalArgumentException](
       Iceberg.read(spark, freshDir()))
