@@ -197,6 +197,14 @@ object Bench {
     val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     val total = results.collect { case (_, v, true, _, _) => v }.sum
+    // load-insensitive secondary total (r11 task 4): task CPU seconds
+    // summed over the measured queries. Wall `value` swings ±30% with box
+    // contention; cpuTotal moves only when the WORK changes, so
+    // cross-round comparisons get an axis the contention block can't
+    // muddy. (Still task-attributed: driver-side planning time is not in
+    // it — compare like with like.)
+    val cpuTotal = results.collect { case (_, _, true, _, (_, cpuMs, _)) => cpuMs }
+      .sum / 1000.0
     // contention indicator, carried in BOTH output lines: how to read it —
     //   runCpuRatio  task runtime / task cpu time across all measured
     //                queries; ~1.0–1.3 idle, climbing means tasks sat on
@@ -217,14 +225,14 @@ object Bench {
         s""""loadAvgMax":${r3(if (loadSamples.nonEmpty) loadSamples.max else -1)},""" +
         s""""cpus":$cpus}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"metrics":$metrics,"errors":$errors,"contention":$contention,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"queries":$qs,"metrics":$metrics,"errors":$errors,"contention":$contention,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
     // compact total-only line LAST: the full per-query line outgrew the
     // driver's tail buffer at 65 queries (BENCH_r03 "parsed": null), so a
     // short parsable metric line must always be the final stdout line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"n_errors":${results.count(!_._3)},"contention":$contention,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"n_queries":${results.size},"n_errors":${results.count(!_._3)},"contention":$contention,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
