@@ -861,16 +861,19 @@ object Iceberg {
   def writeManifestList(spark: SparkSession, table: String, name: String,
                         snapshotId: Long, manifests: Seq[(String, Long)],
                         content: Int = 0,
-                        summaries: Seq[Seq[Summary]] = Nil): String = {
+                        summaries: Seq[Seq[Summary]] = Nil,
+                        specIds: Seq[Int] = Nil): String = {
     require(summaries.isEmpty || summaries.size == manifests.size,
       s"summaries (${summaries.size}) must run parallel to manifests (${manifests.size})")
+    require(specIds.isEmpty || specIds.size == manifests.size,
+      s"specIds (${specIds.size}) must run parallel to manifests (${manifests.size})")
     val p = new Path(new Path(table, "metadata"), name)
     val schema = manifestFileSchemaFor(summaries.nonEmpty)
     val rows = manifests.zipWithIndex.map { case ((mp, len), i) =>
       val r = new GenericData.Record(schema)
       r.put("manifest_path", mp)
       r.put("manifest_length", len)
-      r.put("partition_spec_id", 0)
+      r.put("partition_spec_id", if (specIds.isEmpty) 0 else specIds(i))
       r.put("content", content)
       r.put("added_snapshot_id", snapshotId)
       if (summaries.nonEmpty) {
@@ -911,12 +914,17 @@ object Iceberg {
     * v2 `schemas[0]`/`current-schema-id` spelling — real v1 writers since
     * Iceberg 0.12 emit both too; `[]` keeps the schema-less minimal
     * document the schema-path fixtures predate. `partitionSpecJson`
-    * likewise fills `partition-spec` + `partition-specs`/`default-spec-id`. */
+    * likewise fills `partition-spec` + `partition-specs`/`default-spec-id`.
+    * `evolvedSpecsJson` ((specId, fieldsJson) pairs), when non-empty,
+    * REPLACES the `partition-specs` array — the spec-EVOLUTION spelling: a
+    * table whose partitioning changed mid-history carries every spec it
+    * ever wrote under, and each manifest names its spec by id. */
   def writeMetadata(spark: SparkSession, table: String, version: Int,
                     snaps: Seq[(Long, Long, String)],
                     formatVersion: Int = 1,
                     schemaFieldsJson: String = "[]",
-                    partitionSpecJson: String = "[]"): Unit = {
+                    partitionSpecJson: String = "[]",
+                    evolvedSpecsJson: Seq[(Int, String)] = Nil): Unit = {
     val md = new Path(table, "metadata")
     val f = fs(spark, md)
     f.mkdirs(md)
@@ -931,8 +939,13 @@ object Iceberg {
          |"schemas":[{"type":"struct","schema-id":0,"fields":$schemaFieldsJson}],
          |"current-schema-id":0,
          |"partition-spec":$partitionSpecJson,
-         |"partition-specs":[{"spec-id":0,"fields":$partitionSpecJson}],
-         |"default-spec-id":0,"properties":{},
+         |"partition-specs":${
+           if (evolvedSpecsJson.isEmpty)
+             s"""[{"spec-id":0,"fields":$partitionSpecJson}]"""
+           else evolvedSpecsJson.map { case (id, fj) =>
+             s"""{"spec-id":$id,"fields":$fj}"""
+           }.mkString("[", ",", "]")},
+         |"default-spec-id":${evolvedSpecsJson.lastOption.map(_._1).getOrElse(0)},"properties":{},
          |"current-snapshot-id":${snaps.lastOption.map(_._1).getOrElse(-1L)},
          |"snapshots":$snapJson}""".stripMargin
     def writeText(p: Path, content: String): Unit = {

@@ -371,6 +371,44 @@ class IcebergSpec extends SparkSpec {
       Seq(Iceberg.ColRange("id", 5L, 9L))).size == 1)
   }
 
+  test("partition-spec evolution: summaries are read under each manifest's OWN spec") {
+    // spec 0 = [identity(cat)]; spec 1 = [identity(reg), identity(cat)] —
+    // cat sits at summary position 0 vs 1. A reader that ignores
+    // partition_spec_id and tests cat against position 0 everywhere
+    // would compare cat ranges against REG summaries on spec-1 manifests.
+    val base = freshDir()
+    val fa = dataFileWithIds(base, "fa.parquet", Seq((1L, 1L)))
+    val fb = dataFileWithIds(base, "fb.parquet", Seq((2L, 2L)))
+    val m0 = Iceberg.writeManifest(spark, base, "m0.avro", 1L,
+      Seq(Iceberg.Entry(fa, 1, partition = Seq("cat" -> "a"))))
+    val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L,
+      Seq(Iceberg.Entry(fb, 1, partition = Seq("reg" -> "x", "cat" -> "b"))))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L,
+      Seq(m0, m1), specIds = Seq(0, 1),
+      summaries = Seq(
+        Seq(Iceberg.Summary(Some(Iceberg.encodeString("a")), Some(Iceberg.encodeString("a")))),
+        Seq(Iceberg.Summary(Some(Iceberg.encodeString("x")), Some(Iceberg.encodeString("x"))),
+          Iceberg.Summary(Some(Iceberg.encodeString("b")), Some(Iceberg.encodeString("b"))))))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "," +
+        Iceberg.fieldJson(3, "cat", "string") + "," +
+        Iceberg.fieldJson(4, "reg", "string") + "]",
+      evolvedSpecsJson = Seq(
+        0 -> ("[" + Iceberg.identityPartitionJson(3, "cat", 1000) + "]"),
+        1 -> ("[" + Iceberg.identityPartitionJson(4, "reg", 1001) + "," +
+          Iceberg.identityPartitionJson(3, "cat", 1002) + "]")))
+    // cat='b': m0 pruned by its spec-0 summary; m1 kept via position 1
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "b", "b"))) == Seq(fb))
+    // cat='x' matches NOTHING — but a position-0-everywhere reader would
+    // match m1's reg summary ("x") and open it. Delete m1's Avro: the
+    // spec-aware prune must still succeed (never opens it), empty plan.
+    assert(new java.io.File(base, "metadata/m1.avro").delete())
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "x", "x"))).isEmpty)
+  }
+
   test("pruning misuse is refused: no schema, unknown column, mistyped endpoint") {
     val base = threeSnapshotTable() // empty metadata schema
     val e1 = intercept[IllegalArgumentException](
