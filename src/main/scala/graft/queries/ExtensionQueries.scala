@@ -1618,6 +1618,34 @@ object ExtensionQueries {
         .orderBy($"source")
     }),
 
+    // STREAMING contamination monitor — q230's measured join as a
+    // stream-static probe (the q195 ingest shape, r11 optional breadth):
+    // training documents arrive as a file stream, each micro-batch
+    // extracts its per-doc-distinct 4-grams STATELESSLY (map-side HOF +
+    // explode — no stream-side aggregation before the join) and
+    // stream-static joins the session-cached eval gram set through the
+    // SAME measured broadcast-vs-shuffle cutover as the batch path; the
+    // only streaming state is the per-SOURCE complete-mode rollup (5
+    // rows, bounded however big the stream). The oracle replays q230's
+    // gram math summed straight to source grain.
+    "q235_stream_decontamination" -> ((s, dir) => {
+      import s.implicits._
+      val srcDir = StreamScaffold.stageTable(s, dir, "documents")
+      val evalSide = graft.text.Decontamination.measuredEvalSide(
+        decontamEvalGrams(s, dir))
+      StreamScaffold.runCompleteStream(s, "q235", dir, srcDir) { src =>
+        graft.text.Decontamination.gramHashes(
+            src.where($"doc_id" % 41 =!= 0).select($"source", $"doc_id", $"text"),
+            "text", n = 4)
+          .join(evalSide, Seq("gh"), "left_outer")
+          .groupBy($"source")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when($"__hit".isNotNull, 1L).otherwise(0L)).as("n_contaminated_grams"))
+      }.selectExpr("source", "n_grams", "n_contaminated_grams",
+          "(1000000 * n_contaminated_grams) DIV n_grams AS contam_micro")
+        .orderBy($"source")
+    }),
+
     // near-dup GROUP extraction: connected components over the minhash
     // candidate graph → canonical keep-doc per group (the step after
     // pairwise candidates in a real dedup pipeline)
@@ -4392,6 +4420,21 @@ object ExtensionQueries {
          |  CAST(sum(doc_id) AS BIGINT) AS id_checksum,
          |  CAST(sum(length(text)) AS BIGINT) AS len_checksum
          |FROM kept GROUP BY 1 ORDER BY source""".stripMargin,
+    "q235_stream_decontamination" ->
+      s"""WITH c AS (SELECT source, doc_id, $toksSql AS tk FROM documents),
+         |g0 AS (SELECT source, doc_id,
+         |        CASE WHEN len(tk) < 4 THEN CAST([] AS BIGINT[]) ELSE list_distinct(
+         |          list_transform(generate_series(1, len(tk) - 3),
+         |            i -> ${TextFunctions.md5Bucket60Sql("array_to_string(list_slice(tk, i, i + 3), ' ')")})) END AS ghs
+         |       FROM c),
+         |g AS MATERIALIZED (SELECT source, doc_id, unnest(ghs) AS gh FROM g0),
+         |ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 41 = 0),
+         |tr AS (SELECT source, gh FROM g WHERE doc_id % 41 <> 0)
+         |SELECT tr.source, count(*) AS n_grams,
+         |  CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated_grams,
+         |  (1000000 * CAST(sum(CASE WHEN ev.gh IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)) // count(*) AS contam_micro
+         |FROM tr LEFT JOIN ev ON tr.gh = ev.gh
+         |GROUP BY 1 ORDER BY tr.source""".stripMargin,
     "q222_perplexity_buckets" ->
       s"""WITH c AS (SELECT doc_id, $toksSql AS tk FROM documents),
          |bg0 AS (SELECT doc_id, unnest(list_transform(generate_series(1, greatest(len(tk)-1, 0)),

@@ -96,6 +96,22 @@ object Decontamination {
       evalGrams(evalDocs, textCol, n).localCheckpoint(true),
       textCol, n, broadcastBudgetBytes)
 
+  /** The measured broadcast-vs-shuffle choice for a MATERIALIZED eval
+    * gram frame, as a join side tagged `(gh, __hit = 1)`: counts the set
+    * (cheap on a persisted/checkpointed frame) and broadcasts only under
+    * the budget, else forces the sort-merge spelling — the materialized
+    * leaf KEEPS the origin plan's stats, so without the hint Spark could
+    * still auto-broadcast right up to the OOM this guard exists to
+    * prevent. Shared by the batch joins below and the streaming
+    * contamination monitor (q235), whose static side is exactly this. */
+  def measuredEvalSide(evalGramSet: DataFrame,
+                       broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
+    val eg = evalGramSet.select(col("gh")).withColumn("__hit", lit(1))
+    val nEvalGrams = eg.count()
+    if (nEvalGrams * BytesPerBroadcastGram <= broadcastBudgetBytes) broadcast(eg)
+    else eg.hint("merge")
+  }
+
   /** [[contamination]] against a caller-MATERIALIZED eval gram frame
     * (one `gh` column, distinct, persisted or checkpointed — the count
     * below re-reads it, so an unmaterialized frame pays its build twice).
@@ -115,15 +131,7 @@ object Decontamination {
     val keys = train.columns.filterNot(_ == textCol).map(col)
     require(keys.nonEmpty,
       "contamination needs at least one non-text key column on the train side")
-    val eg = evalGramSet.select(col("gh")).withColumn("__hit", lit(1))
-    val nEvalGrams = eg.count()
-    val evalSide =
-      if (nEvalGrams * BytesPerBroadcastGram <= broadcastBudgetBytes) broadcast(eg)
-      // over budget: force the sort-merge spelling — the checkpointed
-      // leaf KEEPS the origin plan's stats, so without the hint Spark
-      // could still auto-broadcast right up to the OOM this guard exists
-      // to prevent
-      else eg.hint("merge")
+    val evalSide = measuredEvalSide(evalGramSet, broadcastBudgetBytes)
     gramHashes(train, textCol, n)
       .join(evalSide, Seq("gh"), "left_outer")
       .groupBy(keys: _*)

@@ -54,6 +54,21 @@ class Round12QueriesSpec extends SparkSpec {
     assert(e.getMessage.contains("before"), e.getMessage)
   }
 
+  test("q235's streaming rollup equals q230's batch report at source grain") {
+    // same gram math, same eval split, different engines (micro-batch
+    // stream-static vs batch): the per-source gram totals must agree
+    def rows(name: String, cols: Seq[String]) =
+      graft.SparkEntry.queries(name)(spark, sf)
+        .selectExpr(cols: _*).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val stream = rows("q235_stream_decontamination",
+      Seq("source", "n_grams", "n_contaminated_grams"))
+    val batch = rows("q230_contamination",
+      Seq("source", "n_grams", "n_contaminated_grams"))
+    assert(stream == batch, s"stream $stream vs batch $batch")
+    assert(stream.nonEmpty)
+  }
+
   test("the fixture's data files carry parquet field ids (writer fidelity)") {
     // the pruned table must exercise the field-id read path end-to-end:
     // a schema served from metadata (not footers) with correct values
