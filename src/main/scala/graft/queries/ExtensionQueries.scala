@@ -1625,9 +1625,9 @@ object ExtensionQueries {
     // explode — no stream-side aggregation before the join) and
     // stream-static joins the session-cached eval gram set through the
     // SAME measured broadcast-vs-shuffle cutover as the batch path; the
-    // only streaming state is the per-SOURCE complete-mode rollup (5
-    // rows, bounded however big the stream). The oracle replays q230's
-    // gram math summed straight to source grain.
+    // only streaming state is the per-SOURCE complete-mode rollup (one
+    // row per source — 20 here — bounded however big the stream). The
+    // oracle replays q230's gram math summed straight to source grain.
     "q235_stream_decontamination" -> ((s, dir) => {
       import s.implicits._
       val srcDir = StreamScaffold.stageTable(s, dir, "documents")

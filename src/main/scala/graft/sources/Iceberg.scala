@@ -237,9 +237,13 @@ object Iceberg {
     val probe = footerFields(spark, files.min)
     val idsPresent = probe.nonEmpty && probe.forall(_._2.isDefined)
     if (idsPresent) {
-      // session-scoped switch: it only changes resolution for read
-      // schemas that CARRY parquet.field.id metadata, which in this repo
-      // is exactly the schemas built here
+      // session-scoped switch, deliberately NOT restored: the returned
+      // frame is lazy, so the conf must still be on whenever it executes.
+      // The switch only changes resolution for read schemas that CARRY
+      // parquet.field.id metadata — in this repo exactly the schemas
+      // built here; a caller constructing its own id-tagged schema over
+      // id-less files after this read would fail loudly
+      // (fieldId.read.ignoreMissing stays false), not resolve wrong
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
       val st = StructType(fields.map(f =>
         StructField(f.name, sparkType(f.typ), nullable = true,
@@ -330,6 +334,8 @@ object Iceberg {
     val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
     typ match {
       case "int" | "long" | "date" | "timestamp" | "timestamptz" =>
+        // 4-byte bounds under a long-typed column are the spec-legal
+        // int → long promotion (old files keep their old serialization)
         require(bytes.length == 4 || bytes.length == 8,
           s"$typ bound must be 4 or 8 bytes, got ${bytes.length}")
         if (bytes.length == 4) bb.getInt.toLong else bb.getLong
@@ -337,8 +343,10 @@ object Iceberg {
         require(bytes.length == 4, s"float bound must be 4 bytes, got ${bytes.length}")
         bb.getFloat.toDouble
       case "double" =>
-        require(bytes.length == 8, s"double bound must be 8 bytes, got ${bytes.length}")
-        bb.getDouble
+        // 4-byte bounds = the float → double promotion twin
+        require(bytes.length == 4 || bytes.length == 8,
+          s"double bound must be 4 or 8 bytes, got ${bytes.length}")
+        if (bytes.length == 4) bb.getFloat.toDouble else bb.getDouble
       case "string" => new String(bytes, java.nio.charset.StandardCharsets.UTF_8)
       case other => throw new IllegalArgumentException(
         s"no bound decoding for iceberg type $other")
@@ -534,12 +542,16 @@ object Iceberg {
       .map(s => (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong()))
       .toSeq
     require(snaps.nonEmpty, s"Iceberg table $table has no snapshots")
-    val eligible = snaps.filter(_._2 <= tsMillis)
+    val eligible = snaps.zipWithIndex.filter(_._1._2 <= tsMillis)
     require(eligible.nonEmpty,
       s"no snapshot of $table at or before timestamp $tsMillis — the " +
         s"earliest is ${snaps.minBy(_._2)._2}; a timestamp before the " +
         "first commit has no defined table state")
-    readSnapshotDoc(spark, table, doc, eligible.maxBy(_._2)._1)
+    // ties broken toward the LATEST snapshot in log order — two commits
+    // in the same millisecond are real on busy tables, and Iceberg's own
+    // selection keeps the last history entry <= ts, not the first
+    readSnapshotDoc(spark, table, doc,
+      eligible.maxBy { case ((_, ts), i) => (ts, i) }._1._1)
   }
 
   private def manifestListOf(doc: JsonNode, table: String, snapshotId: Long): String = {
@@ -564,23 +576,23 @@ object Iceberg {
     val pruning = resolvePruning(doc, ranges)
     val files = listDataFiles(spark, table, mlPath, snapshotId, pruning)
     val schemaFields = currentSchemaFields(doc)
-    if (files.isEmpty && pruning.isDefined)
-      // a predicate can legally prune EVERYTHING; pruning required a
-      // metadata schema, so the empty frame is typed without a footer
+    if (files.isEmpty && schemaFields.isDefined)
+      // a predicate can legally prune EVERYTHING, and a fully-deleted
+      // snapshot is a legal Iceberg state: whenever metadata carries a
+      // schema, the empty frame is typed without needing a footer
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(schemaFields.get.map(f =>
           StructField(f.name, sparkType(f.typ), nullable = true))))
-    // a zero-live-file snapshot (all rows deleted copy-on-write) is a
-    // LEGAL Iceberg state this reader cannot serve: the schema comes from
-    // parquet footers (the repo-wide convention) and there is no footer
-    // to type an empty frame from — refuse with the limitation named
-    // rather than a corruption-shaped error
+    // a zero-live-file snapshot of a SCHEMA-LESS metadata document (this
+    // reader's minimal-fixture path) cannot be typed: the schema would
+    // have to come from a parquet footer and there is none — refuse with
+    // the limitation named rather than a corruption-shaped error
     require(files.nonEmpty,
-      s"snapshot $snapshotId of $table has zero live data files — a valid " +
-        "(fully-deleted) table state this reader cannot type, because it " +
-        "derives the schema from parquet footers; read an earlier snapshot " +
-        "or construct the empty frame from a known schema instead")
+      s"snapshot $snapshotId of $table has zero live data files and its " +
+        "metadata carries no schema — nothing to type the empty frame " +
+        "from; read an earlier snapshot or construct the empty frame from " +
+        "a known schema instead")
     schemaFields match {
       case Some(fields) => readWithMetadataSchema(spark, fields, files)
       case None => spark.read.parquet(files: _*)

@@ -57,7 +57,12 @@ object Decontamination {
          |  ELSE array_distinct(transform(sequence(1, size(tkv) - ${n - 1}), i ->
          |    CAST(conv(substring(md5(CAST(concat_ws(' ', slice(tkv, i, $n)) AS BINARY)), 1, 15), 16, 10) AS BIGINT)))
          |  END)[0]""".stripMargin)
-    df.withColumn("__ghs", grams).drop(textCol)
+    // select-spelling, not withColumn-then-drop: the text column is
+    // excluded in the SAME projection that introduces `__ghs`, so a text
+    // column itself named `__ghs` or `gh` cannot collide with the
+    // internals (withColumn would have silently replaced it, then drop
+    // would have deleted the gram array)
+    df.select(df.columns.filterNot(_ == textCol).map(col) :+ grams.as("__ghs"): _*)
       .withColumn("gh", explode(col("__ghs"))).drop("__ghs")
   }
 
@@ -119,9 +124,10 @@ object Decontamination {
   def contaminationFromGrams(train: DataFrame, evalGramSet: DataFrame,
                              textCol: String = "text", n: Int = 8,
                              broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
-    // the text column is DROPPED before any reserved name is introduced,
-    // so only the surviving key columns can clash (ADVICE r11: a train
-    // frame whose text column is itself named e.g. `gh` is legal)
+    // the text column is excluded in the same projection that introduces
+    // the internals (gramHashes' select-spelling), so only the SURVIVING
+    // key columns can clash (ADVICE r11: a train frame whose text column
+    // is itself named e.g. `gh` is legal)
     val clash = train.columns.filterNot(_ == textCol)
       .toSet.intersect(ReservedColumns.toSet)
     require(clash.isEmpty,

@@ -409,6 +409,53 @@ class IcebergSpec extends SparkSpec {
       Seq(Iceberg.ColRange("cat", "x", "x"))).isEmpty)
   }
 
+  test("readAsOf breaks same-millisecond ties toward the LATER snapshot") {
+    // two commits in one millisecond are real on busy tables; Iceberg's
+    // selection keeps the LAST history entry <= ts — serving the earlier
+    // one would silently drop the second commit's rows
+    val base = freshDir()
+    val f1 = dataFile(base, "f1.parquet", Seq(1L))
+    val f2 = dataFile(base, "f2.parquet", Seq(2L))
+    val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L, Seq(Iceberg.Entry(f1, 1)))
+    val m2 = Iceberg.writeManifest(spark, base, "m2.avro", 2L,
+      Seq(Iceberg.Entry(f1, 0), Iceberg.Entry(f2, 1)))
+    val ml1 = Iceberg.writeManifestList(spark, base, "s1.avro", 1L, Seq(m1))
+    val ml2 = Iceberg.writeManifestList(spark, base, "s2.avro", 2L, Seq(m2))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1000L, ml1), (2L, 1000L, ml2)))
+    assert(idsOf(Iceberg.readAsOf(spark, base, 1000L)) == Set(1L, 2L))
+  }
+
+  test("a double column accepts promoted 4-byte float bounds") {
+    // spec-legal float → double promotion: old files keep 4-byte bounds
+    assert(Iceberg.decodeBound("double",
+      java.nio.ByteBuffer.allocate(4).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        .putFloat(2.5f).array()) == 2.5)
+    assert(Iceberg.decodeBound("long", Iceberg.encodeInt(7)) == 7L)
+  }
+
+  test("a fully-deleted snapshot of a schema-carrying table types the empty frame") {
+    val base = freshDir()
+    val f = dataFileWithIds(base, "f.parquet", Seq((1L, 1L)))
+    // snapshot 2 DELETES the only file: zero live files, schema present
+    val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L, Seq(Iceberg.Entry(f, 1)))
+    val m2 = Iceberg.writeManifest(spark, base, "m2.avro", 2L, Seq(Iceberg.Entry(f, 2)))
+    val ml1 = Iceberg.writeManifestList(spark, base, "s1.avro", 1L, Seq(m1))
+    val ml2 = Iceberg.writeManifestList(spark, base, "s2.avro", 2L, Seq(m2))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml1), (2L, 2L, ml2)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]")
+    val df = Iceberg.read(spark, base)
+    assert(df.count() == 0L && df.columns.toSeq == Seq("id", "v"))
+    // the SCHEMA-LESS twin still refuses with the limitation named
+    val base2 = freshDir()
+    val g = dataFile(base2, "g.parquet", Seq(1L))
+    val n1 = Iceberg.writeManifest(spark, base2, "m1.avro", 1L, Seq(Iceberg.Entry(g, 2)))
+    val nl1 = Iceberg.writeManifestList(spark, base2, "s1.avro", 1L, Seq(n1))
+    Iceberg.writeMetadata(spark, base2, 1, Seq((1L, 1L, nl1)))
+    val e = intercept[IllegalArgumentException](Iceberg.read(spark, base2))
+    assert(e.getMessage.contains("no schema"), e.getMessage)
+  }
+
   test("pruning misuse is refused: no schema, unknown column, mistyped endpoint") {
     val base = threeSnapshotTable() // empty metadata schema
     val e1 = intercept[IllegalArgumentException](

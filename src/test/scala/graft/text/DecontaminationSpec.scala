@@ -99,6 +99,14 @@ class DecontaminationSpec extends SparkSpec {
         Seq("a b c d").toDF("gh"), textCol = "gh", n = 4)
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     assert(m(1L) == (2L, 1L), m)
+    // the other internal name too: gramHashes' select-spelling excludes
+    // the text column in the same projection that introduces __ghs, so
+    // a text column named __ghs cannot collide either
+    val m2 = Decontamination.contamination(
+        Seq((1L, "a b c d e")).toDF("doc_id", "__ghs"),
+        Seq("a b c d").toDF("__ghs"), textCol = "__ghs", n = 4)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(m2(1L) == (2L, 1L), m2)
   }
 
   test("the FromGrams variants equal the direct spellings off a shared gram set") {
