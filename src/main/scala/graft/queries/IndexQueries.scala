@@ -71,6 +71,7 @@ object IndexQueries {
   private val q193TablePat = scratchPat("q193_delta")
   private val q228TablePat = scratchPat("q228_iceberg")
   private val q232TablePat = scratchPat("q232_iceberg_part")
+  private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q198TablePat = scratchPat("q198_delta_w")
   private val q199AvroPat = scratchPat("q199_avro")
   private val q201TablePat = scratchPat("q201_table")
@@ -136,6 +137,7 @@ object IndexQueries {
     stageQ193DeltaTable(s, dir)
     stageQ228IcebergTable(s, dir)
     stageQ232IcebergTable(s, dir)
+    stageQ236IcebergMorTable(s, dir)
     stageQ170Part(s, dir)
     stageQ216Part(s, dir)
   }
@@ -369,6 +371,55 @@ object IndexQueries {
       Iceberg.writeMetadata(s, base, version = 2,
         Seq((2001L, 1000L, ml1), (2002L, 5000L, ml2)),
         schemaFieldsJson = schemaJson, partitionSpecJson = specJson)
+    }
+    base
+  }
+
+  /** q236's fixture: an Iceberg v2 MERGE-ON-READ table — data files plus
+    * a committed POSITION delete file, the layout every real v2 table
+    * with row-level DML has. Purchases split by event_id parity into two
+    * SORTED single files (sort order fixes the row positions the deletes
+    * address); snapshot 3001 is data-only, 3002 adds a delete manifest
+    * whose parquet names (f1, pos) for every f1 row with
+    * event_id % 3 = 0 — i.e. exactly the event_id % 6 = 0 purchases,
+    * which is what the DuckDB oracle re-derives declaratively. f2 keeps
+    * value-identical rows to pin per-file scoping. */
+  private[graft] def stageQ236IcebergMorTable(s: SparkSession, dir: String): String = {
+    val base = scratch(q236TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val dataDir = new org.apache.hadoop.fs.Path(bp, "data")
+      fs.mkdirs(dataDir)
+      val p = t(s, dir, "events").where($"event_type" === "purchase")
+        .select($"event_id", round($"value" * 1e6).cast("long").as("value_micros"))
+      def sortedFile(df: DataFrame, name: String): String =
+        stageSingleFile(fs, bp,
+          df.repartition(1).sortWithinPartitions("event_id"), name, dataDir)
+      val f1 = sortedFile(p.where($"event_id" % 2 === 0), "f1.parquet")
+      val f2 = sortedFile(p.where($"event_id" % 2 =!= 0), "f2.parquet")
+      // position coordinates: the files are event_id-sorted, so pos =
+      // 0-based rank by event_id within the slice (single-partition
+      // window — staging-only, on the small purchase slice)
+      import org.apache.spark.sql.expressions.Window
+      val delRows = p.where($"event_id" % 2 === 0)
+        .withColumn("pos",
+          row_number().over(Window.orderBy($"event_id")).cast("long") - 1L)
+        .where($"event_id" % 3 === 0)
+        .select(lit(f1).as("file_path"), $"pos")
+      val pd = stageSingleFile(fs, bp, delRows, "pd.parquet", dataDir)
+      val m = Iceberg.writeManifest(s, base, "m_data.avro", 3001L,
+        Seq(Iceberg.Entry(f1, 1), Iceberg.Entry(f2, 1)))
+      val dm = Iceberg.writeManifest(s, base, "m_del.avro", 3002L,
+        Seq(Iceberg.Entry(pd, 1, content = 1)))
+      val ml1 = Iceberg.writeManifestList(s, base, "snap-3001.avro", 3001L, Seq(m))
+      val ml2 = Iceberg.writeManifestList(s, base, "snap-3002.avro", 3002L,
+        Seq(m, dm), contents = Seq(0, 1))
+      Iceberg.writeMetadata(s, base, version = 2,
+        Seq((3001L, 1000L, ml1), (3002L, 2000L, ml2)), formatVersion = 2)
     }
     base
   }
@@ -1586,6 +1637,26 @@ object IndexQueries {
       }.reduce(_ unionAll _).orderBy($"as_of_ms")
     }),
 
+    // Iceberg v2 MERGE-ON-READ — committed POSITION deletes applied at
+    // read time: the delete parquet's (file_path, pos) rows anti-join
+    // the data read on Spark's _metadata row coordinates. Snapshot 3001
+    // (pre-delete) must serve EVERY purchase; 3002 must drop exactly the
+    // event_id % 6 = 0 rows the delete file addresses by position in the
+    // sorted even-id file — a reader that ignores the delete manifest
+    // serves deleted rows (breaks 3002), one that misapplies positions
+    // or ignores the file scoping breaks either checksum.
+    "q236_iceberg_mor_read" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ236IcebergMorTable(s, dir)
+      graft.sources.Iceberg.snapshots(s, base).map { case (id, _) =>
+        graft.sources.Iceberg.readSnapshot(s, base, id)
+          .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(id).as("snapshot_id"), $"n_rows", $"id_checksum",
+            $"value_checksum")
+      }.reduce(_ unionAll _).orderBy($"snapshot_id")
+    }),
+
     // DATA-MIXTURE sampling — the corpus-composition step: per-source
     // mixture weights (here derived from the source name so the oracle
     // needs no side table) split a global token budget, and each source
@@ -2354,6 +2425,18 @@ object IndexQueries {
         |UNION ALL
         |SELECT CAST(999999 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT) FROM s2
         |ORDER BY as_of_ms""".stripMargin,
+    "q236_iceberg_mor_read" ->
+      """WITH p AS (SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS value_micros
+        |           FROM events WHERE event_type = 'purchase')
+        |SELECT CAST(3001 AS BIGINT) AS snapshot_id, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(value_micros) AS BIGINT) AS value_checksum
+        |FROM p
+        |UNION ALL
+        |SELECT CAST(3002 AS BIGINT), count(*),
+        |  CAST(sum(event_id) AS BIGINT), CAST(sum(value_micros) AS BIGINT)
+        |FROM p WHERE event_id % 6 <> 0
+        |ORDER BY snapshot_id""".stripMargin,
     "q196_snapshot_optimize" ->
       s"""WITH act AS (SELECT event_id FROM events
          |            WHERE event_type IN ('purchase', 'click'))

@@ -6,6 +6,7 @@ import org.apache.avro.file.{DataFileStream, DataFileWriter}
 import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, regexp_replace}
 import org.apache.spark.sql.types._
 
 import scala.collection.mutable
@@ -24,9 +25,14 @@ import scala.jdk.CollectionConverters._
   * spec-stable planning pass; writing the format correctly — commit
   * atomicity, sequence numbers, spec evolution — is Iceberg's job), and
   * the same loud feature gating: a table whose correct interpretation
-  * needs features this reader does not implement (row-level deletes,
+  * needs features this reader does not implement (EQUALITY deletes,
   * format v3+) is REFUSED, never silently misread — skipping a delete
-  * manifest would serve deleted rows.
+  * manifest would serve deleted rows. POSITION deletes (the v2
+  * merge-on-read spelling) ARE applied: delete manifests' parquet files
+  * of `(file_path, pos)` rows anti-join the data read on Spark's own
+  * `_metadata.file_path`/`_metadata.row_index` — correct independent of
+  * commit sequence numbers, because a position delete names its target
+  * file explicitly and Iceberg never reuses data-file paths.
   *
   * Format subset honored (all public, spec v1/v2):
   *  - `metadata/version-hint.text` → `metadata/vN.metadata.json` (the
@@ -523,8 +529,8 @@ object Iceberg {
     val doc = metadata(spark, table)
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     require(cur > 0, s"Iceberg table $table has no current snapshot")
-    listDataFiles(spark, table, manifestListOf(doc, table, cur), cur,
-      resolvePruning(doc, ranges))
+    listLiveFiles(spark, table, manifestListOf(doc, table, cur), cur,
+      resolvePruning(doc, ranges)).data
   }
 
   /** Time travel: read the table AS OF `snapshotId`. */
@@ -569,12 +575,27 @@ object Iceberg {
     mlPath
   }
 
+  /** Internal columns the position-delete anti-join introduces on the
+    * data side; a table column with one of these names would be
+    * ambiguous in the join, so a MoR read refuses it. */
+  private val MorJoinColumns = Seq("__ice_fp", "__ice_pos")
+
+  /** Scheme-normalize a file path column for the position-delete match:
+    * delete files record the path as the WRITER spelled it (often a bare
+    * absolute path) while Spark's `_metadata.file_path` is always a full
+    * URI (`file:///…`). Dropping `scheme:/+` from both sides makes them
+    * comparable; a bucket/authority stays as the leading path segment,
+    * so same-named keys in different buckets do NOT collide. */
+  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
   private def readSnapshotDoc(spark: SparkSession, table: String,
                               doc: JsonNode, snapshotId: Long,
                               ranges: Seq[ColRange] = Nil): DataFrame = {
     val mlPath = manifestListOf(doc, table, snapshotId)
     val pruning = resolvePruning(doc, ranges)
-    val files = listDataFiles(spark, table, mlPath, snapshotId, pruning)
+    val planned = listLiveFiles(spark, table, mlPath, snapshotId, pruning)
+    val files = planned.data
     val schemaFields = currentSchemaFields(doc)
     if (files.isEmpty && schemaFields.isDefined)
       // a predicate can legally prune EVERYTHING, and a fully-deleted
@@ -593,27 +614,60 @@ object Iceberg {
         "metadata carries no schema — nothing to type the empty frame " +
         "from; read an earlier snapshot or construct the empty frame from " +
         "a known schema instead")
-    schemaFields match {
+    val base = schemaFields match {
       case Some(fields) => readWithMetadataSchema(spark, fields, files)
       case None => spark.read.parquet(files: _*)
     }
+    if (planned.deletes.isEmpty) base
+    else {
+      // merge-on-read: anti-join the (file, position) pairs the delete
+      // files name. Spark's _metadata.row_index IS the 0-based row
+      // position within the parquet file — the exact coordinate the spec
+      // defines for position deletes. One distributed join keyed on
+      // (path, pos); AQE broadcasts the delete side when it is small,
+      // the common case (deletes are a fraction of the data)
+      val clash = base.columns.toSet.intersect(MorJoinColumns.toSet)
+      require(clash.isEmpty,
+        s"table column(s) ${clash.toSeq.sorted.mkString(", ")} collide " +
+          "with the position-delete join's internal names " +
+          s"(${MorJoinColumns.mkString(", ")}) — rename them or compact " +
+          "the deletes away first")
+      val del = spark.read.parquet(planned.deletes: _*)
+        .select(normPath(col("file_path")).as("__ice_fp"),
+          col("pos").cast("long").as("__ice_pos"))
+      base
+        .withColumn("__ice_fp", normPath(col("_metadata.file_path")))
+        .withColumn("__ice_pos", col("_metadata.row_index"))
+        .join(del, MorJoinColumns, "left_anti")
+        .drop(MorJoinColumns: _*)
+    }
   }
 
-  /** Replay one snapshot's manifest list → live data-file paths, with
+  /** One snapshot's pruned live plan: data files plus the POSITION
+    * delete files that must anti-join them. */
+  private[sources] case class PlannedFiles(data: Seq[String], deletes: Seq[String])
+
+  /** Replay one snapshot's manifest list → live file paths, with
     * optional planning-time pruning (summaries first, then per-entry
-    * stats). The ManifestGuard cap counts PRUNED survivors only. */
-  private def listDataFiles(spark: SparkSession, table: String,
+    * stats). Manifest-list rows with `content` 1 are DELETE manifests:
+    * their live entries must be POSITION delete files (`data_file.content`
+    * 1 — applied by the read), while EQUALITY delete files (2) are
+    * refused: applying them correctly needs commit sequence ordering
+    * this reader does not track. Summary/partition pruning applies to
+    * delete manifests too — sound, because a delete whose partition is
+    * disjoint from the predicate can only affect rows the residual
+    * filter drops anyway. The ManifestGuard cap counts PRUNED survivors
+    * (data + delete files together). */
+  private def listLiveFiles(spark: SparkSession, table: String,
                             mlPath: String, snapshotId: Long,
-                            pruning: Option[PruneCtx] = None): Seq[String] = {
-    val live = mutable.ArrayBuffer.empty[String]
+                            pruning: Option[PruneCtx] = None): PlannedFiles = {
+    val data = mutable.ArrayBuffer.empty[String]
+    val dels = mutable.ArrayBuffer.empty[String]
     readAvro(spark, resolve(table, mlPath)).foreach { m =>
-      val content = intField(m, "content").getOrElse(0)
-      require(content == 0,
-        s"snapshot $snapshotId references a DELETE manifest " +
-          s"(${m.get("manifest_path")}): this reader does not apply " +
-          "row-level deletes — reading the data manifests anyway would " +
-          "serve deleted rows. Compact/rewrite the table (e.g. " +
-          "rewrite_data_files) to fold deletes in, then retry")
+      val mContent = intField(m, "content").getOrElse(0)
+      require(mContent == 0 || mContent == 1,
+        s"snapshot $snapshotId manifest-list row has unknown content " +
+          s"$mContent (${m.get("manifest_path")}) — refusing a guess")
       val path = Option(m.get("manifest_path"))
         .map(_.toString)
         .getOrElse(throw new IllegalArgumentException(
@@ -629,25 +683,41 @@ object Iceberg {
             s"manifest $path: unknown entry status $status")
           val df = e.get("data_file").asInstanceOf[GenericRecord]
           require(df != null, s"manifest $path: entry lacks data_file")
-          require(intField(df, "content").getOrElse(0) == 0,
-            s"manifest $path holds a delete file " +
-              s"(${df.get("file_path")}) — row-level deletes are not " +
-              "interpreted; rewrite the table to fold them in first")
+          val fContent = intField(df, "content").getOrElse(0)
+          if (mContent == 0)
+            require(fContent == 0,
+              s"data manifest $path holds a delete file " +
+                s"(${df.get("file_path")}) — malformed metadata (delete " +
+                "files belong in delete manifests); refusing")
+          else {
+            require(fContent != 2,
+              s"manifest $path holds an EQUALITY delete file " +
+                s"(${df.get("file_path")}): equality deletes apply by " +
+                "commit sequence order, which this reader does not " +
+                "track — applying them unordered could delete wrong " +
+                "rows. Rewrite the table (rewrite_data_files / " +
+                "rewrite_position_delete_files) to fold them in first")
+            require(fContent == 1,
+              s"delete manifest $path holds a non-delete file " +
+                s"(${df.get("file_path")}, content $fContent) — malformed " +
+                "metadata; refusing")
+          }
           val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase).getOrElse("")
           require(fmt == "PARQUET",
-            s"data file ${df.get("file_path")} is $fmt; only PARQUET data is read")
+            s"file ${df.get("file_path")} is $fmt; only PARQUET is read")
           if (status != 2 && !pruning.exists(filePruned(df, specId, _))) {
-            live += resolve(table, df.get("file_path").toString).toString
-            require(live.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+            (if (mContent == 0) data else dels) +=
+              resolve(table, df.get("file_path").toString).toString
+            require(data.size + dels.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
               s"snapshot $snapshotId lists more than " +
-                s"${graft.operators.ManifestGuard.MaxPlannedFiles} data files — " +
+                s"${graft.operators.ManifestGuard.MaxPlannedFiles} files — " +
                 "refusing the driver-side planning collect; prune by " +
                 "partition or compact to coarser files first")
           }
         }
       }
     }
-    live.toSeq
+    PlannedFiles(data.toSeq, dels.toSeq)
   }
 
   /** Iceberg metadata stores absolute URIs; tolerate table-relative paths
@@ -874,11 +944,14 @@ object Iceberg {
                         snapshotId: Long, manifests: Seq[(String, Long)],
                         content: Int = 0,
                         summaries: Seq[Seq[Summary]] = Nil,
-                        specIds: Seq[Int] = Nil): String = {
+                        specIds: Seq[Int] = Nil,
+                        contents: Seq[Int] = Nil): String = {
     require(summaries.isEmpty || summaries.size == manifests.size,
       s"summaries (${summaries.size}) must run parallel to manifests (${manifests.size})")
     require(specIds.isEmpty || specIds.size == manifests.size,
       s"specIds (${specIds.size}) must run parallel to manifests (${manifests.size})")
+    require(contents.isEmpty || contents.size == manifests.size,
+      s"contents (${contents.size}) must run parallel to manifests (${manifests.size})")
     val p = new Path(new Path(table, "metadata"), name)
     val schema = manifestFileSchemaFor(summaries.nonEmpty)
     val rows = manifests.zipWithIndex.map { case ((mp, len), i) =>
@@ -886,7 +959,9 @@ object Iceberg {
       r.put("manifest_path", mp)
       r.put("manifest_length", len)
       r.put("partition_spec_id", if (specIds.isEmpty) 0 else specIds(i))
-      r.put("content", content)
+      // per-row `contents` (a real snapshot lists data AND delete
+      // manifests together) wins over the uniform `content` default
+      r.put("content", if (contents.isEmpty) content else contents(i))
       r.put("added_snapshot_id", snapshotId)
       if (summaries.nonEmpty) {
         val arrSchema = schema.getField("partitions").schema()

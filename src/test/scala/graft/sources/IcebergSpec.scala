@@ -117,21 +117,23 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("format-version"), e.getMessage)
   }
 
-  test("delete manifests and delete data files are refused, not skipped") {
+  test("equality deletes and malformed delete placement are refused, not skipped") {
     val base = freshDir()
     val f = dataFile(base, "f.parquet", Seq(1L))
     val m = Iceberg.writeManifest(spark, base, "m.avro", 1L, Seq(Iceberg.Entry(f, 1)))
-    // a v2 DELETE manifest in the list: skipping it would serve deleted rows
-    val dm = Iceberg.writeManifest(spark, base, "dm.avro", 1L,
-      Seq(Iceberg.Entry(f, 1, content = 1)))
+    // an EQUALITY delete file (content 2) in a delete manifest: applying
+    // it needs sequence ordering this reader does not track — refuse
+    val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
+      Seq(Iceberg.Entry(f, 1, content = 2)))
     val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
-    val mlDel = Iceberg.writeManifestList(spark, base, "snapD.avro", 2L, Seq(dm), content = 1)
+    val mlDel = Iceberg.writeManifestList(spark, base, "snapD.avro", 2L,
+      Seq(m, dm), contents = Seq(0, 1))
     Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml), (2L, 2L, mlDel)))
     val e1 = intercept[IllegalArgumentException](Iceberg.read(spark, base))
-    assert(e1.getMessage.contains("DELETE manifest"), e1.getMessage)
+    assert(e1.getMessage.contains("EQUALITY"), e1.getMessage)
     // the pre-delete snapshot still reads
     assert(idsOf(Iceberg.readSnapshot(spark, base, 1L)) == Set(1L))
-    // a delete DATA file inside a data manifest is refused too
+    // a delete-flagged file inside a DATA manifest is malformed metadata
     val base2 = freshDir()
     val g = dataFile(base2, "g.parquet", Seq(1L))
     val m2 = Iceberg.writeManifest(spark, base2, "m.avro", 1L,
@@ -140,6 +142,76 @@ class IcebergSpec extends SparkSpec {
     Iceberg.writeMetadata(spark, base2, 1, Seq((1L, 1L, ml2)))
     val e2 = intercept[IllegalArgumentException](Iceberg.read(spark, base2))
     assert(e2.getMessage.contains("delete file"), e2.getMessage)
+    // a data-flagged file inside a DELETE manifest likewise
+    val base3 = freshDir()
+    val h = dataFile(base3, "h.parquet", Seq(1L))
+    val m3a = Iceberg.writeManifest(spark, base3, "m.avro", 1L, Seq(Iceberg.Entry(h, 1)))
+    val m3b = Iceberg.writeManifest(spark, base3, "dm.avro", 1L, Seq(Iceberg.Entry(h, 1)))
+    val ml3 = Iceberg.writeManifestList(spark, base3, "snap.avro", 1L,
+      Seq(m3a, m3b), contents = Seq(0, 1))
+    Iceberg.writeMetadata(spark, base3, 1, Seq((1L, 1L, ml3)))
+    val e3 = intercept[IllegalArgumentException](Iceberg.read(spark, base3))
+    assert(e3.getMessage.contains("non-delete"), e3.getMessage)
+  }
+
+  /** Write a POSITION delete parquet (`file_path`, `pos`) as one file. */
+  private def positionDeleteFile(base: String, name: String,
+                                 rows: Seq[(String, Long)]): String = {
+    val tmp = new java.io.File(base, s".tmp_$name").toString
+    rows.toDF("file_path", "pos").coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val dst = new java.io.File(new java.io.File(base, "data"), name)
+    dst.getParentFile.mkdirs()
+    assert(part.renameTo(dst))
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
+    dst.toString
+  }
+
+  test("position deletes are APPLIED: per-file row coordinates, scheme-insensitive") {
+    // data file f1 = rows [10,20,30,40,50] (positions 0..4), f2 = [10,20]
+    // — deletes name (f1, pos 1) and (f1, pos 3) with a file:// -prefixed
+    // path spelling, while the manifest plans the bare path: the read
+    // must drop 20 and 40 from f1 ONLY (f2's identical values survive)
+    val base = freshDir()
+    val f1 = dataFile(base, "f1.parquet", Seq(10L, 20L, 30L, 40L, 50L))
+    val f2 = dataFile(base, "f2.parquet", Seq(10L, 20L))
+    val pd = positionDeleteFile(base, "pd.parquet",
+      Seq((s"file://$f1", 1L), (s"file://$f1", 3L)))
+    val m = Iceberg.writeManifest(spark, base, "m.avro", 1L,
+      Seq(Iceberg.Entry(f1, 1), Iceberg.Entry(f2, 1)))
+    val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
+      Seq(Iceberg.Entry(pd, 1, content = 1)))
+    val ml1 = Iceberg.writeManifestList(spark, base, "s1.avro", 1L, Seq(m))
+    val ml2 = Iceberg.writeManifestList(spark, base, "s2.avro", 2L,
+      Seq(m, dm), contents = Seq(0, 1))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml1), (2L, 2L, ml2)))
+    val got = Iceberg.read(spark, base).select("id").collect()
+      .map(_.getLong(0)).sorted.toSeq
+    assert(got == Seq(10L, 10L, 20L, 30L, 50L), got.mkString(", "))
+    // time travel to the pre-delete snapshot serves everything
+    assert(Iceberg.readSnapshot(spark, base, 1L).count() == 7L)
+    // MoR composes with pruning: predicate keeps both files, deletes
+    // still applied on the kept set
+    val base2 = freshDir()
+    val g1 = dataFileWithIds(base2, "g1.parquet", Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    val gpd = positionDeleteFile(base2, "gpd.parquet", Seq((g1, 0L)))
+    val gm = Iceberg.writeManifest(spark, base2, "m.avro", 1L, Seq(
+      Iceberg.Entry(g1, 1,
+        lowerBounds = Seq(2 -> Iceberg.encodeLong(10L)),
+        upperBounds = Seq(2 -> Iceberg.encodeLong(30L)))))
+    val gdm = Iceberg.writeManifest(spark, base2, "dm.avro", 1L,
+      Seq(Iceberg.Entry(gpd, 1, content = 1)))
+    val gml = Iceberg.writeManifestList(spark, base2, "snap.avro", 1L,
+      Seq(gm, gdm), contents = Seq(0, 1))
+    Iceberg.writeMetadata(spark, base2, 1, Seq((1L, 1L, gml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]")
+    val pruned = Iceberg.readPruned(spark, base2,
+        Seq(Iceberg.ColRange("v", 15L, 35L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    // position 0 (id 1) deleted; residual filter later trims v<15
+    assert(pruned == Set(2L, 3L), pruned.mkString(", "))
   }
 
   test("non-parquet data files are refused") {
