@@ -339,6 +339,18 @@ class PlanAuditSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("q236 MoR position deletes apply through a broadcast ANTI join") {
+    // the delete side is a tiny parquet at every shipped sf, so the
+    // planner's size stats must broadcast it — a shuffled anti join here
+    // would repartition the whole data read to drop a handful of rows;
+    // and the join must be LeftAnti (an inner/semi spelling would KEEP
+    // exactly the deleted rows)
+    val df = graft.SparkEntry.queries("q236_iceberg_mor_read")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q225 winnowing pairing caps hot fingerprints before the self-join") {
     // the anti-join against the hot-fingerprint tail must be IN the plan
     // (dropping it silently restores the quadratic C(k,2) fan-out on
