@@ -72,6 +72,7 @@ object IndexQueries {
   private val q228TablePat = scratchPat("q228_iceberg")
   private val q232TablePat = scratchPat("q232_iceberg_part")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
+  private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q198TablePat = scratchPat("q198_delta_w")
   private val q199AvroPat = scratchPat("q199_avro")
   private val q201TablePat = scratchPat("q201_table")
@@ -138,6 +139,7 @@ object IndexQueries {
     stageQ228IcebergTable(s, dir)
     stageQ232IcebergTable(s, dir)
     stageQ236IcebergMorTable(s, dir)
+    stageQ237IcebergEqDelTable(s, dir)
     stageQ170Part(s, dir)
     stageQ216Part(s, dir)
   }
@@ -420,6 +422,60 @@ object IndexQueries {
         Seq(m, dm), contents = Seq(0, 1))
       Iceberg.writeMetadata(s, base, version = 2,
         Seq((3001L, 1000L, ml1), (3002L, 2000L, ml2)), formatVersion = 2)
+    }
+    base
+  }
+
+  /** q237's fixture: an Iceberg v2 table with a committed EQUALITY
+    * delete and real SEQUENCE-NUMBER gating. Clicks split by parity —
+    * f1 (even ids) at data sequence 1, f2 (odd ids) at sequence 3; the
+    * equality delete at sequence 2 lists EVERY click id with
+    * event_id % 5 = 0, both parities. Correct v2 semantics delete only
+    * the STRICTLY-OLDER even rows (net: event_id % 10 = 0 gone); the odd
+    * % 5 rows postdate the delete and must survive — a reader ignoring
+    * sequence numbers kills them too, one ignoring the delete serves
+    * everything. Field-id-stamped parquet, metadata schema, list-row
+    * sequence numbers inherited by the entries. */
+  private[graft] def stageQ237IcebergEqDelTable(s: SparkSession, dir: String): String = {
+    val base = scratch(q237TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      import graft.sources.Iceberg
+      import org.apache.spark.sql.types._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val dataDir = new org.apache.hadoop.fs.Path(bp, "data")
+      fs.mkdirs(dataDir)
+      def idMeta(id: Long) =
+        new MetadataBuilder().putLong("parquet.field.id", id).build()
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val st = StructType(Seq(
+        StructField("event_id", LongType, nullable = true, idMeta(1)),
+        StructField("value_micros", LongType, nullable = true, idMeta(2))))
+      val c = s.createDataFrame(
+        t(s, dir, "events").where($"event_type" === "click")
+          .select($"event_id", round($"value" * 1e6).cast("long").as("value_micros")).rdd, st)
+      def writeF(df: DataFrame, name: String): String =
+        stageSingleFile(fs, bp, df, name, dataDir)
+      val f1 = writeF(c.where($"event_id" % 2 === 0), "f1.parquet")
+      val f2 = writeF(c.where($"event_id" % 2 =!= 0), "f2.parquet")
+      // the equality delete column must carry the schema name (and id —
+      // same conf) so the reader's by-name select resolves it
+      val edDf = s.createDataFrame(
+        c.where($"event_id" % 5 === 0).select($"event_id").rdd,
+        StructType(Seq(StructField("event_id", LongType, nullable = true, idMeta(1)))))
+      val ed = writeF(edDf, "ed.parquet")
+      val m1 = Iceberg.writeManifest(s, base, "m1.avro", 4001L, Seq(Iceberg.Entry(f1, 1)))
+      val m2 = Iceberg.writeManifest(s, base, "m2.avro", 4001L, Seq(Iceberg.Entry(f2, 1)))
+      val dm = Iceberg.writeManifest(s, base, "dm.avro", 4001L,
+        Seq(Iceberg.Entry(ed, 1, content = 2, equalityIds = Seq(1))))
+      val ml = Iceberg.writeManifestList(s, base, "snap-4001.avro", 4001L,
+        Seq(m1, m2, dm), contents = Seq(0, 0, 1), sequenceNumbers = Seq(1L, 3L, 2L))
+      Iceberg.writeMetadata(s, base, version = 1, Seq((4001L, 1000L, ml)),
+        formatVersion = 2,
+        schemaFieldsJson = "[" + Iceberg.fieldJson(1, "event_id", "long") + "," +
+          Iceberg.fieldJson(2, "value_micros", "long") + "]")
     }
     base
   }
@@ -1657,6 +1713,22 @@ object IndexQueries {
       }.reduce(_ unionAll _).orderBy($"snapshot_id")
     }),
 
+    // Iceberg v2 EQUALITY deletes with SEQUENCE-NUMBER gating: the
+    // delete (seq 2) lists every click id with event_id % 5 = 0, but
+    // only the even file (seq 1) predates it — the odd file (seq 3)
+    // postdates the delete and its % 5 rows must survive. Net effect:
+    // exactly the % 10 = 0 clicks disappear. A reader ignoring sequence
+    // numbers over-deletes the odd rows; one ignoring the delete
+    // manifest serves everything; one matching by position instead of
+    // equality breaks the checksums.
+    "q237_iceberg_equality_deletes" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ237IcebergEqDelTable(s, dir)
+      graft.sources.Iceberg.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+    }),
+
     // DATA-MIXTURE sampling — the corpus-composition step: per-source
     // mixture weights (here derived from the source name so the oracle
     // needs no side table) split a global token budget, and each source
@@ -2437,6 +2509,12 @@ object IndexQueries {
         |  CAST(sum(event_id) AS BIGINT), CAST(sum(value_micros) AS BIGINT)
         |FROM p WHERE event_id % 6 <> 0
         |ORDER BY snapshot_id""".stripMargin,
+    "q237_iceberg_equality_deletes" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events
+        |WHERE event_type = 'click' AND event_id % 10 <> 0""".stripMargin,
     "q196_snapshot_optimize" ->
       s"""WITH act AS (SELECT event_id FROM events
          |            WHERE event_type IN ('purchase', 'click'))

@@ -25,14 +25,18 @@ import scala.jdk.CollectionConverters._
   * spec-stable planning pass; writing the format correctly — commit
   * atomicity, sequence numbers, spec evolution — is Iceberg's job), and
   * the same loud feature gating: a table whose correct interpretation
-  * needs features this reader does not implement (EQUALITY deletes,
-  * format v3+) is REFUSED, never silently misread — skipping a delete
-  * manifest would serve deleted rows. POSITION deletes (the v2
-  * merge-on-read spelling) ARE applied: delete manifests' parquet files
-  * of `(file_path, pos)` rows anti-join the data read on Spark's own
-  * `_metadata.file_path`/`_metadata.row_index` — correct independent of
-  * commit sequence numbers, because a position delete names its target
-  * file explicitly and Iceberg never reuses data-file paths.
+  * needs features this reader does not implement (format v3+, malformed
+  * delete metadata, sequence-less equality deletes) is REFUSED, never
+  * silently misread — skipping a delete manifest would serve deleted
+  * rows. Both v2 merge-on-read delete spellings ARE applied: POSITION
+  * deletes' `(file_path, pos)` rows anti-join the data read on Spark's
+  * own `_metadata.file_path`/`_metadata.row_index` (correct independent
+  * of commit sequence numbers — a position delete names its target file
+  * explicitly and Iceberg never reuses data-file paths); EQUALITY
+  * deletes anti-join null-safely on their `equality_ids` columns, gated
+  * on the v2 sequence-number rule (data sequence STRICTLY below the
+  * delete's — inherited from the manifest-list row when entries carry
+  * none).
   *
   * Format subset honored (all public, spec v1/v2):
   *  - `metadata/version-hint.text` → `metadata/vN.metadata.json` (the
@@ -530,7 +534,7 @@ object Iceberg {
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     require(cur > 0, s"Iceberg table $table has no current snapshot")
     listLiveFiles(spark, table, manifestListOf(doc, table, cur), cur,
-      resolvePruning(doc, ranges)).data
+      resolvePruning(doc, ranges)).data.map(_._1)
   }
 
   /** Time travel: read the table AS OF `snapshotId`. */
@@ -575,10 +579,10 @@ object Iceberg {
     mlPath
   }
 
-  /** Internal columns the position-delete anti-join introduces on the
-    * data side; a table column with one of these names would be
-    * ambiguous in the join, so a MoR read refuses it. */
-  private val MorJoinColumns = Seq("__ice_fp", "__ice_pos")
+  /** Internal columns the merge-on-read joins introduce; a table column
+    * with one of these names would be ambiguous in the joins, so a MoR
+    * read refuses it. */
+  private val MorJoinColumns = Seq("__ice_fp", "__ice_pos", "__ice_seq", "__ice_dseq")
 
   /** Scheme-normalize a file path column for the position-delete match:
     * delete files record the path as the WRITER spelled it (often a bare
@@ -589,13 +593,17 @@ object Iceberg {
   private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
+  /** Driver-side twin of [[normPath]] for planned paths. */
+  private def normPathDriver(p: String): String =
+    p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
   private def readSnapshotDoc(spark: SparkSession, table: String,
                               doc: JsonNode, snapshotId: Long,
                               ranges: Seq[ColRange] = Nil): DataFrame = {
     val mlPath = manifestListOf(doc, table, snapshotId)
     val pruning = resolvePruning(doc, ranges)
     val planned = listLiveFiles(spark, table, mlPath, snapshotId, pruning)
-    val files = planned.data
+    val files = planned.data.map(_._1)
     val schemaFields = currentSchemaFields(doc)
     if (files.isEmpty && schemaFields.isDefined)
       // a predicate can legally prune EVERYTHING, and a fully-deleted
@@ -618,34 +626,96 @@ object Iceberg {
       case Some(fields) => readWithMetadataSchema(spark, fields, files)
       case None => spark.read.parquet(files: _*)
     }
-    if (planned.deletes.isEmpty) base
-    else {
-      // merge-on-read: anti-join the (file, position) pairs the delete
-      // files name. Spark's _metadata.row_index IS the 0-based row
-      // position within the parquet file — the exact coordinate the spec
-      // defines for position deletes. One distributed join keyed on
-      // (path, pos); AQE broadcasts the delete side when it is small,
-      // the common case (deletes are a fraction of the data)
-      val clash = base.columns.toSet.intersect(MorJoinColumns.toSet)
-      require(clash.isEmpty,
-        s"table column(s) ${clash.toSeq.sorted.mkString(", ")} collide " +
-          "with the position-delete join's internal names " +
-          s"(${MorJoinColumns.mkString(", ")}) — rename them or compact " +
-          "the deletes away first")
+    if (planned.deletes.isEmpty && planned.eqDeletes.isEmpty) return base
+    val clash = base.columns.toSet.intersect(MorJoinColumns.toSet)
+    require(clash.isEmpty,
+      s"table column(s) ${clash.toSeq.sorted.mkString(", ")} collide " +
+        "with the merge-on-read join's internal names " +
+        s"(${MorJoinColumns.mkString(", ")}) — rename them or compact " +
+        "the deletes away first")
+    var out = base
+    if (planned.deletes.nonEmpty) {
+      // POSITION deletes: anti-join the (file, position) pairs the
+      // delete files name. Spark's _metadata.row_index IS the 0-based
+      // row position within the parquet file — the exact coordinate the
+      // spec defines. One distributed join keyed on (path, pos); the
+      // planner broadcasts the delete side when small, the common case
       val del = spark.read.parquet(planned.deletes: _*)
         .select(normPath(col("file_path")).as("__ice_fp"),
           col("pos").cast("long").as("__ice_pos"))
-      base
+      out = out
         .withColumn("__ice_fp", normPath(col("_metadata.file_path")))
         .withColumn("__ice_pos", col("_metadata.row_index"))
-        .join(del, MorJoinColumns, "left_anti")
-        .drop(MorJoinColumns: _*)
+        .join(del, Seq("__ice_fp", "__ice_pos"), "left_anti")
+        .drop("__ice_fp", "__ice_pos")
     }
+    if (planned.eqDeletes.nonEmpty)
+      out = applyEqualityDeletes(spark, out, planned, schemaFields, table)
+    out
   }
 
-  /** One snapshot's pruned live plan: data files plus the POSITION
-    * delete files that must anti-join them. */
-  private[sources] case class PlannedFiles(data: Seq[String], deletes: Seq[String])
+  /** EQUALITY deletes (v2): a delete row removes every data row whose
+    * listed fields are all equal (null matches null — the spec's
+    * semantics, spelled `<=>`) AND whose data sequence number is
+    * STRICTLY LESS than the delete file's — rows committed with or
+    * after the delete survive. One anti-join per distinct equality-id
+    * set (delete files sharing a set are unioned, each tagged with its
+    * own sequence number); the per-file data sequence rides in on a
+    * broadcast (path, seq) frame — driver-planning-sized, same altitude
+    * as the manifest replay that produced it. A table that carries
+    * equality deletes but no sequence numbers anywhere is ambiguous and
+    * refused (applying unordered could delete rows the delete predates). */
+  private def applyEqualityDeletes(spark: SparkSession, base: DataFrame,
+                                   planned: PlannedFiles,
+                                   schemaFields: Option[Seq[IceField]],
+                                   table: String): DataFrame = {
+    val fields = schemaFields.getOrElse(throw new IllegalArgumentException(
+      s"table $table carries equality deletes but its metadata has no " +
+        "schema — the delete columns are named by FIELD ID and cannot be " +
+        "resolved; refusing"))
+    require(planned.data.exists(_._2 != 0L) || planned.eqDeletes.exists(_._2 != 0L),
+      s"table $table carries equality deletes but no sequence numbers " +
+        "anywhere in its metadata — whether each delete predates each " +
+        "data file is undefined; refusing rather than guessing an order")
+    val byId = fields.map(f => f.id -> f.name).toMap
+    val seqRows = planned.data.map { case (p, s) =>
+      org.apache.spark.sql.Row(normPathDriver(p), s)
+    }
+    val seqDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(seqRows, 1),
+      StructType(Seq(StructField("__ice_fp", StringType, nullable = false),
+        StructField("__ice_seq", LongType, nullable = false))))
+    var out = base
+      .withColumn("__ice_fp", normPath(col("_metadata.file_path")))
+      .join(org.apache.spark.sql.functions.broadcast(seqDf), Seq("__ice_fp"))
+    planned.eqDeletes.groupBy(_._3.sorted).foreach { case (ids, group) =>
+      val delCols = ids.map(id => byId.getOrElse(id,
+        throw new IllegalArgumentException(
+          s"equality delete references field id $id, absent from the " +
+            s"metadata schema (${fields.map(f => s"${f.id}:${f.name}").mkString(", ")})")))
+      val del = group.map { case (p, seq, _) =>
+        spark.read.parquet(p)
+          .select(delCols.map(col) :+
+            org.apache.spark.sql.functions.lit(seq).as("__ice_dseq"): _*)
+      }.reduce(_ unionAll _).alias("__ice_d")
+      val aliased = out.alias("__ice_t")
+      val cond = delCols.map(c =>
+          col(s"__ice_t.`$c`") <=> col(s"__ice_d.`$c`")).reduce(_ && _) &&
+        col("__ice_t.__ice_seq") < col("__ice_d.__ice_dseq")
+      out = aliased.join(del, cond, "left_anti")
+    }
+    out.drop("__ice_fp", "__ice_seq")
+  }
+
+  /** One snapshot's pruned live plan: data files (with their data
+    * sequence numbers — 0 on v1 tables, which have none), POSITION
+    * delete files, and EQUALITY delete files (path, sequence number,
+    * equality field ids). Sequence numbers follow the v2 inheritance
+    * rule: a null entry-level `sequence_number` inherits the
+    * manifest-list row's. */
+  private[sources] case class PlannedFiles(
+      data: Seq[(String, Long)], deletes: Seq[String],
+      eqDeletes: Seq[(String, Long, Seq[Int])])
 
   /** Replay one snapshot's manifest list → live file paths, with
     * optional planning-time pruning (summaries first, then per-entry
@@ -658,11 +728,21 @@ object Iceberg {
     * disjoint from the predicate can only affect rows the residual
     * filter drops anyway. The ManifestGuard cap counts PRUNED survivors
     * (data + delete files together). */
+  /** Long-typed Avro field (sequence numbers). */
+  private def longField(r: GenericRecord, name: String): Option[Long] =
+    if (r.getSchema.getField(name) == null) None
+    else Option(r.get(name)).map {
+      case l: java.lang.Long => l.longValue
+      case i: java.lang.Integer => i.longValue
+      case other => other.toString.toLong
+    }
+
   private def listLiveFiles(spark: SparkSession, table: String,
                             mlPath: String, snapshotId: Long,
                             pruning: Option[PruneCtx] = None): PlannedFiles = {
-    val data = mutable.ArrayBuffer.empty[String]
+    val data = mutable.ArrayBuffer.empty[(String, Long)]
     val dels = mutable.ArrayBuffer.empty[String]
+    val eqDels = mutable.ArrayBuffer.empty[(String, Long, Seq[Int])]
     readAvro(spark, resolve(table, mlPath)).foreach { m =>
       val mContent = intField(m, "content").getOrElse(0)
       require(mContent == 0 || mContent == 1,
@@ -673,6 +753,7 @@ object Iceberg {
         .getOrElse(throw new IllegalArgumentException(
           "manifest-list row lacks manifest_path"))
       val specId = intField(m, "partition_spec_id").getOrElse(0)
+      val mSeq = longField(m, "sequence_number")
       // manifest-list-level prune: a disjoint partition summary skips the
       // manifest WITHOUT opening its Avro
       if (!pruning.exists(manifestPruned(m, _))) {
@@ -689,26 +770,44 @@ object Iceberg {
               s"data manifest $path holds a delete file " +
                 s"(${df.get("file_path")}) — malformed metadata (delete " +
                 "files belong in delete manifests); refusing")
-          else {
-            require(fContent != 2,
-              s"manifest $path holds an EQUALITY delete file " +
-                s"(${df.get("file_path")}): equality deletes apply by " +
-                "commit sequence order, which this reader does not " +
-                "track — applying them unordered could delete wrong " +
-                "rows. Rewrite the table (rewrite_data_files / " +
-                "rewrite_position_delete_files) to fold them in first")
-            require(fContent == 1,
+          else
+            require(fContent == 1 || fContent == 2,
               s"delete manifest $path holds a non-delete file " +
                 s"(${df.get("file_path")}, content $fContent) — malformed " +
                 "metadata; refusing")
-          }
           val fmt = Option(df.get("file_format")).map(_.toString.toUpperCase).getOrElse("")
           require(fmt == "PARQUET",
             s"file ${df.get("file_path")} is $fmt; only PARQUET is read")
           if (status != 2 && !pruning.exists(filePruned(df, specId, _))) {
-            (if (mContent == 0) data else dels) +=
-              resolve(table, df.get("file_path").toString).toString
-            require(data.size + dels.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+            val p = resolve(table, df.get("file_path").toString).toString
+            // v2 sequence inheritance: a null entry sequence_number
+            // inherits the manifest-list row's; v1 (no sequence fields
+            // anywhere) reads as 0 everywhere — consistent, and the
+            // equality path separately refuses an all-defaulted table
+            val seq = longField(e, "sequence_number").orElse(mSeq).getOrElse(0L)
+            if (mContent == 0) data += ((p, seq))
+            else if (fContent == 1) dels += p
+            else {
+              val idsRaw =
+                if (df.getSchema.getField("equality_ids") == null) null
+                else df.get("equality_ids")
+              val ids = idsRaw match {
+                case null => Seq.empty[Int]
+                case a: java.util.Collection[_] => a.asScala.toSeq.map {
+                  case i: java.lang.Integer => i.intValue
+                  case l: java.lang.Long => l.intValue
+                  case other => other.toString.toInt
+                }
+                case other => throw new IllegalArgumentException(
+                  s"equality_ids has unexpected class ${other.getClass.getName}")
+              }
+              require(ids.nonEmpty,
+                s"equality delete file ${df.get("file_path")} names no " +
+                  "equality_ids — malformed metadata; refusing")
+              eqDels += ((p, seq, ids))
+            }
+            require(data.size + dels.size + eqDels.size <=
+                graft.operators.ManifestGuard.MaxPlannedFiles,
               s"snapshot $snapshotId lists more than " +
                 s"${graft.operators.ManifestGuard.MaxPlannedFiles} files — " +
                 "refusing the driver-side planning collect; prune by " +
@@ -717,7 +816,7 @@ object Iceberg {
         }
       }
     }
-    PlannedFiles(data.toSeq, dels.toSeq)
+    PlannedFiles(data.toSeq, dels.toSeq, eqDels.toSeq)
   }
 
   /** Iceberg metadata stores absolute URIs; tolerate table-relative paths
@@ -768,7 +867,9 @@ object Iceberg {
                    content: Int = 0, format: String = "PARQUET",
                    partition: Seq[(String, Any)] = Nil,
                    lowerBounds: Seq[(Int, Array[Byte])] = Nil,
-                   upperBounds: Seq[(Int, Array[Byte])] = Nil)
+                   upperBounds: Seq[(Int, Array[Byte])] = Nil,
+                   sequenceNumber: Option[Long] = None,
+                   equalityIds: Seq[Int] = Nil)
 
   /** Single-value serialization of the spec: little-endian fixed-width
     * numerics, raw UTF-8 strings — what real manifests store in
@@ -838,10 +939,19 @@ object Iceberg {
           Schema.create(Schema.Type.NULL), boundsArraySchema("k129_v130")))
         .withDefault(null)
     }
-    SchemaBuilder.record("manifest_entry").fields()
+    if (entries.exists(_.equalityIds.nonEmpty))
+      df = df.name("equality_ids").`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL),
+          Schema.createArray(Schema.create(Schema.Type.INT))))
+        .withDefault(null)
+    var eb = SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
       .requiredLong("snapshot_id")
-      .name("data_file").`type`(df.endRecord()).noDefault()
+    if (entries.exists(_.sequenceNumber.isDefined))
+      eb = eb.name("sequence_number").`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
+        .withDefault(null)
+    eb.name("data_file").`type`(df.endRecord()).noDefault()
       .endRecord()
   }
 
@@ -858,13 +968,16 @@ object Iceberg {
       .name("upper_bound").`type`(nullableBytes).withDefault(null)
       .endRecord()
 
-  private def manifestFileSchemaFor(withSummaries: Boolean): Schema = {
+  private def manifestFileSchemaFor(withSummaries: Boolean,
+                                    withSeq: Boolean = false): Schema = {
     var b = SchemaBuilder.record("manifest_file").fields()
       .requiredString("manifest_path")
       .requiredLong("manifest_length")
       .name("partition_spec_id").`type`().intType().intDefault(0)
       .name("content").`type`().intType().intDefault(0)
       .requiredLong("added_snapshot_id")
+    if (withSeq)
+      b = b.name("sequence_number").`type`().longType().longDefault(0L)
     if (withSummaries)
       b = b.name("partitions").`type`(Schema.createUnion(
           Schema.create(Schema.Type.NULL), Schema.createArray(summarySchema)))
@@ -926,9 +1039,19 @@ object Iceberg {
         }
       boundsArr("lower_bounds", e.lowerBounds)
       boundsArr("upper_bounds", e.upperBounds)
+      if (e.equalityIds.nonEmpty) {
+        val arrSchema = dfSchema.getField("equality_ids").schema()
+          .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get
+        val arr = new GenericData.Array[Integer](e.equalityIds.size, arrSchema)
+        e.equalityIds.foreach(i => arr.add(Int.box(i)))
+        df.put("equality_ids", arr)
+      }
       val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
       r.put("snapshot_id", snapshotId)
+      e.sequenceNumber.foreach(sq =>
+        if (entrySchema.getField("sequence_number") != null)
+          r.put("sequence_number", Long.box(sq)))
       r.put("data_file", df)
       r
     }
@@ -945,15 +1068,18 @@ object Iceberg {
                         content: Int = 0,
                         summaries: Seq[Seq[Summary]] = Nil,
                         specIds: Seq[Int] = Nil,
-                        contents: Seq[Int] = Nil): String = {
+                        contents: Seq[Int] = Nil,
+                        sequenceNumbers: Seq[Long] = Nil): String = {
     require(summaries.isEmpty || summaries.size == manifests.size,
       s"summaries (${summaries.size}) must run parallel to manifests (${manifests.size})")
     require(specIds.isEmpty || specIds.size == manifests.size,
       s"specIds (${specIds.size}) must run parallel to manifests (${manifests.size})")
     require(contents.isEmpty || contents.size == manifests.size,
       s"contents (${contents.size}) must run parallel to manifests (${manifests.size})")
+    require(sequenceNumbers.isEmpty || sequenceNumbers.size == manifests.size,
+      s"sequenceNumbers (${sequenceNumbers.size}) must run parallel to manifests (${manifests.size})")
     val p = new Path(new Path(table, "metadata"), name)
-    val schema = manifestFileSchemaFor(summaries.nonEmpty)
+    val schema = manifestFileSchemaFor(summaries.nonEmpty, sequenceNumbers.nonEmpty)
     val rows = manifests.zipWithIndex.map { case ((mp, len), i) =>
       val r = new GenericData.Record(schema)
       r.put("manifest_path", mp)
@@ -962,6 +1088,8 @@ object Iceberg {
       // per-row `contents` (a real snapshot lists data AND delete
       // manifests together) wins over the uniform `content` default
       r.put("content", if (contents.isEmpty) content else contents(i))
+      if (sequenceNumbers.nonEmpty)
+        r.put("sequence_number", Long.box(sequenceNumbers(i)))
       r.put("added_snapshot_id", snapshotId)
       if (summaries.nonEmpty) {
         val arrSchema = schema.getField("partitions").schema()

@@ -117,12 +117,13 @@ class IcebergSpec extends SparkSpec {
     assert(e.getMessage.contains("format-version"), e.getMessage)
   }
 
-  test("equality deletes and malformed delete placement are refused, not skipped") {
+  test("id-less equality deletes and malformed delete placement are refused, not skipped") {
     val base = freshDir()
     val f = dataFile(base, "f.parquet", Seq(1L))
     val m = Iceberg.writeManifest(spark, base, "m.avro", 1L, Seq(Iceberg.Entry(f, 1)))
-    // an EQUALITY delete file (content 2) in a delete manifest: applying
-    // it needs sequence ordering this reader does not track — refuse
+    // an equality delete file (content 2) naming NO equality_ids is
+    // malformed — there is no predicate to apply; skipping it would
+    // serve deleted rows, so it must refuse
     val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
       Seq(Iceberg.Entry(f, 1, content = 2)))
     val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
@@ -130,7 +131,7 @@ class IcebergSpec extends SparkSpec {
       Seq(m, dm), contents = Seq(0, 1))
     Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml), (2L, 2L, mlDel)))
     val e1 = intercept[IllegalArgumentException](Iceberg.read(spark, base))
-    assert(e1.getMessage.contains("EQUALITY"), e1.getMessage)
+    assert(e1.getMessage.contains("equality_ids"), e1.getMessage)
     // the pre-delete snapshot still reads
     assert(idsOf(Iceberg.readSnapshot(spark, base, 1L)) == Set(1L))
     // a delete-flagged file inside a DATA manifest is malformed metadata
@@ -540,6 +541,80 @@ class IcebergSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](
       Iceberg.planFiles(spark, base2, Seq(Iceberg.ColRange("v", "1", "2"))))
     assert(e3.getMessage.contains("endpoint"), e3.getMessage)
+  }
+
+  test("equality deletes apply null-safely to strictly-OLDER data only") {
+    // data f1 @ seq 1 = ids [1,2,3]; data f2 @ seq 3 = ids [2,4];
+    // equality delete @ seq 2 on field id 1 (current name `id`) listing
+    // ids {2,3}: f1's 2 and 3 predate the delete and die; f2's 2 was
+    // committed AFTER the delete and must survive — a reader ignoring
+    // sequence numbers deletes it too
+    val base = freshDir()
+    val f1 = dataFileWithIds(base, "f1.parquet", Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    val f2 = dataFileWithIds(base, "f2.parquet", Seq((2L, 21L), (4L, 40L)))
+    val tmp = new java.io.File(base, ".tmp_ed").toString
+    Seq(2L, 3L).toDF("id").coalesce(1).write.parquet(tmp)
+    val edPart = new java.io.File(tmp).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    val ed = new java.io.File(new java.io.File(base, "data"), "ed.parquet")
+    assert(edPart.renameTo(ed))
+    val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L, Seq(Iceberg.Entry(f1, 1)))
+    val m2 = Iceberg.writeManifest(spark, base, "m2.avro", 3L, Seq(Iceberg.Entry(f2, 1)))
+    val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
+      Seq(Iceberg.Entry(ed.toString, 1, content = 2, equalityIds = Seq(1))))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 3L,
+      Seq(m1, m2, dm), contents = Seq(0, 0, 1), sequenceNumbers = Seq(1L, 3L, 2L))
+    Iceberg.writeMetadata(spark, base, 1, Seq((3L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]")
+    val got = Iceberg.read(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 10L), (2L, 21L), (4L, 40L)), got.mkString(", "))
+    // an ENTRY-level explicit sequence number overrides the inherited
+    // one: re-list f2's manifest with a STALE list-row seq but entry seq
+    // 3 — result must not change
+    val m2b = Iceberg.writeManifest(spark, base, "m2b.avro", 3L,
+      Seq(Iceberg.Entry(f2, 1, sequenceNumber = Some(3L))))
+    val ml2 = Iceberg.writeManifestList(spark, base, "snap2.avro", 3L,
+      Seq(m1, m2b, dm), contents = Seq(0, 0, 1), sequenceNumbers = Seq(1L, 0L, 2L))
+    Iceberg.writeMetadata(spark, base, 2, Seq((3L, 1L, ml2)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]")
+    val got2 = Iceberg.read(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got2 == got, got2.mkString(", "))
+  }
+
+  test("equality deletes without sequence numbers, schema, or known ids are refused") {
+    def build(seq: Boolean, schema: Boolean, fieldId: Int): String = {
+      val base = freshDir()
+      val f1 = dataFileWithIds(base, "f1.parquet", Seq((1L, 10L)))
+      val tmp = new java.io.File(base, ".tmp_ed").toString
+      Seq(1L).toDF("id").coalesce(1).write.parquet(tmp)
+      val edPart = new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      val ed = new java.io.File(new java.io.File(base, "data"), "ed.parquet")
+      assert(edPart.renameTo(ed))
+      val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L, Seq(Iceberg.Entry(f1, 1)))
+      val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
+        Seq(Iceberg.Entry(ed.toString, 1, content = 2, equalityIds = Seq(fieldId))))
+      val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 2L,
+        Seq(m1, dm), contents = Seq(0, 1),
+        sequenceNumbers = if (seq) Seq(1L, 2L) else Nil)
+      Iceberg.writeMetadata(spark, base, 1, Seq((2L, 1L, ml)),
+        schemaFieldsJson = if (schema)
+          "[" + Iceberg.fieldJson(1, "id", "long") + "]" else "[]")
+      base
+    }
+    val e1 = intercept[IllegalArgumentException](
+      Iceberg.read(spark, build(seq = false, schema = true, fieldId = 1)))
+    assert(e1.getMessage.contains("sequence numbers"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.read(spark, build(seq = true, schema = false, fieldId = 1)))
+    assert(e2.getMessage.contains("no schema"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      Iceberg.read(spark, build(seq = true, schema = true, fieldId = 9)))
+    assert(e3.getMessage.contains("field id 9"), e3.getMessage)
   }
 
   test("a non-table directory is refused with a clear message") {
