@@ -45,20 +45,22 @@ import scala.jdk.CollectionConverters._
   *  - metadata.json: `format-version` (1 or 2 only), `snapshots[]` with
   *    `snapshot-id` / `timestamp-ms` / `manifest-list`,
   *    `current-snapshot-id`;
-  *  - manifest list (Avro): `manifest_path` per row; rows whose v2
-  *    `content` field marks a DELETE manifest (1) are refused;
+  *  - manifest list (Avro): `manifest_path` / `partition_spec_id` /
+  *    `sequence_number` per row; v2 `content` 1 rows are DELETE
+  *    manifests, replayed into the merge-on-read joins;
   *  - manifest (Avro): `status` (1 ADDED / 0 EXISTING live, 2 DELETED
-  *    dead) + `data_file.{file_path, file_format}`; only PARQUET data
-  *    files, and v2 `data_file.content != 0` (delete files) is refused.
+  *    dead), entry `sequence_number` (ADDED-only list-row inheritance)
+  *    + `data_file.{file_path, file_format, content, equality_ids}`;
+  *    only PARQUET files.
   *  A snapshot whose manifests net to ZERO live files (a fully-deleted
-  *  table, legal in Iceberg) is also refused with the limitation named:
-  *  the schema comes from parquet footers and an empty frame has none.
+  *  table, legal in Iceberg) types its empty frame from the metadata
+  *  schema, and is refused only when the metadata carries none (the
+  *  schema would have to come from a parquet footer that doesn't exist).
   *  Avro fields are looked up by NAME, so real Iceberg manifests — which
   *  carry many more fields than this reader consumes — read fine; the
-  *  consumed planning hints are entry `status`, `data_file.{file_path,
-  *  file_format,content}`, and (when pruning, see [[readPruned]]) the
-  *  `partition` struct, `lower_bounds`/`upper_bounds` stats, and the
-  *  manifest-list `partitions` summaries.
+  *  consumed planning hints are the fields above plus (when pruning, see
+  *  [[readPruned]]) the `partition` struct, `lower_bounds`/
+  *  `upper_bounds` stats, and the manifest-list `partitions` summaries.
   *
   * Schema: when metadata.json carries a non-empty current schema (the
   * `schemas[]`/`current-schema-id` v2 spelling or the v1 `schema`), the
@@ -633,7 +635,12 @@ object Iceberg {
         "with the merge-on-read join's internal names " +
         s"(${MorJoinColumns.mkString(", ")}) — rename them or compact " +
         "the deletes away first")
+    // attach the row coordinates ONCE on the scan itself — metadata
+    // columns do not reliably re-resolve through join/project outputs,
+    // so every downstream delete join reads these plain columns instead
     var out = base
+      .withColumn("__ice_fp", normPath(col("_metadata.file_path")))
+      .withColumn("__ice_pos", col("_metadata.row_index"))
     if (planned.deletes.nonEmpty) {
       // POSITION deletes: anti-join the (file, position) pairs the
       // delete files name. Spark's _metadata.row_index IS the 0-based
@@ -643,15 +650,11 @@ object Iceberg {
       val del = spark.read.parquet(planned.deletes: _*)
         .select(normPath(col("file_path")).as("__ice_fp"),
           col("pos").cast("long").as("__ice_pos"))
-      out = out
-        .withColumn("__ice_fp", normPath(col("_metadata.file_path")))
-        .withColumn("__ice_pos", col("_metadata.row_index"))
-        .join(del, Seq("__ice_fp", "__ice_pos"), "left_anti")
-        .drop("__ice_fp", "__ice_pos")
+      out = out.join(del, Seq("__ice_fp", "__ice_pos"), "left_anti")
     }
     if (planned.eqDeletes.nonEmpty)
       out = applyEqualityDeletes(spark, out, planned, schemaFields, table)
-    out
+    out.drop("__ice_fp", "__ice_pos")
   }
 
   /** EQUALITY deletes (v2): a delete row removes every data row whose
@@ -660,43 +663,60 @@ object Iceberg {
     * STRICTLY LESS than the delete file's — rows committed with or
     * after the delete survive. One anti-join per distinct equality-id
     * set (delete files sharing a set are unioned, each tagged with its
-    * own sequence number); the per-file data sequence rides in on a
-    * broadcast (path, seq) frame — driver-planning-sized, same altitude
-    * as the manifest replay that produced it. A table that carries
-    * equality deletes but no sequence numbers anywhere is ambiguous and
-    * refused (applying unordered could delete rows the delete predates). */
+    * own sequence number); delete columns resolve through the SAME
+    * field-id schema path as data files, so a rename never matches the
+    * wrong column. The per-file data sequence rides in on a broadcast
+    * (path, seq) frame keyed by the FileSystem-qualified path — the
+    * exact spelling Spark's `_metadata.file_path` reports — LEFT-joined
+    * with an executor-side `raise_error` on a miss, so a path-mapping
+    * drift fails loudly instead of silently dropping a file's rows.
+    * Refusals: no metadata schema (delete columns are named by field
+    * id), an unknown field id, or ANY participating file without a
+    * defined sequence number (ordering would be a guess). */
   private def applyEqualityDeletes(spark: SparkSession, base: DataFrame,
                                    planned: PlannedFiles,
                                    schemaFields: Option[Seq[IceField]],
                                    table: String): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, lit, raise_error, when}
     val fields = schemaFields.getOrElse(throw new IllegalArgumentException(
       s"table $table carries equality deletes but its metadata has no " +
         "schema — the delete columns are named by FIELD ID and cannot be " +
         "resolved; refusing"))
-    require(planned.data.exists(_._2 != 0L) || planned.eqDeletes.exists(_._2 != 0L),
-      s"table $table carries equality deletes but no sequence numbers " +
-        "anywhere in its metadata — whether each delete predates each " +
-        "data file is undefined; refusing rather than guessing an order")
-    val byId = fields.map(f => f.id -> f.name).toMap
+    def definedSeq(p: String, s: Option[Long]): Long = s.getOrElse(
+      throw new IllegalArgumentException(
+        s"table $table carries equality deletes, but $p has no sequence " +
+          "number (entry or inherited) — whether the delete predates it " +
+          "is undefined; refusing rather than guessing an order"))
+    val conf = spark.sessionState.newHadoopConf()
     val seqRows = planned.data.map { case (p, s) =>
-      org.apache.spark.sql.Row(normPathDriver(p), s)
+      val hp = new Path(p)
+      org.apache.spark.sql.Row(
+        normPathDriver(hp.getFileSystem(conf).makeQualified(hp).toString),
+        definedSeq(p, s))
     }
     val seqDf = spark.createDataFrame(
       spark.sparkContext.parallelize(seqRows, 1),
       StructType(Seq(StructField("__ice_fp", StringType, nullable = false),
         StructField("__ice_seq", LongType, nullable = false))))
     var out = base
-      .withColumn("__ice_fp", normPath(col("_metadata.file_path")))
-      .join(org.apache.spark.sql.functions.broadcast(seqDf), Seq("__ice_fp"))
+      .join(broadcast(seqDf), Seq("__ice_fp"), "left_outer")
+      .withColumn("__ice_seq", when(col("__ice_seq").isNotNull, col("__ice_seq"))
+        .otherwise(raise_error(org.apache.spark.sql.functions.concat(
+          lit("iceberg equality-delete read: data row's file "),
+          col("__ice_fp"),
+          lit(" is missing from the planned sequence map — path-mapping " +
+            "drift; refusing to serve rows whose delete ordering is unknown")))))
     planned.eqDeletes.groupBy(_._3.sorted).foreach { case (ids, group) =>
-      val delCols = ids.map(id => byId.getOrElse(id,
+      val delFields = ids.map(id => fields.find(_.id == id).getOrElse(
         throw new IllegalArgumentException(
           s"equality delete references field id $id, absent from the " +
             s"metadata schema (${fields.map(f => s"${f.id}:${f.name}").mkString(", ")})")))
+      val delCols = delFields.map(_.name)
       val del = group.map { case (p, seq, _) =>
-        spark.read.parquet(p)
-          .select(delCols.map(col) :+
-            org.apache.spark.sql.functions.lit(seq).as("__ice_dseq"): _*)
+        // same field-id resolution as the data read: an old delete file
+        // carrying pre-rename column names still matches by id
+        readWithMetadataSchema(spark, delFields, Seq(p))
+          .withColumn("__ice_dseq", lit(definedSeq(p, seq)))
       }.reduce(_ unionAll _).alias("__ice_d")
       val aliased = out.alias("__ice_t")
       val cond = delCols.map(c =>
@@ -704,30 +724,33 @@ object Iceberg {
         col("__ice_t.__ice_seq") < col("__ice_d.__ice_dseq")
       out = aliased.join(del, cond, "left_anti")
     }
-    out.drop("__ice_fp", "__ice_seq")
+    out.drop("__ice_seq")
   }
 
   /** One snapshot's pruned live plan: data files (with their data
-    * sequence numbers — 0 on v1 tables, which have none), POSITION
+    * sequence numbers — None where the metadata carries none, i.e. v1
+    * tables and EXISTING entries without an explicit number), POSITION
     * delete files, and EQUALITY delete files (path, sequence number,
     * equality field ids). Sequence numbers follow the v2 inheritance
     * rule: a null entry-level `sequence_number` inherits the
-    * manifest-list row's. */
+    * manifest-list row's for ADDED (status 1) entries ONLY — an
+    * EXISTING entry was carried forward by a rewrite, and inheriting
+    * the rewrite manifest's newer number would let its rows wrongly
+    * outlive older deletes. */
   private[sources] case class PlannedFiles(
-      data: Seq[(String, Long)], deletes: Seq[String],
-      eqDeletes: Seq[(String, Long, Seq[Int])])
+      data: Seq[(String, Option[Long])], deletes: Seq[String],
+      eqDeletes: Seq[(String, Option[Long], Seq[Int])])
 
   /** Replay one snapshot's manifest list → live file paths, with
     * optional planning-time pruning (summaries first, then per-entry
     * stats). Manifest-list rows with `content` 1 are DELETE manifests:
-    * their live entries must be POSITION delete files (`data_file.content`
-    * 1 — applied by the read), while EQUALITY delete files (2) are
-    * refused: applying them correctly needs commit sequence ordering
-    * this reader does not track. Summary/partition pruning applies to
-    * delete manifests too — sound, because a delete whose partition is
-    * disjoint from the predicate can only affect rows the residual
-    * filter drops anyway. The ManifestGuard cap counts PRUNED survivors
-    * (data + delete files together). */
+    * their live entries are POSITION delete files (`data_file.content`
+    * 1) or EQUALITY delete files (2) — both applied by the read (the
+    * readSnapshotDoc merge-on-read joins). Summary/partition pruning
+    * applies to delete manifests too — sound, because a delete whose
+    * partition is disjoint from the predicate can only affect rows the
+    * residual filter drops anyway. The ManifestGuard cap counts PRUNED
+    * survivors (data + delete files together). */
   /** Long-typed Avro field (sequence numbers). */
   private def longField(r: GenericRecord, name: String): Option[Long] =
     if (r.getSchema.getField(name) == null) None
@@ -740,9 +763,9 @@ object Iceberg {
   private def listLiveFiles(spark: SparkSession, table: String,
                             mlPath: String, snapshotId: Long,
                             pruning: Option[PruneCtx] = None): PlannedFiles = {
-    val data = mutable.ArrayBuffer.empty[(String, Long)]
+    val data = mutable.ArrayBuffer.empty[(String, Option[Long])]
     val dels = mutable.ArrayBuffer.empty[String]
-    val eqDels = mutable.ArrayBuffer.empty[(String, Long, Seq[Int])]
+    val eqDels = mutable.ArrayBuffer.empty[(String, Option[Long], Seq[Int])]
     readAvro(spark, resolve(table, mlPath)).foreach { m =>
       val mContent = intField(m, "content").getOrElse(0)
       require(mContent == 0 || mContent == 1,
@@ -780,11 +803,15 @@ object Iceberg {
             s"file ${df.get("file_path")} is $fmt; only PARQUET is read")
           if (status != 2 && !pruning.exists(filePruned(df, specId, _))) {
             val p = resolve(table, df.get("file_path").toString).toString
-            // v2 sequence inheritance: a null entry sequence_number
-            // inherits the manifest-list row's; v1 (no sequence fields
-            // anywhere) reads as 0 everywhere — consistent, and the
-            // equality path separately refuses an all-defaulted table
-            val seq = longField(e, "sequence_number").orElse(mSeq).getOrElse(0L)
+            // v2 sequence inheritance: ADDED (status 1) entries with a
+            // null sequence_number inherit the manifest-list row's;
+            // EXISTING entries must carry their own (a rewrite's newer
+            // list-row number would be WRONG for carried-forward files).
+            // None (v1, or an EXISTING entry without one) stays None —
+            // harmless for data-only tables, a loud per-file refusal if
+            // equality deletes need to order against it
+            val seq = longField(e, "sequence_number")
+              .orElse(if (status == 1) mSeq else None)
             if (mContent == 0) data += ((p, seq))
             else if (fContent == 1) dels += p
             else {

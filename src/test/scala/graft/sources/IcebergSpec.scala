@@ -14,10 +14,13 @@ class IcebergSpec extends SparkSpec {
   private def freshDir(): String =
     java.nio.file.Files.createTempDirectory("iceberg").toString
 
-  /** Write ids as ONE parquet file, returning its absolute path. */
-  private def dataFile(base: String, name: String, ids: Seq[Long]): String = {
+  /** Write `df` as ONE parquet file under `base`/data, returning its
+    * absolute path — the one staging dance every fixture file
+    * (data, id-stamped data, position/equality deletes) goes through. */
+  private def singleParquetFile(df: org.apache.spark.sql.DataFrame,
+                                base: String, name: String): String = {
     val tmp = new java.io.File(base, s".tmp_$name").toString
-    ids.toDF("id").coalesce(1).write.parquet(tmp)
+    df.coalesce(1).write.parquet(tmp)
     val part = new java.io.File(tmp).listFiles()
       .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
     val dst = new java.io.File(new java.io.File(base, "data"), name)
@@ -26,6 +29,10 @@ class IcebergSpec extends SparkSpec {
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
     dst.toString
   }
+
+  /** Write ids as ONE parquet file, returning its absolute path. */
+  private def dataFile(base: String, name: String, ids: Seq[Long]): String =
+    singleParquetFile(ids.toDF("id"), base, name)
 
   private def idsOf(df: org.apache.spark.sql.DataFrame): Set[Long] =
     df.select("id").collect().map(_.getLong(0)).toSet
@@ -157,17 +164,8 @@ class IcebergSpec extends SparkSpec {
 
   /** Write a POSITION delete parquet (`file_path`, `pos`) as one file. */
   private def positionDeleteFile(base: String, name: String,
-                                 rows: Seq[(String, Long)]): String = {
-    val tmp = new java.io.File(base, s".tmp_$name").toString
-    rows.toDF("file_path", "pos").coalesce(1).write.parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-    val dst = new java.io.File(new java.io.File(base, "data"), name)
-    dst.getParentFile.mkdirs()
-    assert(part.renameTo(dst))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    dst.toString
-  }
+                                 rows: Seq[(String, Long)]): String =
+    singleParquetFile(rows.toDF("file_path", "pos"), base, name)
 
   test("position deletes are APPLIED: per-file row coordinates, scheme-insensitive") {
     // data file f1 = rows [10,20,30,40,50] (positions 0..4), f2 = [10,20]
@@ -238,17 +236,10 @@ class IcebergSpec extends SparkSpec {
         new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
       StructField("old_b", LongType, nullable = true,
         new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
-    val df = spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1), st)
-    val tmp = new java.io.File(base, s".tmp_$name").toString
-    df.coalesce(1).write.parquet(tmp)
-    val part = new java.io.File(tmp).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-    val dst = new java.io.File(new java.io.File(base, "data"), name)
-    dst.getParentFile.mkdirs()
-    assert(part.renameTo(dst))
-    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
-    dst.toString
+    singleParquetFile(spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        rows.map(r => org.apache.spark.sql.Row(r._1, r._2)), 1), st),
+      base, name)
   }
 
   /** One-snapshot table over `file` with the given metadata schema. */
@@ -552,16 +543,11 @@ class IcebergSpec extends SparkSpec {
     val base = freshDir()
     val f1 = dataFileWithIds(base, "f1.parquet", Seq((1L, 10L), (2L, 20L), (3L, 30L)))
     val f2 = dataFileWithIds(base, "f2.parquet", Seq((2L, 21L), (4L, 40L)))
-    val tmp = new java.io.File(base, ".tmp_ed").toString
-    Seq(2L, 3L).toDF("id").coalesce(1).write.parquet(tmp)
-    val edPart = new java.io.File(tmp).listFiles()
-      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-    val ed = new java.io.File(new java.io.File(base, "data"), "ed.parquet")
-    assert(edPart.renameTo(ed))
+    val ed = singleParquetFile(Seq(2L, 3L).toDF("id"), base, "ed.parquet")
     val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L, Seq(Iceberg.Entry(f1, 1)))
     val m2 = Iceberg.writeManifest(spark, base, "m2.avro", 3L, Seq(Iceberg.Entry(f2, 1)))
     val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
-      Seq(Iceberg.Entry(ed.toString, 1, content = 2, equalityIds = Seq(1))))
+      Seq(Iceberg.Entry(ed, 1, content = 2, equalityIds = Seq(1))))
     val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 3L,
       Seq(m1, m2, dm), contents = Seq(0, 0, 1), sequenceNumbers = Seq(1L, 3L, 2L))
     Iceberg.writeMetadata(spark, base, 1, Seq((3L, 1L, ml)),
@@ -585,19 +571,60 @@ class IcebergSpec extends SparkSpec {
     assert(got2 == got, got2.mkString(", "))
   }
 
+  test("equality delete files resolve by FIELD ID too — a rename never matches the wrong column") {
+    // the delete file predates a rename: its footer says old_a (field id
+    // 1), the current schema names field 1 `id`. A by-name delete read
+    // would throw (no column `id` in the delete footer) — or, on a swap
+    // rename, silently delete by the WRONG column's values
+    import org.apache.spark.sql.types._
+    val base = freshDir()
+    val f1 = dataFileWithIds(base, "f1.parquet", Seq((1L, 10L), (2L, 20L)))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val edSt = StructType(Seq(StructField("old_a", LongType, nullable = true,
+      new MetadataBuilder().putLong("parquet.field.id", 1L).build())))
+    val ed = singleParquetFile(spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row(2L)), 1), edSt),
+      base, "ed.parquet")
+    val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L, Seq(Iceberg.Entry(f1, 1)))
+    val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
+      Seq(Iceberg.Entry(ed, 1, content = 2, equalityIds = Seq(1))))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 2L,
+      Seq(m1, dm), contents = Seq(0, 1), sequenceNumbers = Seq(1L, 2L))
+    Iceberg.writeMetadata(spark, base, 1, Seq((2L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]")
+    assert(idsOf(Iceberg.read(spark, base)) == Set(1L))
+  }
+
+  test("position and equality deletes COMPOSE on one table") {
+    // real v2 tables with row-level DML carry both kinds; the metadata
+    // row coordinates are attached once on the scan, so the equality
+    // join must still see them after the position anti-join's output
+    val base = freshDir()
+    val f1 = dataFileWithIds(base, "f1.parquet", Seq((1L, 10L), (2L, 20L), (3L, 30L)))
+    val pd = positionDeleteFile(base, "pd.parquet", Seq((f1, 0L)))  // kills id 1
+    val ed = singleParquetFile(Seq(2L).toDF("id"), base, "ed.parquet") // kills id 2
+    val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L, Seq(Iceberg.Entry(f1, 1)))
+    val pm = Iceberg.writeManifest(spark, base, "pm.avro", 2L,
+      Seq(Iceberg.Entry(pd, 1, content = 1)))
+    val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
+      Seq(Iceberg.Entry(ed, 1, content = 2, equalityIds = Seq(1))))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 2L,
+      Seq(m1, pm, dm), contents = Seq(0, 1, 1), sequenceNumbers = Seq(1L, 2L, 2L))
+    Iceberg.writeMetadata(spark, base, 1, Seq((2L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]")
+    assert(idsOf(Iceberg.read(spark, base)) == Set(3L))
+  }
+
   test("equality deletes without sequence numbers, schema, or known ids are refused") {
     def build(seq: Boolean, schema: Boolean, fieldId: Int): String = {
       val base = freshDir()
       val f1 = dataFileWithIds(base, "f1.parquet", Seq((1L, 10L)))
-      val tmp = new java.io.File(base, ".tmp_ed").toString
-      Seq(1L).toDF("id").coalesce(1).write.parquet(tmp)
-      val edPart = new java.io.File(tmp).listFiles()
-        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
-      val ed = new java.io.File(new java.io.File(base, "data"), "ed.parquet")
-      assert(edPart.renameTo(ed))
+      val ed = singleParquetFile(Seq(1L).toDF("id"), base, "ed.parquet")
       val m1 = Iceberg.writeManifest(spark, base, "m1.avro", 1L, Seq(Iceberg.Entry(f1, 1)))
       val dm = Iceberg.writeManifest(spark, base, "dm.avro", 2L,
-        Seq(Iceberg.Entry(ed.toString, 1, content = 2, equalityIds = Seq(fieldId))))
+        Seq(Iceberg.Entry(ed, 1, content = 2, equalityIds = Seq(fieldId))))
       val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 2L,
         Seq(m1, dm), contents = Seq(0, 1),
         sequenceNumbers = if (seq) Seq(1L, 2L) else Nil)
@@ -608,7 +635,10 @@ class IcebergSpec extends SparkSpec {
     }
     val e1 = intercept[IllegalArgumentException](
       Iceberg.read(spark, build(seq = false, schema = true, fieldId = 1)))
-    assert(e1.getMessage.contains("sequence numbers"), e1.getMessage)
+    // the refusal is PER-FILE (names the sequence-less file), not a vague
+    // table-level complaint
+    assert(e1.getMessage.contains("no sequence number") &&
+      e1.getMessage.contains("f1.parquet"), e1.getMessage)
     val e2 = intercept[IllegalArgumentException](
       Iceberg.read(spark, build(seq = true, schema = false, fieldId = 1)))
     assert(e2.getMessage.contains("no schema"), e2.getMessage)
