@@ -73,6 +73,7 @@ object IndexQueries {
   private val q232TablePat = scratchPat("q232_iceberg_part")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
+  private val q238TablePat = scratchPat("q238_delta_mapped")
   private val q198TablePat = scratchPat("q198_delta_w")
   private val q199AvroPat = scratchPat("q199_avro")
   private val q201TablePat = scratchPat("q201_table")
@@ -140,6 +141,7 @@ object IndexQueries {
     stageQ232IcebergTable(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
+    stageQ238DeltaMappedTable(s, dir)
     stageQ170Part(s, dir)
     stageQ216Part(s, dir)
   }
@@ -476,6 +478,55 @@ object IndexQueries {
         formatVersion = 2,
         schemaFieldsJson = "[" + Iceberg.fieldJson(1, "event_id", "long") + "," +
           Iceberg.fieldJson(2, "value_micros", "long") + "]")
+    }
+    base
+  }
+
+  /** q238's fixture: a COLUMN-MAPPED Delta table (mode `name`) — the
+    * layout every ALTER TABLE RENAME COLUMN on modern Delta produces:
+    * parquet footers hold physical `col-<tag>` names, the logical
+    * schema + per-field `delta.columnMapping.physicalName`/`id` live in
+    * the metaData's schemaString. Two physical files of signup events;
+    * the logical order CROSSES the physical one (value_micros first), so
+    * a footer-order reader or one serving physical names breaks the
+    * checksums or the column set. */
+  private[graft] def stageQ238DeltaMappedTable(s: SparkSession, dir: String): String = {
+    val base = scratch(q238TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      import org.apache.spark.sql.types._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val su = t(s, dir, "events").where($"event_type" === "signup")
+        .select($"event_id".as("col-eid"),
+          round($"value" * 1e6).cast("long").as("col-vm"))
+      def writeF(df: DataFrame, name: String): String =
+        stageSingleFile(fs, bp, df, name, bp)
+      val f1 = writeF(su.where($"col-eid" % 2 === 0), "f1.parquet")
+      val f2 = writeF(su.where($"col-eid" % 2 =!= 0), "f2.parquet")
+      val schemaString = StructType(Seq(
+        StructField("value_micros", LongType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-vm")
+            .putLong("delta.columnMapping.id", 2L).build()),
+        StructField("event_id", LongType, nullable = true,
+          new MetadataBuilder()
+            .putString("delta.columnMapping.physicalName", "col-eid")
+            .putLong("delta.columnMapping.id", 1L).build()))).json
+      val esc = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(schemaString)
+      def addLine(p: String) =
+        s"""{"add":{"path":"${new org.apache.hadoop.fs.Path(p).getName}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      val log = new org.apache.hadoop.fs.Path(bp, "_delta_log")
+      fs.mkdirs(log)
+      val out = fs.create(new org.apache.hadoop.fs.Path(log, f"${0L}%020d.json"), true)
+      try out.write((Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"q238","format":{"provider":"parquet","options":{}},"schemaString":$esc,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+        addLine(f1), addLine(f2)).mkString("", "\n", "\n"))
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
     }
     base
   }
@@ -1729,6 +1780,20 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // Delta COLUMN MAPPING (mode name) — the ALTER TABLE RENAME COLUMN
+    // layout: physical col-<tag> footers served under the metaData
+    // schemaString's LOGICAL names via delta.columnMapping.physicalName.
+    // The logical order crosses the physical one, so footer-order or
+    // physical-name reads break; the oracle replays the slices straight
+    // from events under the logical names.
+    "q238_delta_column_mapping" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ238DeltaMappedTable(s, dir)
+      graft.sources.DeltaLogReader.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+    }),
+
     // DATA-MIXTURE sampling — the corpus-composition step: per-source
     // mixture weights (here derived from the source name so the oracle
     // needs no side table) split a global token budget, and each source
@@ -2515,6 +2580,12 @@ object IndexQueries {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
         |FROM events
         |WHERE event_type = 'click' AND event_id % 10 <> 0""".stripMargin,
+    "q238_delta_column_mapping" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events
+        |WHERE event_type = 'signup'""".stripMargin,
     "q196_snapshot_optimize" ->
       s"""WITH act AS (SELECT event_id FROM events
          |            WHERE event_type IN ('purchase', 'click'))

@@ -132,22 +132,25 @@ object DeltaLogReader {
   }
 
   /** Refuse metaData states whose correct reading this interpreter cannot
-    * honor: an active column-mapping mode means the parquet footers hold
-    * PHYSICAL column names (col-<uuid>) the logical schema maps over —
-    * footer-schema reads would surface gibberish names; a non-parquet
-    * format provider means the data files are not parquet at all. */
+    * honor: an unknown column-mapping mode (only `none`, `name`, `id`
+    * have defined read semantics — `name`/`id` ARE read, see
+    * [[readMapped]]); a non-parquet format provider means the data files
+    * are not parquet at all. */
   private def checkMetaData(node: JsonNode, where: String): Unit = {
-    val mode = Option(node.get("configuration"))
-      .flatMap(c => Option(c.get("delta.columnMapping.mode")))
-      .map(_.asText()).getOrElse("none")
-    require(mode == "none",
-      s"Delta table ($where) uses column mapping mode '$mode' — the parquet " +
-        "footers hold physical names this interpreter cannot map back; refusing")
+    val mode = mappingMode(node)
+    require(mode == "none" || mode == "name" || mode == "id",
+      s"Delta table ($where) uses unknown column mapping mode '$mode' — " +
+        "refusing a guess at how the footers map to the logical schema")
     val provider = Option(node.get("format"))
       .flatMap(f => Option(f.get("provider"))).map(_.asText())
     require(provider.forall(_.equalsIgnoreCase("parquet")),
       s"Delta table ($where) stores data as '${provider.get}', not parquet")
   }
+
+  private def mappingMode(meta: JsonNode): String =
+    Option(meta.get("configuration"))
+      .flatMap(c => Option(c.get("delta.columnMapping.mode")))
+      .map(_.asText()).getOrElse("none")
 
   /** Percent-decode a URI path component. NOT `URLDecoder.decode` alone:
     * that does form-decoding where '+' means space, but in a
@@ -175,7 +178,15 @@ object DeltaLogReader {
   /** The table's active file set as of `asOf` (default: latest commit):
     * checkpoint base (when one applies) + ordered JSON replay. */
   def activeFiles(spark: SparkSession, path: String,
-                  asOf: Option[Long] = None): Seq[String] = {
+                  asOf: Option[Long] = None): Seq[String] =
+    replayState(spark, path, asOf)._1
+
+  /** [[activeFiles]] plus the LAST `metaData` action seen in replay
+    * order (checkpoint state first, then commits — later wins, the
+    * protocol's metadata-evolution rule), which [[read]] needs to honor
+    * an active column-mapping mode. */
+  private def replayState(spark: SparkSession, path: String,
+                          asOf: Option[Long]): (Seq[String], Option[JsonNode]) = {
     val vs = versions(spark, path)
     val ckpt = lastCheckpoint(spark, path, asOf)
     require(vs.nonEmpty || ckpt.nonEmpty,
@@ -193,6 +204,7 @@ object DeltaLogReader {
         "checkpoint — the truncated history cannot be replayed; refusing")
 
     val active = mutable.LinkedHashSet.empty[String]
+    var lastMeta: Option[JsonNode] = None
     ckpt.foreach { cv =>
       // checkpoint at cv: single-part (%020d.checkpoint.parquet) or
       // multi-part (%020d.checkpoint.%010d.%010d.parquet) — the protocol's
@@ -221,7 +233,11 @@ object DeltaLogReader {
         ckDf.where(org.apache.spark.sql.functions.col("metaData").isNotNull)
           .select(org.apache.spark.sql.functions.to_json(
             org.apache.spark.sql.functions.col("metaData"))).collect()
-          .foreach(r => checkMetaData(mapper.readTree(r.getString(0)), where))
+          .foreach { r =>
+            val node = mapper.readTree(r.getString(0))
+            checkMetaData(node, where)
+            lastMeta = Some(node)
+          }
       val addHasDv = top.contains("add") &&
         ckDf.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
           .fieldNames.contains("deletionVector")
@@ -266,8 +282,10 @@ object DeltaLogReader {
           active -= decodePath(path, node.get("remove").get("path").asText())
         else if (node.has("protocol"))
           checkProtocol(node.get("protocol"), s"commit v$v at $path")
-        else if (node.has("metaData"))
+        else if (node.has("metaData")) {
           checkMetaData(node.get("metaData"), s"commit v$v at $path")
+          lastMeta = Some(node.get("metaData"))
+        }
         // commitInfo / txn: audit metadata with no read-path semantics
       }
     }
@@ -275,17 +293,92 @@ object DeltaLogReader {
     require(out.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
       s"Delta table at $path resolves to ${out.size} active files — past the " +
         "planning cap; compact or partition-prune first")
-    out
+    (out, lastMeta)
   }
 
   /** Read the table (optionally AS OF a pinned log version). Empty active
     * set → empty frame; schema then comes from any logged file's footer if
     * one exists, else this fails loudly (a table that never had data files
-    * has no schema source without metaData interpretation). */
+    * has no schema source without metaData interpretation). A table whose
+    * metaData activates COLUMN MAPPING is read through [[readMapped]]:
+    * logical names from the schemaString, resolved against the physical
+    * footers by `delta.columnMapping.physicalName` (name mode) or
+    * `delta.columnMapping.id` via parquet field ids (id mode). */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
-    val files = activeFiles(spark, path, asOf)
+    val (files, meta) = replayState(spark, path, asOf)
     require(files.nonEmpty,
       s"Delta table at $path has no active files as of ${asOf.getOrElse("latest")}")
-    spark.read.option("basePath", path).parquet(files: _*)
+    meta.map(mappingMode).filter(_ != "none") match {
+      case Some(mode) => readMapped(spark, path, files, meta.get, mode)
+      case None => spark.read.option("basePath", path).parquet(files: _*)
+    }
+  }
+
+  /** COLUMN-MAPPED read (delta.columnMapping.mode `name` or `id`): the
+    * parquet footers hold PHYSICAL names (`col-<uuid>`); the logical
+    * schema lives in metaData's `schemaString`, each field tagged with
+    * `delta.columnMapping.physicalName` + `delta.columnMapping.id`.
+    * Name mode reads under the physical names and projects back to the
+    * logical ones; id mode reuses the Iceberg reader's mechanism —
+    * Spark's `parquet.field.id` resolution with the delta field id.
+    * Refused with the limitation named: a partitioned mapped table (its
+    * partition values live in `add.partitionValues`, which this reader
+    * does not reconstruct into columns), nested logical columns, a field
+    * missing its mapping metadata, or an unparseable schemaString —
+    * serving physical `col-<uuid>` names instead would be a wrong
+    * answer, not a degraded one. */
+  private def readMapped(spark: SparkSession, tableRoot: String,
+                         files: Seq[String], meta: JsonNode,
+                         mode: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.col
+    require(Option(meta.get("partitionColumns")).forall(_.size() == 0),
+      s"Delta table at $tableRoot combines column mapping with partition " +
+        "columns — their values live in add.partitionValues, which this " +
+        "interpreter does not reconstruct; refusing")
+    val schemaStr = Option(meta.get("schemaString")).map(_.asText()).getOrElse(
+      throw new IllegalArgumentException(
+        s"Delta table at $tableRoot uses column mapping mode '$mode' but " +
+          "its metaData carries no schemaString — nothing maps the " +
+          "physical footers back to logical names; refusing"))
+    val logical =
+      try DataType.fromJson(schemaStr).asInstanceOf[StructType]
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"Delta table at $tableRoot: column mapping mode '$mode' needs the " +
+          s"metaData schemaString, which failed to parse (${e.getMessage})", e) }
+    logical.fields.foreach { f =>
+      require(f.dataType match {
+        case _: StructType | _: ArrayType | _: MapType => false
+        case _ => true
+      }, s"Delta table at $tableRoot: nested logical column '${f.name}' " +
+        "under column mapping is not interpreted — refusing")
+    }
+    mode match {
+      case "name" =>
+        val pairs = logical.fields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.physicalName"),
+            s"Delta table at $tableRoot: column '${f.name}' lacks " +
+              "delta.columnMapping.physicalName in name mode — refusing")
+          (f.name, f.metadata.getString("delta.columnMapping.physicalName"), f.dataType)
+        }
+        spark.read
+          .schema(StructType(pairs.map(p => StructField(p._2, p._3, nullable = true))))
+          .parquet(files: _*)
+          .select(pairs.map(p => col(s"`${p._2}`").as(p._1)): _*)
+      case "id" =>
+        val st = StructType(logical.fields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.id"),
+            s"Delta table at $tableRoot: column '${f.name}' lacks " +
+              "delta.columnMapping.id in id mode — refusing")
+          StructField(f.name, f.dataType, nullable = true,
+            new MetadataBuilder()
+              .putLong("parquet.field.id", f.metadata.getLong("delta.columnMapping.id"))
+              .build())
+        })
+        // same session-scoped switch as the Iceberg field-id path — only
+        // schemas CARRYING parquet.field.id metadata change behavior
+        spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+        spark.read.schema(st).parquet(files: _*)
+    }
   }
 }

@@ -209,7 +209,10 @@ class DeltaLogReaderSpec extends SparkSpec {
     assert(e.getMessage.contains("v2Checkpoint"))
   }
 
-  test("an active column-mapping mode refuses the read") {
+  test("column mapping with an unusable schemaString refuses the read") {
+    // mapping is SUPPORTED (tests below) — but only through the metaData
+    // schemaString; one that does not parse leaves the physical footers
+    // unmappable, and serving col-<uuid> names would be a wrong answer
     val base = freshDir()
     dataFile(base, "a.parquet", Seq(1L).toDF("id"))
     writeCommit(base, 0L, Seq(
@@ -222,6 +225,102 @@ class DeltaLogReaderSpec extends SparkSpec {
       graft.Tables.deltaTable(spark, base)
     }
     assert(e.getMessage.contains("column mapping"))
+  }
+
+  /** schemaString for two mapped long columns: logical names paired with
+    * (physicalName, field id) — the spelling real Delta writers emit. */
+  private def mappedSchemaString(cols: Seq[(String, String, Long)]): String = {
+    import org.apache.spark.sql.types._
+    StructType(cols.map { case (logical, phys, id) =>
+      StructField(logical, LongType, nullable = true,
+        new MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", phys)
+          .putLong("delta.columnMapping.id", id).build())
+    }).json
+  }
+
+  private def mappedMeta(mode: String, schemaString: String,
+                         partitionCols: String = "[]"): String =
+    s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${com.fasterxml.jackson.databind.json.JsonMapper.builder()
+        .build().writeValueAsString(schemaString)},"partitionColumns":$partitionCols,""" +
+      s""""configuration":{"delta.columnMapping.mode":"$mode"},"createdTime":0}}"""
+
+  test("name-mode column mapping serves LOGICAL names over physical footers") {
+    // footer columns are col-aa/col-bb; the logical schema CROSSES them
+    // (amount -> col-bb, id -> col-aa): correct values under each logical
+    // name prove the mapping is honored, not footer order or names
+    val base = freshDir()
+    dataFile(base, "a.parquet",
+      Seq((1L, 10L), (2L, 20L)).toDF("col-aa", "col-bb"))
+    writeCommit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      mappedMeta("name", mappedSchemaString(
+        Seq(("amount", "col-bb", 2L), ("id", "col-aa", 1L)))),
+      add("a.parquet")))
+    val df = graft.Tables.deltaTable(spark, base)
+    assert(df.columns.toSeq == Seq("amount", "id"))
+    val got = df.orderBy("id").collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+    assert(got == Seq((1L, 10L), (2L, 20L)), got.mkString(", "))
+  }
+
+  test("id-mode column mapping resolves by parquet FIELD ID") {
+    import org.apache.spark.sql.types._
+    val base = freshDir()
+    // physical file: field-id-stamped columns (what a real id-mode writer
+    // produces) under physical names unrelated to the logical ones
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    val st = StructType(Seq(
+      StructField("col-x", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 1L).build()),
+      StructField("col-y", LongType, nullable = true,
+        new MetadataBuilder().putLong("parquet.field.id", 2L).build())))
+    dataFile(base, "a.parquet", spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        Seq(org.apache.spark.sql.Row(1L, 10L), org.apache.spark.sql.Row(2L, 20L)), 1), st))
+    writeCommit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      mappedMeta("id", mappedSchemaString(
+        Seq(("v", "col-y", 2L), ("id", "col-x", 1L)))),
+      add("a.parquet")))
+    val df = graft.Tables.deltaTable(spark, base)
+    assert(df.columns.toSeq == Seq("v", "id"))
+    assert(df.orderBy("id").collect().map(r => (r.getLong(1), r.getLong(0))).toSeq ==
+      Seq((1L, 10L), (2L, 20L)))
+  }
+
+  test("a later commit's metaData wins: renames are served under the NEW name") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq((1L, 10L)).toDF("col-aa", "col-bb"))
+    writeCommit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      mappedMeta("name", mappedSchemaString(
+        Seq(("id", "col-aa", 1L), ("amount", "col-bb", 2L)))),
+      add("a.parquet")))
+    // v1 renames amount -> total (same physical column — the whole point
+    // of column mapping: no data rewrite)
+    writeCommit(base, 1L, Seq(
+      mappedMeta("name", mappedSchemaString(
+        Seq(("id", "col-aa", 1L), ("total", "col-bb", 2L))))))
+    assert(graft.Tables.deltaTable(spark, base).columns.toSeq == Seq("id", "total"))
+    // AS OF v0 still serves the old name
+    assert(graft.Tables.deltaTable(spark, base, asOf = Some(0L))
+      .columns.toSeq == Seq("id", "amount"))
+  }
+
+  test("column mapping plus partition columns refuses with the limitation named") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq((1L, 10L)).toDF("col-aa", "col-bb"))
+    writeCommit(base, 0L, Seq(
+      """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+      mappedMeta("name", mappedSchemaString(
+        Seq(("id", "col-aa", 1L), ("amount", "col-bb", 2L))),
+        partitionCols = """["amount"]"""),
+      add("a.parquet")))
+    val e = intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base)
+    }
+    assert(e.getMessage.contains("partitionValues"), e.getMessage)
   }
 
   test("protocol/metaData compacted into a checkpoint are gated too") {
