@@ -543,6 +543,13 @@ object Iceberg {
   def readSnapshot(spark: SparkSession, table: String, snapshotId: Long): DataFrame =
     readSnapshotDoc(spark, table, metadata(spark, table), snapshotId)
 
+  /** [[readSnapshot]] with [[readPruned]]'s planning-time pruning — time
+    * travel and pruning compose (the snapshot picks WHICH manifest list
+    * replays; the predicates prune WITHIN it). */
+  def readSnapshotPruned(spark: SparkSession, table: String, snapshotId: Long,
+                         ranges: Seq[ColRange]): DataFrame =
+    readSnapshotDoc(spark, table, metadata(spark, table), snapshotId, ranges)
+
   /** Time travel by TIMESTAMP: read the latest snapshot whose
     * `timestamp-ms` is <= `tsMillis` — Iceberg's own `FOR SYSTEM_TIME AS
     * OF` selection rule, the twin of the Delta reader's AS-OF (q194). A

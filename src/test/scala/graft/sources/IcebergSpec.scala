@@ -211,6 +211,11 @@ class IcebergSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSet
     // position 0 (id 1) deleted; residual filter later trims v<15
     assert(pruned == Set(2L, 3L), pruned.mkString(", "))
+    // time travel + pruning compose through the same path
+    val snapPruned = Iceberg.readSnapshotPruned(spark, base2, 1L,
+        Seq(Iceberg.ColRange("v", 15L, 35L)))
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(snapPruned == pruned, snapPruned.mkString(", "))
   }
 
   test("non-parquet data files are refused") {
