@@ -74,6 +74,8 @@ object IndexQueries {
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
+  private val q239TablePat = scratchPat("q239_delta_dv")
+  private val q240TablePat = scratchPat("q240_delta_dvdel")
   private val q198TablePat = scratchPat("q198_delta_w")
   private val q199AvroPat = scratchPat("q199_avro")
   private val q201TablePat = scratchPat("q201_table")
@@ -527,6 +529,113 @@ object IndexQueries {
         addLine(f1), addLine(f2)).mkString("", "\n", "\n"))
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+    }
+    base
+  }
+
+  /** q239's fixture: a REAL Delta table whose latest state attaches
+    * DELETION VECTORS to both data files — f1 (even purchase ids,
+    * event_id-sorted) via a sidecar 'u'-storage DV (z85-packed uuid
+    * filename, [size|bitmap|crc32] framing, roaring-portable payload),
+    * f2 (odd ids) via an 'i' INLINE descriptor (z85-padded bitmap in the
+    * log line itself). Commit 0 adds both files whole; commits 1-2
+    * RE-ADD each file with its DV — the protocol's
+    * attach-without-rewrite spelling, so the reader's last-add-wins
+    * entry replacement is exactly what's under test. Deleted rows:
+    * event_id % 3 = 0 within each file (evens' multiples of 6 + odd
+    * multiples of 3 = every purchase multiple of 3). */
+  private[graft] def stageQ239DeltaDvTable(s: SparkSession, dir: String): String = {
+    val base = scratch(q239TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      import graft.sources.DeletionVectors
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      fs.mkdirs(bp)
+      val p = t(s, dir, "events").where($"event_type" === "purchase")
+        .select($"event_id", round($"value" * 1e6).cast("long").as("value_micros"))
+      def slice(even: Boolean): DataFrame =
+        if (even) p.where($"event_id" % 2 === 0) else p.where($"event_id" % 2 =!= 0)
+      def sortedFile(df: DataFrame, name: String): String =
+        stageSingleFile(fs, bp,
+          df.repartition(1).sortWithinPartitions("event_id"), name, bp)
+      val f1 = sortedFile(slice(even = true), "f1.parquet")
+      val f2 = sortedFile(slice(even = false), "f2.parquet")
+      import org.apache.spark.sql.expressions.Window
+      // file-local 0-based positions of the % 3 rows (the files are
+      // event_id-sorted, so pos = rank by event_id within the slice;
+      // staging-only single-partition window + collect on the small
+      // purchase slice — the bitmap bytes are driver-written by nature)
+      def delPositions(even: Boolean): Array[Long] =
+        slice(even)
+          .withColumn("pos",
+            row_number().over(Window.orderBy($"event_id")).cast("long") - 1L)
+          .where($"event_id" % 3 === 0)
+          .select($"pos").as[Long].collect().sorted
+      val pos1 = delPositions(even = true)
+      val pos2 = delPositions(even = false)
+      val bm1 = DeletionVectors.serialize(pos1)
+      val bm2 = DeletionVectors.serialize(pos2)
+      val uuid = java.util.UUID.nameUUIDFromBytes(
+        "q239-f1".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val off1 = DeletionVectors.writeDvFile(fs,
+        new org.apache.hadoop.fs.Path(bp, s"deletion_vector_$uuid.bin"),
+        Seq(bm1)).head
+      val dv1 = DeletionVectors.uDescriptorJson(uuid, off1, bm1.length, pos1.length.toLong)
+      val dv2 =
+        s"""{"storageType":"i","pathOrInlineDv":"${DeletionVectors.z85EncodePad(bm2)}",""" +
+          s""""sizeInBytes":${bm2.length},"cardinality":${pos2.length}}"""
+      val schemaString = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("event_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value_micros",
+          org.apache.spark.sql.types.LongType))).json
+      val esc = new com.fasterxml.jackson.databind.ObjectMapper()
+        .writeValueAsString(schemaString)
+      def name(pth: String) = new org.apache.hadoop.fs.Path(pth).getName
+      def addBare(pth: String) =
+        s"""{"add":{"path":"${name(pth)}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      def addDv(pth: String, dv: String) =
+        s"""{"add":{"path":"${name(pth)}","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false,"deletionVector":$dv}}"""
+      val log = new org.apache.hadoop.fs.Path(bp, "_delta_log")
+      fs.mkdirs(log)
+      def commit(v: Long, lines: Seq[String]): Unit = {
+        val out = fs.create(new org.apache.hadoop.fs.Path(log, f"$v%020d.json"), true)
+        try out.write(lines.mkString("", "\n", "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+      commit(0L, Seq(
+        """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"],"writerFeatures":["deletionVectors"]}}""",
+        s"""{"metaData":{"id":"q239","format":{"provider":"parquet","options":{}},"schemaString":$esc,"partitionColumns":[],"configuration":{},"createdTime":0}}""",
+        addBare(f1), addBare(f2)))
+      commit(1L, Seq(addDv(f1, dv1)))
+      commit(2L, Seq(addDv(f2, dv2)))
+    }
+    base
+  }
+
+  /** q240's fixture: a Delta table the repo's own writer creates from
+    * the click slice (4 hash parts), then DELETEs twice via
+    * [[graft.sources.DeltaLogWriter.deleteWhere]] — the deletion-vector
+    * fast path: no parquet rewritten, each touched file gains a sidecar
+    * bitmap, the second delete UNIONING into the first's. The read-back
+    * goes through the reader's merge-on-read. */
+  private[graft] def stageQ240DeltaDeleteTable(s: SparkSession, dir: String): String = {
+    val base = scratch(q240TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val clicks = t(s, dir, "events").where($"event_type" === "click")
+        .select($"event_id", round($"value" * 1e6).cast("long").as("value_micros"))
+        .repartition(4, $"event_id")
+      graft.sources.DeltaLogWriter.write(clicks, base,
+        org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sources.DeltaLogWriter.deleteWhere(s, base, col("event_id") % 7 === 0)
+      graft.sources.DeltaLogWriter.deleteWhere(s, base, col("event_id") % 11 === 0)
     }
     base
   }
@@ -1794,6 +1903,37 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // Delta DELETION VECTORS read — merge-on-read for Delta: the latest
+    // adds attach a sidecar ('u', z85 uuid + crc framing) and an inline
+    // ('i', z85-padded) roaring bitmap of deleted row positions, which
+    // the reader decodes (sidecars on EXECUTORS via binaryFile) and
+    // anti-joins against _metadata row coordinates. The oracle serves
+    // the survivor slice straight from events — a reader that ignores
+    // the DVs resurrects the % 3 rows, one that misapplies positions or
+    // the last-add-wins replacement breaks the checksums.
+    "q239_delta_deletion_vectors" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ239DeltaDvTable(s, dir)
+      graft.sources.DeltaLogReader.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+    }),
+
+    // Delta DELETE via DELETION VECTORS — write-side round trip: the
+    // repo's writer creates the table, two deleteWhere commits attach
+    // (then union-replace) per-file sidecar bitmaps WITHOUT rewriting a
+    // parquet part, and the reader's merge-on-read serves the
+    // survivors. The oracle replays the surviving predicate straight
+    // from events — a writer that drops the first delete's positions on
+    // the second commit, or mis-relativizes paths, breaks the checksums.
+    "q240_delta_dv_delete" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ240DeltaDeleteTable(s, dir)
+      graft.sources.DeltaLogReader.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+    }),
+
     // DATA-MIXTURE sampling — the corpus-composition step: per-source
     // mixture weights (here derived from the source name so the oracle
     // needs no side table) split a global token budget, and each source
@@ -2586,6 +2726,18 @@ object IndexQueries {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
         |FROM events
         |WHERE event_type = 'signup'""".stripMargin,
+    "q239_delta_deletion_vectors" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events
+        |WHERE event_type = 'purchase' AND event_id % 3 <> 0""".stripMargin,
+    "q240_delta_dv_delete" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events
+        |WHERE event_type = 'click' AND event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
     "q196_snapshot_optimize" ->
       s"""WITH act AS (SELECT event_id FROM events
          |            WHERE event_type IN ('purchase', 'click'))

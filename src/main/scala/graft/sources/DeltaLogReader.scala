@@ -24,12 +24,14 @@ import scala.collection.mutable
   * Protocol subset honored (all public, delta-io PROTOCOL.md):
   *  - `_delta_log/%020d.json`: one action per line; `add.path` activates a
   *    file, `remove.path` deactivates it; `commitInfo`/`txn` lines are
-  *    skipped; `protocol` and `metaData` lines are INSPECTED to refuse
-  *    tables whose correct interpretation needs features this reader does
-  *    not implement (deletion vectors, column mapping, v2 checkpoints):
-  *    silently ignoring them would serve deleted rows or physical column
-  *    names — wrong answers, not missing features. Schema still comes from
-  *    the parquet footers, like every other reader in this repo;
+  *    skipped; `protocol` and `metaData` lines are INSPECTED and either
+  *    honored — column mapping (name/id modes, [[readMapped]]) and
+  *    deletion vectors ([[applyDeletionVectors]] + [[DeletionVectors]])
+  *    are READ — or refused loudly when correct interpretation needs a
+  *    feature this reader does not implement (v2 checkpoints, unknown
+  *    reader features): silently ignoring one would serve deleted rows
+  *    or physical column names — wrong answers, not missing features.
+  *    Schema comes from the parquet footers except under column mapping;
   *  - `_delta_log/%020d.checkpoint.parquet` (single-part) holding the
   *    compacted state as `add`/`remove` structs;
   *  - `_delta_log/_last_checkpoint`: `{"version":N,...}` pointer — commits
@@ -147,7 +149,7 @@ object DeltaLogReader {
       s"Delta table ($where) stores data as '${provider.get}', not parquet")
   }
 
-  private def mappingMode(meta: JsonNode): String =
+  private[sources] def mappingMode(meta: JsonNode): String =
     Option(meta.get("configuration"))
       .flatMap(c => Option(c.get("delta.columnMapping.mode")))
       .map(_.asText()).getOrElse("none")
@@ -176,17 +178,33 @@ object DeltaLogReader {
   }
 
   /** The table's active file set as of `asOf` (default: latest commit):
-    * checkpoint base (when one applies) + ordered JSON replay. */
+    * checkpoint base (when one applies) + ordered JSON replay. REFUSES a
+    * table whose active files carry deletion vectors: the file list
+    * alone under-describes such a table, and this entry point feeds the
+    * WRITER (checkpoint compaction, appends) — a checkpoint built from
+    * bare paths would drop the DVs and resurrect deleted rows. [[read]]
+    * applies DVs instead. */
   def activeFiles(spark: SparkSession, path: String,
-                  asOf: Option[Long] = None): Seq[String] =
-    replayState(spark, path, asOf)._1
+                  asOf: Option[Long] = None): Seq[String] = {
+    val entries = replayState(spark, path, asOf)._1
+    val dvd = entries.collect { case (f, Some(_)) => f }
+    require(dvd.isEmpty,
+      s"Delta table at $path carries deletion vectors on ${dvd.size} " +
+        s"active file(s) (first: ${dvd.headOption.getOrElse("")}) — the " +
+        "bare file list under-describes it and anything built from the " +
+        "list alone would resurrect deleted rows; use read() (which " +
+        "applies the DVs) or compact the table first")
+    entries.map(_._1)
+  }
 
-  /** [[activeFiles]] plus the LAST `metaData` action seen in replay
-    * order (checkpoint state first, then commits — later wins, the
-    * protocol's metadata-evolution rule), which [[read]] needs to honor
-    * an active column-mapping mode. */
-  private def replayState(spark: SparkSession, path: String,
-                          asOf: Option[Long]): (Seq[String], Option[JsonNode]) = {
+  /** Active (file, deletion-vector descriptor JSON) pairs plus the LAST
+    * `metaData` action seen in replay order (checkpoint state first,
+    * then commits — later wins, the protocol's metadata-evolution rule),
+    * which [[read]] needs to honor an active column-mapping mode. A
+    * re-`add` of an already-active path REPLACES its entry — that is how
+    * Delta attaches or rewrites a file's DV without rewriting the file. */
+  private[sources] def replayState(spark: SparkSession, path: String,
+                          asOf: Option[Long]): (Seq[(String, Option[String])], Option[JsonNode]) = {
     val vs = versions(spark, path)
     val ckpt = lastCheckpoint(spark, path, asOf)
     require(vs.nonEmpty || ckpt.nonEmpty,
@@ -203,7 +221,9 @@ object DeltaLogReader {
       s"Delta log at $path starts at commit ${vs.head} with no usable " +
         "checkpoint — the truncated history cannot be replayed; refusing")
 
-    val active = mutable.LinkedHashSet.empty[String]
+    // path -> deletion-vector descriptor JSON (None = whole file live);
+    // insertion-ordered so the planned scan order stays the log's order
+    val active = mutable.LinkedHashMap.empty[String, Option[String]]
     var lastMeta: Option[JsonNode] = None
     ckpt.foreach { cv =>
       // checkpoint at cv: single-part (%020d.checkpoint.parquet) or
@@ -241,18 +261,16 @@ object DeltaLogReader {
       val addHasDv = top.contains("add") &&
         ckDf.schema("add").dataType.asInstanceOf[org.apache.spark.sql.types.StructType]
           .fieldNames.contains("deletionVector")
-      val dvExpr = if (addHasDv) "add.deletionVector IS NOT NULL" else "false"
+      val dvExpr =
+        if (addHasDv) "to_json(add.deletionVector)" else "CAST(NULL AS STRING)"
       val removeExpr = if (top.contains("remove")) "remove.path" else "CAST(NULL AS STRING)"
       val rows = graft.operators.ManifestGuard.collectCapped(
         ckDf.selectExpr("add.path AS a", s"$removeExpr AS r", s"$dvExpr AS dv"),
         s"Delta $where")
       rows.foreach { row =>
         if (!row.isNullAt(0)) {
-          require(!row.getBoolean(2),
-            s"Delta $where: file ${row.getString(0)} carries a deletion " +
-              "vector — reading the parquet part whole would resurrect " +
-              "deleted rows; this interpreter refuses DV tables")
-          active += decodePath(path, row.getString(0))
+          val dv = if (row.isNullAt(2)) None else Some(row.getString(2))
+          active(decodePath(path, row.getString(0))) = dv
         } else if (!row.isNullAt(1)) active -= decodePath(path, row.getString(1))
       }
     }
@@ -273,11 +291,11 @@ object DeltaLogReader {
         val node: JsonNode = mapper.readTree(line)
         if (node.has("add")) {
           val add = node.get("add")
-          require(!add.has("deletionVector") || add.get("deletionVector").isNull,
-            s"Delta commit v$v at $path: file ${add.get("path").asText()} " +
-              "carries a deletion vector — reading the parquet part whole " +
-              "would resurrect deleted rows; this interpreter refuses DV tables")
-          active += decodePath(path, add.get("path").asText())
+          val dv =
+            if (add.has("deletionVector") && !add.get("deletionVector").isNull)
+              Some(add.get("deletionVector").toString)
+            else None
+          active(decodePath(path, add.get("path").asText())) = dv
         } else if (node.has("remove"))
           active -= decodePath(path, node.get("remove").get("path").asText())
         else if (node.has("protocol"))
@@ -305,13 +323,130 @@ object DeltaLogReader {
     * footers by `delta.columnMapping.physicalName` (name mode) or
     * `delta.columnMapping.id` via parquet field ids (id mode). */
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
-    val (files, meta) = replayState(spark, path, asOf)
-    require(files.nonEmpty,
+    import org.apache.spark.sql.functions.col
+    val (entries, meta) = replayState(spark, path, asOf)
+    require(entries.nonEmpty,
       s"Delta table at $path has no active files as of ${asOf.getOrElse("latest")}")
-    meta.map(mappingMode).filter(_ != "none") match {
-      case Some(mode) => readMapped(spark, path, files, meta.get, mode)
-      case None => spark.read.option("basePath", path).parquet(files: _*)
+    val files = entries.map(_._1)
+    val withDv = entries.collect { case (f, Some(dv)) => (f, dv) }
+    val base = meta.map(mappingMode).filter(_ != "none") match {
+      case Some(mode) =>
+        readMapped(spark, path, files, meta.get, mode, withRowCoords = withDv.nonEmpty)
+      case None =>
+        val df = spark.read.option("basePath", path).parquet(files: _*)
+        if (withDv.isEmpty) df
+        else {
+          requireNoCoordClash(df.columns, path)
+          df.select(col("*"),
+            normPathCol(col("_metadata.file_path")).as(DvFp),
+            col("_metadata.row_index").as(DvPos))
+        }
     }
+    if (withDv.isEmpty) base
+    else applyDeletionVectors(spark, path, withDv, base).drop(DvFp, DvPos)
+  }
+
+  /** Internal column names the deletion-vector anti-join introduces on
+    * the scan; a table column with either name would be ambiguous. */
+  private val DvFp = "__dv_fp"
+  private val DvPos = "__dv_pos"
+
+  private def normPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
+
+  /** A table column named like a coord column would make the DV
+    * anti-join ambiguous — refuse before attaching the coordinates. */
+  private def requireNoCoordClash(cols: Array[String], path: String): Unit = {
+    val clash = cols.filter(c => c == DvFp || c == DvPos)
+    require(clash.isEmpty,
+      s"Delta table at $path has column(s) ${clash.mkString(", ")} — they " +
+        "collide with the deletion-vector join's internal names " +
+        s"($DvFp, $DvPos); rename them or compact the DVs away first")
+  }
+
+  /** Deletion-vector budget for the planner's broadcast decision: the
+    * descriptors DECLARE total cardinality before any bitmap is read, so
+    * the cutover is measured metadata, not a guess (the q230 pattern).
+    * ~40 B per (path-ish, pos) row. */
+  private val DvBroadcastBudgetBytes = 10L << 20
+
+  /** Apply the active files' deletion vectors: decode each descriptor's
+    * bitmap into (file, position) rows and LEFT-ANTI-join them against
+    * the scan's own `_metadata` row coordinates (`row_index` IS the
+    * 0-based parquet row position the protocol addresses — the same
+    * mechanism as [[Iceberg]] merge-on-read position deletes).
+    *
+    * Sidecar bitmaps ('u'/'p' storage) are decoded ON EXECUTORS: the
+    * `binaryFile` source distributes the .bin files, and a broadcast of
+    * the (bin-file -> descriptors) map — planning metadata, bounded by
+    * the ManifestGuard file cap — routes each file's bytes to its
+    * slices. Nothing data-shaped transits the driver. Inline ('i')
+    * bitmaps are by construction small enough that the writer chose to
+    * embed them in the log; they decode driver-side under an explicit
+    * cardinality budget with a named refusal.
+    *
+    * The anti-join broadcasts the delete side only when the descriptors'
+    * summed `cardinality` fits [[DvBroadcastBudgetBytes]]; above that
+    * the join stays a shuffle join (positions at that scale are
+    * data-shaped). */
+  private def applyDeletionVectors(spark: SparkSession, tableRoot: String,
+                                   withDv: Seq[(String, String)],
+                                   base: DataFrame): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.broadcast
+    val descs = withDv.map { case (f, dvJson) =>
+      (DeletionVectors.normalizePath(f),
+        DeletionVectors.parseDescriptor(mapper.readTree(dvJson)))
+    }
+    val (inline, stored) = descs.partition(_._2.storageType == "i")
+    val inlineCard = inline.map(_._2.cardinality).sum
+    require(inlineCard <= (1L << 20),
+      s"Delta table at $tableRoot inlines deletion vectors totalling " +
+        s"$inlineCard positions in its LOG — far past any real writer's " +
+        "inline threshold and this reader's driver budget (2^20); " +
+        "rewrite them as sidecar files")
+    val inlineDf = inline.flatMap { case (f, d) =>
+      // inline payloads are z85 zero-PADDED to a 4-byte block;
+      // sizeInBytes trims the pad back off
+      val decoded = DeletionVectors.z85Decode(d.pathOrInlineDv)
+      require(decoded.length >= d.sizeInBytes &&
+        decoded.length - d.sizeInBytes < 4,
+        s"inline DV for $f: ${decoded.length} decoded bytes vs declared " +
+          s"sizeInBytes ${d.sizeInBytes} — not a padded z85 payload; refusing")
+      val bytes = java.util.Arrays.copyOf(decoded, d.sizeInBytes)
+      DeletionVectors.positions(bytes, d, f).toSeq.map(p => (f, p))
+    }.toDF(DvFp, DvPos)
+    val deleted =
+      if (stored.isEmpty) inlineDf
+      else {
+        val byBin: Map[String, Seq[(String, DeletionVectors.Descriptor)]] =
+          stored.groupBy { case (_, d) =>
+            DeletionVectors.normalizePath(
+              DeletionVectors.resolveFile(tableRoot, d).toString)
+          }
+        val bc = spark.sparkContext.broadcast(byBin)
+        val binPaths = byBin.keys.toSeq.sorted
+        val storedDf = spark.read.format("binaryFile").load(binPaths: _*)
+          .select($"path", $"content").as[(String, Array[Byte])]
+          .flatMap { case (binPath, bytes) =>
+            val key = DeletionVectors.normalizePath(binPath)
+            // we only loaded paths from the map — a miss means the path
+            // spellings diverged, which would SILENTLY resurrect rows
+            val slices = bc.value.getOrElse(key, throw new IllegalStateException(
+              s"DV file $key loaded but no descriptor routes to it — " +
+                "path-normalization drift; refusing"))
+            slices.iterator.flatMap { case (dataFile, d) =>
+              DeletionVectors
+                .positions(DeletionVectors.sliceBlob(bytes, d, dataFile), d, dataFile)
+                .iterator.map(p => (dataFile, p))
+            }
+          }.toDF(DvFp, DvPos)
+        inlineDf.unionAll(storedDf)
+      }
+    val totalCard = descs.map(_._2.cardinality).sum
+    val delSide =
+      if (totalCard * 40 <= DvBroadcastBudgetBytes) broadcast(deleted) else deleted
+    base.join(delSide, Seq(DvFp, DvPos), "left_anti")
   }
 
   /** COLUMN-MAPPED read (delta.columnMapping.mode `name` or `id`): the
@@ -329,7 +464,7 @@ object DeltaLogReader {
     * answer, not a degraded one. */
   private def readMapped(spark: SparkSession, tableRoot: String,
                          files: Seq[String], meta: JsonNode,
-                         mode: String): DataFrame = {
+                         mode: String, withRowCoords: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.col
     require(Option(meta.get("partitionColumns")).forall(_.size() == 0),
@@ -353,6 +488,14 @@ object DeltaLogReader {
       }, s"Delta table at $tableRoot: nested logical column '${f.name}' " +
         "under column mapping is not interpreted — refusing")
     }
+    if (withRowCoords) requireNoCoordClash(logical.fieldNames, tableRoot)
+    // the DV coord columns must come off the SCAN itself (metadata
+    // columns do not reliably re-resolve through projections), so each
+    // mode appends them inside its own scan-level select
+    val coordCols =
+      if (withRowCoords) Seq(normPathCol(col("_metadata.file_path")).as(DvFp),
+        col("_metadata.row_index").as(DvPos))
+      else Seq.empty
     mode match {
       case "name" =>
         val pairs = logical.fields.map { f =>
@@ -364,7 +507,7 @@ object DeltaLogReader {
         spark.read
           .schema(StructType(pairs.map(p => StructField(p._2, p._3, nullable = true))))
           .parquet(files: _*)
-          .select(pairs.map(p => col(s"`${p._2}`").as(p._1)): _*)
+          .select(pairs.map(p => col(s"`${p._2}`").as(p._1)) ++ coordCols: _*)
       case "id" =>
         val st = StructType(logical.fields.map { f =>
           require(f.metadata.contains("delta.columnMapping.id"),
@@ -378,7 +521,8 @@ object DeltaLogReader {
         // same session-scoped switch as the Iceberg field-id path — only
         // schemas CARRYING parquet.field.id metadata change behavior
         spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-        spark.read.schema(st).parquet(files: _*)
+        val df = spark.read.schema(st).parquet(files: _*)
+        if (withRowCoords) df.select(col("*") +: coordCols: _*) else df
     }
   }
 }

@@ -289,4 +289,179 @@ object DeltaLogWriter {
       s"""{"version":$v,"size":${active.size + 2}}""" + "\n", overwrite = true)
     v
   }
+
+  /** DELETE ... WHERE as a DELETION-VECTOR commit — the fast path real
+    * Delta runs at warehouse scale: no parquet part is rewritten; each
+    * file with matching rows gains (or replaces) a sidecar roaring
+    * bitmap of its dead row positions, and readers (including
+    * [[DeltaLogReader.read]]'s merge-on-read) subtract them at scan
+    * time. On a 100 TB table this turns a point DELETE from a
+    * rewrite-everything job into O(matching files) bitmap writes.
+    *
+    * Distribution: matching positions are gathered PER FILE on
+    * executors (`collect_list` inside a file-keyed aggregate — state
+    * bounded by rows-per-file, the same bound the bitmap itself
+    * carries), each file's task UNIONS any existing DV (reading the old
+    * sidecar right there), serializes the new bitmap, and writes the
+    * sidecar directly from the executor (Hadoop conf rides a
+    * broadcast); only (path, descriptor, cardinality) planning rows —
+    * O(#touched files), [[graft.operators.ManifestGuard]]-bounded by
+    * the replay — return to the driver for the commit. The commit
+    * emits `remove`+re-`add` per touched file (the protocol's
+    * attach-without-rewrite spelling) and upgrades the protocol to
+    * reader 3 / writer 7 with the deletionVectors feature when the
+    * table does not already declare it.
+    *
+    * Refused loudly: a column-mapped table (the predicate would need
+    * logical→physical resolution this writer does not do) and
+    * predicates touching the scan's internal coordinate columns.
+    * @return (committed version, newly deleted row count) */
+  def deleteWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.{col, collect_list, regexp_replace, sort_array}
+    import spark.implicits._
+    val root = new Path(path)
+    val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
+    require(entries.nonEmpty, s"Delta table at $path has no active files")
+    require(meta.map(DeltaLogReader.mappingMode).forall(_ == "none"),
+      s"Delta table at $path uses column mapping — deleteWhere would need " +
+        "logical-to-physical predicate resolution it does not implement; " +
+        "refusing")
+    val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val rootFs = fs(spark, root)
+    val qualifiedRoot = rootFs.makeQualified(root)
+
+    // scan every live file WHOLE (previously DV-deleted rows may match
+    // again — the union below keeps the bitmap right either way) with
+    // its row coordinates, keep only matches, and fold to per-file
+    // sorted position arrays on the executors
+    val files = entries.map(_._1)
+    val fp = "__del_fp"; val pos = "__del_pos"
+    val scan = spark.read.option("basePath", path).parquet(files: _*)
+    require(!scan.columns.contains(fp) && !scan.columns.contains(pos),
+      s"Delta table at $path has a column named $fp/$pos — colliding with " +
+        "deleteWhere's internal coordinates; rename it first")
+    val perFile = scan
+      .select(col("*"),
+        regexp_replace(col("_metadata.file_path"),
+          "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as(fp),
+        col("_metadata.row_index").as(pos))
+      .where(predicate)
+      .groupBy(col(fp))
+      .agg(sort_array(collect_list(col(pos))).as("positions"))
+
+    // existing descriptors ride a broadcast keyed by normalized path so
+    // each file's task can union its old bitmap in
+    val oldDvByFile: Map[String, String] = entries.collect {
+      case (f, Some(dv)) => (DeletionVectors.normalizePath(f), dv)
+    }.toMap
+    val bcOld = spark.sparkContext.broadcast(oldDvByFile)
+    val bcConf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sessionState.newHadoopConf()))
+    val tableRoot = qualifiedRoot.toString
+    val touched: Seq[(String, String, Long, Long)] = perFile
+      .as[(String, Seq[Long])]
+      .map { case (file, newPos) =>
+        val conf = bcConf.value.value
+        val oldDesc = bcOld.value.get(file).map { dvJson =>
+          DeletionVectors.parseDescriptor(
+            new ObjectMapper().readTree(dvJson))
+        }
+        val oldPos: Array[Long] = oldDesc match {
+          case None => Array.empty
+          case Some(d) if d.storageType == "i" =>
+            val dec = DeletionVectors.z85Decode(d.pathOrInlineDv)
+            DeletionVectors.positions(
+              java.util.Arrays.copyOf(dec, d.sizeInBytes), d, file)
+          case Some(d) =>
+            val p = DeletionVectors.resolveFile(tableRoot, d)
+            val dfs = p.getFileSystem(conf)
+            val bytes = new Array[Byte](dfs.getFileStatus(p).getLen.toInt)
+            val in = dfs.open(p)
+            try in.readFully(bytes) finally in.close()
+            DeletionVectors.positions(
+              DeletionVectors.sliceBlob(bytes, d, file), d, file)
+        }
+        val union = (oldPos ++ newPos).distinct.sorted
+        val bm = DeletionVectors.serialize(union)
+        // deterministic per (file, version): re-running a failed commit's
+        // tasks rewrites the same sidecar instead of leaking orphans
+        val uuid = java.util.UUID.nameUUIDFromBytes(
+          s"$file#v$version".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val dvPath = new Path(tableRoot, s"deletion_vector_$uuid.bin")
+        val off = DeletionVectors.writeDvFile(
+          dvPath.getFileSystem(conf), dvPath, Seq(bm)).head
+        (file,
+          DeletionVectors.uDescriptorJson(uuid, off, bm.length, union.length.toLong),
+          union.length.toLong, oldPos.length.toLong)
+      }
+      .collect().toSeq // O(#touched files) planning rows — replay-bounded
+
+    if (touched.isEmpty) return (version - 1, 0L)
+
+    // protocol upgrade when the table does not already declare the
+    // feature — MERGING any features the newest protocol action lists,
+    // so an upgrade never silently un-declares one
+    val log = logDir(spark, path)
+    def feats(p: com.fasterxml.jackson.databind.JsonNode, k: String): Seq[String] =
+      Option(p.get(k)).toSeq.flatMap(a => (0 until a.size()).map(i => a.get(i).asText()))
+    val latestProto = DeltaLogReader.versions(spark, path).reverse.iterator
+      .flatMap { cv =>
+        DeltaLogReader.readSmallFile(spark, new Path(log, f"$cv%020d.json"))
+          .split("\n").filter(_.nonEmpty)
+          .map(mapper.readTree).find(_.has("protocol")).map(_.get("protocol"))
+      }.take(1).toSeq.headOption
+    val protoLine =
+      if (latestProto.exists(p => feats(p, "readerFeatures").contains("deletionVectors")))
+        Seq.empty
+      else {
+        val rf = (latestProto.toSeq.flatMap(feats(_, "readerFeatures")) :+ "deletionVectors")
+          .distinct.map(jsonStr).mkString("[", ",", "]")
+        val wf = (latestProto.toSeq.flatMap(feats(_, "writerFeatures")) :+ "deletionVectors")
+          .distinct.map(jsonStr).mkString("[", ",", "]")
+        Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}""")
+      }
+
+    val now = System.currentTimeMillis()
+    // touched paths are scheme-NORMALIZED; relativize against the same
+    // normalization of the qualified root so authority-bearing URIs
+    // (s3://bucket/...) relativize correctly too
+    val rootNorm = DeletionVectors.normalizePath(qualifiedRoot.toString).stripSuffix("/")
+    val actions = touched.sortBy(_._1).flatMap { case (file, desc, _, _) =>
+      require(file.startsWith(rootNorm + "/"),
+        s"deleteWhere: scanned file $file is not under table root $rootNorm")
+      val rel = file.stripPrefix(rootNorm).stripPrefix("/")
+      val st = rootFs.getFileStatus(new Path(root, rel))
+      Seq(
+        s"""{"remove":{"path":${jsonStr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":true}}""",
+        s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +
+          s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+          s""""dataChange":true,"deletionVector":$desc}}""")
+    }
+    val commit = new Path(log, f"$version%020d.json")
+    require(!rootFs.exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit, (protoLine ++ actions).mkString("", "\n", "\n"))
+    (version, touched.map(t => t._3 - t._4).sum)
+  }
+
+  private def logDir(spark: SparkSession, path: String): Path =
+    new Path(path, "_delta_log")
+
+  /** Hadoop `Configuration` is not `Serializable`; this minimal wrapper
+    * ships it to the executors writing DV sidecars (the same
+    * write/readFields trick Spark uses internally). */
+  private class SerializableHadoopConf(
+      @transient var value: org.apache.hadoop.conf.Configuration)
+    extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      value.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      value = new org.apache.hadoop.conf.Configuration(false)
+      value.readFields(in)
+    }
+  }
 }

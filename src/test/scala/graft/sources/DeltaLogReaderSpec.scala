@@ -171,17 +171,102 @@ class DeltaLogReaderSpec extends SparkSpec {
   // proceeding would mean wrong rows (resurrected deletes, physical
   // column names), not an error somewhere downstream.
 
-  test("an add carrying a deletion vector refuses the read") {
+  // ---- deletion vectors: READ, not refused (the protocol's
+  // merge-on-read) — the bitmap formats themselves are law-tested in
+  // DeletionVectorsSpec; here the reader-level semantics.
+
+  private val dvProtocol =
+    """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}"""
+
+  private def addWithDv(f: String, dv: String) =
+    s"""{"add":{"path":"$f","partitionValues":{},"size":1,"modificationTime":0,"dataChange":false,"deletionVector":$dv}}"""
+
+  /** Write a sorted single-file table 0..9 and a sidecar DV deleting
+    * the given positions; returns (tableRoot, descriptorJson). */
+  private def dvFixture(positions: Array[Long], prefix: String = ""): (String, String) = {
     val base = freshDir()
-    dataFile(base, "a.parquet", Seq(1L, 2L).toDF("id"))
-    writeCommit(base, 0L, Seq(
-      """{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":["deletionVectors"]}}""",
-      """{"add":{"path":"a.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true,""" +
-        """"deletionVector":{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":40,"cardinality":1}}}"""))
-    val e = intercept[IllegalArgumentException] {
-      graft.Tables.deltaTable(spark, base)
+    dataFile(base, "a.parquet",
+      (0L until 10L).toDF("id").coalesce(1).sortWithinPartitions("id"))
+    val bm = DeletionVectors.serialize(positions)
+    val uuid = java.util.UUID.nameUUIDFromBytes("spec-dv".getBytes)
+    val dir = new org.apache.hadoop.fs.Path(base, if (prefix.isEmpty) "." else prefix)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val off = DeletionVectors.writeDvFile(fs,
+      new org.apache.hadoop.fs.Path(dir, s"deletion_vector_$uuid.bin"), Seq(bm)).head
+    (base, DeletionVectors.uDescriptorJson(uuid, off, bm.length,
+      positions.length.toLong, prefix))
+  }
+
+  test("a sidecar DV drops exactly its positions; re-add replaces; asOf predates it") {
+    val (base, dv) = dvFixture(Array(0L, 3L, 7L))
+    writeCommit(base, 0L, Seq(dvProtocol, add("a.parquet")))
+    writeCommit(base, 1L, Seq(addWithDv("a.parquet", dv)))
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) ==
+      Set(1L, 2L, 4L, 5L, 6L, 8L, 9L))
+    // version 0 predates the DV attach — the whole file is live
+    assert(idsOf(graft.Tables.deltaTable(spark, base, asOf = Some(0L))) ==
+      (0L until 10L).toSet)
+  }
+
+  test("a DV in a prefix directory resolves through the packed path") {
+    val (base, dv) = dvFixture(Array(5L), prefix = "ab/")
+    writeCommit(base, 0L, Seq(dvProtocol, addWithDv("a.parquet", dv)))
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) ==
+      (0L until 10L).toSet - 5L)
+  }
+
+  test("an inline ('i') DV decodes from the log line itself") {
+    val base = freshDir()
+    dataFile(base, "a.parquet",
+      (0L until 10L).toDF("id").coalesce(1).sortWithinPartitions("id"))
+    val bm = DeletionVectors.serialize(Array(2L, 9L))
+    val dv = s"""{"storageType":"i","pathOrInlineDv":"${DeletionVectors.z85EncodePad(bm)}","sizeInBytes":${bm.length},"cardinality":2}"""
+    writeCommit(base, 0L, Seq(dvProtocol, addWithDv("a.parquet", dv)))
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) ==
+      (0L until 10L).toSet -- Set(2L, 9L))
+  }
+
+  test("a 'p' (absolute-path) DV resolves verbatim") {
+    val base = freshDir()
+    dataFile(base, "a.parquet",
+      (0L until 10L).toDF("id").coalesce(1).sortWithinPartitions("id"))
+    val bm = DeletionVectors.serialize(Array(1L))
+    val ext = new org.apache.hadoop.fs.Path(freshDir(), "dv.bin")
+    val fs = ext.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val off = DeletionVectors.writeDvFile(fs, ext, Seq(bm)).head
+    val dv = s"""{"storageType":"p","pathOrInlineDv":"$ext","offset":$off,"sizeInBytes":${bm.length},"cardinality":1}"""
+    writeCommit(base, 0L, Seq(dvProtocol, addWithDv("a.parquet", dv)))
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) ==
+      (0L until 10L).toSet - 1L)
+  }
+
+  test("a corrupt or misdescribed DV fails loudly, never a partial read") {
+    val (base, dv) = dvFixture(Array(0L, 3L, 7L))
+    // descriptor cardinality disagreeing with the bitmap
+    val lying = dv.replace("\"cardinality\":3", "\"cardinality\":4")
+    writeCommit(base, 0L, Seq(dvProtocol, addWithDv("a.parquet", lying)))
+    val e = intercept[Exception] {
+      graft.Tables.deltaTable(spark, base).collect()
     }
-    assert(e.getMessage.contains("deletion vector"))
+    assert(e.getMessage != null)
+    // malformed 'u' path (not z85-block-sized)
+    val base2 = freshDir()
+    dataFile(base2, "a.parquet", Seq(1L).toDF("id"))
+    writeCommit(base2, 0L, Seq(dvProtocol, addWithDv("a.parquet",
+      """{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":4,"cardinality":1}""")))
+    intercept[IllegalArgumentException] {
+      graft.Tables.deltaTable(spark, base2).collect()
+    }
+  }
+
+  test("activeFiles refuses a DV table — the writer path must not drop DVs") {
+    val (base, dv) = dvFixture(Array(3L))
+    writeCommit(base, 0L, Seq(dvProtocol, addWithDv("a.parquet", dv)))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogReader.activeFiles(spark, base)
+    }
+    assert(e.getMessage.contains("deletion vectors"))
   }
 
   test("deletionVectors ENABLED but unused reads fine; benign features pass") {

@@ -219,4 +219,80 @@ class DeltaLogWriterSpec extends SparkSpec {
     assert(idsOf(graft.Tables.deltaTable(spark, base)) ==
       idsOf(graft.operators.SnapshotLog.read(spark, snap)))
   }
+
+  // ---- deleteWhere: DELETE as a deletion-vector commit
+
+  test("deleteWhere attaches DVs — no parquet rewritten, reader subtracts, asOf predates") {
+    val base = freshDir()
+    DeltaLogWriter.write((0L until 40L).toDF("id").repartition(3), base,
+      SaveMode.Overwrite)
+    val partsBefore = new java.io.File(base).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified, f.length)).toSet
+    val (v, n) = DeltaLogWriter.deleteWhere(spark, base, col("id") % 5 === 0)
+    assert(v == 1L && n == 8L)
+    val partsAfter = new java.io.File(base).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified, f.length)).toSet
+    assert(partsBefore == partsAfter) // the fast path: bitmaps, not rewrites
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) ==
+      (0L until 40L).filterNot(_ % 5 == 0).toSet)
+    assert(idsOf(graft.Tables.deltaTable(spark, base, asOf = Some(0L))) ==
+      (0L until 40L).toSet)
+    // the commit upgraded a v1 table's protocol to the DV feature
+    val commit = java.nio.file.Files.readString(
+      java.nio.file.Path.of(base, "_delta_log", "0" * 19 + "1.json"))
+    assert(commit.contains(""""deletionVectors""""))
+    assert(commit.contains(""""minReaderVersion":3"""))
+  }
+
+  test("a second deleteWhere UNIONS each file's existing DV; count is only the newly dead") {
+    val base = freshDir()
+    DeltaLogWriter.write((0L until 60L).toDF("id").repartition(2), base,
+      SaveMode.Overwrite)
+    val (_, n1) = DeltaLogWriter.deleteWhere(spark, base, col("id") % 3 === 0)
+    assert(n1 == 20L)
+    // % 6 rows are already dead (subset of % 3): only the odd multiples
+    // of 3... none — %6==0 ⊂ %3==0, so a %6 delete kills NOTHING new
+    val (v2, n2) = DeltaLogWriter.deleteWhere(spark, base, col("id") % 6 === 0)
+    assert(n2 == 0L)
+    val (v3, n3) = DeltaLogWriter.deleteWhere(spark, base, col("id") % 4 === 0)
+    assert(n3 == 15L - 5L) // %4 multiples minus those already dead via %12
+    assert(v3 > v2)
+    assert(idsOf(graft.Tables.deltaTable(spark, base)) ==
+      (0L until 60L).filterNot(i => i % 3 == 0 || i % 4 == 0).toSet)
+  }
+
+  test("deleteWhere matching nothing commits nothing") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq(1L, 2L).toDF("id"), base, SaveMode.Overwrite)
+    val (v, n) = DeltaLogWriter.deleteWhere(spark, base, col("id") > 100L)
+    assert(v == 0L && n == 0L)
+    assert(DeltaLogReader.versions(spark, base) == Seq(0L))
+  }
+
+  test("deleteWhere refuses a column-mapped table with the limitation named") {
+    val base = freshDir()
+    // hand-write a name-mapped table (the q238 shape, minimal)
+    val df = Seq(1L).toDF("col-p")
+    df.coalesce(1).write.parquet(s"$base/.tmp")
+    val part = new java.io.File(s"$base/.tmp").listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(base, "f1.parquet")))
+    val schemaString = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("logical", org.apache.spark.sql.types.LongType,
+        nullable = true, new org.apache.spark.sql.types.MetadataBuilder()
+          .putString("delta.columnMapping.physicalName", "col-p")
+          .putLong("delta.columnMapping.id", 1L).build()))).json
+    val esc = new com.fasterxml.jackson.databind.ObjectMapper().writeValueAsString(schemaString)
+    val log = new java.io.File(base, "_delta_log"); log.mkdirs()
+    java.nio.file.Files.writeString(new java.io.File(log, "0" * 20 + ".json").toPath,
+      Seq(
+        """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
+        s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":$esc,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
+        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+      ).mkString("", "\n", "\n"))
+    val e = intercept[IllegalArgumentException] {
+      DeltaLogWriter.deleteWhere(spark, base, col("logical") === 1L)
+    }
+    assert(e.getMessage.contains("column mapping"))
+  }
 }
