@@ -144,6 +144,8 @@ object IndexQueries {
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
+    stageQ239DeltaDvTable(s, dir)
+    stageQ240DeltaDeleteTable(s, dir)
     stageQ170Part(s, dir)
     stageQ216Part(s, dir)
   }

@@ -351,6 +351,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q239/q240 Delta DV deletes apply through a broadcast ANTI join") {
+    // descriptor-declared cardinality is tiny at every shipped sf, so
+    // the measured cutover must hand the planner a broadcast hint — a
+    // shuffled anti join would repartition the whole table scan to drop
+    // a bitmap's worth of rows; LeftAnti, or the deleted rows are
+    // exactly what's KEPT
+    for (q <- Seq("q239_delta_deletion_vectors", "q240_delta_dv_delete")) {
+      val df = graft.SparkEntry.queries(q)(spark, sf)
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("LeftAnti"), s"$q: $p")
+      assert(p.contains("BroadcastHashJoin"), s"$q: $p")
+    }
+  }
+
   test("q225 winnowing pairing caps hot fingerprints before the self-join") {
     // the anti-join against the hot-fingerprint tail must be IN the plan
     // (dropping it silently restores the quadratic C(k,2) fan-out on
