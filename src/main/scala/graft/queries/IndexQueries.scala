@@ -71,6 +71,7 @@ object IndexQueries {
   private val q193TablePat = scratchPat("q193_delta")
   private val q228TablePat = scratchPat("q228_iceberg")
   private val q232TablePat = scratchPat("q232_iceberg_part")
+  private val q241TablePat = scratchPat("q241_iceberg_hidden")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -141,6 +142,7 @@ object IndexQueries {
     stageQ193DeltaTable(s, dir)
     stageQ228IcebergTable(s, dir)
     stageQ232IcebergTable(s, dir)
+    stageQ241IcebergHiddenPart(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -378,6 +380,91 @@ object IndexQueries {
         manifests.map(_._1), summaries = manifests.map(_._2))
       Iceberg.writeMetadata(s, base, version = 2,
         Seq((2001L, 1000L, ml1), (2002L, 5000L, ml2)),
+        schemaFieldsJson = schemaJson, partitionSpecJson = specJson)
+    }
+    base
+  }
+
+  /** q241's fixture: an Iceberg table with HIDDEN partitioning — the
+    * transform tier q232's identity fixture cannot exercise. Spec:
+    * `bucket[4](user_id)` × `truncate[86400000000](ts_us)` (daily
+    * truncation of an epoch-micros long — "hidden daily partitioning"
+    * spelled through truncate so the source column stays a plain long).
+    * One data file per live (bucket, day) combo — 4 buckets × the
+    * generator's 30 days at every sf — written in ONE partitionBy job
+    * and renamed flat; one manifest per bucket whose manifest-list
+    * summary bounds BOTH partition fields, so a point-user + day-window
+    * query prunes 3 of 4 manifests UNOPENED and plans only the window's
+    * files inside the fourth. Files are parquet-field-id-stamped and
+    * carry NO partition columns (the hidden-partitioning contract:
+    * planning happens in the transformed domain, the read serves source
+    * columns only). */
+  private[graft] def stageQ241IcebergHiddenPart(s: SparkSession, dir: String): String = {
+    val base = scratch(q241TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      import graft.sources.{Iceberg, IcebergTransforms}
+      import org.apache.spark.sql.types._
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val dataDir = new org.apache.hadoop.fs.Path(bp, "data")
+      def idMeta(id: Long) =
+        new MetadataBuilder().putLong("parquet.field.id", id).build()
+      val st = StructType(Seq(
+        StructField("event_id", LongType, nullable = true, idMeta(1)),
+        StructField("user_id", LongType, nullable = true, idMeta(2)),
+        StructField("ts_us", LongType, nullable = true, idMeta(3))))
+      s.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+      val ev = s.createDataFrame(
+        t(s, dir, "events").select($"event_id", $"user_id",
+          expr("ts DIV 1000").as("ts_us")).rdd, st)
+      val DayUs = 86400000000L
+      // the writer-side transforms, evaluated with the SAME spec math the
+      // planner prunes with (staging-scope UDF: one pass over events)
+      val bucketOf = udf((u: Long) => IcebergTransforms.bucket(4, "long", u))
+      ev.withColumn("_b", bucketOf($"user_id"))
+        .withColumn("_d", expr(s"ts_us DIV $DayUs") * DayUs)
+        .repartition($"_b", $"_d") // one task per combo → one part per dir
+        .write.partitionBy("_b", "_d").mode("overwrite").parquet(dataDir.toString)
+      // flatten the hive tree into stable per-combo file names; the
+      // partition values live ONLY in manifest metadata from here on
+      val combos = fs.listStatus(dataDir).filter(_.isDirectory).flatMap { bDir =>
+        val b = bDir.getPath.getName.stripPrefix("_b=").toInt
+        fs.listStatus(bDir.getPath).filter(_.isDirectory).map { dDir =>
+          val d = dDir.getPath.getName.stripPrefix("_d=").toLong
+          val parts = fs.listStatus(dDir.getPath)
+            .filter(p => p.isFile && p.getPath.getName.endsWith(".parquet"))
+          require(parts.length == 1,
+            s"expected one part in ${dDir.getPath}, got ${parts.length}")
+          val dst = new org.apache.hadoop.fs.Path(dataDir, s"b${b}_d$d.parquet")
+          require(fs.rename(parts.head.getPath, dst), s"rename to $dst failed")
+          (b, d, dst.toString)
+        }
+      }.toSeq
+      fs.listStatus(dataDir).filter(_.isDirectory)
+        .foreach(dd => fs.delete(dd.getPath, true))
+      val manifests = combos.groupBy(_._1).toSeq.sortBy(_._1).map { case (b, fl) =>
+        val entries = fl.sortBy(_._2).map { case (_, d, p) =>
+          Iceberg.Entry(p, 1,
+            partition = Seq("user_bucket" -> b.toLong, "ts_day" -> d))
+        }
+        (Iceberg.writeManifest(s, base, s"m_b$b.avro", 4001L, entries),
+          Seq(
+            Iceberg.Summary(Some(Iceberg.encodeInt(b)), Some(Iceberg.encodeInt(b))),
+            Iceberg.Summary(Some(Iceberg.encodeLong(fl.map(_._2).min)),
+              Some(Iceberg.encodeLong(fl.map(_._2).max)))))
+      }
+      val ml = Iceberg.writeManifestList(s, base, "snap-4001.avro", 4001L,
+        manifests.map(_._1), summaries = manifests.map(_._2))
+      val schemaJson = "[" + Iceberg.fieldJson(1, "event_id", "long") + "," +
+        Iceberg.fieldJson(2, "user_id", "long") + "," +
+        Iceberg.fieldJson(3, "ts_us", "long") + "]"
+      val specJson =
+        """[{"name":"user_bucket","transform":"bucket[4]","source-id":2,"field-id":1000},""" +
+          """{"name":"ts_day","transform":"truncate[86400000000]","source-id":3,"field-id":1001}]"""
+      Iceberg.writeMetadata(s, base, version = 1, Seq((4001L, 1000L, ml)),
         schemaFieldsJson = schemaJson, partitionSpecJson = specJson)
     }
     base
@@ -1936,6 +2023,32 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // Iceberg HIDDEN PARTITIONING — transform-aware pruning (q232's
+    // identity twin): the table partitions by bucket[4](user_id) ×
+    // daily-truncate(ts_us), derived values the data files don't even
+    // carry. A user-point + day-window predicate must map through BOTH
+    // transforms (the spec's murmur3 bucket for the point; the
+    // order-preserving truncate for the range) to prune 3 of 4 manifests
+    // UNOPENED and plan only the window's files inside the fourth —
+    // Round12QueriesSpec pins the planned-file counts per predicate
+    // tier. The DuckDB oracle scans ALL events rows with the same raw
+    // predicate; a wrong bucket hash or a mis-floored truncation prunes
+    // live files and breaks the checksums.
+    "q241_iceberg_hidden_partitioning" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ241IcebergHiddenPart(s, dir)
+      val DayUs = 86400000000L
+      val lo = 19728L * DayUs          // 2024-01-06
+      val hi = 19731L * DayUs - 1      // ..through 2024-01-08
+      Iceberg.readPruned(s, base, Seq(
+          Iceberg.ColRange("user_id", 7L, 7L),
+          Iceberg.ColRange("ts_us", lo, hi)))
+        .where($"user_id" === 7L && $"ts_us".between(lo, hi))
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"ts_us").as("ts_checksum"))
+    }),
+
     // DATA-MIXTURE sampling — the corpus-composition step: per-source
     // mixture weights (here derived from the source name so the oracle
     // needs no side table) split a global token budget, and each source
@@ -2740,6 +2853,14 @@ object IndexQueries {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
         |FROM events
         |WHERE event_type = 'click' AND event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
+    "q241_iceberg_hidden_partitioning" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(epoch_us(ts)) AS BIGINT) AS ts_checksum
+        |FROM events
+        |WHERE user_id = 7
+        |  AND epoch_us(ts) BETWEEN 19728 * 86400000000
+        |                       AND 19731 * 86400000000 - 1""".stripMargin,
     "q196_snapshot_optimize" ->
       s"""WITH act AS (SELECT event_id FROM events
          |            WHERE event_type IN ('purchase', 'click'))

@@ -291,10 +291,12 @@ object Iceberg {
     * for string. */
   case class ColRange(column: String, lo: Any, hi: Any)
 
-  /** One partition-spec field: `transform(sourceId) AS name`. Only
-    * `identity` fields participate in pruning — a bucket/truncate/day
-    * transform changes the value domain, and comparing raw-range
-    * endpoints against transformed bounds would prune wrong. */
+  /** One partition-spec field: `transform(sourceId) AS name`. Pruning
+    * maps each predicate range through the field's transform
+    * ([[IcebergTransforms.transformedRange]]): identity passes through,
+    * truncate/day/month/year/hour carry ranges (order-preserving),
+    * bucket carries equality points only, and an unknown transform
+    * carries nothing (kept — sound). */
   private[sources] case class SpecField(name: String, transform: String, sourceId: Int)
 
   /** specId → ordered spec fields: `partition-specs`/`default-spec-id`
@@ -380,7 +382,14 @@ object Iceberg {
     * be unknown → cannot prune) against the predicate range. */
   private def disjoint(lower: Option[Any], upper: Option[Any],
                        r: ResolvedRange): Boolean =
-    upper.exists(u => lt(u, r.lo)) || lower.exists(l => lt(r.hi, l))
+    disjointBounds(lower, upper, r.lo, r.hi)
+
+  /** [[disjoint]] against an explicit closed range — the spelling the
+    * transform-mapped partition checks use (their endpoints live in the
+    * TRANSFORMED domain, not the ResolvedRange's raw one). */
+  private def disjointBounds(lower: Option[Any], upper: Option[Any],
+                             lo: Any, hi: Any): Boolean =
+    upper.exists(u => lt(u, lo)) || lower.exists(l => lt(hi, l))
 
   private def resolvePruning(doc: JsonNode, ranges: Seq[ColRange]): Option[PruneCtx] =
     if (ranges.isEmpty) None
@@ -413,11 +422,15 @@ object Iceberg {
 
   /** Manifest-LIST-level test: can `m`'s whole manifest be skipped on its
     * per-partition-field summaries? The `partitions` array is ordered by
-    * the manifest's spec fields; only identity-transform fields whose
-    * source column a predicate names participate. Missing summaries (the
-    * field is optional) → keep. A skipped manifest's Avro is NEVER OPENED
-    * — on a 100 TB table this is what turns a point query from "replay
-    * every manifest" into O(matching partitions) driver work. */
+    * the manifest's spec fields; a predicate participates through any
+    * spec field whose transform can carry its range (identity and the
+    * order-preserving transforms carry ranges; bucket carries equality
+    * points; unknown transforms carry nothing — kept, sound). Summary
+    * bounds are stored in the TRANSFORMED domain and decode under the
+    * partition field's result type. Missing summaries (the field is
+    * optional) → keep. A skipped manifest's Avro is NEVER OPENED — on a
+    * 100 TB table this is what turns a point query from "replay every
+    * manifest" into O(matching partitions) driver work. */
   private def manifestPruned(m: GenericRecord, ctx: PruneCtx): Boolean = {
     if (m.getSchema.getField("partitions") == null) return false
     val summaries = m.get("partitions") match {
@@ -431,13 +444,16 @@ object Iceberg {
     val spec = ctx.specs.getOrElse(specId, Nil)
     ctx.ranges.exists { r =>
       spec.zipWithIndex.exists { case (sf, i) =>
-        sf.transform == "identity" && sf.sourceId == r.fieldId &&
-          i < summaries.size && {
-            val s = summaries(i)
-            disjoint(
-              avroBytes(s.get("lower_bound")).map(decodeBound(r.typ, _)),
-              avroBytes(s.get("upper_bound")).map(decodeBound(r.typ, _)), r)
-          }
+        sf.sourceId == r.fieldId && i < summaries.size &&
+          IcebergTransforms.transformedRange(
+              IcebergTransforms.parse(sf.transform), r.typ, r.lo, r.hi)
+            .exists { case (tLo, tHi, dTyp) =>
+              val s = summaries(i)
+              disjointBounds(
+                avroBytes(s.get("lower_bound")).map(decodeBound(dTyp, _)),
+                avroBytes(s.get("upper_bound")).map(decodeBound(dTyp, _)),
+                tLo, tHi)
+            }
       }
     }
   }
@@ -469,27 +485,31 @@ object Iceberg {
         hi.get(r.fieldId).filter(_.nonEmpty).map(decodeBound(r.typ, _)), r)
     }
     if (statsPruned) return true
-    // identity partition values: the partition struct's field names are
-    // the spec field names; values are typed Avro scalars, not bytes
+    // partition values: the partition struct's field names are the spec
+    // field names; values are typed Avro scalars (in the TRANSFORMED
+    // domain), not bytes — compare against the transform-mapped range
     if (df.getSchema.getField("partition") == null) return false
     df.get("partition") match {
       case p: GenericRecord =>
         val spec = ctx.specs.getOrElse(specId, Nil)
         ctx.ranges.exists { r =>
           spec.exists { sf =>
-            sf.transform == "identity" && sf.sourceId == r.fieldId &&
-              p.getSchema.getField(sf.name) != null && {
-                val v = p.get(sf.name) match {
-                  case null => None
-                  case i: java.lang.Integer => Some(i.longValue: Any)
-                  case l: java.lang.Long => Some(l.longValue: Any)
-                  case f: java.lang.Float => Some(f.doubleValue: Any)
-                  case d: java.lang.Double => Some(d.doubleValue: Any)
-                  case s: CharSequence => Some(s.toString: Any)
-                  case _ => None // unknown spelling: keep, stay sound
+            sf.sourceId == r.fieldId &&
+              p.getSchema.getField(sf.name) != null &&
+              IcebergTransforms.transformedRange(
+                  IcebergTransforms.parse(sf.transform), r.typ, r.lo, r.hi)
+                .exists { case (tLo, tHi, _) =>
+                  val v = p.get(sf.name) match {
+                    case null => None
+                    case i: java.lang.Integer => Some(i.longValue: Any)
+                    case l: java.lang.Long => Some(l.longValue: Any)
+                    case f: java.lang.Float => Some(f.doubleValue: Any)
+                    case d: java.lang.Double => Some(d.doubleValue: Any)
+                    case s: CharSequence => Some(s.toString: Any)
+                    case _ => None // unknown spelling: keep, stay sound
+                  }
+                  v.exists(x => lt(x, tLo) || lt(tHi, x))
                 }
-                v.exists(x => lt(x, r.lo) || lt(r.hi, x))
-              }
           }
         }
       case _ => false

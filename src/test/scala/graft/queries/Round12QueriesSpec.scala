@@ -54,6 +54,42 @@ class Round12QueriesSpec extends SparkSpec {
     assert(e.getMessage.contains("before"), e.getMessage)
   }
 
+  test("q241's transforms prune: one bucket's manifest, then only its window files") {
+    import graft.sources.IcebergTransforms
+    val hidden = IndexQueries.stageQ241IcebergHiddenPart(spark, sf)
+    val DayUs = 86400000000L
+    val all = Iceberg.planFiles(spark, hidden)
+    assert(all.nonEmpty)
+    val b = IcebergTransforms.bucket(4, "long", 7L)
+    // user point → exactly bucket b's files (3 manifests pruned unopened;
+    // every planned file name carries the writer's bucket tag)
+    val byUser = Iceberg.planFiles(spark, hidden,
+      Seq(Iceberg.ColRange("user_id", 7L, 7L)))
+    assert(byUser.nonEmpty && byUser.forall(_.contains(s"b${b}_d")),
+      byUser.take(5).mkString(", "))
+    assert(byUser.size == all.count(_.contains(s"b${b}_d")))
+    // + the day window: at most 3 daily files survive
+    val window = Iceberg.planFiles(spark, hidden, Seq(
+      Iceberg.ColRange("user_id", 7L, 7L),
+      Iceberg.ColRange("ts_us", 19728L * DayUs, 19731L * DayUs - 1)))
+    assert(window.nonEmpty && window.size <= 3, window.mkString(", "))
+    val days = Set(19728L, 19729L, 19730L).map(d => s"_d${d * DayUs}.parquet")
+    assert(window.forall(f => f.contains(s"b${b}_d") && days.exists(f.endsWith)),
+      window.mkString(", "))
+    // pruned read + residual == unpruned read + residual (soundness)
+    import org.apache.spark.sql.functions._
+    def agg(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.where(col("user_id") === 7L &&
+          col("ts_us").between(19728L * DayUs, 19731L * DayUs - 1))
+        .agg(count(lit(1)), sum(col("event_id"))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val pruned = agg(Iceberg.readPruned(spark, hidden, Seq(
+      Iceberg.ColRange("user_id", 7L, 7L),
+      Iceberg.ColRange("ts_us", 19728L * DayUs, 19731L * DayUs - 1))))
+    assert(pruned == agg(Iceberg.read(spark, hidden)) && pruned._1 > 0L)
+  }
+
   test("q235's streaming rollup equals q230's batch report at source grain") {
     // same gram math, same eval split, different engines (micro-batch
     // stream-static vs batch): the per-source gram totals must agree

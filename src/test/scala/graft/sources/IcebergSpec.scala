@@ -432,12 +432,97 @@ class IcebergSpec extends SparkSpec {
     Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)),
       schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
         Iceberg.fieldJson(2, "v", "long") + "]",
-      // bucket transform: partition value 0 is a BUCKET NUMBER — pruning
-      // raw ranges against it would be unsound, so it must not prune
+      // bucket transform: partition value 0 is a BUCKET NUMBER — a
+      // RANGE cannot map through the hash, so it must not prune …
       partitionSpecJson =
         """[{"name":"id_bucket","transform":"bucket[4]","source-id":1,"field-id":1000}]""")
     assert(Iceberg.planFiles(spark, base,
       Seq(Iceberg.ColRange("id", 5L, 9L))).size == 1)
+    // … but a POINT does: ids hashing to bucket 0 keep the file, any
+    // other bucket prunes it (spec-vector murmur3, not a guess)
+    val keep = (0L to 50L).find(IcebergTransforms.bucket(4, "long", _) == 0).get
+    val drop = (0L to 50L).find(IcebergTransforms.bucket(4, "long", _) == 3).get
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("id", keep, keep))).size == 1)
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("id", drop, drop))).isEmpty)
+  }
+
+  test("bucket summaries prune whole manifests unopened; truncate carries ranges") {
+    // four manifests, one per bucket[4](id) value, summary [b, b] each;
+    // second spec field truncate[10](v) bounds per manifest
+    val base = freshDir()
+    val files = (0 to 3).map { b =>
+      b -> dataFileWithIds(base, s"f$b.parquet", Seq((b.toLong, b.toLong)))
+    }.toMap
+    val ms = (0 to 3).map { b =>
+      Iceberg.writeManifest(spark, base, s"m$b.avro", 1L, Seq(
+        Iceberg.Entry(files(b), 1,
+          partition = Seq("id_bucket" -> b.toLong, "v_trunc" -> (b * 10).toLong))))
+    }
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, ms,
+      summaries = (0 to 3).map(b => Seq(
+        Iceberg.Summary(Some(Iceberg.encodeInt(b)), Some(Iceberg.encodeInt(b))),
+        Iceberg.Summary(Some(Iceberg.encodeLong(b * 10L)), Some(Iceberg.encodeLong(b * 10L))))))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]",
+      partitionSpecJson =
+        """[{"name":"id_bucket","transform":"bucket[4]","source-id":1,"field-id":1000},""" +
+          """{"name":"v_trunc","transform":"truncate[10]","source-id":2,"field-id":1001}]""")
+    val k = 42L
+    val b = IcebergTransforms.bucket(4, "long", k)
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("id", k, k))) == Seq(files(b)))
+    // truncate range: v in [12, 25] → truncated [10, 20] → manifests 1,2
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("v", 12L, 25L))).toSet ==
+      Set(files(1), files(2)))
+    // the never-opened pin: delete every manifest EXCEPT bucket b's; the
+    // point plan still works (summaries pruned the others before open),
+    // an unpruned plan must fail trying
+    (0 to 3).filter(_ != b).foreach { i =>
+      assert(new java.io.File(base, s"metadata/m$i.avro").delete())
+    }
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("id", k, k))) == Seq(files(b)))
+    intercept[Exception](Iceberg.planFiles(spark, base))
+  }
+
+  test("temporal transforms prune day windows and month buckets of a timestamp") {
+    // planning-only fixture: metadata types ts as 'timestamp' (micros);
+    // spec day(ts) → date-typed partition values, month(ts) → int. The
+    // files are never opened by planFiles, so plain placeholders serve.
+    val base = freshDir()
+    val jan = java.time.LocalDate.of(2024, 1, 15).toEpochDay  // 19737
+    val feb = java.time.LocalDate.of(2024, 2, 15).toEpochDay
+    val fJan = dataFileWithIds(base, "jan.parquet", Seq((1L, 1L)))
+    val fFeb = dataFileWithIds(base, "feb.parquet", Seq((2L, 2L)))
+    val m = Iceberg.writeManifest(spark, base, "m.avro", 1L, Seq(
+      Iceberg.Entry(fJan, 1,
+        partition = Seq("ts_day" -> jan, "ts_month" -> ((2024L - 1970) * 12))),
+      Iceberg.Entry(fFeb, 1,
+        partition = Seq("ts_day" -> feb, "ts_month" -> ((2024L - 1970) * 12 + 1)))))
+    val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
+    Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "ts", "timestamp") + "]",
+      partitionSpecJson =
+        """[{"name":"ts_day","transform":"day","source-id":1,"field-id":1000},""" +
+          """{"name":"ts_month","transform":"month","source-id":1,"field-id":1001}]""")
+    def us(d: java.time.LocalDate): Long = d.toEpochDay * 86400000000L
+    // a mid-January day window plans only the January file (day field)
+    assert(Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("ts",
+      us(java.time.LocalDate.of(2024, 1, 10)),
+      us(java.time.LocalDate.of(2024, 1, 20)) - 1))) == Seq(fJan))
+    // a February-spanning window keeps only February (month field agrees)
+    assert(Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("ts",
+      us(java.time.LocalDate.of(2024, 2, 1)),
+      us(java.time.LocalDate.of(2024, 2, 28)) - 1))) == Seq(fFeb))
+    // a window crossing the month boundary keeps both
+    assert(Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("ts",
+      us(java.time.LocalDate.of(2024, 1, 10)),
+      us(java.time.LocalDate.of(2024, 2, 20)))))
+      .toSet == Set(fJan, fFeb))
   }
 
   test("partition-spec evolution: summaries are read under each manifest's OWN spec") {
