@@ -316,7 +316,9 @@ object IndexQueries {
     * (Round12QueriesSpec pins the counts). */
   private[graft] def stageQ232IcebergTable(s: SparkSession, dir: String): String = {
     val base = scratch(q232TablePat, dir)
-    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+    // layout tag: per-snapshot manifest attribution (q242) restages
+    // fixtures written by the earlier all-2001 spelling
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events") + "|snapattr") {
       import s.implicits._
       import graft.sources.Iceberg
       import org.apache.spark.sql.types._
@@ -347,7 +349,12 @@ object IndexQueries {
         .map(r => (r.getString(0), r.getBoolean(1)) ->
           (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
       val types = stats.keySet.map(_._1).toSeq.sorted
-      val manifests = types.map { et =>
+      val manifests = types.zipWithIndex.map { case (et, i) =>
+        // entries carry the snapshot that ADDED them: the first three
+        // types' manifests belong to snapshot 2001, the remaining two to
+        // 2002 — the attribution the incremental append scan (q242)
+        // reads; full-snapshot replay ignores it
+        val addedBy = if (i < 3) 2001L else 2002L
         val entries = Seq(false, true).flatMap { hi =>
           stats.get((et, hi)).map { case (loId, hiId, loV, hiV) =>
             val slice = ev.where($"event_type" === et &&
@@ -362,7 +369,7 @@ object IndexQueries {
                 3 -> Iceberg.encodeLong(hiV)))
           }
         }
-        (Iceberg.writeManifest(s, base, s"m_$et.avro", 2001L, entries),
+        (Iceberg.writeManifest(s, base, s"m_$et.avro", addedBy, entries),
           Seq(Iceberg.Summary(Some(Iceberg.encodeString(et)),
             Some(Iceberg.encodeString(et)))))
       }
@@ -2023,6 +2030,23 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // Iceberg INCREMENTAL APPEND read — the CDC-shaped scan: rows of
+    // data files added by snapshots in (2001, 2002], attributed by the
+    // entry-level snapshot_id (falling back to the manifest-list row's
+    // added_snapshot_id, the spec's inheritance rule). Plans only the
+    // NEW snapshot's manifests — each poll of a 100 TB table costs
+    // O(new files), never a full-table replay. The oracle re-derives
+    // the two event types snapshot 2002 introduced; a scan that
+    // attributes by manifest order, or replays full snapshots and
+    // diffs rows, breaks on the carried-forward 2001 manifests.
+    "q242_iceberg_incremental_read" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ232IcebergTable(s, dir)
+      graft.sources.Iceberg.readIncremental(s, base, 2001L, 2002L)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+    }),
+
     // Iceberg HIDDEN PARTITIONING — transform-aware pruning (q232's
     // identity twin): the table partitions by bucket[4](user_id) ×
     // daily-truncate(ts_us), derived values the data files don't even
@@ -2853,6 +2877,12 @@ object IndexQueries {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
         |FROM events
         |WHERE event_type = 'click' AND event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
+    "q242_iceberg_incremental_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events
+        |WHERE event_type IN ('signup', 'view')""".stripMargin,
     "q241_iceberg_hidden_partitioning" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,

@@ -593,6 +593,96 @@ object Iceberg {
       eligible.maxBy { case ((_, ts), i) => (ts, i) }._1._1)
   }
 
+  /** Incremental APPEND scan: the rows of data files ADDED by snapshots
+    * in `(fromSnapshotId, toSnapshotId]` — Iceberg's incremental-read
+    * contract (from EXCLUSIVE, to INCLUSIVE; both must exist and from
+    * must precede to in the log). File-to-snapshot attribution uses the
+    * entry-level `snapshot_id`, falling back to the manifest-list row's
+    * `added_snapshot_id` (the spec's inheritance rule for null entry
+    * ids); an ADDED entry with neither is refused — guessing would
+    * silently drop or duplicate appends. A range snapshot that DELETES
+    * data (a status-2 entry stamped with its id, or a delete manifest
+    * whose delete files it added) has no append-only story: refused
+    * loudly, the same contract as Iceberg's own IncrementalAppendScan.
+    * At 100 TB altitude this is the CDC-shaped read: each poll plans
+    * only the manifests of the new snapshots, never the whole table. */
+  def readIncremental(spark: SparkSession, table: String,
+                      fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    val doc = metadata(spark, table)
+    val ids = doc.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong()).toSeq
+    val fi = ids.indexOf(fromSnapshotId)
+    val ti = ids.indexOf(toSnapshotId)
+    require(fi >= 0, s"from-snapshot $fromSnapshotId not in $table's log " +
+      s"(known: ${ids.mkString(", ")})")
+    require(ti >= 0, s"to-snapshot $toSnapshotId not in $table's log " +
+      s"(known: ${ids.mkString(", ")})")
+    require(fi < ti, s"incremental range is (from, to] in log order; " +
+      s"$fromSnapshotId does not precede $toSnapshotId")
+    val manifestCache = mutable.Map.empty[String, Seq[GenericRecord]]
+    val files = mutable.LinkedHashSet.empty[String]
+    for (snap <- ids.slice(fi + 1, ti + 1)) {
+      readAvro(spark, resolve(table, manifestListOf(doc, table, snap))).foreach { m =>
+        val mContent = intField(m, "content").getOrElse(0)
+        val mPath = Option(m.get("manifest_path")).map(_.toString)
+          .getOrElse(throw new IllegalArgumentException(
+            "manifest-list row lacks manifest_path"))
+        val inherited = longField(m, "added_snapshot_id")
+        manifestCache.getOrElseUpdate(mPath,
+          readAvro(spark, resolve(table, mPath))).foreach { e =>
+          val status = intField(e, "status").getOrElse(
+            throw new IllegalArgumentException(s"manifest $mPath: entry lacks status"))
+          val eSnap = longField(e, "snapshot_id").orElse(inherited)
+          if (eSnap.contains(snap)) {
+            if (mContent == 1 && status != 2)
+              throw new IllegalArgumentException(
+                s"snapshot $snap of $table adds DELETE files " +
+                  s"(manifest $mPath) — the range is not append-only; " +
+                  "read full snapshots across it instead")
+            if (status == 2)
+              throw new IllegalArgumentException(
+                s"snapshot $snap of $table DELETES data files " +
+                  s"(manifest $mPath) — the range is not append-only; " +
+                  "read full snapshots across it instead")
+            if (mContent == 0 && status == 1) {
+              val df = e.get("data_file").asInstanceOf[GenericRecord]
+              require(df != null, s"manifest $mPath: entry lacks data_file")
+              val fmt = Option(df.get("file_format"))
+                .map(_.toString.toUpperCase).getOrElse("")
+              require(fmt == "PARQUET",
+                s"file ${df.get("file_path")} is $fmt; only PARQUET is read")
+              files += resolve(table, df.get("file_path").toString).toString
+              require(files.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+                s"incremental range ($fromSnapshotId, $toSnapshotId] adds " +
+                  s"more than ${graft.operators.ManifestGuard.MaxPlannedFiles} " +
+                  "files — refusing the driver-side planning collect; " +
+                  "read in smaller snapshot steps")
+            }
+          } else if (status == 1 && eSnap.isEmpty)
+            throw new IllegalArgumentException(
+              s"manifest $mPath: an ADDED entry carries no snapshot_id and " +
+                "the manifest-list row no added_snapshot_id — cannot " +
+                "attribute the append to a snapshot; refusing a guess")
+        }
+      }
+    }
+    val schemaFields = currentSchemaFields(doc)
+    if (files.isEmpty) {
+      require(schemaFields.isDefined,
+        s"incremental range ($fromSnapshotId, $toSnapshotId] of $table " +
+          "adds no files and the metadata carries no schema — nothing to " +
+          "type the empty frame from")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schemaFields.get.map(f =>
+          StructField(f.name, sparkType(f.typ), nullable = true))))
+    }
+    schemaFields match {
+      case Some(fields) => readWithMetadataSchema(spark, fields, files.toSeq)
+      case None => spark.read.parquet(files.toSeq: _*)
+    }
+  }
+
   private def manifestListOf(doc: JsonNode, table: String, snapshotId: Long): String = {
     val snap = doc.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong() == snapshotId)
@@ -923,7 +1013,8 @@ object Iceberg {
                    lowerBounds: Seq[(Int, Array[Byte])] = Nil,
                    upperBounds: Seq[(Int, Array[Byte])] = Nil,
                    sequenceNumber: Option[Long] = None,
-                   equalityIds: Seq[Int] = Nil)
+                   equalityIds: Seq[Int] = Nil,
+                   omitSnapshotId: Boolean = false)
 
   /** Single-value serialization of the spec: little-endian fixed-width
     * numerics, raw UTF-8 strings — what real manifests store in
@@ -1000,7 +1091,13 @@ object Iceberg {
         .withDefault(null)
     var eb = SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
-      .requiredLong("snapshot_id")
+    // entries may OMIT snapshot_id (the spec's null-inherits-from-list
+    // spelling real writers use) — nullable only when a fixture asks
+    eb = if (entries.exists(_.omitSnapshotId))
+      eb.name("snapshot_id").`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
+        .withDefault(null)
+    else eb.name("snapshot_id").`type`().longType().noDefault()
     if (entries.exists(_.sequenceNumber.isDefined))
       eb = eb.name("sequence_number").`type`(Schema.createUnion(
           Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
@@ -1102,7 +1199,7 @@ object Iceberg {
       }
       val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
-      r.put("snapshot_id", snapshotId)
+      if (!e.omitSnapshotId) r.put("snapshot_id", snapshotId)
       e.sequenceNumber.foreach(sq =>
         if (entrySchema.getField("sequence_number") != null)
           r.put("sequence_number", Long.box(sq)))
@@ -1123,7 +1220,8 @@ object Iceberg {
                         summaries: Seq[Seq[Summary]] = Nil,
                         specIds: Seq[Int] = Nil,
                         contents: Seq[Int] = Nil,
-                        sequenceNumbers: Seq[Long] = Nil): String = {
+                        sequenceNumbers: Seq[Long] = Nil,
+                        addedSnapshotIds: Seq[Long] = Nil): String = {
     require(summaries.isEmpty || summaries.size == manifests.size,
       s"summaries (${summaries.size}) must run parallel to manifests (${manifests.size})")
     require(specIds.isEmpty || specIds.size == manifests.size,
@@ -1132,6 +1230,8 @@ object Iceberg {
       s"contents (${contents.size}) must run parallel to manifests (${manifests.size})")
     require(sequenceNumbers.isEmpty || sequenceNumbers.size == manifests.size,
       s"sequenceNumbers (${sequenceNumbers.size}) must run parallel to manifests (${manifests.size})")
+    require(addedSnapshotIds.isEmpty || addedSnapshotIds.size == manifests.size,
+      s"addedSnapshotIds (${addedSnapshotIds.size}) must run parallel to manifests (${manifests.size})")
     val p = new Path(new Path(table, "metadata"), name)
     val schema = manifestFileSchemaFor(summaries.nonEmpty, sequenceNumbers.nonEmpty)
     val rows = manifests.zipWithIndex.map { case ((mp, len), i) =>
@@ -1144,7 +1244,11 @@ object Iceberg {
       r.put("content", if (contents.isEmpty) content else contents(i))
       if (sequenceNumbers.nonEmpty)
         r.put("sequence_number", Long.box(sequenceNumbers(i)))
-      r.put("added_snapshot_id", snapshotId)
+      // a carried-forward manifest keeps the snapshot that ORIGINALLY
+      // added it (real lists preserve this; entry-id inheritance relies
+      // on it) — per-row override for fixtures that model carrying
+      r.put("added_snapshot_id",
+        if (addedSnapshotIds.isEmpty) snapshotId else addedSnapshotIds(i))
       if (summaries.nonEmpty) {
         val arrSchema = schema.getField("partitions").schema()
           .getTypes.asScala.find(_.getType == Schema.Type.ARRAY).get

@@ -448,6 +448,71 @@ class IcebergSpec extends SparkSpec {
       Seq(Iceberg.ColRange("id", drop, drop))).isEmpty)
   }
 
+  test("incremental append scan serves only in-range ADDED files, refuses deletes") {
+    val base = threeSnapshotTable()
+    // (1002, 1003]: snapshot 1003 added f4 only — f3 (EXISTING via m2,
+    // stamped 1002) and the carried manifests must NOT leak in
+    assert(idsOf(Iceberg.readIncremental(spark, base, 1002L, 1003L)) ==
+      Set(6L, 7L))
+    // a range crossing snapshot 1002 is not append-only: 1002 DELETED f1
+    val e1 = intercept[IllegalArgumentException](
+      Iceberg.readIncremental(spark, base, 1001L, 1003L))
+    assert(e1.getMessage.contains("append-only"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.readIncremental(spark, base, 1001L, 1002L))
+    assert(e2.getMessage.contains("append-only"), e2.getMessage)
+    // range misuse: unknown ids, and from must strictly precede to
+    assert(intercept[IllegalArgumentException](
+      Iceberg.readIncremental(spark, base, 999L, 1003L))
+      .getMessage.contains("999"))
+    assert(intercept[IllegalArgumentException](
+      Iceberg.readIncremental(spark, base, 1003L, 1001L))
+      .getMessage.contains("precede"))
+    assert(intercept[IllegalArgumentException](
+      Iceberg.readIncremental(spark, base, 1002L, 1002L))
+      .getMessage.contains("precede"))
+  }
+
+  test("incremental scan inherits null entry snapshot_id from the manifest list") {
+    // the spec's inheritance spelling: entries omit snapshot_id, the
+    // manifest-list row's added_snapshot_id attributes them. Snapshot 6
+    // is an empty baseline; 7 adds f via an omitted-id entry.
+    val base = freshDir()
+    val f = dataFileWithIds(base, "f.parquet", Seq((1L, 10L), (2L, 20L)))
+    val ml6 = Iceberg.writeManifestList(spark, base, "snap6.avro", 6L, Nil)
+    val m = Iceberg.writeManifest(spark, base, "m7.avro", 7L,
+      Seq(Iceberg.Entry(f, 1, omitSnapshotId = true)))
+    val ml7 = Iceberg.writeManifestList(spark, base, "snap7.avro", 7L, Seq(m))
+    Iceberg.writeMetadata(spark, base, 2, Seq((6L, 1L, ml6), (7L, 2L, ml7)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]")
+    assert(idsOf(Iceberg.readIncremental(spark, base, 6L, 7L)) == Set(1L, 2L))
+  }
+
+  test("incremental scan: carried manifests keep their ORIGINAL attribution") {
+    // snapshot 8 carries m7 forward; its list row preserves
+    // added_snapshot_id = 7 (what real lists do). With omitted entry
+    // ids, inheritance must attribute f to 7, NOT 8 — so (7, 8] is an
+    // append-free range whose empty frame still types from the schema.
+    val base = freshDir()
+    val f = dataFileWithIds(base, "f.parquet", Seq((1L, 10L)))
+    val m = Iceberg.writeManifest(spark, base, "m7.avro", 7L,
+      Seq(Iceberg.Entry(f, 1, omitSnapshotId = true)))
+    val ml6 = Iceberg.writeManifestList(spark, base, "snap6.avro", 6L, Nil)
+    val ml7 = Iceberg.writeManifestList(spark, base, "snap7.avro", 7L, Seq(m))
+    val ml8 = Iceberg.writeManifestList(spark, base, "snap8.avro", 8L, Seq(m),
+      addedSnapshotIds = Seq(7L))
+    Iceberg.writeMetadata(spark, base, 3,
+      Seq((6L, 1L, ml6), (7L, 2L, ml7), (8L, 3L, ml8)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "," +
+        Iceberg.fieldJson(2, "v", "long") + "]")
+    val empty = Iceberg.readIncremental(spark, base, 7L, 8L)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("id", "v"))
+    // and the wider range still finds the append exactly once
+    assert(idsOf(Iceberg.readIncremental(spark, base, 6L, 8L)) == Set(1L))
+  }
+
   test("bucket summaries prune whole manifests unopened; truncate carries ranges") {
     // four manifests, one per bucket[4](id) value, summary [b, b] each;
     // second spec field truncate[10](v) bounds per manifest
