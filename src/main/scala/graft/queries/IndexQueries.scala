@@ -72,6 +72,7 @@ object IndexQueries {
   private val q228TablePat = scratchPat("q228_iceberg")
   private val q232TablePat = scratchPat("q232_iceberg_part")
   private val q241TablePat = scratchPat("q241_iceberg_hidden")
+  private val q243TablePat = scratchPat("q243_iceberg_w")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -143,6 +144,7 @@ object IndexQueries {
     stageQ228IcebergTable(s, dir)
     stageQ232IcebergTable(s, dir)
     stageQ241IcebergHiddenPart(s, dir)
+    stageQ243IcebergWritten(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -473,6 +475,32 @@ object IndexQueries {
           """{"name":"ts_day","transform":"truncate[86400000000]","source-id":3,"field-id":1001}]"""
       Iceberg.writeMetadata(s, base, version = 1, Seq((4001L, 1000L, ml)),
         schemaFieldsJson = schemaJson, partitionSpecJson = specJson)
+    }
+    base
+  }
+
+  /** q243's fixture: an Iceberg table COMMITTED BY THE REPO'S OWN WRITER
+    * — two `IcebergWriter.commitAppend` snapshots over deterministic
+    * event slices (`event_id % 3` = 0 then 1). The writer derives the
+    * schema + field ids from the frame, stamps parquet ids, records
+    * footer-derived column bounds per file, and carries snapshot 6001's
+    * manifest into 6002's list with its original attribution — so the
+    * read-back exercises full replay, time travel, incremental
+    * attribution AND stats pruning against metadata this repo WROTE,
+    * not hand-assembled fixtures. */
+  private[graft] def stageQ243IcebergWritten(s: SparkSession, dir: String): String = {
+    val base = scratch(q243TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(m: Int) = t(s, dir, "events").where($"event_id" % 3 === m)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice(0), 6001L, 1000L)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice(1), 6002L, 2000L)
     }
     base
   }
@@ -2047,6 +2075,28 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // Iceberg WRITE round-trip — the repo's own commitAppend produced
+    // the table (schema + field ids derived from the frame, per-file
+    // footer-derived bounds, carried manifests with original
+    // attribution); the read-back legs exercise full replay, AS-OF
+    // snapshot and the incremental scan against SELF-WRITTEN metadata.
+    // The oracle replays the % 3 slices declaratively — a writer that
+    // mis-attributes the carried manifest double-counts the incremental
+    // leg; one that loses a part or a column breaks the full leg.
+    "q243_iceberg_write_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ243IcebergWritten(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("full", Iceberg.read(s, base))
+        .unionAll(leg("snap1", Iceberg.readSnapshot(s, base, 6001L)))
+        .unionAll(leg("incr", Iceberg.readIncremental(s, base, 6001L, 6002L)))
+        .orderBy($"leg")
+    }),
+
     // Iceberg HIDDEN PARTITIONING — transform-aware pruning (q232's
     // identity twin): the table partitions by bucket[4](user_id) ×
     // daily-truncate(ts_us), derived values the data files don't even
@@ -2877,6 +2927,23 @@ object IndexQueries {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
         |FROM events
         |WHERE event_type = 'click' AND event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
+    "q243_iceberg_write_roundtrip" ->
+      """WITH legs AS (
+        |  SELECT 'full' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE event_id % 3 IN (0, 1)
+        |  UNION ALL
+        |  SELECT 'snap1', count(*),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'incr', count(*),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_id % 3 = 1
+        |) SELECT * FROM legs ORDER BY leg""".stripMargin,
     "q242_iceberg_incremental_read" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,

@@ -142,7 +142,7 @@ object Iceberg {
     }
   }
 
-  private def metadata(spark: SparkSession, table: String): JsonNode = {
+  private[sources] def metadata(spark: SparkSession, table: String): JsonNode = {
     val doc = mapper.readTree(readSmall(spark, currentMetadataPath(spark, table)))
     val fv = doc.path("format-version").asInt(-1)
     require(fv == 1 || fv == 2,
@@ -683,7 +683,7 @@ object Iceberg {
     }
   }
 
-  private def manifestListOf(doc: JsonNode, table: String, snapshotId: Long): String = {
+  private[sources] def manifestListOf(doc: JsonNode, table: String, snapshotId: Long): String = {
     val snap = doc.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong() == snapshotId)
       .getOrElse(throw new IllegalArgumentException(
@@ -965,7 +965,7 @@ object Iceberg {
 
   /** Iceberg metadata stores absolute URIs; tolerate table-relative paths
     * (this repo's fixtures, some rewritten tables). */
-  private def resolve(table: String, p: String): Path =
+  private[sources] def resolve(table: String, p: String): Path =
     if (p.contains(":/") || p.startsWith("/")) new Path(p)
     else new Path(table, p)
 
@@ -981,7 +981,7 @@ object Iceberg {
 
   /** Driver-side Avro container read — manifests are KB–MB planning
     * metadata, the same altitude as the Delta log's JSON replay. */
-  private def readAvro(spark: SparkSession, p: Path): Seq[GenericRecord] = {
+  private[sources] def readAvro(spark: SparkSession, p: Path): Seq[GenericRecord] = {
     val in = fs(spark, p).open(p)
     val out = mutable.ArrayBuffer.empty[GenericRecord]
     try {

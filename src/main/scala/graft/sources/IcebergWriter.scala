@@ -1,0 +1,243 @@
+package graft.sources
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
+
+/** Iceberg APPEND writer — the commit half of the interop story (the
+  * Delta tier has DeltaLogWriter; this closes the asymmetry for
+  * Iceberg). One call = one snapshot: id-stamped parquet data files, a
+  * manifest whose entries carry REAL per-column `lower_bounds` /
+  * `upper_bounds` (merged from the parquet footers the write just
+  * produced — no data re-read), a manifest list that carries the
+  * previous snapshot's manifests forward with their ORIGINAL
+  * `added_snapshot_id`, and a new `v{N}.metadata.json` + version-hint.
+  * The result is readable by [[Iceberg.read]]/[[Iceberg.readPruned]]
+  * (the stats bounds prune) and by [[Iceberg.readIncremental]] (the
+  * attribution is per-snapshot), and by any spec-conforming reader.
+  *
+  * Scope gates, all loud: single-writer only (the metadata swap is a
+  * plain overwrite, not a CAS — concurrent committers need a catalog),
+  * unpartitioned v1 append-only tables (a partitioned or
+  * delete-carrying table refuses rather than dropping its summaries /
+  * delete semantics on the floor), schema must match the table's
+  * exactly (evolution is a separate operation, not an append
+  * side-effect). */
+object IcebergWriter {
+
+  /** Supported primitive mapping for table CREATION from a Spark
+    * schema. Kept to the types [[Iceberg.sparkType]] round-trips. */
+  private def iceType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+    case org.apache.spark.sql.types.BooleanType => "boolean"
+    case org.apache.spark.sql.types.IntegerType => "int"
+    case org.apache.spark.sql.types.LongType => "long"
+    case org.apache.spark.sql.types.FloatType => "float"
+    case org.apache.spark.sql.types.DoubleType => "double"
+    case org.apache.spark.sql.types.StringType => "string"
+    case org.apache.spark.sql.types.DateType => "date"
+    case org.apache.spark.sql.types.TimestampType => "timestamptz"
+    case org.apache.spark.sql.types.TimestampNTZType => "timestamp"
+    case other => throw new IllegalArgumentException(
+      s"cannot write Iceberg column of Spark type ${other.simpleString} — " +
+        "supported: boolean/int/long/float/double/string/date/timestamp")
+  }
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Append `df` as snapshot `snapshotId` at `timestampMs` (both
+    * caller-supplied: commits are deterministic, replayable facts, not
+    * wall-clock reads). Creates the table — metadata v1, field ids
+    * 1..n from `df`'s schema — when `table` has no current metadata.
+    * Returns the new metadata version. */
+  def commitAppend(spark: SparkSession, table: String, df: DataFrame,
+                   snapshotId: Long, timestampMs: Long): Int = {
+    // presence is decided by the metadata DIRECTORY, not by whether the
+    // parse succeeds — a corrupt existing table must refuse loudly, not
+    // be silently "re-created" over
+    val existing: Option[com.fasterxml.jackson.databind.JsonNode] =
+      if (fs(spark, new Path(table, "metadata"))
+          .exists(new Path(table, "metadata")))
+        Some(Iceberg.metadata(spark, table))
+      else None
+    val (fields, version, priorSnaps) = existing match {
+      case Some(doc) =>
+        val f = Iceberg.currentSchemaFields(doc).getOrElse(
+          throw new IllegalArgumentException(
+            s"cannot append to $table: its metadata carries no schema to " +
+              "validate the append against"))
+        val specs = Iceberg.partitionSpecs(doc)
+        require(specs.values.forall(_.isEmpty),
+          s"cannot append to $table: it is PARTITIONED and this writer " +
+            "does not derive partition values or summaries — appending " +
+            "unpartitioned files would silently break partition pruning")
+        val snaps = doc.path("snapshots").elements().asScala.map { s =>
+          (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
+            s.path("manifest-list").asText(""))
+        }.toSeq
+        require(!snaps.exists(_._1 == snapshotId),
+          s"snapshot id $snapshotId already exists in $table")
+        require(snaps.forall(_._2 <= timestampMs),
+          s"append at timestamp $timestampMs would commit BEFORE an " +
+            s"existing snapshot (latest: ${snaps.map(_._2).maxOption.getOrElse(0L)}) " +
+            "— history must be monotonic for AS-OF reads to stay sane")
+        val vName = Iceberg.currentMetadataPath(spark, table).getName
+          .stripSuffix(".metadata.json").stripPrefix("v")
+        val hintVersion = try vName.takeWhile(_.isDigit).toInt catch {
+          case _: NumberFormatException => throw new IllegalArgumentException(
+            s"cannot derive the next metadata version from '$vName' — " +
+              "this writer versions as vN.metadata.json")
+        }
+        (f, hintVersion + 1, snaps)
+      case None =>
+        val f = df.schema.fields.zipWithIndex.map { case (sf, i) =>
+          Iceberg.IceField(i + 1, sf.name, iceType(sf.dataType))
+        }.toSeq
+        (f, 1, Seq.empty[(Long, Long, String)])
+    }
+    require(df.columns.toSeq == fields.map(_.name),
+      s"append schema ${df.columns.mkString("(", ", ", ")")} does not " +
+        s"match $table's ${fields.map(_.name).mkString("(", ", ", ")")} — " +
+        "schema evolution is a separate operation, not an append side-effect")
+
+    // ---- data files: id-stamped parquet under data/ -----------------
+    val basePath = new Path(table)
+    val f = fs(spark, basePath)
+    val dataDir = new Path(basePath, "data")
+    val tmp = new Path(basePath, s".tmp_append_$snapshotId")
+    f.delete(tmp, true)
+    def idMeta(id: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val st = StructType(fields.map(fd => StructField(fd.name,
+      Iceberg.sparkType(fd.typ), nullable = true, idMeta(fd.id.toLong))))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(df.rdd, st).write.parquet(tmp.toString)
+    f.mkdirs(dataDir)
+    val parts = f.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    require(parts.nonEmpty, s"append to $table wrote no parquet parts")
+    val files = parts.zipWithIndex.map { case (p, i) =>
+      val dst = new Path(dataDir, f"snap$snapshotId%d-$i%05d.parquet")
+      require(f.rename(p, dst), s"rename to $dst failed")
+      dst.toString
+    }.toSeq
+    f.delete(tmp, true)
+
+    // ---- manifest with footer-derived column bounds ------------------
+    val typById = fields.map(fd => fd.id -> fd.typ).toMap
+    val nameToId = fields.map(fd => fd.name -> fd.id).toMap
+    val entries = files.map { file =>
+      val (lo, hi) = fileBounds(spark, file, nameToId, typById)
+      Iceberg.Entry(file, 1, lowerBounds = lo, upperBounds = hi)
+    }
+    val manifest = Iceberg.writeManifest(spark, table,
+      s"m-snap$snapshotId.avro", snapshotId, entries)
+
+    // ---- manifest list: carry prior manifests with ORIGINAL ids ------
+    val (carried, carriedAdds) = priorSnaps.lastOption match {
+      case None => (Nil, Nil)
+      case Some((_, _, mlPath)) =>
+        val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+        val bad = rows.filter(r => Option(r.get("content")).exists(_.toString != "0"))
+        require(bad.isEmpty,
+          s"cannot append to $table: its current snapshot lists DELETE " +
+            "manifests — carrying them without their sequence semantics " +
+            "would corrupt merge-on-read; compact first")
+        (rows.map(r => (r.get("manifest_path").toString,
+            Option(r.get("manifest_length")).map(_.toString.toLong).getOrElse(0L))),
+          rows.map(r => Option(r.get("added_snapshot_id"))
+            .map(_.toString.toLong).getOrElse(
+              throw new IllegalArgumentException(
+                s"manifest-list row of $table lacks added_snapshot_id"))))
+    }
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId,
+      carried :+ manifest,
+      addedSnapshotIds = carriedAdds :+ snapshotId)
+
+    // ---- metadata swap (single-writer: plain overwrite, no CAS) ------
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, version,
+      priorSnaps :+ ((snapshotId, timestampMs, ml)),
+      schemaFieldsJson = schemaJson)
+    version
+  }
+
+  /** Merge per-row-group parquet footer statistics of ONE just-written
+    * file into Iceberg single-value-serialized bounds, keyed by field
+    * id. A column missing statistics in ANY row group gets no bounds
+    * (absent = "unknown" = the reader keeps the file: sound). Driver-
+    * side footer read — planning-altitude metadata, no data re-read. */
+  private def fileBounds(spark: SparkSession, file: String,
+                         nameToId: Map[String, Int], typById: Map[Int, String])
+      : (Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])]) = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile
+      .fromPath(new Path(file), spark.sessionState.newHadoopConf())
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try {
+      val blocks = r.getFooter.getBlocks.asScala
+      // columnPath → merged (min, max) across row groups, or dropped
+      val merged = scala.collection.mutable.Map.empty[String, (Any, Any)]
+      val dead = scala.collection.mutable.Set.empty[String]
+      for (b <- blocks; c <- b.getColumns.asScala) {
+        val name = c.getPath.toDotString
+        if (!dead(name)) {
+          val s = c.getStatistics
+          if (s == null || s.isEmpty || !s.hasNonNullValue) {
+            dead += name; merged.remove(name)
+          } else {
+            val (mn, mx) = (s.genericGetMin, s.genericGetMax)
+            merged.get(name) match {
+              case None => merged(name) = (mn, mx)
+              case Some((pmn, pmx)) =>
+                merged(name) = (minOf(pmn, mn), maxOf(pmx, mx))
+            }
+          }
+        }
+      }
+      def encode(id: Int, v: Any): Option[Array[Byte]] = typById(id) match {
+        case "int" => Some(Iceberg.encodeInt(v.asInstanceOf[Number].intValue))
+        case "long" => Some(Iceberg.encodeLong(v.asInstanceOf[Number].longValue))
+        case "float" => Some(java.nio.ByteBuffer.allocate(4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          .putFloat(v.asInstanceOf[Number].floatValue).array())
+        case "double" => Some(Iceberg.encodeDouble(v.asInstanceOf[Number].doubleValue))
+        case "string" => v match {
+          case b: org.apache.parquet.io.api.Binary =>
+            Some(Iceberg.encodeString(b.toStringUsingUTF8))
+          case _ => None
+        }
+        case _ => None // temporal/other: no bounds (sound), files still read
+      }
+      val lo = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      val hi = scala.collection.mutable.ArrayBuffer.empty[(Int, Array[Byte])]
+      for ((name, (mn, mx)) <- merged; id <- nameToId.get(name)) {
+        for (b <- encode(id, mn)) lo += ((id, b))
+        for (b <- encode(id, mx)) hi += ((id, b))
+      }
+      (lo.toSeq.sortBy(_._1), hi.toSeq.sortBy(_._1))
+    } finally r.close()
+  }
+
+  private def minOf(a: Any, b: Any): Any = if (cmp(a, b) <= 0) a else b
+  private def maxOf(a: Any, b: Any): Any = if (cmp(a, b) >= 0) a else b
+
+  private def cmp(a: Any, b: Any): Int = (a, b) match {
+    case (x: java.lang.Integer, y: java.lang.Integer) => x.compareTo(y)
+    case (x: java.lang.Long, y: java.lang.Long) => x.compareTo(y)
+    case (x: java.lang.Float, y: java.lang.Float) => x.compareTo(y)
+    case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
+    case (x: org.apache.parquet.io.api.Binary, y: org.apache.parquet.io.api.Binary) =>
+      // parquet string stats order = unsigned lexicographic on UTF-8
+      // bytes, which agrees with String.compareTo for the codepoints
+      // involved; compare the decoded strings to stay in the same
+      // domain the reader's `lt` uses
+      x.toStringUsingUTF8.compareTo(y.toStringUsingUTF8)
+    case _ => throw new IllegalStateException(
+      s"incomparable footer statistics classes: ${a.getClass} vs ${b.getClass}")
+  }
+}

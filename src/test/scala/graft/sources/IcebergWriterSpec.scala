@@ -1,0 +1,139 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** The append writer's laws: round-trip through the repo's OWN reader
+  * (full, time-travel, incremental), footer-derived stats bounds that
+  * actually prune, original-attribution carry, and the loud scope
+  * gates (schema drift, id/timestamp reuse, partitioned or
+  * delete-carrying tables, corrupt-metadata non-overwrite). */
+class IcebergWriterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    new java.io.File(java.nio.file.Files.createTempDirectory("icew").toString,
+      "tbl").toString
+
+  private def df(ids: Seq[Long]) =
+    ids.map(i => (i, s"name_$i", i * 1.5)).toDF("id", "name", "score")
+
+  test("create + append round-trips through read, time travel and incremental") {
+    val base = freshDir()
+    val v1 = IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L, 3L)), 101L, 1000L)
+    val v2 = IcebergWriter.commitAppend(spark, base, df(Seq(10L, 20L)), 102L, 2000L)
+    assert(v1 == 1 && v2 == 2)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 2L, 3L, 10L, 20L))
+    assert(Iceberg.read(spark, base).columns.toSeq == Seq("id", "name", "score"))
+    assert(ids(Iceberg.readSnapshot(spark, base, 101L)) == Set(1L, 2L, 3L))
+    assert(ids(Iceberg.readIncremental(spark, base, 101L, 102L)) == Set(10L, 20L))
+    assert(Iceberg.snapshots(spark, base) == Seq((101L, 1000L), (102L, 2000L)))
+    // AS-OF timestamp rides the committed history
+    assert(ids(Iceberg.readAsOf(spark, base, 1500L)) == Set(1L, 2L, 3L))
+  }
+
+  test("footer-derived bounds prune long AND string columns") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base,
+      df(Seq(1L, 2L, 3L)).coalesce(1), 101L, 1000L)
+    IcebergWriter.commitAppend(spark, base,
+      df(Seq(100L, 200L)).coalesce(1), 102L, 2000L)
+    val all = Iceberg.planFiles(spark, base)
+    assert(all.size == 2)
+    // id in [150, 250] overlaps only the second commit's [100, 200]
+    val byId = Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("id", 150L, 250L)))
+    assert(byId.size == 1 && byId.head.contains("snap102"), byId.mkString(", "))
+    // string bounds: names sort name_1..name_3 vs name_100/name_200
+    val byName = Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("name", "name_3", "name_99")))
+    assert(byName.size == 1 && byName.head.contains("snap101"), byName.mkString(", "))
+    // double bounds: score = id * 1.5
+    val byScore = Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("score", 100.0, 400.0)))
+    assert(byScore.size == 1 && byScore.head.contains("snap102"), byScore.mkString(", "))
+    // the pruned read still equals the filtered full read (soundness)
+    import org.apache.spark.sql.functions.col
+    val p = Iceberg.readPruned(spark, base, Seq(Iceberg.ColRange("id", 150L, 250L)))
+      .where(col("id").between(150L, 250L)).collect().map(_.getLong(0)).toSet
+    assert(p == Set(200L))
+  }
+
+  test("a multi-part append carries per-FILE bounds, not per-commit") {
+    val base = freshDir()
+    // range-partition into two parts with disjoint id ranges in ONE commit
+    val two = df((1L to 40L)).repartitionByRange(2, $"id")
+    IcebergWriter.commitAppend(spark, base, two, 101L, 1000L)
+    val all = Iceberg.planFiles(spark, base)
+    assert(all.size == 2)
+    val hit = Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("id", 1L, 2L)))
+    assert(hit.size == 1, hit.mkString(", "))
+  }
+
+  test("scope gates refuse loudly: drift, reuse, regression, partitioned, deletes") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L)), 101L, 1000L)
+    // schema drift
+    val e1 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, Seq((1L, "x")).toDF("id", "name"), 102L, 2000L))
+    assert(e1.getMessage.contains("does not"), e1.getMessage)
+    // snapshot id reuse
+    val e2 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, df(Seq(2L)), 101L, 2000L))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+    // timestamp regression
+    val e3 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, df(Seq(2L)), 102L, 999L))
+    assert(e3.getMessage.contains("monotonic"), e3.getMessage)
+    // partitioned table
+    val part = freshDir()
+    val fp = {
+      val tmp = new java.io.File(part, ".t").toString
+      df(Seq(1L)).coalesce(1).write.parquet(tmp)
+      val p = new java.io.File(tmp).listFiles()
+        .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+      p.getAbsolutePath
+    }
+    val m = Iceberg.writeManifest(spark, part, "m.avro", 1L,
+      Seq(Iceberg.Entry(fp, 1, partition = Seq("cat" -> "a"))))
+    val ml = Iceberg.writeManifestList(spark, part, "snap.avro", 1L, Seq(m))
+    Iceberg.writeMetadata(spark, part, 1, Seq((1L, 1L, ml)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "]",
+      partitionSpecJson = "[" + Iceberg.identityPartitionJson(1, "cat") + "]")
+    val e4 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, part, Seq(2L).toDF("id"), 2L, 2000L))
+    assert(e4.getMessage.contains("PARTITIONED"), e4.getMessage)
+    // delete-manifest-carrying table
+    val mor = freshDir()
+    val md = Iceberg.writeManifest(spark, mor, "m.avro", 1L,
+      Seq(Iceberg.Entry(fp, 1)))
+    val mld = Iceberg.writeManifestList(spark, mor, "snap.avro", 1L,
+      Seq(md), contents = Seq(1))
+    Iceberg.writeMetadata(spark, mor, 1, Seq((1L, 1L, mld)),
+      schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "]")
+    val e5 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, mor, Seq(2L).toDF("id"), 2L, 2000L))
+    assert(e5.getMessage.contains("DELETE manifests"), e5.getMessage)
+  }
+
+  test("a corrupt existing table refuses — it is never silently re-created") {
+    val base = freshDir()
+    val md = new java.io.File(base, "metadata")
+    md.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(md, "version-hint.text"))
+    w.print("1"); w.close()
+    // hint names v1 but no v1.metadata.json exists → loud, no create
+    intercept[Exception](IcebergWriter.commitAppend(
+      spark, base, df(Seq(1L)), 101L, 1000L))
+    assert(!new java.io.File(md, "v1.metadata.json").exists())
+  }
+
+  test("unsupported Spark column types are refused by name") {
+    val base = freshDir()
+    val e = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, Seq((1L, Seq(1, 2))).toDF("id", "arr"), 101L, 1000L))
+    assert(e.getMessage.contains("arr") || e.getMessage.contains("array"),
+      e.getMessage)
+  }
+}
