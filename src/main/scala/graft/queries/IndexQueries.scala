@@ -73,6 +73,7 @@ object IndexQueries {
   private val q232TablePat = scratchPat("q232_iceberg_part")
   private val q241TablePat = scratchPat("q241_iceberg_hidden")
   private val q243TablePat = scratchPat("q243_iceberg_w")
+  private val q244TablePat = scratchPat("q244_delta_asof")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -145,6 +146,7 @@ object IndexQueries {
     stageQ232IcebergTable(s, dir)
     stageQ241IcebergHiddenPart(s, dir)
     stageQ243IcebergWritten(s, dir)
+    stageQ244DeltaAsOf(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -501,6 +503,36 @@ object IndexQueries {
         .coalesce(1)
       graft.sources.IcebergWriter.commitAppend(s, base, slice(0), 6001L, 1000L)
       graft.sources.IcebergWriter.commitAppend(s, base, slice(1), 6002L, 2000L)
+    }
+    base
+  }
+
+  /** q244's fixture: a Delta table written by the repo's writer in three
+    * commits (purchase, +click, +error slices), whose commit-file
+    * MODIFICATION TIMES are then pinned to 1000/5000/9000 ms — the
+    * classic protocol rule timestamp travel resolves by (commitInfo's
+    * display timestamp is deliberately not trusted; a fixture that
+    * relied on wall-clock mtimes would make the oracle
+    * non-deterministic). */
+  private[graft] def stageQ244DeltaAsOf(s: SparkSession, dir: String): String = {
+    val base = scratch(q244TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), base)
+      graft.sources.DeltaLogWriter.write(slice("click"), base)
+      graft.sources.DeltaLogWriter.write(slice("error"), base)
+      Seq(0L -> 1000L, 1L -> 5000L, 2L -> 9000L).foreach { case (v, ts) =>
+        val c = new org.apache.hadoop.fs.Path(
+          new org.apache.hadoop.fs.Path(base, "_delta_log"), f"$v%020d.json")
+        fs.setTimes(c, ts, -1)
+      }
     }
     base
   }
@@ -2075,6 +2107,23 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // Delta time travel BY TIMESTAMP — the q234 Iceberg twin on the
+    // Delta log: commit timestamps come from the commit FILES'
+    // modification times (pinned by the fixture; inCommitTimestamp
+    // would win if present) with the history manager's monotonicity
+    // adjustment, and AS-OF resolves latest commit <= ts. Probes
+    // straddle the three commits: at-commit, between, after-last. The
+    // oracle replays the cumulative event-type slices per probe.
+    "q244_delta_timestamp_travel" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ244DeltaAsOf(s, dir)
+      Seq(1000L, 4999L, 5000L, 999999L).map { ts =>
+        graft.sources.DeltaLogReader.readAsOfTimestamp(s, base, ts)
+          .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"))
+          .select(lit(ts).as("as_of_ms"), $"n_rows", $"id_checksum")
+      }.reduce(_ unionAll _).orderBy($"as_of_ms")
+    }),
+
     // Iceberg WRITE round-trip — the repo's own commitAppend produced
     // the table (schema + field ids derived from the frame, per-file
     // footer-derived bounds, carried manifests with original
@@ -2927,6 +2976,24 @@ object IndexQueries {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
         |FROM events
         |WHERE event_type = 'click' AND event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
+    "q244_delta_timestamp_travel" ->
+      """WITH p AS (SELECT event_id FROM events WHERE event_type = 'purchase'),
+        |pc AS (SELECT event_id FROM events
+        |       WHERE event_type IN ('purchase', 'click')),
+        |pce AS (SELECT event_id FROM events
+        |        WHERE event_type IN ('purchase', 'click', 'error'))
+        |SELECT CAST(1000 AS BIGINT) AS as_of_ms, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum FROM p
+        |UNION ALL
+        |SELECT CAST(4999 AS BIGINT), count(*),
+        |  CAST(sum(event_id) AS BIGINT) FROM p
+        |UNION ALL
+        |SELECT CAST(5000 AS BIGINT), count(*),
+        |  CAST(sum(event_id) AS BIGINT) FROM pc
+        |UNION ALL
+        |SELECT CAST(999999 AS BIGINT), count(*),
+        |  CAST(sum(event_id) AS BIGINT) FROM pce
+        |ORDER BY as_of_ms""".stripMargin,
     "q243_iceberg_write_roundtrip" ->
       """WITH legs AS (
         |  SELECT 'full' AS leg, count(*) AS n_rows,

@@ -61,6 +61,57 @@ object DeltaLogReader {
       .sorted.toSeq
   }
 
+  /** Commit timestamps in version order, as Delta's own time travel
+    * derives them: per commit, `commitInfo.inCommitTimestamp` when
+    * present (the in-commit-timestamps feature's authoritative field —
+    * tables without the feature never carry it), else the commit FILE's
+    * modification time (the classic protocol rule; `commitInfo.timestamp`
+    * is display metadata and deliberately not trusted). Then the
+    * monotonicity adjustment Delta's history manager applies: a commit
+    * whose raw timestamp does not exceed its predecessor's is served as
+    * predecessor + 1 ms, so out-of-order file mtimes (clock skew, copies)
+    * can never make AS-OF resolution non-monotonic. Only commits whose
+    * JSON still EXISTS participate — a checkpoint-truncated history
+    * cannot be timestamp-resolved below its earliest surviving commit. */
+  def commitTimestamps(spark: SparkSession, path: String): Seq[(Long, Long)] = {
+    val log = logDir(path)
+    val f = fs(spark, log)
+    val raw = versions(spark, path).map { v =>
+      val p = new Path(log, f"$v%020d.json")
+      val ict = readSmallFile(spark, p).linesIterator
+        .filter(_.contains("commitInfo")).flatMap { line =>
+          val node = mapper.readTree(line).path("commitInfo")
+          val t = node.path("inCommitTimestamp")
+          if (t.isNumber) Some(t.asLong) else None
+        }.nextOption()
+      (v, ict.getOrElse(f.getFileStatus(p).getModificationTime))
+    }
+    var prev = Long.MinValue
+    raw.map { case (v, t) =>
+      val adj = if (t <= prev) prev + 1L else t
+      prev = adj
+      (v, adj)
+    }
+  }
+
+  /** Time travel by TIMESTAMP: read the table as of the latest commit
+    * whose (adjusted) timestamp is <= `tsMillis` — the rule Delta's
+    * `TIMESTAMP AS OF` resolves by, and the twin of the Iceberg
+    * reader's readAsOf (q234). A timestamp before the first surviving
+    * commit has no defined state and is refused with the valid range
+    * named. */
+  def readAsOfTimestamp(spark: SparkSession, path: String,
+                        tsMillis: Long): DataFrame = {
+    val ts = commitTimestamps(spark, path)
+    require(ts.nonEmpty, s"Delta table at $path has no commits")
+    val eligible = ts.filter(_._2 <= tsMillis)
+    require(eligible.nonEmpty,
+      s"no commit of $path at or before timestamp $tsMillis — the " +
+        s"earliest surviving commit is v${ts.head._1} at ${ts.head._2}; " +
+        "a timestamp before it has no defined table state")
+    read(spark, path, asOf = Some(eligible.last._1))
+  }
+
   private[sources] def readSmallFile(spark: SparkSession, p: Path): String = {
     val f = fs(spark, p)
     val buf = new Array[Byte](f.getFileStatus(p).getLen.toInt)

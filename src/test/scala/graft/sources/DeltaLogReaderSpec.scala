@@ -55,6 +55,37 @@ class DeltaLogReaderSpec extends SparkSpec {
     }
   }
 
+  test("timestamp travel: mtime rule, monotonicity adjustment, ICT wins, refusal") {
+    val base = freshDir()
+    dataFile(base, "a.parquet", Seq(1L).toDF("id"))
+    dataFile(base, "b.parquet", Seq(2L).toDF("id"))
+    dataFile(base, "c.parquet", Seq(3L).toDF("id"))
+    writeCommit(base, 0L, Seq(add("a.parquet")))
+    writeCommit(base, 1L, Seq(add("b.parquet")))
+    // v2 carries inCommitTimestamp — authoritative over any mtime
+    writeCommit(base, 2L, Seq(
+      """{"commitInfo":{"timestamp":1,"inCommitTimestamp":9000}}""",
+      add("c.parquet")))
+    def commitFile(v: Long) =
+      new java.io.File(new java.io.File(base, "_delta_log"), f"$v%020d.json")
+    // OUT-OF-ORDER mtimes: v0 @ 5000, v1 @ 4000 → v1 adjusts to 5001
+    assert(commitFile(0L).setLastModified(5000L))
+    assert(commitFile(1L).setLastModified(4000L))
+    assert(commitFile(2L).setLastModified(1L)) // ignored: ICT wins
+    assert(DeltaLogReader.commitTimestamps(spark, base) ==
+      Seq((0L, 5000L), (1L, 5001L), (2L, 9000L)))
+    def at(ts: Long): Set[Long] =
+      idsOf(DeltaLogReader.readAsOfTimestamp(spark, base, ts))
+    assert(at(5000L) == Set(1L))
+    assert(at(5001L) == Set(1L, 2L))
+    assert(at(8999L) == Set(1L, 2L))
+    assert(at(9000L) == Set(1L, 2L, 3L))
+    assert(at(Long.MaxValue) == Set(1L, 2L, 3L))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.readAsOfTimestamp(spark, base, 4999L))
+    assert(e.getMessage.contains("5000"), e.getMessage)
+  }
+
   test("checkpoint resume: pre-checkpoint commits may be truncated away") {
     val base = freshDir()
     dataFile(base, "a.parquet", Seq(1L).toDF("id"))
