@@ -74,6 +74,7 @@ object IndexQueries {
   private val q241TablePat = scratchPat("q241_iceberg_hidden")
   private val q243TablePat = scratchPat("q243_iceberg_w")
   private val q244TablePat = scratchPat("q244_delta_asof")
+  private val q245TablePat = scratchPat("q245_iceberg_del")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -147,6 +148,7 @@ object IndexQueries {
     stageQ241IcebergHiddenPart(s, dir)
     stageQ243IcebergWritten(s, dir)
     stageQ244DeltaAsOf(s, dir)
+    stageQ245IcebergDeleted(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -533,6 +535,31 @@ object IndexQueries {
           new org.apache.hadoop.fs.Path(base, "_delta_log"), f"$v%020d.json")
         fs.setTimes(c, ts, -1)
       }
+    }
+    base
+  }
+
+  /** q245's fixture: an Iceberg table the repo's writer APPENDED and
+    * then row-level DELETED from — `commitAppend` of the purchase+click
+    * slice, then `deleteWhere(event_id % 5 = 0)` committing a v2
+    * POSITION-delete snapshot (no data file rewritten; metadata steps
+    * to format-version 2). The reader's merge-on-read machinery then
+    * serves metadata this repo wrote end-to-end. */
+  private[graft] def stageQ245IcebergDeleted(s: SparkSession, dir: String): String = {
+    val base = scratch(q245TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val slice = t(s, dir, "events")
+        .where($"event_type".isin("purchase", "click"))
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice, 6101L, 1000L)
+      graft.sources.IcebergWriter.deleteWhere(s, base,
+        $"event_id" % 5 === 0, 6102L, 2000L)
     }
     base
   }
@@ -2124,6 +2151,28 @@ object IndexQueries {
       }.reduce(_ unionAll _).orderBy($"as_of_ms")
     }),
 
+    // Iceberg DELETE round-trip — the repo's writer committed a v2
+    // POSITION-delete snapshot over its own appended table (q240's
+    // Delta-DV twin on the Iceberg log): the pre-delete snapshot must
+    // serve every purchase/click row, the current one exactly the
+    // survivors, through the reader's merge-on-read anti-join — all
+    // against self-written metadata. The oracle replays both slices; a
+    // writer that mis-addresses positions, drops the carried data
+    // manifest, or a reader that ignores the delete manifest breaks a
+    // leg's checksums.
+    "q245_iceberg_delete_roundtrip" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ245IcebergDeleted(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("pre_delete", Iceberg.readSnapshot(s, base, 6101L))
+        .unionAll(leg("post_delete", Iceberg.read(s, base)))
+        .orderBy($"leg")
+    }),
+
     // Iceberg WRITE round-trip — the repo's own commitAppend produced
     // the table (schema + field ids derived from the frame, per-file
     // footer-derived bounds, carried manifests with original
@@ -2976,6 +3025,19 @@ object IndexQueries {
         |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
         |FROM events
         |WHERE event_type = 'click' AND event_id % 7 <> 0 AND event_id % 11 <> 0""".stripMargin,
+    "q245_iceberg_delete_roundtrip" ->
+      """WITH pc AS (SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |            FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT * FROM (
+        |  SELECT 'pre_delete' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM pc
+        |  UNION ALL
+        |  SELECT 'post_delete', count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM pc WHERE event_id % 5 <> 0
+        |) ORDER BY leg""".stripMargin,
     "q244_delta_timestamp_travel" ->
       """WITH p AS (SELECT event_id FROM events WHERE event_type = 'purchase'),
         |pc AS (SELECT event_id FROM events

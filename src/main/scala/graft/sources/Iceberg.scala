@@ -244,7 +244,7 @@ object Iceberg {
     * files of one snapshot share a writer lineage; a mixed table where
     * OTHER files lack ids fails loudly downstream
     * (`fieldId.read.ignoreMissing` stays false). */
-  private def readWithMetadataSchema(spark: SparkSession, fields: Seq[IceField],
+  private[sources] def readWithMetadataSchema(spark: SparkSession, fields: Seq[IceField],
                                      files: Seq[String]): DataFrame = {
     val probe = footerFields(spark, files.min)
     val idsPresent = probe.nonEmpty && probe.forall(_._2.isDefined)
@@ -320,10 +320,10 @@ object Iceberg {
     * the bounds maps are keyed by, the type that decodes them, and the
     * endpoints normalized to the comparison domain (Long / Double /
     * String). */
-  private case class ResolvedRange(column: String, fieldId: Int, typ: String,
+  private[sources] case class ResolvedRange(column: String, fieldId: Int, typ: String,
                                    lo: Any, hi: Any)
 
-  private case class PruneCtx(ranges: Seq[ResolvedRange],
+  private[sources] case class PruneCtx(ranges: Seq[ResolvedRange],
                               specs: Map[Int, Seq[SpecField]])
 
   /** Normalize a predicate endpoint into the type's comparison domain;
@@ -877,7 +877,7 @@ object Iceberg {
       case other => other.toString.toLong
     }
 
-  private def listLiveFiles(spark: SparkSession, table: String,
+  private[sources] def listLiveFiles(spark: SparkSession, table: String,
                             mlPath: String, snapshotId: Long,
                             pruning: Option[PruneCtx] = None): PlannedFiles = {
     val data = mutable.ArrayBuffer.empty[(String, Option[Long])]

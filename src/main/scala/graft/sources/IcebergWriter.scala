@@ -167,6 +167,108 @@ object IcebergWriter {
     version
   }
 
+  /** Row-level DELETE committed as a v2 POSITION-delete snapshot — the
+    * Iceberg twin of `DeltaLogWriter.deleteWhere` (q240): no data file
+    * is rewritten; one delete parquet names the matching rows' spec
+    * coordinates (`file_path`, `pos` — `_metadata.file_path` /
+    * `row_index` ARE those coordinates), a delete manifest (content 1)
+    * carries it, and the new manifest list keeps every prior manifest
+    * with its original attribution and content. The metadata steps to
+    * format-version 2 (position deletes are a v2 feature). Zero matches
+    * commit nothing and return the current version — the Delta twin's
+    * no-op contract. Scope gates mirror commitAppend's: unpartitioned,
+    * no equality deletes already present (their sequence gating is read
+    * machinery this writer does not produce), schema from metadata. */
+  def deleteWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column,
+                  snapshotId: Long, timestampMs: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    val doc = Iceberg.metadata(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot delete from $table: its metadata carries no schema"))
+    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
+      s"cannot delete from $table: it is PARTITIONED and this writer " +
+        "does not derive partition metadata for delete files")
+    require(!fields.exists(f => f.name == "file_path" || f.name == "pos"),
+      s"cannot delete from $table: a table column is named file_path/pos " +
+        "— colliding with the position-delete schema; rename it first")
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val snaps = doc.path("snapshots").elements().asScala.map { s =>
+      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
+        s.path("manifest-list").asText(""))
+    }.toSeq
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"delete at timestamp $timestampMs would commit BEFORE an existing " +
+        "snapshot — history must be monotonic")
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val planned = Iceberg.listLiveFiles(spark, table, mlPath, cur)
+    require(planned.eqDeletes.isEmpty,
+      s"cannot delete from $table: it carries EQUALITY delete files, " +
+        "whose sequence-number gating this writer does not produce — " +
+        "compact them away first")
+    require(planned.data.nonEmpty, s"Iceberg table $table has no live data files")
+
+    // matching rows' spec coordinates; previously position-deleted rows
+    // may match again — duplicate (file, pos) pairs are idempotent under
+    // the reader's anti-join
+    val matches = Iceberg
+      .readWithMetadataSchema(spark, fields, planned.data.map(_._1))
+      .select(col("*"),
+        col("_metadata.file_path").as("file_path"),
+        col("_metadata.row_index").as("pos"))
+      .where(predicate)
+      .select(col("file_path"), col("pos"))
+    val n = matches.count()
+    val hintVersion = Iceberg.currentMetadataPath(spark, table).getName
+      .stripSuffix(".metadata.json").stripPrefix("v").takeWhile(_.isDigit).toInt
+    if (n == 0) return hintVersion
+
+    // the delete parquet: one file under data/, spec column names
+    val basePath = new Path(table)
+    val f = fs(spark, basePath)
+    val tmp = new Path(basePath, s".tmp_delete_$snapshotId")
+    f.delete(tmp, true)
+    matches.coalesce(1).write.parquet(tmp.toString)
+    val part = f.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).minBy(_.getName)
+    val delFile = new Path(new Path(basePath, "data"),
+      s"delete-snap$snapshotId.parquet")
+    require(f.rename(part, delFile), s"rename to $delFile failed")
+    f.delete(tmp, true)
+
+    val dm = Iceberg.writeManifest(spark, table,
+      s"m-del$snapshotId.avro", snapshotId,
+      Seq(Iceberg.Entry(delFile.toString, 1, content = 1)))
+
+    // carry EVERY prior manifest verbatim: path, length, content,
+    // original attribution
+    val prior = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+    def longOf(r: org.apache.avro.generic.GenericRecord, n0: String,
+               d: => Long): Long =
+      Option(r.get(n0)).map(_.toString.toLong).getOrElse(d)
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId,
+      prior.map(r => (r.get("manifest_path").toString,
+        longOf(r, "manifest_length", 0L))) :+ dm,
+      contents = prior.map(r =>
+        Option(r.get("content")).map(_.toString.toInt).getOrElse(0)) :+ 1,
+      addedSnapshotIds = prior.map(r => longOf(r, "added_snapshot_id",
+        throw new IllegalArgumentException(
+          s"manifest-list row of $table lacks added_snapshot_id"))) :+ snapshotId)
+
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1,
+      snaps :+ ((snapshotId, timestampMs, ml)),
+      formatVersion = 2, schemaFieldsJson = schemaJson)
+    hintVersion + 1
+  }
+
   /** Merge per-row-group parquet footer statistics of ONE just-written
     * file into Iceberg single-value-serialized bounds, keyed by field
     * id. A column missing statistics in ANY row group gets no bounds

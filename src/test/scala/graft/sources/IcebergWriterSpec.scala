@@ -117,6 +117,35 @@ class IcebergWriterSpec extends SparkSpec {
     assert(e5.getMessage.contains("DELETE manifests"), e5.getMessage)
   }
 
+  test("deleteWhere commits a position-delete snapshot; history stays intact") {
+    import org.apache.spark.sql.functions.col
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df((1L to 10L)).coalesce(1), 101L, 1000L)
+    val v = IcebergWriter.deleteWhere(spark, base, col("id") % 3 === 0, 102L, 2000L)
+    assert(v == 2)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    // merge-on-read serves the survivors; the data file was NOT rewritten
+    assert(ids(Iceberg.read(spark, base)) ==
+      (1L to 10L).filterNot(_ % 3 == 0).toSet)
+    assert(ids(Iceberg.readSnapshot(spark, base, 101L)) == (1L to 10L).toSet)
+    assert(Iceberg.planFiles(spark, base).size == 1) // same single data file
+    // a SECOND delete composes (prior delete manifest carried verbatim)
+    val v2 = IcebergWriter.deleteWhere(spark, base, col("id") === 2L, 103L, 3000L)
+    assert(v2 == 3)
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 4L, 5L, 7L, 8L, 10L))
+    assert(ids(Iceberg.readSnapshot(spark, base, 102L)) ==
+      (1L to 10L).filterNot(_ % 3 == 0).toSet)
+    // zero matches: no-op, version unchanged
+    assert(IcebergWriter.deleteWhere(spark, base, col("id") > 99L, 104L, 4000L) == 3)
+    assert(Iceberg.snapshots(spark, base).map(_._1) == Seq(101L, 102L, 103L))
+    // deleting everything leaves a typed empty current snapshot
+    IcebergWriter.deleteWhere(spark, base, col("id") > 0L, 105L, 5000L)
+    val empty = Iceberg.read(spark, base)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("id", "name", "score"))
+  }
+
   test("a corrupt existing table refuses — it is never silently re-created") {
     val base = freshDir()
     val md = new java.io.File(base, "metadata")
