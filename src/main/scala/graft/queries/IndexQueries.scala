@@ -75,6 +75,9 @@ object IndexQueries {
   private val q243TablePat = scratchPat("q243_iceberg_w")
   private val q244TablePat = scratchPat("q244_delta_asof")
   private val q245TablePat = scratchPat("q245_iceberg_del")
+  private val q246TablePat = scratchPat("q246_iceberg_compact")
+  private val q247TablePat = scratchPat("q247_iceberg_upsert")
+  private val q248TablePat = scratchPat("q248_iceberg_expire")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -149,6 +152,9 @@ object IndexQueries {
     stageQ243IcebergWritten(s, dir)
     stageQ244DeltaAsOf(s, dir)
     stageQ245IcebergDeleted(s, dir)
+    stageQ246IcebergCompacted(s, dir)
+    stageQ247IcebergUpserted(s, dir)
+    stageQ248IcebergExpired(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -560,6 +566,90 @@ object IndexQueries {
       graft.sources.IcebergWriter.commitAppend(s, base, slice, 6101L, 1000L)
       graft.sources.IcebergWriter.deleteWhere(s, base,
         $"event_id" % 5 === 0, 6102L, 2000L)
+    }
+    base
+  }
+
+  /** q246's fixture: the COMPACTION lifecycle end-to-end — append the
+    * purchase+click slice in two files, row-level delete (v2 position
+    * deletes), `compact` (the rewrite that serves the MoR state as plain
+    * files and drops the delete manifests from the live view), then an
+    * append that the pre-compaction table would have REFUSED — the
+    * "compact first" loop closed on metadata this repo wrote. */
+  private[graft] def stageQ246IcebergCompacted(s: SparkSession, dir: String): String = {
+    val base = scratch(q246TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(types: String*) = t(s, dir, "events")
+        .where($"event_type".isin(types: _*))
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.IcebergWriter.commitAppend(s, base,
+        slice("purchase", "click").repartition(2), 6201L, 1000L)
+      graft.sources.IcebergWriter.deleteWhere(s, base,
+        $"event_id" % 7 === 0, 6202L, 2000L)
+      graft.sources.IcebergWriter.compact(s, base, 6203L, 3000L)
+      graft.sources.IcebergWriter.commitAppend(s, base,
+        slice("error").coalesce(1), 6204L, 4000L)
+    }
+    base
+  }
+
+  /** q247's fixture: the MoR UPSERT lifecycle — append the purchase
+    * slice, then two stacked `upsert` commits keyed on event_id
+    * (corrections at 2× then 3× the value), each an equality-delete +
+    * append snapshot at its own data sequence. The read must apply the
+    * strict `data.seq < delete.seq` rule: v1 history at sequence 0,
+    * upsert 1's rows surviving upsert 1's delete but not upsert 2's. */
+  private[graft] def stageQ247IcebergUpserted(s: SparkSession, dir: String): String = {
+    val base = scratch(q247TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val p = t(s, dir, "events").where($"event_type" === "purchase")
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.IcebergWriter.commitAppend(s, base,
+        p.coalesce(1), 6301L, 1000L)
+      graft.sources.IcebergWriter.upsert(s, base,
+        p.where($"event_id" % 3 === 0)
+          .withColumn("value_micros", $"value_micros" * 2).coalesce(1),
+        Seq("event_id"), 6302L, 2000L)
+      graft.sources.IcebergWriter.upsert(s, base,
+        p.where($"event_id" % 6 === 0)
+          .withColumn("value_micros", $"value_micros" * 3).coalesce(1),
+        Seq("event_id"), 6303L, 3000L)
+    }
+    base
+  }
+
+  /** q248's fixture: the EXPIRATION lifecycle — two appends, a
+    * compaction that supersedes their files, then `expireSnapshots`
+    * dropping everything older than the compaction: the rewritten bytes
+    * are physically reclaimed (the spec pins the disk state), the
+    * snapshot list shrinks to the current commit, and the current read
+    * is byte-identical to pre-expiration. */
+  private[graft] def stageQ248IcebergExpired(s: SparkSession, dir: String): String = {
+    val base = scratch(q248TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("click"), 6401L, 1000L)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("error"), 6402L, 2000L)
+      graft.sources.IcebergWriter.compact(s, base, 6403L, 3000L)
+      graft.sources.IcebergWriter.expireSnapshots(s, base, olderThanMs = 2500L)
     }
     base
   }
@@ -2173,6 +2263,72 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Iceberg COMPACTION round-trip — append → row-level delete →
+    // `compact` (rewrite the MoR state as plain files, REPLACE snapshot)
+    // → append again (legal ONLY because compaction dropped the delete
+    // manifests). Pre- and post-compaction snapshots must serve
+    // IDENTICAL data — the compaction law — and the final read layers
+    // the new append on the rewrite. A compactor that loses MoR rows,
+    // resurrects deleted ones, or breaks the replace leaves a leg's
+    // checksums wrong.
+    "q246_iceberg_compaction" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ246IcebergCompacted(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("a_pre_compact", Iceberg.readSnapshot(s, base, 6202L))
+        .unionAll(leg("b_post_compact", Iceberg.readSnapshot(s, base, 6203L)))
+        .unionAll(leg("c_final", Iceberg.read(s, base)))
+        .orderBy($"leg")
+    }),
+
+    // Iceberg MoR UPSERT — two stacked equality-delete+append commits
+    // keyed on event_id over v1 history. The read must hold the spec's
+    // STRICT sequence rule three ways at once: original rows (sequence
+    // 0) die to both deletes, upsert 1's rows (sequence 1) survive
+    // their own delete but die to upsert 2's (sequence 2), and upsert
+    // 2's rows survive everything. Row counts stay constant (1:1
+    // replacement); only the value checksum moves — by exactly the
+    // corrected multiples the oracle replays.
+    "q247_iceberg_upsert" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ247IcebergUpserted(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("after_upsert1", Iceberg.readSnapshot(s, base, 6302L))
+        .unionAll(leg("after_upsert2", Iceberg.read(s, base)))
+        .orderBy($"leg")
+    }),
+
+    // Iceberg SNAPSHOT EXPIRATION — after a compaction superseded the
+    // first two appends, `expireSnapshots` dropped them from metadata
+    // and physically reclaimed their files (the spec pins the disk
+    // state; the never-delete-reachable law rides the carried-manifest
+    // spec test). The query pins the READ-side contract: the current
+    // snapshot is byte-identical to pre-expiration, and the history leg
+    // shows exactly ONE surviving snapshot — the compaction commit.
+    "q248_iceberg_expire" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ248IcebergExpired(s, dir)
+      val snaps = Iceberg.snapshots(s, base)
+      val history = Seq((snaps.size.toLong, snaps.map(_._1).sum,
+        snaps.map(_._2).sum)).toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("history").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      Iceberg.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select(lit("current").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+        .unionAll(history)
+        .orderBy($"leg")
+    }),
+
     // Iceberg WRITE round-trip — the repo's own commitAppend produced
     // the table (schema + field ids derived from the frame, per-file
     // footer-derived bounds, carried manifests with original
@@ -3037,6 +3193,56 @@ object IndexQueries {
         |  SELECT 'post_delete', count(*),
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
+        |) ORDER BY leg""".stripMargin,
+    "q246_iceberg_compaction" ->
+      """WITH surv AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND event_id % 7 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'a_pre_compact' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM surv
+        |  UNION ALL
+        |  SELECT 'b_post_compact', count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM surv
+        |  UNION ALL
+        |  SELECT 'c_final', count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM (SELECT * FROM surv
+        |        UNION ALL
+        |        SELECT event_id, CAST(round(value * 1e6) AS BIGINT)
+        |        FROM events WHERE event_type = 'error')
+        |) ORDER BY leg""".stripMargin,
+    "q247_iceberg_upsert" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT 'after_upsert1' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN vm * 2 ELSE vm END)
+        |      AS BIGINT) AS value_checksum
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'after_upsert2', count(*),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_id % 6 = 0 THEN vm * 3
+        |                  WHEN event_id % 3 = 0 THEN vm * 2
+        |                  ELSE vm END) AS BIGINT)
+        |  FROM p
+        |) ORDER BY leg""".stripMargin,
+    "q248_iceberg_expire" ->
+      """SELECT * FROM (
+        |  SELECT 'current' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE event_type IN ('click', 'error')
+        |  UNION ALL
+        |  SELECT 'history', CAST(1 AS BIGINT),
+        |    CAST(6403 AS BIGINT), CAST(3000 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q244_delta_timestamp_travel" ->
       """WITH p AS (SELECT event_id FROM events WHERE event_type = 'purchase'),

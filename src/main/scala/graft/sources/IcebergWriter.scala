@@ -103,28 +103,7 @@ object IcebergWriter {
         "schema evolution is a separate operation, not an append side-effect")
 
     // ---- data files: id-stamped parquet under data/ -----------------
-    val basePath = new Path(table)
-    val f = fs(spark, basePath)
-    val dataDir = new Path(basePath, "data")
-    val tmp = new Path(basePath, s".tmp_append_$snapshotId")
-    f.delete(tmp, true)
-    def idMeta(id: Long) =
-      new MetadataBuilder().putLong("parquet.field.id", id).build()
-    val st = StructType(fields.map(fd => StructField(fd.name,
-      Iceberg.sparkType(fd.typ), nullable = true, idMeta(fd.id.toLong))))
-    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
-    spark.createDataFrame(df.rdd, st).write.parquet(tmp.toString)
-    f.mkdirs(dataDir)
-    val parts = f.listStatus(tmp)
-      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-      .map(_.getPath).sortBy(_.getName)
-    require(parts.nonEmpty, s"append to $table wrote no parquet parts")
-    val files = parts.zipWithIndex.map { case (p, i) =>
-      val dst = new Path(dataDir, f"snap$snapshotId%d-$i%05d.parquet")
-      require(f.rename(p, dst), s"rename to $dst failed")
-      dst.toString
-    }.toSeq
-    f.delete(tmp, true)
+    val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
 
     // ---- manifest with footer-derived column bounds ------------------
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
@@ -163,6 +142,9 @@ object IcebergWriter {
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
     Iceberg.writeMetadata(spark, table, version,
       priorSnaps :+ ((snapshotId, timestampMs, ml)),
+      // never DOWNGRADE the format: appending to a (compacted) v2 table
+      // keeps it v2 even though this commit itself uses no v2 feature
+      formatVersion = existing.map(_.path("format-version").asInt(1)).getOrElse(1),
       schemaFieldsJson = schemaJson)
     version
   }
@@ -267,6 +249,324 @@ object IcebergWriter {
       snaps :+ ((snapshotId, timestampMs, ml)),
       formatVersion = 2, schemaFieldsJson = schemaJson)
     hintVersion + 1
+  }
+
+  /** COMPACTION — the `rewriteDataFiles` maintenance pass: read the
+    * current snapshot THROUGH merge-on-read (position and equality
+    * deletes applied), rewrite the surviving rows as freshly id-stamped,
+    * bounds-carrying data files sized toward `targetFileBytes`, and
+    * commit a REPLACE snapshot whose manifest list holds ONLY the new
+    * manifest. This is the operation [[commitAppend]]'s and
+    * [[deleteWhere]]'s "compact first" refusals point at: after it the
+    * table carries no delete files, so appends, row-level deletes and
+    * upserts are all legal again — while every PRIOR snapshot stays
+    * byte-identical for time travel until [[expireSnapshots]] collects
+    * it. Output file count = ceil(live-input-bytes / targetFileBytes)
+    * from driver-side file sizes (planning altitude, O(#files)); the
+    * rewrite itself is one distributed repartition — the unavoidable
+    * shuffle of exactly the bytes being rewritten, nothing else. */
+  def compact(spark: SparkSession, table: String,
+              snapshotId: Long, timestampMs: Long,
+              targetFileBytes: Long = 128L << 20): Int = {
+    import org.apache.spark.sql.functions.col
+    val doc = Iceberg.metadata(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot compact $table: its metadata carries no schema to type " +
+          "the rewrite with"))
+    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
+      s"cannot compact $table: it is PARTITIONED and this writer does " +
+        "not derive partition values — a compaction that flattened the " +
+        "partitioning would silently break pruning")
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val snaps = doc.path("snapshots").elements().asScala.map { s =>
+      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
+        s.path("manifest-list").asText(""))
+    }.toSeq
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"compaction at timestamp $timestampMs would commit BEFORE an " +
+        "existing snapshot — history must be monotonic")
+    val planned = Iceberg.listLiveFiles(spark, table,
+      Iceberg.manifestListOf(doc, table, cur), cur)
+    require(planned.data.nonEmpty,
+      s"Iceberg table $table has no live data files — nothing to compact")
+
+    val f = fs(spark, new Path(table))
+    val liveBytes = planned.data.map { case (p, _) =>
+      f.getFileStatus(new Path(p)).getLen
+    }.sum
+    val numOut = math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt
+
+    // the MoR read IS the compaction semantics: whatever the current
+    // snapshot serves is what the rewrite must serve (select pins the
+    // column order to the schema the id-stamped write assumes)
+    val live = Iceberg.read(spark, table)
+      .select(fields.map(fd => col(fd.name)): _*).repartition(numOut)
+    val files = writeIdStampedFiles(spark, table, live, fields, s"compact$snapshotId")
+    val typById = fields.map(fd => fd.id -> fd.typ).toMap
+    val nameToId = fields.map(fd => fd.name -> fd.id).toMap
+    val entries = files.map { file =>
+      val (lo, hi) = fileBounds(spark, file, nameToId, typById)
+      Iceberg.Entry(file, 1, lowerBounds = lo, upperBounds = hi)
+    }
+    val manifest = Iceberg.writeManifest(spark, table,
+      s"m-compact$snapshotId.avro", snapshotId, entries)
+    // REPLACE: only the new manifest — prior data and delete manifests
+    // drop out of the live view (and stay reachable via prior snapshots)
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId, Seq(manifest))
+    val hintVersion = Iceberg.currentMetadataPath(spark, table).getName
+      .stripSuffix(".metadata.json").stripPrefix("v").takeWhile(_.isDigit).toInt
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1,
+      snaps :+ ((snapshotId, timestampMs, ml)),
+      formatVersion = doc.path("format-version").asInt(1),
+      schemaFieldsJson = schemaJson)
+    hintVersion + 1
+  }
+
+  /** MoR UPSERT — one v2 snapshot that (a) appends `df`'s rows and (b)
+    * commits an EQUALITY-delete file over `df`'s distinct `keyCols`
+    * values, both at data sequence number N = max(existing) + 1. Under
+    * the spec's strict `data.seq < delete.seq` rule the delete erases
+    * every OLDER row sharing a key while the rows appended alongside it
+    * survive — latest-write-wins per key, with NO data file rewritten
+    * and no read of the existing data at commit time (the streaming-CDC
+    * ingest pattern; a copy-on-write merge would re-shuffle the whole
+    * table per batch). Existing sequence-less metadata (v1 history)
+    * inherits sequence 0, the spec's v1→v2 upgrade rule, via the
+    * manifest-list row numbers this commit writes for every carried
+    * manifest. Upserts stack: each commit's sequence tops the last.
+    * Duplicate keys WITHIN `df` are appended as-is (the delete only
+    * erases rows from sequences strictly below) — dedupe the batch
+    * first if the key is meant to be unique. */
+  def upsert(spark: SparkSession, table: String, df: DataFrame,
+             keyCols: Seq[String], snapshotId: Long, timestampMs: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val doc = Iceberg.metadata(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot upsert into $table: its metadata carries no schema — " +
+          "equality-delete columns are named by FIELD ID"))
+    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
+      s"cannot upsert into $table: it is PARTITIONED and this writer " +
+        "does not derive partition values or summaries")
+    require(df.columns.toSeq == fields.map(_.name),
+      s"upsert schema ${df.columns.mkString("(", ", ", ")")} does not " +
+        s"match $table's ${fields.map(_.name).mkString("(", ", ", ")")} — " +
+        "schema evolution is a separate operation")
+    val keyFields = keyCols.map(k => fields.find(_.name == k).getOrElse(
+      throw new IllegalArgumentException(
+        s"upsert key column '$k' is not a column of $table " +
+          s"(${fields.map(_.name).mkString(", ")})")))
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0,
+      s"Iceberg table $table has no current snapshot — create it with " +
+        "commitAppend first; upsert commits deletes against existing data")
+    val snaps = doc.path("snapshots").elements().asScala.map { s =>
+      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
+        s.path("manifest-list").asText(""))
+    }.toSeq
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"upsert at timestamp $timestampMs would commit BEFORE an existing " +
+        "snapshot — history must be monotonic")
+
+    // carried manifests keep their path/length/content/attribution AND
+    // get an explicit sequence number: their own where the prior list
+    // carried one, else 0 — the spec's v1→v2 upgrade rule (pre-upgrade
+    // data sorts below every new delete). ADDED entries inside them
+    // inherit this row number; this repo's manifests are single-snapshot
+    // so the per-row number is exact, and foreign per-manifest numbers
+    // carry through unchanged.
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val prior = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+    def longOf(r: org.apache.avro.generic.GenericRecord, n0: String,
+               d: => Long): Long =
+      if (r.getSchema.getField(n0) == null) d
+      else Option(r.get(n0)).map(_.toString.toLong).getOrElse(d)
+    val carriedSeqs = prior.map(r => longOf(r, "sequence_number", 0L))
+    val newSeq = (carriedSeqs :+ 0L).max + 1
+
+    // (a) the appended rows — full schema, id-stamped, footer bounds
+    val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
+    val typById = fields.map(fd => fd.id -> fd.typ).toMap
+    val nameToId = fields.map(fd => fd.name -> fd.id).toMap
+    val dataEntries = files.map { file =>
+      val (lo, hi) = fileBounds(spark, file, nameToId, typById)
+      Iceberg.Entry(file, 1, lowerBounds = lo, upperBounds = hi)
+    }
+    val dataManifest = Iceberg.writeManifest(spark, table,
+      s"m-snap$snapshotId.avro", snapshotId, dataEntries)
+
+    // (b) the equality-delete file: the batch's distinct keys, id-stamped
+    // so a later rename still matches by field id. One file per commit —
+    // its size is bounded by the BATCH, not the table.
+    val delFiles = writeIdStampedFiles(spark, table,
+      df.select(keyCols.map(col): _*).distinct().coalesce(1),
+      keyFields, s"eqdel$snapshotId")
+    val delManifest = Iceberg.writeManifest(spark, table,
+      s"m-eqdel$snapshotId.avro", snapshotId,
+      delFiles.map(p => Iceberg.Entry(p, 1, content = 2,
+        equalityIds = keyFields.map(_.id))))
+
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId,
+      prior.map(r => (r.get("manifest_path").toString,
+        longOf(r, "manifest_length", 0L))) :+ dataManifest :+ delManifest,
+      contents = prior.map(r =>
+        Option(r.get("content")).map(_.toString.toInt).getOrElse(0)) :+ 0 :+ 1,
+      sequenceNumbers = carriedSeqs :+ newSeq :+ newSeq,
+      addedSnapshotIds = prior.map(r => longOf(r, "added_snapshot_id",
+        throw new IllegalArgumentException(
+          s"manifest-list row of $table lacks added_snapshot_id"))) :+
+        snapshotId :+ snapshotId)
+
+    val hintVersion = Iceberg.currentMetadataPath(spark, table).getName
+      .stripSuffix(".metadata.json").stripPrefix("v").takeWhile(_.isDigit).toInt
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1,
+      snaps :+ ((snapshotId, timestampMs, ml)),
+      formatVersion = 2, schemaFieldsJson = schemaJson)
+    hintVersion + 1
+  }
+
+  /** SNAPSHOT EXPIRATION — drop every snapshot strictly older than
+    * `olderThanMs` (the CURRENT snapshot is always retained, whatever
+    * its age — the invariant real `expireSnapshots` keeps) from the
+    * metadata, then physically delete the files ONLY the expired
+    * snapshots reference: their manifest lists, manifests and
+    * data/delete files minus everything any retained snapshot still
+    * reaches. The reachability walk is pure driver-side metadata
+    * (O(#manifest entries), the same altitude as scan planning). After
+    * [[compact]], this is what actually reclaims the rewritten bytes —
+    * compaction alone keeps old files alive for time travel. A GC
+    * candidate OUTSIDE the table location refuses the whole pass
+    * loudly: shared-file layouts need a smarter collector, and a
+    * half-applied expiration is worse than none. No-op (nothing old
+    * enough) returns the current metadata version unchanged. */
+  def expireSnapshots(spark: SparkSession, table: String,
+                      olderThanMs: Long): Int = {
+    val doc = Iceberg.metadata(spark, table)
+    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
+      s"cannot expire snapshots of $table: it is PARTITIONED and this " +
+        "writer's metadata rewrite does not carry partition specs through")
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val snaps = doc.path("snapshots").elements().asScala.map { s =>
+      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
+        s.path("manifest-list").asText(""))
+    }.toSeq
+    require(snaps.exists(_._1 == cur),
+      s"metadata of $table names current snapshot $cur but the snapshot " +
+        "list lacks it — corrupt metadata; refusing")
+    val (retained, expired) = snaps.partition(s =>
+      s._2 >= olderThanMs || s._1 == cur)
+    require(retained.last._1 == cur,
+      s"current snapshot $cur of $table is not its latest retained " +
+        "snapshot — this writer's metadata rewrite would repoint " +
+        "current; refusing non-linear histories")
+    val hintVersion = Iceberg.currentMetadataPath(spark, table).getName
+      .stripSuffix(".metadata.json").stripPrefix("v").takeWhile(_.isDigit).toInt
+    if (expired.isEmpty) return hintVersion
+
+    // reachability: every path a snapshot's metadata mentions, live or
+    // not (a status-2 DELETED entry still names a file an OLDER retained
+    // snapshot may serve — conservative keep is the sound direction)
+    case class Refs(mls: Set[String], manifests: Set[String], files: Set[String])
+    def refsOf(mlRel: String): Refs = {
+      val mlAbs = Iceberg.resolve(table, mlRel).toString
+      val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlRel))
+      val manifests = rows.map(r => Option(r.get("manifest_path"))
+        .map(_.toString).getOrElse(throw new IllegalArgumentException(
+          s"manifest-list $mlRel row lacks manifest_path")))
+      val files = manifests.flatMap { mp =>
+        Iceberg.readAvro(spark, Iceberg.resolve(table, mp)).map { e =>
+          val dfRec = e.get("data_file")
+            .asInstanceOf[org.apache.avro.generic.GenericRecord]
+          require(dfRec != null, s"manifest $mp: entry lacks data_file")
+          Iceberg.resolve(table, dfRec.get("file_path").toString).toString
+        }
+      }
+      Refs(Set(mlAbs),
+        manifests.map(Iceberg.resolve(table, _).toString).toSet, files.toSet)
+    }
+    def union(rs: Seq[Refs]): Refs =
+      rs.foldLeft(Refs(Set.empty, Set.empty, Set.empty))((a, b) =>
+        Refs(a.mls ++ b.mls, a.manifests ++ b.manifests, a.files ++ b.files))
+    val keep = union(retained.map(s => refsOf(s._3)))
+    val drop = union(expired.map(s => refsOf(s._3)))
+    require(keep.files.size + drop.files.size <=
+        graft.operators.ManifestGuard.MaxPlannedFiles,
+      s"expiring snapshots of $table would walk more than " +
+        s"${graft.operators.ManifestGuard.MaxPlannedFiles} file " +
+        "references on the driver — compact to coarser files first")
+    val doomed = (drop.mls -- keep.mls) ++ (drop.manifests -- keep.manifests) ++
+      (drop.files -- keep.files)
+
+    val f = fs(spark, new Path(table))
+    val root = f.makeQualified(new Path(table)).toString.stripSuffix("/") + "/"
+    val outside = doomed.filterNot(p =>
+      f.makeQualified(new Path(p)).toString.startsWith(root))
+    require(outside.isEmpty,
+      s"expiring snapshots of $table would delete files OUTSIDE the " +
+        s"table location (${outside.take(3).mkString(", ")}…) — shared-" +
+        "file layouts need a catalog-aware collector; refusing the pass")
+
+    // metadata first: once the new version is current, a crash between
+    // deletes leaves only orphans (harmless), never a live table with
+    // missing files
+    val fields = Iceberg.currentSchemaFields(doc)
+    val schemaJson = fields.map(_.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]"))
+      .getOrElse("[]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1, retained,
+      formatVersion = doc.path("format-version").asInt(1),
+      schemaFieldsJson = schemaJson)
+    doomed.foreach(p => f.delete(new Path(p), false))
+    hintVersion + 1
+  }
+
+  /** Write `df` under `table`/data as parquet files whose columns carry
+    * the table's Iceberg FIELD IDS (`parquet.field.id` — the indirection
+    * every spec reader, including this repo's, resolves renames through).
+    * Files land as `{tag}-NNNNN.parquet` via a tmp-dir + rename pass so a
+    * failed write never leaves half-named files inside data/. Returns the
+    * final absolute paths in part order. */
+  private def writeIdStampedFiles(spark: SparkSession, table: String,
+                                  df: DataFrame, fields: Seq[Iceberg.IceField],
+                                  tag: String): Seq[String] = {
+    val basePath = new Path(table)
+    val f = fs(spark, basePath)
+    val dataDir = new Path(basePath, "data")
+    val tmp = new Path(basePath, s".tmp_$tag")
+    f.delete(tmp, true)
+    def idMeta(id: Long) =
+      new MetadataBuilder().putLong("parquet.field.id", id).build()
+    val st = StructType(fields.map(fd => StructField(fd.name,
+      Iceberg.sparkType(fd.typ), nullable = true, idMeta(fd.id.toLong))))
+    spark.conf.set("spark.sql.parquet.fieldId.write.enabled", "true")
+    spark.createDataFrame(df.rdd, st).write.parquet(tmp.toString)
+    f.mkdirs(dataDir)
+    val parts = f.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    require(parts.nonEmpty, s"write to $table produced no parquet parts")
+    val files = parts.zipWithIndex.map { case (p, i) =>
+      val dst = new Path(dataDir, f"$tag%s-$i%05d.parquet")
+      require(f.rename(p, dst), s"rename to $dst failed")
+      dst.toString
+    }.toSeq
+    f.delete(tmp, true)
+    files
   }
 
   /** Merge per-row-group parquet footer statistics of ONE just-written

@@ -1,0 +1,199 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** The maintenance tier's laws — compact / upsert / expireSnapshots:
+  * compaction serves exactly the MoR state it replaced and restores
+  * appendability; upsert is latest-write-wins under the v2 strict
+  * sequence rule (including the v1→v2 sequence-0 upgrade for existing
+  * history); expiration keeps everything any retained snapshot reaches
+  * and physically deletes the rest, never touching the current
+  * snapshot. */
+class IcebergMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    new java.io.File(java.nio.file.Files.createTempDirectory("icem").toString,
+      "tbl").toString
+
+  private def df(ids: Seq[Long]) =
+    ids.map(i => (i, s"name_$i", i * 1.5)).toDF("id", "name", "score")
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  private def scores(d: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+    d.select("id", "score").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  // ---------------------------------------------------------------- compact
+
+  test("compact rewrites the MoR state, drops delete files, restores appends") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(1L to 10L).coalesce(1), 101L, 1000L)
+    IcebergWriter.deleteWhere(spark, base, col("id") % 3 === 0, 102L, 2000L)
+    // pre-compact: appends are refused (delete manifests present)
+    val e = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, df(Seq(99L)), 103L, 3000L))
+    assert(e.getMessage.contains("DELETE manifests"), e.getMessage)
+    val survivors = (1L to 10L).filterNot(_ % 3 == 0).toSet
+
+    val v = IcebergWriter.compact(spark, base, 103L, 3000L)
+    assert(v == 3)
+    assert(ids(Iceberg.read(spark, base)) == survivors)
+    val planned = Iceberg.planFiles(spark, base)
+    assert(planned.size == 1 && planned.head.contains("compact103"),
+      planned.mkString(", "))
+    // history intact: both prior snapshots still serve their state
+    assert(ids(Iceberg.readSnapshot(spark, base, 101L)) == (1L to 10L).toSet)
+    assert(ids(Iceberg.readSnapshot(spark, base, 102L)) == survivors)
+    // the loop closes: append and row-level delete are legal again
+    IcebergWriter.commitAppend(spark, base, df(Seq(11L)).coalesce(1), 104L, 4000L)
+    assert(ids(Iceberg.read(spark, base)) == survivors + 11L)
+    IcebergWriter.deleteWhere(spark, base, col("id") === 11L, 105L, 5000L)
+    assert(ids(Iceberg.read(spark, base)) == survivors)
+  }
+
+  test("compact sizes output files from live bytes, not file count") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base,
+      df(1L to 40L).repartitionByRange(4, $"id"), 101L, 1000L)
+    assert(Iceberg.planFiles(spark, base).size == 4)
+    // a huge target bin-packs all four into one
+    IcebergWriter.compact(spark, base, 102L, 2000L)
+    assert(Iceberg.planFiles(spark, base).size == 1)
+    assert(ids(Iceberg.read(spark, base)) == (1L to 40L).toSet)
+    // a tiny target forces a multi-file rewrite that still round-trips
+    IcebergWriter.compact(spark, base, 103L, 3000L, targetFileBytes = 1L)
+    assert(Iceberg.planFiles(spark, base).size > 1)
+    assert(ids(Iceberg.read(spark, base)) == (1L to 40L).toSet)
+  }
+
+  test("compacting a fully-deleted table yields a typed empty current state") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L)).coalesce(1), 101L, 1000L)
+    IcebergWriter.deleteWhere(spark, base, col("id") > 0L, 102L, 2000L)
+    // the data FILE is still live (the delete is merge-on-read), so the
+    // compactor rewrites the 0 surviving rows rather than refusing
+    IcebergWriter.compact(spark, base, 103L, 3000L)
+    val empty = Iceberg.read(spark, base)
+    assert(empty.count() == 0L)
+    assert(empty.columns.toSeq == Seq("id", "name", "score"))
+    // and the emptied table accepts appends again
+    IcebergWriter.commitAppend(spark, base, df(Seq(7L)).coalesce(1), 104L, 4000L)
+    assert(ids(Iceberg.read(spark, base)) == Set(7L))
+  }
+
+  // ----------------------------------------------------------------- upsert
+
+  test("upsert is latest-write-wins per key; upserts stack; history intact") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(1L to 5L).coalesce(1), 101L, 1000L)
+    // first upsert: replace 3 and 4, insert 11 (v1 history → sequence 0)
+    val up1 = Seq((3L, "n3", 30.0), (4L, "n4", 40.0), (11L, "n11", 110.0))
+      .toDF("id", "name", "score").coalesce(1)
+    val v = IcebergWriter.upsert(spark, base, up1, Seq("id"), 102L, 2000L)
+    assert(v == 2)
+    val s1 = scores(Iceberg.read(spark, base))
+    assert(s1.keySet == Set(1L, 2L, 3L, 4L, 5L, 11L))
+    assert(s1(3L) == 30.0 && s1(4L) == 40.0 && s1(1L) == 1.5)
+    // second upsert: 4 again (wins over upsert 1) and a fresh 12
+    val up2 = Seq((4L, "n4b", 400.0), (12L, "n12", 120.0))
+      .toDF("id", "name", "score").coalesce(1)
+    IcebergWriter.upsert(spark, base, up2, Seq("id"), 103L, 3000L)
+    val s2 = scores(Iceberg.read(spark, base))
+    assert(s2(4L) == 400.0 && s2(3L) == 30.0 && s2(12L) == 120.0)
+    assert(s2.keySet == Set(1L, 2L, 3L, 4L, 5L, 11L, 12L))
+    // time travel: each snapshot serves its own state
+    assert(scores(Iceberg.readSnapshot(spark, base, 101L))(3L) == 4.5)
+    assert(scores(Iceberg.readSnapshot(spark, base, 102L))(4L) == 40.0)
+  }
+
+  test("upsert composes with position deletes and with compaction") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(1L to 10L).coalesce(1), 101L, 1000L)
+    IcebergWriter.deleteWhere(spark, base, col("id") % 2 === 0, 102L, 2000L)
+    // 3 exists (replaced), 4 was position-deleted (re-inserted)
+    val up = Seq((3L, "n3", 30.0), (4L, "n4", 40.0))
+      .toDF("id", "name", "score").coalesce(1)
+    IcebergWriter.upsert(spark, base, up, Seq("id"), 103L, 3000L)
+    val s = scores(Iceberg.read(spark, base))
+    assert(s.keySet == Set(1L, 3L, 4L, 5L, 7L, 9L))
+    assert(s(3L) == 30.0 && s(4L) == 40.0 && s(5L) == 7.5)
+    // compaction flattens the whole MoR stack into plain files
+    IcebergWriter.compact(spark, base, 104L, 4000L)
+    assert(scores(Iceberg.read(spark, base)) == s)
+    assert(Iceberg.planFiles(spark, base).size == 1)
+  }
+
+  test("upsert appends duplicate batch keys as-is and gates its scope") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L)).coalesce(1), 101L, 1000L)
+    // duplicate key IN the batch: both rows land (delete only hits seq < N)
+    val dup = Seq((2L, "a", 1.0), (2L, "b", 2.0))
+      .toDF("id", "name", "score").coalesce(1)
+    IcebergWriter.upsert(spark, base, dup, Seq("id"), 102L, 2000L)
+    val rows = Iceberg.read(spark, base).collect()
+    assert(rows.length == 3) // 1 survivor + both batch rows
+    // unknown key column
+    val e1 = intercept[IllegalArgumentException](IcebergWriter.upsert(
+      spark, base, df(Seq(9L)), Seq("nope"), 103L, 3000L))
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    // schema drift
+    val e2 = intercept[IllegalArgumentException](IcebergWriter.upsert(
+      spark, base, Seq((1L, "x")).toDF("id", "name"), Seq("id"), 103L, 3000L))
+    assert(e2.getMessage.contains("does not"), e2.getMessage)
+    // empty table: no current snapshot to delete against
+    val e3 = intercept[IllegalArgumentException](IcebergWriter.upsert(
+      spark, freshDir(), df(Seq(1L)), Seq("id"), 1L, 1L))
+    assert(e3.getMessage.contains("metadata"), e3.getMessage)
+  }
+
+  // -------------------------------------------------------- expireSnapshots
+
+  test("expire drops old snapshots and physically deletes unreachable files") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L)).coalesce(1), 101L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(3L)).coalesce(1), 102L, 2000L)
+    val oldFiles = Iceberg.planFiles(spark, base)
+    IcebergWriter.compact(spark, base, 103L, 3000L)
+    val newFiles = Iceberg.planFiles(spark, base)
+
+    val v = IcebergWriter.expireSnapshots(spark, base, olderThanMs = 2500L)
+    assert(v == 4)
+    assert(Iceberg.snapshots(spark, base).map(_._1) == Seq(103L))
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 2L, 3L))
+    // expired snapshots refuse time travel
+    intercept[Exception](Iceberg.readSnapshot(spark, base, 101L).collect())
+    // the pre-compaction data files are gone from DISK, the rewrite lives
+    oldFiles.foreach(p => assert(!new java.io.File(
+      new java.net.URI(p).getPath).exists(), s"expected $p deleted"))
+    newFiles.foreach(p => assert(new java.io.File(
+      new java.net.URI(p).getPath).exists(), s"expected $p kept"))
+  }
+
+  test("expire keeps files a retained snapshot still reaches (carried manifests)") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L)).coalesce(1), 101L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(3L)).coalesce(1), 102L, 2000L)
+    // snapshot 102's manifest list CARRIES 101's manifest — expiring 101
+    // must not touch the files 102 serves
+    IcebergWriter.expireSnapshots(spark, base, olderThanMs = 1500L)
+    assert(Iceberg.snapshots(spark, base).map(_._1) == Seq(102L))
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 2L, 3L))
+  }
+
+  test("expire never removes the current snapshot; nothing-to-do is a no-op") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L)).coalesce(1), 101L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(2L)).coalesce(1), 102L, 2000L)
+    // a horizon past EVERYTHING: the current snapshot is retained anyway
+    val v = IcebergWriter.expireSnapshots(spark, base, olderThanMs = 999999L)
+    assert(v == 3)
+    assert(Iceberg.snapshots(spark, base).map(_._1) == Seq(102L))
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 2L))
+    // nothing left to expire: version unchanged, no metadata rewrite
+    assert(IcebergWriter.expireSnapshots(spark, base, olderThanMs = 999999L) == 3)
+  }
+}
