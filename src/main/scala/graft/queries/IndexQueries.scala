@@ -78,6 +78,7 @@ object IndexQueries {
   private val q246TablePat = scratchPat("q246_iceberg_compact")
   private val q247TablePat = scratchPat("q247_iceberg_upsert")
   private val q248TablePat = scratchPat("q248_iceberg_expire")
+  private val q249TablePat = scratchPat("q249_iceberg_meta")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -155,6 +156,7 @@ object IndexQueries {
     stageQ246IcebergCompacted(s, dir)
     stageQ247IcebergUpserted(s, dir)
     stageQ248IcebergExpired(s, dir)
+    stageQ249IcebergMeta(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -650,6 +652,31 @@ object IndexQueries {
       graft.sources.IcebergWriter.commitAppend(s, base, slice("error"), 6402L, 2000L)
       graft.sources.IcebergWriter.compact(s, base, 6403L, 3000L)
       graft.sources.IcebergWriter.expireSnapshots(s, base, olderThanMs = 2500L)
+    }
+    base
+  }
+
+  /** q249's fixture: a three-commit table (two appends + a row-level
+    * delete) whose manifests carry the REAL `record_count` /
+    * `file_size_in_bytes` accounting — what the metadata tables
+    * (`snapshots`/`manifests`/`files`) surface and the oracle replays
+    * from the source slices. */
+  private[graft] def stageQ249IcebergMeta(s: SparkSession, dir: String): String = {
+    val base = scratch(q249TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("purchase"), 6501L, 1000L)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("click"), 6502L, 2000L)
+      graft.sources.IcebergWriter.deleteWhere(s, base,
+        $"event_id" % 11 === 0, 6503L, 3000L)
     }
     base
   }
@@ -2329,6 +2356,31 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Iceberg METADATA TABLES — the `SELECT * FROM tbl.snapshots /
+    // .manifests / .files` inspection surface over a three-commit table
+    // (two appends + a row-level delete). The files leg pins the REAL
+    // record_count accounting the writers now stamp (per-file row
+    // counts from the parquet footers; the delete file's count = the
+    // matched coordinates), the manifests leg pins content flags and
+    // original attribution through the delete commit's carry, the
+    // snapshots leg pins the history. The oracle replays every number
+    // from the source slices.
+    "q249_iceberg_metadata_tables" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ249IcebergMeta(s, dir)
+      val files = Iceberg.filesTable(s, base)
+        .select(lit("file").as("leg"), $"content".cast("long").as("k1"),
+          $"snapshot_id".as("k2"), $"record_count".as("n"))
+      val snaps = Iceberg.snapshotsTable(s, base)
+        .select(lit("snap").as("leg"), $"snapshot_id".as("k1"),
+          $"timestamp_ms".as("k2"), lit(1L).as("n"))
+      val mans = Iceberg.manifestsTable(s, base)
+        .select(lit("manifest").as("leg"), $"content".cast("long").as("k1"),
+          $"added_snapshot_id".as("k2"), lit(1L).as("n"))
+      files.unionAll(snaps).unionAll(mans).orderBy($"leg", $"k1", $"k2")
+    }),
+
     // Iceberg WRITE round-trip — the repo's own commitAppend produced
     // the table (schema + field ids derived from the frame, per-file
     // footer-derived bounds, carried manifests with original
@@ -3194,6 +3246,25 @@ object IndexQueries {
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
         |) ORDER BY leg""".stripMargin,
+    "q249_iceberg_metadata_tables" ->
+      """WITH pc AS MATERIALIZED (
+        |  SELECT event_id, event_type FROM events
+        |  WHERE event_type IN ('purchase', 'click'))
+        |SELECT * FROM (
+        |  SELECT 'file' AS leg, CAST(0 AS BIGINT) AS k1,
+        |    CAST(6501 AS BIGINT) AS k2, count(*) AS n
+        |  FROM pc WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'file', 0, 6502, count(*) FROM pc WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'file', 1, 6503, count(*) FROM pc WHERE event_id % 11 = 0
+        |  UNION ALL SELECT 'snap', 6501, 1000, 1
+        |  UNION ALL SELECT 'snap', 6502, 2000, 1
+        |  UNION ALL SELECT 'snap', 6503, 3000, 1
+        |  UNION ALL SELECT 'manifest', 0, 6501, 1
+        |  UNION ALL SELECT 'manifest', 0, 6502, 1
+        |  UNION ALL SELECT 'manifest', 1, 6503, 1
+        |) ORDER BY leg, k1, k2""".stripMargin,
     "q246_iceberg_compaction" ->
       """WITH surv AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm

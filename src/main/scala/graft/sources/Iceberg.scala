@@ -994,6 +994,111 @@ object Iceberg {
   }
 
   // ------------------------------------------------------------------
+  // Metadata tables — the `SELECT * FROM tbl.snapshots / .manifests /
+  // .files` inspection surface. Pure driver-side metadata walks (the
+  // same planning altitude as the scan), surfaced as small DataFrames
+  // so they compose with ordinary queries.
+  // ------------------------------------------------------------------
+
+  /** The `snapshots` metadata table: one row per snapshot in the
+    * current metadata document (expired snapshots are gone from here —
+    * that IS expiration's contract). */
+  def snapshotsTable(spark: SparkSession, table: String): DataFrame = {
+    val doc = metadata(spark, table)
+    val rows = doc.path("snapshots").elements().asScala.map { s =>
+      org.apache.spark.sql.Row(s.path("snapshot-id").asLong(),
+        s.path("timestamp-ms").asLong(), s.path("manifest-list").asText(""))
+    }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("snapshot_id", LongType, nullable = false),
+      StructField("timestamp_ms", LongType, nullable = false),
+      StructField("manifest_list", StringType, nullable = false))))
+  }
+
+  /** The `manifests` metadata table: the CURRENT snapshot's manifest
+    * list, one row per manifest — content (0 data / 1 deletes), the
+    * snapshot that originally added it (carried manifests keep theirs),
+    * and the data sequence number when the list carries one (null for
+    * v1 lists — absence is information, not 0). */
+  def manifestsTable(spark: SparkSession, table: String): DataFrame = {
+    val doc = metadata(spark, table)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val rows = readAvro(spark, resolve(table, manifestListOf(doc, table, cur)))
+      .map { m =>
+        org.apache.spark.sql.Row(
+          Option(m.get("manifest_path")).map(_.toString).getOrElse(
+            throw new IllegalArgumentException(
+              s"manifest-list row of $table lacks manifest_path")),
+          longField(m, "manifest_length").getOrElse(0L),
+          intField(m, "content").getOrElse(0),
+          intField(m, "partition_spec_id").getOrElse(0),
+          longField(m, "added_snapshot_id").map(Long.box).orNull,
+          longField(m, "sequence_number").map(Long.box).orNull)
+      }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), StructType(Seq(
+      StructField("manifest_path", StringType, nullable = false),
+      StructField("manifest_length", LongType, nullable = false),
+      StructField("content", IntegerType, nullable = false),
+      StructField("partition_spec_id", IntegerType, nullable = false),
+      StructField("added_snapshot_id", LongType, nullable = true),
+      StructField("sequence_number", LongType, nullable = true))))
+  }
+
+  /** The `files` metadata table: every LIVE entry (status ≠ 2) of the
+    * current snapshot — data files AND delete files, distinguished by
+    * `content` (0 data / 1 position deletes / 2 equality deletes), with
+    * the entry's snapshot attribution, the v2-inherited data sequence
+    * number, and the manifest's record/byte accounting. The walk is
+    * driver-side and [[graft.operators.ManifestGuard]]-capped like scan
+    * planning — at 100 TB this table is how a user audits file sizing
+    * BEFORE a compaction, so it must not itself blow the driver. */
+  def filesTable(spark: SparkSession, table: String): DataFrame = {
+    val doc = metadata(spark, table)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val rows = mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+    readAvro(spark, resolve(table, manifestListOf(doc, table, cur))).foreach { m =>
+      val mPath = Option(m.get("manifest_path")).map(_.toString).getOrElse(
+        throw new IllegalArgumentException(
+          s"manifest-list row of $table lacks manifest_path"))
+      val mSeq = longField(m, "sequence_number")
+      readAvro(spark, resolve(table, mPath)).foreach { e =>
+        val status = intField(e, "status").getOrElse(
+          throw new IllegalArgumentException(s"manifest $mPath: entry lacks status"))
+        if (status != 2) {
+          val dfr = e.get("data_file").asInstanceOf[GenericRecord]
+          require(dfr != null, s"manifest $mPath: entry lacks data_file")
+          def dfLong(n: String): Option[Long] =
+            if (dfr.getSchema.getField(n) == null) None
+            else Option(dfr.get(n)).map(_.toString.toLong)
+          rows += org.apache.spark.sql.Row(
+            intField(dfr, "content").getOrElse(0),
+            resolve(table, dfr.get("file_path").toString).toString,
+            Option(dfr.get("file_format")).map(_.toString).getOrElse(""),
+            longField(e, "snapshot_id").map(Long.box).orNull,
+            longField(e, "sequence_number")
+              .orElse(if (status == 1) mSeq else None).map(Long.box).orNull,
+            dfLong("record_count").getOrElse(0L),
+            dfLong("file_size_in_bytes").getOrElse(0L))
+          require(rows.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+            s"files table of $table exceeds " +
+              s"${graft.operators.ManifestGuard.MaxPlannedFiles} entries — " +
+              "the driver-side walk refuses; inspect per-partition instead")
+        }
+      }
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, 1), StructType(Seq(
+      StructField("content", IntegerType, nullable = false),
+      StructField("file_path", StringType, nullable = false),
+      StructField("file_format", StringType, nullable = false),
+      StructField("snapshot_id", LongType, nullable = true),
+      StructField("sequence_number", LongType, nullable = true),
+      StructField("record_count", LongType, nullable = false),
+      StructField("file_size_in_bytes", LongType, nullable = false))))
+  }
+
+  // ------------------------------------------------------------------
   // Fixture authoring — hand-assembles the PUBLIC format so the reader
   // is exercised against Iceberg's layout, not a private twin (the q193
   // `_delta_log` staging pattern). Test/staging use; NOT a table writer.
@@ -1014,7 +1119,9 @@ object Iceberg {
                    upperBounds: Seq[(Int, Array[Byte])] = Nil,
                    sequenceNumber: Option[Long] = None,
                    equalityIds: Seq[Int] = Nil,
-                   omitSnapshotId: Boolean = false)
+                   omitSnapshotId: Boolean = false,
+                   recordCount: Long = 0L,
+                   fileSizeBytes: Long = 0L)
 
   /** Single-value serialization of the spec: little-endian fixed-width
     * numerics, raw UTF-8 strings — what real manifests store in
@@ -1165,8 +1272,8 @@ object Iceberg {
       df.put("content", e.content)
       df.put("file_path", e.path)
       df.put("file_format", e.format)
-      df.put("record_count", 0L)
-      df.put("file_size_in_bytes", 0L)
+      df.put("record_count", e.recordCount)
+      df.put("file_size_in_bytes", e.fileSizeBytes)
       if (e.partition.nonEmpty) {
         val ps = dfSchema.getField("partition").schema()
         val pr = new GenericData.Record(ps)

@@ -108,10 +108,8 @@ object IcebergWriter {
     // ---- manifest with footer-derived column bounds ------------------
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap
-    val entries = files.map { file =>
-      val (lo, hi) = fileBounds(spark, file, nameToId, typById)
-      Iceberg.Entry(file, 1, lowerBounds = lo, upperBounds = hi)
-    }
+    val entries = files.map(file =>
+      boundedEntry(spark, table, file, nameToId, typById))
     val manifest = Iceberg.writeManifest(spark, table,
       s"m-snap$snapshotId.avro", snapshotId, entries)
 
@@ -225,7 +223,8 @@ object IcebergWriter {
 
     val dm = Iceberg.writeManifest(spark, table,
       s"m-del$snapshotId.avro", snapshotId,
-      Seq(Iceberg.Entry(delFile.toString, 1, content = 1)))
+      Seq(Iceberg.Entry(delFile.toString, 1, content = 1, recordCount = n,
+        fileSizeBytes = f.getFileStatus(delFile).getLen)))
 
     // carry EVERY prior manifest verbatim: path, length, content,
     // original attribution
@@ -309,10 +308,8 @@ object IcebergWriter {
     val files = writeIdStampedFiles(spark, table, live, fields, s"compact$snapshotId")
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap
-    val entries = files.map { file =>
-      val (lo, hi) = fileBounds(spark, file, nameToId, typById)
-      Iceberg.Entry(file, 1, lowerBounds = lo, upperBounds = hi)
-    }
+    val entries = files.map(file =>
+      boundedEntry(spark, table, file, nameToId, typById))
     val manifest = Iceberg.writeManifest(spark, table,
       s"m-compact$snapshotId.avro", snapshotId, entries)
     // REPLACE: only the new manifest — prior data and delete manifests
@@ -399,10 +396,8 @@ object IcebergWriter {
     val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap
-    val dataEntries = files.map { file =>
-      val (lo, hi) = fileBounds(spark, file, nameToId, typById)
-      Iceberg.Entry(file, 1, lowerBounds = lo, upperBounds = hi)
-    }
+    val dataEntries = files.map(file =>
+      boundedEntry(spark, table, file, nameToId, typById))
     val dataManifest = Iceberg.writeManifest(spark, table,
       s"m-snap$snapshotId.avro", snapshotId, dataEntries)
 
@@ -412,10 +407,12 @@ object IcebergWriter {
     val delFiles = writeIdStampedFiles(spark, table,
       df.select(keyCols.map(col): _*).distinct().coalesce(1),
       keyFields, s"eqdel$snapshotId")
+    val keyNameToId = keyFields.map(fd => fd.name -> fd.id).toMap
+    val keyTypById = keyFields.map(fd => fd.id -> fd.typ).toMap
     val delManifest = Iceberg.writeManifest(spark, table,
       s"m-eqdel$snapshotId.avro", snapshotId,
-      delFiles.map(p => Iceberg.Entry(p, 1, content = 2,
-        equalityIds = keyFields.map(_.id))))
+      delFiles.map(p => boundedEntry(spark, table, p, keyNameToId, keyTypById,
+        content = 2, equalityIds = keyFields.map(_.id))))
 
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
@@ -574,9 +571,23 @@ object IcebergWriter {
     * id. A column missing statistics in ANY row group gets no bounds
     * (absent = "unknown" = the reader keeps the file: sound). Driver-
     * side footer read — planning-altitude metadata, no data re-read. */
+  /** Entry for a just-written file: footer-derived bounds AND the real
+    * `record_count`/`file_size_in_bytes` accounting real manifests carry
+    * (what [[Iceberg.filesTable]] surfaces and what a planner sizes
+    * compactions from). One driver-side footer probe per file. */
+  private def boundedEntry(spark: SparkSession, table: String, file: String,
+                           nameToId: Map[String, Int], typById: Map[Int, String],
+                           content: Int = 0, equalityIds: Seq[Int] = Nil)
+      : Iceberg.Entry = {
+    val (lo, hi, rc) = fileBounds(spark, file, nameToId, typById)
+    val len = fs(spark, new Path(file)).getFileStatus(new Path(file)).getLen
+    Iceberg.Entry(file, 1, content = content, equalityIds = equalityIds,
+      lowerBounds = lo, upperBounds = hi, recordCount = rc, fileSizeBytes = len)
+  }
+
   private def fileBounds(spark: SparkSession, file: String,
                          nameToId: Map[String, Int], typById: Map[Int, String])
-      : (Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])]) = {
+      : (Seq[(Int, Array[Byte])], Seq[(Int, Array[Byte])], Long) = {
     val in = org.apache.parquet.hadoop.util.HadoopInputFile
       .fromPath(new Path(file), spark.sessionState.newHadoopConf())
     val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
@@ -621,7 +632,8 @@ object IcebergWriter {
         for (b <- encode(id, mn)) lo += ((id, b))
         for (b <- encode(id, mx)) hi += ((id, b))
       }
-      (lo.toSeq.sortBy(_._1), hi.toSeq.sortBy(_._1))
+      (lo.toSeq.sortBy(_._1), hi.toSeq.sortBy(_._1),
+        blocks.map(_.getRowCount).sum)
     } finally r.close()
   }
 

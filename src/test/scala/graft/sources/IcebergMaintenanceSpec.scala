@@ -184,6 +184,49 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(ids(Iceberg.read(spark, base)) == Set(1L, 2L, 3L))
   }
 
+  // -------------------------------------------------------- metadata tables
+
+  test("metadata tables surface real record/byte accounting and attribution") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(1L to 10L).coalesce(1), 101L, 1000L)
+    IcebergWriter.deleteWhere(spark, base, col("id") % 2 === 0, 102L, 2000L)
+    // snapshots: the full history
+    val sn = Iceberg.snapshotsTable(spark, base)
+      .select("snapshot_id", "timestamp_ms").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(sn == Seq((101L, 1000L), (102L, 2000L)))
+    // manifests: carried data manifest keeps its ORIGINAL attribution
+    val mn = Iceberg.manifestsTable(spark, base)
+      .select("content", "added_snapshot_id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(mn == Set((0, 101L), (1, 102L)))
+    // files: real footer row counts and on-disk byte sizes
+    val fl = Iceberg.filesTable(spark, base).collect().map(r =>
+      (r.getAs[Int]("content"), r.getAs[Long]("record_count"),
+        r.getAs[Long]("file_size_in_bytes"))).toSet
+    assert(fl.map(t => (t._1, t._2)) == Set((0, 10L), (1, 5L)), fl)
+    assert(fl.forall(_._3 > 0L), fl)
+    // after compaction the live view is ONE data file of the survivors
+    IcebergWriter.compact(spark, base, 103L, 3000L)
+    val post = Iceberg.filesTable(spark, base).collect().map(r =>
+      (r.getAs[Int]("content"), r.getAs[Long]("record_count"))).toSeq
+    assert(post == Seq((0, 5L)), post.mkString(", "))
+  }
+
+  test("files table carries the upsert's sequence numbers and key deletes") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L)).coalesce(1), 101L, 1000L)
+    IcebergWriter.upsert(spark, base,
+      Seq((2L, "b", 9.0)).toDF("id", "name", "score").coalesce(1),
+      Seq("id"), 102L, 2000L)
+    val fl = Iceberg.filesTable(spark, base).collect().map(r =>
+      (r.getAs[Int]("content"), r.getAs[Long]("record_count"),
+        Option(r.getAs[java.lang.Long]("sequence_number")).map(_.longValue)))
+    // v1 history at sequence 0, the upsert's data AND equality delete at 1
+    assert(fl.toSet == Set((0, 2L, Some(0L)), (0, 1L, Some(1L)),
+      (2, 1L, Some(1L))), fl.mkString(", "))
+  }
+
   test("expire never removes the current snapshot; nothing-to-do is a no-op") {
     val base = freshDir()
     IcebergWriter.commitAppend(spark, base, df(Seq(1L)).coalesce(1), 101L, 1000L)
