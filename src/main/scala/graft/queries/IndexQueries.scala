@@ -79,6 +79,8 @@ object IndexQueries {
   private val q247TablePat = scratchPat("q247_iceberg_upsert")
   private val q248TablePat = scratchPat("q248_iceberg_expire")
   private val q249TablePat = scratchPat("q249_iceberg_meta")
+  private val q250TablePat = scratchPat("q250_delta_optimize")
+  private val q251TablePat = scratchPat("q251_delta_vacuum")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -157,6 +159,8 @@ object IndexQueries {
     stageQ247IcebergUpserted(s, dir)
     stageQ248IcebergExpired(s, dir)
     stageQ249IcebergMeta(s, dir)
+    stageQ250DeltaOptimized(s, dir)
+    stageQ251DeltaVacuumed(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -677,6 +681,55 @@ object IndexQueries {
       graft.sources.IcebergWriter.commitAppend(s, base, slice("click"), 6502L, 2000L)
       graft.sources.IcebergWriter.deleteWhere(s, base,
         $"event_id" % 11 === 0, 6503L, 3000L)
+    }
+    base
+  }
+
+  /** q250's fixture: the Delta OPTIMIZE lifecycle — two appends, a
+    * deletion-vector delete (merge-on-read state), then `optimize`: the
+    * dataChange=false rewrite that bin-packs the logical state into one
+    * file and PURGES the DVs, on the repo's own `_delta_log`. */
+  private[graft] def stageQ250DeltaOptimized(s: SparkSession, dir: String): String = {
+    val base = scratch(q250TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), base)
+      graft.sources.DeltaLogWriter.write(slice("click"), base)
+      graft.sources.DeltaLogWriter.deleteWhere(s, base, $"event_id" % 9 === 0)
+      graft.sources.DeltaLogWriter.optimize(s, base)
+    }
+    base
+  }
+
+  /** q251's fixture: the Delta VACUUM lifecycle — an overwrite leaves
+    * v0's file tombstoned; `vacuum` past the horizon physically deletes
+    * it (and any orphan debris) while the current version's file and
+    * the log stay untouched. */
+  private[graft] def stageQ251DeltaVacuumed(s: SparkSession, dir: String): String = {
+    val base = scratch(q251TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      import org.apache.spark.sql.SaveMode
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), base)
+      graft.sources.DeltaLogWriter.write(slice("click"), base,
+        mode = SaveMode.Overwrite)
+      graft.sources.DeltaLogWriter.vacuum(s, base, olderThanMs = Long.MaxValue)
     }
     base
   }
@@ -2356,6 +2409,61 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Delta OPTIMIZE — the dataChange=false bin-packing rewrite over
+    // the repo's own _delta_log: after two appends and a deletion-
+    // vector delete, `optimize` must serve the IDENTICAL logical state
+    // (a_pre = the pre-optimize version via time travel, b_post = the
+    // rewrite) from ONE file with the DVs purged (c_files rides the
+    // DV-blind activeFiles gate — it REFUSES unless the purge really
+    // happened). An optimize that resurrects DV'd rows, loses a file,
+    // or flips dataChange breaks a leg.
+    "q250_delta_optimize" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{DeltaLogReader, DeltaLogWriter}
+      val base = stageQ250DeltaOptimized(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      val files = DeltaLogReader.activeFiles(s, base) // refuses if DVs remain
+      val filesLeg = Seq((files.size.toLong, 0L, 0L))
+        .toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("c_files").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("a_pre", DeltaLogReader.read(s, base, asOf = Some(2L)))
+        .unionAll(leg("b_post", DeltaLogReader.read(s, base)))
+        .unionAll(filesLeg)
+        .orderBy($"leg")
+    }),
+
+    // Delta VACUUM — after an overwrite tombstoned v0's file, `vacuum`
+    // past the horizon physically reclaimed it: the disk leg counts the
+    // parquet files actually left under the table root (exactly the
+    // current version's one file — a vacuum that missed the tombstone
+    // or ate the live file both break it), and the current leg pins
+    // that the surviving state is byte-identical to the overwrite.
+    "q251_delta_vacuum" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.DeltaLogReader
+      val base = stageQ251DeltaVacuumed(s, dir)
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      def countParquet(p: org.apache.hadoop.fs.Path): Long =
+        fs.listStatus(p).map { st =>
+          if (st.isDirectory)
+            { if (st.getPath.getName.startsWith("_")) 0L else countParquet(st.getPath) }
+          else if (st.getPath.getName.endsWith(".parquet")) 1L else 0L
+        }.sum
+      val diskLeg = Seq((countParquet(bp), 0L, 0L))
+        .toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("b_disk").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      DeltaLogReader.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select(lit("a_current").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+        .unionAll(diskLeg)
+        .orderBy($"leg")
+    }),
+
     // Iceberg METADATA TABLES — the `SELECT * FROM tbl.snapshots /
     // .manifests / .files` inspection surface over a three-commit table
     // (two appends + a row-level delete). The files leg pins the REAL
@@ -3245,6 +3353,32 @@ object IndexQueries {
         |  SELECT 'post_delete', count(*),
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
+        |) ORDER BY leg""".stripMargin,
+    "q250_delta_optimize" ->
+      """WITH pc AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events
+        |  WHERE event_type IN ('purchase', 'click') AND event_id % 9 <> 0)
+        |SELECT * FROM (
+        |  SELECT 'a_pre' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM pc
+        |  UNION ALL
+        |  SELECT 'b_post', count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM pc
+        |  UNION ALL
+        |  SELECT 'c_files', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |) ORDER BY leg""".stripMargin,
+    "q251_delta_vacuum" ->
+      """SELECT * FROM (
+        |  SELECT 'a_current' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'b_disk', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q249_iceberg_metadata_tables" ->
       """WITH pc AS MATERIALIZED (

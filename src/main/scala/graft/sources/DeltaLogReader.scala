@@ -213,7 +213,7 @@ object DeltaLogReader {
     java.net.URLDecoder.decode(s.replace("+", "%2B"), "UTF-8")
 
   /** Delta `path` fields are relative percent-encoded URIs. */
-  private def decodePath(tableRoot: String, rel: String): String = {
+  private[sources] def decodePath(tableRoot: String, rel: String): String = {
     val dec = percentDecode(rel)
     if (dec.startsWith("/") || dec.contains("://")) dec
     else s"$tableRoot/$dec"

@@ -95,44 +95,7 @@ object DeltaLogWriter {
     require(!f.exists(commit),
       s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
 
-    // data files: the parquet job writes into a hidden per-commit STAGING
-    // dir (readers skip dot-dirs), whose listing is O(#files written);
-    // each part then moves (driver rename, metadata-only) to its final
-    // root-relative place, hive k=v segments preserved. The old spelling
-    // — list the whole table before and after and diff — was two
-    // O(#table-files) walks per commit; Delta itself never lists the
-    // table to commit. Paths are RELATIVE to the table root. The staging
-    // name carries a unique attempt id: two writers racing on the same
-    // next version must not share (or recursively delete) each other's
-    // in-flight staging — the loser's published-but-never-referenced
-    // parts are harmless orphans, exactly Delta's own failed-commit
-    // debris, reclaimed by table maintenance.
-    val staging = new Path(root,
-      s".staging_v${version}_${java.util.UUID.randomUUID().toString.take(8)}")
-    f.delete(staging, true)
-    val writer = df.write.mode(SaveMode.Overwrite)
-    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
-      .parquet(staging.toString)
-    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
-    def walk(p: Path, rel: String): Unit = f.listStatus(p).foreach { st =>
-      val n = st.getPath.getName
-      val childRel = if (rel.isEmpty) n else s"$rel/$n"
-      if (st.isDirectory) { if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath, childRel) }
-      else if (n.endsWith(".parquet")) staged += childRel
-    }
-    walk(staging, "")
-    require(staged.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
-      s"Delta write at $path produced ${staged.size} parts in one commit — " +
-        "past the planning cap; repartition coarser before writing")
-    val newFiles = staged.sorted.map { rel =>
-      val dst = new Path(root, rel)
-      f.mkdirs(dst.getParent)
-      // UUID part names never collide with prior commits' files
-      require(f.rename(new Path(staging, rel), dst),
-        s"failed to publish staged part $rel at $path")
-      rel
-    }.toSeq
-    f.delete(staging, true)
+    val newFiles = publishParts(spark, root, df, version, partitionBy)
     require(newFiles.nonEmpty || df.isEmpty,
       s"Delta write at $path produced no new parquet parts")
 
@@ -173,6 +136,184 @@ object DeltaLogWriter {
     f.mkdirs(commit.getParent)
     writeAtomic(spark, commit, (header ++ removes ++ adds).mkString("", "\n", "\n"))
     version
+  }
+
+  /** Data files for one commit: the parquet job writes into a hidden
+    * per-commit STAGING dir (readers skip dot-dirs), whose listing is
+    * O(#files written); each part then moves (driver rename,
+    * metadata-only) to its final root-relative place, hive k=v segments
+    * preserved. The old spelling — list the whole table before and
+    * after and diff — was two O(#table-files) walks per commit; Delta
+    * itself never lists the table to commit. Paths are RELATIVE to the
+    * table root. The staging name carries a unique attempt id: two
+    * writers racing on the same next version must not share (or
+    * recursively delete) each other's in-flight staging — the loser's
+    * published-but-never-referenced parts are harmless orphans, exactly
+    * Delta's own failed-commit debris, reclaimed by [[vacuum]]. */
+  private def publishParts(spark: SparkSession, root: Path, df: DataFrame,
+                           version: Long, partitionBy: Seq[String]): Seq[String] = {
+    val f = fs(spark, root)
+    val staging = new Path(root,
+      s".staging_v${version}_${java.util.UUID.randomUUID().toString.take(8)}")
+    f.delete(staging, true)
+    val writer = df.write.mode(SaveMode.Overwrite)
+    (if (partitionBy.nonEmpty) writer.partitionBy(partitionBy: _*) else writer)
+      .parquet(staging.toString)
+    val staged = scala.collection.mutable.ArrayBuffer.empty[String]
+    def walk(p: Path, rel: String): Unit = f.listStatus(p).foreach { st =>
+      val n = st.getPath.getName
+      val childRel = if (rel.isEmpty) n else s"$rel/$n"
+      if (st.isDirectory) { if (!n.startsWith("_") && !n.startsWith(".")) walk(st.getPath, childRel) }
+      else if (n.endsWith(".parquet")) staged += childRel
+    }
+    walk(staging, "")
+    require(staged.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+      s"Delta write at $root produced ${staged.size} parts in one commit — " +
+        "past the planning cap; repartition coarser before writing")
+    val newFiles = staged.sorted.map { rel =>
+      val dst = new Path(root, rel)
+      f.mkdirs(dst.getParent)
+      // UUID part names never collide with prior commits' files
+      require(f.rename(new Path(staging, rel), dst),
+        s"failed to publish staged part $rel at $root")
+      rel
+    }.toSeq
+    f.delete(staging, true)
+    newFiles
+  }
+
+  /** OPTIMIZE — bin-packing compaction as a `dataChange=false` commit:
+    * read the CURRENT logical state (deletion vectors applied), rewrite
+    * it as files sized toward `targetFileBytes`, and commit remove
+    * actions for every old active file plus add actions for the new
+    * ones, all flagged `dataChange=false` — the protocol's signal that
+    * the commit rearranged bytes without changing rows (streaming
+    * sources skip it). DVs are PURGED: the rewrite materializes the
+    * surviving rows, so the table afterwards passes the DV-blind
+    * `activeFiles` gate again (checkpoints, appends). The superseded
+    * files stay on disk for time travel until [[vacuum]]. Refuses
+    * column-mapped tables (rewriting would sever the logical→physical
+    * name mapping) and partitioned tables (this writer does not re-bin
+    * within partitions). */
+  def optimize(spark: SparkSession, path: String,
+               targetFileBytes: Long = 128L << 20): Long = {
+    require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
+    require(entries.nonEmpty, s"Delta table at $path has no active files — nothing to optimize")
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action — cannot verify " +
+        "partitioning or column mapping; refusing a blind rewrite"))
+    require(DeltaLogReader.mappingMode(metaNode) == "none",
+      s"Delta table at $path uses column mapping — rewriting its files " +
+        "would sever the logical-to-physical name mapping; refusing")
+    val partCols = metaNode.path("partitionColumns")
+    require(!partCols.elements().hasNext,
+      s"Delta table at $path is PARTITIONED and this writer does not " +
+        "re-bin within partitions — a flattening rewrite would break " +
+        "partition pruning; refusing")
+
+    val latest = DeltaLogReader.latestVersion(spark, path).get
+    val version = latest + 1
+    val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
+    require(!f.exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+
+    val liveBytes = entries.map { case (abs, _) =>
+      f.getFileStatus(new Path(abs)).getLen
+    }.sum
+    val numOut = math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val newFiles = publishParts(spark, root,
+      DeltaLogReader.read(spark, path).repartition(numOut), version, Nil)
+    require(newFiles.nonEmpty,
+      s"optimize at $path produced no parquet parts")
+
+    val now = System.currentTimeMillis()
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val removes = entries.map { case (abs, _) =>
+      val rel = new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      s"""{"remove":{"path":${jsonStr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
+    }
+    val adds = newFiles.map { rel =>
+      val st = f.getFileStatus(new Path(root, rel))
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":false}}"""
+    }
+    require(!f.exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit, (removes ++ adds).mkString("", "\n", "\n"))
+    version
+  }
+
+  /** VACUUM — physically delete files the CURRENT version no longer
+    * references and whose tombstone (`remove.deletionTimestamp`, or the
+    * file's own mtime for never-referenced orphans such as crashed
+    * writers' staging debris) is older than `olderThanMs`. Keeps every
+    * active file AND every deletion-vector sidecar an active add still
+    * references; never touches `_delta_log` or other `_`-prefixed
+    * paths. After a vacuum, time travel to versions that needed the
+    * deleted files fails — that is vacuum's contract, the reason
+    * retention exists; the current version is untouched. Driver-side
+    * walk, [[graft.operators.ManifestGuard]]-capped. Returns the number
+    * of files deleted. */
+  def vacuum(spark: SparkSession, path: String, olderThanMs: Long): Int = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val (entries, _) = DeltaLogReader.replayState(spark, path, None)
+    def norm(p: Path): String = {
+      val u = p.toUri.getPath
+      if (u == null || u.isEmpty) p.toString else u
+    }
+    val keep = scala.collection.mutable.Set.empty[String]
+    entries.foreach { case (abs, dvOpt) =>
+      keep += norm(new Path(abs))
+      dvOpt.foreach { dvJson =>
+        val d = DeletionVectors.parseDescriptor(mapper.readTree(dvJson))
+        if (d.storageType != "i") // inline DVs live in the descriptor itself
+          keep += norm(DeletionVectors.resolveFile(path, d))
+      }
+    }
+    // tombstones from the surviving commit JSONs: path → last recorded
+    // deletionTimestamp (a truncated commit's tombstones fall back to
+    // file mtime below — sound either way, both are "when it died")
+    val tombstones = scala.collection.mutable.Map.empty[String, Long]
+    DeltaLogReader.versions(spark, path).foreach { v =>
+      val commit = new Path(new Path(root, "_delta_log"), f"$v%020d.json")
+      DeltaLogReader.readSmallFile(spark, commit).split("\n")
+        .filter(_.nonEmpty).foreach { line =>
+          val node = mapper.readTree(line)
+          if (node.has("remove")) {
+            val r = node.get("remove")
+            val abs = DeltaLogReader.decodePath(path, r.get("path").asText())
+            tombstones(norm(new Path(abs))) =
+              r.path("deletionTimestamp").asLong(0L)
+          }
+        }
+    }
+    var deleted = 0
+    var walked = 0
+    def sweep(dir: Path): Unit = f.listStatus(dir).foreach { st =>
+      val n = st.getPath.getName
+      if (st.isDirectory) { if (!n.startsWith("_")) sweep(st.getPath) }
+      else if (!n.startsWith("_")) {
+        walked += 1
+        require(walked <= graft.operators.ManifestGuard.MaxPlannedFiles,
+          s"vacuum at $path would walk more than " +
+            s"${graft.operators.ManifestGuard.MaxPlannedFiles} files on " +
+            "the driver — compact to coarser files first")
+        val key = norm(st.getPath)
+        if (!keep.contains(key)) {
+          val diedAt = tombstones.getOrElse(key, st.getModificationTime)
+          if (diedAt < olderThanMs) {
+            if (f.delete(st.getPath, false)) deleted += 1
+          }
+        }
+      }
+    }
+    sweep(root)
+    deleted
   }
 
   /** Root-relative file path → `partitionValues` JSON object, parsed back

@@ -1,0 +1,110 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** OPTIMIZE / VACUUM laws for the Delta interop writer: optimize is a
+  * `dataChange=false` rewrite that serves the identical logical state,
+  * purges deletion vectors and leaves history time-travelable; vacuum
+  * deletes only unreferenced files past the horizon — tombstones by
+  * their recorded deletionTimestamp, orphans by mtime — and never
+  * touches active files or their DV sidecars. */
+class DeltaMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    new java.io.File(java.nio.file.Files.createTempDirectory("deltam").toString,
+      "tbl").toString
+
+  private def df(ids: Seq[Long]) =
+    ids.map(i => (i, s"name_$i", i * 1.5)).toDF("id", "name", "score")
+
+  private def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+    d.select("id").collect().map(_.getLong(0)).toSet
+
+  test("optimize bin-packs to one dataChange=false commit; history intact") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L)).coalesce(1), base)
+    DeltaLogWriter.write(df(Seq(3L)).coalesce(1), base)
+    DeltaLogWriter.write(df(Seq(4L, 5L)).coalesce(1), base)
+    assert(DeltaLogReader.activeFiles(spark, base).size == 3)
+    val v = DeltaLogWriter.optimize(spark, base)
+    assert(v == 3L)
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 2L, 3L, 4L, 5L))
+    assert(DeltaLogReader.activeFiles(spark, base).size == 1)
+    // the commit says dataChange=false on every action
+    val commit = new java.io.File(new java.io.File(base, "_delta_log"),
+      f"${3L}%020d.json")
+    val lines = scala.io.Source.fromFile(commit).getLines().toSeq
+    assert(lines.nonEmpty && lines.forall(_.contains("\"dataChange\":false")), lines)
+    // superseded files stay on disk: time travel still serves v1
+    assert(ids(DeltaLogReader.read(spark, base, asOf = Some(1L))) == Set(1L, 2L, 3L))
+    // and the table keeps accepting writes
+    DeltaLogWriter.write(df(Seq(6L)).coalesce(1), base)
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("optimize purges deletion vectors; the DV-blind gates open again") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(1L to 10L).coalesce(1), base)
+    DeltaLogWriter.deleteWhere(spark, base, col("id") % 2 === 0L)
+    val survivors = (1L to 10L).filter(_ % 2 == 1).toSet
+    assert(ids(DeltaLogReader.read(spark, base)) == survivors)
+    // pre-optimize: the bare-file-list gate refuses
+    intercept[IllegalArgumentException](DeltaLogReader.activeFiles(spark, base))
+    DeltaLogWriter.optimize(spark, base)
+    assert(ids(DeltaLogReader.read(spark, base)) == survivors)
+    assert(DeltaLogReader.activeFiles(spark, base).size == 1) // gate passes
+    DeltaLogWriter.checkpoint(spark, base)                    // so does this
+    assert(ids(DeltaLogReader.read(spark, base)) == survivors)
+  }
+
+  test("optimize refuses partitioned tables") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L)), base,
+      partitionBy = Seq("name"))
+    val e = intercept[IllegalArgumentException](
+      DeltaLogWriter.optimize(spark, base))
+    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
+  }
+
+  test("vacuum deletes tombstoned files and old orphans, keeps the rest") {
+    import org.apache.spark.sql.SaveMode
+    val base = freshDir()
+    DeltaLogWriter.write(df(Seq(1L)).coalesce(1), base)
+    val v0Files = DeltaLogReader.activeFiles(spark, base)
+    DeltaLogWriter.write(df(Seq(2L)).coalesce(1), base, mode = SaveMode.Overwrite)
+    // an orphan: crashed-writer debris never referenced by the log
+    val orphan = new java.io.File(base, "orphan_part.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    // horizon BEFORE everything: nothing qualifies
+    assert(DeltaLogWriter.vacuum(spark, base, olderThanMs = 0L) == 0)
+    assert(orphan.exists())
+    // horizon past everything: tombstoned v0 file + orphan go
+    val n = DeltaLogWriter.vacuum(spark, base,
+      olderThanMs = System.currentTimeMillis() + 3600_000L)
+    assert(n == 2, s"deleted $n")
+    assert(!orphan.exists())
+    v0Files.foreach(p => assert(!new java.io.File(
+      new java.net.URI(p).getPath).exists(), s"expected $p deleted"))
+    // the current version is untouched...
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(2L))
+    // ...and time travel to the vacuumed version now fails on read
+    intercept[Exception](
+      DeltaLogReader.read(spark, base, asOf = Some(0L)).collect())
+  }
+
+  test("vacuum keeps active files and their DV sidecars") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(1L to 6L).coalesce(1), base)
+    DeltaLogWriter.deleteWhere(spark, base, col("id") > 4L)
+    val survivors = Set(1L, 2L, 3L, 4L)
+    assert(ids(DeltaLogReader.read(spark, base)) == survivors)
+    // the sidecar .bin is not in any add path, but IS referenced by the
+    // active add's DV descriptor — the sweep must keep it
+    val n = DeltaLogWriter.vacuum(spark, base,
+      olderThanMs = System.currentTimeMillis() + 3600_000L)
+    assert(n == 0, s"deleted $n")
+    assert(ids(DeltaLogReader.read(spark, base)) == survivors)
+  }
+}
