@@ -81,6 +81,7 @@ object IndexQueries {
   private val q249TablePat = scratchPat("q249_iceberg_meta")
   private val q250TablePat = scratchPat("q250_delta_optimize")
   private val q251TablePat = scratchPat("q251_delta_vacuum")
+  private val q252TablePat = scratchPat("q252_iceberg_cdc")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -161,6 +162,7 @@ object IndexQueries {
     stageQ249IcebergMeta(s, dir)
     stageQ250DeltaOptimized(s, dir)
     stageQ251DeltaVacuumed(s, dir)
+    stageQ252IcebergCdc(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -730,6 +732,73 @@ object IndexQueries {
       graft.sources.DeltaLogWriter.write(slice("click"), base,
         mode = SaveMode.Overwrite)
       graft.sources.DeltaLogWriter.vacuum(s, base, olderThanMs = Long.MaxValue)
+    }
+    base
+  }
+
+  /** q252's fixture: STREAMING CDC upsert into Iceberg — the Flink-
+    * style ingest loop: a base append, then an ordered file stream
+    * (`maxFilesPerTrigger=1`, mtimes pinned so batch order is a fact,
+    * not a race) whose `foreachBatch` commits one `IcebergWriter.upsert`
+    * snapshot per micro-batch with batch-derived ids/timestamps. Batch 0
+    * corrects the %3 keys at 2×, batch 1 the %6 keys at 3× — the final
+    * table must hold three stacked sequence tiers committed by the
+    * MICRO-BATCH engine, replayed declaratively by the oracle. */
+  private[graft] def stageQ252IcebergCdc(s: SparkSession, dir: String): String = {
+    val base = scratch(q252TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val p = t(s, dir, "events").where($"event_type" === "purchase")
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.IcebergWriter.commitAppend(s, base, p.coalesce(1), 6601L, 1000L)
+
+      // ordered two-file CDC source: one parquet per micro-batch, mtimes
+      // pinned (FileStreamSource orders by modification time)
+      val srcDir = new org.apache.hadoop.fs.Path(bp, ".cdc_src")
+      val chkDir = new org.apache.hadoop.fs.Path(bp, ".cdc_chk")
+      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(bp, s".tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .head.getPath
+        fs.mkdirs(srcDir)
+        val dst = new org.apache.hadoop.fs.Path(srcDir, s"$name.parquet")
+        require(fs.rename(part, dst), s"staging rename to $dst failed")
+        fs.delete(tmp, true)
+        fs.setTimes(dst, mtime, -1)
+      }
+      stageBatch(p.where($"event_id" % 3 === 0)
+        .withColumn("value_micros", $"value_micros" * 2), "b0", 1000L)
+      stageBatch(p.where($"event_id" % 6 === 0)
+        .withColumn("value_micros", $"value_micros" * 3), "b1", 2000L)
+
+      val schema = s.read.parquet(srcDir.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, id: Long) =>
+          graft.sources.IcebergWriter.upsert(s, base,
+            b.select($"event_id", $"event_type", $"value_micros").coalesce(1),
+            Seq("event_id"), 6602L + id, 2000L + id * 1000L)
+          ()
+        }
+        .option("checkpointLocation", chkDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(StreamScaffold.AwaitTimeoutMs)) {
+        q.stop()
+        sys.error("q252 CDC stream did not terminate in time")
+      }
+      // one upsert snapshot per source file, in mtime order — a rate
+      // limit that merged the batches would break the oracle's tiers
+      val snaps = graft.sources.Iceberg.snapshots(s, base).map(_._1)
+      require(snaps == Seq(6601L, 6602L, 6603L),
+        s"q252 expected one upsert snapshot per micro-batch, got $snaps")
     }
     base
   }
@@ -2464,6 +2533,32 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // STREAMING CDC UPSERT into Iceberg — the micro-batch engine drives
+    // IcebergWriter.upsert through foreachBatch, one equality-delete+
+    // append snapshot per ordered batch (the Flink ingest loop). The
+    // legs pin the stream==batch law against q247's semantics: after
+    // batch 0 the %3 keys read 2×, after batch 1 the %6 keys read 3×
+    // on top — three sequence tiers committed by a STREAM, replayed
+    // declaratively by the oracle; the history leg pins one snapshot
+    // per micro-batch in mtime order.
+    "q252_stream_iceberg_upsert" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ252IcebergCdc(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      val snaps = Iceberg.snapshots(s, base)
+      val history = Seq((snaps.size.toLong, snaps.map(_._1).sum,
+        snaps.map(_._2).sum)).toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("c_history").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("a_after_b0", Iceberg.readSnapshot(s, base, 6602L))
+        .unionAll(leg("b_final", Iceberg.read(s, base)))
+        .unionAll(history)
+        .orderBy($"leg")
+    }),
+
     // Iceberg METADATA TABLES — the `SELECT * FROM tbl.snapshots /
     // .manifests / .files` inspection surface over a three-commit table
     // (two appends + a row-level delete). The files leg pins the REAL
@@ -3353,6 +3448,27 @@ object IndexQueries {
         |  SELECT 'post_delete', count(*),
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
+        |) ORDER BY leg""".stripMargin,
+    "q252_stream_iceberg_upsert" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT 'a_after_b0' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN vm * 2 ELSE vm END)
+        |      AS BIGINT) AS value_checksum
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'b_final', count(*),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_id % 6 = 0 THEN vm * 3
+        |                  WHEN event_id % 3 = 0 THEN vm * 2
+        |                  ELSE vm END) AS BIGINT)
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'c_history', CAST(3 AS BIGINT),
+        |    CAST(19806 AS BIGINT), CAST(6000 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q250_delta_optimize" ->
       """WITH pc AS MATERIALIZED (
