@@ -217,8 +217,18 @@ object DeltaLogWriter {
     val latest = DeltaLogReader.latestVersion(spark, path).get
     val version = latest + 1
     val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
-    require(!f.exists(commit),
-      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+
+    // the remove actions below re-relativize active paths against the
+    // table root; an add that lives OUTSIDE it (shallow-clone layouts)
+    // would re-relativize to a WRONG path, leave the old add active and
+    // permanently double the rows — refuse instead
+    val rootUri = root.toUri.getPath.stripSuffix("/")
+    val outside = entries.map(_._1)
+      .filterNot(abs => new Path(abs).toUri.getPath.startsWith(rootUri + "/"))
+    require(outside.isEmpty,
+      s"Delta table at $path references active files OUTSIDE the table " +
+        s"root (first: ${outside.headOption.getOrElse("")}) — optimize " +
+        "only rewrites self-contained tables; clone the data in first")
 
     val liveBytes = entries.map { case (abs, _) =>
       f.getFileStatus(new Path(abs)).getLen
@@ -230,7 +240,6 @@ object DeltaLogWriter {
       s"optimize at $path produced no parquet parts")
 
     val now = System.currentTimeMillis()
-    val rootUri = root.toUri.getPath.stripSuffix("/")
     val removes = entries.map { case (abs, _) =>
       val rel = new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       s"""{"remove":{"path":${jsonStr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
@@ -241,6 +250,8 @@ object DeltaLogWriter {
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":false}}"""
     }
+    // adjacent-to-write existence check; writeAtomic's rename is the
+    // real backstop on no-overwrite filesystems
     require(!f.exists(commit),
       s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
     writeAtomic(spark, commit, (removes ++ adds).mkString("", "\n", "\n"))
@@ -262,9 +273,14 @@ object DeltaLogWriter {
     val root = new Path(path)
     val f = fs(spark, root)
     val (entries, _) = DeltaLogReader.replayState(spark, path, None)
+    // qualify BEFORE normalizing: with a relative table path the sweep's
+    // listStatus returns qualified paths while the log replay returns
+    // table-rooted ones — unqualified keys would never match and vacuum
+    // would eat every live file
     def norm(p: Path): String = {
-      val u = p.toUri.getPath
-      if (u == null || u.isEmpty) p.toString else u
+      val q = f.makeQualified(p)
+      val u = q.toUri.getPath
+      if (u == null || u.isEmpty) q.toString else u
     }
     val keep = scala.collection.mutable.Set.empty[String]
     entries.foreach { case (abs, dvOpt) =>

@@ -868,8 +868,8 @@ object Iceberg {
     * partition is disjoint from the predicate can only affect rows the
     * residual filter drops anyway. The ManifestGuard cap counts PRUNED
     * survivors (data + delete files together). */
-  /** Long-typed Avro field (sequence numbers). */
-  private def longField(r: GenericRecord, name: String): Option[Long] =
+  /** Long-typed Avro field (sequence numbers, attribution, accounting). */
+  private[sources] def longField(r: GenericRecord, name: String): Option[Long] =
     if (r.getSchema.getField(name) == null) None
     else Option(r.get(name)).map {
       case l: java.lang.Long => l.longValue
@@ -1063,24 +1063,24 @@ object Iceberg {
         throw new IllegalArgumentException(
           s"manifest-list row of $table lacks manifest_path"))
       val mSeq = longField(m, "sequence_number")
+      val mAdded = longField(m, "added_snapshot_id")
       readAvro(spark, resolve(table, mPath)).foreach { e =>
         val status = intField(e, "status").getOrElse(
           throw new IllegalArgumentException(s"manifest $mPath: entry lacks status"))
         if (status != 2) {
           val dfr = e.get("data_file").asInstanceOf[GenericRecord]
           require(dfr != null, s"manifest $mPath: entry lacks data_file")
-          def dfLong(n: String): Option[Long] =
-            if (dfr.getSchema.getField(n) == null) None
-            else Option(dfr.get(n)).map(_.toString.toLong)
           rows += org.apache.spark.sql.Row(
             intField(dfr, "content").getOrElse(0),
             resolve(table, dfr.get("file_path").toString).toString,
             Option(dfr.get("file_format")).map(_.toString).getOrElse(""),
-            longField(e, "snapshot_id").map(Long.box).orNull,
+            // null entry snapshot_id INHERITS the list row's attribution
+            // (the spec rule readIncremental already implements)
+            longField(e, "snapshot_id").orElse(mAdded).map(Long.box).orNull,
             longField(e, "sequence_number")
               .orElse(if (status == 1) mSeq else None).map(Long.box).orNull,
-            dfLong("record_count").getOrElse(0L),
-            dfLong("file_size_in_bytes").getOrElse(0L))
+            longField(dfr, "record_count").getOrElse(0L),
+            longField(dfr, "file_size_in_bytes").getOrElse(0L))
           require(rows.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
             s"files table of $table exceeds " +
               s"${graft.operators.ManifestGuard.MaxPlannedFiles} entries — " +

@@ -47,6 +47,32 @@ object IcebergWriter {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** The metadata document's snapshot list: (id, timestampMs, manifestList). */
+  private def snapsOf(doc: com.fasterxml.jackson.databind.JsonNode): Seq[(Long, Long, String)] =
+    doc.path("snapshots").elements().asScala.map { s =>
+      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
+        s.path("manifest-list").asText(""))
+    }.toSeq
+
+  /** Current vN.metadata.json version number — the hint every commit
+    * here steps by one. */
+  private def hintVersionOf(spark: SparkSession, table: String): Int = {
+    val vName = Iceberg.currentMetadataPath(spark, table).getName
+      .stripSuffix(".metadata.json").stripPrefix("v")
+    val digits = vName.takeWhile(_.isDigit)
+    require(digits.nonEmpty,
+      s"cannot derive the next metadata version from '$vName' — " +
+        "this writer versions as vN.metadata.json")
+    digits.toInt
+  }
+
+  /** Effective data sequence number of each carried manifest-list row:
+    * its own where the prior list recorded one, else 0 — the spec's
+    * v1→v2 upgrade rule (pre-upgrade files sort below every new
+    * delete). */
+  private def carriedSeqsOf(prior: Seq[org.apache.avro.generic.GenericRecord]): Seq[Long] =
+    prior.map(r => Iceberg.longField(r, "sequence_number").getOrElse(0L))
+
   /** Append `df` as snapshot `snapshotId` at `timestampMs` (both
     * caller-supplied: commits are deterministic, replayable facts, not
     * wall-clock reads). Creates the table — metadata v1, field ids
@@ -73,24 +99,14 @@ object IcebergWriter {
           s"cannot append to $table: it is PARTITIONED and this writer " +
             "does not derive partition values or summaries — appending " +
             "unpartitioned files would silently break partition pruning")
-        val snaps = doc.path("snapshots").elements().asScala.map { s =>
-          (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
-            s.path("manifest-list").asText(""))
-        }.toSeq
+        val snaps = snapsOf(doc)
         require(!snaps.exists(_._1 == snapshotId),
           s"snapshot id $snapshotId already exists in $table")
         require(snaps.forall(_._2 <= timestampMs),
           s"append at timestamp $timestampMs would commit BEFORE an " +
             s"existing snapshot (latest: ${snaps.map(_._2).maxOption.getOrElse(0L)}) " +
             "— history must be monotonic for AS-OF reads to stay sane")
-        val vName = Iceberg.currentMetadataPath(spark, table).getName
-          .stripSuffix(".metadata.json").stripPrefix("v")
-        val hintVersion = try vName.takeWhile(_.isDigit).toInt catch {
-          case _: NumberFormatException => throw new IllegalArgumentException(
-            s"cannot derive the next metadata version from '$vName' — " +
-              "this writer versions as vN.metadata.json")
-        }
-        (f, hintVersion + 1, snaps)
+        (f, hintVersionOf(spark, table) + 1, snaps)
       case None =>
         val f = df.schema.fields.zipWithIndex.map { case (sf, i) =>
           Iceberg.IceField(i + 1, sf.name, iceType(sf.dataType))
@@ -114,26 +130,34 @@ object IcebergWriter {
       s"m-snap$snapshotId.avro", snapshotId, entries)
 
     // ---- manifest list: carry prior manifests with ORIGINAL ids ------
-    val (carried, carriedAdds) = priorSnaps.lastOption match {
-      case None => (Nil, Nil)
-      case Some((_, _, mlPath)) =>
-        val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
-        val bad = rows.filter(r => Option(r.get("content")).exists(_.toString != "0"))
-        require(bad.isEmpty,
-          s"cannot append to $table: its current snapshot lists DELETE " +
-            "manifests — carrying them without their sequence semantics " +
-            "would corrupt merge-on-read; compact first")
-        (rows.map(r => (r.get("manifest_path").toString,
-            Option(r.get("manifest_length")).map(_.toString.toLong).getOrElse(0L))),
-          rows.map(r => Option(r.get("added_snapshot_id"))
-            .map(_.toString.toLong).getOrElse(
-              throw new IllegalArgumentException(
-                s"manifest-list row of $table lacks added_snapshot_id"))))
-    }
+    val priorRows: Seq[org.apache.avro.generic.GenericRecord] =
+      priorSnaps.lastOption match {
+        case None => Nil
+        case Some((_, _, mlPath)) =>
+          val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+          val bad = rows.filter(r => Option(r.get("content")).exists(_.toString != "0"))
+          require(bad.isEmpty,
+            s"cannot append to $table: its current snapshot lists DELETE " +
+              "manifests — carrying them without their sequence semantics " +
+              "would corrupt merge-on-read; compact first")
+          rows
+      }
+    val fmtVersion = existing.map(_.path("format-version").asInt(1)).getOrElse(1)
+    // a v2 list must carry sequence numbers for EVERY row (real readers
+    // require them): carried rows keep their effective number, the new
+    // manifest commits above them all — appending to a compacted v2
+    // table must not reset its sequence tier
+    val carriedSeqs = carriedSeqsOf(priorRows)
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
-      carried :+ manifest,
-      addedSnapshotIds = carriedAdds :+ snapshotId)
+      priorRows.map(r => (r.get("manifest_path").toString,
+        Iceberg.longField(r, "manifest_length").getOrElse(0L))) :+ manifest,
+      sequenceNumbers =
+        if (fmtVersion == 2) carriedSeqs :+ ((carriedSeqs :+ 0L).max + 1) else Nil,
+      addedSnapshotIds = priorRows.map(r =>
+        Iceberg.longField(r, "added_snapshot_id").getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest-list row of $table lacks added_snapshot_id"))) :+ snapshotId)
 
     // ---- metadata swap (single-writer: plain overwrite, no CAS) ------
     val schemaJson = fields.map(fd =>
@@ -142,7 +166,7 @@ object IcebergWriter {
       priorSnaps :+ ((snapshotId, timestampMs, ml)),
       // never DOWNGRADE the format: appending to a (compacted) v2 table
       // keeps it v2 even though this commit itself uses no v2 feature
-      formatVersion = existing.map(_.path("format-version").asInt(1)).getOrElse(1),
+      formatVersion = fmtVersion,
       schemaFieldsJson = schemaJson)
     version
   }
@@ -175,10 +199,7 @@ object IcebergWriter {
         "— colliding with the position-delete schema; rename it first")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     require(cur > 0, s"Iceberg table $table has no current snapshot")
-    val snaps = doc.path("snapshots").elements().asScala.map { s =>
-      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
-        s.path("manifest-list").asText(""))
-    }.toSeq
+    val snaps = snapsOf(doc)
     require(!snaps.exists(_._1 == snapshotId),
       s"snapshot id $snapshotId already exists in $table")
     require(snaps.forall(_._2 <= timestampMs),
@@ -203,8 +224,7 @@ object IcebergWriter {
       .where(predicate)
       .select(col("file_path"), col("pos"))
     val n = matches.count()
-    val hintVersion = Iceberg.currentMetadataPath(spark, table).getName
-      .stripSuffix(".metadata.json").stripPrefix("v").takeWhile(_.isDigit).toInt
+    val hintVersion = hintVersionOf(spark, table)
     if (n == 0) return hintVersion
 
     // the delete parquet: one file under data/, spec column names
@@ -227,20 +247,22 @@ object IcebergWriter {
         fileSizeBytes = f.getFileStatus(delFile).getLen)))
 
     // carry EVERY prior manifest verbatim: path, length, content,
-    // original attribution
+    // original attribution — and since the output IS a v2 table, give
+    // every row its effective sequence number (position deletes apply
+    // to data at or below theirs; carried history sits at 0/original)
     val prior = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
-    def longOf(r: org.apache.avro.generic.GenericRecord, n0: String,
-               d: => Long): Long =
-      Option(r.get(n0)).map(_.toString.toLong).getOrElse(d)
+    val carriedSeqs = carriedSeqsOf(prior)
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
       prior.map(r => (r.get("manifest_path").toString,
-        longOf(r, "manifest_length", 0L))) :+ dm,
+        Iceberg.longField(r, "manifest_length").getOrElse(0L))) :+ dm,
       contents = prior.map(r =>
         Option(r.get("content")).map(_.toString.toInt).getOrElse(0)) :+ 1,
-      addedSnapshotIds = prior.map(r => longOf(r, "added_snapshot_id",
-        throw new IllegalArgumentException(
-          s"manifest-list row of $table lacks added_snapshot_id"))) :+ snapshotId)
+      sequenceNumbers = carriedSeqs :+ ((carriedSeqs :+ 0L).max + 1),
+      addedSnapshotIds = prior.map(r =>
+        Iceberg.longField(r, "added_snapshot_id").getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest-list row of $table lacks added_snapshot_id"))) :+ snapshotId)
 
     val schemaJson = fields.map(fd =>
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
@@ -280,17 +302,14 @@ object IcebergWriter {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     require(cur > 0, s"Iceberg table $table has no current snapshot")
-    val snaps = doc.path("snapshots").elements().asScala.map { s =>
-      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
-        s.path("manifest-list").asText(""))
-    }.toSeq
+    val snaps = snapsOf(doc)
     require(!snaps.exists(_._1 == snapshotId),
       s"snapshot id $snapshotId already exists in $table")
     require(snaps.forall(_._2 <= timestampMs),
       s"compaction at timestamp $timestampMs would commit BEFORE an " +
         "existing snapshot — history must be monotonic")
-    val planned = Iceberg.listLiveFiles(spark, table,
-      Iceberg.manifestListOf(doc, table, cur), cur)
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val planned = Iceberg.listLiveFiles(spark, table, mlPath, cur)
     require(planned.data.nonEmpty,
       s"Iceberg table $table has no live data files — nothing to compact")
 
@@ -313,16 +332,27 @@ object IcebergWriter {
     val manifest = Iceberg.writeManifest(spark, table,
       s"m-compact$snapshotId.avro", snapshotId, entries)
     // REPLACE: only the new manifest — prior data and delete manifests
-    // drop out of the live view (and stay reachable via prior snapshots)
+    // drop out of the live view (and stay reachable via prior snapshots).
+    // A v2 table's new list still carries a sequence number ABOVE the
+    // prior tier: compaction must not reset the sequence clock a later
+    // upsert resumes from (and real v2 readers require the field)
+    val fmtVersion = doc.path("format-version").asInt(1)
+    val seqNums =
+      if (fmtVersion != 2) Nil
+      else {
+        val priorSeqs = carriedSeqsOf(
+          Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)))
+        Seq((priorSeqs :+ 0L).max + 1)
+      }
     val ml = Iceberg.writeManifestList(spark, table,
-      s"snap-$snapshotId.avro", snapshotId, Seq(manifest))
-    val hintVersion = Iceberg.currentMetadataPath(spark, table).getName
-      .stripSuffix(".metadata.json").stripPrefix("v").takeWhile(_.isDigit).toInt
+      s"snap-$snapshotId.avro", snapshotId, Seq(manifest),
+      sequenceNumbers = seqNums)
+    val hintVersion = hintVersionOf(spark, table)
     val schemaJson = fields.map(fd =>
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
     Iceberg.writeMetadata(spark, table, hintVersion + 1,
       snaps :+ ((snapshotId, timestampMs, ml)),
-      formatVersion = doc.path("format-version").asInt(1),
+      formatVersion = fmtVersion,
       schemaFieldsJson = schemaJson)
     hintVersion + 1
   }
@@ -366,10 +396,7 @@ object IcebergWriter {
     require(cur > 0,
       s"Iceberg table $table has no current snapshot — create it with " +
         "commitAppend first; upsert commits deletes against existing data")
-    val snaps = doc.path("snapshots").elements().asScala.map { s =>
-      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
-        s.path("manifest-list").asText(""))
-    }.toSeq
+    val snaps = snapsOf(doc)
     require(!snaps.exists(_._1 == snapshotId),
       s"snapshot id $snapshotId already exists in $table")
     require(snaps.forall(_._2 <= timestampMs),
@@ -385,11 +412,7 @@ object IcebergWriter {
     // carry through unchanged.
     val mlPath = Iceberg.manifestListOf(doc, table, cur)
     val prior = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
-    def longOf(r: org.apache.avro.generic.GenericRecord, n0: String,
-               d: => Long): Long =
-      if (r.getSchema.getField(n0) == null) d
-      else Option(r.get(n0)).map(_.toString.toLong).getOrElse(d)
-    val carriedSeqs = prior.map(r => longOf(r, "sequence_number", 0L))
+    val carriedSeqs = carriedSeqsOf(prior)
     val newSeq = (carriedSeqs :+ 0L).max + 1
 
     // (a) the appended rows — full schema, id-stamped, footer bounds
@@ -417,17 +440,18 @@ object IcebergWriter {
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
       prior.map(r => (r.get("manifest_path").toString,
-        longOf(r, "manifest_length", 0L))) :+ dataManifest :+ delManifest,
+        Iceberg.longField(r, "manifest_length").getOrElse(0L))) :+
+        dataManifest :+ delManifest,
       contents = prior.map(r =>
         Option(r.get("content")).map(_.toString.toInt).getOrElse(0)) :+ 0 :+ 1,
       sequenceNumbers = carriedSeqs :+ newSeq :+ newSeq,
-      addedSnapshotIds = prior.map(r => longOf(r, "added_snapshot_id",
-        throw new IllegalArgumentException(
-          s"manifest-list row of $table lacks added_snapshot_id"))) :+
+      addedSnapshotIds = prior.map(r =>
+        Iceberg.longField(r, "added_snapshot_id").getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest-list row of $table lacks added_snapshot_id"))) :+
         snapshotId :+ snapshotId)
 
-    val hintVersion = Iceberg.currentMetadataPath(spark, table).getName
-      .stripSuffix(".metadata.json").stripPrefix("v").takeWhile(_.isDigit).toInt
+    val hintVersion = hintVersionOf(spark, table)
     val schemaJson = fields.map(fd =>
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
     Iceberg.writeMetadata(spark, table, hintVersion + 1,
@@ -458,10 +482,7 @@ object IcebergWriter {
         "writer's metadata rewrite does not carry partition specs through")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     require(cur > 0, s"Iceberg table $table has no current snapshot")
-    val snaps = doc.path("snapshots").elements().asScala.map { s =>
-      (s.path("snapshot-id").asLong(), s.path("timestamp-ms").asLong(),
-        s.path("manifest-list").asText(""))
-    }.toSeq
+    val snaps = snapsOf(doc)
     require(snaps.exists(_._1 == cur),
       s"metadata of $table names current snapshot $cur but the snapshot " +
         "list lacks it — corrupt metadata; refusing")
@@ -471,41 +492,46 @@ object IcebergWriter {
       s"current snapshot $cur of $table is not its latest retained " +
         "snapshot — this writer's metadata rewrite would repoint " +
         "current; refusing non-linear histories")
-    val hintVersion = Iceberg.currentMetadataPath(spark, table).getName
-      .stripSuffix(".metadata.json").stripPrefix("v").takeWhile(_.isDigit).toInt
+    val hintVersion = hintVersionOf(spark, table)
     if (expired.isEmpty) return hintVersion
 
     // reachability: every path a snapshot's metadata mentions, live or
     // not (a status-2 DELETED entry still names a file an OLDER retained
-    // snapshot may serve — conservative keep is the sound direction)
+    // snapshot may serve — conservative keep is the sound direction).
+    // Shared carried manifests parse ONCE (memoized — a linear carried
+    // history would otherwise re-read the same Avro quadratically), and
+    // the ManifestGuard cap fires DURING the walk, before the driver
+    // materializes an unbounded reference set.
     case class Refs(mls: Set[String], manifests: Set[String], files: Set[String])
-    def refsOf(mlRel: String): Refs = {
-      val mlAbs = Iceberg.resolve(table, mlRel).toString
-      val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlRel))
-      val manifests = rows.map(r => Option(r.get("manifest_path"))
-        .map(_.toString).getOrElse(throw new IllegalArgumentException(
-          s"manifest-list $mlRel row lacks manifest_path")))
-      val files = manifests.flatMap { mp =>
-        Iceberg.readAvro(spark, Iceberg.resolve(table, mp)).map { e =>
+    var walked = 0
+    val manifestFiles = scala.collection.mutable.Map.empty[String, Seq[String]]
+    def filesOf(mpAbs: String): Seq[String] =
+      manifestFiles.getOrElseUpdate(mpAbs,
+        Iceberg.readAvro(spark, new Path(mpAbs)).map { e =>
+          walked += 1
+          require(walked <= graft.operators.ManifestGuard.MaxPlannedFiles,
+            s"expiring snapshots of $table would walk more than " +
+              s"${graft.operators.ManifestGuard.MaxPlannedFiles} file " +
+              "references on the driver — compact to coarser files first")
           val dfRec = e.get("data_file")
             .asInstanceOf[org.apache.avro.generic.GenericRecord]
-          require(dfRec != null, s"manifest $mp: entry lacks data_file")
+          require(dfRec != null, s"manifest $mpAbs: entry lacks data_file")
           Iceberg.resolve(table, dfRec.get("file_path").toString).toString
-        }
-      }
-      Refs(Set(mlAbs),
-        manifests.map(Iceberg.resolve(table, _).toString).toSet, files.toSet)
+        })
+    def refsOf(mlRel: String): Refs = {
+      val mlAbs = Iceberg.resolve(table, mlRel).toString
+      val manifests = Iceberg.readAvro(spark, Iceberg.resolve(table, mlRel))
+        .map(r => Option(r.get("manifest_path"))
+          .map(mp => Iceberg.resolve(table, mp.toString).toString)
+          .getOrElse(throw new IllegalArgumentException(
+            s"manifest-list $mlRel row lacks manifest_path")))
+      Refs(Set(mlAbs), manifests.toSet, manifests.flatMap(filesOf).toSet)
     }
     def union(rs: Seq[Refs]): Refs =
       rs.foldLeft(Refs(Set.empty, Set.empty, Set.empty))((a, b) =>
         Refs(a.mls ++ b.mls, a.manifests ++ b.manifests, a.files ++ b.files))
     val keep = union(retained.map(s => refsOf(s._3)))
     val drop = union(expired.map(s => refsOf(s._3)))
-    require(keep.files.size + drop.files.size <=
-        graft.operators.ManifestGuard.MaxPlannedFiles,
-      s"expiring snapshots of $table would walk more than " +
-        s"${graft.operators.ManifestGuard.MaxPlannedFiles} file " +
-        "references on the driver — compact to coarser files first")
     val doomed = (drop.mls -- keep.mls) ++ (drop.manifests -- keep.manifests) ++
       (drop.files -- keep.files)
 
