@@ -82,6 +82,7 @@ object IndexQueries {
   private val q250TablePat = scratchPat("q250_delta_optimize")
   private val q251TablePat = scratchPat("q251_delta_vacuum")
   private val q252TablePat = scratchPat("q252_iceberg_cdc")
+  private val q253TablePat = scratchPat("q253_delta_upsert")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -163,6 +164,7 @@ object IndexQueries {
     stageQ250DeltaOptimized(s, dir)
     stageQ251DeltaVacuumed(s, dir)
     stageQ252IcebergCdc(s, dir)
+    stageQ253DeltaUpserted(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -799,6 +801,35 @@ object IndexQueries {
       val snaps = graft.sources.Iceberg.snapshots(s, base).map(_._1)
       require(snaps == Seq(6601L, 6602L, 6603L),
         s"q252 expected one upsert snapshot per micro-batch, got $snaps")
+    }
+    base
+  }
+
+  /** q253's fixture: the Delta MoR UPSERT lifecycle — write the
+    * purchase slice, then two stacked `DeltaLogWriter.upsert` commits
+    * keyed on event_id (2× then 3× corrections), each one deletion-
+    * vector kill + append commit. The q247 Iceberg twin on the Delta
+    * log: same oracle tiers, entirely different MoR machinery
+    * (roaring-bitmap sidecars vs equality-delete sequences). */
+  private[graft] def stageQ253DeltaUpserted(s: SparkSession, dir: String): String = {
+    val base = scratch(q253TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val p = t(s, dir, "events").where($"event_type" === "purchase")
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.DeltaLogWriter.write(p.coalesce(1), base)
+      graft.sources.DeltaLogWriter.upsert(s, base,
+        p.where($"event_id" % 3 === 0)
+          .withColumn("value_micros", $"value_micros" * 2).coalesce(1),
+        Seq("event_id"))
+      graft.sources.DeltaLogWriter.upsert(s, base,
+        p.where($"event_id" % 6 === 0)
+          .withColumn("value_micros", $"value_micros" * 3).coalesce(1),
+        Seq("event_id"))
     }
     base
   }
@@ -2559,6 +2590,26 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Delta MoR UPSERT — q247's Iceberg tiers replayed on the Delta
+    // log: two stacked DeletionVector-kill+append commits keyed on
+    // event_id. after_upsert1 = version 1 via time travel (%3 keys at
+    // 2×), after_upsert2 = the current read (%6 keys at 3× on top).
+    // Identical oracle to q247 by construction — the two table formats'
+    // MoR machineries (roaring sidecars vs equality-delete sequences)
+    // must converge on the same rows.
+    "q253_delta_upsert" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.DeltaLogReader
+      val base = stageQ253DeltaUpserted(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("after_upsert1", DeltaLogReader.read(s, base, asOf = Some(1L)))
+        .unionAll(leg("after_upsert2", DeltaLogReader.read(s, base)))
+        .orderBy($"leg")
+    }),
+
     // Iceberg METADATA TABLES — the `SELECT * FROM tbl.snapshots /
     // .manifests / .files` inspection surface over a three-commit table
     // (two appends + a row-level delete). The files leg pins the REAL
@@ -3448,6 +3499,24 @@ object IndexQueries {
         |  SELECT 'post_delete', count(*),
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
+        |) ORDER BY leg""".stripMargin,
+    "q253_delta_upsert" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT 'after_upsert1' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN vm * 2 ELSE vm END)
+        |      AS BIGINT) AS value_checksum
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'after_upsert2', count(*),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_id % 6 = 0 THEN vm * 3
+        |                  WHEN event_id % 3 = 0 THEN vm * 2
+        |                  ELSE vm END) AS BIGINT)
+        |  FROM p
         |) ORDER BY leg""".stripMargin,
     "q252_stream_iceberg_upsert" ->
       """WITH p AS MATERIALIZED (

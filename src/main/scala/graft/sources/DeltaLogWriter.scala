@@ -475,8 +475,6 @@ object DeltaLogWriter {
     * @return (committed version, newly deleted row count) */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column): (Long, Long) = {
-    import org.apache.spark.sql.functions.{col, collect_list, regexp_replace, sort_array}
-    import spark.implicits._
     val root = new Path(path)
     val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
     require(entries.nonEmpty, s"Delta table at $path has no active files")
@@ -485,25 +483,47 @@ object DeltaLogWriter {
         "logical-to-physical predicate resolution it does not implement; " +
         "refusing")
     val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val (protoLine, actions, nDeleted) =
+      dvAttachActions(spark, path, entries, version, _.where(predicate))
+    if (actions.isEmpty) return (version - 1, 0L)
+    val rootFs = fs(spark, root)
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
+    require(!rootFs.exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit, (protoLine ++ actions).mkString("", "\n", "\n"))
+    (version, nDeleted)
+  }
+
+  /** The DV-attach engine behind [[deleteWhere]] and [[upsert]]: scan
+    * every live file WHOLE with its row coordinates (previously
+    * DV-deleted rows may match again — the bitmap union keeps that
+    * right), let `matcher` keep the rows to kill, fold per-file sorted
+    * position arrays on the executors, write/replace each touched
+    * file's sidecar bitmap there, and return (protocol-upgrade lines,
+    * remove+re-add action lines, newly deleted row count). Empty
+    * actions = nothing matched. */
+  private def dvAttachActions(spark: SparkSession, path: String,
+                              entries: Seq[(String, Option[String])],
+                              version: Long,
+                              matcher: DataFrame => DataFrame)
+      : (Seq[String], Seq[String], Long) = {
+    import org.apache.spark.sql.functions.{col, collect_list, regexp_replace, sort_array}
+    import spark.implicits._
+    val root = new Path(path)
     val rootFs = fs(spark, root)
     val qualifiedRoot = rootFs.makeQualified(root)
 
-    // scan every live file WHOLE (previously DV-deleted rows may match
-    // again — the union below keeps the bitmap right either way) with
-    // its row coordinates, keep only matches, and fold to per-file
-    // sorted position arrays on the executors
     val files = entries.map(_._1)
     val fp = "__del_fp"; val pos = "__del_pos"
     val scan = spark.read.option("basePath", path).parquet(files: _*)
     require(!scan.columns.contains(fp) && !scan.columns.contains(pos),
       s"Delta table at $path has a column named $fp/$pos — colliding with " +
-        "deleteWhere's internal coordinates; rename it first")
-    val perFile = scan
-      .select(col("*"),
-        regexp_replace(col("_metadata.file_path"),
-          "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as(fp),
-        col("_metadata.row_index").as(pos))
-      .where(predicate)
+        "the DV scan's internal coordinates; rename it first")
+    val perFile = matcher(scan
+        .select(col("*"),
+          regexp_replace(col("_metadata.file_path"),
+            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as(fp),
+          col("_metadata.row_index").as(pos)))
       .groupBy(col(fp))
       .agg(sort_array(collect_list(col(pos))).as("positions"))
 
@@ -554,7 +574,7 @@ object DeltaLogWriter {
       }
       .collect().toSeq // O(#touched files) planning rows — replay-bounded
 
-    if (touched.isEmpty) return (version - 1, 0L)
+    if (touched.isEmpty) return (Nil, Nil, 0L)
 
     // protocol upgrade when the table does not already declare the
     // feature — MERGING any features the newest protocol action lists,
@@ -595,11 +615,89 @@ object DeltaLogWriter {
           s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
           s""""dataChange":true,"deletionVector":$desc}}""")
     }
-    val commit = new Path(log, f"$version%020d.json")
+    (protoLine, actions, touched.map(t => t._3 - t._4).sum)
+  }
+
+  /** MoR UPSERT — the q247 Iceberg twin on the Delta log: ONE commit
+    * that (a) deletion-vector-kills every existing row whose `keyCols`
+    * match a batch key (null-safe, the MERGE semantics) and (b) appends
+    * the batch's rows as new files — latest-write-wins per key with NO
+    * data file rewritten and the existing table scanned once for the
+    * key probe (the probe side is the BATCH: measured, broadcast only
+    * under a 10 MB budget, else forced sort-merge — the q230 cutover).
+    * Duplicate keys WITHIN the batch all land (the DVs only kill rows
+    * from BEFORE this commit); dedupe first if the key is unique.
+    * Refused: column-mapped tables (predicate resolution), partitioned
+    * tables (the appended files would not carry partition values), a
+    * batch whose schema drifts from the table's.
+    * @return (committed version, rows superseded by DV) */
+  def upsert(spark: SparkSession, path: String, df: DataFrame,
+             keyCols: Seq[String]): (Long, Long) = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    require(keyCols.nonEmpty, "upsert needs at least one key column")
+    val root = new Path(path)
+    val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
+    require(entries.nonEmpty,
+      s"Delta table at $path has no active files — create it with write() first")
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action — cannot validate " +
+        "the upsert schema; refusing"))
+    require(DeltaLogReader.mappingMode(metaNode) == "none",
+      s"Delta table at $path uses column mapping — upsert would need " +
+        "logical-to-physical key resolution it does not implement; refusing")
+    require(!metaNode.path("partitionColumns").elements().hasNext,
+      s"Delta table at $path is PARTITIONED and upsert's appends would " +
+        "not carry partition values; refusing")
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(metaNode.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(df.columns.toSeq == tableSchema.fieldNames.toSeq,
+      s"upsert schema ${df.columns.mkString("(", ", ", ")")} does not match " +
+        s"the table's ${tableSchema.fieldNames.mkString("(", ", ", ")")} — " +
+        "schema evolution is a separate operation")
+    val missing = keyCols.filterNot(tableSchema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"upsert key column(s) ${missing.mkString(", ")} are not columns of " +
+        s"the table (${tableSchema.fieldNames.mkString(", ")})")
+
+    val version = DeltaLogReader.latestVersion(spark, path).get + 1
+
+    // the key probe: MEASURE the batch's distinct key set, broadcast
+    // only under budget, else force sort-merge — the checkpointed leaf
+    // keeps no stats, so without the hint Spark could still auto-
+    // broadcast the frame the guard exists to bound
+    val keys = df.select(keyCols.map(col): _*).distinct()
+      .localCheckpoint(true).alias("__up_k")
+    val nKeys = keys.count()
+    val underBudget = nKeys * 32L <= 10L * 1024 * 1024
+    val matcher: DataFrame => DataFrame = { scanned =>
+      val t = scanned.alias("__up_t")
+      val cond = keyCols.map(k =>
+        col(s"__up_t.`$k`") <=> col(s"__up_k.`$k`")).reduce(_ && _)
+      if (underBudget) t.join(broadcast(keys), cond, "left_semi")
+      else t.join(keys.hint("merge"), cond, "left_semi")
+    }
+    val (protoLine, dvActions, nDeleted) =
+      dvAttachActions(spark, path, entries, version, matcher)
+
+    // the appended rows — published before the commit names them,
+    // invisible until it does (Delta's own visibility rule)
+    val rootFs = fs(spark, root)
+    val newFiles = publishParts(spark, root, df, version, Nil)
+    val now = System.currentTimeMillis()
+    val adds = newFiles.map { rel =>
+      val st = rootFs.getFileStatus(new Path(root, rel))
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true}}"""
+    }
+    if (dvActions.isEmpty && adds.isEmpty) return (version - 1, 0L)
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
     require(!rootFs.exists(commit),
       s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
-    writeAtomic(spark, commit, (protoLine ++ actions).mkString("", "\n", "\n"))
-    (version, touched.map(t => t._3 - t._4).sum)
+    writeAtomic(spark, commit,
+      (protoLine ++ dvActions ++ adds).mkString("", "\n", "\n"))
+    (version, nDeleted)
   }
 
   private def logDir(spark: SparkSession, path: String): Path =

@@ -94,6 +94,55 @@ class DeltaMaintenanceSpec extends SparkSpec {
       DeltaLogReader.read(spark, base, asOf = Some(0L)).collect())
   }
 
+  test("upsert is one latest-write-wins commit; history stays intact") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(1L to 5L).coalesce(1), base)
+    val (v, nDel) = DeltaLogWriter.upsert(spark,
+      base, Seq((3L, "n3", 30.0), (4L, "n4", 40.0), (11L, "n11", 110.0))
+        .toDF("id", "name", "score").coalesce(1), Seq("id"))
+    assert(v == 1L && nDel == 2L, s"v=$v nDel=$nDel")
+    def scores(d: org.apache.spark.sql.DataFrame): Map[Long, Double] =
+      d.select("id", "score").collect()
+        .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val s1 = scores(DeltaLogReader.read(spark, base))
+    assert(s1.keySet == Set(1L, 2L, 3L, 4L, 5L, 11L))
+    assert(s1(3L) == 30.0 && s1(4L) == 40.0 && s1(1L) == 1.5)
+    // time travel to the pre-upsert version still serves the originals
+    assert(scores(DeltaLogReader.read(spark, base, asOf = Some(0L)))(3L) == 4.5)
+    // a second upsert stacks (DV union on the same base file)
+    DeltaLogWriter.upsert(spark, base,
+      Seq((4L, "n4b", 400.0), (12L, "n12", 120.0))
+        .toDF("id", "name", "score").coalesce(1), Seq("id"))
+    val s2 = scores(DeltaLogReader.read(spark, base))
+    assert(s2(4L) == 400.0 && s2(3L) == 30.0 && s2(12L) == 120.0)
+    // and optimize flattens the whole MoR stack
+    DeltaLogWriter.optimize(spark, base)
+    assert(scores(DeltaLogReader.read(spark, base)) == s2)
+    assert(DeltaLogReader.activeFiles(spark, base).size == 1)
+  }
+
+  test("upsert appends duplicate batch keys as-is and gates its scope") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L)).coalesce(1), base)
+    DeltaLogWriter.upsert(spark, base,
+      Seq((2L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "name", "score")
+        .coalesce(1), Seq("id"))
+    assert(DeltaLogReader.read(spark, base).count() == 3L)
+    // unknown key column / schema drift
+    val e1 = intercept[IllegalArgumentException](DeltaLogWriter.upsert(
+      spark, base, df(Seq(9L)), Seq("nope")))
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](DeltaLogWriter.upsert(
+      spark, base, Seq((1L, "x")).toDF("id", "name"), Seq("id")))
+    assert(e2.getMessage.contains("does not match"), e2.getMessage)
+    // partitioned table
+    val part = freshDir()
+    DeltaLogWriter.write(df(Seq(1L)), part, partitionBy = Seq("name"))
+    val e3 = intercept[IllegalArgumentException](DeltaLogWriter.upsert(
+      spark, part, df(Seq(2L)), Seq("id")))
+    assert(e3.getMessage.contains("PARTITIONED"), e3.getMessage)
+  }
+
   test("vacuum keeps active files and their DV sidecars") {
     val base = freshDir()
     DeltaLogWriter.write(df(1L to 6L).coalesce(1), base)
