@@ -83,6 +83,7 @@ object IndexQueries {
   private val q251TablePat = scratchPat("q251_delta_vacuum")
   private val q252TablePat = scratchPat("q252_iceberg_cdc")
   private val q253TablePat = scratchPat("q253_delta_upsert")
+  private val q254TablePat = scratchPat("q254_iceberg_clustered")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -165,6 +166,7 @@ object IndexQueries {
     stageQ251DeltaVacuumed(s, dir)
     stageQ252IcebergCdc(s, dir)
     stageQ253DeltaUpserted(s, dir)
+    stageQ254IcebergClustered(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -830,6 +832,29 @@ object IndexQueries {
         p.where($"event_id" % 6 === 0)
           .withColumn("value_micros", $"value_micros" * 3).coalesce(1),
         Seq("event_id"))
+    }
+    base
+  }
+
+  /** q254's fixture: CLUSTERING maintenance — an append in natural
+    * (user-interleaved) order, then `compact(sortBy = user_id,
+    * numFiles = 8)`: the range-partitioned, in-partition-sorted rewrite
+    * whose footer-derived bounds become tight and DISJOINT on the sort
+    * key, so a point query plans exactly one file. */
+  private[graft] def stageQ254IcebergClustered(s: SparkSession, dir: String): String = {
+    val base = scratch(q254TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val ev = t(s, dir, "events")
+        .select($"event_id", $"user_id",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.IcebergWriter.commitAppend(s, base, ev, 6701L, 1000L)
+      graft.sources.IcebergWriter.compact(s, base, 6702L, 2000L,
+        sortBy = Seq("user_id"), numFiles = Some(8))
     }
     base
   }
@@ -2610,6 +2635,31 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Iceberg CLUSTERED COMPACTION — maintenance meets the pruning
+    // tier: after `compact(sortBy = user_id, numFiles = 8)` the eight
+    // rewritten files carry tight DISJOINT user_id bounds, so the
+    // b_files leg pins that a point query plans EXACTLY ONE of them
+    // (range partitioning puts every copy of a key in one partition —
+    // deterministic whatever boundaries the sampler picked), while the
+    // a_rows leg pins the pruned read's data against the oracle's full
+    // scan. An unsorted rewrite would plan all eight.
+    "q254_iceberg_clustered_compact" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ254IcebergClustered(s, dir)
+      val range = Seq(Iceberg.ColRange("user_id", 7L, 7L))
+      val filesLeg = Seq((Iceberg.planFiles(s, base, range).size.toLong, 0L, 0L))
+        .toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("b_files").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      Iceberg.readPruned(s, base, range)
+        .where($"user_id" === 7L)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select(lit("a_rows").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+        .unionAll(filesLeg)
+        .orderBy($"leg")
+    }),
+
     // Iceberg METADATA TABLES — the `SELECT * FROM tbl.snapshots /
     // .manifests / .files` inspection surface over a three-commit table
     // (two appends + a row-level delete). The files leg pins the REAL
@@ -3499,6 +3549,15 @@ object IndexQueries {
         |  SELECT 'post_delete', count(*),
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
+        |) ORDER BY leg""".stripMargin,
+    "q254_iceberg_clustered_compact" ->
+      """SELECT * FROM (
+        |  SELECT 'a_rows' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE user_id = 7
+        |  UNION ALL
+        |  SELECT 'b_files', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q253_delta_upsert" ->
       """WITH p AS MATERIALIZED (

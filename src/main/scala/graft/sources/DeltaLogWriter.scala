@@ -194,9 +194,17 @@ object DeltaLogWriter {
     * files stay on disk for time travel until [[vacuum]]. Refuses
     * column-mapped tables (rewriting would sever the logical→physical
     * name mapping) and partitioned tables (this writer does not re-bin
-    * within partitions). */
+    * within partitions). With `clusterBy`, the rewrite range-partitions
+    * and sorts on those columns (`OPTIMIZE ... ZORDER BY` when the
+    * caller passes the Morton key, plain clustering otherwise — the
+    * SnapshotLog.optimize pattern): clustered files carry tight
+    * disjoint row-group stats on the key, so parquet predicate
+    * pushdown skips whole files at scan time. `numFiles` pins the
+    * output count when the caller needs it deterministic. */
   def optimize(spark: SparkSession, path: String,
-               targetFileBytes: Long = 128L << 20): Long = {
+               targetFileBytes: Long = 128L << 20,
+               clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+               numFiles: Option[Int] = None): Long = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val root = new Path(path)
     val f = fs(spark, root)
@@ -230,12 +238,18 @@ object DeltaLogWriter {
         s"root (first: ${outside.headOption.getOrElse("")}) — optimize " +
         "only rewrites self-contained tables; clone the data in first")
 
+    numFiles.foreach(n => require(n > 0, s"numFiles must be positive, got $n"))
     val liveBytes = entries.map { case (abs, _) =>
       f.getFileStatus(new Path(abs)).getLen
     }.sum
-    val numOut = math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val newFiles = publishParts(spark, root,
-      DeltaLogReader.read(spark, path).repartition(numOut), version, Nil)
+    val numOut = numFiles.getOrElse(
+      math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt)
+    val logical = DeltaLogReader.read(spark, path)
+    val reshaped =
+      if (clusterBy.isEmpty) logical.repartition(numOut)
+      else logical.repartitionByRange(numOut, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
+    val newFiles = publishParts(spark, root, reshaped, version, Nil)
     require(newFiles.nonEmpty,
       s"optimize at $path produced no parquet parts")
 

@@ -283,12 +283,20 @@ object IcebergWriter {
     * upserts are all legal again — while every PRIOR snapshot stays
     * byte-identical for time travel until [[expireSnapshots]] collects
     * it. Output file count = ceil(live-input-bytes / targetFileBytes)
-    * from driver-side file sizes (planning altitude, O(#files)); the
-    * rewrite itself is one distributed repartition — the unavoidable
-    * shuffle of exactly the bytes being rewritten, nothing else. */
+    * from driver-side file sizes (planning altitude, O(#files)) unless
+    * `numFiles` pins it; the rewrite itself is one distributed
+    * repartition — the unavoidable shuffle of exactly the bytes being
+    * rewritten, nothing else. With `sortBy`, the rewrite range-
+    * partitions and sorts on those columns instead (`OPTIMIZE ... 
+    * ZORDER`-style clustering maintenance): each output file then
+    * carries TIGHT disjoint footer bounds on the sort key, so
+    * [[Iceberg.readPruned]]'s stats pruning plans a point query at
+    * O(1) files instead of all of them. */
   def compact(spark: SparkSession, table: String,
               snapshotId: Long, timestampMs: Long,
-              targetFileBytes: Long = 128L << 20): Int = {
+              targetFileBytes: Long = 128L << 20,
+              sortBy: Seq[String] = Nil,
+              numFiles: Option[Int] = None): Int = {
     import org.apache.spark.sql.functions.col
     val doc = Iceberg.metadata(spark, table)
     val fields = Iceberg.currentSchemaFields(doc).getOrElse(
@@ -314,16 +322,26 @@ object IcebergWriter {
       s"Iceberg table $table has no live data files — nothing to compact")
 
     val f = fs(spark, new Path(table))
+    val missingSort = sortBy.filterNot(c => fields.exists(_.name == c))
+    require(missingSort.isEmpty,
+      s"compact sortBy column(s) ${missingSort.mkString(", ")} are not " +
+        s"columns of $table (${fields.map(_.name).mkString(", ")})")
+    numFiles.foreach(n => require(n > 0, s"numFiles must be positive, got $n"))
     val liveBytes = planned.data.map { case (p, _) =>
       f.getFileStatus(new Path(p)).getLen
     }.sum
-    val numOut = math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val numOut = numFiles.getOrElse(
+      math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt)
 
     // the MoR read IS the compaction semantics: whatever the current
     // snapshot serves is what the rewrite must serve (select pins the
     // column order to the schema the id-stamped write assumes)
-    val live = Iceberg.read(spark, table)
-      .select(fields.map(fd => col(fd.name)): _*).repartition(numOut)
+    val ordered = Iceberg.read(spark, table)
+      .select(fields.map(fd => col(fd.name)): _*)
+    val live =
+      if (sortBy.isEmpty) ordered.repartition(numOut)
+      else ordered.repartitionByRange(numOut, sortBy.map(col): _*)
+        .sortWithinPartitions(sortBy.map(col): _*)
     val files = writeIdStampedFiles(spark, table, live, fields, s"compact$snapshotId")
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap

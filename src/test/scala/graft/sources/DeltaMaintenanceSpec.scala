@@ -59,6 +59,29 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(ids(DeltaLogReader.read(spark, base)) == survivors)
   }
 
+  test("clustered optimize writes range-disjoint files (skipping-ready)") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 40L, 2L, 39L, 3L, 38L, 4L, 37L,
+      5L, 36L, 6L, 35L, 7L, 34L, 8L, 33L)).coalesce(1), base)
+    DeltaLogWriter.optimize(spark, base,
+      clusterBy = Seq(col("id")), numFiles = Some(4))
+    val active = DeltaLogReader.activeFiles(spark, base)
+    assert(active.size == 4)
+    // per-file id ranges must not overlap — that is what lets parquet
+    // row-group stats (and any stats-based skipper) drop whole files
+    val ranges = active.map { p =>
+      val r = spark.read.parquet(p)
+        .agg(org.apache.spark.sql.functions.min("id"),
+          org.apache.spark.sql.functions.max("id")).collect().head
+      (r.getLong(0), r.getLong(1))
+    }.sortBy(_._1)
+    ranges.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) => assert(hi < lo, ranges.mkString(", "))
+      case _ =>
+    }
+    assert(ids(DeltaLogReader.read(spark, base)).size == 16)
+  }
+
   test("optimize refuses partitioned tables") {
     val base = freshDir()
     DeltaLogWriter.write(df(Seq(1L, 2L)), base,

@@ -85,6 +85,25 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(ids(Iceberg.read(spark, base)) == Set(7L))
   }
 
+  test("clustered compact yields disjoint bounds: a point query plans 1 file") {
+    val base = freshDir()
+    // interleaved ids in one file: unsorted bounds would span everything
+    IcebergWriter.commitAppend(spark, base,
+      df(Seq(1L, 40L, 2L, 39L, 3L, 38L, 4L, 37L, 5L, 36L,
+        6L, 35L, 7L, 34L, 8L, 33L)).coalesce(1), 101L, 1000L)
+    IcebergWriter.compact(spark, base, 102L, 2000L,
+      sortBy = Seq("id"), numFiles = Some(4))
+    assert(Iceberg.planFiles(spark, base).size == 4)
+    // every copy of a key lives in ONE range partition → exactly 1 file
+    val hit = Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("id", 7L, 7L)))
+    assert(hit.size == 1, hit.mkString(", "))
+    assert(ids(Iceberg.read(spark, base)).size == 16)
+    // an unknown sort column refuses
+    val e = intercept[IllegalArgumentException](IcebergWriter.compact(
+      spark, base, 103L, 3000L, sortBy = Seq("nope")))
+    assert(e.getMessage.contains("nope"), e.getMessage)
+  }
+
   // ----------------------------------------------------------------- upsert
 
   test("upsert is latest-write-wins per key; upserts stack; history intact") {
