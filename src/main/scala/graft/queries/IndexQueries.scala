@@ -2647,12 +2647,15 @@ object IndexQueries {
       import s.implicits._
       import graft.sources.Iceberg
       val base = stageQ254IcebergClustered(s, dir)
-      val range = Seq(Iceberg.ColRange("user_id", 7L, 7L))
+      // probe key DERIVED from the data (min user_id — guaranteed to
+      // exist at any sf) so the 1-file law never fails on a data gap
+      val probe = t(s, dir, "events").agg(min($"user_id")).head.getLong(0)
+      val range = Seq(Iceberg.ColRange("user_id", probe, probe))
       val filesLeg = Seq((Iceberg.planFiles(s, base, range).size.toLong, 0L, 0L))
         .toDF("n_rows", "id_checksum", "value_checksum")
         .select(lit("b_files").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
       Iceberg.readPruned(s, base, range)
-        .where($"user_id" === 7L)
+        .where($"user_id" === probe)
         .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
           sum($"value_micros").as("value_checksum"))
         .select(lit("a_rows").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
@@ -3555,7 +3558,7 @@ object IndexQueries {
         |  SELECT 'a_rows' AS leg, count(*) AS n_rows,
         |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
         |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
-        |  FROM events WHERE user_id = 7
+        |  FROM events WHERE user_id = (SELECT min(user_id) FROM events)
         |  UNION ALL
         |  SELECT 'b_files', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,

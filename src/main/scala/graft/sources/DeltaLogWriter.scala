@@ -229,10 +229,17 @@ object DeltaLogWriter {
     // the remove actions below re-relativize active paths against the
     // table root; an add that lives OUTSIDE it (shallow-clone layouts)
     // would re-relativize to a WRONG path, leave the old add active and
-    // permanently double the rows — refuse instead
-    val rootUri = root.toUri.getPath.stripSuffix("/")
+    // permanently double the rows — refuse instead. The comparison keeps
+    // scheme/authority as the leading path segment (normalizePath, the
+    // dvAttachActions spelling): a same-path file in a DIFFERENT bucket
+    // must count as outside, and a relative table path must qualify to
+    // the same spelling the entries carry
+    val rootNorm = DeletionVectors
+      .normalizePath(f.makeQualified(root).toString).stripSuffix("/")
+    def normAbs(abs: String): String =
+      DeletionVectors.normalizePath(f.makeQualified(new Path(abs)).toString)
     val outside = entries.map(_._1)
-      .filterNot(abs => new Path(abs).toUri.getPath.startsWith(rootUri + "/"))
+      .filterNot(abs => normAbs(abs).startsWith(rootNorm + "/"))
     require(outside.isEmpty,
       s"Delta table at $path references active files OUTSIDE the table " +
         s"root (first: ${outside.headOption.getOrElse("")}) — optimize " +
@@ -255,7 +262,7 @@ object DeltaLogWriter {
 
     val now = System.currentTimeMillis()
     val removes = entries.map { case (abs, _) =>
-      val rel = new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
+      val rel = normAbs(abs).stripPrefix(rootNorm).stripPrefix("/")
       s"""{"remove":{"path":${jsonStr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
     }
     val adds = newFiles.map { rel =>
@@ -542,9 +549,13 @@ object DeltaLogWriter {
       .agg(sort_array(collect_list(col(pos))).as("positions"))
 
     // existing descriptors ride a broadcast keyed by normalized path so
-    // each file's task can union its old bitmap in
+    // each file's task can union its old bitmap in — QUALIFIED first:
+    // the scan side's _metadata.file_path is always a full URI, and an
+    // unqualified replay key (relative table path) would silently miss,
+    // dropping the old bitmap and resurrecting its rows
     val oldDvByFile: Map[String, String] = entries.collect {
-      case (f, Some(dv)) => (DeletionVectors.normalizePath(f), dv)
+      case (f0, Some(dv)) => (DeletionVectors.normalizePath(
+        rootFs.makeQualified(new Path(f0)).toString), dv)
     }.toMap
     val bcOld = spark.sparkContext.broadcast(oldDvByFile)
     val bcConf = spark.sparkContext.broadcast(
@@ -669,6 +680,16 @@ object DeltaLogWriter {
       s"upsert schema ${df.columns.mkString("(", ", ", ")")} does not match " +
         s"the table's ${tableSchema.fieldNames.mkString("(", ", ", ")")} — " +
         "schema evolution is a separate operation")
+    // names are not enough: a type-drifted batch would COMMIT parquet
+    // the table's own footer-typed reads can no longer open (poisoned
+    // after success) — refuse pre-commit like the Iceberg twin
+    val typeDrift = df.schema.fields.zip(tableSchema.fields).collect {
+      case (a, b) if a.dataType != b.dataType =>
+        s"${a.name}: ${a.dataType.simpleString} vs ${b.dataType.simpleString}"
+    }
+    require(typeDrift.isEmpty,
+      s"upsert batch types drift from the table's: ${typeDrift.mkString("; ")}" +
+        " — schema evolution is a separate operation")
     val missing = keyCols.filterNot(tableSchema.fieldNames.contains)
     require(missing.isEmpty,
       s"upsert key column(s) ${missing.mkString(", ")} are not columns of " +
@@ -683,7 +704,11 @@ object DeltaLogWriter {
     val keys = df.select(keyCols.map(col): _*).distinct()
       .localCheckpoint(true).alias("__up_k")
     val nKeys = keys.count()
-    val underBudget = nKeys * 32L <= 10L * 1024 * 1024
+    // per-row estimate from the key schema's declared widths (strings
+    // count their defaultSize) + row overhead — a 3-string-column key
+    // must not sneak under a budget tuned for one long
+    val keyRowBytes = keys.schema.map(_.dataType.defaultSize).sum + 16L
+    val underBudget = nKeys * keyRowBytes <= 10L * 1024 * 1024
     val matcher: DataFrame => DataFrame = { scanned =>
       val t = scanned.alias("__up_t")
       val cond = keyCols.map(k =>

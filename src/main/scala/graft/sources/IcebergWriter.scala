@@ -66,12 +66,35 @@ object IcebergWriter {
     digits.toInt
   }
 
-  /** Effective data sequence number of each carried manifest-list row:
-    * its own where the prior list recorded one, else 0 — the spec's
-    * v1→v2 upgrade rule (pre-upgrade files sort below every new
-    * delete). */
-  private def carriedSeqsOf(prior: Seq[org.apache.avro.generic.GenericRecord]): Seq[Long] =
-    prior.map(r => Iceberg.longField(r, "sequence_number").getOrElse(0L))
+  /** One carried manifest-list row, unpacked once: path/length verbatim,
+    * content flag, ORIGINAL attribution (throws when absent — carrying
+    * without it breaks entry-id inheritance), and the effective data
+    * sequence number — its own where the prior list recorded one, else
+    * 0, the spec's v1→v2 upgrade rule (pre-upgrade files sort below
+    * every new delete). Every commit that carries manifests goes
+    * through this ONE unpacking so the formats' sequence tiers cannot
+    * diverge between writers. */
+  private case class Carried(path: String, length: Long, content: Int,
+                             addedSnapshotId: Long, seq: Long)
+
+  private def carriedOf(table: String,
+                        prior: Seq[org.apache.avro.generic.GenericRecord]): Seq[Carried] =
+    prior.map { r =>
+      Carried(
+        Option(r.get("manifest_path")).map(_.toString).getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest-list row of $table lacks manifest_path")),
+        Iceberg.longField(r, "manifest_length").getOrElse(0L),
+        Option(r.get("content")).map(_.toString.toInt).getOrElse(0),
+        Iceberg.longField(r, "added_snapshot_id").getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest-list row of $table lacks added_snapshot_id")),
+        Iceberg.longField(r, "sequence_number").getOrElse(0L))
+    }
+
+  /** The next data sequence number: one above every carried tier. */
+  private def nextSeq(carried: Seq[Carried]): Long =
+    (carried.map(_.seq) :+ 0L).max + 1
 
   /** Append `df` as snapshot `snapshotId` at `timestampMs` (both
     * caller-supplied: commits are deterministic, replayable facts, not
@@ -147,17 +170,13 @@ object IcebergWriter {
     // require them): carried rows keep their effective number, the new
     // manifest commits above them all — appending to a compacted v2
     // table must not reset its sequence tier
-    val carriedSeqs = carriedSeqsOf(priorRows)
+    val carried = carriedOf(table, priorRows)
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
-      priorRows.map(r => (r.get("manifest_path").toString,
-        Iceberg.longField(r, "manifest_length").getOrElse(0L))) :+ manifest,
+      carried.map(c => (c.path, c.length)) :+ manifest,
       sequenceNumbers =
-        if (fmtVersion == 2) carriedSeqs :+ ((carriedSeqs :+ 0L).max + 1) else Nil,
-      addedSnapshotIds = priorRows.map(r =>
-        Iceberg.longField(r, "added_snapshot_id").getOrElse(
-          throw new IllegalArgumentException(
-            s"manifest-list row of $table lacks added_snapshot_id"))) :+ snapshotId)
+        if (fmtVersion == 2) carried.map(_.seq) :+ nextSeq(carried) else Nil,
+      addedSnapshotIds = carried.map(_.addedSnapshotId) :+ snapshotId)
 
     // ---- metadata swap (single-writer: plain overwrite, no CAS) ------
     val schemaJson = fields.map(fd =>
@@ -250,19 +269,14 @@ object IcebergWriter {
     // original attribution — and since the output IS a v2 table, give
     // every row its effective sequence number (position deletes apply
     // to data at or below theirs; carried history sits at 0/original)
-    val prior = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
-    val carriedSeqs = carriedSeqsOf(prior)
+    val carried = carriedOf(table,
+      Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)))
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
-      prior.map(r => (r.get("manifest_path").toString,
-        Iceberg.longField(r, "manifest_length").getOrElse(0L))) :+ dm,
-      contents = prior.map(r =>
-        Option(r.get("content")).map(_.toString.toInt).getOrElse(0)) :+ 1,
-      sequenceNumbers = carriedSeqs :+ ((carriedSeqs :+ 0L).max + 1),
-      addedSnapshotIds = prior.map(r =>
-        Iceberg.longField(r, "added_snapshot_id").getOrElse(
-          throw new IllegalArgumentException(
-            s"manifest-list row of $table lacks added_snapshot_id"))) :+ snapshotId)
+      carried.map(c => (c.path, c.length)) :+ dm,
+      contents = carried.map(_.content) :+ 1,
+      sequenceNumbers = carried.map(_.seq) :+ nextSeq(carried),
+      addedSnapshotIds = carried.map(_.addedSnapshotId) :+ snapshotId)
 
     val schemaJson = fields.map(fd =>
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
@@ -353,15 +367,15 @@ object IcebergWriter {
     // drop out of the live view (and stay reachable via prior snapshots).
     // A v2 table's new list still carries a sequence number ABOVE the
     // prior tier: compaction must not reset the sequence clock a later
-    // upsert resumes from (and real v2 readers require the field)
+    // upsert resumes from (and real v2 readers require the field).
+    // (The manifest list is re-parsed here after listLiveFiles already
+    // opened it — KB-scale planning metadata, and listLiveFiles's
+    // signature deliberately does not leak raw rows.)
     val fmtVersion = doc.path("format-version").asInt(1)
     val seqNums =
       if (fmtVersion != 2) Nil
-      else {
-        val priorSeqs = carriedSeqsOf(
-          Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)))
-        Seq((priorSeqs :+ 0L).max + 1)
-      }
+      else Seq(nextSeq(carriedOf(table,
+        Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)))))
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId, Seq(manifest),
       sequenceNumbers = seqNums)
@@ -429,9 +443,9 @@ object IcebergWriter {
     // so the per-row number is exact, and foreign per-manifest numbers
     // carry through unchanged.
     val mlPath = Iceberg.manifestListOf(doc, table, cur)
-    val prior = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
-    val carriedSeqs = carriedSeqsOf(prior)
-    val newSeq = (carriedSeqs :+ 0L).max + 1
+    val carried = carriedOf(table,
+      Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)))
+    val newSeq = nextSeq(carried)
 
     // (a) the appended rows — full schema, id-stamped, footer bounds
     val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
@@ -457,16 +471,10 @@ object IcebergWriter {
 
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
-      prior.map(r => (r.get("manifest_path").toString,
-        Iceberg.longField(r, "manifest_length").getOrElse(0L))) :+
-        dataManifest :+ delManifest,
-      contents = prior.map(r =>
-        Option(r.get("content")).map(_.toString.toInt).getOrElse(0)) :+ 0 :+ 1,
-      sequenceNumbers = carriedSeqs :+ newSeq :+ newSeq,
-      addedSnapshotIds = prior.map(r =>
-        Iceberg.longField(r, "added_snapshot_id").getOrElse(
-          throw new IllegalArgumentException(
-            s"manifest-list row of $table lacks added_snapshot_id"))) :+
+      carried.map(c => (c.path, c.length)) :+ dataManifest :+ delManifest,
+      contents = carried.map(_.content) :+ 0 :+ 1,
+      sequenceNumbers = carried.map(_.seq) :+ newSeq :+ newSeq,
+      addedSnapshotIds = carried.map(_.addedSnapshotId) :+
         snapshotId :+ snapshotId)
 
     val hintVersion = hintVersionOf(spark, table)

@@ -365,6 +365,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("q247 upsert MoR read: equality deletes as anti joins, never a nested loop") {
+    // each equality-id group anti-joins null-safely on the key columns
+    // (equi keys — hashable) with the sequence comparison as a residual
+    // condition; a BroadcastNestedLoopJoin or cartesian here would put
+    // the whole data read against every delete row per upsert tier
+    val df = graft.SparkEntry.queries("q247_iceberg_upsert")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
+  }
+
   test("q225 winnowing pairing caps hot fingerprints before the self-join") {
     // the anti-join against the hot-fingerprint tail must be IN the plan
     // (dropping it silently restores the quadratic C(k,2) fan-out on
