@@ -84,6 +84,7 @@ object IndexQueries {
   private val q252TablePat = scratchPat("q252_iceberg_cdc")
   private val q253TablePat = scratchPat("q253_delta_upsert")
   private val q254TablePat = scratchPat("q254_iceberg_clustered")
+  private val q255TablePat = scratchPat("q255_iceberg_partwrite")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -167,6 +168,7 @@ object IndexQueries {
     stageQ252IcebergCdc(s, dir)
     stageQ253DeltaUpserted(s, dir)
     stageQ254IcebergClustered(s, dir)
+    stageQ255IcebergPartitioned(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -855,6 +857,30 @@ object IndexQueries {
       graft.sources.IcebergWriter.commitAppend(s, base, ev, 6701L, 1000L)
       graft.sources.IcebergWriter.compact(s, base, 6702L, 2000L,
         sortBy = Seq("user_id"), numFiles = Some(8))
+    }
+    base
+  }
+
+  /** q255's fixture: an identity-PARTITIONED Iceberg table the repo's
+    * own writer created and appended to — `commitAppend(partitionBy =
+    * event_type)` in two commits (event_id parity slices), each writing
+    * one file per partition VALUE with the value in the entry's
+    * partition struct and per-field min/max summaries on the
+    * manifest-list row. The read side's q232/q241 pruning machinery
+    * then runs against metadata this repo WROTE. */
+  private[graft] def stageQ255IcebergPartitioned(s: SparkSession, dir: String): String = {
+    val base = scratch(q255TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(m: Int) = t(s, dir, "events").where($"event_id" % 2 === m)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.IcebergWriter.commitAppend(s, base, slice(0), 6801L, 1000L,
+        partitionBy = Seq("event_type"))
+      graft.sources.IcebergWriter.commitAppend(s, base, slice(1), 6802L, 2000L)
     }
     base
   }
@@ -2635,6 +2661,32 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Iceberg PARTITIONED WRITE — the writer derives identity partition
+    // values and manifest-list summaries itself (one file per value per
+    // commit), and the reader's partition pruning runs against that
+    // SELF-WRITTEN metadata: a point event_type predicate plans exactly
+    // 2 of 10 files (one purchase file per commit — deterministic by
+    // construction, not by sampler luck). The a_rows leg pins the
+    // pruned read's data against the oracle's full scan; a writer that
+    // mis-records a value or a summary either loses rows here or fails
+    // the never-opened law in IcebergWriterSpec.
+    "q255_iceberg_partitioned_write" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ255IcebergPartitioned(s, dir)
+      val range = Seq(Iceberg.ColRange("event_type", "purchase", "purchase"))
+      val filesLeg = Seq((Iceberg.planFiles(s, base, range).size.toLong, 0L, 0L))
+        .toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("b_files").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      Iceberg.readPruned(s, base, range)
+        .where($"event_type" === "purchase")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select(lit("a_rows").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+        .unionAll(filesLeg)
+        .orderBy($"leg")
+    }),
+
     // Iceberg CLUSTERED COMPACTION — maintenance meets the pruning
     // tier: after `compact(sortBy = user_id, numFiles = 8)` the eight
     // rewritten files carry tight DISJOINT user_id bounds, so the
@@ -3552,6 +3604,15 @@ object IndexQueries {
         |  SELECT 'post_delete', count(*),
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
+        |) ORDER BY leg""".stripMargin,
+    "q255_iceberg_partitioned_write" ->
+      """SELECT * FROM (
+        |  SELECT 'a_rows' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'b_files', CAST(2 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q254_iceberg_clustered_compact" ->
       """SELECT * FROM (

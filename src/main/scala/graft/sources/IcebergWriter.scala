@@ -99,10 +99,26 @@ object IcebergWriter {
   /** Append `df` as snapshot `snapshotId` at `timestampMs` (both
     * caller-supplied: commits are deterministic, replayable facts, not
     * wall-clock reads). Creates the table — metadata v1, field ids
-    * 1..n from `df`'s schema — when `table` has no current metadata.
+    * 1..n from `df`'s schema — when `table` has no current metadata;
+    * `partitionBy` on creation installs an IDENTITY partition spec.
+    *
+    * Partitioned tables (identity transforms only): each commit writes
+    * one file per partition VALUE (a driver loop over the batch's
+    * distinct values, capped at [[MaxPartitionValuesPerCommit]] — the
+    * per-day/per-category cardinality identity partitioning is for;
+    * split oversized partitions by committing in slices), records the
+    * value in each entry's `partition` struct and per-field min/max
+    * SUMMARIES on the manifest-list row — exactly what
+    * [[Iceberg.readPruned]] prunes manifests and files on. Data files
+    * keep the source columns (no hive-style column dropping), so reads
+    * need no partition-value reconstitution. NULL partition values,
+    * non-identity transforms, evolved (multi-)specs and a `partitionBy`
+    * that contradicts the existing spec all refuse loudly.
     * Returns the new metadata version. */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
-                   snapshotId: Long, timestampMs: Long): Int = {
+                   snapshotId: Long, timestampMs: Long,
+                   partitionBy: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
     // presence is decided by the metadata DIRECTORY, not by whether the
     // parse succeeds — a corrupt existing table must refuse loudly, not
     // be silently "re-created" over
@@ -111,17 +127,22 @@ object IcebergWriter {
           .exists(new Path(table, "metadata")))
         Some(Iceberg.metadata(spark, table))
       else None
-    val (fields, version, priorSnaps) = existing match {
+    val (fields, version, priorSnaps, partPairs, partSpecJson) = existing match {
       case Some(doc) =>
         val f = Iceberg.currentSchemaFields(doc).getOrElse(
           throw new IllegalArgumentException(
             s"cannot append to $table: its metadata carries no schema to " +
               "validate the append against"))
-        val specs = Iceberg.partitionSpecs(doc)
-        require(specs.values.forall(_.isEmpty),
-          s"cannot append to $table: it is PARTITIONED and this writer " +
-            "does not derive partition values or summaries — appending " +
-            "unpartitioned files would silently break partition pruning")
+        val specsAll = Iceberg.partitionSpecs(doc)
+        require(specsAll.size <= 1,
+          s"cannot append to $table: it carries ${specsAll.size} partition " +
+            "specs (spec evolution) — this writer re-emits only the " +
+            "default spec and would silently drop the others; refusing")
+        val sf0 = specsAll.values.headOption.getOrElse(Nil)
+        require(sf0.forall(_.transform == "identity"),
+          s"cannot append to $table: its partition spec uses non-identity " +
+            s"transforms (${sf0.map(_.transform).mkString(", ")}) — this " +
+            "writer derives IDENTITY partition values only")
         val snaps = snapsOf(doc)
         require(!snaps.exists(_._1 == snapshotId),
           s"snapshot id $snapshotId already exists in $table")
@@ -129,12 +150,35 @@ object IcebergWriter {
           s"append at timestamp $timestampMs would commit BEFORE an " +
             s"existing snapshot (latest: ${snaps.map(_._2).maxOption.getOrElse(0L)}) " +
             "— history must be monotonic for AS-OF reads to stay sane")
-        (f, hintVersionOf(spark, table) + 1, snaps)
+        // spec field name → SOURCE column name (identity: usually equal,
+        // but the mapping is by source-id, the robust spelling)
+        val pairs = sf0.map { sf =>
+          val src = f.find(_.id == sf.sourceId).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition spec of $table names source-id ${sf.sourceId}, " +
+                "absent from the schema — corrupt metadata"))
+          (sf.name, src.name)
+        }
+        require(partitionBy.isEmpty || partitionBy == pairs.map(_._2),
+          s"partitionBy ${partitionBy.mkString("(", ", ", ")")} contradicts " +
+            s"$table's spec ${pairs.map(_._2).mkString("(", ", ", ")")} — " +
+            "omit it on appends or match the spec")
+        (f, hintVersionOf(spark, table) + 1, snaps, pairs,
+          rawDefaultSpecFieldsJson(doc))
       case None =>
         val f = df.schema.fields.zipWithIndex.map { case (sf, i) =>
           Iceberg.IceField(i + 1, sf.name, iceType(sf.dataType))
         }.toSeq
-        (f, 1, Seq.empty[(Long, Long, String)])
+        val missing = partitionBy.filterNot(c => f.exists(_.name == c))
+        require(missing.isEmpty,
+          s"partitionBy column(s) ${missing.mkString(", ")} are not " +
+            s"columns of the frame (${f.map(_.name).mkString(", ")})")
+        val specJson = partitionBy.zipWithIndex.map { case (c, i) =>
+          Iceberg.identityPartitionJson(
+            f.find(_.name == c).get.id, c, fieldId = 1000 + i)
+        }.mkString("[", ",", "]")
+        (f, 1, Seq.empty[(Long, Long, String)],
+          partitionBy.map(c => (c, c)), specJson)
     }
     require(df.columns.toSeq == fields.map(_.name),
       s"append schema ${df.columns.mkString("(", ", ", ")")} does not " +
@@ -142,13 +186,16 @@ object IcebergWriter {
         "schema evolution is a separate operation, not an append side-effect")
 
     // ---- data files: id-stamped parquet under data/ -----------------
-    val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
-
-    // ---- manifest with footer-derived column bounds ------------------
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap
-    val entries = files.map(file =>
-      boundedEntry(spark, table, file, nameToId, typById))
+    val (entries, newSummaries) =
+      if (partPairs.isEmpty) {
+        val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
+        (files.map(file => boundedEntry(spark, table, file, nameToId, typById)),
+          Seq.empty[Iceberg.Summary])
+      } else
+        writePartitionedFiles(spark, table, df, fields, partPairs,
+          nameToId, typById, snapshotId)
     val manifest = Iceberg.writeManifest(spark, table,
       s"m-snap$snapshotId.avro", snapshotId, entries)
 
@@ -171,9 +218,11 @@ object IcebergWriter {
     // manifest commits above them all — appending to a compacted v2
     // table must not reset its sequence tier
     val carried = carriedOf(table, priorRows)
+    val allSummaries = carriedSummaries(priorRows) :+ newSummaries
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
       carried.map(c => (c.path, c.length)) :+ manifest,
+      summaries = if (allSummaries.exists(_.nonEmpty)) allSummaries else Nil,
       sequenceNumbers =
         if (fmtVersion == 2) carried.map(_.seq) :+ nextSeq(carried) else Nil,
       addedSnapshotIds = carried.map(_.addedSnapshotId) :+ snapshotId)
@@ -186,9 +235,123 @@ object IcebergWriter {
       // never DOWNGRADE the format: appending to a (compacted) v2 table
       // keeps it v2 even though this commit itself uses no v2 feature
       formatVersion = fmtVersion,
-      schemaFieldsJson = schemaJson)
+      schemaFieldsJson = schemaJson,
+      partitionSpecJson = partSpecJson)
     version
   }
+
+  /** Identity-partition cardinality a single commit will fan out to —
+    * one driver-coordinated filtered write per VALUE (per-day /
+    * per-category scale); past this, the partitioning itself is the
+    * design error, not the cap. */
+  val MaxPartitionValuesPerCommit = 256
+
+  /** Per-value filtered writes for an identity-partitioned append:
+    * returns the bounds-carrying entries (each stamped with its
+    * `partition` struct) and the per-spec-field min/max [[Iceberg.Summary]]
+    * row for the manifest list. */
+  private def writePartitionedFiles(spark: SparkSession, table: String,
+      df: DataFrame, fields: Seq[Iceberg.IceField],
+      partPairs: Seq[(String, String)],
+      nameToId: Map[String, Int], typById: Map[Int, String],
+      snapshotId: Long): (Seq[Iceberg.Entry], Seq[Iceberg.Summary]) = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val partCols = partPairs.map(_._2)
+    val typOf: Map[String, String] =
+      partCols.map(c => c -> typById(nameToId(c))).toMap
+    partCols.foreach { c =>
+      require(Set("int", "long", "string")(typOf(c)),
+        s"identity partition column '$c' has type ${typOf(c)} — this " +
+          "writer derives int/long/string identity values only")
+    }
+    val distinctVals: Seq[Seq[Any]] = df
+      .select(partCols.map(col): _*).distinct()
+      .collect().map(_.toSeq).toSeq
+    require(distinctVals.size <= MaxPartitionValuesPerCommit,
+      s"append to $table spans ${distinctVals.size} distinct partition " +
+        s"values — past the $MaxPartitionValuesPerCommit per-commit cap " +
+        "(one driver-coordinated write per value); commit in slices or " +
+        "partition coarser")
+    require(!distinctVals.exists(_.exists(_ == null)),
+      s"append to $table has NULL partition value(s) in " +
+        s"${partCols.mkString("(", ", ", ")")} — the summary/pruning " +
+        "semantics of null partitions are not implemented; filter or " +
+        "default them first")
+    def norm(v: Any): Any = v match {
+      case i: java.lang.Integer => i.longValue
+      case l: java.lang.Long => l.longValue
+      case s: String => s
+      case other => throw new IllegalStateException(
+        s"unexpected partition value class ${other.getClass.getName}")
+    }
+    val entries = distinctVals
+      .sortBy(_.map(String.valueOf).mkString("\u0000")).zipWithIndex
+      .flatMap { case (vals, pi) =>
+        val pred = partCols.zip(vals)
+          .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        val files = writeIdStampedFiles(spark, table,
+          df.where(pred).coalesce(1), fields, s"snap$snapshotId-p$pi")
+        val pvals: Seq[(String, Any)] =
+          partPairs.map(_._1).zip(vals.map(norm))
+        files.map(f => boundedEntry(spark, table, f, nameToId, typById)
+          .copy(partition = pvals))
+      }
+    def encodeVal(t: String, v: Any): Array[Byte] = t match {
+      case "string" => Iceberg.encodeString(v.toString)
+      case _ => Iceberg.encodeLong(v.asInstanceOf[Long])
+    }
+    val summaries = partPairs.zipWithIndex.map { case ((_, colName), i) =>
+      val t = typOf(colName)
+      val vs = distinctVals.map(r => norm(r(i)))
+      val (lo, hi) = t match {
+        case "string" =>
+          val ss = vs.map(_.toString); (ss.min: Any, ss.max: Any)
+        case _ =>
+          val ls = vs.map(_.asInstanceOf[Long]); (ls.min: Any, ls.max: Any)
+      }
+      Iceberg.Summary(Some(encodeVal(t, lo)), Some(encodeVal(t, hi)))
+    }
+    (entries, summaries)
+  }
+
+  /** The default partition spec's raw `fields` JSON, verbatim from the
+    * metadata document — re-emitted on append so the spec (including
+    * its field-ids) survives the metadata rewrite byte-faithfully. */
+  private def rawDefaultSpecFieldsJson(
+      doc: com.fasterxml.jackson.databind.JsonNode): String = {
+    val v2 = doc.path("partition-specs")
+    if (v2.isArray && v2.size() > 0) {
+      val defId = doc.path("default-spec-id").asInt(0)
+      v2.elements().asScala.find(_.path("spec-id").asInt(0) == defId)
+        .map(_.path("fields").toString).getOrElse("[]")
+    } else {
+      val v1 = doc.path("partition-spec")
+      if (v1.isArray) v1.toString else "[]"
+    }
+  }
+
+  /** Carried manifest-list rows' partition summaries, re-packed for the
+    * new list (a carry must not silently drop the pruning metadata the
+    * prior commit recorded). Rows without the field carry none. */
+  private def carriedSummaries(
+      prior: Seq[org.apache.avro.generic.GenericRecord]): Seq[Seq[Iceberg.Summary]] =
+    prior.map { r =>
+      if (r.getSchema.getField("partitions") == null) Nil
+      else r.get("partitions") match {
+        case a: java.util.Collection[_] => a.asScala.toSeq.map { x =>
+          val sr = x.asInstanceOf[org.apache.avro.generic.GenericRecord]
+          def bytesOf(n: String): Option[Array[Byte]] =
+            Option(sr.get(n)).map {
+              case bb: java.nio.ByteBuffer =>
+                val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
+              case other => other.asInstanceOf[Array[Byte]]
+            }
+          Iceberg.Summary(bytesOf("lower_bound"), bytesOf("upper_bound"),
+            Option(sr.get("contains_null")).exists(_.toString.toBoolean))
+        }
+        case _ => Nil
+      }
+    }
 
   /** Row-level DELETE committed as a v2 POSITION-delete snapshot — the
     * Iceberg twin of `DeltaLogWriter.deleteWhere` (q240): no data file

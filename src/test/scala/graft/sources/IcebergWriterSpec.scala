@@ -86,7 +86,8 @@ class IcebergWriterSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
       spark, base, df(Seq(2L)), 102L, 999L))
     assert(e3.getMessage.contains("monotonic"), e3.getMessage)
-    // partitioned table
+    // NON-IDENTITY partitioned table (identity appends are supported;
+    // transform-derived values are not)
     val part = freshDir()
     val fp = {
       val tmp = new java.io.File(part, ".t").toString
@@ -100,10 +101,11 @@ class IcebergWriterSpec extends SparkSpec {
     val ml = Iceberg.writeManifestList(spark, part, "snap.avro", 1L, Seq(m))
     Iceberg.writeMetadata(spark, part, 1, Seq((1L, 1L, ml)),
       schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "]",
-      partitionSpecJson = "[" + Iceberg.identityPartitionJson(1, "cat") + "]")
+      partitionSpecJson =
+        """[{"name":"cat","transform":"bucket[4]","source-id":1,"field-id":1000}]""")
     val e4 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
       spark, part, Seq(2L).toDF("id"), 2L, 2000L))
-    assert(e4.getMessage.contains("PARTITIONED"), e4.getMessage)
+    assert(e4.getMessage.contains("identity"), e4.getMessage)
     // delete-manifest-carrying table
     val mor = freshDir()
     val md = Iceberg.writeManifest(spark, mor, "m.avro", 1L,
@@ -115,6 +117,64 @@ class IcebergWriterSpec extends SparkSpec {
     val e5 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
       spark, mor, Seq(2L).toDF("id"), 2L, 2000L))
     assert(e5.getMessage.contains("DELETE manifests"), e5.getMessage)
+  }
+
+  test("identity-partitioned create + append: values, summaries, pruning") {
+    val base = freshDir()
+    val p1 = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, "a", 3.0))
+      .toDF("id", "cat", "score")
+    IcebergWriter.commitAppend(spark, base, p1, 101L, 1000L,
+      partitionBy = Seq("cat"))
+    // append derives the spec from metadata — no partitionBy needed
+    val p2 = Seq((4L, "b", 4.0), (5L, "c", 5.0)).toDF("id", "cat", "score")
+    IcebergWriter.commitAppend(spark, base, p2, 102L, 2000L)
+    def ids(d: org.apache.spark.sql.DataFrame): Set[Long] =
+      d.select("id").collect().map(_.getLong(0)).toSet
+    assert(ids(Iceberg.read(spark, base)) == (1L to 5L).toSet)
+    // one file per value per commit: {a,b} + {b,c}
+    assert(Iceberg.planFiles(spark, base).size == 4)
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "a", "a"))).size == 1)
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "b", "b"))).size == 2)
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "z", "z"))).isEmpty)
+    // data files KEEP the partition column — the pruned read serves it
+    import org.apache.spark.sql.functions.col
+    val a = Iceberg.readPruned(spark, base,
+        Seq(Iceberg.ColRange("cat", "a", "a")))
+      .where(col("cat") === "a")
+    assert(ids(a) == Set(1L, 3L))
+    // manifest-list SUMMARIES prune whole manifests UNOPENED: delete
+    // commit 101's manifest from disk; a cat='c' plan must still work
+    // (its summary [a..b] is disjoint) and serve commit 102's c file
+    val md = new java.io.File(base, "metadata")
+    assert(new java.io.File(md, "m-snap101.avro").delete())
+    val c = Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("cat", "c", "c")))
+    assert(c.size == 1 && c.head.contains("snap102"), c.mkString(", "))
+  }
+
+  test("partitioned append refusals: null values, contradicting partitionBy") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base,
+      Seq((1L, "a", 1.0)).toDF("id", "cat", "score"), 101L, 1000L,
+      partitionBy = Seq("cat"))
+    val e1 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, Seq((2L, null.asInstanceOf[String], 2.0))
+        .toDF("id", "cat", "score"), 102L, 2000L))
+    assert(e1.getMessage.contains("NULL partition"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, Seq((2L, "b", 2.0)).toDF("id", "cat", "score"),
+      102L, 2000L, partitionBy = Seq("score")))
+    assert(e2.getMessage.contains("contradicts"), e2.getMessage)
+    // long-typed identity partition prunes too
+    val t2 = freshDir()
+    IcebergWriter.commitAppend(spark, t2,
+      Seq((1L, 10L), (2L, 20L)).toDF("id", "day"), 201L, 1000L,
+      partitionBy = Seq("day"))
+    assert(Iceberg.planFiles(spark, t2,
+      Seq(Iceberg.ColRange("day", 15L, 25L))).size == 1)
   }
 
   test("deleteWhere commits a position-delete snapshot; history stays intact") {
