@@ -80,7 +80,7 @@ object IndexQueries {
   private val q248TablePat = scratchPat("q248_iceberg_expire")
   private val q249TablePat = scratchPat("q249_iceberg_meta")
   private val q250TablePat = scratchPat("q250_delta_optimize")
-  private val q251TablePat = scratchPat("q251_delta_vacuum")
+  private val q251TablePat = scratchPat("q251_delta_retention")
   private val q252TablePat = scratchPat("q252_iceberg_cdc")
   private val q253TablePat = scratchPat("q253_delta_upsert")
   private val q254TablePat = scratchPat("q254_iceberg_clustered")
@@ -717,10 +717,11 @@ object IndexQueries {
     base
   }
 
-  /** q251's fixture: the Delta VACUUM lifecycle — an overwrite leaves
-    * v0's file tombstoned; `vacuum` past the horizon physically deletes
-    * it (and any orphan debris) while the current version's file and
-    * the log stay untouched. */
+  /** q251's fixture: the full Delta RETENTION lifecycle — an overwrite
+    * leaves v0's file tombstoned; `checkpoint` compacts state at v1;
+    * `vacuum` past the horizon physically deletes the tombstoned file;
+    * `cleanLog` then prunes the pre-checkpoint commit JSON. The current
+    * version must replay from checkpoint + surviving commits alone. */
   private[graft] def stageQ251DeltaVacuumed(s: SparkSession, dir: String): String = {
     val base = scratch(q251TablePat, dir)
     Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
@@ -737,7 +738,9 @@ object IndexQueries {
       graft.sources.DeltaLogWriter.write(slice("purchase"), base)
       graft.sources.DeltaLogWriter.write(slice("click"), base,
         mode = SaveMode.Overwrite)
+      graft.sources.DeltaLogWriter.checkpoint(s, base)
       graft.sources.DeltaLogWriter.vacuum(s, base, olderThanMs = Long.MaxValue)
+      graft.sources.DeltaLogWriter.cleanLog(s, base)
     }
     base
   }
@@ -2586,12 +2589,14 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
-    // Delta VACUUM — after an overwrite tombstoned v0's file, `vacuum`
-    // past the horizon physically reclaimed it: the disk leg counts the
-    // parquet files actually left under the table root (exactly the
-    // current version's one file — a vacuum that missed the tombstone
-    // or ate the live file both break it), and the current leg pins
-    // that the surviving state is byte-identical to the overwrite.
+    // Delta RETENTION lifecycle — checkpoint → vacuum → cleanLog on
+    // the repo's own log: the b_disk leg counts the parquet files left
+    // under the table root (exactly the current version's one file — a
+    // vacuum that missed the tombstone or ate the live file both break
+    // it), the c_log leg counts the surviving commit JSONs (exactly
+    // one — cleanLog pruned everything below the checkpoint), and the
+    // a_current leg pins that the state still replays byte-identically
+    // from checkpoint + surviving commits alone.
     "q251_delta_vacuum" -> ((s, dir) => {
       import s.implicits._
       import graft.sources.DeltaLogReader
@@ -2607,11 +2612,16 @@ object IndexQueries {
       val diskLeg = Seq((countParquet(bp), 0L, 0L))
         .toDF("n_rows", "id_checksum", "value_checksum")
         .select(lit("b_disk").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      val nCommits = fs.listStatus(new org.apache.hadoop.fs.Path(bp, "_delta_log"))
+        .count(st => st.isFile && st.getPath.getName.endsWith(".json")).toLong
+      val logLeg = Seq((nCommits, 0L, 0L))
+        .toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("c_log").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
       DeltaLogReader.read(s, base)
         .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
           sum($"value_micros").as("value_checksum"))
         .select(lit("a_current").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
-        .unionAll(diskLeg)
+        .unionAll(diskLeg).unionAll(logLeg)
         .orderBy($"leg")
     }),
 
@@ -3687,6 +3697,8 @@ object IndexQueries {
         |  FROM events WHERE event_type = 'click'
         |  UNION ALL
         |  SELECT 'b_disk', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c_log', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q249_iceberg_metadata_tables" ->
       """WITH pc AS MATERIALIZED (

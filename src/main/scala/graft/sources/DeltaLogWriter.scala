@@ -739,6 +739,31 @@ object DeltaLogWriter {
     (version, nDeleted)
   }
 
+  /** LOG TRUNCATION — the retention step [[checkpoint]] enables: delete
+    * every commit JSON strictly BELOW the checkpointed version (state
+    * replays from the checkpoint parquet + later commits; the reader
+    * refuses gap-without-checkpoint logs, so this is the only safe
+    * truncation point). Time travel to pruned versions fails afterwards
+    * — the same contract as [[vacuum]]'s on data files. No checkpoint →
+    * loud refusal, never a blind delete. Returns the number of commit
+    * files pruned. */
+  def cleanLog(spark: SparkSession, path: String): Int = {
+    val log = logDir(spark, path)
+    val f = fs(spark, log)
+    val ptr = new Path(log, "_last_checkpoint")
+    require(f.exists(ptr),
+      s"Delta log at $path has no _last_checkpoint — truncating without " +
+        "a checkpoint would leave an unreplayable log; checkpoint first")
+    val ckpt = mapper.readTree(DeltaLogReader.readSmallFile(spark, ptr))
+      .path("version").asLong(-1L)
+    require(ckpt >= 0, s"_last_checkpoint at $path carries no version")
+    val pruned = DeltaLogReader.versions(spark, path).filter(_ < ckpt)
+      .count { v =>
+        f.delete(new Path(log, f"$v%020d.json"), false)
+      }
+    pruned
+  }
+
   private def logDir(spark: SparkSession, path: String): Path =
     new Path(path, "_delta_log")
 

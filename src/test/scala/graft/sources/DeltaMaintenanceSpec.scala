@@ -166,6 +166,30 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(e3.getMessage.contains("PARTITIONED"), e3.getMessage)
   }
 
+  test("cleanLog prunes pre-checkpoint commits; replay survives, history doesn't") {
+    import org.apache.spark.sql.SaveMode
+    val base = freshDir()
+    DeltaLogWriter.write(df(Seq(1L)).coalesce(1), base)
+    DeltaLogWriter.write(df(Seq(2L)).coalesce(1), base)
+    DeltaLogWriter.checkpoint(spark, base)            // at v1
+    DeltaLogWriter.write(df(Seq(3L)).coalesce(1), base)
+    assert(DeltaLogWriter.cleanLog(spark, base) == 1) // v0 pruned
+    val log = new java.io.File(base, "_delta_log")
+    assert(!new java.io.File(log, f"${0L}%020d.json").exists())
+    assert(new java.io.File(log, f"${1L}%020d.json").exists())
+    // current state replays from checkpoint + later commits
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 2L, 3L))
+    // the next write sequences correctly after truncation
+    DeltaLogWriter.write(df(Seq(4L)).coalesce(1), base, mode = SaveMode.Overwrite)
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(4L))
+    // no checkpoint → loud refusal
+    val bare = freshDir()
+    DeltaLogWriter.write(df(Seq(9L)).coalesce(1), bare)
+    val e = intercept[IllegalArgumentException](
+      DeltaLogWriter.cleanLog(spark, bare))
+    assert(e.getMessage.contains("checkpoint"), e.getMessage)
+  }
+
   test("vacuum keeps active files and their DV sidecars") {
     val base = freshDir()
     DeltaLogWriter.write(df(1L to 6L).coalesce(1), base)
