@@ -757,6 +757,17 @@ object DeltaLogWriter {
     val ckpt = mapper.readTree(DeltaLogReader.readSmallFile(spark, ptr))
       .path("version").asLong(-1L)
     require(ckpt >= 0, s"_last_checkpoint at $path carries no version")
+    // the one IRREVERSIBLE step must verify the parquet it strands the
+    // log on actually exists — a stale pointer (crash between a
+    // re-checkpoint's delete and rename) would otherwise turn
+    // truncation into permanent loss of the pre-checkpoint state
+    val single = new Path(log, f"$ckpt%020d.checkpoint.parquet")
+    val hasCkpt = f.exists(single) || f.globStatus(new Path(log,
+        f"$ckpt%020d.checkpoint.??????????.??????????.parquet")).nonEmpty
+    require(hasCkpt,
+      s"_last_checkpoint at $path points at v$ckpt but no checkpoint " +
+        "parquet exists — truncating would permanently lose the log; " +
+        "re-run checkpoint() first")
     val pruned = DeltaLogReader.versions(spark, path).filter(_ < ckpt)
       .count { v =>
         f.delete(new Path(log, f"$v%020d.json"), false)

@@ -411,7 +411,7 @@ object Iceberg {
     }
 
   /** Avro `bytes` values surface as ByteBuffer (sometimes byte[]). */
-  private def avroBytes(v: AnyRef): Option[Array[Byte]] = v match {
+  private[sources] def avroBytes(v: AnyRef): Option[Array[Byte]] = v match {
     case null => None
     case bb: java.nio.ByteBuffer =>
       val a = new Array[Byte](bb.remaining()); bb.duplicate().get(a); Some(a)

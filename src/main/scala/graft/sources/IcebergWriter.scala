@@ -118,7 +118,6 @@ object IcebergWriter {
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    snapshotId: Long, timestampMs: Long,
                    partitionBy: Seq[String] = Nil): Int = {
-    import org.apache.spark.sql.functions.{col, lit}
     // presence is decided by the metadata DIRECTORY, not by whether the
     // parse succeeds — a corrupt existing table must refuse loudly, not
     // be silently "re-created" over
@@ -260,18 +259,27 @@ object IcebergWriter {
     val typOf: Map[String, String] =
       partCols.map(c => c -> typById(nameToId(c))).toMap
     partCols.foreach { c =>
-      require(Set("int", "long", "string")(typOf(c)),
+      require(Set("long", "string")(typOf(c)),
         s"identity partition column '$c' has type ${typOf(c)} — this " +
-          "writer derives int/long/string identity values only")
+          "writer derives long/string identity values only (an int " +
+          "column would need the spec's 4-byte struct/bounds typing; " +
+          "cast to long first)")
     }
+    // limit BEFORE collect: the cap must fire without materializing a
+    // high-cardinality mistake on the driver
     val distinctVals: Seq[Seq[Any]] = df
       .select(partCols.map(col): _*).distinct()
+      .limit(MaxPartitionValuesPerCommit + 1)
       .collect().map(_.toSeq).toSeq
     require(distinctVals.size <= MaxPartitionValuesPerCommit,
-      s"append to $table spans ${distinctVals.size} distinct partition " +
-        s"values — past the $MaxPartitionValuesPerCommit per-commit cap " +
-        "(one driver-coordinated write per value); commit in slices or " +
+      s"append to $table spans more than $MaxPartitionValuesPerCommit " +
+        "distinct partition values — past the per-commit cap (one " +
+        "driver-coordinated write per value); commit in slices or " +
         "partition coarser")
+    // an empty batch commits an empty snapshot, like the unpartitioned
+    // path — no values, no files, no summaries (absent = unknown = sound)
+    if (distinctVals.isEmpty)
+      return (Seq.empty[Iceberg.Entry], Seq.empty[Iceberg.Summary])
     require(!distinctVals.exists(_.exists(_ == null)),
       s"append to $table has NULL partition value(s) in " +
         s"${partCols.mkString("(", ", ", ")")} — the summary/pruning " +
@@ -323,7 +331,11 @@ object IcebergWriter {
     if (v2.isArray && v2.size() > 0) {
       val defId = doc.path("default-spec-id").asInt(0)
       v2.elements().asScala.find(_.path("spec-id").asInt(0) == defId)
-        .map(_.path("fields").toString).getOrElse("[]")
+        .map(_.path("fields").toString).getOrElse(
+          throw new IllegalArgumentException(
+            s"metadata names default-spec-id $defId but partition-specs " +
+              "carries no such spec — corrupt metadata; refusing to " +
+              "re-emit a spec-less document over a partitioned table"))
     } else {
       val v1 = doc.path("partition-spec")
       if (v1.isArray) v1.toString else "[]"
@@ -340,13 +352,8 @@ object IcebergWriter {
       else r.get("partitions") match {
         case a: java.util.Collection[_] => a.asScala.toSeq.map { x =>
           val sr = x.asInstanceOf[org.apache.avro.generic.GenericRecord]
-          def bytesOf(n: String): Option[Array[Byte]] =
-            Option(sr.get(n)).map {
-              case bb: java.nio.ByteBuffer =>
-                val arr = new Array[Byte](bb.remaining()); bb.duplicate().get(arr); arr
-              case other => other.asInstanceOf[Array[Byte]]
-            }
-          Iceberg.Summary(bytesOf("lower_bound"), bytesOf("upper_bound"),
+          Iceberg.Summary(Iceberg.avroBytes(sr.get("lower_bound")),
+            Iceberg.avroBytes(sr.get("upper_bound")),
             Option(sr.get("contains_null")).exists(_.toString.toBoolean))
         }
         case _ => Nil
