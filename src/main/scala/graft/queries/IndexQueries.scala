@@ -85,6 +85,7 @@ object IndexQueries {
   private val q253TablePat = scratchPat("q253_delta_upsert")
   private val q254TablePat = scratchPat("q254_iceberg_clustered")
   private val q255TablePat = scratchPat("q255_iceberg_partwrite")
+  private val q256TablePat = scratchPat("q256_iceberg_evolve")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -169,6 +170,7 @@ object IndexQueries {
     stageQ253DeltaUpserted(s, dir)
     stageQ254IcebergClustered(s, dir)
     stageQ255IcebergPartitioned(s, dir)
+    stageQ256IcebergEvolved(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -884,6 +886,38 @@ object IndexQueries {
       graft.sources.IcebergWriter.commitAppend(s, base, slice(0), 6801L, 1000L,
         partitionBy = Seq("event_type"))
       graft.sources.IcebergWriter.commitAppend(s, base, slice(1), 6802L, 2000L)
+    }
+    base
+  }
+
+  /** q256's fixture: SCHEMA EVOLUTION on the repo's own table — append
+    * purchases, RENAME value_micros→amount_micros (pure metadata swap;
+    * old files serve the new name by field id), ADD bonus_micros (a
+    * fresh id past the high-water mark), then append clicks carrying
+    * the full evolved schema. The read must stitch both file
+    * generations: renamed values from pre-evolution files, nulls for
+    * their bonus, real bonuses from the post-evolution commit. */
+  private[graft] def stageQ256IcebergEvolved(s: SparkSession, dir: String): String = {
+    val base = scratch(q256TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.IcebergWriter.commitAppend(s, base,
+        slice("purchase").coalesce(1), 6901L, 1000L)
+      graft.sources.IcebergWriter.renameColumn(s, base,
+        "value_micros", "amount_micros")
+      graft.sources.IcebergWriter.addColumn(s, base, "bonus_micros", "long")
+      graft.sources.IcebergWriter.commitAppend(s, base,
+        slice("click")
+          .withColumnRenamed("value_micros", "amount_micros")
+          .withColumn("bonus_micros", $"amount_micros" % 1000)
+          .coalesce(1), 6902L, 2000L)
     }
     base
   }
@@ -2671,6 +2705,23 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Iceberg SCHEMA EVOLUTION — rename + add committed by the repo's
+    // own metadata swaps, read back across BOTH file generations: the
+    // amount checksum sums the renamed column over pre- AND post-
+    // evolution files (field-id indirection — a name-resolved read
+    // would lose the purchase generation), the bonus checksum sums a
+    // column the first generation predates (null-filled there, real on
+    // clicks). The oracle replays both slices declaratively.
+    "q256_iceberg_schema_evolution" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ256IcebergEvolved(s, dir)
+      Iceberg.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"amount_micros").as("amount_checksum"),
+          sum($"bonus_micros").as("bonus_checksum"))
+    }),
+
     // Iceberg PARTITIONED WRITE — the writer derives identity partition
     // values and manifest-list summaries itself (one file per value per
     // commit), and the reader's partition pruning runs against that
@@ -3615,6 +3666,14 @@ object IndexQueries {
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
         |) ORDER BY leg""".stripMargin,
+    "q256_iceberg_schema_evolution" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS amount_checksum,
+        |  CAST(sum(CASE WHEN event_type = 'click'
+        |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
+        |           END) AS BIGINT) AS bonus_checksum
+        |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
     "q255_iceberg_partitioned_write" ->
       """SELECT * FROM (
         |  SELECT 'a_rows' AS leg, count(*) AS n_rows,

@@ -249,14 +249,17 @@ object Iceberg {
     val probe = footerFields(spark, files.min)
     val idsPresent = probe.nonEmpty && probe.forall(_._2.isDefined)
     if (idsPresent) {
-      // session-scoped switch, deliberately NOT restored: the returned
-      // frame is lazy, so the conf must still be on whenever it executes.
-      // The switch only changes resolution for read schemas that CARRY
+      // session-scoped switches, deliberately NOT restored: the returned
+      // frame is lazy, so the confs must still be on whenever it executes.
+      // They only change resolution for read schemas that CARRY
       // parquet.field.id metadata — in this repo exactly the schemas
-      // built here; a caller constructing its own id-tagged schema over
-      // id-less files after this read would fail loudly
-      // (fieldId.read.ignoreMissing stays false), not resolve wrong
+      // built here. ignoreMissing is ON because a field id ABSENT from a
+      // file is Iceberg's ADD-COLUMN semantics (pre-evolution files
+      // null-fill the new column — the spec's contract, pinned by the
+      // IcebergWriterSpec evolution laws), not an error; files without
+      // ids at all still take the loud name-checked branch below
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
+      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       val st = StructType(fields.map(f =>
         StructField(f.name, sparkType(f.typ), nullable = true,
           new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build())))
@@ -1404,7 +1407,8 @@ object Iceberg {
                     formatVersion: Int = 1,
                     schemaFieldsJson: String = "[]",
                     partitionSpecJson: String = "[]",
-                    evolvedSpecsJson: Seq[(Int, String)] = Nil): Unit = {
+                    evolvedSpecsJson: Seq[(Int, String)] = Nil,
+                    lastColumnId: Int = 0): Unit = {
     val md = new Path(table, "metadata")
     val f = fs(spark, md)
     f.mkdirs(md)
@@ -1415,7 +1419,7 @@ object Iceberg {
     val doc =
       s"""{"format-version":$formatVersion,"table-uuid":"00000000-0000-0000-0000-000000000000",
          |"location":"${esc(table)}","last-updated-ms":${snaps.lastOption.map(_._2).getOrElse(0L)},
-         |"last-column-id":0,"schema":{"type":"struct","schema-id":0,"fields":$schemaFieldsJson},
+         |"last-column-id":$lastColumnId,"schema":{"type":"struct","schema-id":0,"fields":$schemaFieldsJson},
          |"schemas":[{"type":"struct","schema-id":0,"fields":$schemaFieldsJson}],
          |"current-schema-id":0,
          |"partition-spec":$partitionSpecJson,

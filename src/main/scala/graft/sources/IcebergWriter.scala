@@ -66,6 +66,14 @@ object IcebergWriter {
     digits.toInt
   }
 
+  /** The column-id HIGH-WATER MARK: the spec's `last-column-id`, never
+    * below any id the current schema uses — what keeps a re-added name
+    * from recycling a dropped column's id (and resurrecting its data). */
+  private def columnHwm(doc: com.fasterxml.jackson.databind.JsonNode,
+                        fields: Seq[Iceberg.IceField]): Int =
+    math.max(doc.path("last-column-id").asInt(0),
+      fields.map(_.id).maxOption.getOrElse(0))
+
   /** One carried manifest-list row, unpacked once: path/length verbatim,
     * content flag, ORIGINAL attribution (throws when absent — carrying
     * without it breaks entry-id inheritance), and the effective data
@@ -235,7 +243,80 @@ object IcebergWriter {
       // keeps it v2 even though this commit itself uses no v2 feature
       formatVersion = fmtVersion,
       schemaFieldsJson = schemaJson,
-      partitionSpecJson = partSpecJson)
+      partitionSpecJson = partSpecJson,
+      lastColumnId = existing.map(columnHwm(_, fields))
+        .getOrElse(fields.map(_.id).max))
+    version
+  }
+
+  /** SCHEMA EVOLUTION — pure metadata swaps (no snapshot, no data
+    * touched): the schema is a list of (id, name, type) and every read
+    * resolves columns by FIELD ID, so renames serve old files under new
+    * names, added columns null-fill files that predate them, and a
+    * re-added name gets a FRESH id — dropped data never resurrects
+    * under a recycled name (the spec's id-not-name core). Time travel
+    * note, inherited from the reader: the CURRENT schema applies to
+    * every snapshot (per-snapshot schema-ids are not tracked — the
+    * documented swap-rename behavior). */
+  def addColumn(spark: SparkSession, table: String,
+                name: String, typ: String): Int = {
+    Iceberg.sparkType(typ) // validates the type name, loudly
+    evolveSchema(spark, table, s"add column $name") { (fields, hwm) =>
+      require(!fields.exists(_.name == name),
+        s"cannot add column '$name' to $table: the name is taken " +
+          s"(${fields.map(_.name).mkString(", ")})")
+      // hwm + 1, NOT max(current)+1: a dropped column's id must never
+      // be recycled or its dead data resurrects under the new name
+      fields :+ Iceberg.IceField(hwm + 1, name, typ)
+    }
+  }
+
+  def renameColumn(spark: SparkSession, table: String,
+                   from: String, to: String): Int =
+    evolveSchema(spark, table, s"rename $from to $to") { (fields, _) =>
+      require(fields.exists(_.name == from),
+        s"cannot rename '$from' in $table: no such column " +
+          s"(${fields.map(_.name).mkString(", ")})")
+      require(!fields.exists(_.name == to),
+        s"cannot rename '$from' to '$to' in $table: the target name is taken")
+      fields.map(f => if (f.name == from) f.copy(name = to) else f)
+    }
+
+  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
+    val doc = Iceberg.metadata(spark, table)
+    val specSources = Iceberg.partitionSpecs(doc).values.flatten
+      .map(_.sourceId).toSet
+    evolveSchema(spark, table, s"drop column $name") { (fields, _) =>
+      val f = fields.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(
+          s"cannot drop '$name' from $table: no such column " +
+            s"(${fields.map(_.name).mkString(", ")})"))
+      require(!specSources.contains(f.id),
+        s"cannot drop '$name' from $table: it is a partition-spec " +
+          "source column — pruning metadata would dangle")
+      require(fields.size > 1,
+        s"cannot drop '$name' from $table: it is the only column")
+      fields.filterNot(_.id == f.id)
+    }
+  }
+
+  /** Shared metadata swap for the three evolution ops: same snapshots,
+    * spec and format version, new schema, next metadata version. */
+  private def evolveSchema(spark: SparkSession, table: String, what: String)
+                          (evolve: (Seq[Iceberg.IceField], Int) => Seq[Iceberg.IceField]): Int = {
+    val doc = Iceberg.metadata(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot $what in $table: its metadata carries no schema"))
+    val hwm = columnHwm(doc, fields)
+    val next = evolve(fields, hwm)
+    val version = hintVersionOf(spark, table) + 1
+    Iceberg.writeMetadata(spark, table, version, snapsOf(doc),
+      formatVersion = doc.path("format-version").asInt(1),
+      schemaFieldsJson = next.map(fd =>
+        Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]"),
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = math.max(hwm, next.map(_.id).maxOption.getOrElse(0)))
     version
   }
 
@@ -452,7 +533,9 @@ object IcebergWriter {
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
     Iceberg.writeMetadata(spark, table, hintVersion + 1,
       snaps :+ ((snapshotId, timestampMs, ml)),
-      formatVersion = 2, schemaFieldsJson = schemaJson)
+      formatVersion = 2, schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields))
     hintVersion + 1
   }
 
@@ -555,7 +638,9 @@ object IcebergWriter {
     Iceberg.writeMetadata(spark, table, hintVersion + 1,
       snaps :+ ((snapshotId, timestampMs, ml)),
       formatVersion = fmtVersion,
-      schemaFieldsJson = schemaJson)
+      schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields))
     hintVersion + 1
   }
 
@@ -652,7 +737,9 @@ object IcebergWriter {
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
     Iceberg.writeMetadata(spark, table, hintVersion + 1,
       snaps :+ ((snapshotId, timestampMs, ml)),
-      formatVersion = 2, schemaFieldsJson = schemaJson)
+      formatVersion = 2, schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields))
     hintVersion + 1
   }
 
@@ -749,7 +836,9 @@ object IcebergWriter {
       .getOrElse("[]")
     Iceberg.writeMetadata(spark, table, hintVersion + 1, retained,
       formatVersion = doc.path("format-version").asInt(1),
-      schemaFieldsJson = schemaJson)
+      schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields.getOrElse(Nil)))
     doomed.foreach(p => f.delete(new Path(p), false))
     hintVersion + 1
   }

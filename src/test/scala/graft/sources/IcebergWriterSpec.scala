@@ -177,6 +177,57 @@ class IcebergWriterSpec extends SparkSpec {
       Seq(Iceberg.ColRange("day", 15L, 25L))).size == 1)
   }
 
+  test("schema evolution: rename serves old files, add null-fills, re-add never resurrects") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L)).coalesce(1), 101L, 1000L)
+    // rename: old files serve the NEW name through their field ids
+    IcebergWriter.renameColumn(spark, base, "score", "points")
+    val r = Iceberg.read(spark, base)
+    assert(r.columns.toSeq == Seq("id", "name", "points"))
+    assert(r.select("points").collect().map(_.getDouble(0)).toSet == Set(1.5, 3.0))
+    // add: pre-evolution files null-fill; post-evolution appends carry it
+    IcebergWriter.addColumn(spark, base, "rank", "long")
+    IcebergWriter.commitAppend(spark, base,
+      Seq((3L, "n3", 4.5, 30L)).toDF("id", "name", "points", "rank")
+        .coalesce(1), 102L, 2000L)
+    def ranks(): Map[Long, Option[Long]] =
+      Iceberg.read(spark, base).select("id", "rank").collect()
+        .map(x => x.getLong(0) ->
+          (if (x.isNullAt(1)) None else Some(x.getLong(1)))).toMap
+    assert(ranks() == Map(1L -> None, 2L -> None, 3L -> Some(30L)))
+    // drop, then re-add the SAME name: a FRESH field id — row 3's old
+    // rank value stays dead (the spec's id-not-name core)
+    IcebergWriter.dropColumn(spark, base, "rank")
+    assert(Iceberg.read(spark, base).columns.toSeq == Seq("id", "name", "points"))
+    IcebergWriter.addColumn(spark, base, "rank", "long")
+    assert(ranks().values.forall(_.isEmpty), ranks())
+  }
+
+  test("schema evolution refusals: collisions, unknowns, partition sources") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L)).coalesce(1), 101L, 1000L)
+    val e1 = intercept[IllegalArgumentException](
+      IcebergWriter.addColumn(spark, base, "name", "string"))
+    assert(e1.getMessage.contains("taken"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWriter.addColumn(spark, base, "blob", "wibble"))
+    assert(e2.getMessage.toLowerCase.contains("wibble"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](
+      IcebergWriter.renameColumn(spark, base, "nope", "x"))
+    assert(e3.getMessage.contains("no such column"), e3.getMessage)
+    val e4 = intercept[IllegalArgumentException](
+      IcebergWriter.renameColumn(spark, base, "id", "name"))
+    assert(e4.getMessage.contains("taken"), e4.getMessage)
+    // a partition-spec source column cannot be dropped
+    val part = freshDir()
+    IcebergWriter.commitAppend(spark, part,
+      Seq((1L, "a", 1.0)).toDF("id", "cat", "score"), 201L, 1000L,
+      partitionBy = Seq("cat"))
+    val e5 = intercept[IllegalArgumentException](
+      IcebergWriter.dropColumn(spark, part, "cat"))
+    assert(e5.getMessage.contains("partition"), e5.getMessage)
+  }
+
   test("deleteWhere commits a position-delete snapshot; history stays intact") {
     import org.apache.spark.sql.functions.col
     val base = freshDir()
