@@ -249,17 +249,17 @@ object Iceberg {
     val probe = footerFields(spark, files.min)
     val idsPresent = probe.nonEmpty && probe.forall(_._2.isDefined)
     if (idsPresent) {
-      // session-scoped switches, deliberately NOT restored: the returned
-      // frame is lazy, so the confs must still be on whenever it executes.
-      // They only change resolution for read schemas that CARRY
+      // session-scoped switch, deliberately NOT restored: the returned
+      // frame is lazy, so the conf must still be on whenever it executes.
+      // The switch only changes resolution for read schemas that CARRY
       // parquet.field.id metadata — in this repo exactly the schemas
-      // built here. ignoreMissing is ON because a field id ABSENT from a
-      // file is Iceberg's ADD-COLUMN semantics (pre-evolution files
-      // null-fill the new column — the spec's contract, pinned by the
-      // IcebergWriterSpec evolution laws), not an error; files without
-      // ids at all still take the loud name-checked branch below
+      // built here; a caller constructing its own id-tagged schema over
+      // id-less files after this read would fail loudly
+      // (fieldId.read.ignoreMissing stays false), not resolve wrong.
+      // ADD-COLUMN null-fill needs no flag: a file that HAS ids but
+      // lacks one simply clips to null — the spec's evolution
+      // semantics, pinned by the IcebergWriterSpec evolution laws
       spark.conf.set("spark.sql.parquet.fieldId.read.enabled", "true")
-      spark.conf.set("spark.sql.parquet.fieldId.read.ignoreMissing", "true")
       val st = StructType(fields.map(f =>
         StructField(f.name, sparkType(f.typ), nullable = true,
           new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build())))

@@ -261,7 +261,7 @@ object IcebergWriter {
   def addColumn(spark: SparkSession, table: String,
                 name: String, typ: String): Int = {
     Iceberg.sparkType(typ) // validates the type name, loudly
-    evolveSchema(spark, table, s"add column $name") { (fields, hwm) =>
+    evolveSchema(spark, table, s"add column $name") { (fields, hwm, _) =>
       require(!fields.exists(_.name == name),
         s"cannot add column '$name' to $table: the name is taken " +
           s"(${fields.map(_.name).mkString(", ")})")
@@ -273,7 +273,7 @@ object IcebergWriter {
 
   def renameColumn(spark: SparkSession, table: String,
                    from: String, to: String): Int =
-    evolveSchema(spark, table, s"rename $from to $to") { (fields, _) =>
+    evolveSchema(spark, table, s"rename $from to $to") { (fields, _, _) =>
       require(fields.exists(_.name == from),
         s"cannot rename '$from' in $table: no such column " +
           s"(${fields.map(_.name).mkString(", ")})")
@@ -282,36 +282,62 @@ object IcebergWriter {
       fields.map(f => if (f.name == from) f.copy(name = to) else f)
     }
 
-  def dropColumn(spark: SparkSession, table: String, name: String): Int = {
-    val doc = Iceberg.metadata(spark, table)
-    val specSources = Iceberg.partitionSpecs(doc).values.flatten
-      .map(_.sourceId).toSet
-    evolveSchema(spark, table, s"drop column $name") { (fields, _) =>
+  def dropColumn(spark: SparkSession, table: String, name: String): Int =
+    evolveSchema(spark, table, s"drop column $name") { (fields, _, doc) =>
       val f = fields.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(
           s"cannot drop '$name' from $table: no such column " +
             s"(${fields.map(_.name).mkString(", ")})"))
+      val specSources = Iceberg.partitionSpecs(doc).values.flatten
+        .map(_.sourceId).toSet
       require(!specSources.contains(f.id),
         s"cannot drop '$name' from $table: it is a partition-spec " +
           "source column — pruning metadata would dangle")
+      // live EQUALITY deletes name their key columns by field id; a
+      // dropped id is unresolvable (and the re-add gets a FRESH id by
+      // design), so every later read of the table would throw — brick
+      val cur = doc.path("current-snapshot-id").asLong(-1L)
+      if (cur > 0) {
+        val eqIds = Iceberg.listLiveFiles(spark, table,
+          Iceberg.manifestListOf(doc, table, cur), cur)
+          .eqDeletes.flatMap(_._3).toSet
+        require(!eqIds.contains(f.id),
+          s"cannot drop '$name' from $table: live EQUALITY delete files " +
+            "reference its field id — the table would become unreadable; " +
+            "compact first")
+      }
       require(fields.size > 1,
         s"cannot drop '$name' from $table: it is the only column")
       fields.filterNot(_.id == f.id)
     }
-  }
 
   /** Shared metadata swap for the three evolution ops: same snapshots,
     * spec and format version, new schema, next metadata version. */
   private def evolveSchema(spark: SparkSession, table: String, what: String)
-                          (evolve: (Seq[Iceberg.IceField], Int) => Seq[Iceberg.IceField]): Int = {
+                          (evolve: (Seq[Iceberg.IceField], Int,
+                            com.fasterxml.jackson.databind.JsonNode) => Seq[Iceberg.IceField]): Int = {
     val doc = Iceberg.metadata(spark, table)
     val fields = Iceberg.currentSchemaFields(doc).getOrElse(
       throw new IllegalArgumentException(
         s"cannot $what in $table: its metadata carries no schema"))
+    // same rewrite-scope gates as commitAppend's metadata path: a
+    // multi-spec table would lose its non-default specs (and renumber
+    // the default, mis-aligning positional summary pruning), and a
+    // rolled-back current pointer would be silently repointed to last
+    require(Iceberg.partitionSpecs(doc).size <= 1,
+      s"cannot $what in $table: it carries multiple partition specs " +
+        "(spec evolution) — this writer re-emits only the default spec " +
+        "and would silently drop the others; refusing")
+    val snaps = snapsOf(doc)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(snaps.isEmpty || snaps.last._1 == cur,
+      s"cannot $what in $table: current snapshot $cur is not the latest " +
+        "in its history — the metadata rewrite would repoint current; " +
+        "refusing non-linear histories")
     val hwm = columnHwm(doc, fields)
-    val next = evolve(fields, hwm)
+    val next = evolve(fields, hwm, doc)
     val version = hintVersionOf(spark, table) + 1
-    Iceberg.writeMetadata(spark, table, version, snapsOf(doc),
+    Iceberg.writeMetadata(spark, table, version, snaps,
       formatVersion = doc.path("format-version").asInt(1),
       schemaFieldsJson = next.map(fd =>
         Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]"),

@@ -226,6 +226,20 @@ class IcebergWriterSpec extends SparkSpec {
     val e5 = intercept[IllegalArgumentException](
       IcebergWriter.dropColumn(spark, part, "cat"))
     assert(e5.getMessage.contains("partition"), e5.getMessage)
+    // a column live EQUALITY deletes key on cannot be dropped — the
+    // table would become unreadable and the re-add gets a fresh id
+    val mor = freshDir()
+    IcebergWriter.commitAppend(spark, mor, df(Seq(1L, 2L)).coalesce(1), 301L, 1000L)
+    IcebergWriter.upsert(spark, mor,
+      Seq((2L, "b", 9.0)).toDF("id", "name", "score").coalesce(1),
+      Seq("id"), 302L, 2000L)
+    val e6 = intercept[IllegalArgumentException](
+      IcebergWriter.dropColumn(spark, mor, "id"))
+    assert(e6.getMessage.contains("EQUALITY"), e6.getMessage)
+    // after compaction the deletes are gone and the drop is legal
+    IcebergWriter.compact(spark, mor, 303L, 3000L)
+    IcebergWriter.dropColumn(spark, mor, "id")
+    assert(Iceberg.read(spark, mor).columns.toSeq == Seq("name", "score"))
   }
 
   test("deleteWhere commits a position-delete snapshot; history stays intact") {
