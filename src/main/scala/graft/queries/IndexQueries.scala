@@ -86,6 +86,8 @@ object IndexQueries {
   private val q254TablePat = scratchPat("q254_iceberg_clustered")
   private val q255TablePat = scratchPat("q255_iceberg_partwrite")
   private val q256TablePat = scratchPat("q256_iceberg_evolve")
+  private val q257TablePat = scratchPat("q257_delta_restore")
+  private val q258TablePat = scratchPat("q258_iceberg_rollback")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -171,6 +173,8 @@ object IndexQueries {
     stageQ254IcebergClustered(s, dir)
     stageQ255IcebergPartitioned(s, dir)
     stageQ256IcebergEvolved(s, dir)
+    stageQ257DeltaRestored(s, dir)
+    stageQ258IcebergRolledBack(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -918,6 +922,51 @@ object IndexQueries {
           .withColumnRenamed("value_micros", "amount_micros")
           .withColumn("bonus_micros", $"amount_micros" % 1000)
           .coalesce(1), 6902L, 2000L)
+    }
+    base
+  }
+
+  /** q257's fixture: Delta RESTORE — write purchases (v0), append the
+    * error slice (v1), then `restore(toVersion = 0)` as commit v2: one
+    * remove per file v0 lacked, no data moved, history intact. */
+  private[graft] def stageQ257DeltaRestored(s: SparkSession, dir: String): String = {
+    val base = scratch(q257TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), base)
+      graft.sources.DeltaLogWriter.write(slice("error"), base)
+      graft.sources.DeltaLogWriter.restore(s, base, toVersion = 0L)
+    }
+    base
+  }
+
+  /** q258's fixture: Iceberg ROLLBACK — two appends, then
+    * `rollbackTo(first)` committed as a NEW snapshot reusing the
+    * target's manifest list: current serves the old state, the
+    * rolled-over snapshot stays readable, history stays linear. */
+  private[graft] def stageQ258IcebergRolledBack(s: SparkSession, dir: String): String = {
+    val base = scratch(q258TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .coalesce(1)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("purchase"), 7001L, 1000L)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("click"), 7002L, 2000L)
+      graft.sources.IcebergWriter.rollbackTo(s, base, 7001L, 7003L, 3000L)
     }
     base
   }
@@ -2705,6 +2754,49 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Delta RESTORE — `RESTORE TABLE ... TO VERSION 0` as one planning-
+    // altitude commit: the appended error file is removed (no data
+    // moved), current serves exactly v0, and the pre-restore state
+    // stays time-travelable as v1. A restore that leaks the removed
+    // file doubles the a_current leg; one that damages history breaks
+    // b_pre_restore.
+    "q257_delta_restore" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.DeltaLogReader
+      val base = stageQ257DeltaRestored(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("a_current", DeltaLogReader.read(s, base))
+        .unionAll(leg("b_pre_restore", DeltaLogReader.read(s, base, asOf = Some(1L))))
+        .orderBy($"leg")
+    }),
+
+    // Iceberg ROLLBACK — rollback_to_snapshot spelled linearly: a new
+    // snapshot REUSES the target's manifest list, so current serves the
+    // purchase-only state while the rolled-over click snapshot stays
+    // time-travelable and the snapshot list keeps all three commits
+    // (the history leg) — the invariant that keeps every other writer
+    // (append/upsert/expire) legal after a rollback.
+    "q258_iceberg_rollback" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ258IcebergRolledBack(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      val snaps = Iceberg.snapshots(s, base)
+      val history = Seq((snaps.size.toLong, snaps.map(_._1).sum,
+        snaps.map(_._2).sum)).toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("c_history").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("a_current", Iceberg.read(s, base))
+        .unionAll(leg("b_rolled_over", Iceberg.readSnapshot(s, base, 7002L)))
+        .unionAll(history)
+        .orderBy($"leg")
+    }),
+
     // Iceberg SCHEMA EVOLUTION — rename + add committed by the repo's
     // own metadata swaps, read back across BOTH file generations: the
     // amount checksum sums the renamed column over pre- AND post-
@@ -3665,6 +3757,33 @@ object IndexQueries {
         |  SELECT 'post_delete', count(*),
         |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
         |  FROM pc WHERE event_id % 5 <> 0
+        |) ORDER BY leg""".stripMargin,
+    "q257_delta_restore" ->
+      """SELECT * FROM (
+        |  SELECT 'a_current' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'b_pre_restore', count(*),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type IN ('purchase', 'error')
+        |) ORDER BY leg""".stripMargin,
+    "q258_iceberg_rollback" ->
+      """SELECT * FROM (
+        |  SELECT 'a_current' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'b_rolled_over', count(*),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |  UNION ALL
+        |  SELECT 'c_history', CAST(3 AS BIGINT),
+        |    CAST(21006 AS BIGINT), CAST(6000 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q256_iceberg_schema_evolution" ->
       """SELECT count(*) AS n_rows,

@@ -739,6 +739,74 @@ object DeltaLogWriter {
     (version, nDeleted)
   }
 
+  /** RESTORE — Delta's `RESTORE TABLE ... TO VERSION` semantics: one
+    * commit whose remove/add actions turn the CURRENT active file set
+    * back into version `toVersion`'s, deletion-vector attachments
+    * included (a restored file re-adds with the descriptor it carried
+    * THEN). Pure file-set surgery at planning altitude — no data moves;
+    * history stays intact, so the pre-restore state remains
+    * time-travelable and the restore itself is a version. Refuses when
+    * any target file is gone from disk (vacuumed past the restore
+    * point — the add would commit a read-time corpse) or lives outside
+    * the table root. Restoring to the current state is a no-op.
+    * @return the committed version (current when nothing changed) */
+  def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val (curEntries, _) = DeltaLogReader.replayState(spark, path, None)
+    val (tgtEntries, _) = DeltaLogReader.replayState(spark, path, Some(toVersion))
+    val latest = DeltaLogReader.latestVersion(spark, path).get
+    val cur = curEntries.toMap
+    val tgt = tgtEntries.toMap
+    val removes = curEntries.collect {
+      case (p0, _) if !tgt.contains(p0) => p0
+    }
+    // re-add what the target had and the current state lacks — or
+    // carries with a DIFFERENT DV (a re-add replaces the entry, the
+    // protocol's attach-without-rewrite spelling)
+    val adds = tgtEntries.filter { case (p0, dv) =>
+      cur.get(p0) match {
+        case None => true
+        case Some(curDv) => curDv != dv
+      }
+    }
+    if (removes.isEmpty && adds.isEmpty) return latest
+
+    val rootNorm = DeletionVectors
+      .normalizePath(f.makeQualified(root).toString).stripSuffix("/")
+    def relOf(abs: String): String = {
+      val n = DeletionVectors.normalizePath(f.makeQualified(new Path(abs)).toString)
+      require(n.startsWith(rootNorm + "/"),
+        s"restore at $path: file $abs is outside the table root — " +
+          "only self-contained tables restore")
+      n.stripPrefix(rootNorm).stripPrefix("/")
+    }
+    adds.foreach { case (abs, _) =>
+      require(f.exists(new Path(abs)),
+        s"cannot restore $path to v$toVersion: its file $abs is gone " +
+          "from disk (vacuumed past the restore point) — the restored " +
+          "version is unrecoverable")
+    }
+    val version = latest + 1
+    val now = System.currentTimeMillis()
+    val removeLines = removes.map { abs =>
+      s"""{"remove":{"path":${jsonStr(encodePath(relOf(abs)))},"deletionTimestamp":$now,"dataChange":true}}"""
+    }
+    val addLines = adds.map { case (abs, dv) =>
+      val rel = relOf(abs)
+      val st = f.getFileStatus(new Path(root, rel))
+      val dvPart = dv.map(d => s""","deletionVector":$d""").getOrElse("")
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true$dvPart}}"""
+    }
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
+    require(!f.exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit, (removeLines ++ addLines).mkString("", "\n", "\n"))
+    version
+  }
+
   /** LOG TRUNCATION — the retention step [[checkpoint]] enables: delete
     * every commit JSON strictly BELOW the checkpointed version (state
     * replays from the checkpoint parquet + later commits; the reader

@@ -66,6 +66,40 @@ object IcebergWriter {
     digits.toInt
   }
 
+  /** ROLLBACK — Iceberg's `rollback_to_snapshot`, spelled the way that
+    * keeps history LINEAR (the invariant every writer here relies on):
+    * a NEW snapshot whose manifest list IS the target snapshot's, so
+    * current serves the old state while the rolled-back-over snapshots
+    * stay time-travelable. Pure metadata commit: no file is touched,
+    * sequence numbers ride the reused list unchanged. The current
+    * schema applies to the restored data (the reader's documented
+    * swap-rename behavior — field ids make that correct). */
+  def rollbackTo(spark: SparkSession, table: String, snapshotId: Long,
+                 newSnapshotId: Long, timestampMs: Long): Int = {
+    val doc = Iceberg.metadata(spark, table)
+    val snaps = snapsOf(doc)
+    require(snaps.exists(_._1 == snapshotId),
+      s"cannot roll $table back to snapshot $snapshotId: no such " +
+        s"snapshot (${snaps.map(_._1).mkString(", ")})")
+    require(!snaps.exists(_._1 == newSnapshotId),
+      s"snapshot id $newSnapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"rollback at timestamp $timestampMs would commit BEFORE an " +
+        "existing snapshot — history must be monotonic")
+    val ml = Iceberg.manifestListOf(doc, table, snapshotId)
+    val fields = Iceberg.currentSchemaFields(doc)
+    val version = hintVersionOf(spark, table) + 1
+    Iceberg.writeMetadata(spark, table, version,
+      snaps :+ ((newSnapshotId, timestampMs, ml)),
+      formatVersion = doc.path("format-version").asInt(1),
+      schemaFieldsJson = fields.map(_.map(fd =>
+        Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]"))
+        .getOrElse("[]"),
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields.getOrElse(Nil)))
+    version
+  }
+
   /** The column-id HIGH-WATER MARK: the spec's `last-column-id`, never
     * below any id the current schema uses — what keeps a re-added name
     * from recycling a dropped column's id (and resurrecting its data). */

@@ -166,6 +166,36 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(e3.getMessage.contains("PARTITIONED"), e3.getMessage)
   }
 
+  test("restore reverts the file set, DV attachments included; history intact") {
+    import org.apache.spark.sql.SaveMode
+    val base = freshDir()
+    val odds = (1L to 10L).filter(_ % 2 == 1).toSet
+    DeltaLogWriter.write(df(1L to 10L).coalesce(1), base)        // v0
+    DeltaLogWriter.deleteWhere(spark, base, col("id") % 2 === 0) // v1: DVs
+    DeltaLogWriter.optimize(spark, base)                         // v2: purged
+    assert(ids(DeltaLogReader.read(spark, base)) == odds)
+    // restore to the DV-carrying version: same rows, but served through
+    // the ORIGINAL file + its reattached deletion vector again
+    val v = DeltaLogWriter.restore(spark, base, toVersion = 1L)
+    assert(v == 3L)
+    assert(ids(DeltaLogReader.read(spark, base)) == odds)
+    intercept[IllegalArgumentException](                  // DVs are BACK
+      DeltaLogReader.activeFiles(spark, base))
+    // restore further back, to the pre-delete state: the evens revive
+    assert(DeltaLogWriter.restore(spark, base, toVersion = 0L) == 4L)
+    assert(ids(DeltaLogReader.read(spark, base)) == (1L to 10L).toSet)
+    // the pre-restore states are still time-travelable
+    assert(ids(DeltaLogReader.read(spark, base, asOf = Some(2L))) == odds)
+    // restoring to the current state is a no-op
+    assert(DeltaLogWriter.restore(spark, base, toVersion = 4L) == 4L)
+    // a vacuumed-away restore point refuses instead of committing corpses
+    DeltaLogWriter.vacuum(spark, base,
+      olderThanMs = System.currentTimeMillis() + 3600_000L)
+    val e = intercept[IllegalArgumentException](
+      DeltaLogWriter.restore(spark, base, toVersion = 2L))
+    assert(e.getMessage.contains("gone"), e.getMessage)
+  }
+
   test("cleanLog prunes pre-checkpoint commits; replay survives, history doesn't") {
     import org.apache.spark.sql.SaveMode
     val base = freshDir()

@@ -169,6 +169,28 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(e3.getMessage.contains("metadata"), e3.getMessage)
   }
 
+  test("rollbackTo restores an old state as a NEW snapshot; history linear") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L)).coalesce(1), 101L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(3L)).coalesce(1), 102L, 2000L)
+    val v = IcebergWriter.rollbackTo(spark, base, 101L, 103L, 3000L)
+    assert(v == 3)
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 2L))
+    // the rolled-over snapshot stays time-travelable; history is linear
+    assert(ids(Iceberg.readSnapshot(spark, base, 102L)) == Set(1L, 2L, 3L))
+    assert(Iceberg.snapshots(spark, base).map(_._1) == Seq(101L, 102L, 103L))
+    // linear history means every writer still works after a rollback
+    IcebergWriter.commitAppend(spark, base, df(Seq(4L)).coalesce(1), 104L, 4000L)
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 2L, 4L))
+    // unknown target / id reuse refuse
+    val e1 = intercept[IllegalArgumentException](
+      IcebergWriter.rollbackTo(spark, base, 999L, 105L, 5000L))
+    assert(e1.getMessage.contains("no such"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](
+      IcebergWriter.rollbackTo(spark, base, 101L, 104L, 5000L))
+    assert(e2.getMessage.contains("already exists"), e2.getMessage)
+  }
+
   // -------------------------------------------------------- expireSnapshots
 
   test("expire drops old snapshots and physically deletes unreachable files") {
