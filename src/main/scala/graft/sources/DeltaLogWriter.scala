@@ -234,12 +234,9 @@ object DeltaLogWriter {
     // dvAttachActions spelling): a same-path file in a DIFFERENT bucket
     // must count as outside, and a relative table path must qualify to
     // the same spelling the entries carry
-    val rootNorm = DeletionVectors
-      .normalizePath(f.makeQualified(root).toString).stripSuffix("/")
-    def normAbs(abs: String): String =
-      DeletionVectors.normalizePath(f.makeQualified(new Path(abs)).toString)
+    val rootNorm = normRoot(f, root)
     val outside = entries.map(_._1)
-      .filterNot(abs => normAbs(abs).startsWith(rootNorm + "/"))
+      .filterNot(abs => normAbs(f, abs).startsWith(rootNorm + "/"))
     require(outside.isEmpty,
       s"Delta table at $path references active files OUTSIDE the table " +
         s"root (first: ${outside.headOption.getOrElse("")}) — optimize " +
@@ -262,7 +259,7 @@ object DeltaLogWriter {
 
     val now = System.currentTimeMillis()
     val removes = entries.map { case (abs, _) =>
-      val rel = normAbs(abs).stripPrefix(rootNorm).stripPrefix("/")
+      val rel = normAbs(f, abs).stripPrefix(rootNorm).stripPrefix("/")
       s"""{"remove":{"path":${jsonStr(encodePath(rel))},"deletionTimestamp":$now,"dataChange":false}}"""
     }
     val adds = newFiles.map { rel =>
@@ -753,8 +750,17 @@ object DeltaLogWriter {
   def restore(spark: SparkSession, path: String, toVersion: Long): Long = {
     val root = new Path(path)
     val f = fs(spark, root)
-    val (curEntries, _) = DeltaLogReader.replayState(spark, path, None)
-    val (tgtEntries, _) = DeltaLogReader.replayState(spark, path, Some(toVersion))
+    val (curEntries, curMeta) = DeltaLogReader.replayState(spark, path, None)
+    val (tgtEntries, tgtMeta) = DeltaLogReader.replayState(spark, path, Some(toVersion))
+    // the file-set surgery below keeps the CURRENT metaData active
+    // (later-wins replay) — if the metadata evolved after the restore
+    // point, the restored files would be served through a mapping/
+    // schema they never carried; refuse rather than serve wrong columns
+    require(curMeta.map(_.toString) == tgtMeta.map(_.toString),
+      s"cannot restore $path to v$toVersion: the table's metaData " +
+        "changed after that version (schema/mapping evolution) — this " +
+        "writer restores the FILE SET only and would serve the old " +
+        "files through the new metadata; refusing")
     val latest = DeltaLogReader.latestVersion(spark, path).get
     val cur = curEntries.toMap
     val tgt = tgtEntries.toMap
@@ -772,29 +778,41 @@ object DeltaLogWriter {
     }
     if (removes.isEmpty && adds.isEmpty) return latest
 
-    val rootNorm = DeletionVectors
-      .normalizePath(f.makeQualified(root).toString).stripSuffix("/")
-    def relOf(abs: String): String = {
-      val n = DeletionVectors.normalizePath(f.makeQualified(new Path(abs)).toString)
-      require(n.startsWith(rootNorm + "/"),
-        s"restore at $path: file $abs is outside the table root — " +
-          "only self-contained tables restore")
-      n.stripPrefix(rootNorm).stripPrefix("/")
-    }
-    adds.foreach { case (abs, _) =>
-      require(f.exists(new Path(abs)),
-        s"cannot restore $path to v$toVersion: its file $abs is gone " +
-          "from disk (vacuumed past the restore point) — the restored " +
-          "version is unrecoverable")
+    def relOf(abs: String): String = relativizeUnderRoot(f, root, abs,
+      s"restore at $path: file $abs is outside the table root — " +
+        "only self-contained tables restore")
+    // ONE status call per re-added file: it doubles as the gone-from-
+    // disk refusal (vacuumed past the restore point) AND feeds the add
+    // line's size/mtime — and the DV SIDECARS the re-attached
+    // descriptors point at must exist too, or the committed version is
+    // a read-time corpse
+    val statuses = adds.map { case (abs, dv) =>
+      val st = try f.getFileStatus(new Path(abs)) catch {
+        case _: java.io.FileNotFoundException =>
+          throw new IllegalArgumentException(
+            s"cannot restore $path to v$toVersion: its file $abs is gone " +
+              "from disk (vacuumed past the restore point) — the restored " +
+              "version is unrecoverable")
+      }
+      dv.foreach { dvJson =>
+        val d = DeletionVectors.parseDescriptor(mapper.readTree(dvJson))
+        if (d.storageType != "i") {
+          val bin = DeletionVectors.resolveFile(path, d)
+          require(f.exists(bin),
+            s"cannot restore $path to v$toVersion: its deletion-vector " +
+              s"sidecar $bin is gone from disk (vacuumed past the restore " +
+              "point) — the restored version is unrecoverable")
+        }
+      }
+      (abs, dv, st)
     }
     val version = latest + 1
     val now = System.currentTimeMillis()
     val removeLines = removes.map { abs =>
       s"""{"remove":{"path":${jsonStr(encodePath(relOf(abs)))},"deletionTimestamp":$now,"dataChange":true}}"""
     }
-    val addLines = adds.map { case (abs, dv) =>
+    val addLines = statuses.map { case (abs, dv, st) =>
       val rel = relOf(abs)
-      val st = f.getFileStatus(new Path(root, rel))
       val dvPart = dv.map(d => s""","deletionVector":$d""").getOrElse("")
       s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
@@ -841,6 +859,26 @@ object DeltaLogWriter {
         f.delete(new Path(log, f"$v%020d.json"), false)
       }
     pruned
+  }
+
+  /** Authority-preserving normalized spelling of the table root /
+    * an absolute path (the dvAttachActions convention): scheme drops,
+    * bucket/authority stays as the leading segment, so same-named
+    * paths in different buckets never alias. */
+  private def normRoot(f: org.apache.hadoop.fs.FileSystem, root: Path): String =
+    DeletionVectors.normalizePath(f.makeQualified(root).toString).stripSuffix("/")
+
+  private def normAbs(f: org.apache.hadoop.fs.FileSystem, abs: String): String =
+    DeletionVectors.normalizePath(f.makeQualified(new Path(abs)).toString)
+
+  /** Root-relative spelling of `abs`, refusing out-of-root paths with
+    * the caller's message. */
+  private def relativizeUnderRoot(f: org.apache.hadoop.fs.FileSystem,
+                                  root: Path, abs: String, msg: => String): String = {
+    val rootNorm = normRoot(f, root)
+    val n = normAbs(f, abs)
+    require(n.startsWith(rootNorm + "/"), msg)
+    n.stripPrefix(rootNorm).stripPrefix("/")
   }
 
   private def logDir(spark: SparkSession, path: String): Path =

@@ -77,6 +77,10 @@ object IcebergWriter {
   def rollbackTo(spark: SparkSession, table: String, snapshotId: Long,
                  newSnapshotId: Long, timestampMs: Long): Int = {
     val doc = Iceberg.metadata(spark, table)
+    require(Iceberg.partitionSpecs(doc).size <= 1,
+      s"cannot roll back $table: it carries multiple partition specs " +
+        "(spec evolution) — this writer re-emits only the default spec " +
+        "and would misalign old manifests' spec-id resolution; refusing")
     val snaps = snapsOf(doc)
     require(snaps.exists(_._1 == snapshotId),
       s"cannot roll $table back to snapshot $snapshotId: no such " +
