@@ -65,29 +65,54 @@ object Bench {
         Tables.table(spark, sfDir, "embeddings").limit(5),
         Tables.table(spark, sfDir, "embeddings").limit(64), nlist = 2, nprobe = 1).count()
     }
-    warm("q122-points-stage") {
-      // harness plumbing, not query work: q122/q134's oracles replay over
-      // real parquet tables, staged write-once — pre-stage them so the
-      // timed runs measure the pushdown lookups, not one-off staging writes
-      graft.queries.ExtensionQueries.stagePointsLookup(spark, sfDir)
-      graft.queries.ExtensionQueries.stageZOrderedPoints(spark, sfDir)
+    // all write-once scratch stagings, re-runnable: the post-warm audit
+    // below re-invokes this block when a tmp-dir sweeper reaped part files
+    // between staging and the timed loop (the r12 finding: q122's lookup
+    // restaged INSIDE its timed lap and booked ~13 s of harness work into
+    // the committed headline)
+    def runStagings(): Unit = {
+      warm("q122-points-stage") {
+        // harness plumbing, not query work: q122/q134's oracles replay over
+        // real parquet tables, staged write-once — pre-stage them so the
+        // timed runs measure the pushdown lookups, not one-off staging writes
+        graft.queries.ExtensionQueries.stagePointsLookup(spark, sfDir)
+        graft.queries.ExtensionQueries.stageZOrderedPoints(spark, sfDir)
+      }
+      warm("staged-index-legs") {
+        // write-once index builds (PQ codes/LUT, IVF candidates, the MLlib
+        // twin's pairs list, q67's PNG fixtures): deterministic functions of
+        // their source tables, staged here so the timed queries measure
+        // query semantics — ADC ranking, candidate rescore, decode — not
+        // one-off index construction (the q122 staged-lookup precedent)
+        graft.queries.IndexQueries.stageIndexLegs(spark, sfDir)
+        graft.queries.ExtensionQueries.stageQ67Png(spark, sfDir)
+        graft.queries.ExtensionQueries.stageQ140Hashes(spark, sfDir)
+        graft.queries.ExtensionQueries.stageQ135Assignments(spark, sfDir)
+      }
     }
+    runStagings()
     warm("shared-caches") {
       // the session-cache web (shingle/minhash/copurchase/bigram frames):
       // built here so each consumer query reports MARGINAL cost, not the
       // whole build landing on whichever consumer happens to run first
       graft.queries.ExtensionQueries.prewarmSharedCaches(spark, sfDir)
     }
-    warm("staged-index-legs") {
-      // write-once index builds (PQ codes/LUT, IVF candidates, the MLlib
-      // twin's pairs list, q67's PNG fixtures): deterministic functions of
-      // their source tables, staged here so the timed queries measure
-      // query semantics — ADC ranking, candidate rescore, decode — not
-      // one-off index construction (the q122 staged-lookup precedent)
-      graft.queries.IndexQueries.stageIndexLegs(spark, sfDir)
-      graft.queries.ExtensionQueries.stageQ67Png(spark, sfDir)
-      graft.queries.ExtensionQueries.stageQ140Hashes(spark, sfDir)
-      graft.queries.ExtensionQueries.stageQ135Assignments(spark, sfDir)
+    // ---- staging audit: every stageOnce target must still be fresh when
+    // the timed loop starts. The marker pattern protects against sig drift,
+    // but tmp-dir sweepers can reap part files AFTER the warm phase — in
+    // which case the first consumer query would silently restage inside its
+    // lap. Verify, re-warm once if anything went stale, and verify again.
+    def staleStagings(): Seq[String] = {
+      val latest = Tables.stageEvents.groupBy(_.path).map { case (p, es) => (p, es.last.sig) }
+      latest.collect { case (p, sig) if !Tables.stageIsFresh(spark, p, sig) => p }.toSeq.sorted
+    }
+    val stale0 = staleStagings()
+    if (stale0.nonEmpty) {
+      System.err.println(s"[bench] stagings went stale after warm — re-warming: ${stale0.mkString(", ")}")
+      runStagings()
+      val still = staleStagings()
+      if (still.nonEmpty) System.err.println(
+        s"[bench] WARNING: stagings STILL stale entering the timed loop (staging_in_lap expected): ${still.mkString(", ")}")
     }
     warm("streaming-engine") {
       // micro-batch planner, state store, parquet file source/sink — the
@@ -141,11 +166,17 @@ object Bench {
     // other processes were competing for the cores during THIS run.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     var loadSamples = List.empty[Double]
+    // start-of-lap conditions + staging watermark: queries whose lap
+    // triggers a stageOnce WRITE after this point get named in
+    // `staging_in_lap` so a contaminated headline is self-describing
+    val loadAvgStart = osBean.getSystemLoadAverage
+    val lapStartNanos = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val la = osBean.getSystemLoadAverage
       if (la >= 0) loadSamples ::= la
       val n0 = ml.snapshot().size
       val r0 = rl.totals()
+      val st0 = Tables.stageEvents.count(_.wrote)
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -154,6 +185,9 @@ object Bench {
           false
         }
       val sec = (System.nanoTime() - t0) / 1e9
+      val lapStaged = Tables.stageEvents.count(_.wrote) - st0
+      if (lapStaged > 0) System.err.println(
+        s"[bench] staging_in_lap: $name triggered $lapStaged stageOnce write(s) inside its timed lap")
       // listener events post asynchronously — wait for QUIESCENCE (size
       // stable across a poll gap), not merely for the first record: multi-
       // action queries (staged writes, cache builds, then the count) would
@@ -172,9 +206,9 @@ object Bench {
       (name, if (ok) sec else -1.0, ok,
         (recs.size, recs.map(_.nFileScans).sum, recs.flatMap(_.outputRows).sum),
         (r1.runTimeMs - r0.runTimeMs, r1.cpuTimeMs - r0.cpuTimeMs,
-          r1.gcTimeMs - r0.gcTimeMs))
+          r1.gcTimeMs - r0.gcTimeMs), lapStaged)
     }
-    val qs = results.map { case (k, v, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // `_staging` first: the warm phase's own footprint, kept out of every
     // query's numbers. NOTE on reading runMs: it is TASK time summed across
@@ -190,20 +224,25 @@ object Bench {
         s"\"rows\":${stagingRecs.flatMap(_.outputRows).sum}," +
         s"\"runMs\":${stagingRes.runTimeMs},\"cpuMs\":${stagingRes.cpuTimeMs}," +
         s"\"gcMs\":${stagingRes.gcTimeMs}}"
-    val metrics = (stagingJson +: results.map { case (k, _, _, (acts, scans, rows), (runMs, cpuMs, gcMs)) =>
+    val metrics = (stagingJson +: results.map { case (k, _, _, (acts, scans, rows), (runMs, cpuMs, gcMs), _) =>
       s"\"$k\":{\"actions\":$acts,\"scans\":$scans,\"rows\":$rows," +
         s"\"runMs\":$runMs,\"cpuMs\":$cpuMs,\"gcMs\":$gcMs}"
     }).mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false, _, _) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
-    val total = results.collect { case (_, v, true, _, _) => v }.sum
+    // any query that staged inside its timed lap, with its write count —
+    // empty on a clean run; non-empty means that query's wall/runMs carries
+    // harness staging and must not be read as a plan regression
+    val stagingInLap = results.collect { case (k, _, _, _, _, n) if n > 0 =>
+      s"\"$k\":$n" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
     // load-insensitive secondary total (r11 task 4): task CPU seconds
     // summed over the measured queries. Wall `value` swings ±30% with box
     // contention; cpuTotal moves only when the WORK changes, so
     // cross-round comparisons get an axis the contention block can't
     // muddy. (Still task-attributed: driver-side planning time is not in
     // it — compare like with like.)
-    val cpuTotal = results.collect { case (_, _, true, _, (_, cpuMs, _)) => cpuMs }
+    val cpuTotal = results.collect { case (_, _, true, _, (_, cpuMs, _), _) => cpuMs }
       .sum / 1000.0
     // contention indicator, carried in BOTH output lines: how to read it —
     //   runCpuRatio  task runtime / task cpu time across all measured
@@ -221,18 +260,19 @@ object Bench {
     val contention =
       s"""{"runCpuRatio":${r3(if (mCpuMs > 0) mRunMs.toDouble / mCpuMs else -1)},""" +
         s""""gcPct":${r3(if (mRunMs > 0) 100.0 * mGcMs / mRunMs else 0)},""" +
+        s""""loadAvgStart":${r3(loadAvgStart)},""" +
         s""""loadAvgMean":${r3(if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1)},""" +
         s""""loadAvgMax":${r3(if (loadSamples.nonEmpty) loadSamples.max else -1)},""" +
         s""""cpus":$cpus}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"queries":$qs,"metrics":$metrics,"errors":$errors,"contention":$contention,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"queries":$qs,"metrics":$metrics,"errors":$errors,"staging_in_lap":$stagingInLap,"contention":$contention,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
     // compact total-only line LAST: the full per-query line outgrew the
     // driver's tail buffer at 65 queries (BENCH_r03 "parsed": null), so a
     // short parsable metric line must always be the final stdout line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"n_queries":${results.size},"n_errors":${results.count(!_._3)},"contention":$contention,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"n_queries":${results.size},"n_errors":${results.count(!_._3)},"staging_in_lap":$stagingInLap,"contention":$contention,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -175,37 +175,58 @@ object Tables {
     }.mkString(";")
   }
 
+  /** One [[stageOnce]] invocation: where, under what source signature,
+    * whether the write branch actually ran, and when (nanoTime). Bench
+    * reads this log to (a) re-verify every staging survived the warm
+    * phase before the timed loop and (b) attribute any in-lap restage to
+    * the query that triggered it instead of silently booking staging
+    * seconds into a query's headline (the r12 q122 finding). */
+  final case class StageEvent(path: String, sig: String, wrote: Boolean, atNanos: Long)
+  private val stageLog = new java.util.concurrent.ConcurrentLinkedQueue[StageEvent]()
+  def stageEvents: Seq[StageEvent] = {
+    val b = Seq.newBuilder[StageEvent]
+    stageLog.forEach(e => b += e)
+    b.result()
+  }
+
+  /** Freshness check shared by [[stageOnce]] and Bench's post-warm audit:
+    * the `_staged` marker must exist, carry exactly `sig`, AND at least one
+    * non-underscore data entry must still sit next to it — scratch lives in
+    * a tmp dir, and an age-based sweeper can reap the part files while the
+    * recently-rewritten marker stays. */
+  def stageIsFresh(spark: SparkSession, path: String, sig: String): Boolean = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val fs = dst.getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(dst, "_staged")
+    fs.exists(marker) && {
+      val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
+      val in = fs.open(marker)
+      try in.readFully(buf) finally in.close()
+      new String(buf, java.nio.charset.StandardCharsets.UTF_8) == sig
+    } && fs.listStatus(dst).exists { f =>
+      !f.getPath.getName.startsWith("_") &&
+        (f.isDirectory || f.getLen > 0)
+    }
+  }
+
   /** Write-once scratch materialization: runs `write` only when `path`
     * lacks a `_staged` marker recording `sig`. Queries that need a real
     * parquet table for their oracle replay (q122) stage it here once per
     * (sf dir, source state) instead of rewriting it every invocation. */
   def stageOnce(spark: SparkSession, path: String, sig: String)(write: => Unit): Unit = {
-    val hconf = spark.sparkContext.hadoopConfiguration
-    val dst = new org.apache.hadoop.fs.Path(path)
-    val fs = dst.getFileSystem(hconf)
-    val marker = new org.apache.hadoop.fs.Path(dst, "_staged")
-    val fresh = fs.exists(marker) && {
-      val buf = new Array[Byte](fs.getFileStatus(marker).getLen.toInt)
-      val in = fs.open(marker)
-      try in.readFully(buf) finally in.close()
-      new String(buf, java.nio.charset.StandardCharsets.UTF_8) == sig
-    } && {
-      // the marker alone is not proof the data survived: scratch lives in
-      // java.io.tmpdir, and an age-based sweeper can reap the part files
-      // while the recently-rewritten marker stays — require at least one
-      // non-underscore data entry (file, or directory for partitioned
-      // stagings) next to the marker before trusting it
-      fs.listStatus(dst).exists { f =>
-        !f.getPath.getName.startsWith("_") &&
-          (f.isDirectory || f.getLen > 0)
-      }
-    }
+    val fresh = stageIsFresh(spark, path, sig)
     if (!fresh) {
       write
+      val hconf = spark.sparkContext.hadoopConfiguration
+      val dst = new org.apache.hadoop.fs.Path(path)
+      val fs = dst.getFileSystem(hconf)
+      val marker = new org.apache.hadoop.fs.Path(dst, "_staged")
       val out = fs.create(marker, true)
       try out.write(sig.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
     }
+    stageLog.add(StageEvent(path, sig, wrote = !fresh, atNanos = System.nanoTime()))
   }
 
   /** Synthetic transaction points: one row per lineitem, joined to orders

@@ -294,12 +294,13 @@ object DeltaLogWriter {
     // qualify BEFORE normalizing: with a relative table path the sweep's
     // listStatus returns qualified paths while the log replay returns
     // table-rooted ones — unqualified keys would never match and vacuum
-    // would eat every live file
-    def norm(p: Path): String = {
-      val q = f.makeQualified(p)
-      val u = q.toUri.getPath
-      if (u == null || u.isEmpty) q.toString else u
-    }
+    // would eat every live file. Normalization is the repo-wide
+    // AUTHORITY-PRESERVING spelling (DeletionVectors.normalizePath —
+    // bucket/authority stays as the leading segment), so same-named
+    // paths in different buckets can never alias between the keep set
+    // and the sweep.
+    def norm(p: Path): String =
+      DeletionVectors.normalizePath(f.makeQualified(p).toString)
     val keep = scala.collection.mutable.Set.empty[String]
     entries.foreach { case (abs, dvOpt) =>
       keep += norm(new Path(abs))
@@ -512,6 +513,25 @@ object DeltaLogWriter {
     (version, nDeleted)
   }
 
+  /** Features a LEGACY (pre-table-features) protocol version implies
+    * without naming (delta-io PROTOCOL.md, "Table Features" upgrade
+    * rule): writer v2 ⇒ appendOnly+invariants, v3 ⇒ +checkConstraints,
+    * v4 ⇒ +changeDataFeed+generatedColumns, v5 ⇒ +columnMapping,
+    * v6 ⇒ +identityColumns; reader v2 ⇒ columnMapping. An upgrade to
+    * (3, 7) must list them explicitly, else external writers are free
+    * to stop enforcing them. */
+  private def legacyImpliedFeatures(minReader: Int, minWriter: Int)
+      : (Seq[String], Seq[String]) = {
+    val wf = Seq.newBuilder[String]
+    if (minWriter >= 2) wf ++= Seq("appendOnly", "invariants")
+    if (minWriter >= 3) wf += "checkConstraints"
+    if (minWriter >= 4) wf ++= Seq("changeDataFeed", "generatedColumns")
+    if (minWriter >= 5) wf += "columnMapping"
+    if (minWriter >= 6) wf += "identityColumns"
+    val rf = if (minReader >= 2) Seq("columnMapping") else Seq.empty[String]
+    (rf, wf.result())
+  }
+
   /** The DV-attach engine behind [[deleteWhere]] and [[upsert]]: scan
     * every live file WHOLE with its row coordinates (previously
     * DV-deleted rows may match again — the bitmap union keeps that
@@ -614,9 +634,21 @@ object DeltaLogWriter {
       if (latestProto.exists(p => feats(p, "readerFeatures").contains("deletionVectors")))
         Seq.empty
       else {
-        val rf = (latestProto.toSeq.flatMap(feats(_, "readerFeatures")) :+ "deletionVectors")
+        // upgrading a LEGACY protocol to table features must enumerate
+        // the features the old minReader/minWriterVersion implied
+        // (PROTOCOL.md's upgrade rule) — e.g. writer v2's
+        // appendOnly/invariants: leaving them unlisted would let
+        // external table-features writers stop enforcing them
+        val oldMinR = latestProto.map(_.path("minReaderVersion").asInt(1)).getOrElse(1)
+        val oldMinW = latestProto.map(_.path("minWriterVersion").asInt(2)).getOrElse(2)
+        val (legacyRf, legacyWf) =
+          if (oldMinW < 7) legacyImpliedFeatures(oldMinR, oldMinW)
+          else (Seq.empty[String], Seq.empty[String])
+        val rf = (latestProto.toSeq.flatMap(feats(_, "readerFeatures")) ++
+          legacyRf :+ "deletionVectors")
           .distinct.map(jsonStr).mkString("[", ",", "]")
-        val wf = (latestProto.toSeq.flatMap(feats(_, "writerFeatures")) :+ "deletionVectors")
+        val wf = (latestProto.toSeq.flatMap(feats(_, "writerFeatures")) ++
+          legacyWf :+ "deletionVectors")
           .distinct.map(jsonStr).mkString("[", ",", "]")
         Seq(s"""{"protocol":{"minReaderVersion":3,"minWriterVersion":7,"readerFeatures":$rf,"writerFeatures":$wf}}""")
       }

@@ -240,10 +240,13 @@ object Iceberg {
     * carry parquet field ids (renames resolve to the current names), by
     * NAME when they don't and every current name is present; a rename
     * over id-less files has no sound resolution and is refused. The
-    * footer probe reads ONE file (lexicographic min for determinism) —
-    * files of one snapshot share a writer lineage; a mixed table where
-    * OTHER files lack ids fails loudly downstream
-    * (`fieldId.read.ignoreMissing` stays false). */
+    * mode probe reads ONE footer (lexicographic min for determinism) —
+    * files of one snapshot share a writer lineage; on the ID path a
+    * mixed table where OTHER files lack ids fails loudly downstream
+    * (`fieldId.read.ignoreMissing` stays false), and on the NAME path
+    * every file's footer is verified to carry every current name before
+    * the read (by-name resolution null-fills silently, so the check
+    * cannot be left to execution). */
   private[sources] def readWithMetadataSchema(spark: SparkSession, fields: Seq[IceField],
                                      files: Seq[String]): DataFrame = {
     val probe = footerFields(spark, files.min)
@@ -265,14 +268,28 @@ object Iceberg {
           new MetadataBuilder().putLong("parquet.field.id", f.id.toLong).build())))
       spark.read.schema(st).parquet(files: _*)
     } else {
-      val footerNames = probe.map(_._1).toSet
-      val missing = fields.map(_.name).filterNot(footerNames)
-      require(missing.isEmpty,
-        s"metadata schema names column(s) ${missing.mkString(", ")} that the " +
-          s"parquet footer of ${files.min} does not carry, and the file has " +
-          "no parquet field ids to resolve a rename through — refusing to " +
-          "serve stale column names; rewrite the data files (Iceberg " +
-          "writers stamp field ids) or query an un-renamed snapshot")
+      // the by-name read NULL-FILLS silently on a name miss (unlike the
+      // id path's loud fieldId.read.ignoreMissing=false), so EVERY
+      // file's footer must carry every current name — a single probe
+      // would let a mixed lineage (some files still spelling a
+      // pre-rename name) serve nulls for the renamed column. Driver-side
+      // footer reads at planning altitude; the file set is
+      // ManifestGuard-capped, and this is the id-less FALLBACK path
+      // (foreign plain-parquet tables), not the Iceberg-written common
+      // case.
+      val wanted = fields.map(_.name)
+      files.foreach { file =>
+        val names =
+          (if (file == files.min) probe else footerFields(spark, file))
+            .map(_._1).toSet
+        val missing = wanted.filterNot(names)
+        require(missing.isEmpty,
+          s"metadata schema names column(s) ${missing.mkString(", ")} that " +
+            s"the parquet footer of $file does not carry, and the file has " +
+            "no parquet field ids to resolve a rename through — refusing to " +
+            "serve stale column names; rewrite the data files (Iceberg " +
+            "writers stamp field ids) or query an un-renamed snapshot")
+      }
       val st = StructType(fields.map(f =>
         StructField(f.name, sparkType(f.typ), nullable = true)))
       spark.read.schema(st).parquet(files: _*)
@@ -712,11 +729,11 @@ object Iceberg {
     * URI (`file:///…`). Dropping `scheme:/+` from both sides makes them
     * comparable; a bucket/authority stays as the leading path segment,
     * so same-named keys in different buckets do NOT collide. */
-  private def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[sources] def normPath(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   /** Driver-side twin of [[normPath]] for planned paths. */
-  private def normPathDriver(p: String): String =
+  private[sources] def normPathDriver(p: String): String =
     p.replaceFirst("^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
 
   private def readSnapshotDoc(spark: SparkSession, table: String,
@@ -859,7 +876,13 @@ object Iceberg {
     * outlive older deletes. */
   private[sources] case class PlannedFiles(
       data: Seq[(String, Option[Long])], deletes: Seq[String],
-      eqDeletes: Seq[(String, Option[Long], Seq[Int])])
+      eqDeletes: Seq[(String, Option[Long], Seq[Int])],
+      // resolved path → the EXACT file_path spelling the data manifest
+      // entry records. Spec-conforming readers match position-delete
+      // file_path against that spelling verbatim, so a delete WRITER
+      // must reproduce it — not Spark's file:/ URI (the r12 advisor
+      // finding on IcebergWriter.deleteWhere)
+      spelledAs: Map[String, String] = Map.empty)
 
   /** Replay one snapshot's manifest list → live file paths, with
     * optional planning-time pruning (summaries first, then per-entry
@@ -886,6 +909,7 @@ object Iceberg {
     val data = mutable.ArrayBuffer.empty[(String, Option[Long])]
     val dels = mutable.ArrayBuffer.empty[String]
     val eqDels = mutable.ArrayBuffer.empty[(String, Option[Long], Seq[Int])]
+    val spelledAs = mutable.Map.empty[String, String]
     readAvro(spark, resolve(table, mlPath)).foreach { m =>
       val mContent = intField(m, "content").getOrElse(0)
       require(mContent == 0 || mContent == 1,
@@ -932,7 +956,7 @@ object Iceberg {
             // equality deletes need to order against it
             val seq = longField(e, "sequence_number")
               .orElse(if (status == 1) mSeq else None)
-            if (mContent == 0) data += ((p, seq))
+            if (mContent == 0) { data += ((p, seq)); spelledAs(p) = df.get("file_path").toString }
             else if (fContent == 1) dels += p
             else {
               val idsRaw =
@@ -963,7 +987,7 @@ object Iceberg {
         }
       }
     }
-    PlannedFiles(data.toSeq, dels.toSeq, eqDels.toSeq)
+    PlannedFiles(data.toSeq, dels.toSeq, eqDels.toSeq, spelledAs.toMap)
   }
 
   /** Iceberg metadata stores absolute URIs; tolerate table-relative paths

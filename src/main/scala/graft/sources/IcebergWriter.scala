@@ -195,6 +195,15 @@ object IcebergWriter {
           s"append at timestamp $timestampMs would commit BEFORE an " +
             s"existing snapshot (latest: ${snaps.map(_._2).maxOption.getOrElse(0L)}) " +
             "— history must be monotonic for AS-OF reads to stay sane")
+        // the carried manifest list below is snaps.last's — on foreign
+        // metadata with a non-linear history (current repointed by a
+        // rollback that TRUNCATED nothing) that would base the append on
+        // the wrong snapshot; the same linearity gate evolveSchema keeps
+        val curId = doc.path("current-snapshot-id").asLong(-1L)
+        require(snaps.isEmpty || snaps.last._1 == curId,
+          s"cannot append to $table: current snapshot $curId is not the " +
+            "latest in its history — the append would carry the wrong " +
+            "manifest list; refusing non-linear histories")
         // spec field name → SOURCE column name (identity: usually equal,
         // but the mapping is by source-id, the robust spelling)
         val pairs = sf0.map { sf =>
@@ -528,9 +537,11 @@ object IcebergWriter {
     require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
       s"cannot delete from $table: it is PARTITIONED and this writer " +
         "does not derive partition metadata for delete files")
-    require(!fields.exists(f => f.name == "file_path" || f.name == "pos"),
-      s"cannot delete from $table: a table column is named file_path/pos " +
-        "— colliding with the position-delete schema; rename it first")
+    val reservedDel = Set("file_path", "pos", "__ice_norm_fp", "__ice_manifest_fp")
+    require(!fields.exists(f => reservedDel(f.name)),
+      s"cannot delete from $table: a table column is named one of " +
+        s"${reservedDel.toSeq.sorted.mkString(", ")} — colliding with the " +
+        "position-delete schema / spelling-join internals; rename it first")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     require(cur > 0, s"Iceberg table $table has no current snapshot")
     val snaps = snapsOf(doc)
@@ -549,24 +560,45 @@ object IcebergWriter {
 
     // matching rows' spec coordinates; previously position-deleted rows
     // may match again — duplicate (file, pos) pairs are idempotent under
-    // the reader's anti-join
+    // the reader's anti-join. The recorded file_path must be the EXACT
+    // spelling the data manifest entries carry (spec-conforming readers
+    // match it verbatim — Spark's file:/ URI would make external readers
+    // silently ignore the delete and resurrect rows), so map
+    // _metadata.file_path back through the planned file list on the
+    // reader's own normalized-path comparison domain, raising loudly on
+    // a miss rather than emitting a path no manifest entry spells.
+    import org.apache.spark.sql.functions.{broadcast, raise_error, when, concat_ws, lit}
+    val spellRows = planned.data.map { case (p, _) =>
+      (Iceberg.normPathDriver(p), planned.spelledAs.getOrElse(p, p))
+    }.distinct
+    val spellDf = spark.createDataFrame(spellRows)
+      .toDF("__ice_norm_fp", "__ice_manifest_fp")
     val matches = Iceberg
       .readWithMetadataSchema(spark, fields, planned.data.map(_._1))
       .select(col("*"),
-        col("_metadata.file_path").as("file_path"),
+        Iceberg.normPath(col("_metadata.file_path")).as("__ice_norm_fp"),
         col("_metadata.row_index").as("pos"))
       .where(predicate)
-      .select(col("file_path"), col("pos"))
+      .join(broadcast(spellDf), Seq("__ice_norm_fp"), "left")
+      .select(
+        when(col("__ice_manifest_fp").isNull,
+          raise_error(concat_ws("", lit("position-delete path mapping " +
+            "miss: no planned data file spells "), col("__ice_norm_fp"))))
+          .otherwise(col("__ice_manifest_fp")).as("file_path"),
+        col("pos"))
     val n = matches.count()
     val hintVersion = hintVersionOf(spark, table)
     if (n == 0) return hintVersion
 
-    // the delete parquet: one file under data/, spec column names
+    // the delete parquet: one file under data/, spec column names, rows
+    // sorted by (file_path, pos) — the ordering the spec asks delete
+    // files to keep so readers can stream-merge them against data files
     val basePath = new Path(table)
     val f = fs(spark, basePath)
     val tmp = new Path(basePath, s".tmp_delete_$snapshotId")
     f.delete(tmp, true)
-    matches.coalesce(1).write.parquet(tmp.toString)
+    matches.repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(tmp.toString)
     val part = f.listStatus(tmp)
       .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
       .map(_.getPath).minBy(_.getName)
