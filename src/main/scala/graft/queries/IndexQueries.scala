@@ -88,6 +88,7 @@ object IndexQueries {
   private val q256TablePat = scratchPat("q256_iceberg_evolve")
   private val q257TablePat = scratchPat("q257_delta_restore")
   private val q258TablePat = scratchPat("q258_iceberg_rollback")
+  private val q259TablePat = scratchPat("q259_iceberg_hiddenpart")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -175,6 +176,7 @@ object IndexQueries {
     stageQ256IcebergEvolved(s, dir)
     stageQ257DeltaRestored(s, dir)
     stageQ258IcebergRolledBack(s, dir)
+    stageQ259IcebergHiddenPart(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -890,6 +892,32 @@ object IndexQueries {
       graft.sources.IcebergWriter.commitAppend(s, base, slice(0), 6801L, 1000L,
         partitionBy = Seq("event_type"))
       graft.sources.IcebergWriter.commitAppend(s, base, slice(1), 6802L, 2000L)
+    }
+    base
+  }
+
+  /** q259's fixture: a HIDDEN-partitioned Iceberg table — the spec
+    * `day(ets), bucket(4, user_id)` — written in ONE commit by the
+    * repo's own writer: one file per distinct (day, bucket) tuple,
+    * partition values derived in the TRANSFORMED domain by the same
+    * [[graft.sources.IcebergTransforms]] functions the reader's pruning
+    * maps predicate ranges through, transformed-domain min/max
+    * summaries on the manifest-list row. Single commit keeps the
+    * b_files law exact: any live (day, bucket) tuple is exactly ONE
+    * file. */
+  private[graft] def stageQ259IcebergHiddenPart(s: SparkSession, dir: String): String = {
+    val base = scratch(q259TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val df = t(s, dir, "events").select($"event_id",
+        timestamp_micros(expr("ts DIV 1000")).as("ets"),
+        $"user_id", $"event_type",
+        round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.IcebergWriter.commitAppend(s, base, df, 6951L, 1000L,
+        partitionBy = Seq("day(ets)", "bucket(4, user_id)"))
     }
     base
   }
@@ -2814,6 +2842,42 @@ object IndexQueries {
           sum($"bonus_micros").as("bonus_checksum"))
     }),
 
+    // Iceberg HIDDEN-PARTITION WRITE — commitAppend derives day(ets)
+    // and bucket(4, user_id) partition values itself (spec-pinned
+    // murmur3 / floorDiv via IcebergTransforms), and the reader's
+    // transform-aware pruning plans against that SELF-WRITTEN metadata:
+    // a one-day ets range + a point user_id predicate map through the
+    // spec to (day=d, bucket=b) and plan EXACTLY the one file that
+    // tuple landed in (single commit ⇒ one file per live tuple). The
+    // a_rows leg pins the pruned read's data against the oracle's full
+    // scan — a writer that mis-derives a bucket or a day either loses
+    // rows here or plans extra files in the b_files law.
+    "q259_iceberg_hidden_partition_write" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ259IcebergHiddenPart(s, dir)
+      // probe DERIVED from the data: the min user's first event day —
+      // guaranteed live at any sf, so the 1-file law never gaps
+      val p = t(s, dir, "events").orderBy($"user_id", $"ts")
+        .select($"user_id", expr("ts DIV 1000").as("us")).head
+      val (u, us) = (p.getLong(0), p.getLong(1))
+      val dayLo = Math.floorDiv(us, 86400000000L) * 86400000000L
+      val dayHi = dayLo + 86400000000L - 1
+      val range = Seq(Iceberg.ColRange("ets", dayLo, dayHi),
+        Iceberg.ColRange("user_id", u, u))
+      val filesLeg = Seq((Iceberg.planFiles(s, base, range).size.toLong, 0L, 0L))
+        .toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("b_files").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      Iceberg.readPruned(s, base, range)
+        .where($"user_id" === u && $"ets" >= timestamp_micros(lit(dayLo)) &&
+          $"ets" <= timestamp_micros(lit(dayHi)))
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select(lit("a_rows").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+        .unionAll(filesLeg)
+        .orderBy($"leg")
+    }),
+
     // Iceberg PARTITIONED WRITE — the writer derives identity partition
     // values and manifest-list summaries itself (one file per value per
     // commit), and the reader's partition pruning runs against that
@@ -3793,6 +3857,19 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q259_iceberg_hidden_partition_write" ->
+      """WITH probe AS MATERIALIZED (
+        |  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d
+        |  FROM events ORDER BY user_id, ts LIMIT 1)
+        |SELECT * FROM (
+        |  SELECT 'a_rows' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events, probe
+        |  WHERE user_id = probe.u AND epoch_us(ts) // 86400000000 = probe.d
+        |  UNION ALL
+        |  SELECT 'b_files', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |) ORDER BY leg""".stripMargin,
     "q255_iceberg_partitioned_write" ->
       """SELECT * FROM (
         |  SELECT 'a_rows' AS leg, count(*) AS n_rows,

@@ -1407,11 +1407,18 @@ object Iceberg {
   def fieldJson(id: Int, name: String, typ: String, required: Boolean = false): String =
     s"""{"id":$id,"name":"$name","required":$required,"type":"$typ"}"""
 
-  /** One identity partition field for [[writeMetadata]]'s
-    * `partitionSpecJson`: partition-field ids live in the 1000+ range by
-    * spec convention. */
+  /** One partition field for [[writeMetadata]]'s `partitionSpecJson`:
+    * partition-field ids live in the 1000+ range by spec convention.
+    * `transform` is the spec spelling (`identity`, `day`, `bucket[16]`,
+    * `truncate[4]`, …). */
+  def partitionFieldJson(sourceId: Int, name: String, transform: String,
+                         fieldId: Int = 1000): String =
+    s"""{"name":"$name","transform":"$transform","source-id":$sourceId,"field-id":$fieldId}"""
+
+  /** [[partitionFieldJson]] fixed to identity — the pre-hidden-partition
+    * spelling fixtures and callers use. */
   def identityPartitionJson(sourceId: Int, name: String, fieldId: Int = 1000): String =
-    s"""{"name":"$name","transform":"identity","source-id":$sourceId,"field-id":$fieldId}"""
+    partitionFieldJson(sourceId, name, "identity", fieldId)
 
   /** Author `metadata/vN.metadata.json` + `version-hint.text` for
     * `snaps` = (snapshotId, timestampMs, manifestListPath), current =

@@ -20,11 +20,13 @@ import org.apache.spark.sql.types.{MetadataBuilder, StructField, StructType}
   *
   * Scope gates, all loud: single-writer only (the metadata swap is a
   * plain overwrite, not a CAS — concurrent committers need a catalog),
-  * unpartitioned v1 append-only tables (a partitioned or
-  * delete-carrying table refuses rather than dropping its summaries /
-  * delete semantics on the floor), schema must match the table's
-  * exactly (evolution is a separate operation, not an append
-  * side-effect). */
+  * appends to delete-carrying tables refuse (compact first — carrying
+  * delete manifests without their sequence semantics would corrupt
+  * merge-on-read), schema must match the table's exactly (evolution is
+  * a separate operation, not an append side-effect). Partitioned
+  * appends support identity AND the hidden-partitioning transforms
+  * (day/hour/month/year, bucket[N], truncate[W]) — values derived by
+  * the same [[IcebergTransforms]] functions the reader prunes with. */
 object IcebergWriter {
 
   /** Supported primitive mapping for table CREATION from a Spark
@@ -146,20 +148,26 @@ object IcebergWriter {
     * caller-supplied: commits are deterministic, replayable facts, not
     * wall-clock reads). Creates the table — metadata v1, field ids
     * 1..n from `df`'s schema — when `table` has no current metadata;
-    * `partitionBy` on creation installs an IDENTITY partition spec.
+    * `partitionBy` on creation installs the named partition spec —
+    * identity (`"col"`) or HIDDEN-partitioning transforms in Iceberg's
+    * DDL spelling: `day(ts)`, `hour(ts)`, `month(ts)`, `year(ts)`,
+    * `bucket(16, id)`, `truncate(4, s)`.
     *
-    * Partitioned tables (identity transforms only): each commit writes
-    * one file per partition VALUE (a driver loop over the batch's
-    * distinct values, capped at [[MaxPartitionValuesPerCommit]] — the
-    * per-day/per-category cardinality identity partitioning is for;
-    * split oversized partitions by committing in slices), records the
-    * value in each entry's `partition` struct and per-field min/max
-    * SUMMARIES on the manifest-list row — exactly what
-    * [[Iceberg.readPruned]] prunes manifests and files on. Data files
-    * keep the source columns (no hive-style column dropping), so reads
-    * need no partition-value reconstitution. NULL partition values,
-    * non-identity transforms, evolved (multi-)specs and a `partitionBy`
-    * that contradicts the existing spec all refuse loudly.
+    * Partitioned tables: each commit writes one file per partition
+    * VALUE in the TRANSFORMED domain (a driver loop over the batch's
+    * distinct transformed values, capped at
+    * [[MaxPartitionValuesPerCommit]] — the per-day/per-bucket
+    * cardinality hidden partitioning is for; split oversized batches by
+    * committing in slices), records the transformed value in each
+    * entry's `partition` struct and per-field min/max SUMMARIES on the
+    * manifest-list row — exactly what [[Iceberg.readPruned]] prunes
+    * manifests and files on, through [[IcebergTransforms]] on BOTH
+    * sides so write and read share one spec-pinned definition of every
+    * transform. Data files keep the source columns (no hive-style
+    * column dropping), so reads need no partition-value
+    * reconstitution. NULL partition values, unknown transforms,
+    * evolved (multi-)specs and a `partitionBy` that contradicts the
+    * existing spec all refuse loudly.
     * Returns the new metadata version. */
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    snapshotId: Long, timestampMs: Long,
@@ -172,7 +180,7 @@ object IcebergWriter {
           .exists(new Path(table, "metadata")))
         Some(Iceberg.metadata(spark, table))
       else None
-    val (fields, version, priorSnaps, partPairs, partSpecJson) = existing match {
+    val (fields, version, priorSnaps, specParts, partSpecJson) = existing match {
       case Some(doc) =>
         val f = Iceberg.currentSchemaFields(doc).getOrElse(
           throw new IllegalArgumentException(
@@ -184,10 +192,6 @@ object IcebergWriter {
             "specs (spec evolution) — this writer re-emits only the " +
             "default spec and would silently drop the others; refusing")
         val sf0 = specsAll.values.headOption.getOrElse(Nil)
-        require(sf0.forall(_.transform == "identity"),
-          s"cannot append to $table: its partition spec uses non-identity " +
-            s"transforms (${sf0.map(_.transform).mkString(", ")}) — this " +
-            "writer derives IDENTITY partition values only")
         val snaps = snapsOf(doc)
         require(!snaps.exists(_._1 == snapshotId),
           s"snapshot id $snapshotId already exists in $table")
@@ -204,35 +208,56 @@ object IcebergWriter {
           s"cannot append to $table: current snapshot $curId is not the " +
             "latest in its history — the append would carry the wrong " +
             "manifest list; refusing non-linear histories")
-        // spec field name → SOURCE column name (identity: usually equal,
-        // but the mapping is by source-id, the robust spelling)
-        val pairs = sf0.map { sf =>
+        // spec field → (name, SOURCE column, parsed transform, source
+        // type): the mapping is by source-id, the robust spelling; the
+        // transform parses through the same table the reader's pruning
+        // uses, so an unknown spelling refuses here instead of writing
+        // values under semantics no reader shares
+        val parts = sf0.map { sf =>
           val src = f.find(_.id == sf.sourceId).getOrElse(
             throw new IllegalArgumentException(
               s"partition spec of $table names source-id ${sf.sourceId}, " +
                 "absent from the schema — corrupt metadata"))
-          (sf.name, src.name)
+          val t = IcebergTransforms.parse(sf.transform)
+          require(t != IcebergTransforms.Opaque,
+            s"cannot append to $table: partition transform " +
+              s"'${sf.transform}' is unknown to this writer — deriving " +
+              "values under guessed semantics would corrupt pruning")
+          WritePart(sf.name, src.name, t, src.typ)
         }
-        require(partitionBy.isEmpty || partitionBy == pairs.map(_._2),
-          s"partitionBy ${partitionBy.mkString("(", ", ", ")")} contradicts " +
-            s"$table's spec ${pairs.map(_._2).mkString("(", ", ", ")")} — " +
-            "omit it on appends or match the spec")
-        (f, hintVersionOf(spark, table) + 1, snaps, pairs,
+        // a passed partitionBy must AGREE with the stored spec: compare
+        // parsed (source column, transform), not raw spellings — the
+        // stored form may use historical plurals (`days`)
+        if (partitionBy.nonEmpty) {
+          val asked = partitionBy.map(parsePartitionBy)
+          require(asked.map(p => (p.sourceCol, p.transform)) ==
+              parts.map(p => (p.sourceCol, p.transform)),
+            s"partitionBy ${partitionBy.mkString("(", ", ", ")")} " +
+              s"contradicts $table's spec " +
+              s"${parts.map(p => s"${p.transform}(${p.sourceCol})").mkString("(", ", ", ")")} " +
+              "— omit it on appends or match the spec")
+        }
+        (f, hintVersionOf(spark, table) + 1, snaps, parts,
           rawDefaultSpecFieldsJson(doc))
       case None =>
         val f = df.schema.fields.zipWithIndex.map { case (sf, i) =>
           Iceberg.IceField(i + 1, sf.name, iceType(sf.dataType))
         }.toSeq
-        val missing = partitionBy.filterNot(c => f.exists(_.name == c))
+        val asked = partitionBy.map(parsePartitionBy)
+        val missing = asked.map(_.sourceCol).filterNot(c => f.exists(_.name == c))
         require(missing.isEmpty,
           s"partitionBy column(s) ${missing.mkString(", ")} are not " +
             s"columns of the frame (${f.map(_.name).mkString(", ")})")
-        val specJson = partitionBy.zipWithIndex.map { case (c, i) =>
-          Iceberg.identityPartitionJson(
-            f.find(_.name == c).get.id, c, fieldId = 1000 + i)
+        val parts = asked.map { a =>
+          val src = f.find(_.name == a.sourceCol).get
+          WritePart(a.fieldName, a.sourceCol, a.transform, src.typ)
+        }
+        val specJson = asked.zipWithIndex.map { case (a, i) =>
+          Iceberg.partitionFieldJson(
+            f.find(_.name == a.sourceCol).get.id, a.fieldName,
+            a.transformSpelling, fieldId = 1000 + i)
         }.mkString("[", ",", "]")
-        (f, 1, Seq.empty[(Long, Long, String)],
-          partitionBy.map(c => (c, c)), specJson)
+        (f, 1, Seq.empty[(Long, Long, String)], parts, specJson)
     }
     require(df.columns.toSeq == fields.map(_.name),
       s"append schema ${df.columns.mkString("(", ", ", ")")} does not " +
@@ -243,12 +268,12 @@ object IcebergWriter {
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap
     val (entries, newSummaries) =
-      if (partPairs.isEmpty) {
+      if (specParts.isEmpty) {
         val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
         (files.map(file => boundedEntry(spark, table, file, nameToId, typById)),
           Seq.empty[Iceberg.Summary])
       } else
-        writePartitionedFiles(spark, table, df, fields, partPairs,
+        writePartitionedFiles(spark, table, df, fields, specParts,
           nameToId, typById, snapshotId)
     val manifest = Iceberg.writeManifest(spark, table,
       s"m-snap$snapshotId.avro", snapshotId, entries)
@@ -399,30 +424,162 @@ object IcebergWriter {
     * design error, not the cap. */
   val MaxPartitionValuesPerCommit = 256
 
-  /** Per-value filtered writes for an identity-partitioned append:
-    * returns the bounds-carrying entries (each stamped with its
-    * `partition` struct) and the per-spec-field min/max [[Iceberg.Summary]]
-    * row for the manifest list. */
+  /** One partition-spec field the WRITE path derives values for: the
+    * spec field name, the source column, the parsed transform, and the
+    * source column's iceberg type. */
+  private case class WritePart(name: String, sourceCol: String,
+                               transform: IcebergTransforms.Transform,
+                               sourceTyp: String)
+
+  /** A parsed `partitionBy` element. */
+  private case class AskedPart(sourceCol: String,
+                               transform: IcebergTransforms.Transform,
+                               transformSpelling: String, fieldName: String)
+
+  private val TemporalFnPat = """(day|hour|month|year)\s*\(\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+  private val WidthFnPat = """(bucket|truncate)\s*\(\s*(\d+)\s*,\s*([A-Za-z_][A-Za-z0-9_]*)\s*\)""".r
+
+  /** `partitionBy` spellings — the SQL-ish transform forms Iceberg DDL
+    * uses: `col` (identity), `day(col)` / `hour(col)` / `month(col)` /
+    * `year(col)`, `bucket(N, col)`, `truncate(W, col)`. Spec field names
+    * follow Iceberg's defaults (`col_day`, `col_bucket`, `col_trunc`). */
+  private def parsePartitionBy(s: String): AskedPart = s.trim match {
+    case TemporalFnPat(fn, c) =>
+      AskedPart(c, IcebergTransforms.parse(fn), fn, s"${c}_$fn")
+    case WidthFnPat(fn, n, c) =>
+      val spelling = s"$fn[$n]"
+      val suffix = if (fn == "bucket") "bucket" else "trunc"
+      AskedPart(c, IcebergTransforms.parse(spelling), spelling, s"${c}_$suffix")
+    case c if c.matches("[A-Za-z_][A-Za-z0-9_]*") =>
+      AskedPart(c, IcebergTransforms.Identity, "identity", c)
+    case other => throw new IllegalArgumentException(
+      s"cannot parse partitionBy element '$other' — expected a column " +
+        "name, day(col)/hour(col)/month(col)/year(col), bucket(N, col) " +
+        "or truncate(W, col)")
+  }
+
+  /** The TRANSFORMED-domain iceberg type a partition field's values and
+    * summary bounds decode under — mirrors the reader's
+    * [[IcebergTransforms.transformedRange]] result types so pruning on
+    * self-written metadata round-trips exactly. */
+  private def resultTyp(t: IcebergTransforms.Transform, sourceTyp: String): String =
+    t match {
+      case IcebergTransforms.Identity => sourceTyp
+      case IcebergTransforms.Day => "date"
+      case IcebergTransforms.Hour | IcebergTransforms.Month |
+           IcebergTransforms.Year => "int"
+      case IcebergTransforms.Bucket(_) => "int"
+      case IcebergTransforms.Truncate(_) => sourceTyp
+      case other => throw new IllegalArgumentException(
+        s"no write-side result type for transform $other")
+    }
+
+  /** Spark column computing a spec field's partition VALUE for every
+    * row — spec-exact by construction: every non-identity value is
+    * produced by the same [[IcebergTransforms]] functions the reader's
+    * pruning maps predicate ranges through (murmur3 bucket, floorDiv
+    * temporal buckets, codepoint truncate), wrapped in a UDF. A UDF is
+    * the right tool here: the projection runs once per appended row
+    * inside a write job (map-side, no shuffle), and bit-identical
+    * write/read transform semantics matter more than codegen on this
+    * path. The source column is first normalized into the transform's
+    * comparison domain with BUILT-INS (unix_micros/unix_date), so the
+    * UDF only ever sees Long or String. */
+  private def transformedCol(p: WritePart): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, udf, unix_date, unix_micros}
+    val longFamily = Set("int", "long", "date", "timestamptz")
+    def normalized: org.apache.spark.sql.Column = p.sourceTyp match {
+      case "int" => col(p.sourceCol).cast("long")
+      case "long" => col(p.sourceCol)
+      case "date" => unix_date(col(p.sourceCol)).cast("long")
+      case "timestamptz" => unix_micros(col(p.sourceCol))
+      case "string" => col(p.sourceCol)
+      case other => throw new IllegalArgumentException(
+        s"partition source column '${p.sourceCol}' has iceberg type " +
+          s"$other — this writer derives partition values from " +
+          "int/long/date/timestamptz/string sources only (timestamp " +
+          "without zone has no unambiguous micros spelling here)")
+    }
+    def requireMicros(what: String): Unit = require(p.sourceTyp == "timestamptz",
+      s"$what needs a timestamptz source, got ${p.sourceTyp} " +
+        s"(column '${p.sourceCol}')")
+    p.transform match {
+      case IcebergTransforms.Identity =>
+        require(Set("long", "string")(p.sourceTyp),
+          s"identity partition column '${p.sourceCol}' has type " +
+            s"${p.sourceTyp} — this writer derives long/string identity " +
+            "values only (an int column would need the spec's 4-byte " +
+            "struct/bounds typing; cast to long first)")
+        normalized
+      case IcebergTransforms.Day => p.sourceTyp match {
+        case "date" => normalized // already day-granular
+        case _ =>
+          requireMicros("day()")
+          udf((us: Long) => IcebergTransforms.dayFromMicros(us)).apply(normalized)
+      }
+      case IcebergTransforms.Hour =>
+        requireMicros("hour()")
+        udf((us: Long) => IcebergTransforms.hourFromMicros(us)).apply(normalized)
+      case IcebergTransforms.Month => p.sourceTyp match {
+        case "date" =>
+          udf((d: Long) => IcebergTransforms.monthFromDays(d)).apply(normalized)
+        case _ =>
+          requireMicros("month()")
+          udf((us: Long) => IcebergTransforms.monthFromMicros(us)).apply(normalized)
+      }
+      case IcebergTransforms.Year => p.sourceTyp match {
+        case "date" =>
+          udf((d: Long) => IcebergTransforms.yearFromDays(d)).apply(normalized)
+        case _ =>
+          requireMicros("year()")
+          udf((us: Long) => IcebergTransforms.yearFromMicros(us)).apply(normalized)
+      }
+      case IcebergTransforms.Bucket(n) =>
+        val typ = p.sourceTyp
+        if (typ == "string")
+          udf((s: String) => IcebergTransforms.bucket(n, "string", s)).apply(normalized)
+        else {
+          require(longFamily(typ),
+            s"bucket[$n] over iceberg type $typ is not defined " +
+              s"(column '${p.sourceCol}')")
+          udf((v: Long) => IcebergTransforms.bucket(n, typ, v)).apply(normalized)
+        }
+      case IcebergTransforms.Truncate(w) =>
+        if (p.sourceTyp == "string") {
+          require(w <= Int.MaxValue, s"truncate[$w] on a string column")
+          udf((s: String) => IcebergTransforms.truncateString(w.toInt, s)).apply(normalized)
+        } else {
+          require(Set("int", "long")(p.sourceTyp),
+            s"truncate[$w] over iceberg type ${p.sourceTyp} is not " +
+              s"defined (column '${p.sourceCol}')")
+          udf((v: Long) => IcebergTransforms.truncateLong(w, v)).apply(normalized)
+        }
+      case other => throw new IllegalArgumentException(
+        s"partition transform $other is not derivable by this writer " +
+          s"(column '${p.sourceCol}') — supported: identity, day, hour, " +
+          "month, year, bucket[N], truncate[W]")
+    }
+  }
+
+  /** Per-value filtered writes for a (hidden-)partitioned append:
+    * derives each spec field's TRANSFORMED value per row, fans one
+    * filtered write out per distinct transformed tuple, and returns the
+    * bounds-carrying entries (each stamped with its `partition` struct
+    * in the transformed domain) plus the per-spec-field min/max
+    * [[Iceberg.Summary]] row for the manifest list — exactly what the
+    * reader's three-tier pruning consumes. */
   private def writePartitionedFiles(spark: SparkSession, table: String,
       df: DataFrame, fields: Seq[Iceberg.IceField],
-      partPairs: Seq[(String, String)],
+      parts: Seq[WritePart],
       nameToId: Map[String, Int], typById: Map[Int, String],
       snapshotId: Long): (Seq[Iceberg.Entry], Seq[Iceberg.Summary]) = {
-    import org.apache.spark.sql.functions.{col, lit}
-    val partCols = partPairs.map(_._2)
-    val typOf: Map[String, String] =
-      partCols.map(c => c -> typById(nameToId(c))).toMap
-    partCols.foreach { c =>
-      require(Set("long", "string")(typOf(c)),
-        s"identity partition column '$c' has type ${typOf(c)} — this " +
-          "writer derives long/string identity values only (an int " +
-          "column would need the spec's 4-byte struct/bounds typing; " +
-          "cast to long first)")
-    }
+    import org.apache.spark.sql.functions.lit
+    val tCols = parts.map(transformedCol)
     // limit BEFORE collect: the cap must fire without materializing a
     // high-cardinality mistake on the driver
     val distinctVals: Seq[Seq[Any]] = df
-      .select(partCols.map(col): _*).distinct()
+      .select(tCols.zip(parts).map { case (c, p) => c.as(p.name) }: _*)
+      .distinct()
       .limit(MaxPartitionValuesPerCommit + 1)
       .collect().map(_.toSeq).toSeq
     require(distinctVals.size <= MaxPartitionValuesPerCommit,
@@ -436,9 +593,9 @@ object IcebergWriter {
       return (Seq.empty[Iceberg.Entry], Seq.empty[Iceberg.Summary])
     require(!distinctVals.exists(_.exists(_ == null)),
       s"append to $table has NULL partition value(s) in " +
-        s"${partCols.mkString("(", ", ", ")")} — the summary/pruning " +
-        "semantics of null partitions are not implemented; filter or " +
-        "default them first")
+        s"${parts.map(_.sourceCol).mkString("(", ", ", ")")} — the " +
+        "summary/pruning semantics of null partitions are not " +
+        "implemented; filter or default them first")
     def norm(v: Any): Any = v match {
       case i: java.lang.Integer => i.longValue
       case l: java.lang.Long => l.longValue
@@ -449,21 +606,25 @@ object IcebergWriter {
     val entries = distinctVals
       .sortBy(_.map(String.valueOf).mkString("\u0000")).zipWithIndex
       .flatMap { case (vals, pi) =>
-        val pred = partCols.zip(vals)
-          .map { case (c, v) => col(c) === lit(v) }.reduce(_ && _)
+        // filter on the RECOMPUTED transformed column so the written
+        // frame keeps exactly the table schema (no helper column to drop)
+        val pred = tCols.zip(vals)
+          .map { case (c, v) => c === lit(v) }.reduce(_ && _)
         val files = writeIdStampedFiles(spark, table,
           df.where(pred).coalesce(1), fields, s"snap$snapshotId-p$pi")
         val pvals: Seq[(String, Any)] =
-          partPairs.map(_._1).zip(vals.map(norm))
+          parts.map(_.name).zip(vals.map(norm))
         files.map(f => boundedEntry(spark, table, f, nameToId, typById)
           .copy(partition = pvals))
       }
     def encodeVal(t: String, v: Any): Array[Byte] = t match {
       case "string" => Iceberg.encodeString(v.toString)
+      // 8-byte bounds under int-typed partition fields ride the
+      // reader's documented int→long promotion (decodeBound takes both)
       case _ => Iceberg.encodeLong(v.asInstanceOf[Long])
     }
-    val summaries = partPairs.zipWithIndex.map { case ((_, colName), i) =>
-      val t = typOf(colName)
+    val summaries = parts.zipWithIndex.map { case (p, i) =>
+      val t = resultTyp(p.transform, p.sourceTyp)
       val vs = distinctVals.map(r => norm(r(i)))
       val (lo, hi) = t match {
         case "string" =>

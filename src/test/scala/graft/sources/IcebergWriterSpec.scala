@@ -86,8 +86,10 @@ class IcebergWriterSpec extends SparkSpec {
     val e3 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
       spark, base, df(Seq(2L)), 102L, 999L))
     assert(e3.getMessage.contains("monotonic"), e3.getMessage)
-    // NON-IDENTITY partitioned table (identity appends are supported;
-    // transform-derived values are not)
+    // UNKNOWN-transform partitioned table: deriving values under
+    // guessed semantics would corrupt pruning — refuse (known
+    // transforms like bucket[4] append fine since the hidden-partition
+    // write tier; see the hidden-partition tests)
     val part = freshDir()
     val fp = {
       val tmp = new java.io.File(part, ".t").toString
@@ -102,10 +104,10 @@ class IcebergWriterSpec extends SparkSpec {
     Iceberg.writeMetadata(spark, part, 1, Seq((1L, 1L, ml)),
       schemaFieldsJson = "[" + Iceberg.fieldJson(1, "id", "long") + "]",
       partitionSpecJson =
-        """[{"name":"cat","transform":"bucket[4]","source-id":1,"field-id":1000}]""")
+        """[{"name":"cat","transform":"zorder17","source-id":1,"field-id":1000}]""")
     val e4 = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
       spark, part, Seq(2L).toDF("id"), 2L, 2000L))
-    assert(e4.getMessage.contains("identity"), e4.getMessage)
+    assert(e4.getMessage.contains("zorder17"), e4.getMessage)
     // delete-manifest-carrying table
     val mor = freshDir()
     val md = Iceberg.writeManifest(spark, mor, "m.avro", 1L,
@@ -289,5 +291,106 @@ class IcebergWriterSpec extends SparkSpec {
       spark, base, Seq((1L, Seq(1, 2))).toDF("id", "arr"), 101L, 1000L))
     assert(e.getMessage.contains("arr") || e.getMessage.contains("array"),
       e.getMessage)
+  }
+
+  /** Every entry's `data_file.partition` struct across the current
+    * snapshot's manifests, as (fieldName → value) maps. */
+  private def partitionStructs(base: String, snapshotId: Long): Seq[Map[String, Any]] = {
+    val doc = Iceberg.metadata(spark, base)
+    val ml = Iceberg.manifestListOf(doc, base, snapshotId)
+    Iceberg.readAvro(spark, Iceberg.resolve(base, ml))
+      .map(_.get("manifest_path").toString)
+      .flatMap(mp => Iceberg.readAvro(spark, Iceberg.resolve(base, mp)))
+      .map { e =>
+        val d = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        val p = d.get("partition").asInstanceOf[org.apache.avro.generic.GenericRecord]
+        p.getSchema.getFields.asInstanceOf[java.util.List[org.apache.avro.Schema.Field]]
+          .toArray.map(_.asInstanceOf[org.apache.avro.Schema.Field].name)
+          .map(n => n -> (p.get(n) match {
+            case l: java.lang.Long => l.longValue
+            case i: java.lang.Integer => i.longValue
+            case s: CharSequence => s.toString
+            case other => other
+          })).toMap
+      }
+  }
+
+  test("hidden-partition append: day+bucket values are spec-exact, one file per tuple, point probes plan it alone") {
+    val base = freshDir()
+    val usDay = 86400000000L
+    val rows = Seq((1L, usDay * 100 + 123L), (2L, usDay * 100 + 456L),
+      (3L, usDay * 101 + 789L))
+    val d = rows.toDF("id", "us").selectExpr("id", "timestamp_micros(us) AS ets")
+    IcebergWriter.commitAppend(spark, base, d, 501L, 1000L,
+      partitionBy = Seq("day(ets)", "bucket(4, id)"))
+    // the manifest's partition structs hold the TRANSFORMED values, one
+    // live tuple per file, derived by the SAME functions the reader
+    // prunes with — the write/read transform-consistency law
+    val expected = rows.map { case (id, us) =>
+      Map("ets_day" -> IcebergTransforms.dayFromMicros(us),
+        "id_bucket" -> IcebergTransforms.bucket(4, "long", id).toLong)
+    }.toSet
+    assert(partitionStructs(base, 501L).toSet == expected.asInstanceOf[Set[Map[String, Any]]])
+    // a one-day range + point id maps through the spec to (day, bucket)
+    // and plans exactly the file that tuple landed in
+    rows.foreach { case (id, us) =>
+      val day = IcebergTransforms.dayFromMicros(us)
+      val files = Iceberg.planFiles(spark, base,
+        Seq(Iceberg.ColRange("ets", day * usDay, day * usDay + usDay - 1),
+          Iceberg.ColRange("id", id, id)))
+      assert(files.size == 1, s"id=$id planned ${files.size} files")
+    }
+    // a day no row lives in plans ZERO files off the summaries alone
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("ets", 99 * usDay, 99 * usDay + usDay - 1))).isEmpty)
+    // round-trip: the partitioned read serves every row
+    assert(Iceberg.read(spark, base).count() == 3L)
+  }
+
+  test("truncate, bucket(string), month and hour partition values follow the spec functions") {
+    val base = freshDir()
+    val d = Seq((15L, "alpha"), (27L, "alpine"), (-3L, "beta"))
+      .toDF("id", "name")
+    IcebergWriter.commitAppend(spark, base, d, 502L, 1000L,
+      partitionBy = Seq("truncate(10, id)", "bucket(8, name)"))
+    val expected = Seq((15L, "alpha"), (27L, "alpine"), (-3L, "beta")).map {
+      case (id, n) => Map(
+        "id_trunc" -> IcebergTransforms.truncateLong(10L, id),
+        "name_bucket" -> IcebergTransforms.bucket(8, "string", n).toLong)
+    }.toSet
+    assert(partitionStructs(base, 502L).toSet == expected.asInstanceOf[Set[Map[String, Any]]])
+    // truncate[10](-3) floors to -10 (Python-style modulo), never 0
+    assert(expected.exists(_("id_trunc") == -10L))
+    // temporal buckets: one table, month + hour of the same timestamp
+    val base2 = freshDir()
+    val us = 86400000000L * 400 + 3600000000L * 5 + 42L
+    val d2 = Seq((1L, us)).toDF("id", "us")
+      .selectExpr("id", "timestamp_micros(us) AS ets")
+    IcebergWriter.commitAppend(spark, base2, d2, 503L, 1000L,
+      partitionBy = Seq("month(ets)", "hour(ets)"))
+    assert(partitionStructs(base2, 503L) == Seq(Map(
+      "ets_month" -> IcebergTransforms.monthFromMicros(us),
+      "ets_hour" -> IcebergTransforms.hourFromMicros(us))))
+  }
+
+  test("hidden-partition gates: unknown spelling refuses, appends honor the stored spec") {
+    val base = freshDir()
+    val d = Seq((1L, 86400000000L)).toDF("id", "us")
+      .selectExpr("id", "timestamp_micros(us) AS ets")
+    intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, d, 504L, 1000L, partitionBy = Seq("cube(3, id)")))
+    IcebergWriter.commitAppend(spark, base, d, 504L, 1000L,
+      partitionBy = Seq("day(ets)"))
+    // a matching partitionBy restatement is fine; a contradicting one refuses
+    IcebergWriter.commitAppend(spark, base, d, 505L, 2000L,
+      partitionBy = Seq("day(ets)"))
+    val e = intercept[IllegalArgumentException](IcebergWriter.commitAppend(
+      spark, base, d, 506L, 3000L, partitionBy = Seq("hour(ets)")))
+    assert(e.getMessage.contains("contradicts"), e.getMessage)
+    // an omitted partitionBy derives from the STORED spec: both commits'
+    // files carry day values, so the day probe plans both
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("ets", 86400000000L, 2 * 86400000000L - 1))).size == 2)
+    assert(Iceberg.read(spark, base).count() == 2L)
   }
 }
