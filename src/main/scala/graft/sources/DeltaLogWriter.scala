@@ -150,6 +150,134 @@ object DeltaLogWriter {
     * recursively delete) each other's in-flight staging — the loser's
     * published-but-never-referenced parts are harmless orphans, exactly
     * Delta's own failed-commit debris, reclaimed by [[vacuum]]. */
+  /** Test seam for the optimistic-commit specs: invoked once per
+    * [[commitLoop]] attempt, BEFORE the attempt checks the target
+    * version — a spec installs a "winning writer" here to force a
+    * deterministic race without real thread interleaving. */
+  private[sources] var beforeCommitHook: () => Unit = () => ()
+
+  /** The OPTIMISTIC-CONCURRENCY commit loop — the conflict-detect-and-
+    * retry protocol two uncoordinated writers need (Delta's commit
+    * protocol: writers propose version N; the loser re-reads the
+    * WINNING commits, checks them against its own assumptions, and
+    * re-proposes at N+1). `conflict` inspects each winning commit's
+    * parsed action lines and returns the refusal reason when the race
+    * CANNOT be serialized (a true conflict — e.g. the winner rewrote a
+    * file this commit also rewrites, or drifted the schema under a
+    * staged append); `None` means the winner is disjoint and the
+    * commit re-proposes unchanged. `lines(version, creating)`
+    * re-derives the action lines per attempt so creation headers land
+    * only when the table is still being created. The commit itself
+    * stays the atomic-rename publish every other path uses — on HDFS
+    * the rename IS the arbiter; on local filesystems the pre-check plus
+    * rename backstop covers the serialized-thread testing this repo
+    * runs (a real multi-process deployment wants a locking LogStore,
+    * the same caveat Delta's own S3 single-driver story carries). */
+  private[sources] def commitLoop(spark: SparkSession, path: String,
+      observedVersion: Option[Long], maxRetries: Int,
+      conflict: Seq[com.fasterxml.jackson.databind.JsonNode] => Option[String])
+      (lines: (Long, Boolean) => Seq[String]): Long = {
+    val f = fs(spark, new Path(path))
+    var attempt = 0
+    // winners scanned so far: everything ≤ observedVersion was part of
+    // the state this commit derives from, so only LATER commits race it
+    var checkedThrough = observedVersion
+    while (attempt <= maxRetries) {
+      beforeCommitHook()
+      val latest = DeltaLogReader.latestVersion(spark, path)
+      val from = checkedThrough.map(_ + 1).getOrElse(0L)
+      (from to latest.getOrElse(-1L)).foreach { v =>
+        val nodes = DeltaLogReader
+          .readSmallFile(spark, new Path(logDir(spark, path), f"$v%020d.json"))
+          .split("\n").filter(_.nonEmpty).map(mapper.readTree).toSeq
+        conflict(nodes).foreach(reason =>
+          throw new java.util.ConcurrentModificationException(
+            s"concurrent Delta commit v$v at $path is a true conflict — " +
+              s"$reason; re-derive against the new state instead of retrying"))
+      }
+      checkedThrough = latest
+      val version = latest.map(_ + 1).getOrElse(0L)
+      val commit = new Path(logDir(spark, path), f"$version%020d.json")
+      if (!f.exists(commit)) {
+        f.mkdirs(commit.getParent)
+        try {
+          writeAtomic(spark, commit,
+            lines(version, latest.isEmpty).mkString("", "\n", "\n"))
+          return version
+        } catch {
+          // the rename backstop fired: someone landed v$version between
+          // our exists-check and the publish — scan them and re-propose
+          case e: IllegalArgumentException
+            if e.getMessage != null && e.getMessage.contains("rename") => ()
+        }
+      }
+      attempt += 1
+    }
+    throw new java.util.ConcurrentModificationException(
+      s"lost the Delta commit race $maxRetries times at $path — giving up " +
+        "(a writer storm this dense needs a coordinating catalog)")
+  }
+
+  /** OPTIMISTIC APPEND — [[write]]'s Append mode under the
+    * [[commitLoop]] protocol: data parts are staged ONCE, then the
+    * commit re-proposes past any winners. A blind append serializes
+    * after ANY data-only winner (WriteSerializable — concurrent adds,
+    * removes and DV rewrites touch files this append never read), so
+    * the only true conflicts are a `metaData` drift (schema or
+    * partition columns changed under the staged parts — the parquet we
+    * already wrote may no longer match the table) and a `protocol`
+    * action (feature gates unknown at staging time). Both racing
+    * creators landing is also legal: the loser keeps its parts and
+    * appends them to the winner's table iff the schemas agree. */
+  def appendOptimistic(df: DataFrame, path: String,
+                       partitionBy: Seq[String] = Nil,
+                       maxRetries: Int = 10): Long = {
+    val spark = df.sparkSession
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val observed = DeltaLogReader.latestVersion(spark, path)
+    val newFiles = publishParts(spark, root, df,
+      observed.map(_ + 1).getOrElse(0L), partitionBy)
+    require(newFiles.nonEmpty || df.isEmpty,
+      s"Delta write at $path produced no new parquet parts")
+    val now = System.currentTimeMillis()
+    val schemaJson = df.schema.json
+    val partCols = partitionBy.map(jsonStr).mkString("[", ",", "]")
+    val adds = newFiles.map { rel =>
+      val st = f.getFileStatus(new Path(root, rel))
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true}}"""
+    }
+    val header = Seq(
+      """{"protocol":{"minReaderVersion":1,"minWriterVersion":2}}""",
+      s"""{"metaData":{"id":${jsonStr(java.util.UUID.nameUUIDFromBytes(
+          path.getBytes("UTF-8")).toString)},""" +
+        s""""format":{"provider":"parquet","options":{}},""" +
+        s""""schemaString":${jsonStr(schemaJson)},""" +
+        s""""partitionColumns":$partCols,"configuration":{},"createdTime":$now}}""")
+    commitLoop(spark, path, observed, maxRetries, nodes =>
+      nodes.collectFirst {
+        case n if n.has("metaData") &&
+            n.get("metaData").path("schemaString").asText() != schemaJson =>
+          "metaData changed the schema under this staged append"
+        case n if n.has("metaData") &&
+            n.get("metaData").path("partitionColumns").toString !=
+              partitionBy.map(jsonStr).mkString("[", ",", "]") =>
+          "metaData changed the partition columns under this staged append"
+        // the base protocol this writer itself emits is benign (a racing
+        // CREATOR always carries it); anything stronger gates features
+        // this append did not check at staging time
+        case n if n.has("protocol") &&
+            !(n.get("protocol").path("minReaderVersion").asInt(0) == 1 &&
+              n.get("protocol").path("minWriterVersion").asInt(0) == 2 &&
+              !n.get("protocol").has("readerFeatures")) =>
+          "a protocol upgrade landed under this staged append"
+      }) { (_, creating) =>
+      (if (creating) header else Seq.empty) ++ adds
+    }
+  }
+
   private def publishParts(spark: SparkSession, root: Path, df: DataFrame,
                            version: Long, partitionBy: Seq[String]): Seq[String] = {
     val f = fs(spark, root)
@@ -200,11 +328,21 @@ object DeltaLogWriter {
     * SnapshotLog.optimize pattern): clustered files carry tight
     * disjoint row-group stats on the key, so parquet predicate
     * pushdown skips whole files at scan time. `numFiles` pins the
-    * output count when the caller needs it deterministic. */
+    * output count when the caller needs it deterministic.
+    *
+    * `optimistic = true` commits under the [[commitLoop]] protocol: a
+    * winner that only ADDED files is disjoint (its rows stay alongside
+    * — this rewrite replaces exactly the files it read) and the commit
+    * re-proposes at N+1; a winner that touched ANY file this rewrite
+    * read (a remove, or a DV re-add) is a TRUE conflict — the staged
+    * output folded rows the winner since killed or moved — and refuses
+    * with ConcurrentModificationException so the caller re-derives. */
   def optimize(spark: SparkSession, path: String,
                targetFileBytes: Long = 128L << 20,
                clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
-               numFiles: Option[Int] = None): Long = {
+               numFiles: Option[Int] = None,
+               optimistic: Boolean = false,
+               maxRetries: Int = 10): Long = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val root = new Path(path)
     val f = fs(spark, root)
@@ -268,12 +406,31 @@ object DeltaLogWriter {
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":false}}"""
     }
-    // adjacent-to-write existence check; writeAtomic's rename is the
-    // real backstop on no-overwrite filesystems
-    require(!f.exists(commit),
-      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
-    writeAtomic(spark, commit, (removes ++ adds).mkString("", "\n", "\n"))
-    version
+    if (optimistic) {
+      // disjoint-file-set check over every winning commit: the rewrite
+      // replaces exactly the files it READ, so any winner touching one
+      // of them (remove, or add that re-publishes it with a DV) makes
+      // the staged output stale — a true conflict; add-only winners
+      // serialize cleanly after this commit's removes
+      val readSet = entries.map { case (abs, _) => normAbs(f, abs) }.toSet
+      commitLoop(spark, path, Some(latest), maxRetries, nodes =>
+        nodes.flatMap { n =>
+          val touched = Seq("remove", "add").flatMap(k =>
+            Option(n.get(k)).map(a => DeltaLogReader
+              .decodePath(path, a.get("path").asText())))
+          touched.collectFirst {
+            case p if readSet(normAbs(f, p)) =>
+              s"it rewrote/removed $p, a file this OPTIMIZE already read"
+          }
+        }.headOption) { (_, _) => removes ++ adds }
+    } else {
+      // adjacent-to-write existence check; writeAtomic's rename is the
+      // real backstop on no-overwrite filesystems
+      require(!f.exists(commit),
+        s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+      writeAtomic(spark, commit, (removes ++ adds).mkString("", "\n", "\n"))
+      version
+    }
   }
 
   /** VACUUM — physically delete files the CURRENT version no longer

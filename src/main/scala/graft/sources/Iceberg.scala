@@ -1439,10 +1439,21 @@ object Iceberg {
                     schemaFieldsJson: String = "[]",
                     partitionSpecJson: String = "[]",
                     evolvedSpecsJson: Seq[(Int, String)] = Nil,
-                    lastColumnId: Int = 0): Unit = {
+                    lastColumnId: Int = 0,
+                    failIfExists: Boolean = false): Unit = {
     val md = new Path(table, "metadata")
     val f = fs(spark, md)
     f.mkdirs(md)
+    // the writer tier's concurrency arbiter: a commit path proposes a
+    // version it computed from the CURRENT hint, so the version file
+    // already existing means another writer swapped first — surface it
+    // as the typed conflict IcebergWriter.commitAppendOptimistic retries
+    // on, never overwrite (fixtures that deliberately rewrite a version
+    // keep the default)
+    if (failIfExists && f.exists(new Path(md, s"v$version.metadata.json")))
+      throw new java.util.ConcurrentModificationException(
+        s"metadata version v$version already exists at $table — " +
+          "concurrent writer won the swap")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val snapJson = snaps.map { case (id, ts, ml) =>
       s"""{"snapshot-id":$id,"timestamp-ms":$ts,"manifest-list":"${esc(ml)}"}"""

@@ -102,7 +102,8 @@ object IcebergWriter {
         Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]"))
         .getOrElse("[]"),
       partitionSpecJson = rawDefaultSpecFieldsJson(doc),
-      lastColumnId = columnHwm(doc, fields.getOrElse(Nil)))
+      lastColumnId = columnHwm(doc, fields.getOrElse(Nil)),
+      failIfExists = true)
     version
   }
 
@@ -306,9 +307,12 @@ object IcebergWriter {
         if (fmtVersion == 2) carried.map(_.seq) :+ nextSeq(carried) else Nil,
       addedSnapshotIds = carried.map(_.addedSnapshotId) :+ snapshotId)
 
-    // ---- metadata swap (single-writer: plain overwrite, no CAS) ------
+    // ---- metadata swap: version-file creation is the arbiter — a
+    // concurrent writer landing this version first surfaces as the
+    // typed conflict commitAppendOptimistic retries on ----------------
     val schemaJson = fields.map(fd =>
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    beforeSwapHook()
     Iceberg.writeMetadata(spark, table, version,
       priorSnaps :+ ((snapshotId, timestampMs, ml)),
       // never DOWNGRADE the format: appending to a (compacted) v2 table
@@ -317,8 +321,47 @@ object IcebergWriter {
       schemaFieldsJson = schemaJson,
       partitionSpecJson = partSpecJson,
       lastColumnId = existing.map(columnHwm(_, fields))
-        .getOrElse(fields.map(_.id).max))
+        .getOrElse(fields.map(_.id).max),
+      failIfExists = true)
     version
+  }
+
+  /** Test seam for the optimistic-commit spec: invoked inside
+    * [[commitAppend]] immediately before the metadata swap — a spec
+    * installs a "winning writer" here to force a deterministic version
+    * collision without real thread interleaving. */
+  private[sources] var beforeSwapHook: () => Unit = () => ()
+
+  /** OPTIMISTIC APPEND — Iceberg's catalog commit protocol scaled to
+    * this writer's file arbiter: attempt [[commitAppend]]; when another
+    * writer wins the metadata-version swap
+    * (ConcurrentModificationException from the version-file check),
+    * RE-RESOLVE the table — the retry re-reads current metadata, so it
+    * carries the winner's manifests forward and re-validates every
+    * invariant (unique snapshot id, monotonic timestamp, schema match)
+    * against the MERGED state — and swap again at the next version.
+    * Appends merge with any data-only winner; a winner that makes the
+    * retry's validation fail (snapshot-id reuse, a LATER timestamp than
+    * ours, schema drift) refuses through that validation's own loud
+    * error — a true conflict, not a retry case. Data files are
+    * id-stamped per `snapshotId`, so a retry overwrites its OWN
+    * staging, never the winner's. */
+  def commitAppendOptimistic(spark: SparkSession, table: String, df: DataFrame,
+                             snapshotId: Long, timestampMs: Long,
+                             partitionBy: Seq[String] = Nil,
+                             maxRetries: Int = 10): Int = {
+    var attempt = 0
+    while (true) {
+      try return commitAppend(spark, table, df, snapshotId, timestampMs, partitionBy)
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          attempt += 1
+          if (attempt > maxRetries) throw new java.util.ConcurrentModificationException(
+            s"lost the Iceberg commit race $maxRetries times at $table — " +
+              s"giving up (last: ${e.getMessage})")
+      }
+    }
+    -1 // unreachable
   }
 
   /** SCHEMA EVOLUTION — pure metadata swaps (no snapshot, no data
@@ -414,7 +457,8 @@ object IcebergWriter {
       schemaFieldsJson = next.map(fd =>
         Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]"),
       partitionSpecJson = rawDefaultSpecFieldsJson(doc),
-      lastColumnId = math.max(hwm, next.map(_.id).maxOption.getOrElse(0)))
+      lastColumnId = math.max(hwm, next.map(_.id).maxOption.getOrElse(0)),
+      failIfExists = true)
     version
   }
 
@@ -792,7 +836,8 @@ object IcebergWriter {
       snaps :+ ((snapshotId, timestampMs, ml)),
       formatVersion = 2, schemaFieldsJson = schemaJson,
       partitionSpecJson = rawDefaultSpecFieldsJson(doc),
-      lastColumnId = columnHwm(doc, fields))
+      lastColumnId = columnHwm(doc, fields),
+      failIfExists = true)
     hintVersion + 1
   }
 
@@ -897,7 +942,8 @@ object IcebergWriter {
       formatVersion = fmtVersion,
       schemaFieldsJson = schemaJson,
       partitionSpecJson = rawDefaultSpecFieldsJson(doc),
-      lastColumnId = columnHwm(doc, fields))
+      lastColumnId = columnHwm(doc, fields),
+      failIfExists = true)
     hintVersion + 1
   }
 
@@ -996,7 +1042,8 @@ object IcebergWriter {
       snaps :+ ((snapshotId, timestampMs, ml)),
       formatVersion = 2, schemaFieldsJson = schemaJson,
       partitionSpecJson = rawDefaultSpecFieldsJson(doc),
-      lastColumnId = columnHwm(doc, fields))
+      lastColumnId = columnHwm(doc, fields),
+      failIfExists = true)
     hintVersion + 1
   }
 
@@ -1095,7 +1142,8 @@ object IcebergWriter {
       formatVersion = doc.path("format-version").asInt(1),
       schemaFieldsJson = schemaJson,
       partitionSpecJson = rawDefaultSpecFieldsJson(doc),
-      lastColumnId = columnHwm(doc, fields.getOrElse(Nil)))
+      lastColumnId = columnHwm(doc, fields.getOrElse(Nil)),
+      failIfExists = true)
     doomed.foreach(p => f.delete(new Path(p), false))
     hintVersion + 1
   }
@@ -1127,6 +1175,11 @@ object IcebergWriter {
     require(parts.nonEmpty, s"write to $table produced no parquet parts")
     val files = parts.zipWithIndex.map { case (p, i) =>
       val dst = new Path(dataDir, f"$tag%s-$i%05d.parquet")
+      // an existing dst under this tag can only be an earlier attempt of
+      // the SAME commit (tags are snapshot-id-derived and ids are unique
+      // in the history): a retried optimistic commit replaces its own
+      // staging, never another writer's files
+      if (f.exists(dst)) f.delete(dst, false)
       require(f.rename(p, dst), s"rename to $dst failed")
       dst.toString
     }.toSeq
