@@ -89,6 +89,7 @@ object IndexQueries {
   private val q257TablePat = scratchPat("q257_delta_restore")
   private val q258TablePat = scratchPat("q258_iceberg_rollback")
   private val q259TablePat = scratchPat("q259_iceberg_hiddenpart")
+  private val q260TablePat = scratchPat("q260_delta_cdf")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -177,6 +178,7 @@ object IndexQueries {
     stageQ257DeltaRestored(s, dir)
     stageQ258IcebergRolledBack(s, dir)
     stageQ259IcebergHiddenPart(s, dir)
+    stageQ260DeltaCdf(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -918,6 +920,36 @@ object IndexQueries {
         round($"value" * 1e6).cast("long").as("value_micros"))
       graft.sources.IcebergWriter.commitAppend(s, base, df, 6951L, 1000L,
         partitionBy = Seq("day(ets)", "bucket(4, user_id)"))
+    }
+    base
+  }
+
+  /** q260's fixture: Delta CHANGE DATA FEED on the repo's own table —
+    * write purchases (v0), flip `delta.enableChangeDataFeed` on (v1, a
+    * metaData configuration commit), MERGE a batch that doubles every
+    * `event_id % 3 == 0` purchase and inserts the clicks (v2 — the
+    * upsert publishes `_change_data/` files classifying
+    * update_preimage / update_postimage / insert), then delete
+    * `event_id % 5 == 0` (v3 — a DV commit whose change file carries
+    * the delete rows). The feed replays all four commit shapes. */
+  private[graft] def stageQ260DeltaCdf(s: SparkSession, dir: String): String = {
+    val base = scratch(q260TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.DeltaLogWriter.write(slice("purchase").coalesce(1), base) // v0
+      graft.sources.DeltaLogWriter.setTableProperties(s, base,
+        Map("delta.enableChangeDataFeed" -> "true"))                          // v1
+      val batch = slice("purchase").where($"event_id" % 3 === 0)
+        .withColumn("value_micros", $"value_micros" * 2)
+        .unionByName(slice("click"))
+      graft.sources.DeltaLogWriter.upsert(s, base, batch, Seq("event_id"))    // v2
+      graft.sources.DeltaLogWriter.deleteWhere(s, base, $"event_id" % 5 === 0) // v3
     }
     base
   }
@@ -2842,6 +2874,27 @@ object IndexQueries {
           sum($"bonus_micros").as("bonus_checksum"))
     }),
 
+    // Delta CHANGE DATA FEED — readChangeFeed over a table this repo's
+    // own writer produced: v0's inserts DERIVE from its add actions
+    // (blind appends write no change files, delta-spark's rule), v2's
+    // MERGE and v3's DV delete serve the _change_data/ parquet their
+    // commits published (a DV commit's changes hide in the bitmap and
+    // are NOT derivable — the cdc action is the contract). The oracle
+    // recomputes every (change_type, commit_version) stratum from the
+    // events table.
+    "q260_delta_change_feed" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ260DeltaCdf(s, dir)
+      graft.sources.DeltaLogReader.readChangeFeed(s, base, 0L, 3L)
+        .groupBy($"_change_type", $"_commit_version")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select($"_change_type".as("change_type"),
+          $"_commit_version".as("commit_version"),
+          $"n_rows", $"id_checksum", $"value_checksum")
+        .orderBy($"commit_version", $"change_type")
+    }),
+
     // Iceberg HIDDEN-PARTITION WRITE — commitAppend derives day(ets)
     // and bucket(4, user_id) partition values itself (spec-pinned
     // murmur3 / floorDiv via IcebergTransforms), and the reader's
@@ -3857,6 +3910,36 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q260_delta_change_feed" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'),
+        |merged AS MATERIALIZED (
+        |  SELECT event_id, CASE WHEN event_id % 3 = 0 THEN vm * 2 ELSE vm END AS vm FROM p
+        |  UNION ALL SELECT event_id, vm FROM c)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(0 AS BIGINT) AS commit_version,
+        |    count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum FROM p
+        |  UNION ALL
+        |  SELECT 'insert', CAST(2 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT) FROM c
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(2 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm * 2) AS BIGINT)
+        |  FROM p WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', CAST(2 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM p WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM merged WHERE event_id % 5 = 0
+        |) ORDER BY commit_version, change_type""".stripMargin,
     "q259_iceberg_hidden_partition_write" ->
       """WITH probe AS MATERIALIZED (
         |  SELECT user_id AS u, epoch_us(ts) // 86400000000 AS d

@@ -228,6 +228,112 @@ object DeltaLogReader {
       .maxOption
   }
 
+  /** CHANGE DATA FEED — row-level changes for commits
+    * `fromVersion..toVersion` inclusive (the `table_changes` /
+    * `readChangeFeed` surface). Per commit: when the commit carries
+    * `cdc` actions, its change data IS those `_change_data/` files —
+    * they fully describe the commit, and its add/remove actions are NOT
+    * re-derived (PROTOCOL.md's Change Data Files rule). Otherwise the
+    * changes DERIVE from the actions: `add(dataChange=true)` files'
+    * rows serve as `insert`, `remove(dataChange=true)` files' rows as
+    * `delete` (blind appends and overwrites never write change files —
+    * delta-spark derives them the same way; the removed parquet must
+    * still exist, i.e. not vacuumed). `dataChange=false` commits
+    * (OPTIMIZE, metaData/property changes) contribute nothing. Two loud
+    * refusals: a DV-carrying `add` in a commit WITHOUT cdc actions (the
+    * change hides inside the bitmap; deriving it would need a pre-state
+    * diff this reader does not guess), and a column-mapped table
+    * (change files would need logical-name resolution).
+    *
+    * Output: the table's columns plus `_change_type` (insert / delete /
+    * update_preimage / update_postimage), `_commit_version`, and
+    * `_commit_timestamp` ([[commitTimestamps]]' adjusted clock — mtime-
+    * derived on tables without in-commit timestamps, so stable ordering
+    * but not stable values across copies). */
+  def readChangeFeed(spark: SparkSession, path: String,
+                     fromVersion: Long, toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit, timestamp_millis}
+    require(fromVersion >= 0 && fromVersion <= toVersion,
+      s"bad change-feed range [$fromVersion, $toVersion]")
+    val (_, meta) = replayState(spark, path, Some(toVersion))
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action"))
+    require(mappingMode(metaNode) == "none",
+      s"Delta table at $path uses column mapping — the change feed would " +
+        "need logical-to-physical name resolution; refusing")
+    require(DeltaLogWriter.cdfEnabled(metaNode),
+      s"Delta table at $path does not set delta.enableChangeDataFeed — " +
+        "no change-feed contract exists for its commits; diff snapshots " +
+        "instead (SnapshotLog.changesBetween semantics)")
+    val tableCols = org.apache.spark.sql.types.DataType
+      .fromJson(metaNode.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames.toSeq
+    val present = versions(spark, path).toSet
+    val missing = (fromVersion to toVersion).filterNot(present)
+    require(missing.isEmpty,
+      s"change-feed range [$fromVersion, $toVersion] of $path names " +
+        s"commit(s) ${missing.mkString(", ")} whose JSON no longer exists " +
+        "(checkpoint-truncated history) — changes below the truncation " +
+        "point are unrecoverable")
+    val ts = commitTimestamps(spark, path).toMap
+    val f = fs(spark, new Path(path))
+    val perCommit: Seq[DataFrame] = (fromVersion to toVersion).flatMap { v =>
+      val nodes = readSmallFile(spark, new Path(logDir(path), f"$v%020d.json"))
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree).toSeq
+      val cdcPaths = nodes.flatMap(n => Option(n.get("cdc")))
+        .map(c => decodePath(path, c.get("path").asText()))
+      val changes: Option[DataFrame] =
+        if (cdcPaths.nonEmpty)
+          Some(spark.read.parquet(cdcPaths: _*)
+            .select((tableCols :+ "_change_type").map(col): _*))
+        else {
+          val dvAdds = nodes.filter(n => Option(n.get("add"))
+            .exists(a => a.path("dataChange").asBoolean(false) && a.has("deletionVector")))
+          require(dvAdds.isEmpty,
+            s"commit v$v of $path attaches deletion vectors but carries " +
+              "no cdc actions — its row-level changes are not derivable " +
+              "from the file actions; the writer that produced it did " +
+              "not honor the table's change-feed contract")
+          def filesOf(key: String): Seq[String] = nodes
+            .flatMap(n => Option(n.get(key)))
+            .filter(_.path("dataChange").asBoolean(false))
+            .map(a => decodePath(path, a.get("path").asText()))
+          val added = filesOf("add")
+          val removed = filesOf("remove")
+          removed.foreach(p => require(f.exists(new Path(p)),
+            s"commit v$v of $path removed $p, which is gone from disk " +
+              "(vacuumed) — its delete rows are unrecoverable"))
+          def tagged(files: Seq[String], tag: String): Option[DataFrame] =
+            if (files.isEmpty) None
+            else Some(spark.read.parquet(files: _*)
+              .select(tableCols.map(col): _*)
+              .withColumn("_change_type", lit(tag)))
+          (tagged(added, "insert"), tagged(removed, "delete")) match {
+            case (Some(a), Some(r)) => Some(a.unionByName(r))
+            case (a, r) => a.orElse(r)
+          }
+        }
+      changes.map(_
+        .withColumn("_commit_version", lit(v))
+        .withColumn("_commit_timestamp", timestamp_millis(lit(ts(v)))))
+    }
+    perCommit.reduceOption(_.unionByName(_)).getOrElse {
+      // a changeless range is legal — serve the TYPED empty feed
+      val st = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.DataType
+          .fromJson(metaNode.get("schemaString").asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fields ++ Seq(
+          org.apache.spark.sql.types.StructField("_change_type",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_commit_version",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("_commit_timestamp",
+            org.apache.spark.sql.types.TimestampType)))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+    }
+  }
+
   /** The table's active file set as of `asOf` (default: latest commit):
     * checkpoint base (when one applies) + ordered JSON replay. REFUSES a
     * table whose active files carry deletion vectors: the file list

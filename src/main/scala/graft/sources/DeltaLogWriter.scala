@@ -651,6 +651,7 @@ object DeltaLogWriter {
     * @return (committed version, newly deleted row count) */
   def deleteWhere(spark: SparkSession, path: String,
                   predicate: org.apache.spark.sql.Column): (Long, Long) = {
+    import org.apache.spark.sql.functions.lit
     val root = new Path(path)
     val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
     require(entries.nonEmpty, s"Delta table at $path has no active files")
@@ -659,6 +660,23 @@ object DeltaLogWriter {
         "logical-to-physical predicate resolution it does not implement; " +
         "refusing")
     val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    // CDF: a DV rewrite is NOT derivable from add/remove actions (the
+    // delta is inside the bitmap), so the commit must carry its change
+    // data — the deleted rows are exactly the ACTIVE rows matching the
+    // predicate, captured before the DVs supersede them
+    val cdcLines =
+      if (!meta.exists(cdfEnabled)) Seq.empty[String]
+      else {
+        val cols = org.apache.spark.sql.types.DataType
+          .fromJson(meta.get.get("schemaString").asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        require(!cols.contains("_change_type"),
+          s"Delta table at $path has a _change_type column — colliding " +
+            "with the Change Data Feed schema; rename it first")
+        publishChangeData(spark, root, version,
+          DeltaLogReader.read(spark, path).where(predicate)
+            .withColumn("_change_type", lit("delete")))
+      }
     val (protoLine, actions, nDeleted) =
       dvAttachActions(spark, path, entries, version, _.where(predicate))
     if (actions.isEmpty) return (version - 1, 0L)
@@ -666,8 +684,80 @@ object DeltaLogWriter {
     val commit = new Path(logDir(spark, path), f"$version%020d.json")
     require(!rootFs.exists(commit),
       s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
-    writeAtomic(spark, commit, (protoLine ++ actions).mkString("", "\n", "\n"))
+    writeAtomic(spark, commit,
+      (protoLine ++ actions ++ cdcLines).mkString("", "\n", "\n"))
     (version, nDeleted)
+  }
+
+  /** `delta.enableChangeDataFeed` check on a metaData action. */
+  private[sources] def cdfEnabled(meta: com.fasterxml.jackson.databind.JsonNode): Boolean =
+    meta.path("configuration").path("delta.enableChangeDataFeed")
+      .asText("false") == "true"
+
+  /** Merge `props` into the table's metaData `configuration` and commit
+    * the updated metaData as a new version (how
+    * `ALTER TABLE ... SET TBLPROPERTIES` lands in the log — later-wins
+    * replay serves the new configuration). Setting
+    * `delta.enableChangeDataFeed=true` turns the CDF machinery on for
+    * every LATER commit: [[deleteWhere]] and [[upsert]] start writing
+    * `_change_data/` files + `cdc` actions, and
+    * [[DeltaLogReader.readChangeFeed]] serves the feed. */
+  def setTableProperties(spark: SparkSession, path: String,
+                         props: Map[String, String]): Long = {
+    require(props.nonEmpty, "setTableProperties needs at least one property")
+    val (_, meta) = DeltaLogReader.replayState(spark, path, None)
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action — nothing to set " +
+        "properties on"))
+    val updated = metaNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val conf = updated.path("configuration") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => updated.putObject("configuration")
+    }
+    props.foreach { case (k, v) => conf.put(k, v) }
+    updated.set("configuration", conf)
+    val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
+    require(!fs(spark, new Path(path)).exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit,
+      s"""{"metaData":${mapper.writeValueAsString(updated)}}""" + "\n")
+    version
+  }
+
+  /** Publish a `_change_data/` parquet for commit `version` and return
+    * its `cdc` action lines (PROTOCOL.md "Add CDC File": change files
+    * carry the table columns plus `_change_type`, and their actions are
+    * `dataChange=false` — the feed is derived data, not table rows).
+    * Zero change rows publish nothing. */
+  private def publishChangeData(spark: SparkSession, root: Path,
+                                version: Long, changes: DataFrame): Seq[String] = {
+    val f = fs(spark, root)
+    require(changes.columns.count(_ == "_change_type") == 1 &&
+        changes.columns.last == "_change_type",
+      "change frame must carry exactly one _change_type column, last")
+    val staging = new Path(root,
+      s".cdc_staging_v${version}_${java.util.UUID.randomUUID().toString.take(8)}")
+    f.delete(staging, true)
+    changes.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging.toString)
+    val parts = f.listStatus(staging)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).sortBy(_.getName)
+    val dir = new Path(root, "_change_data")
+    f.mkdirs(dir)
+    val lines = parts.zipWithIndex.flatMap { case (p, i) =>
+      val dst = new Path(dir, f"cdc-v$version%05d-$i%05d.parquet")
+      if (f.exists(dst)) f.delete(dst, false) // re-staging a retried commit
+      require(f.rename(p, dst), s"rename to $dst failed")
+      val st = f.getFileStatus(dst)
+      // an all-deleted/empty change set writes a parquet with 0 rows —
+      // publish it anyway: the action's presence is what tells readers
+      // NOT to derive changes from add/remove for this commit
+      Seq(s"""{"cdc":{"path":${jsonStr(encodePath(s"_change_data/${dst.getName}"))},""" +
+        s""""partitionValues":{},"size":${st.getLen},"dataChange":false}}""")
+    }.toSeq
+    f.delete(staging, true)
+    lines
   }
 
   /** Features a LEGACY (pre-table-features) protocol version implies
@@ -917,11 +1007,41 @@ object DeltaLogWriter {
         s""""dataChange":true}}"""
     }
     if (dvActions.isEmpty && adds.isEmpty) return (version - 1, 0L)
+    // CDF: MERGE change rows are not derivable from actions (the new
+    // files mix updates with inserts; the kills hide in DV bitmaps), so
+    // publish them explicitly — matched old rows as update_preimage,
+    // their batch replacements as update_postimage, unmatched batch
+    // rows as insert (the delta-spark CDC classification)
+    val cdcLines =
+      if (!cdfEnabled(metaNode)) Seq.empty[String]
+      else {
+        import org.apache.spark.sql.functions.lit
+        require(!tableSchema.fieldNames.contains("_change_type"),
+          s"Delta table at $path has a _change_type column — colliding " +
+            "with the Change Data Feed schema; rename it first")
+        val pre = matcher(DeltaLogReader.read(spark, path))
+        val matchedKeys = pre.select(keyCols.map(col): _*).distinct()
+          .localCheckpoint(true).alias("__up_mk")
+        def keyCond(side: DataFrame) = keyCols.map(k =>
+          side(k) <=> col(s"__up_mk.`$k`")).reduce(_ && _)
+        // same measured broadcast-or-merge cutover as the key probe —
+        // matchedKeys is a subset of the batch keys the budget sized
+        def probeJoin(b: DataFrame, typ: String) =
+          if (underBudget) b.join(broadcast(matchedKeys), keyCond(b), typ)
+          else b.join(matchedKeys.hint("merge"), keyCond(b), typ)
+        val batch = df.alias("__up_b")
+        val post = probeJoin(batch, "left_semi")
+        val ins = probeJoin(batch, "left_anti")
+        publishChangeData(spark, root, version,
+          pre.withColumn("_change_type", lit("update_preimage"))
+            .unionByName(post.withColumn("_change_type", lit("update_postimage")))
+            .unionByName(ins.withColumn("_change_type", lit("insert"))))
+      }
     val commit = new Path(logDir(spark, path), f"$version%020d.json")
     require(!rootFs.exists(commit),
       s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
     writeAtomic(spark, commit,
-      (protoLine ++ dvActions ++ adds).mkString("", "\n", "\n"))
+      (protoLine ++ dvActions ++ adds ++ cdcLines).mkString("", "\n", "\n"))
     (version, nDeleted)
   }
 

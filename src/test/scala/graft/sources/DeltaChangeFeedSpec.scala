@@ -1,0 +1,115 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions.col
+
+/** Delta Change Data Feed interop laws: `delta.enableChangeDataFeed`
+  * rides the metaData configuration, DV-writing commits publish
+  * `_change_data/` files + `cdc` actions, derivable commits (blind
+  * appends, overwrites) serve derived insert/delete rows, and the
+  * refusals are loud (disabled table, DV commit without change files,
+  * vacuumed remove). */
+class DeltaChangeFeedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    new java.io.File(java.nio.file.Files.createTempDirectory("cdf").toString,
+      "tbl").toString
+
+  private def df(ids: Seq[Long]) =
+    ids.map(i => (i, i * 10L)).toDF("id", "amount")
+
+  private def feed(path: String, from: Long, to: Long): Seq[(Long, Long, String, Long)] =
+    DeltaLogReader.readChangeFeed(spark, path, from, to)
+      .select("id", "amount", "_change_type", "_commit_version")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSeq.sorted
+
+  test("deleteWhere under CDF publishes change files; the feed replays insert then delete") {
+    val path = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L, 3L)).coalesce(1), path)      // v0
+    DeltaLogWriter.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                   // v1
+    val (v, n) = DeltaLogWriter.deleteWhere(spark, path, col("id") === 2L) // v2
+    assert(v == 2L && n == 1L)
+    // the commit carries a cdc action and the file exists under _change_data/
+    val commit = new java.io.File(path, "_delta_log/00000000000000000002.json")
+    val lines = scala.io.Source.fromFile(commit).getLines().toSeq
+    assert(lines.exists(_.contains("\"cdc\"")), lines.mkString("\n"))
+    assert(new java.io.File(path, "_change_data").listFiles().nonEmpty)
+    assert(feed(path, 0L, 2L) == Seq(
+      (1L, 10L, "insert", 0L), (2L, 20L, "delete", 2L),
+      (2L, 20L, "insert", 0L), (3L, 30L, "insert", 0L)))
+    // the metaData commit contributes nothing; a sub-range works
+    assert(feed(path, 1L, 1L).isEmpty)
+    assert(feed(path, 2L, 2L) == Seq((2L, 20L, "delete", 2L)))
+  }
+
+  test("upsert under CDF classifies update_preimage/update_postimage/insert") {
+    val path = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L)).coalesce(1), path)          // v0
+    DeltaLogWriter.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                   // v1
+    // batch: id 2 exists (update), id 9 is new (insert)
+    val batch = Seq((2L, 222L), (9L, 90L)).toDF("id", "amount")
+    val (v, killed) = DeltaLogWriter.upsert(spark, path, batch, Seq("id")) // v2
+    assert(v == 2L && killed == 1L)
+    assert(feed(path, 2L, 2L) == Seq(
+      (2L, 20L, "update_preimage", 2L), (2L, 222L, "update_postimage", 2L),
+      (9L, 90L, "insert", 2L)))
+    // the table itself reads the merged state
+    assert(DeltaLogReader.read(spark, path).select("id", "amount")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 222L), (9L, 90L)))
+  }
+
+  test("an overwrite derives delete+insert without change files") {
+    val path = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L)).coalesce(1), path)          // v0
+    DeltaLogWriter.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                   // v1
+    DeltaLogWriter.write(df(Seq(7L)).coalesce(1), path, SaveMode.Overwrite) // v2
+    assert(feed(path, 2L, 2L) == Seq(
+      (1L, 10L, "delete", 2L), (2L, 20L, "delete", 2L),
+      (7L, 70L, "insert", 2L)))
+  }
+
+  test("refusals: disabled table, DV commit without cdc, bad range") {
+    val path = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L)).coalesce(1), path)          // v0
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLogReader.readChangeFeed(spark, path, 0L, 0L))
+    assert(e1.getMessage.contains("enableChangeDataFeed"), e1.getMessage)
+    // DV delete BEFORE the property flips on: that commit has no change
+    // files, so a feed spanning it refuses rather than guessing
+    DeltaLogWriter.deleteWhere(spark, path, col("id") === 1L)        // v1, no cdc
+    DeltaLogWriter.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                   // v2
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogReader.readChangeFeed(spark, path, 0L, 2L))
+    assert(e2.getMessage.contains("not derivable"), e2.getMessage)
+    // but the range AFTER the gap serves fine (the metaData commit alone)
+    assert(DeltaLogReader.readChangeFeed(spark, path, 2L, 2L).count() == 0L)
+    val e3 = intercept[IllegalArgumentException](
+      DeltaLogReader.readChangeFeed(spark, path, 3L, 1L))
+    assert(e3.getMessage.contains("range"), e3.getMessage)
+  }
+
+  test("CDF state survives checkpoint + cleanLog; a truncated range refuses by name") {
+    val path = freshDir()
+    DeltaLogWriter.write(df(Seq(1L)).coalesce(1), path)              // v0
+    DeltaLogWriter.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                   // v1
+    DeltaLogWriter.write(df(Seq(2L)).coalesce(1), path)              // v2
+    DeltaLogWriter.checkpoint(spark, path)
+    DeltaLogWriter.cleanLog(spark, path)
+    // v0/v1 JSONs are gone: a range reaching below the checkpoint names them
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.readChangeFeed(spark, path, 0L, 2L))
+    assert(e.getMessage.contains("no longer exists"), e.getMessage)
+    // the surviving range still serves, and the property survived replay
+    DeltaLogWriter.deleteWhere(spark, path, col("id") === 1L)        // v3, cdc
+    assert(feed(path, 3L, 3L) == Seq((1L, 10L, "delete", 3L)))
+  }
+}
