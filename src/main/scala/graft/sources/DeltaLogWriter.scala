@@ -526,10 +526,18 @@ object DeltaLogWriter {
     * `metaData` row — PROTOCOL.md requires both in every checkpoint,
     * because readers reconstruct state from the checkpoint plus only the
     * commits AFTER it (the carrying commits may be truncated away). */
+  // the add struct carries the deletionVector descriptor and the
+  // protocol struct its feature lists: a checkpoint is the ONLY log
+  // state once cleanLog prunes the commits, so dropping either would
+  // silently resurrect DV-deleted rows / un-gate table features on
+  // cold replay (the r12 checkpoint-fidelity gap)
   private val CheckpointSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "add STRUCT<path: STRING, partitionValues: MAP<STRING, STRING>, " +
-      "size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN>, " +
-      "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT>, " +
+      "size: BIGINT, modificationTime: BIGINT, dataChange: BOOLEAN, " +
+      "deletionVector STRUCT<storageType: STRING, pathOrInlineDv: STRING, " +
+      "offset: INT, sizeInBytes: INT, cardinality: BIGINT>>, " +
+      "protocol STRUCT<minReaderVersion: INT, minWriterVersion: INT, " +
+      "readerFeatures: ARRAY<STRING>, writerFeatures: ARRAY<STRING>>, " +
       "metaData STRUCT<id: STRING, format: STRUCT<provider: STRING, " +
       "options: MAP<STRING, STRING>>, schemaString: STRING, " +
       "partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>, " +
@@ -539,16 +547,22 @@ object DeltaLogWriter {
     * `%020d.checkpoint.parquet` + the `_last_checkpoint` pointer, so
     * readers replay from the checkpoint instead of the full commit
     * history (and older commits become prunable). The checkpoint carries
-    * the table's latest `protocol` and `metaData` actions (replayed from
-    * the commit JSONs) alongside the spec-complete `add` rows — without
-    * them a real Delta reader's state reconstruction fails the moment the
-    * pre-checkpoint commits are pruned. */
+    * the table's latest `protocol` (feature lists included) and
+    * `metaData` actions (replayed from the commit JSONs) alongside the
+    * spec-complete `add` rows — each with its `deletionVector`
+    * descriptor when one is attached, so a DV-carrying table's exact
+    * row set survives cleanLog + cold replay (dropping either the
+    * descriptor or a feature gate would silently resurrect rows /
+    * un-gate features the moment the commits are pruned). */
   def checkpoint(spark: SparkSession, path: String): Long = {
     import spark.implicits._
     val latest = DeltaLogReader.latestVersion(spark, path)
     require(latest.nonEmpty, s"no Delta log at $path to checkpoint")
     val v = latest.get
-    val active = DeltaLogReader.activeFiles(spark, path)
+    // replayState, not activeFiles: the bare file list under-describes a
+    // DV-carrying table — each add row below re-emits its descriptor so
+    // the checkpoint alone reconstructs the exact row set
+    val entries = DeltaLogReader.replayState(spark, path, None)._1
     val log = new Path(path, "_delta_log")
     val f = fs(spark, log)
     // latest protocol/metaData: scan the surviving commit JSONs NEWEST
@@ -601,12 +615,13 @@ object DeltaLogWriter {
     val rootUri = new Path(path).toUri.getPath.stripSuffix("/")
     val root = new Path(path)
     val rootFs = fs(spark, root) // hoisted: one Configuration + FS lookup, not O(#files)
-    val addLines = active.map { abs =>
+    val addLines = entries.map { case (abs, dvOpt) =>
       val rel = new Path(abs).toUri.getPath.stripPrefix(rootUri).stripPrefix("/")
       val st = rootFs.getFileStatus(new Path(root, rel))
+      val dvField = dvOpt.map(d => s""","deletionVector":$d""").getOrElse("")
       s"""{"add":{"path":${jsonStr(encodePath(rel))},""" +
         s""""partitionValues":${partitionValuesJson(rel)},"size":${st.getLen},""" +
-        s""""modificationTime":${st.getModificationTime},"dataChange":false}}"""
+        s""""modificationTime":${st.getModificationTime},"dataChange":false$dvField}}"""
     }
     spark.read.schema(CheckpointSchema)
       .json((protoLine.toSeq ++ metaLine.toSeq ++ addLines).toDS())
@@ -619,7 +634,7 @@ object DeltaLogWriter {
     require(f.rename(part, target), s"checkpoint rename failed: $target")
     f.delete(tmp, true)
     writeAtomic(spark, new Path(log, "_last_checkpoint"),
-      s"""{"version":$v,"size":${active.size + 2}}""" + "\n", overwrite = true)
+      s"""{"version":$v,"size":${entries.size + 2}}""" + "\n", overwrite = true)
     v
   }
 

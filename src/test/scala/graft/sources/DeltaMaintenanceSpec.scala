@@ -233,4 +233,83 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(n == 0, s"deleted $n")
     assert(ids(DeltaLogReader.read(spark, base)) == survivors)
   }
+
+  test("checkpoint fidelity: DV descriptors and feature gates survive cleanLog + cold replay") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L, 3L)).coalesce(1), base)      // v0
+    DeltaLogWriter.write(df(Seq(4L, 5L, 6L)).coalesce(1), base)      // v1
+    val (v, n) = DeltaLogWriter.deleteWhere(spark, base, col("id") % 2 === 0) // v2: DVs
+    assert(v == 2L && n == 3L)
+    val (beforeEntries, beforeMeta) = DeltaLogReader.replayState(spark, base, None)
+    assert(beforeEntries.exists(_._2.nonEmpty), "fixture must carry DVs")
+    assert(DeltaLogWriter.checkpoint(spark, base) == 2L)
+    DeltaLogWriter.cleanLog(spark, base)
+    // FULL truncation: drop the checkpoint-version commit too, so the
+    // replay below reconstructs from the checkpoint parquet ALONE
+    val log = new java.io.File(base, "_delta_log")
+    assert(new java.io.File(log, f"${2L}%020d.json").delete())
+    assert(!log.listFiles().exists(_.getName.endsWith(".json")))
+    val (afterEntries, afterMeta) = DeltaLogReader.replayState(spark, base, None)
+    // identical state: same files in the same order, descriptors equal
+    // as parsed JSON (field spelling may reorder through the parquet
+    // struct round-trip; the VALUES must not drift)
+    val m = new com.fasterxml.jackson.databind.ObjectMapper
+    assert(afterEntries.map(_._1) == beforeEntries.map(_._1))
+    assert(afterEntries.map(_._2.map(m.readTree)) ==
+      beforeEntries.map(_._2.map(m.readTree)))
+    assert(afterMeta.isDefined && afterMeta == beforeMeta.map(identity))
+    // the row set the descriptors encode: odd ids only, cold
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 3L, 5L))
+    // the checkpoint's protocol row kept the DV feature gates a real
+    // reader refuses without
+    val ck = spark.read.parquet(
+      new java.io.File(log, f"${2L}%020d.checkpoint.parquet").toString)
+    val proto = ck.where("protocol IS NOT NULL")
+      .selectExpr("protocol.minReaderVersion", "protocol.readerFeatures",
+        "protocol.writerFeatures").collect().head
+    assert(proto.getInt(0) == 3)
+    assert(proto.getSeq[String](1).contains("deletionVectors"))
+    assert(proto.getSeq[String](2).contains("deletionVectors"))
+    // and a DV re-checkpoint of the truncated table still round-trips
+    assert(DeltaLogWriter.checkpoint(spark, base) == 2L)
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 3L, 5L))
+  }
+
+  test("checkpoint fidelity: column-mapping metaData survives cleanLog + cold replay") {
+    val base = freshDir()
+    // hand-written name-mode table (this repo's writers refuse to CREATE
+    // mapped tables; the reader serves them — the checkpoint must too)
+    val dataDir = new java.io.File(base); dataDir.mkdirs()
+    Seq((1L, 10L), (2L, 20L)).toDF("col-aa", "col-bb")
+      .coalesce(1).write.parquet(s"$base/.tmp_map")
+    val part = new java.io.File(s"$base/.tmp_map").listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).head
+    assert(part.renameTo(new java.io.File(base, "a.parquet")))
+    val jm = com.fasterxml.jackson.databind.json.JsonMapper.builder().build()
+    val schemaString = """{"type":"struct","fields":[""" +
+      """{"name":"amount","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":2,"delta.columnMapping.physicalName":"col-bb"}},""" +
+      """{"name":"id","type":"long","nullable":true,"metadata":{"delta.columnMapping.id":1,"delta.columnMapping.physicalName":"col-aa"}}]}"""
+    val logDir = new java.io.File(base, "_delta_log"); logDir.mkdirs()
+    val size = new java.io.File(base, "a.parquet").length()
+    val w = new java.io.PrintWriter(new java.io.File(logDir, f"${0L}%020d.json"))
+    w.println("""{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""")
+    w.println(s"""{"metaData":{"id":"m","format":{"provider":"parquet","options":{}},""" +
+      s""""schemaString":${jm.writeValueAsString(schemaString)},"partitionColumns":[],""" +
+      s""""configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""")
+    w.println(s"""{"add":{"path":"a.parquet","partitionValues":{},"size":$size,""" +
+      s""""modificationTime":0,"dataChange":true}}""")
+    w.close()
+    val beforeMeta = DeltaLogReader.replayState(spark, base, None)._2
+    assert(DeltaLogWriter.checkpoint(spark, base) == 0L)
+    // full truncation: the checkpoint parquet is the only log state left
+    assert(new java.io.File(logDir, f"${0L}%020d.json").delete())
+    val afterMeta = DeltaLogReader.replayState(spark, base, None)._2
+    assert(afterMeta.isDefined && afterMeta == beforeMeta,
+      s"metaData drifted through the checkpoint:\n$beforeMeta\nvs\n$afterMeta")
+    // the mapping still SERVES: logical names over physical footers, cold
+    val d = DeltaLogReader.read(spark, base)
+    assert(d.columns.toSeq == Seq("amount", "id"))
+    assert(d.orderBy("id").collect().map(r => (r.getLong(1), r.getLong(0))).toSeq
+      == Seq((1L, 10L), (2L, 20L)))
+  }
 }
