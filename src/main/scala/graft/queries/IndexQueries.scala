@@ -90,6 +90,7 @@ object IndexQueries {
   private val q258TablePat = scratchPat("q258_iceberg_rollback")
   private val q259TablePat = scratchPat("q259_iceberg_hiddenpart")
   private val q260TablePat = scratchPat("q260_delta_cdf")
+  private val q261TablePat = scratchPat("q261_iceberg_rewriteman")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -179,6 +180,7 @@ object IndexQueries {
     stageQ258IcebergRolledBack(s, dir)
     stageQ259IcebergHiddenPart(s, dir)
     stageQ260DeltaCdf(s, dir)
+    stageQ261IcebergRewritten(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -920,6 +922,31 @@ object IndexQueries {
         round($"value" * 1e6).cast("long").as("value_micros"))
       graft.sources.IcebergWriter.commitAppend(s, base, df, 6951L, 1000L,
         partitionBy = Seq("day(ets)", "bucket(4, user_id)"))
+    }
+    base
+  }
+
+  /** q261's fixture: MANIFEST REWRITE — three appends (purchase /
+    * click / error slices ⇒ three data manifests), then
+    * `rewriteManifests` merges them into ONE manifest whose entries
+    * stay EXISTING under their original snapshot ids and sequence
+    * numbers. Scan planning afterwards opens one manifest instead of
+    * three — the metadata twin of file compaction, and what bounds a
+    * thousand-append table's planning walk at 100 TB. */
+  private[graft] def stageQ261IcebergRewritten(s: SparkSession, dir: String): String = {
+    val base = scratch(q261TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("purchase"), 7001L, 1000L)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("click"), 7002L, 2000L)
+      graft.sources.IcebergWriter.commitAppend(s, base, slice("error"), 7003L, 3000L)
+      graft.sources.IcebergWriter.rewriteManifests(s, base, 7004L, 4000L)
     }
     base
   }
@@ -2874,6 +2901,36 @@ object IndexQueries {
           sum($"bonus_micros").as("bonus_checksum"))
     }),
 
+    // Iceberg MANIFEST REWRITE — rewrite_manifests merges three
+    // appends' data manifests into ONE (the b leg pins it via the
+    // manifests metadata table) while every entry stays EXISTING under
+    // its original snapshot id and sequence number: the a leg pins the
+    // merged read against the oracle's full scan, the c leg pins time
+    // travel to a PRE-rewrite snapshot. Planning now opens one manifest
+    // instead of three — the metadata twin of q246's file compaction.
+    "q261_iceberg_rewrite_manifests" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.Iceberg
+      val base = stageQ261IcebergRewritten(s, dir)
+      val manifestsLeg = Iceberg.manifestsTable(s, base)
+        .where($"content" === 0)
+        .agg(count(lit(1)).as("n_rows"))
+        .select(lit("b_data_manifests").as("leg"), $"n_rows",
+          lit(0L).as("id_checksum"), lit(0L).as("value_checksum"))
+      val travelLeg = Iceberg.readSnapshot(s, base, 7002L)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select(lit("c_travel").as("leg"), $"n_rows", $"id_checksum",
+          $"value_checksum")
+      Iceberg.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select(lit("a_rows").as("leg"), $"n_rows", $"id_checksum",
+          $"value_checksum")
+        .unionAll(manifestsLeg).unionAll(travelLeg)
+        .orderBy($"leg")
+    }),
+
     // Delta CHANGE DATA FEED — readChangeFeed over a table this repo's
     // own writer produced: v0's inserts DERIVE from its add actions
     // (blind appends write no change files, delta-spark's rule), v2's
@@ -3910,6 +3967,19 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q261_iceberg_rewrite_manifests" ->
+      """SELECT * FROM (
+        |  SELECT 'a_rows' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'error')
+        |  UNION ALL
+        |  SELECT 'b_data_manifests', CAST(1 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'c_travel', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type IN ('purchase', 'click')
+        |) ORDER BY leg""".stripMargin,
     "q260_delta_change_feed" ->
       """WITH p AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm

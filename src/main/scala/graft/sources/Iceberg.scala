@@ -1148,7 +1148,11 @@ object Iceberg {
                    equalityIds: Seq[Int] = Nil,
                    omitSnapshotId: Boolean = false,
                    recordCount: Long = 0L,
-                   fileSizeBytes: Long = 0L)
+                   fileSizeBytes: Long = 0L,
+                   // a manifest REWRITE re-emits carried entries under their
+                   // ORIGINAL snapshot id (status EXISTING) — the commit's own
+                   // id applies only when no override is set
+                   snapshotIdOverride: Option[Long] = None)
 
   /** Single-value serialization of the spec: little-endian fixed-width
     * numerics, raw UTF-8 strings — what real manifests store in
@@ -1333,7 +1337,8 @@ object Iceberg {
       }
       val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
-      if (!e.omitSnapshotId) r.put("snapshot_id", snapshotId)
+      if (!e.omitSnapshotId)
+        r.put("snapshot_id", e.snapshotIdOverride.getOrElse(snapshotId))
       e.sequenceNumber.foreach(sq =>
         if (entrySchema.getField("sequence_number") != null)
           r.put("sequence_number", Long.box(sq)))

@@ -1047,6 +1047,160 @@ object IcebergWriter {
     hintVersion + 1
   }
 
+  /** MANIFEST REWRITE — Iceberg's `rewrite_manifests` maintenance pass,
+    * the METADATA twin of [[compact]]: merge the current snapshot's
+    * DATA manifests into ONE while touching no data file. Every live
+    * entry re-emits as EXISTING (status 0) under its ORIGINAL snapshot
+    * id and its explicit data sequence number, so time travel,
+    * [[Iceberg.readIncremental]]'s entry-level attribution and
+    * merge-on-read sequence gating all survive; delete manifests carry
+    * unchanged. Partition-value summaries are RECOMPUTED from the
+    * merged entries' transformed-domain values, so manifest-list
+    * pruning keeps working. Why it matters at 100 TB: scan planning
+    * walks the manifest LIST per query — a thousand-append table pays a
+    * thousand manifest opens per plan until this pass bounds the walk
+    * to one. No-op (≤1 data manifest) returns the current version.
+    * Refusals mirror the other maintenance ops: non-linear history,
+    * multi-spec tables, a v2 entry whose sequence number cannot be
+    * resolved (rewriting it would guess ordering). */
+  def rewriteManifests(spark: SparkSession, table: String,
+                       snapshotId: Long, timestampMs: Long): Int = {
+    val doc = Iceberg.metadata(spark, table)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val snaps = snapsOf(doc)
+    require(snaps.isEmpty || snaps.last._1 == cur,
+      s"cannot rewrite manifests of $table: current snapshot $cur is not " +
+        "the latest in its history — refusing non-linear histories")
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"rewrite at timestamp $timestampMs would commit BEFORE an existing " +
+        "snapshot — history must be monotonic")
+    require(Iceberg.partitionSpecs(doc).size <= 1,
+      s"cannot rewrite manifests of $table: it carries multiple partition " +
+        "specs — merged entries would need per-entry spec ids this writer " +
+        "does not emit; refusing")
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot rewrite manifests of $table: its metadata carries no schema"))
+    val fmtVersion = doc.path("format-version").asInt(1)
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+    val carried = carriedOf(table, rows)
+    val (delManifests, dataManifests) = carried.partition(_.content == 1)
+    val hintVersion = hintVersionOf(spark, table)
+    if (dataManifests.size <= 1) return hintVersion // nothing to merge
+
+    // every data manifest's LIVE entries, re-spelled as EXISTING with
+    // their original attribution and effective sequence number
+    val merged = scala.collection.mutable.ArrayBuffer.empty[Iceberg.Entry]
+    dataManifests.foreach { c =>
+      Iceberg.readAvro(spark, Iceberg.resolve(table, c.path)).foreach { e =>
+        val status = Iceberg.longField(e, "status").getOrElse(
+          throw new IllegalArgumentException(
+            s"manifest ${c.path}: entry lacks status")).toInt
+        if (status != 2) {
+          val df = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+          require(df != null, s"manifest ${c.path}: entry lacks data_file")
+          val eSeq = Iceberg.longField(e, "sequence_number")
+            .orElse(if (status == 1) Some(c.seq) else None)
+          require(fmtVersion < 2 || eSeq.isDefined,
+            s"manifest ${c.path}: a v2 entry has no resolvable sequence " +
+              "number — rewriting it would guess delete ordering; refusing")
+          val pvals: Seq[(String, Any)] = (if (df.getSchema.getField("partition") == null) null
+            else df.get("partition")) match {
+            case p: org.apache.avro.generic.GenericRecord =>
+              p.getSchema.getFields.asScala.toSeq.map { fld =>
+                fld.name -> (p.get(fld.name) match {
+                  case i: java.lang.Integer => i.longValue
+                  case l: java.lang.Long => l.longValue
+                  case s: CharSequence => s.toString
+                  case other => throw new IllegalArgumentException(
+                    s"manifest ${c.path}: partition value class " +
+                      s"${if (other == null) "null" else other.getClass.getName} " +
+                      "is not re-emittable; refusing")
+                })
+              }
+            case _ => Nil
+          }
+          def bounds(key: String): Seq[(Int, Array[Byte])] =
+            if (df.getSchema.getField(key) == null) Nil
+            else df.get(key) match {
+              case null => Nil
+              case a: java.util.Collection[_] => a.asScala.toSeq.map { kv =>
+                val r = kv.asInstanceOf[org.apache.avro.generic.GenericRecord]
+                (Iceberg.longField(r, "key").get.toInt,
+                  Iceberg.avroBytes(r.get("value")).getOrElse(Array.emptyByteArray))
+              }
+              case other => throw new IllegalArgumentException(
+                s"manifest ${c.path}: $key has unexpected class ${other.getClass.getName}")
+            }
+          merged += Iceberg.Entry(
+            path = df.get("file_path").toString,
+            status = 0, // EXISTING: carried forward, not added here
+            content = Iceberg.longField(df, "content").map(_.toInt).getOrElse(0),
+            format = (if (df.getSchema.getField("file_format") == null) None
+              else Option(df.get("file_format"))).map(_.toString).getOrElse("PARQUET"),
+            partition = pvals,
+            lowerBounds = bounds("lower_bounds"),
+            upperBounds = bounds("upper_bounds"),
+            sequenceNumber = eSeq,
+            recordCount = Iceberg.longField(df, "record_count").getOrElse(0L),
+            fileSizeBytes = Iceberg.longField(df, "file_size_in_bytes").getOrElse(0L),
+            snapshotIdOverride = Some(Iceberg.longField(e, "snapshot_id")
+              .getOrElse(c.addedSnapshotId)))
+          require(merged.size <= graft.operators.ManifestGuard.MaxPlannedFiles,
+            s"rewrite of $table would merge more than " +
+              s"${graft.operators.ManifestGuard.MaxPlannedFiles} entries on " +
+              "the driver — compact data files first")
+        }
+      }
+    }
+    val manifest = Iceberg.writeManifest(spark, table,
+      s"m-rewrite$snapshotId.avro", snapshotId, merged.toSeq)
+    // summaries recomputed from the merged entries' partition values —
+    // per field POSITION, typed by the value class (the transformed
+    // domain writePartitionedFiles already encodes)
+    val specFields = Iceberg.partitionSpecs(doc).values.headOption.getOrElse(Nil)
+    val summaries: Seq[Iceberg.Summary] =
+      if (specFields.isEmpty || merged.exists(_.partition.size != specFields.size)) Nil
+      else specFields.indices.map { i =>
+        val vs = merged.map(_.partition(i)._2).toSeq
+        vs.head match {
+          case _: String =>
+            val ss = vs.map(_.toString)
+            Iceberg.Summary(Some(Iceberg.encodeString(ss.min)),
+              Some(Iceberg.encodeString(ss.max)))
+          case _ =>
+            val ls = vs.map(_.asInstanceOf[Long])
+            Iceberg.Summary(Some(Iceberg.encodeLong(ls.min)),
+              Some(Iceberg.encodeLong(ls.max)))
+        }
+      }
+    val mergedSeq = merged.flatMap(_.sequenceNumber).maxOption.getOrElse(0L)
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId,
+      delManifests.map(c => (c.path, c.length)) :+ manifest,
+      contents = delManifests.map(_.content) :+ 0,
+      summaries =
+        if (summaries.isEmpty) Nil
+        else delManifests.map(_ => Seq.empty[Iceberg.Summary]) :+ summaries,
+      sequenceNumbers =
+        if (fmtVersion == 2) delManifests.map(_.seq) :+ mergedSeq else Nil,
+      addedSnapshotIds = delManifests.map(_.addedSnapshotId) :+ snapshotId)
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1,
+      snaps :+ ((snapshotId, timestampMs, ml)),
+      formatVersion = fmtVersion,
+      schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields),
+      failIfExists = true)
+    hintVersion + 1
+  }
+
   /** SNAPSHOT EXPIRATION — drop every snapshot strictly older than
     * `olderThanMs` (the CURRENT snapshot is always retained, whatever
     * its age — the invariant real `expireSnapshots` keeps) from the

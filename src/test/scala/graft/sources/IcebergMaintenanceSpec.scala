@@ -280,4 +280,73 @@ class IcebergMaintenanceSpec extends SparkSpec {
     // nothing left to expire: version unchanged, no metadata rewrite
     assert(IcebergWriter.expireSnapshots(spark, base, olderThanMs = 999999L) == 3)
   }
+
+  // ---------------------------------------------------- rewriteManifests
+
+  /** Data-manifest rows of a table's CURRENT snapshot's manifest list. */
+  private def dataManifestRows(base: String): Seq[org.apache.avro.generic.GenericRecord] = {
+    val doc = Iceberg.metadata(spark, base)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    Iceberg.readAvro(spark,
+        Iceberg.resolve(base, Iceberg.manifestListOf(doc, base, cur)))
+      .filter(r => Option(r.get("content")).forall(_.toString == "0"))
+  }
+
+  test("rewriteManifests merges data manifests; attribution, travel, bounds pruning survive") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L)).coalesce(1), 901L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(10L, 20L)).coalesce(1), 902L, 2000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(100L, 200L)).coalesce(1), 903L, 3000L)
+    assert(dataManifestRows(base).size == 3)
+    val v = IcebergWriter.rewriteManifests(spark, base, 904L, 4000L)
+    assert(v == 4)
+    // one data manifest now, serving the identical row set
+    assert(dataManifestRows(base).size == 1)
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 2L, 10L, 20L, 100L, 200L))
+    // time travel to a pre-rewrite snapshot is untouched
+    assert(ids(Iceberg.readSnapshot(spark, base, 902L)) == Set(1L, 2L, 10L, 20L))
+    // entry-level attribution survived the merge: the rewrite snapshot
+    // ADDS nothing, and a pre-rewrite range still attributes exactly
+    assert(ids(Iceberg.readIncremental(spark, base, 901L, 902L)) == Set(10L, 20L))
+    assert(ids(Iceberg.readIncremental(spark, base, 903L, 904L)).isEmpty)
+    // carried footer bounds still prune inside the merged manifest
+    val byId = Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("id", 150L, 250L)))
+    assert(byId.size == 1 && byId.head.contains("snap903"), byId.mkString(", "))
+    // appends after the rewrite keep working and stack a NEW manifest
+    IcebergWriter.commitAppend(spark, base, df(Seq(300L)).coalesce(1), 905L, 5000L)
+    assert(dataManifestRows(base).size == 2)
+    assert(ids(Iceberg.readIncremental(spark, base, 904L, 905L)) == Set(300L))
+    // nothing to merge after a fresh rewrite: no-op, version unchanged
+    val v2 = IcebergWriter.rewriteManifests(spark, base, 906L, 6000L)
+    assert(IcebergWriter.rewriteManifests(spark, base, 907L, 7000L) == v2)
+    assert(Iceberg.snapshots(spark, base).map(_._1) ==
+      Seq(901L, 902L, 903L, 904L, 905L, 906L))
+  }
+
+  test("rewriteManifests keeps delete gating (MoR) and recomputes partition summaries") {
+    // MoR: position deletes survive the data-manifest merge untouched
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L, 3L)).coalesce(1), 911L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(4L, 5L)).coalesce(1), 912L, 2000L)
+    IcebergWriter.deleteWhere(spark, base, col("id") % 2 === 0, 913L, 3000L)
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 3L, 5L))
+    IcebergWriter.rewriteManifests(spark, base, 914L, 4000L)
+    assert(dataManifestRows(base).size == 1)
+    assert(ids(Iceberg.read(spark, base)) == Set(1L, 3L, 5L))
+    // partitioned: the merged manifest-list row carries RECOMPUTED
+    // summaries, so summary pruning still skips it without opening
+    val part = freshDir()
+    val p1 = Seq((1L, "a"), (2L, "b")).toDF("id", "cat")
+    val p2 = Seq((3L, "a"), (4L, "c")).toDF("id", "cat")
+    IcebergWriter.commitAppend(spark, part, p1, 921L, 1000L, partitionBy = Seq("cat"))
+    IcebergWriter.commitAppend(spark, part, p2, 922L, 2000L)
+    IcebergWriter.rewriteManifests(spark, part, 923L, 3000L)
+    assert(ids(Iceberg.read(spark, part)) == Set(1L, 2L, 3L, 4L))
+    // a disjoint cat range prunes EVERYTHING off the merged summary
+    assert(Iceberg.planFiles(spark, part,
+      Seq(Iceberg.ColRange("cat", "x", "z"))).isEmpty)
+    // a point cat hits exactly that partition's files (one per commit)
+    assert(Iceberg.planFiles(spark, part,
+      Seq(Iceberg.ColRange("cat", "a", "a"))).size == 2)
+  }
 }
