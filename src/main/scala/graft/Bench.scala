@@ -166,11 +166,9 @@ object Bench {
     // other processes were competing for the cores during THIS run.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     var loadSamples = List.empty[Double]
-    // start-of-lap conditions + staging watermark: queries whose lap
-    // triggers a stageOnce WRITE after this point get named in
-    // `staging_in_lap` so a contaminated headline is self-describing
+    // start-of-lap box conditions; in-lap staging attribution is the
+    // per-query stageOnce write-count delta inside the loop below
     val loadAvgStart = osBean.getSystemLoadAverage
-    val lapStartNanos = System.nanoTime()
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val la = osBean.getSystemLoadAverage
       if (la >= 0) loadSamples ::= la

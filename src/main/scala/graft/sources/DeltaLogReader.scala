@@ -300,9 +300,11 @@ object DeltaLogReader {
             .map(a => decodePath(path, a.get("path").asText()))
           val added = filesOf("add")
           val removed = filesOf("remove")
-          removed.foreach(p => require(f.exists(new Path(p)),
-            s"commit v$v of $path removed $p, which is gone from disk " +
-              "(vacuumed) — its delete rows are unrecoverable"))
+          // eager, for BOTH sides: a vacuumed file must refuse here by
+          // name, not surface as a raw FileNotFound mid-action later
+          (added ++ removed).foreach(p => require(f.exists(new Path(p)),
+            s"commit v$v of $path references $p, which is gone from disk " +
+              "(vacuumed) — its change rows are unrecoverable"))
           def tagged(files: Seq[String], tag: String): Option[DataFrame] =
             if (files.isEmpty) None
             else Some(spark.read.parquet(files: _*)

@@ -236,6 +236,23 @@ object DeltaLogWriter {
     val root = new Path(path)
     val f = fs(spark, root)
     val observed = DeltaLogReader.latestVersion(spark, path)
+    // the conflict check below only sees commits that land DURING the
+    // race — the EXISTING metaData must be validated here, or a
+    // drifted append would commit silently whenever nobody races it
+    observed.foreach { _ =>
+      val meta = DeltaLogReader.replayState(spark, path, None)._2
+        .getOrElse(throw new IllegalArgumentException(
+          s"Delta log at $path carries no metaData action — cannot " +
+            "validate the append schema; refusing"))
+      require(meta.path("schemaString").asText() == df.schema.json,
+        s"append schema drifts from $path's metaData schema — " +
+          "schema evolution is a separate operation")
+      val tableParts = (0 until meta.path("partitionColumns").size())
+        .map(meta.path("partitionColumns").get(_).asText())
+      require(tableParts == partitionBy,
+        s"partitionBy ${partitionBy.mkString("(", ", ", ")")} contradicts " +
+          s"$path's partition columns ${tableParts.mkString("(", ", ", ")")}")
+    }
     val newFiles = publishParts(spark, root, df,
       observed.map(_ + 1).getOrElse(0L), partitionBy)
     require(newFiles.nonEmpty || df.isEmpty,
@@ -415,12 +432,19 @@ object DeltaLogWriter {
       val readSet = entries.map { case (abs, _) => normAbs(f, abs) }.toSet
       commitLoop(spark, path, Some(latest), maxRetries, nodes =>
         nodes.flatMap { n =>
-          val touched = Seq("remove", "add").flatMap(k =>
-            Option(n.get(k)).map(a => DeltaLogReader
-              .decodePath(path, a.get("path").asText())))
-          touched.collectFirst {
-            case p if readSet(normAbs(f, p)) =>
-              s"it rewrote/removed $p, a file this OPTIMIZE already read"
+          // a metaData/protocol winner invalidates the staged rewrite
+          // wholesale: the parquet was written under the OLD schema/
+          // mapping/feature assumptions (the appendOptimistic rule)
+          if (n.has("metaData") || n.has("protocol"))
+            Some("it changed metaData/protocol under this staged rewrite")
+          else {
+            val touched = Seq("remove", "add").flatMap(k =>
+              Option(n.get(k)).map(a => DeltaLogReader
+                .decodePath(path, a.get("path").asText())))
+            touched.collectFirst {
+              case p if readSet(normAbs(f, p)) =>
+                s"it rewrote/removed $p, a file this OPTIMIZE already read"
+            }
           }
         }.headOption) { (_, _) => removes ++ adds }
     } else {
@@ -675,10 +699,15 @@ object DeltaLogWriter {
         "logical-to-physical predicate resolution it does not implement; " +
         "refusing")
     val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val (protoLine, actions, nDeleted) =
+      dvAttachActions(spark, path, entries, version, _.where(predicate))
+    if (actions.isEmpty) return (version - 1, 0L)
     // CDF: a DV rewrite is NOT derivable from add/remove actions (the
     // delta is inside the bitmap), so the commit must carry its change
     // data — the deleted rows are exactly the ACTIVE rows matching the
-    // predicate, captured before the DVs supersede them
+    // predicate, captured before the commit supersedes them. AFTER the
+    // no-op return above: a predicate matching nothing must not scan
+    // the table again or strand an orphan change file.
     val cdcLines =
       if (!meta.exists(cdfEnabled)) Seq.empty[String]
       else {
@@ -692,9 +721,6 @@ object DeltaLogWriter {
           DeltaLogReader.read(spark, path).where(predicate)
             .withColumn("_change_type", lit("delete")))
       }
-    val (protoLine, actions, nDeleted) =
-      dvAttachActions(spark, path, entries, version, _.where(predicate))
-    if (actions.isEmpty) return (version - 1, 0L)
     val rootFs = fs(spark, root)
     val commit = new Path(logDir(spark, path), f"$version%020d.json")
     require(!rootFs.exists(commit),
@@ -1131,6 +1157,42 @@ object DeltaLogWriter {
       (abs, dv, st)
     }
     val version = latest + 1
+    // CDF: a restore's add/remove actions under-describe the LOGICAL
+    // change (a re-added file may shed a DV — only some of its rows
+    // "return"; a removed DV-carrying file's dead rows were never
+    // alive), so the commit must carry its change data: the multiset
+    // diff of the two logical states (exceptAll keeps duplicate
+    // multiplicity). An empty side reads as the empty diff leg.
+    val cdcLines =
+      if (!curMeta.exists(cdfEnabled)) Seq.empty[String]
+      else {
+        import org.apache.spark.sql.functions.lit
+        val cols = org.apache.spark.sql.types.DataType
+          .fromJson(curMeta.get.get("schemaString").asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        require(!cols.contains("_change_type"),
+          s"Delta table at $path has a _change_type column — colliding " +
+            "with the Change Data Feed schema; rename it first")
+        val pre = if (curEntries.isEmpty) None
+          else Some(DeltaLogReader.read(spark, path))
+        val post = if (tgtEntries.isEmpty) None
+          else Some(DeltaLogReader.read(spark, path, asOf = Some(toVersion)))
+        val deleted = (pre, post) match {
+          case (Some(a), Some(b)) => Some(a.exceptAll(b))
+          case (a, None) => a
+          case (None, _) => None
+        }
+        val inserted = (pre, post) match {
+          case (Some(a), Some(b)) => Some(b.exceptAll(a))
+          case (None, b) => b
+          case (_, None) => None
+        }
+        val changes = (
+          deleted.map(_.withColumn("_change_type", lit("delete"))).toSeq ++
+          inserted.map(_.withColumn("_change_type", lit("insert"))).toSeq)
+          .reduce(_.unionByName(_))
+        publishChangeData(spark, root, version, changes)
+      }
     val now = System.currentTimeMillis()
     val removeLines = removes.map { abs =>
       s"""{"remove":{"path":${jsonStr(encodePath(relOf(abs)))},"deletionTimestamp":$now,"dataChange":true}}"""
@@ -1145,7 +1207,8 @@ object DeltaLogWriter {
     val commit = new Path(logDir(spark, path), f"$version%020d.json")
     require(!f.exists(commit),
       s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
-    writeAtomic(spark, commit, (removeLines ++ addLines).mkString("", "\n", "\n"))
+    writeAtomic(spark, commit,
+      (removeLines ++ addLines ++ cdcLines).mkString("", "\n", "\n"))
     version
   }
 

@@ -96,6 +96,27 @@ class DeltaChangeFeedSpec extends SparkSpec {
     assert(e3.getMessage.contains("range"), e3.getMessage)
   }
 
+  test("restore under CDF publishes the LOGICAL diff — DV survivors are not re-inserted") {
+    val path = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L, 3L, 4L, 5L, 6L)).coalesce(1), path) // v0
+    DeltaLogWriter.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                          // v1
+    DeltaLogWriter.deleteWhere(spark, path, col("id") % 2 === 0)            // v2: DV
+    // restore to v1: the file re-adds WITHOUT its DV — logically only
+    // rows 2/4/6 return; an action-derived feed would claim all six
+    val v = DeltaLogWriter.restore(spark, path, toVersion = 1L)             // v3
+    assert(v == 3L)
+    assert(feed(path, 3L, 3L) == Seq(
+      (2L, 20L, "insert", 3L), (4L, 40L, "insert", 3L),
+      (6L, 60L, "insert", 3L)))
+    // and the reverse direction: restoring back over live rows feeds deletes
+    DeltaLogWriter.restore(spark, path, toVersion = 2L)                     // v4
+    assert(feed(path, 4L, 4L) == Seq(
+      (2L, 20L, "delete", 4L), (4L, 40L, "delete", 4L),
+      (6L, 60L, "delete", 4L)))
+    assert(DeltaLogReader.read(spark, path).count() == 3L)
+  }
+
   test("CDF state survives checkpoint + cleanLog; a truncated range refuses by name") {
     val path = freshDir()
     DeltaLogWriter.write(df(Seq(1L)).coalesce(1), path)              // v0

@@ -63,6 +63,19 @@ class OptimisticConcurrencySpec extends SparkSpec
     assert(metaLines.length == 1)
   }
 
+  test("Delta: appendOptimistic validates the EXISTING metaData even without a race") {
+    val path = freshDir("occ_delta_pre")
+    DeltaLogWriter.appendOptimistic(df(Seq(1L)), path)
+    // nobody races — the pre-stage validation alone must refuse drift
+    val e = intercept[IllegalArgumentException](DeltaLogWriter.appendOptimistic(
+      Seq((1L, 1.5)).toDF("id", "score"), path))
+    assert(e.getMessage.contains("drifts"), e.getMessage)
+    val e2 = intercept[IllegalArgumentException](DeltaLogWriter.appendOptimistic(
+      df(Seq(2L)), path, partitionBy = Seq("name")))
+    assert(e2.getMessage.contains("contradicts"), e2.getMessage)
+    assert(deltaIds(path) == Set(1L))
+  }
+
   test("Delta: schema drift under a staged append is a true conflict") {
     val path = freshDir("occ_delta_drift")
     DeltaLogWriter.appendOptimistic(df(Seq(1L)), path)
