@@ -616,7 +616,12 @@ object IcebergWriter {
       df: DataFrame, fields: Seq[Iceberg.IceField],
       parts: Seq[WritePart],
       nameToId: Map[String, Int], typById: Map[Int, String],
-      snapshotId: Long): (Seq[Iceberg.Entry], Seq[Iceberg.Summary]) = {
+      snapshotId: Long,
+      // equality-delete fan-out (partitioned upsert) reuses this whole
+      // path with a delete tag/content — the entries become
+      // partition-scoped v2 equality deletes instead of data files
+      tagPrefix: String = "snap", content: Int = 0,
+      equalityIds: Seq[Int] = Nil): (Seq[Iceberg.Entry], Seq[Iceberg.Summary]) = {
     import org.apache.spark.sql.functions.lit
     val tCols = parts.map(transformedCol)
     // limit BEFORE collect: the cap must fire without materializing a
@@ -655,10 +660,11 @@ object IcebergWriter {
         val pred = tCols.zip(vals)
           .map { case (c, v) => c === lit(v) }.reduce(_ && _)
         val files = writeIdStampedFiles(spark, table,
-          df.where(pred).coalesce(1), fields, s"snap$snapshotId-p$pi")
+          df.where(pred).coalesce(1), fields, s"$tagPrefix$snapshotId-p$pi")
         val pvals: Seq[(String, Any)] =
           parts.map(_.name).zip(vals.map(norm))
-        files.map(f => boundedEntry(spark, table, f, nameToId, typById)
+        files.map(f => boundedEntry(spark, table, f, nameToId, typById,
+            content = content, equalityIds = equalityIds)
           .copy(partition = pvals))
       }
     def encodeVal(t: String, v: Any): Array[Byte] = t match {
@@ -961,7 +967,15 @@ object IcebergWriter {
     * manifest. Upserts stack: each commit's sequence tops the last.
     * Duplicate keys WITHIN `df` are appended as-is (the delete only
     * erases rows from sequences strictly below) — dedupe the batch
-    * first if the key is meant to be unique. */
+    * first if the key is meant to be unique.
+    *
+    * Hidden-partitioned tables upsert too (the day-partitioned CDC
+    * ingest shape), under one soundness gate: every partition SOURCE
+    * column must be an upsert key, so a key's old row provably shares
+    * its partition with the PARTITION-SCOPED equality-delete file this
+    * commit fans out per transformed tuple — data files and delete
+    * files both carry partition structs and summaries, so pruning
+    * skips them together. */
   def upsert(spark: SparkSession, table: String, df: DataFrame,
              keyCols: Seq[String], snapshotId: Long, timestampMs: Long): Int = {
     import org.apache.spark.sql.functions.col
@@ -971,9 +985,34 @@ object IcebergWriter {
       throw new IllegalArgumentException(
         s"cannot upsert into $table: its metadata carries no schema — " +
           "equality-delete columns are named by FIELD ID"))
-    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
-      s"cannot upsert into $table: it is PARTITIONED and this writer " +
-        "does not derive partition values or summaries")
+    // hidden-partitioning aware, under the CDC-ingest soundness rule:
+    // every partition SOURCE column must be an upsert KEY, so a key's
+    // old row provably lives in the same partition as its
+    // partition-scoped equality delete (a non-key source could move a
+    // key between partitions and the delete would miss the old row)
+    val specsAll = Iceberg.partitionSpecs(doc)
+    require(specsAll.size <= 1,
+      s"cannot upsert into $table: it carries ${specsAll.size} partition " +
+        "specs (spec evolution) — this writer re-emits only the default " +
+        "spec; refusing")
+    val specParts = specsAll.values.headOption.getOrElse(Nil).map { sf =>
+      val src = fields.find(_.id == sf.sourceId).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition spec of $table names source-id ${sf.sourceId}, " +
+            "absent from the schema — corrupt metadata"))
+      val t = IcebergTransforms.parse(sf.transform)
+      require(t != IcebergTransforms.Opaque,
+        s"cannot upsert into $table: partition transform " +
+          s"'${sf.transform}' is unknown to this writer")
+      WritePart(sf.name, src.name, t, src.typ)
+    }
+    val nonKeySources = specParts.map(_.sourceCol).filterNot(keyCols.contains)
+    require(nonKeySources.isEmpty,
+      s"cannot upsert into $table: partition source column(s) " +
+        s"${nonKeySources.mkString(", ")} are not upsert keys — a key's " +
+        "old row could live in a different partition than its " +
+        "partition-scoped equality delete; include them in keyCols or " +
+        "compact to an unpartitioned layout first")
     require(df.columns.toSeq == fields.map(_.name),
       s"upsert schema ${df.columns.mkString("(", ", ", ")")} does not " +
         s"match $table's ${fields.map(_.name).mkString("(", ", ", ")")} — " +
@@ -1001,36 +1040,57 @@ object IcebergWriter {
     // so the per-row number is exact, and foreign per-manifest numbers
     // carry through unchanged.
     val mlPath = Iceberg.manifestListOf(doc, table, cur)
-    val carried = carriedOf(table,
-      Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)))
+    val priorRows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+    val carried = carriedOf(table, priorRows)
     val newSeq = nextSeq(carried)
-
-    // (a) the appended rows — full schema, id-stamped, footer bounds
-    val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap
-    val dataEntries = files.map(file =>
-      boundedEntry(spark, table, file, nameToId, typById))
+    val keyNameToId = keyFields.map(fd => fd.name -> fd.id).toMap
+    val keyTypById = keyFields.map(fd => fd.id -> fd.typ).toMap
+
+    // (a) the appended rows — full schema, id-stamped, footer bounds;
+    // hidden-partitioned tables fan out per transformed tuple and stamp
+    // partition structs + summaries exactly like commitAppend
+    val (dataEntries, dataSummaries) =
+      if (specParts.isEmpty) {
+        val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
+        (files.map(file => boundedEntry(spark, table, file, nameToId, typById)),
+          Seq.empty[Iceberg.Summary])
+      } else
+        writePartitionedFiles(spark, table, df, fields, specParts,
+          nameToId, typById, snapshotId)
     val dataManifest = Iceberg.writeManifest(spark, table,
       s"m-snap$snapshotId.avro", snapshotId, dataEntries)
 
-    // (b) the equality-delete file: the batch's distinct keys, id-stamped
-    // so a later rename still matches by field id. One file per commit —
-    // its size is bounded by the BATCH, not the table.
-    val delFiles = writeIdStampedFiles(spark, table,
-      df.select(keyCols.map(col): _*).distinct().coalesce(1),
-      keyFields, s"eqdel$snapshotId")
-    val keyNameToId = keyFields.map(fd => fd.name -> fd.id).toMap
-    val keyTypById = keyFields.map(fd => fd.id -> fd.typ).toMap
+    // (b) the equality-delete file(s): the batch's distinct keys,
+    // id-stamped so a later rename still matches by field id. Size is
+    // bounded by the BATCH, not the table. Partitioned tables write one
+    // PARTITION-SCOPED delete file per transformed tuple (sound because
+    // partition sources ⊆ keys — gated above), each stamped with its
+    // partition struct so the reader's pruning skips delete files too.
+    val keysDf = df.select(keyCols.map(col): _*).distinct()
+    val (delEntries, delSummaries) =
+      if (specParts.isEmpty) {
+        val delFiles = writeIdStampedFiles(spark, table,
+          keysDf.coalesce(1), keyFields, s"eqdel$snapshotId")
+        (delFiles.map(p => boundedEntry(spark, table, p, keyNameToId,
+          keyTypById, content = 2, equalityIds = keyFields.map(_.id))),
+          Seq.empty[Iceberg.Summary])
+      } else
+        writePartitionedFiles(spark, table, keysDf, keyFields, specParts,
+          keyNameToId, keyTypById, snapshotId,
+          tagPrefix = "eqdel", content = 2,
+          equalityIds = keyFields.map(_.id))
     val delManifest = Iceberg.writeManifest(spark, table,
-      s"m-eqdel$snapshotId.avro", snapshotId,
-      delFiles.map(p => boundedEntry(spark, table, p, keyNameToId, keyTypById,
-        content = 2, equalityIds = keyFields.map(_.id))))
+      s"m-eqdel$snapshotId.avro", snapshotId, delEntries)
 
+    val allSummaries =
+      carriedSummaries(priorRows) :+ dataSummaries :+ delSummaries
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
       carried.map(c => (c.path, c.length)) :+ dataManifest :+ delManifest,
       contents = carried.map(_.content) :+ 0 :+ 1,
+      summaries = if (allSummaries.exists(_.nonEmpty)) allSummaries else Nil,
       sequenceNumbers = carried.map(_.seq) :+ newSeq :+ newSeq,
       addedSnapshotIds = carried.map(_.addedSnapshotId) :+
         snapshotId :+ snapshotId)

@@ -281,6 +281,36 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(IcebergWriter.expireSnapshots(spark, base, olderThanMs = 999999L) == 3)
   }
 
+  test("upsert into a hidden-partitioned table: partition-scoped equality deletes, pruning intact") {
+    val base = freshDir()
+    // bucket(4, id): the partition source IS the upsert key
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L, 3L, 4L)),
+      931L, 1000L, partitionBy = Seq("bucket(4, id)"))
+    // batch: ids 2 and 4 exist (latest-write-wins), id 9 is new
+    val batch = Seq((2L, "NEW_2", 2.0), (4L, "NEW_4", 4.0), (9L, "NEW_9", 9.0))
+      .toDF("id", "name", "score")
+    val v = IcebergWriter.upsert(spark, base, batch, Seq("id"), 932L, 2000L)
+    assert(v == 2)
+    val got = Iceberg.read(spark, base).select("id", "name").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == Set((1L, "name_1"), (2L, "NEW_2"), (3L, "name_3"),
+      (4L, "NEW_4"), (9L, "NEW_9")), got)
+    // a point-id probe still maps through bucket(4, ·) and plans ONLY
+    // that bucket's files — delete files carry partition structs too,
+    // so pruning never resurrects a key from an unopened delete file
+    val probe = Iceberg.readPruned(spark, base,
+      Seq(Iceberg.ColRange("id", 2L, 2L)))
+      .where(col("id") === 2L).select("name").collect().map(_.getString(0)).toSeq
+    assert(probe == Seq("NEW_2"), probe)
+    // soundness gate: a partition source OUTSIDE the keys refuses
+    val base2 = freshDir()
+    IcebergWriter.commitAppend(spark, base2, df(Seq(1L, 2L)),
+      941L, 1000L, partitionBy = Seq("name"))
+    val e = intercept[IllegalArgumentException](IcebergWriter.upsert(
+      spark, base2, df(Seq(2L)), Seq("id"), 942L, 2000L))
+    assert(e.getMessage.contains("not upsert keys"), e.getMessage)
+  }
+
   // ---------------------------------------------------- rewriteManifests
 
   /** Data-manifest rows of a table's CURRENT snapshot's manifest list. */
