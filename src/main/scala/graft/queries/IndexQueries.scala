@@ -91,6 +91,7 @@ object IndexQueries {
   private val q259TablePat = scratchPat("q259_iceberg_hiddenpart")
   private val q260TablePat = scratchPat("q260_delta_cdf")
   private val q261TablePat = scratchPat("q261_iceberg_rewriteman")
+  private val q262RegPat = scratchPat("q262_catalog_registry")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -2901,6 +2902,24 @@ object IndexQueries {
           sum($"bonus_micros").as("bonus_checksum"))
     }),
 
+    // CATALOG-RESOLVED READ — table access by NAME through the catalog
+    // seam instead of a path: the registry document (the REST-catalog
+    // stand-in; swap-on-write, reader-complete) maps
+    // graft.events_iceberg to the q261 table, and the read runs through
+    // TableCatalog.readIceberg. Same aggregation as q261's a_rows, so
+    // the oracle pins that name resolution changed NOTHING about the
+    // rows served — the catalog is a seam, not a data path.
+    "q262_catalog_read" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{FileRegistryCatalog, TableCatalog}
+      val base = stageQ261IcebergRewritten(s, dir)
+      val cat = new FileRegistryCatalog(s, scratch(q262RegPat, dir))
+      cat.register("graft.events_iceberg", base)
+      TableCatalog.readIceberg(s, cat, "graft.events_iceberg")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+    }),
+
     // Iceberg MANIFEST REWRITE — rewrite_manifests merges three
     // appends' data manifests into ONE (the b leg pins it via the
     // manifests metadata table) while every entry stays EXISTING under
@@ -3967,6 +3986,11 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q262_catalog_read" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events WHERE event_type IN ('purchase', 'click', 'error')""".stripMargin,
     "q261_iceberg_rewrite_manifests" ->
       """SELECT * FROM (
         |  SELECT 'a_rows' AS leg, count(*) AS n_rows,

@@ -1,0 +1,157 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Catalog seam for the table-format tier — the interface that stops
+  * table resolution being path-only (reference:
+  * `01_geofraud_clustering.py:431` / `02_geofraud_fraud.py:18` resolve
+  * tables through a metastore, not paths). A catalog maps a dotted
+  * table NAME to the location the format readers/writers operate on;
+  * everything else (metadata parsing, snapshots, commits) stays in
+  * [[Iceberg]] / [[DeltaLogReader]] / the writers, so any catalog
+  * implementation — the two shipped here, or a real REST/metastore
+  * client a deployment supplies — plugs in without touching them.
+  *
+  * Scope, stated plainly: this repo has zero egress, so no live REST
+  * catalog client ships. [[FileRegistryCatalog]] is the REST stand-in —
+  * one document of name→location mappings with swap-on-write updates,
+  * the same contract a REST catalog's `GET/POST /v1/tables` surface
+  * provides — and [[HadoopWarehouseCatalog]] is Iceberg's real
+  * path-convention catalog (`warehouse/namespace/table`). */
+trait TableCatalog {
+  /** Resolve `name` ("namespace.table") to the table's location.
+    * Unknown names REFUSE — a silently-invented path would create
+    * tables on typos. */
+  def locate(name: String): String
+
+  /** Table names under `namespace`, sorted. */
+  def tables(namespace: String): Seq[String]
+}
+
+/** A catalog that also accepts registrations (the REST catalog's
+  * create/drop surface). */
+trait MutableTableCatalog extends TableCatalog {
+  def register(name: String, location: String): Unit
+  def drop(name: String): Unit
+}
+
+object TableCatalog {
+  private[sources] def splitName(name: String): (String, String) = {
+    val i = name.lastIndexOf('.')
+    require(i > 0 && i < name.length - 1,
+      s"table name '$name' is not namespace.table — catalogs resolve " +
+        "dotted names only")
+    (name.substring(0, i), name.substring(i + 1))
+  }
+
+  /** Read an Iceberg table BY NAME through a catalog. */
+  def readIceberg(spark: SparkSession, catalog: TableCatalog,
+                  name: String): DataFrame =
+    Iceberg.read(spark, catalog.locate(name))
+
+  /** Read a Delta table BY NAME through a catalog. */
+  def readDelta(spark: SparkSession, catalog: TableCatalog,
+                name: String): DataFrame =
+    DeltaLogReader.read(spark, catalog.locate(name))
+}
+
+/** Iceberg's HADOOP catalog convention: a table named `ns.tbl` LIVES at
+  * `warehouse/ns/tbl`, and existence = a `metadata/` dir with a
+  * version hint (the same test `IcebergWriter.commitAppend` uses for
+  * table presence). Listing a namespace is one directory listing —
+  * planning altitude, no metadata opened. */
+class HadoopWarehouseCatalog(spark: SparkSession, warehouse: String)
+    extends TableCatalog {
+  private def fs(p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def exists(location: String): Boolean = {
+    val md = new Path(location, "metadata")
+    val f = fs(md)
+    f.exists(new Path(md, "version-hint.text")) ||
+      // Delta tables under the same warehouse resolve too
+      f.exists(new Path(location, "_delta_log"))
+  }
+
+  override def locate(name: String): String = {
+    val (ns, tbl) = TableCatalog.splitName(name)
+    val loc = new Path(new Path(warehouse, ns), tbl).toString
+    require(exists(loc),
+      s"catalog has no table '$name' (no Iceberg metadata or Delta log " +
+        s"at $loc) — register/create it first")
+    loc
+  }
+
+  override def tables(namespace: String): Seq[String] = {
+    val nsPath = new Path(warehouse, namespace)
+    val f = fs(nsPath)
+    if (!f.exists(nsPath)) Seq.empty
+    else f.listStatus(nsPath).filter(_.isDirectory).map(_.getPath)
+      .filter(p => exists(p.toString)).map(_.getName).sorted.toSeq
+  }
+}
+
+/** The REST-catalog STAND-IN: one JSON registry document of
+  * `name → location` mappings, atomically swapped on every mutation
+  * (write-temp + rename — the same publish discipline the log writers
+  * use), so concurrent readers always see a complete document. This is
+  * the shape a REST catalog's table surface serves; a deployment swaps
+  * this class for a real client without touching the format tier. */
+class FileRegistryCatalog(spark: SparkSession, registryPath: String)
+    extends MutableTableCatalog {
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
+
+  private def p = new Path(registryPath)
+  private def f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def load(): Map[String, String] = {
+    if (!f.exists(p)) return Map.empty
+    val st = f.getFileStatus(p)
+    val buf = new Array[Byte](st.getLen.toInt)
+    val in = f.open(p)
+    try in.readFully(buf) finally in.close()
+    val node = mapper.readTree(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+    val it = node.path("tables").fields()
+    val b = Map.newBuilder[String, String]
+    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+    b.result()
+  }
+
+  private def store(m: Map[String, String]): Unit = {
+    val obj = mapper.createObjectNode()
+    val tbl = obj.putObject("tables")
+    m.toSeq.sortBy(_._1).foreach { case (k, v) => tbl.put(k, v) }
+    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
+    Option(p.getParent).foreach(f.mkdirs)
+    val out = f.create(tmp, true)
+    try out.write(mapper.writeValueAsString(obj)
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (f.exists(p)) f.delete(p, false)
+    require(f.rename(tmp, p), s"registry swap failed: $p")
+  }
+
+  override def locate(name: String): String = {
+    TableCatalog.splitName(name) // spelling gate, even for lookups
+    load().getOrElse(name, throw new IllegalArgumentException(
+      s"catalog has no table '$name' — known: " +
+        s"${load().keys.toSeq.sorted.mkString(", ")}"))
+  }
+
+  override def tables(namespace: String): Seq[String] =
+    load().keys.filter(_.startsWith(namespace + "."))
+      .map(_.stripPrefix(namespace + ".")).toSeq.sorted
+
+  override def register(name: String, location: String): Unit = {
+    TableCatalog.splitName(name)
+    store(load() + (name -> location))
+  }
+
+  override def drop(name: String): Unit = {
+    val m = load()
+    require(m.contains(name),
+      s"catalog has no table '$name' to drop")
+    store(m - name)
+  }
+}

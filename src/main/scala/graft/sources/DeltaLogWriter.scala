@@ -567,10 +567,14 @@ object DeltaLogWriter {
       "partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>, " +
       "createdTime: BIGINT>")
 
-  /** Compact the CURRENT active-file state into a single-part
-    * `%020d.checkpoint.parquet` + the `_last_checkpoint` pointer, so
-    * readers replay from the checkpoint instead of the full commit
-    * history (and older commits become prunable). The checkpoint carries
+  /** Compact the CURRENT active-file state into a
+    * `%020d.checkpoint.parquet` (or, with `parts > 1`, the spec's
+    * MULTI-PART `%020d.checkpoint.%010d.%010d.parquet` spelling — at
+    * 100 TB a table's millions of add rows cannot serialize through one
+    * driver-written part, and real readers list the parts in parallel)
+    * + the `_last_checkpoint` pointer, so readers replay from the
+    * checkpoint instead of the full commit history (and older commits
+    * become prunable). The checkpoint carries
     * the table's latest `protocol` (feature lists included) and
     * `metaData` actions (replayed from the commit JSONs) alongside the
     * spec-complete `add` rows — each with its `deletionVector`
@@ -578,8 +582,9 @@ object DeltaLogWriter {
     * row set survives cleanLog + cold replay (dropping either the
     * descriptor or a feature gate would silently resurrect rows /
     * un-gate features the moment the commits are pruned). */
-  def checkpoint(spark: SparkSession, path: String): Long = {
+  def checkpoint(spark: SparkSession, path: String, parts: Int = 1): Long = {
     import spark.implicits._
+    require(parts >= 1, s"checkpoint parts must be >= 1, got $parts")
     val latest = DeltaLogReader.latestVersion(spark, path)
     require(latest.nonEmpty, s"no Delta log at $path to checkpoint")
     val v = latest.get
@@ -609,14 +614,21 @@ object DeltaLogWriter {
       }
     if (protoLine.isEmpty || metaLine.isEmpty) {
       // pruned history: replay the actions forward from the prior
-      // checkpoint (single-part spelling — this writer's own output)
+      // checkpoint — single-part or multi-part, both this writer's
+      // own spellings
       val prior = f.listStatus(log).map(_.getPath.getName)
-        .collect { case n if n.endsWith(".checkpoint.parquet") &&
-          n.take(20).forall(_.isDigit) => n.take(20).toLong }
-        .sorted.lastOption
+        .collect { case n if n.length >= 20 && n.contains(".checkpoint.") &&
+          n.endsWith(".parquet") && n.take(20).forall(_.isDigit) =>
+          n.take(20).toLong }
+        .distinct.sorted.lastOption
       prior.foreach { pv =>
-        val ck = spark.read.parquet(
-          new Path(log, f"$pv%020d.checkpoint.parquet").toString)
+        val single = new Path(log, f"$pv%020d.checkpoint.parquet")
+        val partPaths: Seq[String] =
+          if (f.exists(single)) Seq(single.toString)
+          else f.globStatus(new Path(log,
+              f"$pv%020d.checkpoint.??????????.??????????.parquet"))
+            .map(_.getPath.toString).sorted.toSeq
+        val ck = spark.read.parquet(partPaths: _*)
         def jsonOf(colName: String): Option[String] = {
           if (!ck.schema.fieldNames.contains(colName)) None
           else ck.where(org.apache.spark.sql.functions.col(colName).isNotNull)
@@ -647,18 +659,36 @@ object DeltaLogWriter {
         s""""partitionValues":${partitionValuesJson(rel)},"size":${st.getLen},""" +
         s""""modificationTime":${st.getModificationTime},"dataChange":false$dvField}}"""
     }
-    spark.read.schema(CheckpointSchema)
-      .json((protoLine.toSeq ++ metaLine.toSeq ++ addLines).toDS())
-      .coalesce(1).write.parquet(tmp.toString)
-    val part = f.listStatus(tmp)
-      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-      .head.getPath
-    val target = new Path(log, f"$v%020d.checkpoint.parquet")
-    f.delete(target, false)
-    require(f.rename(part, target), s"checkpoint rename failed: $target")
-    f.delete(tmp, true)
+    // part 1 carries protocol/metaData (the spec lets actions land in
+    // any part; pinning them keeps the layout deterministic); add rows
+    // chunk evenly across the parts. An empty chunk still writes its
+    // part — every named part must exist for the pointer to be honest.
+    val chunkSize = math.max(1, (addLines.size + parts - 1) / parts)
+    val chunks = addLines.grouped(chunkSize).toSeq
+      .padTo(parts, Seq.empty[String]).take(parts)
+    def writePart(lines: Seq[String], target: Path): Unit = {
+      f.delete(tmp, true)
+      spark.read.schema(CheckpointSchema).json(lines.toDS())
+        .coalesce(1).write.parquet(tmp.toString)
+      val part = f.listStatus(tmp)
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .head.getPath
+      f.delete(target, false)
+      require(f.rename(part, target), s"checkpoint rename failed: $target")
+      f.delete(tmp, true)
+    }
+    if (parts == 1)
+      writePart(protoLine.toSeq ++ metaLine.toSeq ++ addLines,
+        new Path(log, f"$v%020d.checkpoint.parquet"))
+    else chunks.zipWithIndex.foreach { case (chunk, i) =>
+      val header = if (i == 0) protoLine.toSeq ++ metaLine.toSeq else Seq.empty
+      writePart(header ++ chunk,
+        new Path(log, f"$v%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet"))
+    }
+    val partsField = if (parts == 1) "" else s""","parts":$parts"""
     writeAtomic(spark, new Path(log, "_last_checkpoint"),
-      s"""{"version":$v,"size":${entries.size + 2}}""" + "\n", overwrite = true)
+      s"""{"version":$v,"size":${entries.size + 2}$partsField}""" + "\n",
+      overwrite = true)
     v
   }
 

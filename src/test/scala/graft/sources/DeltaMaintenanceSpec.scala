@@ -275,6 +275,40 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 3L, 5L))
   }
 
+  test("multi-part checkpoint: the spec spelling round-trips DV state through cleanLog") {
+    val base = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L)).coalesce(1), base)          // v0
+    DeltaLogWriter.write(df(Seq(3L, 4L)).coalesce(1), base)          // v1
+    DeltaLogWriter.write(df(Seq(5L, 6L)).coalesce(1), base)          // v2
+    DeltaLogWriter.deleteWhere(spark, base, col("id") % 2 === 0)     // v3: DVs
+    val before = DeltaLogReader.replayState(spark, base, None)._1
+    assert(DeltaLogWriter.checkpoint(spark, base, parts = 3) == 3L)
+    // three parts under the %020d.checkpoint.%010d.%010d.parquet spelling
+    val log = new java.io.File(base, "_delta_log")
+    val partNames = log.listFiles().map(_.getName)
+      .filter(n => n.contains(".checkpoint.") && n.endsWith(".parquet")).sorted
+    assert(partNames.toSeq == Seq(
+      f"${3L}%020d.checkpoint.${1}%010d.${3}%010d.parquet",
+      f"${3L}%020d.checkpoint.${2}%010d.${3}%010d.parquet",
+      f"${3L}%020d.checkpoint.${3}%010d.${3}%010d.parquet"), partNames.mkString(", "))
+    val ptr = scala.io.Source.fromFile(new java.io.File(log, "_last_checkpoint"))
+      .getLines().next()
+    assert(ptr.contains("\"parts\":3"), ptr)
+    DeltaLogWriter.cleanLog(spark, base)
+    assert(new java.io.File(log, f"${3L}%020d.json").delete()) // full truncation
+    val after = DeltaLogReader.replayState(spark, base, None)._1
+    val m = new com.fasterxml.jackson.databind.ObjectMapper
+    assert(after.map(_._1).toSet == before.map(_._1).toSet)
+    assert(after.toMap.view.mapValues(_.map(m.readTree)).toMap ==
+      before.toMap.view.mapValues(_.map(m.readTree)).toMap)
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 3L, 5L))
+    // a later append + re-checkpoint (single-part) over the multi-part
+    // base keeps working — protocol/metaData recovered from the parts
+    DeltaLogWriter.write(df(Seq(9L)).coalesce(1), base)              // v4
+    assert(DeltaLogWriter.checkpoint(spark, base) == 4L)
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 3L, 5L, 9L))
+  }
+
   test("checkpoint fidelity: column-mapping metaData survives cleanLog + cold replay") {
     val base = freshDir()
     // hand-written name-mode table (this repo's writers refuse to CREATE
