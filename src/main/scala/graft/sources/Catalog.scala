@@ -93,55 +93,74 @@ class HadoopWarehouseCatalog(spark: SparkSession, warehouse: String)
 }
 
 /** The REST-catalog STAND-IN: one JSON registry document of
-  * `name → location` mappings, atomically swapped on every mutation
-  * (write-temp + rename — the same publish discipline the log writers
-  * use), so concurrent readers always see a complete document. This is
-  * the shape a REST catalog's table surface serves; a deployment swaps
+  * `name → location` mappings, swapped on every mutation (write-temp,
+  * delete, rename — the delete-then-rename window is covered by
+  * [[load]]'s temp-file fallback, so a reader or a crash in the window
+  * recovers the complete NEW document rather than observing an empty
+  * catalog). Single-WRITER by contract, like the log writers; a real
+  * REST catalog serializes mutations server-side. A deployment swaps
   * this class for a real client without touching the format tier. */
 class FileRegistryCatalog(spark: SparkSession, registryPath: String)
     extends MutableTableCatalog {
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper
 
   private def p = new Path(registryPath)
+  private def tmpP = new Path(p.getParent, s".${p.getName}.tmp")
   private def f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
   private def load(): Map[String, String] = {
-    if (!f.exists(p)) return Map.empty
-    val st = f.getFileStatus(p)
-    val buf = new Array[Byte](st.getLen.toInt)
-    val in = f.open(p)
-    try in.readFully(buf) finally in.close()
-    val node = mapper.readTree(new String(buf, java.nio.charset.StandardCharsets.UTF_8))
-    val it = node.path("tables").fields()
-    val b = Map.newBuilder[String, String]
-    while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
-    b.result()
+    // the main document, falling back to the temp file a store() left
+    // mid-swap (crash or concurrent read in the delete→rename window):
+    // the temp is always a COMPLETE newer document, never a partial one
+    val src =
+      if (f.exists(p)) Some(p)
+      else if (f.exists(tmpP)) Some(tmpP)
+      else None
+    src match {
+      case None => Map.empty
+      case Some(path) =>
+        val st = f.getFileStatus(path)
+        val buf = new Array[Byte](st.getLen.toInt)
+        val in = f.open(path)
+        try in.readFully(buf) finally in.close()
+        val node = mapper.readTree(
+          new String(buf, java.nio.charset.StandardCharsets.UTF_8))
+        val it = node.path("tables").fields()
+        val b = Map.newBuilder[String, String]
+        while (it.hasNext) { val e = it.next(); b += (e.getKey -> e.getValue.asText()) }
+        b.result()
+    }
   }
 
   private def store(m: Map[String, String]): Unit = {
     val obj = mapper.createObjectNode()
     val tbl = obj.putObject("tables")
     m.toSeq.sortBy(_._1).foreach { case (k, v) => tbl.put(k, v) }
-    val tmp = new Path(p.getParent, s".${p.getName}.tmp")
     Option(p.getParent).foreach(f.mkdirs)
-    val out = f.create(tmp, true)
+    val out = f.create(tmpP, true)
     try out.write(mapper.writeValueAsString(obj)
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     if (f.exists(p)) f.delete(p, false)
-    require(f.rename(tmp, p), s"registry swap failed: $p")
+    require(f.rename(tmpP, p), s"registry swap failed: $p")
   }
 
   override def locate(name: String): String = {
     TableCatalog.splitName(name) // spelling gate, even for lookups
-    load().getOrElse(name, throw new IllegalArgumentException(
+    val m = load()
+    m.getOrElse(name, throw new IllegalArgumentException(
       s"catalog has no table '$name' — known: " +
-        s"${load().keys.toSeq.sorted.mkString(", ")}"))
+        s"${m.keys.toSeq.sorted.mkString(", ")}"))
   }
 
+  /** DIRECT children only — a table registered as `db.sub.t1` belongs
+    * to namespace `db.sub` (splitName's rule), not `db`; matching the
+    * [[HadoopWarehouseCatalog]] one-level listing semantics. */
   override def tables(namespace: String): Seq[String] =
-    load().keys.filter(_.startsWith(namespace + "."))
-      .map(_.stripPrefix(namespace + ".")).toSeq.sorted
+    load().keys.toSeq
+      .collect { case k if TableCatalog.splitName(k)._1 == namespace =>
+        TableCatalog.splitName(k)._2 }
+      .sorted
 
   override def register(name: String, location: String): Unit = {
     TableCatalog.splitName(name)

@@ -614,12 +614,15 @@ object DeltaLogWriter {
       }
     if (protoLine.isEmpty || metaLine.isEmpty) {
       // pruned history: replay the actions forward from the prior
-      // checkpoint — single-part or multi-part, both this writer's
-      // own spellings
+      // checkpoint — single-part or multi-part, ONLY this writer's own
+      // spellings (a foreign spelling like a v2 UUID checkpoint must
+      // not be selected: its glob would match nothing and crash with
+      // an unrelated schema error instead of the refusal below)
+      val SinglePat = """(\d{20})\.checkpoint\.parquet""".r
+      val MultiPat = """(\d{20})\.checkpoint\.\d{10}\.\d{10}\.parquet""".r
       val prior = f.listStatus(log).map(_.getPath.getName)
-        .collect { case n if n.length >= 20 && n.contains(".checkpoint.") &&
-          n.endsWith(".parquet") && n.take(20).forall(_.isDigit) =>
-          n.take(20).toLong }
+        .collect { case SinglePat(v0) => v0.toLong
+                   case MultiPat(v0) => v0.toLong }
         .distinct.sorted.lastOption
       prior.foreach { pv =>
         val single = new Path(log, f"$pv%020d.checkpoint.parquet")
@@ -628,6 +631,9 @@ object DeltaLogWriter {
           else f.globStatus(new Path(log,
               f"$pv%020d.checkpoint.??????????.??????????.parquet"))
             .map(_.getPath.toString).sorted.toSeq
+        require(partPaths.nonEmpty,
+          s"checkpoint v$pv at $path matched neither the single- nor " +
+            "multi-part spelling — corrupt or foreign checkpoint layout")
         val ck = spark.read.parquet(partPaths: _*)
         def jsonOf(colName: String): Option[String] = {
           if (!ck.schema.fieldNames.contains(colName)) None

@@ -621,18 +621,24 @@ object IcebergWriter {
       // path with a delete tag/content — the entries become
       // partition-scoped v2 equality deletes instead of data files
       tagPrefix: String = "snap", content: Int = 0,
-      equalityIds: Seq[Int] = Nil): (Seq[Iceberg.Entry], Seq[Iceberg.Summary]) = {
+      equalityIds: Seq[Int] = Nil,
+      // `what` names the caller's OPERATION in refusals; `precomputed`
+      // skips the distinct+collect when the caller already derived the
+      // tuple set (upsert's two fan-outs share one — sources ⊆ keys)
+      what: String = "append to",
+      precomputed: Option[Seq[Seq[Any]]] = None)
+      : (Seq[Iceberg.Entry], Seq[Iceberg.Summary]) = {
     import org.apache.spark.sql.functions.lit
     val tCols = parts.map(transformedCol)
     // limit BEFORE collect: the cap must fire without materializing a
     // high-cardinality mistake on the driver
-    val distinctVals: Seq[Seq[Any]] = df
+    val distinctVals: Seq[Seq[Any]] = precomputed.getOrElse(df
       .select(tCols.zip(parts).map { case (c, p) => c.as(p.name) }: _*)
       .distinct()
       .limit(MaxPartitionValuesPerCommit + 1)
-      .collect().map(_.toSeq).toSeq
+      .collect().map(_.toSeq).toSeq)
     require(distinctVals.size <= MaxPartitionValuesPerCommit,
-      s"append to $table spans more than $MaxPartitionValuesPerCommit " +
+      s"$what $table spans more than $MaxPartitionValuesPerCommit " +
         "distinct partition values — past the per-commit cap (one " +
         "driver-coordinated write per value); commit in slices or " +
         "partition coarser")
@@ -641,7 +647,7 @@ object IcebergWriter {
     if (distinctVals.isEmpty)
       return (Seq.empty[Iceberg.Entry], Seq.empty[Iceberg.Summary])
     require(!distinctVals.exists(_.exists(_ == null)),
-      s"append to $table has NULL partition value(s) in " +
+      s"$what $table has NULL partition value(s) in " +
         s"${parts.map(_.sourceCol).mkString("(", ", ", ")")} — the " +
         "summary/pruning semantics of null partitions are not " +
         "implemented; filter or default them first")
@@ -1011,8 +1017,8 @@ object IcebergWriter {
       s"cannot upsert into $table: partition source column(s) " +
         s"${nonKeySources.mkString(", ")} are not upsert keys — a key's " +
         "old row could live in a different partition than its " +
-        "partition-scoped equality delete; include them in keyCols or " +
-        "compact to an unpartitioned layout first")
+        "partition-scoped equality delete; include them in keyCols, or " +
+        "express the change as deleteWhere + commitAppend instead")
     require(df.columns.toSeq == fields.map(_.name),
       s"upsert schema ${df.columns.mkString("(", ", ", ")")} does not " +
         s"match $table's ${fields.map(_.name).mkString("(", ", ", ")")} — " +
@@ -1048,6 +1054,18 @@ object IcebergWriter {
     val keyNameToId = keyFields.map(fd => fd.name -> fd.id).toMap
     val keyTypById = keyFields.map(fd => fd.id -> fd.typ).toMap
 
+    // the transformed-tuple set, derived ONCE from the (smaller) key
+    // frame — valid for BOTH fan-outs below because partition sources
+    // ⊆ keys (gated above), so df and keysDf span identical tuples;
+    // halves the per-batch planning jobs on the CDC ingest hot path
+    val keysDf = df.select(keyCols.map(col): _*).distinct()
+    val tupleSet: Option[Seq[Seq[Any]]] =
+      if (specParts.isEmpty) None
+      else Some(keysDf
+        .select(specParts.map(p => transformedCol(p).as(p.name)): _*)
+        .distinct().limit(MaxPartitionValuesPerCommit + 1)
+        .collect().map(_.toSeq).toSeq)
+
     // (a) the appended rows — full schema, id-stamped, footer bounds;
     // hidden-partitioned tables fan out per transformed tuple and stamp
     // partition structs + summaries exactly like commitAppend
@@ -1058,7 +1076,8 @@ object IcebergWriter {
           Seq.empty[Iceberg.Summary])
       } else
         writePartitionedFiles(spark, table, df, fields, specParts,
-          nameToId, typById, snapshotId)
+          nameToId, typById, snapshotId,
+          what = "upsert into", precomputed = tupleSet)
     val dataManifest = Iceberg.writeManifest(spark, table,
       s"m-snap$snapshotId.avro", snapshotId, dataEntries)
 
@@ -1068,7 +1087,6 @@ object IcebergWriter {
     // PARTITION-SCOPED delete file per transformed tuple (sound because
     // partition sources ⊆ keys — gated above), each stamped with its
     // partition struct so the reader's pruning skips delete files too.
-    val keysDf = df.select(keyCols.map(col): _*).distinct()
     val (delEntries, delSummaries) =
       if (specParts.isEmpty) {
         val delFiles = writeIdStampedFiles(spark, table,
@@ -1080,7 +1098,8 @@ object IcebergWriter {
         writePartitionedFiles(spark, table, keysDf, keyFields, specParts,
           keyNameToId, keyTypById, snapshotId,
           tagPrefix = "eqdel", content = 2,
-          equalityIds = keyFields.map(_.id))
+          equalityIds = keyFields.map(_.id),
+          what = "upsert into", precomputed = tupleSet)
     val delManifest = Iceberg.writeManifest(spark, table,
       s"m-eqdel$snapshotId.avro", snapshotId, delEntries)
 

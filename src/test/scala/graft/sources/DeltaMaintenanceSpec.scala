@@ -307,6 +307,20 @@ class DeltaMaintenanceSpec extends SparkSpec {
     DeltaLogWriter.write(df(Seq(9L)).coalesce(1), base)              // v4
     assert(DeltaLogWriter.checkpoint(spark, base) == 4L)
     assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 3L, 5L, 9L))
+    // more parts than add files: the trailing part writes EMPTY but
+    // must still exist (every named part is load-bearing for the
+    // pointer) and the replay must stay exact
+    val small = freshDir()
+    DeltaLogWriter.write(df(Seq(1L)).coalesce(1), small)
+    DeltaLogWriter.write(df(Seq(2L)).coalesce(1), small)
+    assert(DeltaLogWriter.checkpoint(spark, small, parts = 3) == 1L)
+    val smallParts = new java.io.File(small, "_delta_log").listFiles()
+      .map(_.getName).count(n => n.contains(".checkpoint.") && n.endsWith(".parquet"))
+    assert(smallParts == 3)
+    DeltaLogWriter.cleanLog(spark, small)
+    new java.io.File(small, "_delta_log").listFiles()
+      .filter(_.getName.endsWith(".json")).foreach(f => assert(f.delete()))
+    assert(ids(DeltaLogReader.read(spark, small)) == Set(1L, 2L))
   }
 
   test("checkpoint fidelity: column-mapping metaData survives cleanLog + cold replay") {
