@@ -2920,6 +2920,45 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // STREAMING Delta CDF consumption — streamChangeFeed drains the
+    // q260 table's feed one commit per micro-batch over a crash-safe
+    // file-offset checkpoint (the SnapshotLog.streamVersions
+    // discipline on the REAL format): the metaData commit advances the
+    // offset silently, the MERGE and DV-delete commits each arrive as
+    // one batch of classified change rows, and a SECOND drain over the
+    // same checkpoint consumes nothing — the exactly-once law, pinned
+    // as the z_second_drain sentinel row.
+    "q263_stream_delta_cdf" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ260DeltaCdf(s, dir)
+      // fresh checkpoint per invocation: the query's OUTPUT must be
+      // deterministic; the second-drain law inside one invocation is
+      // what pins resume semantics
+      val chk = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q263_chk_${java.util.UUID.randomUUID().toString.take(8)}").toString
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long)]
+      try {
+        graft.sources.DeltaLogReader.streamChangeFeed(s, base, chk,
+          startVersion = 1L) { (df, v) =>
+          df.groupBy($"_change_type")
+            .agg(count(lit(1)).as("n"), sum($"event_id").as("idc"),
+              sum($"value_micros").as("vmc"))
+            .collect().foreach(r => acc +=
+              ((r.getString(0), v, r.getLong(1), r.getLong(2), r.getLong(3))))
+        }
+        val second = graft.sources.DeltaLogReader.streamChangeFeed(
+          s, base, chk)((_, _) => ())
+        acc += (("z_second_drain", 99L, second.size.toLong, 0L, 0L))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(chk)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      acc.toSeq.toDF("change_type", "commit_version", "n_rows",
+        "id_checksum", "value_checksum")
+        .orderBy($"commit_version", $"change_type")
+    }),
+
     // Iceberg MANIFEST REWRITE — rewrite_manifests merges three
     // appends' data manifests into ONE (the b leg pins it via the
     // manifests metadata table) while every entry stays EXISTING under
@@ -3986,6 +4025,36 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q263_stream_delta_cdf" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'),
+        |merged AS MATERIALIZED (
+        |  SELECT event_id, CASE WHEN event_id % 3 = 0 THEN vm * 2 ELSE vm END AS vm FROM p
+        |  UNION ALL SELECT event_id, vm FROM c)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(2 AS BIGINT) AS commit_version,
+        |    count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum FROM c
+        |  UNION ALL
+        |  SELECT 'update_postimage', CAST(2 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm * 2) AS BIGINT)
+        |  FROM p WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'update_preimage', CAST(2 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM p WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'delete', CAST(3 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM merged WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'z_second_drain', CAST(99 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |) ORDER BY commit_version, change_type""".stripMargin,
     "q262_catalog_read" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,

@@ -336,6 +336,54 @@ object DeltaLogReader {
     }
   }
 
+  /** STREAM the Change Data Feed — the incremental CDC consumption loop
+    * over a real Delta table (`readStream.option("readChangeFeed")`'s
+    * semantics, driven by the same polling micro-batch discipline as
+    * `SnapshotLog.streamVersions`): every not-yet-consumed commit is
+    * served as ONE micro-batch of [[readChangeFeed]](v, v) rows, then
+    * its offset commits as a crash-safe file (rename-to-new-name is the
+    * atomic primitive; max surviving `offset_v*` wins, so a crash
+    * between batch and offset replays that batch — at-least-once into
+    * an idempotent sink, exactly-once with the offset intact).
+    * Changeless commits (metaData, OPTIMIZE) advance the offset without
+    * invoking `batch`. A fresh checkpoint starts at `startVersion`
+    * (serve from AFTER the CDF-enabling commit — versions before it
+    * refuse through [[readChangeFeed]]'s own gate).
+    * Returns the versions consumed THIS drain (empty = caught up). */
+  def streamChangeFeed(spark: SparkSession, path: String,
+                       checkpointDir: String, startVersion: Long = 0L)
+                      (batch: (DataFrame, Long) => Unit): Seq[Long] = {
+    val chk = new Path(checkpointDir)
+    val f = fs(spark, chk)
+    val OffName = "offset_v(\\d+)".r
+    val last: Option[Long] =
+      if (!f.exists(chk)) None
+      else f.listStatus(chk).map(_.getPath.getName)
+        .collect { case OffName(n) => n.toLong }.maxOption
+    val from = last.map(_ + 1).getOrElse(startVersion)
+    val todo = versions(spark, path).filter(_ >= from)
+    todo.foreach { v =>
+      val changes = readChangeFeed(spark, path, v, v)
+      // changeless commits (metaData/protocol/OPTIMIZE) advance the
+      // offset silently — isEmpty here is a planning-cheap probe (the
+      // per-commit frame is at most that commit's change rows)
+      if (!changes.isEmpty) batch(changes, v)
+      val tmp = new Path(checkpointDir, s".tmp_offset_$v")
+      val out = f.create(tmp, true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new Path(checkpointDir, s"offset_v$v")
+      require(f.rename(tmp, dst), s"failed to commit stream offset v$v")
+      f.listStatus(chk).map(_.getPath).filter { p =>
+        p.getName match {
+          case OffName(n) => n.toLong < v
+          case _ => false
+        }
+      }.foreach(p => f.delete(p, false))
+    }
+    todo
+  }
+
   /** The table's active file set as of `asOf` (default: latest commit):
     * checkpoint base (when one applies) + ordered JSON replay. REFUSES a
     * table whose active files carry deletion vectors: the file list

@@ -117,6 +117,42 @@ class DeltaChangeFeedSpec extends SparkSpec {
     assert(DeltaLogReader.read(spark, path).count() == 3L)
   }
 
+  test("streamChangeFeed drains incrementally with crash-safe offsets") {
+    val path = freshDir()
+    val chk = freshDir() + "/chk"
+    DeltaLogWriter.write(df(Seq(1L, 2L)).coalesce(1), path)          // v0
+    DeltaLogWriter.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                   // v1
+    DeltaLogWriter.deleteWhere(spark, path, col("id") === 1L)        // v2
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, String)])]
+    def drain(): Seq[Long] =
+      DeltaLogReader.streamChangeFeed(spark, path, chk, startVersion = 1L) {
+        (d, v) => batches += ((v, d.select("id", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted))
+      }
+    // first drain: v1 advances silently (changeless), v2 serves deletes
+    assert(drain() == Seq(1L, 2L))
+    assert(batches.toSeq == Seq((2L, Seq((1L, "delete")))))
+    // caught up: nothing re-served
+    assert(drain().isEmpty)
+    // new commits arrive as their own batches on the NEXT drain
+    DeltaLogWriter.write(df(Seq(9L)).coalesce(1), path)              // v3
+    assert(drain() == Seq(3L))
+    assert(batches.last == ((3L, Seq((9L, "insert")))))
+    // crash window: superseded offsets are cleaned (max wins), so
+    // losing the ONLY offset file replays from startVersion — the
+    // at-least-once contract into an idempotent sink, with every
+    // replayed batch identical to its first serving
+    val chkF = new java.io.File(chk)
+    assert(chkF.listFiles().map(_.getName).filterNot(_.endsWith(".crc"))
+      .toSeq == Seq("offset_v3"))
+    assert(new java.io.File(chkF, "offset_v3").delete())
+    assert(drain() == Seq(1L, 2L, 3L))
+    assert(batches.size == 4 &&
+      batches.drop(2).toSeq == Seq((2L, Seq((1L, "delete"))),
+        (3L, Seq((9L, "insert")))))
+  }
+
   test("CDF state survives checkpoint + cleanLog; a truncated range refuses by name") {
     val path = freshDir()
     DeltaLogWriter.write(df(Seq(1L)).coalesce(1), path)              // v0
