@@ -92,6 +92,7 @@ object IndexQueries {
   private val q260TablePat = scratchPat("q260_delta_cdf")
   private val q261TablePat = scratchPat("q261_iceberg_rewriteman")
   private val q262RegPat = scratchPat("q262_catalog_registry")
+  private val q264TablePat = scratchPat("q264_delta_mapwrite")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -182,6 +183,7 @@ object IndexQueries {
     stageQ259IcebergHiddenPart(s, dir)
     stageQ260DeltaCdf(s, dir)
     stageQ261IcebergRewritten(s, dir)
+    stageQ264DeltaMapped(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -948,6 +950,37 @@ object IndexQueries {
       graft.sources.IcebergWriter.commitAppend(s, base, slice("click"), 7002L, 2000L)
       graft.sources.IcebergWriter.commitAppend(s, base, slice("error"), 7003L, 3000L)
       graft.sources.IcebergWriter.rewriteManifests(s, base, 7004L, 4000L)
+    }
+    base
+  }
+
+  /** q264's fixture: Delta COLUMN-MAPPING WRITE lifecycle — write
+    * purchases (v0, plain logical-named parquet), `enableColumnMapping`
+    * (v1: every column gains mapping id + physicalName = its current
+    * name, protocol steps to (2,5) — a pure metadata upgrade), RENAME
+    * value_micros→amount_micros (v2: logical name only; zero data
+    * moved), then append the clicks under the NEW logical schema (v3 —
+    * the writer projects them to PHYSICAL names, so both file
+    * generations resolve). The Delta twin of q256's Iceberg field-id
+    * evolution. */
+  private[graft] def stageQ264DeltaMapped(s: SparkSession, dir: String): String = {
+    val base = scratch(q264TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String, vmName: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as(vmName))
+      graft.sources.DeltaLogWriter.write(
+        slice("purchase", "value_micros").coalesce(1), base)           // v0
+      graft.sources.DeltaLogWriter.enableColumnMapping(s, base)        // v1
+      graft.sources.DeltaLogWriter.renameColumn(s, base,
+        "value_micros", "amount_micros")                               // v2
+      graft.sources.DeltaLogWriter.write(
+        slice("click", "amount_micros").coalesce(1), base)             // v3
     }
     base
   }
@@ -2920,6 +2953,22 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // Delta COLUMN-MAPPING WRITE — the enable→rename→append lifecycle
+    // on the repo's own log: after the pure-metadata upgrade and
+    // rename, BOTH file generations (pre-upgrade logical-named parquet
+    // and post-rename physical-named appends) serve under the new
+    // logical name through the reader's name-mode resolution. Renames
+    // on Delta without rewriting a byte — the q256 Iceberg twin.
+    "q264_delta_mapped_write" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ264DeltaMapped(s, dir)
+      graft.sources.DeltaLogReader.read(s, base)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"amount_micros").as("amount_checksum"))
+        .orderBy($"event_type")
+    }),
+
     // STREAMING Delta CDF consumption — streamChangeFeed drains the
     // q260 table's feed one commit per micro-batch over a crash-safe
     // file-offset checkpoint (the SnapshotLog.streamVersions
@@ -4025,6 +4074,12 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q264_delta_mapped_write" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS amount_checksum
+        |FROM events WHERE event_type IN ('purchase', 'click')
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q263_stream_delta_cdf" ->
       """WITH p AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm

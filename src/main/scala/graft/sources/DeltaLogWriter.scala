@@ -95,7 +95,31 @@ object DeltaLogWriter {
     require(!f.exists(commit),
       s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
 
-    val newFiles = publishParts(spark, root, df, version, partitionBy)
+    // column-mapped tables: the parquet must carry PHYSICAL names (a
+    // logical-named file would orphan after a rename) — project the
+    // frame through the metaData's physicalName map before publishing.
+    // Name mode only: id-mode appends would need field-id stamping this
+    // writer does not do; refuse rather than write unresolvable files.
+    val toWrite: DataFrame =
+      if (creating) df
+      else DeltaLogReader.replayState(spark, path, None)._2 match {
+        case Some(m) if DeltaLogReader.mappingMode(m) != "none" =>
+          val mode = DeltaLogReader.mappingMode(m)
+          require(mode == "name",
+            s"Delta table at $path uses columnMapping mode '$mode' — " +
+              "this writer appends to name-mapped tables only")
+          val schema = org.apache.spark.sql.types.DataType
+            .fromJson(m.get("schemaString").asText())
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+          require(df.columns.toSeq == schema.fieldNames.toSeq,
+            s"append schema ${df.columns.mkString("(", ", ", ")")} does " +
+              s"not match $path's logical schema " +
+              s"${schema.fieldNames.mkString("(", ", ", ")")}")
+          df.toDF(schema.fields.map(fld =>
+            fld.metadata.getString("delta.columnMapping.physicalName")): _*)
+        case _ => df
+      }
+    val newFiles = publishParts(spark, root, toWrite, version, partitionBy)
     require(newFiles.nonEmpty || df.isEmpty,
       s"Delta write at $path produced no new parquet parts")
 
@@ -801,6 +825,108 @@ object DeltaLogWriter {
       s"""{"metaData":${mapper.writeValueAsString(updated)}}""" + "\n")
     version
   }
+
+  /** Enable NAME-mode COLUMN MAPPING on an existing table — the upgrade
+    * `ALTER TABLE ... SET ('delta.columnMapping.mode' = 'name')` runs:
+    * every existing column gets `delta.columnMapping.id` (1..n) and
+    * `delta.columnMapping.physicalName` = its CURRENT name (the name
+    * the already-written parquet physically carries — that equality is
+    * what makes the upgrade a pure metadata commit), the configuration
+    * gains mode + maxColumnId, and the protocol upgrades to the
+    * mapping-capable (2, 5) when below it. After this, [[renameColumn]]
+    * serves every old file under new logical names with ZERO data
+    * rewritten — the Delta twin of Iceberg's field-id rename. */
+  def enableColumnMapping(spark: SparkSession, path: String): Long = {
+    val (_, meta) = DeltaLogReader.replayState(spark, path, None)
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action — nothing to upgrade"))
+    require(DeltaLogReader.mappingMode(metaNode) == "none",
+      s"Delta table at $path already sets columnMapping mode " +
+        s"'${DeltaLogReader.mappingMode(metaNode)}'")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(metaNode.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val mapped = org.apache.spark.sql.types.StructType(
+      schema.fields.zipWithIndex.map { case (fld, i) =>
+        fld.copy(metadata = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(fld.metadata)
+          .putLong("delta.columnMapping.id", i + 1L)
+          .putString("delta.columnMapping.physicalName", fld.name)
+          .build())
+      })
+    val updated = metaNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    updated.put("schemaString", mapped.json)
+    val conf = updated.path("configuration") match {
+      case o: com.fasterxml.jackson.databind.node.ObjectNode => o
+      case _ => updated.putObject("configuration")
+    }
+    conf.put("delta.columnMapping.mode", "name")
+    conf.put("delta.columnMapping.maxColumnId", schema.fields.length.toString)
+    updated.set("configuration", conf)
+    // protocol: legacy (2, 5) implies columnMapping; only upgrade, never
+    // downgrade a table already past it
+    val latestProto = latestProtocolNode(spark, path)
+    val (curR, curW) = latestProto
+      .map(p => (p.path("minReaderVersion").asInt(1), p.path("minWriterVersion").asInt(2)))
+      .getOrElse((1, 2))
+    val protoLine =
+      if (curR >= 2 && curW >= 5) Seq.empty[String]
+      else Seq(s"""{"protocol":{"minReaderVersion":${math.max(curR, 2)},""" +
+        s""""minWriterVersion":${math.max(curW, 5)}}}""")
+    val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
+    require(!fs(spark, new Path(path)).exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit,
+      (protoLine :+ s"""{"metaData":${mapper.writeValueAsString(updated)}}""")
+        .mkString("", "\n", "\n"))
+    version
+  }
+
+  /** RENAME a column of a NAME-mapped table — a pure metadata commit:
+    * the logical name changes in the schemaString; the physicalName
+    * and mapping id stay, so every existing file keeps resolving. The
+    * rename is AS-OF-consistent (later-wins metaData replay, the
+    * reader's documented behavior). */
+  def renameColumn(spark: SparkSession, path: String,
+                   from: String, to: String): Long = {
+    val (_, meta) = DeltaLogReader.replayState(spark, path, None)
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action"))
+    require(DeltaLogReader.mappingMode(metaNode) == "name",
+      s"Delta table at $path does not use name-mode column mapping — " +
+        "renames need it (enableColumnMapping first); without mapping a " +
+        "rename would orphan every existing file's physical column")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(metaNode.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(schema.fieldNames.contains(from),
+      s"cannot rename '$from' in $path: not a column " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    require(!schema.fieldNames.contains(to),
+      s"cannot rename '$from' to '$to' in $path: '$to' already exists")
+    val renamed = org.apache.spark.sql.types.StructType(
+      schema.fields.map(f => if (f.name == from) f.copy(name = to) else f))
+    val updated = metaNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    updated.put("schemaString", renamed.json)
+    val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
+    require(!fs(spark, new Path(path)).exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit,
+      s"""{"metaData":${mapper.writeValueAsString(updated)}}""" + "\n")
+    version
+  }
+
+  /** The newest protocol action in the surviving commit JSONs. */
+  private def latestProtocolNode(spark: SparkSession, path: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] =
+    DeltaLogReader.versions(spark, path).reverse.iterator.flatMap { cv =>
+      DeltaLogReader.readSmallFile(spark,
+          new Path(logDir(spark, path), f"$cv%020d.json"))
+        .split("\n").filter(_.nonEmpty)
+        .map(mapper.readTree).find(_.has("protocol")).map(_.get("protocol"))
+    }.take(1).toSeq.headOption
 
   /** Publish a `_change_data/` parquet for commit `version` and return
     * its `cdc` action lines (PROTOCOL.md "Add CDC File": change files

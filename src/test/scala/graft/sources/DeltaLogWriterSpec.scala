@@ -295,4 +295,53 @@ class DeltaLogWriterSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("column mapping"))
   }
+
+  test("enableColumnMapping + renameColumn: pure metadata lifecycle, appends go physical") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "amount")
+      .coalesce(1), base)                                            // v0
+    val dataFilesBefore = new java.io.File(base).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(DeltaLogWriter.enableColumnMapping(spark, base) == 1L)    // v1
+    assert(DeltaLogWriter.renameColumn(spark, base, "amount", "total") == 2L) // v2
+    // zero data rewritten across BOTH metadata commits
+    val dataFilesAfter = new java.io.File(base).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    assert(dataFilesAfter == dataFilesBefore)
+    // protocol stepped to the mapping-capable (2, 5)
+    val v1 = scala.io.Source.fromFile(new java.io.File(base,
+      f"_delta_log/${1L}%020d.json")).getLines().toSeq
+    assert(v1.exists(l => l.contains("\"minReaderVersion\":2") &&
+      l.contains("\"minWriterVersion\":5")), v1.mkString("\n"))
+    // old files serve under the NEW logical name
+    val d = DeltaLogReader.read(spark, base)
+    assert(d.columns.toSeq == Seq("id", "total"))
+    assert(d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+    // an append under the new LOGICAL schema writes PHYSICAL parquet
+    DeltaLogWriter.write(Seq((9L, 90L)).toDF("id", "total").coalesce(1), base) // v3
+    assert(DeltaLogReader.read(spark, base).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L), (9L, 90L)))
+    val newFile = new java.io.File(base).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet.diff(dataFilesAfter).head
+    val footerCols = spark.read.parquet(s"$base/$newFile").columns.toSeq
+    assert(footerCols == Seq("id", "amount"), // physicalName, not the rename
+      footerCols.mkString(", "))
+    // rename refusals: unmapped table, unknown source, collision
+    val plain = freshDir()
+    DeltaLogWriter.write(Seq(1L).toDF("id"), plain)
+    val e1 = intercept[IllegalArgumentException](
+      DeltaLogWriter.renameColumn(spark, plain, "id", "x"))
+    assert(e1.getMessage.contains("enableColumnMapping"), e1.getMessage)
+    intercept[IllegalArgumentException](
+      DeltaLogWriter.renameColumn(spark, base, "nope", "x"))
+    intercept[IllegalArgumentException](
+      DeltaLogWriter.renameColumn(spark, base, "id", "total"))
+    // a drifted append refuses against the logical schema
+    val e2 = intercept[IllegalArgumentException](DeltaLogWriter.write(
+      Seq((1L, 1L)).toDF("id", "amount"), base))
+    assert(e2.getMessage.contains("logical schema"), e2.getMessage)
+  }
 }
