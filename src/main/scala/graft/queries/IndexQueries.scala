@@ -93,6 +93,7 @@ object IndexQueries {
   private val q261TablePat = scratchPat("q261_iceberg_rewriteman")
   private val q262RegPat = scratchPat("q262_catalog_registry")
   private val q264TablePat = scratchPat("q264_delta_mapwrite")
+  private val q265TablePat = scratchPat("q265_iceberg_changelog")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -184,6 +185,7 @@ object IndexQueries {
     stageQ260DeltaCdf(s, dir)
     stageQ261IcebergRewritten(s, dir)
     stageQ264DeltaMapped(s, dir)
+    stageQ265IcebergChangelog(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -950,6 +952,35 @@ object IndexQueries {
       graft.sources.IcebergWriter.commitAppend(s, base, slice("click"), 7002L, 2000L)
       graft.sources.IcebergWriter.commitAppend(s, base, slice("error"), 7003L, 3000L)
       graft.sources.IcebergWriter.rewriteManifests(s, base, 7004L, 4000L)
+    }
+    base
+  }
+
+  /** q265's fixture: the Iceberg CHANGELOG's five commit shapes on one
+    * table — append purchases (8101), append clicks (8102, the cheap
+    * attribution path), MoR upsert doubling-plus-one every
+    * `event_id % 3 == 0` purchase (8103: equality delete + append —
+    * the exact-diff path; vm*2+1 so every upserted row provably
+    * CHANGES), compact (8104: a rewrite that must net ZERO change
+    * rows), then a position delete of `event_id % 5 == 0` (8105). */
+  private[graft] def stageQ265IcebergChangelog(s: SparkSession, dir: String): String = {
+    val base = scratch(q265TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      val W = graft.sources.IcebergWriter
+      W.commitAppend(s, base, slice("purchase"), 8101L, 1000L)
+      W.commitAppend(s, base, slice("click"), 8102L, 2000L)
+      W.upsert(s, base, slice("purchase").where($"event_id" % 3 === 0)
+        .withColumn("value_micros", $"value_micros" * 2 + 1),
+        Seq("event_id"), 8103L, 3000L)
+      W.compact(s, base, 8104L, 4000L, numFiles = Some(2))
+      W.deleteWhere(s, base, $"event_id" % 5 === 0, 8105L, 5000L)
     }
     base
   }
@@ -2953,6 +2984,27 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // Iceberg CHANGELOG scan — changesBetween over all five commit
+    // shapes: an append attributes its rows cheaply (no existing data
+    // re-read), the MoR upsert surfaces as delete+insert pairs through
+    // the exact multiset diff, the COMPACTION nets ZERO change rows
+    // (the law that separates a changelog from a file diff), and the
+    // position delete surfaces its killed rows. The Iceberg twin of
+    // q260's Delta feed — both formats' CDC surfaces converge on
+    // oracle-replayed strata.
+    "q265_iceberg_changelog" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ265IcebergChangelog(s, dir)
+      graft.sources.Iceberg.changesBetween(s, base, 8101L, 8105L)
+        .groupBy($"_change_type", $"_change_snapshot_id")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+        .select($"_change_type".as("change_type"),
+          $"_change_snapshot_id".as("change_snapshot_id"),
+          $"n_rows", $"id_checksum", $"value_checksum")
+        .orderBy($"change_snapshot_id", $"change_type")
+    }),
+
     // Delta COLUMN-MAPPING WRITE — the enable→rename→append lifecycle
     // on the repo's own log: after the pure-metadata upgrade and
     // rename, BOTH file generations (pre-upgrade logical-named parquet
@@ -4074,6 +4126,33 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q265_iceberg_changelog" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'),
+        |merged AS MATERIALIZED (
+        |  SELECT event_id, CASE WHEN event_id % 3 = 0 THEN vm * 2 + 1 ELSE vm END AS vm FROM p
+        |  UNION ALL SELECT event_id, vm FROM c)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(8102 AS BIGINT) AS change_snapshot_id,
+        |    count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum FROM c
+        |  UNION ALL
+        |  SELECT 'delete', CAST(8103 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM p WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', CAST(8103 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm * 2 + 1) AS BIGINT)
+        |  FROM p WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'delete', CAST(8105 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM merged WHERE event_id % 5 = 0
+        |) ORDER BY change_snapshot_id, change_type""".stripMargin,
     "q264_delta_mapped_write" ->
       """SELECT event_type, count(*) AS n_rows,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,

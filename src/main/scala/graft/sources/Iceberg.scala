@@ -703,6 +703,83 @@ object Iceberg {
     }
   }
 
+  /** CHANGELOG scan — Iceberg's `create_changelog_view` surface:
+    * row-level changes between two snapshots, one stratum per snapshot
+    * in log order over `(from, to]`. Each step classifies itself:
+    *
+    *  - APPEND-ONLY (no data file removed, delete-file set unchanged):
+    *    the inserts are exactly the rows of the files the snapshot
+    *    added — the cheap attribution path; no existing data is
+    *    re-read, and the rows are provably alive (older position
+    *    deletes name older files; older equality deletes lose the
+    *    sequence gate against newer data).
+    *  - anything else (MoR deletes, upserts, compactions, rollbacks):
+    *    the EXACT logical multiset diff of the two snapshot states
+    *    (`exceptAll` both directions, duplicate multiplicity kept) —
+    *    so a compaction or a rewrite nets ZERO change rows, as a
+    *    changelog must report it.
+    *
+    * Output: the table's columns + `_change_type` (insert / delete) +
+    * `_change_snapshot_id`. Updates surface as delete+insert pairs —
+    * the changelog contract without a row-lineage field to pair them
+    * by. The Delta twin is [[DeltaLogReader.readChangeFeed]]. */
+  def changesBetween(spark: SparkSession, table: String,
+                     fromSnapshotId: Long, toSnapshotId: Long): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val doc = metadata(spark, table)
+    val ids = doc.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong()).toSeq
+    val fi = ids.indexOf(fromSnapshotId)
+    val ti = ids.indexOf(toSnapshotId)
+    require(fi >= 0, s"from-snapshot $fromSnapshotId not in $table's log " +
+      s"(known: ${ids.mkString(", ")})")
+    require(ti >= 0, s"to-snapshot $toSnapshotId not in $table's log " +
+      s"(known: ${ids.mkString(", ")})")
+    require(fi < ti, s"changelog range is (from, to] in log order; " +
+      s"$fromSnapshotId does not precede $toSnapshotId")
+    val schemaFields = currentSchemaFields(doc)
+    require(schemaFields.isDefined,
+      s"changelog of $table needs the metadata schema to type its frame")
+    val clash = schemaFields.get.map(_.name)
+      .filter(n => n == "_change_type" || n == "_change_snapshot_id")
+    require(clash.isEmpty,
+      s"table column(s) ${clash.mkString(", ")} collide with the " +
+        "changelog's output columns; rename them first")
+    val steps: Seq[DataFrame] = (fi until ti).flatMap { i =>
+      val (prev, cur) = (ids(i), ids(i + 1))
+      val prevPlan = listLiveFiles(spark, table,
+        manifestListOf(doc, table, prev), prev)
+      val curPlan = listLiveFiles(spark, table,
+        manifestListOf(doc, table, cur), cur)
+      val prevData = prevPlan.data.map(_._1).toSet
+      val removedData = prevData -- curPlan.data.map(_._1).toSet
+      val deleteSetChanged =
+        prevPlan.deletes.toSet != curPlan.deletes.toSet ||
+          prevPlan.eqDeletes.map(_._1).toSet != curPlan.eqDeletes.map(_._1).toSet
+      val change: Option[DataFrame] =
+        if (removedData.isEmpty && !deleteSetChanged) {
+          val added = curPlan.data.map(_._1).filterNot(prevData)
+          if (added.isEmpty) None
+          else Some(readWithMetadataSchema(spark, schemaFields.get, added)
+            .withColumn("_change_type", lit("insert")))
+        } else {
+          val a = readSnapshotDoc(spark, table, doc, prev)
+          val b = readSnapshotDoc(spark, table, doc, cur)
+          Some(a.exceptAll(b).withColumn("_change_type", lit("delete"))
+            .unionByName(b.exceptAll(a).withColumn("_change_type", lit("insert"))))
+        }
+      change.map(_.withColumn("_change_snapshot_id", lit(cur)))
+    }
+    steps.reduceOption(_.unionByName(_)).getOrElse {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(schemaFields.get.map(f =>
+          StructField(f.name, sparkType(f.typ), nullable = true)) ++ Seq(
+          StructField("_change_type", StringType),
+          StructField("_change_snapshot_id", LongType))))
+    }
+  }
+
   private[sources] def manifestListOf(doc: JsonNode, table: String, snapshotId: Long): String = {
     val snap = doc.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong() == snapshotId)

@@ -311,6 +311,34 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("not upsert keys"), e.getMessage)
   }
 
+  test("changesBetween: cheap append attribution, exact MoR diffs, zero-row compaction, rollback inverse") {
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L, 3L)).coalesce(1), 951L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(10L)).coalesce(1), 952L, 2000L)
+    IcebergWriter.deleteWhere(spark, base, col("id") === 2L, 953L, 3000L)
+    IcebergWriter.compact(spark, base, 954L, 4000L, numFiles = Some(1))
+    IcebergWriter.rollbackTo(spark, base, 952L, 955L, 5000L)
+    def strata(from: Long, to: Long): Seq[(Long, String, Long)] =
+      Iceberg.changesBetween(spark, base, from, to)
+        .select("id", "_change_type", "_change_snapshot_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq.sorted
+    // append stratum: only the added file's rows, attributed to 952
+    assert(strata(951L, 952L) == Seq((10L, "insert", 952L)))
+    // MoR delete stratum: exactly the killed row
+    assert(strata(952L, 953L) == Seq((2L, "delete", 953L)))
+    // compaction: ZERO change rows
+    assert(strata(953L, 954L).isEmpty)
+    // rollback to 952 resurrects the deleted row — the changelog
+    // reports the INVERSE of the delete, nothing else
+    assert(strata(954L, 955L) == Seq((2L, "insert", 955L)))
+    // the whole range composes per stratum
+    assert(strata(951L, 955L) == Seq(
+      (2L, "delete", 953L), (2L, "insert", 955L), (10L, "insert", 952L)))
+    // refusals: unknown ids, non-forward ranges, clashing columns
+    intercept[IllegalArgumentException](Iceberg.changesBetween(spark, base, 999L, 952L))
+    intercept[IllegalArgumentException](Iceberg.changesBetween(spark, base, 953L, 952L))
+  }
+
   // ---------------------------------------------------- rewriteManifests
 
   /** Data-manifest rows of a table's CURRENT snapshot's manifest list. */
