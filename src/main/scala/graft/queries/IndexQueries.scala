@@ -2984,6 +2984,42 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // STREAMING Iceberg changelog consumption — streamChangelog drains
+    // the q265 table one snapshot per micro-batch over a crash-safe
+    // snapshot-id offset checkpoint: the compaction snapshot advances
+    // the offset with ZERO rows (changeless), the upsert and delete
+    // snapshots each arrive as one batch of classified change rows,
+    // and a second drain consumes nothing — the exactly-once law as
+    // the z_second_drain sentinel. Completes the CDC matrix: q252
+    // streams INTO Iceberg, q263 OUT of Delta, this OUT of Iceberg.
+    "q266_stream_iceberg_changelog" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ265IcebergChangelog(s, dir)
+      val chk = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q266_chk_${java.util.UUID.randomUUID().toString.take(8)}").toString
+      val acc = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Long, Long, Long)]
+      try {
+        graft.sources.Iceberg.streamChangelog(s, base, chk,
+          startAfterSnapshotId = 8101L) { (df, snap) =>
+          df.groupBy($"_change_type")
+            .agg(count(lit(1)).as("n"), sum($"event_id").as("idc"),
+              sum($"value_micros").as("vmc"))
+            .collect().foreach(r => acc +=
+              ((r.getString(0), snap, r.getLong(1), r.getLong(2), r.getLong(3))))
+        }
+        val second = graft.sources.Iceberg.streamChangelog(
+          s, base, chk, startAfterSnapshotId = 8101L)((_, _) => ())
+        acc += (("z_second_drain", 9999L, second.size.toLong, 0L, 0L))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(chk)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      acc.toSeq.toDF("change_type", "change_snapshot_id", "n_rows",
+        "id_checksum", "value_checksum")
+        .orderBy($"change_snapshot_id", $"change_type")
+    }),
+
     // Iceberg CHANGELOG scan — changesBetween over all five commit
     // shapes: an append attributes its rows cheaply (no existing data
     // re-read), the MoR upsert surfaces as delete+insert pairs through
@@ -4126,6 +4162,36 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q266_stream_iceberg_changelog" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'),
+        |merged AS MATERIALIZED (
+        |  SELECT event_id, CASE WHEN event_id % 3 = 0 THEN vm * 2 + 1 ELSE vm END AS vm FROM p
+        |  UNION ALL SELECT event_id, vm FROM c)
+        |SELECT * FROM (
+        |  SELECT 'insert' AS change_type, CAST(8102 AS BIGINT) AS change_snapshot_id,
+        |    count(*) AS n_rows, CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum FROM c
+        |  UNION ALL
+        |  SELECT 'delete', CAST(8103 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM p WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'insert', CAST(8103 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm * 2 + 1) AS BIGINT)
+        |  FROM p WHERE event_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'delete', CAST(8105 AS BIGINT), count(*),
+        |    CAST(sum(event_id) AS BIGINT), CAST(sum(vm) AS BIGINT)
+        |  FROM merged WHERE event_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'z_second_drain', CAST(9999 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT)
+        |) ORDER BY change_snapshot_id, change_type""".stripMargin,
     "q265_iceberg_changelog" ->
       """WITH p AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm

@@ -780,6 +780,59 @@ object Iceberg {
     }
   }
 
+  /** STREAM the changelog — the incremental CDC consumption loop over
+    * an Iceberg table (the [[DeltaLogReader.streamChangeFeed]] twin):
+    * every not-yet-consumed snapshot serves as ONE micro-batch of
+    * [[changesBetween]](prev, cur) rows under a crash-safe file-offset
+    * checkpoint (offsets record the last consumed snapshot ID;
+    * rename-to-new-name commit, max-index surviving offset wins).
+    * Changeless snapshots (compactions, manifest rewrites) advance the
+    * offset without invoking `batch`. A fresh checkpoint starts AFTER
+    * `startAfterSnapshotId` (that snapshot is the initial state, not a
+    * served batch). Returns the snapshot ids consumed this drain. */
+  def streamChangelog(spark: SparkSession, table: String,
+                      checkpointDir: String, startAfterSnapshotId: Long)
+                     (batch: (DataFrame, Long) => Unit): Seq[Long] = {
+    val chk = new Path(checkpointDir)
+    val f = fs(spark, chk)
+    val OffName = "offset_s(\\d+)".r
+    val doc = metadata(spark, table)
+    val ids = doc.path("snapshots").elements().asScala
+      .map(_.path("snapshot-id").asLong()).toSeq
+    // offsets store snapshot IDS; ordering is the LOG's, so resume
+    // resolves the id back to its log position (ids are not ordered)
+    val consumedThrough: Long =
+      if (!f.exists(chk)) startAfterSnapshotId
+      else f.listStatus(chk).map(_.getPath.getName)
+        .collect { case OffName(n) => n.toLong }
+        .maxByOption(id => ids.indexOf(id)).getOrElse(startAfterSnapshotId)
+    val fromIdx = ids.indexOf(consumedThrough)
+    require(fromIdx >= 0,
+      s"stream checkpoint at $checkpointDir consumed through snapshot " +
+        s"$consumedThrough, which is no longer in $table's log " +
+        s"(known: ${ids.mkString(", ")}) — expired history; restart with " +
+        "a fresh checkpoint to take a new initial snapshot")
+    val todo = ids.drop(fromIdx + 1)
+    todo.foreach { cur =>
+      val prev = ids(ids.indexOf(cur) - 1)
+      val changes = changesBetween(spark, table, prev, cur)
+      if (!changes.isEmpty) batch(changes, cur)
+      val tmp = new Path(checkpointDir, s".tmp_offset_$cur")
+      val out = f.create(tmp, true)
+      try out.write(cur.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      val dst = new Path(checkpointDir, s"offset_s$cur")
+      require(f.rename(tmp, dst), s"failed to commit stream offset $cur")
+      f.listStatus(chk).map(_.getPath).filter { p =>
+        p.getName match {
+          case OffName(n) => ids.indexOf(n.toLong) < ids.indexOf(cur)
+          case _ => false
+        }
+      }.foreach(p => f.delete(p, false))
+    }
+    todo
+  }
+
   private[sources] def manifestListOf(doc: JsonNode, table: String, snapshotId: Long): String = {
     val snap = doc.path("snapshots").elements().asScala
       .find(_.path("snapshot-id").asLong() == snapshotId)
