@@ -363,11 +363,11 @@ object DeltaLogReader {
     val from = last.map(_ + 1).getOrElse(startVersion)
     val todo = versions(spark, path).filter(_ >= from)
     todo.foreach { v =>
-      val changes = readChangeFeed(spark, path, v, v)
-      // changeless commits (metaData/protocol/OPTIMIZE) advance the
-      // offset silently — isEmpty here is a planning-cheap probe (the
-      // per-commit frame is at most that commit's change rows)
-      if (!changes.isEmpty) batch(changes, v)
+      // persisted across the emptiness probe and the batch itself so a
+      // derived stratum's file reads run once, not twice
+      val changes = readChangeFeed(spark, path, v, v).persist()
+      try { if (!changes.isEmpty) batch(changes, v) }
+      finally changes.unpersist()
       val tmp = new Path(checkpointDir, s".tmp_offset_$v")
       val out = f.create(tmp, true)
       try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))

@@ -745,6 +745,15 @@ object Iceberg {
     require(clash.isEmpty,
       s"table column(s) ${clash.mkString(", ")} collide with the " +
         "changelog's output columns; rename them first")
+    // an INTERIOR snapshot sits in two consecutive diffs (as `cur` of
+    // one step and `prev` of the next): a lazy localCheckpoint pins
+    // each snapshot's scan to materialize ONCE when the returned frame
+    // executes, shared by both exceptAll consumers — the repo-wide
+    // double-referenced-frame discipline (persist() would not stop the
+    // logical plan doubling)
+    val snapCache = mutable.Map.empty[Long, DataFrame]
+    def snapDf(id: Long): DataFrame = snapCache.getOrElseUpdate(id,
+      readSnapshotDoc(spark, table, doc, id).localCheckpoint(false))
     val steps: Seq[DataFrame] = (fi until ti).flatMap { i =>
       val (prev, cur) = (ids(i), ids(i + 1))
       val prevPlan = listLiveFiles(spark, table,
@@ -763,8 +772,8 @@ object Iceberg {
           else Some(readWithMetadataSchema(spark, schemaFields.get, added)
             .withColumn("_change_type", lit("insert")))
         } else {
-          val a = readSnapshotDoc(spark, table, doc, prev)
-          val b = readSnapshotDoc(spark, table, doc, cur)
+          val a = snapDf(prev)
+          val b = snapDf(cur)
           Some(a.exceptAll(b).withColumn("_change_type", lit("delete"))
             .unionByName(b.exceptAll(a).withColumn("_change_type", lit("insert"))))
         }
@@ -815,8 +824,13 @@ object Iceberg {
     val todo = ids.drop(fromIdx + 1)
     todo.foreach { cur =>
       val prev = ids(ids.indexOf(cur) - 1)
-      val changes = changesBetween(spark, table, prev, cur)
-      if (!changes.isEmpty) batch(changes, cur)
+      // persist across the two consumptions (the emptiness probe and
+      // the batch itself): a diff stratum is two snapshot scans + two
+      // exceptAll shuffles — recomputing it per consumption would
+      // double every batch's cost
+      val changes = changesBetween(spark, table, prev, cur).persist()
+      try { if (!changes.isEmpty) batch(changes, cur) }
+      finally changes.unpersist()
       val tmp = new Path(checkpointDir, s".tmp_offset_$cur")
       val out = f.create(tmp, true)
       try out.write(cur.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
