@@ -353,14 +353,8 @@ object DeltaLogReader {
   def streamChangeFeed(spark: SparkSession, path: String,
                        checkpointDir: String, startVersion: Long = 0L)
                       (batch: (DataFrame, Long) => Unit): Seq[Long] = {
-    val chk = new Path(checkpointDir)
-    val f = fs(spark, chk)
-    val OffName = "offset_v(\\d+)".r
-    val last: Option[Long] =
-      if (!f.exists(chk)) None
-      else f.listStatus(chk).map(_.getPath.getName)
-        .collect { case OffName(n) => n.toLong }.maxOption
-    val from = last.map(_ + 1).getOrElse(startVersion)
+    val offsets = new graft.operators.StreamOffsets(spark, checkpointDir, "offset_v")
+    val from = offsets.readMax(identity).map(_ + 1).getOrElse(startVersion)
     val todo = versions(spark, path).filter(_ >= from)
     todo.foreach { v =>
       // persisted across the emptiness probe and the batch itself so a
@@ -368,18 +362,7 @@ object DeltaLogReader {
       val changes = readChangeFeed(spark, path, v, v).persist()
       try { if (!changes.isEmpty) batch(changes, v) }
       finally changes.unpersist()
-      val tmp = new Path(checkpointDir, s".tmp_offset_$v")
-      val out = f.create(tmp, true)
-      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val dst = new Path(checkpointDir, s"offset_v$v")
-      require(f.rename(tmp, dst), s"failed to commit stream offset v$v")
-      f.listStatus(chk).map(_.getPath).filter { p =>
-        p.getName match {
-          case OffName(n) => n.toLong < v
-          case _ => false
-        }
-      }.foreach(p => f.delete(p, false))
+      offsets.commit(v, identity)
     }
     todo
   }

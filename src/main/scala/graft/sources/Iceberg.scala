@@ -745,48 +745,79 @@ object Iceberg {
     require(clash.isEmpty,
       s"table column(s) ${clash.mkString(", ")} collide with the " +
         "changelog's output columns; rename them first")
-    // an INTERIOR snapshot sits in two consecutive diffs (as `cur` of
-    // one step and `prev` of the next): a lazy localCheckpoint pins
-    // each snapshot's scan to materialize ONCE when the returned frame
-    // executes, shared by both exceptAll consumers — the repo-wide
-    // double-referenced-frame discipline (persist() would not stop the
-    // logical plan doubling)
-    val snapCache = mutable.Map.empty[Long, DataFrame]
-    def snapDf(id: Long): DataFrame = snapCache.getOrElseUpdate(id,
+    val snapDf = changelogSnapCache(spark, table, doc)
+    val steps = (fi until ti).flatMap(i =>
+      changelogStep(spark, table, doc, schemaFields.get, ids(i), ids(i + 1), snapDf))
+    steps.reduceOption(_.unionByName(_))
+      .getOrElse(emptyChangelogFrame(spark, schemaFields.get))
+  }
+
+  /** Drain-scoped snapshot cache for the changelog machinery: an
+    * INTERIOR snapshot sits in two consecutive diffs (as `cur` of one
+    * step and `prev` of the next), and a streaming drain revisits it
+    * across batches — a lazy localCheckpoint pins each snapshot's scan
+    * to materialize ONCE, shared by every consumer (the repo-wide
+    * double-referenced-frame discipline; persist() would not stop the
+    * logical-plan doubling). */
+  private def changelogSnapCache(spark: SparkSession, table: String,
+                                 doc: JsonNode): Long => DataFrame = {
+    val cache = mutable.Map.empty[Long, DataFrame]
+    id => cache.getOrElseUpdate(id,
       readSnapshotDoc(spark, table, doc, id).localCheckpoint(false))
-    val steps: Seq[DataFrame] = (fi until ti).flatMap { i =>
-      val (prev, cur) = (ids(i), ids(i + 1))
-      val prevPlan = listLiveFiles(spark, table,
-        manifestListOf(doc, table, prev), prev)
-      val curPlan = listLiveFiles(spark, table,
-        manifestListOf(doc, table, cur), cur)
-      val prevData = prevPlan.data.map(_._1).toSet
-      val removedData = prevData -- curPlan.data.map(_._1).toSet
-      val deleteSetChanged =
-        prevPlan.deletes.toSet != curPlan.deletes.toSet ||
-          prevPlan.eqDeletes.map(_._1).toSet != curPlan.eqDeletes.map(_._1).toSet
-      val change: Option[DataFrame] =
-        if (removedData.isEmpty && !deleteSetChanged) {
-          val added = curPlan.data.map(_._1).filterNot(prevData)
-          if (added.isEmpty) None
-          else Some(readWithMetadataSchema(spark, schemaFields.get, added)
-            .withColumn("_change_type", lit("insert")))
-        } else {
-          val a = snapDf(prev)
-          val b = snapDf(cur)
-          Some(a.exceptAll(b).withColumn("_change_type", lit("delete"))
-            .unionByName(b.exceptAll(a).withColumn("_change_type", lit("insert"))))
-        }
-      change.map(_.withColumn("_change_snapshot_id", lit(cur)))
-    }
-    steps.reduceOption(_.unionByName(_)).getOrElse {
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(schemaFields.get.map(f =>
-          StructField(f.name, sparkType(f.typ), nullable = true)) ++ Seq(
-          StructField("_change_type", StringType),
-          StructField("_change_snapshot_id", LongType))))
-    }
+  }
+
+  private def emptyChangelogFrame(spark: SparkSession,
+                                  fields: Seq[IceField]): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map(f =>
+        StructField(f.name, sparkType(f.typ), nullable = true)) ++ Seq(
+        StructField("_change_type", StringType),
+        StructField("_change_snapshot_id", LongType))))
+
+  /** One changelog stratum (prev → cur). The CHEAP attribution path —
+    * inserts read straight from the files `cur` added — is taken only
+    * when it is provably exact: no data file removed, the delete-file
+    * set unchanged, NO position deletes live (a position delete names a
+    * file PATH, and a re-added old path — a rollback-shaped history, a
+    * foreign writer — would be silently over-reported; their presence
+    * forces the exact diff), and every added entry's data sequence
+    * number defined and ABOVE every live equality delete's (the spec's
+    * gate that makes new rows untouchable by old deletes). Everything
+    * else pays the exact multiset diff. */
+  private def changelogStep(spark: SparkSession, table: String, doc: JsonNode,
+                            fields: Seq[IceField], prev: Long, cur: Long,
+                            snapDf: Long => DataFrame): Option[DataFrame] = {
+    import org.apache.spark.sql.functions.lit
+    val prevPlan = listLiveFiles(spark, table,
+      manifestListOf(doc, table, prev), prev)
+    val curPlan = listLiveFiles(spark, table,
+      manifestListOf(doc, table, cur), cur)
+    val prevData = prevPlan.data.map(_._1).toSet
+    val removedData = prevData -- curPlan.data.map(_._1).toSet
+    val deleteSetChanged =
+      prevPlan.deletes.toSet != curPlan.deletes.toSet ||
+        prevPlan.eqDeletes.map(_._1).toSet != curPlan.eqDeletes.map(_._1).toSet
+    val added = curPlan.data.filterNot(e => prevData(e._1))
+    val maxEqSeq = curPlan.eqDeletes.flatMap(_._2).maxOption
+    val cheapSafe = removedData.isEmpty && !deleteSetChanged &&
+      curPlan.deletes.isEmpty &&
+      (curPlan.eqDeletes.isEmpty ||
+        added.forall(_._2.exists(s => maxEqSeq.forall(_ < s))))
+    val change: Option[DataFrame] =
+      if (cheapSafe) {
+        if (added.isEmpty) None
+        else Some(readWithMetadataSchema(spark, fields, added.map(_._1))
+          .withColumn("_change_type", lit("insert")))
+      } else if (removedData.isEmpty && !deleteSetChanged && added.isEmpty)
+        None // metadata-only snapshot: nothing changed, nothing to diff
+      else {
+        val a = snapDf(prev)
+        val b = snapDf(cur)
+        Some(a.exceptAll(b).withColumn("_change_type", lit("delete"))
+          .unionByName(b.exceptAll(a).withColumn("_change_type", lit("insert"))))
+      }
+    change.map(_.withColumn("_change_snapshot_id", lit(cur)))
   }
 
   /** STREAM the changelog — the incremental CDC consumption loop over
@@ -802,47 +833,41 @@ object Iceberg {
   def streamChangelog(spark: SparkSession, table: String,
                       checkpointDir: String, startAfterSnapshotId: Long)
                      (batch: (DataFrame, Long) => Unit): Seq[Long] = {
-    val chk = new Path(checkpointDir)
-    val f = fs(spark, chk)
-    val OffName = "offset_s(\\d+)".r
     val doc = metadata(spark, table)
     val ids = doc.path("snapshots").elements().asScala
       .map(_.path("snapshot-id").asLong()).toSeq
+    require(ids.contains(startAfterSnapshotId),
+      s"startAfterSnapshotId $startAfterSnapshotId is not a snapshot of " +
+        s"$table (known: ${ids.mkString(", ")})")
+    val offsets = new graft.operators.StreamOffsets(spark, checkpointDir, "offset_s")
     // offsets store snapshot IDS; ordering is the LOG's, so resume
     // resolves the id back to its log position (ids are not ordered)
-    val consumedThrough: Long =
-      if (!f.exists(chk)) startAfterSnapshotId
-      else f.listStatus(chk).map(_.getPath.getName)
-        .collect { case OffName(n) => n.toLong }
-        .maxByOption(id => ids.indexOf(id)).getOrElse(startAfterSnapshotId)
+    val consumedThrough: Long = offsets.readMax(id => ids.indexOf(id))
+      .getOrElse(startAfterSnapshotId)
     val fromIdx = ids.indexOf(consumedThrough)
     require(fromIdx >= 0,
       s"stream checkpoint at $checkpointDir consumed through snapshot " +
         s"$consumedThrough, which is no longer in $table's log " +
         s"(known: ${ids.mkString(", ")}) — expired history; restart with " +
         "a fresh checkpoint to take a new initial snapshot")
+    val schemaFields = currentSchemaFields(doc)
+    require(schemaFields.isDefined,
+      s"changelog of $table needs the metadata schema to type its frames")
+    // ONE snapshot cache for the whole drain: an interior snapshot of
+    // two consecutive diff strata materializes once, not once per batch
+    val snapDf = changelogSnapCache(spark, table, doc)
     val todo = ids.drop(fromIdx + 1)
     todo.foreach { cur =>
       val prev = ids(ids.indexOf(cur) - 1)
-      // persist across the two consumptions (the emptiness probe and
-      // the batch itself): a diff stratum is two snapshot scans + two
-      // exceptAll shuffles — recomputing it per consumption would
-      // double every batch's cost
-      val changes = changesBetween(spark, table, prev, cur).persist()
-      try { if (!changes.isEmpty) batch(changes, cur) }
-      finally changes.unpersist()
-      val tmp = new Path(checkpointDir, s".tmp_offset_$cur")
-      val out = f.create(tmp, true)
-      try out.write(cur.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-      val dst = new Path(checkpointDir, s"offset_s$cur")
-      require(f.rename(tmp, dst), s"failed to commit stream offset $cur")
-      f.listStatus(chk).map(_.getPath).filter { p =>
-        p.getName match {
-          case OffName(n) => ids.indexOf(n.toLong) < ids.indexOf(cur)
-          case _ => false
+      changelogStep(spark, table, doc, schemaFields.get, prev, cur, snapDf)
+        .foreach { changes =>
+          // persist across the emptiness probe and the batch callback —
+          // a diff stratum must not recompute per consumption
+          val c = changes.persist()
+          try { if (!c.isEmpty) batch(c, cur) }
+          finally c.unpersist()
         }
-      }.foreach(p => f.delete(p, false))
+      offsets.commit(cur, id => ids.indexOf(id))
     }
     todo
   }

@@ -339,6 +339,50 @@ class IcebergMaintenanceSpec extends SparkSpec {
     intercept[IllegalArgumentException](Iceberg.changesBetween(spark, base, 953L, 952L))
   }
 
+  test("streamChangelog drains incrementally with crash-safe snapshot-id offsets") {
+    val base = freshDir()
+    val chk = freshDir() + "/chk"
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L)).coalesce(1), 961L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(10L)).coalesce(1), 962L, 2000L)
+    IcebergWriter.deleteWhere(spark, base, col("id") === 1L, 963L, 3000L)
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[(Long, String)])]
+    def drain(): Seq[Long] =
+      Iceberg.streamChangelog(spark, base, chk, startAfterSnapshotId = 961L) {
+        (d, snap) => batches += ((snap, d.select("id", "_change_type").collect()
+          .map(r => (r.getLong(0), r.getString(1))).toSeq.sorted))
+      }
+    assert(drain() == Seq(962L, 963L))
+    assert(batches.toSeq == Seq(
+      (962L, Seq((10L, "insert"))), (963L, Seq((1L, "delete")))))
+    // caught up; new snapshots arrive on the next drain only
+    assert(drain().isEmpty)
+    // a compaction (changeless stratum) + an append: the drain consumes
+    // BOTH snapshots but only the append invokes the batch callback
+    IcebergWriter.compact(spark, base, 964L, 4000L, numFiles = Some(1))
+    IcebergWriter.commitAppend(spark, base, df(Seq(20L)).coalesce(1), 965L, 5000L)
+    assert(drain() == Seq(964L, 965L))
+    assert(batches.size == 3 && batches.last == ((965L, Seq((20L, "insert")))))
+    // crash window: the max surviving offset is the truth — losing the
+    // only one replays from startAfter (at-least-once, batches identical)
+    val chkF = new java.io.File(chk)
+    assert(new java.io.File(chkF, "offset_s965").delete())
+    assert(drain() == Seq(962L, 963L, 964L, 965L))
+    assert(batches.size == 6)
+    // refusals: a startAfter id that is not a snapshot names the ARGUMENT
+    val e = intercept[IllegalArgumentException](
+      Iceberg.streamChangelog(spark, base, freshDir() + "/c2", 777L)((_, _) => ()))
+    assert(e.getMessage.contains("startAfterSnapshotId"), e.getMessage)
+    // expired-history resume (offset id no longer in the log) refuses
+    // with the fresh-checkpoint remedy
+    val chk2 = freshDir() + "/c3"
+    val f2 = new java.io.File(chk2); f2.mkdirs()
+    val w = new java.io.PrintWriter(new java.io.File(f2, "offset_s55555"))
+    w.print("55555"); w.close()
+    val e2 = intercept[IllegalArgumentException](
+      Iceberg.streamChangelog(spark, base, chk2, 961L)((_, _) => ()))
+    assert(e2.getMessage.contains("no longer in"), e2.getMessage)
+  }
+
   // ---------------------------------------------------- rewriteManifests
 
   /** Data-manifest rows of a table's CURRENT snapshot's manifest list. */
