@@ -1202,7 +1202,6 @@ object DeltaLogWriter {
     // invisible until it does (Delta's own visibility rule)
     val rootFs = fs(spark, root)
     val newFiles = publishParts(spark, root, df, version, Nil)
-    val now = System.currentTimeMillis()
     val adds = newFiles.map { rel =>
       val st = rootFs.getFileStatus(new Path(root, rel))
       s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{},""" +
