@@ -294,6 +294,19 @@ object DeltaLogReader {
               "no cdc actions — its row-level changes are not derivable " +
               "from the file actions; the writer that produced it did " +
               "not honor the table's change-feed contract")
+          // the remove side has the mirror hazard: deriving 'delete'
+          // rows by reading the removed parquet WHOLE counts its
+          // DV-dead positions as deletes even though they were never
+          // live — a remove naming a descriptor gets the same loud
+          // refusal the add side does, not a silent over-report
+          val dvRemoves = nodes.filter(n => Option(n.get("remove"))
+            .exists(r => r.path("dataChange").asBoolean(false) &&
+              r.has("deletionVector") && !r.get("deletionVector").isNull))
+          require(dvRemoves.isEmpty,
+            s"commit v$v of $path removes deletion-vector-carrying " +
+              "file(s) without cdc actions — the removed files' live row " +
+              "sets are not the whole files, so the deletes are not " +
+              "derivable from the actions; refusing an over-reported feed")
           def filesOf(key: String): Seq[String] = nodes
             .flatMap(n => Option(n.get(key)))
             .filter(_.path("dataChange").asBoolean(false))

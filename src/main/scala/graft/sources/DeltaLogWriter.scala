@@ -864,13 +864,41 @@ object DeltaLogWriter {
     conf.put("delta.columnMapping.maxColumnId", schema.fields.length.toString)
     updated.set("configuration", conf)
     // protocol: legacy (2, 5) implies columnMapping; only upgrade, never
-    // downgrade a table already past it
+    // downgrade a table already past it. A TABLE-FEATURES protocol
+    // (minWriterVersion 7 — e.g. after a DV deleteWhere upgraded it) is
+    // different: PROTOCOL.md requires every feature such a table uses to
+    // be LISTED, so skipping the action because the version numbers are
+    // "high enough" would ship a mapped table real readers reject —
+    // merge 'columnMapping' into the existing feature lists instead.
     val latestProto = latestProtocolNode(spark, path)
     val (curR, curW) = latestProto
       .map(p => (p.path("minReaderVersion").asInt(1), p.path("minWriterVersion").asInt(2)))
       .getOrElse((1, 2))
+    def featList(k: String): Seq[String] = latestProto.toSeq.flatMap(p =>
+      Option(p.get(k)).toSeq.flatMap(a => (0 until a.size()).map(i => a.get(i).asText())))
     val protoLine =
-      if (curR >= 2 && curW >= 5) Seq.empty[String]
+      if (curW >= 7) {
+        val rf0 = featList("readerFeatures")
+        val wf0 = featList("writerFeatures")
+        // reader side: a (3,7) table lists reader features; a legacy
+        // reader tier under a features writer (e.g. (1,7)) must at least
+        // step to 2, the mapping-capable legacy reader
+        val needR = if (curR >= 3) !rf0.contains("columnMapping") else curR < 2
+        val needW = !wf0.contains("columnMapping")
+        if (!needR && !needW) Seq.empty[String]
+        else {
+          val newR = if (curR >= 3) curR else math.max(curR, 2)
+          val rfJson =
+            if (curR >= 3)
+              s""","readerFeatures":${(rf0 :+ "columnMapping").distinct
+                .map(jsonStr).mkString("[", ",", "]")}"""
+            else ""
+          val wfJson = s""","writerFeatures":${(wf0 :+ "columnMapping").distinct
+            .map(jsonStr).mkString("[", ",", "]")}"""
+          Seq(s"""{"protocol":{"minReaderVersion":$newR,"minWriterVersion":$curW$rfJson$wfJson}}""")
+        }
+      }
+      else if (curR >= 2 && curW >= 5) Seq.empty[String]
       else Seq(s"""{"protocol":{"minReaderVersion":${math.max(curR, 2)},""" +
         s""""minWriterVersion":${math.max(curW, 5)}}}""")
     val version = DeltaLogReader.latestVersion(spark, path).get + 1

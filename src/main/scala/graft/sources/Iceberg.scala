@@ -800,10 +800,16 @@ object Iceberg {
         prevPlan.eqDeletes.map(_._1).toSet != curPlan.eqDeletes.map(_._1).toSet
     val added = curPlan.data.filterNot(e => prevData(e._1))
     val maxEqSeq = curPlan.eqDeletes.flatMap(_._2).maxOption
+    // an equality-delete entry with an UNRESOLVABLE sequence number
+    // (None — e.g. an EXISTING row from a foreign manifest rewrite) is
+    // unbounded: it may gate ABOVE the added rows, so the cheap path's
+    // "older deletes lose the sequence race" reasoning does not hold —
+    // force the exact diff rather than over-report inserts
     val cheapSafe = removedData.isEmpty && !deleteSetChanged &&
       curPlan.deletes.isEmpty &&
       (curPlan.eqDeletes.isEmpty ||
-        added.forall(_._2.exists(s => maxEqSeq.forall(_ < s))))
+        (curPlan.eqDeletes.forall(_._2.isDefined) &&
+          added.forall(_._2.exists(s => maxEqSeq.forall(_ < s)))))
     val change: Option[DataFrame] =
       if (cheapSafe) {
         if (added.isEmpty) None
@@ -836,14 +842,19 @@ object Iceberg {
     val doc = metadata(spark, table)
     val ids = doc.path("snapshots").elements().asScala
       .map(_.path("snapshot-id").asLong()).toSeq
-    require(ids.contains(startAfterSnapshotId),
-      s"startAfterSnapshotId $startAfterSnapshotId is not a snapshot of " +
-        s"$table (known: ${ids.mkString(", ")})")
     val offsets = new graft.operators.StreamOffsets(spark, checkpointDir, "offset_s")
     // offsets store snapshot IDS; ordering is the LOG's, so resume
-    // resolves the id back to its log position (ids are not ordered)
-    val consumedThrough: Long = offsets.readMax(id => ids.indexOf(id))
-      .getOrElse(startAfterSnapshotId)
+    // resolves the id back to its log position (ids are not ordered).
+    // startAfterSnapshotId only matters on a FRESH checkpoint — a
+    // resuming consumer whose initial snapshot was since expired must
+    // not refuse here: its committed offset is the thing that has to
+    // still be in the log (the fromIdx gate below), not the start
+    val resumed = offsets.readMax(id => ids.indexOf(id))
+    if (resumed.isEmpty)
+      require(ids.contains(startAfterSnapshotId),
+        s"startAfterSnapshotId $startAfterSnapshotId is not a snapshot of " +
+          s"$table (known: ${ids.mkString(", ")})")
+    val consumedThrough: Long = resumed.getOrElse(startAfterSnapshotId)
     val fromIdx = ids.indexOf(consumedThrough)
     require(fromIdx >= 0,
       s"stream checkpoint at $checkpointDir consumed through snapshot " +

@@ -1168,6 +1168,12 @@ object IcebergWriter {
     val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
     val carried = carriedOf(table, rows)
     val (delManifests, dataManifests) = carried.partition(_.content == 1)
+    // the prior manifest-list rows of the CARRIED delete manifests, in
+    // the same order delManifests keeps them (carriedOf is 1:1 with
+    // rows) — their partition summaries must ride through the rewrite,
+    // or a partitioned MoR table loses delete-manifest pruning from the
+    // very op whose purpose is bounding planning work
+    val delRows = rows.zip(carried).collect { case (r, c) if c.content == 1 => r }
     val hintVersion = hintVersionOf(spark, table)
     if (dataManifests.size <= 1) return hintVersion // nothing to merge
 
@@ -1258,13 +1264,12 @@ object IcebergWriter {
         }
       }
     val mergedSeq = merged.flatMap(_.sequenceNumber).maxOption.getOrElse(0L)
+    val allSummaries = carriedSummaries(delRows) :+ summaries
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId,
       delManifests.map(c => (c.path, c.length)) :+ manifest,
       contents = delManifests.map(_.content) :+ 0,
-      summaries =
-        if (summaries.isEmpty) Nil
-        else delManifests.map(_ => Seq.empty[Iceberg.Summary]) :+ summaries,
+      summaries = if (allSummaries.exists(_.nonEmpty)) allSummaries else Nil,
       sequenceNumbers =
         if (fmtVersion == 2) delManifests.map(_.seq) :+ mergedSeq else Nil,
       addedSnapshotIds = delManifests.map(_.addedSnapshotId) :+ snapshotId)

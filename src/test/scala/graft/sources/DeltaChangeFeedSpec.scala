@@ -96,6 +96,28 @@ class DeltaChangeFeedSpec extends SparkSpec {
     assert(e3.getMessage.contains("range"), e3.getMessage)
   }
 
+  test("a cdc-less REMOVE naming a DV-carrying file refuses — its dead rows were never live") {
+    val path = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L)).coalesce(1), path)           // v0
+    DeltaLogWriter.setTableProperties(spark, path,
+      Map("delta.enableChangeDataFeed" -> "true"))                    // v1
+    // a foreign writer's commit: remove the v0 file WITH a deletionVector
+    // descriptor and no cdc action — deriving 'delete' rows by reading
+    // the parquet whole would over-report the DV-dead positions
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val v0 = scala.io.Source.fromFile(new java.io.File(path,
+      "_delta_log/00000000000000000000.json")).getLines().toSeq
+    val addPath = mapper.readTree(v0.find(_.contains("\"add\"")).get)
+      .get("add").get("path").asText()
+    val dv = """{"storageType":"u","pathOrInlineDv":"x","offset":1,"sizeInBytes":4,"cardinality":1}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(path, "_delta_log", f"${2L}%020d.json"),
+      s"""{"remove":{"path":"$addPath","deletionTimestamp":0,"dataChange":true,"deletionVector":$dv}}\n""")
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.readChangeFeed(spark, path, 2L, 2L))
+    assert(e.getMessage.contains("deletion-vector-carrying"), e.getMessage)
+  }
+
   test("restore under CDF publishes the LOGICAL diff — DV survivors are not re-inserted") {
     val path = freshDir()
     DeltaLogWriter.write(df(Seq(1L, 2L, 3L, 4L, 5L, 6L)).coalesce(1), path) // v0

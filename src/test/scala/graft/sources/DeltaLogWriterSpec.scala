@@ -344,4 +344,38 @@ class DeltaLogWriterSpec extends SparkSpec {
       Seq((1L, 1L)).toDF("id", "amount"), base))
     assert(e2.getMessage.contains("logical schema"), e2.getMessage)
   }
+
+  test("enableColumnMapping on a table-features protocol LISTS columnMapping, never skips") {
+    // a DV deleteWhere first upgrades the table to (3,7) table features;
+    // enabling mapping afterwards must MERGE 'columnMapping' into both
+    // feature lists — PROTOCOL.md requires every feature a (3,7) table
+    // uses to be listed, and "version numbers already high enough" is
+    // exactly the wrong reason to skip the action
+    val base = freshDir()
+    DeltaLogWriter.write(Seq((1L, 10L), (2L, 20L), (3L, 30L))
+      .toDF("id", "amount").coalesce(1), base)                         // v0
+    DeltaLogWriter.deleteWhere(spark, base, col("id") === 3L)          // v1: (3,7)+DV
+    val v = DeltaLogWriter.enableColumnMapping(spark, base)            // v2
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val protoLines = scala.io.Source.fromFile(new java.io.File(base,
+        f"_delta_log/$v%020d.json")).getLines().toSeq
+      .filter(_.contains("\"protocol\""))
+    assert(protoLines.size == 1, protoLines.mkString("\n"))
+    val p = mapper.readTree(protoLines.head).get("protocol")
+    def feats(k: String): Set[String] = (0 until p.path(k).size())
+      .map(p.path(k).get(_).asText()).toSet
+    assert(p.get("minReaderVersion").asInt() == 3 &&
+      p.get("minWriterVersion").asInt() == 7, p.toString)
+    // merged, not replaced: the DV feature survives alongside mapping
+    assert(feats("readerFeatures").contains("columnMapping") &&
+      feats("readerFeatures").contains("deletionVectors"), p.toString)
+    assert(feats("writerFeatures").contains("columnMapping") &&
+      feats("writerFeatures").contains("deletionVectors"), p.toString)
+    // the mapped + DV-carrying table still reads (and the rename works)
+    DeltaLogWriter.renameColumn(spark, base, "amount", "total")
+    val d = DeltaLogReader.read(spark, base)
+    assert(d.columns.toSeq == Seq("id", "total"))
+    assert(d.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 20L)))
+  }
 }

@@ -383,6 +383,27 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(e2.getMessage.contains("no longer in"), e2.getMessage)
   }
 
+  test("streamChangelog resumes after the START snapshot expired — only the offset must survive") {
+    val base = freshDir()
+    val chk = freshDir() + "/chk"
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L)).coalesce(1), 971L, 1000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(2L)).coalesce(1), 972L, 2000L)
+    IcebergWriter.commitAppend(spark, base, df(Seq(3L)).coalesce(1), 973L, 3000L)
+    assert(Iceberg.streamChangelog(spark, base, chk,
+      startAfterSnapshotId = 971L)((_, _) => ()) == Seq(972L, 973L))
+    // the consumer's INITIAL snapshot (971) expires from the log; its
+    // committed offset (973) is still there, so the drain must resume —
+    // a long-running consumer cannot be forced to restart because
+    // retention caught up with where it STARTED
+    IcebergWriter.expireSnapshots(spark, base, olderThanMs = 2500L)
+    assert(Iceberg.snapshots(spark, base).map(_._1) == Seq(973L))
+    IcebergWriter.commitAppend(spark, base, df(Seq(4L)).coalesce(1), 974L, 4000L)
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    assert(Iceberg.streamChangelog(spark, base, chk,
+      startAfterSnapshotId = 971L)((d, _) => got ++= ids(d)) == Seq(974L))
+    assert(got.toSet == Set(4L))
+  }
+
   // ---------------------------------------------------- rewriteManifests
 
   /** Data-manifest rows of a table's CURRENT snapshot's manifest list. */
@@ -450,5 +471,38 @@ class IcebergMaintenanceSpec extends SparkSpec {
     // a point cat hits exactly that partition's files (one per commit)
     assert(Iceberg.planFiles(spark, part,
       Seq(Iceberg.ColRange("cat", "a", "a"))).size == 2)
+  }
+
+  test("rewriteManifests carries the DELETE manifests' partition summaries, not empty ones") {
+    // a partitioned MoR table: the upsert's delete manifest records
+    // partition summaries; the manifest rewrite must CARRY them (the
+    // upsert's carriedSummaries discipline) — emitting empty ones keeps
+    // reads correct but costs every later plan the delete-manifest
+    // pruning the op exists to preserve
+    val base = freshDir()
+    IcebergWriter.commitAppend(spark, base, df(Seq(1L, 2L, 3L, 4L)),
+      981L, 1000L, partitionBy = Seq("bucket(4, id)"))
+    IcebergWriter.upsert(spark, base,
+      Seq((2L, "NEW_2", 2.0)).toDF("id", "name", "score"), Seq("id"), 982L, 2000L)
+    def delPartitionSummaries(): Seq[Any] = {
+      val doc = Iceberg.metadata(spark, base)
+      val cur = doc.path("current-snapshot-id").asLong(-1L)
+      Iceberg.readAvro(spark,
+          Iceberg.resolve(base, Iceberg.manifestListOf(doc, base, cur)))
+        .filter(r => Option(r.get("content")).exists(_.toString == "1"))
+        .map(r => r.get("partitions"))
+    }
+    val before = delPartitionSummaries()
+    assert(before.nonEmpty && before.forall(p =>
+      p != null && p.asInstanceOf[java.util.Collection[_]].size() > 0),
+      s"fixture: the upsert's delete manifest must carry summaries ($before)")
+    IcebergWriter.rewriteManifests(spark, base, 983L, 3000L)
+    val after = delPartitionSummaries()
+    assert(after.nonEmpty && after.forall(p =>
+      p != null && p.asInstanceOf[java.util.Collection[_]].size() > 0),
+      s"rewrite dropped the delete manifests' summaries ($after)")
+    // and the table still serves the upserted state
+    assert(Iceberg.read(spark, base).where(col("id") === 2L)
+      .select("name").collect().map(_.getString(0)).toSeq == Seq("NEW_2"))
   }
 }
