@@ -94,6 +94,9 @@ object IndexQueries {
   private val q262RegPat = scratchPat("q262_catalog_registry")
   private val q264TablePat = scratchPat("q264_delta_mapwrite")
   private val q265TablePat = scratchPat("q265_iceberg_changelog")
+  private val q268TablePat = scratchPat("q268_delta_partdml")
+  private val q269TablePat = scratchPat("q269_delta_mapdml")
+  private val q270TablePat = scratchPat("q270_delta_stream")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -186,6 +189,9 @@ object IndexQueries {
     stageQ261IcebergRewritten(s, dir)
     stageQ264DeltaMapped(s, dir)
     stageQ265IcebergChangelog(s, dir)
+    stageQ268DeltaPartDml(s, dir)
+    stageQ269DeltaMapDml(s, dir)
+    stageQ270DeltaStream(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -1042,6 +1048,100 @@ object IndexQueries {
         .unionByName(slice("click"))
       graft.sources.DeltaLogWriter.upsert(s, base, batch, Seq("event_id"))    // v2
       graft.sources.DeltaLogWriter.deleteWhere(s, base, $"event_id" % 5 === 0) // v3
+    }
+    base
+  }
+
+  /** q268's fixture: PARTITIONED Delta DML — the full tier over a
+    * `partitionBy(event_type)` table (the reference's production-table
+    * shape, `01_geofraud_clustering.py:431`): create with purchases +
+    * clicks (v0), upsert with PARTITION-SOURCED keys (v1 — the kill
+    * scan prunes to the batch's partitions, exactly), upsert keyed on
+    * event_id alone MOVING `%5` purchases into a NEW `view` partition
+    * at 3× (v2 — the moved-key shape: the old row dies in its old
+    * partition because the scan stays whole-table when keys don't
+    * cover the partition columns), a partition-predicate DV delete
+    * (v3), and a within-partition OPTIMIZE re-bin (v4 — dataChange=
+    * false, DVs purged, hive layout intact). */
+  private[graft] def stageQ268DeltaPartDml(s: SparkSession, dir: String): String = {
+    val base = scratch(q268TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      val W = graft.sources.DeltaLogWriter
+      W.write(slice("purchase").unionByName(slice("click")), base,
+        partitionBy = Seq("event_type"))                                 // v0
+      W.upsert(s, base, slice("purchase").where($"event_id" % 3 === 0)
+        .withColumn("value_micros", $"value_micros" * 2).coalesce(1),
+        Seq("event_id", "event_type"))                                   // v1
+      W.upsert(s, base, slice("purchase").where($"event_id" % 5 === 0)
+        .withColumn("event_type", lit("view"))
+        .withColumn("value_micros", $"value_micros" * 3).coalesce(1),
+        Seq("event_id"))                                                 // v2
+      W.deleteWhere(s, base,
+        $"event_type" === "click" && $"event_id" % 7 === 0)              // v3
+      W.optimize(s, base, numFiles = Some(1))                            // v4
+    }
+    base
+  }
+
+  /** q269's fixture: COLUMN-MAPPED Delta DML — DML over the q264
+    * lifecycle's table shape: write purchases (v0), enable name-mode
+    * mapping (v1), rename value_micros→amount_micros (v2), then UPSERT
+    * ON THE RENAMED SCHEMA (v3 — keys resolve through physicalName;
+    * the appended parquet carries physical names) and a DV delete
+    * through the mapped scan (v4). The writes q264 proved are now
+    * mutable in place — the asymmetry the round-13 verdict flagged. */
+  private[graft] def stageQ269DeltaMapDml(s: SparkSession, dir: String): String = {
+    val base = scratch(q269TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String, vmName: String) = t(s, dir, "events")
+        .where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as(vmName))
+      val W = graft.sources.DeltaLogWriter
+      W.write(slice("purchase", "value_micros").coalesce(1), base)       // v0
+      W.enableColumnMapping(s, base)                                     // v1
+      W.renameColumn(s, base, "value_micros", "amount_micros")           // v2
+      val batch = slice("purchase", "amount_micros")
+        .where($"event_id" % 3 === 0)
+        .withColumn("amount_micros", $"amount_micros" * 2 + 1)
+        .unionByName(slice("click", "amount_micros"))
+      W.upsert(s, base, batch.coalesce(1), Seq("event_id"))              // v3
+      W.deleteWhere(s, base, $"event_id" % 5 === 0)                      // v4
+    }
+    base
+  }
+
+  /** q270's fixture: a PLAIN (no Change Data Feed) Delta table whose
+    * commit history is the add-file stream's three shapes — two blind
+    * appends (v0 purchases, v1 clicks), a `dataChange=false` OPTIMIZE
+    * the stream must advance past WITHOUT serving (v2), and a third
+    * append (v3). */
+  private[graft] def stageQ270DeltaStream(s: SparkSession, dir: String): String = {
+    val base = scratch(q270TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      val W = graft.sources.DeltaLogWriter
+      W.write(slice("purchase"), base)                                   // v0
+      W.write(slice("click"), base)                                      // v1
+      W.optimize(s, base, numFiles = Some(1))                            // v2
+      W.write(slice("error"), base)                                      // v3
     }
     base
   }
@@ -2984,6 +3084,75 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // PARTITIONED Delta DML — upsert (partition-sourced keys AND the
+    // moved-key shape into a NEW partition), a partition-predicate DV
+    // delete, and a within-partition OPTIMIZE, all on one
+    // partitionBy(event_type) table: the a_final leg pins the whole
+    // composition against the oracle's declarative replay; the b_mid
+    // leg pins time travel THROUGH the optimize to the pre-delete
+    // state. The reference's production table is partitioned Delta —
+    // this is the DML tier it actually needs.
+    "q268_delta_partitioned_dml" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.DeltaLogReader
+      val base = stageQ268DeltaPartDml(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("a_final", DeltaLogReader.read(s, base))
+        .unionAll(leg("b_mid", DeltaLogReader.read(s, base, asOf = Some(2L))))
+        .orderBy($"leg")
+    }),
+
+    // COLUMN-MAPPED Delta DML — upsert and deleteWhere over the
+    // enable→rename lifecycle: the upsert's keys resolve through
+    // physicalName (its batch speaks the RENAMED logical schema), its
+    // appended parquet carries physical names, and the DV delete's
+    // predicate runs through the mapped scan. Closes the q264
+    // asymmetry: the repo could create a mapped table its own DML
+    // refused to touch.
+    "q269_delta_mapped_dml" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ269DeltaMapDml(s, dir)
+      graft.sources.DeltaLogReader.read(s, base)
+        .groupBy($"event_type")
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"amount_micros").as("amount_checksum"))
+        .orderBy($"event_type")
+    }),
+
+    // PLAIN-ROW Delta streaming — streamAdds drains a NON-CDF table as
+    // per-version add-file micro-batches (the real delta source's
+    // default semantics): two appends each arrive as one batch, the
+    // dataChange=false OPTIMIZE advances the offset WITHOUT serving
+    // its rewritten files (a stream that re-served them would double
+    // every row), the third append arrives on a later drain, and a
+    // second drain over the same checkpoint consumes nothing — the
+    // exactly-once sentinel.
+    "q270_stream_delta_adds" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ270DeltaStream(s, dir)
+      val chk = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q270_chk_${java.util.UUID.randomUUID().toString.take(8)}").toString
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Long)]
+      try {
+        graft.sources.DeltaLogReader.streamAdds(s, base, chk) { (df, v) =>
+          val r = df.agg(count(lit(1)), sum($"event_id"), sum($"value_micros"))
+            .collect().head
+          acc += ((v, r.getLong(0), r.getLong(1), r.getLong(2)))
+        }
+        val second = graft.sources.DeltaLogReader.streamAdds(
+          s, base, chk)((_, _) => ())
+        acc += ((99L, second.size.toLong, 0L, 0L))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(chk)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      acc.toSeq.toDF("commit_version", "n_rows", "id_checksum", "value_checksum")
+        .orderBy($"commit_version")
+    }),
+
     // STREAMING Iceberg changelog consumption — streamChangelog drains
     // the q265 table one snapshot per micro-batch over a crash-safe
     // snapshot-id offset checkpoint: the compaction snapshot advances
@@ -4162,6 +4331,66 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q268_delta_partitioned_dml" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'),
+        |mid AS MATERIALIZED (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 5 = 0 THEN vm * 3
+        |         WHEN event_id % 3 = 0 THEN vm * 2
+        |         ELSE vm END AS vm,
+        |    CASE WHEN event_id % 5 = 0 THEN 'view' ELSE 'purchase' END AS et
+        |  FROM p
+        |  UNION ALL SELECT event_id, vm, 'click' FROM c)
+        |SELECT * FROM (
+        |  SELECT 'a_final' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM mid WHERE NOT (et = 'click' AND event_id % 7 = 0)
+        |  UNION ALL
+        |  SELECT 'b_mid', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(vm) AS BIGINT)
+        |  FROM mid
+        |) ORDER BY leg""".stripMargin,
+    "q269_delta_mapped_dml" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'),
+        |merged AS MATERIALIZED (
+        |  SELECT event_id,
+        |    CASE WHEN event_id % 3 = 0 THEN vm * 2 + 1 ELSE vm END AS vm,
+        |    'purchase' AS et FROM p
+        |  UNION ALL SELECT event_id, vm, 'click' FROM c)
+        |SELECT et AS event_type, count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(vm) AS BIGINT) AS amount_checksum
+        |FROM merged WHERE event_id % 5 <> 0
+        |GROUP BY et ORDER BY et""".stripMargin,
+    "q270_stream_delta_adds" ->
+      """SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS commit_version, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT), count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type = 'error'
+        |  UNION ALL
+        |  SELECT CAST(99 AS BIGINT), CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |) ORDER BY commit_version""".stripMargin,
     "q266_stream_iceberg_changelog" ->
       """WITH p AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm

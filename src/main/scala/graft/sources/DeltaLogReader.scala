@@ -380,6 +380,72 @@ object DeltaLogReader {
     todo
   }
 
+  /** STREAM a plain (non-CDF) Delta table as per-version ADD-FILE
+    * micro-batches — the real delta streaming source's default
+    * semantics: each not-yet-consumed commit's `add(dataChange=true)`
+    * files serve as ONE batch of plain table rows, then the version
+    * commits as a crash-safe file offset (the [[streamChangeFeed]] /
+    * `SnapshotLog.streamVersions` discipline — max surviving offset
+    * wins; a crash between batch and offset replays that batch,
+    * at-least-once into an idempotent sink). `dataChange=false`
+    * commits (OPTIMIZE, metaData/property changes) advance the offset
+    * silently. A commit that REMOVES data (`remove` or a DV re-add
+    * with dataChange=true) is not a blind append and REFUSES loudly —
+    * the delta source's own rule absent ignoreChanges: serving only
+    * its adds would stream rows the table no longer holds and skip the
+    * deletes entirely. Column-mapped tables resolve through the same
+    * name/id machinery as [[read]].
+    * Returns the versions consumed THIS drain (empty = caught up). */
+  def streamAdds(spark: SparkSession, path: String,
+                 checkpointDir: String, startVersion: Long = 0L)
+                (batch: (DataFrame, Long) => Unit): Seq[Long] = {
+    val offsets = new graft.operators.StreamOffsets(spark, checkpointDir, "offset_v")
+    val from = offsets.readMax(identity).map(_ + 1).getOrElse(startVersion)
+    val todo = versions(spark, path).filter(_ >= from)
+    val f = fs(spark, new Path(path))
+    // metaData tracked INCREMENTALLY across the drain (seeded once at
+    // the first consumed version, then updated from each commit's own
+    // metaData action — later wins): one replay per drain, not one per
+    // version, so a thousand-commit catch-up stays O(commits)
+    var lastMeta: Option[JsonNode] =
+      todo.headOption.flatMap(v => replayState(spark, path, Some(v))._2)
+    todo.foreach { v =>
+      val nodes = readSmallFile(spark, new Path(logDir(path), f"$v%020d.json"))
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree).toSeq
+      nodes.filter(_.has("metaData")).foreach(n => lastMeta = Some(n.get("metaData")))
+      val removes = nodes.filter(n => Option(n.get("remove"))
+        .exists(_.path("dataChange").asBoolean(false)))
+      val dvAdds = nodes.filter(n => Option(n.get("add")).exists(a =>
+        a.path("dataChange").asBoolean(false) &&
+          a.has("deletionVector") && !a.get("deletionVector").isNull))
+      require(removes.isEmpty && dvAdds.isEmpty,
+        s"commit v$v of $path is not a blind append (it removes data " +
+          "or attaches deletion vectors) — a plain add-file stream would " +
+          "serve rows the table no longer holds; consume the Change Data " +
+          "Feed instead (streamChangeFeed) or compact upstream")
+      val added = nodes.flatMap(n => Option(n.get("add")))
+        .filter(_.path("dataChange").asBoolean(false))
+        .map(a => decodePath(path, a.get("path").asText()))
+      if (added.nonEmpty) {
+        added.foreach(p => require(f.exists(new Path(p)),
+          s"commit v$v of $path adds $p, which is gone from disk " +
+            "(vacuumed past this stream's position) — its rows are " +
+            "unrecoverable; restart from a newer startVersion"))
+        // metaData AS OF this commit, so a mapped table serves logical
+        // names exactly as the batch's writer defined them
+        val rows = lastMeta.map(mappingMode).filter(_ != "none") match {
+          case Some(mode) => readMapped(spark, path, added, lastMeta.get, mode)
+          case None => spark.read.option("basePath", path).parquet(added: _*)
+        }
+        val persisted = rows.persist()
+        try { if (!persisted.isEmpty) batch(persisted, v) }
+        finally persisted.unpersist()
+      }
+      offsets.commit(v, identity)
+    }
+    todo
+  }
+
   /** The table's active file set as of `asOf` (default: latest commit):
     * checkpoint base (when one applies) + ordered JSON replay. REFUSES a
     * table whose active files carry deletion vectors: the file list

@@ -362,8 +362,11 @@ object DeltaLogWriter {
     * `activeFiles` gate again (checkpoints, appends). The superseded
     * files stay on disk for time travel until [[vacuum]]. Refuses
     * column-mapped tables (rewriting would sever the logical→physical
-    * name mapping) and partitioned tables (this writer does not re-bin
-    * within partitions). With `clusterBy`, the rewrite range-partitions
+    * name mapping). Partitioned tables re-bin WITHIN partitions — the
+    * rewrite shuffles on the partition columns and republishes through
+    * the hive layout, so partition pruning survives (one file per
+    * partition value when `numFiles` covers the value count — the
+    * classic small-files compaction). With `clusterBy`, the rewrite range-partitions
     * and sorts on those columns (`OPTIMIZE ... ZORDER BY` when the
     * caller passes the Morton key, plain clustering otherwise — the
     * SnapshotLog.optimize pattern): clustered files carry tight
@@ -395,11 +398,10 @@ object DeltaLogWriter {
     require(DeltaLogReader.mappingMode(metaNode) == "none",
       s"Delta table at $path uses column mapping — rewriting its files " +
         "would sever the logical-to-physical name mapping; refusing")
-    val partCols = metaNode.path("partitionColumns")
-    require(!partCols.elements().hasNext,
-      s"Delta table at $path is PARTITIONED and this writer does not " +
-        "re-bin within partitions — a flattening rewrite would break " +
-        "partition pruning; refusing")
+    val partCols: Seq[String] = {
+      val pc = metaNode.path("partitionColumns")
+      (0 until pc.size()).map(pc.get(_).asText())
+    }
 
     val latest = DeltaLogReader.latestVersion(spark, path).get
     val version = latest + 1
@@ -428,11 +430,21 @@ object DeltaLogWriter {
     val numOut = numFiles.getOrElse(
       math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt)
     val logical = DeltaLogReader.read(spark, path)
+    import org.apache.spark.sql.functions.{col => colOf}
+    // PARTITIONED tables re-bin WITHIN partitions: shuffle on the
+    // partition columns (each value lands whole in one task — the
+    // classic one-file-per-partition compaction), then the hive
+    // partitionBy write keeps the layout so pruning survives; the
+    // pre-sort on (partCols ++ clusterBy) satisfies the file writer's
+    // required ordering, so no second sort destroys the clustering
     val reshaped =
-      if (clusterBy.isEmpty) logical.repartition(numOut)
+      if (partCols.nonEmpty)
+        logical.repartition(numOut, partCols.map(colOf): _*)
+          .sortWithinPartitions((partCols.map(colOf) ++ clusterBy): _*)
+      else if (clusterBy.isEmpty) logical.repartition(numOut)
       else logical.repartitionByRange(numOut, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*)
-    val newFiles = publishParts(spark, root, reshaped, version, Nil)
+    val newFiles = publishParts(spark, root, reshaped, version, partCols)
     require(newFiles.nonEmpty,
       s"optimize at $path produced no parquet parts")
 
@@ -443,7 +455,7 @@ object DeltaLogWriter {
     }
     val adds = newFiles.map { rel =>
       val st = f.getFileStatus(new Path(root, rel))
-      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{},""" +
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":false}}"""
     }
@@ -754,13 +766,20 @@ object DeltaLogWriter {
     val root = new Path(path)
     val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
     require(entries.nonEmpty, s"Delta table at $path has no active files")
-    require(meta.map(DeltaLogReader.mappingMode).forall(_ == "none"),
-      s"Delta table at $path uses column mapping — deleteWhere would need " +
-        "logical-to-physical predicate resolution it does not implement; " +
-        "refusing")
+    // name-mode mapping is resolved (dvAttachActions projects the
+    // physical footers back to logical names); id mode would need
+    // field-id stamping this writer does not do
+    require(meta.map(DeltaLogReader.mappingMode).forall(m => m == "none" || m == "name"),
+      s"Delta table at $path uses id-mode column mapping — deleteWhere " +
+        "resolves name mode only; refusing")
+    require(!(meta.exists(m => DeltaLogReader.mappingMode(m) != "none") &&
+        meta.exists(cdfEnabled)),
+      s"Delta table at $path combines column mapping with Change Data " +
+        "Feed — publishing change files under mapping (physical-named " +
+        "change parquet) is not implemented; refusing")
     val version = DeltaLogReader.latestVersion(spark, path).get + 1
     val (protoLine, actions, nDeleted) =
-      dvAttachActions(spark, path, entries, version, _.where(predicate))
+      dvAttachActions(spark, path, entries, version, _.where(predicate), meta)
     if (actions.isEmpty) return (version - 1, 0L)
     // CDF: a DV rewrite is NOT derivable from add/remove actions (the
     // delta is inside the bitmap), so the commit must carry its change
@@ -1017,11 +1036,16 @@ object DeltaLogWriter {
     * position arrays on the executors, write/replace each touched
     * file's sidecar bitmap there, and return (protocol-upgrade lines,
     * remove+re-add action lines, newly deleted row count). Empty
-    * actions = nothing matched. */
+    * actions = nothing matched. A NAME-mapped table's scan reads the
+    * physical footers under the metaData's physicalName map and serves
+    * LOGICAL names to `matcher` — the same resolution [[DeltaLogReader
+    * .readMapped]] does, so predicates and key joins speak the user's
+    * schema while the positions stay physical-file coordinates. */
   private def dvAttachActions(spark: SparkSession, path: String,
                               entries: Seq[(String, Option[String])],
                               version: Long,
-                              matcher: DataFrame => DataFrame)
+                              matcher: DataFrame => DataFrame,
+                              meta: Option[com.fasterxml.jackson.databind.JsonNode] = None)
       : (Seq[String], Seq[String], Long) = {
     import org.apache.spark.sql.functions.{col, collect_list, regexp_replace, sort_array}
     import spark.implicits._
@@ -1031,15 +1055,41 @@ object DeltaLogWriter {
 
     val files = entries.map(_._1)
     val fp = "__del_fp"; val pos = "__del_pos"
-    val scan = spark.read.option("basePath", path).parquet(files: _*)
-    require(!scan.columns.contains(fp) && !scan.columns.contains(pos),
-      s"Delta table at $path has a column named $fp/$pos — colliding with " +
-        "the DV scan's internal coordinates; rename it first")
-    val perFile = matcher(scan
-        .select(col("*"),
-          regexp_replace(col("_metadata.file_path"),
-            "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as(fp),
-          col("_metadata.row_index").as(pos)))
+    def coordCols(df: DataFrame) = Seq(
+      regexp_replace(col("_metadata.file_path"),
+        "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/").as(fp),
+      col("_metadata.row_index").as(pos))
+    val mapped = meta.filter(m => DeltaLogReader.mappingMode(m) == "name")
+    val scanWithCoords: DataFrame = mapped match {
+      case Some(m) =>
+        // physical footers, logical projection — coords attached on the
+        // SCAN itself (metadata columns do not re-resolve through
+        // projections, the readMapped discipline)
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schemaString").asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        require(!schema.fieldNames.contains(fp) && !schema.fieldNames.contains(pos),
+          s"Delta table at $path has a column named $fp/$pos — colliding " +
+            "with the DV scan's internal coordinates; rename it first")
+        val pairs = schema.fields.map { f =>
+          require(f.metadata.contains("delta.columnMapping.physicalName"),
+            s"Delta table at $path: column '${f.name}' lacks " +
+              "delta.columnMapping.physicalName in name mode — refusing")
+          (f.name, f.metadata.getString("delta.columnMapping.physicalName"), f.dataType)
+        }
+        val raw = spark.read.schema(org.apache.spark.sql.types.StructType(
+            pairs.map(p => org.apache.spark.sql.types.StructField(p._2, p._3,
+              nullable = true))))
+          .parquet(files: _*)
+        raw.select(pairs.map(p => col(s"`${p._2}`").as(p._1)) ++ coordCols(raw): _*)
+      case None =>
+        val scan = spark.read.option("basePath", path).parquet(files: _*)
+        require(!scan.columns.contains(fp) && !scan.columns.contains(pos),
+          s"Delta table at $path has a column named $fp/$pos — colliding with " +
+            "the DV scan's internal coordinates; rename it first")
+        scan.select(col("*") +: coordCols(scan): _*)
+    }
+    val perFile = matcher(scanWithCoords)
       .groupBy(col(fp))
       .agg(sort_array(collect_list(col(pos))).as("positions"))
 
@@ -1159,9 +1209,19 @@ object DeltaLogWriter {
     * under a 10 MB budget, else forced sort-merge — the q230 cutover).
     * Duplicate keys WITHIN the batch all land (the DVs only kill rows
     * from BEFORE this commit); dedupe first if the key is unique.
-    * Refused: column-mapped tables (predicate resolution), partitioned
-    * tables (the appended files would not carry partition values), a
-    * batch whose schema drifts from the table's.
+    *
+    * PARTITIONED tables: the appended files land in their hive
+    * partitions and the add actions carry the partitionValues; when
+    * every partition column is an upsert KEY, the kill scan PRUNES to
+    * the batch's partitions — exact, not merely sound: a row in any
+    * other partition differs on a partition-sourced key column and
+    * could never match (the Iceberg partitioned-upsert reasoning). With
+    * a partition column outside the keys, the scan stays whole-table.
+    * NAME-mapped tables: keys resolve through the metaData's
+    * physicalName map (the scan serves logical names; the appended
+    * parquet carries physical names, the write() projection).
+    * Refused: id-mode mapping, mapping combined with CDF or with
+    * partition columns, a batch whose schema drifts from the table's.
     * @return (committed version, rows superseded by DV) */
   def upsert(spark: SparkSession, path: String, df: DataFrame,
              keyCols: Seq[String]): (Long, Long) = {
@@ -1174,12 +1234,22 @@ object DeltaLogWriter {
     val metaNode = meta.getOrElse(throw new IllegalArgumentException(
       s"Delta log at $path carries no metaData action — cannot validate " +
         "the upsert schema; refusing"))
-    require(DeltaLogReader.mappingMode(metaNode) == "none",
-      s"Delta table at $path uses column mapping — upsert would need " +
-        "logical-to-physical key resolution it does not implement; refusing")
-    require(!metaNode.path("partitionColumns").elements().hasNext,
-      s"Delta table at $path is PARTITIONED and upsert's appends would " +
-        "not carry partition values; refusing")
+    val mapMode = DeltaLogReader.mappingMode(metaNode)
+    require(mapMode == "none" || mapMode == "name",
+      s"Delta table at $path uses id-mode column mapping — upsert " +
+        "resolves name mode only; refusing")
+    val partCols: Seq[String] = {
+      val pc = metaNode.path("partitionColumns")
+      (0 until pc.size()).map(pc.get(_).asText())
+    }
+    require(mapMode == "none" || partCols.isEmpty,
+      s"Delta table at $path combines column mapping with partition " +
+        "columns — the mapped scan does not reconstruct partition values; " +
+        "refusing")
+    require(mapMode == "none" || !cdfEnabled(metaNode),
+      s"Delta table at $path combines column mapping with Change Data " +
+        "Feed — publishing change files under mapping is not implemented; " +
+        "refusing")
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(metaNode.get("schemaString").asText())
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1223,16 +1293,63 @@ object DeltaLogWriter {
       if (underBudget) t.join(broadcast(keys), cond, "left_semi")
       else t.join(keys.hint("merge"), cond, "left_semi")
     }
+    // partition-pruned kill scan: when every partition column is an
+    // upsert key, a row outside the batch's partitions differs on a
+    // key column and can never match — skip its file entirely. Gated
+    // on the same measured budget as the key broadcast (collecting the
+    // batch's partition tuples is driver-side planning data) and on
+    // string-faithful partition types (hive path values round-trip
+    // exactly for atomic non-float types; anything else keeps the
+    // whole-table scan, the sound direction).
+    val prunableTypes: Set[org.apache.spark.sql.types.DataType] = {
+      import org.apache.spark.sql.types._
+      Set(StringType, LongType, IntegerType, ShortType, ByteType,
+        BooleanType, DateType)
+    }
+    val scanEntries: Seq[(String, Option[String])] =
+      if (partCols.isEmpty || !partCols.forall(keyCols.contains) ||
+          !underBudget ||
+          !partCols.forall(c => prunableTypes(tableSchema(c).dataType))) entries
+      else {
+        val batchParts: Set[Seq[String]] = df
+          .select(partCols.map(c => col(c).cast("string")): _*)
+          .distinct().collect()
+          .map(r => partCols.indices.map(i =>
+            if (r.isNullAt(i)) "__HIVE_DEFAULT_PARTITION__" else r.getString(i)))
+          .toSet
+        val rootNorm = normRoot(fs(spark, root), root)
+        entries.filter { case (abs, _) =>
+          val rel = normAbs(fs(spark, root), abs).stripPrefix(rootNorm).stripPrefix("/")
+          val segs = rel.split("/").dropRight(1).filter(_.contains("=")).map { seg =>
+            val i = seg.indexOf('=')
+            (DeltaLogReader.percentDecode(seg.substring(0, i)),
+              DeltaLogReader.percentDecode(seg.substring(i + 1)))
+          }.toMap
+          // a file whose path does not spell every partition column is
+          // kept (scanned) rather than guessed about
+          partCols.exists(!segs.contains(_)) ||
+            batchParts.contains(partCols.map(segs))
+        }
+      }
     val (protoLine, dvActions, nDeleted) =
-      dvAttachActions(spark, path, entries, version, matcher)
+      if (scanEntries.isEmpty) (Seq.empty[String], Seq.empty[String], 0L)
+      else dvAttachActions(spark, path, scanEntries, version, matcher, meta)
 
     // the appended rows — published before the commit names them,
-    // invisible until it does (Delta's own visibility rule)
+    // invisible until it does (Delta's own visibility rule). A mapped
+    // table's parquet must carry PHYSICAL names (the write() projection);
+    // a partitioned table's parts land in their hive dirs and the adds
+    // parse the partitionValues back off the path.
+    val toAppend =
+      if (mapMode == "name")
+        df.toDF(tableSchema.fields.map(
+          _.metadata.getString("delta.columnMapping.physicalName")): _*)
+      else df
     val rootFs = fs(spark, root)
-    val newFiles = publishParts(spark, root, df, version, Nil)
+    val newFiles = publishParts(spark, root, toAppend, version, partCols)
     val adds = newFiles.map { rel =>
       val st = rootFs.getFileStatus(new Path(root, rel))
-      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":{},""" +
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +
         s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
         s""""dataChange":true}}"""
     }

@@ -478,4 +478,57 @@ class DeltaLogReaderSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("truncated"))
   }
+
+  test("streamAdds drains a plain table per-version; OPTIMIZE skips; removes refuse") {
+    import org.apache.spark.sql.SaveMode
+    val base = freshDir()
+    val chk = java.nio.file.Files.createTempDirectory("sadd").toString + "/chk"
+    DeltaLogWriter.write(Seq(1L, 2L).toDF("id").coalesce(1), base)            // v0
+    DeltaLogWriter.write(Seq(3L).toDF("id").coalesce(1), base, SaveMode.Append) // v1
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def drain(): Seq[Long] = DeltaLogReader.streamAdds(spark, base, chk) {
+      (d, v) => batches += ((v, d.select("id").collect().map(_.getLong(0)).toSet))
+    }
+    assert(drain() == Seq(0L, 1L))
+    assert(batches.toSeq == Seq((0L, Set(1L, 2L)), (1L, Set(3L))))
+    // caught up: a second drain consumes nothing (exactly-once law)
+    assert(drain().isEmpty)
+    // OPTIMIZE (dataChange=false) advances the offset WITHOUT a batch;
+    // the next append streams normally
+    DeltaLogWriter.optimize(spark, base)                                      // v2
+    DeltaLogWriter.write(Seq(4L).toDF("id").coalesce(1), base, SaveMode.Append) // v3
+    assert(drain() == Seq(2L, 3L))
+    assert(batches.size == 3 && batches.last == ((3L, Set(4L))))
+    // crash window: superseded offsets were swept on commit, so losing
+    // the only surviving one replays from the start — at-least-once
+    // into an idempotent sink, batch contents identical
+    assert(new java.io.File(new java.io.File(chk), "offset_v3").delete())
+    assert(drain() == Seq(0L, 1L, 2L, 3L))
+    assert(batches.size == 6 && batches.last == ((3L, Set(4L))))
+    // a data-changing remove (overwrite) is NOT a blind append: refuse
+    DeltaLogWriter.write(Seq(9L).toDF("id").coalesce(1), base, SaveMode.Overwrite) // v4
+    val e = intercept[IllegalArgumentException](drain())
+    assert(e.getMessage.contains("blind append"), e.getMessage)
+    // ...and so is a DV delete on a fresh table
+    val base2 = freshDir()
+    val chk2 = java.nio.file.Files.createTempDirectory("sadd2").toString + "/chk"
+    DeltaLogWriter.write(Seq(1L, 2L).toDF("id").coalesce(1), base2)
+    DeltaLogWriter.deleteWhere(spark, base2, col("id") === 1L)
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogReader.streamAdds(spark, base2, chk2)((_, _) => ()))
+    assert(e2.getMessage.contains("blind append"), e2.getMessage)
+    // a MAPPED table streams LOGICAL names per the commit's metaData
+    val base3 = freshDir()
+    val chk3 = java.nio.file.Files.createTempDirectory("sadd3").toString + "/chk"
+    DeltaLogWriter.write(Seq((1L, 10L)).toDF("id", "amount").coalesce(1), base3) // v0
+    DeltaLogWriter.enableColumnMapping(spark, base3)                             // v1
+    DeltaLogWriter.renameColumn(spark, base3, "amount", "total")                 // v2
+    DeltaLogWriter.write(Seq((2L, 20L)).toDF("id", "total").coalesce(1), base3)  // v3
+    val cols = scala.collection.mutable.ArrayBuffer.empty[(Long, Seq[String])]
+    DeltaLogReader.streamAdds(spark, base3, chk3) {
+      (d, v) => cols += ((v, d.columns.toSeq))
+    }
+    // v0 streamed pre-mapping (plain footer names); v3 under the rename
+    assert(cols.toSeq == Seq((0L, Seq("id", "amount")), (3L, Seq("id", "total"))), cols)
+  }
 }

@@ -269,13 +269,16 @@ class DeltaLogWriterSpec extends SparkSpec {
     assert(DeltaLogReader.versions(spark, base) == Seq(0L))
   }
 
-  test("deleteWhere refuses a column-mapped table with the limitation named") {
+  test("deleteWhere resolves a foreign NAME-mapped table through physicalName") {
     val base = freshDir()
-    // hand-write a name-mapped table (the q238 shape, minimal)
-    val df = Seq(1L).toDF("col-p")
+    // hand-write a name-mapped table (the q238 shape, minimal): the
+    // footer column is `col-p`, the logical name is `logical` — a
+    // predicate on the LOGICAL name must kill the right row
+    val df = Seq(1L, 2L, 3L).toDF("col-p")
     df.coalesce(1).write.parquet(s"$base/.tmp")
     val part = new java.io.File(s"$base/.tmp").listFiles()
       .filter(_.getName.endsWith(".parquet")).head
+    val sz = part.length()
     assert(part.renameTo(new java.io.File(base, "f1.parquet")))
     val schemaString = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("logical", org.apache.spark.sql.types.LongType,
@@ -288,12 +291,12 @@ class DeltaLogWriterSpec extends SparkSpec {
       Seq(
         """{"protocol":{"minReaderVersion":2,"minWriterVersion":5}}""",
         s"""{"metaData":{"id":"t","format":{"provider":"parquet","options":{}},"schemaString":$esc,"partitionColumns":[],"configuration":{"delta.columnMapping.mode":"name"},"createdTime":0}}""",
-        """{"add":{"path":"f1.parquet","partitionValues":{},"size":1,"modificationTime":0,"dataChange":true}}"""
+        s"""{"add":{"path":"f1.parquet","partitionValues":{},"size":$sz,"modificationTime":0,"dataChange":true}}"""
       ).mkString("", "\n", "\n"))
-    val e = intercept[IllegalArgumentException] {
-      DeltaLogWriter.deleteWhere(spark, base, col("logical") === 1L)
-    }
-    assert(e.getMessage.contains("column mapping"))
+    val (v, n) = DeltaLogWriter.deleteWhere(spark, base, col("logical") === 2L)
+    assert(v == 1L && n == 1L, s"v=$v n=$n")
+    assert(DeltaLogReader.read(spark, base).select("logical").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
   }
 
   test("enableColumnMapping + renameColumn: pure metadata lifecycle, appends go physical") {

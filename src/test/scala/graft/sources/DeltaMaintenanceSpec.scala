@@ -82,13 +82,32 @@ class DeltaMaintenanceSpec extends SparkSpec {
     assert(ids(DeltaLogReader.read(spark, base)).size == 16)
   }
 
-  test("optimize refuses partitioned tables") {
+  test("optimize re-bins WITHIN partitions; the hive layout and pruning survive") {
     val base = freshDir()
-    DeltaLogWriter.write(df(Seq(1L, 2L)), base,
-      partitionBy = Seq("name"))
-    val e = intercept[IllegalArgumentException](
-      DeltaLogWriter.optimize(spark, base))
-    assert(e.getMessage.contains("PARTITIONED"), e.getMessage)
+    val rows = Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0),
+      (4L, "b", 4.0), (5L, "a", 5.0)).toDF("id", "name", "score")
+    // three small commits per partition-value pair → a fragmented layout
+    DeltaLogWriter.write(rows.where(col("id") <= 2L), base, partitionBy = Seq("name"))
+    DeltaLogWriter.write(rows.where(col("id") === 3L), base,
+      mode = org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("name"))
+    DeltaLogWriter.write(rows.where(col("id") >= 4L), base,
+      mode = org.apache.spark.sql.SaveMode.Append, partitionBy = Seq("name"))
+    val before = DeltaLogReader.activeFiles(spark, base)
+    assert(before.size >= 4, before.mkString(", "))
+    val v = DeltaLogWriter.optimize(spark, base, numFiles = Some(1))
+    // one file per partition VALUE, each under its hive dir, adds
+    // carrying the partitionValues — pruning metadata intact
+    val after = DeltaLogReader.activeFiles(spark, base)
+    assert(after.size == 2, after.mkString(", "))
+    assert(after.forall(_.contains("name=")), after.mkString(", "))
+    val lines = scala.io.Source.fromFile(new java.io.File(
+      new java.io.File(base, "_delta_log"), f"$v%020d.json")).getLines().toSeq
+    assert(lines.filter(_.contains("\"add\""))
+      .forall(l => l.contains(""""partitionValues":{"name":""")), lines.mkString("\n"))
+    assert(lines.forall(_.contains("\"dataChange\":false")))
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 2L, 3L, 4L, 5L))
+    // time travel to the fragmented state survives
+    assert(ids(DeltaLogReader.read(spark, base, asOf = Some(1L))) == Set(1L, 2L, 3L))
   }
 
   test("vacuum deletes tombstoned files and old orphans, keeps the rest") {
@@ -158,12 +177,106 @@ class DeltaMaintenanceSpec extends SparkSpec {
     val e2 = intercept[IllegalArgumentException](DeltaLogWriter.upsert(
       spark, base, Seq((1L, "x")).toDF("id", "name"), Seq("id")))
     assert(e2.getMessage.contains("does not match"), e2.getMessage)
-    // partitioned table
-    val part = freshDir()
-    DeltaLogWriter.write(df(Seq(1L)), part, partitionBy = Seq("name"))
-    val e3 = intercept[IllegalArgumentException](DeltaLogWriter.upsert(
-      spark, part, df(Seq(2L)), Seq("id")))
-    assert(e3.getMessage.contains("PARTITIONED"), e3.getMessage)
+  }
+
+  test("partitioned upsert: adds carry partitionValues; a moved key dies in its OLD partition") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq((1L, "a", 1.0), (2L, "a", 2.0), (3L, "b", 3.0))
+      .toDF("id", "name", "score"), base, partitionBy = Seq("name"))
+    // key = id only (partition col NOT a key): the kill scan stays
+    // whole-table, so id 2's replacement under partition c kills the
+    // old row in partition a — the moved-key hazard the pruned path
+    // must never be allowed to create
+    val (v, nDel) = DeltaLogWriter.upsert(spark, base,
+      Seq((2L, "c", 20.0), (9L, "c", 9.0)).toDF("id", "name", "score")
+        .coalesce(1), Seq("id"))
+    assert(v == 1L && nDel == 1L, s"v=$v nDel=$nDel")
+    val got = DeltaLogReader.read(spark, base).select("id", "name", "score")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, "a", 1.0), (2L, "c", 20.0), (3L, "b", 3.0),
+      (9L, "c", 9.0)), got)
+    // the upsert's adds landed in hive dirs with partitionValues recorded
+    val lines = scala.io.Source.fromFile(new java.io.File(
+      new java.io.File(base, "_delta_log"), f"$v%020d.json")).getLines().toSeq
+    val addLines = lines.filter(l => l.contains("\"add\"") && !l.contains("deletionVector"))
+    assert(addLines.nonEmpty &&
+      addLines.forall(_.contains(""""partitionValues":{"name":"c"}""")),
+      addLines.mkString("\n"))
+    // partitioned deleteWhere composes: a predicate ON the partition
+    // column resolves through the reconstructed hive columns, and the
+    // DV re-add keeps the file's partitionValues
+    val (v2, nDel2) = DeltaLogWriter.deleteWhere(spark, base, col("name") === "c")
+    assert(v2 == 2L && nDel2 == 2L, s"v2=$v2 nDel2=$nDel2")
+    assert(ids(DeltaLogReader.read(spark, base)) == Set(1L, 3L))
+    val dvAdds = scala.io.Source.fromFile(new java.io.File(
+        new java.io.File(base, "_delta_log"), f"$v2%020d.json")).getLines()
+      .filter(l => l.contains("\"add\"") && l.contains("deletionVector")).toSeq
+    assert(dvAdds.nonEmpty &&
+      dvAdds.forall(_.contains(""""partitionValues":{"name":"c"}""")),
+      dvAdds.mkString("\n"))
+  }
+
+  test("partitioned upsert with partition-sourced keys: pruned kill scan stays exact, nulls included") {
+    val base = freshDir()
+    val init = Seq((1L, "a", 1.0), (2L, "b", 2.0), (3L, null.asInstanceOf[String], 3.0))
+      .toDF("id", "name", "score")
+    DeltaLogWriter.write(init, base, partitionBy = Seq("name"))
+    // keys (id, name) cover the partition column → the kill scan prunes
+    // to the batch's partitions (b and the null partition); correctness
+    // must be identical to the whole-table scan, null keys matching
+    // null-safely through __HIVE_DEFAULT_PARTITION__
+    val batch = Seq((2L, "b", 20.0), (3L, null.asInstanceOf[String], 30.0))
+      .toDF("id", "name", "score")
+    val (v, nDel) = DeltaLogWriter.upsert(spark, base, batch.coalesce(1),
+      Seq("id", "name"))
+    assert(v == 1L && nDel == 2L, s"v=$v nDel=$nDel")
+    val got = DeltaLogReader.read(spark, base).select("id", "score")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSet
+    assert(got == Set((1L, 1.0), (2L, 20.0), (3L, 30.0)), got)
+    // partition a's file was never touched: no DV re-add names it
+    val lines = scala.io.Source.fromFile(new java.io.File(
+      new java.io.File(base, "_delta_log"), f"$v%020d.json")).getLines().toSeq
+    assert(!lines.exists(l => l.contains("name=a") && l.contains("deletionVector")),
+      lines.mkString("\n"))
+  }
+
+  test("mapped upsert resolves renamed keys; appended parquet carries PHYSICAL names") {
+    val base = freshDir()
+    DeltaLogWriter.write(Seq((1L, 10L), (2L, 20L)).toDF("id", "amount")
+      .coalesce(1), base)                                             // v0
+    DeltaLogWriter.enableColumnMapping(spark, base)                   // v1
+    DeltaLogWriter.renameColumn(spark, base, "amount", "total")       // v2
+    val preParts = new java.io.File(base).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).map(_.getName).toSet
+    // upsert speaks the RENAMED logical schema; key resolution goes
+    // through physicalName (the renamed column's footers say 'amount')
+    val (v, nDel) = DeltaLogWriter.upsert(spark, base,
+      Seq((2L, 222L), (9L, 90L)).toDF("id", "total").coalesce(1), Seq("id"))
+    assert(v == 3L && nDel == 1L, s"v=$v nDel=$nDel")
+    assert(DeltaLogReader.read(spark, base).select("id", "total").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L), (2L, 222L), (9L, 90L)))
+    // the upsert's new part files are PHYSICAL-named — a real Delta
+    // reader resolves them through the same mapping
+    val newParts = new java.io.File(base).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .map(_.getName).toSet.diff(preParts)
+    assert(newParts.nonEmpty)
+    newParts.foreach { p =>
+      assert(spark.read.parquet(s"$base/$p").columns.toSeq == Seq("id", "amount"),
+        s"$p should carry physical names")
+    }
+    // mapped deleteWhere on the renamed column composes on top
+    val (v2, nDel2) = DeltaLogWriter.deleteWhere(spark, base, col("total") > 100L)
+    assert(v2 == 4L && nDel2 == 1L)
+    assert(DeltaLogReader.read(spark, base).select("id").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 9L))
+    // mapping + CDF stays refused loudly
+    DeltaLogWriter.setTableProperties(spark, base,
+      Map("delta.enableChangeDataFeed" -> "true"))
+    val e = intercept[IllegalArgumentException](DeltaLogWriter.upsert(
+      spark, base, Seq((1L, 11L)).toDF("id", "total"), Seq("id")))
+    assert(e.getMessage.contains("Change Data"), e.getMessage)
   }
 
   test("restore reverts the file set, DV attachments included; history intact") {
