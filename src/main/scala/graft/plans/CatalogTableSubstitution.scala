@@ -1,0 +1,41 @@
+package graft.plans
+
+import org.apache.spark.sql.catalyst.expressions.Alias
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+
+import graft.sources.GraftSqlTable
+
+/** The analyzer half of [[graft.sources.GraftCatalog]] — the
+  * DeltaAnalysis pattern: a `DataSourceV2Relation` over a
+  * [[GraftSqlTable]] is REPLACED by the format reader's own logical
+  * plan, re-aliased onto the relation's output attributes (explicit
+  * exprIds, so every downstream reference keeps resolving). After this
+  * rule the V2 relation is gone from the plan: Catalyst optimizes
+  * ordinary parquet scans (plus the reader's DV/MoR joins where the
+  * table carries them), so pushdown, pruning and join planning behave
+  * exactly as the path-API reads — the catalog adds a NAME, not an
+  * execution layer.
+  *
+  * `reread()` builds a FRESH plan (fresh expression ids) per relation
+  * occurrence: a self-join of one catalog table substitutes two
+  * independent subtrees and can never alias attributes across sides.
+  * Installed by [[GraftExtensions]] as a resolution rule (post-hoc
+  * batch — the relation is resolved by then, its output fixed). */
+object CatalogTableSubstitution extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.resolveOperatorsUp {
+      case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
+        val child = r.table.asInstanceOf[GraftSqlTable].reread()
+          .queryExecution.analyzed
+        require(child.output.length == r.output.length,
+          s"catalog table ${r.table.name()}: reader plan emits " +
+            s"${child.output.length} columns, relation expects " +
+            s"${r.output.length} — the table changed shape between load " +
+            "and analysis")
+        Project(r.output.zip(child.output).map { case (out, in) =>
+          Alias(in, out.name)(exprId = out.exprId)
+        }, child)
+    }
+}

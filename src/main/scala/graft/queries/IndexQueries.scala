@@ -94,6 +94,7 @@ object IndexQueries {
   private val q262RegPat = scratchPat("q262_catalog_registry")
   private val q264TablePat = scratchPat("q264_delta_mapwrite")
   private val q265TablePat = scratchPat("q265_iceberg_changelog")
+  private val q267RegPat = scratchPat("q267_sql_catalog_registry")
   private val q268TablePat = scratchPat("q268_delta_partdml")
   private val q269TablePat = scratchPat("q269_delta_mapdml")
   private val q270TablePat = scratchPat("q270_delta_stream")
@@ -3084,6 +3085,40 @@ object IndexQueries {
           sum($"value_micros").as("value_checksum"))
     }),
 
+    // SQL-REACHABLE tables — the Spark V2 CatalogPlugin: ONE SQL text
+    // querying a Delta table (current AND `VERSION AS OF 1`) and an
+    // Iceberg table by NAME through `graft_<dir>.graft.<tbl>`, exactly
+    // the reference's consumption pattern (spark.read.table /
+    // spark.sql over a metastore name). Resolution goes through the
+    // registry seam; the analyzer substitution serves the repo's own
+    // readers, so the legs replay q253's upsert states and q261's
+    // rewritten table — name resolution changes NOTHING about rows.
+    "q267_sql_catalog_read" -> ((s, dir) => {
+      val delta = stageQ253DeltaUpserted(s, dir)
+      val ice = stageQ261IcebergRewritten(s, dir)
+      val reg = scratch(q267RegPat, dir)
+      // catalog instances cache per NAME on the session — hash the sf
+      // dir into the name so a session never rebinds a name's options
+      val cat = "graft_" + Integer.toHexString(dir.hashCode).takeRight(8)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.registry", reg)
+      val rc = new graft.sources.FileRegistryCatalog(s, reg)
+      rc.register("graft.events_delta", delta)
+      rc.register("graft.events_iceberg", ice)
+      s.sql(
+        s"""SELECT 'a_delta_current' AS leg, count(*) AS n_rows,
+           |  sum(event_id) AS id_checksum, sum(value_micros) AS value_checksum
+           |FROM $cat.graft.events_delta
+           |UNION ALL
+           |SELECT 'b_delta_v1', count(*), sum(event_id), sum(value_micros)
+           |FROM $cat.graft.events_delta VERSION AS OF 1
+           |UNION ALL
+           |SELECT 'c_iceberg', count(*), sum(event_id), sum(value_micros)
+           |FROM $cat.graft.events_iceberg
+           |ORDER BY leg""".stripMargin)
+    }),
+
     // PARTITIONED Delta DML — upsert (partition-sourced keys AND the
     // moved-key shape into a NEW partition), a partition-predicate DV
     // delete, and a within-partition OPTIMIZE, all on one
@@ -4331,6 +4366,26 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q267_sql_catalog_read" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT 'a_delta_current' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CASE WHEN event_id % 6 = 0 THEN vm * 3
+        |                  WHEN event_id % 3 = 0 THEN vm * 2
+        |                  ELSE vm END) AS BIGINT) AS value_checksum
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'b_delta_v1', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN vm * 2 ELSE vm END) AS BIGINT)
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'c_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'error')
+        |) ORDER BY leg""".stripMargin,
     "q268_delta_partitioned_dml" ->
       """WITH p AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm

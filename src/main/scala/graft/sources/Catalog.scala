@@ -162,6 +162,10 @@ class FileRegistryCatalog(spark: SparkSession, registryPath: String)
         TableCatalog.splitName(k)._2 }
       .sorted
 
+  /** Distinct namespaces of the registered tables, sorted. */
+  def namespaces(): Seq[String] =
+    load().keys.toSeq.map(k => TableCatalog.splitName(k)._1).distinct.sorted
+
   override def register(name: String, location: String): Unit = {
     TableCatalog.splitName(name)
     store(load() + (name -> location))

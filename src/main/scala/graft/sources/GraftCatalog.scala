@@ -1,0 +1,221 @@
+package graft.sources
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NoSuchNamespaceException, NoSuchTableException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, Table, TableCapability, TableChange, TableCatalog => V2TableCatalog}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.ScanBuilder
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** Spark V2 `CatalogPlugin` — the SQL-reachability seam: registers the
+  * repo's table formats under a catalog NAME so `spark.sql("SELECT …
+  * FROM <cat>.ns.tbl")` and `spark.read.table` work exactly the way the
+  * reference consumes its production table through the metastore
+  * (`02_geofraud_fraud.py:18` `spark.read.table(tiles)`;
+  * `config/configure_notebook.py:18-27` DDL). Install with
+  *
+  * {{{
+  *   spark.sql.catalog.<cat>          = graft.sources.GraftCatalog
+  *   spark.sql.catalog.<cat>.registry = /path/to/registry.json   // or
+  *   spark.sql.catalog.<cat>.warehouse = /path/to/warehouse
+  * }}}
+  *
+  * Name resolution goes through the SAME [[TableCatalog]] seam the
+  * library API uses ([[FileRegistryCatalog]] / [[HadoopWarehouseCatalog]]
+  * — one document / one listing, a real REST client swaps in untouched);
+  * the FORMAT is sniffed from the location (`_delta_log` ⇒ Delta, else
+  * Iceberg metadata), and the rows are served by the repo's own
+  * interpreters — [[DeltaLogReader.read]] / [[Iceberg.read]], deletion
+  * vectors, column mapping and MoR deletes included.
+  *
+  * Execution path: `loadTable` returns a [[GraftSqlTable]] carrying the
+  * reader closure; the ANALYZER rule
+  * [[graft.plans.CatalogTableSubstitution]] (installed by
+  * `GraftExtensions`) replaces its `DataSourceV2Relation` with the
+  * reader's own logical plan, re-aliased onto the relation's output
+  * attributes — the DeltaAnalysis pattern: after substitution Catalyst
+  * sees ordinary parquet relations, so filter pushdown, column pruning
+  * and partition pruning all work unchanged (PlanAuditSpec pins
+  * PushedFilters through the catalog path). Time travel rides the SQL
+  * `VERSION AS OF` / `TIMESTAMP AS OF` syntax via the `loadTable`
+  * overloads (a Delta version / an Iceberg snapshot id; timestamps in
+  * either format).
+  *
+  * READ-ONLY by design, like [[DeltaLogReader]]: DDL/DML arrive through
+  * the library writers ([[DeltaLogWriter]], [[IcebergWriter]]), which
+  * own the commit protocols; `createTable`/`alterTable`/`renameTable`
+  * refuse with the writer entry point named. `dropTable` delegates to a
+  * mutable registry (drops the NAME binding only — never data). */
+class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
+
+  private var catName: String = _
+  private var seam: TableCatalog = _
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catName = name
+    val spark = SparkSession.active
+    seam =
+      if (options.containsKey("registry"))
+        new FileRegistryCatalog(spark, options.get("registry"))
+      else if (options.containsKey("warehouse"))
+        new HadoopWarehouseCatalog(spark, options.get("warehouse"))
+      else throw new IllegalArgumentException(
+        s"catalog '$name' needs spark.sql.catalog.$name.registry (a " +
+          "FileRegistryCatalog document) or .warehouse (a Hadoop " +
+          "warehouse root) to resolve table names")
+  }
+
+  override def name(): String = catName
+
+  private def seamName(ident: Identifier): String =
+    (ident.namespace() :+ ident.name()).mkString(".")
+
+  private def locate(ident: Identifier): String =
+    try seam.locate(seamName(ident))
+    catch { case _: IllegalArgumentException => throw new NoSuchTableException(ident) }
+
+  /** The reader closure for (location, travel pin) — format sniffed
+    * once per load: a `_delta_log` dir means Delta, Iceberg `metadata`
+    * otherwise; a location with neither refuses by name. */
+  private def readerFor(spark: SparkSession, ident: Identifier, loc: String,
+                        version: Option[String], tsMicros: Option[Long])
+      : () => DataFrame = {
+    val f = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    val isDelta = f.exists(new Path(loc, "_delta_log"))
+    val isIceberg = !isDelta && f.exists(new Path(loc, "metadata"))
+    if (!isDelta && !isIceberg) throw new IllegalArgumentException(
+      s"catalog '$catName' resolves '${seamName(ident)}' to $loc, which " +
+        "holds neither a Delta log nor Iceberg metadata — refusing a " +
+        "format guess")
+    val pinnedVersion = version.map { v =>
+      try v.toLong catch {
+        case _: NumberFormatException => throw new IllegalArgumentException(
+          s"VERSION AS OF '$v' on ${seamName(ident)}: this catalog pins " +
+            "numeric versions (a Delta log version / an Iceberg snapshot id)")
+      }
+    }
+    if (isDelta) () => (pinnedVersion, tsMicros) match {
+      case (Some(v), _) => DeltaLogReader.read(spark, loc, asOf = Some(v))
+      case (_, Some(us)) => DeltaLogReader.readAsOfTimestamp(spark, loc,
+        Math.floorDiv(us, 1000L))
+      case _ => DeltaLogReader.read(spark, loc)
+    }
+    else () => (pinnedVersion, tsMicros) match {
+      case (Some(v), _) => Iceberg.readSnapshot(spark, loc, v)
+      case (_, Some(us)) => Iceberg.readAsOf(spark, loc, Math.floorDiv(us, 1000L))
+      case _ => Iceberg.read(spark, loc)
+    }
+  }
+
+  private def load(ident: Identifier, version: Option[String],
+                   tsMicros: Option[Long]): Table = {
+    val spark = SparkSession.active
+    val reread = readerFor(spark, ident, locate(ident), version, tsMicros)
+    new GraftSqlTable(s"$catName.${seamName(ident)}", reread().schema, reread)
+  }
+
+  override def loadTable(ident: Identifier): Table = load(ident, None, None)
+
+  /** `VERSION AS OF` — a Delta log version / an Iceberg snapshot id. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    load(ident, Some(version), None)
+
+  /** `TIMESTAMP AS OF` — Spark hands MICROseconds since the epoch. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table =
+    load(ident, None, Some(timestamp))
+
+  override def tableExists(ident: Identifier): Boolean =
+    try { locate(ident); true } catch { case _: NoSuchTableException => false }
+
+  override def listTables(namespace: Array[String]): Array[Identifier] =
+    seam.tables(namespace.mkString("."))
+      .map(t => Identifier.of(namespace, t)).toArray
+
+  override def dropTable(ident: Identifier): Boolean = seam match {
+    case m: MutableTableCatalog =>
+      try { m.drop(seamName(ident)); true }
+      catch { case _: IllegalArgumentException => false }
+    case _ => throw new UnsupportedOperationException(
+      s"catalog '$catName' resolves through an immutable catalog — drop " +
+        "the table where it is registered")
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+                           partitions: Array[Transform],
+                           properties: java.util.Map[String, String]): Table =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName' is a READ seam — create tables with " +
+        "DeltaLogWriter.write / IcebergWriter.commitAppend and register " +
+        "the location (FileRegistryCatalog.register)")
+
+  override def alterTable(ident: Identifier, changes: TableChange*): Table =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName' is a READ seam — evolve tables through the " +
+        "format writers (renameColumn/addColumn/setTableProperties)")
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName' is a READ seam — re-register the location " +
+        "under the new name instead")
+
+  // ------------------------------------------------- SupportsNamespaces
+
+  override def listNamespaces(): Array[Array[String]] = seam match {
+    case r: FileRegistryCatalog => r.namespaces().map(_.split('.')).toArray
+    case _ => Array.empty
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else if (namespaceExists(namespace)) Array.empty
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    seam.tables(namespace.mkString(".")).nonEmpty
+
+  override def loadNamespaceMetadata(namespace: Array[String])
+      : java.util.Map[String, String] =
+    if (namespaceExists(namespace)) java.util.Collections.emptyMap()
+    else throw new NoSuchNamespaceException(namespace)
+
+  override def createNamespace(namespace: Array[String],
+                               metadata: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName' derives namespaces from registered tables — " +
+        "register a table to create one")
+
+  override def alterNamespace(namespace: Array[String],
+                              changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName' keeps no namespace metadata")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean =
+    throw new UnsupportedOperationException(
+      s"catalog '$catName' derives namespaces from registered tables — " +
+        "drop the tables instead")
+}
+
+/** The DSv2 `Table` a [[GraftCatalog]] load returns: a carrier for the
+  * reader closure the [[graft.plans.CatalogTableSubstitution]] analyzer
+  * rule expands — `reread()` yields a FRESH plan (fresh expression ids)
+  * per relation, so self-joins of one catalog table never alias. The
+  * `newScanBuilder` refusal is the loud failure mode for a session
+  * missing `GraftExtensions`: the table must never execute through a
+  * scan this class does not implement. */
+private[graft] class GraftSqlTable(tableName: String,
+                                   tableSchema: StructType,
+                                   val reread: () => DataFrame)
+    extends Table with SupportsRead {
+  override def name(): String = tableName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    throw new IllegalStateException(
+      s"table $tableName resolved through GraftCatalog but the " +
+        "substitution rule did not fire — install " +
+        "graft.plans.GraftExtensions on this session " +
+        "(spark.sql.extensions=graft.plans.GraftExtensions)")
+}

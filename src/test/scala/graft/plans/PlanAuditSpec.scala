@@ -385,4 +385,20 @@ class PlanAuditSpec extends SparkSpec {
     assert(p.contains("LeftAnti"), p)
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"), p)
   }
+
+  test("q267 catalog-resolved SQL keeps pushdown: the name adds resolution, not a layer") {
+    // run q267 once so the catalog name is registered and the tables
+    // bound, then audit a FILTERED read through the same catalog: the
+    // predicate must reach the parquet scan's PushedFilters exactly as
+    // the path-API read would push it — the substitution rule hands
+    // Catalyst the reader's own relations, so a regression here means
+    // the catalog started planning its own scans
+    graft.SparkEntry.queries("q267_sql_catalog_read")(spark, sf).collect()
+    val cat = "graft_" + Integer.toHexString(sf.hashCode).takeRight(8)
+    val q = spark.sql(
+      s"SELECT event_id FROM $cat.graft.events_iceberg WHERE event_id > 1000")
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,1000)]"), p)
+    assert(!p.contains("GraftSqlTable"), p)
+  }
 }

@@ -1,0 +1,137 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** The Spark V2 catalog plugin: `spark.sql` / `spark.read.table` over
+  * the repo's own Delta and Iceberg tables by NAME, row-identical to the
+  * path reads, with pushdown intact, time travel through the SQL
+  * `VERSION AS OF` syntax, and loud refusals for everything the read
+  * seam does not do. Catalog names are per-test (the session caches a
+  * catalog instance per name, so a name must never rebind options). */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("gcat").toString
+
+  /** Register a fresh catalog name over a fresh registry document. */
+  private def freshCatalog(): (String, FileRegistryCatalog) = {
+    val name = "gc" + java.util.UUID.randomUUID().toString.take(8)
+    val reg = freshDir() + "/registry.json"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.registry", reg)
+    (name, new FileRegistryCatalog(spark, reg))
+  }
+
+  private def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+    df.select("id").collect().map(_.getLong(0)).toSet
+
+  test("spark.sql reads Delta AND Iceberg tables by name, row-identical to the path reads") {
+    val (cat, reg) = freshCatalog()
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k").coalesce(1), delta)
+    DeltaLogWriter.deleteWhere(spark, delta, col("id") === 2L) // a DV ride-along
+    val ice = freshDir() + "/i"
+    IcebergWriter.commitAppend(spark,
+      ice, Seq((10L, "x"), (20L, "y")).toDF("id", "k").coalesce(1), 501L, 1000L)
+    reg.register("ns.dtbl", delta)
+    reg.register("ns.itbl", ice)
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.dtbl")) ==
+      ids(DeltaLogReader.read(spark, delta)))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.itbl")) ==
+      ids(Iceberg.read(spark, ice)))
+    // spark.read.table — the reference's own consumption spelling
+    assert(ids(spark.read.table(s"$cat.ns.itbl")) == Set(10L, 20L))
+    // a JOIN across the two formats through one catalog
+    val joined = spark.sql(
+      s"SELECT d.id AS did, i.id AS iid FROM $cat.ns.dtbl d " +
+        s"JOIN $cat.ns.itbl i ON i.k = 'x'")
+    assert(joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 10L)))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF pin versions through the SQL syntax") {
+    val (cat, reg) = freshCatalog()
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write(Seq(1L).toDF("id").coalesce(1), delta)        // v0
+    DeltaLogWriter.write(Seq(2L).toDF("id").coalesce(1), delta)        // v1
+    reg.register("ns.d", delta)
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d VERSION AS OF 0")) == Set(1L))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == Set(1L, 2L))
+    val ice = freshDir() + "/i"
+    IcebergWriter.commitAppend(spark, ice, Seq(10L).toDF("id").coalesce(1), 601L, 1000L)
+    IcebergWriter.commitAppend(spark, ice, Seq(20L).toDF("id").coalesce(1), 602L, 2000L)
+    reg.register("ns.i", ice)
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.i VERSION AS OF 601")) == Set(10L))
+    // Iceberg timestamp travel uses the snapshots' own commit clocks
+    // (fixture timestamps 1000/2000 ms; session TZ is UTC)
+    assert(ids(spark.sql(
+      s"SELECT id FROM $cat.ns.i TIMESTAMP AS OF '1970-01-01 00:00:01.5'")) ==
+      Set(10L))
+  }
+
+  test("pushdown survives the substitution: filters reach the parquet scan") {
+    val (cat, reg) = freshCatalog()
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write((1L to 100L).toDF("id").coalesce(1), delta)
+    reg.register("ns.big", delta)
+    val q = spark.sql(s"SELECT id FROM $cat.ns.big WHERE id > 90")
+    assert(ids(q) == (91L to 100L).toSet)
+    val physical = q.queryExecution.executedPlan.toString()
+    assert(physical.contains("PushedFilters: [IsNotNull(id), GreaterThan(id,90)]"),
+      physical)
+    // and no DSv2 relation survived the substitution
+    assert(!q.queryExecution.optimizedPlan.toString().contains("GraftSqlTable"))
+  }
+
+  test("a self-join of one catalog table never aliases attributes across sides") {
+    val (cat, reg) = freshCatalog()
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write(Seq((1L, 2L), (2L, 3L)).toDF("id", "next").coalesce(1), delta)
+    reg.register("ns.edges", delta)
+    val hops = spark.sql(
+      s"SELECT a.id AS src, b.next AS dst FROM $cat.ns.edges a " +
+        s"JOIN $cat.ns.edges b ON a.next = b.id")
+    assert(hops.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((1L, 3L)))
+  }
+
+  test("warehouse-convention catalog resolves ns/tbl directories") {
+    val name = "gw" + java.util.UUID.randomUUID().toString.take(8)
+    val wh = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    DeltaLogWriter.write(Seq(7L).toDF("id").coalesce(1), s"$wh/ns/t1")
+    assert(ids(spark.sql(s"SELECT id FROM $name.ns.t1")) == Set(7L))
+  }
+
+  test("refusals: unknown table, read-only DDL, missing options, SHOW TABLES works") {
+    val (cat, reg) = freshCatalog()
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write(Seq(1L).toDF("id").coalesce(1), delta)
+    reg.register("ns.known", delta)
+    val e1 = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM $cat.ns.nope").collect())
+    assert(e1.getMessage.contains("nope"), e1.getMessage)
+    val e2 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat.ns.t2 (id BIGINT)"))
+    assert(e2.getMessage.contains("READ seam"), e2.getMessage)
+    // SHOW TABLES lists through the seam
+    val shown = spark.sql(s"SHOW TABLES IN $cat.ns").select("tableName")
+      .collect().map(_.getString(0)).toSet
+    assert(shown == Set("known"), shown)
+    // DROP TABLE drops the NAME binding, never the data
+    spark.sql(s"DROP TABLE $cat.ns.known")
+    assert(intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"SELECT * FROM $cat.ns.known").collect())
+      .getMessage.contains("known"))
+    assert(DeltaLogReader.read(spark, delta).count() == 1L)
+    // a catalog name with neither registry nor warehouse refuses
+    val bad = "gb" + java.util.UUID.randomUUID().toString.take(8)
+    spark.conf.set(s"spark.sql.catalog.$bad", classOf[GraftCatalog].getName)
+    val e3 = intercept[Exception](spark.sql(s"SELECT * FROM $bad.ns.x"))
+    assert(e3.getMessage.contains("registry") ||
+      Option(e3.getCause).exists(_.getMessage.contains("registry")), e3.getMessage)
+  }
+}
