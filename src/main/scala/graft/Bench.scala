@@ -21,6 +21,29 @@ object Bench {
       .withExtensions(new graft.plans.GraftExtensions) // AntiJoinRewrite + geo_cell live in driver runs
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // ---- box-idle gate (r13 verdict): two rounds running, the committed
+    // artifact was the round's dirtiest run — a bench launched while the
+    // box still churns (the driver benches right after `sbt test`)
+    // inherits load the per-query evidence then has to explain away.
+    // Wait BOUNDED time for the 1-min load to decay below a threshold;
+    // whatever remains is recorded as a machine-readable "dirty" flag the
+    // next reader can gate on instead of reconciling prose.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val dirtyThreshold = sys.env.get("SPARK_GRAFT_DIRTY_LOAD").map(_.toDouble)
+      .getOrElse(math.max(2.0, cpus.toDouble / 8.0))
+    val idleWaitMax = sys.env.get("SPARK_GRAFT_IDLE_WAIT_S").map(_.toLong).getOrElse(120L)
+    val idleDeadline = System.currentTimeMillis() + idleWaitMax * 1000L
+    var loadAvgBoot = osBean.getSystemLoadAverage
+    while (loadAvgBoot > dirtyThreshold && System.currentTimeMillis() < idleDeadline) {
+      System.err.println(
+        f"[bench] box busy (1-min loadAvg $loadAvgBoot%.2f > $dirtyThreshold%.2f) — waiting for idle")
+      Thread.sleep(10000L)
+      loadAvgBoot = osBean.getSystemLoadAverage
+    }
+    val dirty = loadAvgBoot > dirtyThreshold
+    if (dirty) System.err.println(
+      f"[bench] proceeding DIRTY: loadAvg $loadAvgBoot%.2f still > $dirtyThreshold%.2f " +
+        "after the idle wait — the JSON carries \"dirty\":true")
     // engine observability: per-query action/scan/row counts from the
     // QueryExecutionListener, emitted under "metrics" in the full JSON line
     val ml = new graft.tracking.MetricsListener
@@ -164,7 +187,6 @@ object Bench {
     // r9 finding: a 195 s contended line vs a 185 s idle gate needed
     // PLANS.md prose to reconcile) — loadAvg ≫ our thread count means
     // other processes were competing for the cores during THIS run.
-    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     var loadSamples = List.empty[Double]
     // start-of-lap box conditions; in-lap staging attribution is the
     // per-query stageOnce write-count delta inside the loop below
@@ -234,12 +256,14 @@ object Bench {
     val stagingInLap = results.collect { case (k, _, _, _, _, n) if n > 0 =>
       s"\"$k\":$n" }.mkString("{", ",", "}")
     val total = results.collect { case (_, v, true, _, _, _) => v }.sum
-    // load-insensitive secondary total (r11 task 4): task CPU seconds
+    // load-RESISTANT secondary total (r11 task 4): task CPU seconds
     // summed over the measured queries. Wall `value` swings ±30% with box
-    // contention; cpuTotal moves only when the WORK changes, so
-    // cross-round comparisons get an axis the contention block can't
-    // muddy. (Still task-attributed: driver-side planning time is not in
-    // it — compare like with like.)
+    // contention; cpuTotal is steadier but NOT load-insensitive — cache
+    // and lock contention from co-tenants inflate task CPU too (measured
+    // r13: 401.5 committed vs 330.4 idle for identical code, a ±20%
+    // band). Read it WITH the contention block and the dirty flag.
+    // (Still task-attributed: driver-side planning time is not in it —
+    // compare like with like.)
     val cpuTotal = results.collect { case (_, _, true, _, (_, cpuMs, _), _) => cpuMs }
       .sum / 1000.0
     // contention indicator, carried in BOTH output lines: how to read it —
@@ -258,19 +282,21 @@ object Bench {
     val contention =
       s"""{"runCpuRatio":${r3(if (mCpuMs > 0) mRunMs.toDouble / mCpuMs else -1)},""" +
         s""""gcPct":${r3(if (mRunMs > 0) 100.0 * mGcMs / mRunMs else 0)},""" +
+        s""""loadAvgBoot":${r3(loadAvgBoot)},""" +
+        s""""dirtyThreshold":${r3(dirtyThreshold)},""" +
         s""""loadAvgStart":${r3(loadAvgStart)},""" +
         s""""loadAvgMean":${r3(if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1)},""" +
         s""""loadAvgMax":${r3(if (loadSamples.nonEmpty) loadSamples.max else -1)},""" +
         s""""cpus":$cpus}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"queries":$qs,"metrics":$metrics,"errors":$errors,"staging_in_lap":$stagingInLap,"contention":$contention,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"dirty":$dirty,"queries":$qs,"metrics":$metrics,"errors":$errors,"staging_in_lap":$stagingInLap,"contention":$contention,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
     // compact total-only line LAST: the full per-query line outgrew the
     // driver's tail buffer at 65 queries (BENCH_r03 "parsed": null), so a
     // short parsable metric line must always be the final stdout line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"n_queries":${results.size},"n_errors":${results.count(!_._3)},"staging_in_lap":$stagingInLap,"contention":$contention,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"dirty":$dirty,"n_queries":${results.size},"n_errors":${results.count(!_._3)},"staging_in_lap":$stagingInLap,"contention":$contention,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -98,6 +98,7 @@ object IndexQueries {
   private val q268TablePat = scratchPat("q268_delta_partdml")
   private val q269TablePat = scratchPat("q269_delta_mapdml")
   private val q270TablePat = scratchPat("q270_delta_stream")
+  private val q271TablePat = scratchPat("q271_delta_cdc_in")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -193,6 +194,7 @@ object IndexQueries {
     stageQ268DeltaPartDml(s, dir)
     stageQ269DeltaMapDml(s, dir)
     stageQ270DeltaStream(s, dir)
+    stageQ271DeltaCdcIn(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -832,6 +834,69 @@ object IndexQueries {
       val snaps = graft.sources.Iceberg.snapshots(s, base).map(_._1)
       require(snaps == Seq(6601L, 6602L, 6603L),
         s"q252 expected one upsert snapshot per micro-batch, got $snaps")
+    }
+    base
+  }
+
+  /** q271's fixture: STREAMING CDC upsert into DELTA — the q252 twin
+    * on the Delta log, completing the 4-cell CDC matrix (q252 INTO
+    * Iceberg, q263 OUT of Delta, q266 OUT of Iceberg, this INTO
+    * Delta): a base write, then the same ordered two-file stream
+    * (`maxFilesPerTrigger=1`, pinned mtimes) whose `foreachBatch`
+    * commits one `DeltaLogWriter.upsert` (DV kill + append) per
+    * micro-batch. Batch 0 corrects the %3 keys at 2×, batch 1 the %6
+    * keys at 3× — three stacked DV tiers committed by the micro-batch
+    * engine. */
+  private[graft] def stageQ271DeltaCdcIn(s: SparkSession, dir: String): String = {
+    val base = scratch(q271TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val p = t(s, dir, "events").where($"event_type" === "purchase")
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+      graft.sources.DeltaLogWriter.write(p.coalesce(1), base)          // v0
+      val srcDir = new org.apache.hadoop.fs.Path(bp, ".cdc_src")
+      val chkDir = new org.apache.hadoop.fs.Path(bp, ".cdc_chk")
+      def stageBatch(df: DataFrame, name: String, mtime: Long): Unit = {
+        val tmp = new org.apache.hadoop.fs.Path(bp, s".tmp_$name")
+        df.coalesce(1).write.parquet(tmp.toString)
+        val part = fs.listStatus(tmp)
+          .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .head.getPath
+        fs.mkdirs(srcDir)
+        val dst = new org.apache.hadoop.fs.Path(srcDir, s"$name.parquet")
+        require(fs.rename(part, dst), s"staging rename to $dst failed")
+        fs.delete(tmp, true)
+        fs.setTimes(dst, mtime, -1)
+      }
+      stageBatch(p.where($"event_id" % 3 === 0)
+        .withColumn("value_micros", $"value_micros" * 2), "b0", 1000L)
+      stageBatch(p.where($"event_id" % 6 === 0)
+        .withColumn("value_micros", $"value_micros" * 3), "b1", 2000L)
+      val schema = s.read.parquet(srcDir.toString).schema
+      val q = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+        .writeStream
+        .foreachBatch { (b: DataFrame, _: Long) =>
+          graft.sources.DeltaLogWriter.upsert(s, base,
+            b.select($"event_id", $"event_type", $"value_micros").coalesce(1),
+            Seq("event_id"))
+          ()
+        }
+        .option("checkpointLocation", chkDir.toString)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      if (!q.awaitTermination(StreamScaffold.AwaitTimeoutMs)) {
+        q.stop()
+        sys.error("q271 CDC stream did not terminate in time")
+      }
+      // one upsert commit per source file, in mtime order
+      val vs = graft.sources.DeltaLogReader.versions(s, base)
+      require(vs == Seq(0L, 1L, 2L),
+        s"q271 expected one upsert commit per micro-batch, got $vs")
     }
     base
   }
@@ -2987,6 +3052,32 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // STREAMING CDC UPSERT into Delta — the q252 twin on the Delta
+    // log, the CDC matrix's last cell: foreachBatch drives
+    // DeltaLogWriter.upsert (DV kill + append) once per ordered
+    // micro-batch. after_b0 = version 1 via time travel (%3 keys at
+    // 2×), final = the current read (%6 keys at 3× on top), the
+    // c_versions leg pins one commit per micro-batch. Same oracle
+    // tiers as q252/q253 by construction — stream==batch, and the two
+    // formats' ingest loops converge on identical rows.
+    "q271_stream_delta_upsert" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.DeltaLogReader
+      val base = stageQ271DeltaCdcIn(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      val versionsLeg = Seq((DeltaLogReader.versions(s, base).size.toLong, 0L, 0L))
+        .toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("c_versions").as("leg"), $"n_rows", $"id_checksum",
+          $"value_checksum")
+      leg("a_after_b0", DeltaLogReader.read(s, base, asOf = Some(1L)))
+        .unionAll(leg("b_final", DeltaLogReader.read(s, base)))
+        .unionAll(versionsLeg)
+        .orderBy($"leg")
+    }),
+
     // Delta MoR UPSERT — q247's Iceberg tiers replayed on the Delta
     // log: two stacked DeletionVector-kill+append commits keyed on
     // event_id. after_upsert1 = version 1 via time travel (%3 keys at
@@ -4366,6 +4457,27 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q271_stream_delta_upsert" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT * FROM (
+        |  SELECT 'a_after_b0' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CASE WHEN event_id % 3 = 0 THEN vm * 2 ELSE vm END)
+        |      AS BIGINT) AS value_checksum
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'b_final', count(*),
+        |    CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CASE WHEN event_id % 6 = 0 THEN vm * 3
+        |                  WHEN event_id % 3 = 0 THEN vm * 2
+        |                  ELSE vm END) AS BIGINT)
+        |  FROM p
+        |  UNION ALL
+        |  SELECT 'c_versions', CAST(3 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |) ORDER BY leg""".stripMargin,
     "q267_sql_catalog_read" ->
       """WITH p AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
