@@ -99,6 +99,7 @@ object IndexQueries {
   private val q269TablePat = scratchPat("q269_delta_mapdml")
   private val q270TablePat = scratchPat("q270_delta_stream")
   private val q271TablePat = scratchPat("q271_delta_cdc_in")
+  private val q272TablePat = scratchPat("q272_iceberg_v3dv")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -195,6 +196,7 @@ object IndexQueries {
     stageQ269DeltaMapDml(s, dir)
     stageQ270DeltaStream(s, dir)
     stageQ271DeltaCdcIn(s, dir)
+    stageQ272IcebergV3Dv(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -897,6 +899,55 @@ object IndexQueries {
       val vs = graft.sources.DeltaLogReader.versions(s, base)
       require(vs == Seq(0L, 1L, 2L),
         s"q271 expected one upsert commit per micro-batch, got $vs")
+    }
+    base
+  }
+
+  /** q272's fixture: a hand-assembled Iceberg FORMAT-VERSION 3 table —
+    * one purchase-slice data file (event_id order pinned by a sort +
+    * coalesce(1)) plus a REAL puffin file holding a `deletion-vector-v1`
+    * blob that kills every `event_id % 4 == 0` row BY POSITION (the
+    * positions read back from the staged file's own
+    * `_metadata.row_index`, so the fixture states facts about the file
+    * it actually wrote). The v3 spec's DV framing is byte-identical to
+    * Delta's sidecars — one codec serves both formats. */
+  private[graft] def stageQ272IcebergV3Dv(s: SparkSession, dir: String): String = {
+    val base = scratch(q272TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val p = t(s, dir, "events").where($"event_type" === "purchase")
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .orderBy($"event_id")
+      val f1 = stageSingleFile(fs, bp, p, "f1.parquet", bp)
+      val kills = s.read.parquet(f1)
+        .select(col("_metadata.row_index").as("pos"), $"event_id")
+        .where($"event_id" % 4 === 0)
+        .select($"pos").collect().map(_.getLong(0)).sorted
+      val nRows = s.read.parquet(f1).count()
+      val I = graft.sources.Iceberg
+      val (puffin, spans) = I.writePuffin(s, base, "dv1.puffin",
+        Seq((I.dvBlob(kills), f1)), snapshotId = 9102L, sequenceNumber = 2L)
+      val (m1, l1) = I.writeManifest(s, base, "m1.avro", 9101L,
+        Seq(I.Entry(f1, status = 1, sequenceNumber = Some(1L),
+          recordCount = nRows)))
+      val (m2, l2) = I.writeManifest(s, base, "m2.avro", 9102L,
+        Seq(I.Entry(puffin, status = 1, content = 1, format = "PUFFIN",
+          sequenceNumber = Some(2L), recordCount = kills.length.toLong,
+          referencedDataFile = Some(f1),
+          contentOffset = Some(spans.head._1),
+          contentSizeInBytes = Some(spans.head._2))))
+      val ml = I.writeManifestList(s, base, "snap9102.avro", 9102L,
+        Seq((m1, l1), (m2, l2)), contents = Seq(0, 1),
+        sequenceNumbers = Seq(1L, 2L), addedSnapshotIds = Seq(9101L, 9102L))
+      I.writeMetadata(s, base, 1, Seq((9102L, 2000L, ml)),
+        formatVersion = 3, lastColumnId = 3, schemaFieldsJson =
+          """[{"id":1,"name":"event_id","required":false,"type":"long"},""" +
+          """{"id":2,"name":"event_type","required":false,"type":"string"},""" +
+          """{"id":3,"name":"value_micros","required":false,"type":"long"}]""")
     }
     base
   }
@@ -3052,6 +3103,21 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // Iceberg FORMAT-VERSION 3 deletion vectors — a v3 table whose
+    // position deletes live as a puffin `deletion-vector-v1` blob
+    // (framing byte-identical to Delta's DV sidecars, per the v3 spec):
+    // the read decodes the blob ON EXECUTORS, anti-joins (file,
+    // position), and must serve exactly the non-%4 purchases. Closes
+    // the v3 refusal the r13 verdict flagged as aging — v3 tables are
+    // now readable; writes still refuse (row lineage).
+    "q272_iceberg_v3_deletion_vectors" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ272IcebergV3Dv(s, dir)
+      graft.sources.Iceberg.read(s, base)
+        .agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+          sum($"value_micros").as("value_checksum"))
+    }),
+
     // STREAMING CDC UPSERT into Delta — the q252 twin on the Delta
     // log, the CDC matrix's last cell: foreachBatch drives
     // DeltaLogWriter.upsert (DV kill + append) once per ordered
@@ -4457,6 +4523,12 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q272_iceberg_v3_deletion_vectors" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |  CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |FROM events
+        |WHERE event_type = 'purchase' AND event_id % 4 <> 0""".stripMargin,
     "q271_stream_delta_upsert" ->
       """WITH p AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm

@@ -49,6 +49,25 @@ object IcebergWriter {
   private def fs(spark: SparkSession, p: Path) =
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  /** Writer-side metadata load: every mutation on a FORMAT-VERSION 3
+    * table refuses — a v3 commit must maintain row lineage
+    * (`next-row-id` / per-snapshot `first-row-id`) and the
+    * deletion-vector invariants (one DV per file, DV supersedes older
+    * deletes), none of which this writer implements; committing anyway
+    * would produce metadata real v3 readers misread. The READ side
+    * interprets v3 (deletion vectors included) — see
+    * [[Iceberg.metadata]]'s gate. */
+  private def writableDoc(spark: SparkSession,
+                          table: String): com.fasterxml.jackson.databind.JsonNode = {
+    val doc = Iceberg.metadata(spark, table)
+    require(doc.path("format-version").asInt(1) <= 2,
+      s"Iceberg table $table declares format-version 3 — this writer " +
+        "maintains v1/v2 tables only (v3 commits must maintain row " +
+        "lineage and deletion-vector invariants it does not implement); " +
+        "the table stays readable, not writable")
+    doc
+  }
+
   /** The metadata document's snapshot list: (id, timestampMs, manifestList). */
   private def snapsOf(doc: com.fasterxml.jackson.databind.JsonNode): Seq[(Long, Long, String)] =
     doc.path("snapshots").elements().asScala.map { s =>
@@ -78,7 +97,7 @@ object IcebergWriter {
     * swap-rename behavior — field ids make that correct). */
   def rollbackTo(spark: SparkSession, table: String, snapshotId: Long,
                  newSnapshotId: Long, timestampMs: Long): Int = {
-    val doc = Iceberg.metadata(spark, table)
+    val doc = writableDoc(spark, table)
     require(Iceberg.partitionSpecs(doc).size <= 1,
       s"cannot roll back $table: it carries multiple partition specs " +
         "(spec evolution) — this writer re-emits only the default spec " +
@@ -179,7 +198,7 @@ object IcebergWriter {
     val existing: Option[com.fasterxml.jackson.databind.JsonNode] =
       if (fs(spark, new Path(table, "metadata"))
           .exists(new Path(table, "metadata")))
-        Some(Iceberg.metadata(spark, table))
+        Some(writableDoc(spark, table))
       else None
     val (fields, version, priorSnaps, specParts, partSpecJson) = existing match {
       case Some(doc) =>
@@ -431,7 +450,7 @@ object IcebergWriter {
   private def evolveSchema(spark: SparkSession, table: String, what: String)
                           (evolve: (Seq[Iceberg.IceField], Int,
                             com.fasterxml.jackson.databind.JsonNode) => Seq[Iceberg.IceField]): Int = {
-    val doc = Iceberg.metadata(spark, table)
+    val doc = writableDoc(spark, table)
     val fields = Iceberg.currentSchemaFields(doc).getOrElse(
       throw new IllegalArgumentException(
         s"cannot $what in $table: its metadata carries no schema"))
@@ -747,7 +766,7 @@ object IcebergWriter {
                   predicate: org.apache.spark.sql.Column,
                   snapshotId: Long, timestampMs: Long): Int = {
     import org.apache.spark.sql.functions.col
-    val doc = Iceberg.metadata(spark, table)
+    val doc = writableDoc(spark, table)
     val fields = Iceberg.currentSchemaFields(doc).getOrElse(
       throw new IllegalArgumentException(
         s"cannot delete from $table: its metadata carries no schema"))
@@ -879,7 +898,7 @@ object IcebergWriter {
               sortBy: Seq[String] = Nil,
               numFiles: Option[Int] = None): Int = {
     import org.apache.spark.sql.functions.col
-    val doc = Iceberg.metadata(spark, table)
+    val doc = writableDoc(spark, table)
     val fields = Iceberg.currentSchemaFields(doc).getOrElse(
       throw new IllegalArgumentException(
         s"cannot compact $table: its metadata carries no schema to type " +
@@ -986,7 +1005,7 @@ object IcebergWriter {
              keyCols: Seq[String], snapshotId: Long, timestampMs: Long): Int = {
     import org.apache.spark.sql.functions.col
     require(keyCols.nonEmpty, "upsert needs at least one key column")
-    val doc = Iceberg.metadata(spark, table)
+    val doc = writableDoc(spark, table)
     val fields = Iceberg.currentSchemaFields(doc).getOrElse(
       throw new IllegalArgumentException(
         s"cannot upsert into $table: its metadata carries no schema — " +
@@ -1144,7 +1163,7 @@ object IcebergWriter {
     * resolved (rewriting it would guess ordering). */
   def rewriteManifests(spark: SparkSession, table: String,
                        snapshotId: Long, timestampMs: Long): Int = {
-    val doc = Iceberg.metadata(spark, table)
+    val doc = writableDoc(spark, table)
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     require(cur > 0, s"Iceberg table $table has no current snapshot")
     val snaps = snapsOf(doc)
@@ -1301,7 +1320,7 @@ object IcebergWriter {
     * enough) returns the current metadata version unchanged. */
   def expireSnapshots(spark: SparkSession, table: String,
                       olderThanMs: Long): Int = {
-    val doc = Iceberg.metadata(spark, table)
+    val doc = writableDoc(spark, table)
     require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
       s"cannot expire snapshots of $table: it is PARTITIONED and this " +
         "writer's metadata rewrite does not carry partition specs through")

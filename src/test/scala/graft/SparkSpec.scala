@@ -18,6 +18,21 @@ trait SparkSpec extends AnyFunSuite {
       .withExtensions(new graft.plans.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
+    // Deliberate-refusal tests route their failures through Spark's own
+    // machinery — executor task aborts (the corrupt-DV refusals),
+    // analysis failures re-thrown by the BUILT-IN ObservationManager
+    // listener (vacuumed-path reads), and accumulator updates landing
+    // after their execution was reaped — every one asserted by
+    // intercept[...], every cause still carried on the propagated
+    // exception. Their ERROR-level stack traces would drown a real
+    // failure in the CI log, so these four loggers are capped in the
+    // TEST session only (Bench/Verify keep defaults).
+    Seq("org.apache.spark.sql.util.ExecutionListenerBus",
+        "org.apache.spark.scheduler.DAGScheduler",
+        "org.apache.spark.executor.Executor",
+        "org.apache.spark.scheduler.TaskSetManager")
+      .foreach(l => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(l, org.apache.logging.log4j.Level.FATAL))
     s
   }
 }

@@ -114,13 +114,21 @@ class IcebergSpec extends SparkSpec {
     assert(idsOf(Iceberg.read(spark, base)) == Set(3L, 4L, 5L, 6L, 7L))
   }
 
-  test("format v3+ is refused loudly") {
+  test("format v3 READS (a plain v3 table serves rows); v4+ is refused loudly") {
+    // v3 read support landed in round 14 (deletion vectors et al.,
+    // IcebergV3Spec) — a defaults-free v3 table reads like v2
     val base = freshDir()
     val f = dataFile(base, "f.parquet", Seq(1L))
     val m = Iceberg.writeManifest(spark, base, "m.avro", 1L, Seq(Iceberg.Entry(f, 1)))
     val ml = Iceberg.writeManifestList(spark, base, "snap.avro", 1L, Seq(m))
     Iceberg.writeMetadata(spark, base, 1, Seq((1L, 1L, ml)), formatVersion = 3)
-    val e = intercept[IllegalArgumentException](Iceberg.read(spark, base))
+    assert(idsOf(Iceberg.read(spark, base)) == Set(1L))
+    val base2 = freshDir()
+    val f2 = dataFile(base2, "f.parquet", Seq(1L))
+    val m2 = Iceberg.writeManifest(spark, base2, "m.avro", 1L, Seq(Iceberg.Entry(f2, 1)))
+    val ml2 = Iceberg.writeManifestList(spark, base2, "snap.avro", 1L, Seq(m2))
+    Iceberg.writeMetadata(spark, base2, 1, Seq((1L, 1L, ml2)), formatVersion = 4)
+    val e = intercept[IllegalArgumentException](Iceberg.read(spark, base2))
     assert(e.getMessage.contains("format-version"), e.getMessage)
   }
 
