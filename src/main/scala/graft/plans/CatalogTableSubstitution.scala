@@ -29,11 +29,20 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
         val child = r.table.asInstanceOf[GraftSqlTable].reread()
           .queryExecution.analyzed
-        require(child.output.length == r.output.length,
+        // names AND types positionally equal — the pinned version makes
+        // drift impossible in normal operation, so a mismatch here means
+        // a reader bug; aliasing on length alone could mislabel a column
+        val drift = r.output.zip(child.output).collect {
+          case (out, in) if out.name != in.name || out.dataType != in.dataType =>
+            s"${out.name}: ${out.dataType.simpleString} vs " +
+              s"${in.name}: ${in.dataType.simpleString}"
+        }
+        require(child.output.length == r.output.length && drift.isEmpty,
           s"catalog table ${r.table.name()}: reader plan emits " +
-            s"${child.output.length} columns, relation expects " +
-            s"${r.output.length} — the table changed shape between load " +
-            "and analysis")
+            s"(${child.output.map(_.name).mkString(", ")}) but the " +
+            s"relation expects (${r.output.map(_.name).mkString(", ")})" +
+            (if (drift.nonEmpty) s" — drift: ${drift.mkString("; ")}" else "") +
+            " — the table changed shape between load and analysis")
         Project(r.output.zip(child.output).map { case (out, in) =>
           Alias(in, out.name)(exprId = out.exprId)
         }, child)

@@ -297,8 +297,12 @@ object DeltaLogReader {
           // the remove side has the mirror hazard: deriving 'delete'
           // rows by reading the removed parquet WHOLE counts its
           // DV-dead positions as deletes even though they were never
-          // live — a remove naming a descriptor gets the same loud
-          // refusal the add side does, not a silent over-report
+          // live. The descriptor on a remove is OPTIONAL in the
+          // protocol, so checking the action alone is not enough — when
+          // the commit removes anything, consult the PRE-commit replay
+          // state (which records every active file's DV) and refuse if
+          // any removed file carried one. Blind appends (no removes,
+          // the streaming-common case) never pay the replay.
           val dvRemoves = nodes.filter(n => Option(n.get("remove"))
             .exists(r => r.path("dataChange").asBoolean(false) &&
               r.has("deletionVector") && !r.get("deletionVector").isNull))
@@ -307,6 +311,29 @@ object DeltaLogReader {
               "file(s) without cdc actions — the removed files' live row " +
               "sets are not the whole files, so the deletes are not " +
               "derivable from the actions; refusing an over-reported feed")
+          val removedPaths = nodes.flatMap(n => Option(n.get("remove")))
+            .filter(_.path("dataChange").asBoolean(false))
+            .map(r => decodePath(path, r.get("path").asText()))
+          if (removedPaths.nonEmpty && v > 0) {
+            val preState =
+              try replayState(spark, path, Some(v - 1))._1.toMap
+              catch { case e: IllegalArgumentException =>
+                throw new IllegalArgumentException(
+                  s"commit v$v of $path removes files and carries no cdc " +
+                    s"actions; its pre-commit state (v${v - 1}) is not " +
+                    "replayable (truncated history), so whether the removed " +
+                    "files carried deletion vectors cannot be verified — " +
+                    "refusing a possibly over-reported feed", e)
+              }
+            val dvCarrying = removedPaths.filter(p =>
+              preState.get(p).exists(_.isDefined))
+            require(dvCarrying.isEmpty,
+              s"commit v$v of $path removes deletion-vector-carrying " +
+                s"file(s) (${dvCarrying.take(3).mkString(", ")}) without " +
+                "cdc actions — the removed files' live row sets are not " +
+                "the whole files, so the deletes are not derivable from " +
+                "the actions; refusing an over-reported feed")
+          }
           def filesOf(key: String): Seq[String] = nodes
             .flatMap(n => Option(n.get(key)))
             .filter(_.path("dataChange").asBoolean(false))
@@ -617,8 +644,8 @@ object DeltaLogReader {
 
   /** Internal column names the deletion-vector anti-join introduces on
     * the scan; a table column with either name would be ambiguous. */
-  private val DvFp = "__dv_fp"
-  private val DvPos = "__dv_pos"
+  private[sources] val DvFp = "__dv_fp"
+  private[sources] val DvPos = "__dv_pos"
 
   private def normPathCol(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     org.apache.spark.sql.functions.regexp_replace(c, "^[a-zA-Z][a-zA-Z0-9+.-]*:/+", "/")
@@ -731,7 +758,7 @@ object DeltaLogReader {
     * missing its mapping metadata, or an unparseable schemaString —
     * serving physical `col-<uuid>` names instead would be a wrong
     * answer, not a degraded one. */
-  private def readMapped(spark: SparkSession, tableRoot: String,
+  private[sources] def readMapped(spark: SparkSession, tableRoot: String,
                          files: Seq[String], meta: JsonNode,
                          mode: String, withRowCoords: Boolean = false): DataFrame = {
     import org.apache.spark.sql.types._

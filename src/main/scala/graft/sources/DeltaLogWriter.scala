@@ -777,6 +777,16 @@ object DeltaLogWriter {
       s"Delta table at $path combines column mapping with Change Data " +
         "Feed — publishing change files under mapping (physical-named " +
         "change parquet) is not implemented; refusing")
+    // mapping + partition columns: the mapped scan reads physical
+    // footers and cannot reconstruct hive partition values — a predicate
+    // naming a partition column would silently match nothing (or, worse,
+    // isNull would match everything); refuse the combination up front,
+    // the upsert gate's twin (readMapped backstops this inside the scan)
+    require(!(meta.exists(m => DeltaLogReader.mappingMode(m) != "none") &&
+        meta.exists(_.path("partitionColumns").elements().hasNext)),
+      s"Delta table at $path combines column mapping with partition " +
+        "columns — the mapped scan does not reconstruct partition values; " +
+        "refusing")
     val version = DeltaLogReader.latestVersion(spark, path).get + 1
     val (protoLine, actions, nDeleted) =
       dvAttachActions(spark, path, entries, version, _.where(predicate), meta)
@@ -1062,26 +1072,22 @@ object DeltaLogWriter {
     val mapped = meta.filter(m => DeltaLogReader.mappingMode(m) == "name")
     val scanWithCoords: DataFrame = mapped match {
       case Some(m) =>
-        // physical footers, logical projection — coords attached on the
-        // SCAN itself (metadata columns do not re-resolve through
-        // projections, the readMapped discipline)
-        val schema = org.apache.spark.sql.types.DataType
+        // the READER's own name-mode resolution (physical footers,
+        // logical projection, coords attached on the scan itself) —
+        // one implementation, so its guards (partition columns under
+        // mapping, nested logical types, missing physicalName) hold on
+        // the DML path too; only the coord names re-spell to this
+        // scan's internals
+        val logicalNames = org.apache.spark.sql.types.DataType
           .fromJson(m.get("schemaString").asText())
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        require(!schema.fieldNames.contains(fp) && !schema.fieldNames.contains(pos),
+          .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+        require(!logicalNames.contains(fp) && !logicalNames.contains(pos),
           s"Delta table at $path has a column named $fp/$pos — colliding " +
             "with the DV scan's internal coordinates; rename it first")
-        val pairs = schema.fields.map { f =>
-          require(f.metadata.contains("delta.columnMapping.physicalName"),
-            s"Delta table at $path: column '${f.name}' lacks " +
-              "delta.columnMapping.physicalName in name mode — refusing")
-          (f.name, f.metadata.getString("delta.columnMapping.physicalName"), f.dataType)
-        }
-        val raw = spark.read.schema(org.apache.spark.sql.types.StructType(
-            pairs.map(p => org.apache.spark.sql.types.StructField(p._2, p._3,
-              nullable = true))))
-          .parquet(files: _*)
-        raw.select(pairs.map(p => col(s"`${p._2}`").as(p._1)) ++ coordCols(raw): _*)
+        DeltaLogReader.readMapped(spark, path, files, m, "name",
+            withRowCoords = true)
+          .withColumnRenamed(DeltaLogReader.DvFp, fp)
+          .withColumnRenamed(DeltaLogReader.DvPos, pos)
       case None =>
         val scan = spark.read.option("basePath", path).parquet(files: _*)
         require(!scan.columns.contains(fp) && !scan.columns.contains(pos),

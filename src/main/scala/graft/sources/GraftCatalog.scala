@@ -78,7 +78,12 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
 
   /** The reader closure for (location, travel pin) — format sniffed
     * once per load: a `_delta_log` dir means Delta, Iceberg `metadata`
-    * otherwise; a location with neither refuses by name. */
+    * otherwise; a location with neither refuses by name. A load with NO
+    * travel pin PINS the version/snapshot current at resolution time, so
+    * every expansion of this table object — a self-join's two sides, the
+    * substitution re-running — serves ONE consistent state even when a
+    * concurrent writer commits mid-analysis (the snapshot-isolation
+    * contract spark.read.table users expect). */
   private def readerFor(spark: SparkSession, ident: Identifier, loc: String,
                         version: Option[String], tsMicros: Option[Long])
       : () => DataFrame = {
@@ -96,16 +101,32 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
             "numeric versions (a Delta log version / an Iceberg snapshot id)")
       }
     }
-    if (isDelta) () => (pinnedVersion, tsMicros) match {
-      case (Some(v), _) => DeltaLogReader.read(spark, loc, asOf = Some(v))
-      case (_, Some(us)) => DeltaLogReader.readAsOfTimestamp(spark, loc,
-        Math.floorDiv(us, 1000L))
-      case _ => DeltaLogReader.read(spark, loc)
-    }
-    else () => (pinnedVersion, tsMicros) match {
-      case (Some(v), _) => Iceberg.readSnapshot(spark, loc, v)
-      case (_, Some(us)) => Iceberg.readAsOf(spark, loc, Math.floorDiv(us, 1000L))
-      case _ => Iceberg.read(spark, loc)
+    if (isDelta) {
+      val pin: Option[Long] = pinnedVersion.orElse(
+        if (tsMicros.isDefined) None
+        else Some(DeltaLogReader.latestVersion(spark, loc).getOrElse(
+          throw new IllegalArgumentException(
+            s"catalog '$catName': no Delta commits at $loc to read"))))
+      () => (pin, tsMicros) match {
+        case (Some(v), _) => DeltaLogReader.read(spark, loc, asOf = Some(v))
+        case (_, Some(us)) => DeltaLogReader.readAsOfTimestamp(spark, loc,
+          Math.floorDiv(us, 1000L))
+        case _ => DeltaLogReader.read(spark, loc)
+      }
+    } else {
+      val pin: Option[Long] = pinnedVersion.orElse(
+        if (tsMicros.isDefined) None
+        else {
+          val cur = Iceberg.metadata(spark, loc).path("current-snapshot-id").asLong(-1L)
+          require(cur > 0,
+            s"catalog '$catName': Iceberg table at $loc has no current snapshot")
+          Some(cur)
+        })
+      () => (pin, tsMicros) match {
+        case (Some(v), _) => Iceberg.readSnapshot(spark, loc, v)
+        case (_, Some(us)) => Iceberg.readAsOf(spark, loc, Math.floorDiv(us, 1000L))
+        case _ => Iceberg.read(spark, loc)
+      }
     }
   }
 
@@ -113,7 +134,11 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
                    tsMicros: Option[Long]): Table = {
     val spark = SparkSession.active
     val reread = readerFor(spark, ident, locate(ident), version, tsMicros)
-    new GraftSqlTable(s"$catName.${seamName(ident)}", reread().schema, reread)
+    // ONE replay for the common single-reference query: the plan built
+    // here for the schema is the same one the substitution rule serves
+    // on its first expansion; later expansions rebuild fresh
+    val first = reread()
+    new GraftSqlTable(s"$catName.${seamName(ident)}", first.schema, reread, first)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -200,14 +225,21 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
 /** The DSv2 `Table` a [[GraftCatalog]] load returns: a carrier for the
   * reader closure the [[graft.plans.CatalogTableSubstitution]] analyzer
   * rule expands — `reread()` yields a FRESH plan (fresh expression ids)
-  * per relation, so self-joins of one catalog table never alias. The
+  * per relation, so self-joins of one catalog table never alias; the
+  * FIRST expansion reuses the plan [[GraftCatalog.load]] already built
+  * for the schema (one metadata replay per single-reference query), and
+  * the pinned version makes every rebuild content-identical. The
   * `newScanBuilder` refusal is the loud failure mode for a session
   * missing `GraftExtensions`: the table must never execute through a
   * scan this class does not implement. */
 private[graft] class GraftSqlTable(tableName: String,
                                    tableSchema: StructType,
-                                   val reread: () => DataFrame)
+                                   rereadFresh: () => DataFrame,
+                                   first: DataFrame)
     extends Table with SupportsRead {
+  private val servedFirst = new java.util.concurrent.atomic.AtomicBoolean(false)
+  def reread(): DataFrame =
+    if (servedFirst.compareAndSet(false, true)) first else rereadFresh()
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =

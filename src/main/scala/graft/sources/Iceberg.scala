@@ -159,10 +159,16 @@ object Iceberg {
       // carrying one refuses here. Writes stay refused everywhere
       // ([[IcebergWriter]] gates fv <= 2: v3 writers must maintain
       // next-row-id / first-row-id lineage this repo does not).
-      val defaulted = doc.path("schemas").elements().asScala
+      // CURRENT schema only: a default on a since-dropped column (a
+      // stale historical schema) cannot affect what this read serves
+      val curId = doc.path("current-schema-id").asInt(-1)
+      val curSchema = doc.path("schemas").elements().asScala
+        .find(_.path("schema-id").asInt(-2) == curId)
+        .orElse(Option(doc.path("schema")).filter(_.isObject))
+      val defaulted = curSchema.toSeq
         .flatMap(_.path("fields").elements().asScala)
         .filter(f => f.has("initial-default") || f.has("write-default"))
-        .map(_.path("name").asText("")).toSeq.distinct
+        .map(_.path("name").asText("")).distinct
       require(defaulted.isEmpty,
         s"Iceberg v3 table $table declares column default(s) on " +
           s"${defaulted.mkString(", ")} — this reader would null-fill " +

@@ -116,6 +116,25 @@ class DeltaChangeFeedSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       DeltaLogReader.readChangeFeed(spark, path, 2L, 2L))
     assert(e.getMessage.contains("deletion-vector-carrying"), e.getMessage)
+    // the descriptor on a remove is OPTIONAL: a foreign writer removing
+    // a DV-carrying file WITHOUT re-stating the descriptor must refuse
+    // too — the gate consults the pre-commit replay state, not just the
+    // action's own fields
+    val path2 = freshDir()
+    DeltaLogWriter.write(df(Seq(1L, 2L, 3L)).coalesce(1), path2)       // v0
+    DeltaLogWriter.setTableProperties(spark, path2,
+      Map("delta.enableChangeDataFeed" -> "true"))                     // v1
+    DeltaLogWriter.deleteWhere(spark, path2, col("id") === 2L)         // v2: DV + cdc
+    val v2lines = scala.io.Source.fromFile(new java.io.File(path2,
+      "_delta_log/00000000000000000002.json")).getLines().toSeq
+    val dvAddPath = mapper.readTree(v2lines.filter(_.contains("\"add\""))
+      .find(_.contains("deletionVector")).get).get("add").get("path").asText()
+    java.nio.file.Files.writeString(
+      java.nio.file.Path.of(path2, "_delta_log", f"${3L}%020d.json"),
+      s"""{"remove":{"path":"$dvAddPath","deletionTimestamp":0,"dataChange":true}}\n""")
+    val e2 = intercept[IllegalArgumentException](
+      DeltaLogReader.readChangeFeed(spark, path2, 3L, 3L))
+    assert(e2.getMessage.contains("deletion-vector-carrying"), e2.getMessage)
   }
 
   test("restore under CDF publishes the LOGICAL diff — DV survivors are not re-inserted") {

@@ -135,8 +135,7 @@ class IcebergV3Spec extends SparkSpec {
     assert(e2.getMessage.contains("default"), e2.getMessage)
   }
 
-  test("v4+ still refuses; a changelog over a DV snapshot pays the exact diff") {
-    // format-version 4 refuses at the metadata gate
+  test("v4+ still refuses at the metadata gate") {
     val base = v3Table(Array(0L))
     val mdPath = java.nio.file.Path.of(base, "metadata", "v1.metadata.json")
     val doc = java.nio.file.Files.readString(mdPath)
@@ -147,5 +146,39 @@ class IcebergV3Spec extends SparkSpec {
       java.nio.file.Path.of(base, "metadata", ".v1.metadata.json.crc"))
     val e = intercept[IllegalArgumentException](Iceberg.read(spark, base))
     assert(e.getMessage.contains("format-version"), e.getMessage)
+  }
+
+  test("a changelog over a DV-attaching snapshot pays the exact diff: deletes surface") {
+    // two snapshots on one v3 table: 3301 adds the data file, 3302 adds
+    // ONLY the DV manifest (the data manifest carries). The DV's
+    // presence must force the exact-diff stratum — a cheap adds-only
+    // attribution would report ZERO changes and silently swallow the
+    // deletes the DV made
+    val base = freshDir()
+    val f1 = dataFile(base, "f1.parquet",
+      (1L to 6L).map(i => (i, s"n$i")).toDF("id", "name"))
+    val (m1, l1) = Iceberg.writeManifest(spark, base, "m1.avro", 3301L,
+      Seq(Iceberg.Entry(f1, status = 1, sequenceNumber = Some(1L))))
+    val ml1 = Iceberg.writeManifestList(spark, base, "snap3301.avro", 3301L,
+      Seq((m1, l1)), sequenceNumbers = Seq(1L), addedSnapshotIds = Seq(3301L))
+    val kills = Array(0L, 4L) // ids 1 and 5
+    val (puffin, spans) = Iceberg.writePuffin(spark, base, "dv.puffin",
+      Seq((Iceberg.dvBlob(kills), f1)), 3302L, 2L)
+    val (m2, l2) = Iceberg.writeManifest(spark, base, "m2.avro", 3302L,
+      Seq(Iceberg.Entry(puffin, status = 1, content = 1, format = "PUFFIN",
+        sequenceNumber = Some(2L), recordCount = 2L,
+        referencedDataFile = Some(f1),
+        contentOffset = Some(spans.head._1),
+        contentSizeInBytes = Some(spans.head._2))))
+    val ml2 = Iceberg.writeManifestList(spark, base, "snap3302.avro", 3302L,
+      Seq((m1, l1), (m2, l2)), contents = Seq(0, 1),
+      sequenceNumbers = Seq(1L, 2L), addedSnapshotIds = Seq(3301L, 3302L))
+    Iceberg.writeMetadata(spark, base, 1,
+      Seq((3301L, 1000L, ml1), (3302L, 2000L, ml2)),
+      formatVersion = 3, schemaFieldsJson = fieldsJson, lastColumnId = 2)
+    val changes = Iceberg.changesBetween(spark, base, 3301L, 3302L)
+      .select("id", "_change_type").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(changes == Set((1L, "delete"), (5L, "delete")), changes)
   }
 }
