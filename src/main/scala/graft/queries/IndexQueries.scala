@@ -100,6 +100,7 @@ object IndexQueries {
   private val q270TablePat = scratchPat("q270_delta_stream")
   private val q271TablePat = scratchPat("q271_delta_cdc_in")
   private val q272TablePat = scratchPat("q272_iceberg_v3dv")
+  private val q273TablePat = scratchPat("q273_sql_insert")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -197,6 +198,7 @@ object IndexQueries {
     stageQ270DeltaStream(s, dir)
     stageQ271DeltaCdcIn(s, dir)
     stageQ272IcebergV3Dv(s, dir)
+    stageQ273SqlInsert(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -948,6 +950,53 @@ object IndexQueries {
           """[{"id":1,"name":"event_id","required":false,"type":"long"},""" +
           """{"id":2,"name":"event_type","required":false,"type":"string"},""" +
           """{"id":3,"name":"value_micros","required":false,"type":"long"}]""")
+    }
+    base
+  }
+
+  /** Catalog name + registry shared by q267/q273 — one catalog instance
+    * per (session, sf dir): instances cache by NAME, so the name hashes
+    * the dir and the registry path is its one fixed document. */
+  private[graft] def sqlCatalog(s: SparkSession, dir: String)
+      : (String, graft.sources.FileRegistryCatalog) = {
+    val reg = scratch(q267RegPat, dir)
+    val cat = "graft_" + Integer.toHexString(dir.hashCode).takeRight(8)
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.registry", reg)
+    (cat, new graft.sources.FileRegistryCatalog(s, reg))
+  }
+
+  /** q273's fixture: SQL `INSERT INTO` through the catalog — a Delta
+    * table (purchases) and an Iceberg table (clicks), then two
+    * CROSS-FORMAT insert-selects driven entirely by SQL text: even-id
+    * clicks into the Delta table, then `%7` rows of the (now-grown)
+    * Delta table at 3× into the Iceberg table. The query side
+    * substitutes through the read rule while the TARGET stays a V2
+    * relation the V1Write fallback appends through — both directions
+    * exercised in one staging. */
+  private[graft] def stageQ273SqlInsert(s: SparkSession, dir: String): String = {
+    val base = scratch(q273TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), s"$base/d")
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice("click"), 9201L, 1000L)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.sqlins_delta", s"$base/d")
+      rc.register("graft.sqlins_ice", s"$base/i")
+      s.sql(s"INSERT INTO $cat.graft.sqlins_delta " +
+        s"SELECT event_id, event_type, value_micros " +
+        s"FROM $cat.graft.sqlins_ice WHERE event_id % 2 = 0")
+      s.sql(s"INSERT INTO $cat.graft.sqlins_ice " +
+        s"SELECT event_id, event_type, value_micros * 3 " +
+        s"FROM $cat.graft.sqlins_delta WHERE event_id % 7 = 0")
     }
     base
   }
@@ -3103,6 +3152,29 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // SQL INSERT INTO through the catalog — the V1Write seam: two
+    // cross-format insert-selects committed by SQL TEXT alone (clicks
+    // into the Delta table, the grown Delta table's %7 rows at 3× into
+    // the Iceberg table), then both tables read back by name. The
+    // write targets stay V2 relations (the substitution rule rewrites
+    // only the query side) and the rows land through the format
+    // writers' own append paths — real commits, real snapshots.
+    "q273_sql_catalog_insert" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ273SqlInsert(s, dir)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.sqlins_delta", s"$base/d")
+      rc.register("graft.sqlins_ice", s"$base/i")
+      s.sql(
+        s"""SELECT 'a_delta' AS leg, count(*) AS n_rows,
+           |  sum(event_id) AS id_checksum, sum(value_micros) AS value_checksum
+           |FROM $cat.graft.sqlins_delta
+           |UNION ALL
+           |SELECT 'b_iceberg', count(*), sum(event_id), sum(value_micros)
+           |FROM $cat.graft.sqlins_ice
+           |ORDER BY leg""".stripMargin)
+    }),
+
     // Iceberg FORMAT-VERSION 3 deletion vectors — a v3 table whose
     // position deletes live as a puffin `deletion-vector-v1` blob
     // (framing byte-identical to Delta's DV sidecars, per the v3 spec):
@@ -3253,14 +3325,10 @@ object IndexQueries {
     "q267_sql_catalog_read" -> ((s, dir) => {
       val delta = stageQ253DeltaUpserted(s, dir)
       val ice = stageQ261IcebergRewritten(s, dir)
-      val reg = scratch(q267RegPat, dir)
-      // catalog instances cache per NAME on the session — hash the sf
-      // dir into the name so a session never rebinds a name's options
-      val cat = "graft_" + Integer.toHexString(dir.hashCode).takeRight(8)
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.registry", reg)
-      val rc = new graft.sources.FileRegistryCatalog(s, reg)
+      // catalog instances cache per NAME on the session — the shared
+      // helper hashes the sf dir into the name so a session never
+      // rebinds a name's options
+      val (cat, rc) = sqlCatalog(s, dir)
       rc.register("graft.events_delta", delta)
       rc.register("graft.events_iceberg", ice)
       s.sql(
@@ -4523,6 +4591,29 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q273_sql_catalog_insert" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'),
+        |d AS MATERIALIZED (
+        |  SELECT event_id, vm FROM p
+        |  UNION ALL SELECT event_id, vm FROM c WHERE event_id % 2 = 0),
+        |i AS MATERIALIZED (
+        |  SELECT event_id, vm FROM c
+        |  UNION ALL SELECT event_id, vm * 3 FROM d WHERE event_id % 7 = 0)
+        |SELECT * FROM (
+        |  SELECT 'a_delta' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(vm) AS BIGINT)
+        |  FROM i
+        |) ORDER BY leg""".stripMargin,
     "q272_iceberg_v3_deletion_vectors" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(event_id) AS BIGINT) AS id_checksum,

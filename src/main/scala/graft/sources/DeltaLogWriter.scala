@@ -58,6 +58,18 @@ object DeltaLogWriter {
 
   private def jsonStr(s: String): String = mapper.writeValueAsString(s)
 
+  /** Name-and-type schema equality, nullability widened on both sides
+    * (the SQL-insert alignment discipline — see appendOptimistic). */
+  private def sameShape(schemaString: String,
+                        actual: org.apache.spark.sql.types.StructType): Boolean = {
+    def widen(st: org.apache.spark.sql.types.StructType) =
+      org.apache.spark.sql.types.StructType(
+        st.fields.map(_.copy(nullable = true)))
+    try widen(org.apache.spark.sql.types.DataType.fromJson(schemaString)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]) == widen(actual)
+    catch { case _: Exception => false }
+  }
+
   /** Percent-encode a root-relative path for a `path` field (the
     * protocol's spelling). The URI constructor quotes everything a path
     * component may not carry raw — including '%', so decode∘encode is the
@@ -268,7 +280,12 @@ object DeltaLogWriter {
         .getOrElse(throw new IllegalArgumentException(
           s"Delta log at $path carries no metaData action — cannot " +
             "validate the append schema; refusing"))
-      require(meta.path("schemaString").asText() == df.schema.json,
+      // names + types must match exactly; NULLABILITY compares widened —
+      // a SQL-planned insert frame arrives nullable-wide even when its
+      // rows can't be null (the appender's runtime guard covers actual
+      // nulls), and refusing on the flag alone would block every
+      // INSERT INTO while catching no real drift
+      require(sameShape(meta.path("schemaString").asText(), df.schema),
         s"append schema drifts from $path's metaData schema — " +
           "schema evolution is a separate operation")
       val tableParts = (0 until meta.path("partitionColumns").size())
@@ -300,7 +317,7 @@ object DeltaLogWriter {
     commitLoop(spark, path, observed, maxRetries, nodes =>
       nodes.collectFirst {
         case n if n.has("metaData") &&
-            n.get("metaData").path("schemaString").asText() != schemaJson =>
+            !sameShape(n.get("metaData").path("schemaString").asText(), df.schema) =>
           "metaData changed the schema under this staged append"
         case n if n.has("metaData") &&
             n.get("metaData").path("partitionColumns").toString !=
@@ -319,8 +336,21 @@ object DeltaLogWriter {
     }
   }
 
-  private def publishParts(spark: SparkSession, root: Path, df: DataFrame,
+  private def publishParts(spark: SparkSession, root: Path, df0: DataFrame,
                            version: Long, partitionBy: Seq[String]): Seq[String] = {
+    // a frame sourced from an Iceberg read carries `parquet.field.id`
+    // column metadata; letting it stamp ids into THIS table's parquet
+    // (under the session-wide fieldId.write switch) creates a mixed
+    // id/id-less file set whose footer-schema reads then fail loudly.
+    // The strip is UNCONDITIONAL with EXPLICIT empty metadata: the
+    // analyzed schema can hide metadata an optimizer rewrite resurfaces
+    // (SimplifyCasts collapses a no-op cast back onto the id-carrying
+    // attribute), so detection on df0.schema is unreliable — only an
+    // explicit Alias metadata survives every rewrite. Delta parquet
+    // carries no foreign field ids, ever.
+    val df = df0.select(df0.schema.fields.map(fld =>
+      org.apache.spark.sql.functions.col(s"`${fld.name}`")
+        .as(fld.name, org.apache.spark.sql.types.Metadata.empty)).toSeq: _*)
     val f = fs(spark, root)
     val staging = new Path(root,
       s".staging_v${version}_${java.util.UUID.randomUUID().toString.take(8)}")

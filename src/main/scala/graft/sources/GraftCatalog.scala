@@ -130,15 +130,61 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** The APPEND closure for `INSERT INTO` (the V1Write seam): rows land
+    * through the format writers' own append paths — Delta's optimistic
+    * append (schema + partition layout validated against metaData, the
+    * commit race retried) with the table's partition columns carried
+    * through, Iceberg's commitAppend (stored-spec partitioned writes
+    * included) under a fresh snapshot id. Time-traveled loads get None:
+    * inserting into a pinned historical read is meaningless. */
+  private def appenderFor(spark: SparkSession, loc: String,
+                          isDelta: Boolean): DataFrame => Unit =
+    if (isDelta) { df =>
+      val meta = DeltaLogReader.replayState(spark, loc, None)._2
+      val partCols = meta.map(_.path("partitionColumns")).toSeq
+        .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+      // SQL planning hands the frame nullable-wide; the table's declared
+      // NOT-NULL columns get a runtime guard (the invariants discipline)
+      val guarded = meta.map { m =>
+        import org.apache.spark.sql.functions.{col => c, lit, raise_error, when}
+        val schema = org.apache.spark.sql.types.DataType
+          .fromJson(m.get("schemaString").asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        df.select(schema.fields.map { fd =>
+          val base = c(s"`${fd.name}`").cast(fd.dataType)
+          (if (fd.nullable) base
+           else when(base.isNull, raise_error(lit(
+             s"NOT NULL constraint violated: column ${fd.name} of $loc")))
+             .otherwise(base)).as(fd.name)
+        }.toSeq: _*)
+      }.getOrElse(df)
+      DeltaLogWriter.appendOptimistic(guarded, loc, partitionBy = partCols)
+      ()
+    } else { df =>
+      // snapshot ids must be unique per table, timestamps monotone —
+      // wall clock + a random low word, the same id discipline real
+      // engines use for SQL-originated commits
+      val id = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits) | 1L
+      IcebergWriter.commitAppend(spark, loc, df, id, System.currentTimeMillis())
+      ()
+    }
+
   private def load(ident: Identifier, version: Option[String],
                    tsMicros: Option[Long]): Table = {
     val spark = SparkSession.active
-    val reread = readerFor(spark, ident, locate(ident), version, tsMicros)
+    val loc = locate(ident)
+    val f = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    val isDelta = f.exists(new Path(loc, "_delta_log"))
+    val reread = readerFor(spark, ident, loc, version, tsMicros)
     // ONE replay for the common single-reference query: the plan built
     // here for the schema is the same one the substitution rule serves
     // on its first expansion; later expansions rebuild fresh
     val first = reread()
-    new GraftSqlTable(s"$catName.${seamName(ident)}", first.schema, reread, first)
+    val appender =
+      if (version.isDefined || tsMicros.isDefined) None
+      else Some(appenderFor(spark, loc, isDelta))
+    new GraftSqlTable(s"$catName.${seamName(ident)}", first.schema, reread,
+      first, appender)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -235,19 +281,47 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
 private[graft] class GraftSqlTable(tableName: String,
                                    tableSchema: StructType,
                                    rereadFresh: () => DataFrame,
-                                   first: DataFrame)
-    extends Table with SupportsRead {
+                                   first: DataFrame,
+                                   appender: Option[DataFrame => Unit] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   private val servedFirst = new java.util.concurrent.atomic.AtomicBoolean(false)
   def reread(): DataFrame =
     if (servedFirst.compareAndSet(false, true)) first else rereadFresh()
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     throw new IllegalStateException(
       s"table $tableName resolved through GraftCatalog but the " +
         "substitution rule did not fire — install " +
         "graft.plans.GraftExtensions on this session " +
         "(spark.sql.extensions=graft.plans.GraftExtensions)")
+
+  /** `INSERT INTO` — the V1Write fallback: Spark hands the aligned
+    * DataFrame to [[org.apache.spark.sql.sources.InsertableRelation]]
+    * and the format writers' own append paths commit it (appends only —
+    * the table declares no truncate/overwrite capability, so
+    * `INSERT OVERWRITE` refuses in analysis). */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    val append = appender.getOrElse(throw new UnsupportedOperationException(
+      s"table $tableName was loaded time-traveled (VERSION/TIMESTAMP AS " +
+        "OF) — a pinned historical read cannot be inserted into"))
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.V1Write {
+          override def toInsertableRelation
+              : org.apache.spark.sql.sources.InsertableRelation =
+            (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+             overwrite: Boolean) => {
+              require(!overwrite,
+                s"table $tableName supports INSERT INTO (append) only")
+              append(data)
+            }
+        }
+    }
+  }
 }

@@ -106,6 +106,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ids(spark.sql(s"SELECT id FROM $name.ns.t1")) == Set(7L))
   }
 
+  test("INSERT INTO appends through the format writers; targets stay intact under substitution") {
+    val (cat, reg) = freshCatalog()
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("id", "k").coalesce(1), delta)
+    val ice = freshDir() + "/i"
+    IcebergWriter.commitAppend(spark, ice,
+      Seq((10L, "x")).toDF("id", "k").coalesce(1), 701L, 1000L)
+    reg.register("ns.d", delta)
+    reg.register("ns.i", ice)
+    // plain INSERT INTO both formats — values and a SELECT reading the
+    // OTHER catalog table (the query side substitutes, the target not)
+    spark.sql(s"INSERT INTO $cat.ns.d VALUES (2, 'b')")
+    spark.sql(s"INSERT INTO $cat.ns.i SELECT id + 10, k FROM $cat.ns.d WHERE id = 2")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == Set(1L, 2L))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.i")) == Set(10L, 12L))
+    // the POISON direction: an Iceberg-sourced frame carries
+    // parquet.field.id metadata that an optimizer rewrite can resurface
+    // past the analyzed schema — the Delta publish strips it
+    // unconditionally, or this table becomes a mixed id/id-less file set
+    // whose footer-schema reads fail under the session field-id switch
+    spark.sql(s"INSERT INTO $cat.ns.d SELECT id, k FROM $cat.ns.i WHERE id = 10")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == Set(1L, 2L, 10L))
+    val newest = new java.io.File(delta).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .maxBy(_.lastModified())
+    assert(spark.read.parquet(newest.getAbsolutePath).schema.fields
+      .forall(!_.metadata.contains("parquet.field.id")),
+      "Delta parquet must not carry foreign field ids")
+    // the appends went through the real writers: one Delta commit per
+    // insert, one new Iceberg snapshot
+    assert(DeltaLogReader.versions(spark, delta) == Seq(0L, 1L, 2L))
+    assert(Iceberg.snapshots(spark, ice).size == 2)
+    // a PARTITIONED Delta table keeps its layout through SQL inserts
+    val part = freshDir() + "/p"
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("id", "k"), part, partitionBy = Seq("k"))
+    reg.register("ns.p", part)
+    spark.sql(s"INSERT INTO $cat.ns.p VALUES (2, 'b')")
+    assert(spark.sql(s"SELECT id, k FROM $cat.ns.p").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "a"), (2L, "b")))
+    assert(DeltaLogReader.activeFiles(spark, part).exists(_.contains("k=b")))
+    // INSERT OVERWRITE refuses (append-only capability)
+    intercept[Exception](spark.sql(s"INSERT OVERWRITE $cat.ns.d VALUES (9, 'z')"))
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == Set(1L, 2L, 10L))
+  }
+
   test("refusals: unknown table, read-only DDL, missing options, SHOW TABLES works") {
     val (cat, reg) = freshCatalog()
     val delta = freshDir() + "/d"
