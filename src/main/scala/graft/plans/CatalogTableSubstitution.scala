@@ -24,17 +24,11 @@ import graft.sources.GraftSqlTable
   * Installed by [[GraftExtensions]] as a resolution rule (post-hoc
   * batch — the relation is resolved by then, its output fixed). */
 object CatalogTableSubstitution extends Rule[LogicalPlan] {
-  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
-    // a WRITE command's TARGET must stay a V2 relation (the V1Write
-    // fallback resolves against it); only the QUERY side's reads
-    // substitute — rewriting the target into a read plan would corrupt
-    // the insert
-    case w: org.apache.spark.sql.catalyst.plans.logical.V2WriteCommand =>
-      w.withNewQuery(substitute(w.query))
-    case p => substitute(p)
-  }
-
-  private def substitute(plan: LogicalPlan): LogicalPlan =
+  // a WRITE command's TARGET stays a V2 relation untouched: it is held
+  // as `table: NamedRelation`, NOT as a tree child, so the bottom-up
+  // traversal below can only reach the query side's reads (verified
+  // structurally on Spark 4.1.2 — AppendData has one child, the query)
+  override def apply(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
         val child = r.table.asInstanceOf[GraftSqlTable].reread()

@@ -58,13 +58,79 @@ object DeltaLogWriter {
 
   private def jsonStr(s: String): String = mapper.writeValueAsString(s)
 
-  /** Name-and-type schema equality, nullability widened on both sides
-    * (the SQL-insert alignment discipline — see appendOptimistic). */
+  /** A column reference that survives names CONTAINING backticks
+    * (escaped by doubling — the quoted-identifier rule; a raw
+    * interpolation would throw a ParseException on such names). */
+  private def dfCol(df: DataFrame, name: String): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.col(s"`${name.replace("`", "``")}`")
+
+  /** Obligations a BLIND APPEND must enforce, not merely avoid breaking
+    * — refused when the table declares them, because committing rows
+    * without honoring them violates the table's contract for every
+    * real-engine reader: CHECK constraints (`delta.constraints.*`
+    * configuration), column invariants / generated / identity columns
+    * (schema-field metadata), and any table-features writer feature
+    * outside the set a plain add-file commit is allowed to ignore. */
+  private def requireBlindAppendable(spark: SparkSession, path: String,
+      meta: com.fasterxml.jackson.databind.JsonNode): Unit = {
+    val constraintKeys = {
+      val it = meta.path("configuration").fields()
+      val b = Seq.newBuilder[String]
+      while (it.hasNext) { val e = it.next()
+        if (e.getKey.startsWith("delta.constraints.")) b += e.getKey }
+      b.result()
+    }
+    require(constraintKeys.isEmpty,
+      s"Delta table at $path declares CHECK constraint(s) " +
+        s"${constraintKeys.mkString(", ")} — this writer does not evaluate " +
+        "them; appending unchecked rows would violate the table's " +
+        "contract; refusing")
+    val schema = try org.apache.spark.sql.types.DataType
+      .fromJson(meta.path("schemaString").asText(""))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    catch { case _: Exception => org.apache.spark.sql.types.StructType(Nil) }
+    val bound = schema.fields.flatMap { fd =>
+      Seq("delta.invariants", "delta.generationExpression",
+        "delta.identity.start")
+        .collectFirst { case k if fd.metadata.contains(k) => s"${fd.name} ($k)" }
+    }
+    require(bound.isEmpty,
+      s"Delta table at $path binds column obligation(s) " +
+        s"${bound.mkString(", ")} — this writer does not evaluate " +
+        "invariants/generated/identity expressions; refusing")
+    // table-features protocols: a blind add-file commit may ignore
+    // exactly these (enforcement either gated above, read-side, or
+    // nonexistent); an unknown writer feature may oblige every commit
+    val ignorable = Set("appendOnly", "invariants", "checkConstraints",
+      "changeDataFeed", "generatedColumns", "columnMapping",
+      "identityColumns", "deletionVectors", "timestampNtz",
+      "vacuumProtocolCheck", "inCommitTimestamp")
+    latestProtocolNode(spark, path).foreach { p =>
+      if (p.path("minWriterVersion").asInt(2) >= 7) {
+        val wf = Option(p.get("writerFeatures")).toSeq
+          .flatMap(a => (0 until a.size()).map(i => a.get(i).asText()))
+        val unknown = wf.filterNot(ignorable)
+        require(unknown.isEmpty,
+          s"Delta table at $path requires writer feature(s) " +
+            s"${unknown.mkString(", ")} this writer does not implement — " +
+            "a commit ignoring them may violate the table's contract; " +
+            "refusing")
+      }
+    }
+  }
+
+  /** Name-and-type schema equality; NULLABILITY widened (a SQL-planned
+    * insert frame arrives nullable-wide) and column METADATA ignored (a
+    * frame sourced from an Iceberg read carries `parquet.field.id` the
+    * publish strips anyway) — so callers must gate column-mapped tables
+    * SEPARATELY: their mapping lives in exactly the metadata this
+    * compare discards. */
   private def sameShape(schemaString: String,
                         actual: org.apache.spark.sql.types.StructType): Boolean = {
     def widen(st: org.apache.spark.sql.types.StructType) =
-      org.apache.spark.sql.types.StructType(
-        st.fields.map(_.copy(nullable = true)))
+      org.apache.spark.sql.types.StructType(st.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType,
+          nullable = true)))
     try widen(org.apache.spark.sql.types.DataType.fromJson(schemaString)
       .asInstanceOf[org.apache.spark.sql.types.StructType]) == widen(actual)
     catch { case _: Exception => false }
@@ -275,26 +341,59 @@ object DeltaLogWriter {
     // the conflict check below only sees commits that land DURING the
     // race — the EXISTING metaData must be validated here, or a
     // drifted append would commit silently whenever nobody races it
+    var observedSchemaString: Option[String] = None
+    var toStage: DataFrame = df
     observed.foreach { _ =>
       val meta = DeltaLogReader.replayState(spark, path, None)._2
         .getOrElse(throw new IllegalArgumentException(
           s"Delta log at $path carries no metaData action — cannot " +
             "validate the append schema; refusing"))
+      // a FOREIGN table may declare obligations a blind append must
+      // ENFORCE, not merely not-break — refuse what this writer cannot
+      // honor rather than committing rows that violate the contract
+      requireBlindAppendable(spark, path, meta)
+      // mapped tables append through write() (the physical-name
+      // projection); sameShape ignores metadata so it cannot catch this
+      require(DeltaLogReader.mappingMode(meta) == "none",
+        s"Delta table at $path uses column mapping — appendOptimistic " +
+          "does not project physical names; append through write()")
       // names + types must match exactly; NULLABILITY compares widened —
       // a SQL-planned insert frame arrives nullable-wide even when its
-      // rows can't be null (the appender's runtime guard covers actual
+      // rows can't be null (the runtime guard below covers actual
       // nulls), and refusing on the flag alone would block every
       // INSERT INTO while catching no real drift
       require(sameShape(meta.path("schemaString").asText(), df.schema),
         s"append schema drifts from $path's metaData schema — " +
-          "schema evolution is a separate operation")
+          "schema evolution is a separate operation (table: " +
+          s"${meta.path("schemaString").asText()}; batch: ${df.schema.json})")
+      observedSchemaString = Some(meta.path("schemaString").asText())
       val tableParts = (0 until meta.path("partitionColumns").size())
         .map(meta.path("partitionColumns").get(_).asText())
       require(tableParts == partitionBy,
         s"partitionBy ${partitionBy.mkString("(", ", ", ")")} contradicts " +
           s"$path's partition columns ${tableParts.mkString("(", ", ", ")")}")
+      // NOT-NULL enforcement lives HERE, next to the widened compare it
+      // compensates: a declared non-nullable column fed from a
+      // nullable-wide frame gets a per-row raise_error guard, so nulls
+      // refuse at write time instead of landing under a schema that
+      // promises they can't exist
+      val declared = org.apache.spark.sql.types.DataType
+        .fromJson(meta.path("schemaString").asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      val needGuard = declared.fields.exists(fd =>
+        !fd.nullable && df.schema(fd.name).nullable)
+      if (needGuard) {
+        import org.apache.spark.sql.functions.{lit, raise_error, when}
+        toStage = df.select(declared.fields.map { fd =>
+          val c = dfCol(df, fd.name)
+          (if (fd.nullable || !df.schema(fd.name).nullable) c
+           else when(c.isNull, raise_error(lit(
+             s"NOT NULL constraint violated: column ${fd.name} of $path")))
+             .otherwise(c)).as(fd.name)
+        }.toSeq: _*)
+      }
     }
-    val newFiles = publishParts(spark, root, df,
+    val newFiles = publishParts(spark, root, toStage,
       observed.map(_ + 1).getOrElse(0L), partitionBy)
     require(newFiles.nonEmpty || df.isEmpty,
       s"Delta write at $path produced no new parquet parts")
@@ -316,7 +415,14 @@ object DeltaLogWriter {
         s""""partitionColumns":$partCols,"configuration":{},"createdTime":$now}}""")
     commitLoop(spark, path, observed, maxRetries, nodes =>
       nodes.collectFirst {
-        case n if n.has("metaData") &&
+        // ANY schema text change by a winner is a conflict against an
+        // EXISTING table (conservative: even a nullability tightening
+        // invalidates the staged parquet's guard assumptions); a racing
+        // CREATOR is checked shape-wise against the staged frame
+        case n if n.has("metaData") && observedSchemaString.exists(
+            _ != n.get("metaData").path("schemaString").asText()) =>
+          "metaData changed the schema under this staged append"
+        case n if n.has("metaData") && observedSchemaString.isEmpty &&
             !sameShape(n.get("metaData").path("schemaString").asText(), df.schema) =>
           "metaData changed the schema under this staged append"
         case n if n.has("metaData") &&
@@ -349,7 +455,7 @@ object DeltaLogWriter {
     // explicit Alias metadata survives every rewrite. Delta parquet
     // carries no foreign field ids, ever.
     val df = df0.select(df0.schema.fields.map(fld =>
-      org.apache.spark.sql.functions.col(s"`${fld.name}`")
+      dfCol(df0, fld.name)
         .as(fld.name, org.apache.spark.sql.types.Metadata.empty)).toSeq: _*)
     val f = fs(spark, root)
     val staging = new Path(root,

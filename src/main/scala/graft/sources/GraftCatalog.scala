@@ -9,6 +9,8 @@ import org.apache.spark.sql.connector.read.ScanBuilder
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 
+import scala.jdk.CollectionConverters._
+
 /** Spark V2 `CatalogPlugin` — the SQL-reachability seam: registers the
   * repo's table formats under a catalog NAME so `spark.sql("SELECT …
   * FROM <cat>.ns.tbl")` and `spark.read.table` work exactly the way the
@@ -85,15 +87,9 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     * concurrent writer commits mid-analysis (the snapshot-isolation
     * contract spark.read.table users expect). */
   private def readerFor(spark: SparkSession, ident: Identifier, loc: String,
+                        isDelta: Boolean,
                         version: Option[String], tsMicros: Option[Long])
       : () => DataFrame = {
-    val f = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
-    val isDelta = f.exists(new Path(loc, "_delta_log"))
-    val isIceberg = !isDelta && f.exists(new Path(loc, "metadata"))
-    if (!isDelta && !isIceberg) throw new IllegalArgumentException(
-      s"catalog '$catName' resolves '${seamName(ident)}' to $loc, which " +
-        "holds neither a Delta log nor Iceberg metadata — refusing a " +
-        "format guess")
     val pinnedVersion = version.map { v =>
       try v.toLong catch {
         case _: NumberFormatException => throw new IllegalArgumentException(
@@ -140,27 +136,27 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
   private def appenderFor(spark: SparkSession, loc: String,
                           isDelta: Boolean): DataFrame => Unit =
     if (isDelta) { df =>
-      val meta = DeltaLogReader.replayState(spark, loc, None)._2
-      val partCols = meta.map(_.path("partitionColumns")).toSeq
+      // Spark's output resolver already cast/aligned the frame to the
+      // table schema; appendOptimistic enforces the rest (shape drift,
+      // blind-append obligations, the NOT-NULL runtime guard)
+      val partCols = DeltaLogReader.replayState(spark, loc, None)._2
+        .map(_.path("partitionColumns")).toSeq
         .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
-      // SQL planning hands the frame nullable-wide; the table's declared
-      // NOT-NULL columns get a runtime guard (the invariants discipline)
-      val guarded = meta.map { m =>
-        import org.apache.spark.sql.functions.{col => c, lit, raise_error, when}
-        val schema = org.apache.spark.sql.types.DataType
-          .fromJson(m.get("schemaString").asText())
-          .asInstanceOf[org.apache.spark.sql.types.StructType]
-        df.select(schema.fields.map { fd =>
-          val base = c(s"`${fd.name}`").cast(fd.dataType)
-          (if (fd.nullable) base
-           else when(base.isNull, raise_error(lit(
-             s"NOT NULL constraint violated: column ${fd.name} of $loc")))
-             .otherwise(base)).as(fd.name)
-        }.toSeq: _*)
-      }.getOrElse(df)
-      DeltaLogWriter.appendOptimistic(guarded, loc, partitionBy = partCols)
+      DeltaLogWriter.appendOptimistic(df, loc, partitionBy = partCols)
       ()
     } else { df =>
+      // a foreign schema's REQUIRED fields are a contract this writer's
+      // all-optional field model would silently weaken (commitAppend
+      // re-emits the schema with required=false) — refuse up front
+      val requiredFields = Iceberg.metadata(spark, loc).path("schemas")
+        .elements().asScala.flatMap(_.path("fields").elements().asScala)
+        .filter(_.path("required").asBoolean(false))
+        .map(_.path("name").asText("")).toSeq.distinct
+      require(requiredFields.isEmpty,
+        s"Iceberg table at $loc declares REQUIRED field(s) " +
+          s"${requiredFields.mkString(", ")} — this writer models all " +
+          "columns optional and would re-emit them as such, weakening " +
+          "the table's contract; refusing SQL inserts")
       // snapshot ids must be unique per table, timestamps monotone —
       // wall clock + a random low word, the same id discipline real
       // engines use for SQL-originated commits
@@ -173,9 +169,15 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
                    tsMicros: Option[Long]): Table = {
     val spark = SparkSession.active
     val loc = locate(ident)
+    // ONE format sniff per load, shared by the reader and the appender
     val f = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
     val isDelta = f.exists(new Path(loc, "_delta_log"))
-    val reread = readerFor(spark, ident, loc, version, tsMicros)
+    val isIceberg = !isDelta && f.exists(new Path(loc, "metadata"))
+    if (!isDelta && !isIceberg) throw new IllegalArgumentException(
+      s"catalog '$catName' resolves '${seamName(ident)}' to $loc, which " +
+        "holds neither a Delta log nor Iceberg metadata — refusing a " +
+        "format guess")
+    val reread = readerFor(spark, ident, loc, isDelta, version, tsMicros)
     // ONE replay for the common single-reference query: the plan built
     // here for the schema is the same one the substitution rule serves
     // on its first expansion; later expansions rebuild fresh
