@@ -24,11 +24,23 @@ import graft.sources.GraftSqlTable
   * Installed by [[GraftExtensions]] as a resolution rule (post-hoc
   * batch — the relation is resolved by then, its output fixed). */
 object CatalogTableSubstitution extends Rule[LogicalPlan] {
-  // a WRITE command's TARGET stays a V2 relation untouched: it is held
-  // as `table: NamedRelation`, NOT as a tree child, so the bottom-up
-  // traversal below can only reach the query side's reads (verified
-  // structurally on Spark 4.1.2 — AppendData has one child, the query)
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  // TARGETS of write/DML commands stay V2 relations untouched. An
+  // INSERT's AppendData holds its target as `table: NamedRelation`
+  // (not a tree child — verified structurally on Spark 4.1.2), so the
+  // traversal cannot reach it; but DELETE/UPDATE/MERGE commands hold
+  // the target AS A CHILD, and rewriting it would leave the planner an
+  // "unexpected table relation" — those commands pass through whole
+  // (their targets execute via SupportsDelete; subqueries inside their
+  // conditions would hit GraftSqlTable's loud newScanBuilder refusal
+  // rather than silently mis-plan).
+  override def apply(plan: LogicalPlan): LogicalPlan = plan match {
+    case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
+    case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => m
+    case p => substitute(p)
+  }
+
+  private def substitute(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
         val child = r.table.asInstanceOf[GraftSqlTable].reread()

@@ -101,6 +101,7 @@ object IndexQueries {
   private val q271TablePat = scratchPat("q271_delta_cdc_in")
   private val q272TablePat = scratchPat("q272_iceberg_v3dv")
   private val q273TablePat = scratchPat("q273_sql_insert")
+  private val q274TablePat = scratchPat("q274_sql_delete")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -199,6 +200,7 @@ object IndexQueries {
     stageQ271DeltaCdcIn(s, dir)
     stageQ272IcebergV3Dv(s, dir)
     stageQ273SqlInsert(s, dir)
+    stageQ274SqlDelete(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -997,6 +999,36 @@ object IndexQueries {
       s.sql(s"INSERT INTO $cat.graft.sqlins_ice " +
         s"SELECT event_id, event_type, value_micros * 3 " +
         s"FROM $cat.graft.sqlins_delta WHERE event_id % 7 = 0")
+    }
+    base
+  }
+
+  /** q274's fixture: SQL `DELETE FROM ... WHERE` through the catalog —
+    * a Delta table (purchases) and an Iceberg table (clicks), each
+    * row-level-deleted by SQL TEXT alone with filter-translatable
+    * predicates: the Delta delete commits DELETION VECTORS, the Iceberg
+    * delete a POSITION-DELETE snapshot (SupportsDelete → the format
+    * writers' own deleteWhere). Value thresholds, not id modulos —
+    * Spark only plans this path when the WHERE translates entirely to
+    * source filters. */
+  private[graft] def stageQ274SqlDelete(s: SparkSession, dir: String): String = {
+    val base = scratch(q274TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), s"$base/d")
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice("click"), 9301L, 1000L)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.sqldel_delta", s"$base/d")
+      rc.register("graft.sqldel_ice", s"$base/i")
+      s.sql(s"DELETE FROM $cat.graft.sqldel_delta WHERE value_micros < 250000000")
+      s.sql(s"DELETE FROM $cat.graft.sqldel_ice WHERE value_micros >= 500000000")
     }
     base
   }
@@ -3175,6 +3207,28 @@ object IndexQueries {
            |ORDER BY leg""".stripMargin)
     }),
 
+    // SQL DELETE FROM through the catalog — SupportsDelete: two
+    // row-level deletes committed by SQL text alone (the Delta one a
+    // deletion-vector commit, the Iceberg one a position-delete
+    // snapshot), then both tables read back by name. With q267 (SQL
+    // read + time travel), q273 (SQL insert) this completes the SQL
+    // surface a reference user actually types against the metastore.
+    "q274_sql_catalog_delete" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ274SqlDelete(s, dir)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.sqldel_delta", s"$base/d")
+      rc.register("graft.sqldel_ice", s"$base/i")
+      s.sql(
+        s"""SELECT 'a_delta' AS leg, count(*) AS n_rows,
+           |  sum(event_id) AS id_checksum, sum(value_micros) AS value_checksum
+           |FROM $cat.graft.sqldel_delta
+           |UNION ALL
+           |SELECT 'b_iceberg', count(*), sum(event_id), sum(value_micros)
+           |FROM $cat.graft.sqldel_ice
+           |ORDER BY leg""".stripMargin)
+    }),
+
     // Iceberg FORMAT-VERSION 3 deletion vectors — a v3 table whose
     // position deletes live as a puffin `deletion-vector-v1` blob
     // (framing byte-identical to Delta's DV sidecars, per the v3 spec):
@@ -4591,6 +4645,21 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q274_sql_catalog_delete" ->
+      """SELECT * FROM (
+        |  SELECT 'a_delta' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT) AS value_checksum
+        |  FROM events
+        |  WHERE event_type = 'purchase'
+        |    AND CAST(round(value * 1e6) AS BIGINT) >= 250000000
+        |  UNION ALL
+        |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(CAST(round(value * 1e6) AS BIGINT)) AS BIGINT)
+        |  FROM events
+        |  WHERE event_type = 'click'
+        |    AND CAST(round(value * 1e6) AS BIGINT) < 500000000
+        |) ORDER BY leg""".stripMargin,
     "q273_sql_catalog_insert" ->
       """WITH p AS MATERIALIZED (
         |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm

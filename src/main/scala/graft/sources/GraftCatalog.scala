@@ -45,11 +45,16 @@ import scala.jdk.CollectionConverters._
   * overloads (a Delta version / an Iceberg snapshot id; timestamps in
   * either format).
   *
-  * READ-ONLY by design, like [[DeltaLogReader]]: DDL/DML arrive through
-  * the library writers ([[DeltaLogWriter]], [[IcebergWriter]]), which
-  * own the commit protocols; `createTable`/`alterTable`/`renameTable`
-  * refuse with the writer entry point named. `dropTable` delegates to a
-  * mutable registry (drops the NAME binding only — never data). */
+  * SQL DML rides the formats' OWN commit paths: `INSERT INTO` through
+  * the V1Write fallback (Delta optimistic append / Iceberg
+  * commitAppend — see [[GraftSqlTable.newWriteBuilder]]) and
+  * `DELETE FROM ... WHERE` through SupportsDelete (Delta deletion
+  * vectors / Iceberg position deletes) when the predicate translates
+  * entirely to source filters. Everything else refuses with the writer
+  * entry point named: `createTable`/`alterTable`/`renameTable`/
+  * INSERT OVERWRITE, and any DML on a time-traveled load. `dropTable`
+  * delegates to a mutable registry (drops the NAME binding only —
+  * never data). */
 class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
 
   private var catName: String = _
@@ -126,6 +131,21 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** The DELETE closure for `DELETE FROM ... WHERE` (the SupportsDelete
+    * seam): the translated predicate runs through the format writers'
+    * own row-level deletes — Delta's deletion-vector commit, Iceberg's
+    * position-delete snapshot. Spark only plans this path when the WHERE
+    * translates entirely to source filters; anything else errors in
+    * analysis (the canDeleteWhere gate). */
+  private def deleterFor(spark: SparkSession, loc: String,
+                         isDelta: Boolean): org.apache.spark.sql.Column => Unit =
+    if (isDelta) { cond => DeltaLogWriter.deleteWhere(spark, loc, cond); () }
+    else { cond =>
+      val id = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits) | 1L
+      IcebergWriter.deleteWhere(spark, loc, cond, id, System.currentTimeMillis())
+      ()
+    }
+
   /** The APPEND closure for `INSERT INTO` (the V1Write seam): rows land
     * through the format writers' own append paths — Delta's optimistic
     * append (schema + partition layout validated against metaData, the
@@ -182,11 +202,11 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     // here for the schema is the same one the substitution rule serves
     // on its first expansion; later expansions rebuild fresh
     val first = reread()
-    val appender =
-      if (version.isDefined || tsMicros.isDefined) None
-      else Some(appenderFor(spark, loc, isDelta))
+    val travelled = version.isDefined || tsMicros.isDefined
+    val appender = if (travelled) None else Some(appenderFor(spark, loc, isDelta))
+    val deleter = if (travelled) None else Some(deleterFor(spark, loc, isDelta))
     new GraftSqlTable(s"$catName.${seamName(ident)}", first.schema, reread,
-      first, appender)
+      first, appender, deleter)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -284,9 +304,11 @@ private[graft] class GraftSqlTable(tableName: String,
                                    tableSchema: StructType,
                                    rereadFresh: () => DataFrame,
                                    first: DataFrame,
-                                   appender: Option[DataFrame => Unit] = None)
+                                   appender: Option[DataFrame => Unit] = None,
+                                   deleter: Option[org.apache.spark.sql.Column => Unit] = None)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val servedFirst = new java.util.concurrent.atomic.AtomicBoolean(false)
   def reread(): DataFrame =
     if (servedFirst.compareAndSet(false, true)) first else rereadFresh()
@@ -294,12 +316,49 @@ private[graft] class GraftSqlTable(tableName: String,
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+  /** A PLAN-ONLY scan stub: `DELETE FROM` planning runs the target
+    * relation through V2 scan pushdown even though the delete itself is
+    * metadata-only (DataSourceV2Strategy expects a ScanRelation), so the
+    * builder must succeed at PLANNING time. Actually executing it —
+    * which can only happen when a read relation survived analysis, i.e.
+    * the substitution rule is not installed — fails loudly with the
+    * remedy named. */
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    throw new IllegalStateException(
-      s"table $tableName resolved through GraftCatalog but the " +
-        "substitution rule did not fire — install " +
-        "graft.plans.GraftExtensions on this session " +
-        "(spark.sql.extensions=graft.plans.GraftExtensions)")
+    new ScanBuilder {
+      override def build(): org.apache.spark.sql.connector.read.Scan =
+        new org.apache.spark.sql.connector.read.Scan {
+          override def readSchema(): StructType = tableSchema
+          override def description(): String = tableName
+          override def toBatch: org.apache.spark.sql.connector.read.Batch =
+            throw new IllegalStateException(
+              s"table $tableName resolved through GraftCatalog but the " +
+                "substitution rule did not fire — install " +
+                "graft.plans.GraftExtensions on this session " +
+                "(spark.sql.extensions=graft.plans.GraftExtensions)")
+        }
+    }
+
+  /** `DELETE FROM ... WHERE` — Spark plans this path only when the
+    * predicate translates ENTIRELY to source filters ([[canDeleteWhere]]
+    * gates; an untranslatable WHERE errors in analysis rather than
+    * half-deleting); the translated condition runs through the format
+    * writers' row-level deletes (Delta DVs / Iceberg position deletes). */
+  override def canDeleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Boolean =
+    deleter.isDefined &&
+      filters.forall(f => GraftSqlTable.filterToColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[org.apache.spark.sql.sources.Filter]): Unit = {
+    val del = deleter.getOrElse(throw new UnsupportedOperationException(
+      s"table $tableName was loaded time-traveled — a pinned historical " +
+        "read cannot be deleted from"))
+    val cond = filters.map(f => GraftSqlTable.filterToColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"DELETE predicate $f on $tableName does not translate to a " +
+            "source filter")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    del(cond)
+  }
 
   /** `INSERT INTO` — the V1Write fallback: Spark hands the aligned
     * DataFrame to [[org.apache.spark.sql.sources.InsertableRelation]]
@@ -325,5 +384,40 @@ private[graft] class GraftSqlTable(tableName: String,
             }
         }
     }
+  }
+}
+
+private[graft] object GraftSqlTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+  import org.apache.spark.sql.sources._
+
+  private def q(attr: String): Column = col(s"`${attr.replace("`", "``")}`")
+
+  /** V1 `Filter` → `Column`, the DELETE predicate bridge. None = a
+    * filter kind with no defined translation here — [[GraftSqlTable
+    * .canDeleteWhere]] then refuses the whole DELETE in analysis, so a
+    * partial translation can never half-delete. */
+  private[sources] def filterToColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(q(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(q(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(q(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(q(a) >= lit(v))
+    case LessThan(a, v) => Some(q(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(q(a) <= lit(v))
+    case In(a, vs) => Some(q(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(q(a).isNull)
+    case IsNotNull(a) => Some(q(a).isNotNull)
+    case And(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc && rc
+    case Or(l, r) =>
+      for { lc <- filterToColumn(l); rc <- filterToColumn(r) } yield lc || rc
+    case Not(c) => filterToColumn(c).map(!_)
+    case StringStartsWith(a, v) => Some(q(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(q(a).endsWith(v))
+    case StringContains(a, v) => Some(q(a).contains(v))
+    case _: AlwaysTrue => Some(lit(true))
+    case _: AlwaysFalse => Some(lit(false))
+    case _ => None
   }
 }

@@ -152,6 +152,38 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == Set(1L, 2L, 10L))
   }
 
+  test("DELETE FROM ... WHERE runs the format writers' row-level deletes; untranslatable predicates refuse") {
+    val (cat, reg) = freshCatalog()
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write((1L to 10L).map(i => (i, s"n$i")).toDF("id", "k")
+      .coalesce(1), delta)
+    val ice = freshDir() + "/i"
+    IcebergWriter.commitAppend(spark, ice,
+      (1L to 10L).map(i => (i, s"m$i")).toDF("id", "k").coalesce(1), 801L, 1000L)
+    reg.register("ns.d", delta)
+    reg.register("ns.i", ice)
+    // Delta: a DV commit, no parquet rewritten
+    spark.sql(s"DELETE FROM $cat.ns.d WHERE id > 7")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == (1L to 7L).toSet)
+    val v1 = scala.io.Source.fromFile(new java.io.File(delta,
+      f"_delta_log/${1L}%020d.json")).getLines().mkString
+    assert(v1.contains("deletionVector"), v1)
+    // Iceberg: a position-delete snapshot
+    spark.sql(s"DELETE FROM $cat.ns.i WHERE id <= 2 OR k = 'm9'")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.i")) ==
+      Set(3L, 4L, 5L, 6L, 7L, 8L, 10L))
+    assert(Iceberg.snapshots(spark, ice).size == 2)
+    // an untranslatable predicate (modulo) refuses in ANALYSIS — the
+    // canDeleteWhere gate; nothing half-deletes
+    val e = intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql(s"DELETE FROM $cat.ns.d WHERE id % 2 = 0"))
+    assert(e.getMessage.toLowerCase.contains("delete"), e.getMessage)
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == (1L to 7L).toSet)
+    // unconditioned DELETE empties the table (AlwaysTrue translation)
+    spark.sql(s"DELETE FROM $cat.ns.d")
+    assert(spark.sql(s"SELECT id FROM $cat.ns.d").count() == 0L)
+  }
+
   test("refusals: unknown table, read-only DDL, missing options, SHOW TABLES works") {
     val (cat, reg) = freshCatalog()
     val delta = freshDir() + "/d"
