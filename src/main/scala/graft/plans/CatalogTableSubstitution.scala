@@ -29,14 +29,17 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
   // (not a tree child — verified structurally on Spark 4.1.2), so the
   // traversal cannot reach it; but DELETE/UPDATE/MERGE commands hold
   // the target AS A CHILD, and rewriting it would leave the planner an
-  // "unexpected table relation" — those commands pass through whole
-  // (their targets execute via SupportsDelete; subqueries inside their
-  // conditions would hit GraftSqlTable's loud newScanBuilder refusal
-  // rather than silently mis-plan).
+  // "unexpected table relation". Their READ sides still substitute: a
+  // MERGE whose SOURCE is a catalog table reads it like any query. A
+  // relation that dodges substitution entirely (a DML-condition
+  // subquery, a session without the extensions) fails at EXECUTION
+  // through the plan-only scan stub's toBatch refusal — loud, with the
+  // remedy named, never a silent mis-plan.
   override def apply(plan: LogicalPlan): LogicalPlan = plan match {
     case d: org.apache.spark.sql.catalyst.plans.logical.DeleteFromTable => d
     case u: org.apache.spark.sql.catalyst.plans.logical.UpdateTable => u
-    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable => m
+    case m: org.apache.spark.sql.catalyst.plans.logical.MergeIntoTable =>
+      m.copy(sourceTable = substitute(m.sourceTable))
     case p => substitute(p)
   }
 

@@ -109,10 +109,10 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
           throw new IllegalArgumentException(
             s"catalog '$catName': no Delta commits at $loc to read"))))
       () => (pin, tsMicros) match {
-        case (Some(v), _) => DeltaLogReader.read(spark, loc, asOf = Some(v))
+        case (Some(v), _) => deltaReadOrEmpty(spark, loc, Some(v))
         case (_, Some(us)) => DeltaLogReader.readAsOfTimestamp(spark, loc,
           Math.floorDiv(us, 1000L))
-        case _ => DeltaLogReader.read(spark, loc)
+        case _ => deltaReadOrEmpty(spark, loc, None)
       }
     } else {
       val pin: Option[Long] = pinnedVersion.orElse(
@@ -131,6 +131,29 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     }
   }
 
+  /** SQL read semantics over a ZERO-ADD-FILE Delta table: a typed empty
+    * frame from the metaData schemaString (the library API's
+    * `read()` refuses instead — a deliberate contract for path callers;
+    * SQL SELECT/DELETE over an empty table must be 0 rows, not an
+    * error). Mapping metadata is stripped — the empty frame serves
+    * LOGICAL names. */
+  private def deltaReadOrEmpty(spark: SparkSession, loc: String,
+                               asOf: Option[Long]): DataFrame = {
+    val (entries, meta) = DeltaLogReader.replayState(spark, loc, asOf)
+    if (entries.nonEmpty) DeltaLogReader.read(spark, loc, asOf)
+    else meta match {
+      case Some(m) =>
+        val declared = org.apache.spark.sql.types.DataType
+          .fromJson(m.path("schemaString").asText())
+          .asInstanceOf[StructType]
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(declared.fields.map(f =>
+            org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))))
+      case None => DeltaLogReader.read(spark, loc, asOf) // the loud refusal
+    }
+  }
+
   /** The DELETE closure for `DELETE FROM ... WHERE` (the SupportsDelete
     * seam): the translated predicate runs through the format writers'
     * own row-level deletes — Delta's deletion-vector commit, Iceberg's
@@ -139,10 +162,16 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     * analysis (the canDeleteWhere gate). */
   private def deleterFor(spark: SparkSession, loc: String,
                          isDelta: Boolean): org.apache.spark.sql.Column => Unit =
-    if (isDelta) { cond => DeltaLogWriter.deleteWhere(spark, loc, cond); () }
+    if (isDelta) { cond =>
+      // SQL semantics: DELETE on an empty table is a 0-row no-op, not
+      // the library API's has-no-active-files refusal
+      if (DeltaLogReader.replayState(spark, loc, None)._1.nonEmpty)
+        DeltaLogWriter.deleteWhere(spark, loc, cond)
+      ()
+    }
     else { cond =>
-      val id = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits) | 1L
-      IcebergWriter.deleteWhere(spark, loc, cond, id, System.currentTimeMillis())
+      IcebergWriter.deleteWhere(spark, loc, cond,
+        GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
       ()
     }
 
@@ -177,11 +206,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
           s"${requiredFields.mkString(", ")} — this writer models all " +
           "columns optional and would re-emit them as such, weakening " +
           "the table's contract; refusing SQL inserts")
-      // snapshot ids must be unique per table, timestamps monotone —
-      // wall clock + a random low word, the same id discipline real
-      // engines use for SQL-originated commits
-      val id = math.abs(java.util.UUID.randomUUID().getLeastSignificantBits) | 1L
-      IcebergWriter.commitAppend(spark, loc, df, id, System.currentTimeMillis())
+      IcebergWriter.commitAppend(spark, loc, df,
+        GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
       ()
     }
 
@@ -387,12 +413,24 @@ private[graft] class GraftSqlTable(tableName: String,
   }
 }
 
+private[graft] object GraftCatalog {
+  /** A fresh POSITIVE Iceberg snapshot id for SQL-originated commits
+    * (unique per table with 2^-63 collision odds; the mask keeps even
+    * Long.MinValue positive, the | 1 keeps zero out). */
+  private[sources] def freshSnapshotId(): Long =
+    (java.util.UUID.randomUUID().getLeastSignificantBits & Long.MaxValue) | 1L
+}
+
 private[graft] object GraftSqlTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
   import org.apache.spark.sql.sources._
 
-  private def q(attr: String): Column = col(s"`${attr.replace("`", "``")}`")
+  /** V1 filter attribute strings arrive in `col()`'s own
+    * quoted-multipart grammar (`meta.level` = a nested field;
+    * `` `a.b` `` = a top-level column literally containing a dot) —
+    * pass them through VERBATIM; re-wrapping would mis-resolve both. */
+  private def q(attr: String): Column = col(attr)
 
   /** V1 `Filter` → `Column`, the DELETE predicate bridge. None = a
     * filter kind with no defined translation here — [[GraftSqlTable

@@ -184,6 +184,52 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT id FROM $cat.ns.d").count() == 0L)
   }
 
+  test("DELETE resolves nested fields and dotted names; empty tables read/delete as 0 rows") {
+    val (cat, reg) = freshCatalog()
+    // nested struct + a top-level column literally containing a dot:
+    // the V1 filter attribute grammar (quoted multipart) must pass
+    // through to col() verbatim, or both shapes mis-resolve
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write(spark.sql("SELECT * FROM VALUES " +
+      "(1L, named_struct('level', 1L), 10L), " +
+      "(2L, named_struct('level', 5L), 20L), " +
+      "(3L, named_struct('level', 9L), 30L) AS t(id, meta, `a.b`)")
+      .coalesce(1), delta)
+    reg.register("ns.n", delta)
+    spark.sql(s"DELETE FROM $cat.ns.n WHERE meta.level > 3 AND `a.b` >= 20")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.n")) == Set(1L))
+    // an EMPTY Delta table (metaData, zero add files): SELECT serves the
+    // typed empty frame, DELETE is a 0-row no-op — SQL semantics, where
+    // the path API's read()/deleteWhere deliberately refuse
+    val empty = freshDir() + "/e"
+    DeltaLogWriter.write(Seq.empty[(Long, String)].toDF("id", "k"), empty)
+    reg.register("ns.e", empty)
+    assert(spark.sql(s"SELECT id FROM $cat.ns.e").count() == 0L)
+    spark.sql(s"DELETE FROM $cat.ns.e WHERE id > 5")
+    assert(spark.sql(s"SELECT * FROM $cat.ns.e").columns.toSeq == Seq("id", "k"))
+  }
+
+  test("the plan-only scan stub refuses EXECUTION with the extensions remedy named") {
+    // the substitution rule removes every read relation in this session;
+    // the stub is the failure mode of a session WITHOUT GraftExtensions —
+    // pin that executing it (toBatch) names the remedy, so a future
+    // change cannot silently make the unsubstituted path executable
+    val (cat, reg) = freshCatalog()
+    val delta = freshDir() + "/d"
+    DeltaLogWriter.write(Seq(1L).toDF("id").coalesce(1), delta)
+    reg.register("ns.t", delta)
+    val catalog = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val tbl = catalog.loadTable(
+      org.apache.spark.sql.connector.catalog.Identifier.of(Array("ns"), "t"))
+    val scan = tbl.asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+      .newScanBuilder(new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        java.util.Collections.emptyMap())).build()
+    assert(scan.readSchema().fieldNames.toSeq == Seq("id"))
+    val e = intercept[IllegalStateException](scan.toBatch)
+    assert(e.getMessage.contains("GraftExtensions"), e.getMessage)
+  }
+
   test("refusals: unknown table, read-only DDL, missing options, SHOW TABLES works") {
     val (cat, reg) = freshCatalog()
     val delta = freshDir() + "/d"
