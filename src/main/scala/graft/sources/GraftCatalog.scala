@@ -110,8 +110,15 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
             s"catalog '$catName': no Delta commits at $loc to read"))))
       () => (pin, tsMicros) match {
         case (Some(v), _) => deltaReadOrEmpty(spark, loc, Some(v))
-        case (_, Some(us)) => DeltaLogReader.readAsOfTimestamp(spark, loc,
-          Math.floorDiv(us, 1000L))
+        case (_, Some(us)) =>
+          // resolve the timestamp to a version FIRST so the empty-table
+          // semantics (and the empty frame's as-of schema) hold here too
+          val tsMillis = Math.floorDiv(us, 1000L)
+          val eligible = DeltaLogReader.commitTimestamps(spark, loc)
+            .filter(_._2 <= tsMillis)
+          if (eligible.isEmpty) // before-first-commit: the reader's own refusal
+            DeltaLogReader.readAsOfTimestamp(spark, loc, tsMillis)
+          else deltaReadOrEmpty(spark, loc, Some(eligible.last._1))
         case _ => deltaReadOrEmpty(spark, loc, None)
       }
     } else {
@@ -138,11 +145,15 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     * error). Mapping metadata is stripped — the empty frame serves
     * LOGICAL names. */
   private def deltaReadOrEmpty(spark: SparkSession, loc: String,
-                               asOf: Option[Long]): DataFrame = {
-    val (entries, meta) = DeltaLogReader.replayState(spark, loc, asOf)
-    if (entries.nonEmpty) DeltaLogReader.read(spark, loc, asOf)
-    else meta match {
-      case Some(m) =>
+                               asOf: Option[Long]): DataFrame =
+    try DeltaLogReader.read(spark, loc, asOf)
+    catch { case e: IllegalArgumentException
+        if e.getMessage != null && e.getMessage.contains("has no active files") =>
+      // the EMPTY case pays a second replay for the schema; the common
+      // non-empty path above pays exactly one (read's own) — and there
+      // is no probe-to-read TOCTOU window
+      DeltaLogReader.replayState(spark, loc, asOf)._2 match {
+        case Some(m) =>
         val declared = org.apache.spark.sql.types.DataType
           .fromJson(m.path("schemaString").asText())
           .asInstanceOf[StructType]
@@ -150,9 +161,9 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
           StructType(declared.fields.map(f =>
             org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))))
-      case None => DeltaLogReader.read(spark, loc, asOf) // the loud refusal
+        case None => throw e // no metaData to type an empty frame from
+      }
     }
-  }
 
   /** The DELETE closure for `DELETE FROM ... WHERE` (the SupportsDelete
     * seam): the translated predicate runs through the format writers'
@@ -164,10 +175,11 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
                          isDelta: Boolean): org.apache.spark.sql.Column => Unit =
     if (isDelta) { cond =>
       // SQL semantics: DELETE on an empty table is a 0-row no-op, not
-      // the library API's has-no-active-files refusal
-      if (DeltaLogReader.replayState(spark, loc, None)._1.nonEmpty)
-        DeltaLogWriter.deleteWhere(spark, loc, cond)
-      ()
+      // the library API's has-no-active-files refusal — caught here
+      // rather than pre-probed, so the common path replays the log once
+      try { DeltaLogWriter.deleteWhere(spark, loc, cond); () }
+      catch { case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("has no active files") => () }
     }
     else { cond =>
       IcebergWriter.deleteWhere(spark, loc, cond,
@@ -206,7 +218,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
           s"${requiredFields.mkString(", ")} — this writer models all " +
           "columns optional and would re-emit them as such, weakening " +
           "the table's contract; refusing SQL inserts")
-      IcebergWriter.commitAppend(spark, loc, df,
+      IcebergWriter.commitAppendOptimistic(spark, loc, df,
         GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
       ()
     }
