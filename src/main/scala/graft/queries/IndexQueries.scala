@@ -102,6 +102,7 @@ object IndexQueries {
   private val q272TablePat = scratchPat("q272_iceberg_v3dv")
   private val q273TablePat = scratchPat("q273_sql_insert")
   private val q274TablePat = scratchPat("q274_sql_delete")
+  private val q275TablePat = scratchPat("q275_sql_lifecycle")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -201,6 +202,7 @@ object IndexQueries {
     stageQ272IcebergV3Dv(s, dir)
     stageQ273SqlInsert(s, dir)
     stageQ274SqlDelete(s, dir)
+    stageQ275SqlLifecycle(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -1029,6 +1031,45 @@ object IndexQueries {
       rc.register("graft.sqldel_ice", s"$base/i")
       s.sql(s"DELETE FROM $cat.graft.sqldel_delta WHERE value_micros < 250000000")
       s.sql(s"DELETE FROM $cat.graft.sqldel_ice WHERE value_micros >= 500000000")
+    }
+    base
+  }
+
+  /** q275's fixture: the FULL SQL LIFECYCLE by SQL text alone — the
+    * reference's own DDL pattern (`configure_notebook.py:18-27`
+    * CREATEs its production table before anything queries it): CREATE
+    * a partitioned Delta table, INSERT INTO it from a registered
+    * source, DELETE a stratum, CREATE an Iceberg table (zero
+    * snapshots) and INSERT a filtered projection of the Delta table
+    * into it. Every statement is spark.sql; every commit lands through
+    * the format writers. */
+  private[graft] def stageQ275SqlLifecycle(s: SparkSession, dir: String): String = {
+    val base = scratch(q275TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      val src = t(s, dir, "events")
+        .where($"event_type".isin("purchase", "click"))
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      graft.sources.DeltaLogWriter.write(src, s"$base/src")
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.lifecycle_src", s"$base/src")
+      s.sql(s"CREATE TABLE $cat.graft.lifecycle_d " +
+        s"(event_id BIGINT, event_type STRING, value_micros BIGINT) " +
+        s"USING delta PARTITIONED BY (event_type) LOCATION '$base/d'")
+      s.sql(s"INSERT INTO $cat.graft.lifecycle_d " +
+        s"SELECT event_id, event_type, value_micros FROM $cat.graft.lifecycle_src")
+      s.sql(s"DELETE FROM $cat.graft.lifecycle_d " +
+        s"WHERE event_type = 'click' AND value_micros < 300000000")
+      s.sql(s"CREATE TABLE $cat.graft.lifecycle_i " +
+        s"(event_id BIGINT, value_micros BIGINT) " +
+        s"USING iceberg LOCATION '$base/i'")
+      s.sql(s"INSERT INTO $cat.graft.lifecycle_i " +
+        s"SELECT event_id, value_micros FROM $cat.graft.lifecycle_d " +
+        s"WHERE event_type = 'purchase' AND value_micros >= 500000000")
     }
     base
   }
@@ -3207,6 +3248,28 @@ object IndexQueries {
            |ORDER BY leg""".stripMargin)
     }),
 
+    // The FULL SQL LIFECYCLE — CREATE (both formats, one partitioned) →
+    // INSERT INTO … SELECT → DELETE FROM → SELECT, every statement SQL
+    // text through the catalog: the complete surface the reference's
+    // notebooks type against their metastore (configure_notebook.py's
+    // DDL included). The legs pin both tables' final states against
+    // the oracle's declarative replay.
+    "q275_sql_catalog_lifecycle" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ275SqlLifecycle(s, dir)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.lifecycle_d", s"$base/d")
+      rc.register("graft.lifecycle_i", s"$base/i")
+      s.sql(
+        s"""SELECT 'a_delta' AS leg, count(*) AS n_rows,
+           |  sum(event_id) AS id_checksum, sum(value_micros) AS value_checksum
+           |FROM $cat.graft.lifecycle_d
+           |UNION ALL
+           |SELECT 'b_iceberg', count(*), sum(event_id), sum(value_micros)
+           |FROM $cat.graft.lifecycle_i
+           |ORDER BY leg""".stripMargin)
+    }),
+
     // SQL DELETE FROM through the catalog — SupportsDelete: two
     // row-level deletes committed by SQL text alone (the Delta one a
     // deletion-vector commit, the Iceberg one a position-delete
@@ -4645,6 +4708,24 @@ object IndexQueries {
         |                THEN CAST(round(value * 1e6) AS BIGINT) % 1000
         |           END) AS BIGINT) AS bonus_checksum
         |FROM events WHERE event_type IN ('purchase', 'click')""".stripMargin,
+    "q275_sql_catalog_lifecycle" ->
+      """WITH vm AS MATERIALIZED (
+        |  SELECT event_id, event_type,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |d AS MATERIALIZED (
+        |  SELECT event_id, event_type, vm FROM vm
+        |  WHERE NOT (event_type = 'click' AND vm < 300000000))
+        |SELECT * FROM (
+        |  SELECT 'a_delta' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(vm) AS BIGINT)
+        |  FROM d WHERE event_type = 'purchase' AND vm >= 500000000
+        |) ORDER BY leg""".stripMargin,
     "q274_sql_catalog_delete" ->
       """SELECT * FROM (
         |  SELECT 'a_delta' AS leg, count(*) AS n_rows,

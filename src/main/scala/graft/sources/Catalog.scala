@@ -75,12 +75,18 @@ class HadoopWarehouseCatalog(spark: SparkSession, warehouse: String)
   }
 
   override def locate(name: String): String = {
-    val (ns, tbl) = TableCatalog.splitName(name)
-    val loc = new Path(new Path(warehouse, ns), tbl).toString
+    val loc = locationFor(name)
     require(exists(loc),
       s"catalog has no table '$name' (no Iceberg metadata or Delta log " +
         s"at $loc) — register/create it first")
     loc
+  }
+
+  /** The CONVENTION location for `name`, existence not required — where
+    * a `CREATE TABLE` under this catalog puts the table. */
+  private[sources] def locationFor(name: String): String = {
+    val (ns, tbl) = TableCatalog.splitName(name)
+    new Path(new Path(warehouse, ns), tbl).toString
   }
 
   override def tables(namespace: String): Seq[String] = {

@@ -122,20 +122,37 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
         case _ => deltaReadOrEmpty(spark, loc, None)
       }
     } else {
-      val pin: Option[Long] = pinnedVersion.orElse(
-        if (tsMicros.isDefined) None
-        else {
-          val cur = Iceberg.metadata(spark, loc).path("current-snapshot-id").asLong(-1L)
-          require(cur > 0,
-            s"catalog '$catName': Iceberg table at $loc has no current snapshot")
-          Some(cur)
-        })
-      () => (pin, tsMicros) match {
-        case (Some(v), _) => Iceberg.readSnapshot(spark, loc, v)
-        case (_, Some(us)) => Iceberg.readAsOf(spark, loc, Math.floorDiv(us, 1000L))
-        case _ => Iceberg.read(spark, loc)
+      val curAtLoad =
+        if (pinnedVersion.isDefined || tsMicros.isDefined) 1L // unused
+        else Iceberg.metadata(spark, loc).path("current-snapshot-id").asLong(-1L)
+      if (pinnedVersion.isEmpty && tsMicros.isEmpty && curAtLoad <= 0) {
+        // a freshly CREATEd (zero-snapshot) table: the SQL state at load
+        // time is EMPTY — serve the typed empty frame from the metadata
+        // schema, consistently across every expansion (the pin contract)
+        () => icebergEmptyFrame(spark, loc)
+      } else {
+        val pin: Option[Long] = pinnedVersion.orElse(
+          if (tsMicros.isDefined) None else Some(curAtLoad))
+        () => (pin, tsMicros) match {
+          case (Some(v), _) => Iceberg.readSnapshot(spark, loc, v)
+          case (_, Some(us)) => Iceberg.readAsOf(spark, loc, Math.floorDiv(us, 1000L))
+          case _ => Iceberg.read(spark, loc)
+        }
       }
     }
+  }
+
+  /** The typed empty frame for a ZERO-SNAPSHOT Iceberg table (the state
+    * `CREATE TABLE` leaves): schema from the metadata document. */
+  private def icebergEmptyFrame(spark: SparkSession, loc: String): DataFrame = {
+    val fields = Iceberg.currentSchemaFields(Iceberg.metadata(spark, loc))
+      .getOrElse(throw new IllegalArgumentException(
+        s"Iceberg table at $loc has no snapshots and no schema — nothing " +
+          "to type the empty frame from"))
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(fields.map(f => org.apache.spark.sql.types.StructField(
+        f.name, Iceberg.sparkType(f.typ), nullable = true))))
   }
 
   /** SQL read semantics over a ZERO-ADD-FILE Delta table: a typed empty
@@ -182,9 +199,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
           if e.getMessage != null && e.getMessage.contains("has no active files") => () }
     }
     else { cond =>
-      IcebergWriter.deleteWhere(spark, loc, cond,
-        GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
-      ()
+      // same 0-row no-op semantics for a zero-snapshot (just-CREATEd)
+      // Iceberg table
+      try {
+        IcebergWriter.deleteWhere(spark, loc, cond,
+          GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
+        ()
+      } catch { case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("no current snapshot") => () }
     }
 
   /** The APPEND closure for `INSERT INTO` (the V1Write seam): rows land
@@ -273,13 +295,56 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
         "the table where it is registered")
   }
 
+  /** `CREATE TABLE <cat>.ns.t (...) USING delta|iceberg [PARTITIONED BY
+    * (cols…)] [LOCATION '…']` — the reference's own DDL pattern
+    * (`config/configure_notebook.py:18-27`). The table is created EMPTY
+    * through the format writers (a metaData-only Delta commit 0 / a
+    * zero-snapshot Iceberg metadata v1), at the LOCATION property, the
+    * warehouse convention path (registry catalogs REQUIRE the explicit
+    * LOCATION); a mutable registry gets the name binding. IDENTITY
+    * partitioning only: SQL `PARTITIONED BY (day(ts))` arrives as a
+    * non-identity Transform and refuses by name — transform-partitioned
+    * Iceberg tables come from `IcebergWriter.createTable`. */
   override def createTable(ident: Identifier, schema: StructType,
                            partitions: Array[Transform],
-                           properties: java.util.Map[String, String]): Table =
-    throw new UnsupportedOperationException(
-      s"catalog '$catName' is a READ seam — create tables with " +
-        "DeltaLogWriter.write / IcebergWriter.commitAppend and register " +
-        "the location (FileRegistryCatalog.register)")
+                           properties: java.util.Map[String, String]): Table = {
+    val spark = SparkSession.active
+    if (tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(ident)
+    val provider = Option(properties.get("provider"))
+      .map(_.toLowerCase(java.util.Locale.ROOT)).getOrElse("delta")
+    require(provider == "delta" || provider == "iceberg",
+      s"catalog '$catName' creates delta or iceberg tables; USING $provider " +
+        "is not a format this engine writes")
+    val partCols = partitions.toSeq.map { t =>
+      val refs = t.references()
+      if (t.name() == "identity" && refs.length == 1 &&
+          refs.head.fieldNames().length == 1) refs.head.fieldNames().head
+      else throw new UnsupportedOperationException(
+        s"PARTITIONED BY transform '$t' — this catalog creates " +
+          "identity-partitioned tables; transform-partitioned Iceberg " +
+          "tables come from IcebergWriter.createTable")
+    }
+    val loc = Option(properties.get("location")).getOrElse(seam match {
+      case w: HadoopWarehouseCatalog => w.locationFor(seamName(ident))
+      case _ => throw new IllegalArgumentException(
+        s"catalog '$catName' resolves through a registry — CREATE TABLE " +
+          "needs an explicit LOCATION '…' clause")
+    })
+    val emptyDf = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      StructType(schema.fields.map(f =>
+        org.apache.spark.sql.types.StructField(f.name, f.dataType, f.nullable))))
+    if (provider == "delta")
+      DeltaLogWriter.write(emptyDf, loc, partitionBy = partCols)
+    else
+      IcebergWriter.createTable(spark, loc, emptyDf.schema, partCols)
+    seam match {
+      case m: MutableTableCatalog => m.register(seamName(ident), loc)
+      case _ => ()
+    }
+    loadTable(ident)
+  }
 
   override def alterTable(ident: Identifier, changes: TableChange*): Table =
     throw new UnsupportedOperationException(

@@ -189,6 +189,41 @@ object IcebergWriter {
     * evolved (multi-)specs and a `partitionBy` that contradicts the
     * existing spec all refuse loudly.
     * Returns the new metadata version. */
+  /** CREATE an EMPTY Iceberg table: metadata v1 with the schema's field
+    * ids 1..n, the named partition spec (the same DDL transform
+    * spellings [[commitAppend]] accepts), and ZERO snapshots — the
+    * state `CREATE TABLE` leaves behind, which the first append then
+    * commits snapshot 1 into. Refuses an existing metadata directory
+    * (never "re-creates" over a table). Returns the metadata version. */
+  def createTable(spark: SparkSession, table: String,
+                  schema: org.apache.spark.sql.types.StructType,
+                  partitionBy: Seq[String] = Nil): Int = {
+    val md = new Path(table, "metadata")
+    require(!fs(spark, md).exists(md),
+      s"Iceberg table $table already exists — refusing to re-create")
+    val fields = schema.fields.zipWithIndex.map { case (sf, i) =>
+      Iceberg.IceField(i + 1, sf.name, iceType(sf.dataType))
+    }.toSeq
+    val asked = partitionBy.map(parsePartitionBy)
+    val missing = asked.map(_.sourceCol).filterNot(c => fields.exists(_.name == c))
+    require(missing.isEmpty,
+      s"partitionBy column(s) ${missing.mkString(", ")} are not columns " +
+        s"of the schema (${fields.map(_.name).mkString(", ")})")
+    val specJson = asked.zipWithIndex.map { case (a, i) =>
+      Iceberg.partitionFieldJson(
+        fields.find(_.name == a.sourceCol).get.id, a.fieldName,
+        a.transformSpelling, fieldId = 1000 + i)
+    }.mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, 1, Seq.empty,
+      formatVersion = 1,
+      schemaFieldsJson = fields.map(fd =>
+        Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]"),
+      partitionSpecJson = specJson,
+      lastColumnId = fields.size,
+      failIfExists = true)
+    1
+  }
+
   def commitAppend(spark: SparkSession, table: String, df: DataFrame,
                    snapshotId: Long, timestampMs: Long,
                    partitionBy: Seq[String] = Nil): Int = {

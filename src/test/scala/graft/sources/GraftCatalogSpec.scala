@@ -209,6 +209,42 @@ class GraftCatalogSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.ns.e").columns.toSeq == Seq("id", "k"))
   }
 
+  test("CREATE TABLE closes the SQL lifecycle: DDL → INSERT → SELECT → DELETE, both formats") {
+    // warehouse catalog: the location derives from the ns/tbl convention
+    val name = "gc" + java.util.UUID.randomUUID().toString.take(8)
+    val wh = freshDir()
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.warehouse", wh)
+    spark.sql(s"CREATE TABLE $name.ns.d (id BIGINT, k STRING) USING delta PARTITIONED BY (k)")
+    // freshly created: SELECT serves the typed empty frame
+    assert(spark.sql(s"SELECT * FROM $name.ns.d").count() == 0L)
+    spark.sql(s"INSERT INTO $name.ns.d VALUES (1, 'a'), (2, 'b'), (3, 'a')")
+    spark.sql(s"DELETE FROM $name.ns.d WHERE k = 'b'")
+    assert(spark.sql(s"SELECT id FROM $name.ns.d").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    // the hive layout landed (identity partitioning carried through DDL)
+    assert(new java.io.File(s"$wh/ns/d/k=a").exists())
+    // iceberg: created with ZERO snapshots, first INSERT commits snapshot 1
+    spark.sql(s"CREATE TABLE $name.ns.i (id BIGINT, k STRING) USING iceberg")
+    assert(spark.sql(s"SELECT * FROM $name.ns.i").count() == 0L)
+    spark.sql(s"DELETE FROM $name.ns.i WHERE id > 0") // empty: 0-row no-op
+    spark.sql(s"INSERT INTO $name.ns.i SELECT id, k FROM $name.ns.d")
+    assert(spark.sql(s"SELECT id FROM $name.ns.i").collect()
+      .map(_.getLong(0)).toSet == Set(1L, 3L))
+    assert(Iceberg.snapshots(spark, s"$wh/ns/i").size == 1)
+    // registry catalogs need LOCATION; duplicates and transform
+    // partitioning refuse by name
+    val (cat2, _) = freshCatalog()
+    val e1 = intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat2.ns.x (id BIGINT) USING delta"))
+    assert(e1.getMessage.contains("LOCATION"), e1.getMessage)
+    val loc = freshDir() + "/x"
+    spark.sql(s"CREATE TABLE $cat2.ns.x (id BIGINT) USING delta LOCATION '$loc'")
+    assert(spark.sql(s"SELECT * FROM $cat2.ns.x").count() == 0L)
+    intercept[Exception](
+      spark.sql(s"CREATE TABLE $cat2.ns.x (id BIGINT) USING delta LOCATION '$loc'"))
+  }
+
   test("the plan-only scan stub refuses EXECUTION with the extensions remedy named") {
     // the substitution rule removes every read relation in this session;
     // the stub is the failure mode of a session WITHOUT GraftExtensions —
@@ -238,9 +274,11 @@ class GraftCatalogSpec extends SparkSpec {
     val e1 = intercept[org.apache.spark.sql.AnalysisException](
       spark.sql(s"SELECT * FROM $cat.ns.nope").collect())
     assert(e1.getMessage.contains("nope"), e1.getMessage)
+    // registry-resolved CREATE without LOCATION refuses with the clause
+    // named (creation itself is covered by the lifecycle law)
     val e2 = intercept[Exception](
       spark.sql(s"CREATE TABLE $cat.ns.t2 (id BIGINT)"))
-    assert(e2.getMessage.contains("READ seam"), e2.getMessage)
+    assert(e2.getMessage.contains("LOCATION"), e2.getMessage)
     // SHOW TABLES lists through the seam
     val shown = spark.sql(s"SHOW TABLES IN $cat.ns").select("tableName")
       .collect().map(_.getString(0)).toSet
