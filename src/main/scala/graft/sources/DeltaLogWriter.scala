@@ -955,6 +955,104 @@ object DeltaLogWriter {
     (version, nDeleted)
   }
 
+  /** UPDATE ... SET ... WHERE as ONE commit — the row-level update the
+    * reference's production loop runs through SQL on its metastore
+    * table (`02_geofraud_fraud.py:283-304`): every ACTIVE row matching
+    * `predicate` is deletion-vector-killed in place (no parquet part
+    * rewritten — [[deleteWhere]]'s sidecar machinery) and re-appended
+    * with `assignments` applied, both action sets in a single log
+    * entry, so readers never observe the deleted-but-not-yet-rewritten
+    * intermediate state a delete-then-append pair would expose.
+    * Partitioned tables update too: the rewritten rows republish
+    * through the hive layout, so an assignment to a partition column
+    * MOVES the row to its new partition (the add action carries the new
+    * partitionValues). CDF tables publish the pre/post images as
+    * `update_preimage`/`update_postimage` change files in the same
+    * commit. Previously-DV-killed rows that match the predicate stay
+    * dead (the bitmap union is idempotent; only ACTIVE rows re-append).
+    * Refused loudly: column mapping in any mode (the re-append would
+    * need the physical-name projection — express the change through
+    * write()), assignments naming non-columns, and assignments whose
+    * value type does not cast to the column's declared type (ANSI cast
+    * at write time raises rather than landing corrupt rows).
+    * @param assignments (column name → new value), evaluated against
+    *   the table's own columns (SQL `SET c = expr` semantics)
+    * @return (committed version, rows updated) */
+  def updateWhere(spark: SparkSession, path: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)])
+      : (Long, Long) = {
+    import org.apache.spark.sql.functions.lit
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val root = new Path(path)
+    val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
+    require(entries.nonEmpty, s"Delta table at $path has no active files")
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action — cannot validate " +
+        "the update schema; refusing"))
+    // mapping refuses in BOTH modes: the kill scan could resolve name
+    // mode (deleteWhere does) but the re-append side would commit
+    // logical-named parquet into a physical-named table — poisoned
+    // after success; route mapped updates through write()
+    require(DeltaLogReader.mappingMode(metaNode) == "none",
+      s"Delta table at $path uses column mapping — updateWhere does not " +
+        "project physical names for the rewritten rows; refusing")
+    val tableSchema = org.apache.spark.sql.types.DataType
+      .fromJson(metaNode.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val badCols = assignments.map(_._1).filterNot(tableSchema.fieldNames.contains)
+    require(badCols.isEmpty,
+      s"UPDATE assigns to column(s) ${badCols.mkString(", ")} that are not " +
+        s"columns of $path (${tableSchema.fieldNames.mkString(", ")})")
+    val partCols: Seq[String] = {
+      val pc = metaNode.path("partitionColumns")
+      (0 until pc.size()).map(pc.get(_).asText())
+    }
+    val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val (protoLine, killActions, nUpdated) =
+      dvAttachActions(spark, path, entries, version, _.where(predicate), meta)
+    if (killActions.isEmpty) return (version - 1, 0L)
+    // the rewritten rows: ACTIVE rows matching the predicate (the MoR
+    // read — previously-dead rows stay dead), each assignment applied
+    // and cast to the column's DECLARED type so the committed parquet
+    // stays footer-compatible with the table's own reads
+    val byName = assignments.toMap
+    val matched = DeltaLogReader.read(spark, path).where(predicate)
+    val updated = matched.select(tableSchema.fields.map { fd =>
+      byName.get(fd.name)
+        .map(_.cast(fd.dataType))
+        .getOrElse(dfCol(matched, fd.name))
+        .as(fd.name)
+    }.toSeq: _*)
+    val f = fs(spark, root)
+    val newFiles = publishParts(spark, root, updated, version, partCols)
+    val adds = newFiles.map { rel =>
+      val st = f.getFileStatus(new Path(root, rel))
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true}}"""
+    }
+    // CDF: a DV kill is not derivable from add/remove, so the commit
+    // carries pre AND post images (the protocol's update_* change
+    // types) — captured from the SAME matched frame the rewrite used
+    val cdcLines =
+      if (!meta.exists(cdfEnabled)) Seq.empty[String]
+      else {
+        require(!tableSchema.fieldNames.contains("_change_type"),
+          s"Delta table at $path has a _change_type column — colliding " +
+            "with the Change Data Feed schema; rename it first")
+        publishChangeData(spark, root, version,
+          matched.withColumn("_change_type", lit("update_preimage"))
+            .unionAll(updated.withColumn("_change_type", lit("update_postimage"))))
+      }
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
+    require(!f.exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit,
+      (protoLine ++ killActions ++ adds ++ cdcLines).mkString("", "\n", "\n"))
+    (version, nUpdated)
+  }
+
   /** `delta.enableChangeDataFeed` check on a metaData action. */
   private[sources] def cdfEnabled(meta: com.fasterxml.jackson.databind.JsonNode): Boolean =
     meta.path("configuration").path("delta.enableChangeDataFeed")

@@ -907,6 +907,145 @@ object IcebergWriter {
     hintVersion + 1
   }
 
+  /** UPDATE ... SET ... WHERE as ONE v2 snapshot — [[deleteWhere]]'s
+    * position-delete kill and a data-file append committed together, so
+    * readers never observe the deleted-but-not-yet-rewritten state a
+    * two-snapshot delete+append pair would expose. The delete parquet
+    * names every matching ACTIVE row's (file_path, pos); the new data
+    * files carry the SAME rows with `assignments` applied, id-stamped
+    * and bounds-carrying like every append. Both manifests land at the
+    * same data sequence number N: the position delete names only OLD
+    * file paths, so the spec's seq-≤ application rule can never erase
+    * the rows appended alongside it. Zero matches commit nothing.
+    * Scope gates mirror [[deleteWhere]]'s: unpartitioned, no equality
+    * deletes present, schema from metadata.
+    * @param assignments (column name → new value), evaluated against
+    *   the table's own columns (SQL `SET c = expr` semantics)
+    * @return the new metadata version (current version when no row matched) */
+  def updateWhere(spark: SparkSession, table: String,
+                  predicate: org.apache.spark.sql.Column,
+                  assignments: Seq[(String, org.apache.spark.sql.Column)],
+                  snapshotId: Long, timestampMs: Long): Int = {
+    import org.apache.spark.sql.functions.col
+    require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    val doc = writableDoc(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot update $table: its metadata carries no schema"))
+    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
+      s"cannot update $table: it is PARTITIONED and this writer does not " +
+        "derive partition metadata for delete files")
+    val reservedDel = Set("file_path", "pos", "__ice_norm_fp", "__ice_manifest_fp")
+    require(!fields.exists(f => reservedDel(f.name)),
+      s"cannot update $table: a table column is named one of " +
+        s"${reservedDel.toSeq.sorted.mkString(", ")} — colliding with the " +
+        "position-delete schema / spelling-join internals; rename it first")
+    val badCols = assignments.map(_._1).filterNot(c => fields.exists(_.name == c))
+    require(badCols.isEmpty,
+      s"UPDATE assigns to column(s) ${badCols.mkString(", ")} that are not " +
+        s"columns of $table (${fields.map(_.name).mkString(", ")})")
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val snaps = snapsOf(doc)
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"update at timestamp $timestampMs would commit BEFORE an existing " +
+        "snapshot — history must be monotonic")
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val planned = Iceberg.listLiveFiles(spark, table, mlPath, cur)
+    require(planned.eqDeletes.isEmpty,
+      s"cannot update $table: it carries EQUALITY delete files, whose " +
+        "sequence-number gating this writer does not produce — compact " +
+        "them away first")
+    require(planned.data.nonEmpty, s"Iceberg table $table has no live data files")
+
+    // matching ACTIVE rows' spec coordinates — the deleteWhere spelling:
+    // file_path recorded in the EXACT spelling the data manifests carry
+    import org.apache.spark.sql.functions.{broadcast, raise_error, when, concat_ws, lit}
+    val spellRows = planned.data.map { case (p, _) =>
+      (Iceberg.normPathDriver(p), planned.spelledAs.getOrElse(p, p))
+    }.distinct
+    val spellDf = spark.createDataFrame(spellRows)
+      .toDF("__ice_norm_fp", "__ice_manifest_fp")
+    val matches = Iceberg
+      .readWithMetadataSchema(spark, fields, planned.data.map(_._1))
+      .select(col("*"),
+        Iceberg.normPath(col("_metadata.file_path")).as("__ice_norm_fp"),
+        col("_metadata.row_index").as("pos"))
+      .where(predicate)
+      .join(broadcast(spellDf), Seq("__ice_norm_fp"), "left")
+      .select(
+        when(col("__ice_manifest_fp").isNull,
+          raise_error(concat_ws("", lit("position-delete path mapping " +
+            "miss: no planned data file spells "), col("__ice_norm_fp"))))
+          .otherwise(col("__ice_manifest_fp")).as("file_path"),
+        col("pos"))
+    val n = matches.count()
+    val hintVersion = hintVersionOf(spark, table)
+    if (n == 0) return hintVersion
+
+    // (a) the position-delete parquet + its content-1 manifest
+    val basePath = new Path(table)
+    val f = fs(spark, basePath)
+    val tmp = new Path(basePath, s".tmp_delete_$snapshotId")
+    f.delete(tmp, true)
+    matches.repartition(1).sortWithinPartitions("file_path", "pos")
+      .write.parquet(tmp.toString)
+    val part = f.listStatus(tmp)
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath).minBy(_.getName)
+    val delFile = new Path(new Path(basePath, "data"),
+      s"delete-snap$snapshotId.parquet")
+    require(f.rename(part, delFile), s"rename to $delFile failed")
+    f.delete(tmp, true)
+    val dm = Iceberg.writeManifest(spark, table,
+      s"m-del$snapshotId.avro", snapshotId,
+      Seq(Iceberg.Entry(delFile.toString, 1, content = 1, recordCount = n,
+        fileSizeBytes = f.getFileStatus(delFile).getLen)))
+
+    // (b) the rewritten rows: the SAME active matching rows (the MoR
+    // read — position-deleted rows stay dead), assignments applied and
+    // cast to the field's declared type, id-stamped with footer bounds
+    val byName = assignments.toMap
+    val updated = Iceberg.read(spark, table).where(predicate)
+      .select(fields.map { fd =>
+        byName.get(fd.name)
+          .map(_.cast(Iceberg.sparkType(fd.typ)))
+          .getOrElse(col(s"`${fd.name}`"))
+          .as(fd.name)
+      }: _*)
+    val nameToId = fields.map(fd => fd.name -> fd.id).toMap
+    val typById = fields.map(fd => fd.id -> fd.typ).toMap
+    val files = writeIdStampedFiles(spark, table, updated, fields,
+      s"update$snapshotId")
+    val dataManifest = Iceberg.writeManifest(spark, table,
+      s"m-update$snapshotId.avro", snapshotId,
+      files.map(file => boundedEntry(spark, table, file, nameToId, typById)))
+
+    // one manifest list: carried history + the data manifest + the
+    // delete manifest, data and delete both at sequence N
+    val carried = carriedOf(table,
+      Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)))
+    val newSeq = nextSeq(carried)
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId,
+      carried.map(c => (c.path, c.length)) :+ dataManifest :+ dm,
+      contents = carried.map(_.content) :+ 0 :+ 1,
+      sequenceNumbers = carried.map(_.seq) :+ newSeq :+ newSeq,
+      addedSnapshotIds = carried.map(_.addedSnapshotId) :+
+        snapshotId :+ snapshotId)
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1,
+      snaps :+ ((snapshotId, timestampMs, ml)),
+      formatVersion = 2, schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields),
+      failIfExists = true)
+    hintVersion + 1
+  }
+
   /** COMPACTION — the `rewriteDataFiles` maintenance pass: read the
     * current snapshot THROUGH merge-on-read (position and equality
     * deletes applied), rewrite the surviving rows as freshly id-stamped,
