@@ -103,6 +103,7 @@ object IndexQueries {
   private val q273TablePat = scratchPat("q273_sql_insert")
   private val q274TablePat = scratchPat("q274_sql_delete")
   private val q275TablePat = scratchPat("q275_sql_lifecycle")
+  private val q276TablePat = scratchPat("q276_sql_dml")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -1070,6 +1071,68 @@ object IndexQueries {
       s.sql(s"INSERT INTO $cat.graft.lifecycle_i " +
         s"SELECT event_id, value_micros FROM $cat.graft.lifecycle_d " +
         s"WHERE event_type = 'purchase' AND value_micros >= 500000000")
+    }
+    base
+  }
+
+  /** q276's fixture: SQL UPDATE + MERGE INTO by SQL TEXT alone over a
+    * Delta table (purchases) AND an Iceberg table (clicks) — the last
+    * DML a metastore user types, and the reference's own production
+    * loop (`02_geofraud_fraud.py:283-304` keyed upsert maintenance).
+    * Four sequential statements, each ONE merge-on-read commit through
+    * the format writers: (1) Delta UPDATE doubles small purchases (DV
+    * kill + re-append); (2) Delta MERGE upserts a union of 3×'d `%4`
+    * purchases (matched arm) and `%6` clicks (insert arm); (3) Iceberg
+    * UPDATE bumps `%3` clicks by 7 (position-delete + data manifest,
+    * one snapshot); (4) Iceberg MERGE upserts 5×'d `%8` clicks
+    * (matched) plus the Delta table's `%10` purchases (insert). MERGE
+    * sources read the CURRENT state of the named tables, so statement
+    * order is part of the oracle's declarative replay. */
+  private[graft] def stageQ276SqlDml(s: SparkSession, dir: String): String = {
+    val base = scratch(q276TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), s"$base/d")
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice("click"), 9401L, 1000L)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.dml_delta", s"$base/d")
+      rc.register("graft.dml_ice", s"$base/i")
+      s.sql(s"UPDATE $cat.graft.dml_delta SET value_micros = value_micros * 2 " +
+        "WHERE value_micros < 250000000")
+      s.sql(
+        s"""MERGE INTO $cat.graft.dml_delta t
+           |USING (
+           |  SELECT event_id, event_type, value_micros * 3 AS value_micros
+           |  FROM $cat.graft.dml_delta WHERE event_id % 4 = 0
+           |  UNION ALL
+           |  SELECT event_id, event_type, value_micros
+           |  FROM $cat.graft.dml_ice WHERE event_id % 6 = 0
+           |) s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      s.sql(s"UPDATE $cat.graft.dml_ice SET value_micros = value_micros + 7 " +
+        "WHERE event_id % 3 = 0")
+      s.sql(
+        s"""MERGE INTO $cat.graft.dml_ice t
+           |USING (
+           |  SELECT event_id, event_type, value_micros * 5 AS value_micros
+           |  FROM $cat.graft.dml_ice WHERE event_id % 8 = 0
+           |  UNION ALL
+           |  SELECT event_id, event_type, value_micros
+           |  FROM $cat.graft.dml_delta
+           |  WHERE event_type = 'purchase' AND event_id % 10 = 0
+           |) s
+           |ON t.event_id = s.event_id
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
     }
     base
   }
@@ -3270,6 +3333,29 @@ object IndexQueries {
            |ORDER BY leg""".stripMargin)
     }),
 
+    // SQL UPDATE + MERGE INTO through the catalog — the DML rewrite in
+    // CatalogTableSubstitution routes both statements to the writers'
+    // single-commit machinery (Delta DV-kill+re-append / upsert;
+    // Iceberg position-delete+data-manifest / equality-delete upsert).
+    // Four statements over BOTH formats, cross-format MERGE sources,
+    // read back by name. With q267/q273/q274/q275 the catalog now runs
+    // every DML statement the reference's notebooks type.
+    "q276_sql_catalog_merge_update" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ276SqlDml(s, dir)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.dml_delta", s"$base/d")
+      rc.register("graft.dml_ice", s"$base/i")
+      s.sql(
+        s"""SELECT 'a_delta' AS leg, count(*) AS n_rows,
+           |  sum(event_id) AS id_checksum, sum(value_micros) AS value_checksum
+           |FROM $cat.graft.dml_delta
+           |UNION ALL
+           |SELECT 'b_iceberg', count(*), sum(event_id), sum(value_micros)
+           |FROM $cat.graft.dml_ice
+           |ORDER BY leg""".stripMargin)
+    }),
+
     // SQL DELETE FROM through the catalog — SupportsDelete: two
     // row-level deletes committed by SQL text alone (the Delta one a
     // deletion-vector commit, the Iceberg one a position-delete
@@ -4725,6 +4811,45 @@ object IndexQueries {
         |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
         |    CAST(sum(vm) AS BIGINT)
         |  FROM d WHERE event_type = 'purchase' AND vm >= 500000000
+        |) ORDER BY leg""".stripMargin,
+    "q276_sql_catalog_merge_update" ->
+      """WITH vm AS MATERIALIZED (
+        |  SELECT event_id, event_type, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('purchase', 'click')),
+        |p0 AS (SELECT event_id, event_type, vm FROM vm WHERE event_type = 'purchase'),
+        |c0 AS (SELECT event_id, event_type, vm FROM vm WHERE event_type = 'click'),
+        |d1 AS MATERIALIZED (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN vm < 250000000 THEN vm * 2 ELSE vm END AS vm FROM p0),
+        |s2 AS MATERIALIZED (
+        |  SELECT event_id, event_type, vm * 3 AS vm FROM d1 WHERE event_id % 4 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, vm FROM c0 WHERE event_id % 6 = 0),
+        |d2 AS MATERIALIZED (
+        |  SELECT event_id, event_type, vm FROM d1
+        |  WHERE event_id NOT IN (SELECT event_id FROM s2)
+        |  UNION ALL SELECT event_id, event_type, vm FROM s2),
+        |i1 AS MATERIALIZED (
+        |  SELECT event_id, event_type,
+        |    CASE WHEN event_id % 3 = 0 THEN vm + 7 ELSE vm END AS vm FROM c0),
+        |s4 AS MATERIALIZED (
+        |  SELECT event_id, event_type, vm * 5 AS vm FROM i1 WHERE event_id % 8 = 0
+        |  UNION ALL
+        |  SELECT event_id, event_type, vm FROM d2
+        |  WHERE event_type = 'purchase' AND event_id % 10 = 0),
+        |i2 AS MATERIALIZED (
+        |  SELECT event_id, event_type, vm FROM i1
+        |  WHERE event_id NOT IN (SELECT event_id FROM s4)
+        |  UNION ALL SELECT event_id, event_type, vm FROM s4)
+        |SELECT * FROM (
+        |  SELECT 'a_delta' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM d2
+        |  UNION ALL
+        |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(vm) AS BIGINT)
+        |  FROM i2
         |) ORDER BY leg""".stripMargin,
     "q274_sql_catalog_delete" ->
       """SELECT * FROM (

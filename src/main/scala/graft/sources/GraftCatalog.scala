@@ -103,22 +103,27 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
       }
     }
     if (isDelta) {
-      val pin: Option[Long] = pinnedVersion.orElse(
-        if (tsMicros.isDefined) None
-        else Some(DeltaLogReader.latestVersion(spark, loc).getOrElse(
+      // TIMESTAMP AS OF resolves to a version HERE, at load — not inside
+      // the reread closure — so every expansion of one relation (a
+      // self-join's two sides) serves ONE version even when a concurrent
+      // commit lands an eligible timestamp mid-analysis (Delta commit
+      // timestamps are not guaranteed monotonic; the snapshot-pin
+      // contract the version/latest cases already keep)
+      val pin: Option[Long] = pinnedVersion.orElse(tsMicros match {
+        case Some(us) =>
+          val tsMillis = Math.floorDiv(us, 1000L)
+          DeltaLogReader.commitTimestamps(spark, loc)
+            .filter(_._2 <= tsMillis).lastOption.map(_._1)
+          // before-first-commit stays None: the closure routes it to the
+          // reader's own refusal with the as-of diagnostics
+        case None => Some(DeltaLogReader.latestVersion(spark, loc).getOrElse(
           throw new IllegalArgumentException(
-            s"catalog '$catName': no Delta commits at $loc to read"))))
+            s"catalog '$catName': no Delta commits at $loc to read")))
+      })
       () => (pin, tsMicros) match {
         case (Some(v), _) => deltaReadOrEmpty(spark, loc, Some(v))
-        case (_, Some(us)) =>
-          // resolve the timestamp to a version FIRST so the empty-table
-          // semantics (and the empty frame's as-of schema) hold here too
-          val tsMillis = Math.floorDiv(us, 1000L)
-          val eligible = DeltaLogReader.commitTimestamps(spark, loc)
-            .filter(_._2 <= tsMillis)
-          if (eligible.isEmpty) // before-first-commit: the reader's own refusal
-            DeltaLogReader.readAsOfTimestamp(spark, loc, tsMillis)
-          else deltaReadOrEmpty(spark, loc, Some(eligible.last._1))
+        case (_, Some(us)) => // no eligible version: the reader's own refusal
+          DeltaLogReader.readAsOfTimestamp(spark, loc, Math.floorDiv(us, 1000L))
         case _ => deltaReadOrEmpty(spark, loc, None)
       }
     } else {
@@ -230,11 +235,15 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     } else { df =>
       // a foreign schema's REQUIRED fields are a contract this writer's
       // all-optional field model would silently weaken (commitAppend
-      // re-emits the schema with required=false) — refuse up front
-      val requiredFields = Iceberg.metadata(spark, loc).path("schemas")
-        .elements().asScala.flatMap(_.path("fields").elements().asScala)
+      // re-emits the schema with required=false) — refuse up front. The
+      // CURRENT schema only, resolved exactly the way currentSchemaFields
+      // does (schemas[current-schema-id] with the v1 top-level `schema`
+      // fallback): a legacy layout must not bypass the guard, and a
+      // field required only in a SUPERSEDED schema must not refuse
+      val requiredFields = Iceberg.currentSchemaNode(Iceberg.metadata(spark, loc))
+        .toSeq.flatMap(_.path("fields").elements().asScala)
         .filter(_.path("required").asBoolean(false))
-        .map(_.path("name").asText("")).toSeq.distinct
+        .map(_.path("name").asText("")).distinct
       require(requiredFields.isEmpty,
         s"Iceberg table at $loc declares REQUIRED field(s) " +
           s"${requiredFields.mkString(", ")} — this writer models all " +
@@ -243,6 +252,55 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
       IcebergWriter.commitAppendOptimistic(spark, loc, df,
         GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
       ()
+    }
+
+  /** The UPDATE closure for `UPDATE ... SET ... WHERE` (the
+    * [[graft.plans.CatalogTableSubstitution]] DML rewrite): assignments
+    * + predicate run through the format writers' single-commit updates —
+    * Delta's DV-kill + re-append, Iceberg's position-delete + data
+    * manifest — so a reader never observes a half-updated table. SQL
+    * semantics on an empty/just-created table: a 0-row no-op, not the
+    * library API's refusal. */
+  private def updaterFor(spark: SparkSession, loc: String, isDelta: Boolean)
+      : (Seq[(String, org.apache.spark.sql.Column)], org.apache.spark.sql.Column) => Unit =
+    if (isDelta) { (assignments, cond) =>
+      try { DeltaLogWriter.updateWhere(spark, loc, cond, assignments); () }
+      catch { case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("has no active files") => () }
+    }
+    else { (assignments, cond) =>
+      try {
+        IcebergWriter.updateWhere(spark, loc, cond, assignments,
+          GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
+        ()
+      } catch { case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("no current snapshot") => () }
+    }
+
+  /** The MERGE closure for the canonical upsert-shaped `MERGE INTO`
+    * (`WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`):
+    * one keyed-upsert commit through the writers' MoR machinery — Delta
+    * DV-kills matching keys and appends the batch; Iceberg commits an
+    * equality delete + append at one sequence number. */
+  private def upserterFor(spark: SparkSession, loc: String, isDelta: Boolean)
+      : (DataFrame, Seq[String]) => Unit =
+    if (isDelta) { (df, keys) =>
+      // MERGE into an EMPTY (just-CREATEd) table is the SQL bootstrap
+      // pattern: every row is new, so the batch appends — the same
+      // closure INSERT INTO commits through
+      try { DeltaLogWriter.upsert(spark, loc, df, keys); () }
+      catch { case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("has no active files") =>
+        appenderFor(spark, loc, isDelta = true)(df) }
+    }
+    else { (df, keys) =>
+      try {
+        IcebergWriter.upsert(spark, loc, df, keys,
+          GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
+        ()
+      } catch { case e: IllegalArgumentException
+          if e.getMessage != null && e.getMessage.contains("no current snapshot") =>
+        appenderFor(spark, loc, isDelta = false)(df) }
     }
 
   private def load(ident: Identifier, version: Option[String],
@@ -265,8 +323,10 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     val travelled = version.isDefined || tsMicros.isDefined
     val appender = if (travelled) None else Some(appenderFor(spark, loc, isDelta))
     val deleter = if (travelled) None else Some(deleterFor(spark, loc, isDelta))
+    val updater = if (travelled) None else Some(updaterFor(spark, loc, isDelta))
+    val upserter = if (travelled) None else Some(upserterFor(spark, loc, isDelta))
     new GraftSqlTable(s"$catName.${seamName(ident)}", first.schema, reread,
-      first, appender, deleter)
+      first, appender, deleter, updater, upserter)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -325,12 +385,33 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
           "identity-partitioned tables; transform-partitioned Iceberg " +
           "tables come from IcebergWriter.createTable")
     }
-    val loc = Option(properties.get("location")).getOrElse(seam match {
-      case w: HadoopWarehouseCatalog => w.locationFor(seamName(ident))
-      case _ => throw new IllegalArgumentException(
-        s"catalog '$catName' resolves through a registry — CREATE TABLE " +
-          "needs an explicit LOCATION '…' clause")
-    })
+    val loc = seam match {
+      case w: HadoopWarehouseCatalog =>
+        // a warehouse seam binds names by CONVENTION PATH only (it is
+        // not a MutableTableCatalog) — an explicit LOCATION elsewhere
+        // would write the data and then never resolve the name, failing
+        // AFTER side effects with an orphaned table; refuse up front,
+        // before any data lands
+        val conv = w.locationFor(seamName(ident))
+        Option(properties.get("location")).foreach { l =>
+          require(new Path(l).toUri.getPath.stripSuffix("/") ==
+              new Path(conv).toUri.getPath.stripSuffix("/"),
+            s"catalog '$catName' resolves names by warehouse convention — " +
+              s"LOCATION '$l' would create a table the name " +
+              s"'${seamName(ident)}' can never resolve (convention path: " +
+              s"$conv); omit LOCATION, or register through a mutable " +
+              "registry catalog instead")
+        }
+        conv
+      case _: MutableTableCatalog => Option(properties.get("location"))
+        .getOrElse(throw new IllegalArgumentException(
+          s"catalog '$catName' resolves through a registry — CREATE TABLE " +
+            "needs an explicit LOCATION '…' clause"))
+      case _ => throw new UnsupportedOperationException(
+        s"catalog '$catName' resolves through an immutable catalog with " +
+          "no convention path — CREATE TABLE cannot bind the name; " +
+          "register the table where the catalog is maintained")
+    }
     val emptyDf = spark.createDataFrame(
       spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
       StructType(schema.fields.map(f =>
@@ -408,13 +489,26 @@ private[graft] class GraftSqlTable(tableName: String,
                                    rereadFresh: () => DataFrame,
                                    first: DataFrame,
                                    appender: Option[DataFrame => Unit] = None,
-                                   deleter: Option[org.apache.spark.sql.Column => Unit] = None)
+                                   deleter: Option[org.apache.spark.sql.Column => Unit] = None,
+                                   updater: Option[(Seq[(String, org.apache.spark.sql.Column)], org.apache.spark.sql.Column) => Unit] = None,
+                                   upserter: Option[(DataFrame, Seq[String]) => Unit] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
   private val servedFirst = new java.util.concurrent.atomic.AtomicBoolean(false)
   def reread(): DataFrame =
     if (servedFirst.compareAndSet(false, true)) first else rereadFresh()
+  /** UPDATE seam for [[graft.plans.CatalogTableSubstitution]]'s DML
+    * rewrite — None when the table was loaded time-traveled. */
+  private[graft] def update
+      : Option[(Seq[(String, org.apache.spark.sql.Column)], org.apache.spark.sql.Column) => Unit] =
+    updater
+  /** Keyed-upsert seam for the canonical MERGE INTO rewrite — None when
+    * the table was loaded time-traveled. */
+  private[graft] def merge: Option[(DataFrame, Seq[String]) => Unit] = upserter
+  /** Append seam for the insert-only MERGE shape — same closure the
+    * V1Write INSERT INTO path commits through. */
+  private[graft] def append: Option[DataFrame => Unit] = appender
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =

@@ -193,19 +193,27 @@ object Iceberg {
     * v1 `schema`. A nested field type (struct/list/map — a JSON object,
     * not a string) is refused by name: silently flattening or skipping it
     * could serve wrong columns. */
-  private[sources] def currentSchemaFields(doc: JsonNode): Option[Seq[IceField]] = {
+  /** The CURRENT schema's raw JSON node — `schemas[current-schema-id]`
+    * (the v2 spelling) with the v1 top-level `schema` fallback; the one
+    * resolution both [[currentSchemaFields]] and every per-field guard
+    * (e.g. the SQL-insert required-field check) must share, so a legacy
+    * layout can never bypass a check the v2 layout enforces. */
+  private[sources] def currentSchemaNode(doc: JsonNode): Option[JsonNode] = {
     val schemasNode = doc.path("schemas")
-    val node: Option[JsonNode] =
-      if (schemasNode.isArray && schemasNode.size() > 0) {
-        val cur = doc.path("current-schema-id").asInt(-1)
-        val hit = schemasNode.elements().asScala
-          .find(_.path("schema-id").asInt(-2) == cur)
-        require(hit.isDefined,
-          s"metadata declares current-schema-id $cur but carries no schema " +
-            "with that id — refusing a guess among " +
-            schemasNode.elements().asScala.map(_.path("schema-id").asInt(-2)).mkString(", "))
-        hit
-      } else Option(doc.path("schema")).filter(s => s.isObject && !s.isMissingNode)
+    if (schemasNode.isArray && schemasNode.size() > 0) {
+      val cur = doc.path("current-schema-id").asInt(-1)
+      val hit = schemasNode.elements().asScala
+        .find(_.path("schema-id").asInt(-2) == cur)
+      require(hit.isDefined,
+        s"metadata declares current-schema-id $cur but carries no schema " +
+          "with that id — refusing a guess among " +
+          schemasNode.elements().asScala.map(_.path("schema-id").asInt(-2)).mkString(", "))
+      hit
+    } else Option(doc.path("schema")).filter(s => s.isObject && !s.isMissingNode)
+  }
+
+  private[sources] def currentSchemaFields(doc: JsonNode): Option[Seq[IceField]] = {
+    val node: Option[JsonNode] = currentSchemaNode(doc)
     node.map(_.path("fields")).filter(f => f.isArray && f.size() > 0).map { fields =>
       fields.elements().asScala.map { f =>
         val name = f.path("name").asText("")
