@@ -40,10 +40,14 @@ object Bench {
       Thread.sleep(10000L)
       loadAvgBoot = osBean.getSystemLoadAverage
     }
-    val dirty = loadAvgBoot > dirtyThreshold
-    if (dirty) System.err.println(
-      f"[bench] proceeding DIRTY: loadAvg $loadAvgBoot%.2f still > $dirtyThreshold%.2f " +
-        "after the idle wait — the JSON carries \"dirty\":true")
+    // NOTE: this boot sample alone proved insufficient (r14: the box
+    // loaded up BETWEEN boot and the lap, and the artifact shipped
+    // "dirty":false with loadAvgStart 8.0). The emitted flag is now
+    // LAP-SCOPED — see dirtyVerdict below, computed at emission time
+    // from the per-query load samples and the run/cpu ratio.
+    if (loadAvgBoot > dirtyThreshold) System.err.println(
+      f"[bench] proceeding under load: loadAvg $loadAvgBoot%.2f still > $dirtyThreshold%.2f " +
+        "after the idle wait — the lap-scoped dirty verdict will likely stamp true")
     // engine observability: per-query action/scan/row counts from the
     // QueryExecutionListener, emitted under "metrics" in the full JSON line
     val ml = new graft.tracking.MetricsListener
@@ -191,12 +195,22 @@ object Bench {
     // start-of-lap box conditions; in-lap staging attribution is the
     // per-query stageOnce write-count delta inside the loop below
     val loadAvgStart = osBean.getSystemLoadAverage
+    // per-RDD "cache gap" (unmaterialized partitions of a PERSISTED rdd):
+    // a session-cache frame whose blocks a co-tenant's memory pressure
+    // evicted shows a gap at lap start; a gap that CLOSES during the lap
+    // means the query re-materialized the cache inside its timed window —
+    // the r14 q233 stall (15.2 s vs its 2.3 s settled shape), previously
+    // attribution-invisible because staging_in_lap pins only stageOnce
+    // writes. Sampled per query like loadAvg; planning-scale metadata.
+    def cacheGaps(): Map[Int, Int] = spark.sparkContext.getRDDStorageInfo
+      .map(i => i.id -> (i.numPartitions - i.numCachedPartitions)).toMap
     val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val la = osBean.getSystemLoadAverage
       if (la >= 0) loadSamples ::= la
       val n0 = ml.snapshot().size
       val r0 = rl.totals()
       val st0 = Tables.stageEvents.count(_.wrote)
+      val gaps0 = cacheGaps()
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -208,6 +222,10 @@ object Bench {
       val lapStaged = Tables.stageEvents.count(_.wrote) - st0
       if (lapStaged > 0) System.err.println(
         s"[bench] staging_in_lap: $name triggered $lapStaged stageOnce write(s) inside its timed lap")
+      val lapRebuilt = Bench.cacheRebuilds(gaps0, cacheGaps())
+      if (lapRebuilt > 0) System.err.println(
+        s"[bench] cache_rebuilt: $name re-materialized $lapRebuilt evicted " +
+          "session-cache rdd(s) inside its timed lap — its wall carries the rebuild")
       // listener events post asynchronously — wait for QUIESCENCE (size
       // stable across a poll gap), not merely for the first record: multi-
       // action queries (staged writes, cache builds, then the count) would
@@ -226,9 +244,9 @@ object Bench {
       (name, if (ok) sec else -1.0, ok,
         (recs.size, recs.map(_.nFileScans).sum, recs.flatMap(_.outputRows).sum),
         (r1.runTimeMs - r0.runTimeMs, r1.cpuTimeMs - r0.cpuTimeMs,
-          r1.gcTimeMs - r0.gcTimeMs), lapStaged)
+          r1.gcTimeMs - r0.gcTimeMs), lapStaged, lapRebuilt)
     }
-    val qs = results.map { case (k, v, _, _, _, _) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // `_staging` first: the warm phase's own footprint, kept out of every
     // query's numbers. NOTE on reading runMs: it is TASK time summed across
@@ -244,18 +262,23 @@ object Bench {
         s"\"rows\":${stagingRecs.flatMap(_.outputRows).sum}," +
         s"\"runMs\":${stagingRes.runTimeMs},\"cpuMs\":${stagingRes.cpuTimeMs}," +
         s"\"gcMs\":${stagingRes.gcTimeMs}}"
-    val metrics = (stagingJson +: results.map { case (k, _, _, (acts, scans, rows), (runMs, cpuMs, gcMs), _) =>
+    val metrics = (stagingJson +: results.map { case (k, _, _, (acts, scans, rows), (runMs, cpuMs, gcMs), _, _) =>
       s"\"$k\":{\"actions\":$acts,\"scans\":$scans,\"rows\":$rows," +
         s"\"runMs\":$runMs,\"cpuMs\":$cpuMs,\"gcMs\":$gcMs}"
     }).mkString("{", ",", "}")
-    val errors = results.collect { case (k, _, false, _, _, _) => "\"" + k + "\"" }
+    val errors = results.collect { case (k, _, false, _, _, _, _) => "\"" + k + "\"" }
       .mkString("[", ",", "]")
     // any query that staged inside its timed lap, with its write count —
     // empty on a clean run; non-empty means that query's wall/runMs carries
     // harness staging and must not be read as a plan regression
-    val stagingInLap = results.collect { case (k, _, _, _, _, n) if n > 0 =>
+    val stagingInLap = results.collect { case (k, _, _, _, _, n, _) if n > 0 =>
       s"\"$k\":$n" }.mkString("{", ",", "}")
-    val total = results.collect { case (_, v, true, _, _, _) => v }.sum
+    // any query that re-materialized an EVICTED session-cache rdd inside
+    // its lap (count of rdds repopulated) — a contaminated headline now
+    // self-describes instead of needing a settled-shape cross-reference
+    val cacheRebuilt = results.collect { case (k, _, _, _, _, _, n) if n > 0 =>
+      s"\"$k\":$n" }.mkString("{", ",", "}")
+    val total = results.collect { case (_, v, true, _, _, _, _) => v }.sum
     // load-RESISTANT secondary total (r11 task 4): task CPU seconds
     // summed over the measured queries. Wall `value` swings ±30% with box
     // contention; cpuTotal is steadier but NOT load-insensitive — cache
@@ -264,7 +287,7 @@ object Bench {
     // band). Read it WITH the contention block and the dirty flag.
     // (Still task-attributed: driver-side planning time is not in it —
     // compare like with like.)
-    val cpuTotal = results.collect { case (_, _, true, _, (_, cpuMs, _), _) => cpuMs }
+    val cpuTotal = results.collect { case (_, _, true, _, (_, cpuMs, _), _, _) => cpuMs }
       .sum / 1000.0
     // contention indicator, carried in BOTH output lines: how to read it —
     //   runCpuRatio  task runtime / task cpu time across all measured
@@ -279,6 +302,20 @@ object Bench {
     val mCpuMs = benchRes.cpuTimeMs - stagingRes.cpuTimeMs
     val mGcMs = benchRes.gcTimeMs - stagingRes.gcTimeMs
     def r3(x: Double) = math.round(x * 1000.0) / 1000.0
+    // LAP-SCOPED dirty verdict (r14 fix): the boot sample alone passed a
+    // loadAvgStart-8.0 lap as clean because the box loaded up AFTER boot.
+    // Derive from what the lap itself recorded — the per-query load
+    // samples and the measured run/cpu ratio — so a mid-lap co-tenant
+    // stamps the artifact it actually contaminated.
+    val loadAvgMeanV =
+      if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1.0
+    val runCpuRatioV = if (mCpuMs > 0) mRunMs.toDouble / mCpuMs else -1.0
+    val dirty = Bench.dirtyVerdict(loadAvgBoot, loadAvgMeanV, runCpuRatioV,
+      dirtyThreshold)
+    if (dirty) System.err.println(
+      f"[bench] lap verdict DIRTY: loadAvgBoot $loadAvgBoot%.2f / " +
+        f"loadAvgMean $loadAvgMeanV%.2f vs threshold $dirtyThreshold%.2f, " +
+        f"runCpuRatio $runCpuRatioV%.2f vs ${Bench.DirtyRunCpuRatio}%.2f")
     val contention =
       s"""{"runCpuRatio":${r3(if (mCpuMs > 0) mRunMs.toDouble / mCpuMs else -1)},""" +
         s""""gcPct":${r3(if (mRunMs > 0) 100.0 * mGcMs / mRunMs else 0)},""" +
@@ -289,14 +326,41 @@ object Bench {
         s""""loadAvgMax":${r3(if (loadSamples.nonEmpty) loadSamples.max else -1)},""" +
         s""""cpus":$cpus}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"dirty":$dirty,"queries":$qs,"metrics":$metrics,"errors":$errors,"staging_in_lap":$stagingInLap,"contention":$contention,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"dirty":$dirty,"queries":$qs,"metrics":$metrics,"errors":$errors,"staging_in_lap":$stagingInLap,"cache_rebuilt":$cacheRebuilt,"contention":$contention,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(out), json + "\n")
     println(json)
     // compact total-only line LAST: the full per-query line outgrew the
     // driver's tail buffer at 65 queries (BENCH_r03 "parsed": null), so a
     // short parsable metric line must always be the final stdout line
-    println(s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"dirty":$dirty,"n_queries":${results.size},"n_errors":${results.count(!_._3)},"staging_in_lap":$stagingInLap,"contention":$contention,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"dirty":$dirty,"n_queries":${results.size},"n_errors":${results.count(!_._3)},"staging_in_lap":$stagingInLap,"cache_rebuilt":$cacheRebuilt,"contention":$contention,"sf":"$sfDir"}""")
     spark.stop()
   }
+
+  /** The run/cpu ratio past which a lap reads as contended even when the
+    * load samples missed the co-tenant (idle laps measure ~1.0–1.3 on
+    * this suite; the r14 loaded lap measured 3.37). */
+  private[graft] val DirtyRunCpuRatio = 2.5
+
+  /** LAP-SCOPED dirty verdict: the artifact is contended when the box
+    * was loaded at boot, OR loaded on average ACROSS the lap (the
+    * per-query samples — catches a co-tenant arriving after boot, the
+    * r14 gap), OR when tasks sat on runnable queues (run/cpu ratio).
+    * Negative inputs mean "unmeasured" and never dirty the verdict. */
+  private[graft] def dirtyVerdict(loadAvgBoot: Double, loadAvgMean: Double,
+                                  runCpuRatio: Double,
+                                  loadThreshold: Double): Boolean =
+    loadAvgBoot > loadThreshold || loadAvgMean > loadThreshold ||
+      runCpuRatio > DirtyRunCpuRatio
+
+  /** Session-cache rebuild detector: persisted rdds whose pre-lap cache
+    * GAP (unmaterialized partitions) shrank during the lap — the query
+    * re-materialized blocks a co-tenant's memory pressure evicted, so
+    * its wall time carries the rebuild. Rdds first persisted DURING the
+    * lap (absent before) are the query's own caching, not a rebuild. */
+  private[graft] def cacheRebuilds(before: Map[Int, Int],
+                                   after: Map[Int, Int]): Int =
+    before.count { case (id, gap0) =>
+      gap0 > 0 && after.get(id).exists(_ < gap0)
+    }
 }

@@ -204,6 +204,7 @@ object IndexQueries {
     stageQ273SqlInsert(s, dir)
     stageQ274SqlDelete(s, dir)
     stageQ275SqlLifecycle(s, dir)
+    stageQ276SqlDml(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
