@@ -104,6 +104,7 @@ object IndexQueries {
   private val q274TablePat = scratchPat("q274_sql_delete")
   private val q275TablePat = scratchPat("q275_sql_lifecycle")
   private val q276TablePat = scratchPat("q276_sql_dml")
+  private val q277TablePat = scratchPat("q277_sql_evolve")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -205,6 +206,7 @@ object IndexQueries {
     stageQ274SqlDelete(s, dir)
     stageQ275SqlLifecycle(s, dir)
     stageQ276SqlDml(s, dir)
+    stageQ277SqlEvolve(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -1134,6 +1136,50 @@ object IndexQueries {
            |ON t.event_id = s.event_id
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    }
+    base
+  }
+
+  /** q277's fixture: SQL SCHEMA EVOLUTION + INSERT OVERWRITE by SQL
+    * text alone — the ALTER surface a metastore user types. Delta leg:
+    * ADD COLUMN (old generation null-fills under the declared-schema
+    * scan), an INSERT INTO carrying values for the new column, the
+    * SET TBLPROPERTIES column-mapping upgrade, then RENAME COLUMN —
+    * every old file served under the new logical name with zero data
+    * rewritten. Iceberg leg: ADD COLUMN (fresh field id), INSERT
+    * OVERWRITE (a REPLACE snapshot recomputing the table from itself),
+    * then RENAME COLUMN (id-keyed swap). */
+  private[graft] def stageQ277SqlEvolve(s: SparkSession, dir: String): String = {
+    val base = scratch(q277TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), s"$base/d")
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice("click"), 9501L, 1000L)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.evolve_delta", s"$base/d")
+      rc.register("graft.evolve_ice", s"$base/i")
+      // Delta: add → insert (values for the new column) → map → rename
+      s.sql(s"ALTER TABLE $cat.graft.evolve_delta ADD COLUMN value_cents BIGINT")
+      s.sql(s"INSERT INTO $cat.graft.evolve_delta " +
+        s"SELECT event_id + 1000000, event_type, value_micros, " +
+        s"value_micros DIV 1000 FROM $cat.graft.evolve_delta " +
+        "WHERE event_id % 5 = 0")
+      s.sql(s"ALTER TABLE $cat.graft.evolve_delta SET TBLPROPERTIES " +
+        "('delta.columnMapping.mode' = 'name')")
+      s.sql(s"ALTER TABLE $cat.graft.evolve_delta RENAME COLUMN value_micros TO vm")
+      // Iceberg: add → overwrite (REPLACE snapshot from its own read) → rename
+      s.sql(s"ALTER TABLE $cat.graft.evolve_ice ADD COLUMN bonus BIGINT")
+      s.sql(s"INSERT OVERWRITE $cat.graft.evolve_ice " +
+        s"SELECT event_id, event_type, value_micros, value_micros % 1000 " +
+        s"FROM $cat.graft.evolve_ice WHERE value_micros >= 100000000")
+      s.sql(s"ALTER TABLE $cat.graft.evolve_ice RENAME COLUMN value_micros TO vm")
     }
     base
   }
@@ -3357,6 +3403,30 @@ object IndexQueries {
            |ORDER BY leg""".stripMargin)
     }),
 
+    // SQL SCHEMA EVOLUTION + INSERT OVERWRITE through the catalog —
+    // ALTER TABLE ADD/RENAME COLUMN on both formats (Delta through the
+    // SET TBLPROPERTIES mapping upgrade; Iceberg id-keyed), INSERT
+    // OVERWRITE as a REPLACE snapshot: old-generation files served
+    // under NEW names with zero data rewritten, null-filled new columns
+    // distinguishable from valued ones in the checksums.
+    "q277_sql_catalog_evolution" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ277SqlEvolve(s, dir)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.evolve_delta", s"$base/d")
+      rc.register("graft.evolve_ice", s"$base/i")
+      s.sql(
+        s"""SELECT 'a_delta' AS leg, count(*) AS n_rows,
+           |  sum(event_id) AS id_checksum, sum(vm) AS value_checksum,
+           |  count(value_cents) AS n_valued, sum(value_cents) AS cents_checksum
+           |FROM $cat.graft.evolve_delta
+           |UNION ALL
+           |SELECT 'b_iceberg', count(*), sum(event_id), sum(vm),
+           |  count(bonus), sum(bonus)
+           |FROM $cat.graft.evolve_ice
+           |ORDER BY leg""".stripMargin)
+    }),
+
     // SQL DELETE FROM through the catalog — SupportsDelete: two
     // row-level deletes committed by SQL text alone (the Delta one a
     // deletion-vector commit, the Iceberg one a position-delete
@@ -4812,6 +4882,32 @@ object IndexQueries {
         |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
         |    CAST(sum(vm) AS BIGINT)
         |  FROM d WHERE event_type = 'purchase' AND vm >= 500000000
+        |) ORDER BY leg""".stripMargin,
+    "q277_sql_catalog_evolution" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |d AS MATERIALIZED (
+        |  SELECT event_id, vm, CAST(NULL AS BIGINT) AS value_cents FROM p
+        |  UNION ALL
+        |  SELECT event_id + 1000000, vm, vm // 1000
+        |  FROM p WHERE event_id % 5 = 0),
+        |i AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm,
+        |    CAST(round(value * 1e6) AS BIGINT) % 1000 AS bonus
+        |  FROM events WHERE event_type = 'click'
+        |    AND CAST(round(value * 1e6) AS BIGINT) >= 100000000)
+        |SELECT * FROM (
+        |  SELECT 'a_delta' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum,
+        |    count(value_cents) AS n_valued,
+        |    CAST(sum(value_cents) AS BIGINT) AS cents_checksum
+        |  FROM d
+        |  UNION ALL
+        |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(vm) AS BIGINT), count(bonus), CAST(sum(bonus) AS BIGINT)
+        |  FROM i
         |) ORDER BY leg""".stripMargin,
     "q276_sql_catalog_merge_update" ->
       """WITH vm AS MATERIALIZED (

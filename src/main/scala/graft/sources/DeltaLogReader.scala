@@ -629,7 +629,20 @@ object DeltaLogReader {
       case Some(mode) =>
         readMapped(spark, path, files, meta.get, mode, withRowCoords = withDv.nonEmpty)
       case None =>
-        val df = spark.read.option("basePath", path).parquet(files: _*)
+        // scan typed by the LOG's schemaString, not a sampled footer:
+        // after ADD COLUMN the old generation's files lack the new
+        // column, and a footer-sampled schema would either drop it or
+        // fail depending on which file Spark sampled — the declared
+        // schema null-fills per file, Delta's own read semantics. A
+        // metaData without a parsable non-empty schemaString (minimal
+        // hand-written logs in the wild) falls back to the footer scan.
+        val declared = meta.flatMap(m => scala.util.Try(
+          org.apache.spark.sql.types.DataType
+            .fromJson(m.path("schemaString").asText(""))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .toOption.filter(_.fields.nonEmpty))
+        val reader = spark.read.option("basePath", path)
+        val df = declared.fold(reader)(reader.schema).parquet(files: _*)
         if (withDv.isEmpty) df
         else {
           requireNoCoordClash(df.columns, path)

@@ -1209,6 +1209,57 @@ object DeltaLogWriter {
     version
   }
 
+  /** ADD COLUMN — a pure metadata commit (`ALTER TABLE ... ADD COLUMN`):
+    * the schemaString gains one NULLABLE field at the end, no parquet is
+    * touched, and every pre-existing file null-fills the new column at
+    * scan time ([[DeltaLogReader.read]] types its scan by the log's
+    * declared schema, so mixed-generation file sets read uniformly).
+    * NAME-mapped tables stamp the new field with the next mapping id
+    * and a physicalName equal to its current name — the same convention
+    * [[enableColumnMapping]] uses, so a later rename of this column
+    * works like any other. Id-mode mapping refuses. Non-nullable adds
+    * refuse: existing rows have no value to satisfy the constraint. */
+  def addColumn(spark: SparkSession, path: String, name: String,
+                dataType: org.apache.spark.sql.types.DataType): Long = {
+    val (_, meta) = DeltaLogReader.replayState(spark, path, None)
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action"))
+    val mapMode = DeltaLogReader.mappingMode(metaNode)
+    require(mapMode == "none" || mapMode == "name",
+      s"Delta table at $path uses id-mode column mapping — addColumn " +
+        "resolves name mode only; refusing")
+    val schema = org.apache.spark.sql.types.DataType
+      .fromJson(metaNode.get("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    require(!schema.fieldNames.contains(name),
+      s"cannot add column '$name' to $path: the name is taken " +
+        s"(${schema.fieldNames.mkString(", ")})")
+    val updated = metaNode.deepCopy[com.fasterxml.jackson.databind.node.ObjectNode]
+    val newField =
+      if (mapMode == "none")
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true)
+      else {
+        val maxId = updated.path("configuration")
+          .path("delta.columnMapping.maxColumnId").asText("0").toLong
+        val conf = updated.path("configuration")
+          .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        conf.put("delta.columnMapping.maxColumnId", (maxId + 1).toString)
+        org.apache.spark.sql.types.StructField(name, dataType, nullable = true,
+          new org.apache.spark.sql.types.MetadataBuilder()
+            .putLong("delta.columnMapping.id", maxId + 1)
+            .putString("delta.columnMapping.physicalName", name).build())
+      }
+    updated.put("schemaString",
+      org.apache.spark.sql.types.StructType(schema.fields :+ newField).json)
+    val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
+    require(!fs(spark, new Path(path)).exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit,
+      s"""{"metaData":${mapper.writeValueAsString(updated)}}""" + "\n")
+    version
+  }
+
   /** The newest protocol action in the surviving commit JSONs. */
   private def latestProtocolNode(spark: SparkSession, path: String)
       : Option[com.fasterxml.jackson.databind.JsonNode] =
@@ -1323,7 +1374,17 @@ object DeltaLogWriter {
           .withColumnRenamed(DeltaLogReader.DvFp, fp)
           .withColumnRenamed(DeltaLogReader.DvPos, pos)
       case None =>
-        val scan = spark.read.option("basePath", path).parquet(files: _*)
+        // same declared-schema typing as the reader: post-ADD-COLUMN
+        // generations null-fill, and a predicate naming the new column
+        // resolves over EVERY file regardless of footer sampling (same
+        // minimal-metaData fallback too)
+        val declared = meta.flatMap(m => scala.util.Try(
+          org.apache.spark.sql.types.DataType
+            .fromJson(m.path("schemaString").asText(""))
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+          .toOption.filter(_.fields.nonEmpty))
+        val reader = spark.read.option("basePath", path)
+        val scan = declared.fold(reader)(reader.schema).parquet(files: _*)
         require(!scan.columns.contains(fp) && !scan.columns.contains(pos),
           s"Delta table at $path has a column named $fp/$pos — colliding with " +
             "the DV scan's internal coordinates; rename it first")

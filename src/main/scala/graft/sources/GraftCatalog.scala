@@ -303,6 +303,26 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
         appenderFor(spark, loc, isDelta = false)(df) }
     }
 
+  /** The OVERWRITE closure for `INSERT OVERWRITE` (the V1Write seam with
+    * `overwrite = true`): Delta's Overwrite commit (remove every active
+    * file + add the new generation, ONE log entry) / Iceberg's REPLACE
+    * snapshot ([[IcebergWriter.commitOverwrite]] — only the new manifest
+    * in the list, prior snapshots intact for time travel). */
+  private def overwriterFor(spark: SparkSession, loc: String,
+                            isDelta: Boolean): DataFrame => Unit =
+    if (isDelta) { df =>
+      val partCols = DeltaLogReader.replayState(spark, loc, None)._2
+        .map(_.path("partitionColumns")).toSeq
+        .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+      DeltaLogWriter.write(df, loc,
+        mode = org.apache.spark.sql.SaveMode.Overwrite, partitionBy = partCols)
+      ()
+    } else { df =>
+      IcebergWriter.commitOverwrite(spark, loc, df,
+        GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
+      ()
+    }
+
   private def load(ident: Identifier, version: Option[String],
                    tsMicros: Option[Long]): Table = {
     val spark = SparkSession.active
@@ -325,8 +345,9 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     val deleter = if (travelled) None else Some(deleterFor(spark, loc, isDelta))
     val updater = if (travelled) None else Some(updaterFor(spark, loc, isDelta))
     val upserter = if (travelled) None else Some(upserterFor(spark, loc, isDelta))
+    val overwriter = if (travelled) None else Some(overwriterFor(spark, loc, isDelta))
     new GraftSqlTable(s"$catName.${seamName(ident)}", first.schema, reread,
-      first, appender, deleter, updater, upserter)
+      first, appender, deleter, updater, upserter, overwriter)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -427,15 +448,80 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
-  override def alterTable(ident: Identifier, changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      s"catalog '$catName' is a READ seam — evolve tables through the " +
-        "format writers (renameColumn/addColumn/setTableProperties)")
+  /** `ALTER TABLE` — schema evolution and table properties routed to the
+    * format writers' own metadata commits: ADD COLUMN (Delta: a new
+    * nullable field in the schemaString, old files null-fill under the
+    * declared-schema scan; Iceberg: a fresh-field-id append, the spec's
+    * id-not-name core), RENAME COLUMN (Delta: name-mode mapping
+    * required, the writer's own precondition; Iceberg: a pure id-keyed
+    * swap), DROP COLUMN (Iceberg only), and SET TBLPROPERTIES (Delta —
+    * setting `delta.columnMapping.mode=name` routes to the full
+    * enableColumnMapping upgrade so the ids/physicalNames land with it).
+    * Everything else refuses by change kind. */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    val spark = SparkSession.active
+    val loc = locate(ident)
+    val f = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    val isDelta = f.exists(new Path(loc, "_delta_log"))
+    def one(names: Array[String], what: String): String = {
+      if (names.length != 1) throw new UnsupportedOperationException(
+        s"ALTER TABLE ${seamName(ident)}: $what of nested field " +
+          s"'${names.mkString(".")}' — this catalog evolves top-level columns only")
+      names.head
+    }
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        val name = one(add.fieldNames(), "ADD COLUMN")
+        if (!add.isNullable) throw new UnsupportedOperationException(
+          s"ALTER TABLE ${seamName(ident)} ADD COLUMN $name NOT NULL — " +
+            "existing rows have no value to satisfy the constraint; add it nullable")
+        if (add.position() != null) throw new UnsupportedOperationException(
+          s"ALTER TABLE ${seamName(ident)} ADD COLUMN $name FIRST/AFTER — " +
+            "this catalog appends columns at the end only")
+        if (isDelta) DeltaLogWriter.addColumn(spark, loc, name, add.dataType())
+        else IcebergWriter.addColumn(spark, loc, name,
+          IcebergWriter.iceType(add.dataType()))
+      case rn: TableChange.RenameColumn =>
+        val from = one(rn.fieldNames(), "RENAME COLUMN")
+        if (isDelta) DeltaLogWriter.renameColumn(spark, loc, from, rn.newName())
+        else IcebergWriter.renameColumn(spark, loc, from, rn.newName())
+      case dc: TableChange.DeleteColumn =>
+        val name = one(dc.fieldNames(), "DROP COLUMN")
+        if (isDelta) throw new UnsupportedOperationException(
+          s"ALTER TABLE ${seamName(ident)} DROP COLUMN $name — dropping a " +
+            "Delta column is a data-rewriting operation this catalog does " +
+            "not run; Iceberg tables drop by field id")
+        else IcebergWriter.dropColumn(spark, loc, name)
+      case sp: TableChange.SetProperty =>
+        if (!isDelta) throw new UnsupportedOperationException(
+          s"ALTER TABLE ${seamName(ident)} SET TBLPROPERTIES — this " +
+            "writer keeps no Iceberg table-property surface")
+        else if (sp.property() == "delta.columnMapping.mode" && sp.value() == "name")
+          DeltaLogWriter.enableColumnMapping(spark, loc)
+        else DeltaLogWriter.setTableProperties(spark, loc,
+          Map(sp.property() -> sp.value()))
+      case other => throw new UnsupportedOperationException(
+        s"ALTER TABLE ${seamName(ident)}: change ${other.getClass.getSimpleName} " +
+          "is not supported — ADD/RENAME/DROP COLUMN and SET TBLPROPERTIES only")
+    }
+    loadTable(ident)
+  }
 
+  /** `ALTER TABLE ... RENAME TO` — a pure NAME-binding move on a mutable
+    * registry (the data never moves); warehouse/immutable seams refuse
+    * (their binding IS the path). */
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit =
-    throw new UnsupportedOperationException(
-      s"catalog '$catName' is a READ seam — re-register the location " +
-        "under the new name instead")
+    seam match {
+      case m: MutableTableCatalog =>
+        val loc = locate(oldIdent)
+        if (tableExists(newIdent))
+          throw new org.apache.spark.sql.catalyst.analysis.TableAlreadyExistsException(newIdent)
+        m.register(seamName(newIdent), loc)
+        m.drop(seamName(oldIdent))
+      case _ => throw new UnsupportedOperationException(
+        s"catalog '$catName' resolves names by convention path — RENAME " +
+          "cannot rebind them; register through a mutable registry catalog")
+    }
 
   // ------------------------------------------------- SupportsNamespaces
 
@@ -491,7 +577,8 @@ private[graft] class GraftSqlTable(tableName: String,
                                    appender: Option[DataFrame => Unit] = None,
                                    deleter: Option[org.apache.spark.sql.Column => Unit] = None,
                                    updater: Option[(Seq[(String, org.apache.spark.sql.Column)], org.apache.spark.sql.Column) => Unit] = None,
-                                   upserter: Option[(DataFrame, Seq[String]) => Unit] = None)
+                                   upserter: Option[(DataFrame, Seq[String]) => Unit] = None,
+                                   overwriter: Option[DataFrame => Unit] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -512,7 +599,12 @@ private[graft] class GraftSqlTable(tableName: String,
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    // TRUNCATE makes `INSERT OVERWRITE` plan (Spark spells a static
+    // overwrite as OverwriteByExpression(true) and gates on it); the
+    // V1 write below receives overwrite=true and routes to the formats'
+    // own overwrite commits
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
   /** A PLAN-ONLY scan stub: `DELETE FROM` planning runs the target
     * relation through V2 scan pushdown even though the delete itself is
     * metadata-only (DataSourceV2Strategy expects a ScanRelation), so the
@@ -557,27 +649,39 @@ private[graft] class GraftSqlTable(tableName: String,
     del(cond)
   }
 
-  /** `INSERT INTO` — the V1Write fallback: Spark hands the aligned
-    * DataFrame to [[org.apache.spark.sql.sources.InsertableRelation]]
-    * and the format writers' own append paths commit it (appends only —
-    * the table declares no truncate/overwrite capability, so
-    * `INSERT OVERWRITE` refuses in analysis). */
+  /** `INSERT INTO` / `INSERT OVERWRITE` — the V1Write fallback: Spark
+    * hands the aligned DataFrame to
+    * [[org.apache.spark.sql.sources.InsertableRelation]] with the
+    * overwrite flag, and the format writers' own commits land it —
+    * append (Delta optimistic append / Iceberg commitAppend) or
+    * overwrite (Delta Overwrite commit / Iceberg REPLACE snapshot). */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     val append = appender.getOrElse(throw new UnsupportedOperationException(
       s"table $tableName was loaded time-traveled (VERSION/TIMESTAMP AS " +
         "OF) — a pinned historical read cannot be inserted into"))
-    new org.apache.spark.sql.connector.write.WriteBuilder {
+    new org.apache.spark.sql.connector.write.WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // Spark spells a STATIC `INSERT OVERWRITE` as truncate-then-write
+      // (V2Writes rewrites OverwriteByExpression(true) through this
+      // seam); the V1 relation then receives overwrite = true
+      private var truncating = false
+      override def truncate(): org.apache.spark.sql.connector.write.WriteBuilder = {
+        truncating = true
+        this
+      }
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.V1Write {
           override def toInsertableRelation
               : org.apache.spark.sql.sources.InsertableRelation =
             (data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
              overwrite: Boolean) => {
-              require(!overwrite,
-                s"table $tableName supports INSERT INTO (append) only")
-              append(data)
+              if (overwrite || truncating)
+                overwriter.getOrElse(throw new UnsupportedOperationException(
+                  s"table $tableName was loaded time-traveled — a pinned " +
+                    "historical read cannot be overwritten")).apply(data)
+              else append(data)
             }
         }
     }

@@ -31,7 +31,7 @@ object IcebergWriter {
 
   /** Supported primitive mapping for table CREATION from a Spark
     * schema. Kept to the types [[Iceberg.sparkType]] round-trips. */
-  private def iceType(dt: org.apache.spark.sql.types.DataType): String = dt match {
+  private[sources] def iceType(dt: org.apache.spark.sql.types.DataType): String = dt match {
     case org.apache.spark.sql.types.BooleanType => "boolean"
     case org.apache.spark.sql.types.IntegerType => "int"
     case org.apache.spark.sql.types.LongType => "long"
@@ -416,6 +416,96 @@ object IcebergWriter {
       }
     }
     -1 // unreachable
+  }
+
+  /** INSERT OVERWRITE as a REPLACE snapshot — [[compact]]'s manifest-
+    * list shape (ONLY the new manifest; prior data AND delete manifests
+    * drop out of the live view, staying reachable through prior
+    * snapshots for time travel) with [[commitAppend]]'s data-file
+    * machinery (id-stamped, bounds-carrying, hidden-partition fan-out
+    * under the stored spec). A v2 table's new list still commits ABOVE
+    * the prior sequence tier — the clock a later upsert resumes from
+    * must not reset. Refuses an EMPTY table (create with commitAppend)
+    * and every gate commitAppend keeps (spec evolution, non-linear
+    * history, schema drift, unique id, monotonic timestamp). */
+  def commitOverwrite(spark: SparkSession, table: String, df: DataFrame,
+                      snapshotId: Long, timestampMs: Long): Int = {
+    val doc = writableDoc(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot overwrite $table: its metadata carries no schema"))
+    val specsAll = Iceberg.partitionSpecs(doc)
+    require(specsAll.size <= 1,
+      s"cannot overwrite $table: it carries ${specsAll.size} partition " +
+        "specs (spec evolution) — this writer re-emits only the default spec")
+    val specParts = specsAll.values.headOption.getOrElse(Nil).map { sf =>
+      val src = fields.find(_.id == sf.sourceId).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition spec of $table names source-id ${sf.sourceId}, " +
+            "absent from the schema — corrupt metadata"))
+      val t = IcebergTransforms.parse(sf.transform)
+      require(t != IcebergTransforms.Opaque,
+        s"cannot overwrite $table: partition transform '${sf.transform}' " +
+          "is unknown to this writer")
+      WritePart(sf.name, src.name, t, src.typ)
+    }
+    require(df.columns.toSeq == fields.map(_.name),
+      s"overwrite schema ${df.columns.mkString("(", ", ", ")")} does not " +
+        s"match $table's ${fields.map(_.name).mkString("(", ", ", ")")} — " +
+        "schema evolution is a separate operation")
+    val snaps = snapsOf(doc)
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"overwrite at timestamp $timestampMs would commit BEFORE an " +
+        "existing snapshot — history must be monotonic")
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(snaps.isEmpty || snaps.last._1 == cur,
+      s"cannot overwrite $table: current snapshot $cur is not the latest " +
+        "in its history — refusing non-linear histories")
+
+    val typById = fields.map(fd => fd.id -> fd.typ).toMap
+    val nameToId = fields.map(fd => fd.name -> fd.id).toMap
+    val (entries, newSummaries) =
+      if (specParts.isEmpty) {
+        val files = writeIdStampedFiles(spark, table, df, fields,
+          s"overwrite$snapshotId")
+        (files.map(file => boundedEntry(spark, table, file, nameToId, typById)),
+          Seq.empty[Iceberg.Summary])
+      } else
+        writePartitionedFiles(spark, table, df, fields, specParts,
+          nameToId, typById, snapshotId, tagPrefix = "overwrite",
+          what = "overwrite")
+    val manifest = Iceberg.writeManifest(spark, table,
+      s"m-overwrite$snapshotId.avro", snapshotId, entries)
+    val fmtVersion = doc.path("format-version").asInt(1)
+    val seqNums =
+      if (fmtVersion != 2) Nil
+      else {
+        // the sequence tier continues from the PRIOR list even though it
+        // is dropped — the compact precedent
+        val priorSeq = (cur > 0, snaps.lastOption) match {
+          case (true, Some((_, _, mlPath))) => nextSeq(carriedOf(table,
+            Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))))
+          case _ => 1L
+        }
+        Seq(priorSeq)
+      }
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId, Seq(manifest),
+      summaries = if (newSummaries.nonEmpty) Seq(newSummaries) else Nil,
+      sequenceNumbers = seqNums)
+    val hintVersion = hintVersionOf(spark, table)
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1,
+      snaps :+ ((snapshotId, timestampMs, ml)),
+      formatVersion = fmtVersion,
+      schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields),
+      failIfExists = true)
+    hintVersion + 1
   }
 
   /** SCHEMA EVOLUTION — pure metadata swaps (no snapshot, no data

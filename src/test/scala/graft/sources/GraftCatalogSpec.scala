@@ -147,9 +147,10 @@ class GraftCatalogSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getString(1))).toSet ==
       Set((1L, "a"), (2L, "b")))
     assert(DeltaLogReader.activeFiles(spark, part).exists(_.contains("k=b")))
-    // INSERT OVERWRITE refuses (append-only capability)
-    intercept[Exception](spark.sql(s"INSERT OVERWRITE $cat.ns.d VALUES (9, 'z')"))
-    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == Set(1L, 2L, 10L))
+    // INSERT OVERWRITE replaces the whole generation (one Overwrite
+    // commit — SqlDdlEvolveSpec pins the full semantics)
+    spark.sql(s"INSERT OVERWRITE $cat.ns.d VALUES (9, 'z')")
+    assert(ids(spark.sql(s"SELECT id FROM $cat.ns.d")) == Set(9L))
   }
 
   test("DELETE FROM ... WHERE runs the format writers' row-level deletes; untranslatable predicates refuse") {
