@@ -259,6 +259,38 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
 
   private def substitute(plan: LogicalPlan): LogicalPlan =
     plan.resolveOperatorsUp {
+      // `spark.readStream.table(name)` — GraftSqlTable deliberately does
+      // not implement MICRO_BATCH_READ (a DSv2 stream would re-implement
+      // parquet reading inside PartitionReaders); instead the relation
+      // substitutes to a V1 StreamingRelation over
+      // GraftTableStreamProvider, whose getBatch serves DATAFRAMES from
+      // the format readers — the engine's offset log then provides
+      // exactly-once with resume. Output re-aliased like the batch path.
+      case sr: org.apache.spark.sql.catalyst.streaming.StreamingRelationV2
+          if sr.table.isInstanceOf[GraftSqlTable] =>
+        val g = sr.table.asInstanceOf[GraftSqlTable]
+        if (g.isTravelled) throw new UnsupportedOperationException(
+          s"readStream.table on ${g.name()}: the table was loaded " +
+            "time-traveled (VERSION/TIMESTAMP AS OF) — a pinned " +
+            "historical read cannot stream")
+        val opts = Map(
+          "path" -> g.location,
+          "format" -> (if (g.isDeltaTable) "delta" else "iceberg")) ++
+          (Option(sr.extraOptions.get("startVersion"))
+            .map("startVersion" -> _))
+        val v1 = org.apache.spark.sql.graft.StreamBridge.v1StreamingRelation(
+          SparkSession.active,
+          classOf[org.apache.spark.sql.graft.GraftTableStreamProvider].getName,
+          opts, g.schema())
+        require(v1.output.length == sr.output.length &&
+            v1.output.zip(sr.output).forall { case (in, out) =>
+              in.name == out.name && in.dataType == out.dataType },
+          s"streaming relation for ${g.name()} emits " +
+            s"(${v1.output.map(_.name).mkString(", ")}) but the relation " +
+            s"expects (${sr.output.map(_.name).mkString(", ")})")
+        Project(sr.output.zip(v1.output).map { case (out, in) =>
+          Alias(in, out.name)(exprId = out.exprId)
+        }, v1)
       case r: DataSourceV2Relation if r.table.isInstanceOf[GraftSqlTable] =>
         val child = r.table.asInstanceOf[GraftSqlTable].reread()
           .queryExecution.analyzed

@@ -105,6 +105,7 @@ object IndexQueries {
   private val q275TablePat = scratchPat("q275_sql_lifecycle")
   private val q276TablePat = scratchPat("q276_sql_dml")
   private val q277TablePat = scratchPat("q277_sql_evolve")
+  private val q278TablePat = scratchPat("q278_stream_table")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -207,6 +208,7 @@ object IndexQueries {
     stageQ275SqlLifecycle(s, dir)
     stageQ276SqlDml(s, dir)
     stageQ277SqlEvolve(s, dir)
+    stageQ278StreamTable(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -1180,6 +1182,28 @@ object IndexQueries {
         s"SELECT event_id, event_type, value_micros, value_micros % 1000 " +
         s"FROM $cat.graft.evolve_ice WHERE value_micros >= 100000000")
       s.sql(s"ALTER TABLE $cat.graft.evolve_ice RENAME COLUMN value_micros TO vm")
+    }
+    base
+  }
+
+  /** q278's fixture: the ICEBERG side of the by-name streaming read —
+    * two append snapshots (clicks, then errors) so a drain spans a
+    * multi-snapshot history. The Delta side reuses q270's staged
+    * append-only table (same events strata, same blind-append law). */
+  private[graft] def stageQ278StreamTable(s: SparkSession, dir: String): String = {
+    val base = scratch(q278TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice("click"), 9601L, 1000L)
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice("error"), 9602L, 2000L)
     }
     base
   }
@@ -3403,6 +3427,64 @@ object IndexQueries {
            |ORDER BY leg""".stripMargin)
     }),
 
+    // `spark.readStream.table` BY NAME over both formats — the V2
+    // streaming relation substitutes to a V1 Source over the format
+    // readers (addsBetween / readIncremental), so the ENGINE's offset
+    // log provides exactly-once with resume: one AvailableNow drain
+    // delivers every stratum, a second drain over the same checkpoint
+    // delivers ZERO rows (the z_* sentinels — q270's law through the
+    // real structured-streaming engine instead of the drain API).
+    "q278_readstream_table" -> ((s, dir) => {
+      import s.implicits._
+      val deltaBase = stageQ270DeltaStream(s, dir)
+      val iceBase = stageQ278StreamTable(s, dir) + "/i"
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.stream_delta", deltaBase)
+      rc.register("graft.stream_ice", iceBase)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      def drain(leg: String, table: String, chk: String): Long = {
+        val got = new java.util.concurrent.ConcurrentLinkedQueue[
+          (String, Long, Long, Long)]()
+        val q = s.readStream.table(table).writeStream
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .option("checkpointLocation", chk)
+          .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+            df.groupBy("event_type")
+              .agg(count(lit(1)).as("n"), sum($"event_id").as("idc"),
+                sum($"value_micros").as("vmc"))
+              .collect().foreach(r =>
+                got.add((leg + r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+            ()
+          }.start()
+        q.awaitTermination(180000L)
+        import scala.jdk.CollectionConverters._
+        val rows = got.asScala.toSeq
+        rows.foreach(acc += _)
+        rows.map(_._2).sum
+      }
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q278_chk_${java.util.UUID.randomUUID().toString.take(8)}")
+      try {
+        drain("a_delta_", s"$cat.graft.stream_delta", s"$tmp/d")
+        drain("b_ice_", s"$cat.graft.stream_ice", s"$tmp/i")
+        // resume law: the SAME checkpoints deliver nothing on a re-run
+        val again = drain("zz_", s"$cat.graft.stream_delta", s"$tmp/d") +
+          drain("zz_", s"$cat.graft.stream_ice", s"$tmp/i")
+        acc += (("z_second_drain", again, 0L, 0L))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp.toString)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      // one row per (leg, event_type) — summed ACROSS batches so the
+      // engine's batch boundaries (one catch-up batch vs per-commit)
+      // never change the output
+      acc.toSeq.toDF("leg", "n_rows", "id_checksum", "value_checksum")
+        .groupBy($"leg")
+        .agg(sum($"n_rows").as("n_rows"), sum($"id_checksum").as("id_checksum"),
+          sum($"value_checksum").as("value_checksum"))
+        .orderBy($"leg")
+    }),
+
     // SQL SCHEMA EVOLUTION + INSERT OVERWRITE through the catalog —
     // ALTER TABLE ADD/RENAME COLUMN on both formats (Delta through the
     // SET TBLPROPERTIES mapping upgrade; Iceberg id-keyed), INSERT
@@ -4882,6 +4964,26 @@ object IndexQueries {
         |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
         |    CAST(sum(vm) AS BIGINT)
         |  FROM d WHERE event_type = 'purchase' AND vm >= 500000000
+        |) ORDER BY leg""".stripMargin,
+    "q278_readstream_table" ->
+      """WITH vm AS MATERIALIZED (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'error')),
+        |strata AS (
+        |  SELECT event_type, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM vm GROUP BY event_type)
+        |SELECT * FROM (
+        |  SELECT 'a_delta_' || event_type AS leg, n_rows, id_checksum,
+        |    value_checksum FROM strata
+        |  UNION ALL
+        |  SELECT 'b_ice_' || event_type, n_rows, id_checksum, value_checksum
+        |  FROM strata WHERE event_type IN ('click', 'error')
+        |  UNION ALL
+        |  SELECT 'z_second_drain', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q277_sql_catalog_evolution" ->
       """WITH p AS MATERIALIZED (

@@ -473,6 +473,76 @@ object DeltaLogReader {
     todo
   }
 
+  /** The rows APPENDED by commits `fromV..toV` inclusive — the batch
+    * behind one micro-batch of the by-name streaming source
+    * ([[graft.plans.CatalogTableSubstitution]]'s `readStream.table`
+    * seam) and a standalone incremental read: [[streamAdds]]'s
+    * semantics over a version RANGE, as ONE frame. Blind appends only —
+    * a commit that removes data or attaches deletion vectors refuses
+    * loudly with the CDF remedy named (the delta source's own rule
+    * absent ignoreChanges); `dataChange=false` commits contribute
+    * nothing. metaData tracked incrementally across the range (one
+    * replay seed), mapped tables serve logical names, and a changeless
+    * range returns the TYPED empty frame of the range-end schema. */
+  def addsBetween(spark: SparkSession, path: String,
+                  fromV: Long, toV: Long): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    require(fromV >= 0 && fromV <= toV,
+      s"addsBetween wants 0 <= from <= to, got [$fromV, $toV]")
+    val known = versions(spark, path).filter(v => v >= fromV && v <= toV)
+    val f = fs(spark, new Path(path))
+    var lastMeta: Option[JsonNode] =
+      known.headOption.flatMap(v => replayState(spark, path, Some(v))._2)
+    val perVersion = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    known.foreach { v =>
+      val nodes = readSmallFile(spark, new Path(logDir(path), f"$v%020d.json"))
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree).toSeq
+      nodes.filter(_.has("metaData")).foreach(n => lastMeta = Some(n.get("metaData")))
+      val removes = nodes.filter(n => Option(n.get("remove"))
+        .exists(_.path("dataChange").asBoolean(false)))
+      val dvAdds = nodes.filter(n => Option(n.get("add")).exists(a =>
+        a.path("dataChange").asBoolean(false) &&
+          a.has("deletionVector") && !a.get("deletionVector").isNull))
+      require(removes.isEmpty && dvAdds.isEmpty,
+        s"commit v$v of $path is not a blind append (it removes data " +
+          "or attaches deletion vectors) — a plain add-file stream would " +
+          "serve rows the table no longer holds; consume the Change Data " +
+          "Feed instead (streamChangeFeed) or compact upstream")
+      val added = nodes.flatMap(n => Option(n.get("add")))
+        .filter(_.path("dataChange").asBoolean(false))
+        .map(a => decodePath(path, a.get("path").asText()))
+      if (added.nonEmpty) {
+        added.foreach(p => require(f.exists(new Path(p)),
+          s"commit v$v of $path adds $p, which is gone from disk " +
+            "(vacuumed past this stream's position) — its rows are " +
+            "unrecoverable; restart from a newer startVersion"))
+        perVersion += (lastMeta.map(mappingMode).filter(_ != "none") match {
+          case Some(mode) => readMapped(spark, path, added, lastMeta.get, mode)
+          case None =>
+            val declared = lastMeta.flatMap(m => scala.util.Try(
+              org.apache.spark.sql.types.DataType
+                .fromJson(m.path("schemaString").asText(""))
+                .asInstanceOf[org.apache.spark.sql.types.StructType])
+              .toOption.filter(_.fields.nonEmpty))
+            val reader = spark.read.option("basePath", path)
+            declared.fold(reader)(reader.schema).parquet(added: _*)
+        })
+      }
+    }
+    perVersion.reduceOption(_.unionByName(_)).getOrElse {
+      val declared = lastMeta
+        .orElse(replayState(spark, path, known.lastOption)._2)
+        .map(m => org.apache.spark.sql.types.DataType
+          .fromJson(m.path("schemaString").asText())
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(throw new IllegalArgumentException(
+          s"Delta log at $path carries no metaData — nothing to type the " +
+            "empty adds frame from"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
+    }
+  }
+
   /** The table's active file set as of `asOf` (default: latest commit):
     * checkpoint base (when one applies) + ordered JSON replay. REFUSES a
     * table whose active files carry deletion vectors: the file list

@@ -347,7 +347,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     val upserter = if (travelled) None else Some(upserterFor(spark, loc, isDelta))
     val overwriter = if (travelled) None else Some(overwriterFor(spark, loc, isDelta))
     new GraftSqlTable(s"$catName.${seamName(ident)}", first.schema, reread,
-      first, appender, deleter, updater, upserter, overwriter)
+      first, appender, deleter, updater, upserter, overwriter,
+      loc = loc, isDelta = isDelta, travelled = travelled)
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -578,7 +579,10 @@ private[graft] class GraftSqlTable(tableName: String,
                                    deleter: Option[org.apache.spark.sql.Column => Unit] = None,
                                    updater: Option[(Seq[(String, org.apache.spark.sql.Column)], org.apache.spark.sql.Column) => Unit] = None,
                                    upserter: Option[(DataFrame, Seq[String]) => Unit] = None,
-                                   overwriter: Option[DataFrame => Unit] = None)
+                                   overwriter: Option[DataFrame => Unit] = None,
+                                   loc: String = "",
+                                   isDelta: Boolean = true,
+                                   travelled: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete {
@@ -596,6 +600,12 @@ private[graft] class GraftSqlTable(tableName: String,
   /** Append seam for the insert-only MERGE shape — same closure the
     * V1Write INSERT INTO path commits through. */
   private[graft] def append: Option[DataFrame => Unit] = appender
+  /** Location + format for the by-name STREAMING read
+    * ([[graft.plans.CatalogTableSubstitution]] builds the V1 streaming
+    * relation from these); a time-traveled load refuses to stream. */
+  private[graft] def location: String = loc
+  private[graft] def isDeltaTable: Boolean = isDelta
+  private[graft] def isTravelled: Boolean = travelled
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
