@@ -106,6 +106,7 @@ object IndexQueries {
   private val q276TablePat = scratchPat("q276_sql_dml")
   private val q277TablePat = scratchPat("q277_sql_evolve")
   private val q278TablePat = scratchPat("q278_stream_table")
+  private val q279TablePat = scratchPat("q279_iceberg_v3w")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -209,6 +210,7 @@ object IndexQueries {
     stageQ276SqlDml(s, dir)
     stageQ277SqlEvolve(s, dir)
     stageQ278StreamTable(s, dir)
+    stageQ279IcebergV3Write(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -1204,6 +1206,35 @@ object IndexQueries {
         slice("click"), 9601L, 1000L)
       graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
         slice("error"), 9602L, 2000L)
+    }
+    base
+  }
+
+  /** q279's fixture: the format-version-3 WRITE lifecycle — createTableV3
+    * (lineage clock at 0) → two row-id-stamped appends (purchases at
+    * [0, p), clicks at [p, p+c)) → two DELETION-VECTOR deletes (cheap
+    * clicks, then the `%4` ids — the second UNIONS the click file's DV
+    * under the one-DV-per-file supersede rule). Closes the r14 "readable
+    * but not maintainable" v3 gap: every artifact this stages is decoded
+    * back through the q272 read path. */
+  private[graft] def stageQ279IcebergV3Write(s: SparkSession, dir: String): String = {
+    val base = scratch(q279TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"event_type",
+          round($"value" * 1e6).cast("long").as("value_micros")).coalesce(1)
+      val W = graft.sources.IcebergWriter
+      W.createTableV3(s, base, slice("purchase").schema)
+      W.commitAppendV3(s, base, slice("purchase"), 9701L, 1000L)
+      W.commitAppendV3(s, base, slice("click"), 9702L, 2000L)
+      W.deleteWhereV3(s, base,
+        col("event_type") === "click" && col("value_micros") < 300000000L,
+        9703L, 3000L)
+      W.deleteWhereV3(s, base, col("event_id") % 4 === 0L, 9704L, 4000L)
     }
     base
   }
@@ -3427,6 +3458,30 @@ object IndexQueries {
            |ORDER BY leg""".stripMargin)
     }),
 
+    // Iceberg FORMAT-VERSION 3 WRITES — the v3 lifecycle this engine now
+    // maintains (r14 item 5): row-id-stamped appends, puffin DELETION-
+    // VECTOR deletes with the one-DV-per-file union/supersede rule, all
+    // read back through the q272 decode path. Leg a pins the surviving
+    // rows, leg b the lineage clock (next-row-id + snapshot
+    // first-row-ids), leg c the live DV census (entries + cardinality).
+    "q279_iceberg_v3_writes" -> ((s, dir) => {
+      import s.implicits._
+      val base = stageQ279IcebergV3Write(s, dir)
+      val (nextRowId, frids) = graft.sources.TableStreams.icebergLineage(s, base)
+      val (nDvs, dvCard) = graft.sources.TableStreams.icebergLiveDvStats(s, base)
+      val rows = graft.sources.Iceberg.read(s, base)
+        .agg(count(lit(1)).as("n"), sum($"event_id").as("idc"),
+          sum($"value_micros").as("vmc"))
+        .as[(Long, Long, Long)].collect().head
+      Seq(
+        ("a_rows", rows._1, rows._2, rows._3),
+        ("b_lineage", nextRowId, frids(9702L),
+          frids(9703L) + frids(9704L)),
+        ("c_dvs", nDvs.toLong, dvCard, 0L))
+        .toDF("leg", "n_rows", "id_checksum", "value_checksum")
+        .orderBy($"leg")
+    }),
+
     // `spark.readStream.table` BY NAME over both formats — the V2
     // streaming relation substitutes to a V1 Source over the format
     // readers (addsBetween / readIncremental), so the ENGINE's offset
@@ -4964,6 +5019,39 @@ object IndexQueries {
         |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
         |    CAST(sum(vm) AS BIGINT)
         |  FROM d WHERE event_type = 'purchase' AND vm >= 500000000
+        |) ORDER BY leg""".stripMargin,
+    "q279_iceberg_v3_writes" ->
+      """WITH p AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'purchase'),
+        |c AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type = 'click'),
+        |survivors AS (
+        |  SELECT event_id, vm FROM p WHERE event_id % 4 <> 0
+        |  UNION ALL
+        |  SELECT event_id, vm FROM c
+        |  WHERE vm >= 300000000 AND event_id % 4 <> 0),
+        |kills AS (
+        |  SELECT (SELECT count(*) FROM p WHERE event_id % 4 = 0) AS pk,
+        |    (SELECT count(*) FROM c
+        |     WHERE vm < 300000000 OR event_id % 4 = 0) AS ck)
+        |SELECT * FROM (
+        |  SELECT 'a_rows' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM survivors
+        |  UNION ALL
+        |  SELECT 'b_lineage',
+        |    (SELECT count(*) FROM p) + (SELECT count(*) FROM c),
+        |    (SELECT count(*) FROM p),
+        |    2 * ((SELECT count(*) FROM p) + (SELECT count(*) FROM c))
+        |  UNION ALL
+        |  SELECT 'c_dvs',
+        |    (SELECT CASE WHEN pk > 0 THEN 1 ELSE 0 END
+        |       + CASE WHEN ck > 0 THEN 1 ELSE 0 END FROM kills),
+        |    (SELECT pk + ck FROM kills),
+        |    CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q278_readstream_table" ->
       """WITH vm AS MATERIALIZED (

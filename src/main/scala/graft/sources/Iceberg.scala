@@ -1488,7 +1488,11 @@ object Iceberg {
                    // [offset, size) inside the puffin file
                    referencedDataFile: Option[String] = None,
                    contentOffset: Option[Long] = None,
-                   contentSizeInBytes: Option[Long] = None)
+                   contentSizeInBytes: Option[Long] = None,
+                   // v3 ROW LINEAGE: the first row id assigned to this
+                   // data file's rows — the file spans
+                   // [first_row_id, first_row_id + record_count)
+                   firstRowId: Option[Long] = None)
 
   /** Single-value serialization of the spec: little-endian fixed-width
     * numerics, raw UTF-8 strings — what real manifests store in
@@ -1574,6 +1578,10 @@ object Iceberg {
           Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
         .withDefault(null)
     }
+    if (entries.exists(_.firstRowId.isDefined))
+      df = df.name("first_row_id").`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
+        .withDefault(null)
     var eb = SchemaBuilder.record("manifest_entry").fields()
       .requiredInt("status")
     // entries may OMIT snapshot_id (the spec's null-inherits-from-list
@@ -1605,7 +1613,8 @@ object Iceberg {
       .endRecord()
 
   private def manifestFileSchemaFor(withSummaries: Boolean,
-                                    withSeq: Boolean = false): Schema = {
+                                    withSeq: Boolean = false,
+                                    withFirstRowId: Boolean = false): Schema = {
     var b = SchemaBuilder.record("manifest_file").fields()
       .requiredString("manifest_path")
       .requiredLong("manifest_length")
@@ -1614,6 +1623,10 @@ object Iceberg {
       .requiredLong("added_snapshot_id")
     if (withSeq)
       b = b.name("sequence_number").`type`().longType().longDefault(0L)
+    if (withFirstRowId)
+      b = b.name("first_row_id").`type`(Schema.createUnion(
+          Schema.create(Schema.Type.NULL), Schema.create(Schema.Type.LONG)))
+        .withDefault(null)
     if (withSummaries)
       b = b.name("partitions").`type`(Schema.createUnion(
           Schema.create(Schema.Type.NULL), Schema.createArray(summarySchema)))
@@ -1685,6 +1698,7 @@ object Iceberg {
       e.referencedDataFile.foreach(r => df.put("referenced_data_file", r))
       e.contentOffset.foreach(o => df.put("content_offset", Long.box(o)))
       e.contentSizeInBytes.foreach(s0 => df.put("content_size_in_bytes", Long.box(s0)))
+      e.firstRowId.foreach(v => df.put("first_row_id", Long.box(v)))
       val r = new GenericData.Record(entrySchema)
       r.put("status", e.status)
       if (!e.omitSnapshotId)
@@ -1767,7 +1781,8 @@ object Iceberg {
                         specIds: Seq[Int] = Nil,
                         contents: Seq[Int] = Nil,
                         sequenceNumbers: Seq[Long] = Nil,
-                        addedSnapshotIds: Seq[Long] = Nil): String = {
+                        addedSnapshotIds: Seq[Long] = Nil,
+                        firstRowIds: Seq[Option[Long]] = Nil): String = {
     require(summaries.isEmpty || summaries.size == manifests.size,
       s"summaries (${summaries.size}) must run parallel to manifests (${manifests.size})")
     require(specIds.isEmpty || specIds.size == manifests.size,
@@ -1778,8 +1793,11 @@ object Iceberg {
       s"sequenceNumbers (${sequenceNumbers.size}) must run parallel to manifests (${manifests.size})")
     require(addedSnapshotIds.isEmpty || addedSnapshotIds.size == manifests.size,
       s"addedSnapshotIds (${addedSnapshotIds.size}) must run parallel to manifests (${manifests.size})")
+    require(firstRowIds.isEmpty || firstRowIds.size == manifests.size,
+      s"firstRowIds (${firstRowIds.size}) must run parallel to manifests (${manifests.size})")
     val p = new Path(new Path(table, "metadata"), name)
-    val schema = manifestFileSchemaFor(summaries.nonEmpty, sequenceNumbers.nonEmpty)
+    val schema = manifestFileSchemaFor(summaries.nonEmpty, sequenceNumbers.nonEmpty,
+      withFirstRowId = firstRowIds.exists(_.isDefined))
     val rows = manifests.zipWithIndex.map { case ((mp, len), i) =>
       val r = new GenericData.Record(schema)
       r.put("manifest_path", mp)
@@ -1790,6 +1808,11 @@ object Iceberg {
       r.put("content", if (contents.isEmpty) content else contents(i))
       if (sequenceNumbers.nonEmpty)
         r.put("sequence_number", Long.box(sequenceNumbers(i)))
+      // v3 ROW LINEAGE: the first row id a manifest's added files
+      // inherit when they do not stamp their own (null = no inheritance
+      // — this repo's v3 manifests stamp PER-FILE ids)
+      if (firstRowIds.exists(_.isDefined))
+        r.put("first_row_id", firstRowIds(i).map(Long.box).orNull)
       // a carried-forward manifest keeps the snapshot that ORIGINALLY
       // added it (real lists preserve this; entry-id inheritance relies
       // on it) — per-row override for fixtures that model carrying
@@ -1852,7 +1875,9 @@ object Iceberg {
                     partitionSpecJson: String = "[]",
                     evolvedSpecsJson: Seq[(Int, String)] = Nil,
                     lastColumnId: Int = 0,
-                    failIfExists: Boolean = false): Unit = {
+                    failIfExists: Boolean = false,
+                    nextRowId: Option[Long] = None,
+                    snapFirstRowIds: Map[Long, Long] = Map.empty): Unit = {
     val md = new Path(table, "metadata")
     val f = fs(spark, md)
     f.mkdirs(md)
@@ -1868,7 +1893,11 @@ object Iceberg {
           "concurrent writer won the swap")
     def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
     val snapJson = snaps.map { case (id, ts, ml) =>
-      s"""{"snapshot-id":$id,"timestamp-ms":$ts,"manifest-list":"${esc(ml)}"}"""
+      // v3 ROW LINEAGE: a snapshot's first-row-id is the start of the
+      // id range its commit assigned (preserved verbatim on re-emits)
+      val frid = snapFirstRowIds.get(id)
+        .map(v => s""","first-row-id":$v""").getOrElse("")
+      s"""{"snapshot-id":$id,"timestamp-ms":$ts,"manifest-list":"${esc(ml)}"$frid}"""
     }.mkString("[", ",", "]")
     val doc =
       s"""{"format-version":$formatVersion,"table-uuid":"00000000-0000-0000-0000-000000000000",
@@ -1884,7 +1913,8 @@ object Iceberg {
              s"""{"spec-id":$id,"fields":$fj}"""
            }.mkString("[", ",", "]")},
          |"default-spec-id":${evolvedSpecsJson.lastOption.map(_._1).getOrElse(0)},"properties":{},
-         |"current-snapshot-id":${snaps.lastOption.map(_._1).getOrElse(-1L)},
+         |"current-snapshot-id":${snaps.lastOption.map(_._1).getOrElse(-1L)},${
+           nextRowId.map(v => s""""next-row-id":$v,""").getOrElse("")}
          |"snapshots":$snapJson}""".stripMargin
     def writeText(p: Path, content: String): Unit = {
       val out = f.create(p, true)

@@ -508,6 +508,338 @@ object IcebergWriter {
     hintVersion + 1
   }
 
+  // ------------------------------------------------- format-version 3
+
+  /** The v3 gate's inverse: current metadata REQUIRED to be v3 (the
+    * row-lineage + deletion-vector tier). */
+  private def v3Doc(spark: SparkSession,
+                    table: String): com.fasterxml.jackson.databind.JsonNode = {
+    val doc = Iceberg.metadata(spark, table)
+    require(doc.path("format-version").asInt(1) == 3,
+      s"Iceberg table $table declares format-version " +
+        s"${doc.path("format-version").asInt(1)} — the v3 commit paths " +
+        "maintain v3 tables only (v1/v2 go through commitAppend/deleteWhere)")
+    doc
+  }
+
+  /** Prior snapshots' `first-row-id` values — a v3 re-emit must carry
+    * them verbatim (row-lineage history is immutable). */
+  private def priorFirstRowIds(doc: com.fasterxml.jackson.databind.JsonNode)
+      : Map[Long, Long] = {
+    import scala.jdk.CollectionConverters._
+    doc.path("snapshots").elements().asScala.flatMap { s =>
+      if (s.has("first-row-id"))
+        Some(s.path("snapshot-id").asLong() -> s.path("first-row-id").asLong())
+      else None
+    }.toMap
+  }
+
+  /** CREATE an EMPTY format-version-3 table: zero snapshots, the
+    * lineage clock initialized (`next-row-id` = 0) — the state
+    * [[commitAppendV3]] grows from. Unpartitioned (the v3 paths'
+    * shared scope). */
+  def createTableV3(spark: SparkSession, table: String,
+                    schema: org.apache.spark.sql.types.StructType): Int = {
+    val md = new Path(table, "metadata")
+    require(!fs(spark, md).exists(md),
+      s"Iceberg table $table already exists — refusing to re-create")
+    val fields = schema.fields.zipWithIndex.map { case (sf, i) =>
+      Iceberg.IceField(i + 1, sf.name, iceType(sf.dataType))
+    }.toSeq
+    Iceberg.writeMetadata(spark, table, 1, Seq.empty,
+      formatVersion = 3,
+      schemaFieldsJson = fields.map(fd =>
+        Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]"),
+      lastColumnId = fields.size,
+      failIfExists = true,
+      nextRowId = Some(0L))
+    1
+  }
+
+  /** v3 APPEND maintaining ROW LINEAGE — every new data file is stamped
+    * with its `first_row_id` (files span
+    * `[first_row_id, first_row_id + record_count)`), the snapshot
+    * records its `first-row-id`, and the table's `next-row-id` advances
+    * by exactly the appended row count — the spec's lineage invariants,
+    * so a conformant reader derives `_row_id` = first_row_id + position
+    * without any materialized column. A table UPGRADED from v2 (no
+    * next-row-id yet) starts the id space at 0: its pre-v3 files carry
+    * no ids (null = unassigned, the spec's upgrade posture) so the
+    * ranges cannot collide. Carried manifests keep their entries' own
+    * stamps; a FOREIGN list row that relied on LIST-level id
+    * inheritance refuses (re-emitting it without the field would
+    * silently re-number those rows). Unpartitioned v3 tables only. */
+  def commitAppendV3(spark: SparkSession, table: String, df: DataFrame,
+                     snapshotId: Long, timestampMs: Long): Int = {
+    val doc = v3Doc(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot append to $table: its metadata carries no schema"))
+    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
+      s"cannot v3-append to $table: it is PARTITIONED and this writer's " +
+        "v3 path does not derive partition metadata")
+    require(df.columns.toSeq == fields.map(_.name),
+      s"append schema ${df.columns.mkString("(", ", ", ")")} does not " +
+        s"match $table's ${fields.map(_.name).mkString("(", ", ", ")")}")
+    val snaps = snapsOf(doc)
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"append at timestamp $timestampMs would commit BEFORE an existing " +
+        "snapshot — history must be monotonic")
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(snaps.isEmpty || snaps.last._1 == cur,
+      s"cannot v3-append to $table: current snapshot $cur is not the " +
+        "latest in its history — refusing non-linear histories")
+
+    val typById = fields.map(fd => fd.id -> fd.typ).toMap
+    val nameToId = fields.map(fd => fd.name -> fd.id).toMap
+    val files = writeIdStampedFiles(spark, table, df, fields, s"snap$snapshotId")
+    // ROW-ID assignment: a cursor from the table's next-row-id, advanced
+    // file by file in publish order
+    val firstRow = doc.path("next-row-id").asLong(0L)
+    var cursor = firstRow
+    val entries = files.map { file =>
+      val e = boundedEntry(spark, table, file, nameToId, typById)
+      val stamped = e.copy(firstRowId = Some(cursor))
+      cursor += e.recordCount
+      stamped
+    }
+    val manifest = Iceberg.writeManifest(spark, table,
+      s"m-snap$snapshotId.avro", snapshotId, entries)
+    val priorRows = snaps.lastOption.map { case (_, _, mlPath) =>
+      Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+    }.getOrElse(Nil)
+    // carried list rows keep their LIST-level first_row_id VERBATIM —
+    // whether this writer's own (informative; per-file stamps win) or a
+    // foreign row relying on list-level inheritance
+    val carriedFrid: Seq[Option[Long]] = priorRows.map(r =>
+      if (r.getSchema.getField("first_row_id") == null) None
+      else Option(r.get("first_row_id")).map(_.toString.toLong))
+    val carried = carriedOf(table, priorRows)
+    val newSeq = nextSeq(carried)
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId,
+      carried.map(c => (c.path, c.length)) :+ manifest,
+      contents = carried.map(_.content) :+ 0,
+      sequenceNumbers = carried.map(_.seq) :+ newSeq,
+      addedSnapshotIds = carried.map(_.addedSnapshotId) :+ snapshotId,
+      firstRowIds = carriedFrid :+ Some(firstRow))
+    val hintVersion = hintVersionOf(spark, table)
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1,
+      snaps :+ ((snapshotId, timestampMs, ml)),
+      formatVersion = 3, schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields),
+      failIfExists = true,
+      nextRowId = Some(cursor),
+      snapFirstRowIds = priorFirstRowIds(doc) + (snapshotId -> firstRow))
+    hintVersion + 1
+  }
+
+  /** v3 DELETE as a DELETION VECTOR — the spec's v3 posture (position-
+    * delete PARQUET is v2-only): matching ACTIVE rows' positions land as
+    * `deletion-vector-v1` blobs in ONE puffin file, one blob per touched
+    * data file, addressed by a content-1 manifest whose entries carry
+    * `referenced_data_file` + `content_offset`/`content_size_in_bytes` —
+    * exactly the layout the q272 READ path decodes. The spec's
+    * one-DV-per-file invariant holds: a file that already carries a DV
+    * gets a UNION blob (old ∪ new positions) and the superseded entry is
+    * dropped from the carried delete manifest (re-emitted as EXISTING
+    * without it; an emptied manifest drops from the list). Row lineage
+    * rides through unchanged: a delete assigns no ids, so the snapshot's
+    * first-row-id equals the table's next-row-id (a zero-width range).
+    *
+    * Scale note: per-file position arrays fold on EXECUTORS
+    * (collect_list under a file-keyed aggregate), but the roaring-bitmap
+    * blobs return to the DRIVER to be framed into one puffin — bounded
+    * by a loud 5M-matched-positions cap; a larger purge wants compact()
+    * or the v2 parquet path. Zero matches commit nothing. */
+  def deleteWhereV3(spark: SparkSession, table: String,
+                    predicate: org.apache.spark.sql.Column,
+                    snapshotId: Long, timestampMs: Long): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col, collect_list, concat_ws, lit, raise_error, sort_array, when}
+    val doc = v3Doc(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot delete from $table: its metadata carries no schema"))
+    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
+      s"cannot v3-delete from $table: it is PARTITIONED and this writer " +
+        "does not derive partition metadata for delete manifests")
+    val reservedDel = Set("file_path", "pos", "__ice_norm_fp", "__ice_manifest_fp")
+    require(!fields.exists(f => reservedDel(f.name)),
+      s"cannot v3-delete from $table: a table column collides with the " +
+        "DV spelling-join internals; rename it first")
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val snaps = snapsOf(doc)
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"delete at timestamp $timestampMs would commit BEFORE an existing " +
+        "snapshot — history must be monotonic")
+    require(snaps.isEmpty || snaps.last._1 == cur,
+      s"cannot v3-delete from $table: current snapshot $cur is not the " +
+        "latest in its history — refusing non-linear histories")
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val planned = Iceberg.listLiveFiles(spark, table, mlPath, cur)
+    require(planned.eqDeletes.isEmpty,
+      s"cannot v3-delete from $table: it carries EQUALITY delete files — " +
+        "compact them away first")
+    require(planned.deletes.isEmpty,
+      s"cannot v3-delete from $table: it carries v2 position-delete " +
+        "PARQUET — compact to a clean v3 state first")
+    require(planned.data.nonEmpty, s"Iceberg table $table has no live data files")
+
+    // matching ACTIVE rows (the MoR read subtracts existing DVs), as
+    // (manifest-spelled file_path, position) — the deleteWhere spelling
+    val spellRows = planned.data.map { case (p, _) =>
+      (Iceberg.normPathDriver(p), planned.spelledAs.getOrElse(p, p))
+    }.distinct
+    val spellDf = spark.createDataFrame(spellRows)
+      .toDF("__ice_norm_fp", "__ice_manifest_fp")
+    // the RAW coordinate scan ([[deleteWhere]]'s spelling — `_metadata`
+    // does not survive read()'s MoR joins): previously-DV-killed rows
+    // may match again, and the union blob keeps them dead (idempotent)
+    val matches = Iceberg
+      .readWithMetadataSchema(spark, fields, planned.data.map(_._1))
+      .select(col("*"),
+        Iceberg.normPath(col("_metadata.file_path")).as("__ice_norm_fp"),
+        col("_metadata.row_index").as("pos"))
+      .where(predicate)
+      .join(broadcast(spellDf), Seq("__ice_norm_fp"), "left")
+      .select(
+        when(col("__ice_manifest_fp").isNull,
+          raise_error(concat_ws("", lit("DV path mapping miss: no planned " +
+            "data file spells "), col("__ice_norm_fp"))))
+          .otherwise(col("__ice_manifest_fp")).as("file_path"),
+        col("pos"))
+      .persist()
+    try {
+      val n = matches.count()
+      val hintVersion = hintVersionOf(spark, table)
+      if (n == 0) return hintVersion
+      require(n <= 5000000L,
+        s"v3 DV delete on $table matches $n rows — past the 5M-position " +
+          "driver bound this path frames puffin blobs under; compact the " +
+          "table (rewriting survivors) instead of DV-killing that much")
+      // per-file sorted positions fold on executors; only the per-file
+      // arrays return (O(#touched files) rows)
+      import spark.implicits._
+      val newByFile: Map[String, Array[Long]] = matches
+        .groupBy(col("file_path"))
+        .agg(sort_array(collect_list(col("pos"))).as("positions"))
+        .as[(String, Array[Long])].collect().toMap
+      // union with EXISTING DVs (the one-DV-per-file supersede rule);
+      // old blobs decode through the same codec the reader uses
+      val oldByFile: Map[String, Array[Long]] = {
+        val conf = spark.sessionState.newHadoopConf()
+        planned.dvs.filter(d => newByFile.contains(d.referencedDataFile))
+          .map { d =>
+            val p = new Path(d.puffin)
+            val dfs = p.getFileSystem(conf)
+            val bytes = new Array[Byte](dfs.getFileStatus(p).getLen.toInt)
+            val in = dfs.open(p)
+            try in.readFully(bytes) finally in.close()
+            d.referencedDataFile -> Iceberg.icebergDvPositions(bytes, d)
+          }.toMap
+      }
+      val touched = newByFile.keys.toSeq.sorted
+      val blobs = touched.map { file =>
+        val union = (newByFile(file) ++ oldByFile.getOrElse(file, Array.empty))
+          .distinct.sorted
+        (Iceberg.dvBlob(union), file, union.length.toLong)
+      }
+      val priorRows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+      val carried0 = carriedOf(table, priorRows)
+      // list-level first_row_id carried VERBATIM (the commitAppendV3 rule)
+      val frid0: Seq[Option[Long]] = priorRows.map(r =>
+        if (r.getSchema.getField("first_row_id") == null) None
+        else Option(r.get("first_row_id")).map(_.toString.toLong))
+      val newSeq = nextSeq(carried0)
+      val (puffin, spans) = Iceberg.writePuffin(spark, table,
+        s"dv-snap$snapshotId.puffin",
+        blobs.map { case (b, file, _) => (b, file) }, snapshotId, newSeq)
+      val dvManifest = Iceberg.writeManifest(spark, table,
+        s"m-dv$snapshotId.avro", snapshotId,
+        blobs.zip(spans).map { case ((_, file, card), (off, len)) =>
+          Iceberg.Entry(puffin, status = 1, content = 1, format = "PUFFIN",
+            sequenceNumber = Some(newSeq), recordCount = card,
+            fileSizeBytes = fs(spark, new Path(puffin))
+              .getFileStatus(new Path(puffin)).getLen,
+            referencedDataFile = Some(file),
+            contentOffset = Some(off), contentSizeInBytes = Some(len))
+        })
+      // carried manifests: data rows verbatim; DELETE rows shed entries
+      // superseded by this commit's union blobs (one DV per file)
+      val touchedSet = touched.toSet
+      val keptRows = scala.collection.mutable.ArrayBuffer
+        .empty[(String, Long, Int, Long, Long, Option[Long])]
+      carried0.zipWithIndex.foreach { case (c, i) =>
+        if (c.content == 0)
+          keptRows += ((c.path, c.length, 0, c.addedSnapshotId, c.seq, frid0(i)))
+        else {
+          val es = Iceberg.readAvro(spark, Iceberg.resolve(table, c.path))
+          val (dropped, kept) = es.partition { e =>
+            val df0 = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+            df0 != null && df0.getSchema.getField("referenced_data_file") != null &&
+              Option(df0.get("referenced_data_file")).map(_.toString)
+                .exists(touchedSet.contains)
+          }
+          if (dropped.isEmpty)
+            keptRows += ((c.path, c.length, 1, c.addedSnapshotId, c.seq, frid0(i)))
+          else if (kept.nonEmpty) {
+            // re-emit the survivors as EXISTING under their original
+            // attribution (the rewriteManifests discipline)
+            val survivors = kept.map { e =>
+              val df0 = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+              def ol(k: String): Option[Long] = Iceberg.longField(df0, k)
+              Iceberg.Entry(
+                Option(df0.get("file_path")).map(_.toString).getOrElse(
+                  throw new IllegalArgumentException(
+                    s"delete manifest ${c.path}: entry lacks file_path")),
+                status = 0, content = 1,
+                format = Option(df0.get("file_format")).map(_.toString).getOrElse("PUFFIN"),
+                sequenceNumber = Iceberg.longField(e, "sequence_number")
+                  .orElse(Some(c.seq)),
+                recordCount = ol("record_count").getOrElse(0L),
+                fileSizeBytes = ol("file_size_in_bytes").getOrElse(0L),
+                snapshotIdOverride = Iceberg.longField(e, "snapshot_id")
+                  .orElse(Some(c.addedSnapshotId)),
+                referencedDataFile = Option(df0.get("referenced_data_file")).map(_.toString),
+                contentOffset = ol("content_offset"),
+                contentSizeInBytes = ol("content_size_in_bytes"))
+            }
+            val (rp, rl) = Iceberg.writeManifest(spark, table,
+              s"m-dvkeep$snapshotId-$i.avro", snapshotId, survivors)
+            keptRows += ((rp, rl, 1, c.addedSnapshotId, c.seq, None))
+          } // kept empty: the whole manifest superseded — drop the row
+        }
+      }
+      val ml = Iceberg.writeManifestList(spark, table,
+        s"snap-$snapshotId.avro", snapshotId,
+        keptRows.toSeq.map(r => (r._1, r._2)) :+ dvManifest,
+        contents = keptRows.toSeq.map(_._3) :+ 1,
+        sequenceNumbers = keptRows.toSeq.map(_._5) :+ newSeq,
+        addedSnapshotIds = keptRows.toSeq.map(_._4) :+ snapshotId,
+        firstRowIds = keptRows.toSeq.map(_._6) :+ None)
+      val schemaJson = fields.map(fd =>
+        Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+      val nextRow = doc.path("next-row-id").asLong(0L)
+      Iceberg.writeMetadata(spark, table, hintVersion + 1,
+        snaps :+ ((snapshotId, timestampMs, ml)),
+        formatVersion = 3, schemaFieldsJson = schemaJson,
+        partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+        lastColumnId = columnHwm(doc, fields),
+        failIfExists = true,
+        nextRowId = Some(nextRow),
+        snapFirstRowIds = priorFirstRowIds(doc) + (snapshotId -> nextRow))
+      hintVersion + 1
+    } finally matches.unpersist()
+  }
+
   /** SCHEMA EVOLUTION — pure metadata swaps (no snapshot, no data
     * touched): the schema is a list of (id, name, type) and every read
     * resolves columns by FIELD ID, so renames serve old files under new

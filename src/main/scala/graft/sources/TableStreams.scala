@@ -35,4 +35,33 @@ object TableStreams {
     while (it.hasNext) ids += it.next().path("snapshot-id").asLong()
     ids.toSeq
   }
+
+  /** v3 ROW-LINEAGE inspection: the table's `next-row-id` plus each
+    * snapshot's `first-row-id` (absent snapshots omitted) — the fields
+    * [[IcebergWriter.commitAppendV3]] maintains, surfaced for audits
+    * and oracle checks. */
+  def icebergLineage(spark: SparkSession, table: String)
+      : (Long, Map[Long, Long]) = {
+    val doc = Iceberg.metadata(spark, table)
+    val it = doc.path("snapshots").elements()
+    val m = scala.collection.mutable.Map.empty[Long, Long]
+    while (it.hasNext) {
+      val s = it.next()
+      if (s.has("first-row-id"))
+        m(s.path("snapshot-id").asLong()) = s.path("first-row-id").asLong()
+    }
+    (doc.path("next-row-id").asLong(-1L), m.toMap)
+  }
+
+  /** Live DELETION-VECTOR stats of the current snapshot: (number of DV
+    * entries, total declared cardinality) — one entry per referenced
+    * data file when the v3 supersede rule holds. */
+  def icebergLiveDvStats(spark: SparkSession, table: String): (Int, Long) = {
+    val doc = Iceberg.metadata(spark, table)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val planned = Iceberg.listLiveFiles(spark, table,
+      Iceberg.manifestListOf(doc, table, cur), cur)
+    (planned.dvs.size, planned.dvs.map(_.cardinality).sum)
+  }
 }
