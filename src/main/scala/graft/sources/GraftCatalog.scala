@@ -55,7 +55,8 @@ import scala.jdk.CollectionConverters._
   * INSERT OVERWRITE, and any DML on a time-traveled load. `dropTable`
   * delegates to a mutable registry (drops the NAME binding only —
   * never data). */
-class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
+class GraftCatalog extends V2TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catName: String = _
   private var seam: TableCatalog = _
@@ -340,6 +341,10 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     // here for the schema is the same one the substitution rule serves
     // on its first expansion; later expansions rebuild fresh
     val first = reread()
+    // inspection surface (DESCRIBE / SHOW TBLPROPERTIES / SHOW
+    // PARTITIONS): partition layout + table properties from the
+    // format's own metadata — one extra planning-scale metadata read
+    val (identParts, transformParts, tableProps) = inspectionInfo(spark, loc, isDelta)
     val travelled = version.isDefined || tsMicros.isDefined
     val appender = if (travelled) None else Some(appenderFor(spark, loc, isDelta))
     val deleter = if (travelled) None else Some(deleterFor(spark, loc, isDelta))
@@ -348,7 +353,56 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
     val overwriter = if (travelled) None else Some(overwriterFor(spark, loc, isDelta))
     new GraftSqlTable(s"$catName.${seamName(ident)}", first.schema, reread,
       first, appender, deleter, updater, upserter, overwriter,
-      loc = loc, isDelta = isDelta, travelled = travelled)
+      loc = loc, isDelta = isDelta, travelled = travelled,
+      identParts = identParts, transformParts = transformParts,
+      tableProps = tableProps)
+  }
+
+  /** DESCRIBE/SHOW metadata from the format's own documents: IDENTITY
+    * partition columns with their types (the SHOW PARTITIONS domain),
+    * every partition transform with its source column (DESCRIBE's
+    * "# Partitioning" block), and table properties (location + provider
+    * + the format's own configuration). */
+  private def inspectionInfo(spark: SparkSession, loc: String, isDelta: Boolean)
+      : (Seq[(String, org.apache.spark.sql.types.DataType)],
+         Seq[(String, String)], Map[String, String]) = {
+    import org.apache.spark.sql.types.{DataType, StringType, StructType}
+    if (isDelta) {
+      DeltaLogReader.replayState(spark, loc, None)._2 match {
+        case Some(m) =>
+          val schema = scala.util.Try(DataType
+            .fromJson(m.path("schemaString").asText(""))
+            .asInstanceOf[StructType]).toOption
+          val pc = m.path("partitionColumns")
+          val names = (0 until pc.size()).map(pc.get(_).asText())
+          val typed = names.map(n => n -> schema
+            .flatMap(s => s.fields.find(_.name == n)).map(_.dataType)
+            .getOrElse(StringType))
+          val conf = scala.collection.mutable.Map.empty[String, String]
+          val it = m.path("configuration").fields()
+          while (it.hasNext) { val e = it.next(); conf(e.getKey) = e.getValue.asText("") }
+          (typed, names.map(n => ("identity", n)),
+            Map("provider" -> "delta", "location" -> loc) ++ conf)
+        case None =>
+          (Nil, Nil, Map("provider" -> "delta", "location" -> loc))
+      }
+    } else {
+      val doc = Iceberg.metadata(spark, loc)
+      val fields = Iceberg.currentSchemaFields(doc).getOrElse(Nil)
+      val specs = Iceberg.partitionSpecs(doc)
+      val defaultId = doc.path("default-spec-id").asInt(0)
+      val sf = specs.getOrElse(defaultId, specs.values.headOption.getOrElse(Nil))
+      val transforms = sf.map(f => (f.transform,
+        fields.find(_.id == f.sourceId).map(_.name).getOrElse(f.name)))
+      val identCols =
+        if (sf.nonEmpty && sf.forall(_.transform == "identity"))
+          sf.flatMap(f => fields.find(_.id == f.sourceId)
+            .map(src => src.name -> Iceberg.sparkType(src.typ)))
+        else Nil
+      (identCols, transforms,
+        Map("provider" -> "iceberg", "location" -> loc,
+          "format-version" -> doc.path("format-version").asInt(1).toString))
+    }
   }
 
   override def loadTable(ident: Identifier): Table = load(ident, None, None)
@@ -524,6 +578,104 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces {
           "cannot rebind them; register through a mutable registry catalog")
     }
 
+  // ---------------------------------------------------- ProcedureCatalog
+
+  /** The `CALL`-style MAINTENANCE surface (`CALL <cat>.system.optimize
+    * ('ns.t')` …) — the operational statements a warehouse user runs on
+    * a schedule, routed to the format writers' own maintenance passes:
+    *
+    *   - `optimize(table, target_file_bytes?)` — Delta bin-packing
+    *     rewrite / Iceberg compaction (both purge MoR deletes);
+    *   - `vacuum(table, older_than_ms)` — Delta unreferenced-file GC
+    *     (Iceberg refuses by name: its GC is expire_snapshots);
+    *   - `expire_snapshots(table, older_than_ms)` — Iceberg history
+    *     GC (Delta refuses by name: vacuum);
+    *   - `rewrite_manifests(table)` — Iceberg metadata compaction.
+    *
+    * Each returns one (metric, value) result row through a LocalScan —
+    * committed version / files removed — so the CALL's outcome is
+    * SQL-visible. */
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val ns = ident.namespace()
+    require(ns.isEmpty || ns.sameElements(Array("system")),
+      s"catalog '$catName' keeps its procedures under the 'system' " +
+        s"namespace — CALL $catName.system.${ident.name()}(...)")
+    def p(n: String, t: org.apache.spark.sql.types.DataType) =
+      org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+        .in(n, t).build()
+    def pd(n: String, t: org.apache.spark.sql.types.DataType, default: String) =
+      org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
+        .in(n, t).defaultValue(default).build()
+    def sniff(tableName: String): (String, Boolean) = {
+      val spark = SparkSession.active
+      val loc = try seam.locate(tableName)
+        catch { case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"CALL on catalog '$catName': unknown table '$tableName'") }
+      val f = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+      (loc, f.exists(new Path(loc, "_delta_log")))
+    }
+    ident.name().toLowerCase(java.util.Locale.ROOT) match {
+      case "optimize" => new GraftProcedure("optimize",
+        Array(p("table", StringType),
+          pd("target_file_bytes", LongType, (128L << 20).toString)),
+        row => {
+          val (loc, isDelta) = sniff(row.getUTF8String(0).toString)
+          val target = row.getLong(1)
+          val spark = SparkSession.active
+          if (isDelta)
+            Seq(("committed_version",
+              DeltaLogWriter.optimize(spark, loc, targetFileBytes = target)))
+          else
+            Seq(("metadata_version", IcebergWriter.compact(spark, loc,
+              GraftCatalog.freshSnapshotId(), System.currentTimeMillis(),
+              targetFileBytes = target).toLong))
+        })
+      case "vacuum" => new GraftProcedure("vacuum",
+        Array(p("table", StringType), p("older_than_ms", LongType)),
+        row => {
+          val (loc, isDelta) = sniff(row.getUTF8String(0).toString)
+          require(isDelta,
+            s"vacuum runs on Delta tables — Iceberg history GC is " +
+              s"CALL $catName.system.expire_snapshots(...)")
+          Seq(("files_removed", DeltaLogWriter.vacuum(
+            SparkSession.active, loc, row.getLong(1)).toLong))
+        })
+      case "expire_snapshots" => new GraftProcedure("expire_snapshots",
+        Array(p("table", StringType), p("older_than_ms", LongType)),
+        row => {
+          val (loc, isDelta) = sniff(row.getUTF8String(0).toString)
+          require(!isDelta,
+            s"expire_snapshots runs on Iceberg tables — Delta GC is " +
+              s"CALL $catName.system.vacuum(...)")
+          Seq(("metadata_version", IcebergWriter.expireSnapshots(
+            SparkSession.active, loc, row.getLong(1)).toLong))
+        })
+      case "rewrite_manifests" => new GraftProcedure("rewrite_manifests",
+        Array(p("table", StringType)),
+        row => {
+          val (loc, isDelta) = sniff(row.getUTF8String(0).toString)
+          require(!isDelta,
+            "rewrite_manifests is Iceberg metadata compaction — Delta " +
+              s"log maintenance is checkpointing (cleanLog), not a CALL")
+          Seq(("metadata_version", IcebergWriter.rewriteManifests(
+            SparkSession.active, loc,
+            GraftCatalog.freshSnapshotId(), System.currentTimeMillis()).toLong))
+        })
+      case other => throw new UnsupportedOperationException(
+        s"catalog '$catName' has no procedure '$other' — it serves " +
+          "optimize, vacuum, expire_snapshots, rewrite_manifests")
+    }
+  }
+
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty || namespace.sameElements(Array("system")))
+      Array("optimize", "vacuum", "expire_snapshots", "rewrite_manifests")
+        .map(Identifier.of(Array("system"), _))
+    else Array.empty
+
   // ------------------------------------------------- SupportsNamespaces
 
   override def listNamespaces(): Array[Array[String]] = seam match {
@@ -582,10 +734,14 @@ private[graft] class GraftSqlTable(tableName: String,
                                    overwriter: Option[DataFrame => Unit] = None,
                                    loc: String = "",
                                    isDelta: Boolean = true,
-                                   travelled: Boolean = false)
+                                   travelled: Boolean = false,
+                                   identParts: Seq[(String, org.apache.spark.sql.types.DataType)] = Nil,
+                                   transformParts: Seq[(String, String)] = Nil,
+                                   tableProps: Map[String, String] = Map.empty)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
   private val servedFirst = new java.util.concurrent.atomic.AtomicBoolean(false)
   def reread(): DataFrame =
     if (servedFirst.compareAndSet(false, true)) first else rereadFresh()
@@ -608,6 +764,104 @@ private[graft] class GraftSqlTable(tableName: String,
   private[graft] def isTravelled: Boolean = travelled
   override def name(): String = tableName
   override def schema(): StructType = tableSchema
+
+  /** DESCRIBE's "# Partitioning" block — every partition transform from
+    * the format's own metadata (identity columns, Iceberg's hidden
+    * transforms by name). */
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    transformParts.map {
+      case ("identity", c) => Expressions.identity(c)
+      case (t, c) if Set("day", "days")(t) => Expressions.days(c)
+      case (t, c) if Set("month", "months")(t) => Expressions.months(c)
+      case (t, c) if Set("year", "years")(t) => Expressions.years(c)
+      case (t, c) if Set("hour", "hours")(t) => Expressions.hours(c)
+      case (t, c) if t.startsWith("bucket[") =>
+        Expressions.bucket(t.stripPrefix("bucket[").stripSuffix("]").toInt, c)
+      case (t, c) if t.startsWith("truncate[") =>
+        Expressions.apply("truncate",
+          Expressions.literal(Int.box(
+            t.stripPrefix("truncate[").stripSuffix("]").toInt)),
+          Expressions.column(c))
+      case (t, c) => Expressions.apply(t, Expressions.column(c))
+    }.toArray
+  }
+
+  /** SHOW TBLPROPERTIES / DESCRIBE EXTENDED surface: location +
+    * provider + the format's own configuration. */
+  override def properties(): java.util.Map[String, String] = {
+    val m = new java.util.HashMap[String, String]()
+    tableProps.foreach { case (k, v) => m.put(k, v) }
+    m
+  }
+
+  // ------------------------------------ SupportsPartitionManagement
+  // (the SHOW PARTITIONS read surface only — partition DDL refuses:
+  // both formats derive partitions from data, never from DDL)
+
+  /** SHOW PARTITIONS' domain: IDENTITY partition columns with their
+    * table types. Hidden (transformed) partitioning refuses — its
+    * partition values are derived, not column values. */
+  override def partitionSchema(): StructType = {
+    if (identParts.isEmpty && transformParts.nonEmpty)
+      throw new UnsupportedOperationException(
+        s"table $tableName is partitioned by transforms " +
+          s"(${transformParts.map { case (t, c) => s"$t($c)" }.mkString(", ")}) — " +
+          "SHOW PARTITIONS serves identity partitioning only; inspect the " +
+          "metadata tables instead")
+    StructType(identParts.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n, t, nullable = true) })
+  }
+
+  /** Distinct live partition tuples — a partition-column-only distinct
+    * over the table's own read (metadata-only for hive-laid-out Delta
+    * under OptimizeMetadataOnlyQuery; a column-pruned scan otherwise),
+    * optionally filtered by the `PARTITION (k = v, ...)` prefix Spark
+    * hands through. */
+  override def listPartitionIdentifiers(
+      names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val ps = partitionSchema()
+    if (ps.isEmpty) return Array.empty
+    require(names.forall(n => ps.fieldNames.contains(n)),
+      s"SHOW PARTITIONS filter names ${names.mkString(", ")} are not " +
+        s"partition columns of $tableName (${ps.fieldNames.mkString(", ")})")
+    import org.apache.spark.sql.functions.col
+    var df = reread().select(ps.fieldNames.map(n => col(s"`$n`")).toIndexedSeq: _*)
+      .distinct()
+    names.zipWithIndex.foreach { case (n, i) =>
+      val v = ident.get(i, ps(ps.fieldIndex(n)).dataType)
+      val lit = org.apache.spark.sql.functions.lit(
+        org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .convertToScala(v, ps(ps.fieldIndex(n)).dataType))
+      df = df.where(col(s"`$n`") <=> lit)
+    }
+    val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+      .createToCatalystConverter(ps)
+    df.collect().map(r =>
+      conv(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow])
+  }
+
+  override def createPartition(ident: org.apache.spark.sql.catalyst.InternalRow,
+                               properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"table $tableName derives partitions from DATA — write rows " +
+        "instead of creating partitions")
+
+  override def dropPartition(ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    throw new UnsupportedOperationException(
+      s"table $tableName derives partitions from DATA — DELETE the rows instead")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"table $tableName keeps no per-partition metadata")
+
+  override def loadPartitionMetadata(ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
   override def capabilities(): java.util.Set[TableCapability] =
     // TRUNCATE makes `INSERT OVERWRITE` plan (Spark spells a static
     // overwrite as OverwriteByExpression(true) and gates on it); the
@@ -695,6 +949,45 @@ private[graft] class GraftSqlTable(tableName: String,
             }
         }
     }
+  }
+}
+
+/** One maintenance procedure: `bind` is identity (the parameters are
+  * fixed), `call` runs the writer pass and serves its (metric, value)
+  * summary as a one-row LocalScan — SQL-visible outcomes. */
+private[graft] class GraftProcedure(
+    procName: String,
+    params: Array[org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter],
+    run: org.apache.spark.sql.catalyst.InternalRow => Seq[(String, Long)])
+    extends org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure
+    with org.apache.spark.sql.connector.catalog.procedures.BoundProcedure {
+  override def name(): String = procName
+  override def description(): String = s"graft maintenance: $procName"
+  override def bind(inputType: StructType)
+      : org.apache.spark.sql.connector.catalog.procedures.BoundProcedure = this
+  override def parameters()
+      : Array[org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter] =
+    params
+  override def isDeterministic: Boolean = false
+  override def call(input: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Iterator[org.apache.spark.sql.connector.read.Scan] = {
+    val out = run(input)
+    val schema = StructType(Seq(
+      org.apache.spark.sql.types.StructField("metric",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val scan: org.apache.spark.sql.connector.read.Scan =
+      new org.apache.spark.sql.connector.read.LocalScan {
+        override def rows(): Array[org.apache.spark.sql.catalyst.InternalRow] =
+          out.toArray.map { case (m, v) =>
+            org.apache.spark.sql.catalyst.InternalRow(
+              org.apache.spark.unsafe.types.UTF8String.fromString(m), v)
+          }
+        override def readSchema(): StructType = schema
+        override def description(): String = s"graft $procName result"
+      }
+    java.util.Collections.singletonList(scan).iterator()
   }
 }
 
