@@ -105,6 +105,16 @@ object Bench {
         graft.queries.ExtensionQueries.stagePointsLookup(spark, sfDir)
         graft.queries.ExtensionQueries.stageZOrderedPoints(spark, sfDir)
       }
+      warm("stream-source-tables") {
+        // the file-stream sources' staged input tables (q104/q195/q208
+        // and the 13 other stream queries read these): write-once per
+        // (sf dir, source signature) — pre-staged here so a FIRST lap on
+        // a fresh box doesn't book them into the first stream query's
+        // timed window (the staging_in_lap discipline)
+        graft.queries.StreamScaffold.stageTable(spark, sfDir, "events")
+        graft.queries.StreamScaffold.stageTable(spark, sfDir, "documents")
+        graft.queries.StreamScaffold.stageTable(spark, sfDir, "embeddings")
+      }
       warm("staged-index-legs") {
         // write-once index builds (PQ codes/LUT, IVF candidates, the MLlib
         // twin's pairs list, q67's PNG fixtures): deterministic functions of

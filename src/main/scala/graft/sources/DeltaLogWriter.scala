@@ -984,6 +984,9 @@ object DeltaLogWriter {
       : (Long, Long) = {
     import org.apache.spark.sql.functions.lit
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"UPDATE assigns a column twice (${assignments.map(_._1).mkString(", ")}) " +
+        "— refusing a silent last-wins")
     val root = new Path(path)
     val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
     require(entries.nonEmpty, s"Delta table at $path has no active files")

@@ -227,11 +227,19 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     if (isDelta) { df =>
       // Spark's output resolver already cast/aligned the frame to the
       // table schema; appendOptimistic enforces the rest (shape drift,
-      // blind-append obligations, the NOT-NULL runtime guard)
-      val partCols = DeltaLogReader.replayState(spark, loc, None)._2
-        .map(_.path("partitionColumns")).toSeq
+      // blind-append obligations, the NOT-NULL runtime guard). A
+      // NAME-mapped table (the state SQL RENAME COLUMN leaves) appends
+      // through write()'s physical-name projection instead — the
+      // optimistic retry is the trade for keeping the mapped INSERT
+      // working the day after the rename
+      val meta = DeltaLogReader.replayState(spark, loc, None)._2
+      val partCols = meta.map(_.path("partitionColumns")).toSeq
         .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
-      DeltaLogWriter.appendOptimistic(df, loc, partitionBy = partCols)
+      if (meta.exists(m => DeltaLogReader.mappingMode(m) == "name"))
+        DeltaLogWriter.write(df, loc,
+          mode = org.apache.spark.sql.SaveMode.Append, partitionBy = partCols)
+      else
+        DeltaLogWriter.appendOptimistic(df, loc, partitionBy = partCols)
       ()
     } else { df =>
       // a foreign schema's REQUIRED fields are a contract this writer's

@@ -1350,6 +1350,9 @@ object IcebergWriter {
                   snapshotId: Long, timestampMs: Long): Int = {
     import org.apache.spark.sql.functions.col
     require(assignments.nonEmpty, "updateWhere needs at least one assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      s"UPDATE assigns a column twice (${assignments.map(_._1).mkString(", ")}) " +
+        "— refusing a silent last-wins")
     val doc = writableDoc(spark, table)
     val fields = Iceberg.currentSchemaFields(doc).getOrElse(
       throw new IllegalArgumentException(

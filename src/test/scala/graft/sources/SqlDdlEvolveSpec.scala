@@ -79,6 +79,27 @@ class SqlDdlEvolveSpec extends SparkSpec {
     assert(spark.sql(s"SELECT id, kind FROM $cat.ns.t")
       .as[(Long, String)].collect().toSeq == Seq((1L, "a")),
       "the old file serves under the new logical name")
+    // the day-after-the-rename INSERT: rows land through write()'s
+    // physical-name projection, both generations serve the new name
+    spark.sql(s"INSERT INTO $cat.ns.t VALUES (2, 'b')")
+    assert(spark.sql(s"SELECT id, kind FROM $cat.ns.t")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+  }
+
+  test("SQL time travel reads a FORMAT-VERSION-3 table (VERSION and TIMESTAMP AS OF)") {
+    val (cat, reg) = freshCatalog()
+    val t = freshDir() + "/v3"
+    IcebergWriter.createTableV3(spark, t, Seq((1L, 1.0)).toDF("id", "x").schema)
+    IcebergWriter.commitAppendV3(spark, t,
+      Seq((1L, 1.0), (2L, 2.0)).toDF("id", "x").coalesce(1), 901L, 1000L)
+    IcebergWriter.deleteWhereV3(spark, t, col("id") === 1L, 902L, 2000L)
+    reg.register("ns.v3", t)
+    assert(spark.sql(s"SELECT id FROM $cat.ns.v3").as[Long].collect().toSet == Set(2L))
+    assert(spark.sql(s"SELECT id FROM $cat.ns.v3 VERSION AS OF 901")
+      .as[Long].collect().toSet == Set(1L, 2L), "pre-DV snapshot by id")
+    assert(spark.sql(
+      s"SELECT id FROM $cat.ns.v3 TIMESTAMP AS OF '1970-01-01 00:00:01.5'")
+      .as[Long].collect().toSet == Set(1L, 2L), "pre-DV snapshot by timestamp")
   }
 
   test("INSERT OVERWRITE on Delta: one Overwrite commit, time travel keeps the old generation") {
