@@ -529,18 +529,31 @@ object DeltaLogReader {
         })
       }
     }
-    perVersion.reduceOption(_.unionByName(_)).getOrElse {
-      val declared = lastMeta
-        .orElse(replayState(spark, path, known.lastOption)._2)
-        .map(m => org.apache.spark.sql.types.DataType
-          .fromJson(m.path("schemaString").asText())
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(throw new IllegalArgumentException(
-          s"Delta log at $path carries no metaData — nothing to type the " +
-            "empty adds frame from"))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declared)
-    }
+    // the returned frame carries the schema AS OF THE RANGE END: an ADD
+    // COLUMN mid-range means earlier versions' frames lack the new
+    // column — they union with allowMissingColumns and the final select
+    // null-fills/pins order, exactly what the declared-schema scan does
+    // within one generation (a trailing addless metaData commit still
+    // shapes the output)
+    val declaredEnd = lastMeta
+      .orElse(replayState(spark, path, known.lastOption)._2)
+      .map(m => org.apache.spark.sql.types.DataType
+        .fromJson(m.path("schemaString").asText())
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalArgumentException(
+        s"Delta log at $path carries no metaData — nothing to type the " +
+          "adds frame from"))
+    perVersion.reduceOption(_.unionByName(_, allowMissingColumns = true))
+      .map { u =>
+        val have = u.columns.toSet
+        u.select(declaredEnd.fields.map { fd =>
+          if (have(fd.name)) col(s"`${fd.name}`")
+          else org.apache.spark.sql.functions.lit(null)
+            .cast(fd.dataType).as(fd.name)
+        }.toSeq: _*)
+      }
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], declaredEnd))
   }
 
   /** The table's active file set as of `asOf` (default: latest commit):

@@ -95,11 +95,12 @@ private[graft] class GraftDeltaAddsSource(spark: SparkSession, path: String,
   override def getBatch(start: Option[V1Offset], end: V1Offset): DataFrame = {
     val fromV = start.map(toLong(_) + 1).getOrElse(startVersion)
     val toV = toLong(end)
-    val df = DeltaLogReader.addsBetween(spark, path, fromV, toV)
-    // pin column order to the stream's declared schema (unionByName
-    // inside the range read keeps names, not necessarily order)
-    StreamBridge.asStreaming(
-      df.select(st.fieldNames.map(n => df(s"`$n`")).toIndexedSeq: _*))
+    val df =
+      if (fromV > toV) // recovery can replay an empty range — serve typed-empty
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      else DeltaLogReader.addsBetween(spark, path, fromV, toV)
+    StreamBridge.conform(df, st)
   }
   override def commit(end: V1Offset): Unit = ()
   override def stop(): Unit = ()
@@ -133,11 +134,13 @@ private[graft] class GraftIcebergAppendsSource(spark: SparkSession,
         "the history was rewritten under the stream (expire/rollback); " +
         "restart the stream from a fresh checkpoint")
     val df =
-      if (fromN == 0L) Iceberg.readSnapshot(spark, path, ids((toN - 1).toInt))
+      if (fromN >= toN) // recovery can replay an empty range
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], st)
+      else if (fromN == 0L) Iceberg.readSnapshot(spark, path, ids((toN - 1).toInt))
       else Iceberg.readIncremental(spark, path,
         ids((fromN - 1).toInt), ids((toN - 1).toInt))
-    StreamBridge.asStreaming(
-      df.select(st.fieldNames.map(n => df(s"`$n`")).toIndexedSeq: _*))
+    StreamBridge.conform(df, st)
   }
   override def commit(end: V1Offset): Unit = ()
   override def stop(): Unit = ()
@@ -146,6 +149,21 @@ private[graft] class GraftIcebergAppendsSource(spark: SparkSession,
 
 /** Constructor bridge for the `private[sql]` V1 streaming plan pieces. */
 object StreamBridge {
+  /** Conform a range read to the SOURCE's declared schema and mark it
+    * streaming: pins column order, and NULL-FILLS columns the range's
+    * generation predates — on recovery the engine replays the last
+    * logged batch through a source created with the CURRENT schema, so
+    * an ADD COLUMN between the original run and the replay must serve
+    * nulls (the declared-schema scan rule), never an unresolved-column
+    * error. */
+  def conform(df: DataFrame, st: StructType): DataFrame = {
+    val have = df.columns.toSet
+    asStreaming(df.select(st.fields.map { f =>
+      if (have(f.name)) df(s"`${f.name}`")
+      else org.apache.spark.sql.functions.lit(null).cast(f.dataType).as(f.name)
+    }.toIndexedSeq: _*))
+  }
+
   /** Re-wrap a batch frame as a STREAMING one (`isStreaming = true`) —
     * what every V1 `Source.getBatch` must return; the engine asserts it.
     * Lazy: the underlying RDD computes when the sink's batch runs. */

@@ -73,6 +73,40 @@ class ReadStreamTableSpec extends SparkSpec {
     assert(drain(s"$cat.ns.t", ckpt).isEmpty)
   }
 
+  test("ADD COLUMN mid-history: a spanning batch null-fills the old generation; restart serves the new column") {
+    val (cat, reg) = freshCatalog()
+    val d = freshDir() + "/d"
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("id", "k").coalesce(1), d)      // v0
+    reg.register("ns.t", d)
+    val ckpt = freshDir() + "/ckpt"
+    assert(drain(s"$cat.ns.t", ckpt).map(_._1).toSet == Set(1L))
+    DeltaLogWriter.addColumn(spark, d, "note",                                // v1
+      org.apache.spark.sql.types.StringType)
+    DeltaLogWriter.appendOptimistic(                                          // v2
+      Seq((2L, "b", "fresh")).toDF("id", "k", "note").coalesce(1), d)
+    // restart on the SAME checkpoint: the re-created source carries the
+    // CURRENT 3-column schema; only v1..v2 serve
+    val got = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Option[String])]()
+    val q = spark.readStream.table(s"$cat.ns.t").writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.select("id", "note").collect()
+          .foreach(r => got.add((r.getLong(0), Option(r.getString(1)))))
+        ()
+      }.start()
+    q.awaitTermination(120000L)
+    import scala.jdk.CollectionConverters._
+    assert(got.asScala.toSet == Set((2L, Some("fresh"))))
+    // and a FRESH stream spans both generations in one batch: the old
+    // row null-fills the added column (addsBetween's range-end schema)
+    val mixed = DeltaLogReader.addsBetween(spark, d, 0L, 2L)
+    assert(mixed.columns.toSeq == Seq("id", "k", "note"))
+    assert(mixed.select("id", "note").collect()
+      .map(r => (r.getLong(0), Option(r.getString(1)))).toSet ==
+      Set((1L, None), (2L, Some("fresh"))))
+  }
+
   test("a non-append Delta commit refuses mid-stream with the CDF remedy named") {
     val (cat, reg) = freshCatalog()
     val d = freshDir() + "/d"
