@@ -993,13 +993,26 @@ object DeltaLogWriter {
     val metaNode = meta.getOrElse(throw new IllegalArgumentException(
       s"Delta log at $path carries no metaData action — cannot validate " +
         "the update schema; refusing"))
-    // mapping refuses in BOTH modes: the kill scan could resolve name
-    // mode (deleteWhere does) but the re-append side would commit
-    // logical-named parquet into a physical-named table — poisoned
-    // after success; route mapped updates through write()
-    require(DeltaLogReader.mappingMode(metaNode) == "none",
-      s"Delta table at $path uses column mapping — updateWhere does not " +
-        "project physical names for the rewritten rows; refusing")
+    // NAME-mode mapping is resolved end-to-end (the day-after-RENAME
+    // UPDATE a real user types): the kill scan reads physical footers
+    // under the metaData's physicalName map and serves LOGICAL names
+    // (dvAttachActions' own readMapped path), and the rewritten rows
+    // project BACK to physical names before publishing — the write()
+    // discipline. Id mode refuses; mapping+partitions and mapping+CDF
+    // refuse below (the deleteWhere gates).
+    val mapMode = DeltaLogReader.mappingMode(metaNode)
+    require(mapMode == "none" || mapMode == "name",
+      s"Delta table at $path uses id-mode column mapping — updateWhere " +
+        "resolves name mode only; refusing")
+    require(mapMode == "none" ||
+        !metaNode.path("partitionColumns").elements().hasNext,
+      s"Delta table at $path combines column mapping with partition " +
+        "columns — the mapped scan does not reconstruct partition values; " +
+        "refusing")
+    require(mapMode == "none" || !cdfEnabled(metaNode),
+      s"Delta table at $path combines column mapping with Change Data " +
+        "Feed — publishing change files under mapping is not implemented; " +
+        "refusing")
     val tableSchema = org.apache.spark.sql.types.DataType
       .fromJson(metaNode.get("schemaString").asText())
       .asInstanceOf[org.apache.spark.sql.types.StructType]
@@ -1027,8 +1040,15 @@ object DeltaLogWriter {
         .getOrElse(dfCol(matched, fd.name))
         .as(fd.name)
     }.toSeq: _*)
+    // a NAME-mapped table's parquet carries PHYSICAL names — project the
+    // rewritten rows through the metaData's physicalName map (write()'s
+    // own discipline; a logical-named file would orphan after a rename)
+    val toPublish =
+      if (mapMode == "none") updated
+      else updated.toDF(tableSchema.fields.map(fd =>
+        fd.metadata.getString("delta.columnMapping.physicalName")).toSeq: _*)
     val f = fs(spark, root)
-    val newFiles = publishParts(spark, root, updated, version, partCols)
+    val newFiles = publishParts(spark, root, toPublish, version, partCols)
     val adds = newFiles.map { rel =>
       val st = f.getFileStatus(new Path(root, rel))
       s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +

@@ -89,18 +89,39 @@ class UpdateWhereSpec extends SparkSpec {
     assert(out == Map(2L -> 0.0, 3L -> 3.0))
   }
 
-  test("Delta updateWhere refuses column-mapped tables and unknown columns") {
+  test("Delta updateWhere refuses unknown columns and duplicate SET targets") {
     val path = freshDir() + "/t"
     DeltaLogWriter.write(Seq((1L, 1.0)).toDF("id", "x").coalesce(1), path)
     val e1 = intercept[IllegalArgumentException] {
       DeltaLogWriter.updateWhere(spark, path, lit(true), Seq("nope" -> lit(1)))
     }
     assert(e1.getMessage.contains("not"), e1.getMessage)
-    DeltaLogWriter.enableColumnMapping(spark, path)
     val e2 = intercept[IllegalArgumentException] {
-      DeltaLogWriter.updateWhere(spark, path, lit(true), Seq("x" -> lit(0.0)))
+      DeltaLogWriter.updateWhere(spark, path, lit(true),
+        Seq("x" -> lit(0.0), "x" -> lit(1.0)))
     }
-    assert(e2.getMessage.contains("column mapping"), e2.getMessage)
+    assert(e2.getMessage.contains("twice"), e2.getMessage)
+  }
+
+  test("Delta updateWhere on a NAME-mapped table: the day-after-RENAME update") {
+    val path = freshDir() + "/t"
+    DeltaLogWriter.write(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "amount").coalesce(1), path)
+    DeltaLogWriter.enableColumnMapping(spark, path)
+    DeltaLogWriter.renameColumn(spark, path, "amount", "value_usd")
+    val (_, n) = DeltaLogWriter.updateWhere(spark, path,
+      col("id") === 2L, Seq("value_usd" -> (col("value_usd") * 10)))
+    assert(n == 1L)
+    val out = DeltaLogReader.read(spark, path)
+      .select("id", "value_usd").as[(Long, Double)].collect().toMap
+    assert(out == Map(1L -> 10.0, 2L -> 200.0),
+      "old generation under the new name + the physically-projected rewrite")
+    // the rewritten parquet carries PHYSICAL names (the pre-rename ones)
+    val newest = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+      .maxBy(_.lastModified())
+    assert(spark.read.parquet(newest.getAbsolutePath).columns.contains("amount"),
+      "mapped rewrites must publish physical column names")
   }
 
   // ----------------------------------------------------------- Iceberg
