@@ -64,4 +64,94 @@ object TableStreams {
       Iceberg.manifestListOf(doc, table, cur), cur)
     (planned.dvs.size, planned.dvs.map(_.cardinality).sum)
   }
+
+  /** v3 ROW-LINEAGE read: the table's current rows WITH their derived
+    * `_row_id` column — `first_row_id + position` per the spec's
+    * inheritance rule (no materialized column needed), which makes row
+    * ids STABLE across deletes: a surviving row keeps its id forever,
+    * the property CDC/audit consumers key on. Requires every live data
+    * file to carry a `first_row_id` stamp (this repo's
+    * [[IcebergWriter.commitAppendV3]] always stamps; pre-v3 files are
+    * unassigned and refuse by name). Deletion vectors apply; the blobs
+    * decode DRIVER-side here (KB-scale roaring bitmaps, the same 5M
+    * total-cardinality bound the v3 delete writer enforces) — the
+    * plain read's executor-side decode stays the scan path. */
+  def icebergReadWithRowIds(spark: SparkSession, table: String)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val doc = Iceberg.metadata(spark, table)
+    require(doc.path("format-version").asInt(1) == 3,
+      s"Iceberg table $table is not format-version 3 — row lineage is a v3 feature")
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"Iceberg table $table has no schema — nothing to type the read from"))
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val planned = Iceberg.listLiveFiles(spark, table, mlPath, cur)
+    require(planned.deletes.isEmpty && planned.eqDeletes.isEmpty,
+      s"Iceberg table $table carries v2 position/equality deletes — the " +
+        "row-id read serves v3 DV tables only")
+    require(planned.data.nonEmpty, s"Iceberg table $table has no live data files")
+    // per-file first_row_id from the manifests (entry-level stamps; a
+    // live file without one is pre-v3 / unassigned — refuse by name)
+    import scala.jdk.CollectionConverters._
+    val frids = scala.collection.mutable.Map.empty[String, Long]
+    Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)).foreach { m =>
+      if (Option(m.get("content")).forall(_.toString == "0")) {
+        val mPath = m.get("manifest_path").toString
+        Iceberg.readAvro(spark, Iceberg.resolve(table, mPath)).foreach { e =>
+          val st = Iceberg.longField(e, "status").getOrElse(0L)
+          if (st != 2L) {
+            val dfr = e.get("data_file").asInstanceOf[org.apache.avro.generic.GenericRecord]
+            val fp = Iceberg.normPathDriver(
+              Iceberg.resolve(table, dfr.get("file_path").toString).toString)
+            Iceberg.longField(dfr, "first_row_id") match {
+              case Some(v) => frids(fp) = v
+              case None => throw new IllegalArgumentException(
+                s"data file ${dfr.get("file_path")} of $table carries no " +
+                  "first_row_id — its rows are unassigned (pre-v3 " +
+                  "generation); compact/rewrite before reading row ids")
+            }
+          }
+        }
+      }
+    }
+    val fridDf = spark.createDataFrame(frids.toSeq).toDF("__rl_fp", "__rl_frid")
+    val reserved = Seq("__rl_fp", "__rl_frid", "__rl_pos", "_row_id")
+    require(!fields.exists(f => reserved.contains(f.name)),
+      s"a column of $table collides with the row-id read's internals " +
+        s"(${reserved.mkString(", ")}); rename it first")
+    val base = Iceberg
+      .readWithMetadataSchema(spark, fields, planned.data.map(_._1))
+      .select(col("*"),
+        Iceberg.normPath(col("_metadata.file_path")).as("__rl_fp"),
+        col("_metadata.row_index").as("__rl_pos"))
+      .join(broadcast(fridDf), Seq("__rl_fp"))
+      .withColumn("_row_id", col("__rl_frid") + col("__rl_pos"))
+    // apply the live DVs: driver-decoded dead (file, pos) pairs under
+    // the same 5M bound the v3 delete writer enforces
+    val deadTotal = planned.dvs.map(_.cardinality).sum
+    require(deadTotal <= 5000000L,
+      s"Iceberg table $table carries $deadTotal DV positions — past the " +
+        "row-id read's 5M driver bound; use the plain read (executor-side " +
+        "decode) or compact first")
+    val conf = spark.sessionState.newHadoopConf()
+    val dead: Seq[(String, Long)] = planned.dvs.flatMap { d =>
+      val p = new org.apache.hadoop.fs.Path(d.puffin)
+      val dfs = p.getFileSystem(conf)
+      val bytes = new Array[Byte](dfs.getFileStatus(p).getLen.toInt)
+      val in = dfs.open(p)
+      try in.readFully(bytes) finally in.close()
+      Iceberg.icebergDvPositions(bytes, d).map(pos =>
+        (Iceberg.normPathDriver(
+          Iceberg.resolve(table, d.referencedDataFile).toString), pos))
+    }
+    val out =
+      if (dead.isEmpty) base
+      else base.join(
+        broadcast(spark.createDataFrame(dead).toDF("__rl_fp", "__rl_pos")),
+        Seq("__rl_fp", "__rl_pos"), "left_anti")
+    out.drop("__rl_fp", "__rl_pos", "__rl_frid")
+  }
 }

@@ -128,6 +128,25 @@ class IcebergV3WriteSpec extends SparkSpec {
     assert(e2.getMessage.contains("v3"), e2.getMessage)
   }
 
+  test("row ids are STABLE: _row_id derives from first_row_id + position and survives deletes") {
+    val t = freshDir() + "/t"
+    IcebergWriter.createTableV3(spark, t, Seq((1L, 1.0)).toDF("id", "x").schema)
+    IcebergWriter.commitAppendV3(spark, t,
+      (1L to 5L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1), 761L, 1000L)
+    IcebergWriter.commitAppendV3(spark, t,
+      (6L to 8L).map(i => (i, i * 1.0)).toDF("id", "x").coalesce(1), 762L, 2000L)
+    val before = TableStreams.icebergReadWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    // the two appends tile the id space [0,5) and [5,8); within a file
+    // ids follow row position — the coalesce(1) writes preserve order
+    assert(before == (1L to 8L).map(i => i -> (i - 1L)).toMap, before.toString)
+    IcebergWriter.deleteWhereV3(spark, t, col("id").isin(2L, 7L), 763L, 3000L)
+    val after = TableStreams.icebergReadWithRowIds(spark, t)
+      .select("id", "_row_id").as[(Long, Long)].collect().toMap
+    assert(after == before - 2L - 7L,
+      "survivors keep their EXACT pre-delete row ids — the lineage law")
+  }
+
   test("v3 delete on a table with a FOREIGN (fixture-authored) DV unions through the q272 layout") {
     // the q272 shape: one data file, one pre-existing puffin DV killing %4 ids
     val t = freshDir() + "/t"
