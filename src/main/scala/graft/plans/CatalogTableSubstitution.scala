@@ -146,14 +146,22 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
         case x => Seq(x)
       }
       // ON must be a conjunction of same-named target=source column
-      // equalities — those names ARE the upsert keys
+      // equalities — those names ARE the upsert keys. `<=>` is accepted
+      // too: the writers' key matching is null-safe by construction, so
+      // the null-safe spelling is the MORE faithful one.
+      def keyOf(a: Expression, b: Expression): Option[String] = (a, b) match {
+        case (x: AttributeReference, y: AttributeReference)
+            if tset.contains(x) && sset.contains(y) &&
+              x.name.equalsIgnoreCase(y.name) => Some(x.name)
+        case (x: AttributeReference, y: AttributeReference)
+            if sset.contains(x) && tset.contains(y) &&
+              x.name.equalsIgnoreCase(y.name) => Some(y.name)
+        case _ => None
+      }
       val keys = conjuncts(m.mergeCondition).map {
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if tset.contains(a) && sset.contains(b) &&
-              a.name.equalsIgnoreCase(b.name) => a.name
-        case EqualTo(a: AttributeReference, b: AttributeReference)
-            if sset.contains(a) && tset.contains(b) &&
-              a.name.equalsIgnoreCase(b.name) => b.name
+        case EqualTo(a, b) if keyOf(a, b).isDefined => keyOf(a, b).get
+        case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(a, b)
+            if keyOf(a, b).isDefined => keyOf(a, b).get
         case other => refuse(s"ON clause term '${other.sql}' is not a " +
           "same-named target=source column equality")
       }.distinct

@@ -182,6 +182,21 @@ class SqlDmlSpec extends SparkSpec {
     assert(e4.getMessage.contains("same-named"), e4.getMessage)
   }
 
+  test("MERGE accepts the null-safe ON spelling (t.k <=> s.k)") {
+    val (cat, reg) = freshCatalog()
+    val d = freshDir() + "/d"
+    DeltaLogWriter.write(Seq((1L, 10.0)).toDF("id", "amount").coalesce(1), d)
+    reg.register("ns.t", d)
+    spark.sql(
+      s"""MERGE INTO $cat.ns.t t
+         |USING (SELECT * FROM VALUES (1L, 99.0), (2L, 2.0) AS s(id, amount)) s
+         |ON t.id <=> s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(rows(spark.sql(s"SELECT id, amount FROM $cat.ns.t")) ==
+      Map(1L -> 99.0, 2L -> 2.0))
+  }
+
   test("MERGE with an UPDATE clause refuses duplicate source keys (SQL cardinality)") {
     val (cat, reg) = freshCatalog()
     val d = freshDir() + "/d"
