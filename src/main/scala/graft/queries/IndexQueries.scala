@@ -3540,6 +3540,63 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // EXACTLY-ONCE streaming INTO Delta — the txn-action ledger: the
+    // q270 source table streams by NAME into a Delta sink through the
+    // V1 sink seam, every batch committing adds + {"txn":{appId,
+    // version}} in ONE log entry. The z_ sentinels pin the law from
+    // both directions: a RE-DRAIN over the same checkpoint delivers
+    // nothing, and a FORCED REPLAY of an already-committed batch id
+    // skips at the writer (the crash-between-commit-and-offset window
+    // closed). Completes the streaming matrix's by-name WRITE side
+    // (q278 = the read side).
+    "q280_stream_sink_txn" -> ((s, dir) => {
+      import s.implicits._
+      val srcBase = stageQ270DeltaStream(s, dir)
+      val tmp = new java.io.File(System.getProperty("java.io.tmpdir"),
+        s"graft_q280_${java.util.UUID.randomUUID().toString.take(8)}")
+      val dst = s"$tmp/dst"; val ckpt = s"$tmp/ckpt"
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.sink_src", srcBase)
+      val acc = scala.collection.mutable.ArrayBuffer.empty[(String, Long, Long, Long)]
+      try {
+        graft.sources.DeltaLogWriter.write(
+          s.emptyDataset[(Long, String, Long)]
+            .toDF("event_id", "event_type", "value_micros"), dst)
+        def drain(): Long = {
+          val before = graft.sources.DeltaLogReader.read(s, dst).count()
+          val q = s.readStream.table(s"$cat.graft.sink_src").writeStream
+            .format(classOf[org.apache.spark.sql.graft.GraftTableStreamProvider].getName)
+            .option("path", dst).option("format", "delta")
+            .option("txnAppId", "q280")
+            .option("checkpointLocation", ckpt)
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+          q.awaitTermination(180000L)
+          graft.sources.DeltaLogReader.read(s, dst).count() - before
+        }
+        drain()
+        val again = drain()
+        // forced replay: batch 0 is committed in the ledger — a direct
+        // re-submit with the same (appId, version) must SKIP
+        val replay = graft.sources.DeltaLogWriter.appendStreamBatch(
+          graft.sources.DeltaLogReader.read(s, dst).limit(1),
+          dst, "q280", 0L)
+        graft.sources.DeltaLogReader.read(s, dst)
+          .groupBy($"event_type")
+          .agg(count(lit(1)).as("n"), sum($"event_id").as("idc"),
+            sum($"value_micros").as("vmc"))
+          .collect().foreach(r => acc +=
+            (("a_" + r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))))
+        acc += (("z_redrain", again, 0L, 0L))
+        acc += (("z_replay", if (replay.isDefined) 1L else 0L, 0L, 0L))
+      } finally {
+        val p = new org.apache.hadoop.fs.Path(tmp.toString)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      acc.toSeq.toDF("leg", "n_rows", "id_checksum", "value_checksum")
+        .orderBy($"leg")
+    }),
+
     // SQL SCHEMA EVOLUTION + INSERT OVERWRITE through the catalog —
     // ALTER TABLE ADD/RENAME COLUMN on both formats (Delta through the
     // SET TBLPROPERTIES mapping upgrade; Iceberg id-keyed), INSERT
@@ -5019,6 +5076,23 @@ object IndexQueries {
         |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
         |    CAST(sum(vm) AS BIGINT)
         |  FROM d WHERE event_type = 'purchase' AND vm >= 500000000
+        |) ORDER BY leg""".stripMargin,
+    "q280_stream_sink_txn" ->
+      """WITH vm AS MATERIALIZED (
+        |  SELECT event_type, event_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('purchase', 'click', 'error'))
+        |SELECT * FROM (
+        |  SELECT 'a_' || event_type AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM vm GROUP BY event_type
+        |  UNION ALL
+        |  SELECT 'z_redrain', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'z_replay', CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q279_iceberg_v3_writes" ->
       """WITH p AS MATERIALIZED (

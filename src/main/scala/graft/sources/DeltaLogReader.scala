@@ -142,6 +142,10 @@ object DeltaLogReader {
     * parquet files themselves (real readers do the same — the pointer's
     * republish is not atomic on every filesystem, and a table whose
     * early commits were pruned is unreadable without its checkpoint). */
+  private[sources] def lastCheckpointVersion(spark: SparkSession,
+                                             path: String): Option[Long] =
+    lastCheckpoint(spark, path, None)
+
   private def lastCheckpoint(spark: SparkSession, path: String,
                              asOf: Option[Long]): Option[Long] = {
     val p = new Path(logDir(path), "_last_checkpoint")

@@ -737,7 +737,122 @@ object DeltaLogWriter {
       "metaData STRUCT<id: STRING, format: STRUCT<provider: STRING, " +
       "options: MAP<STRING, STRING>>, schemaString: STRING, " +
       "partitionColumns: ARRAY<STRING>, configuration: MAP<STRING, STRING>, " +
-      "createdTime: BIGINT>")
+      "createdTime: BIGINT>, " +
+      "txn STRUCT<appId: STRING, version: BIGINT, lastUpdated: BIGINT>")
+
+  /** Latest `txn` action per appId — the protocol's idempotent-streaming
+    * ledger: a prior checkpoint's txn rows (this writer carries them
+    * forward, so cleanLog never forgets a writer's position) overlaid by
+    * every SURVIVING commit JSON's txn actions, later wins. */
+  private[sources] def latestTxns(spark: SparkSession, path: String)
+      : Map[String, Long] = {
+    val log = logDir(spark, path)
+    val f = fs(spark, new Path(path))
+    val acc = scala.collection.mutable.Map.empty[String, Long]
+    // prior checkpoint's txn rows first (the base state)
+    DeltaLogReader.lastCheckpointVersion(spark, path).foreach { cv =>
+      val single = new Path(log, f"$cv%020d.checkpoint.parquet")
+      val partPaths: Seq[String] =
+        if (f.exists(single)) Seq(single.toString)
+        else f.globStatus(new Path(log,
+            f"$cv%020d.checkpoint.??????????.??????????.parquet"))
+          .map(_.getPath.toString).sorted.toSeq
+      if (partPaths.nonEmpty) {
+        val ck = spark.read.parquet(partPaths: _*)
+        if (ck.schema.fieldNames.contains("txn"))
+          ck.where(org.apache.spark.sql.functions.col("txn").isNotNull)
+            .select("txn.appId", "txn.version").collect()
+            .foreach(r => acc(r.getString(0)) = r.getLong(1))
+      }
+    }
+    DeltaLogReader.versions(spark, path).foreach { cv =>
+      DeltaLogReader.readSmallFile(spark, new Path(log, f"$cv%020d.json"))
+        .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+        .filter(_.has("txn")).foreach { n =>
+          val t = n.get("txn")
+          acc(t.path("appId").asText("")) = t.path("version").asLong()
+        }
+    }
+    acc.toMap
+  }
+
+  /** The last batch version a streaming writer `appId` committed, or
+    * None for a writer the log has never seen. */
+  def lastTxnVersion(spark: SparkSession, path: String,
+                     appId: String): Option[Long] =
+    latestTxns(spark, path).get(appId)
+
+  /** EXACTLY-ONCE STREAMING APPEND — the delta streaming sink's own
+    * idempotence protocol: the batch's adds commit together with a
+    * `{"txn": {appId, version}}` action, and a batch whose version is
+    * ≤ the appId's recorded position SKIPS (returns None) instead of
+    * double-landing — so a foreachBatch/Sink retry after a crash
+    * between the data commit and the engine's offset commit is a
+    * no-op, turning the engine's at-least-once redelivery into
+    * exactly-once table state. Checkpoints carry txn rows forward
+    * ([[checkpoint]]), so cleanLog never forgets a writer's position.
+    * Schema/partition validation and the NOT-NULL guard mirror
+    * [[appendOptimistic]]; column-mapped tables refuse (stream through
+    * foreachBatch + write()).
+    * @return Some(committed version), or None when the batch was
+    *   already applied */
+  def appendStreamBatch(df: DataFrame, path: String,
+                        appId: String, batchVersion: Long,
+                        partitionBy: Seq[String] = Nil): Option[Long] = {
+    val spark = df.sparkSession
+    require(appId.nonEmpty, "appendStreamBatch needs a stable appId")
+    if (lastTxnVersion(spark, path, appId).exists(_ >= batchVersion))
+      return None
+    val root = new Path(path)
+    val f = fs(spark, root)
+    val meta = DeltaLogReader.replayState(spark, path, None)._2
+      .getOrElse(throw new IllegalArgumentException(
+        s"Delta log at $path carries no metaData action — create the " +
+          "table with write() before streaming into it"))
+    requireBlindAppendable(spark, path, meta)
+    require(DeltaLogReader.mappingMode(meta) == "none",
+      s"Delta table at $path uses column mapping — stream through " +
+        "foreachBatch + write() instead")
+    require(sameShape(meta.path("schemaString").asText(), df.schema),
+      s"stream batch schema drifts from $path's metaData schema (table: " +
+        s"${meta.path("schemaString").asText()}; batch: ${df.schema.json})")
+    val tableParts = (0 until meta.path("partitionColumns").size())
+      .map(meta.path("partitionColumns").get(_).asText())
+    require(tableParts == partitionBy,
+      s"partitionBy ${partitionBy.mkString("(", ", ", ")")} contradicts " +
+        s"$path's partition columns ${tableParts.mkString("(", ", ", ")")}")
+    val declared = org.apache.spark.sql.types.DataType
+      .fromJson(meta.path("schemaString").asText())
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val toStage =
+      if (!declared.fields.exists(fd => !fd.nullable && df.schema(fd.name).nullable)) df
+      else {
+        import org.apache.spark.sql.functions.{lit, raise_error, when}
+        df.select(declared.fields.map { fd =>
+          val c = dfCol(df, fd.name)
+          (if (fd.nullable || !df.schema(fd.name).nullable) c
+           else when(c.isNull, raise_error(lit(
+             s"NOT NULL constraint violated: column ${fd.name} of $path")))
+             .otherwise(c)).as(fd.name)
+        }.toSeq: _*)
+      }
+    val version = DeltaLogReader.latestVersion(spark, path).get + 1
+    val newFiles = publishParts(spark, root, toStage, version, partitionBy)
+    val now = System.currentTimeMillis()
+    val adds = newFiles.map { rel =>
+      val st = f.getFileStatus(new Path(root, rel))
+      s"""{"add":{"path":${jsonStr(encodePath(rel))},"partitionValues":${partitionValuesJson(rel)},""" +
+        s""""size":${st.getLen},"modificationTime":${st.getModificationTime},""" +
+        s""""dataChange":true}}"""
+    }
+    val txnLine =
+      s"""{"txn":{"appId":${jsonStr(appId)},"version":$batchVersion,"lastUpdated":$now}}"""
+    val commit = new Path(logDir(spark, path), f"$version%020d.json")
+    require(!f.exists(commit),
+      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
+    writeAtomic(spark, commit, (txnLine +: adds).mkString("", "\n", "\n"))
+    Some(version)
+  }
 
   /** Compact the CURRENT active-file state into a
     * `%020d.checkpoint.parquet` (or, with `parts > 1`, the spec's
@@ -822,6 +937,14 @@ object DeltaLogWriter {
     require(protoLine.nonEmpty && metaLine.nonEmpty,
       s"Delta log at $path has no surviving protocol/metaData action in its " +
         "commits or prior checkpoint — cannot write a spec-complete checkpoint")
+    // the idempotent-streaming ledger rides every checkpoint: without it
+    // cleanLog would forget a streaming writer's position and a replayed
+    // batch would double-land (the protocol carries txn rows for exactly
+    // this reason)
+    val txnLines = latestTxns(spark, path).toSeq.sortBy(_._1).map {
+      case (app, tv) =>
+        s"""{"txn":{"appId":${jsonStr(app)},"version":$tv}}"""
+    }
     val tmp = new Path(log, ".tmp_checkpoint")
     f.delete(tmp, true)
     // re-relativize against the table root (NOT getName — a partitioned
@@ -856,16 +979,17 @@ object DeltaLogWriter {
       f.delete(tmp, true)
     }
     if (parts == 1)
-      writePart(protoLine.toSeq ++ metaLine.toSeq ++ addLines,
+      writePart(protoLine.toSeq ++ metaLine.toSeq ++ txnLines ++ addLines,
         new Path(log, f"$v%020d.checkpoint.parquet"))
     else chunks.zipWithIndex.foreach { case (chunk, i) =>
-      val header = if (i == 0) protoLine.toSeq ++ metaLine.toSeq else Seq.empty
+      val header =
+        if (i == 0) protoLine.toSeq ++ metaLine.toSeq ++ txnLines else Seq.empty
       writePart(header ++ chunk,
         new Path(log, f"$v%020d.checkpoint.${i + 1}%010d.$parts%010d.parquet"))
     }
     val partsField = if (parts == 1) "" else s""","parts":$parts"""
     writeAtomic(spark, new Path(log, "_last_checkpoint"),
-      s"""{"version":$v,"size":${entries.size + 2}$partsField}""" + "\n",
+      s"""{"version":$v,"size":${entries.size + 2 + txnLines.size}$partsField}""" + "\n",
       overwrite = true)
     v
   }

@@ -27,6 +27,13 @@ object TableStreams {
         StructField(f.name, Iceberg.sparkType(f.typ), nullable = true)))
     }
 
+  /** The Delta table's declared partition columns (empty when none) —
+    * what a streaming sink must partition its batch publishes by. */
+  def deltaPartitionColumns(spark: SparkSession, path: String): Seq[String] =
+    DeltaLogReader.replayState(spark, path, None)._2
+      .map(_.path("partitionColumns")).toSeq
+      .flatMap(n => (0 until n.size()).map(n.get(_).asText()))
+
   /** Snapshot ids in LOG ORDER (append-only — the streaming offset
     * domain; ids themselves are random longs). */
   def icebergSnapshotIds(spark: SparkSession, table: String): Seq[Long] = {

@@ -6,7 +6,7 @@ import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedO
 import org.apache.spark.sql.sources.StreamSourceProvider
 import org.apache.spark.sql.types.StructType
 
-import graft.sources.{DeltaLogReader, Iceberg, TableStreams}
+import graft.sources.{DeltaLogReader, DeltaLogWriter, Iceberg, TableStreams}
 
 /** `spark.readStream.table("<cat>.ns.t")` — the by-name streaming read
   * over the repo's Delta/Iceberg interpreters, spelled as a V1
@@ -34,11 +34,46 @@ import graft.sources.{DeltaLogReader, Iceberg, TableStreams}
   * [[graft.sources.GraftSqlTable]] with a V1 `StreamingRelation` over
   * [[GraftTableStreamProvider]], output re-aliased — the same
   * substitution discipline as the batch path. */
-class GraftTableStreamProvider extends StreamSourceProvider {
+class GraftTableStreamProvider extends StreamSourceProvider
+    with org.apache.spark.sql.sources.StreamSinkProvider {
 
   private def need(params: Map[String, String], k: String): String =
     params.getOrElse(k, throw new IllegalArgumentException(
       s"GraftTableStreamProvider needs option '$k'"))
+
+  /** The STREAMING SINK half — `df.writeStream.format(<this class>)
+    * .option("path", loc).option("format", "delta")` — EXACTLY-ONCE
+    * into Delta through the protocol's own `txn` actions
+    * ([[graft.sources.DeltaLogWriter.appendStreamBatch]]): every batch
+    * commits its adds together with `{"txn": {appId, version}}`, and a
+    * replayed batch (crash between the data commit and the engine's
+    * offset commit — the V1 sink's at-least-once window) SKIPS instead
+    * of double-landing. `appId` = option `txnAppId`, defaulting to the
+    * checkpointLocation (stable across restarts by construction).
+    * Append mode only; Iceberg sinks refuse naming the
+    * foreachBatch + commitAppendOptimistic pattern (Iceberg's snapshot
+    * summaries, not txn actions, would carry the ledger — q252). */
+  override def createSink(sqlContext: SQLContext,
+                          parameters: Map[String, String],
+                          partitionColumns: Seq[String],
+                          outputMode: org.apache.spark.sql.streaming.OutputMode)
+      : org.apache.spark.sql.execution.streaming.Sink = {
+    require(outputMode == org.apache.spark.sql.streaming.OutputMode.Append(),
+      s"the graft table sink appends — output mode $outputMode would need " +
+        "keyed upserts; use foreachBatch + the writers' upsert")
+    val path = need(parameters, "path")
+    require(need(parameters, "format") == "delta",
+      "the graft table sink streams into DELTA (txn-action idempotence); " +
+        "Iceberg ingest is foreachBatch + commitAppendOptimistic (q252)")
+    val appId = parameters.get("txnAppId")
+      .orElse(parameters.get("checkpointLocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        "the graft table sink needs option 'txnAppId' (or a " +
+          "checkpointLocation to derive it from) — the exactly-once " +
+          "ledger is per-writer"))
+    new GraftDeltaStreamSink(sqlContext.sparkSession, path, appId,
+      partitionColumns)
+  }
 
   override def sourceSchema(sqlContext: SQLContext,
                             schema: Option[StructType], providerName: String,
@@ -145,6 +180,35 @@ private[graft] class GraftIcebergAppendsSource(spark: SparkSession,
   override def commit(end: V1Offset): Unit = ()
   override def stop(): Unit = ()
   override def toString: String = s"GraftIcebergAppendsSource[$path]"
+}
+
+/** The Delta streaming sink: one txn-stamped append commit per
+  * micro-batch. The engine hands `addBatch` an INCREMENTAL-execution
+  * frame — re-wrap it as a batch frame off the materialized RDD (the
+  * V1 sink discipline every real sink follows) before the writer plans
+  * its own jobs over it. */
+private[graft] class GraftDeltaStreamSink(spark: SparkSession, path: String,
+                                          appId: String,
+                                          partitionColumns: Seq[String])
+    extends org.apache.spark.sql.execution.streaming.Sink {
+  override def addBatch(batchId: Long,
+                        data: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row]): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val batchDf = cs.internalCreateDataFrame(
+      data.asInstanceOf[org.apache.spark.sql.classic.Dataset[org.apache.spark.sql.Row]]
+        .queryExecution.toRdd,
+      data.schema, isStreaming = false)
+    val partCols =
+      if (partitionColumns.nonEmpty) partitionColumns
+      else TableStreams.deltaPartitionColumns(spark, path)
+    DeltaLogWriter.appendStreamBatch(batchDf, path, appId, batchId, partCols)
+      match {
+        case Some(_) => ()
+        case None => // replayed batch — the txn ledger already holds it
+      }
+  }
+  override def name(): String = s"graft-delta-sink[$path]"
+  override def toString: String = name()
 }
 
 /** Constructor bridge for the `private[sql]` V1 streaming plan pieces. */

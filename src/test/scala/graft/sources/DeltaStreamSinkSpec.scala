@@ -1,0 +1,107 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.streaming.Trigger
+
+/** EXACTLY-ONCE streaming INTO Delta — the protocol's own `txn`-action
+  * idempotence: every sink batch commits its adds together with
+  * `{"txn": {appId, version}}`, a replayed batch skips, and checkpoints
+  * carry the ledger forward so cleanLog never forgets a writer's
+  * position. Closes the streaming matrix's by-name WRITE side
+  * (read side = q278). */
+class DeltaStreamSinkSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("dsink").toString
+
+  private val provider =
+    classOf[org.apache.spark.sql.graft.GraftTableStreamProvider].getName
+
+  private def freshCatalog(): (String, FileRegistryCatalog) = {
+    val name = "sk" + java.util.UUID.randomUUID().toString.take(8)
+    val reg = freshDir() + "/registry.json"
+    spark.conf.set(s"spark.sql.catalog.$name", classOf[GraftCatalog].getName)
+    spark.conf.set(s"spark.sql.catalog.$name.registry", reg)
+    (name, new FileRegistryCatalog(spark, reg))
+  }
+
+  test("table-to-table streaming: by-name source into the txn sink, exactly-once across drains") {
+    val (cat, reg) = freshCatalog()
+    val src = freshDir() + "/src"
+    val dst = freshDir() + "/dst"
+    DeltaLogWriter.write(Seq((1L, "a"), (2L, "b")).toDF("id", "k").coalesce(1), src)
+    DeltaLogWriter.write(spark.emptyDataset[(Long, String)].toDF("id", "k"), dst)
+    reg.register("ns.src", src)
+    val ckpt = freshDir() + "/ckpt"
+    def drainOnce(): Unit = {
+      val q = spark.readStream.table(s"$cat.ns.src").writeStream
+        .format(provider)
+        .option("path", dst).option("format", "delta")
+        .option("txnAppId", "sink-spec-app")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination(120000L)
+    }
+    drainOnce()
+    assert(DeltaLogReader.read(spark, dst).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L))
+    drainOnce() // nothing new: no rows, no duplicate
+    assert(DeltaLogReader.read(spark, dst).count() == 2L)
+    DeltaLogWriter.appendOptimistic(Seq((3L, "c")).toDF("id", "k").coalesce(1), src)
+    drainOnce()
+    assert(DeltaLogReader.read(spark, dst).select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L), "only the new commit lands")
+  }
+
+  test("a replayed batch (same appId + version) SKIPS — the txn ledger") {
+    val dst = freshDir() + "/dst"
+    DeltaLogWriter.write(Seq((0L, "seed")).toDF("id", "k").coalesce(1), dst)
+    val b = Seq((1L, "x")).toDF("id", "k").coalesce(1)
+    assert(DeltaLogWriter.appendStreamBatch(b, dst, "app1", 0L).isDefined)
+    assert(DeltaLogWriter.appendStreamBatch(b, dst, "app1", 0L).isEmpty,
+      "the replay must skip")
+    assert(DeltaLogReader.read(spark, dst).count() == 2L)
+    // an OLDER version also skips; a NEWER one lands; a DIFFERENT app lands
+    assert(DeltaLogWriter.appendStreamBatch(b, dst, "app1", -1L).isEmpty)
+    assert(DeltaLogWriter.appendStreamBatch(b, dst, "app1", 1L).isDefined)
+    assert(DeltaLogWriter.appendStreamBatch(b, dst, "app2", 0L).isDefined)
+    assert(DeltaLogReader.read(spark, dst).count() == 4L)
+  }
+
+  test("checkpoint + cleanLog carry the txn ledger — the writer's position survives pruning") {
+    val dst = freshDir() + "/dst"
+    DeltaLogWriter.write(Seq((0L, "seed")).toDF("id", "k").coalesce(1), dst)
+    val b = Seq((1L, "x")).toDF("id", "k").coalesce(1)
+    DeltaLogWriter.appendStreamBatch(b, dst, "appX", 7L)
+    DeltaLogWriter.checkpoint(spark, dst)
+    DeltaLogWriter.cleanLog(spark, dst)
+    assert(DeltaLogReader.versions(spark, dst).isEmpty ||
+      DeltaLogReader.versions(spark, dst).head > 0L,
+      "cleanLog pruned the early commits")
+    assert(DeltaLogWriter.lastTxnVersion(spark, dst, "appX").contains(7L),
+      "the checkpoint carries the ledger")
+    assert(DeltaLogWriter.appendStreamBatch(b, dst, "appX", 7L).isEmpty,
+      "a replay after pruning still skips")
+    assert(DeltaLogReader.read(spark, dst).count() == 2L)
+  }
+
+  test("sink refusals: Iceberg format, missing appId, non-append modes") {
+    val p = new org.apache.spark.sql.graft.GraftTableStreamProvider
+    val sqlc = spark.sqlContext
+    val e1 = intercept[IllegalArgumentException](p.createSink(sqlc,
+      Map("path" -> "/tmp/x", "format" -> "iceberg"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append()))
+    assert(e1.getMessage.contains("foreachBatch"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException](p.createSink(sqlc,
+      Map("path" -> "/tmp/x", "format" -> "delta"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Append()))
+    assert(e2.getMessage.contains("txnAppId"), e2.getMessage)
+    val e3 = intercept[IllegalArgumentException](p.createSink(sqlc,
+      Map("path" -> "/tmp/x", "format" -> "delta", "txnAppId" -> "a"), Nil,
+      org.apache.spark.sql.streaming.OutputMode.Complete()))
+    assert(e3.getMessage.contains("append"), e3.getMessage)
+  }
+}
