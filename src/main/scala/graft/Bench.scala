@@ -128,6 +128,21 @@ object Bench {
       }
     }
     runStagings()
+    warm("query-local-fixtures") {
+      // five queries stage their own scratch inside their bodies
+      // (write-once per sf dir + source signature): on a FRESH box the
+      // first lap would book that staging into their timed windows
+      // (r15 lap-A evidence: 8 staging_in_lap pins) — run each once
+      // here so the timed laps measure steady-state query work
+      Seq("q162_compaction", "q171_dynamic_overwrite", "q185_model_registry",
+          "q190_schema_evolution", "q191_nested_pruning")
+        .foreach { n =>
+          try SparkEntry.queries(n)(spark, sfDir).count()
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $n fixture warmup failed (continuing): ${e.getMessage}")
+          }
+        }
+    }
     warm("shared-caches") {
       // the session-cache web (shingle/minhash/copurchase/bigram frames):
       // built here so each consumer query reports MARGINAL cost, not the
