@@ -749,8 +749,13 @@ object DeltaLogWriter {
     val log = logDir(spark, path)
     val f = fs(spark, new Path(path))
     val acc = scala.collection.mutable.Map.empty[String, Long]
-    // prior checkpoint's txn rows first (the base state)
-    DeltaLogReader.lastCheckpointVersion(spark, path).foreach { cv =>
+    // prior checkpoint's txn rows first (the base state) — and the JSON
+    // walk below then starts AFTER it: a long-running streaming ingest
+    // pays O(#commits-since-checkpoint) per batch, not O(#commits)
+    // (Delta's own checkpoint-every-10-commits discipline is what keeps
+    // this bounded; [[GraftDeltaStreamSink]] follows it)
+    val ckptV = DeltaLogReader.lastCheckpointVersion(spark, path)
+    ckptV.foreach { cv =>
       val single = new Path(log, f"$cv%020d.checkpoint.parquet")
       val partPaths: Seq[String] =
         if (f.exists(single)) Seq(single.toString)
@@ -765,14 +770,15 @@ object DeltaLogWriter {
             .foreach(r => acc(r.getString(0)) = r.getLong(1))
       }
     }
-    DeltaLogReader.versions(spark, path).foreach { cv =>
-      DeltaLogReader.readSmallFile(spark, new Path(log, f"$cv%020d.json"))
-        .split("\n").filter(_.nonEmpty).map(mapper.readTree)
-        .filter(_.has("txn")).foreach { n =>
-          val t = n.get("txn")
-          acc(t.path("appId").asText("")) = t.path("version").asLong()
-        }
-    }
+    DeltaLogReader.versions(spark, path)
+      .filter(v => ckptV.forall(v > _)).foreach { cv =>
+        DeltaLogReader.readSmallFile(spark, new Path(log, f"$cv%020d.json"))
+          .split("\n").filter(_.nonEmpty).map(mapper.readTree)
+          .filter(_.has("txn")).foreach { n =>
+            val t = n.get("txn")
+            acc(t.path("appId").asText("")) = t.path("version").asLong()
+          }
+      }
     acc.toMap
   }
 

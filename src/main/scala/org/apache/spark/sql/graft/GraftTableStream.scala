@@ -203,7 +203,18 @@ private[graft] class GraftDeltaStreamSink(spark: SparkSession, path: String,
       else TableStreams.deltaPartitionColumns(spark, path)
     DeltaLogWriter.appendStreamBatch(batchDf, path, appId, batchId, partCols)
       match {
-        case Some(_) => ()
+        case Some(v) =>
+          // Delta's own checkpoint-every-10-commits discipline: bounds
+          // the per-batch txn-ledger walk (and every reader's replay) to
+          // O(commits-since-checkpoint). No cleanLog here — downstream
+          // by-name streams of THIS table keep their commit history.
+          if (v % 10 == 0)
+            try DeltaLogWriter.checkpoint(spark, path)
+            catch { case e: Throwable =>
+              // checkpointing is maintenance, never batch-fatal
+              org.slf4j.LoggerFactory.getLogger(getClass).warn(
+                s"checkpoint at v$v of $path failed (stream continues): ${e.getMessage}")
+            }
         case None => // replayed batch — the txn ledger already holds it
       }
   }
