@@ -245,15 +245,34 @@ object Dedup {
     * threshold applies to the ROUNDED (6 dp) jaccard — a pair whose true
     * jaccard sits within 5e-7 below the threshold rounds up and is kept
     * (keeps the emitted value and the cut consistent with each other and
-    * with the oracle, at the price of the old exact-boundary behavior). */
+    * with the oracle, at the price of the old exact-boundary behavior).
+    *
+    * HOT-SHINGLE CAP (`maxShingleDf`): a shingle present in k in-block docs
+    * fans out to C(k,2) pair rows in the equi-join — the one quadratic this
+    * shape can't otherwise bound (the q139 boilerplate-df / q77 posting-cap
+    * precedent). Shingles with df > `maxShingleDf` over the full blocking
+    * key are dropped via [[capHotFingerprints]] BEFORE pairing, bounding
+    * per-shingle fanout at C(maxShingleDf, 2) regardless of corpus size; a
+    * shingle that common is boilerplate by definition and carries no
+    * near-dup signal. Contract: sizes (`sz_a`/`sz_b`) stay the FULL distinct
+    * shingle counts while the intersection counts only surviving shingles,
+    * so the reported jaccard is a LOWER BOUND of the true jaccard — equal
+    * whenever no shared shingle is hot (DedupSpec pins both directions), and
+    * pairs whose entire overlap is hot boilerplate drop out rather than
+    * pairing on it. The cap adds one hash-agg over the exploded stream plus
+    * a broadcast-sized anti-join (the hot set is the df-filtered tail — tiny
+    * by construction); the main stream is never shuffled an extra time. */
   def ngramJaccardPairs(df: DataFrame, blockCols: Seq[String],
                         threshold: Double, textCol: String = "text",
-                        idCol: String = "doc_id", shingleN: Int = 3): DataFrame = {
+                        idCol: String = "doc_id", shingleN: Int = 3,
+                        maxShingleDf: Int = 64): DataFrame = {
     val sized = df.select((blockCols.map(col) :+ col(idCol) :+
       shingles(col(textCol), shingleN).as("__sh")): _*)
       .withColumn("__sz", size(col("__sh")))
-    val ex = sized.select((blockCols.map(col) :+ col(idCol) :+ col("__sz") :+
-      explode(col("__sh")).as("__s")): _*)
+    val ex = capHotFingerprints(
+      sized.select((blockCols.map(col) :+ col(idCol) :+ col("__sz") :+
+        explode(col("__sh")).as("__s")): _*),
+      maxShingleDf, blockCols :+ "__s")
     val a = ex.toDF(blockCols ++ Seq("id_a", "sz_a", "__s"): _*)
     val b = ex.toDF(blockCols ++ Seq("id_b", "sz_b", "__s"): _*)
     a.join(b, blockCols :+ "__s")
@@ -273,15 +292,20 @@ object Dedup {
     * containment ≈ 1. Same blocked shingle-equi-join shape as
     * [[ngramJaccardPairs]] (only pairs sharing ≥1 shingle ever
     * materialize — never all-pairs); µ-scaled integer output so the
-    * oracle replays hash-exact. */
+    * oracle replays hash-exact. Carries the same `maxShingleDf` hot-shingle
+    * cap (and the same lower-bound contract: full-size denominator,
+    * surviving-shingle numerator) — see [[ngramJaccardPairs]]. */
   def containmentPairs(df: DataFrame, blockCols: Seq[String],
                        thresholdMicro: Long, textCol: String = "text",
-                       idCol: String = "doc_id", shingleN: Int = 3): DataFrame = {
+                       idCol: String = "doc_id", shingleN: Int = 3,
+                       maxShingleDf: Int = 64): DataFrame = {
     val sized = df.select((blockCols.map(col) :+ col(idCol) :+
       shingles(col(textCol), shingleN).as("__sh")): _*)
       .withColumn("__sz", size(col("__sh")))
-    val ex = sized.select((blockCols.map(col) :+ col(idCol) :+ col("__sz") :+
-      explode(col("__sh")).as("__s")): _*)
+    val ex = capHotFingerprints(
+      sized.select((blockCols.map(col) :+ col(idCol) :+ col("__sz") :+
+        explode(col("__sh")).as("__s")): _*),
+      maxShingleDf, blockCols :+ "__s")
     val a = ex.toDF(blockCols ++ Seq("id_a", "sz_a", "__s"): _*)
     val b = ex.toDF(blockCols ++ Seq("id_b", "sz_b", "__s"): _*)
     a.join(b, blockCols :+ "__s")

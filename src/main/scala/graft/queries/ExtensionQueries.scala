@@ -1258,14 +1258,20 @@ object ExtensionQueries {
     // 5-gram with a train-split doc (the benchmark-decontamination pass a
     // pretraining pipeline runs before eval). Split = the q55 hash split;
     // same explode→equi-join shape as dedup, so it scales the same way.
+    // Hot-n-gram cap: an n-gram in a train docs × b test docs fans out to
+    // a×b join rows; capping each side's df at 64 via capHotFingerprints
+    // bounds per-n-gram fanout at 64² (boilerplate that common is not
+    // contamination signal). Fixture max df is 5, so oracles are unchanged.
     "q56_contamination" -> ((s, dir) => {
       import s.implicits._
       val tagged = t(s, dir, "documents").withColumn("bk",
         TextFunctions.md5Bucket16($"doc_id".cast("string"), "split|") % 100)
-      val train = tagged.where($"bk" < 80)
-        .select($"doc_id".as("train_id"), explode(Dedup.shingles($"text", 5)).as("ng"))
-      val test = tagged.where($"bk" >= 90)
-        .select($"doc_id".as("test_id"), explode(Dedup.shingles($"text", 5)).as("ng"))
+      val train = Dedup.capHotFingerprints(tagged.where($"bk" < 80)
+        .select($"doc_id".as("train_id"), explode(Dedup.shingles($"text", 5)).as("ng")),
+        maxDf = 64, Seq("ng"))
+      val test = Dedup.capHotFingerprints(tagged.where($"bk" >= 90)
+        .select($"doc_id".as("test_id"), explode(Dedup.shingles($"text", 5)).as("ng")),
+        maxDf = 64, Seq("ng"))
       test.join(train, Seq("ng"))
         .groupBy($"test_id")
         .agg(countDistinct($"train_id").as("n_train_docs"), count(lit(1)).as("n_hits"))

@@ -87,6 +87,40 @@ class DedupSpec extends SparkSpec {
     assert(!out.contains((4L, 5L)))
   }
 
+  test("hot-shingle cap: boilerplate-only pairs drop, genuine pairs keep their jaccard") {
+    import spark.implicits._
+    // docs 1-5 share exactly ONE shingle ("the quick fox" — boilerplate,
+    // df 5); docs 6/7 are genuine near-dups sharing three non-hot shingles
+    val corpus = (Seq(
+      (1L, "the quick fox alpha1 beta1"), (2L, "the quick fox alpha2 beta2"),
+      (3L, "the quick fox alpha3 beta3"), (4L, "the quick fox alpha4 beta4"),
+      (5L, "the quick fox alpha5 beta5"),
+      (6L, "alpha beta gamma delta epsilon"),
+      (7L, "alpha beta gamma delta zeta"))
+    ).toDF("doc_id", "text").withColumn("source", lit("s"))
+    def pairs(maxDf: Int) =
+      Dedup.ngramJaccardPairs(corpus, Seq("source"), threshold = 0.0,
+        maxShingleDf = maxDf)
+        .select($"id_a", $"id_b", $"jaccard").collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val uncapped = pairs(100)   // above corpus max df → identity
+    val capped = pairs(4)       // boilerplate shingle (df 5) dropped
+    // uncapped: every 1-5 pair shares the boilerplate shingle
+    assert(uncapped.keySet.count { case (a, b) => a <= 5 && b <= 5 } == 10)
+    // drop accounting: capping removes EXACTLY the boilerplate-only pairs —
+    // nothing else appears or disappears
+    assert(capped.keySet == uncapped.keySet.filter { case (a, b) => a >= 6 || b >= 6 })
+    // genuine near-dup pair survives with its jaccard UNCHANGED (no shared
+    // shingle is hot), and every surviving pair obeys the lower-bound law
+    assert(capped((6L, 7L)) == uncapped((6L, 7L)))
+    assert(capped.forall { case (k, j) => j <= uncapped(k) })
+    // containment carries the identical cap (same exploded stream)
+    val cm = Dedup.containmentPairs(corpus, Seq("source"), thresholdMicro = 0L,
+      maxShingleDf = 4)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cm == capped.keySet)
+  }
+
   test("containment: a doc quoted inside a longer one scores 1.0 where jaccard stays low") {
     import spark.implicits._
     val short = "alpha beta gamma delta epsilon zeta"
