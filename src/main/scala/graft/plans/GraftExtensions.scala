@@ -28,6 +28,7 @@ import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
   *    `approx_count_distinct`). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    extensions.injectParser((_, delegate) => new GraftSqlParser(delegate))
     extensions.injectResolutionRule(_ => CatalogTableSubstitution)
     extensions.injectOptimizerRule(_ => AntiJoinRewrite)
     extensions.injectOptimizerRule(_ => CellRangePushdown)

@@ -1,0 +1,82 @@
+package graft.plans
+
+import java.util.Locale
+
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.{DataType, StructType}
+
+/** Parser front-end for the ONE maintenance statement the reference's own
+  * notebooks type that Spark's grammar lacks:
+  *
+  * {{{ OPTIMIZE <table> [ZORDER BY (col, col, ...)] }}}
+  *
+  * — the literal `OPTIMIZE {} ZORDER BY (user, h3)` a reference user runs
+  * (`01_geofraud_clustering.py:440`). The statement parses to a
+  * [[org.apache.spark.sql.graft.GraftOptimizeCommand]], which resolves the
+  * (possibly catalog-qualified) name through the session's V2 catalog
+  * manager at run time and routes to the same format-writer maintenance
+  * passes the `CALL <cat>.system.optimize(...)` procedure drives — SQL
+  * spelling and procedure share one implementation.
+  *
+  * Everything that is not an OPTIMIZE statement delegates to Spark's own
+  * parser untouched (the wrapper adds no grammar ambiguity: `OPTIMIZE` is
+  * not a Spark statement keyword). An OPTIMIZE statement this front-end
+  * cannot shape-match (e.g. a `WHERE` partition predicate) refuses loudly
+  * with the supported form named, rather than falling through to Spark's
+  * opaque "syntax error at OPTIMIZE". */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    GraftSqlParser.parseOptimize(sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** `OPTIMIZE name [ZORDER BY (c1, c2, ...)]` — names are dotted parts,
+    * each part optionally backticked (a backticked part containing a
+    * literal dot is out of scope for this front-end). */
+  private val OptimizeStmt =
+    """(?is)\s*OPTIMIZE\s+([`\w.]+)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
+
+  private def unquote(part: String): String =
+    part.stripPrefix("`").stripSuffix("`")
+
+  private[plans] def parseOptimize(sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case OptimizeStmt(name, zcols) =>
+        val parts = name.split('.').toSeq.map(unquote).filter(_.nonEmpty)
+        require(parts.nonEmpty, s"OPTIMIZE: empty table name in '$sqlText'")
+        val cols = Option(zcols).toSeq
+          .flatMap(_.split(',').toSeq).map(s => unquote(s.trim))
+          .filter(_.nonEmpty)
+        Some(org.apache.spark.sql.graft.GraftOptimizeCommand(parts, cols))
+      case other
+          if other.trim.toUpperCase(Locale.ROOT).startsWith("OPTIMIZE") =>
+        throw new IllegalArgumentException(
+          "OPTIMIZE: this front-end accepts exactly " +
+            "'OPTIMIZE <table> [ZORDER BY (col, ...)]' — partition " +
+            "predicates (WHERE) and other clauses are not supported; got: " +
+            other.trim)
+      case _ => None
+    }
+}

@@ -107,6 +107,7 @@ object IndexQueries {
   private val q277TablePat = scratchPat("q277_sql_evolve")
   private val q278TablePat = scratchPat("q278_stream_table")
   private val q279TablePat = scratchPat("q279_iceberg_v3w")
+  private val q281TablePat = scratchPat("q281_sql_zorder")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -1009,6 +1010,38 @@ object IndexQueries {
       s.sql(s"INSERT INTO $cat.graft.sqlins_ice " +
         s"SELECT event_id, event_type, value_micros * 3 " +
         s"FROM $cat.graft.sqlins_delta WHERE event_id % 7 = 0")
+    }
+    base
+  }
+
+  /** q281's fixture: the reference's own maintenance statement —
+    * `OPTIMIZE tbl ZORDER BY (cols)` (`01_geofraud_clustering.py:440`)
+    * — run as SQL TEXT by table name on BOTH formats through the
+    * injected parser: the Delta side takes the Morton-clustered
+    * bin-pack rewrite (two numeric columns → true z-interleave,
+    * `ZOrderClustering`), the Iceberg side the clustered compaction
+    * (`compact(sortBy=...)` — the q254 machinery, whose 1-of-N
+    * pruned-read law q254 pins). Multi-file writes first so the
+    * rewrite actually re-bins. */
+  private[graft] def stageQ281SqlOptimize(s: SparkSession, dir: String): String = {
+    val base = scratch(q281TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(et: String) = t(s, dir, "events").where($"event_type" === et)
+        .select($"event_id", $"user_id",
+          round($"value" * 1e6).cast("long").as("value_micros"))
+        .repartition(4)
+      graft.sources.DeltaLogWriter.write(slice("purchase"), s"$base/d")
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice("click"), 9501L, 1000L)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.zopt_delta", s"$base/d")
+      rc.register("graft.zopt_ice", s"$base/i")
+      s.sql(s"OPTIMIZE $cat.graft.zopt_delta ZORDER BY (user_id, value_micros)")
+      s.sql(s"OPTIMIZE $cat.graft.zopt_ice ZORDER BY (user_id, value_micros)")
     }
     base
   }
@@ -3597,6 +3630,32 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // SQL `OPTIMIZE tbl ZORDER BY (cols)` — the reference's literal
+    // maintenance statement (01_geofraud_clustering.py:440) parsed by
+    // the injected GraftSqlParser and routed to the CALL machinery on
+    // both formats. Laws: content invariant under the rewrite (a/b
+    // checksums replay from the source slices), the Delta side
+    // bin-packed its 4-file write to ONE clustered file in ONE new
+    // commit, the Iceberg side's compaction purged nothing (c_meta).
+    "q281_sql_optimize_zorder" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{DeltaLogReader, Iceberg}
+      val base = stageQ281SqlOptimize(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      val metaLeg = Seq((
+        DeltaLogReader.versions(s, s"$base/d").max,          // write=0, OPTIMIZE=1
+        DeltaLogReader.activeFiles(s, s"$base/d").size.toLong, // bin-packed to 1
+        0L)).toDF("n_rows", "id_checksum", "value_checksum")
+        .select(lit("c_meta").as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      leg("a_delta", DeltaLogReader.read(s, s"$base/d"))
+        .unionAll(leg("b_iceberg", Iceberg.read(s, s"$base/i")))
+        .unionAll(metaLeg)
+        .orderBy($"leg")
+    }),
+
     // SQL SCHEMA EVOLUTION + INSERT OVERWRITE through the catalog —
     // ALTER TABLE ADD/RENAME COLUMN on both formats (Delta through the
     // SET TBLPROPERTIES mapping upgrade; Iceberg id-keyed), INSERT
@@ -5076,6 +5135,24 @@ object IndexQueries {
         |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
         |    CAST(sum(vm) AS BIGINT)
         |  FROM d WHERE event_type = 'purchase' AND vm >= 500000000
+        |) ORDER BY leg""".stripMargin,
+    "q281_sql_optimize_zorder" ->
+      """WITH vm AS MATERIALIZED (
+        |  SELECT event_type, event_id, user_id,
+        |    CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT * FROM (
+        |  SELECT 'a_delta' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM vm WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(vm) AS BIGINT)
+        |  FROM vm WHERE event_type = 'click'
+        |  UNION ALL
+        |  SELECT 'c_meta', CAST(1 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(0 AS BIGINT)
         |) ORDER BY leg""".stripMargin,
     "q280_stream_sink_txn" ->
       """WITH vm AS MATERIALIZED (

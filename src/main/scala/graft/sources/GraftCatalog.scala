@@ -588,6 +588,49 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
 
   // ---------------------------------------------------- ProcedureCatalog
 
+  /** (location, isDelta) for a maintenance target — format sniffed by
+    * the `_delta_log` marker, unknown names refuse with the catalog
+    * named. Shared by the CALL procedures and the SQL OPTIMIZE
+    * statement. */
+  private[graft] def locateAndSniff(tableName: String): (String, Boolean) = {
+    val spark = SparkSession.active
+    val loc = try seam.locate(tableName)
+      catch { case _: IllegalArgumentException =>
+        throw new IllegalArgumentException(
+          s"CALL on catalog '$catName': unknown table '$tableName'") }
+    val f = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
+    (loc, f.exists(new Path(loc, "_delta_log")))
+  }
+
+  /** `OPTIMIZE <table> [ZORDER BY (cols)]` — the SQL maintenance
+    * statement ([[graft.plans.GraftSqlParser]] parses it; the reference's
+    * own notebooks type it, `01_geofraud_clustering.py:440`), routed to
+    * the SAME writer passes as `CALL <cat>.system.optimize(...)`:
+    * Delta's bin-pack/clustered rewrite or Iceberg's clustered
+    * compaction. With ZORDER columns, Delta clusters on the
+    * [[graft.plans.ZOrderClustering]] key (true Morton interleave for
+    * two columns, the reference's `(user, h3)` shape); Iceberg routes
+    * the columns through `compact(sortBy = ...)` — its lexicographic
+    * clustered rewrite, whose pruned-scan law q254 pins. */
+  def optimizeZOrder(spark: SparkSession, tableName: String,
+                     zorderBy: Seq[String],
+                     targetFileBytes: Long = 128L << 20)
+      : Seq[(String, Long)] = {
+    val (loc, isDelta) = locateAndSniff(tableName)
+    if (isDelta) {
+      val cluster =
+        if (zorderBy.isEmpty) Nil
+        else graft.plans.ZOrderClustering.clusterKey(
+          DeltaLogReader.read(spark, loc), zorderBy)
+      Seq("committed_version" -> DeltaLogWriter.optimize(
+        spark, loc, targetFileBytes, clusterBy = cluster))
+    } else
+      Seq("metadata_version" -> IcebergWriter.compact(
+        spark, loc, GraftCatalog.freshSnapshotId(),
+        System.currentTimeMillis(), targetFileBytes,
+        sortBy = zorderBy).toLong)
+  }
+
   /** The `CALL`-style MAINTENANCE surface (`CALL <cat>.system.optimize
     * ('ns.t')` …) — the operational statements a warehouse user runs on
     * a schedule, routed to the format writers' own maintenance passes:
@@ -616,15 +659,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     def pd(n: String, t: org.apache.spark.sql.types.DataType, default: String) =
       org.apache.spark.sql.connector.catalog.procedures.ProcedureParameter
         .in(n, t).defaultValue(default).build()
-    def sniff(tableName: String): (String, Boolean) = {
-      val spark = SparkSession.active
-      val loc = try seam.locate(tableName)
-        catch { case _: IllegalArgumentException =>
-          throw new IllegalArgumentException(
-            s"CALL on catalog '$catName': unknown table '$tableName'") }
-      val f = new Path(loc).getFileSystem(spark.sessionState.newHadoopConf())
-      (loc, f.exists(new Path(loc, "_delta_log")))
-    }
+    def sniff(tableName: String): (String, Boolean) =
+      locateAndSniff(tableName)
     ident.name().toLowerCase(java.util.Locale.ROOT) match {
       case "optimize" => new GraftProcedure("optimize",
         Array(p("table", StringType),
