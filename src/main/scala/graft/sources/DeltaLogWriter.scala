@@ -754,7 +754,16 @@ object DeltaLogWriter {
     // pays O(#commits-since-checkpoint) per batch, not O(#commits)
     // (Delta's own checkpoint-every-10-commits discipline is what keeps
     // this bounded; [[GraftDeltaStreamSink]] follows it)
+    val vs = DeltaLogReader.versions(spark, path)
     val ckptV = DeltaLogReader.lastCheckpointVersion(spark, path)
+    // floor for the JSON walk below: commits with v > floor are scanned.
+    // A txn-carrying checkpoint raises it to the checkpoint version (the
+    // rows above ARE the pre-checkpoint state); a txn-LESS checkpoint —
+    // one written before this writer carried txn rows forward — keeps
+    // the floor at the start iff every pre-checkpoint commit survives,
+    // and REFUSES when cleanLog pruned them: a silent empty ledger would
+    // let a replayed stream batch double-land.
+    var walkFloor: Long = -1L
     ckptV.foreach { cv =>
       val single = new Path(log, f"$cv%020d.checkpoint.parquet")
       val partPaths: Seq[String] =
@@ -762,16 +771,29 @@ object DeltaLogWriter {
         else f.globStatus(new Path(log,
             f"$cv%020d.checkpoint.??????????.??????????.parquet"))
           .map(_.getPath.toString).sorted.toSeq
-      if (partPaths.nonEmpty) {
+      val seeded = partPaths.nonEmpty && {
         val ck = spark.read.parquet(partPaths: _*)
-        if (ck.schema.fieldNames.contains("txn"))
+        ck.schema.fieldNames.contains("txn") && {
           ck.where(org.apache.spark.sql.functions.col("txn").isNotNull)
             .select("txn.appId", "txn.version").collect()
             .foreach(r => acc(r.getString(0)) = r.getLong(1))
+          true
+        }
+      }
+      if (seeded) walkFloor = cv
+      else {
+        val have = vs.toSet
+        if (!(0L until cv).forall(have))
+          throw new TxnLedgerLostException(
+            s"Delta checkpoint v$cv at $path carries no txn rows and " +
+              "cleanLog pruned pre-checkpoint commits — a streaming " +
+              "writer's ledger position may be lost and a replayed batch " +
+              "would double-land; acknowledge the loss explicitly with " +
+              "checkpoint(resetTxnLedger = true) (or restart the stream " +
+              "against a fresh sink) before appending stream batches")
       }
     }
-    DeltaLogReader.versions(spark, path)
-      .filter(v => ckptV.forall(v > _)).foreach { cv =>
+    vs.filter(_ > walkFloor).foreach { cv =>
         DeltaLogReader.readSmallFile(spark, new Path(log, f"$cv%020d.json"))
           .split("\n").filter(_.nonEmpty).map(mapper.readTree)
           .filter(_.has("txn")).foreach { n =>
@@ -800,11 +822,25 @@ object DeltaLogWriter {
     * Schema/partition validation and the NOT-NULL guard mirror
     * [[appendOptimistic]]; column-mapped tables refuse (stream through
     * foreachBatch + write()).
+    *
+    * The commit runs under the [[commitLoop]] protocol, so a racing
+    * MAINTENANCE commit (a checkpoint-cycle OPTIMIZE, a vacuum's
+    * bookkeeping, another writer's blind append) does NOT abort the
+    * stream: data-only winners are disjoint from a blind append and the
+    * batch re-proposes at N+1 with its parts already staged. True
+    * conflicts stay loud — a schema/partition drift or protocol upgrade
+    * under the staged parquet refuses with
+    * ConcurrentModificationException — and the txn ledger is the
+    * exactly-once backstop in BOTH lanes: a winning commit carrying this
+    * appId at ≥ batchVersion means another instance of the same stream
+    * landed the batch mid-race, and this attempt SKIPS (None) instead of
+    * double-landing.
     * @return Some(committed version), or None when the batch was
     *   already applied */
   def appendStreamBatch(df: DataFrame, path: String,
                         appId: String, batchVersion: Long,
-                        partitionBy: Seq[String] = Nil): Option[Long] = {
+                        partitionBy: Seq[String] = Nil,
+                        maxRetries: Int = 10): Option[Long] = {
     val spark = df.sparkSession
     require(appId.nonEmpty, "appendStreamBatch needs a stable appId")
     if (lastTxnVersion(spark, path, appId).exists(_ >= batchVersion))
@@ -842,8 +878,9 @@ object DeltaLogWriter {
              .otherwise(c)).as(fd.name)
         }.toSeq: _*)
       }
-    val version = DeltaLogReader.latestVersion(spark, path).get + 1
-    val newFiles = publishParts(spark, root, toStage, version, partitionBy)
+    val observed = DeltaLogReader.latestVersion(spark, path)
+    val newFiles = publishParts(spark, root, toStage,
+      observed.get + 1, partitionBy)
     val now = System.currentTimeMillis()
     val adds = newFiles.map { rel =>
       val st = f.getFileStatus(new Path(root, rel))
@@ -853,12 +890,45 @@ object DeltaLogWriter {
     }
     val txnLine =
       s"""{"txn":{"appId":${jsonStr(appId)},"version":$batchVersion,"lastUpdated":$now}}"""
-    val commit = new Path(logDir(spark, path), f"$version%020d.json")
-    require(!f.exists(commit),
-      s"Delta commit v$version already exists at $path — concurrent writer, refusing to clobber")
-    writeAtomic(spark, commit, (txnLine +: adds).mkString("", "\n", "\n"))
-    Some(version)
+    val observedSchema = meta.path("schemaString").asText()
+    try {
+      Some(commitLoop(spark, path, observed, maxRetries, nodes =>
+        nodes.collectFirst {
+          // the ledger backstop: another instance of THIS stream landed
+          // the batch mid-race — skip, never double-land (not a refusal)
+          case n if n.has("txn") &&
+              n.get("txn").path("appId").asText("") == appId &&
+              n.get("txn").path("version").asLong(Long.MinValue) >= batchVersion =>
+            throw BatchAlreadyLanded
+          case n if n.has("metaData") &&
+              n.get("metaData").path("schemaString").asText() != observedSchema =>
+            "metaData changed the schema under this staged stream batch"
+          case n if n.has("metaData") &&
+              n.get("metaData").path("partitionColumns").toString !=
+                partitionBy.map(jsonStr).mkString("[", ",", "]") =>
+            "metaData changed the partition columns under this staged stream batch"
+          case n if n.has("protocol") &&
+              !(n.get("protocol").path("minReaderVersion").asInt(0) == 1 &&
+                n.get("protocol").path("minWriterVersion").asInt(0) == 2 &&
+                !n.get("protocol").has("readerFeatures")) =>
+            "a protocol upgrade landed under this staged stream batch"
+        }) { (_, _) => txnLine +: adds })
+    } catch { case BatchAlreadyLanded => None }
   }
+
+  /** Control-flow sentinel for [[appendStreamBatch]]'s mid-race ledger
+    * hit — a commit-loop scan that finds this stream's own (appId,
+    * version) already recorded unwinds to a clean skip. */
+  private object BatchAlreadyLanded
+      extends scala.util.control.ControlThrowable
+
+  /** The streaming txn ledger is unrecoverable: a txn-less legacy
+    * checkpoint plus pruned pre-checkpoint commits. A dedicated type —
+    * not a message-substring contract — so [[checkpoint]]'s explicit
+    * `resetTxnLedger` acknowledgment can catch exactly this and nothing
+    * else. */
+  private[sources] class TxnLedgerLostException(msg: String)
+      extends IllegalArgumentException(msg)
 
   /** Compact the CURRENT active-file state into a
     * `%020d.checkpoint.parquet` (or, with `parts > 1`, the spec's
@@ -875,7 +945,8 @@ object DeltaLogWriter {
     * row set survives cleanLog + cold replay (dropping either the
     * descriptor or a feature gate would silently resurrect rows /
     * un-gate features the moment the commits are pruned). */
-  def checkpoint(spark: SparkSession, path: String, parts: Int = 1): Long = {
+  def checkpoint(spark: SparkSession, path: String, parts: Int = 1,
+                 resetTxnLedger: Boolean = false): Long = {
     import spark.implicits._
     require(parts >= 1, s"checkpoint parts must be >= 1, got $parts")
     val latest = DeltaLogReader.latestVersion(spark, path)
@@ -946,8 +1017,15 @@ object DeltaLogWriter {
     // the idempotent-streaming ledger rides every checkpoint: without it
     // cleanLog would forget a streaming writer's position and a replayed
     // batch would double-land (the protocol carries txn rows for exactly
-    // this reason)
-    val txnLines = latestTxns(spark, path).toSeq.sortBy(_._1).map {
+    // this reason). A table whose PRIOR checkpoint is txn-less (written
+    // before this carry) with its pre-checkpoint commits pruned refuses —
+    // unless the caller explicitly acknowledges the ledger loss with
+    // resetTxnLedger, which starts a fresh (empty) ledger.
+    val txns =
+      try latestTxns(spark, path)
+      catch { case _: TxnLedgerLostException if resetTxnLedger =>
+        Map.empty[String, Long] }
+    val txnLines = txns.toSeq.sortBy(_._1).map {
       case (app, tv) =>
         s"""{"txn":{"appId":${jsonStr(app)},"version":$tv}}"""
     }

@@ -88,6 +88,42 @@ class DeltaStreamSinkSpec extends SparkSpec {
     assert(DeltaLogReader.read(spark, dst).count() == 2L)
   }
 
+  test("a txn-less LEGACY checkpoint + pruned commits refuses the ledger; resetTxnLedger is the explicit way out") {
+    val dst = freshDir() + "/dst"
+    DeltaLogWriter.write(Seq((0L, "seed")).toDF("id", "k").coalesce(1), dst)
+    DeltaLogWriter.appendStreamBatch(
+      Seq((1L, "x")).toDF("id", "k").coalesce(1), dst, "appL", 3L)
+    DeltaLogWriter.checkpoint(spark, dst)
+    // forge the legacy state: rewrite the checkpoint parquet WITHOUT its
+    // txn column (exactly what pre-carry checkpoints looked like)
+    val ckptFile = new java.io.File(dst, "_delta_log/" + f"${1L}%020d.checkpoint.parquet")
+    assert(ckptFile.exists(), "single-part checkpoint expected")
+    val legacy = spark.read.parquet(ckptFile.toString).drop("txn")
+    val tmp = freshDir() + "/legacy_ckpt"
+    legacy.coalesce(1).write.parquet(tmp)
+    val part = new java.io.File(tmp).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    java.nio.file.Files.copy(part.toPath, ckptFile.toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    // the local-FS checksum sidecar still describes the ORIGINAL bytes
+    new java.io.File(ckptFile.getParent, s".${ckptFile.getName}.crc").delete()
+    DeltaLogWriter.cleanLog(spark, dst)
+    assert(DeltaLogReader.versions(spark, dst).headOption.forall(_ > 0L))
+    // the ledger is unrecoverable — every consumer refuses loudly
+    val b2 = Seq((2L, "y")).toDF("id", "k").coalesce(1)
+    val e = intercept[IllegalArgumentException](
+      DeltaLogWriter.appendStreamBatch(b2, dst, "appL", 3L))
+    assert(e.getMessage.contains("resetTxnLedger"), e.getMessage)
+    intercept[IllegalArgumentException](
+      DeltaLogWriter.lastTxnVersion(spark, dst, "appL"))
+    intercept[IllegalArgumentException](DeltaLogWriter.checkpoint(spark, dst))
+    // the explicit acknowledgment starts a fresh ledger and unblocks
+    DeltaLogWriter.checkpoint(spark, dst, resetTxnLedger = true)
+    assert(DeltaLogWriter.lastTxnVersion(spark, dst, "appL").isEmpty)
+    assert(DeltaLogWriter.appendStreamBatch(b2, dst, "appL", 4L).nonEmpty)
+    assert(DeltaLogReader.read(spark, dst).count() == 3L)
+  }
+
   test("sink refusals: Iceberg format, missing appId, non-append modes") {
     val p = new org.apache.spark.sql.graft.GraftTableStreamProvider
     val sqlc = spark.sqlContext

@@ -76,6 +76,48 @@ class OptimisticConcurrencySpec extends SparkSpec
     assert(deltaIds(path) == Set(1L))
   }
 
+  test("Delta: a stream batch re-proposes past a racing maintenance commit; sentinel intact") {
+    val path = freshDir("occ_delta_stream")
+    DeltaLogWriter.write(df(Seq(1L, 2L)).repartition(2), path)      // v0
+    // the racing maintenance lands AFTER the stream batch observed v0
+    // and staged its parts — OPTIMIZE is the checkpoint-cycle commit
+    // that used to abort the stream at the v1-already-exists guard
+    DeltaLogWriter.beforeCommitHook = () => {
+      DeltaLogWriter.beforeCommitHook = () => ()
+      DeltaLogWriter.optimize(spark, path)                           // v1
+    }
+    val v = DeltaLogWriter.appendStreamBatch(df(Seq(3L)), path, "appA", 0L)
+    assert(v.contains(2L), s"stream batch should re-propose at v2, got $v")
+    assert(deltaIds(path) == Set(1L, 2L, 3L))
+    // exactly-once sentinel intact through the retry: the ledger holds
+    // (appA, 0) and a replay of the same batch SKIPS
+    assert(DeltaLogWriter.lastTxnVersion(spark, path, "appA").contains(0L))
+    assert(DeltaLogWriter.appendStreamBatch(df(Seq(3L)), path, "appA", 0L).isEmpty)
+    assert(deltaIds(path) == Set(1L, 2L, 3L))
+  }
+
+  test("Delta: a mid-race duplicate of the SAME stream batch skips, never double-lands") {
+    val path = freshDir("occ_delta_streamdup")
+    DeltaLogWriter.write(df(Seq(1L)), path)                          // v0
+    // another instance of the SAME stream (same appId, same batch)
+    // wins the race after this one staged its parts
+    DeltaLogWriter.beforeCommitHook = () => {
+      DeltaLogWriter.beforeCommitHook = () => ()
+      assert(DeltaLogWriter.appendStreamBatch(
+        df(Seq(5L)), path, "appB", 7L).contains(1L))
+    }
+    val v = DeltaLogWriter.appendStreamBatch(df(Seq(5L)), path, "appB", 7L)
+    assert(v.isEmpty, s"duplicate batch must skip, got $v")
+    assert(deltaIds(path) == Set(1L, 5L), "the batch landed exactly once")
+    // a schema drift landing under the staged batch stays a TRUE conflict
+    DeltaLogWriter.beforeCommitHook = () => {
+      DeltaLogWriter.beforeCommitHook = () => ()
+      DeltaLogWriter.enableColumnMapping(spark, path)  // rewrites schemaString
+    }
+    intercept[java.util.ConcurrentModificationException](
+      DeltaLogWriter.appendStreamBatch(df(Seq(9L)), path, "appB", 8L))
+  }
+
   test("Delta: schema drift under a staged append is a true conflict") {
     val path = freshDir("occ_delta_drift")
     DeltaLogWriter.appendOptimistic(df(Seq(1L)), path)
