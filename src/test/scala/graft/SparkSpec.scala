@@ -24,13 +24,17 @@ trait SparkSpec extends AnyFunSuite {
     // listener (vacuumed-path reads), and accumulator updates landing
     // after their execution was reaped — every one asserted by
     // intercept[...], every cause still carried on the propagated
-    // exception. Their ERROR-level stack traces would drown a real
-    // failure in the CI log, so these four loggers are capped in the
+    // exception. The deliberate non-blind-append stream refusal
+    // (ReadStreamTableSpec) is the fifth: MicroBatchExecution logs it
+    // at ERROR before the awaitTermination rethrow the spec
+    // intercepts. Their ERROR-level stack traces would drown a real
+    // failure in the CI log, so these five loggers are capped in the
     // TEST session only (Bench/Verify keep defaults).
     Seq("org.apache.spark.sql.util.ExecutionListenerBus",
         "org.apache.spark.scheduler.DAGScheduler",
         "org.apache.spark.executor.Executor",
-        "org.apache.spark.scheduler.TaskSetManager")
+        "org.apache.spark.scheduler.TaskSetManager",
+        "org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution")
       .foreach(l => org.apache.logging.log4j.core.config.Configurator
         .setLevel(l, org.apache.logging.log4j.Level.FATAL))
     s
