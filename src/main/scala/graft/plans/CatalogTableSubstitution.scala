@@ -106,8 +106,14 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
         name -> toCol(a.value)
       }
       val cond = u.condition.map(toCol).getOrElse(lit(true))
+      // the FULL statement (assignment expressions + predicate) is the
+      // plan-visible description: case-class equality/hashing rides on
+      // it, and two UPDATEs differing only in SET values or WHERE must
+      // not compare equal anywhere Catalyst dedupes by plan
       GraftDmlCommand(s"UPDATE ${g.name()} SET " +
-        assignments.map(_._1).mkString(", "))(() => run(assignments, cond))
+        u.assignments.map(a => s"${a.key.sql} = ${a.value.sql}").mkString(", ") +
+        u.condition.map(c => s" WHERE ${c.sql}").getOrElse(""))(
+        () => run(assignments, cond))
   }
 
   /** `MERGE INTO <cat>.ns.t USING src ON t.k = s.k ...` in its three
@@ -146,9 +152,12 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
         case x => Seq(x)
       }
       // ON must be a conjunction of same-named target=source column
-      // equalities — those names ARE the upsert keys. `<=>` is accepted
-      // too: the writers' key matching is null-safe by construction, so
-      // the null-safe spelling is the MORE faithful one.
+      // equalities — those names ARE the upsert keys. The SPELLING is
+      // semantic: `<=>` matches null-safely (the writers' native key
+      // matching), while plain `=` keeps SQL's null semantics — a
+      // NULL-keyed row matches nothing and routes to the INSERT arm.
+      // Each key carries its spelling; a key written both ways takes
+      // `=` (the stricter SQL contract).
       def keyOf(a: Expression, b: Expression): Option[String] = (a, b) match {
         case (x: AttributeReference, y: AttributeReference)
             if tset.contains(x) && sset.contains(y) &&
@@ -158,13 +167,17 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
               x.name.equalsIgnoreCase(y.name) => Some(y.name)
         case _ => None
       }
-      val keys = conjuncts(m.mergeCondition).map {
-        case EqualTo(a, b) if keyOf(a, b).isDefined => keyOf(a, b).get
+      val keyTerms = conjuncts(m.mergeCondition).map {
+        case EqualTo(a, b) if keyOf(a, b).isDefined =>
+          keyOf(a, b).get -> false
         case org.apache.spark.sql.catalyst.expressions.EqualNullSafe(a, b)
-            if keyOf(a, b).isDefined => keyOf(a, b).get
+            if keyOf(a, b).isDefined => keyOf(a, b).get -> true
         case other => refuse(s"ON clause term '${other.sql}' is not a " +
           "same-named target=source column equality")
-      }.distinct
+      }
+      val nullSafeKey: Map[String, Boolean] =
+        keyTerms.groupBy(_._1).map { case (k, vs) => k -> vs.forall(_._2) }
+      val keys = keyTerms.map(_._1).distinct
 
       // a star-shaped action: every TARGET column assigned its same-named
       // plain SOURCE column (possibly through the resolver's cast)
@@ -224,8 +237,14 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
       val keyCols = keys.map(k => tableFields.map(_.name)
         .find(_.equalsIgnoreCase(k)).getOrElse(refuse(
           s"ON key '$k' is not a column of the target")))
+      // table-resolved key names, each with its ON spelling's semantics
+      val keyColsNS: Seq[(String, Boolean)] =
+        keys.zip(keyCols).map { case (k, kc) => kc -> nullSafeKey(k) }
+      val eqKeys = keyColsNS.filterNot(_._2).map(_._1)
 
-      val what = s"MERGE INTO ${g.name()} ON ${keyCols.mkString(", ")}" +
+      val what = s"MERGE INTO ${g.name()} ON " +
+        keyColsNS.map { case (k, ns) => if (ns) s"$k<=>$k" else s"$k=$k" }
+          .mkString(", ") +
         (if (doUpdate) " UPDATE" else "") + (if (doInsert) " INSERT" else "")
       GraftDmlCommand(what) { () =>
         import org.apache.spark.sql.functions.count
@@ -243,22 +262,57 @@ object CatalogTableSubstitution extends Rule[LogicalPlan] {
               s"keys (${keyCols.mkString(", ")}) — SQL MERGE forbids a " +
               "target row matching multiple source rows; dedupe the source first")
         }
+        lazy val target = g.reread()
+        // DUPLICATE-KEYED TARGET rows: SQL MERGE updates EACH matched
+        // row, but the writers' whole-row upsert DV-kills every match
+        // and appends ONE source row — a silent net row loss. Refuse up
+        // front (one aggregate over the matchable target rows). Rows a
+        // `=` key can never match (NULL-keyed) are exempt: SQL never
+        // touches them and neither does any arm below.
+        if (doUpdate) {
+          val matchable =
+            if (eqKeys.isEmpty) target
+            else target.where(eqKeys.map(col(_).isNotNull).reduce(_ && _))
+          val tdups = matchable.groupBy(keyCols.map(col): _*)
+            .agg(count(lit(1)).as("__n")).where(col("__n") > 1).limit(1)
+          require(tdups.isEmpty,
+            s"MERGE INTO ${g.name()}: the TARGET carries duplicate ON " +
+              s"keys (${keyCols.mkString(", ")}) — SQL updates each " +
+              "matched row, but this catalog's whole-row upsert would " +
+              "collapse them into one; dedupe the target first")
+        }
+        // a `=`-spelled key with NULL source values: SQL routes those
+        // rows to the INSERT arm, the writers' upsert matches them
+        // null-safely — the two disagree, so the combined arm refuses
+        // rather than silently collapsing NULL groups. The single-arm
+        // shapes below keep exact SQL semantics via per-spelling joins.
+        if (doUpdate && doInsert && eqKeys.nonEmpty) {
+          val nullKeyed = aligned
+            .where(eqKeys.map(col(_).isNull).reduce(_ || _)).limit(1)
+          require(nullKeyed.isEmpty,
+            s"MERGE INTO ${g.name()}: the source carries NULL values in " +
+              s"`=`-spelled ON keys (${eqKeys.mkString(", ")}) — SQL " +
+              "routes those rows to the INSERT arm, but the writers " +
+              "match keys null-safely; spell the ON with <=> for " +
+              "null-safe matching, or split the NULL-keyed rows into a " +
+              "separate INSERT")
+        }
+        def joinCond = keyColsNS.map { case (k, ns) =>
+          if (ns) aligned(k) <=> target(k) else aligned(k) === target(k)
+        }.reduce(_ && _)
         (doUpdate, doInsert) match {
           case (true, true) =>
             upsertRun(aligned, keyCols)
           case (false, true) =>
-            // insert-only: append source keys ABSENT from the target
-            val target = g.reread()
-            val cond = keyCols.map(k =>
-              aligned(k) <=> target(k)).reduce(_ && _)
-            val fresh = aligned.join(target, cond, "left_anti")
+            // insert-only: append source keys ABSENT from the target —
+            // under `=` a NULL-keyed source row matches nothing and
+            // INSERTS, exactly SQL's arm routing
+            val fresh = aligned.join(target, joinCond, "left_anti")
             g.append.get.apply(fresh)
           case (true, false) =>
-            // update-only: upsert source rows whose keys EXIST in the target
-            val target = g.reread()
-            val cond = keyCols.map(k =>
-              aligned(k) <=> target(k)).reduce(_ && _)
-            val hits = aligned.join(target, cond, "left_semi")
+            // update-only: upsert source rows whose keys EXIST in the
+            // target — under `=` NULL-keyed source rows never hit
+            val hits = aligned.join(target, joinCond, "left_semi")
             if (!hits.isEmpty) upsertRun(hits, keyCols)
           case _ => ()
         }

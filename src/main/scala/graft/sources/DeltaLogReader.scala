@@ -493,7 +493,23 @@ object DeltaLogReader {
     import org.apache.spark.sql.functions.col
     require(fromV >= 0 && fromV <= toV,
       s"addsBetween wants 0 <= from <= to, got [$fromV, $toV]")
-    val known = versions(spark, path).filter(v => v >= fromV && v <= toV)
+    val all = versions(spark, path)
+    val known = all.filter(v => v >= fromV && v <= toV)
+    // the whole range must still EXIST as commit JSONs: cleanLog (this
+    // repo's own checkpoint-then-truncate maintenance) prunes
+    // pre-checkpoint commits, and silently skipping a pruned version
+    // would serve PARTIAL data — the same unrecoverable-position story
+    // as the vacuumed-parquet guard below, refused the same way
+    locally {
+      val have = known.toSet
+      val missing = (fromV to toV).filterNot(have)
+      require(missing.isEmpty,
+        s"commit JSON(s) v${missing.take(5).mkString(", v")}" +
+          s"${if (missing.size > 5) ", …" else ""} of $path are gone — " +
+          "the log was truncated (cleanLog) or never reached past this " +
+          "stream's position; their adds cannot be replayed. Restart " +
+          "from a newer startVersion (or a fresh full snapshot)")
+    }
     val f = fs(spark, new Path(path))
     var lastMeta: Option[JsonNode] =
       known.headOption.flatMap(v => replayState(spark, path, Some(v))._2)
@@ -708,7 +724,7 @@ object DeltaLogReader {
   def read(spark: SparkSession, path: String, asOf: Option[Long] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val (entries, meta) = replayState(spark, path, asOf)
-    require(entries.nonEmpty,
+    if (entries.isEmpty) throw new EmptyTableException(
       s"Delta table at $path has no active files as of ${asOf.getOrElse("latest")}")
     val files = entries.map(_._1)
     val withDv = entries.collect { case (f, Some(dv)) => (f, dv) }

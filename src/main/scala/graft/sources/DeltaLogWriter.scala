@@ -1109,7 +1109,8 @@ object DeltaLogWriter {
     import org.apache.spark.sql.functions.lit
     val root = new Path(path)
     val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
-    require(entries.nonEmpty, s"Delta table at $path has no active files")
+    if (entries.isEmpty) throw new EmptyTableException(
+      s"Delta table at $path has no active files")
     // name-mode mapping is resolved (dvAttachActions projects the
     // physical footers back to logical names); id mode would need
     // field-id stamping this writer does not do
@@ -1197,7 +1198,8 @@ object DeltaLogWriter {
         "— refusing a silent last-wins")
     val root = new Path(path)
     val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
-    require(entries.nonEmpty, s"Delta table at $path has no active files")
+    if (entries.isEmpty) throw new EmptyTableException(
+      s"Delta table at $path has no active files")
     val metaNode = meta.getOrElse(throw new IllegalArgumentException(
       s"Delta log at $path carries no metaData action — cannot validate " +
         "the update schema; refusing"))
@@ -1761,7 +1763,7 @@ object DeltaLogWriter {
     require(keyCols.nonEmpty, "upsert needs at least one key column")
     val root = new Path(path)
     val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
-    require(entries.nonEmpty,
+    if (entries.isEmpty) throw new EmptyTableException(
       s"Delta table at $path has no active files — create it with write() first")
     val metaNode = meta.getOrElse(throw new IllegalArgumentException(
       s"Delta log at $path carries no metaData action — cannot validate " +

@@ -170,8 +170,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   private def deltaReadOrEmpty(spark: SparkSession, loc: String,
                                asOf: Option[Long]): DataFrame =
     try DeltaLogReader.read(spark, loc, asOf)
-    catch { case e: IllegalArgumentException
-        if e.getMessage != null && e.getMessage.contains("has no active files") =>
+    catch { case e: EmptyTableException =>
       // the EMPTY case pays a second replay for the schema; the common
       // non-empty path above pays exactly one (read's own) — and there
       // is no probe-to-read TOCTOU window
@@ -201,8 +200,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       // the library API's has-no-active-files refusal — caught here
       // rather than pre-probed, so the common path replays the log once
       try { DeltaLogWriter.deleteWhere(spark, loc, cond); () }
-      catch { case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("has no active files") => () }
+      catch { case _: EmptyTableException => () }
     }
     else { cond =>
       // same 0-row no-op semantics for a zero-snapshot (just-CREATEd)
@@ -211,8 +209,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         IcebergWriter.deleteWhere(spark, loc, cond,
           GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
         ()
-      } catch { case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("no current snapshot") => () }
+      } catch { case _: EmptyTableException => () }
     }
 
   /** The APPEND closure for `INSERT INTO` (the V1Write seam): rows land
@@ -274,16 +271,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       : (Seq[(String, org.apache.spark.sql.Column)], org.apache.spark.sql.Column) => Unit =
     if (isDelta) { (assignments, cond) =>
       try { DeltaLogWriter.updateWhere(spark, loc, cond, assignments); () }
-      catch { case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("has no active files") => () }
+      catch { case _: EmptyTableException => () }
     }
     else { (assignments, cond) =>
       try {
         IcebergWriter.updateWhere(spark, loc, cond, assignments,
           GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
         ()
-      } catch { case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("no current snapshot") => () }
+      } catch { case _: EmptyTableException => () }
     }
 
   /** The MERGE closure for the canonical upsert-shaped `MERGE INTO`
@@ -298,8 +293,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       // pattern: every row is new, so the batch appends — the same
       // closure INSERT INTO commits through
       try { DeltaLogWriter.upsert(spark, loc, df, keys); () }
-      catch { case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("has no active files") =>
+      catch { case _: EmptyTableException =>
         appenderFor(spark, loc, isDelta = true)(df) }
     }
     else { (df, keys) =>
@@ -307,8 +301,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         IcebergWriter.upsert(spark, loc, df, keys,
           GraftCatalog.freshSnapshotId(), System.currentTimeMillis())
         ()
-      } catch { case e: IllegalArgumentException
-          if e.getMessage != null && e.getMessage.contains("no current snapshot") =>
+      } catch { case _: EmptyTableException =>
         appenderFor(spark, loc, isDelta = false)(df) }
     }
 

@@ -673,7 +673,8 @@ object IcebergWriter {
       s"cannot v3-delete from $table: a table column collides with the " +
         "DV spelling-join internals; rename it first")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
-    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    if (cur <= 0) throw new EmptyTableException(
+      s"Iceberg table $table has no current snapshot")
     val snaps = snapsOf(doc)
     require(!snaps.exists(_._1 == snapshotId),
       s"snapshot id $snapshotId already exists in $table")
@@ -691,7 +692,8 @@ object IcebergWriter {
     require(planned.deletes.isEmpty,
       s"cannot v3-delete from $table: it carries v2 position-delete " +
         "PARQUET — compact to a clean v3 state first")
-    require(planned.data.nonEmpty, s"Iceberg table $table has no live data files")
+    if (planned.data.isEmpty) throw new EmptyTableException(
+      s"Iceberg table $table has no live data files")
 
     // matching ACTIVE rows (the MoR read subtracts existing DVs), as
     // (manifest-spelled file_path, position) — the deleteWhere spelling
@@ -1236,7 +1238,8 @@ object IcebergWriter {
         s"${reservedDel.toSeq.sorted.mkString(", ")} — colliding with the " +
         "position-delete schema / spelling-join internals; rename it first")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
-    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    if (cur <= 0) throw new EmptyTableException(
+      s"Iceberg table $table has no current snapshot")
     val snaps = snapsOf(doc)
     require(!snaps.exists(_._1 == snapshotId),
       s"snapshot id $snapshotId already exists in $table")
@@ -1249,7 +1252,8 @@ object IcebergWriter {
       s"cannot delete from $table: it carries EQUALITY delete files, " +
         "whose sequence-number gating this writer does not produce — " +
         "compact them away first")
-    require(planned.data.nonEmpty, s"Iceberg table $table has no live data files")
+    if (planned.data.isEmpty) throw new EmptyTableException(
+      s"Iceberg table $table has no live data files")
 
     // matching rows' spec coordinates; previously position-deleted rows
     // may match again — duplicate (file, pos) pairs are idempotent under
@@ -1370,7 +1374,8 @@ object IcebergWriter {
       s"UPDATE assigns to column(s) ${badCols.mkString(", ")} that are not " +
         s"columns of $table (${fields.map(_.name).mkString(", ")})")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
-    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    if (cur <= 0) throw new EmptyTableException(
+      s"Iceberg table $table has no current snapshot")
     val snaps = snapsOf(doc)
     require(!snaps.exists(_._1 == snapshotId),
       s"snapshot id $snapshotId already exists in $table")
@@ -1383,7 +1388,8 @@ object IcebergWriter {
       s"cannot update $table: it carries EQUALITY delete files, whose " +
         "sequence-number gating this writer does not produce — compact " +
         "them away first")
-    require(planned.data.nonEmpty, s"Iceberg table $table has no live data files")
+    if (planned.data.isEmpty) throw new EmptyTableException(
+      s"Iceberg table $table has no live data files")
 
     // matching ACTIVE rows' spec coordinates — the deleteWhere spelling:
     // file_path recorded in the EXACT spelling the data manifests carry
@@ -1508,7 +1514,8 @@ object IcebergWriter {
         "partitioning would silently break pruning")
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
-    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    if (cur <= 0) throw new EmptyTableException(
+      s"Iceberg table $table has no current snapshot")
     val snaps = snapsOf(doc)
     require(!snaps.exists(_._1 == snapshotId),
       s"snapshot id $snapshotId already exists in $table")
@@ -1646,7 +1653,7 @@ object IcebergWriter {
         s"upsert key column '$k' is not a column of $table " +
           s"(${fields.map(_.name).mkString(", ")})")))
     val cur = doc.path("current-snapshot-id").asLong(-1L)
-    require(cur > 0,
+    if (cur <= 0) throw new EmptyTableException(
       s"Iceberg table $table has no current snapshot — create it with " +
         "commitAppend first; upsert commits deletes against existing data")
     val snaps = snapsOf(doc)
@@ -1764,7 +1771,8 @@ object IcebergWriter {
                        snapshotId: Long, timestampMs: Long): Int = {
     val doc = writableDoc(spark, table)
     val cur = doc.path("current-snapshot-id").asLong(-1L)
-    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    if (cur <= 0) throw new EmptyTableException(
+      s"Iceberg table $table has no current snapshot")
     val snaps = snapsOf(doc)
     require(snaps.isEmpty || snaps.last._1 == cur,
       s"cannot rewrite manifests of $table: current snapshot $cur is not " +
@@ -1924,7 +1932,8 @@ object IcebergWriter {
       s"cannot expire snapshots of $table: it is PARTITIONED and this " +
         "writer's metadata rewrite does not carry partition specs through")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
-    require(cur > 0, s"Iceberg table $table has no current snapshot")
+    if (cur <= 0) throw new EmptyTableException(
+      s"Iceberg table $table has no current snapshot")
     val snaps = snapsOf(doc)
     require(snaps.exists(_._1 == cur),
       s"metadata of $table names current snapshot $cur but the snapshot " +

@@ -107,6 +107,25 @@ class ReadStreamTableSpec extends SparkSpec {
       Set((1L, None), (2L, Some("fresh"))))
   }
 
+  test("a log truncated (cleanLog) below the stream's position refuses — no partial replay") {
+    val d = freshDir() + "/d"
+    DeltaLogWriter.write(Seq((1L, "a")).toDF("id", "k").coalesce(1), d)       // v0
+    DeltaLogWriter.appendOptimistic(
+      Seq((2L, "b")).toDF("id", "k").coalesce(1), d)                          // v1
+    DeltaLogWriter.checkpoint(spark, d)
+    DeltaLogWriter.cleanLog(spark, d)                                          // prunes v0
+    assert(DeltaLogReader.versions(spark, d).head > 0L)
+    // a fresh replay from v0 (or any lagging position below the
+    // checkpoint) must refuse loudly, not silently skip the pruned adds
+    val e = intercept[IllegalArgumentException](
+      DeltaLogReader.addsBetween(spark, d, 0L, 1L))
+    assert(e.getMessage.contains("truncated") &&
+      e.getMessage.contains("startVersion"), e.getMessage)
+    // a range fully ABOVE the truncation still serves
+    assert(DeltaLogReader.addsBetween(spark, d, 1L, 1L)
+      .select("id").collect().map(_.getLong(0)).toSet == Set(2L))
+  }
+
   test("a non-append Delta commit refuses mid-stream with the CDF remedy named") {
     val (cat, reg) = freshCatalog()
     val d = freshDir() + "/d"

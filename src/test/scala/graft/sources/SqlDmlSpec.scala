@@ -211,6 +211,81 @@ class SqlDmlSpec extends SparkSpec {
     assert(e.getMessage.contains("duplicate"), e.getMessage)
   }
 
+  test("SQL UPDATE/DELETE on a fully-DELETED Iceberg table (snapshot, zero live files) is a 0-row no-op") {
+    val (cat, reg) = freshCatalog()
+    val i = freshDir() + "/i"
+    IcebergWriter.commitAppend(spark,
+      i, Seq((1L, 10.0)).toDF("id", "amount").coalesce(1), 7301L, 1000L)
+    IcebergWriter.deleteWhere(spark, i, col("id") >= 0L, 7302L, 2000L)
+    reg.register("ns.gone", i)
+    assert(spark.sql(s"SELECT * FROM $cat.ns.gone").count() == 0L)
+    // previously: 'has no live data files' escaped the catch and errored
+    spark.sql(s"UPDATE $cat.ns.gone SET amount = 1.0")
+    spark.sql(s"DELETE FROM $cat.ns.gone WHERE amount > 0")
+    assert(spark.sql(s"SELECT * FROM $cat.ns.gone").count() == 0L)
+  }
+
+  test("MERGE with an UPDATE clause refuses duplicate TARGET keys (whole-row upsert would collapse them)") {
+    val (cat, reg) = freshCatalog()
+    val d = freshDir() + "/d"
+    DeltaLogWriter.write(Seq((1L, 10.0), (1L, 11.0), (2L, 20.0))
+      .toDF("id", "amount").coalesce(1), d)
+    reg.register("ns.t", d)
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"""MERGE INTO $cat.ns.t t
+         |USING (SELECT * FROM VALUES (1L, 99.0) AS s(id, amount)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("TARGET carries duplicate"), e.getMessage)
+    // untouched: the refusal pre-checked, nothing committed
+    assert(spark.sql(s"SELECT * FROM $cat.ns.t").count() == 3L)
+    // insert-only MERGE is still fine on the duplicate-keyed target
+    spark.sql(
+      s"""MERGE INTO $cat.ns.t t
+         |USING (SELECT * FROM VALUES (3L, 30.0) AS s(id, amount)) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.sql(s"SELECT * FROM $cat.ns.t").count() == 4L)
+  }
+
+  test("MERGE ON spelled '=' keeps SQL null semantics; the ambiguous combined arm refuses") {
+    val (cat, reg) = freshCatalog()
+    val d = freshDir() + "/d"
+    DeltaLogWriter.write(
+      Seq((Some(1L), 10.0), (None, 5.0)).toDF("id", "amount").coalesce(1), d)
+    reg.register("ns.t", d)
+    // insert-only with '=': a NULL-keyed source row matches NOTHING in
+    // SQL — it must INSERT, even though a NULL-keyed target row exists
+    spark.sql(
+      s"""MERGE INTO $cat.ns.t t
+         |USING (SELECT * FROM VALUES (CAST(NULL AS BIGINT), 7.0),
+         |       (1L, 10.0) AS s(id, amount)) s
+         |ON t.id = s.id
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val amounts = spark.sql(s"SELECT amount FROM $cat.ns.t")
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    assert(amounts == Seq(5.0, 7.0, 10.0), amounts.toString)
+    // …where the <=> spelling would have treated them as MATCHED: the
+    // update-only arm under '=' must NOT touch the null-keyed target row
+    spark.sql(
+      s"""MERGE INTO $cat.ns.t t
+         |USING (SELECT * FROM VALUES (CAST(NULL AS BIGINT), 99.0) AS s(id, amount)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *""".stripMargin)
+    assert(spark.sql(s"SELECT sum(amount) FROM $cat.ns.t")
+      .head.getDouble(0) == 22.0)
+    // the combined arm with '=' + NULL source keys is the one shape the
+    // writers' null-safe matching cannot express — refuse with remedies
+    val e = intercept[IllegalArgumentException](spark.sql(
+      s"""MERGE INTO $cat.ns.t t
+         |USING (SELECT * FROM VALUES (CAST(NULL AS BIGINT), 1.0) AS s(id, amount)) s
+         |ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin))
+    assert(e.getMessage.contains("<=>"), e.getMessage)
+  }
+
   test("UPDATE with a subquery in WHERE refuses; UPDATE of an unknown column fails in analysis") {
     val (cat, reg) = freshCatalog()
     val d = freshDir() + "/d"
