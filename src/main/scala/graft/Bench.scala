@@ -218,8 +218,10 @@ object Bench {
     // other processes were competing for the cores during THIS run.
     var loadSamples = List.empty[Double]
     // start-of-lap box conditions; in-lap staging attribution is the
-    // per-query stageOnce write-count delta inside the loop below
-    val loadAvgStart = osBean.getSystemLoadAverage
+    // per-query stageOnce write-count delta inside the loop below.
+    // vars, not vals: the dirty-retry below re-runs the WHOLE lap once,
+    // and the emitted artifact must describe the lap it actually reports
+    var loadAvgStart = osBean.getSystemLoadAverage
     // per-RDD "cache gap" (unmaterialized partitions of a PERSISTED rdd):
     // a session-cache frame whose blocks a co-tenant's memory pressure
     // evicted shows a gap at lap start; a gap that CLOSES during the lap
@@ -229,7 +231,14 @@ object Bench {
     // writes. Sampled per query like loadAvg; planning-scale metadata.
     def cacheGaps(): Map[Int, Int] = spark.sparkContext.getRDDStorageInfo
       .map(i => i.id -> (i.numPartitions - i.numCachedPartitions)).toMap
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // lap-scoped resource baseline (== end-of-staging totals on lap 1;
+    // reset before a retry lap so its sums describe only itself)
+    var lapStartRes = rl.totals()
+    def timedLap() = {
+      loadSamples = Nil
+      loadAvgStart = osBean.getSystemLoadAverage
+      lapStartRes = rl.totals()
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val la = osBean.getSystemLoadAverage
       if (la >= 0) loadSamples ::= la
       val n0 = ml.snapshot().size
@@ -270,6 +279,40 @@ object Bench {
         (recs.size, recs.map(_.nFileScans).sum, recs.flatMap(_.outputRows).sum),
         (r1.runTimeMs - r0.runTimeMs, r1.cpuTimeMs - r0.cpuTimeMs,
           r1.gcTimeMs - r0.gcTimeMs), lapStaged, lapRebuilt)
+      }
+    }
+    var results = timedLap()
+
+    // ---- bounded DIRTY RETRY (r15 verdict: two rounds of committed
+    // co-tenanted laps). When the LAP-SCOPED verdict fires, wait for
+    // idle once more (bounded) and re-run the whole lap ONCE — the
+    // stagings/warmups are already done, so the retry lap is pure
+    // measurement. If the box never quiets the second lap keeps the
+    // honest dirty flag; SPARK_GRAFT_BENCH_RETRY=0 disables.
+    def lapVerdict(): (Boolean, Double, Double) = {
+      val end = rl.totals()
+      val run = end.runTimeMs - lapStartRes.runTimeMs
+      val cpu = end.cpuTimeMs - lapStartRes.cpuTimeMs
+      val mean = if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1.0
+      val ratio = if (cpu > 0) run.toDouble / cpu else -1.0
+      (Bench.dirtyVerdict(loadAvgBoot, mean, ratio, dirtyThreshold), mean, ratio)
+    }
+    var lapRetries = 0
+    if (lapVerdict()._1 &&
+        sys.env.get("SPARK_GRAFT_BENCH_RETRY").forall(_ != "0")) {
+      val (_, m0, r0) = lapVerdict()
+      System.err.println(
+        f"[bench] lap DIRTY (loadAvgBoot $loadAvgBoot%.2f, loadAvgMean " +
+          f"$m0%.2f, runCpuRatio $r0%.2f) — waiting for idle and retrying once")
+      val retryDeadline = System.currentTimeMillis() + idleWaitMax * 1000L
+      loadAvgBoot = osBean.getSystemLoadAverage
+      while (loadAvgBoot > dirtyThreshold &&
+          System.currentTimeMillis() < retryDeadline) {
+        Thread.sleep(10000L)
+        loadAvgBoot = osBean.getSystemLoadAverage
+      }
+      lapRetries = 1
+      results = timedLap()
     }
     val qs = results.map { case (k, v, _, _, _, _, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -323,24 +366,22 @@ object Bench {
     //                against `cpus` — mean ≫ cpus says the BOX was busy
     //                beyond this bench regardless of what Spark measured
     val benchRes = rl.totals()
-    val mRunMs = benchRes.runTimeMs - stagingRes.runTimeMs
-    val mCpuMs = benchRes.cpuTimeMs - stagingRes.cpuTimeMs
-    val mGcMs = benchRes.gcTimeMs - stagingRes.gcTimeMs
+    val mRunMs = benchRes.runTimeMs - lapStartRes.runTimeMs
+    val mCpuMs = benchRes.cpuTimeMs - lapStartRes.cpuTimeMs
+    val mGcMs = benchRes.gcTimeMs - lapStartRes.gcTimeMs
     def r3(x: Double) = math.round(x * 1000.0) / 1000.0
     // LAP-SCOPED dirty verdict (r14 fix): the boot sample alone passed a
     // loadAvgStart-8.0 lap as clean because the box loaded up AFTER boot.
-    // Derive from what the lap itself recorded — the per-query load
-    // samples and the measured run/cpu ratio — so a mid-lap co-tenant
-    // stamps the artifact it actually contaminated.
-    val loadAvgMeanV =
-      if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1.0
-    val runCpuRatioV = if (mCpuMs > 0) mRunMs.toDouble / mCpuMs else -1.0
-    val dirty = Bench.dirtyVerdict(loadAvgBoot, loadAvgMeanV, runCpuRatioV,
-      dirtyThreshold)
+    // Derive from what the (possibly retried) lap itself recorded — the
+    // per-query load samples and the measured run/cpu ratio — so a
+    // mid-lap co-tenant stamps the artifact it actually contaminated.
+    val (dirty, loadAvgMeanV, runCpuRatioV) = lapVerdict()
     if (dirty) System.err.println(
       f"[bench] lap verdict DIRTY: loadAvgBoot $loadAvgBoot%.2f / " +
         f"loadAvgMean $loadAvgMeanV%.2f vs threshold $dirtyThreshold%.2f, " +
-        f"runCpuRatio $runCpuRatioV%.2f vs ${Bench.DirtyRunCpuRatio}%.2f")
+        f"runCpuRatio $runCpuRatioV%.2f vs ${Bench.DirtyRunCpuRatio}%.2f" +
+        (if (lapRetries > 0) " — after the one bounded retry (kept honest)"
+         else ""))
     val contention =
       s"""{"runCpuRatio":${r3(if (mCpuMs > 0) mRunMs.toDouble / mCpuMs else -1)},""" +
         s""""gcPct":${r3(if (mRunMs > 0) 100.0 * mGcMs / mRunMs else 0)},""" +
@@ -349,7 +390,7 @@ object Bench {
         s""""loadAvgStart":${r3(loadAvgStart)},""" +
         s""""loadAvgMean":${r3(if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1)},""" +
         s""""loadAvgMax":${r3(if (loadSamples.nonEmpty) loadSamples.max else -1)},""" +
-        s""""cpus":$cpus}"""
+        s""""lapRetries":$lapRetries,"cpus":$cpus}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"dirty":$dirty,"queries":$qs,"metrics":$metrics,"errors":$errors,"staging_in_lap":$stagingInLap,"cache_rebuilt":$cacheRebuilt,"contention":$contention,"sf":"$sfDir"}"""
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
