@@ -1,0 +1,244 @@
+package graft.tracking
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** MLflow **pyfunc model directory** export for the bloom scorer — the
+  * interop the reference ships its serving model through
+  * (`02_geofraud_fraud.py:220-264`: `mlflow.pyfunc.log_model` + a
+  * third-party `mlflow.pyfunc.load_model`). The exported directory
+  * follows the PUBLIC MLmodel schema for the `python_function` flavor in
+  * its `loader_module` form:
+  *
+  * {{{
+  * dst/
+  *   MLmodel                    # YAML: flavors.python_function{...}
+  *   conda.yaml  python_env.yaml  requirements.txt
+  *   code/graft_bloom_scorer.py # loader module (_load_pyfunc contract)
+  *   data/blooms.parquet        # per-user Spark BloomFilter bytes
+  *   data/params.txt            # precision=<res>
+  * }}}
+  *
+  * A real mlflow client resolves `loader_module: graft_bloom_scorer`
+  * from `code/` (added to sys.path), calls `_load_pyfunc(data_path)`,
+  * and gets a `predict(pandas_df[user, latitude, longitude])` that
+  * appends the reference's 0/1 `anomaly` column. No pickle is shipped —
+  * the loader-module form is the public pyfunc contract for exactly
+  * this "model is code + data" case, and it keeps the artifact
+  * language-neutral and auditable.
+  *
+  * The Python side is a PURE-STDLIB twin of the JVM scorer: it parses
+  * Spark's public BloomFilter serialization (V1: int version, int
+  * numHashFunctions, int numWords, big-endian longs) and replays
+  * Murmur3_x86_32 membership plus [[graft.geo.GeoCell]]'s cell id —
+  * PyfuncExportSpec pins bit-parity of `predict` against
+  * [[graft.score.Blooms.score]] by running the module under python3
+  * when one is on PATH. */
+object PyfuncExport {
+
+  private def fs(spark: SparkSession, p: Path) =
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def writeText(spark: SparkSession, p: Path, text: String): Unit = {
+    val f = fs(spark, p)
+    val out = f.create(p, true)
+    try out.write(text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Export `trained` ([[graft.score.Blooms.train]] output: user string,
+    * bloom binary) as a loadable pyfunc model directory at `dst`. */
+  def exportBloomScorer(spark: SparkSession, trained: DataFrame, dst: String,
+                        precision: Int = 10, userCol: String = "user"): Unit = {
+    require(precision >= 0 && precision <= 15, s"precision $precision out of [0,15]")
+    val root = new Path(dst)
+    val f = fs(spark, root)
+    f.delete(root, true)
+    f.mkdirs(root)
+    trained.select(col(userCol).cast("string").as("user"), col("bloom"))
+      .coalesce(1).write.parquet(new Path(root, "data/blooms.parquet").toString)
+    writeText(spark, new Path(root, "data/params.txt"), s"precision=$precision\n")
+    writeText(spark, new Path(root, "code/graft_bloom_scorer.py"), loaderModule)
+    writeText(spark, new Path(root, "conda.yaml"),
+      """channels:
+        |- conda-forge
+        |dependencies:
+        |- python=3.10
+        |- pip
+        |- pip:
+        |  - pandas
+        |  - pyarrow
+        |name: graft_bloom_env
+        |""".stripMargin)
+    writeText(spark, new Path(root, "python_env.yaml"),
+      """python: 3.10.12
+        |build_dependencies:
+        |- pip
+        |dependencies:
+        |- -r requirements.txt
+        |""".stripMargin)
+    writeText(spark, new Path(root, "requirements.txt"), "pandas\npyarrow\n")
+    val created = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.now())
+    writeText(spark, new Path(root, "MLmodel"),
+      s"""artifact_path: pipeline
+         |flavors:
+         |  python_function:
+         |    code: code
+         |    data: data
+         |    env:
+         |      conda: conda.yaml
+         |      virtualenv: python_env.yaml
+         |    loader_module: graft_bloom_scorer
+         |    python_version: 3.10.12
+         |model_uuid: ${java.util.UUID.randomUUID()}
+         |utc_time_created: '$created'
+         |""".stripMargin)
+  }
+
+  /** The shipped loader module — kept here (not a resource file) so the
+    * Scala scorer and its Python twin live one screen apart and drift is
+    * a code-review diff, not an artifact surprise. */
+  private[tracking] val loaderModule: String =
+    """# graft_bloom_scorer: mlflow.pyfunc loader module for the graft bloom
+      |# anomaly scorer. Pure-stdlib twin of graft.score.Blooms.score:
+      |#  - Spark BloomFilter V1 wire format (big-endian: int version, int
+      |#    numHashFunctions, int numWords, long[numWords])
+      |#  - Murmur3_x86_32 membership (h1 + i*h2 double hashing, 32-bit
+      |#    signed arithmetic, sign-extended tail bytes)
+      |#  - graft.geo.GeoCell cell ids (aperture-4 grid, uppercase hex)
+      |# Contract: _load_pyfunc(data_path) -> model; model.predict(pdf) with
+      |# columns (user, latitude, longitude) appends anomaly 0/1.
+      |import math
+      |import os
+      |import struct
+      |
+      |_M = 0xFFFFFFFF
+      |
+      |
+      |def _mix_h1(h1, k1):
+      |    k1 = (k1 * 0xCC9E2D51) & _M
+      |    k1 = ((k1 << 15) | (k1 >> 17)) & _M
+      |    k1 = (k1 * 0x1B873593) & _M
+      |    h1 ^= k1
+      |    h1 = ((h1 << 13) | (h1 >> 19)) & _M
+      |    return (h1 * 5 + 0xE6546B64) & _M
+      |
+      |
+      |def _murmur3_32(data, seed):
+      |    # Spark Murmur3_x86_32.hashUnsafeBytes: 4-byte little-endian
+      |    # words, then tail bytes one at a time SIGN-EXTENDED (Java byte)
+      |    h1 = seed & _M
+      |    n = len(data) - len(data) % 4
+      |    for i in range(0, n, 4):
+      |        h1 = _mix_h1(h1, int.from_bytes(data[i:i + 4], 'little'))
+      |    for i in range(n, len(data)):
+      |        b = data[i] - 256 if data[i] > 127 else data[i]
+      |        h1 = _mix_h1(h1, b & _M)
+      |    h1 ^= len(data)
+      |    h1 ^= h1 >> 16
+      |    h1 = (h1 * 0x85EBCA6B) & _M
+      |    h1 ^= h1 >> 13
+      |    h1 = (h1 * 0xC2B2AE35) & _M
+      |    h1 ^= h1 >> 16
+      |    return h1
+      |
+      |
+      |def _signed32(x):
+      |    return x - 0x100000000 if x >= 0x80000000 else x
+      |
+      |
+      |class _Bloom:
+      |    # Spark BloomFilter wire formats:
+      |    #  V1: int version, int k,            int numWords, long[numWords]
+      |    #  V2: int version, int k, int seed,  int numWords, long[numWords]
+      |    def __init__(self, raw):
+      |        self.version, self.k = struct.unpack_from('>ii', raw, 0)
+      |        if self.version == 1:
+      |            self.seed, off = 0, 8
+      |        elif self.version == 2:
+      |            (self.seed,), off = struct.unpack_from('>i', raw, 8), 12
+      |        else:
+      |            raise ValueError(
+      |                'unsupported Spark BloomFilter version %d' % self.version)
+      |        (num_words,) = struct.unpack_from('>i', raw, off)
+      |        self.words = struct.unpack_from('>%dq' % num_words, raw, off + 4)
+      |        self.bit_size = num_words * 64
+      |
+      |    def _get(self, idx):
+      |        return (self.words[idx >> 6] >> (idx & 63)) & 1
+      |
+      |    def might_contain(self, s):
+      |        data = s.encode('utf-8')
+      |        h1 = _murmur3_32(data, self.seed)
+      |        h2 = _murmur3_32(data, h1)
+      |        if self.version == 1:
+      |            # int arithmetic: combined = h1 + i*h2, ~ when negative
+      |            for i in range(1, self.k + 1):
+      |                ch = (h1 + i * h2) & _M
+      |                if ch >= 0x80000000:
+      |                    ch = (~(ch - 0x100000000)) & _M
+      |                if not self._get(ch % self.bit_size):
+      |                    return False
+      |            return True
+      |        # V2: LONG arithmetic — combined starts hi * Integer.MAX_VALUE
+      |        # and accumulates lo per probe (no 64-bit overflow possible)
+      |        combined = _signed32(h1) * 2147483647
+      |        lo = _signed32(h2)
+      |        for _ in range(self.k):
+      |            combined += lo
+      |            idx = (~combined if combined < 0 else combined) % self.bit_size
+      |            if not self._get(idx):
+      |                return False
+      |        return True
+      |
+      |
+      |def _cell_id(lat, lng, res):
+      |    # graft.geo.GeoCell.cellId: 180/2^(res+8) degree squares,
+      |    # "%X%07X%07X" % (res, latIndex, lngIndex)
+      |    if lat is None or lng is None or math.isnan(lat) or math.isnan(lng):
+      |        return None
+      |    step = 180.0 / float(1 << (res + 8))
+      |    rows = 1 << (res + 8)
+      |    cols = 1 << (res + 9)
+      |    i = int(math.floor((lat + 90.0) / step))
+      |    i = min(max(i, 0), rows - 1)
+      |    j = int(math.floor((lng + 180.0) / step)) % cols
+      |    return '%X%07X%07X' % (res, i, j)
+      |
+      |
+      |class GraftBloomScorer:
+      |    def __init__(self, blooms, precision):
+      |        self._blooms = blooms
+      |        self._precision = precision
+      |
+      |    def predict(self, df):
+      |        def row_anomaly(row):
+      |            cell = _cell_id(row['latitude'], row['longitude'], self._precision)
+      |            if cell is None:
+      |                return 1
+      |            bf = self._blooms.get(str(row['user']))
+      |            if bf is None:
+      |                return 1
+      |            return 0 if bf.might_contain(cell) else 1
+      |        out = df.copy()
+      |        out['anomaly'] = df.apply(row_anomaly, axis=1)
+      |        return out
+      |
+      |
+      |def _load_pyfunc(data_path):
+      |    import pandas as pd
+      |    blooms_dir = os.path.join(data_path, 'blooms.parquet')
+      |    pdf = pd.read_parquet(blooms_dir)
+      |    blooms = {str(u): _Bloom(bytes(b))
+      |              for u, b in zip(pdf['user'], pdf['bloom'])}
+      |    precision = 10
+      |    with open(os.path.join(data_path, 'params.txt')) as fh:
+      |        for line in fh:
+      |            k, _, v = line.strip().partition('=')
+      |            if k == 'precision':
+      |                precision = int(v)
+      |    return GraftBloomScorer(blooms, precision)
+      |""".stripMargin
+}
