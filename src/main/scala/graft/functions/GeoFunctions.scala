@@ -35,6 +35,18 @@ object GeoFunctions {
     least(greatest(floor((lat + lit(90.0)) / lit(step)).cast("long"), lit(0L)), lit(rows - 1))
   }
 
+  /** REAL H3 id column (uppercased, the reference's `to_h3` surface) —
+    * the native codegen [[graft.plans.GeoToH3Expression]] as a Column,
+    * for callers joining against tiles the real geoscan library wrote.
+    * No DuckDB oracle exists for H3, so queries built on this carry
+    * constant-law or vector oracles (q282/q283) instead of replays. */
+  def geoToH3(lat: Column, lng: Column, res: Int): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      graft.plans.GeoToH3Expression(
+        org.apache.spark.sql.graft.ColumnBridge.expression(lat.cast("double")),
+        org.apache.spark.sql.graft.ColumnBridge.expression(lng.cast("double")),
+        org.apache.spark.sql.catalyst.expressions.Literal(res)))
+
   /** Wrapped longitude column index at `res` — `Tables.lngIdxSql` twin. */
   def lngIndexCol(lng: Column, res: Int): Column = {
     val step = GeoCell.stepDegrees(res)

@@ -1,0 +1,363 @@
+package graft.geo
+
+/** Real H3 point→cell indexing (the PUBLIC aperture-7 icosahedral
+  * algorithm, v3 semantics: `h3.geo_to_h3(lat, lng, res)` — the ONLY h3
+  * call the reference makes, `utils/spark_utils.py:6-9` /
+  * `utils/bloom_utils.py:29-31`). This closes the last id-level parity
+  * gap: tiles tables produced by the real geoscan library carry real H3
+  * ids, and with this a user can join / score against them directly
+  * (the [[GeoCell]] grid remains the engine's own oracle-replayable
+  * index; see the trade-off note there).
+  *
+  * Pipeline (all public): lat/lng → unit 3-vector → nearest icosahedron
+  * face → gnomonic projection to the face plane → scaled hex-grid (r,θ)
+  * with the Class-III aperture-7 rotation on odd resolutions → rounded
+  * IJK+ coordinates → aggregated up to the res-0 base cell while
+  * emitting one 3-bit digit per resolution → base-cell lookup +
+  * canonical-orientation rotations (pentagon deleted-K-subsequence
+  * handling included) → the 64-bit H3 index (mode 1, 4-bit res, 7-bit
+  * base cell, 15 × 3-bit digits, unused digits = 7).
+  *
+  * VERIFICATION (H3Spec): published test vectors reproduced exactly
+  * (res 5/7 Bay Area, res 9 San Francisco, res 10 Statue of Liberty —
+  * two different icosahedron faces), plus the global structural laws
+  * only a correct table set satisfies: a dense sphere sweep reaches all
+  * 122 base cells, produces EXACTLY 842 distinct res-1 cells
+  * (110·7 + 12·6 — the aperture-7 pentagon law), and no index in a
+  * pentagon base cell ever leads with the deleted K digit.
+  *
+  * Scale shape: pure per-row arithmetic (trig + integer table lookups),
+  * no allocation beyond the result — safe inside a tight per-row loop
+  * and exposed to SQL as the codegen expression `geo_to_h3`. */
+object H3 {
+
+  // ---- icosahedron geometry -------------------------------------------
+
+  private val FaceCenterGeo: Array[(Double, Double)] = Array(
+    (0.80358264971899, 1.2483974196173961),
+    (1.3077478834556382, 2.5369450098779214),
+    (1.054751253523952, -1.3475173589003966),
+    (0.6001915955381868, -0.45060390946975576),
+    (0.49171542819877384, 0.40198820291130694),
+    (0.1727453274156187, 1.6781468852804338),
+    (0.6059293215713507, 2.9539233298124117),
+    (0.42737051832897965, -1.8888762003362853),
+    (-0.07906611854921283, -0.7334295133808677),
+    (-0.23096164445538364, 0.506495587332349),
+    (0.07906611854921283, 2.4081631402089254),
+    (0.23096164445538364, -2.635097066257444),
+    (-0.1727453274156187, -1.4634457683093596),
+    (-0.6059293215713507, -0.18766932377738163),
+    (-0.42737051832897965, 1.2527164532535078),
+    (-0.6001915955381868, 2.6909887441200375),
+    (-0.49171542819877384, -2.7396044506784865),
+    (-0.80358264971899, -1.8931952339723972),
+    (-1.3077478834556382, -0.6046476437118721),
+    (-1.054751253523952, 1.7940752946893965))
+
+  /** Class-II i-axis azimuth per face. */
+  private val FaceAxesAzI: Array[Double] = Array(
+    5.6199582685239395, 5.7603390817141875, 0.78021365439343,
+    0.4304693639799999, 6.130269123335111, 2.692877706530643,
+    2.982963003477244, 3.532912002790141, 3.494305004259568,
+    3.0032141694995384, 5.9304729565098115, 0.13837848409025485,
+    0.44871494705915036, 0.15862965011254937, 5.891865957979239,
+    2.7111232896097933, 3.2945088374342683, 3.80481969224544,
+    3.6644388790551925, 2.361378999196363)
+
+  /** (base cell, ccw 60° rotations) per (face, i, j, k), i/j/k ∈ 0..2,
+    * flattened as face*27 + i*9 + j*3 + k. */
+  private val FaceIjkBaseCell: Array[Int] = Array(
+    16, 18, 24, 33, 30, 32, 49, 48, 50, 8, 5, 10, 22, 16, 18, 41, 33, 30, 4, 0, 2, 15, 8, 5, 31, 22, 16,
+    2, 6, 14, 10, 11, 17, 24, 23, 25, 0, 1, 9, 5, 2, 6, 18, 10, 11, 4, 3, 7, 8, 0, 1, 22, 5, 2,
+    7, 21, 38, 9, 19, 34, 14, 20, 36, 3, 13, 29, 1, 7, 21, 6, 9, 19, 4, 12, 26, 0, 3, 13, 2, 1, 7,
+    26, 42, 58, 29, 43, 62, 38, 47, 64, 12, 28, 44, 13, 26, 42, 21, 29, 43, 4, 15, 31, 3, 12, 28, 7, 13, 26,
+    31, 41, 49, 44, 53, 61, 58, 65, 75, 15, 22, 33, 28, 31, 41, 42, 44, 53, 4, 8, 16, 12, 15, 22, 26, 28, 31,
+    50, 48, 49, 32, 30, 33, 24, 18, 16, 70, 67, 66, 52, 50, 48, 37, 32, 30, 83, 87, 85, 74, 70, 67, 57, 52, 50,
+    25, 23, 24, 17, 11, 10, 14, 6, 2, 45, 39, 37, 35, 25, 23, 27, 17, 11, 63, 59, 57, 56, 45, 39, 46, 35, 25,
+    36, 20, 14, 34, 19, 9, 38, 21, 7, 55, 40, 27, 54, 36, 20, 51, 34, 19, 72, 60, 46, 73, 55, 40, 71, 54, 36,
+    64, 47, 38, 62, 43, 29, 58, 42, 26, 84, 69, 51, 82, 64, 47, 76, 62, 43, 97, 89, 71, 98, 84, 69, 96, 82, 64,
+    75, 65, 58, 61, 53, 44, 49, 41, 31, 94, 86, 76, 81, 75, 65, 66, 61, 53, 107, 104, 96, 101, 94, 86, 85, 81, 75,
+    57, 59, 63, 74, 78, 79, 83, 92, 95, 37, 39, 45, 52, 57, 59, 70, 74, 78, 24, 23, 25, 32, 37, 39, 50, 52, 57,
+    46, 60, 72, 56, 68, 80, 63, 77, 90, 27, 40, 55, 35, 46, 60, 45, 56, 68, 14, 20, 36, 17, 27, 40, 25, 35, 46,
+    71, 89, 97, 73, 91, 103, 72, 88, 105, 51, 69, 84, 54, 71, 89, 55, 73, 91, 38, 47, 64, 34, 51, 69, 36, 54, 71,
+    96, 104, 107, 98, 110, 115, 97, 111, 119, 76, 86, 94, 82, 96, 104, 84, 98, 110, 58, 65, 75, 62, 76, 86, 64, 82, 96,
+    85, 87, 83, 101, 102, 100, 107, 112, 114, 66, 67, 70, 81, 85, 87, 94, 101, 102, 49, 48, 50, 61, 66, 67, 75, 81, 85,
+    95, 92, 83, 79, 78, 74, 63, 59, 57, 109, 108, 100, 93, 95, 92, 77, 79, 78, 117, 118, 114, 106, 109, 108, 90, 93, 95,
+    90, 77, 63, 80, 68, 56, 72, 60, 46, 106, 93, 79, 99, 90, 77, 88, 80, 68, 117, 109, 95, 113, 106, 93, 105, 99, 90,
+    105, 88, 72, 103, 91, 73, 97, 89, 71, 113, 99, 80, 116, 105, 88, 111, 103, 91, 117, 106, 90, 121, 113, 99, 119, 116, 105,
+    119, 111, 97, 115, 110, 98, 107, 104, 96, 121, 116, 103, 120, 119, 111, 112, 115, 110, 117, 113, 105, 118, 121, 116, 114, 120, 119,
+    114, 112, 107, 100, 102, 101, 83, 87, 85, 118, 120, 115, 108, 114, 112, 92, 100, 102, 117, 121, 119, 109, 118, 120, 95, 108, 114)
+
+  private val FaceIjkCcwRot60: Array[Int] = Array(
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 5, 5, 0, 0, 0, 1, 0, 0, 0, 5, 5, 1, 0, 5, 1, 0, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 5, 5, 0, 0, 0, 1, 0, 0, 1, 5, 5, 1, 0, 5, 1, 0, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 5, 5, 0, 0, 0, 1, 0, 0, 2, 5, 5, 1, 0, 5, 1, 0, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 5, 5, 0, 0, 0, 1, 0, 0, 3, 5, 5, 1, 0, 5, 1, 0, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 5, 5, 0, 0, 0, 1, 0, 0, 4, 5, 5, 1, 0, 5, 1, 0, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 0, 3, 3, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 0, 1, 3, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 0, 3, 3, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 0, 3, 3, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 0, 3, 3, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 0, 3, 3, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 0, 3, 3, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 0, 3, 3, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 0, 3, 3, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 0, 3, 3, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 3, 3, 0, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 3, 3, 0, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 3, 3, 0, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 3, 3, 0, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 3, 3, 0, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 3, 3, 0, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 3, 3, 0, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 3, 3, 0, 0,
+    0, 0, 3, 0, 3, 3, 3, 3, 3, 0, 3, 3, 0, 0, 0, 3, 0, 3, 0, 3, 3, 3, 0, 3, 3, 0, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 0, 5, 1, 0, 0, 3, 0, 0, 4, 5, 5, 1, 0, 0, 3, 1, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 0, 5, 1, 0, 0, 3, 0, 0, 3, 5, 5, 1, 0, 0, 3, 1, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 0, 5, 1, 0, 0, 3, 0, 0, 2, 5, 5, 1, 0, 0, 3, 1, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 0, 5, 1, 0, 0, 3, 0, 0, 1, 5, 5, 1, 0, 0, 3, 1, 0,
+    0, 0, 0, 0, 0, 3, 1, 3, 3, 0, 0, 5, 1, 0, 0, 3, 0, 0, 0, 5, 5, 1, 0, 0, 3, 1, 0)
+
+  /** The 12 pentagon base cells. */
+  val Pentagons: Set[Int] =
+    Set(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117)
+
+  /** Pentagon base cell → its two clockwise-offset faces. */
+  private val CwOffsetPent: Map[Int, (Int, Int)] = Map(
+    4 -> (-1, -1), 14 -> (2, 6), 24 -> (1, 5), 38 -> (3, 7), 49 -> (0, 9),
+    58 -> (4, 8), 63 -> (11, 15), 72 -> (12, 16), 83 -> (10, 19),
+    97 -> (13, 17), 107 -> (14, 18), 117 -> (-1, -1))
+
+  // ---- constants -------------------------------------------------------
+
+  private val Sin60 = math.sqrt(3.0) / 2.0
+  private val Sqrt7 = math.sqrt(7.0)
+  /** Aperture-7 Class-III rotation: asin(sqrt(3/28)). */
+  private val Ap7RotRads = math.asin(math.sqrt(3.0 / 28.0))
+  /** Res-0 unit length on the gnomonic plane. */
+  private val Res0UGnomonic = 0.38196601125010500003
+  private val Eps = 1e-16
+
+  private val FaceCenterPoint: Array[(Double, Double, Double)] =
+    FaceCenterGeo.map { case (lat, lng) =>
+      val r = math.cos(lat)
+      (math.cos(lng) * r, math.sin(lng) * r, math.sin(lat))
+    }
+
+  // ---- IJK+ coordinate algebra ----------------------------------------
+
+  @inline private def normalize(i0: Long, j0: Long, k0: Long): (Long, Long, Long) = {
+    var (i, j, k) = (i0, j0, k0)
+    if (i < 0) { j -= i; k -= i; i = 0 }
+    if (j < 0) { i -= j; k -= j; j = 0 }
+    if (k < 0) { i -= k; j -= k; k = 0 }
+    val m = math.min(i, math.min(j, k))
+    (i - m, j - m, k - m)
+  }
+
+  /** Hex-plane point → nearest cell's IJK+ (the public hex rounding). */
+  private[geo] def hex2dToIjk(x: Double, y: Double): (Long, Long, Long) = {
+    val a1 = math.abs(x); val a2 = math.abs(y)
+    val x2 = a2 / Sin60
+    val x1 = a1 + x2 / 2.0
+    val m1 = x1.toLong; val m2 = x2.toLong
+    val r1 = x1 - m1; val r2 = x2 - m2
+    var i = 0L; var j = 0L
+    if (r1 < 0.5) {
+      if (r1 < 1.0 / 3.0) {
+        i = m1
+        j = if (r2 < (1.0 + r1) / 2.0) m2 else m2 + 1
+      } else {
+        j = if (r2 < 1.0 - r1) m2 else m2 + 1
+        i = if (1.0 - r1 <= r2 && r2 < 2.0 * r1) m1 + 1 else m1
+      }
+    } else {
+      if (r1 < 2.0 / 3.0) {
+        j = if (r2 < 1.0 - r1) m2 else m2 + 1
+        i = if (2.0 * r1 - 1.0 < r2 && r2 < 1.0 - r1) m1 else m1 + 1
+      } else {
+        i = m1 + 1
+        j = if (r2 < r1 / 2.0) m2 else m2 + 1
+      }
+    }
+    // fold across the axes for negative plane coordinates
+    if (x < 0.0) {
+      val axisi = if (j % 2 == 0) j / 2 else (j + 1) / 2
+      i = i - 2 * (i - axisi) - (if (j % 2 == 0) 0 else 1)
+    }
+    if (y < 0.0) {
+      i = i - (2 * j + 1) / 2
+      j = -j
+    }
+    normalize(i, j, 0)
+  }
+
+  @inline private def upAp7(i0: Long, j0: Long, k0: Long): (Long, Long, Long) = {
+    val i = i0 - k0; val j = j0 - k0
+    normalize(math.round((3.0 * i - j) / 7.0), math.round((i + 2.0 * j) / 7.0), 0)
+  }
+
+  @inline private def upAp7r(i0: Long, j0: Long, k0: Long): (Long, Long, Long) = {
+    val i = i0 - k0; val j = j0 - k0
+    normalize(math.round((2.0 * i + j) / 7.0), math.round((3.0 * j - i) / 7.0), 0)
+  }
+
+  @inline private def downAp7(i: Long, j: Long, k: Long): (Long, Long, Long) =
+    normalize(3 * i + j, 3 * j + k, i + 3 * k)
+
+  @inline private def downAp7r(i: Long, j: Long, k: Long): (Long, Long, Long) =
+    normalize(3 * i + k, i + 3 * j, j + 3 * k)
+
+  /** Normalized unit diff → digit (CENTER 0, K 1, J 2, JK 3, I 4, IK 5, IJ 6). */
+  @inline private def unitIjkToDigit(i: Long, j: Long, k: Long): Int =
+    (i * 4 + j * 2 + k).toInt match {
+      case d if d >= 0 && d <= 6 && (i | j | k) <= 1 => d
+      case _ => throw new IllegalStateException(s"non-unit ijk ($i,$j,$k)")
+    }
+
+  // ---- H3 index plumbing (public bit layout) ---------------------------
+
+  private val Rot60Ccw = Array(0, 5, 3, 1, 6, 4, 2)
+  private val Rot60Cw = Array(0, 3, 6, 2, 5, 1, 4)
+
+  @inline private def getDigit(h: Long, r: Int): Int =
+    ((h >>> ((15 - r) * 3)) & 7L).toInt
+
+  @inline private def setDigit(h: Long, r: Int, d: Int): Long = {
+    val shift = (15 - r) * 3
+    (h & ~(7L << shift)) | (d.toLong << shift)
+  }
+
+  private def leadingNonZeroDigit(h: Long, res: Int): Int = {
+    var r = 1
+    while (r <= res) {
+      val d = getDigit(h, r)
+      if (d != 0) return d
+      r += 1
+    }
+    0
+  }
+
+  private def rotate60(h0: Long, res: Int, table: Array[Int]): Long = {
+    var h = h0; var r = 1
+    while (r <= res) { h = setDigit(h, r, table(getDigit(h, r))); r += 1 }
+    h
+  }
+
+  private def rotatePent60Ccw(h0: Long, res: Int): Long = {
+    var h = h0; var found = false; var r = 1
+    while (r <= res) {
+      h = setDigit(h, r, Rot60Ccw(getDigit(h, r)))
+      if (!found && getDigit(h, r) != 0) {
+        found = true
+        if (leadingNonZeroDigit(h, res) == 1) h = rotate60(h, res, Rot60Ccw)
+      }
+      r += 1
+    }
+    h
+  }
+
+  // ---- the public surface ---------------------------------------------
+
+  /** Resolution field of an H3 index. */
+  def resolution(h: Long): Int = ((h >>> 52) & 0xF).toInt
+
+  /** Base cell field of an H3 index. */
+  def baseCell(h: Long): Int = ((h >>> 45) & 0x7F).toInt
+
+  /** True when the index lives in a pentagon base cell. */
+  def isPentagon(h: Long): Boolean =
+    Pentagons.contains(baseCell(h)) &&
+      leadingNonZeroDigit(h, resolution(h)) == 0
+
+  /** Digit at resolution `r` (1-based), 0..6, 7 = unused. */
+  def digit(h: Long, r: Int): Int = getDigit(h, r)
+
+  /** Parent index at `parentRes` (digit truncation — the public rule). */
+  def parent(h: Long, parentRes: Int): Long = {
+    val res = resolution(h)
+    require(parentRes >= 0 && parentRes <= res,
+      s"parent resolution $parentRes out of [0, $res]")
+    var out = (h & ~(0xFL << 52)) | (parentRes.toLong << 52)
+    var r = parentRes + 1
+    while (r <= res) { out = setDigit(out, r, 7); r += 1 }
+    out
+  }
+
+  /** lat/lng (degrees) → H3 index at `res` — `h3.geo_to_h3` (v3 name). */
+  def geoToH3(latDeg: Double, lngDeg: Double, res: Int): Long = {
+    require(res >= 0 && res <= 15, s"H3 resolution $res out of [0,15]")
+    val lat = math.toRadians(latDeg)
+    val lng = math.toRadians(lngDeg)
+    // nearest icosahedron face by squared chord distance
+    val vx = math.cos(lng) * math.cos(lat)
+    val vy = math.sin(lng) * math.cos(lat)
+    val vz = math.sin(lat)
+    var face = 0; var sqd = Double.MaxValue
+    var f = 0
+    while (f < 20) {
+      val c = FaceCenterPoint(f)
+      val d = (c._1 - vx) * (c._1 - vx) + (c._2 - vy) * (c._2 - vy) +
+        (c._3 - vz) * (c._3 - vz)
+      if (d < sqd) { face = f; sqd = d }
+      f += 1
+    }
+    val rAng = math.acos(1.0 - sqd / 2.0)
+    var x = 0.0; var y = 0.0
+    if (rAng >= Eps) {
+      val (fcLat, fcLng) = FaceCenterGeo(face)
+      val az = math.atan2(
+        math.cos(lat) * math.sin(lng - fcLng),
+        math.cos(fcLat) * math.sin(lat) -
+          math.sin(fcLat) * math.cos(lat) * math.cos(lng - fcLng))
+      var theta = posAngle(FaceAxesAzI(face) - posAngle(az))
+      if (res % 2 == 1) theta = posAngle(theta - Ap7RotRads)
+      var rr = math.tan(rAng) / Res0UGnomonic
+      var k = 0
+      while (k < res) { rr *= Sqrt7; k += 1 }
+      x = rr * math.cos(theta)
+      y = rr * math.sin(theta)
+    }
+    var (i, j, k) = hex2dToIjk(x, y)
+    // mode 1, res, all digits 7
+    var h = (1L << 59) | (res.toLong << 52) | ((1L << 45) - 1)
+    var r = res
+    while (r > 0) {
+      val (li, lj, lk) = (i, j, k)
+      val (ci, cj, ck) =
+        if (r % 2 == 1) { val up = upAp7(i, j, k); i = up._1; j = up._2; k = up._3; downAp7(i, j, k) }
+        else { val up = upAp7r(i, j, k); i = up._1; j = up._2; k = up._3; downAp7r(i, j, k) }
+      val (di, dj, dk) = normalize(li - ci, lj - cj, lk - ck)
+      h = setDigit(h, r, unitIjkToDigit(di, dj, dk))
+      r -= 1
+    }
+    require(i <= 2 && j <= 2 && k <= 2,
+      s"H3 base coordinates out of range for ($latDeg, $lngDeg)")
+    val idx = face * 27 + (i * 9 + j * 3 + k).toInt
+    val bc = FaceIjkBaseCell(idx)
+    val rot = FaceIjkCcwRot60(idx)
+    h = (h & ~(0x7FL << 45)) | (bc.toLong << 45)
+    if (Pentagons.contains(bc)) {
+      if (leadingNonZeroDigit(h, res) == 1) {
+        val (f1, f2) = CwOffsetPent(bc)
+        h = if (face == f1 || face == f2) rotate60(h, res, Rot60Cw)
+        else rotate60(h, res, Rot60Ccw)
+      }
+      var n = 0
+      while (n < rot) { h = rotatePent60Ccw(h, res); n += 1 }
+    } else {
+      var n = 0
+      while (n < rot) { h = rotate60(h, res, Rot60Ccw); n += 1 }
+    }
+    h
+  }
+
+  /** The id as the h3 library prints it (lowercase hex, no padding). */
+  def toH3String(h: Long): String = java.lang.Long.toHexString(h)
+
+  /** The reference's `to_h3` surface: UPPERCASED id string
+    * (`utils/spark_utils.py:9` returns `h.upper()`). */
+  def geoToH3String(latDeg: Double, lngDeg: Double, res: Int): String =
+    toH3String(geoToH3(latDeg, lngDeg, res))
+      .toUpperCase(java.util.Locale.ROOT)
+
+  /** Parse either case back to the 64-bit index. */
+  def fromString(s: String): Long = java.lang.Long.parseUnsignedLong(
+    s.toLowerCase(java.util.Locale.ROOT), 16)
+
+  @inline private def posAngle(a: Double): Double =
+    if (a < 0) a + 2 * math.Pi else if (a > 2 * math.Pi) a - 2 * math.Pi else a
+}

@@ -42,6 +42,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GeoCellExpression(children(0), children(1), children(2))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("geo_to_h3"),
+      new ExpressionInfo(classOf[GeoToH3Expression].getName, "geo_to_h3"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "geo_to_h3(lat, lng, res)")
+        GeoToH3Expression(children(0), children(1), children(2))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpression].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -3656,6 +3656,72 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // REAL H3 ids (graft.geo.H3 — the published aperture-7 icosahedral
+    // algorithm; the reference's only h3 call is geo_to_h3,
+    // utils/spark_utils.py:6-9). DuckDB has no H3, so the oracle is the
+    // only one H3 itself has: the PUBLISHED documentation vectors,
+    // exact — plus two global structural laws with data-independent
+    // constants (842 res-1 cells = 110*7 + 12*6; 12 pentagons), swept
+    // over a deterministic Fibonacci lattice built from spark.range.
+    "q282_h3_vectors" -> ((s, dir) => {
+      import s.implicits._
+      val vectors = Seq(
+        ("a_bay_r5", 37.3615593, -122.0553238, 5),
+        ("b_bay_r7", 37.3615593, -122.0553238, 7),
+        ("c_sf_r9", 37.7752702151959257, -122.418307270836230, 9),
+        ("d_liberty_r10", 40.689167, -74.044444, 10))
+        .toDF("leg", "lat", "lng", "res")
+        .select($"leg", expr("geo_to_h3(lat, lng, res)").as("value"))
+      val n = 150000
+      val ga = math.Pi * (3.0 - math.sqrt(5.0))
+      // distinct res-1 cells over the lattice, with the 60-bit id parsed
+      // back to its numeric fields IN SQL (base cell = bits 45..51,
+      // res-1 digit = bits 42..44) so the pentagon law leg is pure SQL
+      // over the expression's output, not a Scala-side recount
+      val sweep = s.range(n).select(
+        degrees(asin(lit(1.0) - (lit(2.0) * $"id" + 1.0) / lit(n.toDouble))).as("lat"),
+        degrees(pmod($"id" * lit(ga), lit(2 * math.Pi)) - lit(math.Pi)).as("lng"))
+        .select(expr("geo_to_h3(lat, lng, 1)").as("h3")).distinct()
+        .select(expr("CAST(conv(h3, 16, 10) AS BIGINT)").as("v"))
+      val pentSet = graft.geo.H3.Pentagons.toSeq.sorted.mkString("(", ", ", ")")
+      val lawLegs = sweep.agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(expr(s"(v DIV 35184372088832) % 128 IN $pentSet" +
+          " AND (v DIV 4398046511104) % 8 = 0"), 1L).otherwise(0L)).as("n_pent"))
+        .select(explode(array(
+          struct(lit("e_res1_cells").as("leg"), $"n_cells".cast("string").as("value")),
+          struct(lit("f_pentagons_r1").as("leg"), $"n_pent".cast("string").as("value")))))
+        .select($"col.leg", $"col.value")
+      vectors.unionAll(lawLegs).orderBy($"leg")
+    }),
+
+    // the q22 TILING JOIN replayed over REAL H3 ids: per-user tile sets
+    // from geo_to_h3 at the reference's res 9, probed by the same
+    // points — every leg is a LAW with a data-independent constant
+    // (self-membership holds exactly, every user keeps tiles, every id
+    // is a 15-hex-char mode-1 cell), so the oracle is exact without a
+    // DuckDB H3.
+    "q283_h3_tiling_join" -> ((s, dir) => {
+      import s.implicits._
+      val pts = Tables.points(s, dir).withColumnRenamed("user_id", "user")
+        .select($"user", graft.functions.GeoFunctions
+          .geoToH3($"latitude", $"longitude", 9).as("h3"))
+      val tiles = pts.distinct()
+      val selfMiss = pts.join(tiles, Seq("user", "h3"), "left_anti")
+        .agg(count(lit(1)).as("n"))
+        .select(lit("a_self_miss").as("leg"), $"n".cast("string").as("value"))
+      val userDiff = pts.agg((countDistinct($"user") -
+          lit(0L)).as("pu")).crossJoin(
+          tiles.agg(countDistinct($"user").as("tu")))
+        .select(lit("b_user_diff").as("leg"),
+          ($"pu" - $"tu").cast("string").as("value"))
+      val badIds = pts.where(length($"h3") =!= 15 ||
+          !$"h3".rlike("^[0-9A-F]{15}$"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("c_bad_ids").as("leg"), $"n".cast("string").as("value"))
+      selfMiss.unionAll(userDiff).unionAll(badIds).orderBy($"leg")
+    }),
+
     // SQL SCHEMA EVOLUTION + INSERT OVERWRITE through the catalog —
     // ALTER TABLE ADD/RENAME COLUMN on both formats (Delta through the
     // SET TBLPROPERTIES mapping upgrade; Iceberg id-keyed), INSERT
@@ -5136,6 +5202,21 @@ object IndexQueries {
         |    CAST(sum(vm) AS BIGINT)
         |  FROM d WHERE event_type = 'purchase' AND vm >= 500000000
         |) ORDER BY leg""".stripMargin,
+    "q282_h3_vectors" ->
+      """SELECT * FROM (VALUES
+        |  ('a_bay_r5', '85283473FFFFFFF'),
+        |  ('b_bay_r7', '87283472BFFFFFF'),
+        |  ('c_sf_r9', '8928308280FFFFF'),
+        |  ('d_liberty_r10', '8A2A1072B59FFFF'),
+        |  ('e_res1_cells', '842'),
+        |  ('f_pentagons_r1', '12')) AS t(leg, value)
+        |ORDER BY leg""".stripMargin,
+    "q283_h3_tiling_join" ->
+      """SELECT * FROM (VALUES
+        |  ('a_self_miss', '0'),
+        |  ('b_user_diff', '0'),
+        |  ('c_bad_ids', '0')) AS t(leg, value)
+        |ORDER BY leg""".stripMargin,
     "q281_sql_optimize_zorder" ->
       """WITH vm AS MATERIALIZED (
         |  SELECT event_type, event_id, user_id,

@@ -1,0 +1,92 @@
+package graft.geo
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Real H3 point→cell: published test vectors reproduced EXACTLY, plus
+  * the global structural laws only a correct icosahedral table set can
+  * satisfy. No network, no h3 library — the vectors below are the
+  * public documentation examples of the h3 project (v3 `geo_to_h3`). */
+class H3Spec extends AnyFunSuite {
+
+  test("published vectors reproduce exactly (two icosahedron faces, res 5-10)") {
+    // h3 quickstart: Bay Area point at res 5 and 7
+    assert(H3.toH3String(H3.geoToH3(37.3615593, -122.0553238, 5)) ==
+      "85283473fffffff")
+    assert(H3.toH3String(H3.geoToH3(37.3615593, -122.0553238, 7)) ==
+      "87283472bffffff")
+    // h3-py docs: San Francisco at res 9
+    assert(H3.toH3String(H3.geoToH3(37.7752702151959257, -122.418307270836230, 9)) ==
+      "8928308280fffff")
+    // h3 index-inspection docs: Statue of Liberty at res 10
+    assert(H3.toH3String(H3.geoToH3(40.689167, -74.044444, 10)) ==
+      "8a2a1072b59ffff")
+  }
+
+  test("the reference's to_h3 surface: uppercase ids, string round-trip") {
+    val s = H3.geoToH3String(37.7752702151959257, -122.418307270836230, 9)
+    assert(s == "8928308280FFFFF")
+    assert(H3.fromString(s) == H3.geoToH3(37.7752702151959257, -122.418307270836230, 9))
+  }
+
+  /** Deterministic quasi-even sphere sweep (Fibonacci lattice). */
+  private def sweep(n: Int): Iterator[(Double, Double)] = {
+    val ga = math.Pi * (3.0 - math.sqrt(5.0))
+    (0 until n).iterator.map { i =>
+      val z = 1.0 - (2.0 * i + 1.0) / n
+      val lat = math.toDegrees(math.asin(z))
+      val lng = math.toDegrees(((i * ga) % (2 * math.Pi)) - math.Pi)
+      (lat, lng)
+    }
+  }
+
+  test("global law: a sphere sweep reaches ALL 122 base cells, no more") {
+    val seen = sweep(60000).map { case (la, lo) =>
+      H3.baseCell(H3.geoToH3(la, lo, 0)) }.toSet
+    assert(seen == (0 until 122).toSet,
+      s"missing: ${(0 until 122).toSet -- seen}; extra: ${seen -- (0 until 122).toSet}")
+  }
+
+  test("global law: exactly 842 distinct res-1 cells (110*7 + 12*6)") {
+    val cells = sweep(400000).map { case (la, lo) =>
+      H3.geoToH3(la, lo, 1) }.toSet
+    assert(cells.size == 842, s"got ${cells.size}")
+    // every id carries res 1, a valid base cell, and no digit 7 in use
+    assert(cells.forall(h => H3.resolution(h) == 1 &&
+      H3.baseCell(h) < 122 && H3.digit(h, 1) != 7))
+    // pentagon children: center digit only under the deleted-K rule —
+    // exactly 12 pentagons at res 1 (digit 0 in a pentagon base cell)
+    assert(cells.count(H3.isPentagon) == 12)
+  }
+
+  test("global law: no pentagon-cell index ever leads with the deleted K digit") {
+    val bad = sweep(50000).map { case (la, lo) => H3.geoToH3(la, lo, 9) }
+      .filter(h => H3.Pentagons.contains(H3.baseCell(h)))
+      .filter { h =>
+        (1 to 9).find(r => H3.digit(h, r) != 0).exists(r => H3.digit(h, r) == 1)
+      }.toSeq
+    assert(bad.isEmpty, s"${bad.size} K-leading pentagon indexes")
+  }
+
+  test("resolution monotonicity: finer cells refine, parent truncation is stable") {
+    // the aperture-7 grid does not nest geometrically, but digit
+    // truncation is the exact parent rule — parent(geo res 9 -> 7)
+    // agrees with the direct res-7 assignment for interior points
+    val pts = Seq((37.7752702151959257, -122.418307270836230),
+      (40.689167, -74.044444), (51.5007, -0.1246), (-33.8568, 151.2153))
+    pts.foreach { case (la, lo) =>
+      val h9 = H3.geoToH3(la, lo, 9)
+      val h7 = H3.geoToH3(la, lo, 7)
+      assert(H3.parent(h9, 7) == h7, s"($la, $lo)")
+      assert(H3.resolution(H3.parent(h9, 7)) == 7)
+    }
+  }
+
+  test("distinct-count sanity at the reference's resolutions (9-11)") {
+    // res-10 hexes average ~0.0150 km²; the 0.02°×0.02° box at 37.8°N is
+    // ~3.9 km² → ~260 cells by the area law. Require the right decade.
+    val ids = (for { i <- 0 until 40; j <- 0 until 40 } yield
+      H3.geoToH3(37.77 + i * 5e-4, -122.41 + j * 5e-4, 10)).toSet
+    assert(ids.size > 200 && ids.size < 330, s"got ${ids.size}")
+    assert(ids.forall(h => H3.resolution(h) == 10))
+  }
+}
