@@ -81,6 +81,100 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  test("round-trip law: geoToH3(h3ToGeo(h)) == h — every parity, overage and pentagon subsequence") {
+    // deterministic sweep (Fibonacci lattice) across resolutions; the
+    // inverse walks every code path the forward does: home charts,
+    // face overage, the pentagon leading-4 wedge and leading-5 rotate
+    var n = 0
+    for (res <- Seq(0, 1, 2, 3, 4, 5, 9, 10); (la, lo) <- sweep(4000)) {
+      val h = H3.geoToH3(la, lo, res)
+      val (cla, clo) = H3.h3ToGeo(h)
+      assert(H3.geoToH3(cla, clo, res) == h,
+        s"round trip broke at ($la, $lo) res $res: ${H3.toH3String(h)}")
+      n += 1
+    }
+    assert(n == 32000)
+  }
+
+  test("h3ToGeo centers of the published-vector cells re-index to themselves") {
+    for (s <- Seq("85283473fffffff", "87283472bffffff", "8928308280fffff",
+                  "8a2a1072b59ffff")) {
+      val h = H3.fromString(s)
+      val (la, lo) = H3.h3ToGeo(h)
+      assert(H3.geoToH3(la, lo, H3.resolution(h)) == h, s)
+    }
+  }
+
+  /** Base cells touching a pentagon — the documented distortion seam. */
+  private lazy val seamBcs: Set[Int] = H3.Pentagons.flatMap { p =>
+    val pentRes0 = (1L << 59) | (p.toLong << 45) | ((1L << 45) - 1)
+    H3.neighbors(pentRes0).map(H3.baseCell) + p
+  }
+
+  test("neighbors: count law (6 per hexagon, 5 per pentagon), symmetry off-seam") {
+    var hexCount = 0
+    for ((la, lo) <- sweep(3000)) {
+      val h = H3.geoToH3(la, lo, 4)
+      val nbs = H3.neighbors(h)
+      if (H3.isPentagon(h)) assert(nbs.size == 5, H3.toH3String(h))
+      else assert(nbs.size == 6, H3.toH3String(h))
+      // symmetry away from the pentagon seams (the caveat documented on
+      // neighbors(): chart gluing there is chart-relative)
+      if (!seamBcs.contains(H3.baseCell(h)) &&
+          nbs.forall(n => !seamBcs.contains(H3.baseCell(n)))) {
+        nbs.foreach(n => assert(H3.neighbors(n).contains(h)))
+        hexCount += 1
+      }
+    }
+    assert(hexCount > 1000)
+  }
+
+  test("neighbors match geometric adjacency away from pentagon seams") {
+    // geometric ground truth from the verified forward projection: a
+    // dense local grid around the cell; adjacent grid samples in
+    // different cells witness a shared edge
+    def geomNeighbors(h: Long, lat0: Double, lng0: Double, res: Int): Set[Long] = {
+      val edge = 22.6 / 111.0 // res-4 edge, degrees
+      val n = 70
+      val step = 2.6 * edge / n
+      val cos = math.max(0.2, math.cos(math.toRadians(lat0)))
+      val grid = Array.tabulate(2 * n + 1, 2 * n + 1) { (a, b) =>
+        H3.geoToH3(lat0 + (a - n) * step,
+          ((lng0 + (b - n) * step / cos + 180) % 360 + 360) % 360 - 180, res)
+      }
+      val out = scala.collection.mutable.Set.empty[Long]
+      for (a <- 0 until 2 * n; b <- 0 until 2 * n if grid(a)(b) == h) {
+        if (grid(a + 1)(b) != h) out += grid(a + 1)(b)
+        if (grid(a)(b + 1) != h) out += grid(a)(b + 1)
+        if (a > 0 && grid(a - 1)(b) != h) out += grid(a - 1)(b)
+        if (b > 0 && grid(a)(b - 1) != h) out += grid(a)(b - 1)
+      }
+      out.toSet
+    }
+    var checked = 0
+    for ((la, lo) <- sweep(60).filter { case (l, _) => math.abs(l) < 70 }) {
+      val h = H3.geoToH3(la, lo, 4)
+      val nbs = H3.neighbors(h)
+      if (!seamBcs.contains(H3.baseCell(h)) &&
+          nbs.forall(n => !seamBcs.contains(H3.baseCell(n)))) {
+        assert(geomNeighbors(h, la, lo, 4) == nbs, H3.toH3String(h))
+        checked += 1
+      }
+    }
+    assert(checked > 25)
+  }
+
+  test("kRing: sizes follow 1 + 3k(k+1) off-pentagon; ring-1 of the SF vector cell") {
+    val h = H3.geoToH3(37.7752702151959257, -122.418307270836230, 9)
+    assert(H3.kRing(h, 0) == Set(h))
+    val k1 = H3.kRing(h, 1)
+    assert(k1.size == 7 && k1.contains(h))
+    assert(H3.kRing(h, 2).size == 19)
+    assert(H3.kRing(h, 3).size == 37)
+    // every ring-1 member is mutual
+    (k1 - h).foreach(n => assert(H3.neighbors(n).contains(h)))
+  }
+
   test("distinct-count sanity at the reference's resolutions (9-11)") {
     // res-10 hexes average ~0.0150 km²; the 0.02°×0.02° box at 37.8°N is
     // ~3.9 km² → ~260 cells by the area law. Require the right decade.
