@@ -81,10 +81,18 @@ object KCore {
     // truncated: left unmaterialized, the tree doubles per round —
     // 2^rounds plan nodes, heap death at ANALYSIS time before a single
     // task runs (measured; persist() does not help, it only substitutes
-    // at physical planning under the full logical tree). The CC batching
-    // answer: a LAZY localCheckpoint per round replaces the plan with a
-    // LogicalRDD leaf while deferring compute — RDD DAG nodes are shared
-    // by identity, so the final single action computes each round once.
+    // at physical planning under the full logical tree). The checkpoint
+    // is EAGER: a lazy mark materialized later deadlocked a round-16
+    // full-suite run — the final action's broadcast-exchange thread hit
+    // the pending mark and ran RDD.doCheckpoint while the DAG event
+    // loop held the RDD's partitions lock (jstack: "Found one
+    // Java-level deadlock", RDDCheckpointData$ vs RDD$$anon$1 — the
+    // classic lock-order inversion). Eager per-round checkpoints keep
+    // every LogicalRDD leaf already materialized by the time any
+    // broadcast build collects it; compute is identical (each round ran
+    // exactly once either way), the cost is one job submission per
+    // round instead of one total — scheduler milliseconds against a
+    // timing-dependent hang.
     var cur = adj.select(col("a")).distinct()
     def liveDeg(s: DataFrame, out: String): DataFrame =
       adj.join(s, "a").groupBy(col("b")).agg(count(lit(1)).as(out))
@@ -92,7 +100,7 @@ object KCore {
       cur = liveDeg(cur, "__d")
         .join(cur.withColumnRenamed("a", "b"), "b")
         .where(col("__d") >= k).select(col("b").as("a"))
-        .localCheckpoint(false)
+        .localCheckpoint(true)
     }
     if (checkConverged) {
       // would round `rounds + 1` still peel anyone? A survivor drops when

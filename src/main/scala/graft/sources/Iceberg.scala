@@ -787,15 +787,20 @@ object Iceberg {
   /** Drain-scoped snapshot cache for the changelog machinery: an
     * INTERIOR snapshot sits in two consecutive diffs (as `cur` of one
     * step and `prev` of the next), and a streaming drain revisits it
-    * across batches — a lazy localCheckpoint pins each snapshot's scan
+    * across batches — an EAGER localCheckpoint pins each snapshot's scan
     * to materialize ONCE, shared by every consumer (the repo-wide
     * double-referenced-frame discipline; persist() would not stop the
-    * logical-plan doubling). */
+    * logical-plan doubling). Eager, not lazy: a pending lazy mark that a
+    * later diff-join's broadcast-exchange thread materializes can
+    * deadlock against the DAG event loop (the KCore round-16 jstack
+    * finding — RDDCheckpointData$ vs RDD partitions lock inversion);
+    * materializing at cache-fill does the same work on the driver
+    * thread where no lock is held. */
   private def changelogSnapCache(spark: SparkSession, table: String,
                                  doc: JsonNode): Long => DataFrame = {
     val cache = mutable.Map.empty[Long, DataFrame]
     id => cache.getOrElseUpdate(id,
-      readSnapshotDoc(spark, table, doc, id).localCheckpoint(false))
+      readSnapshotDoc(spark, table, doc, id).localCheckpoint(true))
   }
 
   private def emptyChangelogFrame(spark: SparkSession,
