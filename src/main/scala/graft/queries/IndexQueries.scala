@@ -212,6 +212,7 @@ object IndexQueries {
     stageQ277SqlEvolve(s, dir)
     stageQ278StreamTable(s, dir)
     stageQ279IcebergV3Write(s, dir)
+    stageQ281SqlOptimize(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -3703,9 +3704,13 @@ object IndexQueries {
     // DuckDB H3.
     "q283_h3_tiling_join" -> ((s, dir) => {
       import s.implicits._
+      // one H3-assignment pass, shared by all three legs (the per-row
+      // trig would otherwise re-run once per leg aggregate); EAGER
+      // checkpoint per the round-16 lazy-mark deadlock rule
       val pts = Tables.points(s, dir).withColumnRenamed("user_id", "user")
         .select($"user", graft.functions.GeoFunctions
           .geoToH3($"latitude", $"longitude", 9).as("h3"))
+        .localCheckpoint(true)
       val tiles = pts.distinct()
       val selfMiss = pts.join(tiles, Seq("user", "h3"), "left_anti")
         .agg(count(lit(1)).as("n"))
