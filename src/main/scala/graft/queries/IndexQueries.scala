@@ -3727,6 +3727,40 @@ object IndexQueries {
       selfMiss.unionAll(userDiff).unionAll(badIds).orderBy($"leg")
     }),
 
+    // H3 GRID TRAVERSAL laws as driver constants: ring sizes follow
+    // 1 + 3k(k+1) around the published SF vector cell, a pentagon's
+    // ring-1 is 6 (5 neighbors + itself), and neighbor symmetry holds
+    // over a deterministic off-seam sample — every leg a constant, so
+    // the oracle is exact without an external H3.
+    "q284_h3_kring" -> ((s, dir) => {
+      import s.implicits._
+      import graft.geo.H3
+      val sf = H3.geoToH3(37.7752702151959257, -122.418307270836230, 9)
+      val pent = H3.geoToH3(H3.h3ToGeo(
+        (1L << 59) | (4L << 45) | ((1L << 45) - 1))._1,
+        H3.h3ToGeo((1L << 59) | (4L << 45) | ((1L << 45) - 1))._2, 0)
+      val seam: Set[Int] = H3.Pentagons.flatMap { p =>
+        val p0 = (1L << 59) | (p.toLong << 45) | ((1L << 45) - 1)
+        H3.neighbors(p0).map(H3.baseCell) + p
+      }
+      val ga = math.Pi * (3.0 - math.sqrt(5.0))
+      val asym = (0 until 500).map { i =>
+        val z = 1.0 - (2.0 * i + 1.0) / 500
+        val la = math.toDegrees(math.asin(z))
+        val lo = math.toDegrees(((i * ga) % (2 * math.Pi)) - math.Pi)
+        H3.geoToH3(la, lo, 3)
+      }.filter(h => !seam.contains(H3.baseCell(h)))
+        .filter(h => H3.neighbors(h).forall(n => !seam.contains(H3.baseCell(n))))
+        .count(h => H3.neighbors(h).exists(n => !H3.neighbors(n).contains(h)))
+      Seq(
+        ("a_ring1", H3.kRing(sf, 1).size.toLong),
+        ("b_ring2", H3.kRing(sf, 2).size.toLong),
+        ("c_ring3", H3.kRing(sf, 3).size.toLong),
+        ("d_pentagon_ring1", H3.kRing(pent, 1).size.toLong),
+        ("e_asym_offseam", asym.toLong))
+        .toDF("leg", "value").orderBy($"leg")
+    }),
+
     // SQL SCHEMA EVOLUTION + INSERT OVERWRITE through the catalog —
     // ALTER TABLE ADD/RENAME COLUMN on both formats (Delta through the
     // SET TBLPROPERTIES mapping upgrade; Iceberg id-keyed), INSERT
@@ -5215,6 +5249,14 @@ object IndexQueries {
         |  ('d_liberty_r10', '8A2A1072B59FFFF'),
         |  ('e_res1_cells', '842'),
         |  ('f_pentagons_r1', '12')) AS t(leg, value)
+        |ORDER BY leg""".stripMargin,
+    "q284_h3_kring" ->
+      """SELECT * FROM (VALUES
+        |  ('a_ring1', CAST(7 AS BIGINT)),
+        |  ('b_ring2', CAST(19 AS BIGINT)),
+        |  ('c_ring3', CAST(37 AS BIGINT)),
+        |  ('d_pentagon_ring1', CAST(6 AS BIGINT)),
+        |  ('e_asym_offseam', CAST(0 AS BIGINT))) AS t(leg, value)
         |ORDER BY leg""".stripMargin,
     "q283_h3_tiling_join" ->
       """SELECT * FROM (VALUES
