@@ -261,7 +261,14 @@ object Dedup {
     * pairs whose entire overlap is hot boilerplate drop out rather than
     * pairing on it. The cap adds one hash-agg over the exploded stream plus
     * a broadcast-sized anti-join (the hot set is the df-filtered tail — tiny
-    * by construction); the main stream is never shuffled an extra time. */
+    * by construction); the main stream is never shuffled an extra time.
+    * The cap is never silent: when it fires, [[capHotFingerprints]] warns
+    * with the hot-key count AND the number of pair-intersection
+    * contributions removed, so a corpus whose near-dups pair on templated
+    * text is visible in the log. Callers that need the EXACT uncapped
+    * semantics (and accept the C(df,2) fanout) pass
+    * `maxShingleDf = Int.MaxValue` — the cap pass is then skipped
+    * entirely. */
   def ngramJaccardPairs(df: DataFrame, blockCols: Seq[String],
                         threshold: Double, textCol: String = "text",
                         idCol: String = "doc_id", shingleN: Int = 3,
@@ -507,17 +514,33 @@ object Dedup {
                          keyCols: Seq[String] = Seq("fp")): DataFrame = {
     require(maxDf >= 1, s"capHotFingerprints needs maxDf >= 1, got $maxDf")
     require(keyCols.nonEmpty, "capHotFingerprints needs at least one key column")
+    // uncapped by explicit request: no key can exceed Int.MaxValue rows,
+    // so skip the df agg pass entirely (the exact-semantics opt-out of
+    // ngramJaccardPairs/containmentPairs)
+    if (maxDf == Int.MaxValue) return fps
     val keys = keyCols.map(col)
     val hot = fps.groupBy(keys: _*).agg(count(lit(1)).as("__df"))
-      .where(col("__df") > maxDf).select(keys: _*)
+      .where(col("__df") > maxDf)
       .localCheckpoint(true)
     val nHot = hot.count()
-    if (nHot > 0)
+    if (nHot > 0) {
+      // make the silently-lowered similarity VISIBLE to callers: how many
+      // candidate-pair memberships the cap removes (sum of C(df,2) over
+      // the hot keys — the exact in-block pair rows that no longer count
+      // toward intersections). Free: the hot frame is already
+      // checkpointed and tiny by construction.
+      val dropped = hot.agg(
+        sum(col("__df") * (col("__df") - 1) / 2).cast("long")).head.getLong(0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"capHotFingerprints: dropping $nHot hot fingerprint keys " +
-          s"(df > $maxDf) over (${keyCols.mkString(", ")}) before pairing")
+          s"(df > $maxDf) over (${keyCols.mkString(", ")}) before pairing — " +
+          s"~$dropped pair-intersection contributions removed; similarity " +
+          "on pairs sharing those keys is reported as a LOWER BOUND " +
+          "(pass maxDf = Int.MaxValue for exact uncapped semantics)")
+    }
     // using-column joins move the keys to the front; restore the caller's
     // column order so positional consumers (toDF renames) stay correct
-    fps.join(hot, keyCols, "left_anti").select(fps.columns.map(col): _*)
+    fps.join(hot.select(keys: _*), keyCols, "left_anti")
+      .select(fps.columns.map(col): _*)
   }
 }

@@ -1,7 +1,5 @@
 package graft.plans
 
-import java.util.Locale
-
 import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.parser.ParserInterface
@@ -61,8 +59,34 @@ object GraftSqlParser {
   private def unquote(part: String): String =
     part.stripPrefix("`").stripSuffix("`")
 
+  /** Leading SQL comments (`-- …\n`, `/* … */`) and whitespace, stripped
+    * iteratively — so a commented OPTIMIZE statement still reaches this
+    * front-end (and its helpful refusal) instead of Spark's opaque
+    * "syntax error at OPTIMIZE". */
+  private[plans] def stripLeadingComments(sql: String): String = {
+    var s = sql
+    var changed = true
+    while (changed) {
+      val t = s.dropWhile(_.isWhitespace)
+      val u =
+        if (t.startsWith("--")) t.dropWhile(_ != '\n')
+        else if (t.startsWith("/*")) {
+          val end = t.indexOf("*/", 2)
+          if (end < 0) "" else t.substring(end + 2)
+        } else t
+      changed = u != s
+      s = u
+    }
+    s
+  }
+
+  /** `OPTIMIZE` as the statement's first WORD — `OPTIMIZER_HINTS …` or any
+    * other token merely prefixed with it delegates to Spark's own parser
+    * (and its own error) instead of this front-end's refusal. */
+  private val OptimizeLead = """(?is)OPTIMIZE\b.*""".r
+
   private[plans] def parseOptimize(sqlText: String): Option[LogicalPlan] =
-    sqlText match {
+    stripLeadingComments(sqlText) match {
       case OptimizeStmt(name, zcols) =>
         val parts = name.split('.').toSeq.map(unquote).filter(_.nonEmpty)
         require(parts.nonEmpty, s"OPTIMIZE: empty table name in '$sqlText'")
@@ -70,8 +94,7 @@ object GraftSqlParser {
           .flatMap(_.split(',').toSeq).map(s => unquote(s.trim))
           .filter(_.nonEmpty)
         Some(org.apache.spark.sql.graft.GraftOptimizeCommand(parts, cols))
-      case other
-          if other.trim.toUpperCase(Locale.ROOT).startsWith("OPTIMIZE") =>
+      case other if OptimizeLead.pattern.matcher(other).matches() =>
         throw new IllegalArgumentException(
           "OPTIMIZE: this front-end accepts exactly " +
             "'OPTIMIZE <table> [ZORDER BY (col, ...)]' — partition " +

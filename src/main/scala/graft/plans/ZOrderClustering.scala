@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types.{NumericType, StructField}
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Builds the clustering key for `OPTIMIZE ... ZORDER BY (cols)` from the
   * table's CURRENT logical state (SURVEY S10; the reference leans on
@@ -11,12 +12,18 @@ import org.apache.spark.sql.types.{NumericType, StructField}
   *
   * Two columns — the reference's own `(user, h3)` shape — get the TRUE
   * Morton interleave: each column is mapped to an order-preserving 21-bit
-  * ordinal (numeric: min/max-normalized, one agg pass over the state —
-  * the sampling pass Delta's own ZORDER also pays; string: big-endian
-  * value of the first three UTF-8 bytes, a lexicographic-prefix ordinal)
-  * and the ordinals feed the native codegen [[ZOrderExpression]]. Files
-  * range-partitioned and sorted on that key carry tight min/max stats in
-  * BOTH dimensions, so a point/box predicate on either column prunes.
+  * ordinal and the ordinals feed the native codegen [[ZOrderExpression]].
+  * Numeric: min/max-normalized (one agg pass over the state — the
+  * sampling pass Delta's own ZORDER also pays). String: RANK among
+  * sampled range boundaries of the state itself
+  * ([[StringRankOrdinalExpression]] — the RangePartitioner-sampler
+  * shape), NOT a byte prefix: real H3 ids share a metro-scale prefix
+  * (every res-9 NYC cell starts `892A10…`), so a prefix ordinal
+  * degenerates to a constant on exactly the reference's `(user, h3)`
+  * workload and zeroes the h3 dimension of the key. Files
+  * range-partitioned and sorted on the interleaved key carry tight
+  * min/max stats in BOTH dimensions, so a point/box predicate on either
+  * column prunes.
   *
   * One column, or three+, falls back to lexicographic multi-column
   * clustering (`repartitionByRange` + sort on the columns themselves):
@@ -29,19 +36,21 @@ object ZOrderClustering {
   private val OrdinalBits = 21
   private val OrdinalMax = (1L << OrdinalBits) - 1 // 2097151
 
+  /** Expected boundary-sample size (collected once on the driver; the
+    * RangePartitioner default order of magnitude). */
+  private val SampleTarget = 131072L
+
+  /** Boundary-array cap: 4096 rank buckets spread across the 21-bit
+    * ordinal range — orders of magnitude more buckets than a maintenance
+    * rewrite has output files, at a broadcast-reference cost of a few
+    * tens of KB. */
+  private val MaxBoundaries = 4095
+
   private def field(state: DataFrame, name: String): StructField =
     state.schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
       throw new IllegalArgumentException(
         s"ZORDER BY column '$name' is not in the table schema " +
           state.schema.fieldNames.mkString("(", ", ", ")")))
-
-  /** Order-preserving 21-bit ordinal for a string column: unsigned
-    * big-endian of the first 3 UTF-8 bytes (24 bits), shifted down to 21.
-    * Monotone in the lexicographic byte order of the prefix; NULL → 0. */
-  private def stringOrdinal(c: Column): Column =
-    shiftright(
-      coalesce(conv(hex(substring(encode(c, "UTF-8"), 1, 3)), 16, 10)
-        .cast("long"), lit(0L)), 24 - OrdinalBits)
 
   /** Min/max-normalized 21-bit ordinal for a numeric column; a
     * degenerate range (empty stats, constant column) collapses to 0. */
@@ -55,6 +64,19 @@ object ZOrderClustering {
       case _ => lit(0L)
     }
 
+  /** Thin a sorted distinct sample down to at most `maxB` evenly-spaced
+    * boundaries (the RangePartitioner determineBounds shape). */
+  private def thin(sorted: Array[UTF8String], maxB: Int): Array[UTF8String] =
+    if (sorted.length <= maxB) sorted
+    else Array.tabulate(maxB) { i =>
+      sorted((((i + 1).toLong * sorted.length) / (maxB + 1)).toInt)
+    }.distinct
+
+  /** Rank-ordinal column over sampled boundaries; NULL → 0. */
+  private def rankOrdinal(c: Column, bounds: Array[UTF8String]): Column =
+    coalesce(ColumnBridge.column(StringRankOrdinalExpression(
+      ColumnBridge.expression(c.cast("string")), bounds, OrdinalMax)), lit(0L))
+
   /** The `clusterBy` columns for a ZORDER maintenance rewrite over
     * `state` (the table's current logical rows). Empty `cols` is the
     * caller's bug; unknown columns refuse by name. */
@@ -65,23 +87,44 @@ object ZOrderClustering {
 
     val numericNames =
       fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    val stringNames =
+      fields.filterNot(_.dataType.isInstanceOf[NumericType]).map(_.name)
+    // ONE stats pass: row count (drives the string-sample fraction) plus
+    // min/max per numeric dimension
+    val aggs = count(lit(1L)).as("__n") +: numericNames.flatMap(n => Seq(
+      min(col(n).cast("double")), max(col(n).cast("double"))))
+    val row = state.agg(aggs.head, aggs.tail: _*).head
+    val total = row.getLong(0)
     val stats: Map[String, (Option[Double], Option[Double])] =
-      if (numericNames.isEmpty) Map.empty
+      numericNames.zipWithIndex.map { case (n, i) =>
+        def d(j: Int): Option[Double] =
+          if (row.isNullAt(j)) None else Some(row.getDouble(j))
+        n -> (d(1 + 2 * i), d(2 + 2 * i))
+      }.toMap
+    // ONE sample pass shared by all (≤2) string dimensions; deterministic
+    // seed so repeated OPTIMIZE runs cluster identically
+    val bounds: Map[String, Array[UTF8String]] =
+      if (stringNames.isEmpty || total == 0L) Map.empty
       else {
-        val aggs = numericNames.flatMap(n => Seq(
-          min(col(n).cast("double")), max(col(n).cast("double"))))
-        val row = state.agg(aggs.head, aggs.tail: _*).head
-        numericNames.zipWithIndex.map { case (n, i) =>
-          def d(j: Int): Option[Double] =
-            if (row.isNullAt(j)) None else Some(row.getDouble(j))
-          n -> (d(2 * i), d(2 * i + 1))
+        val fraction = math.min(1.0, SampleTarget.toDouble / total.toDouble)
+        val sampled = state
+          .select(stringNames.map(n => col(n).cast("string")): _*)
+          .sample(withReplacement = false, fraction, seed = 42L)
+          .collect()
+        stringNames.zipWithIndex.map { case (n, i) =>
+          val vals = sampled.iterator.filterNot(_.isNullAt(i))
+            .map(r => UTF8String.fromString(r.getString(i)))
+            .toArray.distinct
+          java.util.Arrays.sort(vals,
+            (a: UTF8String, b: UTF8String) => a.compareTo(b))
+          n -> thin(vals, MaxBoundaries)
         }.toMap
       }
     val Seq(ordA, ordB) = fields.map { f =>
       if (f.dataType.isInstanceOf[NumericType]) {
         val (mn, mx) = stats(f.name)
         numericOrdinal(col(f.name), mn, mx)
-      } else stringOrdinal(col(f.name).cast("string"))
+      } else rankOrdinal(col(f.name), bounds.getOrElse(f.name, Array.empty))
     }
     Seq(ColumnBridge.column(ZOrderExpression(
       ColumnBridge.expression(ordA), ColumnBridge.expression(ordB))))

@@ -843,6 +843,15 @@ object DeltaLogWriter {
                         maxRetries: Int = 10): Option[Long] = {
     val spark = df.sparkSession
     require(appId.nonEmpty, "appendStreamBatch needs a stable appId")
+    // ORDER MATTERS for exactly-once: capture the log position FIRST,
+    // then read the ledger. The ledger read (walking the log at a time
+    // ≥ this snapshot) covers every commit ≤ observed; commitLoop scans
+    // every commit > observed. A duplicate instance of this stream that
+    // commits during the validation window below therefore lands at a
+    // version > observed and IS scanned — capturing observed after the
+    // ledger read (the old order) left exactly that window's commits
+    // covered by neither check.
+    val observed = DeltaLogReader.latestVersion(spark, path)
     if (lastTxnVersion(spark, path, appId).exists(_ >= batchVersion))
       return None
     val root = new Path(path)
@@ -878,7 +887,6 @@ object DeltaLogWriter {
              .otherwise(c)).as(fd.name)
         }.toSeq: _*)
       }
-    val observed = DeltaLogReader.latestVersion(spark, path)
     val newFiles = publishParts(spark, root, toStage,
       observed.get + 1, partitionBy)
     val now = System.currentTimeMillis()

@@ -83,6 +83,19 @@ class SqlOptimizeSpec extends SparkSpec {
     val e2 = intercept[UnsupportedOperationException](
       spark.sql("OPTIMIZE spark_catalog.default.nope ZORDER BY (a)"))
     assert(e2.getMessage.contains("not a graft catalog"), e2.getMessage)
+    // a leading SQL comment still reaches this front-end (not Spark's
+    // opaque parser error) …
+    val out2 = spark.sql(s"-- nightly maintenance\nOPTIMIZE $cat.ns.t").collect()
+    assert(out2.head.getString(0) == "committed_version" &&
+      out2.head.getLong(1) == 2L)
+    val e3 = intercept[IllegalArgumentException](
+      spark.sql(s"/* scheduled */ OPTIMIZE $cat.ns.t WHERE id > 3"))
+    assert(e3.getMessage.contains("ZORDER BY"), e3.getMessage)
+    // … and a token merely PREFIXED with OPTIMIZE delegates to Spark's own
+    // parser instead of this front-end's refusal
+    val e4 = intercept[Exception](spark.sql("OPTIMIZER_HINTS FOR t"))
+    assert(!e4.isInstanceOf[IllegalArgumentException] ||
+      !e4.getMessage.contains("this front-end"), e4.getClass.getName)
   }
 
   test("ZORDER BY with an unknown column refuses by name") {
@@ -93,6 +106,49 @@ class SqlOptimizeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.t ZORDER BY (user, nope)").collect())
     assert(e.getMessage.contains("'nope'"), e.getMessage)
+  }
+
+  test("rank ordinals: h3 point predicate prunes on common-prefix REAL H3 ids") {
+    val (cat, reg) = freshCatalog()
+    val d = freshDir() + "/tiles"
+    // real H3 ids from geo_to_h3 over ONE bbox — every id shares the
+    // metro-scale prefix (the exact workload shape of the reference's
+    // OPTIMIZE tiles ZORDER BY (user, h3), 01_geofraud_clustering.py:440,
+    // on which any fixed-width byte-prefix ordinal degenerates to a
+    // constant and the h3 dimension of the Morton key carries zero bits)
+    val pts = for { i <- 0 until 40; j <- 0 until 25 } yield
+      (f"user${(i + j) % 20}%03d",
+        graft.geo.H3.geoToH3String(37.70 + i * 0.002, -122.50 + j * 0.004, 9),
+        (i * 25 + j).toLong)
+    assert(pts.map(_._2).forall(_.startsWith("8928")), "one-bbox fixture")
+    assert(pts.map(_._2).distinct.size > 400, "fixture must carry many ids")
+    DeltaLogWriter.write(pts.toDF("user", "h3", "hits").repartition(4), d)
+    reg.register("geoscan.tiles", d)
+    val g = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    // small target → several output files, so per-file stats are testable
+    g.optimizeZOrder(spark, "geoscan.tiles", Seq("user", "h3"),
+      targetFileBytes = 2000)
+    val files = DeltaLogReader.activeFiles(spark, d)
+    assert(files.size >= 4, s"want >=4 files, got ${files.size}")
+    def resolve(f: String): String =
+      if (f.startsWith("/")) f else s"$d/$f"
+    def ranges(c: String): Seq[(String, String)] = files.map { f =>
+      val r = spark.read.parquet(resolve(f)).agg(min(col(c)), max(col(c))).head
+      (r.getString(0), r.getString(1))
+    }.toSeq
+    def hit(rs: Seq[(String, String)], v: String) =
+      rs.count { case (mn, mx) => mn <= v && v <= mx }
+    // a POINT predicate on either dimension must rule out at least one
+    // file — on h3 this is exactly what the byte-prefix ordinal could not
+    val probeH3 = pts(pts.length / 2)._2
+    assert(hit(ranges("h3"), probeH3) < files.size,
+      s"h3 point predicate must prune (probe $probeH3)")
+    assert(hit(ranges("user"), "user007") < files.size,
+      "user point predicate must prune")
+    // content invariant under the rewrite
+    assert(spark.sql(s"SELECT sum(hits) FROM $cat.geoscan.tiles")
+      .head.getLong(0) == pts.map(_._3).sum)
   }
 
   test("2-col Morton clustering prunes in BOTH dimensions (the z-order property)") {
