@@ -254,11 +254,22 @@ class GeoscanModel private[cluster] (
     * `h3` name for drop-in parity (ids are this engine's grid cells,
     * SURVEY §7.3). One label per cell (min cluster id) so downstream joins
     * never fan out. */
-  def getTiles(precision: Int, layers: Int): DataFrame = {
+  def getTiles(precision: Int, layers: Int): DataFrame =
+    getTiles(precision, layers, TileGrid.GeoCell)
+
+  /** [[getTiles]] on an explicit grid: `"geocell"` (engine grid, default)
+    * or `"h3"` — REAL H3 ids ([[graft.geo.H3.polygonCells]]), closing the
+    * produce side of reference interop: the reference's own tiles tables
+    * carry H3 ids, and a model fitted here can now emit one they join. */
+  def getTiles(precision: Int, layers: Int, grid: String): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
+    // validate eagerly (refusals at plan build, not in a task); capture
+    // the string, not the model, in the task closure
+    val g = TileGrid.validate(grid)
     state.as[(Long, Seq[(Double, Double)])]
-      .flatMap { case (c, hull) => GeoCell.polygonCells(hull, precision, layers).map((c, _)) }
+      .flatMap { case (c, hull) =>
+        TileGrid.cells(g)(hull, precision, layers).map((c, _)) }
       .toDF("cluster", "h3")
       .groupBy("h3").agg(min("cluster").as("cluster"))
       .select("cluster", "h3")

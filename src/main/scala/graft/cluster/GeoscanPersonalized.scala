@@ -99,13 +99,21 @@ class GeoscanPersonalizedModel private[cluster] (
   /** (user, cluster, h3) cell cover per user's clusters — the central
     * `tiles` table input (`01_geofraud_clustering.py:364,415-420`). One
     * cluster per (user, h3): min label, so inference joins never fan out. */
-  def getTiles(precision: Int, layers: Int): DataFrame = {
+  def getTiles(precision: Int, layers: Int): DataFrame =
+    getTiles(precision, layers, TileGrid.GeoCell)
+
+  /** [[getTiles]] on an explicit grid — `"geocell"` (default) or `"h3"`
+    * for REAL H3 ids; see [[GeoscanModel.getTiles]]. */
+  def getTiles(precision: Int, layers: Int, grid: String): DataFrame = {
     val spark = state.sparkSession
     import spark.implicits._
+    // validate eagerly (refusals at plan build, not in a task); capture
+    // the string, not the model, in the task closure
+    val g = TileGrid.validate(grid)
     state.select("user", "cluster", "hull")
       .as[(String, Long, Seq[(Double, Double)])]
       .flatMap { case (u, c, hull) =>
-        GeoCell.polygonCells(hull, precision, layers).map(cell => (u, c, cell))
+        TileGrid.cells(g)(hull, precision, layers).map(cell => (u, c, cell))
       }
       .toDF("user", "cluster", "h3")
       .groupBy("user", "h3").agg(min("cluster").as("cluster"))

@@ -16,6 +16,35 @@ private[cluster] trait TileParams extends Params {
   def setTileLayers(v: Int): this.type = set(tileLayers, v)
 }
 
+/** Tile GRID dispatch for `getTiles(precision, layers, grid)`: the
+  * engine's own [[graft.geo.GeoCell]] (oracle-replayable, the default) or
+  * REAL H3 ([[graft.geo.H3.polygonCells]]) — the id space the reference's
+  * own tiles tables carry (`01_geofraud_clustering.py:360-364`), so a
+  * fitted model can PRODUCE a table downstream reference consumers join
+  * against directly (q283's shape). */
+private[cluster] object TileGrid {
+  val GeoCell = "geocell"
+  val H3 = "h3"
+
+  /** Normalized grid name; unknown grids refuse EAGERLY (at plan-build
+    * time, not in a task) with both supported names. */
+  def validate(grid: String): String =
+    grid.toLowerCase(java.util.Locale.ROOT) match {
+      case g @ (GeoCell | H3) => g
+      case other => throw new IllegalArgumentException(
+        s"unknown tile grid '$other' — supported: '$GeoCell' (engine " +
+          s"grid, default), '$H3' (real H3 ids)")
+    }
+
+  /** (hull, precision, layers) → cell ids on the (validated) grid. */
+  def cells(grid: String)(hull: Seq[(Double, Double)], precision: Int,
+                          layers: Int): Seq[String] =
+    validate(grid) match {
+      case GeoCell => graft.geo.GeoCell.polygonCells(hull, precision, layers)
+      case _ => graft.geo.H3.polygonCells(hull, precision, layers)
+    }
+}
+
 /** Memoized materialized tile cover per (precision, layers): repeated
   * transform calls (batch loops, per-microbatch scoring) must not rebuild
   * and reshuffle the tile table every time. Also measures the actual tile

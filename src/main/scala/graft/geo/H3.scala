@@ -684,4 +684,192 @@ object H3 {
     }
     ring
   }
+
+  // =====================================================================
+  // Cell boundary (h3ToGeoBoundary) and polygon fill (polyfill) — the
+  // public substrate-grid vertex algorithm: a cell's vertices are lattice
+  // points of an aperture-3,3r substrate (3× finer, Class-II aligned; odd
+  // resolutions take one extra 7r step), offset from the down-projected
+  // center by fixed unit vectors. Vertices that land past the face edge
+  // move to the adjacent face chart exactly like cells do, with the
+  // substrate's 3× scale. CAVEAT (documented, not hidden): the extra
+  // DISTORTION vertices the h3 library inserts where a Class-III cell
+  // edge crosses an icosahedron edge are omitted — those are interior
+  // points of the true edges, so vertex-sharing/containment laws are
+  // unaffected; only the exact drawn outline of the handful of
+  // face-straddling cells differs.
+  // =====================================================================
+
+  @inline private def downAp3(i: Long, j: Long, k: Long): (Long, Long, Long) =
+    normalize(2 * i + j, 2 * j + k, i + 2 * k)
+
+  @inline private def downAp3r(i: Long, j: Long, k: Long): (Long, Long, Long) =
+    normalize(2 * i + k, i + 2 * j, j + 2 * k)
+
+  /** Vertex offsets in the substrate grid, hexagon order (pentagons take
+    * the first five — the sixth sits in the deleted K subsequence). */
+  private val VertsCII: Array[(Long, Long, Long)] = Array(
+    (2L, 1L, 0L), (1L, 2L, 0L), (0L, 2L, 1L),
+    (0L, 1L, 2L), (1L, 0L, 2L), (2L, 0L, 1L))
+  private val VertsCIII: Array[(Long, Long, Long)] = Array(
+    (5L, 4L, 0L), (1L, 5L, 0L), (0L, 5L, 4L),
+    (0L, 1L, 5L), (4L, 0L, 5L), (5L, 0L, 1L))
+
+  /** [[adjustOverage]] for SUBSTRATE coordinates: the grid is 3× finer,
+    * so the face dimension and the translation unit both scale by 3; a
+    * coordinate summing to EXACTLY the max lies on the icosahedron edge
+    * itself (both charts project it identically) and stays put. */
+  private def adjustOverageSubstrate(face: Int, c: (Long, Long, Long),
+                                     res: Int)
+      : (Int, (Long, Long, Long), Boolean) = {
+    val (i, j, k) = c
+    val md = maxDimClassII(res) * 3
+    if (i + j + k <= md) return (face, c, false)
+    val quad =
+      if (k > 0) { if (j > 0) 2 /* JK */ else 1 /* KI */ }
+      else 0 /* IJ */
+    val idx = face * 3 + quad
+    val g = FaceNbFace(idx)
+    var ii = i; var jj = j; var kk = k
+    var n = 0
+    while (n < FaceNbRot(idx)) {
+      val r = rotIjk60ccw(ii, jj, kk); ii = r._1; jj = r._2; kk = r._3
+      n += 1
+    }
+    val us = (maxDimClassII(res) / 2) * 3
+    val out = normalize(ii + FaceNbTransI(idx) * us,
+      jj + FaceNbTransJ(idx) * us, kk + FaceNbTransK(idx) * us)
+    (g, out, true)
+  }
+
+  /** Chart position → sphere point, substrate-aware twin of
+    * [[centerFromChart]] (r scales down 3× on the substrate; substrate
+    * charts are Class-II aligned, so no aperture-7 theta adjust). */
+  private def chartToGeo(face: Int, c: (Long, Long, Long), res: Int,
+                         substrate: Boolean): (Double, Double) = {
+    val (i, j, k) = c
+    val ii = (i - k).toDouble; val jj = (j - k).toDouble
+    val x = ii - 0.5 * jj
+    val y = jj * Sin60
+    var r = math.hypot(x, y) / math.pow(7.0, res / 2.0)
+    if (substrate) {
+      r /= 3.0
+      if (res % 2 == 1) r /= Sqrt7
+    }
+    if (r < Eps) {
+      val (la, lo) = FaceCenterGeo(face)
+      return (math.toDegrees(la), math.toDegrees(lo))
+    }
+    var theta = math.atan2(y, x)
+    if (!substrate && res % 2 == 1) theta += Ap7RotRads
+    val rAng = math.atan(r * Res0UGnomonic)
+    val az = posAngle(FaceAxesAzI(face) - theta)
+    val (fla, flo) = FaceCenterGeo(face)
+    val lat2 = math.asin(math.sin(fla) * math.cos(rAng) +
+      math.cos(fla) * math.sin(rAng) * math.cos(az))
+    if (math.abs(math.abs(lat2) - math.Pi / 2) < 1e-12)
+      return (math.toDegrees(math.copySign(math.Pi / 2, lat2)), 0.0)
+    val dl = math.atan2(math.sin(az) * math.sin(rAng) * math.cos(fla),
+      math.cos(rAng) - math.sin(fla) * math.sin(lat2))
+    val lng2 = ((flo + dl + math.Pi) % (2 * math.Pi) + 2 * math.Pi) %
+      (2 * math.Pi) - math.Pi
+    (math.toDegrees(lat2), math.toDegrees(lng2))
+  }
+
+  /** Cell boundary vertices (lat, lng degrees), counter-clockwise: 6 for
+    * hexagons, 5 for pentagons — `h3_to_geo_boundary`. See the section
+    * note for the omitted Class-III distortion vertices. */
+  def h3ToGeoBoundary(h: Long): Seq[(Double, Double)] = {
+    val res = resolution(h)
+    val pent = isPentagon(h)
+    val (face, coord) = toFaceIjk(h)
+    // center into the aperture-33r substrate (Class-II aligned); odd
+    // resolutions take the extra 7r step
+    var c = downAp3(coord._1, coord._2, coord._3)
+    c = downAp3r(c._1, c._2, c._3)
+    var adjRes = res
+    if (res % 2 == 1) { c = downAp7r(c._1, c._2, c._3); adjRes = res + 1 }
+    val offsets = if (res % 2 == 1) VertsCIII else VertsCII
+    val nv = if (pent) 5 else 6
+    (0 until nv).map { vi =>
+      val o = offsets(vi)
+      var vc = normalize(c._1 + o._1, c._2 + o._2, c._3 + o._3)
+      var vf = face
+      var moved = true
+      while (moved) {
+        val (f2, c2, ov) = adjustOverageSubstrate(vf, vc, adjRes)
+        vf = f2; vc = c2; moved = ov
+      }
+      chartToGeo(vf, vc, adjRes, substrate = true)
+    }
+  }
+
+  /** Fill-size refusal bound: past this many explored cells the polygon/
+    * resolution combination is a mistake (the remedy is a coarser `res`),
+    * and refusing loudly beats an executor-side OOM. */
+  private val MaxFillCells = 2000000
+
+  /** Cells covering a polygon (lat,lng vertex list) at `res`, expanded by
+    * `layers` k-rings — the reference's `getTiles(precision, layers)`
+    * over REAL H3 ids (`01_geofraud_clustering.py:360-364`): every cell
+    * whose CENTER lies inside the polygon (the h3 polyfill containment
+    * mode), plus the cells of the vertices themselves so degenerate/
+    * sub-cell polygons still map to ≥1 cell. Same contract as
+    * [[GeoCell.polygonCells]]; ids uppercase hex (the reference's format,
+    * `utils/spark_utils.py:9`).
+    *
+    * Shape: BFS over grid adjacency seeded at the vertex cells, bounded
+    * by the polygon's bbox expanded ~1.5 cell diameters — O(bbox cells)
+    * per polygon, run PER CLUSTER inside a distributed flatMap (the
+    * GEOSCAN hulls are city-scale, so thousands of cells each, not
+    * millions); antimeridian-crossing polygons are out of scope exactly
+    * like the GeoCell twin. */
+  def polygonCells(vertices: Seq[(Double, Double)], res: Int,
+                   layers: Int): Seq[String] = {
+    if (vertices.isEmpty) return Nil
+    require(res >= 0 && res <= 15, s"H3 resolution $res out of [0,15]")
+    require(layers >= 0, s"layers must be >= 0, got $layers")
+    val seeds = vertices.map { case (la, lo) => geoToH3(la, lo, res) }.toSet
+    // bbox expanded by ~1.5 cell diameters, measured from a seed cell's
+    // own boundary (exact enough: neighboring cells differ in size by
+    // bounded distortion only)
+    val c0 = h3ToGeo(seeds.head)
+    val b0 = h3ToGeoBoundary(seeds.head)
+    val dLat = b0.map(v => math.abs(v._1 - c0._1)).max * 3.0 + 1e-12
+    val dLng = b0.map(v => math.abs(v._2 - c0._2)).max * 3.0 + 1e-12
+    val latLo = vertices.map(_._1).min - dLat
+    val latHi = vertices.map(_._1).max + dLat
+    val lngLo = vertices.map(_._2).min - dLng
+    val lngHi = vertices.map(_._2).max + dLng
+    @inline def inBox(p: (Double, Double)): Boolean =
+      p._1 >= latLo && p._1 <= latHi && p._2 >= lngLo && p._2 <= lngHi
+    val visited = scala.collection.mutable.Set.empty[Long]
+    var kept = Set.empty[Long]
+    var frontier = seeds
+    visited ++= seeds
+    while (frontier.nonEmpty) {
+      kept ++= frontier.filter { h =>
+        seeds.contains(h) || {
+          val c = h3ToGeo(h)
+          GeoCell.pointInPolygon(c._1, c._2, vertices)
+        }
+      }
+      frontier = frontier.flatMap(neighbors)
+        .filter(h => !visited.contains(h) && inBox(h3ToGeo(h)))
+      visited ++= frontier
+      if (visited.size > MaxFillCells)
+        throw new IllegalArgumentException(
+          s"H3.polygonCells: polygon spans more than $MaxFillCells cells " +
+            s"at res $res — use a coarser resolution (or tile the polygon)")
+    }
+    var ring = kept
+    var fr = kept
+    var step = 0
+    while (step < layers) {
+      fr = fr.flatMap(neighbors).diff(ring)
+      ring ++= fr
+      step += 1
+    }
+    ring.toSeq.map(h => toH3String(h).toUpperCase(java.util.Locale.ROOT))
+  }
 }

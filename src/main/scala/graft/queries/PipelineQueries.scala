@@ -289,6 +289,41 @@ object PipelineQueries {
       s.read.parquet(q50Out)
         .select(col("user"), col("latitude"), col("longitude"), col("amount"))
         .orderBy("user", "latitude", "longitude", "amount")
+    }),
+
+    // M3/M4 over REAL H3: the reference's own tiles dataflow end-to-end —
+    // a fitted model PRODUCES an H3 tiles table, getTiles(precision,
+    // layers, grid = "h3") (01_geofraud_clustering.py:360-364: hull
+    // polygons → H3 cells at `precision`, relaxed by `layers` kRings).
+    // DuckDB has no H3, so every leg is a LAW with a data-independent
+    // constant (the q283/q284 pattern): (a) every hull VERTEX cell is in
+    // the layer-0 cover — the polyfill vertex guarantee, (b) the layer-0
+    // cover ⊆ the layer-2 cover — kRing monotonicity, (c) every id is a
+    // 15-hex-char mode-1 res-10 cell ('8' mode nibble, 'A' res nibble),
+    // (d) every user with a fitted hull keeps ≥ 1 tile.
+    "q285_h3_get_tiles" -> ((s, dir) => {
+      import s.implicits._
+      val m = persModel(s, dir)
+      // EAGER checkpoints: both covers feed two legs each (the round-16
+      // lazy-mark deadlock rule), and the polyfill BFS runs once per hull
+      val t0 = m.getTiles(10, 0, "h3").localCheckpoint(true)
+      val t2 = m.getTiles(10, 2, "h3").localCheckpoint(true)
+      val verts = m.hullTable
+        .select($"user", explode($"hull").as("v"))
+        .select($"user", graft.functions.GeoFunctions
+          .geoToH3($"v._1", $"v._2", 10).as("h3"))
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("value"))
+          .select(lit(name).as("leg"), $"value")
+      leg("a_vertex_miss", verts.join(t0, Seq("user", "h3"), "left_anti"))
+        .unionAll(leg("b_monotone_miss",
+          t0.join(t2, Seq("user", "h3"), "left_anti")))
+        .unionAll(leg("c_bad_ids",
+          t2.where(!$"h3".rlike("^8A[0-9A-F]{13}$"))))
+        .unionAll(leg("d_users_untiled",
+          m.hullTable.select($"user").distinct()
+            .join(t0.select($"user").distinct(), Seq("user"), "left_anti")))
+        .orderBy($"leg")
     })
   )
 
@@ -410,6 +445,13 @@ object PipelineQueries {
       s"""WITH ${Tables.pointsSql}
          |SELECT user_id AS "user", latitude, longitude, amount FROM points p
          |WHERE NOT EXISTS (SELECT 1 FROM read_parquet('$tilesScratchPat/*.parquet') t
-         |  WHERE t."user" = p.user_id AND t.h3 = ${Tables.cellSql("p.latitude", "p.longitude", 10)})""".stripMargin
+         |  WHERE t."user" = p.user_id AND t.h3 = ${Tables.cellSql("p.latitude", "p.longitude", 10)})""".stripMargin,
+    "q285_h3_get_tiles" ->
+      """SELECT * FROM (VALUES
+        |  ('a_vertex_miss', CAST(0 AS BIGINT)),
+        |  ('b_monotone_miss', CAST(0 AS BIGINT)),
+        |  ('c_bad_ids', CAST(0 AS BIGINT)),
+        |  ('d_users_untiled', CAST(0 AS BIGINT))) AS t(leg, value)
+        |ORDER BY leg""".stripMargin
   )
 }

@@ -68,6 +68,28 @@ class GeoscanSpec extends SparkSpec {
     assert(model.getTiles(11, 0).columns.toSeq == Seq("cluster", "h3"))
   }
 
+  test("getTiles(grid = h3) emits REAL H3 ids; unknown grid refuses by name") {
+    import spark.implicits._
+    val model = new Geoscan().setEpsilon(150).setMinPts(3)
+      .fit(twoBlobs.toDF("latitude", "longitude"))
+    val t0 = model.getTiles(10, 0, "h3").as[(Long, String)].collect()
+    val t2 = model.getTiles(10, 2, "h3").as[(Long, String)].collect()
+    assert(t0.nonEmpty && t2.length > t0.length)
+    // 15-hex-char mode-1 res-10 ids ('8' mode nibble, 'A' res nibble),
+    // each decoding back to a res-10 cell that re-encodes to itself
+    t2.foreach { case (_, id) =>
+      assert(id.matches("^8A[0-9A-F]{13}$"), id)
+      val h = graft.geo.H3.fromString(id)
+      assert(graft.geo.H3.resolution(h) == 10)
+      val c = graft.geo.H3.h3ToGeo(h)
+      assert(graft.geo.H3.geoToH3(c._1, c._2, 10) == h)
+    }
+    // layer-0 cover ⊆ layer-2 cover (kRing monotonicity through the model)
+    assert(t0.map(_._2).toSet.subsetOf(t2.map(_._2).toSet))
+    val e = intercept[IllegalArgumentException](model.getTiles(10, 0, "s3"))
+    assert(e.getMessage.contains("'s3'") && e.getMessage.contains("h3"))
+  }
+
   test("save/load round-trips the distributed model (S6)") {
     import spark.implicits._
     val df = twoBlobs.toDF("latitude", "longitude")

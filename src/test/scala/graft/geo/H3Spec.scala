@@ -183,4 +183,114 @@ class H3Spec extends AnyFunSuite {
     assert(ids.size > 200 && ids.size < 330, s"got ${ids.size}")
     assert(ids.forall(h => H3.resolution(h) == 10))
   }
+
+  // -------------------------------------------------------------------
+  // Boundary (h3ToGeoBoundary) and polygon fill (polygonCells)
+  // -------------------------------------------------------------------
+
+  /** Planar ray-cast is only valid when the ring doesn't wrap — skip the
+    * handful of sweep cells straddling the antimeridian or near a pole. */
+  private def planarOk(b: Seq[(Double, Double)]): Boolean =
+    b.forall(v => math.abs(v._1) < 80) &&
+      (b.map(_._2).max - b.map(_._2).min) < 180
+
+  test("boundary law: 6 verts per hex (5 per pentagon), center inside, both parities") {
+    for (res <- Seq(3, 4); (la, lo) <- sweep(500)) {
+      val h = H3.geoToH3(la, lo, res)
+      val b = H3.h3ToGeoBoundary(h)
+      assert(b.size == (if (H3.isPentagon(h)) 5 else 6), H3.toH3String(h))
+      assert(b.distinct.size == b.size, s"degenerate verts ${H3.toH3String(h)}")
+      if (planarOk(b)) {
+        val c = H3.h3ToGeo(h)
+        assert(GeoCell.pointInPolygon(c._1, c._2, b),
+          s"center outside own boundary ${H3.toH3String(h)}")
+      }
+    }
+  }
+
+  test("boundary law: every neighbor shares EXACTLY two vertices (off-seam)") {
+    def close(a: (Double, Double), d: (Double, Double)) =
+      math.abs(a._1 - d._1) < 1e-7 &&
+        (math.abs(a._2 - d._2) < 1e-7 || math.abs(a._2 - d._2) > 359.9)
+    var checked = 0
+    for (res <- Seq(3, 4); (la, lo) <- sweep(300)) {
+      val h = H3.geoToH3(la, lo, res)
+      val nbs = H3.neighbors(h)
+      if (!seamBcs.contains(H3.baseCell(h)) &&
+          nbs.forall(n => !seamBcs.contains(H3.baseCell(n)))) {
+        val b = H3.h3ToGeoBoundary(h)
+        nbs.foreach { n =>
+          val bn = H3.h3ToGeoBoundary(n)
+          val shared = b.count(v => bn.exists(close(v, _)))
+          assert(shared == 2,
+            s"${H3.toH3String(h)} nbr ${H3.toH3String(n)}: $shared shared verts")
+        }
+        checked += 1
+      }
+    }
+    assert(checked > 150)
+  }
+
+  test("boundary law: all 12 res-0 pentagons have 5 distinct verts ringing the center") {
+    for (bc <- H3.Pentagons) {
+      val p = (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+      val b = H3.h3ToGeoBoundary(p)
+      assert(b.size == 5 && b.distinct.size == 5, s"base cell $bc")
+      // every vertex sits within one res-0 circumradius (~1300 km) of the
+      // center — no vertex escaped to a wrong chart
+      val c = H3.h3ToGeo(p)
+      b.foreach { v =>
+        val d = Haversine.meters(c._1, c._2, v._1, v._2)
+        assert(d > 100000 && d < 1600000, s"base cell $bc vert at $d m")
+      }
+    }
+  }
+
+  test("boundary sanity: res-9 edge lengths sit in the published band") {
+    val b = H3.h3ToGeoBoundary(
+      H3.geoToH3(37.7752702151959257, -122.418307270836230, 9))
+    val edges = (b :+ b.head).sliding(2).map { s =>
+      Haversine.meters(s(0)._1, s(0)._2, s(1)._1, s(1)._2) }.toSeq
+    // res-9 average edge ≈ 200 m (hex area 0.1053 km²); distortion band
+    edges.foreach(e => assert(e > 150 && e < 260, s"edge $e m"))
+  }
+
+  test("polyfill law: center-inside ⇒ in fill; fill ⊆ center-inside ∪ vertex cells") {
+    val poly = Seq((37.77, -122.43), (37.79, -122.43),
+      (37.79, -122.40), (37.77, -122.40))
+    val fill = H3.polygonCells(poly, 9, 0).toSet
+    // candidate cells: a fine lattice over the bbox reaches every cell
+    val cand = (for { i <- 0 until 300; j <- 0 until 300 } yield
+      H3.geoToH3(37.765 + 0.03 * i / 299.0, -122.435 + 0.04 * j / 299.0, 9)).toSet
+    val centerIn = cand.filter { h =>
+      val c = H3.h3ToGeo(h); GeoCell.pointInPolygon(c._1, c._2, poly) }
+      .map(h => H3.toH3String(h).toUpperCase(java.util.Locale.ROOT))
+    assert((centerIn -- fill).isEmpty, s"missing ${(centerIn -- fill).size}")
+    val vertexCells = poly.map(p => H3.geoToH3String(p._1, p._2, 9)).toSet
+    assert((fill -- centerIn -- vertexCells).isEmpty,
+      s"extras ${(fill -- centerIn -- vertexCells).size}")
+    assert(vertexCells.subsetOf(fill), "fill must cover the polygon's own vertices")
+  }
+
+  test("polyfill law: layer monotonicity and the kRing growth bound") {
+    val poly = Seq((37.77, -122.43), (37.79, -122.43),
+      (37.79, -122.40), (37.77, -122.40))
+    val f0 = H3.polygonCells(poly, 9, 0).toSet
+    val f1 = H3.polygonCells(poly, 9, 1).toSet
+    val f2 = H3.polygonCells(poly, 9, 2).toSet
+    assert(f0.subsetOf(f1) && f1.subsetOf(f2))
+    assert(f0.size < f1.size && f1.size < f2.size)
+    // layer 1 is exactly the union of 1-rings of layer 0
+    val ring1 = f0.flatMap(s => H3.kRing(H3.fromString(s), 1))
+      .map(h => H3.toH3String(h).toUpperCase(java.util.Locale.ROOT))
+    assert(f1 == ring1)
+  }
+
+  test("polyfill: degenerate sub-cell polygon still maps to its vertex cells") {
+    val tiny = Seq((37.7701, -122.4101), (37.7702, -122.4101), (37.7702, -122.4102))
+    val fill = H3.polygonCells(tiny, 9, 0)
+    assert(fill.nonEmpty)
+    assert(tiny.map(p => H3.geoToH3String(p._1, p._2, 9)).toSet.subsetOf(fill.toSet))
+    assert(H3.polygonCells(Nil, 9, 0).isEmpty)
+  }
 }
