@@ -9,10 +9,12 @@ import org.apache.spark.sql.types.{DataType, StructType}
 /** Parser front-end for the ONE maintenance statement the reference's own
   * notebooks type that Spark's grammar lacks:
   *
-  * {{{ OPTIMIZE <table> [ZORDER BY (col, col, ...)] }}}
+  * {{{ OPTIMIZE <table> [WHERE <partition equality conjunction>]
+  *     [ZORDER BY (col, col, ...)] }}}
   *
   * — the literal `OPTIMIZE {} ZORDER BY (user, h3)` a reference user runs
-  * (`01_geofraud_clustering.py:440`). The statement parses to a
+  * (`01_geofraud_clustering.py:440`), plus Delta's partition-scoped form
+  * (`OPTIMIZE t WHERE day = '3'`). The statement parses to a
   * [[org.apache.spark.sql.graft.GraftOptimizeCommand]], which resolves the
   * (possibly catalog-qualified) name through the session's V2 catalog
   * manager at run time and routes to the same format-writer maintenance
@@ -22,9 +24,9 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Everything that is not an OPTIMIZE statement delegates to Spark's own
   * parser untouched (the wrapper adds no grammar ambiguity: `OPTIMIZE` is
   * not a Spark statement keyword). An OPTIMIZE statement this front-end
-  * cannot shape-match (e.g. a `WHERE` partition predicate) refuses loudly
-  * with the supported form named, rather than falling through to Spark's
-  * opaque "syntax error at OPTIMIZE". */
+  * cannot shape-match (a non-equality WHERE, extra clauses) refuses
+  * loudly with the supported form named, rather than falling through to
+  * Spark's opaque "syntax error at OPTIMIZE". */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
   override def parsePlan(sqlText: String): LogicalPlan =
@@ -50,11 +52,29 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
-  /** `OPTIMIZE name [ZORDER BY (c1, c2, ...)]` — names are dotted parts,
-    * each part optionally backticked (a backticked part containing a
-    * literal dot is out of scope for this front-end). */
+  /** `OPTIMIZE name [WHERE <partition equality conjunction>] [ZORDER BY
+    * (c1, c2, ...)]` — names are dotted parts, each part optionally
+    * backticked (a backticked part containing a literal dot is out of
+    * scope for this front-end). The WHERE grammar is Delta's own OPTIMIZE
+    * scope: equality on partition columns, AND-conjoined. */
   private val OptimizeStmt =
-    """(?is)\s*OPTIMIZE\s+([`\w.]+)\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
+    """(?is)\s*OPTIMIZE\s+([`\w.]+)(?:\s+WHERE\s+(.+?))??\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
+
+  private val EqTerm =
+    """(?is)\s*`?(\w+)`?\s*=\s*(?:'([^']*)'|"([^"]*)"|([\w.\-]+))\s*""".r
+
+  /** Partition-scope predicate → (column → literal). Anything beyond an
+    * equality conjunction refuses with the supported form named — only
+    * partition equality can scope a rewrite to whole files. */
+  private[plans] def parseWhere(cond: String): Map[String, String] =
+    cond.split("(?i)\\s+AND\\s+").map {
+      case EqTerm(k, sq, dq, bare) =>
+        k -> Seq(sq, dq, bare).find(_ != null).get
+      case other => throw new IllegalArgumentException(
+        "OPTIMIZE WHERE supports only partition-column equality " +
+          "conjunctions — `col = 'value' [AND col2 = 'value2']`; got: " +
+          other.trim)
+    }.toMap
 
   private def unquote(part: String): String =
     part.stripPrefix("`").stripSuffix("`")
@@ -87,19 +107,19 @@ object GraftSqlParser {
 
   private[plans] def parseOptimize(sqlText: String): Option[LogicalPlan] =
     stripLeadingComments(sqlText) match {
-      case OptimizeStmt(name, zcols) =>
+      case OptimizeStmt(name, where, zcols) =>
         val parts = name.split('.').toSeq.map(unquote).filter(_.nonEmpty)
         require(parts.nonEmpty, s"OPTIMIZE: empty table name in '$sqlText'")
         val cols = Option(zcols).toSeq
           .flatMap(_.split(',').toSeq).map(s => unquote(s.trim))
           .filter(_.nonEmpty)
-        Some(org.apache.spark.sql.graft.GraftOptimizeCommand(parts, cols))
+        val scope = Option(where).map(parseWhere).getOrElse(Map.empty)
+        Some(org.apache.spark.sql.graft.GraftOptimizeCommand(parts, cols, scope))
       case other if OptimizeLead.pattern.matcher(other).matches() =>
         throw new IllegalArgumentException(
-          "OPTIMIZE: this front-end accepts exactly " +
-            "'OPTIMIZE <table> [ZORDER BY (col, ...)]' — partition " +
-            "predicates (WHERE) and other clauses are not supported; got: " +
-            other.trim)
+          "OPTIMIZE: this front-end accepts exactly 'OPTIMIZE <table> " +
+            "[WHERE <partition equality conjunction>] " +
+            "[ZORDER BY (col, ...)]'; got: " + other.trim)
       case _ => None
     }
 }

@@ -522,12 +522,13 @@ object DeltaLogWriter {
                clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
                numFiles: Option[Int] = None,
                optimistic: Boolean = false,
-               maxRetries: Int = 10): Long = {
+               maxRetries: Int = 10,
+               partitionFilter: Map[String, String] = Map.empty): Long = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val root = new Path(path)
     val f = fs(spark, root)
-    val (entries, meta) = DeltaLogReader.replayState(spark, path, None)
-    require(entries.nonEmpty, s"Delta table at $path has no active files — nothing to optimize")
+    val (allEntries, meta) = DeltaLogReader.replayState(spark, path, None)
+    require(allEntries.nonEmpty, s"Delta table at $path has no active files — nothing to optimize")
     val metaNode = meta.getOrElse(throw new IllegalArgumentException(
       s"Delta log at $path carries no metaData action — cannot verify " +
         "partitioning or column mapping; refusing a blind rewrite"))
@@ -538,20 +539,39 @@ object DeltaLogWriter {
       val pc = metaNode.path("partitionColumns")
       (0 until pc.size()).map(pc.get(_).asText())
     }
+    // partition-scoped rewrite (`OPTIMIZE t WHERE day = X`): the rewrite
+    // set narrows to the files of the NAMED partitions — untouched
+    // partitions keep their files active verbatim (the remove list below
+    // derives from `entries`). Only equality on declared partition
+    // columns can scope a rewrite to whole files, so anything else
+    // refused upstream at the parser.
+    partitionFilter.keys.foreach(k => require(partCols.contains(k),
+      s"OPTIMIZE WHERE names '$k', not a partition column of $path " +
+        partCols.mkString("(", ", ", ")")))
+    val rootNorm = normRoot(f, root)
+    val entries =
+      if (partitionFilter.isEmpty) allEntries
+      else allEntries.filter { case (abs, _) =>
+        val rel = normAbs(f, abs).stripPrefix(rootNorm).stripPrefix("/")
+        val pv = partitionValuesOf(rel)
+        partitionFilter.forall { case (k, v) => pv.get(k).contains(v) }
+      }
+    require(entries.nonEmpty,
+      s"OPTIMIZE at $path: no active files in the named partitions " +
+        partitionFilter.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
 
     val latest = DeltaLogReader.latestVersion(spark, path).get
     val version = latest + 1
     val commit = new Path(new Path(root, "_delta_log"), f"$version%020d.json")
 
     // the remove actions below re-relativize active paths against the
-    // table root; an add that lives OUTSIDE it (shallow-clone layouts)
-    // would re-relativize to a WRONG path, leave the old add active and
-    // permanently double the rows — refuse instead. The comparison keeps
-    // scheme/authority as the leading path segment (normalizePath, the
-    // dvAttachActions spelling): a same-path file in a DIFFERENT bucket
-    // must count as outside, and a relative table path must qualify to
-    // the same spelling the entries carry
-    val rootNorm = normRoot(f, root)
+    // table root (rootNorm above); an add that lives OUTSIDE it
+    // (shallow-clone layouts) would re-relativize to a WRONG path, leave
+    // the old add active and permanently double the rows — refuse
+    // instead. The comparison keeps scheme/authority as the leading path
+    // segment (normalizePath, the dvAttachActions spelling): a same-path
+    // file in a DIFFERENT bucket must count as outside, and a relative
+    // table path must qualify to the same spelling the entries carry
     val outside = entries.map(_._1)
       .filterNot(abs => normAbs(f, abs).startsWith(rootNorm + "/"))
     require(outside.isEmpty,
@@ -565,8 +585,12 @@ object DeltaLogWriter {
     }.sum
     val numOut = numFiles.getOrElse(
       math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt)
-    val logical = DeltaLogReader.read(spark, path)
-    import org.apache.spark.sql.functions.{col => colOf}
+    import org.apache.spark.sql.functions.{col => colOf, lit => litOf}
+    // the logical rows of exactly the files being rewritten: partition
+    // equality selects whole files, so this matches `entries` row-for-row
+    val logical = partitionFilter.foldLeft(DeltaLogReader.read(spark, path)) {
+      case (df, (k, v)) => df.filter(colOf(k).cast("string") === litOf(v))
+    }
     // PARTITIONED tables re-bin WITHIN partitions: shuffle on the
     // partition columns (each value lands whole in one task — the
     // classic one-file-per-partition compaction), then the hive
@@ -703,6 +727,16 @@ object DeltaLogWriter {
     sweep(root)
     deleted
   }
+
+  /** Root-relative file path → partition values, parsed back from the
+    * hive `k=v` segments (percent-decoded). */
+  private def partitionValuesOf(rel: String): Map[String, String] =
+    rel.split("/").dropRight(1).filter(_.contains("="))
+      .map { seg =>
+        val i = seg.indexOf('=')
+        DeltaLogReader.percentDecode(seg.substring(0, i)) ->
+          DeltaLogReader.percentDecode(seg.substring(i + 1))
+      }.toMap
 
   /** Root-relative file path → `partitionValues` JSON object, parsed back
     * from the hive `k=v` segments (percent-decoded like every Delta

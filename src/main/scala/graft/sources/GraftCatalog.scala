@@ -595,9 +595,14 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     (loc, f.exists(new Path(loc, "_delta_log")))
   }
 
-  /** `OPTIMIZE <table> [ZORDER BY (cols)]` — the SQL maintenance
-    * statement ([[graft.plans.GraftSqlParser]] parses it; the reference's
-    * own notebooks type it, `01_geofraud_clustering.py:440`), routed to
+  /** `OPTIMIZE <table> [WHERE <partition equality>] [ZORDER BY (cols)]`
+    * — the SQL maintenance statement ([[graft.plans.GraftSqlParser]]
+    * parses it; the reference's own notebooks type it,
+    * `01_geofraud_clustering.py:440`). A `where` scope narrows the Delta
+    * rewrite to the named partitions' files (untouched partitions keep
+    * their files verbatim — Delta's own partition-scoped OPTIMIZE);
+    * Iceberg refuses the scope loudly (its compaction here rewrites the
+    * full table). Routed to
     * the SAME writer passes as `CALL <cat>.system.optimize(...)`:
     * Delta's bin-pack/clustered rewrite or Iceberg's clustered
     * compaction. With ZORDER columns, Delta clusters on the
@@ -607,21 +612,37 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
     * clustered rewrite, whose pruned-scan law q254 pins. */
   def optimizeZOrder(spark: SparkSession, tableName: String,
                      zorderBy: Seq[String],
-                     targetFileBytes: Long = 128L << 20)
+                     targetFileBytes: Long = 128L << 20,
+                     where: Map[String, String] = Map.empty)
       : Seq[(String, Long)] = {
     val (loc, isDelta) = locateAndSniff(tableName)
     if (isDelta) {
       val cluster =
         if (zorderBy.isEmpty) Nil
-        else graft.plans.ZOrderClustering.clusterKey(
-          DeltaLogReader.read(spark, loc), zorderBy)
+        else {
+          // cluster-key stats (numeric min/max, string rank boundaries)
+          // over the rows actually being REWRITTEN: a partition-scoped
+          // OPTIMIZE spends its ordinal range on that partition's values
+          val state = where.foldLeft(DeltaLogReader.read(spark, loc)) {
+            case (df, (k, v)) =>
+              df.filter(org.apache.spark.sql.functions.col(k)
+                .cast("string") === v)
+          }
+          graft.plans.ZOrderClustering.clusterKey(state, zorderBy)
+        }
       Seq("committed_version" -> DeltaLogWriter.optimize(
-        spark, loc, targetFileBytes, clusterBy = cluster))
-    } else
+        spark, loc, targetFileBytes, clusterBy = cluster,
+        partitionFilter = where))
+    } else {
+      require(where.isEmpty,
+        s"OPTIMIZE ... WHERE on '$tableName': partition-scoped rewrite " +
+          "is supported for Delta tables; this Iceberg compaction " +
+          "rewrites the full table — drop the WHERE clause")
       Seq("metadata_version" -> IcebergWriter.compact(
         spark, loc, GraftCatalog.freshSnapshotId(),
         System.currentTimeMillis(), targetFileBytes,
         sortBy = zorderBy).toLong)
+    }
   }
 
   /** The `CALL`-style MAINTENANCE surface (`CALL <cat>.system.optimize

@@ -47,17 +47,33 @@ object PyfuncExport {
     finally out.close()
   }
 
+  /** Default shard budget for `data/blooms.parquet` — a serving artifact
+    * at reference scale (5–200 users) stays single-part; past the budget
+    * the write shards so a millions-of-users bloom frame never funnels
+    * through one task (the measured-cutover idiom, [[graft.score.Blooms]]). */
+  val DefaultShardBytes: Long = 64L << 20
+
   /** Export `trained` ([[graft.score.Blooms.train]] output: user string,
-    * bloom binary) as a loadable pyfunc model directory at `dst`. */
+    * bloom binary) as a loadable pyfunc model directory at `dst`. The
+    * Python loader reads the parquet DIRECTORY (pyarrow ignores the
+    * `_`-prefixed marker files), so shard count is invisible to it. */
   def exportBloomScorer(spark: SparkSession, trained: DataFrame, dst: String,
-                        precision: Int = 10, userCol: String = "user"): Unit = {
+                        precision: Int = 10, userCol: String = "user",
+                        maxShardBytes: Long = DefaultShardBytes): Unit = {
     require(precision >= 0 && precision <= 15, s"precision $precision out of [0,15]")
+    require(maxShardBytes > 0, s"maxShardBytes must be positive, got $maxShardBytes")
     val root = new Path(dst)
     val f = fs(spark, root)
     f.delete(root, true)
     f.mkdirs(root)
-    trained.select(col(userCol).cast("string").as("user"), col("bloom"))
-      .coalesce(1).write.parquet(new Path(root, "data/blooms.parquet").toString)
+    val blooms = trained
+      .select(col(userCol).cast("string").as("user"), col("bloom"))
+    // measure, don't guess: one agg pass sizes the shard count
+    val sized = blooms.agg(coalesce(sum(length(col("bloom"))), lit(0L))).head
+    val parts = math.max(1L,
+      (sized.getLong(0) + maxShardBytes - 1) / maxShardBytes).toInt
+    blooms.repartition(parts)
+      .write.parquet(new Path(root, "data/blooms.parquet").toString)
     writeText(spark, new Path(root, "data/params.txt"), s"precision=$precision\n")
     writeText(spark, new Path(root, "code/graft_bloom_scorer.py"), loaderModule)
     writeText(spark, new Path(root, "conda.yaml"),

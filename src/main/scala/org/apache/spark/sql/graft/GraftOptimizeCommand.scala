@@ -19,7 +19,8 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *
   * All semantic fields sit in the single constructor list, so plan
   * equality/hashing tracks the full statement. */
-case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String])
+case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String],
+                                where: Map[String, String] = Map.empty)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -34,7 +35,7 @@ case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String])
       else (cm.currentCatalog, nameParts.mkString("."))
     plugin match {
       case g: graft.sources.GraftCatalog =>
-        g.optimizeZOrder(sparkSession, tableName, zorderBy)
+        g.optimizeZOrder(sparkSession, tableName, zorderBy, where = where)
           .map { case (metric, value) => Row(metric, value) }
       case other => throw new UnsupportedOperationException(
         s"OPTIMIZE ${nameParts.mkString(".")}: catalog '${other.name()}' " +
@@ -45,6 +46,9 @@ case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String])
 
   override def simpleString(maxFields: Int): String =
     s"GraftOptimizeCommand ${nameParts.mkString(".")}" +
+      (if (where.nonEmpty)
+        s" WHERE ${where.map { case (k, v) => s"$k=$v" }.mkString(" AND ")}"
+       else "") +
       (if (zorderBy.nonEmpty) s" ZORDER BY (${zorderBy.mkString(", ")})"
        else "")
 }

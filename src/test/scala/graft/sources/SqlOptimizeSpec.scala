@@ -69,7 +69,7 @@ class SqlOptimizeSpec extends SparkSpec {
     assert(spark.sql(s"SELECT * FROM $cat.geoscan.tiles").count() == 400L)
   }
 
-  test("plain OPTIMIZE (no ZORDER) bin-packs; WHERE refuses; non-graft catalog refuses") {
+  test("plain OPTIMIZE (no ZORDER) bin-packs; malformed WHERE and non-graft catalog refuse") {
     val (cat, reg) = freshCatalog()
     val d = freshDir() + "/t"
     DeltaLogWriter.write((1L to 40L).toDF("id").repartition(4), d)
@@ -77,9 +77,14 @@ class SqlOptimizeSpec extends SparkSpec {
     val out = spark.sql(s"OPTIMIZE $cat.ns.t").collect()
     assert(out.head.getString(0) == "committed_version" && out.head.getLong(1) == 1L)
     assert(DeltaLogReader.activeFiles(spark, d).size == 1)
+    // non-equality WHERE refuses with the supported grammar named
     val e = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.t WHERE id > 3"))
-    assert(e.getMessage.contains("ZORDER BY"), e.getMessage)
+    assert(e.getMessage.contains("equality"), e.getMessage)
+    // equality on a NON-partition column refuses by name
+    val eNp = intercept[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE $cat.ns.t WHERE id = 3").collect())
+    assert(eNp.getMessage.contains("not a partition column"), eNp.getMessage)
     val e2 = intercept[UnsupportedOperationException](
       spark.sql("OPTIMIZE spark_catalog.default.nope ZORDER BY (a)"))
     assert(e2.getMessage.contains("not a graft catalog"), e2.getMessage)
@@ -90,12 +95,50 @@ class SqlOptimizeSpec extends SparkSpec {
       out2.head.getLong(1) == 2L)
     val e3 = intercept[IllegalArgumentException](
       spark.sql(s"/* scheduled */ OPTIMIZE $cat.ns.t WHERE id > 3"))
-    assert(e3.getMessage.contains("ZORDER BY"), e3.getMessage)
+    assert(e3.getMessage.contains("equality"), e3.getMessage)
     // … and a token merely PREFIXED with OPTIMIZE delegates to Spark's own
     // parser instead of this front-end's refusal
     val e4 = intercept[Exception](spark.sql("OPTIMIZER_HINTS FOR t"))
     assert(!e4.isInstanceOf[IllegalArgumentException] ||
       !e4.getMessage.contains("this front-end"), e4.getClass.getName)
+  }
+
+  test("OPTIMIZE WHERE compacts ONLY the named partitions (Delta); Iceberg refuses") {
+    val (cat, reg) = freshCatalog()
+    val d = freshDir() + "/events"
+    // 3 days × 4 files each, hive-partitioned on day
+    val df = (0 until 240).map(k => (k % 3, k.toLong, f"u${k % 7}"))
+      .toDF("day", "v", "u")
+    DeltaLogWriter.write(df.repartition(4), d, partitionBy = Seq("day"))
+    reg.register("ns.events", d)
+    val before = DeltaLogReader.activeFiles(spark, d)
+    val untouchedBefore = before.filterNot(_.contains("day=1")).toSet
+    assert(before.count(_.contains("day=1")) >= 4, before.mkString(", "))
+    val out = spark
+      .sql(s"OPTIMIZE $cat.ns.events WHERE day = 1 ZORDER BY (u, v)")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq == Seq(("committed_version", 1L)), out.toSeq.toString)
+    val after = DeltaLogReader.activeFiles(spark, d)
+    // the named partition compacted to ONE file …
+    assert(after.count(_.contains("day=1")) == 1, after.mkString(", "))
+    // … and every file of the UNTOUCHED partitions survives verbatim
+    assert(after.filterNot(_.contains("day=1")).toSet == untouchedBefore)
+    // content invariant across the whole table
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.events").head.getLong(0) ==
+      (0L until 240L).sum)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.events WHERE day = 1")
+      .head.getLong(0) == 80L)
+    // empty scope refuses by the partitions named
+    val eEmpty = intercept[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE $cat.ns.events WHERE day = 9").collect())
+    assert(eEmpty.getMessage.contains("no active files"), eEmpty.getMessage)
+    // Iceberg side refuses WHERE loudly with the remedy named
+    val i = freshDir() + "/ice"
+    IcebergWriter.commitAppend(spark, i, tiles.coalesce(2), 952L, 1000L)
+    reg.register("ns.ice", i)
+    val eIce = intercept[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE $cat.ns.ice WHERE user = 'user001'").collect())
+    assert(eIce.getMessage.contains("Iceberg"), eIce.getMessage)
   }
 
   test("ZORDER BY with an unknown column refuses by name") {

@@ -54,7 +54,28 @@ class PyfuncExportSpec extends SparkSpec {
       .exists(_.getName.endsWith(".parquet")))
   }
 
-  test("the shipped python twin predicts bit-identically to Blooms.score") {
+  test("a forced multi-shard export stays loadable (byte-budget sharding)") {
+    val dst = freshDir() + "/m"
+    val pts = graft.Tables.points(spark, "/root/testdata/sf0.001").limit(200)
+      .withColumnRenamed("user_id", "user")
+      .select($"user".cast("string"), $"latitude", $"longitude")
+    val tiles = pts.select($"user",
+      graft.functions.GeoFunctions.geoCell($"latitude", $"longitude", 10).as("h3"))
+    val trained = graft.score.Blooms.train(tiles)
+    // a 1 KB budget forces > 1 part file for any real bloom frame
+    PyfuncExport.exportBloomScorer(spark, trained, dst, precision = 10,
+      maxShardBytes = 1024L)
+    val parts = new java.io.File(s"$dst/data/blooms.parquet").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(parts > 1, s"1 KB budget must shard, got $parts part file(s)")
+    // every (user, bloom) row survives sharding
+    val back = spark.read.parquet(s"$dst/data/blooms.parquet")
+    assert(back.count() == trained.count())
+    assert(back.select("user").as[String].collect().sorted.toSeq ==
+      trained.select("user").as[String].collect().sorted.toSeq)
+  }
+
+  test("the shipped python twin predicts bit-identically to Blooms.score (multi-shard)") {
     val py = Seq("python3", "-c", "import pandas, pyarrow")
     val pyOk = try new ProcessBuilder(py: _*).start().waitFor() == 0
       catch { case _: java.io.IOException => false }
@@ -62,6 +83,10 @@ class PyfuncExportSpec extends SparkSpec {
     val base = freshDir()
     val dst = s"$base/m"
     val (pts, trained) = model(dst)
+    // re-export SHARDED over the same blooms: the python loader reads the
+    // parquet directory, so the byte-budget shard count must be invisible
+    PyfuncExport.exportBloomScorer(spark, trained, dst, precision = 10,
+      maxShardBytes = 1024L)
     val expected = graft.score.Blooms
       .score(pts, graft.score.Blooms.toMap(trained), 10)
       .select($"user", $"latitude", $"longitude", $"anomaly")
