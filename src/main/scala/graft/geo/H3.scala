@@ -642,19 +642,35 @@ object H3 {
       faceIjkToH3(f2, cc, res)
     }
 
-  /** Grid neighbors of a cell: the ± unit-vector lattice moves on the
-    * cell's canonical face chart. EXACT away from the 12 pentagon seams
-    * (H3Spec pins set-equality against geometric ground truth there).
-    * AT a pentagon seam the chart gluing is used, which can disagree
-    * with pure geometric contact — projection distortion lets a cell's
-    * geometric region touch 7 others while grid topology defines 6 —
-    * and library-level parity for those few cells is not claimable
-    * without the h3 library to compare against (none exists in this
-    * environment). For geometric-coverage guarantees (the GEOSCAN
-    * epsilon-tiling contract) use [[GeoCell]], the engine's native
-    * grid; H3 interop exists for ID PARITY with reference-produced
-    * tables, whose only h3 call is geo_to_h3. */
+  /** Grid neighbors of a cell. Two lanes, both EXACT:
+    *
+    *   - off the 12 pentagon seams: ± unit-vector lattice moves on the
+    *     cell's canonical face chart (H3Spec pins set-equality against
+    *     geometric ground truth) — pure integer arithmetic, the fast
+    *     path for the 110 hexagon base-cell regions;
+    *   - in a seam base cell (a pentagon's, or one adjacent to it):
+    *     derived from the cell's own GEOMETRY — each boundary edge's
+    *     midpoints, pushed just outside the cell and re-indexed
+    *     ([[h3ToGeoBoundary]] + geoToH3, both verified surfaces), give
+    *     exactly the edge-sharing cells. Chart gluing (the pre-r17
+    *     seam path) could disagree with geometric contact there;
+    *     boundary probing cannot, and H3Spec pins symmetry + a
+    *     shared-edge witness for every pentagon and its full 1-ring. */
   def neighbors(h: Long): Set[Long] = {
+    val lat = neighborsLattice(h)
+    if (!SeamBcs.contains(baseCell(h)) &&
+        lat.forall(n => !SeamBcs.contains(baseCell(n)))) lat
+    else neighborsGeometric(h)
+  }
+
+  /** Base cells where lattice chart-gluing may cross a pentagon: the 12
+    * pentagons and every base cell their res-0 lattice ring touches. */
+  private lazy val SeamBcs: Set[Int] = Pentagons.flatMap { p =>
+    val p0 = (1L << 59) | (p.toLong << 45) | ((1L << 45) - 1)
+    neighborsLattice(p0).map(baseCell) + p
+  }
+
+  private def neighborsLattice(h: Long): Set[Long] = {
     val res = resolution(h)
     val (face, (i, j, k)) = toFaceIjk(h)
     var out = Set.empty[Long]
@@ -668,6 +684,51 @@ object H3 {
       d += 1
     }
     out
+  }
+
+  /** Edge-sharing neighbors from the cell's own boundary: sample points
+    * along each edge, push them just outside the cell (away from the
+    * center, on the sphere), re-index. An escalating push ladder rides
+    * out projection distortion near icosahedron edges (a too-small push
+    * can land back in `h`); the ladder tops out far below the distance
+    * to any vertex-diagonal cell, so only true edge neighbors appear. */
+  private def neighborsGeometric(h: Long): Set[Long] = {
+    val res = resolution(h)
+    val b = h3ToGeoBoundary(h)
+    @inline def vec(p: (Double, Double)): (Double, Double, Double) = {
+      val la = math.toRadians(p._1); val lo = math.toRadians(p._2)
+      (math.cos(lo) * math.cos(la), math.sin(lo) * math.cos(la), math.sin(la))
+    }
+    val c = vec(h3ToGeo(h))
+    val out = scala.collection.mutable.Set.empty[Long]
+    var i = 0
+    while (i < b.size) {
+      val v1 = vec(b(i)); val v2 = vec(b((i + 1) % b.size))
+      var s = 0
+      while (s < 3) {
+        val f = 0.3 + 0.2 * s
+        val mx = v1._1 * (1 - f) + v2._1 * f
+        val my = v1._2 * (1 - f) + v2._2 * f
+        val mz = v1._3 * (1 - f) + v2._3 * f
+        var found = false
+        var e = 0
+        while (!found && e < 3) {
+          val eps = Array(0.005, 0.02, 0.08)(e)
+          val px = mx + (mx - c._1) * eps
+          val py = my + (my - c._2) * eps
+          val pz = mz + (mz - c._3) * eps
+          val n = math.sqrt(px * px + py * py + pz * pz)
+          val cand = geoToH3(
+            math.toDegrees(math.asin(pz / n)),
+            math.toDegrees(math.atan2(py, px)), res)
+          if (cand != h) { out += cand; found = true }
+          e += 1
+        }
+        s += 1
+      }
+      i += 1
+    }
+    out.toSet
   }
 
   /** kRing by BFS over [[neighbors]] — all cells within grid distance

@@ -286,6 +286,34 @@ class H3Spec extends AnyFunSuite {
     assert(f1 == ring1)
   }
 
+  test("pentagon-seam neighbors: symmetric, counted, geometrically witnessed") {
+    def close(a: (Double, Double), d: (Double, Double)) =
+      math.abs(a._1 - d._1) < 1e-7 &&
+        (math.abs(a._2 - d._2) < 1e-7 || math.abs(a._2 - d._2) > 359.9)
+    for (res <- Seq(1, 2, 3); bc <- H3.Pentagons) {
+      // the pentagon cell at `res` under base cell `bc` (all digits 0)
+      var pent = (1L << 59) | (res.toLong << 52) | (bc.toLong << 45) |
+        ((1L << 45) - 1)
+      for (r <- 1 to res) pent &= ~(7L << ((15 - r) * 3))
+      assert(H3.isPentagon(pent))
+      // the pentagon AND its entire 1-ring: exact counts, symmetry, and
+      // a shared-edge witness (≥2 shared boundary vertices) per neighbor
+      for (h <- H3.kRing(pent, 1)) {
+        val nbs = H3.neighbors(h)
+        assert(nbs.size == (if (H3.isPentagon(h)) 5 else 6),
+          s"res $res bc $bc cell ${H3.toH3String(h)}: ${nbs.size}")
+        val b = H3.h3ToGeoBoundary(h)
+        nbs.foreach { n =>
+          assert(H3.neighbors(n).contains(h),
+            s"asymmetric: ${H3.toH3String(h)} -> ${H3.toH3String(n)}")
+          val bn = H3.h3ToGeoBoundary(n)
+          assert(b.count(v => bn.exists(close(v, _))) >= 2,
+            s"no shared edge: ${H3.toH3String(h)} ~ ${H3.toH3String(n)}")
+        }
+      }
+    }
+  }
+
   test("polyfill: degenerate sub-cell polygon still maps to its vertex cells") {
     val tiny = Seq((37.7701, -122.4101), (37.7702, -122.4101), (37.7702, -122.4102))
     val fill = H3.polygonCells(tiny, 9, 0)
