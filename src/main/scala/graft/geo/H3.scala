@@ -546,6 +546,18 @@ object H3 {
     (math.toDegrees(lat2), math.toDegrees(lng2))
   }
 
+  /** Cell center WITHOUT the knife-edge containment correction — the
+    * exact projected center, 2× cheaper than [[h3ToGeo]] (no geoToH3
+    * validation round-trip). Right for GEOMETRIC uses of the center
+    * (point-in-polygon tests, bbox checks — the polyfill hot loop),
+    * where the handful of face-tie cells per resolution differ from
+    * [[h3ToGeo]] by a measure-zero perturbation; WRONG for re-indexing
+    * the center, which needs [[h3ToGeo]]'s containment guarantee. */
+  private[geo] def h3ToGeoRaw(h: Long): (Double, Double) = {
+    val (face, coord) = toFaceIjk(h)
+    centerFromChart(face, coord, resolution(h))
+  }
+
   /** Cell CENTER (lat, lng degrees) — `h3_to_geo`, with the containment
     * guarantee geoToH3(h3ToGeo(h)) == h (H3Spec pins it as a law). A
     * handful of pentagon-seam cells per resolution (measured: 1 of 5882
@@ -658,16 +670,15 @@ object H3 {
     *     shared-edge witness for every pentagon and its full 1-ring. */
   def neighbors(h: Long): Set[Long] = {
     val lat = neighborsLattice(h)
-    if (!SeamBcs.contains(baseCell(h)) &&
-        lat.forall(n => !SeamBcs.contains(baseCell(n)))) lat
+    // the pentagon special-casing (deleted-K rotation, pentLeading4
+    // overage) enters the lattice path only through a PENTAGON BASE
+    // CELL's chart — a move between two hexagon base-cell charts is the
+    // standard overage the off-seam spec proves exact. So geometric
+    // derivation is needed exactly when the cell, or any lattice result,
+    // lives in one of the 12 pentagon base cells.
+    if (!Pentagons.contains(baseCell(h)) &&
+        lat.forall(n => !Pentagons.contains(baseCell(n)))) lat
     else neighborsGeometric(h)
-  }
-
-  /** Base cells where lattice chart-gluing may cross a pentagon: the 12
-    * pentagons and every base cell their res-0 lattice ring touches. */
-  private lazy val SeamBcs: Set[Int] = Pentagons.flatMap { p =>
-    val p0 = (1L << 59) | (p.toLong << 45) | ((1L << 45) - 1)
-    neighborsLattice(p0).map(baseCell) + p
   }
 
   private def neighborsLattice(h: Long): Set[Long] = {
@@ -891,40 +902,45 @@ object H3 {
     require(res >= 0 && res <= 15, s"H3 resolution $res out of [0,15]")
     require(layers >= 0, s"layers must be >= 0, got $layers")
     val seeds = vertices.map { case (la, lo) => geoToH3(la, lo, res) }.toSet
-    // bbox expanded by ~1.5 cell diameters, measured from a seed cell's
-    // own boundary (exact enough: neighboring cells differ in size by
-    // bounded distortion only)
-    val c0 = h3ToGeo(seeds.head)
+    // bbox expanded by ~2.2 cell circumradii, measured from a seed cell's
+    // own boundary: ≥ 1.75 circumradii (one inter-center step of √3·edge
+    // plus slack) keeps every grid path between center-inside cells
+    // inside the box, and the margin directly sizes the explored set —
+    // raw centers (no containment validation) and a per-cell memo keep
+    // the BFS at one projection per explored cell
+    val c0 = h3ToGeoRaw(seeds.head)
     val b0 = h3ToGeoBoundary(seeds.head)
-    val dLat = b0.map(v => math.abs(v._1 - c0._1)).max * 3.0 + 1e-12
-    val dLng = b0.map(v => math.abs(v._2 - c0._2)).max * 3.0 + 1e-12
+    val dLat = b0.map(v => math.abs(v._1 - c0._1)).max * 2.2 + 1e-12
+    val dLng = b0.map(v => math.abs(v._2 - c0._2)).max * 2.2 + 1e-12
     val latLo = vertices.map(_._1).min - dLat
     val latHi = vertices.map(_._1).max + dLat
     val lngLo = vertices.map(_._2).min - dLng
     val lngHi = vertices.map(_._2).max + dLng
+    val centers = new scala.collection.mutable.LongMap[(Double, Double)](64)
+    @inline def centerOf(h: Long): (Double, Double) =
+      centers.getOrElseUpdate(h, h3ToGeoRaw(h))
     @inline def inBox(p: (Double, Double)): Boolean =
       p._1 >= latLo && p._1 <= latHi && p._2 >= lngLo && p._2 <= lngHi
     val visited = scala.collection.mutable.Set.empty[Long]
-    var kept = Set.empty[Long]
-    var frontier = seeds
-    visited ++= seeds
-    while (frontier.nonEmpty) {
-      kept ++= frontier.filter { h =>
-        seeds.contains(h) || {
-          val c = h3ToGeo(h)
-          GeoCell.pointInPolygon(c._1, c._2, vertices)
-        }
+    val kept = scala.collection.mutable.Set.empty[Long]
+    val queue = scala.collection.mutable.ArrayDeque.empty[Long]
+    seeds.foreach { h => visited += h; queue += h }
+    while (queue.nonEmpty) {
+      val h = queue.removeHead()
+      val c = centerOf(h)
+      if (seeds.contains(h) || GeoCell.pointInPolygon(c._1, c._2, vertices))
+        kept += h
+      // expand only from in-box cells; seeds are in-box by construction
+      if (inBox(c)) neighbors(h).foreach { n =>
+        if (!visited.contains(n)) { visited += n; queue += n }
       }
-      frontier = frontier.flatMap(neighbors)
-        .filter(h => !visited.contains(h) && inBox(h3ToGeo(h)))
-      visited ++= frontier
       if (visited.size > MaxFillCells)
         throw new IllegalArgumentException(
           s"H3.polygonCells: polygon spans more than $MaxFillCells cells " +
             s"at res $res — use a coarser resolution (or tile the polygon)")
     }
-    var ring = kept
-    var fr = kept
+    var ring: Set[Long] = kept.toSet
+    var fr = ring
     var step = 0
     while (step < layers) {
       fr = fr.flatMap(neighbors).diff(ring)
