@@ -113,6 +113,174 @@ object PyfuncExport {
          |""".stripMargin)
   }
 
+  /** Export a fitted GEOSCAN model's TILE COVER as a loadable pyfunc
+    * model directory — the clustering-model serving interop
+    * (`01_geofraud_clustering.py:133-149` logs the fitted model;
+    * third-party consumers load and `transform`). The artifact IS the
+    * reference's own serving shape: `transform` is a tiling join on the
+    * cell id (`01_geofraud_clustering.py:210`), so the model's entire
+    * inference surface is (tiles table, precision) — no JVM, no pickle.
+    *
+    * `tiles` is `getTiles(precision, layers)` output on the ENGINE grid:
+    * global `(cluster, h3)` or personalized `(user, cluster, h3)` —
+    * sniffed by the `user` column. The Python twin replays
+    * [[graft.geo.GeoCell]]'s cell id (the same `_cell_id` the bloom twin
+    * ships) and appends the reference's nullable `cluster` via dict
+    * lookup; PyfuncExportSpec pins bit-parity of `predict` against
+    * `GeoscanModel.transform` / the personalized twin under python3.
+    * Real-H3 tile tables refuse by name: the serving twin is pure-stdlib
+    * and replays the engine grid only — join h3-grid tiles in Spark. */
+  def exportGeoscanScorer(spark: SparkSession, tiles: DataFrame, dst: String,
+                          precision: Int,
+                          maxShardBytes: Long = DefaultShardBytes): Unit = {
+    require(precision >= 0 && precision <= 15, s"precision $precision out of [0,15]")
+    require(maxShardBytes > 0, s"maxShardBytes must be positive, got $maxShardBytes")
+    val personalized = tiles.columns.contains("user")
+    require(tiles.columns.contains("cluster") && tiles.columns.contains("h3"),
+      s"tiles frame must carry (cluster, h3) [+ user] — got " +
+        tiles.columns.mkString("(", ", ", ")"))
+    val root = new Path(dst)
+    val f = fs(spark, root)
+    f.delete(root, true)
+    f.mkdirs(root)
+    val cols =
+      (if (personalized) Seq(col("user").cast("string").as("user")) else Nil) ++
+        Seq(col("cluster").cast("long").as("cluster"),
+          col("h3").cast("string").as("h3"))
+    val frame = tiles.select(cols: _*)
+    // refuse REAL-H3 (or any foreign) ids eagerly: an engine cell id is
+    // the precision nibble + 7-hex latIndex < 2^(res+8) + 7-hex
+    // lngIndex < 2^(res+9) — decode and range-check, not just shape-match
+    // (an H3 res-8 id shares the '8' lead with engine precision 8)
+    val rows = 1L << (precision + 8)
+    val colsMax = 1L << (precision + 9)
+    val offGrid = frame.where(
+      !col("h3").rlike(f"^$precision%X[0-9A-F]{14}$$") ||
+        expr("CAST(conv(substring(h3, 2, 7), 16, 10) AS BIGINT)") >= rows ||
+        expr("CAST(conv(substring(h3, 9, 7), 16, 10) AS BIGINT)") >= colsMax)
+      .limit(1).select("h3").collect()
+    require(offGrid.isEmpty,
+      s"exportGeoscanScorer serves the ENGINE grid at precision " +
+        s"$precision — tile id '${offGrid.headOption.map(_.getString(0))
+          .getOrElse("")}' is not an engine cell at that precision " +
+        "(real-H3 tile tables stay in Spark; the pure-stdlib twin " +
+        "replays GeoCell only)")
+    val sized = frame.agg(coalesce(sum(length(col("h3")) + 16L), lit(0L))).head
+    val parts = math.max(1L,
+      (sized.getLong(0) + maxShardBytes - 1) / maxShardBytes).toInt
+    frame.repartition(parts)
+      .write.parquet(new Path(root, "data/tiles.parquet").toString)
+    writeText(spark, new Path(root, "data/params.txt"),
+      s"precision=$precision\npersonalized=$personalized\n")
+    writeText(spark, new Path(root, "code/graft_geoscan_transform.py"),
+      geoscanLoaderModule)
+    writeText(spark, new Path(root, "conda.yaml"),
+      """channels:
+        |- conda-forge
+        |dependencies:
+        |- python=3.10
+        |- pip
+        |- pip:
+        |  - pandas
+        |  - pyarrow
+        |name: graft_geoscan_env
+        |""".stripMargin)
+    writeText(spark, new Path(root, "python_env.yaml"),
+      """python: 3.10.12
+        |build_dependencies:
+        |- pip
+        |dependencies:
+        |- -r requirements.txt
+        |""".stripMargin)
+    writeText(spark, new Path(root, "requirements.txt"), "pandas\npyarrow\n")
+    val created = java.time.format.DateTimeFormatter.ISO_INSTANT
+      .format(java.time.Instant.now())
+    writeText(spark, new Path(root, "MLmodel"),
+      s"""artifact_path: pipeline
+         |flavors:
+         |  python_function:
+         |    code: code
+         |    data: data
+         |    env:
+         |      conda: conda.yaml
+         |      virtualenv: python_env.yaml
+         |    loader_module: graft_geoscan_transform
+         |    python_version: 3.10.12
+         |model_uuid: ${java.util.UUID.randomUUID()}
+         |utc_time_created: '$created'
+         |""".stripMargin)
+  }
+
+  /** The geoscan-transform loader module — the pure-stdlib twin of the
+    * tiling-join `transform` (nullable cluster label). */
+  private[tracking] val geoscanLoaderModule: String =
+    """# graft_geoscan_transform: mlflow.pyfunc loader module for the graft
+      |# GEOSCAN tile scorer. Pure-stdlib twin of GeoscanModel.transform /
+      |# GeoscanPersonalizedModel.transform: the reference's tiling join —
+      |# cell id at `precision`, dict lookup into the model's tile cover,
+      |# nullable `cluster` appended (pandas Int64, <NA> for misses).
+      |# Contract: _load_pyfunc(data_path) -> model; model.predict(pdf)
+      |# with columns (latitude, longitude [, user]) appends cluster.
+      |import math
+      |import os
+      |
+      |
+      |def _cell_id(lat, lng, res):
+      |    # graft.geo.GeoCell.cellId: 180/2^(res+8) degree squares,
+      |    # "%X%07X%07X" % (res, latIndex, lngIndex)
+      |    if lat is None or lng is None or math.isnan(lat) or math.isnan(lng):
+      |        return None
+      |    step = 180.0 / float(1 << (res + 8))
+      |    rows = 1 << (res + 8)
+      |    cols = 1 << (res + 9)
+      |    i = int(math.floor((lat + 90.0) / step))
+      |    i = min(max(i, 0), rows - 1)
+      |    j = int(math.floor((lng + 180.0) / step)) % cols
+      |    return '%X%07X%07X' % (res, i, j)
+      |
+      |
+      |class GraftGeoscanScorer:
+      |    def __init__(self, tiles, precision, personalized):
+      |        self._tiles = tiles
+      |        self._precision = precision
+      |        self._personalized = personalized
+      |
+      |    def predict(self, df):
+      |        import pandas as pd
+      |
+      |        def row_cluster(row):
+      |            cell = _cell_id(row['latitude'], row['longitude'],
+      |                            self._precision)
+      |            if cell is None:
+      |                return None
+      |            key = (str(row['user']), cell) if self._personalized else cell
+      |            return self._tiles.get(key)
+      |        out = df.copy()
+      |        out['cluster'] = pd.array(
+      |            [row_cluster(r) for _, r in df.iterrows()], dtype='Int64')
+      |        return out
+      |
+      |
+      |def _load_pyfunc(data_path):
+      |    import pandas as pd
+      |    pdf = pd.read_parquet(os.path.join(data_path, 'tiles.parquet'))
+      |    precision, personalized = 10, False
+      |    with open(os.path.join(data_path, 'params.txt')) as fh:
+      |        for line in fh:
+      |            k, _, v = line.strip().partition('=')
+      |            if k == 'precision':
+      |                precision = int(v)
+      |            elif k == 'personalized':
+      |                personalized = v == 'true'
+      |    if personalized:
+      |        tiles = {(str(u), str(h)): int(c) for u, c, h in
+      |                 zip(pdf['user'], pdf['cluster'], pdf['h3'])}
+      |    else:
+      |        tiles = {str(h): int(c) for c, h in
+      |                 zip(pdf['cluster'], pdf['h3'])}
+      |    return GraftGeoscanScorer(tiles, precision, personalized)
+      |""".stripMargin
+
   /** The shipped loader module — kept here (not a resource file) so the
     * Scala scorer and its Python twin live one screen apart and drift is
     * a code-review diff, not an artifact surprise. */

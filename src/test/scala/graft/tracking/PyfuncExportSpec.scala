@@ -75,6 +75,91 @@ class PyfuncExportSpec extends SparkSpec {
       trained.select("user").as[String].collect().sorted.toSeq)
   }
 
+  test("geoscan scorer export: layout, engine-grid guard, real-H3 refusal") {
+    val dst = freshDir() + "/g"
+    val pts = graft.Tables.points(spark, "/root/testdata/sf0.001").limit(300)
+      .select($"latitude", $"longitude")
+    val model = new graft.cluster.Geoscan().setEpsilon(150).setMinPts(3).fit(pts)
+    val tiles = model.getTiles(10, 1)
+    PyfuncExport.exportGeoscanScorer(spark, tiles, dst, precision = 10)
+    assert(new java.io.File(s"$dst/data/tiles.parquet").listFiles()
+      .exists(_.getName.endsWith(".parquet")))
+    val mlmodel = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst, "MLmodel")), "UTF-8")
+    assert(mlmodel.contains("loader_module: graft_geoscan_transform"))
+    val params = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dst, "data/params.txt")), "UTF-8")
+    assert(params.contains("precision=10") && params.contains("personalized=false"))
+    // a real-H3 tiles table refuses by name — the twin replays GeoCell only
+    val h3Tiles = model.getTiles(10, 0, "h3")
+    val e = intercept[IllegalArgumentException](
+      PyfuncExport.exportGeoscanScorer(spark, h3Tiles, freshDir() + "/x", 10))
+    assert(e.getMessage.contains("ENGINE grid"), e.getMessage)
+    // wrong-precision engine ids refuse too
+    val e2 = intercept[IllegalArgumentException](
+      PyfuncExport.exportGeoscanScorer(spark, tiles, freshDir() + "/y", 11))
+    assert(e2.getMessage.contains("ENGINE grid"), e2.getMessage)
+  }
+
+  test("the geoscan python twin transforms bit-identically (global + personalized)") {
+    val py = Seq("python3", "-c", "import pandas, pyarrow")
+    val pyOk = try new ProcessBuilder(py: _*).start().waitFor() == 0
+      catch { case _: java.io.IOException => false }
+    assume(pyOk, "python3 with pandas+pyarrow not on PATH — parity leg skipped")
+    val base = freshDir()
+    val trainPts = graft.Tables.points(spark, "/root/testdata/sf0.001").limit(400)
+      .withColumnRenamed("user_id", "user")
+      .select($"user".cast("string").as("user"), $"latitude", $"longitude")
+    // score a superset: shifted copies guarantee MISS rows (null cluster),
+    // so the parity check exercises both lookup outcomes
+    val pts = trainPts.unionAll(trainPts.limit(40)
+      .select($"user", ($"latitude" + 1.0).as("latitude"), $"longitude"))
+
+    // GLOBAL: transform vs python twin over the SAME tile cover
+    val g = new graft.cluster.Geoscan().setEpsilon(150).setMinPts(3)
+      .fit(trainPts.select($"latitude", $"longitude"))
+    g.setTilePrecision(10).setTileLayers(1)
+    PyfuncExport.exportGeoscanScorer(spark, g.getTiles(10, 1), s"$base/g", 10)
+    val expectedG = g.transform(pts)
+      .select($"user", $"latitude", $"longitude", $"cluster")
+    expectedG.coalesce(1).write.parquet(s"$base/expected_g")
+    assert(expectedG.where($"cluster".isNotNull).count() > 0, "need labeled rows")
+    assert(expectedG.where($"cluster".isNull).count() > 0, "need noise rows")
+
+    // PERSONALIZED: per-user transform vs the user-keyed twin
+    val p = new graft.cluster.GeoscanPersonalized()
+      .setGroupedCol("user").setEpsilon(150).setMinPts(3).fit(trainPts)
+    p.setTilePrecision(10).setTileLayers(1)
+    PyfuncExport.exportGeoscanScorer(spark, p.getTiles(10, 1), s"$base/p", 10)
+    val expectedP = p.transform(pts)
+      .select($"user", $"latitude", $"longitude", $"cluster")
+    expectedP.coalesce(1).write.parquet(s"$base/expected_p")
+
+    val script =
+      s"""import sys, glob
+         |import pandas as pd
+         |bad = 0
+         |for tag in ('g', 'p'):
+         |    sys.path.insert(0, '$base/%s/code' % tag)
+         |    import importlib
+         |    import graft_geoscan_transform as gt
+         |    importlib.reload(gt)
+         |    m = gt._load_pyfunc('$base/%s/data' % tag)
+         |    exp = pd.read_parquet(glob.glob('$base/expected_%s/*.parquet' % tag)[0])
+         |    pred = m.predict(exp[['user', 'latitude', 'longitude']])
+         |    a = pred['cluster']
+         |    b = exp['cluster'].astype('Int64')
+         |    bad += int(((a.isna() != b.isna()) | (a.fillna(-1) != b.fillna(-1))).sum())
+         |sys.exit(1 if bad else 0)
+         |""".stripMargin
+    val sf = java.nio.file.Paths.get(base, "parity_geoscan.py")
+    java.nio.file.Files.write(sf, script.getBytes("UTF-8"))
+    val proc = new ProcessBuilder("python3", sf.toString)
+      .redirectErrorStream(true).start()
+    val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+    assert(proc.waitFor() == 0, s"geoscan python twin disagreed:\n$out")
+  }
+
   test("the shipped python twin predicts bit-identically to Blooms.score (multi-shard)") {
     val py = Seq("python3", "-c", "import pandas, pyarrow")
     val pyOk = try new ProcessBuilder(py: _*).start().waitFor() == 0
