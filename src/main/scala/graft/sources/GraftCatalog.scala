@@ -598,11 +598,12 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   /** `OPTIMIZE <table> [WHERE <partition equality>] [ZORDER BY (cols)]`
     * — the SQL maintenance statement ([[graft.plans.GraftSqlParser]]
     * parses it; the reference's own notebooks type it,
-    * `01_geofraud_clustering.py:440`). A `where` scope narrows the Delta
-    * rewrite to the named partitions' files (untouched partitions keep
-    * their files verbatim — Delta's own partition-scoped OPTIMIZE);
-    * Iceberg refuses the scope loudly (its compaction here rewrites the
-    * full table). Routed to
+    * `01_geofraud_clustering.py:440`). A `where` scope narrows the
+    * rewrite to the named partitions' files on BOTH formats: Delta via
+    * [[DeltaLogWriter.optimize]]'s partitionFilter, Iceberg via
+    * [[IcebergWriter.compactScoped]] (untouched files re-emitted
+    * EXISTING with original attribution); identity/hive partitions
+    * only, everything else refuses by name. Routed to
     * the SAME writer passes as `CALL <cat>.system.optimize(...)`:
     * Delta's bin-pack/clustered rewrite or Iceberg's clustered
     * compaction. With ZORDER columns, Delta clusters on the
@@ -633,16 +634,15 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
       Seq("committed_version" -> DeltaLogWriter.optimize(
         spark, loc, targetFileBytes, clusterBy = cluster,
         partitionFilter = where))
-    } else {
-      require(where.isEmpty,
-        s"OPTIMIZE ... WHERE on '$tableName': partition-scoped rewrite " +
-          "is supported for Delta tables; this Iceberg compaction " +
-          "rewrites the full table — drop the WHERE clause")
+    } else if (where.isEmpty)
       Seq("metadata_version" -> IcebergWriter.compact(
         spark, loc, GraftCatalog.freshSnapshotId(),
         System.currentTimeMillis(), targetFileBytes,
         sortBy = zorderBy).toLong)
-    }
+    else
+      Seq("metadata_version" -> IcebergWriter.compactScoped(
+        spark, loc, GraftCatalog.freshSnapshotId(),
+        System.currentTimeMillis(), where, sortBy = zorderBy).toLong)
   }
 
   /** The `CALL`-style MAINTENANCE surface (`CALL <cat>.system.optimize

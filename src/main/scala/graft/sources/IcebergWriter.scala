@@ -1104,7 +1104,11 @@ object IcebergWriter {
       // skips the distinct+collect when the caller already derived the
       // tuple set (upsert's two fan-outs share one — sources ⊆ keys)
       what: String = "append to",
-      precomputed: Option[Seq[Seq[Any]]] = None)
+      precomputed: Option[Seq[Seq[Any]]] = None,
+      // partitioned compaction sorts each partition's single output file
+      // on these columns (row-group-level pruning inside the file; the
+      // file-level bounds are per-partition either way)
+      sortWithin: Seq[String] = Nil)
       : (Seq[Iceberg.Entry], Seq[Iceberg.Summary]) = {
     import org.apache.spark.sql.functions.lit
     val tCols = parts.map(transformedCol)
@@ -1143,8 +1147,13 @@ object IcebergWriter {
         // frame keeps exactly the table schema (no helper column to drop)
         val pred = tCols.zip(vals)
           .map { case (c, v) => c === lit(v) }.reduce(_ && _)
+        val slice0 = df.where(pred).coalesce(1)
+        val slice =
+          if (sortWithin.isEmpty) slice0
+          else slice0.sortWithinPartitions(
+            sortWithin.map(org.apache.spark.sql.functions.col): _*)
         val files = writeIdStampedFiles(spark, table,
-          df.where(pred).coalesce(1), fields, s"$tagPrefix$snapshotId-p$pi")
+          slice, fields, s"$tagPrefix$snapshotId-p$pi")
         val pvals: Seq[(String, Any)] =
           parts.map(_.name).zip(vals.map(norm))
         files.map(f => boundedEntry(spark, table, f, nameToId, typById,
@@ -1492,11 +1501,21 @@ object IcebergWriter {
     * `numFiles` pins it; the rewrite itself is one distributed
     * repartition — the unavoidable shuffle of exactly the bytes being
     * rewritten, nothing else. With `sortBy`, the rewrite range-
-    * partitions and sorts on those columns instead (`OPTIMIZE ... 
+    * partitions and sorts on those columns instead (`OPTIMIZE ...
     * ZORDER`-style clustering maintenance): each output file then
     * carries TIGHT disjoint footer bounds on the sort key, so
     * [[Iceberg.readPruned]]'s stats pruning plans a point query at
-    * O(1) files instead of all of them. */
+    * O(1) files instead of all of them.
+    *
+    * PARTITIONED tables compact too (closing the small-files problem
+    * where it actually bites — per-partition file counts): the rewrite
+    * rides the append path's partition-valued fan-out, one output file
+    * per partition value per commit (partition boundaries ARE the bins,
+    * so `targetFileBytes`/`numFiles` don't subdivide within a commit),
+    * entries carrying the partition struct + field bounds and the list
+    * carrying partition summaries — pruning survives verbatim. `sortBy`
+    * there orders rows INSIDE each partition's file (row-group-level
+    * skipping; file-level bounds are per-partition either way). */
   def compact(spark: SparkSession, table: String,
               snapshotId: Long, timestampMs: Long,
               targetFileBytes: Long = 128L << 20,
@@ -1508,10 +1527,12 @@ object IcebergWriter {
       throw new IllegalArgumentException(
         s"cannot compact $table: its metadata carries no schema to type " +
           "the rewrite with"))
-    require(Iceberg.partitionSpecs(doc).values.forall(_.isEmpty),
-      s"cannot compact $table: it is PARTITIONED and this writer does " +
-        "not derive partition values — a compaction that flattened the " +
-        "partitioning would silently break pruning")
+    val specsAll = Iceberg.partitionSpecs(doc)
+    require(specsAll.size <= 1,
+      s"cannot compact $table: it carries ${specsAll.size} partition " +
+        "specs (spec evolution) — this writer re-emits only the default " +
+        "spec and would silently drop the others; refusing")
+    val specFields = specsAll.values.headOption.getOrElse(Nil)
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     if (cur <= 0) throw new EmptyTableException(
@@ -1544,15 +1565,42 @@ object IcebergWriter {
     // column order to the schema the id-stamped write assumes)
     val ordered = Iceberg.read(spark, table)
       .select(fields.map(fd => col(fd.name)): _*)
-    val live =
-      if (sortBy.isEmpty) ordered.repartition(numOut)
-      else ordered.repartitionByRange(numOut, sortBy.map(col): _*)
-        .sortWithinPartitions(sortBy.map(col): _*)
-    val files = writeIdStampedFiles(spark, table, live, fields, s"compact$snapshotId")
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap
-    val entries = files.map(file =>
-      boundedEntry(spark, table, file, nameToId, typById))
+    val (entries, newSummaries) =
+      if (specFields.isEmpty) {
+        val live =
+          if (sortBy.isEmpty) ordered.repartition(numOut)
+          else ordered.repartitionByRange(numOut, sortBy.map(col): _*)
+            .sortWithinPartitions(sortBy.map(col): _*)
+        val files = writeIdStampedFiles(
+          spark, table, live, fields, s"compact$snapshotId")
+        (files.map(file => boundedEntry(spark, table, file, nameToId, typById)),
+          Seq.empty[Iceberg.Summary])
+      } else {
+        // PARTITIONED compaction: the append path's partition-valued
+        // fan-out — one rewritten file per partition value per commit
+        // (the classic small-files bin; partition boundaries ARE the
+        // bins, so targetFileBytes is moot within a commit), entries
+        // carrying the partition struct + bounds so pruning survives
+        // verbatim. Transform parsing mirrors appendCommit's gate:
+        // unknown spellings refuse rather than write guessed values.
+        val parts = specFields.map { sf =>
+          val src = fields.find(_.id == sf.sourceId).getOrElse(
+            throw new IllegalArgumentException(
+              s"partition spec of $table names source-id ${sf.sourceId}, " +
+                "absent from the schema — corrupt metadata"))
+          val t = IcebergTransforms.parse(sf.transform)
+          require(t != IcebergTransforms.Opaque,
+            s"cannot compact $table: partition transform " +
+              s"'${sf.transform}' is unknown to this writer — deriving " +
+              "values under guessed semantics would corrupt pruning")
+          WritePart(sf.name, src.name, t, src.typ)
+        }
+        writePartitionedFiles(spark, table, ordered, fields, parts,
+          nameToId, typById, snapshotId,
+          tagPrefix = "compact", what = "compact", sortWithin = sortBy)
+      }
     val manifest = Iceberg.writeManifest(spark, table,
       s"m-compact$snapshotId.avro", snapshotId, entries)
     // REPLACE: only the new manifest — prior data and delete manifests
@@ -1570,7 +1618,162 @@ object IcebergWriter {
         Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath)))))
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId, Seq(manifest),
+      summaries = if (newSummaries.nonEmpty) Seq(newSummaries) else Nil,
       sequenceNumbers = seqNums)
+    val hintVersion = hintVersionOf(spark, table)
+    val schemaJson = fields.map(fd =>
+      Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
+    Iceberg.writeMetadata(spark, table, hintVersion + 1,
+      snaps :+ ((snapshotId, timestampMs, ml)),
+      formatVersion = fmtVersion,
+      schemaFieldsJson = schemaJson,
+      partitionSpecJson = rawDefaultSpecFieldsJson(doc),
+      lastColumnId = columnHwm(doc, fields),
+      failIfExists = true)
+    hintVersion + 1
+  }
+
+  /** PARTITION-SCOPED compaction — the Iceberg lane of
+    * `OPTIMIZE t WHERE day = X [ZORDER BY (…)]`: rewrite ONLY the named
+    * IDENTITY partitions' files (merge-on-read applied, one fresh file
+    * per partition value at the TOP sequence number) while every
+    * untouched file carries forward VERBATIM — re-emitted EXISTING with
+    * its original snapshot attribution and sequence number (the
+    * [[rewriteManifests]] carry loop), so time travel, incremental
+    * attribution and MoR gating survive. Delete manifests carry
+    * unchanged: position deletes naming the dropped files are inert,
+    * and equality deletes never reach the rewritten rows (their
+    * sequence tops the tier — the same spec rule [[upsert]] rides).
+    * Consequently a table with delete files KEEPS refusing blind
+    * appends after a scoped pass — only a FULL [[compact]] purges the
+    * delete tier; the refusal says so.
+    *
+    * Scope grammar mirrors the Delta lane: equality on identity
+    * partition fields only (a hidden-transform scope is not expressible
+    * as column equality — refuse by name); values arrive as strings
+    * from SQL and type through the spec field's own source type. */
+  def compactScoped(spark: SparkSession, table: String,
+                    snapshotId: Long, timestampMs: Long,
+                    partitionFilter: Map[String, String],
+                    sortBy: Seq[String] = Nil): Int = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(partitionFilter.nonEmpty,
+      "compactScoped needs a partition scope — use compact() for the full table")
+    val doc = writableDoc(spark, table)
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot compact $table: its metadata carries no schema to type " +
+          "the rewrite with"))
+    val specsAll = Iceberg.partitionSpecs(doc)
+    require(specsAll.size <= 1,
+      s"cannot compact $table: it carries ${specsAll.size} partition " +
+        "specs (spec evolution) — refusing")
+    val specFields = specsAll.values.headOption.getOrElse(Nil)
+    require(specFields.nonEmpty,
+      s"cannot scope a compaction of $table: it is UNPARTITIONED — " +
+        "drop the WHERE clause")
+    val parts = specFields.map { sf =>
+      val src = fields.find(_.id == sf.sourceId).getOrElse(
+        throw new IllegalArgumentException(
+          s"partition spec of $table names source-id ${sf.sourceId}, " +
+            "absent from the schema — corrupt metadata"))
+      val t = IcebergTransforms.parse(sf.transform)
+      require(t != IcebergTransforms.Opaque,
+        s"cannot compact $table: partition transform '${sf.transform}' " +
+          "is unknown to this writer")
+      WritePart(sf.name, src.name, t, src.typ)
+    }
+    // filter keys → identity spec fields; values typed by the source
+    val typed: Map[String, Any] = partitionFilter.map { case (k, v) =>
+      val p = parts.find(p => p.sourceCol == k || p.name == k).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE names '$k', not a partition field of $table " +
+            parts.map(_.name).mkString("(", ", ", ")")))
+      require(p.transform == IcebergTransforms.Identity,
+        s"OPTIMIZE WHERE on '$k': partition field '${p.name}' uses the " +
+          s"hidden transform — a transform scope is not expressible as " +
+          "column equality; compact the full table instead")
+      val value: Any = resultTyp(p.transform, p.sourceTyp) match {
+        case "string" => v
+        case _ =>
+          try v.toLong catch { case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"OPTIMIZE WHERE $k = '$v': partition field " +
+                s"'${p.name}' is ${p.sourceTyp}-typed — not a number") }
+      }
+      p.name -> value
+    }
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    if (cur <= 0) throw new EmptyTableException(
+      s"Iceberg table $table has no current snapshot")
+    val snaps = snapsOf(doc)
+    require(snaps.isEmpty || snaps.last._1 == cur,
+      s"cannot compact $table: current snapshot $cur is not the latest " +
+        "in its history — refusing non-linear histories")
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"compaction at timestamp $timestampMs would commit BEFORE an " +
+        "existing snapshot — history must be monotonic")
+    val fmtVersion = doc.path("format-version").asInt(1)
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+    val carried = carriedOf(table, rows)
+    val (delManifests, dataManifests) = carried.partition(_.content == 1)
+    val delRows = rows.zip(carried).collect { case (r, c) if c.content == 1 => r }
+
+    val live = liveEntriesAsExisting(spark, table, dataManifests, fmtVersion)
+    def inScope(e: Iceberg.Entry): Boolean = {
+      val pv = e.partition.toMap
+      typed.forall { case (n, v) => pv.get(n).contains(v) }
+    }
+    val (scopedOld, carriedData) = live.partition(inScope)
+    require(scopedOld.nonEmpty,
+      s"OPTIMIZE at $table: no active files in the named partitions " +
+        partitionFilter.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
+
+    // the scoped rows, served MoR (identity scope: partition value ==
+    // source column value, so the filter is exact row selection)
+    val typById = fields.map(fd => fd.id -> fd.typ).toMap
+    val nameToId = fields.map(fd => fd.name -> fd.id).toMap
+    val scopedRows = typed.foldLeft(
+      Iceberg.read(spark, table).select(fields.map(fd => col(fd.name)): _*)) {
+      case (df, (n, v)) =>
+        val srcCol = parts.find(_.name == n).get.sourceCol
+        df.where(col(srcCol) === lit(v))
+    }
+    val (newEntries, _) = writePartitionedFiles(spark, table, scopedRows,
+      fields, parts, nameToId, typById, snapshotId,
+      tagPrefix = "compact", what = "compact", sortWithin = sortBy)
+
+    val carryManifest =
+      if (carriedData.isEmpty) None
+      else Some(Iceberg.writeManifest(spark, table,
+        s"m-carry$snapshotId.avro", snapshotId, carriedData))
+    val newManifest = Iceberg.writeManifest(spark, table,
+      s"m-compact$snapshotId.avro", snapshotId, newEntries)
+    val n = specFields.size
+    val manifests = delManifests.map(c => (c.path, c.length)) ++
+      carryManifest.toSeq :+ newManifest
+    val contents = delManifests.map(_.content) ++
+      carryManifest.map(_ => 0).toSeq :+ 0
+    val allSummaries = carriedSummaries(delRows) ++
+      carryManifest.map(_ => partitionSummariesOf(n, carriedData)).toSeq :+
+      partitionSummariesOf(n, newEntries)
+    val seqNums =
+      if (fmtVersion != 2) Nil
+      else delManifests.map(_.seq) ++
+        carryManifest.map(_ =>
+          carriedData.flatMap(_.sequenceNumber).maxOption.getOrElse(0L)).toSeq :+
+        nextSeq(carried)
+    val addedIds = delManifests.map(_.addedSnapshotId) ++
+      carryManifest.map(_ => snapshotId).toSeq :+ snapshotId
+    val ml = Iceberg.writeManifestList(spark, table,
+      s"snap-$snapshotId.avro", snapshotId, manifests,
+      contents = contents,
+      summaries = if (allSummaries.exists(_.nonEmpty)) allSummaries else Nil,
+      sequenceNumbers = seqNums,
+      addedSnapshotIds = addedIds)
     val hintVersion = hintVersionOf(spark, table)
     val schemaJson = fields.map(fd =>
       Iceberg.fieldJson(fd.id, fd.name, fd.typ)).mkString("[", ",", "]")
@@ -1751,62 +1954,17 @@ object IcebergWriter {
     hintVersion + 1
   }
 
-  /** MANIFEST REWRITE — Iceberg's `rewrite_manifests` maintenance pass,
-    * the METADATA twin of [[compact]]: merge the current snapshot's
-    * DATA manifests into ONE while touching no data file. Every live
-    * entry re-emits as EXISTING (status 0) under its ORIGINAL snapshot
-    * id and its explicit data sequence number, so time travel,
-    * [[Iceberg.readIncremental]]'s entry-level attribution and
-    * merge-on-read sequence gating all survive; delete manifests carry
-    * unchanged. Partition-value summaries are RECOMPUTED from the
-    * merged entries' transformed-domain values, so manifest-list
-    * pruning keeps working. Why it matters at 100 TB: scan planning
-    * walks the manifest LIST per query — a thousand-append table pays a
-    * thousand manifest opens per plan until this pass bounds the walk
-    * to one. No-op (≤1 data manifest) returns the current version.
-    * Refusals mirror the other maintenance ops: non-linear history,
-    * multi-spec tables, a v2 entry whose sequence number cannot be
-    * resolved (rewriting it would guess ordering). */
-  def rewriteManifests(spark: SparkSession, table: String,
-                       snapshotId: Long, timestampMs: Long): Int = {
-    val doc = writableDoc(spark, table)
-    val cur = doc.path("current-snapshot-id").asLong(-1L)
-    if (cur <= 0) throw new EmptyTableException(
-      s"Iceberg table $table has no current snapshot")
-    val snaps = snapsOf(doc)
-    require(snaps.isEmpty || snaps.last._1 == cur,
-      s"cannot rewrite manifests of $table: current snapshot $cur is not " +
-        "the latest in its history — refusing non-linear histories")
-    require(!snaps.exists(_._1 == snapshotId),
-      s"snapshot id $snapshotId already exists in $table")
-    require(snaps.forall(_._2 <= timestampMs),
-      s"rewrite at timestamp $timestampMs would commit BEFORE an existing " +
-        "snapshot — history must be monotonic")
-    require(Iceberg.partitionSpecs(doc).size <= 1,
-      s"cannot rewrite manifests of $table: it carries multiple partition " +
-        "specs — merged entries would need per-entry spec ids this writer " +
-        "does not emit; refusing")
-    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
-      throw new IllegalArgumentException(
-        s"cannot rewrite manifests of $table: its metadata carries no schema"))
-    val fmtVersion = doc.path("format-version").asInt(1)
-    val mlPath = Iceberg.manifestListOf(doc, table, cur)
-    val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
-    val carried = carriedOf(table, rows)
-    val (delManifests, dataManifests) = carried.partition(_.content == 1)
-    // the prior manifest-list rows of the CARRIED delete manifests, in
-    // the same order delManifests keeps them (carriedOf is 1:1 with
-    // rows) — their partition summaries must ride through the rewrite,
-    // or a partitioned MoR table loses delete-manifest pruning from the
-    // very op whose purpose is bounding planning work
-    val delRows = rows.zip(carried).collect { case (r, c) if c.content == 1 => r }
-    val hintVersion = hintVersionOf(spark, table)
-    if (dataManifests.size <= 1) return hintVersion // nothing to merge
-
-    // every data manifest's LIVE entries, re-spelled as EXISTING with
-    // their original attribution and effective sequence number
+  /** The LIVE (non-DELETED) entries of `manifests`, re-spelled as
+    * EXISTING (status 0) with their ORIGINAL snapshot attribution and
+    * effective sequence number — the carry loop [[rewriteManifests]] and
+    * the partition-scoped [[compactScoped]] share: time travel,
+    * incremental attribution and MoR sequence gating all survive a
+    * re-emit built this way. v2 entries whose sequence cannot be
+    * resolved refuse (rewriting them would guess delete ordering). */
+  private def liveEntriesAsExisting(spark: SparkSession, table: String,
+      manifests: Seq[Carried], fmtVersion: Int): Seq[Iceberg.Entry] = {
     val merged = scala.collection.mutable.ArrayBuffer.empty[Iceberg.Entry]
-    dataManifests.foreach { c =>
+    manifests.foreach { c =>
       Iceberg.readAvro(spark, Iceberg.resolve(table, c.path)).foreach { e =>
         val status = Iceberg.longField(e, "status").getOrElse(
           throw new IllegalArgumentException(
@@ -1868,27 +2026,94 @@ object IcebergWriter {
         }
       }
     }
+    merged.toSeq
+  }
+
+  /** Manifest-list partition summaries recomputed from entries' own
+    * partition tuples — per field POSITION, typed by the value class
+    * (the transformed domain writePartitionedFiles encodes). Empty when
+    * the table is unpartitioned or any entry lacks the full tuple
+    * (absent = unknown = sound). */
+  private def partitionSummariesOf(nSpecFields: Int,
+      entries: Seq[Iceberg.Entry]): Seq[Iceberg.Summary] =
+    if (nSpecFields == 0 || entries.isEmpty ||
+        entries.exists(_.partition.size != nSpecFields)) Nil
+    else (0 until nSpecFields).map { i =>
+      val vs = entries.map(_.partition(i)._2)
+      vs.head match {
+        case _: String =>
+          val ss = vs.map(_.toString)
+          Iceberg.Summary(Some(Iceberg.encodeString(ss.min)),
+            Some(Iceberg.encodeString(ss.max)))
+        case _ =>
+          val ls = vs.map(_.asInstanceOf[Long])
+          Iceberg.Summary(Some(Iceberg.encodeLong(ls.min)),
+            Some(Iceberg.encodeLong(ls.max)))
+      }
+    }
+
+  /** MANIFEST REWRITE — Iceberg's `rewrite_manifests` maintenance pass,
+    * the METADATA twin of [[compact]]: merge the current snapshot's
+    * DATA manifests into ONE while touching no data file. Every live
+    * entry re-emits as EXISTING (status 0) under its ORIGINAL snapshot
+    * id and its explicit data sequence number, so time travel,
+    * [[Iceberg.readIncremental]]'s entry-level attribution and
+    * merge-on-read sequence gating all survive; delete manifests carry
+    * unchanged. Partition-value summaries are RECOMPUTED from the
+    * merged entries' transformed-domain values, so manifest-list
+    * pruning keeps working. Why it matters at 100 TB: scan planning
+    * walks the manifest LIST per query — a thousand-append table pays a
+    * thousand manifest opens per plan until this pass bounds the walk
+    * to one. No-op (≤1 data manifest) returns the current version.
+    * Refusals mirror the other maintenance ops: non-linear history,
+    * multi-spec tables, a v2 entry whose sequence number cannot be
+    * resolved (rewriting it would guess ordering). */
+  def rewriteManifests(spark: SparkSession, table: String,
+                       snapshotId: Long, timestampMs: Long): Int = {
+    val doc = writableDoc(spark, table)
+    val cur = doc.path("current-snapshot-id").asLong(-1L)
+    if (cur <= 0) throw new EmptyTableException(
+      s"Iceberg table $table has no current snapshot")
+    val snaps = snapsOf(doc)
+    require(snaps.isEmpty || snaps.last._1 == cur,
+      s"cannot rewrite manifests of $table: current snapshot $cur is not " +
+        "the latest in its history — refusing non-linear histories")
+    require(!snaps.exists(_._1 == snapshotId),
+      s"snapshot id $snapshotId already exists in $table")
+    require(snaps.forall(_._2 <= timestampMs),
+      s"rewrite at timestamp $timestampMs would commit BEFORE an existing " +
+        "snapshot — history must be monotonic")
+    require(Iceberg.partitionSpecs(doc).size <= 1,
+      s"cannot rewrite manifests of $table: it carries multiple partition " +
+        "specs — merged entries would need per-entry spec ids this writer " +
+        "does not emit; refusing")
+    val fields = Iceberg.currentSchemaFields(doc).getOrElse(
+      throw new IllegalArgumentException(
+        s"cannot rewrite manifests of $table: its metadata carries no schema"))
+    val fmtVersion = doc.path("format-version").asInt(1)
+    val mlPath = Iceberg.manifestListOf(doc, table, cur)
+    val rows = Iceberg.readAvro(spark, Iceberg.resolve(table, mlPath))
+    val carried = carriedOf(table, rows)
+    val (delManifests, dataManifests) = carried.partition(_.content == 1)
+    // the prior manifest-list rows of the CARRIED delete manifests, in
+    // the same order delManifests keeps them (carriedOf is 1:1 with
+    // rows) — their partition summaries must ride through the rewrite,
+    // or a partitioned MoR table loses delete-manifest pruning from the
+    // very op whose purpose is bounding planning work
+    val delRows = rows.zip(carried).collect { case (r, c) if c.content == 1 => r }
+    val hintVersion = hintVersionOf(spark, table)
+    if (dataManifests.size <= 1) return hintVersion // nothing to merge
+
+    // every data manifest's LIVE entries, re-spelled as EXISTING with
+    // their original attribution and effective sequence number
+    val merged = liveEntriesAsExisting(spark, table, dataManifests, fmtVersion)
     val manifest = Iceberg.writeManifest(spark, table,
-      s"m-rewrite$snapshotId.avro", snapshotId, merged.toSeq)
+      s"m-rewrite$snapshotId.avro", snapshotId, merged)
     // summaries recomputed from the merged entries' partition values —
     // per field POSITION, typed by the value class (the transformed
     // domain writePartitionedFiles already encodes)
     val specFields = Iceberg.partitionSpecs(doc).values.headOption.getOrElse(Nil)
-    val summaries: Seq[Iceberg.Summary] =
-      if (specFields.isEmpty || merged.exists(_.partition.size != specFields.size)) Nil
-      else specFields.indices.map { i =>
-        val vs = merged.map(_.partition(i)._2).toSeq
-        vs.head match {
-          case _: String =>
-            val ss = vs.map(_.toString)
-            Iceberg.Summary(Some(Iceberg.encodeString(ss.min)),
-              Some(Iceberg.encodeString(ss.max)))
-          case _ =>
-            val ls = vs.map(_.asInstanceOf[Long])
-            Iceberg.Summary(Some(Iceberg.encodeLong(ls.min)),
-              Some(Iceberg.encodeLong(ls.max)))
-        }
-      }
+    val summaries = partitionSummariesOf(specFields.size, merged)
     val mergedSeq = merged.flatMap(_.sequenceNumber).maxOption.getOrElse(0L)
     val allSummaries = carriedSummaries(delRows) :+ summaries
     val ml = Iceberg.writeManifestList(spark, table,

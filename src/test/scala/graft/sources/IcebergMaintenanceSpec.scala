@@ -104,6 +104,131 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(e.getMessage.contains("nope"), e.getMessage)
   }
 
+  test("partitioned compact: one file per partition, pruning + history survive, MoR purged") {
+    val base = freshDir()
+    def mk(r: Seq[Long]) = r.map(i => (i, i % 3, i * 1.5))
+      .toDF("id", "day", "score")
+    // two appends per partition → 6 small files across 3 day-partitions
+    IcebergWriter.commitAppend(spark, base, mk(1L to 6L).coalesce(1),
+      961L, 1000L, partitionBy = Seq("day"))
+    IcebergWriter.commitAppend(spark, base, mk(7L to 12L).coalesce(1),
+      962L, 2000L)
+    // MoR state on top: upsert rewrites (2, day 2)'s score via equality
+    // delete — compact must serve THIS state and purge the delete files
+    IcebergWriter.upsert(spark, base,
+      Seq((2L, 2L, 99.5)).toDF("id", "day", "score"),
+      Seq("id", "day"), 963L, 3000L)
+    val before = Iceberg.planFiles(spark, base)
+    assert(before.size >= 6, before.mkString(", "))
+
+    val v = IcebergWriter.compact(spark, base, 964L, 4000L)
+    assert(v == 4)
+    // exactly one rewritten file per partition value
+    val planned = Iceberg.planFiles(spark, base)
+    assert(planned.size == 3 && planned.forall(_.contains("compact964")),
+      planned.mkString(", "))
+    // content is the MoR state it replaced
+    assert(ids(Iceberg.read(spark, base)) == (1L to 12L).toSet)
+    assert(scores(Iceberg.read(spark, base))(2L) == 99.5)
+    // partition pruning SURVIVES the rewrite: a day probe plans 1 file
+    val hit = Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("day", 1L, 1L)))
+    assert(hit.size == 1, hit.mkString(", "))
+    assert(ids(Iceberg.readPruned(spark, base,
+      Seq(Iceberg.ColRange("day", 1L, 1L))).where(col("day") === 1L)) ==
+      (1L to 12L).filter(_ % 3 == 1).toSet)
+    // history intact; the loop closes: append + upsert legal again
+    assert(ids(Iceberg.readSnapshot(spark, base, 961L)) == (1L to 6L).toSet)
+    assert(scores(Iceberg.readSnapshot(spark, base, 963L))(2L) == 99.5)
+    IcebergWriter.commitAppend(spark, base, mk(Seq(13L)).coalesce(1), 965L, 5000L)
+    assert(ids(Iceberg.read(spark, base)) == (1L to 13L).toSet)
+    // sortBy orders rows inside each partition's single file
+    IcebergWriter.compact(spark, base, 966L, 6000L, sortBy = Seq("id"))
+    assert(Iceberg.planFiles(spark, base).size == 3)
+    assert(ids(Iceberg.read(spark, base)) == (1L to 13L).toSet)
+  }
+
+  test("partitioned compact with a HIDDEN transform keeps transform pruning") {
+    val base = freshDir()
+    def mk(r: Seq[Long]) = r.map(i => (i, s"n_$i", i * 1.5))
+      .toDF("id", "name", "score")
+    IcebergWriter.commitAppend(spark, base, mk(1L to 8L).coalesce(1),
+      971L, 1000L, partitionBy = Seq("bucket(4, id)"))
+    IcebergWriter.commitAppend(spark, base, mk(9L to 16L).coalesce(1),
+      972L, 2000L)
+    IcebergWriter.compact(spark, base, 973L, 3000L)
+    val planned = Iceberg.planFiles(spark, base)
+    assert(planned.size <= 4 && planned.forall(_.contains("compact973")),
+      planned.mkString(", "))
+    assert(ids(Iceberg.read(spark, base)) == (1L to 16L).toSet)
+    // a point-id probe maps through bucket(4, ·): fewer files than all
+    val hit = Iceberg.planFiles(spark, base, Seq(Iceberg.ColRange("id", 7L, 7L)))
+    assert(hit.size < planned.size, hit.mkString(", "))
+  }
+
+  test("scoped compact rewrites ONLY the named partition; carried files byte-identical") {
+    val base = freshDir()
+    def mk(r: Seq[Long]) = r.map(i => (i, i % 3, i * 1.5))
+      .toDF("id", "day", "score")
+    IcebergWriter.commitAppend(spark, base, mk(1L to 6L).coalesce(1),
+      981L, 1000L, partitionBy = Seq("day"))
+    IcebergWriter.commitAppend(spark, base, mk(7L to 12L).coalesce(1),
+      982L, 2000L)
+    // MoR on top of the SCOPED partition: the rewrite must fold it in
+    IcebergWriter.upsert(spark, base,
+      Seq((4L, 1L, 77.7)).toDF("id", "day", "score"),
+      Seq("id", "day"), 983L, 3000L)
+    val before = Iceberg.planFiles(spark, base)
+    val untouchedBefore = before.filterNot(_.contains("day-rewrite")).toSet
+
+    val v = IcebergWriter.compactScoped(spark, base, 984L, 4000L,
+      Map("day" -> "1"))
+    assert(v == 4)
+    val after = Iceberg.planFiles(spark, base)
+    // one fresh file for day=1; every OTHER file carried verbatim
+    assert(after.count(_.contains("compact984")) == 1, after.mkString(", "))
+    assert(after.filterNot(_.contains("compact984")).toSet ==
+      untouchedBefore.filterNot(p =>
+        ids(spark.read.parquet(p)).forall(_ % 3 == 1)),
+      after.mkString(", "))
+    // content is the MoR state — the scoped upsert survives the rewrite
+    assert(ids(Iceberg.read(spark, base)) == (1L to 12L).toSet)
+    assert(scores(Iceberg.read(spark, base))(4L) == 77.7)
+    // partition pruning intact on BOTH lanes
+    assert(Iceberg.planFiles(spark, base,
+      Seq(Iceberg.ColRange("day", 1L, 1L))).size == 1)
+    assert(ids(Iceberg.readPruned(spark, base,
+      Seq(Iceberg.ColRange("day", 0L, 0L))).where(col("day") === 0L)) ==
+      (1L to 12L).filter(_ % 3 == 0).toSet)
+    // history: pre-compact snapshots still serve their state
+    assert(ids(Iceberg.readSnapshot(spark, base, 982L)) == (1L to 12L).toSet)
+    assert(scores(Iceberg.readSnapshot(spark, base, 983L))(4L) == 77.7)
+    // a later MoR op still sequences ABOVE the rewrite (the tier holds)
+    IcebergWriter.upsert(spark, base,
+      Seq((4L, 1L, 88.8)).toDF("id", "day", "score"),
+      Seq("id", "day"), 985L, 5000L)
+    assert(scores(Iceberg.read(spark, base))(4L) == 88.8)
+    // refusals: empty scope by value; non-partition column; unpartitioned
+    val eEmpty = intercept[IllegalArgumentException](
+      IcebergWriter.compactScoped(spark, base, 986L, 6000L, Map("day" -> "9")))
+    assert(eEmpty.getMessage.contains("no active files"), eEmpty.getMessage)
+    val eCol = intercept[IllegalArgumentException](
+      IcebergWriter.compactScoped(spark, base, 986L, 6000L, Map("id" -> "1")))
+    assert(eCol.getMessage.contains("not a partition field"), eCol.getMessage)
+    val flat = freshDir()
+    IcebergWriter.commitAppend(spark, flat, df(Seq(1L)), 991L, 1000L)
+    val eFlat = intercept[IllegalArgumentException](
+      IcebergWriter.compactScoped(spark, flat, 992L, 2000L, Map("id" -> "1")))
+    assert(eFlat.getMessage.contains("UNPARTITIONED"), eFlat.getMessage)
+    // hidden-transform scope refuses by name
+    val bkt = freshDir()
+    IcebergWriter.commitAppend(spark, bkt, df(Seq(1L, 2L)), 993L, 1000L,
+      partitionBy = Seq("bucket(4, id)"))
+    val eBkt = intercept[IllegalArgumentException](
+      IcebergWriter.compactScoped(spark, bkt, 994L, 2000L,
+        Map("id_bucket" -> "1")))
+    assert(eBkt.getMessage.contains("hidden transform"), eBkt.getMessage)
+  }
+
   // ----------------------------------------------------------------- upsert
 
   test("upsert is latest-write-wins per key; upserts stack; history intact") {

@@ -132,13 +132,28 @@ class SqlOptimizeSpec extends SparkSpec {
     val eEmpty = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.events WHERE day = 9").collect())
     assert(eEmpty.getMessage.contains("no active files"), eEmpty.getMessage)
-    // Iceberg side refuses WHERE loudly with the remedy named
+    // Iceberg lane: the same statement scopes an identity-partitioned
+    // compaction; unpartitioned tables refuse the scope by name
     val i = freshDir() + "/ice"
-    IcebergWriter.commitAppend(spark, i, tiles.coalesce(2), 952L, 1000L)
+    import spark.implicits._
+    val iceDf = (0 until 120).map(k => (k.toLong, (k % 3).toLong, f"u${k % 7}"))
+      .toDF("v", "day", "u")
+    IcebergWriter.commitAppend(spark, i, iceDf.coalesce(2), 952L, 1000L,
+      partitionBy = Seq("day"))
+    IcebergWriter.commitAppend(spark, i, iceDf.coalesce(2), 953L, 2000L)
     reg.register("ns.ice", i)
+    val outIce = spark.sql(s"OPTIMIZE $cat.ns.ice WHERE day = 1").collect()
+    assert(outIce.head.getString(0) == "metadata_version")
+    val planned = Iceberg.planFiles(spark, i)
+    assert(planned.count(_.contains("compact")) == 1, planned.mkString(", "))
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.ice").head.getLong(0) ==
+      2L * (0L until 120L).sum)
+    val iFlat = freshDir() + "/iceflat"
+    IcebergWriter.commitAppend(spark, iFlat, tiles.coalesce(2), 954L, 1000L)
+    reg.register("ns.iceflat", iFlat)
     val eIce = intercept[IllegalArgumentException](
-      spark.sql(s"OPTIMIZE $cat.ns.ice WHERE user = 'user001'").collect())
-    assert(eIce.getMessage.contains("Iceberg"), eIce.getMessage)
+      spark.sql(s"OPTIMIZE $cat.ns.iceflat WHERE user = 'user001'").collect())
+    assert(eIce.getMessage.contains("UNPARTITIONED"), eIce.getMessage)
   }
 
   test("ZORDER BY with an unknown column refuses by name") {
