@@ -108,6 +108,7 @@ object IndexQueries {
   private val q278TablePat = scratchPat("q278_stream_table")
   private val q279TablePat = scratchPat("q279_iceberg_v3w")
   private val q281TablePat = scratchPat("q281_sql_zorder")
+  private val q286TablePat = scratchPat("q286_sql_optwhere")
   private val q236TablePat = scratchPat("q236_iceberg_mor")
   private val q237TablePat = scratchPat("q237_iceberg_eqdel")
   private val q238TablePat = scratchPat("q238_delta_mapped")
@@ -213,6 +214,7 @@ object IndexQueries {
     stageQ278StreamTable(s, dir)
     stageQ279IcebergV3Write(s, dir)
     stageQ281SqlOptimize(s, dir)
+    stageQ286SqlOptimizeWhere(s, dir)
     stageQ236IcebergMorTable(s, dir)
     stageQ237IcebergEqDelTable(s, dir)
     stageQ238DeltaMappedTable(s, dir)
@@ -1043,6 +1045,49 @@ object IndexQueries {
       rc.register("graft.zopt_ice", s"$base/i")
       s.sql(s"OPTIMIZE $cat.graft.zopt_delta ZORDER BY (user_id, value_micros)")
       s.sql(s"OPTIMIZE $cat.graft.zopt_ice ZORDER BY (user_id, value_micros)")
+    }
+    base
+  }
+
+  /** q286's fixture: `OPTIMIZE tbl WHERE <partition = v> ZORDER BY
+    * (cols)` — Delta's partition-scoped maintenance statement, run as
+    * SQL TEXT on BOTH formats: the Delta side rewrites only the named
+    * hive partition's files (`DeltaLogWriter.optimize(partitionFilter)`),
+    * the Iceberg side only the named identity partition
+    * (`IcebergWriter.compactScoped` — untouched files re-emitted
+    * EXISTING with original attribution). Both tables are
+    * event_type-partitioned with TWO files per partition, so the scoped
+    * rewrite provably re-bins its partition to one file while the other
+    * partition keeps its two. */
+  private[graft] def stageQ286SqlOptimizeWhere(s: SparkSession, dir: String): String = {
+    val base = scratch(q286TablePat, dir)
+    Tables.stageOnce(s, base, Tables.sourceSig(s, dir, "events")) {
+      import s.implicits._
+      val bp = new org.apache.hadoop.fs.Path(base)
+      val fs = bp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(bp, true)
+      def slice(even: Boolean) = t(s, dir, "events")
+        .where($"event_type".isin("purchase", "click") &&
+          ($"event_id" % 2 === (if (even) 0 else 1)))
+        .select($"event_id", $"user_id",
+          round($"value" * 1e6).cast("long").as("value_micros"),
+          $"event_type").coalesce(1)
+      // two appends → two files per partition value on each format
+      graft.sources.DeltaLogWriter.write(slice(even = true), s"$base/d",
+        partitionBy = Seq("event_type"))
+      graft.sources.DeltaLogWriter.write(slice(even = false), s"$base/d",
+        partitionBy = Seq("event_type"))
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice(even = true), 9601L, 1000L, partitionBy = Seq("event_type"))
+      graft.sources.IcebergWriter.commitAppend(s, s"$base/i",
+        slice(even = false), 9602L, 2000L)
+      val (cat, rc) = sqlCatalog(s, dir)
+      rc.register("graft.zw_delta", s"$base/d")
+      rc.register("graft.zw_ice", s"$base/i")
+      s.sql(s"OPTIMIZE $cat.graft.zw_delta WHERE event_type = 'purchase' " +
+        "ZORDER BY (user_id, value_micros)")
+      s.sql(s"OPTIMIZE $cat.graft.zw_ice WHERE event_type = 'click' " +
+        "ZORDER BY (user_id, value_micros)")
     }
     base
   }
@@ -3657,6 +3702,39 @@ object IndexQueries {
         .orderBy($"leg")
     }),
 
+    // `OPTIMIZE tbl WHERE <partition> ZORDER BY (cols)` — the
+    // partition-scoped maintenance statement on BOTH formats. Laws:
+    // content invariant under the scoped rewrite (a/b checksums replay
+    // from the source slices), the named partition re-binned to ONE
+    // file while the untouched partition keeps its TWO (c/d meta legs —
+    // Delta by hive path, Iceberg by rewrite tag), Delta's statement is
+    // exactly one commit past the two writes.
+    "q286_sql_optimize_where" -> ((s, dir) => {
+      import s.implicits._
+      import graft.sources.{DeltaLogReader, Iceberg}
+      val base = stageQ286SqlOptimizeWhere(s, dir)
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("n_rows"), sum($"event_id").as("id_checksum"),
+            sum($"value_micros").as("value_checksum"))
+          .select(lit(name).as("leg"), $"n_rows", $"id_checksum", $"value_checksum")
+      val dFiles = DeltaLogReader.activeFiles(s, s"$base/d")
+      val iFiles = Iceberg.planFiles(s, s"$base/i")
+      val metaLegs = Seq(
+        ("c_meta_delta",
+          DeltaLogReader.versions(s, s"$base/d").max, // w0, w1, OPTIMIZE=2
+          dFiles.count(_.contains("event_type=purchase")).toLong, // 1
+          dFiles.count(_.contains("event_type=click")).toLong), // 2 untouched
+        ("d_meta_ice",
+          iFiles.size.toLong, // 2 carried + 1 rewritten
+          iFiles.count(_.contains("compact")).toLong, // the scoped file
+          iFiles.count(f => !f.contains("compact")).toLong)) // carried
+        .toDF("leg", "n_rows", "id_checksum", "value_checksum")
+      leg("a_delta", DeltaLogReader.read(s, s"$base/d"))
+        .unionAll(leg("b_iceberg", Iceberg.read(s, s"$base/i")))
+        .unionAll(metaLegs)
+        .orderBy($"leg")
+    }),
+
     // REAL H3 ids (graft.geo.H3 — the published aperture-7 icosahedral
     // algorithm; the reference's only h3 call is geo_to_h3,
     // utils/spark_utils.py:6-9). DuckDB has no H3, so the oracle is the
@@ -5264,6 +5342,26 @@ object IndexQueries {
         |  ('b_user_diff', '0'),
         |  ('c_bad_ids', '0')) AS t(leg, value)
         |ORDER BY leg""".stripMargin,
+    "q286_sql_optimize_where" ->
+      """WITH vm AS MATERIALIZED (
+        |  SELECT event_id, CAST(round(value * 1e6) AS BIGINT) AS vm
+        |  FROM events WHERE event_type IN ('purchase', 'click'))
+        |SELECT * FROM (
+        |  SELECT 'a_delta' AS leg, count(*) AS n_rows,
+        |    CAST(sum(event_id) AS BIGINT) AS id_checksum,
+        |    CAST(sum(vm) AS BIGINT) AS value_checksum
+        |  FROM vm
+        |  UNION ALL
+        |  SELECT 'b_iceberg', count(*), CAST(sum(event_id) AS BIGINT),
+        |    CAST(sum(vm) AS BIGINT)
+        |  FROM vm
+        |  UNION ALL
+        |  SELECT 'c_meta_delta', CAST(2 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(2 AS BIGINT)
+        |  UNION ALL
+        |  SELECT 'd_meta_ice', CAST(3 AS BIGINT), CAST(1 AS BIGINT),
+        |    CAST(2 AS BIGINT)
+        |) ORDER BY leg""".stripMargin,
     "q281_sql_optimize_zorder" ->
       """WITH vm AS MATERIALIZED (
         |  SELECT event_type, event_id, user_id,
