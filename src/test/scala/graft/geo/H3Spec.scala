@@ -290,7 +290,7 @@ class H3Spec extends AnyFunSuite {
     def close(a: (Double, Double), d: (Double, Double)) =
       math.abs(a._1 - d._1) < 1e-7 &&
         (math.abs(a._2 - d._2) < 1e-7 || math.abs(a._2 - d._2) > 359.9)
-    for (res <- Seq(1, 2, 3); bc <- H3.Pentagons) {
+    for (res <- Seq(1, 2, 3, 6); bc <- H3.Pentagons) {
       // the pentagon cell at `res` under base cell `bc` (all digits 0)
       var pent = (1L << 59) | (res.toLong << 52) | (bc.toLong << 45) |
         ((1L << 45) - 1)
