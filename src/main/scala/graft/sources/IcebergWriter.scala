@@ -1750,24 +1750,30 @@ object IcebergWriter {
       if (carriedData.isEmpty) None
       else Some(Iceberg.writeManifest(spark, table,
         s"m-carry$snapshotId.avro", snapshotId, carriedData))
-    val newManifest = Iceberg.writeManifest(spark, table,
-      s"m-compact$snapshotId.avro", snapshotId, newEntries)
+    // a scoped partition whose rows were ALL MoR-deleted rewrites to
+    // NOTHING — the correct live state is "that partition is empty",
+    // expressed by just dropping its old files (no empty manifest)
+    val newManifest =
+      if (newEntries.isEmpty) None
+      else Some(Iceberg.writeManifest(spark, table,
+        s"m-compact$snapshotId.avro", snapshotId, newEntries))
     val n = specFields.size
     val manifests = delManifests.map(c => (c.path, c.length)) ++
-      carryManifest.toSeq :+ newManifest
+      carryManifest.toSeq ++ newManifest.toSeq
     val contents = delManifests.map(_.content) ++
-      carryManifest.map(_ => 0).toSeq :+ 0
+      carryManifest.map(_ => 0).toSeq ++ newManifest.map(_ => 0).toSeq
     val allSummaries = carriedSummaries(delRows) ++
-      carryManifest.map(_ => partitionSummariesOf(n, carriedData)).toSeq :+
-      partitionSummariesOf(n, newEntries)
+      carryManifest.map(_ => partitionSummariesOf(n, carriedData)).toSeq ++
+      newManifest.map(_ => partitionSummariesOf(n, newEntries)).toSeq
     val seqNums =
       if (fmtVersion != 2) Nil
       else delManifests.map(_.seq) ++
         carryManifest.map(_ =>
-          carriedData.flatMap(_.sequenceNumber).maxOption.getOrElse(0L)).toSeq :+
-        nextSeq(carried)
+          carriedData.flatMap(_.sequenceNumber).maxOption.getOrElse(0L)).toSeq ++
+        newManifest.map(_ => nextSeq(carried)).toSeq
     val addedIds = delManifests.map(_.addedSnapshotId) ++
-      carryManifest.map(_ => snapshotId).toSeq :+ snapshotId
+      carryManifest.map(_ => snapshotId).toSeq ++
+      newManifest.map(_ => snapshotId).toSeq
     val ml = Iceberg.writeManifestList(spark, table,
       s"snap-$snapshotId.avro", snapshotId, manifests,
       contents = contents,
