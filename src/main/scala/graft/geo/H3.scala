@@ -902,14 +902,20 @@ object H3 {
     require(res >= 0 && res <= 15, s"H3 resolution $res out of [0,15]")
     require(layers >= 0, s"layers must be >= 0, got $layers")
     val seeds = vertices.map { case (la, lo) => geoToH3(la, lo, res) }.toSet
-    // bbox expanded by ~2.2 cell circumradii, measured from a seed cell's
-    // own boundary: ≥ 1.75 circumradii (one inter-center step of √3·edge
-    // plus slack) keeps every grid path between center-inside cells
-    // inside the box, and the margin directly sizes the explored set —
-    // raw centers (no containment validation) and a per-cell memo keep
-    // the BFS at one projection per explored cell
-    val c0 = h3ToGeoRaw(seeds.head)
-    val b0 = h3ToGeoBoundary(seeds.head)
+    // bbox expanded by ~2.2 cell circumradii: ≥ 1.75 circumradii (one
+    // inter-center step of √3·edge plus slack) keeps every grid path
+    // between center-inside cells inside the box, and the margin
+    // directly sizes the explored set. Measured at the HIGHEST-|lat|
+    // vertex's cell — cells there are the widest in degrees-longitude
+    // (a polygon's interior never exceeds its vertices' |lat|, so that
+    // cell bounds the whole region's lng step; measuring at an
+    // arbitrary seed under-covered wide-latitude-span polygons). Raw
+    // centers (no containment validation) and a per-cell memo keep the
+    // BFS at one projection per explored cell.
+    val refV = vertices.maxBy(v => math.abs(v._1))
+    val ref = geoToH3(refV._1, refV._2, res)
+    val c0 = h3ToGeoRaw(ref)
+    val b0 = h3ToGeoBoundary(ref)
     val dLat = b0.map(v => math.abs(v._1 - c0._1)).max * 2.2 + 1e-12
     val dLng = b0.map(v => math.abs(v._2 - c0._2)).max * 2.2 + 1e-12
     val latLo = vertices.map(_._1).min - dLat

@@ -65,16 +65,25 @@ object GraftSqlParser {
 
   /** Partition-scope predicate → (column → literal). Anything beyond an
     * equality conjunction refuses with the supported form named — only
-    * partition equality can scope a rewrite to whole files. */
-  private[plans] def parseWhere(cond: String): Map[String, String] =
-    cond.split("(?i)\\s+AND\\s+").map {
+    * partition equality can scope a rewrite to whole files. A REPEATED
+    * column refuses too: `day = '1' AND day = '2'` is a contradictory
+    * predicate a Map would silently collapse to its last term. */
+  private[plans] def parseWhere(cond: String): Map[String, String] = {
+    val terms = cond.split("(?i)\\s+AND\\s+").toSeq.map {
       case EqTerm(k, sq, dq, bare) =>
         k -> Seq(sq, dq, bare).find(_ != null).get
       case other => throw new IllegalArgumentException(
         "OPTIMIZE WHERE supports only partition-column equality " +
           "conjunctions — `col = 'value' [AND col2 = 'value2']`; got: " +
           other.trim)
-    }.toMap
+    }
+    val dup = terms.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
+    require(dup.isEmpty,
+      s"OPTIMIZE WHERE names ${dup.mkString(", ")} more than once — a " +
+        "repeated column is either redundant or contradictory; state " +
+        "each partition column's equality once")
+    terms.toMap
+  }
 
   private def unquote(part: String): String =
     part.stripPrefix("`").stripSuffix("`")

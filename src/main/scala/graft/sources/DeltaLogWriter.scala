@@ -545,20 +545,26 @@ object DeltaLogWriter {
     // derives from `entries`). Only equality on declared partition
     // columns can scope a rewrite to whole files, so anything else
     // refused upstream at the parser.
-    partitionFilter.keys.foreach(k => require(partCols.contains(k),
-      s"OPTIMIZE WHERE names '$k', not a partition column of $path " +
-        partCols.mkString("(", ", ", ")")))
+    // canonicalize filter keys to the table's own partition-column
+    // spelling (case-insensitive, like ZORDER BY's column resolution and
+    // Spark's default) — hive path segments carry the declared spelling
+    val canonFilter: Map[String, String] = partitionFilter.map { case (k, v) =>
+      partCols.find(_.equalsIgnoreCase(k)).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE names '$k', not a partition column of $path " +
+            partCols.mkString("(", ", ", ")"))) -> v
+    }
     val rootNorm = normRoot(f, root)
     val entries =
-      if (partitionFilter.isEmpty) allEntries
+      if (canonFilter.isEmpty) allEntries
       else allEntries.filter { case (abs, _) =>
         val rel = normAbs(f, abs).stripPrefix(rootNorm).stripPrefix("/")
         val pv = partitionValuesOf(rel)
-        partitionFilter.forall { case (k, v) => pv.get(k).contains(v) }
+        canonFilter.forall { case (k, v) => pv.get(k).contains(v) }
       }
     require(entries.nonEmpty,
       s"OPTIMIZE at $path: no active files in the named partitions " +
-        partitionFilter.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
+        canonFilter.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
 
     val latest = DeltaLogReader.latestVersion(spark, path).get
     val version = latest + 1
@@ -588,7 +594,7 @@ object DeltaLogWriter {
     import org.apache.spark.sql.functions.{col => colOf, lit => litOf}
     // the logical rows of exactly the files being rewritten: partition
     // equality selects whole files, so this matches `entries` row-for-row
-    val logical = partitionFilter.foldLeft(DeltaLogReader.read(spark, path)) {
+    val logical = canonFilter.foldLeft(DeltaLogReader.read(spark, path)) {
       case (df, (k, v)) => df.filter(colOf(k).cast("string") === litOf(v))
     }
     // PARTITIONED tables re-bin WITHIN partitions: shuffle on the

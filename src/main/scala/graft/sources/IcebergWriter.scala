@@ -1683,9 +1683,18 @@ object IcebergWriter {
           "is unknown to this writer")
       WritePart(sf.name, src.name, t, src.typ)
     }
-    // filter keys → identity spec fields; values typed by the source
+    // sortBy validated UP FRONT like compact's — a ZORDER typo on the
+    // scoped lane must refuse by name, not die inside the write loop
+    val missingSort = sortBy.filterNot(c =>
+      fields.exists(_.name.equalsIgnoreCase(c)))
+    require(missingSort.isEmpty,
+      s"compact sortBy column(s) ${missingSort.mkString(", ")} are not " +
+        s"columns of $table (${fields.map(_.name).mkString(", ")})")
+    // filter keys → identity spec fields (case-insensitive, like ZORDER
+    // BY's resolution); values typed by the source
     val typed: Map[String, Any] = partitionFilter.map { case (k, v) =>
-      val p = parts.find(p => p.sourceCol == k || p.name == k).getOrElse(
+      val p = parts.find(p => p.sourceCol.equalsIgnoreCase(k) ||
+          p.name.equalsIgnoreCase(k)).getOrElse(
         throw new IllegalArgumentException(
           s"OPTIMIZE WHERE names '$k', not a partition field of $table " +
             parts.map(_.name).mkString("(", ", ", ")")))
@@ -1703,6 +1712,9 @@ object IcebergWriter {
       }
       p.name -> value
     }
+    require(typed.size == partitionFilter.size,
+      s"OPTIMIZE WHERE names the same partition field more than once " +
+        s"(case-insensitively) in ${partitionFilter.keys.mkString(", ")}")
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     if (cur <= 0) throw new EmptyTableException(
       s"Iceberg table $table has no current snapshot")

@@ -66,8 +66,11 @@ object PyfuncExport {
     val f = fs(spark, root)
     f.delete(root, true)
     f.mkdirs(root)
+    // EAGER checkpoint: the size agg and the write would otherwise each
+    // replay the (potentially expensive) training lineage
     val blooms = trained
       .select(col(userCol).cast("string").as("user"), col("bloom"))
+      .localCheckpoint(true)
     // measure, don't guess: one agg pass sizes the shard count
     val sized = blooms.agg(coalesce(sum(length(col("bloom"))), lit(0L))).head
     val parts = math.max(1L,
@@ -147,7 +150,9 @@ object PyfuncExport {
       (if (personalized) Seq(col("user").cast("string").as("user")) else Nil) ++
         Seq(col("cluster").cast("long").as("cluster"),
           col("h3").cast("string").as("h3"))
-    val frame = tiles.select(cols: _*)
+    // EAGER checkpoint: a getTiles lineage is a per-hull polyfill — the
+    // off-grid guard, the size agg and the write must not replay it 3×
+    val frame = tiles.select(cols: _*).localCheckpoint(true)
     // refuse REAL-H3 (or any foreign) ids eagerly: an engine cell id is
     // the precision nibble + 7-hex latIndex < 2^(res+8) + 7-hex
     // lngIndex < 2^(res+9) — decode and range-check, not just shape-match

@@ -272,6 +272,23 @@ class H3Spec extends AnyFunSuite {
     assert(vertexCells.subsetOf(fill), "fill must cover the polygon's own vertices")
   }
 
+  test("polyfill law: a wide-latitude-span polygon is fully covered") {
+    // cells at 65°N are ~2.4× wider in degrees-lng than at the equator —
+    // the bbox margin must be measured at the WIDEST (highest-|lat|)
+    // vertex cell or the BFS under-covers exactly this shape
+    val poly = Seq((0.0, 10.0), (65.0, 10.0), (65.0, 18.0), (0.0, 18.0))
+    val fill = H3.polygonCells(poly, 3, 0).toSet
+    val cand = (for { i <- 0 until 700; j <- 0 until 120 } yield
+      H3.geoToH3(-1.0 + 67.0 * i / 699.0, 9.0 + 10.0 * j / 119.0, 3)).toSet
+    val centerIn = cand.filter { h =>
+      val c = H3.h3ToGeo(h); GeoCell.pointInPolygon(c._1, c._2, poly) }
+      .map(h => H3.toH3String(h).toUpperCase(java.util.Locale.ROOT))
+    assert((centerIn -- fill).isEmpty,
+      s"under-covered: ${(centerIn -- fill).size} of ${centerIn.size}")
+    val vertexCells = poly.map(p => H3.geoToH3String(p._1, p._2, 3)).toSet
+    assert((fill -- centerIn -- vertexCells).isEmpty)
+  }
+
   test("polyfill law: layer monotonicity and the kRing growth bound") {
     val poly = Seq((37.77, -122.43), (37.79, -122.43),
       (37.79, -122.40), (37.77, -122.40))

@@ -81,6 +81,10 @@ class SqlOptimizeSpec extends SparkSpec {
     val e = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.t WHERE id > 3"))
     assert(e.getMessage.contains("equality"), e.getMessage)
+    // a REPEATED column refuses (a Map would silently keep the last term)
+    val eDup = intercept[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE $cat.ns.t WHERE day = '1' AND day = '2'"))
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
     // equality on a NON-partition column refuses by name
     val eNp = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.t WHERE id = 3").collect())
@@ -103,7 +107,7 @@ class SqlOptimizeSpec extends SparkSpec {
       !e4.getMessage.contains("this front-end"), e4.getClass.getName)
   }
 
-  test("OPTIMIZE WHERE compacts ONLY the named partitions (Delta); Iceberg refuses") {
+  test("OPTIMIZE WHERE scopes the rewrite on BOTH formats; unpartitioned Iceberg refuses") {
     val (cat, reg) = freshCatalog()
     val d = freshDir() + "/events"
     // 3 days × 4 files each, hive-partitioned on day
@@ -128,6 +132,10 @@ class SqlOptimizeSpec extends SparkSpec {
       (0L until 240L).sum)
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.events WHERE day = 1")
       .head.getLong(0) == 80L)
+    // partition keys resolve case-insensitively, like ZORDER BY columns
+    val out2 = spark.sql(s"OPTIMIZE $cat.ns.events WHERE DAY = 2").collect()
+    assert(out2.head.getString(0) == "committed_version", out2.mkString(", "))
+    assert(DeltaLogReader.activeFiles(spark, d).count(_.contains("day=2")) == 1)
     // empty scope refuses by the partitions named
     val eEmpty = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.events WHERE day = 9").collect())
@@ -146,6 +154,15 @@ class SqlOptimizeSpec extends SparkSpec {
     assert(outIce.head.getString(0) == "metadata_version")
     val planned = Iceberg.planFiles(spark, i)
     assert(planned.count(_.contains("compact")) == 1, planned.mkString(", "))
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.ice").head.getLong(0) ==
+      2L * (0L until 120L).sum)
+    // a ZORDER typo on the scoped lane refuses by name, up front
+    val eSort = intercept[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE $cat.ns.ice WHERE day = 2 ZORDER BY (nope)").collect())
+    assert(eSort.getMessage.contains("nope"), eSort.getMessage)
+    // case-insensitive partition-field resolution on the Iceberg lane too
+    val outIce2 = spark.sql(s"OPTIMIZE $cat.ns.ice WHERE DAY = 0").collect()
+    assert(outIce2.head.getString(0) == "metadata_version")
     assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.ice").head.getLong(0) ==
       2L * (0L until 120L).sum)
     val iFlat = freshDir() + "/iceflat"
