@@ -345,6 +345,54 @@ object H3 {
     h
   }
 
+  /** True iff `s` parses as a valid H3 CELL index at exactly `res`:
+    * 15 hex chars, mode 1, reserved bits clear, known base cell, digits
+    * 0..6 through `res` then 7-padded, and no pentagon K-axis leading
+    * digit (the deleted subsequence). The grid-dispatch guard for
+    * exported serving artifacts ([[graft.tracking.PyfuncExport]]): a
+    * tiles table claimed to be real-H3 must hold cells of the declared
+    * resolution, nothing else. */
+  def isValidCell(s: String, res: Int): Boolean = {
+    if (s == null || s.length != 15) return false
+    var h = 0L
+    var c = 0
+    while (c < 15) {
+      val d = Character.digit(s.charAt(c), 16)
+      if (d < 0) return false
+      h = (h << 4) | d
+      c += 1
+    }
+    if ((h >>> 59) != 1L) return false          // bit 63 + mode == cell
+    if (((h >>> 56) & 0x7L) != 0L) return false // reserved bits
+    if (resolution(h) != res) return false
+    val bc = baseCell(h)
+    if (bc > 121) return false
+    var r = 1
+    while (r <= 15) {
+      val d = getDigit(h, r)
+      if (r <= res) { if (d > 6) return false }
+      else if (d != 7) return false
+      r += 1
+    }
+    !(Pentagons.contains(bc) && leadingNonZeroDigit(h, res) == 1)
+  }
+
+  // ---- forward-table accessors for the pyfunc loader-module GENERATOR
+  // ([[graft.tracking.PyfuncExport]]): the shipped pure-python geo_to_h3
+  // twin prints ITS tables from these very arrays at export time, so
+  // twin drift is structurally impossible — the tables the serving
+  // artifact carries ARE the tables this JVM computed with. -----------
+  private[graft] def tblFaceCenterGeo: Array[(Double, Double)] = FaceCenterGeo
+  private[graft] def tblFaceAxesAzI: Array[Double] = FaceAxesAzI
+  private[graft] def tblFaceCenterPoint: Array[(Double, Double, Double)] = FaceCenterPoint
+  private[graft] def tblFaceIjkBaseCell: Array[Int] = FaceIjkBaseCell
+  private[graft] def tblFaceIjkCcwRot60: Array[Int] = FaceIjkCcwRot60
+  private[graft] def tblCwOffsetPent: Map[Int, (Int, Int)] = CwOffsetPent
+  private[graft] def constAp7Rot: Double = Ap7RotRads
+  private[graft] def constRes0U: Double = Res0UGnomonic
+  private[graft] def constSin60: Double = Sin60
+  private[graft] def constSqrt7: Double = Sqrt7
+
   /** The id as the h3 library prints it (lowercase hex, no padding). */
   def toH3String(h: Long): String = java.lang.Long.toHexString(h)
 

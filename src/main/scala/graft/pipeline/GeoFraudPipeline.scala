@@ -77,22 +77,36 @@ object GeoFraudPipeline {
   def run(spark: SparkSession, transactions: DataFrame,
           epsilon: Double = 100.0, minPts: Int = 3,
           tilePrecision: Int = 10, tileLayers: Int = 5,
-          tilesOut: Option[String] = None): Result = {
+          tilesOut: Option[String] = None,
+          grid: String = "geocell"): Result = {
 
     val model = new GeoscanPersonalized()
       .setGroupedCol("user").setEpsilon(epsilon).setMinPts(minPts)
       .fit(transactions)
     model.setTilePrecision(tilePrecision).setTileLayers(tileLayers)
 
-    val pointsH3 = transactions.select(col("user"),
-      GeoFunctions.geoCell(col("latitude"), col("longitude"), tilePrecision).as("h3"))
+    // tile-id space for the WHOLE run — the cover, the TF-IDF visit
+    // counts and the anomaly join must agree on one grid ("h3" = the
+    // reference's own ids, the golden-replay spelling)
+    val gridN = grid.toLowerCase(java.util.Locale.ROOT) match {
+      case "geocell" | "engine" => "geocell"
+      case "h3" => "h3"
+      case other => throw new IllegalArgumentException(
+        s"unknown grid '$other' — supported: 'geocell' (engine, default), 'h3'")
+    }
+    val cellOf =
+      if (gridN == "h3")
+        GeoFunctions.geoToH3(col("latitude"), col("longitude"), tilePrecision)
+      else
+        GeoFunctions.geoCell(col("latitude"), col("longitude"), tilePrecision)
+    val pointsH3 = transactions.select(col("user"), cellOf.as("h3"))
 
     tilesOut match {
       case Some(path) =>
         // scoped persist: TF-IDF reads the tile cover three times (docFreq,
         // termFreq, N) and the Z-order write's range sampling adds a fourth
         // pass; released as soon as the table is written
-        val rawTiles = model.getTiles(tilePrecision, tileLayers)
+        val rawTiles = model.getTiles(tilePrecision, tileLayers, gridN)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         val tiles = tfidfTiles(rawTiles, pointsH3)
         tiles.repartitionByRange(col("user"), col("h3"))
@@ -102,10 +116,12 @@ object GeoFraudPipeline {
         // production shape: the anomaly job reads the persisted tiles table
         // (`02_geofraud_fraud.py:18`), not the fit lineage
         val tilesBack = spark.read.parquet(path)
-        Result(model, tilesBack, Anomalies.extract(transactions, tilesBack, tilePrecision))
+        Result(model, tilesBack,
+          Anomalies.extract(transactions, tilesBack, tilePrecision, grid = gridN))
       case None =>
-        val tiles = tfidfTiles(model.getTiles(tilePrecision, tileLayers), pointsH3)
-        Result(model, tiles, Anomalies.extract(transactions, tiles, tilePrecision))
+        val tiles = tfidfTiles(model.getTiles(tilePrecision, tileLayers, gridN), pointsH3)
+        Result(model, tiles,
+          Anomalies.extract(transactions, tiles, tilePrecision, grid = gridN))
     }
   }
 }

@@ -324,6 +324,54 @@ object PipelineQueries {
           m.hullTable.select($"user").distinct()
             .join(t0.select($"user").distinct(), Seq("user"), "left_anti")))
         .orderBy($"leg")
+    }),
+
+    // GOLDEN-FILE full pipeline on the reference's OWN CSV with REAL H3
+    // ids end-to-end — the complete 01→02 dataflow at the notebook's own
+    // parameters (eps=100, minPts=3, precision=10, layers=5,
+    // 01_geofraud_clustering.py:280-282,364): fit personalized →
+    // getTiles(grid="h3") → TF-IDF → anti-join anomalies → per-user
+    // blooms → bloom recovery. Legs mirror the notebook's own checks
+    // (02_geofraud_fraud.py:75,141-147,258): row/user/tile/anomaly counts
+    // pinned as golden constants (the input file is immutable), bloom
+    // FN = 0 EXACTLY, bloom-recovered ⊆ join-anomalies, tf_idf well-formed.
+    "q287_golden_pipeline_h3" -> ((s, dir) => {
+      import s.implicits._
+      // the golden input is dir-independent: the reference ships it
+      val tx = GeoFraudPipeline
+        .readTransactions(s, "/root/reference/data/transactions.csv")
+        .localCheckpoint(true)
+      val r = GeoFraudPipeline.run(s, tx, epsilon = 100.0, minPts = 3,
+        tilePrecision = 10, tileLayers = 5, grid = "h3")
+      val tiles = r.tiles.localCheckpoint(true)
+      val joinAnoms = r.anomalies
+        .select($"user", $"latitude", $"longitude", $"amount")
+        .localCheckpoint(true)
+      val blooms = Blooms.toMap(Blooms.train(tiles, fpp = 0.01))
+      // FN law: every TRAINED (user, tile) probes back as known
+      val fn = Blooms.scoreCells(tiles.select($"user", $"h3"), blooms)
+        .where($"anomaly" === 1)
+      // bloom scoring of the full file at the h3 grid (the pyfunc shape)
+      val scored = Blooms.scoreCells(
+        tx.withColumn("h3", graft.functions.GeoFunctions
+          .geoToH3($"latitude", $"longitude", 10)), blooms)
+        .localCheckpoint(true)
+      val bloomAnoms = scored.where($"anomaly" === 1)
+        .select($"user", $"latitude", $"longitude", $"amount")
+      def leg(name: String, df: DataFrame): DataFrame =
+        df.agg(count(lit(1)).as("value"))
+          .select(lit(name).as("leg"), $"value")
+      leg("a_rows", tx)
+        .unionAll(leg("b_users", tx.select($"user").distinct()))
+        .unionAll(leg("c_tiles", tiles))
+        .unionAll(leg("d_join_anomalies", joinAnoms))
+        .unionAll(leg("e_bloom_fn", fn))
+        .unionAll(leg("f_bloom_outside_join",
+          bloomAnoms.exceptAll(joinAnoms)))
+        .unionAll(leg("g_bloom_anomalies", bloomAnoms))
+        .unionAll(leg("h_bad_tfidf",
+          tiles.where($"tf_idf" < 0 || $"tf_idf".isNull)))
+        .orderBy($"leg")
     })
   )
 
@@ -452,6 +500,24 @@ object PipelineQueries {
         |  ('b_monotone_miss', CAST(0 AS BIGINT)),
         |  ('c_bad_ids', CAST(0 AS BIGINT)),
         |  ('d_users_untiled', CAST(0 AS BIGINT))) AS t(leg, value)
+        |ORDER BY leg""".stripMargin,
+    // golden constants measured from the immutable reference CSV at the
+    // notebook's own parameters (two independent runs, bit-identical):
+    // 10068 rows / 5 users are the file's published shape; the
+    // tile/anomaly/recovery counts are pinned golden values (recovery
+    // 718/725 = 99.0% — the notebook's own 78/81 figure at its scale);
+    // the three law legs are exact zeros (FN=0, bloom ⊆ join, tf_idf
+    // well-formed)
+    "q287_golden_pipeline_h3" ->
+      """SELECT * FROM (VALUES
+        |  ('a_rows', CAST(10068 AS BIGINT)),
+        |  ('b_users', CAST(5 AS BIGINT)),
+        |  ('c_tiles', CAST(2814 AS BIGINT)),
+        |  ('d_join_anomalies', CAST(725 AS BIGINT)),
+        |  ('e_bloom_fn', CAST(0 AS BIGINT)),
+        |  ('f_bloom_outside_join', CAST(0 AS BIGINT)),
+        |  ('g_bloom_anomalies', CAST(718 AS BIGINT)),
+        |  ('h_bad_tfidf', CAST(0 AS BIGINT))) AS t(leg, value)
         |ORDER BY leg""".stripMargin
   )
 }

@@ -554,7 +554,40 @@ object DeltaLogWriter {
           s"OPTIMIZE WHERE names '$k', not a partition column of $path " +
             partCols.mkString("(", ", ", ")"))) -> v
     }
+    // case-insensitive canonicalization can COLLAPSE two differently-
+    // cased spellings of one column (`Day='1' AND day='2'`) into one Map
+    // entry — the parser's duplicate check is case-sensitive, so re-check
+    // here against the table's own resolution (the Iceberg lane's rule)
+    require(canonFilter.size == partitionFilter.size,
+      s"OPTIMIZE WHERE names the same partition column more than once " +
+        s"(case-insensitively) in ${partitionFilter.keys.mkString(", ")}")
+    // the scoped rewrite selects FILES by hive path value but rewrites
+    // ROWS by column equality — those two selections must be provably
+    // the same set. A null partition (the __HIVE_DEFAULT_PARTITION__
+    // path sentinel) breaks that: the path matches but `col = sentinel`
+    // selects no null rows, silently dropping the partition. And a file
+    // whose path lacks the hive k=v segments (a foreign writer's layout)
+    // inverts it: never file-selected, yet its rows pass the column
+    // filter and get duplicated into the rewrite. Refuse both shapes.
     val rootNorm = normRoot(f, root)
+    if (canonFilter.nonEmpty) {
+      canonFilter.find(_._2 == "__HIVE_DEFAULT_PARTITION__").foreach {
+        case (k, _) => throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE $k = '__HIVE_DEFAULT_PARTITION__': a " +
+            "null-partition scope is not expressible as column equality " +
+            s"— OPTIMIZE the full table at $path instead")
+      }
+      val nonHive = allEntries.map { case (abs, _) =>
+        normAbs(f, abs).stripPrefix(rootNorm).stripPrefix("/")
+      }.find(rel => !partCols.forall(partitionValuesOf(rel).contains))
+      require(nonHive.isEmpty,
+        s"Delta table at $path has an active file whose path does not " +
+          s"carry hive segments for all partition columns " +
+          partCols.mkString("(", ", ", ")") +
+          s" (first: ${nonHive.getOrElse("")}) — a partition-scoped " +
+          "OPTIMIZE selects files by path value, so a foreign layout " +
+          "would duplicate that file's rows; OPTIMIZE the full table")
+    }
     val entries =
       if (canonFilter.isEmpty) allEntries
       else allEntries.filter { case (abs, _) =>

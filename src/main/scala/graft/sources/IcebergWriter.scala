@@ -1027,11 +1027,14 @@ object IcebergWriter {
         s"(column '${p.sourceCol}')")
     p.transform match {
       case IcebergTransforms.Identity =>
-        require(Set("long", "string")(p.sourceTyp),
+        // date rides the Day-transform encoding exactly (epoch-day longs
+        // in the transformed domain; the manifest typing keys off
+        // resultTyp, which is "date" for both)
+        require(Set("long", "string", "date")(p.sourceTyp),
           s"identity partition column '${p.sourceCol}' has type " +
-            s"${p.sourceTyp} — this writer derives long/string identity " +
-            "values only (an int column would need the spec's 4-byte " +
-            "struct/bounds typing; cast to long first)")
+            s"${p.sourceTyp} — this writer derives long/string/date " +
+            "identity values only (an int column would need the spec's " +
+            "4-byte struct/bounds typing; cast to long first)")
         normalized
       case IcebergTransforms.Day => p.sourceTyp match {
         case "date" => normalized // already day-granular
@@ -1549,7 +1552,11 @@ object IcebergWriter {
       s"Iceberg table $table has no live data files — nothing to compact")
 
     val f = fs(spark, new Path(table))
-    val missingSort = sortBy.filterNot(c => fields.exists(_.name == c))
+    // case-INSENSITIVE like compactScoped's check and Spark's own column
+    // resolution at write time — `ZORDER BY (USER_ID)` must behave the
+    // same on both maintenance lanes
+    val missingSort = sortBy.filterNot(c =>
+      fields.exists(_.name.equalsIgnoreCase(c)))
     require(missingSort.isEmpty,
       s"compact sortBy column(s) ${missingSort.mkString(", ")} are not " +
         s"columns of $table (${fields.map(_.name).mkString(", ")})")
@@ -1704,11 +1711,23 @@ object IcebergWriter {
           "column equality; compact the full table instead")
       val value: Any = resultTyp(p.transform, p.sourceTyp) match {
         case "string" => v
+        case "date" =>
+          // a date identity partition scopes by the ISO spelling a SQL
+          // user types (`WHERE day = '2024-01-01'`); raw epoch-day
+          // integers (the manifest encoding) stay accepted
+          try java.time.LocalDate.parse(v).toEpochDay
+          catch { case _: java.time.format.DateTimeParseException =>
+            try v.toLong catch { case _: NumberFormatException =>
+              throw new IllegalArgumentException(
+                s"OPTIMIZE WHERE $k = '$v': partition field " +
+                  s"'${p.name}' is date-typed — pass an ISO date " +
+                  "('yyyy-MM-dd') or its epoch-day integer") } }
         case _ =>
           try v.toLong catch { case _: NumberFormatException =>
             throw new IllegalArgumentException(
               s"OPTIMIZE WHERE $k = '$v': partition field " +
-                s"'${p.name}' is ${p.sourceTyp}-typed — not a number") }
+                s"'${p.name}' is ${p.sourceTyp}-typed — pass a numeric " +
+                "literal (the manifest's own integer encoding)") }
       }
       p.name -> value
     }
@@ -1751,8 +1770,15 @@ object IcebergWriter {
     val scopedRows = typed.foldLeft(
       Iceberg.read(spark, table).select(fields.map(fd => col(fd.name)): _*)) {
       case (df, (n, v)) =>
-        val srcCol = parts.find(_.name == n).get.sourceCol
-        df.where(col(srcCol) === lit(v))
+        val part = parts.find(_.name == n).get
+        // a date column needs a DATE literal — the typed epoch-day Long
+        // matches manifest entries but not Spark's date comparison
+        val litV = (part.sourceTyp, v) match {
+          case ("date", d: Long) =>
+            lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)))
+          case _ => lit(v)
+        }
+        df.where(col(part.sourceCol) === litV)
     }
     val (newEntries, _) = writePartitionedFiles(spark, table, scopedRows,
       fields, parts, nameToId, typById, snapshotId,

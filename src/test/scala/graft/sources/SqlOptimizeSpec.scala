@@ -173,6 +173,84 @@ class SqlOptimizeSpec extends SparkSpec {
     assert(eIce.getMessage.contains("UNPARTITIONED"), eIce.getMessage)
   }
 
+  test("scoped OPTIMIZE selection agreement: null partitions, cased duplicates, foreign layouts, date scopes") {
+    val (cat, reg) = freshCatalog()
+    // Delta: a table WITH a null partition — scoping ON the null
+    // partition refuses (column equality cannot select null rows; the
+    // path match would drop them), scoping a NON-null partition leaves
+    // the null rows bit-intact
+    val d = freshDir() + "/nulls"
+    val df = Seq((Option(1), 10L), (None, 20L), (Option(1), 30L),
+      (None, 40L), (Option(2), 50L)).toDF("day", "v")
+    DeltaLogWriter.write(df.repartition(3), d, partitionBy = Seq("day"))
+    reg.register("ns.nulls", d)
+    val eNull = intercept[IllegalArgumentException](spark.sql(
+      s"OPTIMIZE $cat.ns.nulls WHERE day = '__HIVE_DEFAULT_PARTITION__'")
+      .collect())
+    assert(eNull.getMessage.contains("null-partition"), eNull.getMessage)
+    val out = spark.sql(s"OPTIMIZE $cat.ns.nulls WHERE day = 1").collect()
+    assert(out.head.getString(0) == "committed_version")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.nulls").head.getLong(0) == 150L)
+    assert(spark.sql(
+      s"SELECT count(*) FROM $cat.ns.nulls WHERE day IS NULL")
+      .head.getLong(0) == 2L)
+    // two CASED spellings of one partition column refuse (the parser's
+    // duplicate check is case-sensitive; resolution is not)
+    val eDup = intercept[IllegalArgumentException](spark.sql(
+      s"OPTIMIZE $cat.ns.nulls WHERE Day = '1' AND day = '2'").collect())
+    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+    // FOREIGN layout: partition columns declared in metaData but files
+    // NOT hive-laid-out — a scoped rewrite would duplicate their rows
+    // (never file-selected, still row-selected), so it refuses by name
+    val fdir = freshDir() + "/foreign"
+    DeltaLogWriter.write(Seq((1, 10L), (2, 20L)).toDF("day", "v")
+      .coalesce(1), fdir)
+    val commit = java.nio.file.Paths.get(fdir, "_delta_log",
+      "00000000000000000000.json")
+    val doctored = new String(java.nio.file.Files.readAllBytes(commit), "UTF-8")
+      .replace("\"partitionColumns\":[]", "\"partitionColumns\":[\"day\"]")
+    java.nio.file.Files.write(commit, doctored.getBytes("UTF-8"))
+    // the local FS wrote a checksum sidecar for the original bytes
+    java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(fdir,
+      "_delta_log", ".00000000000000000000.json.crc"))
+    reg.register("ns.foreign", fdir)
+    val eForeign = intercept[IllegalArgumentException](spark.sql(
+      s"OPTIMIZE $cat.ns.foreign WHERE day = 1").collect())
+    assert(eForeign.getMessage.contains("hive segments"), eForeign.getMessage)
+    // Iceberg: a DATE-typed identity partition scopes by its ISO
+    // spelling — the literal a SQL user types
+    val iceD = freshDir() + "/icedate"
+    val dfD = Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-01", 3L),
+      ("2024-01-02", 4L)).toDF("ds", "v")
+      .select(to_date($"ds").as("day"), $"v")
+    IcebergWriter.commitAppend(spark, iceD, dfD.repartition(2), 955L, 1000L,
+      partitionBy = Seq("day"))
+    IcebergWriter.commitAppend(spark, iceD, dfD.repartition(2), 956L, 2000L,
+      partitionBy = Seq("day"))
+    reg.register("ns.icedate", iceD)
+    val outD = spark.sql(
+      s"OPTIMIZE $cat.ns.icedate WHERE day = '2024-01-01'").collect()
+    assert(outD.head.getString(0) == "metadata_version")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.icedate").head.getLong(0) == 20L)
+    assert(spark.sql(
+      s"SELECT sum(v) FROM $cat.ns.icedate WHERE day = DATE'2024-01-01'")
+      .head.getLong(0) == 8L)
+    // a garbage date literal refuses NAMING the accepted spellings
+    val eDate = intercept[IllegalArgumentException](spark.sql(
+      s"OPTIMIZE $cat.ns.icedate WHERE day = 'yesterday'").collect())
+    assert(eDate.getMessage.contains("ISO date"), eDate.getMessage)
+    // Iceberg full-compact sortBy resolves case-insensitively, like the
+    // scoped lane and Spark itself
+    val iFlat2 = freshDir() + "/icecase"
+    IcebergWriter.commitAppend(spark, iFlat2, tiles.coalesce(2), 957L, 1000L)
+    reg.register("ns.icecase", iFlat2)
+    val outCase = spark.sql(
+      s"OPTIMIZE $cat.ns.icecase ZORDER BY (USER, H3)").collect()
+    assert(outCase.head.getString(0) == "metadata_version")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.icecase")
+      .head.getLong(0) == 400L)
+  }
+
   test("ZORDER BY with an unknown column refuses by name") {
     val (cat, reg) = freshCatalog()
     val d = freshDir() + "/t"
