@@ -60,29 +60,27 @@ object GraftSqlParser {
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+([`\w.]+)(?:\s+WHERE\s+(.+?))??\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
 
-  private val EqTerm =
-    """(?is)\s*`?(\w+)`?\s*=\s*(?:'([^']*)'|"([^"]*)"|([\w.\-]+))\s*""".r
+  private val CmpTerm =
+    """(?is)\s*`?(\w+)`?\s*(>=|<=|=|>|<)\s*(?:'([^']*)'|"([^"]*)"|([\w.\-:]+))\s*""".r
 
-  /** Partition-scope predicate → (column → literal). Anything beyond an
-    * equality conjunction refuses with the supported form named — only
-    * partition equality can scope a rewrite to whole files. A REPEATED
-    * column refuses too: `day = '1' AND day = '2'` is a contradictory
-    * predicate a Map would silently collapse to its last term. */
-  private[plans] def parseWhere(cond: String): Map[String, String] = {
+  /** Partition-scope predicate → ordered comparison terms. The grammar
+    * is Delta's own OPTIMIZE scope, extended to RANGE conjunctions:
+    * `col = v`, `col >= lo AND col < hi`, mixed across columns — each
+    * comparison selects whole files by partition value. Per column the
+    * shape is validated here (spelling-level; the writers re-validate
+    * after canonicalizing case): exactly one equality, XOR at most one
+    * lower bound (`>`/`>=`) and at most one upper bound (`<`/`<=`). */
+  private[plans] def parseWhere(cond: String): Seq[ScopeTerm] = {
     val terms = cond.split("(?i)\\s+AND\\s+").toSeq.map {
-      case EqTerm(k, sq, dq, bare) =>
-        k -> Seq(sq, dq, bare).find(_ != null).get
+      case CmpTerm(k, op, sq, dq, bare) =>
+        ScopeTerm(k, op, Seq(sq, dq, bare).find(_ != null).get)
       case other => throw new IllegalArgumentException(
-        "OPTIMIZE WHERE supports only partition-column equality " +
-          "conjunctions — `col = 'value' [AND col2 = 'value2']`; got: " +
-          other.trim)
+        "OPTIMIZE WHERE supports partition-column comparison " +
+          "conjunctions — `col = 'v'`, `col >= 'lo' AND col < 'hi'`; " +
+          "got: " + other.trim)
     }
-    val dup = terms.groupBy(_._1).collect { case (k, vs) if vs.size > 1 => k }
-    require(dup.isEmpty,
-      s"OPTIMIZE WHERE names ${dup.mkString(", ")} more than once — a " +
-        "repeated column is either redundant or contradictory; state " +
-        "each partition column's equality once")
-    terms.toMap
+    ScopeTerm.validateShape(terms, identity)
+    terms
   }
 
   private def unquote(part: String): String =
@@ -122,7 +120,7 @@ object GraftSqlParser {
         val cols = Option(zcols).toSeq
           .flatMap(_.split(',').toSeq).map(s => unquote(s.trim))
           .filter(_.nonEmpty)
-        val scope = Option(where).map(parseWhere).getOrElse(Map.empty)
+        val scope = Option(where).map(parseWhere).getOrElse(Seq.empty)
         Some(org.apache.spark.sql.graft.GraftOptimizeCommand(parts, cols, scope))
       case other if OptimizeLead.pattern.matcher(other).matches() =>
         throw new IllegalArgumentException(

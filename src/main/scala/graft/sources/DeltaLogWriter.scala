@@ -523,7 +523,7 @@ object DeltaLogWriter {
                numFiles: Option[Int] = None,
                optimistic: Boolean = false,
                maxRetries: Int = 10,
-               partitionFilter: Map[String, String] = Map.empty): Long = {
+               partitionFilter: Seq[graft.plans.ScopeTerm] = Nil): Long = {
     require(targetFileBytes > 0, s"targetFileBytes must be positive, got $targetFileBytes")
     val root = new Path(path)
     val f = fs(spark, root)
@@ -539,44 +539,48 @@ object DeltaLogWriter {
       val pc = metaNode.path("partitionColumns")
       (0 until pc.size()).map(pc.get(_).asText())
     }
-    // partition-scoped rewrite (`OPTIMIZE t WHERE day = X`): the rewrite
-    // set narrows to the files of the NAMED partitions — untouched
-    // partitions keep their files active verbatim (the remove list below
-    // derives from `entries`). Only equality on declared partition
-    // columns can scope a rewrite to whole files, so anything else
-    // refused upstream at the parser.
-    // canonicalize filter keys to the table's own partition-column
-    // spelling (case-insensitive, like ZORDER BY's column resolution and
-    // Spark's default) — hive path segments carry the declared spelling
-    val canonFilter: Map[String, String] = partitionFilter.map { case (k, v) =>
-      partCols.find(_.equalsIgnoreCase(k)).getOrElse(
+    // partition-scoped rewrite (`OPTIMIZE t WHERE day = X`, `WHERE day >=
+    // lo AND day < hi`): the rewrite set narrows to the files of the
+    // MATCHED partitions — untouched partitions keep their files active
+    // verbatim (the remove list below derives from `entries`). Only
+    // comparisons on declared partition columns can scope a rewrite to
+    // whole files, so anything else refused upstream at the parser.
+    // Canonicalize each term's column to the table's own spelling
+    // (case-insensitive, like ZORDER BY's resolution) and re-validate the
+    // per-column shape THERE: `Day >= '1' AND day < '3'` is one column's
+    // legal range, `Day = '1' AND day = '2'` a contradiction the parser's
+    // case-sensitive check cannot see.
+    val canonTerms: Seq[graft.plans.ScopeTerm] = partitionFilter.map { t =>
+      val c = partCols.find(_.equalsIgnoreCase(t.col)).getOrElse(
         throw new IllegalArgumentException(
-          s"OPTIMIZE WHERE names '$k', not a partition column of $path " +
-            partCols.mkString("(", ", ", ")"))) -> v
+          s"OPTIMIZE WHERE names '${t.col}', not a partition column of " +
+            s"$path " + partCols.mkString("(", ", ", ")")))
+      t.copy(col = c)
     }
-    // case-insensitive canonicalization can COLLAPSE two differently-
-    // cased spellings of one column (`Day='1' AND day='2'`) into one Map
-    // entry — the parser's duplicate check is case-sensitive, so re-check
-    // here against the table's own resolution (the Iceberg lane's rule)
-    require(canonFilter.size == partitionFilter.size,
-      s"OPTIMIZE WHERE names the same partition column more than once " +
-        s"(case-insensitively) in ${partitionFilter.keys.mkString(", ")}")
+    graft.plans.ScopeTerm.validateShape(canonTerms, identity)
     // the scoped rewrite selects FILES by hive path value but rewrites
-    // ROWS by column equality — those two selections must be provably
-    // the same set. A null partition (the __HIVE_DEFAULT_PARTITION__
-    // path sentinel) breaks that: the path matches but `col = sentinel`
-    // selects no null rows, silently dropping the partition. And a file
-    // whose path lacks the hive k=v segments (a foreign writer's layout)
+    // ROWS by a typed column predicate — those two selections must be
+    // provably the same set. A null partition (the
+    // __HIVE_DEFAULT_PARTITION__ path sentinel) breaks that: the path
+    // could match while the column predicate selects no null rows,
+    // silently dropping the partition — so a sentinel literal refuses
+    // and sentinel path values never match a scope. And a file whose
+    // path lacks the hive k=v segments (a foreign writer's layout)
     // inverts it: never file-selected, yet its rows pass the column
-    // filter and get duplicated into the rewrite. Refuse both shapes.
+    // predicate and get duplicated into the rewrite — refuse that layout.
     val rootNorm = normRoot(f, root)
-    if (canonFilter.nonEmpty) {
-      canonFilter.find(_._2 == "__HIVE_DEFAULT_PARTITION__").foreach {
-        case (k, _) => throw new IllegalArgumentException(
-          s"OPTIMIZE WHERE $k = '__HIVE_DEFAULT_PARTITION__': a " +
-            "null-partition scope is not expressible as column equality " +
-            s"— OPTIMIZE the full table at $path instead")
+    // per-term comparison type from the table's OWN schema (string /
+    // date / integer-family), and the typed literal it implies
+    val typedTerms: Seq[(graft.plans.ScopeTerm, String, Any)] =
+      canonTerms.map { t =>
+        require(t.value != "__HIVE_DEFAULT_PARTITION__",
+          s"OPTIMIZE WHERE ${t.col}: a null-partition scope is not " +
+            "expressible as a column predicate — OPTIMIZE the full " +
+            s"table at $path instead")
+        val typ = scopeTyp(path, metaNode, t.col)
+        (t, typ, graft.plans.ScopeTerm.typedValue(typ, t.col, t.value))
       }
+    if (canonTerms.nonEmpty) {
       val nonHive = allEntries.map { case (abs, _) =>
         normAbs(f, abs).stripPrefix(rootNorm).stripPrefix("/")
       }.find(rel => !partCols.forall(partitionValuesOf(rel).contains))
@@ -589,15 +593,18 @@ object DeltaLogWriter {
           "would duplicate that file's rows; OPTIMIZE the full table")
     }
     val entries =
-      if (canonFilter.isEmpty) allEntries
+      if (canonTerms.isEmpty) allEntries
       else allEntries.filter { case (abs, _) =>
         val rel = normAbs(f, abs).stripPrefix(rootNorm).stripPrefix("/")
         val pv = partitionValuesOf(rel)
-        canonFilter.forall { case (k, v) => pv.get(k).contains(v) }
+        typedTerms.forall { case (t, typ, lit) =>
+          pv.get(t.col).flatMap(parsePartValue(typ, _))
+            .exists(graft.plans.ScopeTerm.satisfies(t.op, _, lit))
+        }
       }
     require(entries.nonEmpty,
-      s"OPTIMIZE at $path: no active files in the named partitions " +
-        canonFilter.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
+      s"OPTIMIZE at $path: no active files in the scoped partitions " +
+        canonTerms.mkString("(", " AND ", ")"))
 
     val latest = DeltaLogReader.latestVersion(spark, path).get
     val version = latest + 1
@@ -624,11 +631,12 @@ object DeltaLogWriter {
     }.sum
     val numOut = numFiles.getOrElse(
       math.max(1L, (liveBytes + targetFileBytes - 1) / targetFileBytes).toInt)
-    import org.apache.spark.sql.functions.{col => colOf, lit => litOf}
+    import org.apache.spark.sql.functions.{col => colOf}
     // the logical rows of exactly the files being rewritten: partition
-    // equality selects whole files, so this matches `entries` row-for-row
-    val logical = canonFilter.foldLeft(DeltaLogReader.read(spark, path)) {
-      case (df, (k, v)) => df.filter(colOf(k).cast("string") === litOf(v))
+    // comparisons select whole files, so this matches `entries`
+    // row-for-row (typed predicate — same parse as the path-value match)
+    val logical = typedTerms.foldLeft(DeltaLogReader.read(spark, path)) {
+      case (df, (t, typ, lit)) => df.filter(scopePredicate(t, typ, lit))
     }
     // PARTITIONED tables re-bin WITHIN partitions: shuffle on the
     // partition columns (each value lands whole in one task — the
@@ -765,6 +773,103 @@ object DeltaLogWriter {
     }
     sweep(root)
     deleted
+  }
+
+  /** Comparison type of a partition column for an OPTIMIZE WHERE scope,
+    * from the table's own metaData schemaString: `string`, `date`, or
+    * `long` (integer family). Anything else refuses by name — the scope
+    * must compare hive path values, column values and literals under ONE
+    * typed order or file and row selection could disagree. */
+  private def scopeTyp(path: String,
+                       metaNode: com.fasterxml.jackson.databind.JsonNode,
+                       c: String): String = {
+    import org.apache.spark.sql.types._
+    val schemaStr = Option(metaNode.get("schemaString")).map(_.asText())
+      .getOrElse(throw new IllegalArgumentException(
+        s"Delta table at $path carries no schemaString — cannot type the " +
+          "OPTIMIZE WHERE scope"))
+    val struct =
+      try DataType.fromJson(schemaStr).asInstanceOf[StructType]
+      catch { case e: Exception => throw new IllegalArgumentException(
+        s"Delta table at $path: schemaString failed to parse " +
+          s"(${e.getMessage})", e) }
+    val field = struct.fields.find(_.name.equalsIgnoreCase(c)).getOrElse(
+      throw new IllegalArgumentException(
+        s"Delta table at $path: partition column '$c' is not in the " +
+          "schemaString — corrupt metadata"))
+    field.dataType match {
+      case StringType => "string"
+      case DateType => "date"
+      case IntegerType | LongType | ShortType | ByteType => "long"
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE WHERE on '$c': partition columns of type " +
+          s"${other.simpleString} cannot scope a rewrite — supported: " +
+          "string, date, integer types")
+    }
+  }
+
+  /** Hive path partition value → typed comparison value, or None when it
+    * cannot represent one (the null-partition sentinel, a malformed
+    * number/date) — an unmatched partition is OUT OF SCOPE, not an
+    * error. */
+  private def parsePartValue(typ: String, raw: String): Option[Any] = {
+    if (raw == "__HIVE_DEFAULT_PARTITION__") return None
+    typ match {
+      case "string" => Some(raw)
+      case "long" => raw.toLongOption
+      case "date" =>
+        try Some(java.time.LocalDate.parse(raw).toEpochDay)
+        catch { case _: java.time.format.DateTimeParseException => None }
+    }
+  }
+
+  /** Typed row predicate for one scope term — the EXACT column-side twin
+    * of the path-value match above (dates compare as DATE literals,
+    * integers as longs, strings raw). */
+  private def scopePredicate(t: graft.plans.ScopeTerm, typ: String,
+                             lit: Any): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit => litOf}
+    val rhs = (typ, lit) match {
+      case ("date", d: Long) =>
+        litOf(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)))
+      case (_, v) => litOf(v)
+    }
+    val lhs = col(t.col)
+    t.op match {
+      case "=" => lhs === rhs
+      case ">" => lhs > rhs
+      case ">=" => lhs >= rhs
+      case "<" => lhs < rhs
+      case "<=" => lhs <= rhs
+      case other => throw new IllegalArgumentException(
+        s"unknown scope operator '$other'")
+    }
+  }
+
+  /** The table's current logical rows narrowed to an OPTIMIZE WHERE
+    * scope — the frame a scoped maintenance rewrite reads (ZORDER
+    * cluster-key stats run over exactly these rows, so a scoped rewrite
+    * spends its ordinal range on the scoped values). Columns resolve and
+    * type against the table's own metaData, like [[optimize]] itself. */
+  def readScoped(spark: SparkSession, path: String,
+                 scope: Seq[graft.plans.ScopeTerm]): DataFrame = {
+    val base = DeltaLogReader.read(spark, path)
+    if (scope.isEmpty) return base
+    val (_, meta) = DeltaLogReader.replayState(spark, path, None)
+    val metaNode = meta.getOrElse(throw new IllegalArgumentException(
+      s"Delta log at $path carries no metaData action"))
+    val pc = metaNode.path("partitionColumns")
+    val partCols = (0 until pc.size()).map(pc.get(_).asText())
+    scope.foldLeft(base) { case (df, t0) =>
+      val c = partCols.find(_.equalsIgnoreCase(t0.col)).getOrElse(
+        throw new IllegalArgumentException(
+          s"OPTIMIZE WHERE names '${t0.col}', not a partition column of " +
+            s"$path " + partCols.mkString("(", ", ", ")")))
+      val t = t0.copy(col = c)
+      val typ = scopeTyp(path, metaNode, c)
+      df.filter(scopePredicate(t, typ,
+        graft.plans.ScopeTerm.typedValue(typ, c, t.value)))
+    }
   }
 
   /** Root-relative file path → partition values, parsed back from the

@@ -614,7 +614,7 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
   def optimizeZOrder(spark: SparkSession, tableName: String,
                      zorderBy: Seq[String],
                      targetFileBytes: Long = 128L << 20,
-                     where: Map[String, String] = Map.empty)
+                     where: Seq[graft.plans.ScopeTerm] = Nil)
       : Seq[(String, Long)] = {
     val (loc, isDelta) = locateAndSniff(tableName)
     if (isDelta) {
@@ -623,12 +623,8 @@ class GraftCatalog extends V2TableCatalog with SupportsNamespaces
         else {
           // cluster-key stats (numeric min/max, string rank boundaries)
           // over the rows actually being REWRITTEN: a partition-scoped
-          // OPTIMIZE spends its ordinal range on that partition's values
-          val state = where.foldLeft(DeltaLogReader.read(spark, loc)) {
-            case (df, (k, v)) =>
-              df.filter(org.apache.spark.sql.functions.col(k)
-                .cast("string") === v)
-          }
+          // OPTIMIZE spends its ordinal range on the scoped values
+          val state = DeltaLogWriter.readScoped(spark, loc, where)
           graft.plans.ZOrderClustering.clusterKey(state, zorderBy)
         }
       Seq("committed_version" -> DeltaLogWriter.optimize(

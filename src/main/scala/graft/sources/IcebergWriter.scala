@@ -1656,12 +1656,17 @@ object IcebergWriter {
     * delete tier; the refusal says so.
     *
     * Scope grammar mirrors the Delta lane: equality on identity
-    * partition fields only (a hidden-transform scope is not expressible
-    * as column equality — refuse by name); values arrive as strings
-    * from SQL and type through the spec field's own source type. */
+    * partition fields (by source column or field name) plus
+    * HIDDEN-TRANSFORM fields by field name — `ts_day = '2024-01-01'`
+    * scopes a `day(ts)` table, the value living in the transformed
+    * domain, with file AND row selection mapped through the same
+    * [[IcebergTransforms]] function the writer fans files out with.
+    * Range conjunctions (`day >= lo AND day < hi`) compare in that
+    * domain; bucket fields take equality only. Values arrive as strings
+    * from SQL and type through the field's RESULT type. */
   def compactScoped(spark: SparkSession, table: String,
                     snapshotId: Long, timestampMs: Long,
-                    partitionFilter: Map[String, String],
+                    partitionFilter: Seq[graft.plans.ScopeTerm],
                     sortBy: Seq[String] = Nil): Int = {
     import org.apache.spark.sql.functions.{col, lit}
     require(partitionFilter.nonEmpty,
@@ -1697,43 +1702,33 @@ object IcebergWriter {
     require(missingSort.isEmpty,
       s"compact sortBy column(s) ${missingSort.mkString(", ")} are not " +
         s"columns of $table (${fields.map(_.name).mkString(", ")})")
-    // filter keys → identity spec fields (case-insensitive, like ZORDER
-    // BY's resolution); values typed by the source
-    val typed: Map[String, Any] = partitionFilter.map { case (k, v) =>
-      val p = parts.find(p => p.sourceCol.equalsIgnoreCase(k) ||
-          p.name.equalsIgnoreCase(k)).getOrElse(
-        throw new IllegalArgumentException(
-          s"OPTIMIZE WHERE names '$k', not a partition field of $table " +
-            parts.map(_.name).mkString("(", ", ", ")")))
-      require(p.transform == IcebergTransforms.Identity,
-        s"OPTIMIZE WHERE on '$k': partition field '${p.name}' uses the " +
-          s"hidden transform — a transform scope is not expressible as " +
-          "column equality; compact the full table instead")
-      val value: Any = resultTyp(p.transform, p.sourceTyp) match {
-        case "string" => v
-        case "date" =>
-          // a date identity partition scopes by the ISO spelling a SQL
-          // user types (`WHERE day = '2024-01-01'`); raw epoch-day
-          // integers (the manifest encoding) stay accepted
-          try java.time.LocalDate.parse(v).toEpochDay
-          catch { case _: java.time.format.DateTimeParseException =>
-            try v.toLong catch { case _: NumberFormatException =>
-              throw new IllegalArgumentException(
-                s"OPTIMIZE WHERE $k = '$v': partition field " +
-                  s"'${p.name}' is date-typed — pass an ISO date " +
-                  "('yyyy-MM-dd') or its epoch-day integer") } }
-        case _ =>
-          try v.toLong catch { case _: NumberFormatException =>
-            throw new IllegalArgumentException(
-              s"OPTIMIZE WHERE $k = '$v': partition field " +
-                s"'${p.name}' is ${p.sourceTyp}-typed — pass a numeric " +
-                "literal (the manifest's own integer encoding)") }
+    // each term resolves to a spec field — identity fields by source
+    // column OR field name, hidden-transform fields by FIELD name
+    // (`ts_day = '2024-01-01'` scopes a day(ts) table): the value lives
+    // in the TRANSFORMED domain and both file and row selection map
+    // through the SAME IcebergTransforms function the writer fanned
+    // files out with, so the two selections are symmetric by
+    // construction. Ranges are ordered comparisons in that domain;
+    // bucket fields refuse ranges by name (hash order is meaningless).
+    val resolved: Seq[(graft.plans.ScopeTerm, WritePart, Any)] =
+      partitionFilter.map { t =>
+        val p = parts.find(p => p.name.equalsIgnoreCase(t.col) ||
+            (p.transform == IcebergTransforms.Identity &&
+              p.sourceCol.equalsIgnoreCase(t.col))).getOrElse(
+          throw new IllegalArgumentException(
+            s"OPTIMIZE WHERE names '${t.col}', not a partition field of " +
+              s"$table " + parts.map(_.name).mkString("(", ", ", ")")))
+        require(t.isEq || !p.transform.isInstanceOf[IcebergTransforms.Bucket],
+          s"OPTIMIZE WHERE ${t.col} ${t.op} …: a bucket partition's hash " +
+            "order is meaningless — scope bucket fields by equality")
+        val typ = resultTyp(p.transform, p.sourceTyp)
+        (t.copy(col = p.name), p,
+          graft.plans.ScopeTerm.typedValue(typ, t.col, t.value))
       }
-      p.name -> value
-    }
-    require(typed.size == partitionFilter.size,
-      s"OPTIMIZE WHERE names the same partition field more than once " +
-        s"(case-insensitively) in ${partitionFilter.keys.mkString(", ")}")
+    // shape re-validated on the RESOLVED field names: two spellings of
+    // one field (source col + field name, case variants) must not
+    // smuggle a contradictory pair past the parser's check
+    graft.plans.ScopeTerm.validateShape(resolved.map(_._1), identity)
     val cur = doc.path("current-snapshot-id").asLong(-1L)
     if (cur <= 0) throw new EmptyTableException(
       s"Iceberg table $table has no current snapshot")
@@ -1756,29 +1751,37 @@ object IcebergWriter {
     val live = liveEntriesAsExisting(spark, table, dataManifests, fmtVersion)
     def inScope(e: Iceberg.Entry): Boolean = {
       val pv = e.partition.toMap
-      typed.forall { case (n, v) => pv.get(n).contains(v) }
+      resolved.forall { case (t, p, litV) =>
+        pv.get(p.name).exists(graft.plans.ScopeTerm.satisfies(t.op, _, litV))
+      }
     }
     val (scopedOld, carriedData) = live.partition(inScope)
     require(scopedOld.nonEmpty,
-      s"OPTIMIZE at $table: no active files in the named partitions " +
-        partitionFilter.map { case (k, v) => s"$k=$v" }.mkString("(", ", ", ")"))
+      s"OPTIMIZE at $table: no active files in the scoped partitions " +
+        resolved.map(_._1).mkString("(", " AND ", ")"))
 
     // the scoped rows, served MoR (identity scope: partition value ==
     // source column value, so the filter is exact row selection)
     val typById = fields.map(fd => fd.id -> fd.typ).toMap
     val nameToId = fields.map(fd => fd.name -> fd.id).toMap
-    val scopedRows = typed.foldLeft(
+    val scopedRows = resolved.foldLeft(
       Iceberg.read(spark, table).select(fields.map(fd => col(fd.name)): _*)) {
-      case (df, (n, v)) =>
-        val part = parts.find(_.name == n).get
-        // a date column needs a DATE literal — the typed epoch-day Long
-        // matches manifest entries but not Spark's date comparison
-        val litV = (part.sourceTyp, v) match {
-          case ("date", d: Long) =>
-            lit(java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(d)))
-          case _ => lit(v)
-        }
-        df.where(col(part.sourceCol) === litV)
+      case (df, (t, p, litV)) =>
+        // row side = transformedCol(p), the EXACT function that stamped
+        // every file's partition value at write time (identity dates
+        // become epoch-day longs, day(ts) maps through dayFromMicros, …)
+        // — so {rows matching} ≡ {rows of the files inScope selected}
+        val lhs = transformedCol(p)
+        val rhs = lit(litV)
+        df.where(t.op match {
+          case "=" => lhs === rhs
+          case ">" => lhs > rhs
+          case ">=" => lhs >= rhs
+          case "<" => lhs < rhs
+          case "<=" => lhs <= rhs
+          case other => throw new IllegalArgumentException(
+            s"unknown scope operator '$other'")
+        })
     }
     val (newEntries, _) = writePartitionedFiles(spark, table, scopedRows,
       fields, parts, nameToId, typById, snapshotId,

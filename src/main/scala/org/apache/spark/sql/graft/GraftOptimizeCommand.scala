@@ -20,7 +20,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   * All semantic fields sit in the single constructor list, so plan
   * equality/hashing tracks the full statement. */
 case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String],
-                                where: Map[String, String] = Map.empty)
+                                where: Seq[graft.plans.ScopeTerm] = Seq.empty)
     extends LeafRunnableCommand {
 
   override val output: Seq[Attribute] = Seq(
@@ -46,9 +46,7 @@ case class GraftOptimizeCommand(nameParts: Seq[String], zorderBy: Seq[String],
 
   override def simpleString(maxFields: Int): String =
     s"GraftOptimizeCommand ${nameParts.mkString(".")}" +
-      (if (where.nonEmpty)
-        s" WHERE ${where.map { case (k, v) => s"$k=$v" }.mkString(" AND ")}"
-       else "") +
+      (if (where.nonEmpty) s" WHERE ${where.mkString(" AND ")}" else "") +
       (if (zorderBy.nonEmpty) s" ZORDER BY (${zorderBy.mkString(", ")})"
        else "")
 }

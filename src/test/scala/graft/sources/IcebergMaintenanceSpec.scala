@@ -181,7 +181,7 @@ class IcebergMaintenanceSpec extends SparkSpec {
     val untouchedBefore = before.filterNot(_.contains("day-rewrite")).toSet
 
     val v = IcebergWriter.compactScoped(spark, base, 984L, 4000L,
-      Map("day" -> "1"))
+      Seq(graft.plans.ScopeTerm("day", "=", "1")))
     assert(v == 4)
     val after = Iceberg.planFiles(spark, base)
     // one fresh file for day=1; every OTHER file carried verbatim
@@ -209,24 +209,38 @@ class IcebergMaintenanceSpec extends SparkSpec {
     assert(scores(Iceberg.read(spark, base))(4L) == 88.8)
     // refusals: empty scope by value; non-partition column; unpartitioned
     val eEmpty = intercept[IllegalArgumentException](
-      IcebergWriter.compactScoped(spark, base, 986L, 6000L, Map("day" -> "9")))
+      IcebergWriter.compactScoped(spark, base, 986L, 6000L, Seq(graft.plans.ScopeTerm("day", "=", "9"))))
     assert(eEmpty.getMessage.contains("no active files"), eEmpty.getMessage)
     val eCol = intercept[IllegalArgumentException](
-      IcebergWriter.compactScoped(spark, base, 986L, 6000L, Map("id" -> "1")))
+      IcebergWriter.compactScoped(spark, base, 986L, 6000L, Seq(graft.plans.ScopeTerm("id", "=", "1"))))
     assert(eCol.getMessage.contains("not a partition field"), eCol.getMessage)
     val flat = freshDir()
     IcebergWriter.commitAppend(spark, flat, df(Seq(1L)), 991L, 1000L)
     val eFlat = intercept[IllegalArgumentException](
-      IcebergWriter.compactScoped(spark, flat, 992L, 2000L, Map("id" -> "1")))
+      IcebergWriter.compactScoped(spark, flat, 992L, 2000L, Seq(graft.plans.ScopeTerm("id", "=", "1"))))
     assert(eFlat.getMessage.contains("UNPARTITIONED"), eFlat.getMessage)
-    // hidden-transform scope refuses by name
+    // hidden-transform scope DISPATCHES through the transform: equality
+    // on a bucket field compacts exactly that bucket's files; a RANGE on
+    // a bucket refuses by name (hash order is meaningless)
     val bkt = freshDir()
-    IcebergWriter.commitAppend(spark, bkt, df(Seq(1L, 2L)), 993L, 1000L,
-      partitionBy = Seq("bucket(4, id)"))
+    IcebergWriter.commitAppend(spark, bkt, df(Seq(1L, 2L)).coalesce(1),
+      993L, 1000L, partitionBy = Seq("bucket(4, id)"))
+    IcebergWriter.commitAppend(spark, bkt, df(Seq(1L, 2L)).coalesce(1),
+      995L, 1500L, partitionBy = Seq("bucket(4, id)"))
+    val b1 = IcebergTransforms.bucket(4, "long", 1L)
+    val vB = IcebergWriter.compactScoped(spark, bkt, 994L, 2000L,
+      Seq(graft.plans.ScopeTerm("id_bucket", "=", b1.toString)))
+    assert(vB > 0)
+    // the scoped bucket compacted to one file; content intact (id=1
+    // twice, id=2 twice — append×2)
+    val afterB = Iceberg.planFiles(spark, bkt)
+    assert(afterB.count(_.contains("compact994")) == 1, afterB.mkString(", "))
+    assert(Iceberg.read(spark, bkt).where(col("id") === 1L).count() == 2L)
+    assert(Iceberg.read(spark, bkt).count() == 4L)
     val eBkt = intercept[IllegalArgumentException](
-      IcebergWriter.compactScoped(spark, bkt, 994L, 2000L,
-        Map("id_bucket" -> "1")))
-    assert(eBkt.getMessage.contains("hidden transform"), eBkt.getMessage)
+      IcebergWriter.compactScoped(spark, bkt, 996L, 3000L,
+        Seq(graft.plans.ScopeTerm("id_bucket", ">=", "0"))))
+    assert(eBkt.getMessage.contains("equality"), eBkt.getMessage)
   }
 
   // ----------------------------------------------------------------- upsert

@@ -77,14 +77,22 @@ class SqlOptimizeSpec extends SparkSpec {
     val out = spark.sql(s"OPTIMIZE $cat.ns.t").collect()
     assert(out.head.getString(0) == "committed_version" && out.head.getLong(1) == 1L)
     assert(DeltaLogReader.activeFiles(spark, d).size == 1)
-    // non-equality WHERE refuses with the supported grammar named
+    // a non-comparison WHERE refuses with the supported grammar named
     val e = intercept[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE $cat.ns.t WHERE id LIKE 'x'"))
+    assert(e.getMessage.contains("comparison"), e.getMessage)
+    // a range term on a NON-partition column refuses at the writer
+    val eRange = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.t WHERE id > 3"))
-    assert(e.getMessage.contains("equality"), e.getMessage)
-    // a REPEATED column refuses (a Map would silently keep the last term)
+    assert(eRange.getMessage.contains("not a partition column"), eRange.getMessage)
+    // a REPEATED equality refuses (redundant or contradictory)
     val eDup = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.t WHERE day = '1' AND day = '2'"))
-    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+    assert(eDup.getMessage.contains("repeated equality"), eDup.getMessage)
+    // equality + range bound on one column refuses too
+    val eMix = intercept[IllegalArgumentException](
+      spark.sql(s"OPTIMIZE $cat.ns.t WHERE day = '1' AND day < '3'"))
+    assert(eMix.getMessage.contains("mixes equality and range"), eMix.getMessage)
     // equality on a NON-partition column refuses by name
     val eNp = intercept[IllegalArgumentException](
       spark.sql(s"OPTIMIZE $cat.ns.t WHERE id = 3").collect())
@@ -98,8 +106,8 @@ class SqlOptimizeSpec extends SparkSpec {
     assert(out2.head.getString(0) == "committed_version" &&
       out2.head.getLong(1) == 2L)
     val e3 = intercept[IllegalArgumentException](
-      spark.sql(s"/* scheduled */ OPTIMIZE $cat.ns.t WHERE id > 3"))
-    assert(e3.getMessage.contains("equality"), e3.getMessage)
+      spark.sql(s"/* scheduled */ OPTIMIZE $cat.ns.t WHERE id LIKE 'x'"))
+    assert(e3.getMessage.contains("comparison"), e3.getMessage)
     // … and a token merely PREFIXED with OPTIMIZE delegates to Spark's own
     // parser instead of this front-end's refusal
     val e4 = intercept[Exception](spark.sql("OPTIMIZER_HINTS FOR t"))
@@ -198,7 +206,7 @@ class SqlOptimizeSpec extends SparkSpec {
     // duplicate check is case-sensitive; resolution is not)
     val eDup = intercept[IllegalArgumentException](spark.sql(
       s"OPTIMIZE $cat.ns.nulls WHERE Day = '1' AND day = '2'").collect())
-    assert(eDup.getMessage.contains("more than once"), eDup.getMessage)
+    assert(eDup.getMessage.contains("repeated equality"), eDup.getMessage)
     // FOREIGN layout: partition columns declared in metaData but files
     // NOT hive-laid-out — a scoped rewrite would duplicate their rows
     // (never file-selected, still row-selected), so it refuses by name
@@ -249,6 +257,84 @@ class SqlOptimizeSpec extends SparkSpec {
     assert(outCase.head.getString(0) == "metadata_version")
     assert(spark.sql(s"SELECT count(*) FROM $cat.ns.icecase")
       .head.getLong(0) == 400L)
+  }
+
+  test("OPTIMIZE WHERE ranges on both formats; hidden-transform scopes map through IcebergTransforms") {
+    val (cat, reg) = freshCatalog()
+    // Delta: a RANGE conjunction compacts days 1..2, leaves 0 and 3 with
+    // every file byte-identical
+    val d = freshDir() + "/ev"
+    val df = (0 until 320).map(k => (k % 4, k.toLong, f"u${k % 7}"))
+      .toDF("day", "v", "u")
+    DeltaLogWriter.write(df.repartition(4), d, partitionBy = Seq("day"))
+    reg.register("ns.ev", d)
+    val before = DeltaLogReader.activeFiles(spark, d)
+    def inRange(p: String) = p.contains("day=1") || p.contains("day=2")
+    val untouched = before.filterNot(inRange).toSet
+    assert(before.count(inRange) >= 8, before.mkString(", "))
+    val out = spark.sql(
+      s"OPTIMIZE $cat.ns.ev WHERE day >= 1 AND day < 3 ZORDER BY (u, v)")
+      .collect()
+    assert(out.head.getString(0) == "committed_version")
+    val after = DeltaLogReader.activeFiles(spark, d)
+    assert(after.count(_.contains("day=1")) == 1, after.mkString(", "))
+    assert(after.count(_.contains("day=2")) == 1, after.mkString(", "))
+    assert(after.filterNot(inRange).toSet == untouched)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.ev").head.getLong(0) ==
+      (0L until 320L).sum)
+    // Iceberg: identity range scope compacts days 1..2; day 0 carried
+    val i = freshDir() + "/ice"
+    val iceDf = (0 until 120).map(k => (k.toLong, (k % 3).toLong))
+      .toDF("v", "day")
+    IcebergWriter.commitAppend(spark, i, iceDf.coalesce(2), 971L, 1000L,
+      partitionBy = Seq("day"))
+    IcebergWriter.commitAppend(spark, i, iceDf.coalesce(2), 972L, 2000L)
+    reg.register("ns.ice", i)
+    val outIce = spark.sql(
+      s"OPTIMIZE $cat.ns.ice WHERE day >= '1' AND day <= '2'").collect()
+    assert(outIce.head.getString(0) == "metadata_version")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.ice").head.getLong(0) ==
+      2L * (0L until 120L).sum)
+    // day=0 still prunes to its ORIGINAL (carried) files
+    val day0 = Iceberg.planFiles(spark, i, Seq(Iceberg.ColRange("day", 0L, 0L)))
+    assert(day0.nonEmpty && day0.forall(!_.contains("compact")), day0.mkString(", "))
+    val dayHit = Iceberg.planFiles(spark, i, Seq(Iceberg.ColRange("day", 1L, 1L)))
+    assert(dayHit.exists(_.contains("compact")), dayHit.mkString(", "))
+    // Iceberg: date-typed identity RANGE with ISO literals
+    val iceD = freshDir() + "/icedr"
+    val dfD = Seq(("2024-01-01", 1L), ("2024-01-02", 2L), ("2024-01-03", 4L))
+      .toDF("ds", "v").select(to_date($"ds").as("day"), $"v")
+    IcebergWriter.commitAppend(spark, iceD, dfD.repartition(2), 973L, 1000L,
+      partitionBy = Seq("day"))
+    IcebergWriter.commitAppend(spark, iceD, dfD.repartition(2), 974L, 2000L,
+      partitionBy = Seq("day"))
+    reg.register("ns.icedr", iceD)
+    val outDr = spark.sql(s"OPTIMIZE $cat.ns.icedr WHERE " +
+      "day >= '2024-01-01' AND day < '2024-01-03'").collect()
+    assert(outDr.head.getString(0) == "metadata_version")
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.icedr").head.getLong(0) == 14L)
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.icedr " +
+      "WHERE day = DATE'2024-01-02'").head.getLong(0) == 4L)
+    // Iceberg: HIDDEN-TRANSFORM scope — `ets_day = <ISO>` on a day(ets)
+    // table maps through the same transform the writer fanned files with
+    val iceT = freshDir() + "/icet"
+    val us0 = 86400000000L // 1970-01-02T00:00Z
+    val dfT = Seq((1L, us0), (2L, us0 + 3600000000L), (3L, us0 + 2 * 86400000000L))
+      .toDF("id", "us").selectExpr("id", "timestamp_micros(us) AS ets")
+    IcebergWriter.commitAppend(spark, iceT, dfT.coalesce(1), 975L, 1000L,
+      partitionBy = Seq("day(ets)"))
+    IcebergWriter.commitAppend(spark, iceT, dfT.coalesce(1), 976L, 2000L,
+      partitionBy = Seq("day(ets)"))
+    reg.register("ns.icet", iceT)
+    val outT = spark.sql(
+      s"OPTIMIZE $cat.ns.icet WHERE ets_day = '1970-01-02'").collect()
+    assert(outT.head.getString(0) == "metadata_version")
+    // both days' rows intact; the scoped day compacted 2 files → 1
+    assert(spark.sql(s"SELECT count(*) FROM $cat.ns.icet").head.getLong(0) == 6L)
+    val planT = Iceberg.planFiles(spark, iceT)
+    assert(planT.count(_.contains("compact")) == 1, planT.mkString(", "))
+    assert(spark.sql(s"SELECT sum(id) FROM $cat.ns.icet " +
+      "WHERE ets < TIMESTAMP'1970-01-03 00:00:00Z'").head.getLong(0) == 6L)
   }
 
   test("ZORDER BY with an unknown column refuses by name") {
