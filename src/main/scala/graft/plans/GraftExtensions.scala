@@ -49,6 +49,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         GeoToH3Expression(children(0), children(1), children(2))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("h3_kring"),
+      new ExpressionInfo(classOf[H3KRingExpression].getName, "h3_kring"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 2, "h3_kring(h3, k)")
+        H3KRingExpression(children(0), children(1))
+      }))
+    extensions.injectFunction((
+      new FunctionIdentifier("h3_polyfill"),
+      new ExpressionInfo(classOf[H3PolyfillExpression].getName, "h3_polyfill"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3 || children.length == 4,
+          "h3_polyfill(lats, lngs, res[, layers])")
+        val layers =
+          if (children.length == 4) children(3)
+          else org.apache.spark.sql.catalyst.expressions.Literal(0)
+        H3PolyfillExpression(children(0), children(1), children(2), layers)
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDotExpression].getName, "vec_dot"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

@@ -3839,6 +3839,82 @@ object IndexQueries {
         .toDF("leg", "value").orderBy($"leg")
     }),
 
+    // PUBLISHED H3 traversal/fill vectors as driver constants (the q282
+    // pattern, extended to the r17 polyfill/boundary machinery): the
+    // upstream h3 test suite's SF polygon polyfills to EXACTLY 1253
+    // res-9 cells under v3 center containment, and the h3-py docs pin
+    // the 1-ring around 8928308280fffff — both reproduced here, so the
+    // whole geometry stack (projection, boundary, neighbors, BFS fill)
+    // is vector-pinned, not just law-consistent.
+    "q288_h3_published_fill" -> ((s, dir) => {
+      import s.implicits._
+      import graft.geo.{GeoCell, H3}
+      val verts = Seq(
+        (0.659966917655, -2.1364398519396),
+        (0.6595011102219, -2.1359434279405),
+        (0.6583348114025, -2.1354884206045),
+        (0.6581220034068, -2.1382437718946),
+        (0.6594479998527, -2.1384597563896),
+        (0.6599990002976, -2.1376771158464))
+        .map { case (la, lo) => (math.toDegrees(la), math.toDegrees(lo)) }
+      val cover = H3.polygonCells(verts, 9, 0).map(H3.fromString)
+      val centerIn = cover.filter { h =>
+        val (cla, clo) = H3.h3ToGeo(h)
+        GeoCell.pointInPolygon(cla, clo, verts)
+      }
+      // our cover = published polyfill ∪ forced vertex cells (the tile
+      // vertex guarantee) — extras beyond the vertex cells would be a bug
+      val vertCells = verts.map { case (la, lo) =>
+        H3.geoToH3(la, lo, 9) }.toSet
+      val extraNonVertex = (cover.toSet -- centerIn.toSet -- vertCells).size
+      val published = Set("8928308280fffff", "8928308280bffff",
+        "89283082807ffff", "89283082877ffff", "8928308283bffff",
+        "89283082873ffff", "89283082803ffff")
+      val got = H3.kRing(H3.fromString("8928308280fffff"), 1)
+        .map(H3.toH3String)
+      Seq(
+        ("a_sf_polyfill_cells", centerIn.size.toLong),
+        ("b_extra_nonvertex", extraNonVertex.toLong),
+        ("c_kring_sym_diff",
+          ((got -- published) ++ (published -- got)).size.toLong),
+        ("d_sf_point_in_cover",
+          if (cover.contains(H3.fromString("8928308280fffff"))) 1L else 0L))
+        .toDF("leg", "value").orderBy($"leg")
+    }),
+
+    // the same traversal/fill surface as REGISTERED SQL FUNCTIONS —
+    // `h3_kring(h3, k)` and `h3_polyfill(lats, lngs, res[, layers])`
+    // (sorted uppercase id arrays), so a SQL caller builds a q283-style
+    // tile cover with no fitted model and no Scala. Legs pin the
+    // published kRing ring VERBATIM (sorted join), polyfill counts and
+    // membership, and kRing/layers monotonicity — all data-independent.
+    "q289_h3_sql_traversal" -> ((s, dir) => {
+      val verts = Seq(
+        (0.659966917655, -2.1364398519396),
+        (0.6595011102219, -2.1359434279405),
+        (0.6583348114025, -2.1354884206045),
+        (0.6581220034068, -2.1382437718946),
+        (0.6594479998527, -2.1384597563896),
+        (0.6599990002976, -2.1376771158464))
+        .map { case (la, lo) => (math.toDegrees(la), math.toDegrees(lo)) }
+      val lats = verts.map(_._1).mkString("array(", ", ", ")")
+      val lngs = verts.map(_._2).mkString("array(", ", ", ")")
+      s.sql(
+        s"""SELECT 'a_kring_ring1' AS leg,
+           |       array_join(h3_kring('8928308280fffff', 1), ',') AS value
+           |UNION ALL SELECT 'b_kring_k2_size',
+           |       CAST(size(h3_kring('8928308280FFFFF', 2)) AS STRING)
+           |UNION ALL SELECT 'c_polyfill_cover_size',
+           |       CAST(size(h3_polyfill($lats, $lngs, 9)) AS STRING)
+           |UNION ALL SELECT 'd_polyfill_has_sf_cell',
+           |       CAST(array_contains(h3_polyfill($lats, $lngs, 9, 0),
+           |                           '8928308280FFFFF') AS STRING)
+           |UNION ALL SELECT 'e_layered_minus_base',
+           |       CAST(size(h3_polyfill($lats, $lngs, 9, 1)) -
+           |            size(h3_polyfill($lats, $lngs, 9)) >= 0 AS STRING)
+           |ORDER BY leg""".stripMargin)
+    }),
+
     // SQL SCHEMA EVOLUTION + INSERT OVERWRITE through the catalog —
     // ALTER TABLE ADD/RENAME COLUMN on both formats (Delta through the
     // SET TBLPROPERTIES mapping upgrade; Iceberg id-keyed), INSERT
@@ -5335,6 +5411,27 @@ object IndexQueries {
         |  ('c_ring3', CAST(37 AS BIGINT)),
         |  ('d_pentagon_ring1', CAST(6 AS BIGINT)),
         |  ('e_asym_offseam', CAST(0 AS BIGINT))) AS t(leg, value)
+        |ORDER BY leg""".stripMargin,
+    // the ring is the h3-py docs' published set sorted; 1259 = upstream
+    // h3's pinned polyfill(sfGeoPolygon, 9) count (1253) + the 6 forced
+    // vertex cells whose centers fall outside (the tile-cover guarantee)
+    "q289_h3_sql_traversal" ->
+      """SELECT * FROM (VALUES
+        |  ('a_kring_ring1',
+        |   '89283082803FFFF,89283082807FFFF,8928308280BFFFF,8928308280FFFFF,8928308283BFFFF,89283082873FFFF,89283082877FFFF'),
+        |  ('b_kring_k2_size', '19'),
+        |  ('c_polyfill_cover_size', '1259'),
+        |  ('d_polyfill_has_sf_cell', 'true'),
+        |  ('e_layered_minus_base', 'true')) AS t(leg, value)
+        |ORDER BY leg""".stripMargin,
+    // 1253 is upstream h3's own pinned polyfill(sfGeoPolygon, 9) result;
+    // the other legs are exact-zero laws over the published kRing set
+    "q288_h3_published_fill" ->
+      """SELECT * FROM (VALUES
+        |  ('a_sf_polyfill_cells', CAST(1253 AS BIGINT)),
+        |  ('b_extra_nonvertex', CAST(0 AS BIGINT)),
+        |  ('c_kring_sym_diff', CAST(0 AS BIGINT)),
+        |  ('d_sf_point_in_cover', CAST(1 AS BIGINT))) AS t(leg, value)
         |ORDER BY leg""".stripMargin,
     "q283_h3_tiling_join" ->
       """SELECT * FROM (VALUES

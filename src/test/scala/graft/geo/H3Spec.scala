@@ -105,6 +105,46 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  test("published polyfill vector: the h3 test-suite SF polygon holds 1253 res-9 cells") {
+    // upstream h3's own test fixture (test suite sfGeoPolygon, radians)
+    // and its pinned result: polyfill(sfGeoPolygon, 9) == 1253 cells
+    // under v3 center containment. Our polygonCells additionally FORCES
+    // the vertex cells into the cover (the tile-cover guarantee q285
+    // leg a pins), so the published set is exactly the center-contained
+    // subset of our layer-0 output.
+    val sfVertsRad = Seq(
+      (0.659966917655, -2.1364398519396),
+      (0.6595011102219, -2.1359434279405),
+      (0.6583348114025, -2.1354884206045),
+      (0.6581220034068, -2.1382437718946),
+      (0.6594479998527, -2.1384597563896),
+      (0.6599990002976, -2.1376771158464))
+    val verts = sfVertsRad.map { case (la, lo) =>
+      (math.toDegrees(la), math.toDegrees(lo)) }
+    val cover = H3.polygonCells(verts, 9, 0).map(H3.fromString)
+    val centerIn = cover.filter { h =>
+      val (cla, clo) = H3.h3ToGeo(h)
+      GeoCell.pointInPolygon(cla, clo, verts)
+    }
+    assert(centerIn.size == 1253, s"center-contained: ${centerIn.size}")
+    // the forced-vertex remainder is small (≤ one cell per vertex) and
+    // every one of them is a vertex's own cell
+    val extra = cover.toSet -- centerIn.toSet
+    val vertCells = verts.map { case (la, lo) => H3.geoToH3(la, lo, 9) }.toSet
+    assert(extra.subsetOf(vertCells), s"unexpected extras: $extra")
+    // the published SF point's cell is in the cover
+    assert(cover.contains(H3.fromString("8928308280fffff")))
+  }
+
+  test("published kRing vector: the h3-py docs ring around 8928308280fffff") {
+    val got = H3.kRing(H3.fromString("8928308280fffff"), 1)
+      .map(H3.toH3String)
+    val published = Set("8928308280fffff", "8928308280bffff",
+      "89283082807ffff", "89283082877ffff", "8928308283bffff",
+      "89283082873ffff", "89283082803ffff")
+    assert(got == published, s"got $got")
+  }
+
   /** Base cells touching a pentagon — the documented distortion seam. */
   private lazy val seamBcs: Set[Int] = H3.Pentagons.flatMap { p =>
     val pentRes0 = (1L << 59) | (p.toLong << 45) | ((1L << 45) - 1)
