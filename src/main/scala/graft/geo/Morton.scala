@@ -28,4 +28,22 @@ object Morton {
     * 62-bit result, never negative for 31-bit inputs. Inputs are masked to
     * 31 bits (the contract is grid indices, which are far smaller). */
   def interleave(i: Long, j: Long): Long = spread(i) | (spread(j) << 1)
+
+  /** Low 21 bits of `x` spread to every THIRD bit position (0, 3, …, 60)
+    * — the standard 3-D magic-mask sequence. */
+  def spread3(x: Long): Long = {
+    var v = x & 0x1FFFFFL
+    v = (v | (v << 32)) & 0x001F00000000FFFFL
+    v = (v | (v << 16)) & 0x001F0000FF0000FFL
+    v = (v | (v << 8)) & 0x100F00F00F00F00FL
+    v = (v | (v << 4)) & 0x10C30C30C30C30C3L
+    v = (v | (v << 2)) & 0x1249249249249249L
+    v
+  }
+
+  /** 3-D Morton code of non-negative indices (i, j, k) — i on bits
+    * 0,3,6…, j on 1,4,7…, k on 2,5,8… — a 63-bit result, never negative
+    * for 21-bit inputs (the ZORDER ordinal width). */
+  def interleave3(i: Long, j: Long, k: Long): Long =
+    spread3(i) | (spread3(j) << 1) | (spread3(k) << 2)
 }

@@ -81,6 +81,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ZOrderExpression(children(0), children(1))
       }))
     extensions.injectFunction((
+      new FunctionIdentifier("z_order3"),
+      new ExpressionInfo(classOf[ZOrder3Expression].getName, "z_order3"),
+      (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(children.length == 3, "z_order3(i, j, k)")
+        ZOrder3Expression(children(0), children(1), children(2))
+      }))
+    extensions.injectFunction((
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalizeExpression].getName, "nfc_normalize"),
       (children: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

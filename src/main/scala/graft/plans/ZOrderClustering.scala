@@ -25,12 +25,17 @@ import org.apache.spark.unsafe.types.UTF8String
   * min/max stats in BOTH dimensions, so a point/box predicate on either
   * column prunes.
   *
-  * One column, or three+, falls back to lexicographic multi-column
-  * clustering (`repartitionByRange` + sort on the columns themselves):
-  * with one column that IS optimal; past two, interleaving 21-bit
-  * ordinals dilutes each dimension's stats below what the leading-columns
-  * sort gives, and the honest fallback keeps the leading columns' pruning
-  * exact. NULL ordinals cluster at 0 (front of the curve). */
+  * Three columns interleave the same 21-bit ordinals into a 63-bit
+  * 3-D Morton key ([[ZOrder3Expression]]) — Delta's own ZORDER handles
+  * 3+, and with rank ordinals available for every type the trailing
+  * column keeps real pruning power instead of dying under a
+  * lexicographic sort. One column, or four+, falls back to
+  * lexicographic multi-column clustering (`repartitionByRange` + sort
+  * on the columns themselves): with one column that IS optimal; past
+  * three the per-dimension ordinal budget dilutes below what the
+  * leading-columns sort gives, and the honest fallback keeps the
+  * leading columns' pruning exact. NULL ordinals cluster at 0 (front of
+  * the curve). */
 object ZOrderClustering {
 
   private val OrdinalBits = 21
@@ -83,7 +88,12 @@ object ZOrderClustering {
   def clusterKey(state: DataFrame, cols: Seq[String]): Seq[Column] = {
     require(cols.nonEmpty, "ZORDER BY needs at least one column")
     val fields = cols.map(field(state, _))
-    if (cols.length != 2) return fields.map(f => col(f.name))
+    // 1 column: a plain sort IS optimal. 4+: interleaving 21-bit
+    // ordinals dilutes each dimension's stats below what the
+    // leading-columns sort gives — honest lexicographic fallback.
+    // 2 and 3 columns get the true Morton interleave (63 bits at 3).
+    if (cols.length != 2 && cols.length != 3)
+      return fields.map(f => col(f.name))
 
     val numericNames =
       fields.filter(_.dataType.isInstanceOf[NumericType]).map(_.name)
@@ -101,7 +111,7 @@ object ZOrderClustering {
           if (row.isNullAt(j)) None else Some(row.getDouble(j))
         n -> (d(1 + 2 * i), d(2 + 2 * i))
       }.toMap
-    // ONE sample pass shared by all (≤2) string dimensions; deterministic
+    // ONE sample pass shared by all (≤3) string dimensions; deterministic
     // seed so repeated OPTIMIZE runs cluster identically
     val bounds: Map[String, Array[UTF8String]] =
       if (stringNames.isEmpty || total == 0L) Map.empty
@@ -120,13 +130,18 @@ object ZOrderClustering {
           n -> thin(vals, MaxBoundaries)
         }.toMap
       }
-    val Seq(ordA, ordB) = fields.map { f =>
+    val ords = fields.map { f =>
       if (f.dataType.isInstanceOf[NumericType]) {
         val (mn, mx) = stats(f.name)
         numericOrdinal(col(f.name), mn, mx)
       } else rankOrdinal(col(f.name), bounds.getOrElse(f.name, Array.empty))
+    }.map(ColumnBridge.expression)
+    ords match {
+      case Seq(a, b) =>
+        Seq(ColumnBridge.column(ZOrderExpression(a, b)))
+      case Seq(a, b, c) =>
+        Seq(ColumnBridge.column(ZOrder3Expression(a, b, c)))
+      case _ => throw new IllegalStateException(s"${ords.length} ordinals")
     }
-    Seq(ColumnBridge.column(ZOrderExpression(
-      ColumnBridge.expression(ordA), ColumnBridge.expression(ordB))))
   }
 }

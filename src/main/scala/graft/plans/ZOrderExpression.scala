@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ImplicitCastInputTypes, TernaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types.{DataType, LongType}
 
@@ -30,4 +30,31 @@ case class ZOrderExpression(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** `z_order3(i, j, k)` — the 3-D Morton interleave
+  * ([[graft.geo.Morton.interleave3]], 21 bits per dimension → 63-bit
+  * key): `OPTIMIZE … ZORDER BY (a, b, c)` clusters on it, so a point/box
+  * predicate on ANY of the three columns prunes (the trailing column
+  * would be statistically dead under a lexicographic sort). */
+case class ZOrder3Expression(first: Expression, second: Expression,
+                             third: Expression)
+  extends TernaryExpression with ImplicitCastInputTypes {
+
+  override def prettyName: String = "z_order3"
+  override def dataType: DataType = LongType
+  override def inputTypes: Seq[DataType] = Seq(LongType, LongType, LongType)
+
+  override protected def nullSafeEval(i: Any, j: Any, k: Any): Any =
+    graft.geo.Morton.interleave3(i.asInstanceOf[Long],
+      j.asInstanceOf[Long], k.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (i, j, k) =>
+      s"${ev.value} = graft.geo.Morton.interleave3($i, $j, $k);")
+
+  override protected def withNewChildrenInternal(
+      newFirst: Expression, newSecond: Expression,
+      newThird: Expression): Expression =
+    copy(first = newFirst, second = newSecond, third = newThird)
 }

@@ -422,4 +422,42 @@ class SqlOptimizeSpec extends SparkSpec {
     assert(hit(ranges("i"), 0, 7) < files.size, "i-box must prune")
     assert(hit(ranges("j"), 0, 7) < files.size, "j-box must prune")
   }
+
+  test("3-col Morton clustering prunes in ALL THREE dimensions (trailing column included)") {
+    val (cat, reg) = freshCatalog()
+    val d = freshDir() + "/cube"
+    // 16^3 cube, scrambled write order; under a lexicographic (i, j, k)
+    // sort the TRAILING k would span the full domain in every file
+    val cube = (0 until 4096).map { n =>
+      val m = (n * 2654435761L % 4096).toInt
+      (m % 16, (m / 16) % 16, m / 256, n.toLong)
+    }.toDF("i", "j", "k", "v")
+    DeltaLogWriter.write(cube.repartition(4), d)
+    reg.register("ns.cube", d)
+    val g = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[GraftCatalog]
+    val out = g.optimizeZOrder(spark, "ns.cube", Seq("i", "j", "k"),
+      targetFileBytes = 3000)
+    assert(out.head._1 == "committed_version")
+    val files = DeltaLogReader.activeFiles(spark, d)
+    assert(files.size >= 8, s"want >=8 files, got ${files.size}")
+    def resolve(f: String): String =
+      if (f.startsWith("/")) f else s"$d/$f"
+    def ranges(c: String) = files.map { f =>
+      val r = spark.read.parquet(resolve(f))
+        .agg(min(col(c)), max(col(c))).head
+      (r.getInt(0), r.getInt(1))
+    }
+    def hit(rs: Seq[(Int, Int)], lo: Int, hi: Int) =
+      rs.count { case (mn, mx) => mx >= lo && mn <= hi }
+    assert(hit(ranges("i"), 0, 3) < files.size, "i-box must prune")
+    assert(hit(ranges("j"), 0, 3) < files.size, "j-box must prune")
+    assert(hit(ranges("k"), 0, 3) < files.size, "k-box (TRAILING) must prune")
+    // content invariant
+    assert(spark.sql(s"SELECT sum(v) FROM $cat.ns.cube").head.getLong(0) ==
+      (0L until 4096L).sum)
+    // the SQL statement spelling drives the same lane
+    val out2 = spark.sql(s"OPTIMIZE $cat.ns.cube ZORDER BY (i, j, k)").collect()
+    assert(out2.head.getString(0) == "committed_version")
+  }
 }
