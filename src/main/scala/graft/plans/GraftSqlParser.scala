@@ -9,7 +9,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 /** Parser front-end for the ONE maintenance statement the reference's own
   * notebooks type that Spark's grammar lacks:
   *
-  * {{{ OPTIMIZE <table> [WHERE <partition equality conjunction>]
+  * {{{ OPTIMIZE <table> [WHERE <partition comparison conjunction>]
   *     [ZORDER BY (col, col, ...)] }}}
   *
   * — the literal `OPTIMIZE {} ZORDER BY (user, h3)` a reference user runs
@@ -24,7 +24,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Everything that is not an OPTIMIZE statement delegates to Spark's own
   * parser untouched (the wrapper adds no grammar ambiguity: `OPTIMIZE` is
   * not a Spark statement keyword). An OPTIMIZE statement this front-end
-  * cannot shape-match (a non-equality WHERE, extra clauses) refuses
+  * cannot shape-match (a non-comparison WHERE, extra clauses) refuses
   * loudly with the supported form named, rather than falling through to
   * Spark's opaque "syntax error at OPTIMIZE". */
 class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
@@ -52,11 +52,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
 
 object GraftSqlParser {
 
-  /** `OPTIMIZE name [WHERE <partition equality conjunction>] [ZORDER BY
+  /** `OPTIMIZE name [WHERE <partition comparison conjunction>] [ZORDER BY
     * (c1, c2, ...)]` — names are dotted parts, each part optionally
     * backticked (a backticked part containing a literal dot is out of
     * scope for this front-end). The WHERE grammar is Delta's own OPTIMIZE
-    * scope: equality on partition columns, AND-conjoined. */
+    * scope: comparisons on partition columns, AND-conjoined. */
   private val OptimizeStmt =
     """(?is)\s*OPTIMIZE\s+([`\w.]+)(?:\s+WHERE\s+(.+?))??\s*(?:ZORDER\s+BY\s*\(\s*([^)]+?)\s*\))?\s*;?\s*""".r
 
@@ -125,7 +125,7 @@ object GraftSqlParser {
       case other if OptimizeLead.pattern.matcher(other).matches() =>
         throw new IllegalArgumentException(
           "OPTIMIZE: this front-end accepts exactly 'OPTIMIZE <table> " +
-            "[WHERE <partition equality conjunction>] " +
+            "[WHERE <partition comparison conjunction>] " +
             "[ZORDER BY (col, ...)]'; got: " + other.trim)
       case _ => None
     }

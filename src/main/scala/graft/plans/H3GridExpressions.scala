@@ -32,6 +32,10 @@ object H3Grid {
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
           s"h3_kring: '$id' is not a hex H3 cell id") }
+    // hex alone is not a cell — a malformed id must refuse here, not
+    // feed garbage into the neighbor walk
+    require(H3.isValidCell(id, H3.resolution(h)),
+      s"h3_kring: '$id' is not a valid H3 cell index")
     h
   }
 

@@ -152,7 +152,20 @@ class PyfuncExportSpec extends SparkSpec {
       val lng = math.toDegrees(((i * ga) % (2 * math.Pi)) - math.Pi)
       (lat, lng, res)
     }
-    val vectors = published ++ sweep
+    // targeted pentagon-region vectors: jittered grids around each of
+    // the 12 pentagon base-cell centers, so the rotatePent60Ccw /
+    // CwOffsetPent code paths (which a uniform sweep barely samples)
+    // are parity-pinned too
+    val pentagonTargeted = for {
+      bc <- graft.geo.H3.Pentagons.toSeq.sorted
+      res <- Seq(1, 7, 9, 10)
+      d <- 0 until 9
+    } yield {
+      val p0 = (1L << 59) | (bc.toLong << 45) | ((1L << 45) - 1)
+      val (cla, clo) = graft.geo.H3.h3ToGeo(p0)
+      (cla + (d / 3 - 1) * 1.7, clo + (d % 3 - 1) * 1.7, res)
+    }
+    val vectors = published ++ sweep ++ pentagonTargeted
     val in = vectors.map { case (la, lo, r) => s"$la\t$lo\t$r" }
       .mkString("", "\n", "\n")
     java.nio.file.Files.write(java.nio.file.Paths.get(base, "in.tsv"),
