@@ -275,18 +275,19 @@ class GeoscanModel private[cluster] (
       .select("cluster", "h3")
   }
 
-  @transient private lazy val tileCache = new TileCache(getTiles)
+  @transient private lazy val tileCache =
+    new TileCache((p, l, g) => getTiles(p, l, g))
 
   /** Memoized, persisted tile cover — the frame [[transform]] joins against.
     * Use this instead of [[getTiles]] when the cover is also needed outside
     * transform (e.g. persisted to a table): the tiling pipeline then runs
-    * once, not once per consumer. */
+    * once, not once per consumer. Grid follows the `tileGrid` param. */
   def cachedTiles(precision: Int, layers: Int): DataFrame =
-    tileCache(precision, layers)._1
+    tileCache(precision, layers, $(tileGrid))._1
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val prec = $(tilePrecision)
-    val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers))
+    val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers), $(tileGrid))
     val in = dataset.toDF()
     // UNIQUE helper names (uid-suffixed): the caller may legitimately own
     // an `h3` — or a `__cell`/`__tile_cluster` — column, and a fixed
@@ -301,7 +302,7 @@ class GeoscanModel private[cluster] (
     // pre-existing one instead of producing an ambiguous duplicate
     val base = if (in.columns.contains($(predictionCol))) in.drop($(predictionCol)) else in
     base
-      .withColumn(cellCol, GeoFunctions.geoCell(
+      .withColumn(cellCol, tileCellCol(
         col($(latitudeCol)).cast(DoubleType), col($(longitudeCol)).cast(DoubleType), prec))
       .join(tilesSide, col(cellCol) === tilesSide(tileH3Col), "left_outer")
       .drop(tileH3Col, cellCol)
@@ -326,7 +327,7 @@ class GeoscanModel private[cluster] (
         "latitudeCol" -> $(latitudeCol), "longitudeCol" -> $(longitudeCol),
         "predictionCol" -> $(predictionCol), "epsilon" -> $(epsilon).toString,
         "minPts" -> $(minPts).toString, "tilePrecision" -> $(tilePrecision).toString,
-        "tileLayers" -> $(tileLayers).toString))
+        "tileLayers" -> $(tileLayers).toString, "tileGrid" -> $(tileGrid)))
       state.write.mode("overwrite").parquet(s"$path/data")
     }
   }
@@ -343,6 +344,7 @@ object GeoscanModel extends MLReadable[GeoscanModel] {
         .setPredictionCol(p("predictionCol")).setEpsilon(p("epsilon").toDouble)
         .setMinPts(p("minPts").toInt)
         .setTilePrecision(p("tilePrecision").toInt).setTileLayers(p("tileLayers").toInt)
+        .setTileGrid(p.getOrElse("tileGrid", TileGrid.GeoCell)) // pre-r18 sidecars lack it
     }
   }
 }

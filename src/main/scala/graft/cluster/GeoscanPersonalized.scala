@@ -120,12 +120,13 @@ class GeoscanPersonalizedModel private[cluster] (
       .select("user", "cluster", "h3")
   }
 
-  @transient private lazy val tileCache = new TileCache(getTiles)
+  @transient private lazy val tileCache =
+    new TileCache((pr, l, g) => getTiles(pr, l, g))
 
   /** Memoized, persisted tile cover — the frame [[transform]] joins against;
     * see [[GeoscanModel.cachedTiles]]. */
   def cachedTiles(precision: Int, layers: Int): DataFrame =
-    tileCache(precision, layers)._1
+    tileCache(precision, layers, $(tileGrid))._1
 
   /** The fitted hull state (user, cluster, hull) — the model's cluster
     * geometries as a DataFrame (what `save` persists under {path}/hulls).
@@ -140,7 +141,7 @@ class GeoscanPersonalizedModel private[cluster] (
 
   override def transform(dataset: Dataset[_]): DataFrame = {
     val prec = $(tilePrecision)
-    val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers))
+    val (tilesRaw, nTiles) = tileCache(prec, $(tileLayers), $(tileGrid))
     // unique join-side names so a caller-owned h3 column survives
     val tiles = tilesRaw.select(col("user").as("__tile_user"),
       col("cluster").as("__tile_cluster"), col("h3").as("__tile_h3"))
@@ -148,7 +149,7 @@ class GeoscanPersonalizedModel private[cluster] (
     val in = dataset.toDF()
     val base = if (in.columns.contains($(predictionCol))) in.drop($(predictionCol)) else in
     base
-      .withColumn("__cell", GeoFunctions.geoCell(
+      .withColumn("__cell", tileCellCol(
         col($(latitudeCol)).cast(DoubleType), col($(longitudeCol)).cast(DoubleType), prec))
       .join(tilesSide,
         col("__cell") === tilesSide("__tile_h3") &&
@@ -182,7 +183,8 @@ class GeoscanPersonalizedModel private[cluster] (
         "latitudeCol" -> $(latitudeCol), "longitudeCol" -> $(longitudeCol),
         "predictionCol" -> $(predictionCol), "epsilon" -> $(epsilon).toString,
         "minPts" -> $(minPts).toString, "groupedCol" -> $(groupedColM),
-        "tilePrecision" -> $(tilePrecision).toString, "tileLayers" -> $(tileLayers).toString))
+        "tilePrecision" -> $(tilePrecision).toString, "tileLayers" -> $(tileLayers).toString,
+        "tileGrid" -> $(tileGrid)))
       // {path}/data is the reference checkpoint contract — readable WITHOUT
       // the library as (user string, cluster string GeoJSON FeatureCollection)
       // (`02_geofraud_fraud.py:24-30`; FIXTURES A3). The exact hull
@@ -216,6 +218,7 @@ object GeoscanPersonalizedModel extends MLReadable[GeoscanPersonalizedModel] {
         .setPredictionCol(p("predictionCol")).setEpsilon(p("epsilon").toDouble)
         .setMinPts(p("minPts").toInt).setGroupedCol(p("groupedCol"))
         .setTilePrecision(p("tilePrecision").toInt).setTileLayers(p("tileLayers").toInt)
+        .setTileGrid(p.getOrElse("tileGrid", TileGrid.GeoCell)) // pre-r18 sidecars lack it
       m
     }
   }

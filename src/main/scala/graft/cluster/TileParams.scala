@@ -11,9 +11,27 @@ private[cluster] trait TileParams extends Params {
     "cell resolution used by transform", ParamValidators.inRange(0, 15))
   final val tileLayers = new IntParam(this, "tileLayers",
     "extra cell rings around clusters at transform", ParamValidators.gtEq(0))
-  setDefault(tilePrecision -> 10, tileLayers -> 0)
+  /** Tile-id grid `transform` scores on: the engine's `geocell`
+    * (default, oracle-replayable) or real `h3` — a model fitted for the
+    * reference's own id space then serves IN-SPARK through the same
+    * `transform` call, no manual q283-style join. */
+  final val tileGrid = new org.apache.spark.ml.param.Param[String](this,
+    "tileGrid", "tile id grid used by transform (geocell | h3)",
+    (v: String) => v == TileGrid.GeoCell || v == TileGrid.H3)
+  setDefault(tilePrecision -> 10, tileLayers -> 0,
+    tileGrid -> TileGrid.GeoCell)
   def setTilePrecision(v: Int): this.type = set(tilePrecision, v)
   def setTileLayers(v: Int): this.type = set(tileLayers, v)
+  /** Normalizes case and refuses unknown grids eagerly. */
+  def setTileGrid(v: String): this.type = set(tileGrid, TileGrid.validate(v))
+
+  /** Point → tile-id column on the configured grid. */
+  protected def tileCellCol(lat: org.apache.spark.sql.Column,
+                            lng: org.apache.spark.sql.Column,
+                            precision: Int): org.apache.spark.sql.Column =
+    if ($(tileGrid) == TileGrid.H3)
+      graft.functions.GeoFunctions.geoToH3(lat, lng, precision)
+    else graft.functions.GeoFunctions.geoCell(lat, lng, precision)
 }
 
 /** Tile GRID dispatch for `getTiles(precision, layers, grid)`: the
@@ -50,17 +68,19 @@ private[cluster] object TileGrid {
   * and reshuffle the tile table every time. Also measures the actual tile
   * count — the broadcast decision input (cluster count is the wrong proxy:
   * a handful of clusters can tile to millions of cells at fine precision). */
-private[cluster] final class TileCache(build: (Int, Int) => DataFrame) extends Serializable {
-  @transient private var cached: Option[(Int, Int, DataFrame, Long)] = None
+private[cluster] final class TileCache(build: (Int, Int, String) => DataFrame)
+    extends Serializable {
+  @transient private var cached: Option[(Int, Int, String, DataFrame, Long)] = None
 
-  def apply(prec: Int, layers: Int): (DataFrame, Long) = synchronized {
+  def apply(prec: Int, layers: Int, grid: String): (DataFrame, Long) = synchronized {
     cached match {
-      case Some((p, l, df, n)) if p == prec && l == layers => (df, n)
+      case Some((p, l, g, df, n)) if p == prec && l == layers && g == grid =>
+        (df, n)
       case _ =>
-        cached.foreach(_._3.unpersist())
-        val df = build(prec, layers).persist(StorageLevel.MEMORY_AND_DISK)
+        cached.foreach(_._4.unpersist())
+        val df = build(prec, layers, grid).persist(StorageLevel.MEMORY_AND_DISK)
         val n = df.count()
-        cached = Some((prec, layers, df, n))
+        cached = Some((prec, layers, grid, df, n))
         (df, n)
     }
   }

@@ -90,6 +90,57 @@ class GeoscanSpec extends SparkSpec {
     assert(e.getMessage.contains("'s3'") && e.getMessage.contains("h3"))
   }
 
+  test("transform on tileGrid=h3 equals the manual real-H3 tiling join; param survives save/load") {
+    import spark.implicits._
+    val df = twoBlobs.toDF("latitude", "longitude")
+    val model = new Geoscan().setEpsilon(150).setMinPts(3).fit(df)
+    model.setTilePrecision(10).setTileLayers(1).setTileGrid("h3")
+    // probe set with guaranteed misses (shifted copies)
+    val pts = df.unionAll(df.limit(10)
+      .select(($"latitude" + 1.0).as("latitude"), $"longitude"))
+    val got = model.transform(pts)
+      .select($"latitude", $"longitude", $"cluster")
+    // the manual q283-shape join over the SAME cover
+    val tiles = model.getTiles(10, 1, "h3")
+    val expected = pts.join(tiles,
+      graft.functions.GeoFunctions.geoToH3($"latitude", $"longitude", 10) ===
+        tiles("h3"), "left_outer")
+      .select($"latitude", $"longitude", $"cluster")
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0)
+    assert(got.where($"cluster".isNotNull).count() > 0, "need hits")
+    assert(got.where($"cluster".isNull).count() > 0, "need misses")
+    // the grid param persists through save/load (pre-r18 sidecars
+    // without the key default to geocell — covered by the S6 test)
+    val dir = java.nio.file.Files.createTempDirectory("gsgrid").toString + "/m"
+    model.write.save(dir)
+    val back = GeoscanModel.read.load(dir)
+    assert(back.getOrDefault(back.tileGrid) == "h3")
+    val got2 = back.transform(pts)
+      .select($"latitude", $"longitude", $"cluster")
+    assert(got2.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got2).count() == 0)
+    // unknown grid refuses at the setter, eagerly
+    val e = intercept[IllegalArgumentException](model.setTileGrid("s2"))
+    assert(e.getMessage.contains("s2"), e.getMessage)
+    // the PERSONALIZED twin dispatches identically (user-keyed join)
+    val upts = pts.withColumn("user",
+      (abs(hash($"latitude")) % 2).cast("string"))
+    val pm = new GeoscanPersonalized().setGroupedCol("user")
+      .setEpsilon(150).setMinPts(3).fit(upts)
+    pm.setTilePrecision(10).setTileLayers(1).setTileGrid("h3")
+    val ptiles = pm.getTiles(10, 1, "h3")
+    val pExpected = upts.join(ptiles,
+      graft.functions.GeoFunctions.geoToH3(upts("latitude"),
+        upts("longitude"), 10) === ptiles("h3") &&
+        upts("user") === ptiles("user"), "left_outer")
+      .select(upts("user"), upts("latitude"), upts("longitude"), $"cluster")
+    val pGot = pm.transform(upts)
+      .select($"user", $"latitude", $"longitude", $"cluster")
+    assert(pGot.exceptAll(pExpected).count() == 0 &&
+      pExpected.exceptAll(pGot).count() == 0)
+  }
+
   test("save/load round-trips the distributed model (S6)") {
     import spark.implicits._
     val df = twoBlobs.toDF("latitude", "longitude")
