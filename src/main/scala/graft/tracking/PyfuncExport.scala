@@ -238,6 +238,17 @@ object PyfuncExport {
     // GeoCell twin, real-H3 covers (`getTiles(…, grid="h3")`) through the
     // generated pure-python geo_to_h3 — every id validated either way
     val g = resolveGrid(frame, precision, grid, "exportGeoscanScorer")
+    // the loader keys its dict on (user,) h3 → int(cluster): a null
+    // cluster crashes `int(None)`, and a null user would key as the
+    // bogus 'None' string — refuse both eagerly (a fitted cover never
+    // carries them; a hand-built frame must be fixed, not mis-served)
+    val badRow = frame.where(col("cluster").isNull ||
+        (if (personalized) col("user").isNull else lit(false)))
+      .limit(1).count()
+    require(badRow == 0,
+      "exportGeoscanScorer: the tiles frame carries a NULL cluster" +
+        (if (personalized) " or user" else "") +
+        " — refusing (the python twin cannot key or label those rows)")
     val sized = frame.agg(coalesce(sum(length(col("h3")) + 16L), lit(0L))).head
     val parts = math.max(1L,
       (sized.getLong(0) + maxShardBytes - 1) / maxShardBytes).toInt

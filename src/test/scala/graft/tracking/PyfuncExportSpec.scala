@@ -124,6 +124,13 @@ class PyfuncExportSpec extends SparkSpec {
       PyfuncExport.exportGeoscanScorer(spark, tiles, freshDir() + "/w", 10,
         grid = "s2"))
     assert(e4.getMessage.contains("supported"), e4.getMessage)
+    // a NULL cluster refuses too (the loader would crash on int(None))
+    val nullCluster = tiles.select(
+      when($"h3" === tiles.select("h3").head.getString(0), null)
+        .otherwise($"cluster").as("cluster"), $"h3")
+    val e5 = intercept[IllegalArgumentException](
+      PyfuncExport.exportGeoscanScorer(spark, nullCluster, freshDir() + "/v", 10))
+    assert(e5.getMessage.contains("NULL cluster"), e5.getMessage)
   }
 
   test("generated python geo_to_h3 is bit-identical to H3.geoToH3 (published vectors + sphere sweep)") {
