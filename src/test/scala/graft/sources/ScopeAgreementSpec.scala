@@ -1,0 +1,138 @@
+package graft.sources
+
+import graft.SparkSpec
+import graft.plans.ScopeTerm
+import org.apache.spark.sql.functions._
+
+/** The scoped-OPTIMIZE SELECTION-AGREEMENT law, enumerated: for every
+  * supported partition type (integer, string, date — null partition
+  * present throughout) and every scope shape (equality, one-sided
+  * bounds, two-sided range, multi-column), file selection (hive path
+  * values) and row selection (typed column predicate) pick the SAME
+  * set — proven by three invariants after each rewrite:
+  * content multiset unchanged, every unmatched partition's files
+  * byte-identical, every matched partition compacted. This is the
+  * generalized form of the ADVICE-r17 finding (path-vs-column
+  * disagreement silently drops or duplicates rows). */
+class ScopeAgreementSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshDir(): String =
+    java.nio.file.Files.createTempDirectory("scopeagree").toString
+
+  /** (partition value as hive spells it, or null) → matched? */
+  private case class Case(name: String, scope: Seq[ScopeTerm],
+                          matched: Set[String])
+
+  private def check(d: String, partCol: String, allParts: Seq[Option[String]],
+                    c: Case): Unit = {
+    val before = DeltaLogReader.activeFiles(spark, d)
+    def partOf(p: String): Option[String] = {
+      val seg = p.split("/").find(_.startsWith(s"$partCol="))
+      seg.map(_.substring(partCol.length + 1))
+    }
+    val beforeUnmatched = before.filterNot(p =>
+      partOf(p).exists(c.matched.contains)).toSet
+    val sumBefore = DeltaLogReader.read(spark, d)
+      .agg(sum($"v")).head.getLong(0)
+    val nBefore = DeltaLogReader.read(spark, d).count()
+
+    DeltaLogWriter.optimize(spark, d, partitionFilter = c.scope)
+
+    val after = DeltaLogReader.activeFiles(spark, d)
+    // (a) content multiset unchanged (sum + count over all rows)
+    assert(DeltaLogReader.read(spark, d).agg(sum($"v")).head.getLong(0)
+      == sumBefore, s"${c.name}: content changed")
+    assert(DeltaLogReader.read(spark, d).count() == nBefore,
+      s"${c.name}: row count changed")
+    // (b) unmatched partitions' files survive VERBATIM
+    assert(after.filterNot(p => partOf(p).exists(c.matched.contains)).toSet
+      == beforeUnmatched, s"${c.name}: an unmatched partition was touched")
+    // (c) every matched partition compacted to one file
+    c.matched.foreach { m =>
+      assert(after.count(p => partOf(p).contains(m)) == 1,
+        s"${c.name}: partition $m not compacted — $after")
+    }
+    // (d) null-partition rows always intact
+    assert(DeltaLogReader.read(spark, d)
+      .where(col(partCol).isNull).count() ==
+      allParts.count(_.isEmpty) * 10L, s"${c.name}: null rows lost")
+  }
+
+  test("integer partitions: =, >=, <, range, all agree file/row selection") {
+    val d = freshDir() + "/t"
+    // 10 rows per partition in {0,1,2,3,null}; several files each
+    val df = (0 until 50).map { i =>
+      (if (i % 5 == 4) None else Some(i % 5), i.toLong)
+    }.toDF("day", "v")
+    DeltaLogWriter.write(df.repartition(5), d, partitionBy = Seq("day"))
+    val parts = Seq(Some("0"), Some("1"), Some("2"), Some("3"), None)
+    check(d, "day", parts, Case("eq",
+      Seq(ScopeTerm("day", "=", "1")), Set("1")))
+    check(d, "day", parts, Case("ge",
+      Seq(ScopeTerm("day", ">=", "2")), Set("2", "3")))
+    check(d, "day", parts, Case("lt",
+      Seq(ScopeTerm("day", "<", "1")), Set("0")))
+    check(d, "day", parts, Case("range",
+      Seq(ScopeTerm("day", ">=", "1"), ScopeTerm("day", "<=", "2")),
+      Set("1", "2")))
+  }
+
+  test("string partitions: lexicographic ranges agree; date partitions: ISO ranges agree") {
+    val d = freshDir() + "/s"
+    val df = (0 until 40).map { i =>
+      (if (i % 4 == 3) None else Some(f"k${i % 4}%02d"), i.toLong)
+    }.toDF("k", "v")
+    DeltaLogWriter.write(df.repartition(4), d, partitionBy = Seq("k"))
+    val sParts = Seq(Some("k00"), Some("k01"), Some("k02"), None)
+    check(d, "k", sParts, Case("s_eq",
+      Seq(ScopeTerm("k", "=", "k01")), Set("k01")))
+    check(d, "k", sParts, Case("s_range",
+      Seq(ScopeTerm("k", ">", "k00"), ScopeTerm("k", "<=", "k02")),
+      Set("k01", "k02")))
+
+    val d2 = freshDir() + "/d"
+    val dfD = (0 until 40).map { i =>
+      (if (i % 4 == 3) null else f"2024-01-0${i % 4 + 1}%s", i.toLong)
+    }.toDF("ds", "v").select(to_date($"ds").as("day"), $"v")
+    DeltaLogWriter.write(dfD.repartition(4), d2, partitionBy = Seq("day"))
+    val dParts = Seq(Some("2024-01-01"), Some("2024-01-02"),
+      Some("2024-01-03"), None)
+    check(d2, "day", dParts, Case("d_eq",
+      Seq(ScopeTerm("day", "=", "2024-01-02")), Set("2024-01-02")))
+    check(d2, "day", dParts, Case("d_range",
+      Seq(ScopeTerm("day", ">=", "2024-01-02"),
+        ScopeTerm("day", "<", "2024-01-04")),
+      Set("2024-01-02", "2024-01-03")))
+  }
+
+  test("Iceberg: range scope on a day(ts) hidden transform rewrites exactly the matched days") {
+    val base = freshDir() + "/ice"
+    val day0 = 86400000000L
+    // 3 days × 2 appends; day field name ets_day, transformed domain =
+    // epoch days
+    val mk = Seq((1L, day0), (2L, day0 + 1000L), (3L, 2 * day0),
+      (4L, 3 * day0)).toDF("id", "us")
+      .selectExpr("id", "timestamp_micros(us) AS ets")
+    IcebergWriter.commitAppend(spark, base, mk.coalesce(1), 941L, 1000L,
+      partitionBy = Seq("day(ets)"))
+    IcebergWriter.commitAppend(spark, base, mk.coalesce(1), 942L, 2000L,
+      partitionBy = Seq("day(ets)"))
+    val before = Iceberg.planFiles(spark, base)
+    val v = IcebergWriter.compactScoped(spark, base, 943L, 3000L,
+      Seq(ScopeTerm("ets_day", ">=", "1970-01-02"),
+        ScopeTerm("ets_day", "<", "1970-01-04")))
+    assert(v > 0)
+    val after = Iceberg.planFiles(spark, base)
+    // the two matched days compact to ONE FILE EACH (per-partition-value
+    // fan-out — pruning survives); day 3 carried
+    assert(after.count(_.contains("compact943")) == 2, after.mkString(", "))
+    val carried = after.filterNot(_.contains("compact943")).toSet
+    assert(carried.subsetOf(before.toSet), "carried files must be originals")
+    // content intact (each id twice)
+    assert(Iceberg.read(spark, base).count() == 8L)
+    assert(Iceberg.read(spark, base).agg(sum($"id")).head.getLong(0) == 20L)
+    // the carried files hold exactly the out-of-scope day's rows
+    assert(carried.toSeq.map(p => spark.read.parquet(p).count()).sum == 2L)
+  }
+}
