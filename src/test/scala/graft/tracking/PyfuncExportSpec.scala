@@ -124,6 +124,14 @@ class PyfuncExportSpec extends SparkSpec {
       PyfuncExport.exportGeoscanScorer(spark, tiles, freshDir() + "/w", 10,
         grid = "s2"))
     assert(e4.getMessage.contains("supported"), e4.getMessage)
+    // a FOREIGN lowercase-h3 cover (the h3 library's own print form)
+    // dispatches to the h3 grid too — the loader case-normalizes keys
+    val lowerTiles = h3Tiles.select($"cluster", lower($"h3").as("h3"))
+    val ldst = freshDir() + "/lc"
+    PyfuncExport.exportGeoscanScorer(spark, lowerTiles, ldst, 10)
+    val lparams = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(ldst, "data/params.txt")), "UTF-8")
+    assert(lparams.contains("grid=h3"), lparams)
     // a NULL cluster refuses too (the loader would crash on int(None))
     val nullCluster = tiles.select(
       when($"h3" === tiles.select("h3").head.getString(0), null)
