@@ -64,10 +64,11 @@ object GeoFraudPipeline {
     * know about. Both paths score bit-identically. */
   def scoreTransactions(points: DataFrame, tiles: DataFrame,
                         precision: Int = 10, fpp: Double = 0.01,
-                        broadcastBudgetBytes: Long = Blooms.DefaultBroadcastBudgetBytes): DataFrame = {
+                        broadcastBudgetBytes: Long = Blooms.DefaultBroadcastBudgetBytes,
+                        grid: String = "geocell"): DataFrame = {
     val trained = Blooms.train(tiles.select(col("user"), col("h3")), fpp)
     Blooms.scoreAuto(points, trained, precision,
-      broadcastBudgetBytes = broadcastBudgetBytes)
+      broadcastBudgetBytes = broadcastBudgetBytes, grid = grid)
   }
 
   /** Full 01+02 run. `zorderWrite` approximates the reference's

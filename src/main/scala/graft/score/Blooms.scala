@@ -57,6 +57,25 @@ object Blooms {
     * broadcast budget. One metadata-light aggregate over the trained frame
     * (sum of filter byte lengths — the exact payload [[toMap]] would
     * collect), not a guess from user counts. */
+  /** Point → tile-id column on the declared grid — the id space the
+    * filters were TRAINED on must be the one probes are computed in
+    * (`grid = "h3"` for blooms over real-H3 tiles, the reference's own
+    * `H3Lookup` shape; the engine's `geocell` by default). A mismatch is
+    * a silent everything-is-anomalous wrong answer, so unknown names
+    * refuse eagerly with both options. */
+  private def cellCol(grid: String, latCol: String, lngCol: String,
+                      precision: Int): org.apache.spark.sql.Column =
+    grid.toLowerCase(java.util.Locale.ROOT) match {
+      case "geocell" | "engine" =>
+        GeoFunctions.geoCell(col(latCol).cast("double"),
+          col(lngCol).cast("double"), precision)
+      case "h3" =>
+        GeoFunctions.geoToH3(col(latCol).cast("double"),
+          col(lngCol).cast("double"), precision)
+      case other => throw new IllegalArgumentException(
+        s"unknown grid '$other' — supported: 'geocell' (engine, default), 'h3'")
+    }
+
   def fitsBroadcast(trained: DataFrame,
                     budgetBytes: Long = DefaultBroadcastBudgetBytes): Boolean = {
     val sz = trained.agg(coalesce(sum(length(col("bloom"))), lit(0L)))
@@ -73,7 +92,8 @@ object Blooms {
   def scoreAuto(points: DataFrame, trained: DataFrame, precision: Int = 10,
                 userCol: String = "user", latCol: String = "latitude",
                 lngCol: String = "longitude",
-                broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes): DataFrame = {
+                broadcastBudgetBytes: Long = DefaultBroadcastBudgetBytes,
+                grid: String = "geocell"): DataFrame = {
     // cache the trained aggregation across the two EAGER consumers (the
     // budget probe and the broadcast path's collect) — un-cached, the
     // whole train lineage (tiles explode + groupBy + per-user bloom
@@ -85,9 +105,9 @@ object Blooms {
     val t = trained.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       if (fitsBroadcast(t, broadcastBudgetBytes))
-        score(points, toMap(t, userCol), precision, userCol, latCol, lngCol)
+        score(points, toMap(t, userCol), precision, userCol, latCol, lngCol, grid)
       else
-        scoreByJoin(points, trained, precision, userCol, latCol, lngCol)
+        scoreByJoin(points, trained, precision, userCol, latCol, lngCol, grid)
     } finally t.unpersist(false)
   }
 
@@ -102,7 +122,8 @@ object Blooms {
     * probe; BloomsSpec asserts equality). */
   def scoreByJoin(points: DataFrame, trained: DataFrame, precision: Int = 10,
                   userCol: String = "user", latCol: String = "latitude",
-                  lngCol: String = "longitude"): DataFrame = {
+                  lngCol: String = "longitude",
+                  grid: String = "geocell"): DataFrame = {
     import org.apache.spark.sql.{Encoder, Encoders, Row}
     import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
     val nPoint = points.schema.length
@@ -113,8 +134,7 @@ object Blooms {
     // Sort-merge clusters and sorts each partition by user, so each filter
     // deserializes once per partition.
     val joined = points
-      .withColumn("__cell", GeoFunctions.geoCell(
-        col(latCol).cast("double"), col(lngCol).cast("double"), precision))
+      .withColumn("__cell", cellCol(grid, latCol, lngCol, precision))
       .join(tr.hint("merge"), col(userCol).cast("string") === col("__bf_user"), "left_outer")
     implicit val enc: Encoder[Row] = Encoders.row(
       StructType(points.schema.fields :+ StructField("anomaly", IntegerType, nullable = false)))
@@ -162,7 +182,7 @@ object Blooms {
     * on streaming DataFrames (no shuffle, no state). */
   def score(points: DataFrame, blooms: Map[String, BloomFilter], precision: Int = 10,
             userCol: String = "user", latCol: String = "latitude",
-            lngCol: String = "longitude"): DataFrame = {
+            lngCol: String = "longitude", grid: String = "geocell"): DataFrame = {
     val spark = points.sparkSession
     val bc = spark.sparkContext.broadcast(blooms)
     val probe = udf { (user: String, cell: String) =>
@@ -174,6 +194,6 @@ object Blooms {
     }
     points.withColumn("anomaly",
       probe(col(userCol).cast("string"),
-        GeoFunctions.geoCell(col(latCol).cast("double"), col(lngCol).cast("double"), precision)))
+        cellCol(grid, latCol, lngCol, precision)))
   }
 }

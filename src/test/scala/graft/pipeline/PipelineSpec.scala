@@ -121,6 +121,44 @@ class PipelineSpec extends SparkSpec {
     assert(served.filter(col("anomaly") === 1).count() > 0)
   }
 
+  test("h3-grid bloom scoring: all paths agree, and the grid mismatch hazard is real") {
+    import spark.implicits._
+    // blooms trained on REAL-H3 tiles of every point's own cell
+    val tiles = tx.select(col("user"), graft.functions.GeoFunctions
+      .geoToH3(col("latitude"), col("longitude"), 10).as("h3"))
+    val trained = Blooms.train(tiles, fpp = 0.01)
+    val cols = Seq("latitude", "longitude", "amount", "user", "anomaly").map(col)
+    val viaMap = Blooms.score(tx, Blooms.toMap(trained), 10, grid = "h3")
+      .select(cols: _*)
+    val viaJoin = Blooms.scoreByJoin(tx, trained, 10, grid = "h3")
+      .select(cols: _*)
+    assert(viaMap.exceptAll(viaJoin).count() == 0 &&
+      viaJoin.exceptAll(viaMap).count() == 0)
+    // FN=0: every point's own tile is trained, so nothing is anomalous
+    assert(viaMap.filter($"anomaly" === 1).count() == 0)
+    // scoreAuto forwards the grid on BOTH budget paths
+    val totalBytes = trained.agg(sum(length(col("bloom")))).head.getLong(0)
+    val autoB = Blooms.scoreAuto(tx, trained, 10,
+      broadcastBudgetBytes = totalBytes, grid = "h3").select(cols: _*)
+    val autoJ = Blooms.scoreAuto(tx, trained, 10,
+      broadcastBudgetBytes = totalBytes - 1, grid = "h3").select(cols: _*)
+    assert(autoB.exceptAll(viaMap).count() == 0 &&
+      autoJ.exceptAll(viaMap).count() == 0)
+    // the serving entry point carries the grid through
+    val served = GeoFraudPipeline.scoreTransactions(tx, tiles, grid = "h3")
+    assert(served.filter(col("anomaly") === 1).count() == 0)
+    // and the hazard the param closes is REAL: probing h3-trained blooms
+    // with ENGINE cells flags (almost) everything anomalous
+    val wrong = Blooms.score(tx, Blooms.toMap(trained), 10)
+    val wrongFrac = wrong.filter(col("anomaly") === 1).count().toDouble /
+      tx.count().toDouble
+    assert(wrongFrac > 0.95, s"mismatched grid only flagged $wrongFrac")
+    // unknown grid names refuse eagerly
+    val e = intercept[IllegalArgumentException](
+      Blooms.score(tx, Blooms.toMap(trained), 10, grid = "s2"))
+    assert(e.getMessage.contains("s2"), e.getMessage)
+  }
+
   test("bloom training skips null tiles instead of NPE-ing") {
     import spark.implicits._
     val tiles = Seq(("u", Some("CELL1")), ("u", None), (null, Some("CELL2")))
