@@ -24,18 +24,18 @@ object H3Grid {
     * cells; 256 rings ≈ 200k cells per row is already a misuse. */
   val MaxK = 256
 
-  private[plans] def parseCell(s: UTF8String): Long = {
+  private[plans] def parseCell(s: UTF8String, caller: String): Long = {
     val id = s.toString
     val h =
       try java.lang.Long.parseUnsignedLong(
         id.toLowerCase(java.util.Locale.ROOT), 16)
       catch { case _: NumberFormatException =>
         throw new IllegalArgumentException(
-          s"h3_kring: '$id' is not a hex H3 cell id") }
+          s"$caller: '$id' is not a hex H3 cell id") }
     // hex alone is not a cell — a malformed id must refuse here, not
     // feed garbage into the neighbor walk
     require(H3.isValidCell(id, H3.resolution(h)),
-      s"h3_kring: '$id' is not a valid H3 cell index")
+      s"$caller: '$id' is not a valid H3 cell index")
     h
   }
 
@@ -68,7 +68,7 @@ case class H3KRingExpression(left: Expression, right: Expression)
     require(kk >= 0 && kk <= H3Grid.MaxK,
       s"h3_kring: k=$kk out of [0, ${H3Grid.MaxK}]")
     H3Grid.sortedIds(
-      H3.kRing(H3Grid.parseCell(id.asInstanceOf[UTF8String]), kk))
+      H3.kRing(H3Grid.parseCell(id.asInstanceOf[UTF8String], prettyName), kk))
   }
 
   override protected def withNewChildrenInternal(
@@ -99,13 +99,35 @@ case class H3PolyfillExpression(lats: Expression, lngs: Expression,
     val r = res.eval(input)
     val l = layers.eval(input)
     if (la == null || lo == null || r == null || l == null) return null
-    val laArr = la.asInstanceOf[ArrayData].toDoubleArray()
-    val loArr = lo.asInstanceOf[ArrayData].toDoubleArray()
+    val laData = la.asInstanceOf[ArrayData]
+    val loData = lo.asInstanceOf[ArrayData]
+    // ArrayData.toDoubleArray silently reads 0.0 for UnsafeArrayData null
+    // slots (injecting a bogus (0,0) vertex) — refuse null elements by
+    // name, consistent with the expression's other guards
+    var i = 0
+    while (i < laData.numElements()) {
+      require(!laData.isNullAt(i),
+        s"h3_polyfill: latitudes[$i] is null — polygon vertices must be non-null")
+      i += 1
+    }
+    i = 0
+    while (i < loData.numElements()) {
+      require(!loData.isNullAt(i),
+        s"h3_polyfill: longitudes[$i] is null — polygon vertices must be non-null")
+      i += 1
+    }
+    val laArr = laData.toDoubleArray()
+    val loArr = loData.toDoubleArray()
     require(laArr.length == loArr.length,
       s"h3_polyfill: ${laArr.length} latitudes vs ${loArr.length} longitudes")
+    val ll = l.asInstanceOf[Int]
+    // same guard class as h3_kring's MaxK: each relaxation layer kRings
+    // every cover cell, so an unbounded `layers` is a quadratic accident
+    require(ll >= 0 && ll <= H3Grid.MaxK,
+      s"h3_polyfill: layers=$ll out of [0, ${H3Grid.MaxK}]")
     val verts = laArr.zip(loArr).toSeq
     H3Grid.sortedIds(
-      H3.polygonCells(verts, r.asInstanceOf[Int], l.asInstanceOf[Int])
+      H3.polygonCells(verts, r.asInstanceOf[Int], ll)
         .map(H3.fromString))
   }
 

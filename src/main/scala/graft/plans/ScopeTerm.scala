@@ -63,16 +63,39 @@ object ScopeTerm {
         "cannot scope a rewrite — supported: string, date, int, long")
   }
 
+  /** Unsigned UTF-8 byte comparison — the SAME total order Spark's
+    * `UTF8String.compareTo` gives the row-side scope predicates. Java's
+    * `String.compareTo` orders by UTF-16 code UNIT, which disagrees with
+    * byte order for supplementary-plane characters (a surrogate pair's
+    * lead unit 0xD800–0xDBFF sorts BELOW 0xE000–0xFFFF in UTF-16 but its
+    * UTF-8 encoding 0xF0… sorts ABOVE 0xEE…); file selection here and row
+    * selection in the writers must agree on ONE order or a string range
+    * scope over such partition values silently duplicates or loses rows. */
+  def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    java.lang.Integer.compare(x.length, y.length)
+  }
+
   /** Does partition value `pv` (Int/Long/String as the metadata carries
     * it) satisfy `<pv> op <lit>`? A type mismatch (e.g. a null-partition
     * sentinel where a number is expected) is NO MATCH, never an error —
     * unmatched partitions are simply out of scope. String comparison is
-    * lexicographic (the transformed-domain order for string fields). */
+    * unsigned UTF-8 byte order ([[utf8Compare]] — matching the row-side
+    * `UTF8String` binary order, so file and row selection agree even on
+    * supplementary-plane partition values). */
   def satisfies(op: String, pv: Any, lit: Any): Boolean = {
     val cmp: Option[Int] = (pv, lit) match {
       case (a: java.lang.Number, b: java.lang.Number) =>
         Some(java.lang.Long.compare(a.longValue, b.longValue))
-      case (a: String, b: String) => Some(Integer.signum(a.compareTo(b)))
+      case (a: String, b: String) => Some(Integer.signum(utf8Compare(a, b)))
       case _ => None
     }
     cmp.exists { c =>

@@ -426,7 +426,11 @@ object Iceberg {
   private def lt(a: Any, b: Any): Boolean = (a, b) match {
     case (x: java.lang.Long, y: java.lang.Long) => x < y
     case (x: java.lang.Double, y: java.lang.Double) => x < y
-    case (x: String, y: String) => x < y
+    // unsigned UTF-8 byte order — the same total order Spark's row-level
+    // UTF8String comparisons and parquet's string stats use; Scala's
+    // `<` (UTF-16 code-unit order) disagrees for supplementary-plane
+    // codepoints and would prune files whose rows the filter matches
+    case (x: String, y: String) => graft.plans.ScopeTerm.utf8Compare(x, y) < 0
     case _ => throw new IllegalStateException(s"incomparable bound classes: $a vs $b")
   }
 

@@ -2405,10 +2405,12 @@ object IcebergWriter {
     case (x: java.lang.Double, y: java.lang.Double) => x.compareTo(y)
     case (x: org.apache.parquet.io.api.Binary, y: org.apache.parquet.io.api.Binary) =>
       // parquet string stats order = unsigned lexicographic on UTF-8
-      // bytes, which agrees with String.compareTo for the codepoints
-      // involved; compare the decoded strings to stay in the same
-      // domain the reader's `lt` uses
-      x.toStringUsingUTF8.compareTo(y.toStringUsingUTF8)
+      // bytes; String.compareTo (UTF-16 code-unit order) DISAGREES for
+      // supplementary-plane codepoints, so compare via the shared UTF-8
+      // byte comparator — the same order the reader's `lt` and the row
+      // engine's UTF8String use
+      graft.plans.ScopeTerm.utf8Compare(
+        x.toStringUsingUTF8, y.toStringUsingUTF8)
     case _ => throw new IllegalStateException(
       s"incomparable footer statistics classes: ${a.getClass} vs ${b.getClass}")
   }

@@ -51,4 +51,24 @@ class H3GridSqlSpec extends SparkSpec {
     assert(spark.sql("SELECT h3_polyfill(CAST(NULL AS ARRAY<DOUBLE>), " +
       "array(1.0), 9)").head.isNullAt(0))
   }
+
+  test("h3_polyfill: null ARRAY ELEMENTS refuse by name; layers is bounded") {
+    // a null vertex inside the array must refuse loudly — toDoubleArray
+    // would otherwise silently read 0.0 for the slot (a bogus (0,0)
+    // vertex) or NPE opaquely depending on the ArrayData impl
+    val e = intercept[Exception](spark.sql(
+      "SELECT h3_polyfill(array(37.775, CAST(NULL AS DOUBLE), 37.7755), " +
+        "array(-122.419, -122.418, -122.417), 9)").collect())
+    assert(e.getMessage.contains("latitudes[1] is null"), e.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      "SELECT h3_polyfill(array(37.775, 37.776), " +
+        "array(-122.419, CAST(NULL AS DOUBLE)), 9)").collect())
+    assert(e2.getMessage.contains("longitudes[1] is null"), e2.getMessage)
+    // layers carries the same MaxK-style bound as h3_kring's k — each
+    // relaxation layer kRings every cover cell
+    val e3 = intercept[Exception](spark.sql(
+      "SELECT h3_polyfill(array(37.775, 37.776, 37.7755), " +
+        "array(-122.419, -122.418, -122.417), 9, 100000)").collect())
+    assert(e3.getMessage.contains("layers=100000 out of"), e3.getMessage)
+  }
 }

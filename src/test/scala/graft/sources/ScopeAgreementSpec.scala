@@ -106,6 +106,48 @@ class ScopeAgreementSpec extends SparkSpec {
       Set("2024-01-02", "2024-01-03")))
   }
 
+  test("string partitions beyond the BMP: scope order = row order (UTF-8 bytes, not UTF-16 units)") {
+    // U+FFFD (UTF-8 EF BF BD) vs U+1F600 (UTF-8 F0 9F 98 80): UTF-16
+    // code-unit order puts the emoji's lead surrogate 0xD83D BELOW
+    // 0xFFFD while UTF-8 byte order puts the emoji ABOVE (F0 > EF) —
+    // the two orders DISAGREE on exactly this pair. File selection must
+    // use the order the row predicate (UTF8String binary) uses, or
+    // `k > '�'` file-selects nothing while row-selecting the emoji
+    // partition — duplicating its rows into the rewrite (ADVICE r18).
+    val repl = "�"
+    val emoji = new String(Character.toChars(0x1F600))
+    assert(repl.compareTo(emoji) > 0,
+      "precondition: UTF-16 order places the emoji BELOW U+FFFD")
+    assert(ScopeTerm.utf8Compare(repl, emoji) < 0,
+      "UTF-8 byte order places the emoji ABOVE U+FFFD")
+    assert(ScopeTerm.satisfies(">", emoji, repl))
+    assert(!ScopeTerm.satisfies(">", repl, emoji))
+
+    // the binding law: utf8Compare's SIGN agrees with Spark's own
+    // UTF8String.compareTo (the exact comparator the row-side Column
+    // predicate evaluates under UTF8_BINARY collation) on every ordered
+    // pair of an adversarial grid — ASCII, prefix pairs, BMP
+    // high-codepoints, surrogate-pair emoji, mixed, empty
+    import org.apache.spark.unsafe.types.UTF8String
+    val grid = Seq("", "a", "ab", "b", "k00", "k01", "zzz",
+      "é", "ࠀ", "퟿", "", "�",
+      emoji, "a" + emoji, emoji + "a", "�" + emoji,
+      new String(Character.toChars(0x10000)),
+      new String(Character.toChars(0x10FFFF)))
+    for (a <- grid; b <- grid) {
+      val ours = Integer.signum(ScopeTerm.utf8Compare(a, b))
+      val sparks = Integer.signum(
+        UTF8String.fromString(a).compareTo(UTF8String.fromString(b)))
+      assert(ours == sparks,
+        s"order disagreement on (${a.codePoints().toArray.mkString(",")}) " +
+          s"vs (${b.codePoints().toArray.mkString(",")}): $ours vs $sparks")
+    }
+    // (an end-to-end emoji-partition rewrite is not runnable here: the
+    // container's sun.jnu.encoding cannot map non-ASCII filenames, so
+    // the hive dir write itself fails before any selection happens —
+    // the ASCII e2e laws above + this comparator pin cover the seam)
+  }
+
   test("Iceberg: range scope on a day(ts) hidden transform rewrites exactly the matched days") {
     val base = freshDir() + "/ice"
     val day0 = 86400000000L
