@@ -371,6 +371,57 @@ class H3Spec extends AnyFunSuite {
     }
   }
 
+  test("pentagon rings at res 9/10: hierarchical consistency with the EXACT res-6 rings") {
+    // No published res-9/10 pentagon-ring vector exists (the r18 search
+    // came up honestly empty), so pin those rings WITHOUT inventing data:
+    // truncation to res 6 — where boundary-derived adjacency is proven
+    // EXACT (the seam law above runs res ≤ 6 with a shared-edge witness)
+    // — must map every deep ring member into the res-6 ring's closure.
+    // A wrong neighbor at res 9/10 would either break the 5k pentagon
+    // ring-count law, the mutual-symmetry law, or escape the proven
+    // res-6 1-ring under truncation.
+    def pentAt(bc: Int, res: Int): Long = {
+      var pent = (1L << 59) | (res.toLong << 52) | (bc.toLong << 45) |
+        ((1L << 45) - 1)
+      for (r <- 1 to res) pent &= ~(7L << ((15 - r) * 3))
+      pent
+    }
+    def leadDigit(h: Long): Int =
+      (1 to H3.resolution(h)).map(H3.digit(h, _)).find(_ != 0).getOrElse(0)
+    for (res <- Seq(9, 10); bc <- H3.Pentagons) {
+      val p = pentAt(bc, res)
+      assert(H3.isPentagon(p), s"res $res bc $bc: center chain not a pentagon")
+      // pentagon ring sizes are 5k (5 neighbors, not 6):
+      // |kRing(p, k)| = 1 + 5·k(k+1)/2 → 6 at k=1, 16 at k=2
+      val k1 = H3.kRing(p, 1)
+      val k2 = H3.kRing(p, 2)
+      assert(k1.size == 6, s"res $res bc $bc: |kRing1| = ${k1.size}")
+      assert(k2.size == 16, s"res $res bc $bc: |kRing2| = ${k2.size}")
+      // mutual symmetry + hexagon counts on the ring; deleted-K law for
+      // members that stay in the pentagon base cell
+      for (h <- k1 - p) {
+        assert(!H3.isPentagon(h), "two pentagons in one base cell / res")
+        assert(H3.neighbors(h).size == 6, s"${H3.toH3String(h)} not 6-regular")
+        assert(H3.neighbors(h).contains(p),
+          s"asymmetric: ${H3.toH3String(p)} -> ${H3.toH3String(h)}")
+      }
+      for (h <- k2 if H3.baseCell(h) == bc)
+        assert(leadDigit(h) != 1,
+          s"deleted-K digit leads ${H3.toH3String(h)}")
+      // hierarchical law: the deep pentagon is the center-child chain of
+      // the res-6 pentagon, so its 2-disc truncates INTO the res-6
+      // pentagon's own 1-ring closure (exact adjacency territory)
+      val p6 = H3.parent(p, 6)
+      assert(p6 == pentAt(bc, 6), "center chain must truncate to the res-6 pentagon")
+      val ring6 = H3.kRing(p6, 1)
+      val anc = k2.map(H3.parent(_, 6))
+      assert(anc.subsetOf(ring6),
+        s"res $res bc $bc: ancestors ${anc.map(H3.toH3String)} escape the " +
+          s"res-6 ring ${ring6.map(H3.toH3String)}")
+      assert(anc.contains(p6))
+    }
+  }
+
   test("polyfill: degenerate sub-cell polygon still maps to its vertex cells") {
     val tiny = Seq((37.7701, -122.4101), (37.7702, -122.4101), (37.7702, -122.4102))
     val fill = H3.polygonCells(tiny, 9, 0)
