@@ -22,7 +22,8 @@ object SparkEntry {
     graft.queries.CoreQueries.queries ++
       graft.queries.PipelineQueries.queries ++
       graft.queries.ExtensionQueries.queries ++
-      graft.queries.IndexQueries.queries
+      graft.queries.IndexQueries.queries ++
+      graft.queries.InteropQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -30,5 +31,6 @@ object SparkEntry {
     graft.queries.CoreQueries.oracle ++
       graft.queries.PipelineQueries.oracle ++
       graft.queries.ExtensionQueries.oracle ++
-      graft.queries.IndexQueries.oracle
+      graft.queries.IndexQueries.oracle ++
+      graft.queries.InteropQueries.oracle
 }

@@ -456,7 +456,7 @@ object PipelineQueries {
           tilePrecision = 10, tileLayers = 5, grid = "h3")
         graft.sources.DeltaLogWriter.write(
           r.tiles.repartition(4), s"$base/d")
-        val (cat, rc) = IndexQueries.sqlCatalog(s, dir)
+        val (cat, rc) = InteropQueries.sqlCatalog(s, dir)
         rc.register("graft.golden_tiles", s"$base/d")
         // the reference's own statement, verbatim shape
         s.sql(s"OPTIMIZE $cat.graft.golden_tiles ZORDER BY (user, h3)")

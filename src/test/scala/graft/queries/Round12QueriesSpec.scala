@@ -10,7 +10,7 @@ import graft.sources.Iceberg
 class Round12QueriesSpec extends SparkSpec {
 
   private val sf = "/root/testdata/sf0.001"
-  private lazy val base = IndexQueries.stageQ232IcebergTable(spark, sf)
+  private lazy val base = InteropQueries.stageQ232IcebergTable(spark, sf)
 
   test("q232's predicate plans exactly ONE of the fixture's 10 files") {
     assert(Iceberg.planFiles(spark, base).size == 10)
@@ -56,7 +56,7 @@ class Round12QueriesSpec extends SparkSpec {
 
   test("q241's transforms prune: one bucket's manifest, then only its window files") {
     import graft.sources.IcebergTransforms
-    val hidden = IndexQueries.stageQ241IcebergHiddenPart(spark, sf)
+    val hidden = InteropQueries.stageQ241IcebergHiddenPart(spark, sf)
     val DayUs = 86400000000L
     val all = Iceberg.planFiles(spark, hidden)
     assert(all.nonEmpty)
