@@ -125,6 +125,7 @@ object Bench {
         graft.queries.ExtensionQueries.stageQ67Png(spark, sfDir)
         graft.queries.ExtensionQueries.stageQ140Hashes(spark, sfDir)
         graft.queries.ExtensionQueries.stageQ135Assignments(spark, sfDir)
+        graft.queries.PipelineQueries.stageQ290Inputs(spark, sfDir)
       }
     }
     runStagings()
@@ -135,7 +136,8 @@ object Bench {
       // (r15 lap-A evidence: 8 staging_in_lap pins) — run each once
       // here so the timed laps measure steady-state query work
       Seq("q162_compaction", "q171_dynamic_overwrite", "q185_model_registry",
-          "q190_schema_evolution", "q191_nested_pruning")
+          "q190_schema_evolution", "q191_nested_pruning",
+          "q291_zorder_golden_tiles")
         .foreach { n =>
           try SparkEntry.queries(n)(spark, sfDir).count()
           catch { case e: Throwable =>
