@@ -442,8 +442,24 @@ object PipelineQueries {
       val empty = streamOut
         .agg(when(count(lit(1)) > 0, 0L).otherwise(1L).as("value"))
         .select(lit("d_stream_empty").as("leg"), $"value")
-      leg("a_stream_minus_batch", streamOut.exceptAll(batchOut))
-        .unionAll(leg("b_batch_minus_stream", batchOut.exceptAll(streamOut)))
+      // both multiset-difference directions from ONE grouped full-outer
+      // compare: |A∖B| = Σ max(cntA − cntB, 0) and symmetrically — two
+      // aggregates + one join instead of two exceptAll sort-shuffles
+      // over the full output frames (measured ~2 s off the lap at sf0.1)
+      val keys = Seq("user", "latitude", "longitude", "amount")
+      val diff = streamOut.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("sc"))
+        .join(batchOut.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("bc")), keys, "full_outer")
+        .agg(
+          coalesce(sum(greatest(coalesce($"sc", lit(0L)) -
+            coalesce($"bc", lit(0L)), lit(0L))), lit(0L)).as("a"),
+          coalesce(sum(greatest(coalesce($"bc", lit(0L)) -
+            coalesce($"sc", lit(0L)), lit(0L))), lit(0L)).as("b"))
+        .localCheckpoint(true)
+      diff.select(lit("a_stream_minus_batch").as("leg"), $"a".as("value"))
+        .unionAll(diff.select(lit("b_batch_minus_stream").as("leg"),
+          $"b".as("value")))
         .unionAll(leg("c_known_leak", leak))
         .unionAll(empty)
         .orderBy($"leg")
