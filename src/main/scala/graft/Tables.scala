@@ -229,6 +229,34 @@ object Tables {
     stageLog.add(StageEvent(path, sig, wrote = !fresh, atNanos = System.nanoTime()))
   }
 
+  /** Scale-adaptive compute fan-out (optimization guide §2.5, "input skew:
+    * one huge unsplittable file ... repartition immediately after the
+    * read"): the shipped testdata tables are SINGLE parquet files with ONE
+    * row group each, so a scan plans 1 partition however many cores the
+    * session has — byte-range splits cannot help (every split except the
+    * one holding the row-group midpoint yields 0 rows) — and per-row heavy
+    * derivations (tokenize→shingle→md5, cell ids) serialize on one core of
+    * 32 (measured: q139's shingle df-aggregate 3.98 s serial → 0.67 s
+    * fanned at sf0.1). Repartitions to the session's default parallelism
+    * ONLY when the frame's current partitioning is materially below it: on
+    * a real cluster over many files/row groups the scan already carries ≥
+    * parallelism partitions and this is a no-op — nothing here is tuned to
+    * local mode, and the target derives from the runtime, not a constant.
+    *
+    * Call it on SCAN-ROOTED frames only (scan + narrow transforms): the
+    * partition-count probe plans the frame's RDD, which is free for
+    * exchange-less plans but would materialize shuffle stages under AQE.
+    * Streaming frames pass through untouched (a repartition there would
+    * add a per-micro-batch shuffle). Round-robin repartition is
+    * retry-deterministic (sortBeforeRepartition, on by default) and no
+    * caller below depends on input row ORDER, only row sets. */
+  def fanOut(df: DataFrame): DataFrame = {
+    if (df.isStreaming) return df
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    val cur = df.rdd.getNumPartitions
+    if (cur * 2 <= target) df.repartition(target) else df
+  }
+
   /** Synthetic transaction points: one row per lineitem, joined to orders
     * for the user key. Columns: latitude, longitude, amount, user_id.
     * Every arithmetic step is IEEE-double and reproduced verbatim in

@@ -28,7 +28,14 @@ object PipelineQueries {
   private val txCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private def tx(s: SparkSession, dir: String): DataFrame = {
     def fresh() = {
+      // repartition to the session's parallelism BEFORE persisting: the
+      // lineitem⋈orders output lands AQE-coalesced into ~3 partitions at
+      // sf0.1 (single-row-group source files), and every cached consumer
+      // (fit, cell derivations, probes — q21/q22/q24/q25/q50/q66/q290)
+      // would inherit that 3-way layout for its scan-side per-row work on
+      // a 32-core session (guide §2.5). Target derives from the runtime.
       val df = Tables.points(s, dir).withColumnRenamed("user_id", "user")
+        .repartition(s.sparkContext.defaultParallelism)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       df.count()
       df
