@@ -126,6 +126,7 @@ object Bench {
         graft.queries.ExtensionQueries.stageQ140Hashes(spark, sfDir)
         graft.queries.ExtensionQueries.stageQ135Assignments(spark, sfDir)
         graft.queries.PipelineQueries.stageQ290Inputs(spark, sfDir)
+        graft.queries.PipelineQueries.stageQ50Inputs(spark, sfDir)
       }
     }
     runStagings()

@@ -41,11 +41,17 @@ object Anomalies {
     * (SURVEY §3.3: Catalyst does not rewrite left_outer+IsNull to anti, so we
     * author it directly). The anti join never materializes right-side
     * columns and can broadcast the tile side. */
+  /** `keepCell = true` keeps the computed probe-cell column (`h3`) in the
+    * output instead of dropping it — for consumers that need the cell again
+    * downstream (e.g. a known-tile leak audit over a persisted stream sink):
+    * recomputing it there costs a second full per-row cell pass over the
+    * output (guide §2.3, shuffle/write keys once). Row set is identical. */
   def extract(points: DataFrame, tiles: DataFrame, precision: Int = 10,
-              userCol: String = "user", grid: String = "geocell"): DataFrame = {
-    points
+              userCol: String = "user", grid: String = "geocell",
+              keepCell: Boolean = false): DataFrame = {
+    val joined = points
       .withColumn("h3", cellCol(grid, precision))
       .join(tiles.select(col(userCol), col("h3")), Seq(userCol, "h3"), "left_anti")
-      .drop("h3")
+    if (keepCell) joined else joined.drop("h3")
   }
 }
