@@ -262,7 +262,11 @@ object Tables {
     * Every arithmetic step is IEEE-double and reproduced verbatim in
     * `pointsSql` so cell ids hash-match the oracle. */
   def points(spark: SparkSession, sfDir: String): DataFrame = {
-    val li = table(spark, sfDir, "lineitem")
+    // fanOut on the fact side: lineitem ships as ONE single-row-group file,
+    // so the scan (and every per-row cell/haversine derivation above this
+    // join — orders broadcasts) otherwise runs on one core (guide §2.5);
+    // no-op when the scan already carries ≥ parallelism partitions
+    val li = fanOut(table(spark, sfDir, "lineitem"))
     val o = table(spark, sfDir, "orders")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(

@@ -36,18 +36,24 @@ object GeoFraudPipeline {
     // result, but per-cell fanout tiles×points blows up at scale (measured
     // ~130M intermediate rows on 600k points); one row per cell keeps the
     // join linear in the points
+    // persisted: docFreq has TWO eager consumers — the scalar-N count
+    // action below and the tf join — and un-cached the whole
+    // cells⋈points + two-distincts subtree ran twice per pipeline run
+    // (guide §5 persist-when-reused; bounded: one row per distinct cell)
     val docFreq = tiles.select(col("h3")).distinct()
       .join(pointsH3, Seq("h3"))
       .select("user", "h3").distinct()
       .groupBy("h3").agg(sum(lit(1)).as("df"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val termFreq = tiles
       .join(pointsH3, Seq("h3", "user"))
       .groupBy("user", "h3", "cluster").agg(sum(lit(1)).as("tf"))
     // broadcast scalar N (01_geofraud_clustering.py:409) as a driver count
-    // action. Deliberately NOT the in-plan broadcast-1-row-cross-join
-    // spelling (q16 uses that): the tiles table goes through a
-    // repartitionByRange write downstream, whose range sampling re-executes
-    // the child — measured 7s slower at sf0.1 with the fused spelling here.
+    // action (it also materializes the docFreq cache). Deliberately NOT
+    // the in-plan broadcast-1-row-cross-join spelling (q16 uses that): the
+    // tiles table goes through a repartitionByRange write downstream,
+    // whose range sampling re-executes the child — measured 7s slower at
+    // sf0.1 with the fused spelling here.
     val n = docFreq.count()
     termFreq.join(docFreq, Seq("h3"))
       .withColumn("tf_idf", col("tf") * log(lit(n.toDouble) / col("df")))
