@@ -220,6 +220,26 @@ object Bench {
     // PLANS.md prose to reconcile) — loadAvg ≫ our thread count means
     // other processes were competing for the cores during THIS run.
     var loadSamples = List.empty[Double]
+    // EXTERNAL-cpu sampling (r19 measurement fix): the r14 loadAvgMean
+    // check assumed the bench itself contributes little to the 1-min load
+    // — true while most queries ran near-serial, FALSE once the fan-out
+    // work keeps all 32 cores busy (the optimized lap's own parallelism
+    // held loadAvgMean ≈ 5 on an otherwise idle box and stamped honest
+    // laps dirty). Sample the system-wide cpu share MINUS this JVM's own
+    // share per query: co-tenant load shows up here, our own never does.
+    // getCpuLoad/getProcessCpuLoad average over the interval since the
+    // previous call, so per-query samples cover the whole lap.
+    val sunBean = osBean match {
+      case b: com.sun.management.OperatingSystemMXBean => Some(b)
+      case _ => None
+    }
+    def externalCores(): Double = sunBean.map { b =>
+      val sys = b.getCpuLoad
+      val proc = b.getProcessCpuLoad
+      if (sys < 0 || proc < 0) -1.0
+      else math.max(0.0, sys - proc) * Runtime.getRuntime.availableProcessors()
+    }.getOrElse(-1.0)
+    var extSamples = List.empty[Double]
     // start-of-lap box conditions; in-lap staging attribution is the
     // per-query stageOnce write-count delta inside the loop below.
     // vars, not vals: the dirty-retry below re-runs the WHOLE lap once,
@@ -239,11 +259,15 @@ object Bench {
     var lapStartRes = rl.totals()
     def timedLap() = {
       loadSamples = Nil
+      extSamples = Nil
+      externalCores() // reset the since-last-call window to the lap start
       loadAvgStart = osBean.getSystemLoadAverage
       lapStartRes = rl.totals()
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       val la = osBean.getSystemLoadAverage
       if (la >= 0) loadSamples ::= la
+      val ec = externalCores()
+      if (ec >= 0) extSamples ::= ec
       val n0 = ml.snapshot().size
       val r0 = rl.totals()
       val st0 = Tables.stageEvents.count(_.wrote)
@@ -296,9 +320,13 @@ object Bench {
       val end = rl.totals()
       val run = end.runTimeMs - lapStartRes.runTimeMs
       val cpu = end.cpuTimeMs - lapStartRes.cpuTimeMs
-      val mean = if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1.0
+      // the mid-lap co-tenancy signal is EXTERNAL cpu (system minus this
+      // JVM) — the raw 1-min loadAvg keeps its place in the contention
+      // block for cross-round continuity but no longer feeds the verdict
+      // (it cannot tell our own 32-way parallelism from a co-tenant)
+      val extMean = if (extSamples.nonEmpty) extSamples.sum / extSamples.size else -1.0
       val ratio = if (cpu > 0) run.toDouble / cpu else -1.0
-      (Bench.dirtyVerdict(loadAvgBoot, mean, ratio, dirtyThreshold), mean, ratio)
+      (Bench.dirtyVerdict(loadAvgBoot, extMean, ratio, dirtyThreshold), extMean, ratio)
     }
     var lapRetries = 0
     if (lapVerdict()._1 &&
@@ -378,10 +406,10 @@ object Bench {
     // Derive from what the (possibly retried) lap itself recorded — the
     // per-query load samples and the measured run/cpu ratio — so a
     // mid-lap co-tenant stamps the artifact it actually contaminated.
-    val (dirty, loadAvgMeanV, runCpuRatioV) = lapVerdict()
+    val (dirty, extCpuMeanV, runCpuRatioV) = lapVerdict()
     if (dirty) System.err.println(
       f"[bench] lap verdict DIRTY: loadAvgBoot $loadAvgBoot%.2f / " +
-        f"loadAvgMean $loadAvgMeanV%.2f vs threshold $dirtyThreshold%.2f, " +
+        f"extCpuMean $extCpuMeanV%.2f vs threshold $dirtyThreshold%.2f, " +
         f"runCpuRatio $runCpuRatioV%.2f vs ${Bench.DirtyRunCpuRatio}%.2f" +
         (if (lapRetries > 0) " — after the one bounded retry (kept honest)"
          else ""))
@@ -393,6 +421,8 @@ object Bench {
         s""""loadAvgStart":${r3(loadAvgStart)},""" +
         s""""loadAvgMean":${r3(if (loadSamples.nonEmpty) loadSamples.sum / loadSamples.size else -1)},""" +
         s""""loadAvgMax":${r3(if (loadSamples.nonEmpty) loadSamples.max else -1)},""" +
+        s""""extCpuMean":${r3(extCpuMeanV)},""" +
+        s""""extCpuMax":${r3(if (extSamples.nonEmpty) extSamples.max else -1)},""" +
         s""""lapRetries":$lapRetries,"cpus":$cpus}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","cpuTotalSec":${r3(cpuTotal)},"dirty":$dirty,"queries":$qs,"metrics":$metrics,"errors":$errors,"staging_in_lap":$stagingInLap,"cache_rebuilt":$cacheRebuilt,"contention":$contention,"sf":"$sfDir"}"""
@@ -412,14 +442,19 @@ object Bench {
   private[graft] val DirtyRunCpuRatio = 2.5
 
   /** LAP-SCOPED dirty verdict: the artifact is contended when the box
-    * was loaded at boot, OR loaded on average ACROSS the lap (the
-    * per-query samples — catches a co-tenant arriving after boot, the
-    * r14 gap), OR when tasks sat on runnable queues (run/cpu ratio).
+    * was loaded at boot (raw 1-min loadAvg — sampled BEFORE this bench
+    * runs anything, so it is all external), OR when EXTERNAL cpu
+    * (system-wide minus this JVM's own share, in cores) was high on
+    * average ACROSS the lap (the per-query samples — catches a co-tenant
+    * arriving after boot, the r14 gap; r19 switched this axis from raw
+    * loadAvgMean, which could not tell the bench's own 32-way
+    * parallelism from a co-tenant once the fan-out work kept every core
+    * busy), OR when tasks sat on runnable queues (run/cpu ratio).
     * Negative inputs mean "unmeasured" and never dirty the verdict. */
-  private[graft] def dirtyVerdict(loadAvgBoot: Double, loadAvgMean: Double,
+  private[graft] def dirtyVerdict(loadAvgBoot: Double, extCpuMean: Double,
                                   runCpuRatio: Double,
                                   loadThreshold: Double): Boolean =
-    loadAvgBoot > loadThreshold || loadAvgMean > loadThreshold ||
+    loadAvgBoot > loadThreshold || extCpuMean > loadThreshold ||
       runCpuRatio > DirtyRunCpuRatio
 
   /** Session-cache rebuild detector: persisted rdds whose pre-lap cache

@@ -10,13 +10,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * is exercised by every bench run. */
 class BenchGateSpec extends AnyFunSuite {
 
-  test("dirtyVerdict: clean only when boot, lap mean AND run/cpu are all quiet") {
+  test("dirtyVerdict: clean only when boot, lap external cpu AND run/cpu are all quiet") {
     assert(!Bench.dirtyVerdict(1.0, 1.2, 1.1, loadThreshold = 4.0))
-    // the r14 artifact's shape: boot quiet, lap loaded — MUST stamp dirty
+    // the r14 artifact's shape: boot quiet, co-tenant cpu across the lap —
+    // MUST stamp dirty (a co-tenant's cycles are external by definition;
+    // the bench's own 32-way parallelism never lands in this axis — the
+    // r19 fix for fan-out laps self-stamping dirty)
     assert(Bench.dirtyVerdict(3.4, 5.9, 3.37, loadThreshold = 4.0))
     // boot loaded, lap decayed — still dirty (the first queries paid it)
     assert(Bench.dirtyVerdict(8.0, 2.0, 1.2, loadThreshold = 4.0))
-    // load samples quiet but tasks queued (runCpuRatio > 2.5) — dirty
+    // external cpu quiet but tasks queued (runCpuRatio > 2.5) — dirty
     assert(Bench.dirtyVerdict(1.0, 1.0, 2.6, loadThreshold = 4.0))
     assert(!Bench.dirtyVerdict(1.0, 1.0, 2.5, loadThreshold = 4.0))
   }
