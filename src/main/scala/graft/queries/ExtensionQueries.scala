@@ -171,9 +171,20 @@ object ExtensionQueries {
     cachedFrame("copurchase_adj", s, dir, Seq("lineitem")) {
       import s.implicits._
       val raw = copurchaseEdges(s, dir)
+      // partition count sized to the DATA, not the session constant
+      // (guide §2.2): the iterative consumers (pagerank / label-prop /
+      // k-core) re-join this frame every round, and each round's stages
+      // inherit ITS partitioning — 32 partitions of a ~20k-row adjacency
+      // cost hundreds of near-empty tasks per query. ~1M edge rows per
+      // partition locally ≈ a few MB; the count is one cheap action on
+      // the already-persisted edge cache, and at scale the quotient
+      // (not the floor) governs, growing with the data.
+      val parts = math.max(2L, math.min(
+        2L * raw.count() / 1000000L + 1L,
+        4L * s.sparkContext.defaultParallelism)).toInt
       raw.select($"u".as("a"), $"v".as("b"))
         .unionAll(raw.select($"v".as("a"), $"u".as("b")))
-        .repartition($"a")
+        .repartition(parts, $"a")
     }
 
   /** Per-doc bigram counts — (doc_id, w1, w2, k) — shared by q126 (the
@@ -390,7 +401,7 @@ object ExtensionQueries {
       // the explode subtree re-ran scan+split+explode twice — 8.8 s at
       // sf0.1, the #2 bench query. The checkpoint is the distinct
       // doc-token frame, far smaller than the exploded occurrences.
-      val tokCnt = t(s, dir, "documents").select($"source", $"doc_id",
+      val tokCnt = Tables.fanOut(t(s, dir, "documents")).select($"source", $"doc_id",
           explode(TextFunctions.tokens(lower($"text"))).as("token"))
         .groupBy($"source", $"doc_id", $"token")
         .agg(count(lit(1)).as("cnt"))
@@ -584,7 +595,7 @@ object ExtensionQueries {
       import s.implicits._
       // hashed feature id per token occurrence: md5-bucket the token into
       // 1024 bins (collisions are part of the method's contract)
-      val toks = t(s, dir, "documents")
+      val toks = Tables.fanOut(t(s, dir, "documents"))
         .select($"source", $"doc_id",
           explode(TextFunctions.tokens(lower($"text"))).as("token"))
         .select($"source", $"doc_id",
@@ -892,7 +903,7 @@ object ExtensionQueries {
     // rows, not the corpus.
     "q141_bpe_merges" -> ((s, dir) => {
       import s.implicits._
-      t(s, dir, "documents")
+      Tables.fanOut(t(s, dir, "documents"))
         .select(explode(TextFunctions.tokens(lower($"text"))).as("tok"))
         .where(length($"tok") >= 2)
         .select(explode(expr(
@@ -1019,7 +1030,7 @@ object ExtensionQueries {
     "q147_keywords" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
-      val tf = t(s, dir, "documents")
+      val tf = Tables.fanOut(t(s, dir, "documents"))
         .select($"doc_id", explode(TextFunctions.tokens(lower($"text"))).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
@@ -1590,7 +1601,7 @@ object ExtensionQueries {
     // stream never shuffles to the eval side.
     "q230_contamination" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select($"source", $"doc_id", $"text")
+      val docs = Tables.fanOut(t(s, dir, "documents")).select($"source", $"doc_id", $"text")
       val train = docs.where($"doc_id" % 41 =!= 0)
       // eval gram set off the shared session cache (built once, persisted)
       // — q233 removes against the SAME benchmark, so the eval-side
@@ -1618,7 +1629,7 @@ object ExtensionQueries {
     // flagged-key set back against the corpus (the q139/q225 shapes).
     "q233_decontaminate" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents").select($"source", $"doc_id", $"text")
+      val docs = Tables.fanOut(t(s, dir, "documents")).select($"source", $"doc_id", $"text")
       val train = docs.where($"doc_id" % 41 =!= 0)
       graft.text.Decontamination.decontaminateFromGrams(
           train, decontamEvalGrams(s, dir), n = 4, maxContaminated = 0L)
@@ -2766,7 +2777,7 @@ object ExtensionQueries {
     // quality gate + exact-dedup keep-first + language filter + length gate
     "q47_corpus_clean" -> ((s, dir) => {
       import s.implicits._
-      val docs = t(s, dir, "documents")
+      val docs = Tables.fanOut(t(s, dir, "documents"))
       val scored = docs.select($"doc_id", $"lang", $"n_chars",
         TextFunctions.tokenCount($"text").cast("long").as("n_tokens"),
         TextFunctions.qualityScore($"text").as("quality"),

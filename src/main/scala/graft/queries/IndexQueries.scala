@@ -394,11 +394,16 @@ object IndexQueries {
     "q159_quality_filter" -> ((s, dir) => {
       import s.implicits._
       val docs = t(s, dir, "documents")
+      // fit side deliberately NOT fanned out: LogisticRegression runs 25
+      // LBFGS passes over its (internally cached) instances, and 32
+      // partitions of a tiny frame cost 25x32 micro-tasks (measured 1.3 s
+      // -> 5.2 s fanned); only the per-row feature SCORING pass fans out
       QualityClassifier.fitWeights(docs, ($"lang" === "en").cast("int"))
         .write.mode("overwrite").parquet(scratch(q159WeightsPat, dir))
       val w = s.read.parquet(scratch(q159WeightsPat, dir))
       val fcols = QualityClassifier.features($"text", $"n_chars")
-      val scored = docs.select($"doc_id" +: fcols.map { case (n, c) => c.as(n) }: _*)
+      val scored = Tables.fanOut(docs)
+        .select($"doc_id" +: fcols.map { case (n, c) => c.as(n) }: _*)
         .crossJoin(broadcast(w))
         .withColumn("logit_key",
           round(QualityClassifier.logit($"intercept",
@@ -776,7 +781,7 @@ object IndexQueries {
     "q173_xml_roundtrip" -> ((s, dir) => {
       import s.implicits._
       val path = scratch(q173XmlPat, dir)
-      t(s, dir, "orders").where($"o_orderstatus" === "O")
+      Tables.fanOut(t(s, dir, "orders").where($"o_orderstatus" === "O"))
         .select($"o_orderkey", $"o_custkey", $"o_totalprice", $"o_orderpriority")
         .write.mode("overwrite").format("xml").option("rowTag", "order").save(path)
       s.read.format("xml").option("rowTag", "order").load(path)
