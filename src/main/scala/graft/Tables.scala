@@ -257,6 +257,19 @@ object Tables {
     if (cur * 2 <= target) df.repartition(target) else df
   }
 
+  /** Data-derived partition count for ITERATIVE small-frame consumers
+    * (guide §2.2 — size partitions to the data, not a session constant):
+    * a frame re-joined every round of an iterative algorithm (pagerank,
+    * label propagation, Pregel CC) makes every round inherit its layout,
+    * and 32 partitions of a ~20k-row frame cost hundreds of near-empty
+    * tasks per query. ~`rowsPerPartition` rows each (default 500k ≈ a few
+    * MB of narrow rows), clamped to [2, 4 × parallelism]; at scale the
+    * quotient governs and grows with the data. */
+  def adaptiveParts(spark: SparkSession, rows: Long,
+                    rowsPerPartition: Long = 500000L): Int =
+    math.max(2L, math.min(rows / rowsPerPartition + 1L,
+      4L * spark.sparkContext.defaultParallelism)).toInt
+
   /** Synthetic transaction points: one row per lineitem, joined to orders
     * for the user key. Columns: latitude, longitude, amount, user_id.
     * Every arithmetic step is IEEE-double and reproduced verbatim in

@@ -179,9 +179,7 @@ object ExtensionQueries {
       // partition locally ≈ a few MB; the count is one cheap action on
       // the already-persisted edge cache, and at scale the quotient
       // (not the floor) governs, growing with the data.
-      val parts = math.max(2L, math.min(
-        2L * raw.count() / 1000000L + 1L,
-        4L * s.sparkContext.defaultParallelism)).toInt
+      val parts = Tables.adaptiveParts(s, 2L * raw.count())
       raw.select($"u".as("a"), $"v".as("b"))
         .unionAll(raw.select($"v".as("a"), $"u".as("b")))
         .repartition(parts, $"a")
@@ -1683,8 +1681,14 @@ object ExtensionQueries {
     // output, identical oracle, independent cross-check of the CC operator
     "q151_dedup_groups_graphx" -> ((s, dir) => {
       import s.implicits._
+      // GraphX CC is Pregel — supersteps × partitions tasks — and the
+      // candidate graph is a few hundred edges: shrink the edge layout to
+      // a data-derived partition count (the copurchaseAdj rule) so each
+      // superstep runs 2 tasks, not 32 (task-time 51s -> ~2s at sf0.1)
+      val cands = minhashCands(s, dir)
       val cc = graft.cluster.ConnectedComponentsGraphX.run(
-        minhashCands(s, dir).select($"id_a".as("src"), $"id_b".as("dst")))
+        cands.select($"id_a".as("src"), $"id_b".as("dst"))
+          .repartition(Tables.adaptiveParts(s, cands.count())))
       Dedup.dedupGroupsFromComponents(t(s, dir, "documents"), cc)
         .orderBy("group_id")
     }),
