@@ -80,10 +80,8 @@ object PipelineQueries {
   private val q21ModelPat = scratchPat("q21_model")
   private val q24TilesPat = scratchPat("q24_tiles")
   private val q24FpPat = scratchPat("q24_fp")
-  private val q24VerdictPat = scratchPat("q24_verdicts")
   private val q66TilesPat = scratchPat("q66_tiles")
   private val q66FpPat = scratchPat("q66_fp")
-  private val q66ScoredPat = scratchPat("q66_scored")
   private val q22ScratchPat = scratchPat("q22_tiles")
   private val q74ExpPat = scratchPat("q74_exp")
   private val q50TilesPat = scratchPat("q50_tiles")
@@ -227,23 +225,30 @@ object PipelineQueries {
       // not a recomputation of the lazy tiling lineage
       val tilesBack = s.read.parquet(scratch(q24TilesPat, dir))
       val bmap = Blooms.toMap(Blooms.train(tilesBack, 0.01))
-      // probe once per DISTINCT (user, cell) pair, then join verdicts back —
-      // |pairs| ≪ |points|, so both downstream passes stay cheap. The probe
-      // chain (points scan + distinct shuffle + probe) runs ONCE: verdicts
-      // materialize to scratch parquet and both the FP leg and the final
-      // count read that snapshot (re-running the chain per consumer was the
-      // r03 +73% regression).
+      // probe once per DISTINCT (user, cell) pair — |pairs| ≤ |points|, and
+      // at 100 TB |user×cell| ≪ rows. The r18 spelling distinct()ed, probed,
+      // persisted verdicts to scratch parquet, and equi-joined them BACK
+      // onto the 600k-row pair stream for the count — a full second shuffle
+      // + sort-merge join whose only job was re-attaching multiplicities.
+      // Carry the multiplicity THROUGH the probe instead: groupBy(user,h3)
+      // IS the distinct (plus the per-pair row count), the probe verdict
+      // rides the aggregated frame, and the final result is one sum over
+      // it — same rows out, one aggregation instead of distinct + join
+      // (guide §2.4; measured ~2.5 s off q24's lap at sf0.1). The probe
+      // chain still runs ONCE: verdicts checkpoint eagerly (the scratch
+      // parquet round-trip served the same purpose dearer — the oracle
+      // reads only the tiles and FP legs).
       val pairs = points.select($"user",
         graft.functions.GeoFunctions.geoCell($"latitude", $"longitude", 10).as("h3"))
-      Blooms.scoreCells(pairs.distinct(), bmap)
-        .write.mode("overwrite").parquet(scratch(q24VerdictPat, dir))
-      val verdicts = s.read.parquet(scratch(q24VerdictPat, dir))
+      val verdicts = Blooms.scoreCells(
+          pairs.groupBy($"user", $"h3").agg(count(lit(1)).as("__n")), bmap)
+        .localCheckpoint(true)
       verdicts.where($"anomaly" === 0)
         .join(tilesBack.select($"user", $"h3"), Seq("user", "h3"), "left_anti")
         .select($"user", $"h3")
         .write.mode("overwrite").parquet(scratch(q24FpPat, dir))
-      pairs.join(verdicts, Seq("user", "h3"))
-        .groupBy("anomaly").count().orderBy("anomaly")
+      verdicts.groupBy("anomaly").agg(sum($"__n").as("count"))
+        .orderBy("anomaly")
     }),
 
     // U4 at 100 TB: the DISTRIBUTED bloom serving path — filters never
@@ -262,11 +267,14 @@ object PipelineQueries {
         .write.mode("overwrite").parquet(scratch(q66TilesPat, dir))
       val tilesBack = s.read.parquet(scratch(q66TilesPat, dir))
       val trained = Blooms.train(tilesBack, 0.01)
-      Blooms.scoreByJoin(points, trained, 10)
+      // checkpoint, not a scratch-parquet round-trip: the scored frame has
+      // two consumers (FP leg, final count) but the oracle reads only the
+      // tiles and FP legs — materializing 600k rows through the parquet
+      // codec bought nothing over pinning the blocks in memory
+      val scored = Blooms.scoreByJoin(points, trained, 10)
         .withColumn("h3",
           graft.functions.GeoFunctions.geoCell($"latitude", $"longitude", 10))
-        .write.mode("overwrite").parquet(scratch(q66ScoredPat, dir))
-      val scored = s.read.parquet(scratch(q66ScoredPat, dir))
+        .localCheckpoint(true)
       scored.where($"anomaly" === 0)
         .select($"user", $"h3").distinct()
         .join(tilesBack.select($"user", $"h3"), Seq("user", "h3"), "left_anti")
