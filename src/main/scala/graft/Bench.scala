@@ -146,6 +146,15 @@ object Bench {
           }
         }
     }
+    warm("session-model") {
+      // the tx frame + personalized fit + tile covers are session caches
+      // shared by q21/q23/q24/q50/q66/q74/q290/q292: build them HERE so
+      // each consumer reports marginal cost — when the staged fixtures
+      // are already fresh on disk, the staging warms above skip their
+      // write branches and would leave the model cold (q21 then carries
+      // the whole fit in its timed lap)
+      graft.queries.PipelineQueries.prewarmSessionModel(spark, sfDir)
+    }
     warm("shared-caches") {
       // the session-cache web (shingle/minhash/copurchase/bigram frames):
       // built here so each consumer query reports MARGINAL cost, not the

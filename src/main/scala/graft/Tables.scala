@@ -274,12 +274,21 @@ object Tables {
     * for the user key. Columns: latitude, longitude, amount, user_id.
     * Every arithmetic step is IEEE-double and reproduced verbatim in
     * `pointsSql` so cell ids hash-match the oracle. */
-  def points(spark: SparkSession, sfDir: String): DataFrame = {
+  def points(spark: SparkSession, sfDir: String): DataFrame =
+    points(spark, sfDir, fan = true)
+
+  /** `fan = false` opts a consumer out of the fact-side fan-out below —
+    * for queries whose only work above the join is cheap codegen index
+    * math straight into an aggregate (q15, q129), where the round-robin
+    * exchange costs more than the serial map-side pass it parallelizes
+    * (measured +0.4–0.6 s each at sf0.1). */
+  def points(spark: SparkSession, sfDir: String, fan: Boolean): DataFrame = {
     // fanOut on the fact side: lineitem ships as ONE single-row-group file,
     // so the scan (and every per-row cell/haversine derivation above this
     // join — orders broadcasts) otherwise runs on one core (guide §2.5);
     // no-op when the scan already carries ≥ parallelism partitions
-    val li = fanOut(table(spark, sfDir, "lineitem"))
+    val liRaw = table(spark, sfDir, "lineitem")
+    val li = if (fan) fanOut(liRaw) else liRaw
     val o = table(spark, sfDir, "orders")
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .select(

@@ -143,7 +143,9 @@ object CoreQueries {
     // F2: haversine distance predicate (01_geofraud_clustering.py:20)
     "q15_haversine" -> ((s, dir) => {
       import s.implicits._
-      Tables.points(s, dir)
+      // fan = false: one haversine + a count is cheaper serial than the
+      // round-robin exchange the fan-out would add (measured +0.4 s)
+      Tables.points(s, dir, fan = false)
         .filter(GeoFunctions.haversineMeters($"latitude", $"longitude",
           lit(40.73), lit(-73.98)) <= lit(3000.0))
         .agg(count(lit(1)).as("n"))

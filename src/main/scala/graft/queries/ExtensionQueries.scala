@@ -354,7 +354,9 @@ object ExtensionQueries {
     "q129_zorder_cluster" -> ((s, dir) => {
       import s.implicits._
       val res = 9
-      val cells = Tables.points(s, dir).select(
+      // fan = false: the per-row work is codegen index math straight into
+      // a partial aggregate — the exchange costs more than it saves
+      val cells = Tables.points(s, dir, fan = false).select(
           graft.functions.GeoFunctions.latIndexCol($"latitude", res).as("i"),
           graft.functions.GeoFunctions.lngIndexCol($"longitude", res).as("j"))
         .groupBy($"i", $"j").agg(count(lit(1)).as("n"))
@@ -1028,9 +1030,13 @@ object ExtensionQueries {
     "q147_keywords" -> ((s, dir) => {
       import s.implicits._
       import org.apache.spark.sql.expressions.Window
+      // checkpointed: tf feeds TWO unmaterialized consumers (the df
+      // aggregate and the join back) — the tokenize explode otherwise ran
+      // twice (the q131 tokCnt rule); compact frame, never the text
       val tf = Tables.fanOut(t(s, dir, "documents"))
         .select($"doc_id", explode(TextFunctions.tokens(lower($"text"))).as("term"))
         .groupBy($"doc_id", $"term").agg(count(lit(1)).as("tf"))
+        .localCheckpoint(true)
       val dfreq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
       val w = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"df".asc, $"term")
       tf.join(dfreq, "term")

@@ -121,6 +121,16 @@ object PipelineQueries {
     (t290, src)
   }
 
+  /** Bench warm hook: build the SESSION caches (tx frame, personalized
+    * model, its (10,1) covers on both grids) before the timed loop — the
+    * prewarmSharedCaches discipline. Previously the model fit happened to
+    * be warmed as a side effect of stageQ290Inputs/stageQ50Inputs WRITING
+    * their fixtures; once those stagings are fresh on disk the write
+    * branches skip and the lexicographically-first consumer (q21) paid
+    * the whole fit + tile build inside its timed lap (+2.9 s measured). */
+  private[graft] def prewarmSessionModel(s: SparkSession, dir: String): Unit =
+    persModel(s, dir).cachedTiles(10, 1).count()
+
   /** q50's input fixtures, write-once per (sf dir, source signature) — the
     * engine-grid twin of [[stageQ290Inputs]]: the (10,1) geocell tile cover
     * of the session model and the transaction source the stream replays.
